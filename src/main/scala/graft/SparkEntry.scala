@@ -1,13 +1,299 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is a thin wrapper over a library operator
+  * (graft.operators.*); every SQL-expressible one has a DuckDB twin in
+  * `oracleSql` with IDENTICAL output column names and, where floating
+  * point is aggregated, order-independent decimal accumulation on both
+  * sides (see graft.functions.dsum).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    TextOps.wordCount(Tables(spark, "/root/testdata/sf0.001").documents)
+
+  private def t(s: SparkSession, dir: String) = Tables(s, dir)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- M1: the reference surface (SURVEY.md §2 [REF] rows) ----
+    "wordcount" -> ((s, d) => TextOps.wordCount(t(s, d).documents).orderBy("word")),
+    "wordcount_top100" -> ((s, d) => TextOps.wordCountTopK(t(s, d).documents, 100)),
+    "wordcount_x8" -> ((s, d) => TextOps.wordCountX8(t(s, d).documents).orderBy("word")),
+    "distinct_words" -> ((s, d) => TextOps.distinctWords(t(s, d).documents).orderBy("word")),
+    "word_lengths_hist" -> ((s, d) => TextOps.wordLengthHist(t(s, d).documents).orderBy("len")),
+
+    // ---- M2: relational breadth (SURVEY.md §2 [ABSENT]/[NS] rows) ----
+    "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(t(s, d).lineitem)),
+    "q3_top_orders" -> ((s, d) => Relational.topUnshippedOrders(t(s, d))),
+    "q5_nation_revenue" -> ((s, d) => Relational.nationRevenue(t(s, d), "ASIA")),
+    "semi_join" -> ((s, d) => Relational.customersWithOpenOrders(t(s, d))),
+    "anti_join" -> ((s, d) => Relational.customersWithoutOrders(t(s, d))),
+    "left_join_agg" -> ((s, d) => Relational.ordersPerCustomer(t(s, d))),
+    "rollup_agg" -> ((s, d) => Relational.rollupAgg(t(s, d).lineitem)),
+    "cube_agg" -> ((s, d) => Relational.cubeAgg(t(s, d).orders)),
+    "scalar_funcs" -> ((s, d) => Relational.partTransforms(t(s, d).part)),
+    "date_funcs" -> ((s, d) => Relational.orderDates(t(s, d).orders)),
+    "agg_stats" -> ((s, d) => Relational.customerStats(t(s, d).customer)),
+    "set_ops" -> ((s, d) => Relational.nationSetOps(t(s, d))),
+    "topk_orders" -> ((s, d) => Relational.topOrdersByPrice(t(s, d).orders)),
+
+    // ---- M2: windows (analytic + event-time) ----
+    "window_funcs" -> ((s, d) => Windows.perUserAnalytics(t(s, d).events)),
+    "tumbling_agg" -> ((s, d) => Windows.tumblingCounts(t(s, d).events)),
+    "sliding_agg" -> ((s, d) => Windows.slidingCounts(t(s, d).events)),
+    "session_agg" -> ((s, d) => Windows.sessionize(t(s, d).events)),
+
+    // ---- M3: LLM-pipeline operators (SURVEY.md §2.11) ----
+    "dedup_exact" -> ((s, d) => Dedup.exactGroups(t(s, d).documents).orderBy("keep_id")),
+    "dedup_hash" -> ((s, d) => Dedup.hashGroups(t(s, d).documents).orderBy("h")),
+    "near_dup_jaccard" -> ((s, d) => Dedup.nearestByJaccard(t(s, d).documents).orderBy("doc_id")),
+    "minhash_near_dups" -> ((s, d) =>
+      Dedup.minhashNearDups(t(s, d).documents, minJaccard = 0.3).orderBy("doc_a", "doc_b")),
+    "simhash" -> ((s, d) => Dedup.simhash(t(s, d).documents).orderBy("doc_id")),
+    "cosine_topk" -> ((s, d) => {
+      val e = t(s, d).embeddings
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") % 50 === 0))
+        .orderBy("q_id", "rank")
+    }),
+    "lsh_topk" -> ((s, d) => Similarity.lshTopK(t(s, d).embeddings).orderBy("q_id", "rank")),
+    "text_quality" -> ((s, d) => TextQuality.qualityFeatures(t(s, d).documents).orderBy("doc_id")),
+    "token_count" -> ((s, d) => TextQuality.tokenCounts(t(s, d).documents).orderBy("doc_id")),
+    "lang_id" -> ((s, d) => TextQuality.langId(t(s, d).documents).orderBy("doc_id")),
+    "doc_fingerprint" -> ((s, d) => TextQuality.fingerprint(t(s, d).documents).orderBy("doc_id")))
+
+  /** The C-ispunct character class, RE2 spelling, for the DuckDB twins. */
+  private val P = "[!-/:-@\\[-`{-~]"
+
+  /** Shared token-pipeline CTE for the wordcount family. */
+  private val W =
+    s"""WITH w AS (
+       |  SELECT lower(regexp_replace(t.tok, '$P', '', 'g')) AS word
+       |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM documents) t
+       |)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "wordcount" ->
+      s"$W SELECT word, count(*) AS cnt FROM w WHERE length(word) > 0 GROUP BY word ORDER BY word",
+    "wordcount_top100" ->
+      s"$W SELECT word, count(*) AS cnt FROM w WHERE length(word) > 0 GROUP BY word ORDER BY cnt DESC, word LIMIT 100",
+    "wordcount_x8" ->
+      s"$W SELECT word, count(*) * 8 AS cnt FROM w WHERE length(word) > 0 GROUP BY word ORDER BY word",
+    "distinct_words" ->
+      s"$W SELECT DISTINCT word FROM w WHERE length(word) > 0 ORDER BY word",
+    "word_lengths_hist" ->
+      s"""$W SELECT CAST(length(word) AS INTEGER) AS len, count(*) AS cnt
+         | FROM w WHERE length(word) > 0 GROUP BY len ORDER BY len""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        | CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT o_orderkey, o_orderdate,
+        | CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "left_join_agg" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        | coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spend
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "rollup_agg" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag, coalesce(l_linestatus, 'ALL') AS linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "cube_agg" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus, coalesce(o_orderpriority, 'ALL') AS orderpriority,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY orderstatus, orderpriority""".stripMargin,
+
+    "scalar_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS name_upper, CAST(length(p_name) AS INTEGER) AS name_len,
+        | substring(p_type, 1, 6) AS type_prefix, string_split(p_type, ' ')[1] AS type_head,
+        | p_retailprice * 1.1 AS marked_up,
+        | CASE WHEN p_size > 25 THEN 'large' WHEN p_size > 10 THEN 'medium' ELSE 'small' END AS size_class
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "date_funcs" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        | CAST(quarter(o_orderdate) AS INTEGER) AS o_quarter,
+        | CAST(month(o_orderdate) AS INTEGER) AS o_month,
+        | CAST(day(o_orderdate) AS INTEGER) AS o_day,
+        | date_trunc('month', o_orderdate) AS month_start,
+        | CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "agg_stats" ->
+      """SELECT c_mktsegment, count(*) AS n_customers, count(DISTINCT c_nationkey) AS n_nations,
+        | min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal,
+        | (CAST(sum(CAST(c_acctbal*c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |   - CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |     * CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)) / count(*) AS var_pop_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "set_ops" ->
+      """WITH cu AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+        | su AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        |SELECT nationkey, 'both' AS op FROM (SELECT nationkey FROM cu INTERSECT SELECT nationkey FROM su)
+        |UNION ALL
+        |SELECT nationkey, 'customer_only' AS op FROM (SELECT nationkey FROM cu EXCEPT SELECT nationkey FROM su)
+        |UNION ALL
+        |SELECT nationkey, 'supplier_only' AS op FROM (SELECT nationkey FROM su EXCEPT SELECT nationkey FROM cu)
+        |ORDER BY op, nationkey""".stripMargin,
+
+    "topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+
+    "window_funcs" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS tsu FROM events)
+        |SELECT event_id, user_id, event_type, value,
+        | CAST(row_number() OVER w AS BIGINT) AS rn,
+        | lag(value, 1) OVER w AS prev_value,
+        | lead(event_type, 1) OVER w AS next_type,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+        | count(*) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS events_so_far
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        |ORDER BY user_id, rn""".stripMargin,
+
+    "tumbling_agg" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start, event_type,
+        | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
+
+    "sliding_agg" ->
+      """WITH e AS (SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS b, value FROM events),
+        | x AS (SELECT b AS win_start, value FROM e
+        |        UNION ALL SELECT b - INTERVAL '30 minutes' AS win_start, value FROM e)
+        |SELECT win_start, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY win_start ORDER BY win_start""".stripMargin,
+
+    "session_agg" ->
+      """WITH e AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS tsu FROM events),
+        | o AS (SELECT *, lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev FROM e),
+        | f AS (SELECT *, CASE WHEN prev IS NULL OR tsu - prev >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s FROM o),
+        | s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
+        |SELECT user_id, min(tsu) AS session_start, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "dedup_exact" ->
+      "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text ORDER BY keep_id",
+
+    "dedup_hash" ->
+      """SELECT sha256(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY sha256(text) ORDER BY h""".stripMargin,
+
+    "near_dup_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS l FROM documents),
+        | pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM toks WHERE len(l) >= 3),
+        | sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle FROM pos),
+        | cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        | inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |            GROUP BY a.doc_id, b.doc_id),
+        | j AS (SELECT doc_a, doc_b, inter / (ca.n_sh + cb.n_sh - inter) AS jaccard
+        |        FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b),
+        | sym AS (SELECT doc_a AS doc_id, doc_b AS other_id, jaccard FROM j
+        |          UNION ALL SELECT doc_b AS doc_id, doc_a AS other_id, jaccard FROM j),
+        | r AS (SELECT doc_id, other_id, jaccard,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, other_id) AS rn FROM sym)
+        |SELECT doc_id, other_id, jaccard FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+        | c AS (SELECT vec_id AS c_id, embedding FROM embeddings),
+        | s AS (SELECT q_id, c_id,
+        |        list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim
+        |        FROM q JOIN c ON q_id <> c_id),
+        | r AS (SELECT q_id, c_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank FROM s)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, round(sim, 4) AS sim_r
+        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS tk
+         |           FROM documents)
+         |SELECT doc_id,
+         | CAST(len(tk) AS BIGINT) AS n_tokens,
+         | CAST(length(text) AS BIGINT) AS n_chars,
+         | CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT) / len(tk) AS avg_token_len,
+         | (length(text) - length(regexp_replace(text, '$P', '', 'g'))) / length(text) AS punct_ratio,
+         | (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text) AS digit_ratio,
+         | len(list_filter(tk, x -> list_contains(['the','a','of','and','to','in','is','it'], lower(x)))) / len(tk) AS stopword_ratio
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "token_count" ->
+      """SELECT doc_id,
+        | CAST(len(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens,
+        | CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_llm_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "lang_id" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_transform(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0), x -> lower(x)) AS tk
+        |  FROM documents),
+        | s AS (SELECT doc_id,
+        |  CAST(len(list_filter(tk, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(tk, x -> list_contains(['der','die','das','und','ist','ein','zu','den'], x))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(tk, x -> list_contains(['el','la','los','y','en','que','un','se'], x))) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(tk, x -> list_contains(['le','les','et','une','est','dans','pour','que'], x))) AS BIGINT) AS s_fr,
+        |  CAST(len(list_filter(tk, x -> list_contains(['的','是','在','了','我','有','和','不'], x))) AS BIGINT) AS s_zh
+        | FROM t)
+        |SELECT doc_id,
+        | CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |      WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |      WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |      WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS pred_lang,
+        | s_en, s_de, s_es, s_fr, s_zh
+        |FROM s ORDER BY doc_id""".stripMargin)
 }

@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Document deduplication for large-scale training-data pipelines:
+  * exact (group-by / content-hash), n-gram Jaccard, MinHash+LSH
+  * (Broder 1997-style signatures, banded for candidate generation) and
+  * SimHash (Charikar 2002). No reference analog (SURVEY.md §2.11) —
+  * these are the north-star extensions, built shuffle-aware:
+  *
+  * At 100 TB: exact dedup is one hash shuffle on the digest (never on
+  * the raw text — group by sha2, not by the document body). MinHash
+  * signatures are one shuffle of (doc, shingle-hash) pairs; LSH banding
+  * then shuffles only (band-key, doc_id) — candidates are verified
+  * pair-locally, so the quadratic all-pairs join never materializes.
+  * Band-bucket skew (a hot bucket = a boilerplate cluster) is the one
+  * skew point; AQE skew-join handles it, salting is the fallback
+  * (SURVEY.md §7.4).
+  */
+object Dedup {
+
+  /** Exact duplicate groups keyed by raw content: canonical (minimum)
+    * id and multiplicity per distinct text. */
+  def exactGroups(docs: DataFrame, keyCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  /** Exact dedup via content digest — at scale the digest (32B) shuffles
+    * instead of the document body. */
+  def hashGroups(docs: DataFrame, keyCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(sha2(col(keyCol), 256).as("h"), col(idCol))
+      .groupBy(col("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct w-token shingles per document (whitespace tokens, raw).
+    * One row per (doc, shingle); the unit of all similarity below. */
+  def shingles(docs: DataFrame, w: Int = 3, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), "\\s+").as("toks"))
+      .where(size(col("toks")) >= w)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, size(toks) - $w), i -> concat_ws(' ', slice(toks, i + 1, $w)))")).as("shingle"))
+      .distinct()
+
+  /** Exact pairwise n-gram Jaccard over all pairs sharing >=1 shingle.
+    * Output: (doc_a < doc_b, inter, n_a, n_b, jaccard). Quadratic in
+    * shingle frequency — the correctness baseline that MinHash+LSH
+    * approximates at scale. */
+  def jaccardPairs(docs: DataFrame, w: Int = 3): DataFrame = {
+    val sh = shingles(docs, w)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
+  }
+
+  /** For every document, its single most-similar other document by
+    * exact shingle Jaccard (symmetric closure of jaccardPairs, top-1
+    * per doc, ties broken by the other id). */
+  def nearestByJaccard(docs: DataFrame, w: Int = 3): DataFrame = {
+    val j = jaccardPairs(docs, w).select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val sym = j.select(col("doc_a").as("doc_id"), col("doc_b").as("other_id"), col("jaccard"))
+      .union(j.select(col("doc_b").as("doc_id"), col("doc_a").as("other_id"), col("jaccard")))
+    val win = Window.partitionBy(col("doc_id")).orderBy(desc("jaccard"), asc("other_id"))
+    sym.withColumn("rn", row_number().over(win))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("other_id"), col("jaccard"))
+  }
+
+  // ---------------------------------------------------------------
+  // MinHash + LSH
+  // ---------------------------------------------------------------
+
+  /** Deterministic splitmix64 — used only at plan-build time to derive
+    * the k permutation constants from a fixed seed. */
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d9a79fb9e4b8a7L // constant variant; determinism is all that matters
+    z ^ (z >>> 31)
+  }
+
+  /** k-permutation MinHash signature per document over w-shingles.
+    * h_i(s) = a_i * xxhash64(s) + b_i with wrapping 64-bit arithmetic
+    * (requires spark.sql.ansi.enabled=false); signature element i is the
+    * min over the document's shingles. One shuffle (groupBy doc_id),
+    * k aggregates computed map-side in a single pass. */
+  def minhashSignatures(docs: DataFrame, w: Int = 3, k: Int = 32): DataFrame = {
+    val sh = shingles(docs, w).withColumn("base", xxhash64(col("shingle")))
+    val aggs = (0 until k).map { i =>
+      val a = splitmix64(2L * i) | 1L // odd multiplier
+      val b = splitmix64(2L * i + 1)
+      min(col("base") * lit(a) + lit(b)).as(s"h$i")
+    }
+    sh.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: split the k-wide signature into `bands` bands of
+    * k/bands rows; docs agreeing on any whole band become candidates.
+    * Only (band-key, doc_id) shuffles — never the signatures crossed. */
+  def lshCandidates(sigs: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
+    val r = k / bands
+    val bandKeys = (0 until bands).map { i =>
+      struct(lit(i).as("band"), xxhash64(lit(i), slice(col("sig"), i * r + 1, r)).as("bh"))
+    }
+    val banded = sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    banded.as("x")
+      .join(banded.as("y"), col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+        && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact-Jaccard verification restricted to candidate pairs: the
+    * candidate set joins back to the shingle table twice, so cost is
+    * |candidates| x shingle overlap, not all-pairs. */
+  def verifyCandidates(cand: DataFrame, docs: DataFrame, w: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, w)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = cand
+      .join(shA, "doc_a")
+      .join(shB, Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** End-to-end MinHash near-dup: signatures → banded candidates →
+    * exact verification. */
+  def minhashNearDups(docs: DataFrame, w: Int = 3, k: Int = 32, bands: Int = 8,
+                      minJaccard: Double = 0.5): DataFrame =
+    verifyCandidates(lshCandidates(minhashSignatures(docs, w, k), k, bands), docs, w, minJaccard)
+
+  // ---------------------------------------------------------------
+  // SimHash
+  // ---------------------------------------------------------------
+
+  /** 64-bit SimHash per document over cleaned words, weighted by term
+    * frequency: bit j of the fingerprint is 1 iff the tf-weighted sum
+    * of bit j over all term hashes is positive. Two shuffles: word
+    * counts per doc, then 64 conditional sums per doc. */
+  def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val wordCounts = docs
+      .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), TextOps.cleanWord(col("tok")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("w_cnt"))
+      .withColumn("h", xxhash64(col("word")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, col("w_cnt"))
+        .otherwise(-col("w_cnt"))).as(s"b$j")
+    }
+    val perDoc = wordCounts.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
+      acc.bitwiseOR(when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+    }
+    perDoc.select(col("doc_id"), fp.as("simhash"))
+  }
+}

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions._
+import graft.sources.Tables
+
+/** Relational breadth over the TPC-H-ish tables (SURVEY.md §2 [ABSENT]
+  * rows / M2): filters, multi-measure aggregation, broadcast + shuffle
+  * joins, semi/anti joins, outer joins, rollup/cube, set ops, sorts and
+  * top-k. All declarative — Catalyst supplies pushdown, pruning, join
+  * selection (broadcast for the small dims) and AQE does runtime
+  * re-planning; no hand scheduling (reference had none to begin with:
+  * its one plan was compiled in, SURVEY.md §4.1).
+  *
+  * At 100 TB: the fact tables (lineitem/orders/events) shuffle on their
+  * join/group keys; all dimension joins below stay broadcast (region,
+  * nation, supplier, part, customer are orders-of-magnitude smaller than
+  * the facts), so each query needs at most one fact-fact shuffle.
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary: scan-heavy multi-measure agg with
+    * map-side partial aggregation; only 6 tiny groups cross the wire. */
+  def pricingSummary(li: DataFrame): DataFrame =
+    li.where(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum2(col("l_quantity")).as("sum_qty"),
+        dsum2(col("l_extendedprice")).as("sum_base_price"),
+        dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3-shaped: dimension-filtered customer ⋈ orders ⋈ lineitem,
+    * revenue top-10. customer side is broadcast; orders⋈lineitem is the
+    * one real shuffle; top-k is TakeOrderedAndProject (no global sort). */
+  def topUnshippedOrders(t: Tables, segment: String = "BUILDING", k: Int = 10): DataFrame =
+    t.customer.where(col("c_mktsegment") === segment)
+      .join(t.orders, col("c_custkey") === col("o_custkey"))
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), asc("o_orderkey"))
+      .limit(k)
+
+  /** TPC-H Q5-shaped: five-way join down the star schema, revenue per
+    * nation within one region. region/nation/supplier/customer broadcast;
+    * orders⋈lineitem shuffles once on orderkey. */
+  def nationRevenue(t: Tables, regionName: String): DataFrame =
+    t.region.where(col("r_name") === regionName)
+      .join(t.nation, col("n_regionkey") === col("r_regionkey"))
+      .join(t.customer, col("c_nationkey") === col("n_nationkey"))
+      .join(t.orders, col("o_custkey") === col("c_custkey"))
+      .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+      .join(t.supplier, col("s_suppkey") === col("l_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+
+  /** Left-semi: customers having at least one open order (EXISTS). */
+  def customersWithOpenOrders(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders.where(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Left-anti: customers with no orders at all (NOT EXISTS). */
+  def customersWithoutOrders(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Left-outer join + agg: order count and spend per customer, zeros
+    * kept. count(o_orderkey) skips the nulls the outer join introduces. */
+  def ordersPerCustomer(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum2(col("o_totalprice")), lit(0.0)).as("total_spend"))
+      .orderBy(col("c_custkey"))
+
+  /** ROLLUP over (returnflag, linestatus); null markers coalesced to
+    * 'ALL' so the output is deterministic, non-null and sortable. */
+  def rollupAgg(li: DataFrame): DataFrame =
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** CUBE over (orderstatus, orderpriority). */
+  def cubeAgg(orders: DataFrame): DataFrame =
+    orders.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(dsum2(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+        col("sum_price"), col("n"))
+      .orderBy(col("orderstatus"), col("orderpriority"))
+
+  /** Scalar expression breadth over part: string fns, arithmetic,
+    * conditionals — all codegen'd builtins, zero UDFs (SURVEY.md §2.10). */
+  def partTransforms(part: DataFrame): DataFrame =
+    part.select(
+      col("p_partkey"),
+      upper(col("p_name")).as("name_upper"),
+      length(col("p_name")).as("name_len"),
+      substring(col("p_type"), 1, 6).as("type_prefix"),
+      split(col("p_type"), " ").getItem(0).as("type_head"),
+      (col("p_retailprice") * lit(1.1)).as("marked_up"),
+      when(col("p_size") > 25, lit("large"))
+        .when(col("p_size") > 10, lit("medium"))
+        .otherwise(lit("small")).as("size_class"))
+      .orderBy(col("p_partkey"))
+
+  /** Date/time expression breadth over orders. */
+  def orderDates(orders: DataFrame): DataFrame =
+    orders.select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("o_year"),
+      quarter(col("o_orderdate")).as("o_quarter"),
+      month(col("o_orderdate")).as("o_month"),
+      dayofmonth(col("o_orderdate")).as("o_day"),
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      datediff(lit("2002-01-01").cast(DateType), col("o_orderdate").cast(DateType)).as("days_to_2002"))
+      .orderBy(col("o_orderkey"))
+
+  /** Multi-measure statistics incl. an order-independent population
+    * variance computed from exact decimal sums of x and x². */
+  def customerStats(customer: DataFrame): DataFrame = {
+    val n = count(lit(1))
+    val sx = dsum2(col("c_acctbal"))
+    val sxx = dsum(col("c_acctbal") * col("c_acctbal"), 4)
+    customer.groupBy(col("c_mktsegment"))
+      .agg(
+        n.as("n_customers"),
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"),
+        sx.as("sum_bal"),
+        (sx / n).as("avg_bal"),
+        ((sxx - sx * sx / n) / n).as("var_pop_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Set operations on the nation-key sets of customers vs suppliers.
+    * Note Spark `union` is UNION ALL; the distinct variant is explicit. */
+  def nationSetOps(t: Tables): DataFrame = {
+    val cu = t.customer.select(col("c_nationkey").cast(IntegerType).as("nationkey")).distinct()
+    val su = t.supplier.select(col("s_nationkey").cast(IntegerType).as("nationkey")).distinct()
+    cu.intersect(su).withColumn("op", lit("both"))
+      .union(cu.except(su).withColumn("op", lit("customer_only")))
+      .union(su.except(cu).withColumn("op", lit("supplier_only")))
+      .orderBy(col("op"), col("nationkey"))
+  }
+
+  /** Global top-k with deterministic tie-break → TakeOrderedAndProject. */
+  def topOrdersByPrice(orders: DataFrame, k: Int = 25): DataFrame =
+    orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(k)
+}

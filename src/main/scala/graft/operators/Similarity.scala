@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column `Array[Float]`
+  * (SURVEY.md §2.11 [NS]): brute-force cosine top-k as the correctness
+  * baseline, plus a random-hyperplane LSH bucketing that bounds the
+  * candidate set at scale.
+  *
+  * Arithmetic is done in Double (floats widened first): float x float
+  * products are exact in double, and the fold accumulates in index
+  * order, so results are deterministic for a given pair.
+  *
+  * At 100 TB: brute force is queries x corpus — fine when the query set
+  * is small and broadcast (as here: the query side of the join is tiny,
+  * Catalyst broadcasts it, so the corpus is scanned once with no
+  * shuffle). For large query sets use `lshBuckets`: candidates shuffle
+  * on the bucket key only, turning O(Q x N) into O(sum of bucket^2).
+  */
+object Similarity {
+
+  private def toDouble(c: Column): Column = transform(c, x => x.cast(DoubleType))
+
+  /** Index-ordered dot product via higher-order functions — no UDF. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (self-matches excluded), rank-ordered with c_id as
+    * the deterministic tie-break. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val sims = q.join(c, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), cosine(col("q_emb"), col("c_emb")).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("c_id"))
+    sims.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), round(col("sim"), 4).as("sim_r"))
+  }
+
+  /** Deterministic pseudo-random unit-free hyperplanes: component d of
+    * plane p is derived from splitmix64(p * dim + d) scaled to [-1, 1].
+    * Plan-build-time constants — identical across executors. */
+  private def plane(p: Int, dim: Int): Array[Double] = {
+    def sm(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d9a79fb9e4b8a7L
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(dim)(d => sm(p.toLong * dim + d).toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** Random-hyperplane (sign) LSH bucket key per vector: bit p of the
+    * key is the sign of <v, plane_p>. Vectors in the same bucket are
+    * near-duplicate candidates (cosine-LSH, Charikar 2002). */
+  def lshBuckets(emb: DataFrame, nPlanes: Int = 16, dim: Int = 64): DataFrame = {
+    val v = toDouble(col("embedding"))
+    val key = (0 until nPlanes).foldLeft(lit(0L)) { (acc, p) =>
+      val pl = plane(p, dim)
+      val proj = aggregate(
+        zip_with(v, array(pl.map(lit): _*), (x, y) => x * y), lit(0.0), (a, x) => a + x)
+      acc.bitwiseOR(when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L)))
+    }
+    emb.select(col("vec_id"), col("embedding"), key.as("bucket"))
+  }
+
+  /** Bucketed ANN: exact cosine ranking within LSH buckets only —
+    * the scale path that avoids the full cross product. Recall is
+    * tunable via nPlanes (fewer planes = bigger buckets = higher
+    * recall, more compute). */
+  def lshTopK(emb: DataFrame, nPlanes: Int = 8, dim: Int = 64, k: Int = 10): DataFrame = {
+    val b = lshBuckets(emb, nPlanes, dim)
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("c_id"),
+        cosine(col("x.embedding"), col("y.embedding")).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("c_id"))
+    pairs.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), round(col("sim"), 4).as("sim_r"))
+  }
+}

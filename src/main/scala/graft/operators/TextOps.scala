@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's entire query surface — word count over whitespace
+  * tokens with C-`ispunct` stripping and lowercasing (reference
+  * Map_Reduce_Code/map_reduce.cpp:152-236) — plus close variants,
+  * expressed as declarative DataFrame transforms so Catalyst plans the
+  * same physical shape the reference hand-rolls: scan → generate
+  * (explode) → project/filter → partial HashAggregate → Exchange
+  * (hashpartitioning, the reference's MPI shuffle) → final
+  * HashAggregate → sort.
+  */
+object TextOps {
+
+  /** Exact ASCII class matched by C `ispunct` in the C locale
+    * (reference map_reduce.cpp:160-165): `!`..`/`, `:`..`@`,
+    * `[`..`` ` ``, `{`..`~`. Deliberately NOT Unicode `\p{Punct}`,
+    * for oracle agreement on non-ASCII corpora (SURVEY.md §7.4). */
+  val IspunctClass: String = "[!-/:-@\\[-`{-~]"
+
+  /** Whitespace tokenization — same token multiset as the reference's
+    * per-stream `ifstream >> string` (map_reduce.cpp:159). */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Strip punctuation then lowercase (map_reduce.cpp:160-167):
+    * `don't`→`dont`, `end.`→`end`, `co-op`→`coop`; digits kept. */
+  def cleanWord(tok: Column): Column = lower(regexp_replace(tok, IspunctClass, ""))
+
+  /** One row per cleaned, non-empty word (empty-token filter:
+    * map_reduce.cpp:166). */
+  def words(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .select(cleanWord(col("tok")).as("word"))
+      .where(length(col("word")) > 0)
+
+  /** The flagship: global (word, count). Catalyst plans partial+final
+    * HashAggregate around one Exchange — the map-side combine
+    * (map_reduce.cpp:218-231) and MPI shuffle+merge (:286-438) for free. */
+  def wordCount(docs: DataFrame): DataFrame =
+    words(docs).groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Top-k frequent words → TakeOrderedAndProject (no global sort).
+    * Tie-break on word for determinism. */
+  def wordCountTopK(docs: DataFrame, k: Int): DataFrame =
+    wordCount(docs).orderBy(desc("cnt"), asc("word")).limit(k)
+
+  /** Distinct words = the group keys alone (SURVEY.md §2.3). */
+  def distinctWords(docs: DataFrame): DataFrame =
+    words(docs).distinct()
+
+  /** Word-length histogram: a second agg shape over the same stream. */
+  def wordLengthHist(docs: DataFrame): DataFrame =
+    words(docs)
+      .select(length(col("word")).as("len"))
+      .groupBy("len").agg(count(lit(1)).as("cnt"))
+
+  /** Reference-parity variant: the reference dispatches every input file
+    * `LOOP_OVER_DIRECTORY = 8` times (map_reduce.cpp:36, 130), so its
+    * published counts are 8× true frequency. Reproduced as a workload
+    * multiplier (crossJoin with an 8-row range → BroadcastNestedLoop,
+    * no extra scan), NOT as query semantics. */
+  def wordCountX8(docs: DataFrame): DataFrame =
+    words(docs)
+      .crossJoin(docs.sparkSession.range(8))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions._
+
+/** Analytic window functions and event-time windows over the `events`
+  * table (SURVEY.md §2.6, §2.9 [NS]). Batch forms first — they are
+  * DuckDB-oracle-checkable; the Structured Streaming versions of the
+  * same aggregations live in graft.streaming (same logical plan,
+  * incremental execution).
+  *
+  * Determinism notes for the oracle:
+  *  - `ts` is nanosecond-precision parquet; Spark truncates to
+  *    microseconds on read, so every ordering includes `event_id` as a
+  *    tie-break and the DuckDB twin casts ts to microsecond TIMESTAMP.
+  *  - running sums use exact decimal accumulation (see
+  *    graft.functions.dsum2) so segment-tree vs streaming window
+  *    implementations agree bit-for-bit.
+  *
+  * At 100 TB: all of these partition by user_id (or bucket key) —
+  * a single hash shuffle, then per-partition sorting; no global sort.
+  */
+object Windows {
+
+  /** row_number / rank / lag / lead / running aggregate per user. */
+  def perUserAnalytics(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        row_number().over(w).cast(LongType).as("rn"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        sum(col("value").cast(DecimalType(18, 2))).over(wrun).cast(DoubleType).as("running_value"),
+        count(lit(1)).over(wrun).as("events_so_far"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** Tumbling event-time window: count + sum per (hour, event_type). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+      .select(col("win.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  /** Sliding window: 1-hour windows advancing every 30 minutes — each
+    * event contributes to two windows. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("win"))
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+      .select(col("win.start").as("win_start"), col("n"), col("sum_value"))
+      .orderBy(col("win_start"))
+
+  /** Session windows per user with a fixed inactivity gap: events closer
+    * than `gap` merge into one session. Batch form of
+    * `session_window` — the oracle reproduces it with the classic
+    * gaps-and-islands SQL. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("win"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum2(col("value")).as("sum_value"))
+      .select(col("user_id"), col("win.start").as("session_start"), col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+}
