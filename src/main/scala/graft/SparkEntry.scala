@@ -234,7 +234,7 @@ object SparkEntry {
         |FROM documents GROUP BY sha256(text) ORDER BY h""".stripMargin,
 
     "near_dup_jaccard" ->
-      """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS l FROM documents),
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS l FROM documents),
         | pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM toks WHERE len(l) >= 3),
         | sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle FROM pos),
         | cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),

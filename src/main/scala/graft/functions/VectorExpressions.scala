@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftSqlShim
+import org.apache.spark.sql.functions.sqrt
+import org.apache.spark.sql.types._
+
+/** Native Catalyst dot product over float/double array columns.
+  *
+  * The interpreted alternative — `aggregate(zip_with(a, b, _*_), ...)`
+  * — allocates an intermediate array and breaks whole-stage codegen for
+  * every similarity pair; at ANN scale (queries x corpus x dim) that is
+  * the hot loop of the whole engine. This expression stays inside
+  * codegen: one fused scalar loop, no allocation, accumulating in
+  * index order in double (float x float products are exact in double),
+  * so results are bit-identical to the HOF formulation it replaces.
+  *
+  * Null handling: null input array → null (nullSafe); array ELEMENTS
+  * are assumed non-null (embedding vectors; enforced upstream).
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def okType(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left) && okType(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot requires array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "vec_dot"
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = elemIsFloat(left)
+    val rf = elemIsFloat(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lAcc = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val rAcc = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((double)$a.$lAcc($i)) * ((double)$b.$rAcc($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  /** Codegen'd dot product of two array<float|double> columns. */
+  def vec_dot(a: Column, b: Column): Column =
+    GraftSqlShim.column(VecDot(GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+
+  /** L2 norm via the same fused loop. */
+  def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))
+}

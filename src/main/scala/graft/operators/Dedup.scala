@@ -40,7 +40,9 @@ object Dedup {
     * One row per (doc, shingle); the unit of all similarity below. */
   def shingles(docs: DataFrame, w: Int = 3, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), "\\s+").as("toks"))
+      .select(col(idCol).as("doc_id"),
+        // drop empty tokens (split keeps a trailing "" on trailing whitespace)
+        filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("toks"))
       .where(size(col("toks")) >= w)
       .select(col("doc_id"),
         explode(expr(s"transform(sequence(0, size(toks) - $w), i -> concat_ws(' ', slice(toks, i + 1, $w)))")).as("shingle"))
@@ -51,7 +53,9 @@ object Dedup {
     * shingle frequency — the correctness baseline that MinHash+LSH
     * approximates at scale. */
   def jaccardPairs(docs: DataFrame, w: Int = 3): DataFrame = {
-    val sh = shingles(docs, w)
+    // the shingle table feeds three plan branches (both join sides +
+    // the per-doc counts); persist so it is computed once
+    val sh = shingles(docs, w).persist()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -60,7 +64,8 @@ object Dedup {
     inter
       .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
       .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
-      .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"), col("n_b"),
+        (col("inter") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
   }
 
   /** For every document, its single most-similar other document by
@@ -109,7 +114,7 @@ object Dedup {
   /** LSH banding: split the k-wide signature into `bands` bands of
     * k/bands rows; docs agreeing on any whole band become candidates.
     * Only (band-key, doc_id) shuffles — never the signatures crossed. */
-  def lshCandidates(sigs: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
+  def lshCandidates(sigs: DataFrame, k: Int = 32, bands: Int = 16): DataFrame = {
     val r = k / bands
     val bandKeys = (0 until bands).map { i =>
       struct(lit(i).as("band"), xxhash64(lit(i), slice(col("sig"), i * r + 1, r)).as("bh"))
@@ -127,7 +132,7 @@ object Dedup {
     * candidate set joins back to the shingle table twice, so cost is
     * |candidates| x shingle overlap, not all-pairs. */
   def verifyCandidates(cand: DataFrame, docs: DataFrame, w: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, w)
+    val sh = shingles(docs, w).persist()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -146,7 +151,10 @@ object Dedup {
 
   /** End-to-end MinHash near-dup: signatures → banded candidates →
     * exact verification. */
-  def minhashNearDups(docs: DataFrame, w: Int = 3, k: Int = 32, bands: Int = 8,
+  /** Banding default 16 bands x 2 rows: candidate probability
+    * 1-(1-J^2)^16 ≈ 0.99 at J=0.5 (vs 0.51 for 8x4) — recall over
+    * precision; the exact-verify stage removes the false positives. */
+  def minhashNearDups(docs: DataFrame, w: Int = 3, k: Int = 32, bands: Int = 16,
                       minJaccard: Double = 0.5): DataFrame =
     verifyCandidates(lshCandidates(minhashSignatures(docs, w, k), k, bands), docs, w, minJaccard)
 

@@ -21,25 +21,28 @@ import org.apache.spark.sql.types._
   * on the bucket key only, turning O(Q x N) into O(sum of bucket^2).
   */
 object Similarity {
+  import graft.functions.VectorFunctions.{vec_dot, vec_norm}
 
-  private def toDouble(c: Column): Column = transform(c, x => x.cast(DoubleType))
+  /** Codegen'd index-ordered dot product (graft.functions.VecDot). */
+  def dot(a: Column, b: Column): Column = vec_dot(a, b)
 
-  /** Index-ordered dot product via higher-order functions — no UDF. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-
-  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+  def l2Norm(a: Column): Column = vec_norm(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (self-matches excluded), rank-ordered with c_id as
-    * the deterministic tie-break. */
+    * the deterministic tie-break. Norms are computed ONCE per vector on
+    * each side before the join — the pair loop does a single fused dot
+    * product, not three. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      vec_norm(col("embedding")).as("q_n"))
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      vec_norm(col("embedding")).as("c_n"))
     val sims = q.join(c, col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"), cosine(col("q_emb"), col("c_emb")).as("sim"))
+      .select(col("q_id"), col("c_id"),
+        (vec_dot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n"))).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("c_id"))
     sims.withColumn("rank", row_number().over(w).cast(LongType))
       .where(col("rank") <= k)
@@ -63,11 +66,9 @@ object Similarity {
     * key is the sign of <v, plane_p>. Vectors in the same bucket are
     * near-duplicate candidates (cosine-LSH, Charikar 2002). */
   def lshBuckets(emb: DataFrame, nPlanes: Int = 16, dim: Int = 64): DataFrame = {
-    val v = toDouble(col("embedding"))
     val key = (0 until nPlanes).foldLeft(lit(0L)) { (acc, p) =>
       val pl = plane(p, dim)
-      val proj = aggregate(
-        zip_with(v, array(pl.map(lit): _*), (x, y) => x * y), lit(0.0), (a, x) => a + x)
+      val proj = vec_dot(col("embedding"), array(pl.map(lit): _*))
       acc.bitwiseOR(when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L)))
     }
     emb.select(col("vec_id"), col("embedding"), key.as("bucket"))
@@ -78,11 +79,11 @@ object Similarity {
     * tunable via nPlanes (fewer planes = bigger buckets = higher
     * recall, more compute). */
   def lshTopK(emb: DataFrame, nPlanes: Int = 8, dim: Int = 64, k: Int = 10): DataFrame = {
-    val b = lshBuckets(emb, nPlanes, dim)
+    val b = lshBuckets(emb, nPlanes, dim).withColumn("nrm", vec_norm(col("embedding")))
     val pairs = b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("c_id"),
-        cosine(col("x.embedding"), col("y.embedding")).as("sim"))
+        (vec_dot(col("x.embedding"), col("y.embedding")) / (col("x.nrm") * col("y.nrm"))).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("c_id"))
     pairs.withColumn("rank", row_number().over(w).cast(LongType))
       .where(col("rank") <= k)

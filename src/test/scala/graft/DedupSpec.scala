@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+  private val docs = Seq(
+    (0L, base),
+    (1L, base), // exact dup of 0
+    (2L, base.replaceFirst("gamma", "GAMMA-PRIME")), // near dup of 0/1
+    (3L, "totally different words entirely unrelated content here now " * 5),
+    (4L, "the quick brown fox jumps over the lazy dog again and again " * 5)
+  ).toDF("doc_id", "text")
+
+  test("exactGroups: dup texts collapse to min id with multiplicity") {
+    val m = Dedup.exactGroups(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(0L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("hashGroups agrees with exactGroups") {
+    val m = Dedup.hashGroups(docs).collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(m === Map(0L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  /** Independent Scala Jaccard for the oracle. */
+  private def jac(a: String, b: String, w: Int = 3): Double = {
+    def sh(s: String) = s.split("\\s+").sliding(w).map(_.mkString(" ")).toSet
+    val (x, y) = (sh(a), sh(b))
+    x.intersect(y).size.toDouble / x.union(y).size.toDouble
+  }
+
+  test("jaccardPairs matches independent set computation") {
+    val rows = Dedup.jaccardPairs(docs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    val texts = Seq(base, base, base.replaceFirst("gamma", "GAMMA-PRIME"),
+      "totally different words entirely unrelated content here now " * 5,
+      "the quick brown fox jumps over the lazy dog again and again " * 5)
+    for (((a, b), j) <- rows)
+      assert(math.abs(j - jac(texts(a.toInt), texts(b.toInt))) < 1e-12, s"pair ($a,$b)")
+    assert(rows.contains((0L, 1L)) && rows((0L, 1L)) === 1.0)
+  }
+
+  test("minhash LSH finds the exact and near duplicates, not the unrelated") {
+    val pairs = Dedup.minhashNearDups(docs, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => b == 3L || b == 4L || a == 3L || a == 4L })
+  }
+
+  test("simhash: identical texts→identical prints; near-dup close in hamming") {
+    val m = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(0L) === m(1L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(m(0L), m(2L)) < hamming(m(0L), m(3L)))
+  }
+}

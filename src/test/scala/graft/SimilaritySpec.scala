@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+import graft.functions.VectorFunctions.vec_dot
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vecs(vs: (Long, Seq[Float])*) = vs.toDF("vec_id", "embedding")
+
+  test("vec_dot matches an independent double-precision fold") {
+    val a = Seq(1.5f, -2.25f, 3.75f, 0.125f)
+    val b = Seq(0.5f, 4.0f, -1.25f, 8.0f)
+    val expected = (a, b).zipped.map((x, y) => x.toDouble * y.toDouble).sum
+    val got = vecs((0L, a)).crossJoin(vecs((1L, b)).select(col("embedding").as("e2")))
+      .select(vec_dot(col("embedding"), col("e2"))).head().getDouble(0)
+    assert(got === expected)
+  }
+
+  test("vec_dot null array → null") {
+    val df = Seq((Some(Seq(1.0f)), Option.empty[Seq[Float]])).toDF("a", "b")
+    assert(df.select(vec_dot(col("a"), col("b"))).head().isNullAt(0))
+  }
+
+  test("bruteForceTopK ranks by cosine with id tie-break") {
+    val corpus = vecs(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 1f)), (4L, Seq(-1f, 0f)))
+    val out = Similarity.bruteForceTopK(corpus, vecs((1L, Seq(1f, 0f))), k = 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+  }
+
+  test("lshBuckets: identical vectors share a bucket") {
+    val b = Similarity.lshBuckets(vecs((1L, Seq(1f, 2f, 3f)), (2L, Seq(1f, 2f, 3f)),
+      (3L, Seq(-1f, -2f, -3f))), nPlanes = 8, dim = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(b(1L) === b(2L))
+    assert(b(1L) !== b(3L)) // antipodal vector flips every plane sign
+  }
+}
