@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators._
 import graft.sources.Tables
+import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -66,7 +67,26 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextQuality.qualityFeatures(t(s, d).documents).orderBy("doc_id")),
     "token_count" -> ((s, d) => TextQuality.tokenCounts(t(s, d).documents).orderBy("doc_id")),
     "lang_id" -> ((s, d) => TextQuality.langId(t(s, d).documents).orderBy("doc_id")),
-    "doc_fingerprint" -> ((s, d) => TextQuality.fingerprint(t(s, d).documents).orderBy("doc_id")))
+    "doc_fingerprint" -> ((s, d) => TextQuality.fingerprint(t(s, d).documents).orderBy("doc_id")),
+
+    // ---- M3: multimodal plumbing (binary columns; decode layer stubbed) ----
+    "media_features" -> ((s, d) =>
+      Multimodal.extractFeatures(Multimodal.fakeMediaFromDocs(t(s, d).documents))
+        .orderBy("media_id")),
+    "frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.fakeMediaFromDocs(t(s, d).documents))
+        .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
+        .orderBy("media_id")),
+
+    // ---- M4: Structured Streaming (micro-batched file source; result
+    // must converge to the batch tumbling agg, so it shares its oracle) ----
+    "streaming_tumbling_agg" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
+      t(s, d).events.coalesce(4).write.mode("overwrite").parquet(tmp)
+      val streamed = EventStreams.tumblingCounts(EventStreams.readEventStream(s, tmp))
+      EventStreams.runToMemory(s, streamed, s"stream_tumbling_${System.nanoTime()}")
+        .orderBy("win_start", "event_type")
+    }))
 
   /** The C-ispunct character class, RE2 spelling, for the DuckDB twins. */
   private val P = "[!-/:-@\\[-`{-~]"
@@ -208,6 +228,18 @@ object SparkEntry {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start, event_type,
         | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
+
+    // the streaming pipeline must converge to the identical batch answer
+    "streaming_tumbling_agg" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start, event_type,
+        | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
+
+    // deterministic frame arithmetic: ceil(bytes/64) frames, stride 4
+    "frame_sample" ->
+      """SELECT doc_id AS media_id,
+        | (CAST(ceil(length(text) / 64.0) AS BIGINT) + 3) // 4 AS n_frames
+        |FROM documents WHERE length(text) > 0 ORDER BY media_id""".stripMargin,
 
     "sliding_agg" ->
       """WITH e AS (SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS b, value FROM events),

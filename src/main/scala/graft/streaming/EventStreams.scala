@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import graft.functions._
+
+/** Structured Streaming surface (SURVEY.md §2.9 [NS]). The reference's
+  * execution IS a bounded stream pipeline (ring-buffer producer/consumer
+  * with poison-pill termination, map_reduce.cpp:72-115, 127-150); its
+  * Spark-native analog is a micro-batch source → the SAME declarative
+  * transforms used in batch (graft.operators.Windows) → a sink, with
+  * watermarks replacing in-band termination markers.
+  *
+  * The aggregations here deliberately mirror Windows.tumblingCounts /
+  * sessionize so batch output is the oracle for streaming output
+  * (exactly-once file/memory sinks converge to the batch answer).
+  */
+object EventStreams {
+
+  /** The events table schema with ts already as a microsecond
+    * timestamp (see graft.sources.Tables.events for the NANOS issue —
+    * a streaming source dir is expected to carry µs timestamps). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based micro-batch source over a directory of parquet drops.
+    * `maxFilesPerTrigger=1` exercises multi-batch incremental state. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
+  /** Streaming tumbling counts — same logical agg as
+    * Windows.tumblingCounts; late data beyond the watermark is dropped
+    * and finalized windows age out of the state store. */
+  def tumblingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+      .select(col("win.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming session windows (gap-merged, state-store backed). */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("win"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum2(col("value")).as("sum_value"))
+      .select(col("user_id"), col("win.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double, props: String)
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double,
+                               last_type: String)
+
+  /** Arbitrary stateful processing: per-user running totals via
+    * mapGroupsWithState — the general escape hatch beyond windowed
+    * aggs (custom state machines, CDC-style folds). Emits the updated
+    * per-user snapshot each micro-batch (Update mode). */
+  def runningPerUser(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0, ""))
+          // fold in event order for a deterministic last_type
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val next = sorted.foldLeft(prev) { (acc, e) =>
+            UserRunning(uid, acc.n_events + 1,
+              // exact cents arithmetic: values sit on a 2-decimal grid
+              (math.rint(acc.total_value * 100) + math.rint(e.value * 100)) / 100,
+              e.event_type)
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Convenience: run a streaming DataFrame to completion against a
+    * bounded source dir and return the final result via a named
+    * in-memory sink table. */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, table: String,
+                  mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(table)
+      .outputMode(mode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(table)
+  }
+}

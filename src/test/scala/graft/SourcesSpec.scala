@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextOps
+import graft.sources.{Sinks, TextCorpus}
+
+/** Raw-text corpus in, partitioned sorted text out — the reference's
+  * full I/O contract (FIXTURES.md §1 fixtures; map_reduce.cpp:440-450
+  * output format). */
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def mkCorpus(): String = {
+    val dir = Files.createTempDirectory("graft-rawtext")
+    Files.writeString(dir.resolve("plain.txt"), "spark spark engine\nspark engine\n")
+    Files.writeString(dir.resolve("punct.txt"), """don't end. co-op (a) --""")
+    Files.writeString(dir.resolve("case.txt"), "The THE the")
+    Files.writeString(dir.resolve("empty.txt"), "")
+    dir.toString
+  }
+
+  test("readDocuments + wordCount reproduces the reference pipeline on raw text") {
+    val docs = TextCorpus.readDocuments(spark, mkCorpus())
+    val counts = TextOps.wordCount(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map(
+      "spark" -> 3, "engine" -> 2,
+      "dont" -> 1, "end" -> 1, "coop" -> 1, "a" -> 1,
+      "the" -> 3))
+  }
+
+  test("x8 replay at source level multiplies counts by 8") {
+    val lines = TextCorpus.readLinesX(spark, mkCorpus(), 8)
+    val counts = TextOps.wordCount(lines.withColumnRenamed("value", "text"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("spark") === 24)
+  }
+
+  test("partitioned sorted text sink: disjoint ownership, sorted parts, reference format") {
+    val out = Files.createTempDirectory("graft-sink").toString + "/wc"
+    val wc = TextOps.wordCount(TextCorpus.readDocuments(spark, mkCorpus()))
+    Sinks.partitionedSortedText(wc, "word", 3, out, Sinks.referenceLineFormat())
+    val parts = Files.list(Paths.get(out)).toArray.map(_.toString)
+      .filter { p =>
+        val name = Paths.get(p).getFileName.toString
+        name.startsWith("part-") && !name.endsWith(".crc")
+      }.sorted
+    assert(parts.length === 3)
+    val perPart = parts.map { p =>
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        Files.readAllLines(Paths.get(p))).asScala.toVector
+    }
+    // format: <word, count> (trailing space), sorted within each part
+    perPart.flatten.foreach(l => assert(l.matches("<[^,]+, \\d+> ")))
+    perPart.foreach(ls => assert(ls === ls.sorted))
+    // each word in exactly one part
+    val words = perPart.map(_.map(_.drop(1).takeWhile(_ != ',')).toSet)
+    for (i <- words.indices; j <- words.indices if i < j)
+      assert(words(i).intersect(words(j)).isEmpty)
+    assert(words.flatten.toSet.size === 7)
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Windows
+import graft.streaming.EventStreams
+
+/** Streaming == batch: the micro-batch pipelines must converge to the
+  * same answers as their batch twins (which are DuckDB-oracle-checked),
+  * fed file-by-file to exercise incremental state. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(1704067200000L + minute * 60000L)
+
+  private val events = Seq(
+    (1L, ts(5), 100L, "click", 1.0, ""),
+    (2L, ts(30), 100L, "view", 2.0, ""),
+    (3L, ts(65), 100L, "click", 4.0, ""),    // second hour, second session (gap 35m)
+    (4L, ts(10), 200L, "view", 8.0, ""),
+    (5L, ts(125), 200L, "click", 16.0, ""))  // third hour, new session
+
+  private def writeBatches(dir: String): Unit = {
+    val df = events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // three file drops → three micro-batches (maxFilesPerTrigger=1)
+    df.where($"event_id" <= 2).coalesce(1).write.parquet(s"$dir/b0")
+    df.where($"event_id" === 3 || $"event_id" === 4).coalesce(1).write.parquet(s"$dir/b1")
+    df.where($"event_id" === 5).coalesce(1).write.parquet(s"$dir/b2")
+  }
+
+  private def eventsDf = events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("streaming tumbling counts converge to the batch answer") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    writeBatches(dir)
+    val streamDir = s"$dir/{b0,b1,b2}"
+    val streamed = EventStreams.tumblingCounts(
+      EventStreams.readEventStream(spark, streamDir))
+    val got = EventStreams.runToMemory(spark, streamed, "tumbling_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = Windows.tumblingCounts(eventsDf)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === want)
+  }
+
+  test("mapGroupsWithState running totals match a direct fold") {
+    val dir = Files.createTempDirectory("graft-stream2").toString
+    writeBatches(dir)
+    val input = EventStreams.readEventStream(spark, s"$dir/{b0,b1,b2}")
+      .as[EventStreams.Event]
+    val updates = EventStreams.runningPerUser(input).toDF()
+    val q = updates.writeStream.format("memory").queryName("running_out")
+      .outputMode(OutputMode.Update()).start()
+    q.processAllAvailable(); q.stop()
+    // final snapshot per user = the row with the max event count
+    val finals = spark.table("running_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (u, rows) => rows.maxBy(_._2) }.toSet
+    assert(finals === Set((100L, 3L, 7.0), (200L, 2L, 24.0)))
+  }
+}
