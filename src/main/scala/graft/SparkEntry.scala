@@ -44,9 +44,15 @@ object SparkEntry {
     "agg_stats" -> ((s, d) => Relational.customerStats(t(s, d).customer)),
     "set_ops" -> ((s, d) => Relational.nationSetOps(t(s, d))),
     "topk_orders" -> ((s, d) => Relational.topOrdersByPrice(t(s, d).orders)),
+    "full_outer_join" -> ((s, d) => Relational.nationPresence(t(s, d))),
+    "theta_join" -> ((s, d) => Relational.lateShipments(t(s, d))),
+    "range_join" -> ((s, d) => Relational.priceBandCounts(t(s, d))),
+    "approx_distinct" -> ((s, d) => Relational.approxDistincts(t(s, d).lineitem)),
+    "ref_bin_histogram" -> ((s, d) => TextOps.refBinHistogram(t(s, d).documents).orderBy("bin")),
 
     // ---- M2: windows (analytic + event-time) ----
     "window_funcs" -> ((s, d) => Windows.perUserAnalytics(t(s, d).events)),
+    "asof_join" -> ((s, d) => Windows.lastClickBeforePurchase(t(s, d).events)),
     "tumbling_agg" -> ((s, d) => Windows.tumblingCounts(t(s, d).events)),
     "sliding_agg" -> ((s, d) => Windows.slidingCounts(t(s, d).events)),
     "session_agg" -> ((s, d) => Windows.sessionize(t(s, d).events)),
@@ -64,6 +70,8 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
     "lsh_topk" -> ((s, d) => Similarity.lshTopK(t(s, d).embeddings).orderBy("q_id", "rank")),
+    "embedding_near_dups" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(t(s, d).embeddings).orderBy("id_a", "id_b")),
     "text_quality" -> ((s, d) => TextQuality.qualityFeatures(t(s, d).documents).orderBy("doc_id")),
     "token_count" -> ((s, d) => TextQuality.tokenCounts(t(s, d).documents).orderBy("doc_id")),
     "lang_id" -> ((s, d) => TextQuality.langId(t(s, d).documents).orderBy("doc_id")),
@@ -211,6 +219,42 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
 
+    "full_outer_join" ->
+      """WITH cu AS (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY c_nationkey),
+        | su AS (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+        |SELECT CAST(coalesce(cu.k, su.k) AS INTEGER) AS nationkey,
+        | coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM cu FULL JOIN su ON cu.k = su.k ORDER BY nationkey""".stripMargin,
+
+    "theta_join" ->
+      """SELECT o_orderstatus, count(*) AS n_late FROM lineitem JOIN orders
+        | ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL '30 days'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "range_join" ->
+      """WITH bands AS (SELECT x AS band, x * 50000.0 AS lo, (x + 1) * 50000.0 AS hi FROM range(12) t(x))
+        |SELECT band, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS tsu FROM events),
+        | x AS (SELECT event_id, user_id, event_type,
+        |   last_value(CASE WHEN event_type = 'click' THEN tsu END IGNORE NULLS) OVER w AS prev_click_ts,
+        |   last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS) OVER w AS prev_click_value
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, prev_click_ts, prev_click_value FROM x
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "embedding_near_dups" ->
+      """WITH s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim
+        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(sim, 4) AS sim_r FROM s WHERE sim >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "window_funcs" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS tsu FROM events)
         |SELECT event_id, user_id, event_type, value,
@@ -220,7 +264,9 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY tsu, event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
         | count(*) OVER (PARTITION BY user_id ORDER BY tsu, event_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS events_so_far
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS events_so_far,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY tsu
+        |   RANGE BETWEEN INTERVAL '30 minutes' PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30m_value
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
         |ORDER BY user_id, rn""".stripMargin,
 

@@ -171,4 +171,56 @@ object Relational {
     orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .orderBy(desc("o_totalprice"), asc("o_orderkey"))
       .limit(k)
+
+  /** FULL OUTER join: per-nation customer vs supplier presence, both
+    * unmatched sides kept. */
+  def nationPresence(t: Tables): DataFrame = {
+    val cu = t.customer.groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+    val su = t.supplier.groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+    cu.join(su, col("c_nationkey") === col("s_nationkey"), "full")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).cast(IntegerType).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Theta join (equi key + inequality residual): lineitems shipped
+    * more than 30 days after their order date, per order status.
+    * Catalyst keeps the equi part hashable and applies the inequality
+    * as a join residual — no nested loop. */
+  def lateShipments(t: Tables): DataFrame =
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey")
+        && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_late"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Pure range join (non-equi only): orders against a broadcast band
+    * table [lo, hi) — plans as BroadcastNestedLoopJoin with the tiny
+    * side broadcast, the right shape for interval/range semantics. */
+  def priceBandCounts(t: Tables, bandWidth: Long = 50000L, nBands: Int = 12): DataFrame = {
+    val spark = t.spark
+    val bands = spark.range(nBands)
+      .select(col("id").as("band"),
+        (col("id") * bandWidth).cast(DoubleType).as("lo"),
+        ((col("id") + 1) * bandWidth).cast(DoubleType).as("hi"))
+    t.orders.join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"), dsum2(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("band"))
+  }
+
+  /** Sketch aggregation: HLL++ approximate distinct parts/suppliers per
+    * return flag next to the exact count (rows-only check — sketches
+    * are engine-specific by construction). */
+  def approxDistincts(li: DataFrame): DataFrame =
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+      .orderBy(col("l_returnflag"))
 }

@@ -49,6 +49,23 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id"), round(col("sim"), 4).as("sim_r"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a < b) with cosine
+    * above the threshold — the embedding-space analog of
+    * Dedup.jaccardPairs. Brute force here (correctness baseline /
+    * oracle-checkable); at scale swap the pair generator for
+    * lshBuckets candidates. */
+  def cosineNearDupPairs(emb: DataFrame, minSim: Double = 0.4): DataFrame = {
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      vec_norm(col("embedding")).as("n_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      vec_norm(col("embedding")).as("n_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (vec_dot(col("emb_a"), col("emb_b")) / (col("n_a") * col("n_b"))).as("sim"))
+      .where(col("sim") >= minSim)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim_r"))
+  }
+
   /** Deterministic pseudo-random unit-free hyperplanes: component d of
     * plane p is derived from splitmix64(p * dim + d) scaled to [-1, 1].
     * Plan-build-time constants — identical across executors. */

@@ -66,4 +66,23 @@ object TextOps {
     words(docs)
       .crossJoin(docs.sparkSession.range(8))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** The reference's exact bin hash (map_reduce.cpp:214-217):
+    * `hash = Σ_i (22 + 23·(c_i − 14)); bin = hash % 1024` — an affine
+    * char sum. Final counts are hash-independent, so this exists only
+    * for bit-level partition-assignment parity with reference output
+    * files (SURVEY.md §2.2); the engine's own shuffles use Murmur3. */
+  def refBinHash(word: Column, bins: Int = 1024): Column = {
+    val chars = filter(split(word, ""), c => length(c) > 0)
+    pmod(aggregate(chars, lit(0L),
+      (acc, ch) => acc + lit(22L) + lit(23L) * (ascii(ch) - lit(14L))), lit(bins.toLong))
+  }
+
+  /** Distinct words per reference bin — the word→output-file ownership
+    * map a reference run would produce (with n processes, bin i goes to
+    * process i mod n, map_reduce.cpp:306). */
+  def refBinHistogram(docs: DataFrame, bins: Int = 1024): DataFrame =
+    words(docs).distinct()
+      .select(refBinHash(col("word"), bins).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_words"))
 }

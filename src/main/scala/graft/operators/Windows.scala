@@ -35,8 +35,35 @@ object Windows {
         lag(col("value"), 1).over(w).as("prev_value"),
         lead(col("event_type"), 1).over(w).as("next_type"),
         sum(col("value").cast(DecimalType(18, 2))).over(wrun).cast(DoubleType).as("running_value"),
-        count(lit(1)).over(wrun).as("events_so_far"))
+        count(lit(1)).over(wrun).as("events_so_far"),
+        // event-time RANGE frame: trailing 30-minute sum (frame bounds in
+        // microseconds over the µs-truncated ts; the DuckDB twin uses
+        // RANGE BETWEEN INTERVAL '30 minutes' PRECEDING — identical
+        // peer semantics on identical µs values)
+        sum(col("value").cast(DecimalType(18, 2)))
+          .over(Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+            .rangeBetween(-30L * 60 * 1000000, 0))
+          .cast(DoubleType).as("trailing_30m_value"))
       .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** As-of join expressed as a window carry-forward: for every purchase
+    * event, the timestamp and value of the same user's most recent
+    * strictly-earlier click. One shuffle on user_id, no self-join —
+    * the scalable as-of shape (sort-merge as-of degenerates to this
+    * when both sides share a partition key). */
+  def lastClickBeforePurchase(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"),
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true)
+          .over(w).as("prev_click_ts"),
+        last(when(col("event_type") === "click", col("value")), ignoreNulls = true)
+          .over(w).as("prev_click_value"))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("prev_click_ts"), col("prev_click_value"))
+      .orderBy(col("event_id"))
   }
 
   /** Tumbling event-time window: count + sum per (hour, event_type). */
