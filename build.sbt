@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local mode = driver-only: give it real memory (128 GiB box);
+  // 8g caused cumulative GC pressure across a 43-query bench session
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // A 43-query suite x (warmup + measure) generates hundreds of
+  // whole-stage-codegen classes; the JVM default 240MB code cache
+  // fills and JIT starts flushing/thrashing — late queries were
+  // observed 20x slower until this was raised.
+  "-XX:ReservedCodeCacheSize=1g",
 )

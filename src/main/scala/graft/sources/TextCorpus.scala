@@ -31,5 +31,6 @@ object TextCorpus {
   /** The reference's 8x file-replay workload (LOOP_OVER_DIRECTORY,
     * map_reduce.cpp:36, 130) reproduced at the source level. */
   def readLinesX(spark: SparkSession, dir: String, replay: Int): DataFrame =
-    readLines(spark, dir).crossJoin(spark.range(replay).select(col("id").as("replay_i")))
+    readLines(spark, dir)
+      .crossJoin(broadcast(spark.range(replay).select(col("id").as("replay_i"))))
 }
