@@ -13,7 +13,7 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
-    val spark = SparkSession.builder()
+    val spark = SparkSession.builder().withExtensions(new GraftExtensions)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")

@@ -49,6 +49,45 @@ object SparkEntry {
     "range_join" -> ((s, d) => Relational.priceBandCounts(t(s, d))),
     "approx_distinct" -> ((s, d) => Relational.approxDistincts(t(s, d).lineitem)),
     "ref_bin_histogram" -> ((s, d) => TextOps.refBinHistogram(t(s, d).documents).orderBy("bin")),
+    // typed Aggregator UDAF (SURVEY.md §2.10): exact top-k by count
+    "topk_udaf" -> ((s, d) => {
+      val topk = udaf(new graft.functions.TopKByCount(100),
+        org.apache.spark.sql.Encoders.STRING)
+      TextOps.words(t(s, d).documents)
+        .agg(topk(col("word")).as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e._1").as("word"), col("e._2").as("cnt"))
+        .orderBy(desc("cnt"), asc("word"))
+    }),
+    // SQL entry point + SparkSessionExtensions-registered native fn
+    "sql_api" -> ((s, d) => {
+      t(s, d).embeddings.createOrReplaceTempView("emb_v")
+      s.sql("""SELECT label, count(*) AS n,
+              | round(max(vec_dot(embedding, embedding)), 6) AS max_sq_norm
+              |FROM emb_v GROUP BY label ORDER BY label""".stripMargin)
+    }),
+    // GROUPING SETS through the SQL surface
+    "grouping_sets" -> ((s, d) => {
+      t(s, d).lineitem.createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+              | coalesce(l_linestatus, 'ALL') AS linestatus,
+              | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              | count(*) AS n
+              |FROM lineitem_v GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+              |ORDER BY returnflag, linestatus""".stripMargin)
+    }),
+    // CSV source/sink round trip: parquet -> csv -> csv scan -> agg
+    "csv_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
+      t(s, d).lineitem.select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.option("header", "true")
+        .schema("l_orderkey BIGINT, l_returnflag STRING, l_quantity DOUBLE")
+        .csv(tmp)
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.dsum2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
 
     // ---- M2: windows (analytic + event-time) ----
     "window_funcs" -> ((s, d) => Windows.perUserAnalytics(t(s, d).events)),
@@ -218,6 +257,27 @@ object SparkEntry {
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+
+    "topk_udaf" ->
+      s"$W SELECT word, count(*) AS cnt FROM w WHERE length(word) > 0 GROUP BY word ORDER BY cnt DESC, word LIMIT 100",
+
+    "sql_api" ->
+      """SELECT label, count(*) AS n,
+        | round(max(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS max_sq_norm
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    "grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | count(*) AS n
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "csv_roundtrip" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "full_outer_join" ->
       """WITH cu AS (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY c_nationkey),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 /** One shared local session for all suites (creation costs seconds). */
 object TestSpark {
-  lazy val spark: SparkSession = SparkSession.builder()
+  lazy val spark: SparkSession = SparkSession.builder().withExtensions(new GraftExtensions)
     .master("local[4]")
     .appName("graft-tests")
     .config("spark.sql.shuffle.partitions", "4")
