@@ -109,6 +109,7 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
     "lsh_topk" -> ((s, d) => Similarity.lshTopK(t(s, d).embeddings).orderBy("q_id", "rank")),
+    "ivf_topk" -> ((s, d) => Similarity.ivfTopK(t(s, d).embeddings).orderBy("q_id", "rank")),
     "embedding_near_dups" -> ((s, d) =>
       Similarity.cosineNearDupPairs(t(s, d).embeddings).orderBy("id_a", "id_b")),
     "text_quality" -> ((s, d) => TextQuality.qualityFeatures(t(s, d).documents).orderBy("doc_id")),

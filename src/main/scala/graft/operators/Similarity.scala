@@ -91,6 +91,41 @@ object Similarity {
     emb.select(col("vec_id"), col("embedding"), key.as("bucket"))
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer (every `step`-th
+    * vector is a centroid) assigns each vector to its nearest
+    * centroid; queries probe only the `nProbe` nearest cells. The
+    * inverted-file analog of lshTopK: candidate cost drops from
+    * O(Q x N) to O(Q x N x nProbe / nCells). Centroid assignment is
+    * one broadcast join (centroid set is tiny); the cell join is an
+    * equi-join on cell id — shuffle on an int key only. */
+  def ivfTopK(emb: DataFrame, step: Int = 50, nProbe: Int = 4, k: Int = 10): DataFrame = {
+    val cents = emb.where(col("vec_id") % step === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    // nearest centroid per vector (normalized data: max dot = nearest)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("cent_sim"), asc("cent_id"))
+    def assign(df: DataFrame, n: Int): DataFrame =
+      df.join(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cent_id"),
+          (vec_dot(col("embedding"), col("cent_emb")) /
+            (vec_norm(col("embedding")) * vec_norm(col("cent_emb")))).as("cent_sim"))
+        .withColumn("cell_rank", row_number().over(wAssign))
+        .where(col("cell_rank") <= n)
+        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val corpus = assign(emb, 1) // each corpus vector lives in ONE cell
+      .withColumn("nrm", vec_norm(col("embedding")))
+    val queries = assign(emb, nProbe) // each query probes nProbe cells
+      .withColumn("nrm", vec_norm(col("embedding")))
+    val pairs = queries.as("q").join(corpus.as("c"),
+        col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("c_id"),
+        (vec_dot(col("q.embedding"), col("c.embedding")) / (col("q.nrm") * col("c.nrm"))).as("sim"))
+      .groupBy(col("q_id"), col("c_id")).agg(max(col("sim")).as("sim")) // dedupe multi-cell hits
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("c_id"))
+    pairs.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), round(col("sim"), 4).as("sim_r"))
+  }
+
   /** Bucketed ANN: exact cosine ranking within LSH buckets only —
     * the scale path that avoids the full cross product. Recall is
     * tunable via nPlanes (fewer planes = bigger buckets = higher

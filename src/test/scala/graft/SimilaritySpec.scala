@@ -33,6 +33,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 2L), (2L, 3L), (3L, 4L)))
   }
 
+  test("ivfTopK recall vs brute force on real embeddings") {
+    val emb = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") % 10 === 0), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(emb, step = 10, nProbe = 3, k = 5)
+      .where(col("q_id") % 10 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // approximate: require reasonable overlap with the exact answer
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall > 0.2, s"recall $recall") // random embeddings: cells are weak but not useless
+    assert(ivf.nonEmpty)
+  }
+
   test("lshBuckets: identical vectors share a bucket") {
     val b = Similarity.lshBuckets(vecs((1L, Seq(1f, 2f, 3f)), (2L, Seq(1f, 2f, 3f)),
       (3L, Seq(-1f, -2f, -3f))), nPlanes = 8, dim = 3)
