@@ -48,6 +48,19 @@ object SparkEntry {
     "theta_join" -> ((s, d) => Relational.lateShipments(t(s, d))),
     "range_join" -> ((s, d) => Relational.priceBandCounts(t(s, d))),
     "approx_distinct" -> ((s, d) => Relational.approxDistincts(t(s, d).lineitem)),
+    "percentiles" -> ((s, d) => Relational.pricePercentiles(t(s, d).orders)),
+    "corr_stats" -> ((s, d) => Relational.quantityPriceCorr(t(s, d).lineitem)),
+    // JSON source/sink round trip: parquet -> json -> json scan -> agg
+    "json_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-json").toString
+      t(s, d).orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.mode("overwrite").json(tmp)
+      s.read.schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+        .json(tmp)
+        .groupBy(col("o_orderstatus"))
+        .agg(graft.functions.dsum2(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
     "ref_bin_histogram" -> ((s, d) => TextOps.refBinHistogram(t(s, d).documents).orderBy("bin")),
     // typed Aggregator UDAF (SURVEY.md §2.10): exact top-k by count
     "topk_udaf" -> ((s, d) => {
@@ -134,6 +147,13 @@ object SparkEntry {
       val streamed = EventStreams.tumblingCounts(EventStreams.readEventStream(s, tmp))
       EventStreams.runToMemory(s, streamed, s"stream_tumbling_${System.nanoTime()}")
         .orderBy("win_start", "event_type")
+    }),
+    "streaming_sliding_agg" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-src2").toString
+      t(s, d).events.coalesce(4).write.mode("overwrite").parquet(tmp)
+      val streamed = EventStreams.slidingCounts(EventStreams.readEventStream(s, tmp))
+      EventStreams.runToMemory(s, streamed, s"stream_sliding_${System.nanoTime()}")
+        .orderBy("win_start")
     }))
 
   /** The C-ispunct character class, RE2 spelling, for the DuckDB twins. */
@@ -258,6 +278,35 @@ object SparkEntry {
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+
+    "percentiles" ->
+      """SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        | round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        | round(quantile_cont(o_totalprice, 0.99), 4) AS p99, count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "corr_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | (count(*) * CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |   - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))
+        | / (sqrt(count(*) * CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |      - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE))
+        |    * sqrt(count(*) * CAST(sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |      - CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)))
+        |  AS corr_qty_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "json_roundtrip" ->
+      """SELECT o_orderstatus,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "streaming_sliding_agg" ->
+      """WITH e AS (SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS b, value FROM events),
+        | x AS (SELECT b AS win_start, value FROM e
+        |        UNION ALL SELECT b - INTERVAL '30 minutes' AS win_start, value FROM e)
+        |SELECT win_start, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY win_start ORDER BY win_start""".stripMargin,
 
     "topk_udaf" ->
       s"$W SELECT word, count(*) AS cnt FROM w WHERE length(word) > 0 GROUP BY word ORDER BY cnt DESC, word LIMIT 100",

@@ -213,6 +213,36 @@ object Relational {
       .orderBy(col("band"))
   }
 
+  /** Exact interpolated percentiles per group (Spark `percentile` ==
+    * DuckDB `quantile_cont` semantics; outputs rounded to absorb
+    * last-bit interpolation-association differences). */
+  def pricePercentiles(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Pearson correlation computed from exact decimal sums — unlike the
+    * built-in `corr` (order-dependent double accumulation), every term
+    * here is an order-independent decimal sum, so the result is
+    * bit-identical across partitionings and engines. */
+  def quantityPriceCorr(li: DataFrame): DataFrame = {
+    val n = count(lit(1))
+    val sx = dsum2(col("l_quantity"))
+    val sy = dsum2(col("l_extendedprice"))
+    val sxy = dsum(col("l_quantity") * col("l_extendedprice"), 4)
+    val sxx = dsum(col("l_quantity") * col("l_quantity"), 4)
+    val syy = dsum(col("l_extendedprice") * col("l_extendedprice"), 4)
+    li.groupBy(col("l_returnflag"))
+      .agg(n.as("n"),
+        ((n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Sketch aggregation: HLL++ approximate distinct parts/suppliers per
     * return flag next to the exact count (rows-only check — sketches
     * are engine-specific by construction). */

@@ -49,6 +49,15 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
       .select(col("win.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming sliding windows — same logical agg as
+    * Windows.slidingCounts (1-hour windows every 30 minutes). */
+  def slidingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("win"))
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+      .select(col("win.start").as("win_start"), col("n"), col("sum_value"))
+
   /** Streaming session windows (gap-merged, state-store backed). */
   def sessionize(events: DataFrame, gap: String = "30 minutes",
                  watermark: String = "2 hours"): DataFrame =
