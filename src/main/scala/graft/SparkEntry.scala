@@ -49,6 +49,17 @@ object SparkEntry {
     "range_join" -> ((s, d) => Relational.priceBandCounts(t(s, d))),
     "approx_distinct" -> ((s, d) => Relational.approxDistincts(t(s, d).lineitem)),
     "percentiles" -> ((s, d) => Relational.pricePercentiles(t(s, d).orders)),
+    // skew-safe salted join: same result as the plain join, verified
+    // against the plain-join oracle
+    "salted_join" -> ((s, d) => {
+      val tt = t(s, d)
+      Relational.saltedJoin(
+          tt.lineitem.withColumnRenamed("l_suppkey", "suppkey"),
+          tt.supplier.withColumnRenamed("s_suppkey", "suppkey"), "suppkey", factor = 8)
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n_items"), graft.functions.dsum2(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("s_name"))
+    }),
     "corr_stats" -> ((s, d) => Relational.quantityPriceCorr(t(s, d).lineitem)),
     // JSON source/sink round trip: parquet -> json -> json scan -> agg
     "json_roundtrip" -> ((s, d) => {
@@ -278,6 +289,12 @@ object SparkEntry {
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+
+    "salted_join" ->
+      """SELECT s_name, count(*) AS n_items,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
 
     "percentiles" ->
       """SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

@@ -243,6 +243,20 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Skew-safe equi-join: salts the big (probe) side into `factor`
+    * sub-keys and replicates the small (build) side once per salt, so
+    * one hot key spreads over `factor` tasks instead of one straggler.
+    * The manual fallback when AQE's skew-join split isn't available —
+    * e.g. a boilerplate cluster dominating an LSH band bucket
+    * (SURVEY.md §7.4). Salt values don't affect the result, only the
+    * distribution; the salt column never leaves this function. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, factor: Int = 8): DataFrame = {
+    val saltedBig = big.withColumn("__salt", (rand(42) * factor).cast(IntegerType))
+    val replicatedSmall = small.withColumn("__salt",
+      explode(array((0 until factor).map(lit): _*)))
+    saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Sketch aggregation: HLL++ approximate distinct parts/suppliers per
     * return flag next to the exact count (rows-only check — sketches
     * are engine-specific by construction). */
