@@ -165,6 +165,13 @@ object SparkEntry {
       val streamed = EventStreams.slidingCounts(EventStreams.readEventStream(s, tmp))
       EventStreams.runToMemory(s, streamed, s"stream_sliding_${System.nanoTime()}")
         .orderBy("win_start")
+    }),
+    "streaming_session_agg" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-src3").toString
+      t(s, d).events.coalesce(4).write.mode("overwrite").parquet(tmp)
+      val streamed = EventStreams.sessionize(EventStreams.readEventStream(s, tmp))
+      EventStreams.runToMemory(s, streamed, s"stream_session_${System.nanoTime()}")
+        .orderBy("user_id", "session_start")
     }))
 
   /** The C-ispunct character class, RE2 spelling, for the DuckDB twins. */
@@ -422,6 +429,17 @@ object SparkEntry {
         |FROM x GROUP BY win_start ORDER BY win_start""".stripMargin,
 
     "session_agg" ->
+      """WITH e AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS tsu FROM events),
+        | o AS (SELECT *, lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev FROM e),
+        | f AS (SELECT *, CASE WHEN prev IS NULL OR tsu - prev >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s FROM o),
+        | s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
+        |SELECT user_id, min(tsu) AS session_start, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    // the streaming session pipeline converges to the identical batch answer
+    "streaming_session_agg" ->
       """WITH e AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS tsu FROM events),
         | o AS (SELECT *, lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev FROM e),
         | f AS (SELECT *, CASE WHEN prev IS NULL OR tsu - prev >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s FROM o),

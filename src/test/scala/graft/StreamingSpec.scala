@@ -46,6 +46,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("streaming session windows converge to the batch sessionize answer") {
+    val dir = Files.createTempDirectory("graft-stream3").toString
+    writeBatches(dir)
+    val streamed = EventStreams.sessionize(
+      EventStreams.readEventStream(spark, s"$dir/{b0,b1,b2}"), gap = "30 minutes")
+    val got = EventStreams.runToMemory(spark, streamed, "session_out")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = Windows.sessionize(eventsDf, "30 minutes")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === want)
+  }
+
   test("mapGroupsWithState running totals match a direct fold") {
     val dir = Files.createTempDirectory("graft-stream2").toString
     writeBatches(dir)
