@@ -136,6 +136,10 @@ object SparkEntry {
     "ivf_topk" -> ((s, d) => Similarity.ivfTopK(t(s, d).embeddings).orderBy("q_id", "rank")),
     "embedding_near_dups" -> ((s, d) =>
       Similarity.cosineNearDupPairs(t(s, d).embeddings).orderBy("id_a", "id_b")),
+    // approximate (LSH-bucketed) variant — rows-only by design; recall
+    // vs the exact pairs is asserted in SimilaritySpec
+    "embedding_near_dups_lsh" -> ((s, d) =>
+      Similarity.cosineNearDupPairsLsh(t(s, d).embeddings).orderBy("id_a", "id_b")),
     "text_quality" -> ((s, d) => TextQuality.qualityFeatures(t(s, d).documents).orderBy("doc_id")),
     "token_count" -> ((s, d) => TextQuality.tokenCounts(t(s, d).documents).orderBy("doc_id")),
     "lang_id" -> ((s, d) => TextQuality.langId(t(s, d).documents).orderBy("doc_id")),
@@ -143,8 +147,8 @@ object SparkEntry {
 
     // ---- M3: multimodal plumbing (binary columns; decode layer stubbed) ----
     "media_features" -> ((s, d) =>
-      Multimodal.extractFeatures(Multimodal.fakeMediaFromDocs(t(s, d).documents))
-        .orderBy("media_id")),
+      Multimodal.featureBuckets(Multimodal.fakeMediaFromDocs(t(s, d).documents))
+        .orderBy("media_id", "bucket")),
     "frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.fakeMediaFromDocs(t(s, d).documents))
         .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
@@ -415,6 +419,17 @@ object SparkEntry {
         | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
 
+    // the [STUB-DECODE] byte histogram is SQL-expressible: bucket =
+    // byte // 16, weight = float32(cnt)/float32(len). Corpus is ASCII
+    // (verified), so per-character ascii() == the UTF-8 byte value.
+    "media_features" ->
+      """WITH ch AS (SELECT doc_id AS media_id, length(text) AS n, unnest(string_split(text, '')) AS c
+        |            FROM documents WHERE length(text) > 0),
+        | cnt AS (SELECT media_id, n, CAST(ascii(c) // 16 AS BIGINT) AS bucket, count(*) AS cnt
+        |          FROM ch GROUP BY media_id, n, ascii(c) // 16)
+        |SELECT media_id, bucket, CAST(CAST(cnt AS REAL) / CAST(n AS REAL) AS DOUBLE) AS weight
+        |FROM cnt ORDER BY media_id, bucket""".stripMargin,
+
     // deterministic frame arithmetic: ceil(bytes/64) frames, stride 4
     "frame_sample" ->
       """SELECT doc_id AS media_id,
@@ -456,10 +471,15 @@ object SparkEntry {
       """SELECT sha256(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY h""".stripMargin,
 
+    // stop-shingle cap mirrored from Dedup.DefaultMaxDf: shingles with
+    // document frequency > 10 are dropped from intersections AND set
+    // sizes on both sides (a no-op at sf0.01, where max df = 7)
     "near_dup_jaccard" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS l FROM documents),
         | pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM toks WHERE len(l) >= 3),
-        | sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle FROM pos),
+        | sh0 AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle FROM pos),
+        | rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 10),
+        | sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
         | cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         | inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
         |            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

@@ -55,19 +55,51 @@ object Dedup {
     * shingle text — at 100 TB that is the difference between shuffling
     * strings and shuffling fixed-width keys. Collision risk at 64 bits
     * is ~n²/2⁶⁵ (≈1e-8 for a billion distinct shingles) — accepted. */
-  def shingleIds(docs: DataFrame, w: Int = 3): DataFrame =
-    rawShingles(docs, w, "text", "doc_id")
+  def shingleIds(docs: DataFrame, w: Int = 3,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    rawShingles(docs, w, textCol, idCol)
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
       .distinct() // dedup AFTER hashing: the distinct shuffles 8-byte keys
 
-  /** Exact pairwise n-gram Jaccard over all pairs sharing >=1 shingle.
+  /** A shingle-intersection self-join is O(df²) per shingle: one hot
+    * "stop shingle" (boilerplate shared by df documents) alone produces
+    * df² join rows, which is what makes uncapped exact Jaccard
+    * unrunnable past small corpora. Dropping shingles with document
+    * frequency > maxDf from BOTH the intersection and the per-doc set
+    * sizes bounds the join at maxDf·|shingles| rows and barely moves
+    * the similarity signal (stop shingles are shared by near-everything,
+    * so they carry none). maxDf <= 0 disables the cap; at corpus scale
+    * set it ≈ 1e-4·|docs| or use minhashNearDups. The df filter reuses
+    * the groupBy's own hash partitioning on `sh`, so it costs no extra
+    * shuffle of the shingle table. */
+  private def cappedShingleIds(docs: DataFrame, w: Int, maxDf: Int,
+                               textCol: String, idCol: String): DataFrame = {
+    val sh = shingleIds(docs, w, textCol, idCol)
+    if (maxDf <= 0) sh
+    else {
+      val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxDf).select("sh")
+      sh.join(rare, "sh").select(col("doc_id"), col("sh"))
+    }
+  }
+
+  /** Default stop-shingle cap: a no-op on corpora without boilerplate
+    * (review data max df = 7 at sf0.01) while cutting hot-shingle join
+    * blowup at larger scale. */
+  val DefaultMaxDf = 10
+
+  /** Exact pairwise n-gram Jaccard over all pairs sharing >=1 shingle
+    * with document frequency <= maxDf (see cappedShingleIds).
     * Output: (doc_a < doc_b, inter, n_a, n_b, jaccard). Quadratic in
-    * shingle frequency — the correctness baseline that MinHash+LSH
-    * approximates at scale. */
-  def jaccardPairs(docs: DataFrame, w: Int = 3): DataFrame = {
+    * capped shingle frequency — the correctness baseline that
+    * MinHash+LSH approximates at scale. */
+  def jaccardPairs(docs: DataFrame, w: Int = 3, maxDf: Int = DefaultMaxDf,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // the shingle-id table feeds three plan branches (both join sides +
-    // the per-doc counts); persist so it is computed once
-    val sh = shingleIds(docs, w).persist()
+    // the per-doc counts); localCheckpoint materializes it once and the
+    // blocks are dropped by the ContextCleaner when the plan is GC'd
+    // (a bare persist leaks across a long many-query session)
+    val sh = cappedShingleIds(docs, w, maxDf, textCol, idCol).localCheckpoint(true)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -83,8 +115,8 @@ object Dedup {
   /** For every document, its single most-similar other document by
     * exact shingle Jaccard (symmetric closure of jaccardPairs, top-1
     * per doc, ties broken by the other id). */
-  def nearestByJaccard(docs: DataFrame, w: Int = 3): DataFrame = {
-    val j = jaccardPairs(docs, w).select(col("doc_a"), col("doc_b"), col("jaccard"))
+  def nearestByJaccard(docs: DataFrame, w: Int = 3, maxDf: Int = DefaultMaxDf): DataFrame = {
+    val j = jaccardPairs(docs, w, maxDf).select(col("doc_a"), col("doc_b"), col("jaccard"))
     val sym = j.select(col("doc_a").as("doc_id"), col("doc_b").as("other_id"), col("jaccard"))
       .union(j.select(col("doc_b").as("doc_id"), col("doc_a").as("other_id"), col("jaccard")))
     val win = Window.partitionBy(col("doc_id")).orderBy(desc("jaccard"), asc("other_id"))
@@ -111,8 +143,9 @@ object Dedup {
     * (requires spark.sql.ansi.enabled=false); signature element i is the
     * min over the document's shingles. One shuffle (groupBy doc_id),
     * k aggregates computed map-side in a single pass. */
-  def minhashSignatures(docs: DataFrame, w: Int = 3, k: Int = 32): DataFrame = {
-    val sh = shingleIds(docs, w)
+  def minhashSignatures(docs: DataFrame, w: Int = 3, k: Int = 32,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = shingleIds(docs, w, textCol, idCol)
     val aggs = (0 until k).map { i =>
       val a = splitmix64(2L * i) | 1L // odd multiplier
       val b = splitmix64(2L * i + 1)
@@ -127,15 +160,18 @@ object Dedup {
     * k/bands rows; docs agreeing on any whole band become candidates.
     * Only (band-key, doc_id) shuffles — never the signatures crossed. */
   def lshCandidates(sigs: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
+    require(k % bands == 0,
+      s"signature width k=$k must be divisible by bands=$bands (trailing elements would be silently ignored)")
     val r = k / bands
     val bandKeys = (0 until bands).map { i =>
       struct(lit(i).as("band"), xxhash64(lit(i), slice(col("sig"), i * r + 1, r)).as("bh"))
     }
-    // persist: the self-join below would otherwise recompute the whole
-    // shingle -> signature pipeline once per side
+    // localCheckpoint: the self-join below would otherwise recompute the
+    // whole shingle -> signature pipeline once per side; blocks are
+    // auto-dropped when the plan is GC'd (persist would leak)
     val banded = sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-      .persist()
+      .localCheckpoint(true)
     banded.as("x")
       .join(banded.as("y"), col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
         && col("x.doc_id") < col("y.doc_id"))
@@ -144,10 +180,15 @@ object Dedup {
   }
 
   /** Exact-Jaccard verification restricted to candidate pairs: the
-    * candidate set joins back to the shingle table twice, so cost is
-    * |candidates| x shingle overlap, not all-pairs. */
-  def verifyCandidates(cand: DataFrame, docs: DataFrame, w: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val sh = shingleIds(docs, w).persist()
+    * candidate set joins back to the (stop-shingle-capped) shingle
+    * table twice, so cost is |candidates| x capped shingle overlap —
+    * the maxDf cap matters here too, because hot shingles would
+    * otherwise dominate the candidate x shingle join exactly as they
+    * dominate the all-pairs join. */
+  def verifyCandidates(cand: DataFrame, docs: DataFrame, w: Int = 3, minJaccard: Double = 0.5,
+                       maxDf: Int = DefaultMaxDf,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = cappedShingleIds(docs, w, maxDf, textCol, idCol).localCheckpoint(true)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val shA = sh.select(col("doc_id").as("doc_a"), col("sh"))
     val shB = sh.select(col("doc_id").as("doc_b"), col("sh"))
@@ -173,8 +214,12 @@ object Dedup {
     * pairs to candidates, defeating the point of LSH. Recall for
     * borderline pairs is the tunable tradeoff. */
   def minhashNearDups(docs: DataFrame, w: Int = 3, k: Int = 32, bands: Int = 8,
-                      minJaccard: Double = 0.5): DataFrame =
-    verifyCandidates(lshCandidates(minhashSignatures(docs, w, k), k, bands), docs, w, minJaccard)
+                      minJaccard: Double = 0.5, maxDf: Int = DefaultMaxDf,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    verifyCandidates(lshCandidates(minhashSignatures(docs, w, k, textCol, idCol), k, bands),
+      docs, w, minJaccard, maxDf, textCol, idCol)
+  }
 
   // ---------------------------------------------------------------
   // SimHash

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -69,19 +69,28 @@ object Multimodal {
     StructField("media_id", LongType),
     StructField("features", ArrayType(FloatType, containsNull = false))))
 
-  /** Feature extraction as a partition-batched transform — the Scala
-    * analog of a Pandas `mapInPandas` UDF: per-partition iterator in,
-    * iterator out, constant per-partition overhead. Narrow (no
-    * shuffle); output is joinable back on media_id. */
+  /** Feature extraction INSIDE the Catalyst plan: the stub decoder runs
+    * as a scalar UDF over the binary column, so column pruning, AQE and
+    * codegen above/below it survive (the previous `.rdd.mapPartitions`
+    * exit severed the plan — no pruning through it, Row boxing per
+    * record). Narrow (no shuffle); output is joinable back on media_id. */
   def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    val out = media.select(col("media_id"), col("content")).rdd.mapPartitions { it =>
-      it.map { r =>
-        Row(r.getLong(0), decodeToFeatures(r.getAs[Array[Byte]](1)).toSeq)
-      }
-    }
-    spark.createDataFrame(out, featureSchema)
+    val decode = udf((bytes: Array[Byte]) => decodeToFeatures(bytes))
+    media.select(col("media_id"), decode(col("content")).as("features"))
   }
+
+  /** Gate-friendly exploded form: one (media_id, bucket, weight) row per
+    * non-zero histogram bucket — scalar columns only, so generic
+    * row-compare tooling can sort/hash it (an array<float> column
+    * cannot be lexicographically sorted by the driver's pandas gate).
+    * weight stays a single float32 division (cnt/len), widened to
+    * double, so a byte-exact SQL oracle can reproduce it. */
+  def featureBuckets(media: DataFrame): DataFrame =
+    extractFeatures(media)
+      .select(col("media_id"), posexplode(col("features")).as(Seq("bucket", "weight")))
+      .where(col("weight") > 0f)
+      .select(col("media_id"), col("bucket").cast(LongType).as("bucket"),
+        col("weight").cast(DoubleType).as("weight"))
 
   /** [STUB-DECODE] "resize": truncate/zero-pad the payload to nBytes,
     * updating metadata — stands in for a pixel resize. */

@@ -81,14 +81,46 @@ object Similarity {
 
   /** Random-hyperplane (sign) LSH bucket key per vector: bit p of the
     * key is the sign of <v, plane_p>. Vectors in the same bucket are
-    * near-duplicate candidates (cosine-LSH, Charikar 2002). */
-  def lshBuckets(emb: DataFrame, nPlanes: Int = 16, dim: Int = 64): DataFrame = {
+    * near-duplicate candidates (cosine-LSH, Charikar 2002). `tableId`
+    * selects an independent plane set, so L tables give L independent
+    * candidate draws (tableId 0 = the original planes). */
+  def lshBuckets(emb: DataFrame, nPlanes: Int = 16, dim: Int = 64, tableId: Int = 0): DataFrame = {
     val key = (0 until nPlanes).foldLeft(lit(0L)) { (acc, p) =>
-      val pl = plane(p, dim)
+      val pl = plane(tableId * nPlanes + p, dim)
       val proj = vec_dot(col("embedding"), array(pl.map(lit): _*))
       acc.bitwiseOR(when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L)))
     }
     emb.select(col("vec_id"), col("embedding"), key.as("bucket"))
+  }
+
+  /** The scale path for embedding near-dup pairs (the N² alternative to
+    * cosineNearDupPairs): candidates are pairs co-bucketed in ANY of
+    * `nTables` independent hyperplane-LSH tables (union + distinct —
+    * only (bucket, vec_id) shuffles), then scored exactly and
+    * thresholded. Misses only pairs split in every table: for cosine s
+    * the per-table collision rate is (1 − acos(s)/π)^nPlanes, so
+    * recall = 1 − (1 − that)^nTables. Defaults (4 planes × 8 tables)
+    * target the LOW-threshold regime of the review corpus (all true
+    * pairs sit at s ≈ 0.4-0.6, where 4 planes give ≈ 0.75 recall);
+    * for production near-dup thresholds (s ≥ 0.85) use 12-16 planes —
+    * buckets shrink exponentially in planes while recall stays high
+    * (s = 0.9, 16 planes, 4 tables ≈ 0.92). */
+  def cosineNearDupPairsLsh(emb: DataFrame, minSim: Double = 0.4, nPlanes: Int = 4,
+                            dim: Int = 64, nTables: Int = 8): DataFrame = {
+    val cand = (0 until nTables).map { t =>
+      val b = lshBuckets(emb, nPlanes, dim, t).select(col("vec_id"), col("bucket"))
+      b.as("x").join(b.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+    }.reduce(_ union _).distinct()
+    val e = emb.select(col("vec_id"), col("embedding"), vec_norm(col("embedding")).as("nrm"))
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("n_a")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (vec_dot(col("emb_a"), col("emb_b")) / (col("n_a") * col("n_b"))).as("sim"))
+      .where(col("sim") >= minSim)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim_r"))
   }
 
   /** IVF-style ANN: a deterministic coarse quantizer (every `step`-th
@@ -101,16 +133,34 @@ object Similarity {
   def ivfTopK(emb: DataFrame, step: Int = 50, nProbe: Int = 4, k: Int = 10): DataFrame = {
     val cents = emb.where(col("vec_id") % step === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-    // nearest centroid per vector (normalized data: max dot = nearest)
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("cent_sim"), asc("cent_id"))
-    def assign(df: DataFrame, n: Int): DataFrame =
-      df.join(broadcast(cents))
+    // nearest centroid(s) per vector (normalized data: max dot =
+    // nearest), as an AGGREGATE instead of a row_number window: the
+    // window sort-shuffled the full N x nCells candidate table, while
+    // groupBy partial-aggregates it to N rows map-side before any
+    // exchange. Ordering matches the old window: desc(cent_sim) with
+    // asc(cent_id) tie-break, encoded lexicographically as the struct
+    // (cent_sim, -cent_id).
+    def assign(df: DataFrame, n: Int): DataFrame = {
+      val sims = df.join(broadcast(cents))
         .select(col("vec_id"), col("embedding"), col("cent_id"),
           (vec_dot(col("embedding"), col("cent_emb")) /
             (vec_norm(col("embedding")) * vec_norm(col("cent_emb")))).as("cent_sim"))
-        .withColumn("cell_rank", row_number().over(wAssign))
-        .where(col("cell_rank") <= n)
-        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+      if (n == 1)
+        sims.groupBy(col("vec_id"))
+          .agg(max(struct(col("cent_sim"), (-col("cent_id")).as("neg_id"),
+            col("cent_id"), col("embedding"))).as("m"))
+          .select(col("vec_id"), col("m.embedding").as("embedding"), col("m.cent_id").as("cell"))
+      else
+        // top-n cells via a bounded collect_list (<= nCells entries per
+        // vector, complete after the map-side partial agg) sorted and
+        // sliced in the projection — still no global sort
+        sims.groupBy(col("vec_id"))
+          .agg(first(col("embedding")).as("embedding"),
+            slice(reverse(array_sort(collect_list(
+              struct(col("cent_sim"), (-col("cent_id")).as("neg_id"), col("cent_id"))))),
+              1, n).as("top"))
+          .select(col("vec_id"), col("embedding"), explode(col("top.cent_id")).as("cell"))
+    }
     val corpus = assign(emb, 1) // each corpus vector lives in ONE cell
       .withColumn("nrm", vec_norm(col("embedding")))
     val queries = assign(emb, nProbe) // each query probes nProbe cells

@@ -22,13 +22,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.getStruct(2).getAs[Long]("n_bytes") === 128L)
   }
 
-  test("extractFeatures: deterministic normalized histogram via mapPartitions") {
+  test("extractFeatures: deterministic normalized histogram, in-plan UDF") {
     val f = Multimodal.extractFeatures(Multimodal.fakeMediaFromDocs(docs))
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     // 'z' = 0x7a → bucket 7; all 4 bytes of doc 1 land there
     assert(f(1L)(7) === 1.0f)
     assert(math.abs(f(0L).sum - 1.0f) < 1e-6)
     assert(f(2L).sum === 0.0f) // empty payload → zero vector, no crash
+  }
+
+  test("featureBuckets: scalar exploded rows, zero buckets dropped") {
+    val b = Multimodal.featureBuckets(Multimodal.fakeMediaFromDocs(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc 1 ("zzzz"): exactly one non-zero bucket, weight 1.0
+    assert(b.filter(_._1 == 1L).toSeq === Seq((1L, 7L, 1.0)))
+    // doc 0: 'a'..'d' = 0x61..0x64 all in bucket 6, weight 1.0
+    assert(b.filter(_._1 == 0L).toSeq === Seq((0L, 6L, 1.0)))
+    assert(!b.exists(_._1 == 2L)) // empty payload → no rows
   }
 
   test("resize truncates/pads content and updates metadata") {

@@ -46,6 +46,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.nonEmpty)
   }
 
+  test("cosineNearDupPairsLsh recall vs exact pairs on real embeddings") {
+    val emb = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.cosineNearDupPairs(emb, minSim = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosineNearDupPairsLsh(emb, minSim = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH variant must emit no pair the exact scorer rejects")
+    val recall = if (exact.isEmpty) 1.0 else exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall over ${exact.size} exact pairs")
+  }
+
+  test("ivfTopK argmax assignment is deterministic across runs") {
+    val emb = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val run = () => Similarity.ivfTopK(emb, step = 10, nProbe = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run() === run())
+  }
+
   test("lshBuckets: identical vectors share a bucket") {
     val b = Similarity.lshBuckets(vecs((1L, Seq(1f, 2f, 3f)), (2L, Seq(1f, 2f, 3f)),
       (3L, Seq(-1f, -2f, -3f))), nPlanes = 8, dim = 3)
