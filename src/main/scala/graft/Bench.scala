@@ -10,6 +10,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS) — see Tables.events
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       // long many-query sessions: don't retain per-query UI state
       // (plan strings for wide codegen plans are MBs each)

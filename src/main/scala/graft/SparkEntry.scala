@@ -339,6 +339,15 @@ object SparkEntry {
     "topk_udaf" ->
       s"$W SELECT word, count(*) AS cnt FROM w WHERE length(word) > 0 GROUP BY word ORDER BY cnt DESC, word LIMIT 100",
 
+    // the reference's affine char-sum hash (map_reduce.cpp:214-217) is
+    // SQL-expressible — ASCII corpus, so ascii(c) == the byte the C
+    // code sums
+    "ref_bin_histogram" ->
+      s"""$W, dw AS (SELECT DISTINCT word FROM w WHERE length(word) > 0)
+         |SELECT CAST(list_sum(list_transform(string_split(word, ''), c -> 22 + 23 * (ascii(c) - 14))) % 1024 AS BIGINT) AS bin,
+         | count(*) AS n_words
+         |FROM dw GROUP BY bin ORDER BY bin""".stripMargin,
+
     "sql_api" ->
       """SELECT label, count(*) AS n,
         | round(max(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS max_sq_norm

@@ -17,6 +17,8 @@ object Verify {
       // classic (non-ANSI) semantics: the minhash/fingerprint operators
       // rely on wrapping 64-bit arithmetic
       .config("spark.sql.ansi.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS) — see Tables.events
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.ui.retainedExecutions", "4")
       .config("spark.ui.retainedJobs", "50")

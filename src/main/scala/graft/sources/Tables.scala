@@ -22,12 +22,17 @@ final case class Tables(spark: SparkSession, dir: String) {
   def lineitem: DataFrame = t("lineitem")
   /** events.ts is nanosecond-precision INT64 parquet, which Spark 4
     * refuses to read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Read it
-    * as raw nanos (legacy conf) and floor-divide to microseconds —
-    * exactly what DuckDB's CAST(ts_ns AS TIMESTAMP) does, keeping the
-    * oracle bit-identical. Integer `div`, not `/`: epoch-nanos ~1.7e18
-    * exceeds double precision. */
+    * as raw nanos and floor-divide to microseconds — exactly what
+    * DuckDB's CAST(ts_ns AS TIMESTAMP) does, keeping the oracle
+    * bit-identical. Integer `div`, not `/`: epoch-nanos ~1.7e18
+    * exceeds double precision.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set at
+    * session BUILD (Bench/Verify/Explain/TestSpark) — a loader must
+    * not mutate session config as a side effect. */
   def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build to read events.parquet")
     t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents: DataFrame = t("documents")

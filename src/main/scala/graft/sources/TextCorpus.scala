@@ -18,15 +18,20 @@ object TextCorpus {
       .withColumn("path", input_file_name())
 
   /** A documents-shaped table (doc per file) from a raw text dir:
-    * doc_id = dense rank of path, text = lines joined. Lets every
+    * doc_id = hash of path, text = the file's full content. Lets every
     * documents operator (wordcount, dedup, quality) run off raw text
-    * exactly as the reference consumed it. */
+    * exactly as the reference consumed it.
+    *
+    * `wholetext` reads each file as ONE record, so text is byte-exact
+    * and deterministic — the previous groupBy + collect_list rebuild
+    * had shuffle-order-dependent line order, which silently broke
+    * order-sensitive downstreams (shingles, rolling-hash fingerprints)
+    * across runs. */
   def readDocuments(spark: SparkSession, dir: String): DataFrame =
-    readLines(spark, dir)
-      .groupBy(col("path"))
-      .agg(concat_ws("\n", collect_list(col("value"))).as("text"))
+    spark.read.option("wholetext", "true").text(s"$dir/*")
+      .withColumn("path", input_file_name())
       .withColumn("doc_id", xxhash64(col("path")))
-      .select(col("doc_id"), col("text"), col("path"))
+      .select(col("doc_id"), col("value").as("text"), col("path"))
 
   /** The reference's 8x file-replay workload (LOOP_OVER_DIRECTORY,
     * map_reduce.cpp:36, 130) reproduced at the source level. */

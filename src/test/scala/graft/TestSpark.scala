@@ -9,6 +9,8 @@ object TestSpark {
     .appName("graft-tests")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.ansi.enabled", "false")
+    // events.parquet carries TIMESTAMP(NANOS) — see Tables.events
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
