@@ -61,6 +61,14 @@ object SparkEntry {
         .orderBy(col("s_name"))
     }),
     "corr_stats" -> ((s, d) => Relational.quantityPriceCorr(t(s, d).lineitem)),
+    // co-located join over pre-bucketed tables: zero shuffle Exchange
+    // in the join+agg plan (BucketingSpec asserts it); result matches
+    // the plain-join oracle
+    "bucketed_join" -> ((s, d) => {
+      val tt = t(s, d)
+      graft.plans.Bucketing.colocatedSpendPerCustomer(s, tt.customer, tt.orders)
+        .orderBy("c_custkey")
+    }),
     // JSON source/sink round trip: parquet -> json -> json scan -> agg
     "json_roundtrip" -> ((s, d) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-json").toString
@@ -242,6 +250,12 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "bucketed_join" ->
+      """SELECT c_custkey, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
 
     "left_join_agg" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,

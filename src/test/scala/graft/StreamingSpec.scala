@@ -58,6 +58,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("append-mode sessions: watermark finalizes exactly once, drops late data, drains state") {
+    val dir = Files.createTempDirectory("graft-stream-append").toString
+    def hm(h: Int, m: Int) = new Timestamp(1704067200000L + (h * 60L + m) * 60000L)
+    val all = Seq(
+      // batch 0: session A = user 1 @ [00:00, 00:10], ends 00:40
+      Seq((1L, hm(0, 0), 1L, "click", 1.0, ""), (2L, hm(0, 10), 1L, "click", 2.0, "")),
+      // batch 1: session B @ 05:00; watermark after = 04:00 > A's end
+      Seq((3L, hm(5, 0), 1L, "click", 4.0, "")),
+      // batch 2: session C; A is evicted here (eviction watermark 04:00)
+      Seq((5L, hm(10, 0), 1L, "click", 8.0, "")),
+      // batch 3: event 4 is LATE — dropped because the LATE-EVENT
+      // filter lags the eviction watermark by one batch (SPARK-40925:
+      // filtering uses the previous batch's watermark, 04:00 here, so
+      // late data must trail the advancing event by >= 2 batches to be
+      // guaranteed dropped); event 6 opens session D and keeps the
+      // watermark moving so the trailing no-data batch evicts C
+      Seq((4L, hm(0, 20), 1L, "click", 100.0, ""), (6L, hm(15, 0), 1L, "click", 16.0, "")))
+    all.zipWithIndex.foreach { case (evs, i) =>
+      evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/b$i")
+      // deterministic batch order: FileStreamSource orders by mtime,
+      // which the local Hadoop FS reports at SECOND granularity — pin
+      // each drop's files to a distinct whole second instead of sleeping
+      import scala.jdk.CollectionConverters._
+      Files.walk(java.nio.file.Paths.get(s"$dir/b$i")).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .foreach(p => p.toFile.setLastModified(1700000000000L + i * 1000L))
+    }
+    val streamed = EventStreams.sessionize(
+      EventStreams.readEventStream(spark, s"$dir/b*"), gap = "30 minutes", watermark = "1 hour")
+    val q = streamed.writeStream.format("memory").queryName("append_sessions")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    val stateRows = q.recentProgress.flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .lastOption.map(_.numRowsTotal)
+    q.stop()
+    val out = spark.table("append_sessions")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    // finalized sessions A, B, C emitted EXACTLY once; the late event's
+    // value (100.0) is absent from A; unfinalized D never emitted
+    assert(out.sorted.toSeq === Seq(
+      (1L, hm(0, 0), 2L, 3.0), (1L, hm(5, 0), 1L, 4.0), (1L, hm(10, 0), 1L, 8.0)))
+    assert(stateRows === Some(1L), s"expected only session D left in the store, got $stateRows")
+  }
+
   test("mapGroupsWithState running totals match a direct fold") {
     val dir = Files.createTempDirectory("graft-stream2").toString
     writeBatches(dir)
