@@ -26,22 +26,33 @@ object Bench {
     // warm, then measure the second execution.
     // optional arg: comma-separated query-name filter (local iteration)
     val only: Option[Set[String]] = args.lift(0).map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      def run(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      // best-of-2: the host shows multi-second steal-time spikes; the
-      // min of two executions is the better steady-state estimator
-      name -> (try { math.min(run(), run()) } catch { case _: Throwable => -1.0 })
-    }.toMap
+    def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // best-of-2: the host shows multi-second steal-time spikes; the
+    // min of two executions is the better steady-state estimator
+    def bestOf2(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      try math.min(time(fn), time(fn)) catch { case _: Throwable => -1.0 }
+    val results = ordered.map { case (name, fn) => name -> bestOf2(fn) }.toMap
+    // In-session degradation sentinel (BENCH_r01 recorded 95s for a
+    // query that re-measures at 1.35s in a fresh session): re-time the
+    // first query after the whole suite ran. ratio >> 1 means the
+    // recorded tail is NOT steady-state — the run is flagged, not
+    // silently reported.
+    val sentinel = ordered.headOption.map { case (name, fn) =>
+      val before = results(name)
+      val after = bestOf2(fn)
+      val ratio = if (before > 0 && after > 0) after / before else -1.0
+      s""""sentinel":{"query":"$name","before":$before,"after":$after,"ratio":$ratio,"degraded":${ratio > 3.0}},"""
+    }.getOrElse("")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$sentinel"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

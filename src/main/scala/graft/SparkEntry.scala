@@ -48,6 +48,18 @@ object SparkEntry {
     "theta_join" -> ((s, d) => Relational.lateShipments(t(s, d))),
     "range_join" -> ((s, d) => Relational.priceBandCounts(t(s, d))),
     "approx_distinct" -> ((s, d) => Relational.approxDistincts(t(s, d).lineitem)),
+    "pivot_agg" -> ((s, d) => Relational.pivotReturnFlagQty(t(s, d).lineitem)),
+    "unpivot_long" -> ((s, d) => Relational.unpivotLineitemMeasures(t(s, d).lineitem)),
+    // correlated scalar subquery through the SQL surface: orders priced
+    // 1.5x above their customer's average (exact decimal avg on both
+    // sides so the filter boundary is deterministic)
+    "scalar_subquery" -> ((s, d) => {
+      t(s, d).orders.createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders_v o
+              |WHERE o_totalprice > 1.5 * (SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+              |                            FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+              |ORDER BY o_orderkey""".stripMargin)
+    }),
     "percentiles" -> ((s, d) => Relational.pricePercentiles(t(s, d).orders)),
     // skew-safe salted join: same result as the plain join, verified
     // against the plain-join oracle
@@ -320,6 +332,26 @@ object SparkEntry {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY s_name""".stripMargin,
+
+    "pivot_agg" ->
+      """SELECT l_linestatus,
+        | CAST(sum(CAST(CASE WHEN l_returnflag = 'A' THEN l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS A,
+        | CAST(sum(CAST(CASE WHEN l_returnflag = 'N' THEN l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS N,
+        | CAST(sum(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS R
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "unpivot_long" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+
+    "scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > 1.5 * (SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |                            FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "percentiles" ->
       """SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

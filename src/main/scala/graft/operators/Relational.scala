@@ -166,6 +166,25 @@ object Relational {
       .orderBy(col("op"), col("nationkey"))
   }
 
+  /** PIVOT with an explicit value list: return flags become columns.
+    * Pinning the values keeps the plan single-pass — the value-less
+    * overload first runs a distinct query to discover keys, a needless
+    * extra scan (and nondeterministic column set) at scale. */
+  def pivotReturnFlagQty(li: DataFrame): DataFrame =
+    li.groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(dsum2(col("l_quantity")))
+      .orderBy(col("l_linestatus"))
+
+  /** UNPIVOT (melt): the four lineitem measures to long form — the
+    * inverse reshape; plans as a Generate (row expansion), no shuffle. */
+  def unpivotLineitemMeasures(li: DataFrame): DataFrame =
+    li.unpivot(
+      Array(col("l_orderkey"), col("l_linenumber")),
+      Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+      "measure", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+
   /** Global top-k with deterministic tie-break → TakeOrderedAndProject. */
   def topOrdersByPrice(orders: DataFrame, k: Int = 25): DataFrame =
     orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
