@@ -136,6 +136,7 @@ object SparkEntry {
     // ---- M2: windows (analytic + event-time) ----
     "window_funcs" -> ((s, d) => Windows.perUserAnalytics(t(s, d).events)),
     "asof_join" -> ((s, d) => Windows.lastClickBeforePurchase(t(s, d).events)),
+    "interval_join" -> ((s, d) => Windows.purchasesWithRecentClicks(t(s, d).events)),
     "tumbling_agg" -> ((s, d) => Windows.tumblingCounts(t(s, d).events)),
     "sliding_agg" -> ((s, d) => Windows.slidingCounts(t(s, d).events)),
     "session_agg" -> ((s, d) => Windows.sessionize(t(s, d).events)),
@@ -196,6 +197,26 @@ object SparkEntry {
       val streamed = EventStreams.sessionize(EventStreams.readEventStream(s, tmp))
       EventStreams.runToMemory(s, streamed, s"stream_session_${System.nanoTime()}")
         .orderBy("user_id", "session_start")
+    }),
+    // stream-stream interval join, Append mode; converges to the batch
+    // interval_join, so it shares that oracle
+    "streaming_interval_join" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-src4").toString
+      t(s, d).events.coalesce(4).write.mode("overwrite").parquet(tmp)
+      val streamed = EventStreams.clickPurchaseJoin(EventStreams.readEventStream(s, tmp))
+      EventStreams.runToMemory(s, streamed, s"stream_ssjoin_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy("purchase_id", "click_id")
+    }),
+    // ORC source/sink round trip: parquet -> orc -> orc scan -> agg
+    "orc_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+      t(s, d).orders.select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.functions.dsum2(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
     }))
 
   /** The C-ispunct character class, RE2 spelling, for the DuckDB twins. */
@@ -440,6 +461,28 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
         |SELECT event_id, user_id, prev_click_ts, prev_click_value FROM x
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu FROM events)
+        |SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+        |FROM e p JOIN e c ON c.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.tsu >= p.tsu - INTERVAL '30 minutes' AND c.tsu <= p.tsu
+        |ORDER BY purchase_id, click_id""".stripMargin,
+
+    // the stream-stream join converges to the identical batch answer
+    "streaming_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu FROM events)
+        |SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+        |FROM e p JOIN e c ON c.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.tsu >= p.tsu - INTERVAL '30 minutes' AND c.tsu <= p.tsu
+        |ORDER BY purchase_id, click_id""".stripMargin,
+
+    "orc_roundtrip" ->
+      """SELECT o_orderpriority,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "embedding_near_dups" ->
       """WITH s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

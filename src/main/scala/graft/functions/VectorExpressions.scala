@@ -2,8 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftSqlShim
 import org.apache.spark.sql.functions.sqrt
@@ -81,11 +83,83 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Specialized self-dot-product: one array access per element instead
+  * of VecDot(a, a)'s two. Same accumulation order and arithmetic, so
+  * the result is bit-identical to the VecDot form it replaces — which
+  * is what lets [[VecSelfDotRule]] substitute it during optimization
+  * without touching any oracle. */
+case class VecSqNorm(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"vec_sq_norm requires array<float|double>, got $t")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "vec_sq_norm"
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val f = elemIsFloat
+    var s = 0.0
+    var i = 0
+    while (i < x.numElements()) {
+      val v = if (f) x.getFloat(i).toDouble else x.getDouble(i)
+      s += v * v
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acc = if (elemIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = (double)$a.$acc($i);
+         |  $s += $v * $v;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Catalyst optimizer rule (injected by graft.GraftExtensions):
+  * VecDot(a, b) with semantically-equal deterministic children becomes
+  * VecSqNorm(a). vec_norm — and through it every similarity operator —
+  * is written as sqrt(vec_dot(a, a)), so this rule halves the array
+  * accesses in the norm loop of every production plan while provably
+  * preserving results (identical accumulation, see VecSqNorm). The
+  * demo-grade instance of the pattern: engine-specific rewrites belong
+  * in a Rule[LogicalPlan], not hand-applied at call sites. */
+object VecSelfDotRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case VecDot(a, b) if a.deterministic && a.semanticEquals(b) => VecSqNorm(a)
+    }
+}
+
 object VectorFunctions {
   /** Codegen'd dot product of two array<float|double> columns. */
   def vec_dot(a: Column, b: Column): Column =
     GraftSqlShim.column(VecDot(GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
 
-  /** L2 norm via the same fused loop. */
+  /** L2 norm via the same fused loop. vec_norm(a) builds VecDot(a, a);
+    * [[VecSelfDotRule]] rewrites that to the single-access VecSqNorm
+    * when the extensions are installed. */
   def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))
 }

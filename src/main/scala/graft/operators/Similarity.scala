@@ -79,19 +79,21 @@ object Similarity {
     Array.tabulate(dim)(d => sm(p.toLong * dim + d).toDouble / Long.MaxValue.toDouble)
   }
 
+  /** Sign-LSH bucket key expression for one table's plane set. */
+  private def bucketKey(nPlanes: Int, dim: Int, tableId: Int): Column =
+    (0 until nPlanes).foldLeft(lit(0L)) { (acc, p) =>
+      val pl = plane(tableId * nPlanes + p, dim)
+      val proj = vec_dot(col("embedding"), array(pl.map(lit): _*))
+      acc.bitwiseOR(when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L)))
+    }
+
   /** Random-hyperplane (sign) LSH bucket key per vector: bit p of the
     * key is the sign of <v, plane_p>. Vectors in the same bucket are
     * near-duplicate candidates (cosine-LSH, Charikar 2002). `tableId`
     * selects an independent plane set, so L tables give L independent
     * candidate draws (tableId 0 = the original planes). */
-  def lshBuckets(emb: DataFrame, nPlanes: Int = 16, dim: Int = 64, tableId: Int = 0): DataFrame = {
-    val key = (0 until nPlanes).foldLeft(lit(0L)) { (acc, p) =>
-      val pl = plane(tableId * nPlanes + p, dim)
-      val proj = vec_dot(col("embedding"), array(pl.map(lit): _*))
-      acc.bitwiseOR(when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L)))
-    }
-    emb.select(col("vec_id"), col("embedding"), key.as("bucket"))
-  }
+  def lshBuckets(emb: DataFrame, nPlanes: Int = 16, dim: Int = 64, tableId: Int = 0): DataFrame =
+    emb.select(col("vec_id"), col("embedding"), bucketKey(nPlanes, dim, tableId).as("bucket"))
 
   /** The scale path for embedding near-dup pairs (the N² alternative to
     * cosineNearDupPairs): candidates are pairs co-bucketed in ANY of
@@ -107,12 +109,19 @@ object Similarity {
     * (s = 0.9, 16 planes, 4 tables ≈ 0.92). */
   def cosineNearDupPairsLsh(emb: DataFrame, minSim: Double = 0.4, nPlanes: Int = 4,
                             dim: Int = 64, nTables: Int = 8): DataFrame = {
-    val cand = (0 until nTables).map { t =>
-      val b = lshBuckets(emb, nPlanes, dim, t).select(col("vec_id"), col("bucket"))
-      b.as("x").join(b.as("y"),
-          col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
-    }.reduce(_ union _).distinct()
+    // all nTables bucket keys come out of ONE corpus scan (explode of a
+    // key array), and candidates come from ONE self-join on the
+    // composite (table, bucket) key — not nTables separate join
+    // subplans. Same pair set, one shuffle.
+    val keys = (0 until nTables).map(t =>
+      struct(lit(t).as("t"), bucketKey(nPlanes, dim, t).as("bucket")))
+    val b = emb.select(col("vec_id"), explode(array(keys: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val cand = b.as("x").join(b.as("y"),
+        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
     val e = emb.select(col("vec_id"), col("embedding"), vec_norm(col("embedding")).as("nrm"))
     cand
       .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("n_a")), "id_a")

@@ -93,4 +93,22 @@ object Windows {
       .agg(count(lit(1)).as("n_events"), dsum2(col("value")).as("sum_value"))
       .select(col("user_id"), col("win.start").as("session_start"), col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
+
+  /** Event-time interval join: every (purchase, click) pair of the same
+    * user with the click in the 30 minutes up to the purchase. Equi key
+    * (user_id) + time-range residual → one hash shuffle per side, no
+    * nested loop; the batch twin of the stream-stream join in
+    * graft.streaming.EventStreams (whose state-retention bound is this
+    * same interval). */
+  def purchasesWithRecentClicks(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+    purchases.join(clicks, col("c_user") === col("user_id")
+        && col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES")
+        && col("click_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
 }

@@ -68,6 +68,28 @@ object EventStreams {
       .select(col("user_id"), col("win.start").as("session_start"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join (same logical result as
+    * Windows.purchasesWithRecentClicks, which is its oracle): two
+    * filtered branches of one source, each watermarked, inner-joined on
+    * user_id with a 30-minute event-time range. The watermark + range
+    * condition bound both join-state buffers — click state is droppable
+    * once the watermark passes click_ts + 30 minutes, so state size
+    * tracks the interval, not the stream length. Inner join emits pairs
+    * as soon as both sides arrive (no eviction wait), so a bounded run
+    * converges to the batch answer exactly. */
+  def clickPurchaseJoin(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(clicks, col("c_user") === col("user_id")
+        && col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES")
+        && col("click_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double, props: String)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double,

@@ -64,6 +64,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(run() === run())
   }
 
+  test("VecSelfDotRule rewrites vec_dot(a, a) to vec_sq_norm with identical values") {
+    // parquet-backed source: a literal relation would be constant-folded
+    // away before the rewrite is observable in the optimized plan
+    val emb = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = emb.select(col("vec_id"), vec_dot(col("embedding"), col("embedding")).as("sq"))
+    // the injected optimizer rule must fire...
+    assert(df.queryExecution.optimizedPlan.toString.contains("vec_sq_norm"),
+      df.queryExecution.optimizedPlan.toString)
+    // ...and must not change the result (same fold order and arithmetic)
+    val rows = emb.limit(5).collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val got = df.where(col("vec_id").isin(rows.keys.toSeq: _*))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, v) =>
+      assert(got(id) === v.map(x => x.toDouble * x.toDouble).sum)
+    }
+    // genuinely different inputs keep the binary vec_dot
+    val ab = emb.select(vec_dot(col("embedding"), slice(col("embedding"), 1, 2)).as("d"))
+    val plan = ab.queryExecution.optimizedPlan.toString
+    assert(plan.contains("vec_dot") && !plan.contains("vec_sq_norm"), plan)
+  }
+
   test("lshBuckets: identical vectors share a bucket") {
     val b = Similarity.lshBuckets(vecs((1L, Seq(1f, 2f, 3f)), (2L, Seq(1f, 2f, 3f)),
       (3L, Seq(-1f, -2f, -3f))), nPlanes = 8, dim = 3)

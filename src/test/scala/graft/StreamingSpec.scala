@@ -103,6 +103,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateRows === Some(1L), s"expected only session D left in the store, got $stateRows")
   }
 
+  test("stream-stream interval join converges to the batch interval join") {
+    val dir = Files.createTempDirectory("graft-stream-ssj").toString
+    // purchases pair with same-user clicks <= 30 minutes before them:
+    // p2-c1 (10m apart), p4-c5 and p6-c5 (both 20m); c3 is 40m before
+    // p4 (no pair); user 2's purchase has no click at all
+    val mixed = Seq(
+      (1L, ts(0), 1L, "click", 1.0, ""), (2L, ts(10), 1L, "purchase", 2.0, ""),
+      (3L, ts(50), 1L, "click", 4.0, ""), (4L, ts(90), 1L, "purchase", 8.0, ""),
+      (5L, ts(70), 1L, "click", 16.0, ""), (6L, ts(90), 1L, "purchase", 32.0, ""),
+      (7L, ts(20), 2L, "purchase", 64.0, ""))
+    val df = mixed.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    df.where($"event_id" <= 3).coalesce(1).write.parquet(s"$dir/b0")
+    df.where($"event_id" > 3).coalesce(1).write.parquet(s"$dir/b1")
+    val streamed = EventStreams.clickPurchaseJoin(
+      EventStreams.readEventStream(spark, s"$dir/{b0,b1}"))
+    val q = streamed.writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssjoin_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Windows.purchasesWithRecentClicks(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(want === Set((2L, 1L, 1L), (4L, 5L, 1L), (6L, 5L, 1L)))
+  }
+
   test("mapGroupsWithState running totals match a direct fold") {
     val dir = Files.createTempDirectory("graft-stream2").toString
     writeBatches(dir)
