@@ -208,6 +208,30 @@ object SparkEntry {
           org.apache.spark.sql.streaming.OutputMode.Append())
         .orderBy("purchase_id", "click_id")
     }),
+    // streaming exact dedup: the source dir carries every event TWICE
+    // (a simulated at-least-once redelivery); the deduped stream must
+    // equal the single-copy batch table exactly
+    "streaming_dedup" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-src5").toString
+      t(s, d).events.coalesce(2).write.mode("overwrite").parquet(tmp)
+      t(s, d).events.coalesce(2).write.mode("append").parquet(tmp)
+      val deduped = EventStreams.dedupEvents(EventStreams.readEventStream(s, tmp))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      EventStreams.runToMemory(s, deduped, s"stream_dedup_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy("event_id")
+    }),
+    // partitioned parquet layout + partition pruning: only the matching
+    // o_orderpriority directory is scanned (SourcesSpec asserts the
+    // PartitionFilters reach the file index)
+    "partitioned_scan" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+      t(s, d).orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
+      s.read.parquet(tmp).where(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), graft.functions.dsum2(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
     // ORC source/sink round trip: parquet -> orc -> orc scan -> agg
     "orc_roundtrip" -> ((s, d) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
@@ -478,6 +502,16 @@ object SparkEntry {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.tsu >= p.tsu - INTERVAL '30 minutes' AND c.tsu <= p.tsu
         |ORDER BY purchase_id, click_id""".stripMargin,
+
+    "streaming_dedup" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "partitioned_scan" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "orc_roundtrip" ->
       """SELECT o_orderpriority,

@@ -90,6 +90,20 @@ object EventStreams {
       .select(col("purchase_id"), col("click_id"), col("user_id"))
   }
 
+  /** Streaming exact dedup on a key column: the streaming twin of
+    * Dedup.exactGroups for the at-ingest case (re-delivered files,
+    * at-least-once upstreams). First occurrence emits immediately
+    * (Append); the watermark bounds the key-state store — a key is
+    * forgotten once the watermark passes its event time plus the
+    * delay, so state tracks the re-delivery window, not stream
+    * history. Duplicates arriving INSIDE the window are dropped by
+    * state; rows arriving entirely behind the watermark are dropped as
+    * late — size the delay to the upstream's re-delivery horizon. */
+  def dedupEvents(events: DataFrame, keyCol: String = "event_id",
+                  watermark: String = "30 days"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double, props: String)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double,

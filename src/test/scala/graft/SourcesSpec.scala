@@ -37,6 +37,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(counts("spark") === 24)
   }
 
+  test("partitionBy layout: partition filter reaches the file index, only one dir scanned") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("graft-partlayout").toString
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    val pruned = spark.read.parquet(out).where(col("o_orderpriority") === "1-URGENT")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("1-URGENT"), plan)
+    // value check: pruned scan == full-table filter
+    val full = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .where(col("o_orderpriority") === "1-URGENT")
+    assert(pruned.count() === full.count() && pruned.count() > 0)
+  }
+
   test("partitioned sorted text sink: disjoint ownership, sorted parts, reference format") {
     val out = Files.createTempDirectory("graft-sink").toString + "/wc"
     val wc = TextOps.wordCount(TextCorpus.readDocuments(spark, mkCorpus()))

@@ -129,6 +129,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(want === Set((2L, 1L, 1L), (4L, 5L, 1L), (6L, 5L, 1L)))
   }
 
+  test("streaming dedup drops cross-batch redeliveries, keeps first occurrence") {
+    val dir = Files.createTempDirectory("graft-stream-dedup").toString
+    val drop1 = Seq((1L, ts(0), 1L, "click", 1.0, ""), (2L, ts(10), 1L, "view", 2.0, ""))
+    val drop2 = Seq((2L, ts(10), 1L, "view", 2.0, ""),   // redelivered
+                    (3L, ts(20), 2L, "click", 4.0, ""))
+    drop1.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/b0")
+    drop2.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/b1")
+    val deduped = EventStreams.dedupEvents(
+      EventStreams.readEventStream(spark, s"$dir/{b0,b1}"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dedup_out").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L)) // each id exactly once
+  }
+
   test("mapGroupsWithState running totals match a direct fold") {
     val dir = Files.createTempDirectory("graft-stream2").toString
     writeBatches(dir)
