@@ -137,6 +137,8 @@ object SparkEntry {
     "window_funcs" -> ((s, d) => Windows.perUserAnalytics(t(s, d).events)),
     "asof_join" -> ((s, d) => Windows.lastClickBeforePurchase(t(s, d).events)),
     "interval_join" -> ((s, d) => Windows.purchasesWithRecentClicks(t(s, d).events)),
+    "window_ranks" -> ((s, d) => Windows.perUserRanks(t(s, d).events)),
+    "json_props_agg" -> ((s, d) => Windows.propsKeyStats(t(s, d).events)),
     "tumbling_agg" -> ((s, d) => Windows.tumblingCounts(t(s, d).events)),
     "sliding_agg" -> ((s, d) => Windows.slidingCounts(t(s, d).events)),
     "session_agg" -> ((s, d) => Windows.sessionize(t(s, d).events)),
@@ -485,6 +487,20 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
         |SELECT event_id, user_id, prev_click_ts, prev_click_value FROM x
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "window_ranks" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tsu FROM events)
+        |SELECT event_id, user_id, dense_rank() OVER w AS drnk, ntile(4) OVER w AS nt,
+        | percent_rank() OVER w AS prank, cume_dist() OVER w AS cdist
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "json_props_agg" ->
+      """SELECT event_type, count(DISTINCT CAST(json_extract(props, '$.k') AS INTEGER)) AS n_k,
+        | CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        | min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+        | max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "interval_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu FROM events)

@@ -94,6 +94,36 @@ object Windows {
       .select(col("user_id"), col("win.start").as("session_start"), col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Ranking-function breadth: dense_rank / ntile / percent_rank /
+    * cume_dist per user. percent_rank and cume_dist are exact integer
+    * ratios evaluated in double, so they compare bit-equal across
+    * engines. */
+  def perUserRanks(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events.select(
+        col("event_id"), col("user_id"),
+        dense_rank().over(w).cast(LongType).as("drnk"),
+        ntile(4).over(w).cast(LongType).as("nt"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Semi-structured payloads: parse the JSON props column in-plan
+    * (from_json with an explicit schema — no inference pass) and
+    * aggregate the extracted field. The 100 TB shape for sparse JSON
+    * event payloads: schema-on-read projection, pushdown-friendly,
+    * no UDF. */
+  def propsKeyStats(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("k")).as("n_k"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
   /** Event-time interval join: every (purchase, click) pair of the same
     * user with the click in the 30 minutes up to the purchase. Equi key
     * (user_id) + time-range residual → one hash shuffle per side, no
