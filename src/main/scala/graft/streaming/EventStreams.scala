@@ -133,6 +133,73 @@ object EventStreams {
       }
   }
 
+  final case class OpenSession(startMicros: Long, lastMicros: Long, n: Long, cents: Long)
+  final case class ClosedSession(user_id: Long, session_start: Timestamp,
+                                 n_events: Long, sum_value: Double)
+
+  /** Hand-rolled session windows on flatMapGroupsWithState — the
+    * arbitrary-state API driving the same semantics session_window
+    * provides built-in (StreamingSpec proves they agree). The pattern to
+    * copy for custom state machines the built-ins CANNOT express:
+    *  - state = the one open session per user (bounded, independent of
+    *    stream length);
+    *  - in-batch events fold in event-time order, emitting every session
+    *    closed by a gap within the batch;
+    *  - the final open session registers an EVENT-TIME TIMEOUT at
+    *    lastTs + gap: when the watermark passes it, the group fires with
+    *    an empty iterator, the session emits, state clears.
+    * Money stays in integer cents inside state (exact merge order
+    * independence), widened to double only at emit. */
+  private def toMicros(t: Timestamp): Long =
+    t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+
+  private def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000000L * 1000L)
+    t.setNanos((us % 1000000L).toInt * 1000)
+    t
+  }
+
+  def sessionizeCustom(events: Dataset[Event], gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+          def close(s: OpenSession) = ClosedSession(
+            uid, fromMicros(s.startMicros), s.n, s.cents / 100.0)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
+            var open = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            sorted.foreach { e =>
+              val t = toMicros(e.ts)
+              val cents = math.rint(e.value * 100).toLong
+              open match {
+                case Some(s) if t - s.lastMicros < gapMicros =>
+                  open = Some(OpenSession(s.startMicros, t, s.n + 1, s.cents + cents))
+                case Some(s) =>
+                  closed += close(s)
+                  open = Some(OpenSession(t, t, 1L, cents))
+                case None =>
+                  open = Some(OpenSession(t, t, 1L, cents))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMicros / 1000L + gapMinutes * 60L * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Convenience: run a streaming DataFrame to completion against a
     * bounded source dir and return the final result via a named
     * in-memory sink table. */

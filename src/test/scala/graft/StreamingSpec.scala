@@ -129,6 +129,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(want === Set((2L, 1L, 1L), (4L, 5L, 1L), (6L, 5L, 1L)))
   }
 
+  test("flatMapGroupsWithState sessions agree with batch sessionize and close on event-time timeout") {
+    val dir = Files.createTempDirectory("graft-stream-fmgws").toString
+    def hm(h: Int, m: Int) = new Timestamp(1704067200000L + (h * 60L + m) * 60000L)
+    val all = Seq(
+      // b0: user 1 session A [00:00, 00:10]; user 2 has TWO sessions in
+      // one batch (00:00 and 01:00, gap > 30m) — the first must close
+      // in-batch without any timeout
+      Seq((1L, hm(0, 0), 1L, "click", 1.25, ""), (2L, hm(0, 10), 1L, "click", 2.0, ""),
+        (10L, hm(0, 0), 2L, "view", 0.75, ""), (11L, hm(1, 0), 2L, "view", 4.0, "")),
+      Seq((3L, hm(5, 0), 1L, "click", 8.0, "")),   // b1: session B
+      Seq((4L, hm(10, 0), 1L, "click", 16.0, "")), // b2: session C
+      Seq((5L, hm(15, 0), 1L, "click", 32.0, ""))) // b3: D stays open
+    all.zipWithIndex.foreach { case (evs, i) =>
+      evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/b$i")
+      import scala.jdk.CollectionConverters._
+      Files.walk(java.nio.file.Paths.get(s"$dir/b$i")).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .foreach(p => p.toFile.setLastModified(1700000000000L + i * 1000L))
+    }
+    val input = EventStreams.readEventStream(spark, s"$dir/b*").as[EventStreams.Event]
+    val q = EventStreams.sessionizeCustom(input).toDF()
+      .writeStream.format("memory").queryName("fmgws_sessions")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("fmgws_sessions")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+    // batch twin over the same events, minus the one still-open session
+    // (D @ 15:00 — its timeout is past the final watermark)
+    val df = all.flatten.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val want = Windows.sessionize(df)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      .filterNot { case (u, start, _, _) => u == 1L && start == hm(15, 0) }.toSet
+    assert(got === want)
+    assert(got.size === 5) // A, B, C + user 2's two sessions, each exactly once
+  }
+
   test("streaming dedup drops cross-batch redeliveries, keeps first occurrence") {
     val dir = Files.createTempDirectory("graft-stream-dedup").toString
     val drop1 = Seq((1L, ts(0), 1L, "click", 1.0, ""), (2L, ts(10), 1L, "view", 2.0, ""))
