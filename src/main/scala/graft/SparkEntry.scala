@@ -48,6 +48,14 @@ object SparkEntry {
     "theta_join" -> ((s, d) => Relational.lateShipments(t(s, d))),
     "range_join" -> ((s, d) => Relational.priceBandCounts(t(s, d))),
     "approx_distinct" -> ((s, d) => Relational.approxDistincts(t(s, d).lineitem)),
+    // sketch-based percentiles (rows-only by design, like approx_distinct:
+    // the sketch is engine-specific; the exact twin is `percentiles`)
+    "approx_percentiles" -> ((s, d) => t(s, d).orders
+      .groupBy(col("o_orderstatus"))
+      .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_approx"),
+        percentile_approx(col("o_totalprice"), lit(0.99), lit(1000)).as("p99_approx"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))),
     "pivot_agg" -> ((s, d) => Relational.pivotReturnFlagQty(t(s, d).lineitem)),
     "unpivot_long" -> ((s, d) => Relational.unpivotLineitemMeasures(t(s, d).lineitem)),
     // correlated scalar subquery through the SQL surface: orders priced
@@ -147,6 +155,12 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exactGroups(t(s, d).documents).orderBy("keep_id")),
     "dedup_hash" -> ((s, d) => Dedup.hashGroups(t(s, d).documents).orderBy("h")),
     "near_dup_jaccard" -> ((s, d) => Dedup.nearestByJaccard(t(s, d).documents).orderBy("doc_id")),
+    // connected components over J >= 0.3 pairs: canonical doc per cluster
+    "dedup_clusters" -> ((s, d) => {
+      val docs = t(s, d).documents
+      val pairs = Dedup.jaccardPairs(docs).where(col("jaccard") >= 0.3)
+      Dedup.nearDupClusters(pairs, docs).orderBy("doc_id")
+    }),
     "minhash_near_dups" -> ((s, d) =>
       Dedup.minhashNearDups(t(s, d).documents, minJaccard = 0.3).orderBy("doc_a", "doc_b")),
     "simhash" -> ((s, d) => Dedup.simhash(t(s, d).documents).orderBy("doc_id")),
@@ -639,6 +653,29 @@ object SparkEntry {
         | r AS (SELECT doc_id, other_id, jaccard,
         |        row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, other_id) AS rn FROM sym)
         |SELECT doc_id, other_id, jaccard FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // same capped-shingle Jaccard pipeline as near_dup_jaccard, then
+    // min-label transitive closure via a recursive CTE
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS l FROM documents),
+        | pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM toks WHERE len(l) >= 3),
+        | sh0 AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle FROM pos),
+        | rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 10),
+        | sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
+        | cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        | inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |            GROUP BY a.doc_id, b.doc_id),
+        | j AS (SELECT doc_a, doc_b, inter / (ca.n_sh + cb.n_sh - inter) AS jaccard
+        |        FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b),
+        | e AS (SELECT doc_a AS src, doc_b AS dst FROM j WHERE jaccard >= 0.3
+        |       UNION ALL SELECT doc_b AS src, doc_a AS dst FROM j WHERE jaccard >= 0.3),
+        | reach(doc_id, label) AS (
+        |   SELECT doc_id, doc_id FROM documents
+        |   UNION
+        |   SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.doc_id
+        | )
+        |SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id % 50 = 0),

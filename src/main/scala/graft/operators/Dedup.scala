@@ -222,6 +222,49 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
+  // Near-dup clusters (connected components)
+  // ---------------------------------------------------------------
+
+  /** Connected components over a near-dup pair table: every document
+    * gets the MINIMUM doc_id of its cluster as cluster_id (singletons
+    * keep their own id), which is exactly the "keep one canonical doc
+    * per duplicate cluster" step a dedup pipeline ends with —
+    * pairwise similarity alone over-deletes (a~b, b~c must collapse to
+    * ONE cluster even when a~c was never scored).
+    *
+    * Iterative min-label propagation: each round joins labels across
+    * edges and keeps the elementwise minimum; converges in
+    * O(component diameter) rounds — near-dup clusters are shallow
+    * (boilerplate families), so this is 2-4 rounds in practice. Each
+    * round is one equi-join + one aggregate, localCheckpoint'ed so the
+    * lineage (and the plan Catalyst must codegen) stays flat. The
+    * driver-side loop only reads the CHANGED count (an aggregate, not
+    * the data); at extreme diameters switch to the large-star/
+    * small-star formulation (Kiveris et al., "Connected Components in
+    * MapReduce", SOCC 2014) — same join shape, fewer rounds. */
+  def nearDupClusters(pairs: DataFrame, docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = docs.select(col(idCol).as("doc_id"), col(idCol).as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val nbr = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(nbr, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "old_label"), "doc_id")
+        .where(col("label") =!= col("old_label")).count()
+      labels = next
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  // ---------------------------------------------------------------
   // SimHash
   // ---------------------------------------------------------------
 

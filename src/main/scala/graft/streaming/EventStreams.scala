@@ -200,6 +200,22 @@ object EventStreams {
       }
   }
 
+  /** foreachBatch parquet sink with replay-idempotence: each micro-batch
+    * overwrites its OWN batch_id=<n> directory, so a batch re-delivered
+    * after a failure overwrites instead of appending duplicates — the
+    * standard exactly-once recipe for sinks without transactional
+    * commit. Read the target back with spark.read.parquet(outDir)
+    * (batch_id becomes a partition column). */
+  def runToParquet(streamed: DataFrame, outDir: String): Unit = {
+    val q = streamed.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Convenience: run a streaming DataFrame to completion against a
     * bounded source dir and return the final result via a named
     * in-memory sink table. */

@@ -58,4 +58,14 @@ class DedupSpec extends AnyFunSuite {
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(m(0L), m(2L)) < hamming(m(0L), m(3L)))
   }
+
+  test("nearDupClusters: transitive closure over pairs, singletons keep their id") {
+    // chain 1-2, 2-3 must collapse to ONE cluster even though (1,3) was
+    // never scored; 5-6 a second cluster; 4 and 7 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val ids = (1L to 7L).toDF("doc_id")
+    val got = Dedup.nearDupClusters(pairs, ids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
 }

@@ -184,6 +184,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq === Seq(1L, 2L, 3L)) // each id exactly once
   }
 
+  test("foreachBatch parquet sink lands every micro-batch exactly once") {
+    val dir = Files.createTempDirectory("graft-stream-fb").toString
+    writeBatches(dir)
+    val out = Files.createTempDirectory("graft-fb-out").toString
+    EventStreams.runToParquet(
+      EventStreams.readEventStream(spark, s"$dir/{b0,b1,b2}"), out)
+    val landed = spark.read.parquet(out)
+    assert(landed.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      === events.map(_._1).sorted)
+    // multi-batch source really produced multiple batch_id partitions
+    assert(landed.select("batch_id").distinct().count() === 3)
+  }
+
   test("mapGroupsWithState running totals match a direct fold") {
     val dir = Files.createTempDirectory("graft-stream2").toString
     writeBatches(dir)
