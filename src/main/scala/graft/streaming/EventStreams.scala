@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 import graft.functions._
 
@@ -131,6 +131,38 @@ object EventStreams {
           state.update(next)
           next
       }
+  }
+
+  /** The Spark 4 arbitrary-state API (transformWithState): typed state
+    * handles (value/list/map, optional TTL) and timers over a
+    * RocksDB-backed store — the successor to mapGroupsWithState. This
+    * processor reproduces runningPerUser's fold through a ValueState
+    * handle so StreamingSpec can assert the two APIs agree exactly.
+    * Requires the RocksDB state store provider
+    * (spark.sql.streaming.stateStore.providerClass). */
+  class RunningTotalsProcessor extends StatefulProcessor[Long, Event, UserRunning] {
+    @transient private var totals: ValueState[UserRunning] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserRunning]("totals",
+        org.apache.spark.sql.Encoders.product[UserRunning], TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[UserRunning] = {
+      val prev = if (totals.exists()) totals.get() else UserRunning(uid, 0L, 0.0, "")
+      val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
+      val next = sorted.foldLeft(prev) { (acc, e) =>
+        UserRunning(uid, acc.n_events + 1,
+          (math.rint(acc.total_value * 100) + math.rint(e.value * 100)) / 100,
+          e.event_type)
+      }
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningPerUserTws(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   final case class OpenSession(startMicros: Long, lastMicros: Long, n: Long, cents: Long)

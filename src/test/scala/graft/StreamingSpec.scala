@@ -184,6 +184,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq === Seq(1L, 2L, 3L)) // each id exactly once
   }
 
+  test("transformWithState running totals agree with the mapGroupsWithState fold") {
+    val dir = Files.createTempDirectory("graft-stream-tws").toString
+    writeBatches(dir)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = EventStreams.readEventStream(spark, s"$dir/{b0,b1,b2}")
+        .as[EventStreams.Event]
+      val q = EventStreams.runningPerUserTws(input).toDF()
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode(OutputMode.Update()).start()
+      q.processAllAvailable(); q.stop()
+      val finals = spark.table("tws_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._2) }.toSet
+      assert(finals === Set((100L, 3L, 7.0), (200L, 2L, 24.0)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("foreachBatch parquet sink lands every micro-batch exactly once") {
     val dir = Files.createTempDirectory("graft-stream-fb").toString
     writeBatches(dir)
