@@ -57,6 +57,22 @@ object SparkEntry {
         count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus"))),
     "pivot_agg" -> ((s, d) => Relational.pivotReturnFlagQty(t(s, d).lineitem)),
+    // ordered string aggregation (listagg): deterministic via sort_array
+    "string_agg" -> ((s, d) => t(s, d).nation
+      .groupBy(col("n_regionkey").cast("int").as("regionkey"))
+      .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("names"),
+        count(lit(1)).as("n"))
+      .orderBy(col("regionkey"))),
+    // array-function breadth over tokenized documents: distinct, sort,
+    // slice, join — all codegen'd builtins
+    "array_funcs" -> ((s, d) => t(s, d).documents
+      .select(col("doc_id"),
+        array_sort(array_distinct(
+          filter(split(col("text"), "\\s+"), x => length(x) > 0))).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_distinct"),
+        concat_ws("|", slice(col("toks"), 1, 3)).as("first3"))
+      .orderBy(col("doc_id"))),
     "unpivot_long" -> ((s, d) => Relational.unpivotLineitemMeasures(t(s, d).lineitem)),
     // correlated scalar subquery through the SQL surface: orders priced
     // 1.5x above their customer's average (exact decimal avg on both
@@ -393,6 +409,19 @@ object SparkEntry {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY s_name""".stripMargin,
+
+    "string_agg" ->
+      """SELECT CAST(n_regionkey AS INTEGER) AS regionkey,
+        | string_agg(n_name, ',' ORDER BY n_name) AS names, count(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY regionkey""".stripMargin,
+
+    "array_funcs" ->
+      """WITH tk AS (SELECT doc_id,
+        |  list_sort(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0))) AS toks
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_distinct,
+        | array_to_string(toks[1:3], '|') AS first3
+        |FROM tk ORDER BY doc_id""".stripMargin,
 
     "pivot_agg" ->
       """SELECT l_linestatus,
