@@ -187,6 +187,9 @@ object SparkEntry {
     }),
     "lsh_topk" -> ((s, d) => Similarity.lshTopK(t(s, d).embeddings).orderBy("q_id", "rank")),
     "ivf_topk" -> ((s, d) => Similarity.ivfTopK(t(s, d).embeddings).orderBy("q_id", "rank")),
+    // product-quantization ANN (rows-only: approximate by design;
+    // recall vs brute force asserted in SimilaritySpec)
+    "pq_topk" -> ((s, d) => Similarity.pqTopK(t(s, d).embeddings).orderBy("q_id", "rank")),
     "embedding_near_dups" -> ((s, d) =>
       Similarity.cosineNearDupPairs(t(s, d).embeddings).orderBy("id_a", "id_b")),
     // approximate (LSH-bucketed) variant — rows-only by design; recall

@@ -185,6 +185,67 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id"), round(col("sim"), 4).as("sim_r"))
   }
 
+  /** Product-quantization ANN (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", PAMI 2011): the embedding is split into
+    * `m` subspaces, each quantized to one of `kCent` centroids, so a
+    * vector compresses to m small codes (m bytes at kCent <= 256) —
+    * at 100 TB this is what makes the index fit: 256-byte float
+    * vectors become 8-byte codes, and query scoring touches ONLY the
+    * codes (asymmetric distance: per query, an m x kCent table of
+    * subspace dot products is built once, then every corpus vector
+    * costs m table lookups instead of a full dim-wide dot product).
+    *
+    * Fully relational and deterministic: centroids are the first kCent
+    * stride-sampled vectors (the same reproducible-quantizer tradeoff
+    * as ivfTopK — production would k-means|| them), encoding is a
+    * broadcast join + max_by argmin, scoring is zip_with table lookups.
+    * No driver-side collect anywhere. */
+  def pqTopK(emb: DataFrame, step: Int = 50, m: Int = 8, kCent: Int = 16,
+             dim: Int = 64, qStride: Int = 50, k: Int = 10): DataFrame = {
+    val subDim = dim / m
+    require(m * subDim == dim, s"m=$m must divide dim=$dim")
+    def subspaces(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"), slice(col("embedding"), j * subDim + 1, subDim).as("sub"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.j").as("j"), col("s.sub").as("sub"))
+    val cents = emb.where(col("vec_id") % step === 0 && col("vec_id") < step.toLong * kCent)
+      .select((col("vec_id") / step).cast("int").as("code"), col("embedding"))
+      .select(col("code"), explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"), slice(col("embedding"), j * subDim + 1, subDim).as("sub"))): _*)).as("s"))
+      .select(col("s.j").as("j"), col("code"), col("s.sub").as("cent_sub"))
+    // encode: per (vector, subspace) the argmin-distance centroid code;
+    // |s - c|^2 = |s|^2 - 2 s·c + |c|^2 and |s|^2 is constant per
+    // (vector, subspace), so argmin over (-2 s·c + |c|^2) suffices
+    val codes = subspaces(emb).join(broadcast(cents), "j")
+      .select(col("vec_id"), col("j"), col("code"),
+        (vec_dot(col("sub"), col("cent_sub")) * -2.0 +
+          vec_dot(col("cent_sub"), col("cent_sub"))).as("d"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(max(struct((lit(0.0) - col("d")).as("negd"), (-col("code")).as("negc"), col("code"))).as("best"))
+      .select(col("vec_id"), col("j"), col("best.code").as("code"))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, code))), s -> s.code)").as("codes"))
+    // per query: the m x kCent asymmetric-distance table of subspace dots
+    val qtab = subspaces(emb.where(col("vec_id") % qStride === 0))
+      .join(broadcast(cents), "j")
+      .select(col("vec_id").as("q_id"), col("j"), col("code"),
+        vec_dot(col("sub"), col("cent_sub")).as("dot"))
+      .groupBy(col("q_id"), col("j"))
+      .agg(expr("transform(array_sort(collect_list(struct(code, dot))), s -> s.dot)").as("dots"))
+      .groupBy(col("q_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, dots))), s -> s.dots)").as("tables"))
+    // ADC scoring: sim(q, v) ≈ Σ_j tables[j][codes[j]] (normalized data:
+    // the quantized dot product approximates cosine)
+    val scored = codes.crossJoin(broadcast(qtab))
+      .where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        expr("aggregate(zip_with(tables, codes, (t, c) -> element_at(t, c + 1)), 0D, (acc, x) -> acc + x)").as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("c_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), round(col("sim"), 4).as("sim_r"))
+  }
+
   /** Bucketed ANN: exact cosine ranking within LSH buckets only —
     * the scale path that avoids the full cross product. Recall is
     * tunable via nPlanes (fewer planes = bigger buckets = higher

@@ -57,6 +57,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall over ${exact.size} exact pairs")
   }
 
+  test("pqTopK recall vs brute force on real embeddings") {
+    val emb = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") % 10 === 0), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = Similarity.pqTopK(emb, step = 10, qStride = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(pq).size.toDouble / exact.size
+    info(s"PQ recall@5: $recall over ${exact.size} exact pairs")
+    // 16 stride-sampled centroids per subspace (not k-means): a coarse
+    // code book, so the bar is modest — but it must beat chance by far
+    assert(recall > 0.15, s"recall $recall")
+    assert(pq.nonEmpty)
+  }
+
   test("ivfTopK argmax assignment is deterministic across runs") {
     val emb = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val run = () => Similarity.ivfTopK(emb, step = 10, nProbe = 3, k = 5)
