@@ -20,5 +20,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => VecSelfDotRule)
+    ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
   }
 }

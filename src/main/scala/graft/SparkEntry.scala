@@ -44,6 +44,15 @@ object SparkEntry {
     "agg_stats" -> ((s, d) => Relational.customerStats(t(s, d).customer)),
     "set_ops" -> ((s, d) => Relational.nationSetOps(t(s, d))),
     "topk_orders" -> ((s, d) => Relational.topOrdersByPrice(t(s, d).orders)),
+    // custom whole-operator path: GroupedTopKNode -> strategy ->
+    // two-phase heap exec (see graft.plans.GroupedTopK); same result
+    // as the row_number window the oracle uses
+    "grouped_topk" -> ((s, d) => {
+      graft.plans.GroupedTopK.topKPerKey(
+          t(s, d).orders.select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice")),
+          Seq("o_orderstatus"), Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3)
+        .orderBy(col("o_orderstatus"), desc("o_totalprice"), asc("o_orderkey"))
+    }),
     "full_outer_join" -> ((s, d) => Relational.nationPresence(t(s, d))),
     "theta_join" -> ((s, d) => Relational.lateShipments(t(s, d))),
     "range_join" -> ((s, d) => Relational.priceBandCounts(t(s, d))),
@@ -406,6 +415,13 @@ object SparkEntry {
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+
+    "grouped_topk" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice FROM (
+        | SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders)
+        |WHERE rn <= 3 ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""".stripMargin,
 
     "salted_join" ->
       """SELECT s_name, count(*) AS n_items,

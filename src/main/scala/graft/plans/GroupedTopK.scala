@@ -1,0 +1,104 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlShim}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Grouped top-k as a first-class operator: the top `k` rows per key
+  * under an explicit ordering — the query every leaderboard / "best n
+  * per group" pipeline writes as `row_number().over(window) <= k`.
+  *
+  * The window formulation SORTS every group in full (a per-partition
+  * sort of the whole input after the shuffle). This operator keeps a
+  * bounded k-row heap per key instead, in two phases:
+  *   partial (map side, before any exchange): each input partition
+  *     reduces to at most k rows per key it has seen — correct because
+  *     topK(A ∪ B) = topK(topK(A) ∪ topK(B));
+  *   final: requires ClusteredDistribution(keys) (Catalyst inserts the
+  *     hash exchange), merges the partial heaps, emits each key's rows
+  *     in sort order.
+  * So the shuffle moves at most k rows per (partition, key) and nothing
+  * is ever fully sorted — O(n log k) per partition vs the window's
+  * O(n log n), and bounded memory regardless of group size.
+  *
+  * The whole stack — logical node, planner strategy, two physical
+  * operators — registers through SparkSessionExtensions
+  * (graft.GraftExtensions), the pattern for whole-operator semantics
+  * the built-in operators cannot express (SURVEY.md §2.10 / builder
+  * contract option (c)).
+  */
+case class GroupedTopKNode(k: Int, keys: Seq[Attribute], ordering: Seq[SortOrder],
+                           child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
+    copy(child = newChild)
+}
+
+case class GroupedTopKExec(k: Int, keys: Seq[Attribute], ordering: Seq[SortOrder],
+                           partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil else ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    // locals only: the closure must not capture `this` (SparkPlans are
+    // not serializable), and projections are built per-partition on the
+    // executor (UnsafeProjection is not serializable either)
+    val kk = k
+    val keyExprs = keys
+    val ordExprs = ordering
+    val childOutput = child.output
+    child.execute().mapPartitions { it =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val rowOrd = new LazilyGeneratedOrdering(ordExprs, childOutput)
+      // per key: a max-heap under the sort order, so the WORST retained
+      // row is on top and evicts first — classic bounded top-k
+      val heaps = scala.collection.mutable.HashMap.empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+      it.foreach { row =>
+        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
+          scala.collection.mutable.PriorityQueue.empty[InternalRow](rowOrd))
+        if (heap.size < kk) heap.enqueue(row.copy())
+        else if (rowOrd.compare(row, heap.head) < 0) { heap.dequeue(); heap.enqueue(row.copy()) }
+      }
+      heaps.valuesIterator.flatMap(h => h.dequeueAll.reverseIterator)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}
+
+/** Plans GroupedTopKNode as partial → (exchange from the distribution
+  * requirement) → final. */
+object GroupedTopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GroupedTopKNode(k, keys, ordering, child) =>
+      GroupedTopKExec(k, keys, ordering, partial = false,
+        GroupedTopKExec(k, keys, ordering, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+object GroupedTopK {
+  /** Top `k` rows per `keyCols` ordered by `orderCols` (name →
+    * descending?). Ties broken by the later order columns — supply a
+    * unique tie-break for deterministic output, exactly as with
+    * row_number. */
+  def topKPerKey(df: DataFrame, keyCols: Seq[String], orderCols: Seq[(String, Boolean)],
+                 k: Int): DataFrame = {
+    val lp = df.queryExecution.analyzed
+    def attr(n: String): Attribute = lp.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"no column $n in ${lp.output.map(_.name)}"))
+    val ordering = orderCols.map { case (n, desc) =>
+      SortOrder(attr(n), if (desc) Descending else Ascending)
+    }
+    GraftSqlShim.ofRows(df.sparkSession,
+      GroupedTopKNode(k, keyCols.map(attr), ordering, lp))
+  }
+}
