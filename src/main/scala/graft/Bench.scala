@@ -33,10 +33,19 @@ object Bench {
       fn(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }
-    // best-of-2: the host shows multi-second steal-time spikes; the
-    // min of two executions is the better steady-state estimator
+    // best-of-2 with an adaptive third run: the host shows multi-second
+    // steal-time spikes that can swallow BOTH samples of a sub-second
+    // query (observed: 29s recorded for a 1.5s-isolated wordcount). If
+    // the two samples disagree by >3x, a spike hit one of them — take a
+    // third and keep the min.
     def bestOf2(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
-      try math.min(time(fn), time(fn)) catch { case _: Throwable => -1.0 }
+      try {
+        val a = time(fn); val b = time(fn)
+        val (lo, hi) = (math.min(a, b), math.max(a, b))
+        // retry when the samples disagree (spike hit one) OR both are
+        // slow in absolute terms (a long spike can cover both)
+        if (hi > 3 * lo || lo > 10.0) math.min(lo, time(fn)) else lo
+      } catch { case _: Throwable => -1.0 }
     val results = ordered.map { case (name, fn) => name -> bestOf2(fn) }.toMap
     // In-session degradation sentinel (BENCH_r01 recorded 95s for a
     // query that re-measures at 1.35s in a fresh session): re-time the
