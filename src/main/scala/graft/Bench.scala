@@ -62,7 +62,7 @@ object Bench {
     // silently reported.
     val sentinel = ordered.headOption.map { case (name, fn) =>
       val before = results(name)
-      val after = bestOf2(fn)
+      val after = math.min(timeSafe(fn), timeSafe(fn))
       val ratio = if (before > 0 && after > 0) after / before else -1.0
       s""""sentinel":{"query":"$name","before":$before,"after":$after,"ratio":$ratio,"degraded":${ratio > 3.0}},"""
     }.getOrElse("")
