@@ -51,7 +51,11 @@ object Bench {
         if (a < 0 || b < 0) math.min(a, b)
         else {
           val (lo, hi) = (math.min(a, b), math.max(a, b))
-          if (hi > 3 * lo || lo > 10.0) math.min(lo, timeSafe(fn)) else lo
+          if (hi > 3 * lo || lo > 10.0) {
+            // a failed re-sample must not discard two good measurements
+            val c = timeSafe(fn)
+            if (c < 0) lo else math.min(lo, c)
+          } else lo
         }
       name -> best
     }.toMap

@@ -259,7 +259,10 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory("graft-stream-src5").toString
       t(s, d).events.coalesce(2).write.mode("overwrite").parquet(tmp)
       t(s, d).events.coalesce(2).write.mode("append").parquet(tmp)
-      val deduped = EventStreams.dedupEvents(EventStreams.readEventStream(s, tmp))
+      // delay >> the corpus's ~30-day span: nothing may be dropped as
+      // late, or the exact-equality oracle breaks
+      val deduped = EventStreams.dedupEvents(EventStreams.readEventStream(s, tmp),
+        watermark = "365 days")
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       EventStreams.runToMemory(s, deduped, s"stream_dedup_${System.nanoTime()}",
           org.apache.spark.sql.streaming.OutputMode.Append())
@@ -289,6 +292,16 @@ object SparkEntry {
 
   /** The C-ispunct character class, RE2 spelling, for the DuckDB twins. */
   private val P = "[!-/:-@\\[-`{-~]"
+
+  /** One oracle for both the batch and the streaming interval join —
+    * the streaming pipeline must converge to the identical answer. */
+  private val IntervalJoinSql =
+    """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu FROM events)
+      |SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+      |FROM e p JOIN e c ON c.user_id = p.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND c.tsu >= p.tsu - INTERVAL '30 minutes' AND c.tsu <= p.tsu
+      |ORDER BY purchase_id, click_id""".stripMargin
 
   /** Shared token-pipeline CTE for the wordcount family. */
   private val W =
@@ -564,22 +577,11 @@ object SparkEntry {
         | max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
-    "interval_join" ->
-      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu FROM events)
-        |SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
-        |FROM e p JOIN e c ON c.user_id = p.user_id
-        | AND p.event_type = 'purchase' AND c.event_type = 'click'
-        | AND c.tsu >= p.tsu - INTERVAL '30 minutes' AND c.tsu <= p.tsu
-        |ORDER BY purchase_id, click_id""".stripMargin,
+    "interval_join" -> IntervalJoinSql,
 
-    // the stream-stream join converges to the identical batch answer
-    "streaming_interval_join" ->
-      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu FROM events)
-        |SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
-        |FROM e p JOIN e c ON c.user_id = p.user_id
-        | AND p.event_type = 'purchase' AND c.event_type = 'click'
-        | AND c.tsu >= p.tsu - INTERVAL '30 minutes' AND c.tsu <= p.tsu
-        |ORDER BY purchase_id, click_id""".stripMargin,
+    // the stream-stream join converges to the identical batch answer,
+    // so it shares the literal same oracle
+    "streaming_interval_join" -> IntervalJoinSql,
 
     "streaming_dedup" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value

@@ -208,11 +208,13 @@ object Similarity {
       .select(col("vec_id"), explode(array((0 until m).map(j =>
         struct(lit(j).as("j"), slice(col("embedding"), j * subDim + 1, subDim).as("sub"))): _*)).as("s"))
       .select(col("vec_id"), col("s.j").as("j"), col("s.sub").as("sub"))
-    val cents = emb.where(col("vec_id") % step === 0 && col("vec_id") < step.toLong * kCent)
-      .select((col("vec_id") / step).cast("int").as("code"), col("embedding"))
-      .select(col("code"), explode(array((0 until m).map(j =>
-        struct(lit(j).as("j"), slice(col("embedding"), j * subDim + 1, subDim).as("sub"))): _*)).as("s"))
-      .select(col("s.j").as("j"), col("code"), col("s.sub").as("cent_sub"))
+    // code books reuse the same subspace slicing as corpus/query
+    // encoding — the two MUST agree or codes and tables silently
+    // mismatch; "vec_id" here is the centroid code
+    val cents = subspaces(
+        emb.where(col("vec_id") % step === 0 && col("vec_id") < step.toLong * kCent)
+          .select((col("vec_id") / step).cast("int").as("vec_id"), col("embedding")))
+      .select(col("j"), col("vec_id").cast("int").as("code"), col("sub").as("cent_sub"))
     // encode: per (vector, subspace) the argmin-distance centroid code;
     // |s - c|^2 = |s|^2 - 2 s·c + |c|^2 and |s|^2 is constant per
     // (vector, subspace), so argmin over (-2 s·c + |c|^2) suffices

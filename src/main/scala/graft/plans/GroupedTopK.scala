@@ -24,7 +24,11 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   *     in sort order.
   * So the shuffle moves at most k rows per (partition, key) and nothing
   * is ever fully sorted — O(n log k) per partition vs the window's
-  * O(n log n), and bounded memory regardless of group size.
+  * O(n log n). Memory is bounded per GROUP (k rows), not per partition:
+  * a partition holds k rows for every distinct key it sees, with no
+  * spill — right when k x |keys-per-partition| rows fit in memory
+  * (leaderboards, per-segment rankings); for extreme key cardinality
+  * prefer the window formulation, whose sort spills to disk.
   *
   * The whole stack — logical node, planner strategy, two physical
   * operators — registers through SparkSessionExtensions
@@ -61,8 +65,14 @@ case class GroupedTopKExec(k: Int, keys: Seq[Attribute], ordering: Seq[SortOrder
       // row is on top and evicts first — classic bounded top-k
       val heaps = scala.collection.mutable.HashMap.empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
       it.foreach { row =>
-        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-          scala.collection.mutable.PriorityQueue.empty[InternalRow](rowOrd))
+        val keyRow = keyProj(row) // reused buffer: copy only on first insert
+        val heap = heaps.get(keyRow) match {
+          case Some(h) => h
+          case None =>
+            val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](rowOrd)
+            heaps.put(keyRow.copy(), h)
+            h
+        }
         if (heap.size < kk) heap.enqueue(row.copy())
         else if (rowOrd.compare(row, heap.head) < 0) { heap.dequeue(); heap.enqueue(row.copy()) }
       }

@@ -169,19 +169,6 @@ object EventStreams {
   final case class ClosedSession(user_id: Long, session_start: Timestamp,
                                  n_events: Long, sum_value: Double)
 
-  /** Hand-rolled session windows on flatMapGroupsWithState — the
-    * arbitrary-state API driving the same semantics session_window
-    * provides built-in (StreamingSpec proves they agree). The pattern to
-    * copy for custom state machines the built-ins CANNOT express:
-    *  - state = the one open session per user (bounded, independent of
-    *    stream length);
-    *  - in-batch events fold in event-time order, emitting every session
-    *    closed by a gap within the batch;
-    *  - the final open session registers an EVENT-TIME TIMEOUT at
-    *    lastTs + gap: when the watermark passes it, the group fires with
-    *    an empty iterator, the session emits, state clears.
-    * Money stays in integer cents inside state (exact merge order
-    * independence), widened to double only at emit. */
   private def toMicros(t: Timestamp): Long =
     t.getTime / 1000L * 1000000L + t.getNanos / 1000L
 
@@ -191,44 +178,56 @@ object EventStreams {
     t
   }
 
+  /** Hand-rolled session windows on flatMapGroupsWithState — the
+    * arbitrary-state API driving the same semantics session_window
+    * provides built-in (StreamingSpec proves they agree, including for
+    * out-of-order in-watermark arrivals). The pattern to copy for
+    * custom state machines the built-ins CANNOT express:
+    *  - state = the OPEN session intervals per user (session_window's
+    *    state has the same shape: a late-but-admitted event can open an
+    *    EARLIER interval or bridge two existing ones, so one "current"
+    *    session is not enough);
+    *  - each batch turns events into unit sessions, merges everything
+    *    within `gap` in one sorted linear pass, and emits the sessions
+    *    the watermark has already sealed;
+    *  - the remaining open sessions register an EVENT-TIME TIMEOUT at
+    *    the earliest lastTs + gap; when the watermark passes it, the
+    *    group fires with an empty iterator and the same seal logic
+    *    drains whatever expired.
+    * Money stays in integer cents inside state (exact merge-order
+    * independence), widened to double only at emit. */
   def sessionizeCustom(events: Dataset[Event], gapMinutes: Int = 30): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     val gapMicros = gapMinutes * 60L * 1000000L
     events
       .withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, ClosedSession](
+      .flatMapGroupsWithState[List[OpenSession], ClosedSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (uid: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
-          def close(s: OpenSession) = ClosedSession(
-            uid, fromMicros(s.startMicros), s.n, s.cents / 100.0)
-          if (state.hasTimedOut) {
-            val out = state.getOption.map(close).toSeq
-            state.remove()
-            out.iterator
-          } else {
-            val sorted = batch.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
-            var open = state.getOption
-            val closed = Seq.newBuilder[ClosedSession]
-            sorted.foreach { e =>
-              val t = toMicros(e.ts)
-              val cents = math.rint(e.value * 100).toLong
-              open match {
-                case Some(s) if t - s.lastMicros < gapMicros =>
-                  open = Some(OpenSession(s.startMicros, t, s.n + 1, s.cents + cents))
-                case Some(s) =>
-                  closed += close(s)
-                  open = Some(OpenSession(t, t, 1L, cents))
-                case None =>
-                  open = Some(OpenSession(t, t, 1L, cents))
-              }
-            }
-            open.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.lastMicros / 1000L + gapMinutes * 60L * 1000L)
-            }
-            closed.result().iterator
+        (uid: Long, batch: Iterator[Event], state: GroupState[List[OpenSession]]) =>
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val incoming = batch.toSeq.map { e =>
+            val t = toMicros(e.ts)
+            OpenSession(t, t, 1L, math.rint(e.value * 100).toLong)
           }
+          val all = (state.getOption.getOrElse(Nil) ++ incoming)
+            .sortBy(s => (s.startMicros, s.lastMicros))
+          val merged = all.foldLeft(List.empty[OpenSession]) { (acc, s) =>
+            acc match {
+              case h :: t if s.startMicros <= h.lastMicros + gapMicros =>
+                OpenSession(h.startMicros, math.max(h.lastMicros, s.lastMicros),
+                  h.n + s.n, h.cents + s.cents) :: t
+              case _ => s :: acc
+            }
+          }.reverse
+          // a session is sealed once no admissible event can extend it
+          val (closed, open) = merged.partition(_.lastMicros + gapMicros <= wmMicros)
+          if (open.nonEmpty) {
+            state.update(open)
+            state.setTimeoutTimestamp(open.map(_.lastMicros).min / 1000L + gapMinutes * 60L * 1000L)
+          } else state.remove()
+          closed.map(s => ClosedSession(uid, fromMicros(s.startMicros), s.n, s.cents / 100.0))
+            .iterator
       }
   }
 

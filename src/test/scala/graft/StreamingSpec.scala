@@ -139,8 +139,13 @@ class StreamingSpec extends AnyFunSuite {
       Seq((1L, hm(0, 0), 1L, "click", 1.25, ""), (2L, hm(0, 10), 1L, "click", 2.0, ""),
         (10L, hm(0, 0), 2L, "view", 0.75, ""), (11L, hm(1, 0), 2L, "view", 4.0, "")),
       Seq((3L, hm(5, 0), 1L, "click", 8.0, "")),   // b1: session B
-      Seq((4L, hm(10, 0), 1L, "click", 16.0, "")), // b2: session C
-      Seq((5L, hm(15, 0), 1L, "click", 32.0, ""))) // b3: D stays open
+      // b2: session C; user 3 opens a session at 10:00
+      Seq((4L, hm(10, 0), 1L, "click", 16.0, ""), (12L, hm(10, 0), 3L, "click", 0.5, "")),
+      // b3: D stays open; user 3 gets an OUT-OF-ORDER but in-watermark
+      // event at 08:30 (b3's late filter is the post-b2 watermark,
+      // 08:00) — it must open its own EARLIER session, not merge into
+      // or rewind the 10:00 one
+      Seq((5L, hm(15, 0), 1L, "click", 32.0, ""), (13L, hm(8, 30), 3L, "click", 0.25, "")))
     all.zipWithIndex.foreach { case (evs, i) =>
       evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.parquet(s"$dir/b$i")
@@ -163,7 +168,9 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
       .filterNot { case (u, start, _, _) => u == 1L && start == hm(15, 0) }.toSet
     assert(got === want)
-    assert(got.size === 5) // A, B, C + user 2's two sessions, each exactly once
+    // A, B, C + user 2's two sessions + user 3's two (one born from the
+    // out-of-order arrival), each exactly once
+    assert(got.size === 7)
   }
 
   test("streaming dedup drops cross-batch redeliveries, keeps first occurrence") {
