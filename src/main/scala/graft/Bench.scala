@@ -68,12 +68,18 @@ object Bench {
       val before = results(name)
       val after = math.min(timeSafe(fn), timeSafe(fn))
       val ratio = if (before > 0 && after > 0) after / before else -1.0
-      s""""sentinel":{"query":"$name","before":$before,"after":$after,"ratio":$ratio,"degraded":${ratio > 3.0}},"""
+      f""""sentinel":{"query":"$name","ratio":$ratio%.2f,"degraded":${ratio > 3.0}},"""
     }.getOrElse("")
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The harness that collects this line keeps only the LAST ~2000 chars
+    // of output, so the line must be compact (ms precision, terse
+    // sentinel) and be the final thing printed — after spark.stop(), so
+    // no shutdown log lines land behind it.
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec",$sentinel"queries":$qs,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec",$sentinel"queries":$qs,"sf":"$sfDir"}"""
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

@@ -243,11 +243,17 @@ object SparkEntry {
         .orderBy("user_id", "session_start")
     }),
     // stream-stream interval join, Append mode; converges to the batch
-    // interval_join, so it shares that oracle
+    // interval_join, so it shares that oracle. The watermark is pinned
+    // far beyond the corpus span (like streaming_dedup): exactness must
+    // not depend on how the source files split across micro-batches —
+    // with a 2h watermark, clicks arriving a batch behind their
+    // purchases could be dropped as late and silently break the shared
+    // oracle.
     "streaming_interval_join" -> ((s, d) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-stream-src4").toString
       t(s, d).events.coalesce(4).write.mode("overwrite").parquet(tmp)
-      val streamed = EventStreams.clickPurchaseJoin(EventStreams.readEventStream(s, tmp))
+      val streamed = EventStreams.clickPurchaseJoin(EventStreams.readEventStream(s, tmp),
+        watermark = "365 days")
       EventStreams.runToMemory(s, streamed, s"stream_ssjoin_${System.nanoTime()}",
           org.apache.spark.sql.streaming.OutputMode.Append())
         .orderBy("purchase_id", "click_id")

@@ -12,11 +12,13 @@ import org.apache.spark.sql.expressions.Aggregator
   * partial buffer exceeds 2×capacity, the (capacity+1)-th largest
   * count is subtracted from every counter and non-positive entries are
   * dropped (the batched form of the classic decrement-all step). The
-  * compression is applied identically in `reduce` and `merge`, so the
-  * aggregate stays associative + commutative — the same contract the
-  * reference's binned-hashmap merge relies on (map_reduce.cpp:426-436)
-  * — and per-partition state is ≤ 2×capacity entries regardless of key
-  * cardinality, which is what makes the operator safe on an open
+  * summary is MERGEABLE with the bounded error below, but once
+  * compression fires the retained counts depend on partitioning/merge
+  * order — repeated runs, AQE re-plans, or task retries may produce
+  * different (still within-error-bound) results; only the ≤ capacity
+  * regime is deterministic, so exact-match oracles must stay under
+  * capacity. Per-partition state is ≤ 2×capacity entries regardless of
+  * key cardinality, which is what makes the operator safe on an open
   * vocabulary at 100 TB (the unbounded map it replaces melted a single
   * reducer).
   *

@@ -210,10 +210,17 @@ object Similarity {
       .select(col("vec_id"), col("s.j").as("j"), col("s.sub").as("sub"))
     // code books reuse the same subspace slicing as corpus/query
     // encoding — the two MUST agree or codes and tables silently
-    // mismatch; "vec_id" here is the centroid code
+    // mismatch. Codes are a DENSE rank over the sampled centroids, not
+    // vec_id/step: ADC scoring indexes the lookup arrays by code
+    // (element_at(t, c+1)), so codes must be contiguous 0..n-1 even
+    // when vec_ids have gaps (vec_id/step would silently mis-index —
+    // null sims under non-ANSI). The rank window only sees the sampled
+    // rows (N/step of them), so the single-partition sort is tiny.
     val cents = subspaces(
-        emb.where(col("vec_id") % step === 0 && col("vec_id") < step.toLong * kCent)
-          .select((col("vec_id") / step).cast("int").as("vec_id"), col("embedding")))
+        emb.where(col("vec_id") % step === 0)
+          .withColumn("code", row_number().over(Window.orderBy(col("vec_id"))) - 1)
+          .where(col("code") < kCent)
+          .select(col("code").cast("long").as("vec_id"), col("embedding")))
       .select(col("j"), col("vec_id").cast("int").as("code"), col("sub").as("cent_sub"))
     // encode: per (vector, subspace) the argmin-distance centroid code;
     // |s - c|^2 = |s|^2 - 2 s·c + |c|^2 and |s|^2 is constant per

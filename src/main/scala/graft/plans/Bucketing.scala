@@ -27,6 +27,19 @@ object Bucketing {
     df.write.mode("overwrite").option("path", path)
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
 
+  // Bucketing is pay-once-at-ingest: the whole point is that ONE write
+  // serves every later query. So the demo must not rewrite both tables
+  // per invocation — a bench sample would then mostly measure two table
+  // writes, and temp dirs would pile up across a long session. Ingest
+  // is memoized per (session, input plans, bucket count); all writes
+  // share one per-JVM directory.
+  private val ingested = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private lazy val bucketDir: String = {
+    val d = Files.createTempDirectory("graft-bucketed")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
   /** customer ⋈ orders on custkey with BOTH sides pre-bucketed: the
     * join and the per-customer aggregate both reuse the bucket
     * partitioning, so the pipeline runs shuffle-free end to end (the
@@ -35,13 +48,22 @@ object Bucketing {
     * than falling back to a broadcast. */
   def colocatedSpendPerCustomer(spark: SparkSession, customer: DataFrame, orders: DataFrame,
                                 buckets: Int = 8): DataFrame = {
-    val dir = Files.createTempDirectory("graft-bucketed").toString
-    writeBucketed(customer.select("c_custkey", "c_name"),
-      "customer_b", s"$dir/customer_b", buckets, "c_custkey")
-    writeBucketed(orders.select("o_custkey", "o_totalprice"),
-      "orders_b", s"$dir/orders_b", buckets, "o_custkey")
-    val c = spark.table("customer_b")
-    val o = spark.table("orders_b")
+    val key = {
+      val fingerprint = customer.queryExecution.logical.canonicalized.toString +
+        orders.queryExecution.logical.canonicalized.toString +
+        buckets + ":" + System.identityHashCode(spark)
+      java.lang.Long.toHexString(fingerprint.hashCode.toLong & 0xffffffffL)
+    }
+    val (ct, ot) = ingested.getOrElseUpdate(key, {
+      val (ct, ot) = (s"customer_b_$key", s"orders_b_$key")
+      writeBucketed(customer.select("c_custkey", "c_name"),
+        ct, s"$bucketDir/$ct", buckets, "c_custkey")
+      writeBucketed(orders.select("o_custkey", "o_totalprice"),
+        ot, s"$bucketDir/$ot", buckets, "o_custkey")
+      (ct, ot)
+    })
+    val c = spark.table(ct)
+    val o = spark.table(ot)
     c.hint("merge").join(o, c("c_custkey") === o("o_custkey"))
       .groupBy(c("c_custkey"))
       .agg(count(lit(1)).as("n_orders"), graft.functions.dsum2(col("o_totalprice")).as("total_spend"))

@@ -224,7 +224,12 @@ object EventStreams {
           val (closed, open) = merged.partition(_.lastMicros + gapMicros <= wmMicros)
           if (open.nonEmpty) {
             state.update(open)
-            state.setTimeoutTimestamp(open.map(_.lastMicros).min / 1000L + gapMinutes * 60L * 1000L)
+            // ceil µs→ms (+1 ms): floor division could truncate a
+            // sub-millisecond lastMicros to exactly the watermark ms,
+            // tripping GroupState's "timeout cannot be earlier than
+            // watermark" check. Firing ≤1 ms later never changes which
+            // sessions seal (sealing re-checks against the watermark).
+            state.setTimeoutTimestamp((open.map(_.lastMicros).min + 999L) / 1000L + gapMinutes * 60L * 1000L + 1L)
           } else state.remove()
           closed.map(s => ClosedSession(uid, fromMicros(s.startMicros), s.n, s.cents / 100.0))
             .iterator
