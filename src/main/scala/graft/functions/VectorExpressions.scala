@@ -138,6 +138,67 @@ case class VecSqNorm(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd asymmetric-distance (ADC) score for product quantization:
+  * given per-query lookup tables `tables: array<array<double>>` (one
+  * kCent-wide table per subspace) and a corpus vector's
+  * `codes: array<int>`, returns Σ_j tables[j][codes[j]].
+  *
+  * The HOF formulation — aggregate(zip_with(tables, codes, (t, c) ->
+  * element_at(t, c+1)), ...) — is evaluated interpreted, per row, with
+  * a zipped intermediate array; at ADC scan scale (queries × corpus
+  * rows) that interpreter loop IS the query. This expression is the
+  * same m table lookups fused into one codegen'd scalar loop.
+  *
+  * Null inputs → null; codes are 0-based (matching the dense centroid
+  * codes built by graft.operators.Similarity.pqTopK); a code outside
+  * its table's bounds is a construction bug upstream and throws.
+  */
+case class VecAdcScore(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(ArrayType(DoubleType, _), _), ArrayType(IntegerType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"vec_adc_score requires (array<array<double>>, array<int>), got $l / $r")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "vec_adc_score"
+
+  override def nullSafeEval(t: Any, c: Any): Any = {
+    val tables = t.asInstanceOf[ArrayData]
+    val codes = c.asInstanceOf[ArrayData]
+    val n = math.min(tables.numElements(), codes.numElements())
+    var s = 0.0
+    var j = 0
+    while (j < n) {
+      s += tables.getArray(j).getDouble(codes.getInt(j))
+      j += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, c) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val j = ctx.freshName("j")
+      s"""
+         |int $n = java.lang.Math.min($t.numElements(), $c.numElements());
+         |double $s = 0.0;
+         |for (int $j = 0; $j < $n; $j++) {
+         |  $s += $t.getArray($j).getDouble($c.getInt($j));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Catalyst optimizer rule (injected by graft.GraftExtensions):
   * VecDot(a, b) with semantically-equal deterministic children becomes
   * VecSqNorm(a). vec_norm — and through it every similarity operator —
@@ -162,4 +223,8 @@ object VectorFunctions {
     * [[VecSelfDotRule]] rewrites that to the single-access VecSqNorm
     * when the extensions are installed. */
   def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))
+
+  /** Codegen'd PQ asymmetric-distance score: Σ_j tables[j][codes[j]]. */
+  def vec_adc_score(tables: Column, codes: Column): Column =
+    GraftSqlShim.column(VecAdcScore(GraftSqlShim.expression(tables), GraftSqlShim.expression(codes)))
 }

@@ -65,10 +65,33 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = exact.intersect(pq).size.toDouble / exact.size
     info(s"PQ recall@5: $recall over ${exact.size} exact pairs")
-    // 16 stride-sampled centroids per subspace (not k-means): a coarse
-    // code book, so the bar is modest — but it must beat chance by far
-    assert(recall > 0.15, s"recall $recall")
+    // 16 subspaces × 48 codes: measured ≈0.5 on this corpus — the bar
+    // leaves slack for corpus regeneration, not for regressions to the
+    // old coarse 8×16 book (which sat at ≈0.2)
+    assert(recall > 0.35, s"recall $recall")
     assert(pq.nonEmpty)
+  }
+
+  test("Lloyd codebook refinement does not degrade pq recall and stays deterministic") {
+    val emb = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") % 10 === 0), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallOf(iters: Int): Double = {
+      val pq = Similarity.pqTopK(emb, step = 10, qStride = 10, k = 5,
+          refineIters = iters, trainStride = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      exact.intersect(pq).size.toDouble / exact.size
+    }
+    val (base, refined) = (recallOf(0), recallOf(1))
+    info(s"PQ recall@5 base=$base lloyd1=$refined")
+    // uniform synthetic data: refinement is roughly neutral; it must
+    // never WRECK the book (that would mean assignment/means disagree
+    // with the encode metric)
+    assert(refined >= base - 0.1, s"lloyd degraded recall: $base -> $refined")
+    // decimal-accumulated means: bit-deterministic across runs
+    val run = () => Similarity.pqTopK(emb, step = 10, qStride = 10, k = 5, refineIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run() === run())
   }
 
   test("ivfTopK argmax assignment is deterministic across runs") {
@@ -97,6 +120,21 @@ class SimilaritySpec extends AnyFunSuite {
     val ab = emb.select(vec_dot(col("embedding"), slice(col("embedding"), 1, 2)).as("d"))
     val plan = ab.queryExecution.optimizedPlan.toString
     assert(plan.contains("vec_dot") && !plan.contains("vec_sq_norm"), plan)
+  }
+
+  test("vec_adc_score matches the interpreted HOF formulation") {
+    import graft.functions.VectorFunctions.vec_adc_score
+    val df = Seq((Seq(Seq(1.5, 2.5, 3.5), Seq(10.0, 20.0, 30.0)), Seq(2, 0)))
+      .toDF("tables", "codes")
+    val got = df.select(vec_adc_score(col("tables"), col("codes"))).head().getDouble(0)
+    assert(got === 3.5 + 10.0)
+    val hof = df.select(expr(
+      "aggregate(zip_with(tables, codes, (t, c) -> element_at(t, c + 1)), 0D, (acc, x) -> acc + x)"))
+      .head().getDouble(0)
+    assert(got === hof)
+    // null on either side → null
+    val nul = Seq((Option.empty[Seq[Seq[Double]]], Some(Seq(0)))).toDF("tables", "codes")
+    assert(nul.select(vec_adc_score(col("tables"), col("codes"))).head().isNullAt(0))
   }
 
   test("lshBuckets: identical vectors share a bucket") {
