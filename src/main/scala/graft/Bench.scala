@@ -68,13 +68,16 @@ object Bench {
       val before = results(name)
       val after = math.min(timeSafe(fn), timeSafe(fn))
       val ratio = if (before > 0 && after > 0) after / before else -1.0
-      f""""sentinel":{"query":"$name","ratio":$ratio%.2f,"degraded":${ratio > 3.0}},"""
+      if (ratio > 3.0) f""""sentinel":{"query":"$name","ratio":$ratio%.2f},"degraded":true,"""
+      else """"degraded":false,"""
     }.getOrElse("")
     // The harness that collects this line keeps only the LAST ~2000 chars
-    // of output, so the line must be compact (ms precision, terse
-    // sentinel) and be the final thing printed — after spark.stop(), so
-    // no shutdown log lines land behind it.
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+    // of output, so the line must be compact (centisecond precision,
+    // sentinel details only when it fires) and be the final thing
+    // printed — after spark.stop(), so no shutdown log lines land
+    // behind it. Budget at 77 queries: ~1750 chars + sbt's trailing
+    // "[success]" line ≈ 1840 < 2000.
+    val qs = results.map { case (k, v) => f""""$k":$v%.2f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec",$sentinel"queries":$qs,"sf":"$sfDir"}"""

@@ -210,6 +210,24 @@ object SparkEntry {
     "lang_id" -> ((s, d) => TextQuality.langId(t(s, d).documents).orderBy("doc_id")),
     "doc_fingerprint" -> ((s, d) => TextQuality.fingerprint(t(s, d).documents).orderBy("doc_id")),
 
+    // ---- M3b: corpus construction (deterministic sampling / chunking /
+    // mixture / quality cut — graft.operators.Corpus) ----
+    "sample_by_hash" -> ((s, d) =>
+      Corpus.sampleByHash(t(s, d).documents, permille = 200)
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")),
+    "stratified_sample" -> ((s, d) =>
+      Corpus.stratifiedSample(t(s, d).documents,
+          rates = Map("en" -> 100), defaultPermille = 300)
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")),
+    "doc_chunks" -> ((s, d) =>
+      Corpus.chunk(t(s, d).documents, size = 128).orderBy("doc_id", "chunk_idx")),
+    "mixture_weights" -> ((s, d) =>
+      Corpus.mixtureUpsample(t(s, d).documents, weights = Map("de" -> 3, "zh" -> 2))
+        .orderBy("doc_id", "copy_id")),
+    "quality_filter" -> ((s, d) =>
+      Corpus.qualityQuantileFilter(t(s, d).documents, keep = 0.5)
+        .orderBy("doc_id")),
+
     // ---- M3: multimodal plumbing (binary columns; decode layer stubbed) ----
     "media_features" -> ((s, d) =>
       Multimodal.featureBuckets(Multimodal.fakeMediaFromDocs(t(s, d).documents))
@@ -779,5 +797,57 @@ object SparkEntry {
         |      WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
         |      WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS pred_lang,
         | s_en, s_de, s_es, s_fr, s_zh
-        |FROM s ORDER BY doc_id""".stripMargin)
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // the sampling hash is the reference's affine char-sum
+    // (map_reduce.cpp:214-217) over the first 64 chars — the same
+    // DuckDB formulation ref_bin_histogram uses
+    "sample_by_hash" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $HashPermille < 200
+         |ORDER BY doc_id""".stripMargin,
+
+    "stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $HashPermille < CASE WHEN lang = 'en' THEN 100 ELSE 300 END
+         |ORDER BY doc_id""".stripMargin,
+
+    "doc_chunks" ->
+      """WITH c AS (SELECT doc_id, text, CAST(ceil(length(text) / 128.0) AS BIGINT) AS n_chunks
+        |           FROM documents),
+        | u AS (SELECT doc_id, text, n_chunks,
+        |        unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM c)
+        |SELECT doc_id, chunk_idx,
+        | substring(text, CAST(chunk_idx * 128 + 1 AS INT), 128) AS chunk, n_chunks
+        |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "mixture_weights" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |  CASE WHEN lang = 'de' THEN 3 WHEN lang = 'zh' THEN 2 ELSE 1 END AS wt
+        |  FROM documents)
+        |SELECT doc_id, lang, unnest(generate_series(1, wt)) AS copy_id
+        |FROM w ORDER BY doc_id, copy_id""".stripMargin,
+
+    // stopword list generated from the SAME Scala constant the operator
+    // uses — the two sides cannot drift
+    "quality_filter" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS tk
+         |  FROM documents),
+         | s AS (SELECT doc_id, lang,
+         |  CAST(len(list_filter(tk, x -> list_contains([$AllStopwordsSqlList], lower(x)))) AS BIGINT)
+         |    / CAST(len(tk) AS BIGINT) AS score
+         |  FROM t),
+         | r AS (SELECT doc_id, lang, score,
+         |  percent_rank() OVER (PARTITION BY lang ORDER BY score) AS pr FROM s)
+         |SELECT doc_id, lang, score, pr FROM r WHERE pr >= 0.5
+         |ORDER BY doc_id""".stripMargin)
+
+  /** DuckDB twin of Corpus.hashPermille (affine char-sum of the first
+    * 64 chars, mod 1000). */
+  private def HashPermille: String =
+    "list_sum(list_transform(string_split(substring(text, 1, 64), ''), c -> 22 + 23 * (ascii(c) - 14))) % 1000"
+
+  private def AllStopwordsSqlList: String =
+    Corpus.AllStopwords.map(w => s"'$w'").mkString(",")
 }

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-construction operators for training-data pipelines
+  * (SURVEY.md §2.11 [NS]): deterministic sampling, stratified
+  * sampling, fixed-size chunking, mixture up-weighting and
+  * quantile-based quality filtering.
+  *
+  * Everything here is narrow or window-per-stratum — no joins, no
+  * driver-side state — and every operator is DETERMINISTIC: sampling
+  * decisions hash the CONTENT (not rand(), not monotonically
+  * increasing ids), so a re-run, a task retry, or a different
+  * partitioning selects the identical corpus — the property that makes
+  * a 100 TB dataset build reproducible and lets an oracle check the
+  * result exactly. Sampling reuses the reference's affine char-sum
+  * hash (map_reduce.cpp:214-217 via TextOps.refBinHash), the one hash
+  * in the engine with an exact DuckDB twin.
+  */
+object Corpus {
+
+  /** Deterministic content-hash bucket in [0, 1000): the sampling key.
+    * Hashes the first `keyLen` chars — enough content to decorrelate
+    * from any metadata, cheap enough to stay linear in docs (not in
+    * text length). */
+  def hashPermille(textCol: Column, keyLen: Int = 64): Column =
+    TextOps.refBinHash(substring(textCol, 1, keyLen), 1000)
+
+  /** Keep a deterministic `permille`/1000 sample of the corpus.
+    * Content-hash-based: stable across runs, retries, partitionings
+    * and cluster sizes — rand()-based sampling is none of these. */
+  def sampleByHash(docs: DataFrame, permille: Int = 100, textCol: String = "text"): DataFrame =
+    docs.where(hashPermille(col(textCol)) < permille)
+
+  /** Per-stratum deterministic sampling: each stratum (e.g. language)
+    * gets its own keep-rate in permille — the standard rebalancing
+    * move when one stratum dominates the raw crawl. Unlisted strata
+    * fall back to `defaultPermille`. */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Int],
+                       defaultPermille: Int = 1000,
+                       strataCol: String = "lang", textCol: String = "text"): DataFrame = {
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPermille): Column) {
+      case (acc, (stratum, permille)) => when(col(strataCol) === stratum, lit(permille)).otherwise(acc)
+    }
+    docs.where(hashPermille(col(textCol)) < rate)
+  }
+
+  /** Split each document into fixed-size character chunks (the context
+    * -window packing primitive): (doc_id, chunk_idx, chunk, n_chunks).
+    * Pure generator over a narrow projection — scales linearly, no
+    * shuffle. Documents shorter than one chunk produce one chunk; an
+    * empty text produces none. */
+  def chunk(docs: DataFrame, size: Int = 128,
+            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val nChunks = ceil(length(col(textCol)) / lit(size.toDouble)).cast(LongType)
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"), nChunks.as("n_chunks"))
+      .select(col("doc_id"), col("text"), col("n_chunks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("text").substr((col("chunk_idx") * size + 1).cast(IntegerType), lit(size)).as("chunk"),
+        col("n_chunks"))
+  }
+
+  /** Integral mixture up-weighting: replicate each document `w(stratum)`
+    * times, emitting a copy index — how a mixture spec ("3 epochs of
+    * code, 1 of web") becomes rows. Integral weights keep the operation
+    * exact and oracle-checkable; fractional parts should be expressed
+    * as a stratifiedSample of one extra copy. */
+  def mixtureUpsample(docs: DataFrame, weights: Map[String, Int],
+                      defaultWeight: Int = 1, strataCol: String = "lang",
+                      idCol: String = "doc_id"): DataFrame = {
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight): Column) {
+      case (acc, (stratum, weight)) => when(col(strataCol) === stratum, lit(weight)).otherwise(acc)
+    }
+    docs.select(col(idCol).as("doc_id"), col(strataCol).as(strataCol),
+        explode(sequence(lit(1L), w.cast(LongType))).as("copy_id"))
+  }
+
+  /** All stopwords of all languages — the combined natural-language
+    * signal for quality scoring (per-language lists: TextQuality).
+    * Public so the DuckDB oracle twin is generated from the same list. */
+  val AllStopwords: Seq[String] =
+    TextQuality.Stopwords.toSeq.sortBy(_._1).flatMap(_._2)
+
+  /** Quantile-based quality filter: keep the top `keep` fraction of
+    * each stratum by stopword-density score. percent_rank over a
+    * per-stratum window — ranks are exact integers, so the cut is
+    * deterministic and identical on any SQL engine; the score is one
+    * IEEE division of two integer counts. A two-pass global-sort-free
+    * filter: one shuffle on the stratum key, nothing else. */
+  def qualityQuantileFilter(docs: DataFrame, keep: Double = 0.5,
+                            strataCol: String = "lang", textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame = {
+    val tk = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val hits = size(filter(tk, t =>
+      array_contains(array(AllStopwords.map(lit): _*), lower(t))))
+    val score = (hits.cast(LongType) / size(tk).cast(LongType)).as("score")
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("score"))
+    docs.select(col(idCol).as("doc_id"), col(strataCol).as(strataCol), score)
+      .withColumn("pr", percent_rank().over(w))
+      .where(col("pr") >= 1.0 - keep)
+  }
+}

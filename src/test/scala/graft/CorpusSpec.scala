@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Corpus
+
+class CorpusSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("chunks reassemble to the original text, sized and indexed correctly") {
+    val size = 100
+    val rejoined = Corpus.chunk(docs, size = size)
+      .groupBy(col("doc_id"))
+      .agg(concat_ws("", array_join(
+          expr("transform(array_sort(collect_list(struct(chunk_idx, chunk))), s -> s.chunk)"), "")).as("re"),
+        max(col("n_chunks")).as("n"), count(lit(1)).as("rows"))
+    val joined = rejoined.join(docs, "doc_id")
+      .select(col("doc_id"), col("re") === col("text"), col("rows") === col("n"),
+        col("n") === ceil(length(col("text")) / lit(size.toDouble)).cast("long"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getBoolean(1), s"doc ${r.getLong(0)}: chunks do not reassemble")
+      assert(r.getBoolean(2) && r.getBoolean(3), s"doc ${r.getLong(0)}: chunk count wrong")
+    }
+    // every chunk except possibly the last is exactly `size` chars
+    val bad = Corpus.chunk(docs, size = size)
+      .where(col("chunk_idx") < col("n_chunks") - 1 && length(col("chunk")) =!= size)
+      .count()
+    assert(bad === 0)
+  }
+
+  test("mixture upsampling emits exactly weight copies per stratum") {
+    val out = Corpus.mixtureUpsample(docs, weights = Map("de" -> 3, "zh" -> 2))
+      .groupBy(col("lang")).agg(countDistinct(col("doc_id")).as("docs"), count(lit(1)).as("rows"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("de")._2 === out("de")._1 * 3)
+    assert(out("zh")._2 === out("zh")._1 * 2)
+    assert(out("en")._2 === out("en")._1)
+    // copy ids are 1..w per document
+    val ids = Corpus.mixtureUpsample(docs, weights = Map("de" -> 3))
+      .where(col("lang") === "de").groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("copy_id"))).as("ids"))
+      .select(col("ids") === array(lit(1L), lit(2L), lit(3L))).collect()
+    assert(ids.nonEmpty && ids.forall(_.getBoolean(0)))
+  }
+
+  test("hash sampling is deterministic, content-keyed, and rate-scaled") {
+    val a = Corpus.sampleByHash(docs, permille = 200).select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Corpus.sampleByHash(docs, permille = 200).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)                       // deterministic
+    val wider = Corpus.sampleByHash(docs, permille = 500).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(wider))             // nested samples: rate up never drops a doc
+    val n = docs.count().toDouble
+    assert(wider.size > n * 0.3 && wider.size < n * 0.7, s"${wider.size} of $n at 50%")
+  }
+
+  test("stratified sampling applies per-stratum rates") {
+    val out = Corpus.stratifiedSample(docs, rates = Map("en" -> 0), defaultPermille = 1000)
+    val langs = out.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(!langs.contains("en"))         // rate 0 removes the stratum
+    val kept = out.count()
+    val nonEn = docs.where(col("lang") =!= "en").count()
+    assert(kept === nonEn)                // rate 1000 keeps everything else
+  }
+
+  test("quality filter keeps the top half per stratum") {
+    val kept = Corpus.qualityQuantileFilter(docs, keep = 0.5)
+    val total = docs.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byLang = kept.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (lang, n) =>
+      // percent_rank >= 0.5: at least half-ish survive (ties can push
+      // slightly over; never under half minus one rank)
+      assert(n >= total(lang) / 2 && n <= total(lang), s"$lang kept $n of ${total(lang)}")
+    }
+    // survivors score no lower than any dropped doc in their stratum
+    val scored = Corpus.qualityQuantileFilter(docs, keep = 1.0) // everyone, with scores
+    val minKept = kept.groupBy(col("lang")).agg(min(col("score")).as("mn"))
+    val dropped = scored.join(kept.select(col("doc_id").as("k_id")),
+        scored("doc_id") === col("k_id"), "left_anti")
+      .groupBy(col("lang")).agg(max(col("score")).as("mx"))
+    val cmp = minKept.join(dropped, "lang")
+      .select(col("lang"), col("mn") >= col("mx")).collect()
+    cmp.foreach(r => assert(r.getBoolean(1), s"${r.getString(0)}: dropped doc outscored a kept one"))
+  }
+}
