@@ -22,6 +22,22 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String) = Tables(s, dir)
 
+  /** Streaming queries run in an ISOLATED cloned session with state
+    * partitioning sized to the stream: every stateful operator keeps
+    * one state store per shuffle partition per micro-batch (a
+    * stream-stream join keeps FOUR), so inheriting the CPU-count
+    * partitioning multiplies store commits and checkpoint I/O by core
+    * count with zero gain on a bounded stream. At 100 TB the same dial
+    * is sized to key cardinality and state volume, not executor count.
+    * newSession() shares the SparkContext but isolates SQL conf — no
+    * global session state is mutated (the loader-side-effect
+    * anti-pattern flagged in round 1). */
+  private def streamSession(s: SparkSession, partitions: Int = 8): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", partitions)
+    ss
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- M1: the reference surface (SURVEY.md §2 [REF] rows) ----
     "wordcount" -> ((s, d) => TextOps.wordCount(t(s, d).documents).orderBy("word")),
@@ -242,22 +258,25 @@ object SparkEntry {
     "streaming_tumbling_agg" -> ((s, d) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
       t(s, d).events.coalesce(4).write.mode("overwrite").parquet(tmp)
-      val streamed = EventStreams.tumblingCounts(EventStreams.readEventStream(s, tmp))
-      EventStreams.runToMemory(s, streamed, s"stream_tumbling_${System.nanoTime()}")
+      val ss = streamSession(s)
+      val streamed = EventStreams.tumblingCounts(EventStreams.readEventStream(ss, tmp))
+      EventStreams.runToMemory(ss, streamed, s"stream_tumbling_${System.nanoTime()}")
         .orderBy("win_start", "event_type")
     }),
     "streaming_sliding_agg" -> ((s, d) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-stream-src2").toString
       t(s, d).events.coalesce(4).write.mode("overwrite").parquet(tmp)
-      val streamed = EventStreams.slidingCounts(EventStreams.readEventStream(s, tmp))
-      EventStreams.runToMemory(s, streamed, s"stream_sliding_${System.nanoTime()}")
+      val ss = streamSession(s)
+      val streamed = EventStreams.slidingCounts(EventStreams.readEventStream(ss, tmp))
+      EventStreams.runToMemory(ss, streamed, s"stream_sliding_${System.nanoTime()}")
         .orderBy("win_start")
     }),
     "streaming_session_agg" -> ((s, d) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-stream-src3").toString
       t(s, d).events.coalesce(4).write.mode("overwrite").parquet(tmp)
-      val streamed = EventStreams.sessionize(EventStreams.readEventStream(s, tmp))
-      EventStreams.runToMemory(s, streamed, s"stream_session_${System.nanoTime()}")
+      val ss = streamSession(s)
+      val streamed = EventStreams.sessionize(EventStreams.readEventStream(ss, tmp))
+      EventStreams.runToMemory(ss, streamed, s"stream_session_${System.nanoTime()}")
         .orderBy("user_id", "session_start")
     }),
     // stream-stream interval join, Append mode; converges to the batch
@@ -270,9 +289,10 @@ object SparkEntry {
     "streaming_interval_join" -> ((s, d) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-stream-src4").toString
       t(s, d).events.coalesce(4).write.mode("overwrite").parquet(tmp)
-      val streamed = EventStreams.clickPurchaseJoin(EventStreams.readEventStream(s, tmp),
+      val ss = streamSession(s)
+      val streamed = EventStreams.clickPurchaseJoin(EventStreams.readEventStream(ss, tmp),
         watermark = "365 days")
-      EventStreams.runToMemory(s, streamed, s"stream_ssjoin_${System.nanoTime()}",
+      EventStreams.runToMemory(ss, streamed, s"stream_ssjoin_${System.nanoTime()}",
           org.apache.spark.sql.streaming.OutputMode.Append())
         .orderBy("purchase_id", "click_id")
     }),
@@ -285,10 +305,11 @@ object SparkEntry {
       t(s, d).events.coalesce(2).write.mode("append").parquet(tmp)
       // delay >> the corpus's ~30-day span: nothing may be dropped as
       // late, or the exact-equality oracle breaks
-      val deduped = EventStreams.dedupEvents(EventStreams.readEventStream(s, tmp),
+      val ss = streamSession(s)
+      val deduped = EventStreams.dedupEvents(EventStreams.readEventStream(ss, tmp),
         watermark = "365 days")
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      EventStreams.runToMemory(s, deduped, s"stream_dedup_${System.nanoTime()}",
+      EventStreams.runToMemory(ss, deduped, s"stream_dedup_${System.nanoTime()}",
           org.apache.spark.sql.streaming.OutputMode.Append())
         .orderBy("event_id")
     }),
@@ -312,6 +333,26 @@ object SparkEntry {
         .groupBy(col("o_orderpriority"))
         .agg(graft.functions.dsum2(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"))
         .orderBy(col("o_orderpriority"))
+    }),
+    // Spark 4 built-in XML datasource (rowTag records)
+    "xml_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-xml").toString
+      t(s, d).nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .write.mode("overwrite").option("rowTag", "nation").format("xml").save(tmp)
+      s.read.option("rowTag", "nation")
+        .schema("n_nationkey BIGINT, n_name STRING, n_regionkey INT")
+        .format("xml").load(tmp)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"))
+        .orderBy(col("n_regionkey"))
+    }),
+    // opaque-binary media ingestion: one row per file via the
+    // binaryFile source; byte counts measured on the content column
+    // prove the blobs flowed through the plan (sources.BinaryMedia)
+    "binary_source" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bin").toString
+      graft.sources.BinaryMedia.writeDocFiles(t(s, d).documents, tmp)
+      graft.sources.BinaryMedia.docByteSizes(s, tmp).orderBy("doc_id")
     }))
 
   /** The C-ispunct character class, RE2 spelling, for the DuckDB twins. */
@@ -621,6 +662,16 @@ object SparkEntry {
       """SELECT o_orderpriority,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, count(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "xml_roundtrip" ->
+      """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    // strlen = BYTE length in DuckDB; Spark measures length(content)
+    // on the binary column — both count UTF-8 bytes
+    "binary_source" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "embedding_near_dups" ->
       """WITH s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
