@@ -19,6 +19,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+    // Spark ships bloom_filter_agg / might_contain as optimizer-internal
+    // expressions without registering them; surface them in SQL (the
+    // filter operand of might_contain must be a constant or an
+    // uncorrelated scalar subquery — Spark's own constraint)
+    ext.injectFunction((
+      FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+        case Seq(c, n) => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+        case Seq(c, n, b) => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n, b)
+        case _ => throw new IllegalArgumentException("bloom_filter_agg(col[, items[, bits]])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => VecSelfDotRule)
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
   }

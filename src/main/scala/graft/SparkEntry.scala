@@ -73,6 +73,18 @@ object SparkEntry {
     "theta_join" -> ((s, d) => Relational.lateShipments(t(s, d))),
     "range_join" -> ((s, d) => Relational.priceBandCounts(t(s, d))),
     "approx_distinct" -> ((s, d) => Relational.approxDistincts(t(s, d).lineitem)),
+    // Bloom-filter pre-shuffle semi-join reduction (rows-only: sketch
+    // membership has no DuckDB twin; no-false-negative + FPR bounds are
+    // property-checked in SketchesSpec)
+    "bloom_filter_probe" -> ((s, d) => {
+      val tt = t(s, d)
+      Sketches.bloomSemiFilter(
+          tt.orders.where(col("o_orderpriority") === "1-URGENT"), "o_orderkey",
+          tt.lineitem, "l_orderkey", expectedItems = 100000, numBits = 1000000)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_candidates"))
+        .orderBy(col("l_returnflag"))
+    }),
     // sketch-based percentiles (rows-only by design, like approx_distinct:
     // the sketch is engine-specific; the exact twin is `percentiles`)
     "approx_percentiles" -> ((s, d) => t(s, d).orders

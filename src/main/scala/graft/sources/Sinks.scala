@@ -35,4 +35,22 @@ object Sinks {
   /** CSV sink with header — interchange with the DuckDB/pandas world. */
   def writeCsv(df: DataFrame, outPath: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(outPath)
+
+  /** Size-governed parquet sink — the small-files antidote. At scale
+    * the default failure mode is a shuffle.partitions-sized write
+    * producing thousands of KB-files per job (and millions across a
+    * pipeline), melting the file listing of every downstream scan.
+    * Two dials together bound file count in BOTH directions:
+    * `repartition(ceil(rows/target))` sets the floor (no sea of tiny
+    * files), `maxRecordsPerFile` the ceiling (no skewed giant file).
+    * The row count is one extra pass here; a production writer takes
+    * it from the upstream stage's observed statistics instead. */
+  def writeCompacted(df: DataFrame, outPath: String, targetRowsPerFile: Long): Long = {
+    val rows = df.count()
+    val nFiles = math.max(1L, math.ceil(rows.toDouble / targetRowsPerFile).toLong).toInt
+    df.repartition(nFiles).write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .parquet(outPath)
+    rows
+  }
 }
