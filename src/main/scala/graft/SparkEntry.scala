@@ -164,6 +164,21 @@ object SparkEntry {
         .select(col("e._1").as("word"), col("e._2").as("cnt"))
         .orderBy(desc("cnt"), asc("word"))
     }),
+    // the TypedImperativeAggregate twin of topk_udaf: same Misra-Gries
+    // semantics, raw-JVM-object buffer with length-prefixed binary
+    // serialization instead of encoder round trips (functions
+    // .TopKByCountAgg); same oracle
+    "topk_imperative" -> ((s, d) => {
+      val agg = org.apache.spark.sql.GraftSqlShim.column(
+        graft.functions.TopKByCountAgg(
+          org.apache.spark.sql.GraftSqlShim.expression(col("word")), 100)
+          .toAggregateExpression())
+      TextOps.words(t(s, d).documents)
+        .agg(agg.as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.value").as("word"), col("e.cnt").as("cnt"))
+        .orderBy(desc("cnt"), asc("word"))
+    }),
     // SQL entry point + SparkSessionExtensions-registered native fn
     "sql_api" -> ((s, d) => {
       t(s, d).embeddings.createOrReplaceTempView("emb_v")
@@ -582,6 +597,10 @@ object SparkEntry {
         |FROM x GROUP BY win_start ORDER BY win_start""".stripMargin,
 
     "topk_udaf" ->
+      s"$W SELECT word, count(*) AS cnt FROM w WHERE length(word) > 0 GROUP BY word ORDER BY cnt DESC, word LIMIT 100",
+
+    // imperative-aggregate twin must produce the identical exact top-k
+    "topk_imperative" ->
       s"$W SELECT word, count(*) AS cnt FROM w WHERE length(word) > 0 GROUP BY word ORDER BY cnt DESC, word LIMIT 100",
 
     // the reference's affine char-sum hash (map_reduce.cpp:214-217) is

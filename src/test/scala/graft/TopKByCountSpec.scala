@@ -28,4 +28,38 @@ class TopKByCountSpec extends AnyFunSuite {
     assert(out.head._1 === "hot")
     assert(out.head._2 >= 2000L - (5000L / 50) && out.head._2 <= 2000L)
   }
+
+  private def topkImperative(df: org.apache.spark.sql.DataFrame, k: Int, cap: Int): Seq[(String, Long)] = {
+    val agg = org.apache.spark.sql.GraftSqlShim.column(
+      graft.functions.TopKByCountAgg(
+        org.apache.spark.sql.GraftSqlShim.expression(col("v")), k, cap).toAggregateExpression())
+    df.agg(agg.as("tk"))
+      .head().getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getLong(1)))
+  }
+
+  test("imperative-aggregate twin matches the Aggregator exactly under capacity") {
+    val data = (Seq.fill(7)("x") ++ Seq.fill(5)("y") ++ Seq.fill(5)("a") ++
+      (0 until 40).map(i => s"w$i")).toDF("v").repartition(6)
+    val viaAggregator = topk(data, k = 10, cap = 256)
+    val viaImperative = topkImperative(data, k = 10, cap = 256)
+    assert(viaImperative === viaAggregator)
+    // deterministic across runs (exact regime)
+    assert(topkImperative(data, k = 10, cap = 256) === viaImperative)
+  }
+
+  test("imperative buffer serialization round-trips, including unicode and empty") {
+    val agg = graft.functions.TopKByCountAgg(
+      org.apache.spark.sql.GraftSqlShim.expression(col("v")), 3)
+    val buf = scala.collection.mutable.HashMap("的" -> 9L, "" -> 1L, "plain" -> 4L)
+    assert(agg.deserialize(agg.serialize(buf)) === buf)
+    assert(agg.deserialize(agg.serialize(scala.collection.mutable.HashMap.empty[String, Long])).isEmpty)
+  }
+
+  test("imperative heavy-hitter bound matches the Aggregator contract over capacity") {
+    val hot = Seq.fill(2000)("hot")
+    val noise = (0 until 3000).map(i => s"u$i")
+    val out = topkImperative((hot ++ noise).toDF("v").repartition(8), k = 1, cap = 50)
+    assert(out.head._1 === "hot")
+    assert(out.head._2 >= 2000L - (5000L / 50) && out.head._2 <= 2000L)
+  }
 }
