@@ -69,4 +69,60 @@ class PlanShapeSpec extends AnyFunSuite {
     // the Range(0..8) side must be the build side of the nested loop
     assert(plan.contains("BroadcastNestedLoopJoin BuildRight"), plan)
   }
+
+  test("AQE skew join engages: a hot key is split instead of melting one task") {
+    import org.apache.spark.sql.functions._
+    // isolated session: thresholds shrunk so test-scale skew triggers
+    // the same OptimizeSkewedJoin rewrite a hot-key 100 TB join relies on
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.adaptive.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+    ss.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import ss.implicits._
+    // 100k rows on ONE key vs 100 spread keys; the payload must be
+    // INCOMPRESSIBLE (sha2) — skew detection reads compressed map
+    // output sizes, and a constant payload deflates under the threshold
+    val skewed = (Seq.fill(100000)(1L) ++ (2L to 101L)).toDF("k")
+      .withColumn("payload", sha2(concat(lit("x"), col("k"), rand(7)), 256))
+    val dim = (1L to 101L).toDF("k").withColumn("name", concat(lit("n"), col("k")))
+    val joined = skewed.hint("merge").join(dim, "k")
+      .groupBy(col("name")).agg(count(lit(1)).as("n"))
+    joined.collect()
+    val adaptivePlan = joined.queryExecution.executedPlan.toString
+    assert(adaptivePlan.contains("skew=true"), adaptivePlan)
+    // correctness under the rewrite
+    val hot = joined.where(col("name") === "n1").head().getLong(1)
+    assert(hot === 100000L)
+  }
+
+  test("dynamic partition pruning: a selective dim filter prunes fact partitions at runtime") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    t.orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
+    // the dim must be a real SCAN with a runtime filter — a literal dim
+    // constant-folds into a static pushed filter and no DPP is needed
+    val dimPath = s"$tmp-dim"
+    t.orders.select(col("o_orderpriority").as("prio")).distinct()
+      .withColumn("flag", when(col("prio") === "1-URGENT", 1).otherwise(0))
+      .write.mode("overwrite").parquet(dimPath)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    // the dim side is broadcast, so DPP reuses the broadcast result free
+    val facts = ss.read.parquet(tmp)
+    val dim = ss.read.parquet(dimPath).where(col("flag") === 1)
+    val joined = facts.join(broadcast(dim), facts("o_orderpriority") === dim("prio"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.explainString(FormattedMode)
+    assert(plan.contains("dynamicpruningexpression"), plan)
+    // and the pruned result equals the static-filter answer
+    val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = t.orders.where(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
 }
