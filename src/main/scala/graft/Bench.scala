@@ -75,12 +75,17 @@ object Bench {
     // of output, so the line must be compact (centisecond precision,
     // sentinel details only when it fires) and be the final thing
     // printed — after spark.stop(), so no shutdown log lines land
-    // behind it. Budget at 77 queries: ~1750 chars + sbt's trailing
-    // "[success]" line ≈ 1840 < 2000.
-    val qs = results.map { case (k, v) => f""""$k":$v%.2f""" }
-      .mkString("{", ",", "}")
+    // behind it. Budget at 81 queries: ~1815 chars + sbt's trailing
+    // "[success]" line ≈ 1900 < 2000. If the suite outgrows that,
+    // degrade per-query precision to deciseconds (saves 1 char/query)
+    // rather than lose the whole line to the collector window.
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec",$sentinel"queries":$qs,"sf":"$sfDir"}"""
+    def render(decimals: Int): String = {
+      val qs = results.map { case (k, v) => s""""$k":${s"%.${decimals}f".format(v)}""" }
+        .mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec",$sentinel"queries":$qs,"sf":"$sfDir"}"""
+    }
+    val line = { val l2 = render(2); if (l2.length <= 1850) l2 else render(1) }
     spark.stop()
     println(line)
     System.out.flush()

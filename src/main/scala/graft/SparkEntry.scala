@@ -263,13 +263,33 @@ object SparkEntry {
           rates = Map("en" -> 100), defaultPermille = 300)
         .select(col("doc_id"), col("lang")).orderBy("doc_id")),
     "doc_chunks" -> ((s, d) =>
-      Corpus.chunk(t(s, d).documents, size = 128).orderBy("doc_id", "chunk_idx")),
+      Corpus.chunk(t(s, d).documents, size = 128)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk"), col("n_chunks"))
+        .orderBy("doc_id", "chunk_idx")),
     "mixture_weights" -> ((s, d) =>
       Corpus.mixtureUpsample(t(s, d).documents, weights = Map("de" -> 3, "zh" -> 2))
         .orderBy("doc_id", "copy_id")),
     "quality_filter" -> ((s, d) =>
       Corpus.qualityQuantileFilter(t(s, d).documents, keep = 0.5)
+        .select(col("doc_id"), col("lang"), col("score"), col("pr"))
         .orderBy("doc_id")),
+    // the flagship composition: the corpus operators chained as a real
+    // training-data build — exact dedup, per-language quality cut,
+    // stratified downsample of the dominant language, context-window
+    // chunking — every stage deterministic, the WHOLE pipeline
+    // hash-checked against one DuckDB CTE chain
+    "pipeline_e2e" -> ((s, d) => {
+      val deduped = t(s, d).documents
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"))
+        .select(col("doc_id"), col("lang"), col("text"))
+      val quality = Corpus.qualityQuantileFilter(deduped, keep = 0.5)
+      val sampled = Corpus.stratifiedSample(quality,
+        rates = Map("en" -> 500), defaultPermille = 1000)
+      Corpus.chunk(sampled.select(col("doc_id"), col("lang"), col("text")), size = 256)
+        .select(col("doc_id"), col("lang"), col("chunk_idx"), col("chunk"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
 
     // ---- M3: multimodal plumbing (binary columns; decode layer stubbed) ----
     "media_features" -> ((s, d) =>
@@ -909,6 +929,30 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, lang, unnest(generate_series(1, wt)) AS copy_id
         |FROM w ORDER BY doc_id, copy_id""".stripMargin,
+
+    // the whole pipeline as one CTE chain: every stage reuses the
+    // already-oracle-matched formulation of its standalone operator
+    "pipeline_e2e" ->
+      s"""WITH dd AS (SELECT min(doc_id) AS doc_id, min(lang) AS lang, text
+         |            FROM documents GROUP BY text),
+         | tkk AS (SELECT doc_id, lang, text,
+         |   list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS tk FROM dd),
+         | sc AS (SELECT doc_id, lang, text,
+         |   CAST(len(list_filter(tk, x -> list_contains([$AllStopwordsSqlList], lower(x)))) AS BIGINT)
+         |     / CAST(len(tk) AS BIGINT) AS score
+         |   FROM tkk),
+         | rk AS (SELECT doc_id, lang, text, score,
+         |   percent_rank() OVER (PARTITION BY lang ORDER BY score) AS pr FROM sc),
+         | q AS (SELECT doc_id, lang, text FROM rk WHERE pr >= 0.5),
+         | samp AS (SELECT * FROM q
+         |   WHERE $HashPermille < CASE WHEN lang = 'en' THEN 500 ELSE 1000 END),
+         | c AS (SELECT doc_id, lang, text,
+         |   CAST(ceil(length(text) / 256.0) AS BIGINT) AS n_chunks FROM samp),
+         | u AS (SELECT doc_id, lang, text, n_chunks,
+         |   unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM c)
+         |SELECT doc_id, lang, chunk_idx,
+         | substring(text, CAST(chunk_idx * 256 + 1 AS INT), 256) AS chunk
+         |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // stopword list generated from the SAME Scala constant the operator
     // uses — the two sides cannot drift

@@ -56,12 +56,14 @@ object Corpus {
   def chunk(docs: DataFrame, size: Int = 128,
             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val nChunks = ceil(length(col(textCol)) / lit(size.toDouble)).cast(LongType)
-    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"), nChunks.as("n_chunks"))
-      .select(col("doc_id"), col("text"), col("n_chunks"),
-        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
-      .select(col("doc_id"), col("chunk_idx"),
-        col("text").substr((col("chunk_idx") * size + 1).cast(IntegerType), lit(size)).as("chunk"),
-        col("n_chunks"))
+    val passthrough = docs.columns.filter(c => c != textCol && c != idCol).map(col).toSeq
+    docs.select(col(idCol).as("doc_id") +: col(textCol).as("text") +:
+        nChunks.as("n_chunks") +: passthrough: _*)
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("chunk",
+        col("text").substr((col("chunk_idx") * size + 1).cast(IntegerType), lit(size)))
+      .drop("text")
+      .select(col("doc_id") +: col("chunk_idx") +: col("chunk") +: col("n_chunks") +: passthrough: _*)
   }
 
   /** Integral mixture up-weighting: replicate each document `w(stratum)`
@@ -97,9 +99,11 @@ object Corpus {
     val tk = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
     val hits = size(filter(tk, t =>
       array_contains(array(AllStopwords.map(lit): _*), lower(t))))
-    val score = (hits.cast(LongType) / size(tk).cast(LongType)).as("score")
+    val score = hits.cast(LongType) / size(tk).cast(LongType)
     val w = Window.partitionBy(col(strataCol)).orderBy(col("score"))
-    docs.select(col(idCol).as("doc_id"), col(strataCol).as(strataCol), score)
+    // input columns pass through (so the filter composes into
+    // pipelines); score + pr appended
+    docs.withColumn("score", score)
       .withColumn("pr", percent_rank().over(w))
       .where(col("pr") >= 1.0 - keep)
   }
