@@ -72,6 +72,21 @@ object SparkEntry {
     "full_outer_join" -> ((s, d) => Relational.nationPresence(t(s, d))),
     "theta_join" -> ((s, d) => Relational.lateShipments(t(s, d))),
     "range_join" -> ((s, d) => Relational.priceBandCounts(t(s, d))),
+    // large × large inequality join via bin-quantized equi-join — the
+    // scale path for |a−b|<=δ predicates (RangeJoins.absDeltaJoin);
+    // the broadcast-band variant above stays for small dim sides
+    "binned_range_join" -> ((s, d) => {
+      val e = t(s, d).events
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("value").as("p_val"))
+      val c = e.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("value").as("c_val"))
+      RangeJoins.absDeltaJoin(p, c, "p_val", "c_val", delta = 0.25)
+        .groupBy(col("purchase_id"))
+        .agg(count(lit(1)).as("n_close"),
+          min(col("c_val")).as("min_cv"), max(col("c_val")).as("max_cv"))
+        .orderBy(col("purchase_id"))
+    }),
     "approx_distinct" -> ((s, d) => Relational.approxDistincts(t(s, d).lineitem)),
     // Bloom-filter pre-shuffle semi-join reduction (rows-only: sketch
     // membership has no DuckDB twin; no-false-negative + FPR bounds are
@@ -251,6 +266,18 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextQuality.qualityFeatures(t(s, d).documents).orderBy("doc_id")),
     "token_count" -> ((s, d) => TextQuality.tokenCounts(t(s, d).documents).orderBy("doc_id")),
     "lang_id" -> ((s, d) => TextQuality.langId(t(s, d).documents).orderBy("doc_id")),
+    // cleaning/redaction pass: markup + entities + an email + a URL are
+    // stitched around each document deterministically, then stripped,
+    // redacted and whitespace-normalized back out (Cleaning.clean) —
+    // the corpus texts themselves are already clean, so the dirt is
+    // constructed identically on both sides of the oracle
+    "text_clean" -> ((s, d) => {
+      val dirty = t(s, d).documents.select(col("doc_id"),
+        concat(lit("<p>Contact <b>user"), col("doc_id").cast("string"),
+          lit("@example.com</b> &amp; see https://ex.org/p?id="),
+          col("doc_id").cast("string"), lit("&u=1</p>\t\t  "), col("text")).as("text"))
+      Cleaning.clean(dirty).orderBy("doc_id")
+    }),
     "doc_fingerprint" -> ((s, d) => TextQuality.fingerprint(t(s, d).documents).orderBy("doc_id")),
 
     // ---- M3b: corpus construction (deterministic sampling / chunking /
@@ -669,6 +696,17 @@ object SparkEntry {
         |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
 
+    // the oracle states the predicate directly (DuckDB handles the
+    // quadratic form fine at sf0.01); the engine side must produce the
+    // identical pair set through the bin rewrite
+    "binned_range_join" ->
+      """SELECT p.event_id AS purchase_id, count(*) AS n_close,
+        | min(c.value) AS min_cv, max(c.value) AS max_cv
+        |FROM events p JOIN events c
+        | ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND abs(p.value - c.value) <= 0.25
+        |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin,
+
     "asof_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS tsu FROM events),
         | x AS (SELECT event_id, user_id, event_type,
@@ -900,6 +938,32 @@ object SparkEntry {
         |      WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS pred_lang,
         | s_en, s_de, s_es, s_fr, s_zh
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // mirrors Cleaning.clean stage by stage: dirt construction, tag
+    // strip, entity decode (amp LAST — same fold order as the Scala),
+    // URL-then-email redaction, control strip, whitespace collapse.
+    // All patterns are in the RE2 ∩ java.util.regex common subset.
+    "text_clean" ->
+      """WITH dirty AS (SELECT doc_id,
+        |  '<p>Contact <b>user' || CAST(doc_id AS VARCHAR) ||
+        |  '@example.com</b> &amp; see https://ex.org/p?id=' ||
+        |  CAST(doc_id AS VARCHAR) || '&u=1</p>' || chr(9) || chr(9) || '  ' || text AS text
+        |  FROM documents),
+        | um AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    text, '<[^<>]*>', ' ', 'g'),
+        |    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |    '&#39;', '''', 'g'), '&amp;', '&', 'g') AS um
+        |  FROM dirty),
+        | nu AS (SELECT doc_id, um,
+        |  regexp_replace(um, 'https?://[^\s]+', '<URL>', 'g') AS nou FROM um)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(um, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+        | CAST(len(regexp_extract_all(nou, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | trim(regexp_replace(regexp_replace(regexp_replace(
+        |   regexp_replace(nou, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '[\x00-\x08\x0b-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'), '\s+', ' ', 'g')) AS clean
+        |FROM nu ORDER BY doc_id""".stripMargin,
 
     // the sampling hash is the reference's affine char-sum
     // (map_reduce.cpp:214-217) over the first 64 chars — the same
