@@ -64,11 +64,16 @@ object Bench {
     // first query after the whole suite ran. ratio >> 1 means the
     // recorded tail is NOT steady-state — the run is flagged, not
     // silently reported.
+    // All numeric rendering pins Locale.ROOT: the f interpolator and
+    // String.format use the JVM default locale, and e.g. de_DE prints
+    // "117,36" — no longer valid JSON.
+    def fmt(v: Double, decimals: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
     val sentinel = ordered.headOption.map { case (name, fn) =>
       val before = results(name)
       val after = math.min(timeSafe(fn), timeSafe(fn))
       val ratio = if (before > 0 && after > 0) after / before else -1.0
-      if (ratio > 3.0) f""""sentinel":{"query":"$name","ratio":$ratio%.2f},"degraded":true,"""
+      if (ratio > 3.0) s""""sentinel":{"query":"$name","ratio":${fmt(ratio, 2)}},"degraded":true,"""
       else """"degraded":false,"""
     }.getOrElse("")
     // The harness that collects this line keeps only the LAST ~2000 chars
@@ -81,9 +86,9 @@ object Bench {
     // rather than lose the whole line to the collector window.
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def render(decimals: Int): String = {
-      val qs = results.map { case (k, v) => s""""$k":${s"%.${decimals}f".format(v)}""" }
+      val qs = results.map { case (k, v) => s""""$k":${fmt(v, decimals)}""" }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec",$sentinel"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",$sentinel"queries":$qs,"sf":"$sfDir"}"""
     }
     val line = { val l2 = render(2); if (l2.length <= 1850) l2 else render(1) }
     spark.stop()

@@ -655,7 +655,7 @@ object SparkEntry {
     // code sums
     "ref_bin_histogram" ->
       s"""$W, dw AS (SELECT DISTINCT word FROM w WHERE length(word) > 0)
-         |SELECT CAST(list_sum(list_transform(string_split(word, ''), c -> 22 + 23 * (ascii(c) - 14))) % 1024 AS BIGINT) AS bin,
+         |SELECT CAST((coalesce(list_sum(list_transform(string_split(word, ''), c -> 22 + 23 * (ascii(c) - 14))), 0) % 1024 + 1024) % 1024 AS BIGINT) AS bin,
          | count(*) AS n_words
          |FROM dw GROUP BY bin ORDER BY bin""".stripMargin,
 
@@ -1034,9 +1034,12 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin)
 
   /** DuckDB twin of Corpus.hashPermille (affine char-sum of the first
-    * 64 chars, mod 1000). */
+    * 64 chars, mod 1000). Mirrors Spark's pmod — DuckDB's % is
+    * sign-preserving, which diverges when the char sum goes negative
+    * (codepoints < 14, e.g. leading tabs) — and coalesces the empty-list
+    * NULL to 0, matching the aggregate fold's initial value. */
   private def HashPermille: String =
-    "list_sum(list_transform(string_split(substring(text, 1, 64), ''), c -> 22 + 23 * (ascii(c) - 14))) % 1000"
+    "((coalesce(list_sum(list_transform(string_split(substring(text, 1, 64), ''), c -> 22 + 23 * (ascii(c) - 14))), 0) % 1000 + 1000) % 1000)"
 
   private def AllStopwordsSqlList: String =
     Corpus.AllStopwords.map(w => s"'$w'").mkString(",")

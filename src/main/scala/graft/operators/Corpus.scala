@@ -59,7 +59,13 @@ object Corpus {
     val passthrough = docs.columns.filter(c => c != textCol && c != idCol).map(col).toSeq
     docs.select(col(idCol).as("doc_id") +: col(textCol).as("text") +:
         nChunks.as("n_chunks") +: passthrough: _*)
-      .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      // guard the generator: sequence(start, stop) steps -1 when
+      // start > stop, so an empty text (n_chunks = 0) would evaluate
+      // sequence(0, -1) = [0, -1] and emit two spurious chunks.
+      // when(...) yields NULL for n_chunks = 0 and explode drops it —
+      // matching the oracle's generate_series(0, -1) = empty.
+      .withColumn("chunk_idx",
+        explode(when(col("n_chunks") > 0, sequence(lit(0L), col("n_chunks") - 1))))
       .withColumn("chunk",
         col("text").substr((col("chunk_idx") * size + 1).cast(IntegerType), lit(size)))
       .drop("text")
@@ -77,8 +83,10 @@ object Corpus {
     val w = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight): Column) {
       case (acc, (stratum, weight)) => when(col(strataCol) === stratum, lit(weight)).otherwise(acc)
     }
+    // weight 0 must DROP the stratum, not duplicate it: sequence(1, 0)
+    // is [1, 0] (negative step), so guard like chunk() above.
     docs.select(col(idCol).as("doc_id"), col(strataCol).as(strataCol),
-        explode(sequence(lit(1L), w.cast(LongType))).as("copy_id"))
+        explode(when(w > 0, sequence(lit(1L), w.cast(LongType)))).as("copy_id"))
   }
 
   /** All stopwords of all languages — the combined natural-language

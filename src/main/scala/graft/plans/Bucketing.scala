@@ -48,14 +48,18 @@ object Bucketing {
     * than falling back to a broadcast. */
   def colocatedSpendPerCustomer(spark: SparkSession, customer: DataFrame, orders: DataFrame,
                                 buckets: Int = 8): DataFrame = {
-    val key = {
-      val fingerprint = customer.queryExecution.logical.canonicalized.toString +
-        orders.queryExecution.logical.canonicalized.toString +
-        buckets + ":" + System.identityHashCode(spark)
-      java.lang.Long.toHexString(fingerprint.hashCode.toLong & 0xffffffffL)
-    }
-    val (ct, ot) = ingested.getOrElseUpdate(key, {
-      val (ct, ot) = (s"customer_b_$key", s"orders_b_$key")
+    // Memo key = the FULL fingerprint (a 32-bit hashCode key could
+    // collide across (inputs, bucket-count) combos and silently reuse
+    // the wrong bucketed tables); table identifiers use a SHA-256
+    // prefix of it to stay short.
+    val fingerprint = customer.queryExecution.logical.canonicalized.toString +
+      orders.queryExecution.logical.canonicalized.toString +
+      buckets + ":" + System.identityHashCode(spark)
+    val (ct, ot) = ingested.getOrElseUpdate(fingerprint, {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(fingerprint.getBytes("UTF-8"))
+        .take(6).map(b => f"$b%02x").mkString
+      val (ct, ot) = (s"customer_b_$digest", s"orders_b_$digest")
       writeBucketed(customer.select("c_custkey", "c_name"),
         ct, s"$bucketDir/$ct", buckets, "c_custkey")
       writeBucketed(orders.select("o_custkey", "o_totalprice"),

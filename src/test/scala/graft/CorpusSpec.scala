@@ -47,6 +47,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(ids.nonEmpty && ids.forall(_.getBoolean(0)))
   }
 
+  test("empty text yields zero chunks; zero weight drops the stratum") {
+    import spark.implicits._
+    // sequence(start, stop) steps -1 when start > stop, so an unguarded
+    // generator would emit [0, -1] → two phantom chunks for "" (and two
+    // copies for weight 0). The guards must make both empty.
+    val edge = Seq((1L, "", "en"), (2L, "ab", "en"), (3L, "abcd", "de"))
+      .toDF("doc_id", "text", "lang")
+    val chunks = Corpus.chunk(edge, size = 3)
+    assert(chunks.where(col("doc_id") === 1L).count() === 0)
+    assert(chunks.where(col("doc_id") === 2L).count() === 1)
+    assert(chunks.where(col("doc_id") === 3L).count() === 2)
+    val up = Corpus.mixtureUpsample(edge, weights = Map("en" -> 0, "de" -> 2))
+    assert(up.where(col("lang") === "en").count() === 0)
+    assert(up.where(col("lang") === "de").count() === 2)
+  }
+
   test("hash sampling is deterministic, content-keyed, and rate-scaled") {
     val a = Corpus.sampleByHash(docs, permille = 200).select("doc_id").collect().map(_.getLong(0)).toSet
     val b = Corpus.sampleByHash(docs, permille = 200).select("doc_id").collect().map(_.getLong(0)).toSet
