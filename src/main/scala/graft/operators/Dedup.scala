@@ -253,13 +253,15 @@ object Dedup {
       val nbr = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("label")).as("nbr_label"))
+      // carry the old label through the update so convergence is read
+      // off `next` directly — no per-iteration re-join against `labels`
       val next = labels.join(nbr, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          col("label").as("old_label"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "old_label"), "doc_id")
-        .where(col("label") =!= col("old_label")).count()
-      labels = next
+      changed = next.where(col("label") =!= col("old_label")).count()
+      labels = next.select(col("doc_id"), col("label"))
     }
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
