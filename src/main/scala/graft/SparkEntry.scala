@@ -176,6 +176,11 @@ object SparkEntry {
       graft.plans.Bucketing.colocatedSpendPerCustomer(s, tt.customer, tt.orders)
         .orderBy("c_custkey")
     }),
+    // cost-based optimization: ANALYZE'd catalog tables + CBO join
+    // reorder — the query is WRITTEN fact-first, the optimizer joins
+    // the filtered dim first (CboSpec asserts the reorder happens)
+    "cbo_star_join" -> ((s, d) =>
+      graft.plans.Cbo.segmentRevenue(s, d).orderBy("c_mktsegment")),
     // JSON source/sink round trip: parquet -> json -> json scan -> agg
     "json_roundtrip" -> ((s, d) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-json").toString
@@ -523,6 +528,15 @@ object SparkEntry {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
         |FROM customer JOIN orders ON o_custkey = c_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "cbo_star_join" ->
+      """SELECT c_mktsegment, count(*) AS n_items,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "left_join_agg" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,

@@ -1,0 +1,100 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+
+/** Cost-based optimization: table/column statistics + cost-based join
+  * reordering (SURVEY.md §2 scale posture). The reference hard-codes
+  * its one dataflow, so operator ordering is a human decision frozen in
+  * code (map_reduce.cpp:452-616); a declarative engine instead keeps
+  * per-table statistics and lets the optimizer pick the join order at
+  * plan time. At 100 TB this is what makes "join the 300-row filtered
+  * dim first, not the 600-billion-row fact" automatic rather than a
+  * code-review catch.
+  *
+  * Mechanics: external catalog tables are registered over the EXISTING
+  * parquet files (no data rewrite), `ANALYZE TABLE ... COMPUTE
+  * STATISTICS [FOR COLUMNS ...]` persists row counts + per-column
+  * NDV/min/max into the catalog, and queries run in a cloned session
+  * with `spark.sql.cbo.{enabled,joinReorder.enabled}` on — global
+  * session state is never mutated.
+  */
+object Cbo {
+
+  // Registration + ANALYZE is pay-once catalog metadata: memoized per
+  // sf dir (the catalog is shared across cloned sessions, so any later
+  // session sees the stats).
+  private val ingested =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
+
+  private def digest(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+
+  /** Register customer/orders/lineitem as external parquet tables for
+    * `dir` and compute table + join-column statistics. Returns logical
+    * name → catalog table name. */
+  def analyzedTables(spark: SparkSession, dir: String): Map[String, String] =
+    ingested.getOrElseUpdate(dir, {
+      val suf = digest(dir)
+      val cols = Map(
+        "customer" -> "c_custkey, c_mktsegment",
+        "orders" -> "o_orderkey, o_custkey, o_orderdate",
+        "lineitem" -> "l_orderkey, l_extendedprice, l_discount")
+      cols.keys.map { t =>
+        val name = s"cbo_${t}_$suf"
+        if (!spark.catalog.tableExists(name)) {
+          spark.catalog.createTable(name, s"$dir/$t.parquet", "parquet")
+          spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS")
+          spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS ${cols(t)}")
+        }
+        t -> name
+      }.toMap
+    })
+
+  /** Cloned session with the cost-based optimizer (and its join
+    * reordering) enabled; shares the catalog, isolates the conf. */
+  def cboSession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.cbo.enabled", "true")
+    ss.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    ss
+  }
+
+  /** Revenue by market segment, DELIBERATELY written fact-first:
+    * `(lineitem ⋈ orders) ⋈ σ(customer)`. With statistics available the
+    * cost-based reorderer rewrites it to hit the selective filtered dim
+    * first — CboSpec asserts the innermost join is no longer
+    * lineitem ⋈ orders, and that the result is identical either way. */
+  def segmentRevenueSql(tbl: Map[String, String], segment: String): String =
+    s"""SELECT c.c_mktsegment,
+       |  count(*) AS n_items,
+       |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       |FROM ${tbl("lineitem")} l
+       |JOIN ${tbl("orders")} o ON l.l_orderkey = o.o_orderkey
+       |JOIN ${tbl("customer")} c ON o.o_custkey = c.c_custkey
+       |WHERE c.c_mktsegment = '$segment'
+       |GROUP BY c.c_mktsegment""".stripMargin
+
+  def segmentRevenue(spark: SparkSession, dir: String, segment: String = "BUILDING"): DataFrame = {
+    val tbl = analyzedTables(spark, dir)
+    cboSession(spark).sql(segmentRevenueSql(tbl, segment))
+  }
+
+  /** Table names (catalog identifiers) under the innermost join of the
+    * optimized plan — the pair the optimizer chose to join first. */
+  def innermostJoinTables(df: DataFrame): Set[String] = {
+    def leafTables(p: LogicalPlan): Set[String] = p.collectLeaves().flatMap {
+      case r: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
+        Seq(r.tableMeta.identifier.table)
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.catalogTable.map(_.identifier.table).toSeq
+      case _ => Seq.empty
+    }.toSet
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: Join if !j.left.exists(_.isInstanceOf[Join]) &&
+        !j.right.exists(_.isInstanceOf[Join]) => j
+    }
+    joins.headOption.map(leafTables).getOrElse(Set.empty)
+  }
+}
