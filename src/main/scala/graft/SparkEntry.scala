@@ -406,6 +406,22 @@ object SparkEntry {
           org.apache.spark.sql.streaming.OutputMode.Append())
         .orderBy("event_id")
     }),
+    // streaming ingest through the size-governed sink: micro-batches
+    // land replay-idempotent AND compacted (foreachBatch +
+    // Sinks.writeCompacted), then the landed table is aggregated — the
+    // whole loop (stream → sink → scan) must reproduce the batch answer
+    "streaming_compacted_sink" -> ((s, d) => {
+      val tmp = stageEvents(s, d, copies = 1, filesPerCopy = 4)
+      val ss = streamSession(s)
+      val out = java.nio.file.Files.createTempDirectory("graft-fbc-sink").toString
+      EventStreams.runToCompactedParquet(
+        EventStreams.readEventStream(ss, tmp).where(col("event_type") === "purchase"),
+        out, targetRowsPerFile = 5000L)
+      s.read.parquet(out)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), graft.functions.dsum2(col("value")).as("sum_value"))
+        .orderBy("user_id")
+    }),
     // partitioned parquet layout + partition pruning: only the matching
     // o_orderpriority directory is scanned (SourcesSpec asserts the
     // PartitionFilters reach the file index)
@@ -816,6 +832,13 @@ object SparkEntry {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start, event_type,
         | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
+
+    // stream → compacted sink → scan must reproduce the plain batch agg
+    "streaming_compacted_sink" ->
+      """SELECT user_id, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // the streaming pipeline must converge to the identical batch answer
     "streaming_tumbling_agg" ->

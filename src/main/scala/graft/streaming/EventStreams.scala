@@ -252,6 +252,27 @@ object EventStreams {
     q.stop()
   }
 
+  /** foreachBatch composed with the size-governed batch sink
+    * (Sinks.writeCompacted): each micro-batch lands as
+    * `batch_id=<n>/` with file count ⌈rows/target⌉ and a
+    * maxRecordsPerFile ceiling — replay-idempotent (a re-delivered
+    * batch overwrites its own directory) AND small-file-proof (a
+    * trickle of tiny micro-batches cannot shatter the table into
+    * thousands of files). This is the production streaming-ingest
+    * recipe: exactly-once landing + compaction policy in ONE hop,
+    * instead of a separate compaction job rewriting the table later. */
+  def runToCompactedParquet(streamed: DataFrame, outDir: String,
+                            targetRowsPerFile: Long): Unit = {
+    val q = streamed.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sources.Sinks.writeCompacted(batch, s"$outDir/batch_id=$batchId", targetRowsPerFile)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Convenience: run a streaming DataFrame to completion against a
     * bounded source dir and return the final result via a named
     * in-memory sink table. */

@@ -229,6 +229,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(landed.select("batch_id").distinct().count() === 3)
   }
 
+  test("foreachBatch compacted sink governs file sizes and loses nothing") {
+    // larger corpus so the compaction policy has something to govern:
+    // 120 rows over three drops of 40
+    val dir = Files.createTempDirectory("graft-stream-fbc").toString
+    val rows = (1 to 120).map(i => (i.toLong, ts(i), i % 7L, "click", i * 1.0, ""))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    df.where($"event_id" <= 40).coalesce(1).write.parquet(s"$dir/b0")
+    df.where($"event_id" > 40 && $"event_id" <= 80).coalesce(1).write.parquet(s"$dir/b1")
+    df.where($"event_id" > 80).coalesce(1).write.parquet(s"$dir/b2")
+    val out = Files.createTempDirectory("graft-fbc-out").toString
+    EventStreams.runToCompactedParquet(
+      EventStreams.readEventStream(spark, s"$dir/{b0,b1,b2}"), out, targetRowsPerFile = 25L)
+    val landed = spark.read.parquet(out)
+    // exactly-once: every row landed once
+    assert(landed.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      === rows.map(_._1).sorted)
+    // file-count governance per batch dir: 40 rows at target 25 → 2
+    // files, none over the ceiling
+    (0 to 2).foreach { b =>
+      val files = new java.io.File(s"$out/batch_id=$b").listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+      assert(files.length === 2, s"batch $b: ${files.length} files")
+      files.foreach { f =>
+        val n = spark.read.parquet(f.getAbsolutePath).count()
+        assert(n <= 25L, s"batch $b: file with $n rows exceeds target")
+      }
+    }
+  }
+
   test("mapGroupsWithState running totals match a direct fold") {
     val dir = Files.createTempDirectory("graft-stream2").toString
     writeBatches(dir)
