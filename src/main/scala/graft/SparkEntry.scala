@@ -289,6 +289,19 @@ object SparkEntry {
       Similarity.cosineNearDupPairsLsh(t(s, d).embeddings).orderBy("id_a", "id_b")),
     "text_quality" -> ((s, d) => TextQuality.qualityFeatures(t(s, d).documents).orderBy("doc_id")),
     "token_count" -> ((s, d) => TextQuality.tokenCounts(t(s, d).documents).orderBy("doc_id")),
+    // Gopher-style repetition signals (dup-trigram fraction, top-bigram
+    // share): boilerplate/spam detectors for corpus filtering
+    "repetition_stats" -> ((s, d) =>
+      TextQuality.repetitionStats(t(s, d).documents).orderBy("doc_id")),
+    // benchmark decontamination: docs sharing >= 2 trigram shingles with
+    // the held-out set (doc_id % 97 == 0 stands in for the eval suite)
+    "decontaminate" -> ((s, d) => {
+      val docs = t(s, d).documents
+      Corpus.decontaminate(
+          docs.where(col("doc_id") % 97 =!= 0),
+          docs.where(col("doc_id") % 97 === 0))
+        .orderBy("doc_id")
+    }),
     "lang_id" -> ((s, d) => TextQuality.langId(t(s, d).documents).orderBy("doc_id")),
     // cleaning/redaction pass: markup + entities + an email + a URL are
     // stitched around each document deterministically, then stripped,
@@ -970,6 +983,38 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens,
         | CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_llm_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // duplicate-gram fractions: BIGINT/BIGINT divisions on both sides
+    // (DuckDB sum() widens to HUGEINT — cast back before dividing)
+    "repetition_stats" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS l FROM documents),
+        | base AS (SELECT doc_id, l FROM toks WHERE len(l) >= 1),
+        | tg AS (SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS g
+        |         FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM base WHERE len(l) >= 3)),
+        | tgs AS (SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS t FROM tg GROUP BY doc_id),
+        | bg AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS g
+        |         FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i FROM base WHERE len(l) >= 2)),
+        | bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+        | tb AS (SELECT doc_id, CAST(max(c) AS BIGINT) / CAST(sum(c) AS BIGINT) AS top_bigram_frac FROM bgc GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(len(b.l) AS BIGINT) AS n_tokens,
+        | coalesce(1.0 - CAST(tgs.d AS BIGINT) / tgs.t, 0.0) AS dup_trigram_frac,
+        | coalesce(tb.top_bigram_frac, 0.0) AS top_bigram_frac
+        |FROM base b LEFT JOIN tgs USING (doc_id) LEFT JOIN tb USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // text-shingle twin of the engine's 64-bit-id overlap count —
+    // identical values absent xxhash64 collisions (prob ~n²/2⁶⁵)
+    "decontaminate" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS l FROM documents),
+        | pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM toks WHERE len(l) >= 3),
+        | sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle FROM pos),
+        | bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        | ov AS (SELECT s.doc_id, count(*) AS n_overlap FROM sh s JOIN bsh USING (shingle)
+        |         WHERE s.doc_id % 97 <> 0 GROUP BY s.doc_id)
+        |SELECT t.doc_id, coalesce(ov.n_overlap, 0) AS n_overlap,
+        | coalesce(ov.n_overlap, 0) >= 2 AS contaminated
+        |FROM toks t LEFT JOIN ov USING (doc_id) WHERE t.doc_id % 97 <> 0
+        |ORDER BY t.doc_id""".stripMargin,
 
     "lang_id" ->
       """WITH t AS (SELECT doc_id,

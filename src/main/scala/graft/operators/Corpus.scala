@@ -89,6 +89,34 @@ object Corpus {
         explode(when(w > 0, sequence(lit(1L), w.cast(LongType)))).as("copy_id"))
   }
 
+  /** Benchmark decontamination: flag training documents that share at
+    * least `minOverlap` distinct w-gram shingles with ANY benchmark
+    * document — the standard eval-set-leakage guard in a training-data
+    * build. Output: every training doc with its overlap count and flag.
+    *
+    * Scale shape: both sides reduce to 64-bit shingle ids
+    * (Dedup.shingleIds), so the only shuffle moves 8-byte keys; the
+    * benchmark side is distinct-shingle-deduped and joins as the small
+    * build side (broadcastable when the benchmark is eval-suite-sized).
+    * The 64-bit hash makes a counted overlap differ from text-shingle
+    * truth only on collisions (~n²/2⁶⁵ — negligible, same budget as
+    * Dedup.shingleIds). */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, w: Int = 3,
+                    minOverlap: Int = 2, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val docSh = Dedup.shingleIds(docs, w, textCol, idCol)
+    val benchSh = Dedup.shingleIds(benchmark, w, textCol, idCol)
+      .select(col("sh")).distinct()
+    val overlap = docSh.join(benchSh, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
+  }
+
   /** All stopwords of all languages — the combined natural-language
     * signal for quality scoring (per-language lists: TextQuality).
     * Public so the DuckDB oracle twin is generated from the same list. */

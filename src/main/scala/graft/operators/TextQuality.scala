@@ -46,6 +46,43 @@ object TextQuality {
       (stopHits(tk, "en") / nTok).as("stopword_ratio"))
   }
 
+  /** Repetition signals (the Gopher/RefinedWeb-style boilerplate and
+    * spam detectors): per document, the fraction of w-gram occurrences
+    * that are duplicates and the share of the single most frequent
+    * bigram. High values mean machine-generated or template text.
+    *
+    * Two shapes deliberately mixed: the duplicate-trigram fraction is a
+    * NARROW array computation (`array_distinct` inside the row — no
+    * shuffle, whole-stage codegen above it), while the top-bigram share
+    * explodes and re-aggregates (two key-local shuffles on (doc_id,
+    * gram)) because a per-row mode over an unbounded gram vocabulary is
+    * not an array-fold at 100 TB document sizes. */
+  def repetitionStats(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tk = toks(col(textCol))
+    def grams(w: Int) = expr(
+      s"transform(sequence(0, size(toks) - $w), i -> concat_ws(' ', slice(toks, i + 1, $w)))")
+    val narrow = docs
+      .select(col(idCol).as("doc_id"), tk.as("toks"))
+      .where(size(col("toks")) >= 1)
+      .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_tokens"),
+        when(size(col("toks")) >= 3, grams(3)).otherwise(array().cast("array<string>")).as("tg"),
+        when(size(col("toks")) >= 2, grams(2)).otherwise(array().cast("array<string>")).as("bg"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(size(col("tg")) > 0,
+          lit(1.0) - size(array_distinct(col("tg"))).cast(LongType) / size(col("tg")).cast(LongType))
+          .otherwise(lit(0.0)).as("dup_trigram_frac"),
+        col("bg"))
+    val topBigram = narrow
+      .select(col("doc_id"), explode(col("bg")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("c")) / sum(col("c"))).as("top_bigram_frac"))
+    narrow.drop("bg")
+      .join(topBigram, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("dup_trigram_frac"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+  }
+
   /** Token counting three ways: whitespace, a BPE-ish regex pre-token
     * split ([A-Za-z]+ | digit runs | single other chars), and the
     * chars/4 LLM heuristic. */

@@ -82,6 +82,42 @@ class CorpusSpec extends AnyFunSuite {
     assert(kept === nonEn)                // rate 1000 keeps everything else
   }
 
+  test("repetition stats: dup-trigram fraction and top-bigram share are exact") {
+    import spark.implicits._
+    val df = Seq(
+      // "ab ab ab ab": trigrams [ab ab ab]×2 → dup frac 1 - 1/2 = 0.5;
+      // bigrams [ab ab]×3 → top share 3/3 = 1.0
+      (1L, "ab ab ab ab"),
+      // all distinct trigrams/bigrams: dup frac 0, top share 1/3
+      (2L, "w x y z"),
+      // single token: no grams at all → both 0.0
+      (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextQuality.repetitionStats(df)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) === ((4L, 0.5, 1.0)))
+    assert(out(2L) === ((4L, 0.0, 1.0 / 3.0)))
+    assert(out(3L) === ((1L, 0.0, 0.0)))
+  }
+
+  test("decontamination flags benchmark-overlapping docs, spares the rest") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog", "en"))
+      .toDF("doc_id", "text", "lang")
+    val train = Seq(
+      // contains two benchmark trigrams ("quick brown fox", "brown fox jumps")
+      (1L, "a quick brown fox jumps high", "en"),
+      // shares exactly ONE trigram — below minOverlap=2
+      (2L, "the quick brown cat sat down", "en"),
+      (3L, "completely unrelated text with no shared phrases at all", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = Corpus.decontaminate(train, bench)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) === ((2L, true)))
+    assert(out(2L) === ((1L, false)))
+    assert(out(3L) === ((0L, false)))
+  }
+
   test("quality filter keeps the top half per stratum") {
     val kept = Corpus.qualityQuantileFilter(docs, keep = 0.5)
     val total = docs.groupBy(col("lang")).count()
