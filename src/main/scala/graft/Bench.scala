@@ -90,7 +90,13 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",$sentinel"queries":$qs,"sf":"$sfDir"}"""
     }
-    val line = { val l2 = render(2); if (l2.length <= 1850) l2 else render(1) }
+    // stepped precision fallback: the collector window is ~2000 chars
+    // and sbt appends a "[success]" line behind us
+    val line = {
+      val l2 = render(2)
+      if (l2.length <= 1700) l2
+      else { val l1 = render(1); if (l1.length <= 1900) l1 else render(0) }
+    }
     spark.stop()
     println(line)
     System.out.flush()
