@@ -254,6 +254,8 @@ object SparkEntry {
     "interval_join" -> ((s, d) => Windows.purchasesWithRecentClicks(t(s, d).events)),
     "window_ranks" -> ((s, d) => Windows.perUserRanks(t(s, d).events)),
     "json_props_agg" -> ((s, d) => Windows.propsKeyStats(t(s, d).events)),
+    // Spark 4 VARIANT: open-schema payload parsing with typed extraction
+    "variant_props_agg" -> ((s, d) => Windows.variantPropsStats(t(s, d).events)),
     "tumbling_agg" -> ((s, d) => Windows.tumblingCounts(t(s, d).events)),
     "sliding_agg" -> ((s, d) => Windows.slidingCounts(t(s, d).events)),
     "session_agg" -> ((s, d) => Windows.sessionize(t(s, d).events)),
@@ -783,6 +785,14 @@ object SparkEntry {
 
     "json_props_agg" ->
       """SELECT event_type, count(DISTINCT CAST(json_extract(props, '$.k') AS INTEGER)) AS n_k,
+        | CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        | min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+        | max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the variant round trip must preserve the typed values exactly
+    "variant_props_agg" ->
+      """SELECT event_type AS vtype, count(*) AS n,
         | CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
         | min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
         | max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k

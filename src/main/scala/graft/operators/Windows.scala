@@ -124,6 +124,28 @@ object Windows {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** The same payload through Spark 4's VARIANT type: construct a
+    * nested object from real columns, `parse_json` it into a variant,
+    * and read typed fields back with `variant_get` path expressions.
+    * Variant is the open-schema path — no schema declared anywhere,
+    * fields typed at EXTRACTION time, binary-encoded storage — the
+    * shape for payloads whose schema drifts faster than the table's
+    * (from_json with a fixed StructType, propsKeyStats above, is the
+    * closed-schema alternative). */
+  def variantPropsStats(events: DataFrame): DataFrame = {
+    val obj = to_json(struct(col("event_type").as("type"),
+      get_json_object(col("props"), "$.k").cast(IntegerType).as("k")))
+    events
+      .select(parse_json(obj).as("v"))
+      .select(
+        expr("variant_get(v, '$.type', 'string')").as("vtype"),
+        expr("variant_get(v, '$.k', 'int')").as("k"))
+      .groupBy(col("vtype"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("vtype"))
+  }
+
   /** Event-time interval join: every (purchase, click) pair of the same
     * user with the click in the 30 minutes up to the purchase. Equi key
     * (user_id) + time-range residual → one hash shuffle per side, no

@@ -64,6 +64,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BuildLeft") || plan.contains("BuildRight"), plan) // ...with a broadcast build side
   }
 
+  test("join strategy selection is steerable: shuffle_hash vs merge hints, identical result") {
+    import org.apache.spark.sql.functions._
+    val c = t.customer.select("c_custkey", "c_name")
+    val o = t.orders.select("o_custkey", "o_totalprice")
+    // SHJ skips both sort passes — the right pick when one side is
+    // modest and partitions fit in memory; SMJ is the spill-safe
+    // default for fact-fact. Both must be reachable by hint.
+    val shj = c.hint("shuffle_hash").join(o, c("c_custkey") === o("o_custkey"))
+    val smj = c.hint("merge").join(o, c("c_custkey") === o("o_custkey"))
+    assert(simple(shj).contains("ShuffledHashJoin"), simple(shj))
+    assert(simple(smj).contains("SortMergeJoin"), simple(smj))
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))
+    assert(shj.collect().map(key).sorted.toSeq === smj.collect().map(key).sorted.toSeq)
+  }
+
   test("wordcount_x8 pins the 8-row multiplier as the broadcast side") {
     val plan = simple(TextOps.wordCountX8(t.documents))
     // the Range(0..8) side must be the build side of the nested loop
