@@ -295,6 +295,17 @@ object SparkEntry {
     // share): boilerplate/spam detectors for corpus filtering
     "repetition_stats" -> ((s, d) =>
       TextQuality.repetitionStats(t(s, d).documents).orderBy("doc_id")),
+    // sequence packing: chunks → fixed token-budget packs, sharded for
+    // parallelism (the context-window assembly step after chunking)
+    "packed_sequences" -> ((s, d) => {
+      val ch = Corpus.chunk(t(s, d).documents.select(col("doc_id"), col("text")), size = 128)
+        .withColumn("n_tokens",
+          size(filter(split(col("chunk"), "\\s+"), x => length(x) > 0)).cast("long"))
+      Corpus.packChunks(ch, tokensPerPack = 64L, nShards = 8)
+        .select(col("shard"), col("pack_id"), col("doc_id"), col("chunk_idx"),
+          col("n_tokens"), col("start_off"))
+        .orderBy("shard", "doc_id", "chunk_idx")
+    }),
     // benchmark decontamination: docs sharing >= 2 trigram shingles with
     // the held-out set (doc_id % 97 == 0 stands in for the eval suite)
     "decontaminate" -> ((s, d) => {
@@ -1011,6 +1022,22 @@ object SparkEntry {
         | coalesce(tb.top_bigram_frac, 0.0) AS top_bigram_frac
         |FROM base b LEFT JOIN tgs USING (doc_id) LEFT JOIN tb USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+
+    // chunk CTE (as doc_chunks) → per-chunk token counts → per-shard
+    // cumulative start offsets → pack = floor(start / budget)
+    "packed_sequences" ->
+      """WITH c AS (SELECT doc_id, text, CAST(ceil(length(text) / 128.0) AS BIGINT) AS n_chunks FROM documents),
+        | u AS (SELECT doc_id, text, n_chunks, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM c),
+        | ch AS (SELECT doc_id, chunk_idx, substring(text, CAST(chunk_idx * 128 + 1 AS INT), 128) AS chunk FROM u),
+        | tok AS (SELECT doc_id, chunk_idx, doc_id % 8 AS shard,
+        |   CAST(len(list_filter(string_split_regex(chunk, '\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        |   FROM ch),
+        | off AS (SELECT doc_id, chunk_idx, shard, n_tokens,
+        |   CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        |   FROM tok)
+        |SELECT shard, CAST(floor(start_off / 64) AS BIGINT) AS pack_id, doc_id, chunk_idx, n_tokens, start_off
+        |FROM off ORDER BY shard, doc_id, chunk_idx""".stripMargin,
 
     // text-shingle twin of the engine's 64-bit-id overlap count —
     // identical values absent xxhash64 collisions (prob ~n²/2⁶⁵)

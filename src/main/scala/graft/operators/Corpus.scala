@@ -89,6 +89,31 @@ object Corpus {
         explode(when(w > 0, sequence(lit(1L), w.cast(LongType)))).as("copy_id"))
   }
 
+  /** Sequence packing: assign chunks to fixed token-budget packs — the
+    * step between chunking and batch assembly in a training-data build
+    * ("concat then split at `tokensPerPack` boundaries"). A chunk joins
+    * the pack its START offset falls in, so chunks never split and a
+    * pack overruns its budget by at most one chunk's tokens.
+    *
+    * Scale shape: a single global running sum would be one task; packing
+    * instead runs per SHARD (doc_id mod nShards) — one shuffle on the
+    * shard key, a per-shard cumulative window, embarrassingly parallel
+    * across shards. Shard assignment is content-independent and
+    * deterministic, so re-runs pack identically; packs are local to a
+    * shard, which is what a 1000-executor run wants anyway (each
+    * executor emits finished packs with no cross-worker coordination).
+    */
+  def packChunks(chunks: DataFrame, tokensPerPack: Long, nShards: Int = 64,
+                 tokenCol: String = "n_tokens", docCol: String = "doc_id",
+                 idxCol: String = "chunk_idx"): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col(docCol), col(idxCol))
+    chunks
+      .withColumn("shard", pmod(col(docCol), lit(nShards.toLong)))
+      .withColumn("start_off", coalesce(
+        sum(col(tokenCol)).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("pack_id", floor(col("start_off") / tokensPerPack))
+  }
+
   /** Benchmark decontamination: flag training documents that share at
     * least `minOverlap` distinct w-gram shingles with ANY benchmark
     * document — the standard eval-set-leakage guard in a training-data

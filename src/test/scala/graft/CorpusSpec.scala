@@ -82,6 +82,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(kept === nonEn)                // rate 1000 keeps everything else
   }
 
+  test("sequence packing: start-offset binning, bounded overrun, full coverage") {
+    import spark.implicits._
+    // 5 chunks of 10 tokens, one shard, budget 25: starts 0,10,20,30,40
+    // → packs 0,0,0,1,1 (pack 0 overruns to 30 — by less than one chunk)
+    val ch = (0L to 4L).map(i => (1L, i, 10L)).toDF("doc_id", "chunk_idx", "n_tokens")
+    val packed = Corpus.packChunks(ch, tokensPerPack = 25L, nShards = 1)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getAs[Long]("chunk_idx"), r.getAs[Long]("pack_id"),
+        r.getAs[Long]("start_off")))
+    assert(packed.toSeq === Seq((0L, 0L, 0L), (1L, 0L, 10L), (2L, 0L, 20L),
+      (3L, 1L, 30L), (4L, 1L, 40L)))
+    // real corpus: every chunk lands in exactly one pack, and within a
+    // shard pack ids are dense from 0
+    val real = Corpus.chunk(docs.select(col("doc_id"), col("text")), size = 128)
+      .withColumn("n_tokens",
+        size(filter(split(col("chunk"), "\\s+"), x => length(x) > 0)).cast("long"))
+    val out = Corpus.packChunks(real, tokensPerPack = 64L, nShards = 8)
+    assert(out.count() === real.count())
+    val dense = out.groupBy("shard").agg(
+        countDistinct(col("pack_id")).as("n_packs"), max(col("pack_id")).as("max_pack"))
+      .where(col("n_packs") =!= col("max_pack") + 1).count()
+    assert(dense === 0)
+  }
+
   test("repetition stats: dup-trigram fraction and top-bigram share are exact") {
     import spark.implicits._
     val df = Seq(
