@@ -149,11 +149,30 @@ object Corpus {
     TextQuality.Stopwords.toSeq.sortBy(_._1).flatMap(_._2)
 
   /** Quantile-based quality filter: keep the top `keep` fraction of
-    * each stratum by stopword-density score. percent_rank over a
-    * per-stratum window — ranks are exact integers, so the cut is
-    * deterministic and identical on any SQL engine; the score is one
-    * IEEE division of two integer counts. A two-pass global-sort-free
-    * filter: one shuffle on the stratum key, nothing else. */
+    * each stratum by stopword-density score, EXACTLY as
+    * `percent_rank() OVER (PARTITION BY stratum ORDER BY score)` would
+    * — but without ever sorting a whole stratum in one task (at 100 TB
+    * the dominant language IS most of the corpus; a per-stratum window
+    * sort is a single-task straggler).
+    *
+    * Two-pass construction. percent_rank is (rank-1)/(n-1), and with
+    * ascending ties sharing a rank, rank-1 is exactly the count of
+    * rows in the stratum with a strictly smaller score. That count is
+    * a function of the score VALUE alone, so pass 1 builds a
+    * per-stratum score histogram (a partial-aggregated shuffle of
+    * distinct (stratum, score) pairs — scores are rationals
+    * hits/n_tokens, so the histogram is bounded by distinct rational
+    * values, orders of magnitude below row count), derives each
+    * score's exact percent_rank with a window OVER THE HISTOGRAM, and
+    * pass 2 broadcast-joins the surviving (stratum, score, pr) rows
+    * back onto the corpus. Same IEEE doubles, same tie behavior, zero
+    * document-scale sort — the DuckDB twin keeps the naive
+    * percent_rank formulation, so the hash match proves equivalence.
+    *
+    * Scores from identical (hits, n_tokens) pairs are bit-identical
+    * doubles, so the equi-join on score is exact; all-whitespace texts
+    * (0/0 = NULL score) do not occur in corpus data and would drop
+    * here rather than rank. */
   def qualityQuantileFilter(docs: DataFrame, keep: Double = 0.5,
                             strataCol: String = "lang", textCol: String = "text",
                             idCol: String = "doc_id"): DataFrame = {
@@ -161,11 +180,24 @@ object Corpus {
     val hits = size(filter(tk, t =>
       array_contains(array(AllStopwords.map(lit): _*), lower(t))))
     val score = hits.cast(LongType) / size(tk).cast(LongType)
-    val w = Window.partitionBy(col(strataCol)).orderBy(col("score"))
-    // input columns pass through (so the filter composes into
-    // pipelines); score + pr appended
-    docs.withColumn("score", score)
-      .withColumn("pr", percent_rank().over(w))
+    val scored = docs.withColumn("score", score)
+    // pass 1: histogram, then exact percent_rank per distinct score.
+    // The window partitions the HISTOGRAM by stratum — rows here are
+    // distinct score values, not documents.
+    val hist = scored.groupBy(col(strataCol), col("score"))
+      .agg(count(lit(1)).as("cnt"))
+    val below = Window.partitionBy(col(strataCol)).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranks = hist
+      .withColumn("cnt_below", coalesce(sum(col("cnt")).over(below), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col(strataCol))))
+      .withColumn("pr", when(col("n") === 1L, lit(0.0))
+        .otherwise(col("cnt_below").cast(DoubleType) / (col("n") - 1L).cast(DoubleType)))
       .where(col("pr") >= 1.0 - keep)
+      .select(col(strataCol), col("score"), col("pr"))
+    // pass 2: input columns pass through (so the filter composes into
+    // pipelines); score + pr appended, like the window formulation
+    scored.join(broadcast(ranks), Seq(strataCol, "score"))
+      .select(docs.columns.map(col).toSeq :+ col("score") :+ col("pr"): _*)
   }
 }

@@ -114,6 +114,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hot === 100000L)
   }
 
+  test("quality filter: no document-scale window sort — every Window runs over the score histogram") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = graft.operators.Corpus.qualityQuantileFilter(t.documents, keep = 0.5)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected the histogram ranking windows to survive optimization")
+    // each window's subtree must aggregate BEFORE ranking: the window
+    // input is the (stratum, score) histogram, never the corpus scan
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"Window over non-aggregated input (single-task stratum sort at scale):\n$w")
+    }
+    // and the corpus re-join of the surviving ranks is a broadcast
+    val physical = simple(df)
+    assert(physical.contains("BroadcastHashJoin"), physical)
+  }
+
   test("dynamic partition pruning: a selective dim filter prunes fact partitions at runtime") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft-dpp").toString
