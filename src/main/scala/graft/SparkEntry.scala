@@ -376,6 +376,16 @@ object SparkEntry {
       Multimodal.sampleFrames(Multimodal.fakeMediaFromDocs(t(s, d).documents))
         .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
         .orderBy("media_id")),
+    // REAL codec path: PNGs encoded and decoded with javax.imageio
+    // inside the plan; the luminance histogram of the decoded raster is
+    // hash-checked against the fixture pattern's closed form in DuckDB
+    "image_features" -> ((s, d) =>
+      Multimodal.imageLumaHistogram(Multimodal.pngMediaFromDocs(t(s, d).documents))
+        .orderBy("media_id", "bucket")),
+    "image_resize_features" -> ((s, d) =>
+      Multimodal.imageLumaHistogram(
+          Multimodal.resizeImage(Multimodal.pngMediaFromDocs(t(s, d).documents), 32, 24))
+        .orderBy("media_id", "bucket")),
 
     // ---- M4: Structured Streaming (micro-batched file source; result
     // must converge to the batch tumbling agg, so it shares its oracle) ----
@@ -880,7 +890,7 @@ object SparkEntry {
         | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
 
-    // the [STUB-DECODE] byte histogram is SQL-expressible: bucket =
+    // the codec-free byte histogram is SQL-expressible: bucket =
     // byte // 16, weight = float32(cnt)/float32(len). Corpus is ASCII
     // (verified), so per-character ascii() == the UTF-8 byte value.
     "media_features" ->
@@ -890,6 +900,29 @@ object SparkEntry {
         |          FROM ch GROUP BY media_id, n, ascii(c) // 16)
         |SELECT media_id, bucket, CAST(CAST(cnt AS REAL) / CAST(n AS REAL) AS DOUBLE) AS weight
         |FROM cnt ORDER BY media_id, bucket""".stripMargin,
+
+    // the REAL decode path's twin: the fixture writes gray pixel
+    // v = ((id%256)*31 + x*7 + y*13) % 256 at (x, y), PNG is lossless,
+    // luminance of gray is v — so the decoded histogram equals the
+    // pattern's closed form evaluated over the pixel grid
+    "image_features" ->
+      """WITH m AS (SELECT doc_id, doc_id % 64 + 16 AS w, doc_id % 48 + 16 AS h FROM documents),
+        | px AS (SELECT doc_id, w, unnest(generate_series(0, w * h - 1)) AS p FROM m),
+        | v AS (SELECT doc_id,
+        |   ((((doc_id % 256) * 31 + (p % w) * 7 + (p // w) * 13) % 256) // 16) AS bucket FROM px)
+        |SELECT doc_id AS media_id, CAST(bucket AS BIGINT) AS bucket, count(*) AS n_px
+        |FROM v GROUP BY 1, 2 ORDER BY media_id, bucket""".stripMargin,
+
+    // nearest-neighbor remap src = (dst * srcDim) // dstDim composed
+    // into the same closed form, evaluated over the 32x24 output grid
+    "image_resize_features" ->
+      """WITH m AS (SELECT doc_id, doc_id % 64 + 16 AS w, doc_id % 48 + 16 AS h FROM documents),
+        | px AS (SELECT doc_id, w, h, unnest(generate_series(0, 32 * 24 - 1)) AS p FROM m),
+        | v AS (SELECT doc_id,
+        |   ((((doc_id % 256) * 31 + (((p % 32) * w) // 32) * 7
+        |      + (((p // 32) * h) // 24) * 13) % 256) // 16) AS bucket FROM px)
+        |SELECT doc_id AS media_id, CAST(bucket AS BIGINT) AS bucket, count(*) AS n_px
+        |FROM v GROUP BY 1, 2 ORDER BY media_id, bucket""".stripMargin,
 
     // deterministic frame arithmetic: ceil(bytes/64) frames, stride 4
     "frame_sample" ->

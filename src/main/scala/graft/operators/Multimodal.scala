@@ -7,14 +7,20 @@ import org.apache.spark.sql.types._
 /** Multimodal columns for training-data pipelines (SURVEY.md §2.11):
   * image/audio/video payloads travel as opaque `binary` columns with a
   * typed metadata struct; decode / feature-extraction / resize /
-  * frame-sampling run as partition-batched transforms.
+  * frame-sampling run as in-plan scalar transforms.
   *
-  * The actual codec layer is a STUB — the container has no image/audio
-  * libraries — marked [STUB-DECODE] below: a deterministic fake that
-  * maps bytes → features. Everything Spark-side is real and tested:
-  * schema contracts, mapPartitions batching (the Scala analog of
-  * mapInPandas: one iterator per partition, no per-row setup cost),
-  * partition sizing, and the metadata plumbing.
+  * Two codec tiers:
+  *  - IMAGE decode is REAL: `javax.imageio` (JDK-builtin PNG codec, no
+  *    external libraries) encodes deterministic fixture PNGs and
+  *    decodes them back to pixels inside the plan — luminance
+  *    histograms and nearest-neighbor resizes operate on actual
+  *    decoded rasters, and because the fixture pattern is a closed-form
+  *    function of (id, x, y), the whole encode→decode→feature path has
+  *    an exact DuckDB twin.
+  *  - AUDIO/VIDEO payloads stay opaque: `decodeToFeatures` is a
+  *    codec-free byte-level histogram (the container ships no
+  *    audio/video codecs) standing where an FFT/frame decoder would —
+  *    the signature (bytes → fixed-dim features) is the real contract.
   *
   * At 100 TB: binary payloads dominate scan width — keep them in their
   * own parquet column (never inside a struct with hot scalars) so
@@ -48,10 +54,11 @@ object Multimodal {
 
   private val featureDim = 16
 
-  /** [STUB-DECODE] deterministic fake decoder: byte-value histogram over
-    * 16 buckets, L1-normalized — stands in for image decode + CNN/CLIP
-    * featurization. Replace the body with a real codec call; the
-    * signature (bytes → fixed-dim Array[Float]) is the real contract. */
+  /** Codec-free payload featurizer: byte-value histogram over 16
+    * buckets, L1-normalized — the opaque-format path (audio/video,
+    * where the container ships no codec) standing where an FFT/frame
+    * decoder would. For images the REAL decoder below
+    * (`imageLumaHistogram`) replaces this. */
   private def decodeToFeatures(bytes: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](featureDim)
     if (bytes == null || bytes.isEmpty) return hist
@@ -92,8 +99,10 @@ object Multimodal {
       .select(col("media_id"), col("bucket").cast(LongType).as("bucket"),
         col("weight").cast(DoubleType).as("weight"))
 
-  /** [STUB-DECODE] "resize": truncate/zero-pad the payload to nBytes,
-    * updating metadata — stands in for a pixel resize. */
+  /** Opaque-payload "resize": truncate/zero-pad the payload to nBytes,
+    * updating metadata — the byte-level path for formats with no
+    * in-container codec (images get the real pixel resize:
+    * `resizeImage`). */
   def resize(media: DataFrame, nBytes: Int): DataFrame = {
     val resized = substring(col("content"), 1, nBytes)
     media.select(
@@ -103,6 +112,120 @@ object Multimodal {
         col("meta.format").as("format"),
         lit(nBytes.toLong).as("n_bytes"),
         col("meta.width"), col("meta.height")).as("meta"))
+  }
+
+  // ---- Real image codec layer: javax.imageio (JDK-builtin, no external
+  // codecs). The fixture pattern is a closed-form function of
+  // (id, x, y), so every decoded-pixel feature has an exact SQL twin —
+  // the encode→decode roundtrip is verified end-to-end, not stubbed. ----
+
+  /** Gray value of pixel (x, y) in fixture image `id`:
+    * ((id mod 256)·31 + x·7 + y·13) mod 256. All arithmetic stays in
+    * Int range regardless of id, and the same formula is the DuckDB
+    * oracle's pixel source. */
+  private[graft] def patternValue(id: Long, x: Int, y: Int): Int =
+    (((id % 256).toInt * 31 + x * 7 + y * 13) % 256)
+
+  private[graft] def encodePng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = patternValue(id, x, y)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private[graft] def decodePng(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+
+  /** Real-PNG media table: per-document deterministic pattern images,
+    * PNG-encoded inside the plan (a narrow scalar UDF — the encode cost
+    * scales with executors, no shuffle). Dimensions vary with doc_id so
+    * downstream decode logic sees real variation. */
+  def pngMediaFromDocs(docs: DataFrame): DataFrame = {
+    val enc = udf((id: Long, w: Int, h: Int) => encodePng(id, w, h))
+    val w = (pmod(col("doc_id"), lit(64)) + 16).cast(IntegerType)
+    val h = (pmod(col("doc_id"), lit(48)) + 16).cast(IntegerType)
+    docs.select(col("doc_id").as("media_id"),
+        enc(col("doc_id"), w, h).as("content"),
+        w.as("width"), h.as("height"))
+      .select(col("media_id"), col("content"),
+        struct(
+          lit("image/png").as("format"),
+          length(col("content")).cast(LongType).as("n_bytes"),
+          col("width"), col("height")).as("meta"))
+  }
+
+  /** REAL image decode + feature extraction: `ImageIO.read` the PNG,
+    * bulk-read the raster, histogram the 16 luminance buckets
+    * (lum = (r+g+b)/3; PNG is lossless so gray fixtures decode
+    * bit-exact). Counts stay integral — no float normalization — so
+    * the DuckDB twin matches by hash, proving the codec path, not just
+    * the plumbing. Narrow (no shuffle); explodes to scalar rows the
+    * gate can sort. */
+  def imageLumaHistogram(media: DataFrame): DataFrame = {
+    val decode = udf((bytes: Array[Byte]) => {
+      val img = decodePng(bytes)
+      val w = img.getWidth
+      val h = img.getHeight
+      val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+      val hist = new Array[Long](featureDim)
+      var i = 0
+      while (i < rgb.length) {
+        val p = rgb(i)
+        val lum = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+        hist(lum / featureDim) += 1L
+        i += 1
+      }
+      hist
+    })
+    media.select(col("media_id"), posexplode(decode(col("content"))).as(Seq("bucket", "n_px")))
+      .where(col("n_px") > 0L)
+      .select(col("media_id"), col("bucket").cast(LongType).as("bucket"), col("n_px"))
+  }
+
+  /** REAL pixel resize: decode, nearest-neighbor remap with the exact
+    * integer mapping src = (dst · srcDim) / dstDim (floor), re-encode
+    * PNG. The explicit mapping (not AffineTransformOp's sampling) keeps
+    * the operation closed-form so resized-image features stay
+    * oracle-checkable; NN is the deterministic choice a dataloader
+    * makes when exactness matters more than smoothing. */
+  def resizeImage(media: DataFrame, dstW: Int, dstH: Int): DataFrame = {
+    val rs = udf((bytes: Array[Byte]) => {
+      val src = decodePng(bytes)
+      val sw = src.getWidth
+      val sh = src.getHeight
+      val srgb = src.getRGB(0, 0, sw, sh, null, 0, sw)
+      val dst = new java.awt.image.BufferedImage(dstW, dstH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < dstH) {
+        var x = 0
+        while (x < dstW) {
+          dst.setRGB(x, y, srgb((y * sh / dstH) * sw + (x * sw / dstW)))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", bos)
+      bos.toByteArray
+    })
+    media.select(
+      col("media_id"),
+      rs(col("content")).as("content"))
+      .select(col("media_id"), col("content"),
+        struct(
+          lit("image/png").as("format"),
+          length(col("content")).cast(LongType).as("n_bytes"),
+          lit(dstW).as("width"), lit(dstH).as("height")).as("meta"))
   }
 
   /** Frame sampling: split the payload into fixed-size "frames" and

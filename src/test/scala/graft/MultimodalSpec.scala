@@ -49,6 +49,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r(1L)(4) === 0.toByte)
   }
 
+  test("real PNG roundtrip: encode with javax.imageio, decode to the exact fixture pixels") {
+    val bytes = Multimodal.encodePng(id = 5L, w = 3, h = 2)
+    // a real PNG, not a fake: magic bytes \x89PNG
+    assert((bytes(0) & 0xff) === 0x89 && bytes(1) === 'P'.toByte
+      && bytes(2) === 'N'.toByte && bytes(3) === 'G'.toByte)
+    val img = Multimodal.decodePng(bytes)
+    assert(img.getWidth === 3 && img.getHeight === 2)
+    for (y <- 0 until 2; x <- 0 until 3) {
+      val v = Multimodal.patternValue(5L, x, y)
+      val p = img.getRGB(x, y)
+      // PNG is lossless: every channel decodes to the written gray value
+      assert(((p >> 16) & 0xff) === v && ((p >> 8) & 0xff) === v && (p & 0xff) === v,
+        s"pixel ($x,$y)")
+    }
+  }
+
+  test("imageLumaHistogram: decoded-pixel histogram matches the closed-form pattern") {
+    val media = Multimodal.pngMediaFromDocs(docs)
+    val got = Multimodal.imageLumaHistogram(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // independent Scala oracle straight from the pattern, no codec
+    val want = (0L to 2L).flatMap { id =>
+      val w = (id % 64 + 16).toInt; val h = (id % 48 + 16).toInt
+      val counts = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for (y <- 0 until h; x <- 0 until w)
+        counts(Multimodal.patternValue(id, x, y) / 16L) += 1L
+      counts.map { case (b, n) => (id, b) -> n }
+    }.toMap
+    assert(got === want)
+  }
+
+  test("resizeImage: nearest-neighbor mapping src=(dst*srcDim)/dstDim, re-encoded losslessly") {
+    val resized = Multimodal.resizeImage(Multimodal.pngMediaFromDocs(docs), 8, 6)
+    val r = resized.where($"media_id" === 1L).head()
+    assert(r.getStruct(2).getAs[Int]("width") === 8)
+    val img = Multimodal.decodePng(r.getAs[Array[Byte]]("content"))
+    assert(img.getWidth === 8 && img.getHeight === 6)
+    // doc 1: source 17x17; resized pixel (x,y) = source (x*17/8, y*17/6)
+    for (y <- 0 until 6; x <- 0 until 8) {
+      val v = Multimodal.patternValue(1L, x * 17 / 8, y * 17 / 6)
+      assert((img.getRGB(x, y) & 0xff) === v, s"pixel ($x,$y)")
+    }
+  }
+
   test("sampleFrames: stride-4 over 64-byte frames, empty payloads dropped") {
     val fr = Multimodal.sampleFrames(Multimodal.fakeMediaFromDocs(docs), frameBytes = 64, stride = 4)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2)))
