@@ -283,6 +283,7 @@ object SparkEntry {
     // product-quantization ANN (rows-only: approximate by design;
     // recall vs brute force asserted in SimilaritySpec)
     "pq_topk" -> ((s, d) => Similarity.pqTopK(t(s, d).embeddings).orderBy("q_id", "rank")),
+    "ivf_pq_topk" -> ((s, d) => Similarity.ivfPqTopK(t(s, d).embeddings).orderBy("q_id", "rank")),
     "embedding_near_dups" -> ((s, d) =>
       Similarity.cosineNearDupPairs(t(s, d).embeddings).orderBy("id_a", "id_b")),
     // approximate (LSH-bucketed) variant — rows-only by design; recall

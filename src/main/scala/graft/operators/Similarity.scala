@@ -178,6 +178,36 @@ object Similarity {
     cents
   }
 
+  /** Nearest coarse centroid(s) per vector (normalized data: max dot =
+    * nearest), as an AGGREGATE instead of a row_number window: a window
+    * would sort-shuffle the full N x nCells candidate table, while
+    * groupBy partial-aggregates it to N rows map-side before any
+    * exchange. Ordering is desc(cent_sim) with asc(cent_id) tie-break,
+    * encoded lexicographically as the struct (cent_sim, -cent_id).
+    * `cents`: (cent_id, cent_emb), broadcast. Output: (vec_id,
+    * embedding, cell) — one row per assigned cell. */
+  private def coarseAssign(df: DataFrame, cents: DataFrame, n: Int): DataFrame = {
+    val sims = df.join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        (vec_dot(col("embedding"), col("cent_emb")) /
+          (vec_norm(col("embedding")) * vec_norm(col("cent_emb")))).as("cent_sim"))
+    if (n == 1)
+      sims.groupBy(col("vec_id"))
+        .agg(max(struct(col("cent_sim"), (-col("cent_id")).as("neg_id"),
+          col("cent_id"), col("embedding"))).as("m"))
+        .select(col("vec_id"), col("m.embedding").as("embedding"), col("m.cent_id").as("cell"))
+    else
+      // top-n cells via a bounded collect_list (<= nCells entries per
+      // vector, complete after the map-side partial agg) sorted and
+      // sliced in the projection — still no global sort
+      sims.groupBy(col("vec_id"))
+        .agg(first(col("embedding")).as("embedding"),
+          slice(reverse(array_sort(collect_list(
+            struct(col("cent_sim"), (-col("cent_id")).as("neg_id"), col("cent_id"))))),
+            1, n).as("top"))
+        .select(col("vec_id"), col("embedding"), explode(col("top.cent_id")).as("cell"))
+  }
+
   /** IVF-style ANN: a deterministic coarse quantizer (stride-sampled
     * init + `refineIters` Lloyd iterations, see lloydRefine) assigns
     * each vector to its nearest centroid; queries probe only the
@@ -206,37 +236,9 @@ object Similarity {
         refineIters,
         (s, c, c2) => vec_dot(s, c) / sqrt(c2))
         .select(col("code").as("cent_id"), col("cent_sub").as("cent_emb"))
-    // nearest centroid(s) per vector (normalized data: max dot =
-    // nearest), as an AGGREGATE instead of a row_number window: the
-    // window sort-shuffled the full N x nCells candidate table, while
-    // groupBy partial-aggregates it to N rows map-side before any
-    // exchange. Ordering matches the old window: desc(cent_sim) with
-    // asc(cent_id) tie-break, encoded lexicographically as the struct
-    // (cent_sim, -cent_id).
-    def assign(df: DataFrame, n: Int): DataFrame = {
-      val sims = df.join(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cent_id"),
-          (vec_dot(col("embedding"), col("cent_emb")) /
-            (vec_norm(col("embedding")) * vec_norm(col("cent_emb")))).as("cent_sim"))
-      if (n == 1)
-        sims.groupBy(col("vec_id"))
-          .agg(max(struct(col("cent_sim"), (-col("cent_id")).as("neg_id"),
-            col("cent_id"), col("embedding"))).as("m"))
-          .select(col("vec_id"), col("m.embedding").as("embedding"), col("m.cent_id").as("cell"))
-      else
-        // top-n cells via a bounded collect_list (<= nCells entries per
-        // vector, complete after the map-side partial agg) sorted and
-        // sliced in the projection — still no global sort
-        sims.groupBy(col("vec_id"))
-          .agg(first(col("embedding")).as("embedding"),
-            slice(reverse(array_sort(collect_list(
-              struct(col("cent_sim"), (-col("cent_id")).as("neg_id"), col("cent_id"))))),
-              1, n).as("top"))
-          .select(col("vec_id"), col("embedding"), explode(col("top.cent_id")).as("cell"))
-    }
-    val corpus = assign(emb, 1) // each corpus vector lives in ONE cell
+    val corpus = coarseAssign(emb, cents, 1) // each corpus vector lives in ONE cell
       .withColumn("nrm", vec_norm(col("embedding")))
-    val queries = assign(emb, nProbe) // each query probes nProbe cells
+    val queries = coarseAssign(emb, cents, nProbe) // each query probes nProbe cells
       .withColumn("nrm", vec_norm(col("embedding")))
     val pairs = queries.as("q").join(corpus.as("c"),
         col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
@@ -274,46 +276,49 @@ object Similarity {
     * iterative-plan latency). On naturally clustered embeddings turn
     * refineIters up: that is where k-means codebooks earn their keep,
     * and training cost is sample-sized, not corpus-sized. */
-  def pqTopK(emb: DataFrame, step: Int = 50, m: Int = 16, kCent: Int = 48,
-             dim: Int = 64, qStride: Int = 50, k: Int = 10,
-             refineIters: Int = 0, trainStride: Int = 5): DataFrame = {
-    val subDim = dim / m
-    require(m * subDim == dim, s"m=$m must divide dim=$dim")
-    def subspaces(df: DataFrame): DataFrame = df
-      .select(col("vec_id"), explode(array((0 until m).map(j =>
-        struct(lit(j).as("j"), slice(col("embedding"), j * subDim + 1, subDim).as("sub"))): _*)).as("s"))
-      .select(col("vec_id"), col("s.j").as("j"), col("s.sub").as("sub"))
-    // code books reuse the same subspace slicing as corpus/query
-    // encoding — the two MUST agree or codes and tables silently
-    // mismatch. Codes are a DENSE rank over the sampled centroids, not
-    // vec_id/step: ADC scoring indexes the lookup arrays by code
-    // (element_at(t, c+1)), so codes must be contiguous 0..n-1 even
-    // when vec_ids have gaps (vec_id/step would silently mis-index —
-    // null sims under non-ANSI). The rank window only sees the sampled
-    // rows (N/step of them), so the single-partition sort is tiny.
-    val cents0 = subspaces(
+  private def pqSubspaces(df: DataFrame, m: Int, subDim: Int): DataFrame = df
+    .select(col("vec_id"), explode(array((0 until m).map(j =>
+      struct(lit(j).as("j"), slice(col("embedding"), j * subDim + 1, subDim).as("sub"))): _*)).as("s"))
+    .select(col("vec_id"), col("s.j").as("j"), col("s.sub").as("sub"))
+
+  /** Per-subspace code books: (j, code, cent_sub). Code books reuse the
+    * same subspace slicing as corpus/query encoding — the two MUST
+    * agree or codes and tables silently mismatch. Codes are a DENSE
+    * rank over the sampled centroids, not vec_id/step: ADC scoring
+    * indexes the lookup arrays by code (element_at(t, c+1)), so codes
+    * must be contiguous 0..n-1 even when vec_ids have gaps (vec_id/step
+    * would silently mis-index — null sims under non-ANSI). The rank
+    * window only sees the sampled rows (N/step of them), so the
+    * single-partition sort is tiny.
+    *
+    * Optional Lloyd refinement uses the SAME L2 metric encoding uses:
+    * score = 2 s·c − c·c (the |s|² term is constant per argmax group,
+    * so argmax(score) = argmin L2 distance). Training runs on a
+    * 1/trainStride deterministic sample — the 100 TB posture: the
+    * codebook is trained on a sample (quality is statistically
+    * identical), and the FULL corpus is touched exactly once, by the
+    * final encode pass. */
+  private def pqCodebooks(emb: DataFrame, step: Int, m: Int, kCent: Int, subDim: Int,
+                          refineIters: Int, trainStride: Int): DataFrame = {
+    val cents0 = pqSubspaces(
         emb.where(col("vec_id") % step === 0)
           .withColumn("code", row_number().over(Window.orderBy(col("vec_id"))) - 1)
           .where(col("code") < kCent)
-          .select(col("code").cast("long").as("vec_id"), col("embedding")))
+          .select(col("code").cast("long").as("vec_id"), col("embedding")), m, subDim)
       .select(col("j"), col("vec_id").cast("int").as("code"), col("sub").as("cent_sub"))
-    // Lloyd-refine each subspace book with the SAME L2 metric encoding
-    // uses: score = 2 s·c − c·c (the |s|² term is constant per argmax
-    // group, so argmax(score) = argmin L2 distance). Training runs on
-    // a 1/trainStride deterministic sample — the 100 TB posture: the
-    // codebook is trained on a sample (quality is statistically
-    // identical), and the FULL corpus is touched exactly once, by the
-    // final encode pass.
-    val cents =
-      if (refineIters <= 0) cents0
-      else lloydRefine(subspaces(emb.where(col("vec_id") % trainStride === 0)),
-        cents0, refineIters,
-        (s, c, c2) => vec_dot(s, c) * 2.0 - c2)
-    // encode: per (vector, subspace) the argmin-distance centroid code;
-    // |s - c|^2 = |s|^2 - 2 s·c + |c|^2 and |s|^2 is constant per
-    // (vector, subspace), so argmin over (-2 s·c + |c|^2) suffices;
-    // |c|^2 is precomputed per centroid on the broadcast side
-    val codes = subspaces(emb)
+    if (refineIters <= 0) cents0
+    else lloydRefine(pqSubspaces(emb.where(col("vec_id") % trainStride === 0), m, subDim),
+      cents0, refineIters,
+      (s, c, c2) => vec_dot(s, c) * 2.0 - c2)
+  }
+
+  /** PQ-encode every vector: (vec_id, codes[m]). Per (vector, subspace)
+    * the argmin-distance centroid code; |s - c|^2 = |s|^2 - 2 s·c +
+    * |c|^2 and |s|^2 is constant per (vector, subspace), so argmin over
+    * (-2 s·c + |c|^2) suffices; |c|^2 is precomputed per centroid on
+    * the broadcast side. */
+  private def pqEncode(emb: DataFrame, cents: DataFrame, m: Int, subDim: Int): DataFrame =
+    pqSubspaces(emb, m, subDim)
       .join(broadcast(cents.withColumn("c2", vec_dot(col("cent_sub"), col("cent_sub")))), "j")
       .select(col("vec_id"), col("j"), col("code"),
         (vec_dot(col("sub"), col("cent_sub")) * -2.0 + col("c2")).as("d"))
@@ -322,8 +327,11 @@ object Similarity {
       .select(col("vec_id"), col("j"), col("best.code").as("code"))
       .groupBy(col("vec_id"))
       .agg(expr("transform(array_sort(collect_list(struct(j, code))), s -> s.code)").as("codes"))
-    // per query: the m x kCent asymmetric-distance table of subspace dots
-    val qtab = subspaces(emb.where(col("vec_id") % qStride === 0))
+
+  /** Per query: the m x kCent asymmetric-distance table of subspace
+    * dots, as (q_id, tables[m][kCent]). */
+  private def pqQueryTables(queries: DataFrame, cents: DataFrame, m: Int, subDim: Int): DataFrame =
+    pqSubspaces(queries, m, subDim)
       .join(broadcast(cents), "j")
       .select(col("vec_id").as("q_id"), col("j"), col("code"),
         vec_dot(col("sub"), col("cent_sub")).as("dot"))
@@ -331,6 +339,15 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(code, dot))), s -> s.dot)").as("dots"))
       .groupBy(col("q_id"))
       .agg(expr("transform(array_sort(collect_list(struct(j, dots))), s -> s.dots)").as("tables"))
+
+  def pqTopK(emb: DataFrame, step: Int = 50, m: Int = 16, kCent: Int = 48,
+             dim: Int = 64, qStride: Int = 50, k: Int = 10,
+             refineIters: Int = 0, trainStride: Int = 5): DataFrame = {
+    val subDim = dim / m
+    require(m * subDim == dim, s"m=$m must divide dim=$dim")
+    val cents = pqCodebooks(emb, step, m, kCent, subDim, refineIters, trainStride)
+    val codes = pqEncode(emb, cents, m, subDim)
+    val qtab = pqQueryTables(emb.where(col("vec_id") % qStride === 0), cents, m, subDim)
     // ADC scoring: sim(q, v) ≈ Σ_j tables[j][codes[j]] (normalized data:
     // the quantized dot product approximates cosine). vec_adc_score is
     // a codegen'd Expression: the scan is queries × corpus rows, and
@@ -342,6 +359,112 @@ object Similarity {
         vec_adc_score(col("tables"), col("codes")).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("c_id"))
     scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), round(col("sim"), 4).as("sim_r"))
+  }
+
+  /** Candidate pairs of the composed IVF×PQ index: queries probe their
+    * `nProbe` nearest coarse cells and meet only the corpus vectors
+    * assigned there. Exposed separately so the candidate count — the
+    * quantity the composition exists to cut — is directly measurable
+    * (SimilaritySpec asserts on it; a wall-clock assert would be
+    * flaky). Output: (q_id, c_id, cell) — each corpus vector lives in
+    * one cell, so no dedup is needed, and the cell rides along so
+    * scoring can pick the matching per-cell ADC table. */
+  def ivfPqCandidates(emb: DataFrame, coarseStep: Int = 25, nProbe: Int = 4,
+                      qStride: Int = 50): DataFrame = {
+    val coarse = emb.where(col("vec_id") % coarseStep === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val corpusCells = coarseAssign(emb, coarse, 1).select(col("vec_id"), col("cell"))
+    val queryCells = coarseAssign(emb.where(col("vec_id") % qStride === 0), coarse, nProbe)
+      .select(col("vec_id").as("q_id"), col("cell"))
+    queryCells.join(corpusCells, Seq("cell"))
+      .where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"), col("cell"))
+  }
+
+  /** IVF×PQ — the production 100 TB ANN shape (Jégou et al. 2011, §IV,
+    * with residual encoding and exact re-ranking): the coarse inverted
+    * file prunes WHERE to look (nProbe of nCells cells ⇒ candidate
+    * cost drops by ≈ nProbe/nCells), PQ quantizes each vector's
+    * RESIDUAL v − centroid(cell), ADC shortlists `rerank·k` candidates
+    * per query from codes alone, and only the shortlist touches the
+    * original vectors for an exact cosine re-rank — the three-stage
+    * funnel every production ANN service runs (cells → codes →
+    * verify).
+    *
+    * ADC scoring is L2 (rank-equivalent to cosine on normalized data):
+    * per (query, probed cell) an m×kCent table of exact
+    * ||q_res_sub − cent||² terms, then each candidate costs m lookups
+    * summed by the codegen'd vec_adc_score. The |s|² term stays in the
+    * table — it differs per probed cell, and dropping it would break
+    * cross-cell comparability of a query's candidates. All shuffles
+    * move (cell, vec_id) ints and m-byte code arrays; centroids,
+    * per-query tables and the shortlist broadcast.
+    *
+    * Geometry note, measured on the near-uniform synthetic corpus:
+    * MANY SMALL cells beat few large ones at equal scan fraction —
+    * 50 cells/probe 12 captures 0.90 of true neighbors in 23% of
+    * pairs, while 20 cells/probe 4 captures 0.49 in 19% — so the
+    * defaults lean fine (coarseStep=10). The re-rank stage is what
+    * lifts end recall above full-scan PQ: quantization noise decides
+    * only WHO enters the shortlist, never the final order. */
+  def ivfPqTopK(emb: DataFrame, coarseStep: Int = 10, nProbe: Int = 12,
+                step: Int = 50, m: Int = 16, kCent: Int = 48, dim: Int = 64,
+                qStride: Int = 50, k: Int = 10, rerank: Int = 4): DataFrame = {
+    val subDim = dim / m
+    require(m * subDim == dim, s"m=$m must divide dim=$dim")
+    val cellCent = emb.where(col("vec_id") % coarseStep === 0)
+      .select(col("vec_id").as("cell"), col("embedding").as("cent_emb"))
+    val asCents = cellCent.select(col("cell").as("cent_id"), col("cent_emb"))
+    // corpus: one cell per vector; PQ code books train on and encode
+    // the residuals (the codebook stride-samples inside pqCodebooks)
+    val corpusRes = coarseAssign(emb, asCents, 1)
+      .join(broadcast(cellCent), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding"), col("cent_emb"), (a, b) => a - b).as("embedding"))
+    val cents = pqCodebooks(corpusRes.select(col("vec_id"), col("embedding")),
+      step, m, kCent, subDim, refineIters = 0, trainStride = 5)
+    val codes = pqEncode(corpusRes.select(col("vec_id"), col("embedding")), cents, m, subDim)
+    // queries: a residual PER PROBED CELL, each with its own L2 table
+    val qres = coarseAssign(emb.where(col("vec_id") % qStride === 0), asCents, nProbe)
+      .join(broadcast(cellCent), "cell")
+      .select(col("vec_id").as("q_id"), col("cell"),
+        zip_with(col("embedding"), col("cent_emb"), (a, b) => a - b).as("res"))
+    val qsub = qres.select(col("q_id"), col("cell"), explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"), slice(col("res"), j * subDim + 1, subDim).as("sub"))): _*)).as("s"))
+      .select(col("q_id"), col("cell"), col("s.j").as("j"), col("s.sub").as("sub"))
+    val qtab = qsub
+      .withColumn("s2", vec_dot(col("sub"), col("sub")))
+      .join(broadcast(cents.withColumn("c2", vec_dot(col("cent_sub"), col("cent_sub")))), "j")
+      .select(col("q_id"), col("cell"), col("j"), col("code"),
+        (col("s2") - vec_dot(col("sub"), col("cent_sub")) * 2.0 + col("c2")).as("term"))
+      .groupBy(col("q_id"), col("cell"), col("j"))
+      .agg(expr("transform(array_sort(collect_list(struct(code, term))), s -> s.term)").as("terms"))
+      .groupBy(col("q_id"), col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, terms))), s -> s.terms)").as("tables"))
+    val scored = ivfPqCandidates(emb, coarseStep, nProbe, qStride)
+      .join(codes.withColumnRenamed("vec_id", "c_id"), "c_id")
+      .join(broadcast(qtab), Seq("q_id", "cell"))
+      .select(col("q_id"), col("c_id"),
+        vec_adc_score(col("tables"), col("codes")).as("dist"))
+    // ADC shortlist: rerank·k per query, from codes alone
+    val adcW = Window.partitionBy(col("q_id")).orderBy(asc("dist"), asc("c_id"))
+    val shortlist = scored.withColumn("adc_rank", row_number().over(adcW))
+      .where(col("adc_rank") <= k * rerank)
+      .select(col("q_id"), col("c_id"))
+    // exact verify: only the bounded shortlist (nQueries · rerank·k
+    // rows) reads original vectors — broadcast as the build side so
+    // the corpus-side join is shuffle-free
+    val e = emb.select(col("vec_id"), col("embedding"), vec_norm(col("embedding")).as("nrm"))
+    val withQ = shortlist.join(
+      e.select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn")), "q_id")
+    val rescored = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+      .join(broadcast(withQ), "c_id")
+      .select(col("q_id"), col("c_id"),
+        (vec_dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("c_id"))
+    rescored.withColumn("rank", row_number().over(w).cast(LongType))
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("c_id"), round(col("sim"), 4).as("sim_r"))
   }

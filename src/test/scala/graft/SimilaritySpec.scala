@@ -72,6 +72,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pq.nonEmpty)
   }
 
+  test("ivfPqTopK: plain-PQ-level recall at materially fewer scored candidates") {
+    val emb = TestSpark.spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val n = emb.count()
+    val exact = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") % 10 === 0), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallOf(s: Set[(Long, Long)]) = exact.intersect(s).size.toDouble / exact.size
+    val pq = recallOf(Similarity.pqTopK(emb, step = 10, qStride = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
+    val ivfPq = recallOf(Similarity.ivfPqTopK(emb, step = 10, qStride = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
+    // the quantity the composition exists to cut: ADC-scored pairs,
+    // counted directly (wall-clock asserts are flaky) — full-scan PQ
+    // scores nQueries x (N-1); the exact-verify stage adds only
+    // rerank·k per query on top
+    val nCand = Similarity.ivfPqCandidates(emb, qStride = 10).count()
+    val nQueries = emb.where(col("vec_id") % 10 === 0).count()
+    val full = nQueries * (n - 1)
+    info(s"IVFxPQ recall@5=$ivfPq vs PQ=$pq; ADC candidates $nCand of $full (${nCand * 100 / full}%)")
+    assert(nCand < full / 2, s"cell probe pruned too little: $nCand of $full")
+    // the exact re-rank stage lifts composed recall ABOVE full-scan PQ
+    // even though ADC scores a fraction of the pairs: quantization
+    // noise only decides who enters the shortlist, not the final order
+    assert(ivfPq >= pq, s"IVFxPQ recall $ivfPq fell below plain PQ $pq")
+    // determinism: stride-sampled coarse cells + dense-rank codes
+    val run = () => Similarity.ivfPqTopK(emb, step = 10, qStride = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run() === run())
+  }
+
   test("Lloyd codebook refinement does not degrade pq recall and stays deterministic") {
     val emb = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") % 10 === 0), k = 5)
