@@ -47,8 +47,20 @@ object SparkEntry {
     * across a long session. */
   private val stagedEvents =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int), String]
+  // staged dirs are deleted on JVM exit (File.deleteOnExit cannot
+  // remove non-empty dirs, so one recursive-delete hook instead)
+  private lazy val stagedCleanup: Unit = sys.addShutdownHook {
+    stagedEvents.values.foreach { dir =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
   private def stageEvents(s: SparkSession, d: String, copies: Int, filesPerCopy: Int): String =
     stagedEvents.getOrElseUpdate((d, copies, filesPerCopy), {
+      stagedCleanup
       val tmp = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
       (1 to copies).foreach { i =>
         t(s, d).events.coalesce(filesPerCopy).write
@@ -56,6 +68,17 @@ object SparkEntry {
       }
       tmp
     })
+
+  /** Eagerly stage every (copies, filesPerCopy) fixture the streaming
+    * queries use. The bench calls this BEFORE timing begins so the
+    * first timed sample of a streaming query never includes the
+    * one-time parquet fixture write (best-of-2 usually hid it, but it
+    * could still trigger the adaptive third sample). */
+  def stageAllEventFixtures(s: SparkSession, d: String): Unit = {
+    stageEvents(s, d, copies = 1, filesPerCopy = 4)
+    stageEvents(s, d, copies = 2, filesPerCopy = 2)
+    ()
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- M1: the reference surface (SURVEY.md §2 [REF] rows) ----
@@ -307,6 +330,15 @@ object SparkEntry {
           col("n_tokens"), col("start_off"))
         .orderBy("shard", "doc_id", "chunk_idx")
     }),
+    // pack assembly: the packed training sequences themselves, ordered
+    // chunk concatenation per (shard, pack)
+    "packed_text" -> ((s, d) => {
+      val ch = Corpus.chunk(t(s, d).documents.select(col("doc_id"), col("text")), size = 128)
+        .withColumn("n_tokens",
+          size(filter(split(col("chunk"), "\\s+"), x => length(x) > 0)).cast("long"))
+      Corpus.assemblePacks(Corpus.packChunks(ch, tokensPerPack = 64L, nShards = 8))
+        .orderBy("shard", "pack_id")
+    }),
     // benchmark decontamination: docs sharing >= 2 trigram shingles with
     // the held-out set (doc_id % 97 == 0 stands in for the eval suite)
     "decontaminate" -> ((s, d) => {
@@ -330,6 +362,9 @@ object SparkEntry {
       Cleaning.clean(dirty).orderBy("doc_id")
     }),
     "doc_fingerprint" -> ((s, d) => TextQuality.fingerprint(t(s, d).documents).orderBy("doc_id")),
+    // same rolling-hash construction with the reference's affine word
+    // hash and a mod-1e9+7 fold — DuckDB-expressible, so hash-checked
+    "fingerprint_ref" -> ((s, d) => TextQuality.fingerprintRef(t(s, d).documents).orderBy("doc_id")),
 
     // ---- M3b: corpus construction (deterministic sampling / chunking /
     // mixture / quality cut — graft.operators.Corpus) ----
@@ -1072,6 +1107,42 @@ object SparkEntry {
         |   FROM tok)
         |SELECT shard, CAST(floor(start_off / 64) AS BIGINT) AS pack_id, doc_id, chunk_idx, n_tokens, start_off
         |FROM off ORDER BY shard, doc_id, chunk_idx""".stripMargin,
+
+    // pack assembly twin: same chunk/token/offset CTEs, then DuckDB's
+    // ordered string_agg mirrors the sorted-collect_list concatenation
+    "packed_text" ->
+      """WITH c AS (SELECT doc_id, text, CAST(ceil(length(text) / 128.0) AS BIGINT) AS n_chunks FROM documents),
+        | u AS (SELECT doc_id, text, n_chunks, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM c),
+        | ch AS (SELECT doc_id, chunk_idx, substring(text, CAST(chunk_idx * 128 + 1 AS INT), 128) AS chunk FROM u),
+        | tok AS (SELECT doc_id, chunk_idx, chunk, doc_id % 8 AS shard,
+        |   CAST(len(list_filter(string_split_regex(chunk, '\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        |   FROM ch),
+        | off AS (SELECT doc_id, chunk_idx, chunk, shard, n_tokens,
+        |   CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        |   FROM tok)
+        |SELECT shard, CAST(floor(start_off / 64) AS BIGINT) AS pack_id,
+        |  string_agg(chunk, ' ' ORDER BY doc_id, chunk_idx) AS pack_text,
+        |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens, count(*) AS n_chunks
+        |FROM off GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
+
+    // rolling fingerprint with the reference's affine word hash: the
+    // per-word char-sum folds through (acc*31 + h) mod 1e9+7 — every
+    // intermediate stays far inside 64 bits, so DuckDB's list_reduce
+    // reproduces Spark's aggregate() exactly (pmod mirrored the usual
+    // way for sign safety)
+    "fingerprint_ref" ->
+      s"""WITH cw AS (SELECT doc_id,
+         |    list_filter(list_transform(
+         |      list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0),
+         |      t -> lower(regexp_replace(t, '$P', '', 'g'))), w -> length(w) > 0) AS ws
+         |  FROM documents),
+         | h AS (SELECT doc_id, list_transform(ws, w ->
+         |    CAST(coalesce(list_sum(list_transform(string_split(w, ''), c -> 22 + 23*(ascii(c) - 14))), 0) AS BIGINT)) AS hs
+         |  FROM cw)
+         |SELECT doc_id, CAST(((list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+         |    (acc, x) -> (acc * 31 + x) % 1000000007) % 1000000007) + 1000000007) % 1000000007 AS BIGINT) AS fp
+         |FROM h ORDER BY doc_id""".stripMargin,
 
     // text-shingle twin of the engine's 64-bit-id overlap count —
     // identical values absent xxhash64 collisions (prob ~n²/2⁶⁵)

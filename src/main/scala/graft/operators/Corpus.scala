@@ -114,6 +114,23 @@ object Corpus {
       .withColumn("pack_id", floor(col("start_off") / tokensPerPack))
   }
 
+  /** Pack assembly — the step after [[packChunks]]: materialize each
+    * pack's training sequence by concatenating its chunks in (doc_id,
+    * chunk_idx) order. The collect_list is BOUNDED by construction — a
+    * pack holds at most tokensPerPack + one chunk's tokens — so the
+    * per-group sort-and-join is safe at any corpus size; parallelism
+    * is (shard × pack), the same grain a 1000-executor run wants. */
+  def assemblePacks(packed: DataFrame, sep: String = " ",
+                    docCol: String = "doc_id", idxCol: String = "chunk_idx",
+                    chunkCol: String = "chunk", tokenCol: String = "n_tokens"): DataFrame =
+    packed.groupBy(col("shard"), col("pack_id"))
+      .agg(
+        array_join(expr(
+          s"transform(array_sort(collect_list(struct($docCol, $idxCol, $chunkCol))), s -> s.$chunkCol)"),
+          sep).as("pack_text"),
+        sum(col(tokenCol)).as("pack_tokens"),
+        count(lit(1)).cast(LongType).as("n_chunks"))
+
   /** Benchmark decontamination: flag training documents that share at
     * least `minOverlap` distinct w-gram shingles with ANY benchmark
     * document — the standard eval-set-leakage guard in a training-data

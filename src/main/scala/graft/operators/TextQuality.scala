@@ -125,4 +125,23 @@ object TextQuality {
     val fp = aggregate(nonEmpty, lit(0L), (acc, w) => acc * lit(1099511628211L) + xxhash64(w))
     docs.select(col(idCol).as("doc_id"), fp.as("fp"))
   }
+
+  /** Oracle-twinnable variant of [[fingerprint]]: same rolling-hash
+    * construction, but the per-word hash is the reference's affine
+    * char sum (map_reduce.cpp:214-217 via TextOps.refBinHash's
+    * formula) and the fold runs mod 1e9+7 so every intermediate stays
+    * far inside 64 bits — xxhash64's wrap-around has no SQL twin, this
+    * does (DuckDB list_reduce), so the fingerprint row graduates from
+    * rows-only to hash-checked. Collision budget is ~n²/2·10⁹ per
+    * corpus — fine for fingerprint comparison, not for dedup keys. */
+  def fingerprintRef(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val cleaned = filter(transform(toks(col(textCol)), t => TextOps.cleanWord(t)),
+      w => length(w) > 0)
+    val wordHash = (w: Column) => coalesce(
+      aggregate(filter(split(w, ""), c => length(c) > 0), lit(0L),
+        (acc, ch) => acc + lit(22L) + lit(23L) * (ascii(ch) - lit(14L))), lit(0L))
+    val fp = aggregate(cleaned, lit(0L),
+      (acc, w) => pmod(acc * lit(31L) + wordHash(w), lit(1000000007L)))
+    docs.select(col(idCol).as("doc_id"), fp.as("fp"))
+  }
 }

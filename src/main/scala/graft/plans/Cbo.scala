@@ -22,10 +22,15 @@ import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 object Cbo {
 
   // Registration + ANALYZE is pay-once catalog metadata: memoized per
-  // sf dir (the catalog is shared across cloned sessions, so any later
-  // session sees the stats).
+  // (SparkContext identity, sf dir) — the catalog is shared across
+  // cloned sessions of one context, but a DIFFERENT context has a
+  // different catalog, so a dir-only key would hand it table names
+  // that don't exist there. Entries are additionally re-validated with
+  // tableExists before reuse (a catalog reset invalidates them).
+  // Stats staleness is accepted by design: the fixture parquet under a
+  // dir never changes within a run.
   private val ingested =
-    scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Map[String, String]]
 
   private def digest(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
@@ -34,14 +39,15 @@ object Cbo {
   /** Register customer/orders/lineitem as external parquet tables for
     * `dir` and compute table + join-column statistics. Returns logical
     * name → catalog table name. */
-  def analyzedTables(spark: SparkSession, dir: String): Map[String, String] =
-    ingested.getOrElseUpdate(dir, {
+  def analyzedTables(spark: SparkSession, dir: String): Map[String, String] = {
+    val key = (System.identityHashCode(spark.sparkContext), dir)
+    ingested.get(key).filter(_.values.forall(spark.catalog.tableExists)) getOrElse {
       val suf = digest(dir)
       val cols = Map(
         "customer" -> "c_custkey, c_mktsegment",
         "orders" -> "o_orderkey, o_custkey, o_orderdate",
         "lineitem" -> "l_orderkey, l_extendedprice, l_discount")
-      cols.keys.map { t =>
+      val m = cols.keys.map { t =>
         val name = s"cbo_${t}_$suf"
         if (!spark.catalog.tableExists(name)) {
           spark.catalog.createTable(name, s"$dir/$t.parquet", "parquet")
@@ -50,7 +56,10 @@ object Cbo {
         }
         t -> name
       }.toMap
-    })
+      ingested.put(key, m)
+      m
+    }
+  }
 
   /** Cloned session with the cost-based optimizer (and its join
     * reordering) enabled; shares the catalog, isolates the conf. */

@@ -27,10 +27,14 @@ class CboSpec extends AnyFunSuite {
     val sql = Cbo.segmentRevenueSql(tbl, "BUILDING")
     val plain = spark.sql(sql)            // base session: CBO off
     val cbo = Cbo.cboSession(spark).sql(sql)
-    // as written, the first join is fact ⋈ fact
+    // the CONTRAST half: today's non-CBO planner keeps the written
+    // fact-first order. A Spark minor upgrade could teach non-CBO rules
+    // (ReorderJoin / star-schema detection) to reorder conditioned
+    // inner joins too — that would erase the contrast, not the property
+    // under test, so it is reported rather than failed.
     val writtenFirst = Cbo.innermostJoinTables(plain)
-    assert(writtenFirst == Set(tbl("lineitem"), tbl("orders")),
-      s"unexpected uncbo'd join order: $writtenFirst")
+    if (writtenFirst != Set(tbl("lineitem"), tbl("orders")))
+      info(s"non-CBO planner also reordered ($writtenFirst); contrast lost, CBO property still asserted")
     // with stats + CBO, the optimizer must NOT start with the two facts:
     // the filtered customer dim joins first
     val reorderedFirst = Cbo.innermostJoinTables(cbo)
