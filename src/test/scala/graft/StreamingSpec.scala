@@ -191,6 +191,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq === Seq(1L, 2L, 3L)) // each id exactly once
   }
 
+  test("watermark actually evicts state: interval-join and dedup stores report removed rows") {
+    // a distant-future drop advances the watermark far past both the
+    // 30-minute join range and the dedup window, so the early keys'
+    // state MUST leave the stores — asserted on the state-operator
+    // progress metrics, not implied from the watermark contract
+    val mixed = Seq(
+      (1L, ts(0), 1L, "click", 1.0, ""), (2L, ts(10), 1L, "purchase", 2.0, ""),
+      (3L, ts(600), 1L, "click", 4.0, ""), (4L, ts(610), 1L, "purchase", 8.0, ""))
+    def stage(tag: String): String = {
+      val dir = Files.createTempDirectory(s"graft-evict-$tag").toString
+      val df = mixed.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      df.where($"event_id" <= 2).coalesce(1).write.parquet(s"$dir/b0")
+      df.where($"event_id" > 2).coalesce(1).write.parquet(s"$dir/b1")
+      s"$dir/{b0,b1}"
+    }
+    def evictionStats(streamed: org.apache.spark.sql.DataFrame, name: String): (Long, Long) = {
+      val q = streamed.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      q.processAllAvailable()
+      val progresses = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      val removed = progresses.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+      val finalTotal = progresses.lastOption.map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+      q.stop()
+      (removed, finalTotal)
+    }
+    val (jRemoved, jTotal) = evictionStats(
+      EventStreams.clickPurchaseJoin(
+        EventStreams.readEventStream(spark, stage("ssj")), watermark = "5 minutes"), "evict_ssj")
+    // 4 rows entered the join stores; the early pair is behind the
+    // watermark by ~10 hours after batch 2 — it must be gone
+    assert(jRemoved > 0 || (jTotal >= 0 && jTotal < 4),
+      s"interval-join state never evicted: removed=$jRemoved finalTotal=$jTotal")
+    val (dRemoved, dTotal) = evictionStats(
+      EventStreams.dedupEvents(
+        EventStreams.readEventStream(spark, stage("dedup")), watermark = "5 minutes"), "evict_dedup")
+    assert(dRemoved > 0 || (dTotal >= 0 && dTotal < 4),
+      s"dedup key state never evicted: removed=$dRemoved finalTotal=$dTotal")
+  }
+
+  test("Trigger.AvailableNow drains the backlog in bounded batches and converges to batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft-availnow").toString
+    writeBatches(dir)
+    val streamed = EventStreams.tumblingCounts(
+      EventStreams.readEventStream(spark, s"$dir/{b0,b1,b2}"))
+    val q = streamed.writeStream.format("memory").queryName("availnow_out")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    // AvailableNow terminates BY ITSELF once the backlog drains — the
+    // production batch-over-streaming trigger (rate limits respected,
+    // then exit); processAllAvailable would be the wrong wait here
+    assert(q.awaitTermination(120000), "AvailableNow did not self-terminate")
+    val got = spark.table("availnow_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = Windows.tumblingCounts(eventsDf)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === want)
+  }
+
   test("transformWithState running totals agree with the mapGroupsWithState fold") {
     val dir = Files.createTempDirectory("graft-stream-tws").toString
     writeBatches(dir)
