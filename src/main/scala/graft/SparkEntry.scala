@@ -418,9 +418,11 @@ object SparkEntry {
     "image_features" -> ((s, d) =>
       Multimodal.imageLumaHistogram(Multimodal.pngMediaFromDocs(t(s, d).documents))
         .orderBy("media_id", "bucket")),
+    // fused decode→resize→features (one codec pass; the re-encoding
+    // storage path resizeImage is pixel-proven in MultimodalSpec)
     "image_resize_features" -> ((s, d) =>
-      Multimodal.imageLumaHistogram(
-          Multimodal.resizeImage(Multimodal.pngMediaFromDocs(t(s, d).documents), 32, 24))
+      Multimodal.imageLumaHistogramResized(
+          Multimodal.pngMediaFromDocs(t(s, d).documents), 32, 24)
         .orderBy("media_id", "bucket")),
 
     // ---- M4: Structured Streaming (micro-batched file source; result

@@ -192,6 +192,39 @@ object Multimodal {
       .select(col("media_id"), col("bucket").cast(LongType).as("bucket"), col("n_px"))
   }
 
+  /** Fused decode → resize → features: one codec pass. The standalone
+    * [[resizeImage]] re-encodes a PNG (the storage-path contract:
+    * resized payloads written back to a binary column), but a feature
+    * pipeline that resizes ONLY to normalize dimensions before
+    * featurization should never pay encode+decode again — this fuses
+    * the nearest-neighbor remap (same exact mapping) with the
+    * histogram over the in-memory raster. Same result as
+    * imageLumaHistogram(resizeImage(m)), roughly half the codec work. */
+  def imageLumaHistogramResized(media: DataFrame, dstW: Int, dstH: Int): DataFrame = {
+    val decode = udf((bytes: Array[Byte]) => {
+      val src = decodePng(bytes)
+      val sw = src.getWidth
+      val sh = src.getHeight
+      val srgb = src.getRGB(0, 0, sw, sh, null, 0, sw)
+      val hist = new Array[Long](featureDim)
+      var y = 0
+      while (y < dstH) {
+        var x = 0
+        while (x < dstW) {
+          val p = srgb((y * sh / dstH) * sw + (x * sw / dstW))
+          val lum = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+          hist(lum / featureDim) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      hist
+    })
+    media.select(col("media_id"), posexplode(decode(col("content"))).as(Seq("bucket", "n_px")))
+      .where(col("n_px") > 0L)
+      .select(col("media_id"), col("bucket").cast(LongType).as("bucket"), col("n_px"))
+  }
+
   /** REAL pixel resize: decode, nearest-neighbor remap with the exact
     * integer mapping src = (dst · srcDim) / dstDim (floor), re-encode
     * PNG. The explicit mapping (not AffineTransformOp's sampling) keeps

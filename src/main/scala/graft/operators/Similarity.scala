@@ -417,9 +417,17 @@ object Similarity {
     val cellCent = emb.where(col("vec_id") % coarseStep === 0)
       .select(col("vec_id").as("cell"), col("embedding").as("cent_emb"))
     val asCents = cellCent.select(col("cell").as("cent_id"), col("cent_emb"))
+    // assignments are consumed by MULTIPLE plan branches (codebook
+    // training, encoding, candidate generation) — localCheckpoint
+    // materializes each ONCE instead of re-running the broadcast
+    // assign per branch (the Dedup.jaccardPairs pattern; at 100 TB the
+    // materialized assignment IS the persisted index)
+    val corpusAssigned = coarseAssign(emb, asCents, 1).localCheckpoint()
+    val queryAssigned =
+      coarseAssign(emb.where(col("vec_id") % qStride === 0), asCents, nProbe).localCheckpoint()
     // corpus: one cell per vector; PQ code books train on and encode
     // the residuals (the codebook stride-samples inside pqCodebooks)
-    val corpusRes = coarseAssign(emb, asCents, 1)
+    val corpusRes = corpusAssigned
       .join(broadcast(cellCent), "cell")
       .select(col("vec_id"), col("cell"),
         zip_with(col("embedding"), col("cent_emb"), (a, b) => a - b).as("embedding"))
@@ -427,7 +435,7 @@ object Similarity {
       step, m, kCent, subDim, refineIters = 0, trainStride = 5)
     val codes = pqEncode(corpusRes.select(col("vec_id"), col("embedding")), cents, m, subDim)
     // queries: a residual PER PROBED CELL, each with its own L2 table
-    val qres = coarseAssign(emb.where(col("vec_id") % qStride === 0), asCents, nProbe)
+    val qres = queryAssigned
       .join(broadcast(cellCent), "cell")
       .select(col("vec_id").as("q_id"), col("cell"),
         zip_with(col("embedding"), col("cent_emb"), (a, b) => a - b).as("res"))
@@ -443,7 +451,14 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(code, term))), s -> s.term)").as("terms"))
       .groupBy(col("q_id"), col("cell"))
       .agg(expr("transform(array_sort(collect_list(struct(j, terms))), s -> s.terms)").as("tables"))
-    val scored = ivfPqCandidates(emb, coarseStep, nProbe, qStride)
+    // candidates from the SAME materialized assignments (the
+    // standalone ivfPqCandidates re-derives them for the spec's
+    // counted metric; the query plan reuses the checkpoints)
+    val cand = queryAssigned.select(col("vec_id").as("q_id"), col("cell"))
+      .join(corpusAssigned.select(col("vec_id"), col("cell")), Seq("cell"))
+      .where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"), col("cell"))
+    val scored = cand
       .join(codes.withColumnRenamed("vec_id", "c_id"), "c_id")
       .join(broadcast(qtab), Seq("q_id", "cell"))
       .select(col("q_id"), col("c_id"),
