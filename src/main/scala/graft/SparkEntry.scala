@@ -424,6 +424,15 @@ object SparkEntry {
       Multimodal.imageLumaHistogramResized(
           Multimodal.pngMediaFromDocs(t(s, d).documents), 32, 24)
         .orderBy("media_id", "bucket")),
+    // REAL audio path: WAV PCM encoded and decoded with
+    // javax.sound.sampled inside the plan; features over actual
+    // decoded samples, hash-checked against the waveform's closed form
+    "audio_features" -> ((s, d) =>
+      Multimodal.audioAmplitudeHistogram(Multimodal.wavMediaFromDocs(t(s, d).documents))
+        .orderBy("media_id", "bucket")),
+    "audio_frame_energy" -> ((s, d) =>
+      Multimodal.audioFrameEnergy(Multimodal.wavMediaFromDocs(t(s, d).documents))
+        .orderBy("media_id", "frame_idx")),
 
     // ---- M4: Structured Streaming (micro-batched file source; result
     // must converge to the batch tumbling agg, so it shares its oracle) ----
@@ -961,6 +970,25 @@ object SparkEntry {
         |      + (((p // 32) * h) // 24) * 13) % 256) // 16) AS bucket FROM px)
         |SELECT doc_id AS media_id, CAST(bucket AS BIGINT) AS bucket, count(*) AS n_px
         |FROM v GROUP BY 1, 2 ORDER BY media_id, bucket""".stripMargin,
+
+    // the REAL audio path's twin: the fixture writes signed sample
+    // s = ((id%97)*31 + i*7919) % 65536 - 32768 at index i, WAV PCM is
+    // lossless — the decoded amplitude histogram equals the closed
+    // form over the sample grid
+    "audio_features" ->
+      """WITH m AS (SELECT doc_id, (doc_id % 50 + 10) * 80 AS n FROM documents),
+        | ix AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS i FROM m),
+        | s AS (SELECT doc_id, ((doc_id % 97) * 31 + i * 7919) % 65536 - 32768 AS s FROM ix)
+        |SELECT doc_id AS media_id, CAST((s + 32768) // 4096 AS BIGINT) AS bucket, count(*) AS n_samples
+        |FROM s GROUP BY 1, 2 ORDER BY media_id, bucket""".stripMargin,
+
+    "audio_frame_energy" ->
+      """WITH m AS (SELECT doc_id, (doc_id % 50 + 10) * 80 AS n FROM documents),
+        | ix AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS i FROM m),
+        | s AS (SELECT doc_id, i, ((doc_id % 97) * 31 + i * 7919) % 65536 - 32768 AS s FROM ix)
+        |SELECT doc_id AS media_id, CAST(i // 256 AS BIGINT) AS frame_idx,
+        |  CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS energy
+        |FROM s GROUP BY 1, 2 ORDER BY media_id, frame_idx""".stripMargin,
 
     // deterministic frame arithmetic: ceil(bytes/64) frames, stride 4
     "frame_sample" ->

@@ -17,10 +17,15 @@ import org.apache.spark.sql.types._
   *    decoded rasters, and because the fixture pattern is a closed-form
   *    function of (id, x, y), the whole encode→decode→feature path has
   *    an exact DuckDB twin.
-  *  - AUDIO/VIDEO payloads stay opaque: `decodeToFeatures` is a
-  *    codec-free byte-level histogram (the container ships no
-  *    audio/video codecs) standing where an FFT/frame decoder would —
-  *    the signature (bytes → fixed-dim features) is the real contract.
+  *  - AUDIO decode is REAL too: `javax.sound.sampled` (JDK-builtin WAV
+  *    PCM) encodes deterministic fixture clips and decodes them back
+  *    to signed samples inside the plan — amplitude histograms and
+  *    per-frame energies run on actual decoded PCM, with closed-form
+  *    SQL twins like the image path.
+  *  - VIDEO payloads stay opaque: `decodeToFeatures` is a codec-free
+  *    byte-level histogram (the JDK ships no video codec) standing
+  *    where a frame decoder would — the signature (bytes → fixed-dim
+  *    features) is the real contract.
   *
   * At 100 TB: binary payloads dominate scan width — keep them in their
   * own parquet column (never inside a struct with hot scalars) so
@@ -259,6 +264,104 @@ object Multimodal {
           lit("image/png").as("format"),
           length(col("content")).cast(LongType).as("n_bytes"),
           lit(dstW).as("width"), lit(dstH).as("height")).as("meta"))
+  }
+
+  // ---- Real audio codec layer: javax.sound.sampled (JDK-builtin WAV
+  // PCM — lossless, no external codecs). Like the image layer, the
+  // fixture waveform is a closed-form function of (id, sample index),
+  // so decoded-sample features have an exact SQL twin and the
+  // encode→decode roundtrip is verified end-to-end. ----
+
+  /** Sample i of fixture clip `id`, signed 16-bit:
+    * ((id mod 97)·31 + i·7919) mod 65536 − 32768. Stays in Int range
+    * for any clip under ~270k samples (ours cap at 4 760). */
+  private[graft] def sampleValue(id: Long, i: Int): Int =
+    ((id % 97).toInt * 31 + i * 7919) % 65536 - 32768
+
+  private[graft] def encodeWav(id: Long, n: Int): Array[Byte] = {
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = sampleValue(id, i)
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real WAV decode: container parsing via AudioSystem, then the
+    * 16-bit little-endian PCM frames back to signed samples. */
+  private[graft] def decodeWavSamples(bytes: Array[Byte]): Array[Int] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val raw = ais.readAllBytes()
+    val out = new Array[Int](raw.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = (raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff) // high byte sign-extends
+      i += 1
+    }
+    out
+  }
+
+  /** Real-WAV media table: per-document deterministic PCM clips,
+    * WAV-encoded inside the plan; clip length varies with doc_id
+    * (800–4 720 samples) so decode logic sees real variation. */
+  def wavMediaFromDocs(docs: DataFrame): DataFrame = {
+    val enc = udf((id: Long, n: Int) => encodeWav(id, n))
+    val n = ((pmod(col("doc_id"), lit(50)) + 10) * 80).cast(IntegerType)
+    docs.select(col("doc_id").as("media_id"),
+        enc(col("doc_id"), n).as("content"), n.as("n_samples"))
+      .select(col("media_id"), col("content"),
+        struct(
+          lit("audio/wav").as("format"),
+          length(col("content")).cast(LongType).as("n_bytes"),
+          col("n_samples"), lit(16000).as("sample_rate")).as("meta"))
+  }
+
+  /** REAL audio decode + feature extraction: amplitude histogram over
+    * 16 buckets of the decoded signed samples. Integral counts — the
+    * DuckDB twin evaluates the closed-form waveform over the sample
+    * grid, so a hash match proves the WAV container + PCM roundtrip. */
+  def audioAmplitudeHistogram(media: DataFrame): DataFrame = {
+    val decode = udf((bytes: Array[Byte]) => {
+      val samples = decodeWavSamples(bytes)
+      val hist = new Array[Long](featureDim)
+      var i = 0
+      while (i < samples.length) {
+        hist((samples(i) + 32768) / 4096) += 1L
+        i += 1
+      }
+      hist
+    })
+    media.select(col("media_id"), posexplode(decode(col("content"))).as(Seq("bucket", "n_samples")))
+      .where(col("n_samples") > 0L)
+      .select(col("media_id"), col("bucket").cast(LongType).as("bucket"), col("n_samples"))
+  }
+
+  /** Per-frame energy (sum of squared samples over fixed 256-sample
+    * frames, last frame partial) — the integral stand-in for RMS/VAD
+    * windowing, exactly reproducible in SQL. */
+  def audioFrameEnergy(media: DataFrame, frameSamples: Int = 256): DataFrame = {
+    val decode = udf((bytes: Array[Byte]) => {
+      val samples = decodeWavSamples(bytes)
+      val nFrames = (samples.length + frameSamples - 1) / frameSamples
+      val energy = new Array[Long](nFrames)
+      var i = 0
+      while (i < samples.length) {
+        energy(i / frameSamples) += samples(i).toLong * samples(i)
+        i += 1
+      }
+      energy
+    })
+    media.select(col("media_id"), posexplode(decode(col("content"))).as(Seq("frame_idx", "energy")))
+      .select(col("media_id"), col("frame_idx").cast(LongType).as("frame_idx"), col("energy"))
   }
 
   /** Frame sampling: split the payload into fixed-size "frames" and

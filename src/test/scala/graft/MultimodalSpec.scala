@@ -93,6 +93,40 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("real WAV roundtrip: encode with javax.sound.sampled, decode to the exact fixture samples") {
+    val bytes = Multimodal.encodeWav(id = 5L, n = 300)
+    // a real RIFF/WAVE container, not a fake
+    assert(new String(bytes.slice(0, 4), "US-ASCII") === "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") === "WAVE")
+    val samples = Multimodal.decodeWavSamples(bytes)
+    assert(samples.length === 300)
+    // PCM is lossless: every decoded sample equals the written pattern
+    (0 until 300).foreach(i => assert(samples(i) === Multimodal.sampleValue(5L, i), s"sample $i"))
+  }
+
+  test("audioAmplitudeHistogram and audioFrameEnergy match closed-form oracles") {
+    val media = Multimodal.wavMediaFromDocs(docs)
+    val gotHist = Multimodal.audioAmplitudeHistogram(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val gotEnergy = Multimodal.audioFrameEnergy(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val (wantHist, wantEnergy) = {
+      val h = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+      val e = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+      for (id <- 0L to 2L) {
+        val n = ((id % 50 + 10) * 80).toInt
+        for (i <- 0 until n) {
+          val s = Multimodal.sampleValue(id, i)
+          h((id, (s + 32768) / 4096L)) += 1L
+          e((id, i / 256L)) += s.toLong * s
+        }
+      }
+      (h.toMap, e.toMap)
+    }
+    assert(gotHist === wantHist)
+    assert(gotEnergy === wantEnergy)
+  }
+
   test("sampleFrames: stride-4 over 64-byte frames, empty payloads dropped") {
     val fr = Multimodal.sampleFrames(Multimodal.fakeMediaFromDocs(docs), frameBytes = 64, stride = 4)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2)))
