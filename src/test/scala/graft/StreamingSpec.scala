@@ -230,6 +230,34 @@ class StreamingSpec extends AnyFunSuite {
       s"dedup key state never evicted: removed=$dRemoved finalTotal=$dTotal")
   }
 
+  test("RocksDB state store provider: disk-backed state, same exact answers") {
+    // the 100 TB streaming posture: state lives in per-partition
+    // RocksDB instances (bounded heap, spillable, changelog-
+    // checkpointable) instead of the in-memory HDFS-backed default.
+    // Same declarative pipeline, one conf — results must be identical.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val dir = Files.createTempDirectory("graft-rocksdb").toString
+    writeBatches(dir)
+    val streamed = EventStreams.sessionize(
+      EventStreams.readEventStream(ss, s"$dir/{b0,b1,b2}"), gap = "30 minutes")
+    val q = streamed.writeStream.format("memory").queryName("rocksdb_out")
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable()
+    // it actually ran on RocksDB, not a silently-ignored conf
+    val usedProvider = q.lastProgress.stateOperators.headOption
+      .map(_.customMetrics.keySet.toString).getOrElse("")
+    q.stop()
+    val got = ss.table("rocksdb_out")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = Windows.sessionize(eventsDf, "30 minutes")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === want)
+    assert(usedProvider.contains("rocksdb"), s"expected RocksDB custom metrics, got: $usedProvider")
+  }
+
   test("Trigger.AvailableNow drains the backlog in bounded batches and converges to batch") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = Files.createTempDirectory("graft-availnow").toString
