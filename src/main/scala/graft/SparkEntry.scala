@@ -433,6 +433,11 @@ object SparkEntry {
     "audio_frame_energy" -> ((s, d) =>
       Multimodal.audioFrameEnergy(Multimodal.wavMediaFromDocs(t(s, d).documents))
         .orderBy("media_id", "frame_idx")),
+    // REAL video path: GVID frame container, every sampled frame
+    // PNG-decoded via javax.imageio and featurized on actual pixels
+    "video_frame_features" -> ((s, d) =>
+      Multimodal.videoFrameFeatures(Multimodal.videoFromDocs(t(s, d).documents))
+        .orderBy("media_id", "frame_idx", "bucket")),
 
     // ---- M4: Structured Streaming (micro-batched file source; result
     // must converge to the batch tumbling agg, so it shares its oracle) ----
@@ -989,6 +994,19 @@ object SparkEntry {
         |SELECT doc_id AS media_id, CAST(i // 256 AS BIGINT) AS frame_idx,
         |  CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS energy
         |FROM s GROUP BY 1, 2 ORDER BY media_id, frame_idx""".stripMargin,
+
+    // the video path's twin: sampled frames f ∈ {0, 2, 4}, per-frame
+    // pattern id doc_id*7+f, same pixel closed form as image_features
+    "video_frame_features" ->
+      """WITH m AS (SELECT doc_id, doc_id % 4 + 2 AS nf FROM documents),
+        | fr AS (SELECT doc_id, unnest(generate_series(0, nf - 1, 2)) AS f FROM m),
+        | px AS (SELECT doc_id, f, unnest(generate_series(0, 16 * 12 - 1)) AS p FROM fr),
+        | v AS (SELECT doc_id, f,
+        |   ((((doc_id * 7 + f) % 256) * 31 + (p % 16) * 7 + (p // 16) * 13) % 256) // 16 AS bucket
+        |   FROM px)
+        |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(bucket AS BIGINT) AS bucket, count(*) AS n_px
+        |FROM v GROUP BY 1, 2, 3 ORDER BY media_id, frame_idx, bucket""".stripMargin,
 
     // deterministic frame arithmetic: ceil(bytes/64) frames, stride 4
     "frame_sample" ->

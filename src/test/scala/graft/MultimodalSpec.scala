@@ -127,6 +127,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(gotEnergy === wantEnergy)
   }
 
+  test("GVID video roundtrip: container parses, every frame PNG-decodes to exact pixels") {
+    val bytes = Multimodal.encodeVideo(id = 3L, nFrames = 4, w = 5, h = 3)
+    assert(new String(bytes.slice(0, 4), "US-ASCII") === "GVID")
+    val frames = Multimodal.decodeVideoFrames(bytes)
+    assert(frames.length === 4)
+    for (f <- 0 until 4; y <- 0 until 3; x <- 0 until 5) {
+      val v = Multimodal.patternValue(3L * 7 + f, x, y)
+      assert((frames(f).getRGB(x, y) & 0xff) === v, s"frame $f pixel ($x,$y)")
+    }
+  }
+
+  test("videoFrameFeatures samples stride-2 frames and histograms real decoded pixels") {
+    val out = Multimodal.videoFrameFeatures(Multimodal.videoFromDocs(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val want = {
+      val m = scala.collection.mutable.Map.empty[(Long, Long, Long), Long].withDefaultValue(0L)
+      for (id <- 0L to 2L) {
+        val nf = (id % 4 + 2).toInt
+        for (f <- 0 until nf by 2; y <- 0 until 12; x <- 0 until 16)
+          m((id, f.toLong, Multimodal.patternValue(id * 7 + f, x, y) / 16L)) += 1L
+      }
+      m.toMap
+    }
+    assert(out === want)
+  }
+
   test("sampleFrames: stride-4 over 64-byte frames, empty payloads dropped") {
     val fr = Multimodal.sampleFrames(Multimodal.fakeMediaFromDocs(docs), frameBytes = 64, stride = 4)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2)))
