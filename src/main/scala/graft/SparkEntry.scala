@@ -307,6 +307,17 @@ object SparkEntry {
     // recall vs brute force asserted in SimilaritySpec)
     "pq_topk" -> ((s, d) => Similarity.pqTopK(t(s, d).embeddings).orderBy("q_id", "rank")),
     "ivf_pq_topk" -> ((s, d) => Similarity.ivfPqTopK(t(s, d).embeddings).orderBy("q_id", "rank")),
+    // the production index lifecycle: build → persist to parquet →
+    // reload → query the reloaded relations (SimilaritySpec proves
+    // byte-identical answers to the in-memory path)
+    "ann_index_roundtrip" -> ((s, d) => {
+      val emb = t(s, d).embeddings
+      val dir = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+      Similarity.ivfPqWrite(Similarity.ivfPqBuild(emb), dir)
+      Similarity.ivfPqQuery(Similarity.ivfPqRead(s, dir),
+          emb.where(col("vec_id") % 50 === 0), emb)
+        .orderBy("q_id", "rank")
+    }),
     "embedding_near_dups" -> ((s, d) =>
       Similarity.cosineNearDupPairs(t(s, d).embeddings).orderBy("id_a", "id_b")),
     // approximate (LSH-bucketed) variant — rows-only by design; recall

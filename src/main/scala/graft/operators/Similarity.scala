@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -409,31 +409,70 @@ object Similarity {
     * defaults lean fine (coarseStep=10). The re-rank stage is what
     * lifts end recall above full-scan PQ: quantization noise decides
     * only WHO enters the shortlist, never the final order. */
-  def ivfPqTopK(emb: DataFrame, coarseStep: Int = 10, nProbe: Int = 12,
-                step: Int = 50, m: Int = 16, kCent: Int = 48, dim: Int = 64,
-                qStride: Int = 50, k: Int = 10, rerank: Int = 4): DataFrame = {
+  /** The persisted form of the IVF×PQ index: four relations. `cells`
+    * (vec_id → cell) and `codes` (vec_id → m PQ codes) are
+    * corpus-sized but narrow — the 8-byte-per-vector posture that
+    * makes a 100 TB index fit; `coarseCents` (cell → centroid) and
+    * `books` (j, code → sub-centroid) are tiny broadcast tables. */
+  final case class IvfPqIndex(cells: DataFrame, codes: DataFrame,
+                              coarseCents: DataFrame, books: DataFrame,
+                              m: Int, subDim: Int)
+
+  /** Build the IVF×PQ index relations from a corpus — the pay-once
+    * half of the lifecycle (write with [[ivfPqWrite]], reload with
+    * [[ivfPqRead]], query with [[ivfPqQuery]]). Assignments are
+    * consumed by multiple plan branches (codebook training, encoding,
+    * candidate generation) — localCheckpoint materializes them once
+    * (the Dedup.jaccardPairs pattern). */
+  def ivfPqBuild(emb: DataFrame, coarseStep: Int = 10, step: Int = 50,
+                 m: Int = 16, kCent: Int = 48, dim: Int = 64): IvfPqIndex = {
     val subDim = dim / m
     require(m * subDim == dim, s"m=$m must divide dim=$dim")
     val cellCent = emb.where(col("vec_id") % coarseStep === 0)
       .select(col("vec_id").as("cell"), col("embedding").as("cent_emb"))
     val asCents = cellCent.select(col("cell").as("cent_id"), col("cent_emb"))
-    // assignments are consumed by MULTIPLE plan branches (codebook
-    // training, encoding, candidate generation) — localCheckpoint
-    // materializes each ONCE instead of re-running the broadcast
-    // assign per branch (the Dedup.jaccardPairs pattern; at 100 TB the
-    // materialized assignment IS the persisted index)
     val corpusAssigned = coarseAssign(emb, asCents, 1).localCheckpoint()
-    val queryAssigned =
-      coarseAssign(emb.where(col("vec_id") % qStride === 0), asCents, nProbe).localCheckpoint()
     // corpus: one cell per vector; PQ code books train on and encode
     // the residuals (the codebook stride-samples inside pqCodebooks)
     val corpusRes = corpusAssigned
       .join(broadcast(cellCent), "cell")
       .select(col("vec_id"), col("cell"),
         zip_with(col("embedding"), col("cent_emb"), (a, b) => a - b).as("embedding"))
-    val cents = pqCodebooks(corpusRes.select(col("vec_id"), col("embedding")),
+    val books = pqCodebooks(corpusRes.select(col("vec_id"), col("embedding")),
       step, m, kCent, subDim, refineIters = 0, trainStride = 5)
-    val codes = pqEncode(corpusRes.select(col("vec_id"), col("embedding")), cents, m, subDim)
+    val codes = pqEncode(corpusRes.select(col("vec_id"), col("embedding")), books, m, subDim)
+    IvfPqIndex(corpusAssigned.select(col("vec_id"), col("cell")), codes, cellCent, books, m, subDim)
+  }
+
+  /** Persist the index as four parquet relations under `dir`. */
+  def ivfPqWrite(index: IvfPqIndex, dir: String): Unit = {
+    index.cells.write.mode("overwrite").parquet(s"$dir/cells")
+    index.codes.write.mode("overwrite").parquet(s"$dir/codes")
+    index.coarseCents.write.mode("overwrite").parquet(s"$dir/coarse_cents")
+    index.books.write.mode("overwrite").parquet(s"$dir/books")
+  }
+
+  /** Reload a persisted index — the amortized half of the lifecycle:
+    * query batches run against these relations without touching the
+    * build path (or, for cells/codes, the original vectors). */
+  def ivfPqRead(spark: SparkSession, dir: String, m: Int = 16, dim: Int = 64): IvfPqIndex = {
+    val subDim = dim / m
+    IvfPqIndex(spark.read.parquet(s"$dir/cells"), spark.read.parquet(s"$dir/codes"),
+      spark.read.parquet(s"$dir/coarse_cents"), spark.read.parquet(s"$dir/books"), m, subDim)
+  }
+
+  /** Query an IVF×PQ index (in-memory or reloaded): probe → ADC
+    * shortlist → exact re-rank. `corpusVectors` is the primary vector
+    * store the exact-verify stage reads (only rerank·k rows per
+    * query); everything else touches index relations alone. */
+  def ivfPqQuery(index: IvfPqIndex, queries: DataFrame, corpusVectors: DataFrame,
+                 nProbe: Int = 12, k: Int = 10, rerank: Int = 4): DataFrame = {
+    val (m, subDim) = (index.m, index.subDim)
+    val cellCent = index.coarseCents
+    val asCents = cellCent.select(col("cell").as("cent_id"), col("cent_emb"))
+    val queryAssigned = coarseAssign(queries, asCents, nProbe).localCheckpoint()
+    val cents = index.books
+    val codes = index.codes
     // queries: a residual PER PROBED CELL, each with its own L2 table
     val qres = queryAssigned
       .join(broadcast(cellCent), "cell")
@@ -451,11 +490,11 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(code, term))), s -> s.term)").as("terms"))
       .groupBy(col("q_id"), col("cell"))
       .agg(expr("transform(array_sort(collect_list(struct(j, terms))), s -> s.terms)").as("tables"))
-    // candidates from the SAME materialized assignments (the
-    // standalone ivfPqCandidates re-derives them for the spec's
-    // counted metric; the query plan reuses the checkpoints)
+    // candidates: probed cells × the index's inverted file (the
+    // standalone ivfPqCandidates re-derives assignments for the spec's
+    // counted metric; this path reads the index relation)
     val cand = queryAssigned.select(col("vec_id").as("q_id"), col("cell"))
-      .join(corpusAssigned.select(col("vec_id"), col("cell")), Seq("cell"))
+      .join(index.cells, Seq("cell"))
       .where(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("c_id"), col("cell"))
     val scored = cand
@@ -471,9 +510,10 @@ object Similarity {
     // exact verify: only the bounded shortlist (nQueries · rerank·k
     // rows) reads original vectors — broadcast as the build side so
     // the corpus-side join is shuffle-free
-    val e = emb.select(col("vec_id"), col("embedding"), vec_norm(col("embedding")).as("nrm"))
-    val withQ = shortlist.join(
-      e.select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn")), "q_id")
+    val e = corpusVectors.select(col("vec_id"), col("embedding"), vec_norm(col("embedding")).as("nrm"))
+    val qe = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+      vec_norm(col("embedding")).as("qn"))
+    val withQ = shortlist.join(qe, "q_id")
     val rescored = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("nrm").as("cn"))
       .join(broadcast(withQ), "c_id")
       .select(col("q_id"), col("c_id"),
@@ -482,6 +522,19 @@ object Similarity {
     rescored.withColumn("rank", row_number().over(w).cast(LongType))
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("c_id"), round(col("sim"), 4).as("sim_r"))
+  }
+
+  /** IVF×PQ — the composed production funnel as ONE call: build the
+    * index in-memory, query it with the stride-sampled query set. See
+    * ivfPqBuild/ivfPqWrite/ivfPqRead/ivfPqQuery for the persisted
+    * lifecycle a real deployment runs (index built once, query batches
+    * amortized against the parquet relations — SimilaritySpec proves
+    * the reloaded index answers identically). */
+  def ivfPqTopK(emb: DataFrame, coarseStep: Int = 10, nProbe: Int = 12,
+                step: Int = 50, m: Int = 16, kCent: Int = 48, dim: Int = 64,
+                qStride: Int = 50, k: Int = 10, rerank: Int = 4): DataFrame = {
+    val index = ivfPqBuild(emb, coarseStep, step, m, kCent, dim)
+    ivfPqQuery(index, emb.where(col("vec_id") % qStride === 0), emb, nProbe, k, rerank)
   }
 
   /** Bucketed ANN: exact cosine ranking within LSH buckets only —

@@ -101,6 +101,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(run() === run())
   }
 
+  test("persisted IVF×PQ index answers identically to the in-memory build") {
+    val emb = TestSpark.spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb.where(col("vec_id") % 10 === 0)
+    val inMem = Similarity.ivfPqTopK(emb, step = 10, qStride = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx-spec").toString
+    Similarity.ivfPqWrite(Similarity.ivfPqBuild(emb, step = 10), dir)
+    val reloaded = Similarity.ivfPqQuery(
+        Similarity.ivfPqRead(TestSpark.spark, dir), queries, emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // byte-identical through the parquet roundtrip: ranks, ids, sims
+    assert(reloaded === inMem)
+  }
+
   test("Lloyd codebook refinement does not degrade pq recall and stays deterministic") {
     val emb = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") % 10 === 0), k = 5)
