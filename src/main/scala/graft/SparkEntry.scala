@@ -415,6 +415,60 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // temperature-α=1/2 multilingual rebalancing: per-stratum keep
+    // rates derived from stratum counts (sqrt keeps every double
+    // IEEE-exact → hash-checkable), rates broadcast back, keep
+    // decision by content hash — zero row-scale shuffle
+    "temperature_sample" -> ((s, d) =>
+      Corpus.temperatureResample(t(s, d).documents)
+        .select(col("doc_id"), col("lang"), col("n_l"), col("keep_permille"))
+        .orderBy("doc_id")),
+    // per-source quota capping (domain caps in a crawl build): the
+    // custom two-phase-heap GroupedTopK operator applied to curation —
+    // longest 20 docs per source, deterministic tie on doc_id
+    "source_cap" -> ((s, d) =>
+      graft.plans.GroupedTopK.topKPerKey(
+          t(s, d).documents.select(col("source"), col("doc_id"), col("n_chars")),
+          Seq("source"), Seq(("n_chars", true), ("doc_id", false)), k = 20)
+        .orderBy(col("source"), desc("n_chars"), asc("doc_id"))),
+
+    // ---- M3c: table maintenance (CDC merge, dimension history,
+    // global total order — graft.operators.{ChangeData, TotalOrder}) ----
+    // MERGE a deterministic CDC batch (updates, deletes, inserts
+    // derived from key residues) into the customer base table: one
+    // full-outer join on the key, column-wise coalesce, delete filter
+    "merge_upsert" -> ((s, d) => {
+      val base = t(s, d).customer
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val existing = t(s, d).customer
+        .where(col("c_custkey") % 10 === 0 || col("c_custkey") % 7 === 3)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 7 === 3, "delete").otherwise("upsert").as("op"),
+          when(col("c_custkey") % 7 === 3, lit(null).cast("string"))
+            .otherwise(lit("REACTIVATED")).as("c_mktsegment"),
+          lit(null).cast("double").as("c_acctbal"))
+      val inserts = t(s, d).customer.where(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") + 100000).as("c_custkey"), lit("upsert").as("op"),
+          lit("NEW").as("c_mktsegment"), lit(0.0).as("c_acctbal"))
+      ChangeData.mergeApply(base, existing.unionAll(inserts), "c_custkey")
+        .orderBy("c_custkey")
+    }),
+    // SCD2 dimension history from the order log: per-customer status
+    // runs with validity intervals — two key-partitioned windows
+    "scd2_dimension" -> ((s, d) =>
+      ChangeData.scd2Intervals(t(s, d).orders,
+          keyCol = "o_custkey", attrCol = "o_orderstatus",
+          tsCol = "o_orderdate", tieCol = "o_orderkey")
+        .orderBy("o_custkey", "version")),
+    // exact global row_number without a single-task sort: TeraSort
+    // range exchange + per-partition rank + broadcast prefix offsets
+    "global_rank" -> ((s, d) =>
+      TotalOrder.globalRank(
+          t(s, d).lineitem.select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice")),
+          Seq(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber")))
+        .orderBy("global_rank")),
+
     // ---- M3: multimodal plumbing (binary columns; decode layer stubbed) ----
     "media_features" -> ((s, d) =>
       Multimodal.featureBuckets(Multimodal.fakeMediaFromDocs(t(s, d).documents))
@@ -504,6 +558,19 @@ object SparkEntry {
       EventStreams.runToMemory(ss, deduped, s"stream_dedup_${System.nanoTime()}",
           org.apache.spark.sql.streaming.OutputMode.Append())
         .orderBy("event_id")
+    }),
+    // stream-static enrichment: the event stream broadcast-joined to
+    // the static customer dimension each micro-batch (no join state),
+    // rolled up per day × market segment; converges to the identical
+    // batch join+agg, which is the oracle
+    "streaming_static_join" -> ((s, d) => {
+      val tmp = stageEvents(s, d, copies = 1, filesPerCopy = 4)
+      val ss = streamSession(s)
+      val dim = t(ss, d).customer.select(col("c_custkey"), col("c_mktsegment"))
+      val streamed = EventStreams.enrichedSegmentCounts(
+        EventStreams.readEventStream(ss, tmp), dim)
+      EventStreams.runToMemory(ss, streamed, s"stream_enrich_${System.nanoTime()}")
+        .orderBy("win_start", "c_mktsegment")
     }),
     // streaming ingest through the size-governed sink: micro-batches
     // land replay-idempotent AND compacted (foreachBatch +
@@ -953,6 +1020,14 @@ object SparkEntry {
         | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
 
+    // stream-static enrichment converges to the identical batch
+    // join+agg (the static side carries no streaming state)
+    "streaming_static_join" ->
+      """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS win_start, c_mktsegment,
+        | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY win_start, c_mktsegment ORDER BY win_start, c_mktsegment""".stripMargin,
+
     // the codec-free byte histogram is SQL-expressible: bucket =
     // byte // 16, weight = float32(cnt)/float32(len). Corpus is ASCII
     // (verified), so per-character ascii() == the UTF-8 byte value.
@@ -1274,6 +1349,74 @@ object SparkEntry {
       s"""SELECT doc_id, lang FROM documents
          |WHERE $HashPermille < CASE WHEN lang = 'en' THEN 100 ELSE 300 END
          |ORDER BY doc_id""".stripMargin,
+
+    // temperature α=1/2 rebalancing: rate = sqrt(n_min)/sqrt(n_l) —
+    // sqrt/div/mul are IEEE correctly-rounded, so both engines
+    // compute bit-identical thresholds (pow(x, α) would not)
+    "temperature_sample" ->
+      s"""WITH n AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+         | r AS (SELECT lang, n_l,
+         |   CAST(floor(1000.0 * sqrt((SELECT CAST(min(n_l) AS DOUBLE) FROM n))
+         |        / sqrt(CAST(n_l AS DOUBLE))) AS BIGINT) AS keep_permille FROM n)
+         |SELECT d.doc_id, d.lang, r.n_l, r.keep_permille
+         |FROM documents d JOIN r ON d.lang = r.lang
+         |WHERE $HashPermille < r.keep_permille
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // per-source quota cap: the GroupedTopK physical operator's
+    // answer == the window-rank formulation
+    "source_cap" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, doc_id, n_chars FROM ranked WHERE rn <= 20
+        |ORDER BY source, n_chars DESC, doc_id""".stripMargin,
+
+    // CDC MERGE semantics spelled out relationally: the same derived
+    // change batch, full outer join, delete filter, column coalesce
+    "merge_upsert" ->
+      """WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+        | chg AS (
+        |   SELECT c_custkey,
+        |     CASE WHEN c_custkey % 7 = 3 THEN 'delete' ELSE 'upsert' END AS op,
+        |     CASE WHEN c_custkey % 7 = 3 THEN NULL ELSE 'REACTIVATED' END AS c_mktsegment,
+        |     CAST(NULL AS DOUBLE) AS c_acctbal
+        |   FROM customer WHERE c_custkey % 10 = 0 OR c_custkey % 7 = 3
+        |   UNION ALL
+        |   SELECT c_custkey + 100000, 'upsert', 'NEW', 0.0
+        |   FROM customer WHERE c_custkey % 100 = 0)
+        |SELECT coalesce(c.c_custkey, b.c_custkey) AS c_custkey,
+        |       coalesce(c.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+        |       coalesce(c.c_acctbal, b.c_acctbal) AS c_acctbal
+        |FROM base b FULL OUTER JOIN chg c ON b.c_custkey = c.c_custkey
+        |WHERE c.op IS NULL OR c.op = 'upsert'
+        |ORDER BY c_custkey""".stripMargin,
+
+    // SCD2 run-collapse + validity intervals, the naive two-window
+    // formulation
+    "scd2_dimension" ->
+      """WITH ordered AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |    lag(o_orderstatus) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        | chg AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+        |         FROM ordered WHERE prev IS NULL OR o_orderstatus <> prev)
+        |SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+        |       lead(o_orderdate) OVER w AS valid_to,
+        |       CAST(row_number() OVER w AS BIGINT) AS version,
+        |       (lead(o_orderdate) OVER w) IS NULL AS is_current
+        |FROM chg
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, version""".stripMargin,
+
+    // the TeraSort-shaped distributed rank == the naive global window
+    "global_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  CAST(row_number() OVER (ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+        |       AS BIGINT) AS global_rank
+        |FROM lineitem ORDER BY global_rank""".stripMargin,
 
     "doc_chunks" ->
       """WITH c AS (SELECT doc_id, text, CAST(ceil(length(text) / 128.0) AS BIGINT) AS n_chunks

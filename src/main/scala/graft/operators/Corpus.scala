@@ -159,6 +159,38 @@ object Corpus {
         (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
   }
 
+  /** Temperature-based stratum rebalancing at temperature α = 1/2 —
+    * the multilingual-LM mixture move (sample strata ∝ p^α so head
+    * languages shrink and tail languages survive), expressed as a
+    * deterministic per-stratum down-sampling rate
+    *
+    *   rate(l) = (n_min / n_l)^(1-α) = sqrt(n_min) / sqrt(n_l)
+    *
+    * normalized so the smallest stratum keeps everything. α is fixed
+    * at 1/2 deliberately: sqrt, divide and multiply are all IEEE
+    * correctly-rounded, so the permille thresholds are BIT-IDENTICAL
+    * doubles in any engine computing the same formula — `pow(x, α)`
+    * for general α is not, and would put the keep/drop decision one
+    * ulp from flipping. The keep decision reuses the content-hash
+    * permille, so the resample is reproducible under retries and
+    * repartitioning like every sampler here.
+    *
+    * Scale shape: stratum counts are one partial-aggregated shuffle of
+    * (stratum) keys; the rate table is stratum-cardinality-sized and
+    * broadcast back. No row-scale shuffle at all. */
+  def temperatureResample(docs: DataFrame, strataCol: String = "lang",
+                          textCol: String = "text"): DataFrame = {
+    val counts = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("n_l"))
+    val minN = counts.agg(min(col("n_l")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .withColumn("keep_permille",
+        floor(lit(1000.0) * sqrt(col("n_min").cast(DoubleType))
+          / sqrt(col("n_l").cast(DoubleType))).cast(LongType))
+      .select(col(strataCol), col("n_l"), col("keep_permille"))
+    docs.join(broadcast(rates), Seq(strataCol))
+      .where(hashPermille(col(textCol)) < col("keep_permille"))
+  }
+
   /** All stopwords of all languages — the combined natural-language
     * signal for quality scoring (per-language lists: TextQuality).
     * Public so the DuckDB oracle twin is generated from the same list. */

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Total-order operators: exact global ranking over an arbitrarily
+  * large table without ever sorting it in one task.
+  *
+  * The reference's only ordering is a driver-side qsort of the final
+  * 30-bin histogram (map_reduce.cpp:583-600) — fine for 30 rows,
+  * meaningless at table scale. The Spark-native shape is TeraSort's:
+  * range-partition on the sort key so partition i holds keys strictly
+  * below partition i+1, sort WITHIN partitions (parallel), then turn
+  * per-partition positions into global positions by adding the row
+  * counts of the preceding partitions.
+  */
+object TotalOrder {
+
+  /** Exact `row_number() OVER (ORDER BY sortCols)` at cluster scale.
+    *
+    * `sortCols` must be a TOTAL order (include a unique tie-break):
+    * then the global rank of a row is a pure function of its key, and
+    * the result is independent of where the range partitioner happens
+    * to place its boundaries — sampling nondeterminism cannot leak
+    * into the answer.
+    *
+    * Construction: one range exchange + in-partition sort (the
+    * TeraSort shuffle), materialized ONCE via localCheckpoint so the
+    * two consumers below read the same partitioning — per-partition
+    * counts and the row-level rank are otherwise separate jobs that
+    * would re-run the exchange with independently sampled bounds.
+    * Partition counts (≤ `partitions` rows) prefix-sum into offsets on
+    * a single-partition window — over dozens of rows, not data — and
+    * broadcast-join back; the in-partition position is a window
+    * partitioned by partition id, so the row-scale work stays spread
+    * across the cluster. Cost: two row-scale shuffles (range + pid
+    * hash), one tiny broadcast. */
+  /** The TeraSort fragment: range exchange + in-partition sort +
+    * partition id. Package-visible so the plan-shape spec can assert
+    * the RangePartitioning exchange on the PRE-checkpoint plan (the
+    * checkpoint truncates lineage in the composed operator). */
+  private[graft] def rangedByKey(df: DataFrame, sortCols: Seq[Column],
+                                 partitions: Int): DataFrame =
+    df.repartitionByRange(partitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+
+  def globalRank(df: DataFrame, sortCols: Seq[Column],
+                 rankCol: String = "global_rank", partitions: Int = 32): DataFrame = {
+    val ranged = rangedByKey(df, sortCols, partitions).localCheckpoint()
+    val offsets = ranged
+      .groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      // single-partition window over ≤ `partitions` aggregate rows —
+      // the one place a global order is computed, and it never sees
+      // row-scale data
+      .withColumn("__off", coalesce(
+        sum(col("__cnt")).over(
+          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val within = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+    ranged
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn(rankCol, row_number().over(within).cast(LongType) + col("__off"))
+      .drop("__pid", "__off")
+  }
+}

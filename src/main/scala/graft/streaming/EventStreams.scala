@@ -104,6 +104,26 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Stream-static enrichment join + windowed rollup: the standard
+    * streaming-ingest enrichment, a micro-batched stream joined to a
+    * BATCH dimension table. The static side is re-resolved each
+    * micro-batch (so a dimension refresh is picked up without
+    * restarting the query) and carries no state at all — unlike a
+    * stream-stream join there is nothing to buffer or evict on the
+    * dimension side; the broadcast hint keeps the per-batch join
+    * map-side, which is exactly how a 1000-executor ingest wants a
+    * dimension lookup to run. Result converges to the identical batch
+    * join+agg, which is its oracle. */
+  def enrichedSegmentCounts(events: DataFrame, dim: DataFrame,
+                            watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 day").as("win"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+      .select(col("win.start").as("win_start"), col("c_mktsegment"),
+        col("n"), col("sum_value"))
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double, props: String)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double,

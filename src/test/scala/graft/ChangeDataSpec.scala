@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.ChangeData
+
+class ChangeDataSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("mergeApply covers all four MERGE cases") {
+    val base = Seq(
+      (1L, "A", 10.0), // untouched
+      (2L, "B", 20.0), // updated (full payload)
+      (3L, "C", 30.0), // updated (partial payload: null keeps base)
+      (4L, "D", 40.0)  // deleted
+    ).toDF("k", "seg", "bal")
+    val changes = Seq(
+      (2L, "upsert", Some("B2"), Some(21.0)),
+      (3L, "upsert", Some("C2"), None),
+      (4L, "delete", None, None),
+      (9L, "upsert", Some("NEW"), Some(90.0)), // insert
+      (8L, "delete", None, None)               // delete of a missing key: no-op
+    ).toDF("k", "op", "seg", "bal")
+    val out = ChangeData.mergeApply(base, changes, "k")
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(out === Seq(
+      (1L, "A", 10.0), (2L, "B2", 21.0), (3L, "C2", 30.0), (9L, "NEW", 90.0)))
+  }
+
+  test("scd2Intervals collapses runs and emits contiguous, versioned intervals") {
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val log = Seq(
+      // key 1: A A B A  -> three intervals (run-collapse keeps the A->B->A flips)
+      (1L, "A", ts(1), 101L), (1L, "A", ts(2), 102L),
+      (1L, "B", ts(3), 103L), (1L, "A", ts(4), 104L),
+      // key 2: single state, two rows -> one open-ended interval
+      (2L, "X", ts(1), 201L), (2L, "X", ts(9), 202L),
+      // key 3: same-day flip ordered by the tie column
+      (3L, "P", ts(5), 301L), (3L, "Q", ts(5), 302L)
+    ).toDF("k", "attr", "ts", "tie")
+    val out = ChangeData.scd2Intervals(log, "k", "attr", "ts", "tie")
+      .orderBy("k", "version")
+      .select("k", "attr", "valid_from", "valid_to", "version", "is_current")
+      .collect()
+
+    val k1 = out.filter(_.getLong(0) == 1L)
+    assert(k1.map(_.getString(1)).toSeq === Seq("A", "B", "A"))
+    assert(k1.map(_.getLong(4)).toSeq === Seq(1L, 2L, 3L))
+    // intervals are contiguous: valid_to(v) == valid_from(v+1)
+    k1.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getTimestamp(3) === b.getTimestamp(2))
+    }
+    // exactly one current row per key, and it is the last version
+    Seq(1L, 2L, 3L).foreach { k =>
+      val rows = out.filter(_.getLong(0) == k)
+      assert(rows.count(_.getBoolean(5)) === 1)
+      assert(rows.maxBy(_.getLong(4)).getBoolean(5))
+      assert(rows.filter(_.getBoolean(5)).forall(r => r.get(3) == null))
+    }
+    val k3 = out.filter(_.getLong(0) == 3L)
+    assert(k3.map(_.getString(1)).toSeq === Seq("P", "Q"), "tie column must order same-ts rows")
+  }
+}

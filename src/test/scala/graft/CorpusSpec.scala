@@ -163,4 +163,27 @@ class CorpusSpec extends AnyFunSuite {
       .select(col("lang"), col("mn") >= col("mx")).collect()
     cmp.foreach(r => assert(r.getBoolean(1), s"${r.getString(0)}: dropped doc outscored a kept one"))
   }
+
+  test("temperature resample keeps the smallest stratum whole and rates fall with size") {
+    val out = Corpus.temperatureResample(docs)
+    val rates = out.select(col("lang"), col("n_l"), col("keep_permille"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val counts = docs.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the operator's reported n_l are the true stratum counts
+    rates.foreach { case (lang, n, _) => assert(n === counts(lang)) }
+    // the smallest stratum keeps everything (permille 1000 ≡ rate 1)
+    val minLang = rates.minBy(_._2)
+    assert(minLang._3 === 1000L)
+    // monotone: a bigger stratum never gets a higher keep rate
+    rates.sortBy(_._2).sliding(2).foreach {
+      case Array(a, b) => assert(a._3 >= b._3, s"${a._1} vs ${b._1}")
+      case _ =>
+    }
+    // kept docs are exactly the hash-selected subset (determinism)
+    val again = Corpus.temperatureResample(docs).select(col("doc_id"))
+    assert(out.select(col("doc_id")).except(again).count() === 0L)
+    assert(again.except(out.select(col("doc_id"))).count() === 0L)
+  }
 }

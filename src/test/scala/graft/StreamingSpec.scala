@@ -103,6 +103,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateRows === Some(1L), s"expected only session D left in the store, got $stateRows")
   }
 
+  test("stream-static join: per-batch dimension lookup carries no state, converges to batch") {
+    val dir = Files.createTempDirectory("graft-stream-ss").toString
+    writeBatches(dir)
+    val dim = Seq((100L, "SEG_A"), (200L, "SEG_B"), (999L, "UNUSED"))
+      .toDF("c_custkey", "c_mktsegment")
+    val streamed = EventStreams.enrichedSegmentCounts(
+      EventStreams.readEventStream(spark, s"$dir/{b0,b1,b2}"), dim)
+    val q = streamed.writeStream.format("memory")
+      .queryName("enrich_out").outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable()
+    // static side buffers nothing: no stateful operator reports rows
+    val state = q.lastProgress.stateOperators
+    assert(state.forall(_.operatorName != "symmetricHashJoin"),
+      "a stream-static join must not plan a stateful join operator")
+    q.stop()
+    val got = spark.table("enrich_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = eventsDf
+      .join(dim, $"user_id" === $"c_custkey")
+      .groupBy(org.apache.spark.sql.functions.window($"ts", "1 day"), $"c_mktsegment")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        graft.functions.dsum2($"value").as("sum_value"))
+      .select($"window.start", $"c_mktsegment", $"n", $"sum_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === want)
+  }
+
   test("stream-stream interval join converges to the batch interval join") {
     val dir = Files.createTempDirectory("graft-stream-ssj").toString
     // purchases pair with same-user clicks <= 30 minutes before them:

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TotalOrder
+
+class TotalOrderSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // keys with heavy duplication in the leading sort column so the
+  // tie-break does real work, spread over many input partitions
+  private lazy val df = spark.range(0, 20000, 1, 16)
+    .select((col("id") % 37).as("a"), (col("id") * 1237 % 20000).as("b"))
+
+  test("globalRank equals the single-window row_number at several partition counts") {
+    val keys = Seq(desc("a"), asc("b"))
+    val naive = df.withColumn("global_rank",
+      row_number().over(Window.orderBy(desc("a"), asc("b"))).cast("long"))
+    for (parts <- Seq(3, 32)) {
+      val got = TotalOrder.globalRank(df, keys, partitions = parts)
+      assert(got.columns.sorted === naive.columns.sorted)
+      val diff = got.join(naive, Seq("a", "b"))
+        .where(got("global_rank") =!= naive("global_rank")).count()
+      assert(diff === 0L, s"rank mismatch at partitions=$parts")
+      assert(got.count() === df.count())
+    }
+  }
+
+  test("ranks are a dense permutation of 1..n") {
+    val got = TotalOrder.globalRank(df, Seq(asc("b"), asc("a")), partitions = 8)
+    val agg = got.agg(min("global_rank"), max("global_rank"),
+      countDistinct("global_rank"), count(lit(1))).head()
+    assert(agg.getLong(0) === 1L)
+    assert(agg.getLong(1) === agg.getLong(3))
+    assert(agg.getLong(2) === agg.getLong(3))
+  }
+
+  test("plan shape: the shuffle is a range exchange, not a single-partition sort") {
+    val frag = TotalOrder.rangedByKey(df, Seq(asc("b")), 8)
+    val plan = frag.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"),
+      s"expected a RangePartitioning exchange in:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"row-scale data must never collapse to one partition:\n$plan")
+  }
+}
