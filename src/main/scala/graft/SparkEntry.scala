@@ -50,7 +50,7 @@ object SparkEntry {
   // staged dirs are deleted on JVM exit (File.deleteOnExit cannot
   // remove non-empty dirs, so one recursive-delete hook instead)
   private lazy val stagedCleanup: Unit = sys.addShutdownHook {
-    stagedEvents.values.foreach { dir =>
+    (stagedEvents.values ++ stagedLayouts.values).foreach { dir =>
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete(): Unit
@@ -58,6 +58,21 @@ object SparkEntry {
       rm(new java.io.File(dir))
     }
   }
+
+  /** Clustered-layout fixtures for the data-skipping queries
+    * (StatsManifest), memoized per (sfDir, kind) like stagedEvents:
+    * the layout WRITE is fixture staging, the operator under test is
+    * the manifest-pruned read. */
+  private val stagedLayouts =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def stageLayout(s: SparkSession, d: String, kind: String)
+                         (write: String => Unit): String =
+    stagedLayouts.getOrElseUpdate((d, kind), {
+      stagedCleanup
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-layout-$kind").toString
+      write(tmp)
+      tmp
+    })
   private def stageEvents(s: SparkSession, d: String, copies: Int, filesPerCopy: Int): String =
     stagedEvents.getOrElseUpdate((d, copies, filesPerCopy), {
       stagedCleanup
@@ -286,6 +301,15 @@ object SparkEntry {
     // ---- M3: LLM-pipeline operators (SURVEY.md §2.11) ----
     "dedup_exact" -> ((s, d) => Dedup.exactGroups(t(s, d).documents).orderBy("keep_id")),
     "dedup_hash" -> ((s, d) => Dedup.hashGroups(t(s, d).documents).orderBy("h")),
+    // ingest-time incremental dedup: the even-id half of the corpus
+    // plays the persisted digest store; the incoming batch dedups
+    // within itself then anti-joins the store on the 32-byte digest
+    "incremental_dedup" -> ((s, d) => {
+      val docs = t(s, d).documents
+      val store = docs.where(col("doc_id") % 2 === 0)
+        .select(sha2(col("text"), 256).as("h"))
+      Dedup.incrementalDigestDedup(docs, store).orderBy("h")
+    }),
     "near_dup_jaccard" -> ((s, d) => Dedup.nearestByJaccard(t(s, d).documents).orderBy("doc_id")),
     // connected components over J >= 0.3 pairs: canonical doc per cluster
     "dedup_clusters" -> ((s, d) => {
@@ -572,6 +596,30 @@ object SparkEntry {
       EventStreams.runToMemory(ss, streamed, s"stream_enrich_${System.nanoTime()}")
         .orderBy("win_start", "c_mktsegment")
     }),
+    // bounded heavy-hitter state: a per-user Misra-Gries summary held
+    // in typed transformWithState state (RocksDB provider), folded
+    // across micro-batches; capacity 8 ≥ the 5 distinct event types,
+    // so the drained stream equals the batch group-count top-1 exactly
+    "streaming_state_topk" -> ((s, d) => {
+      val tmp = stageEvents(s, d, copies = 1, filesPerCopy = 4)
+      val ss = streamSession(s)
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import ss.implicits._
+      val stream = EventStreams.readEventStream(ss, tmp).as[EventStreams.Event]
+      val snaps = EventStreams.topTypePerUser(stream, capacity = 8).toDF()
+      val table = EventStreams.runToMemory(ss, snaps,
+        s"stream_topk_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      // Update mode appends one snapshot per touched user per batch;
+      // the final answer is each user's LATEST snapshot (n_seen is
+      // strictly monotone per user, so argmax is unique)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(desc("n_seen"))
+      table.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+        .select(col("user_id"), col("top_type"), col("n_top"))
+        .orderBy("user_id")
+    }),
     // streaming ingest through the size-governed sink: micro-batches
     // land replay-idempotent AND compacted (foreachBatch +
     // Sinks.writeCompacted), then the landed table is aggregated — the
@@ -598,6 +646,38 @@ object SparkEntry {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), graft.functions.dsum2(col("o_totalprice")).as("sum_price"))
         .orderBy(col("o_orderstatus"))
+    }),
+    // file-level data skipping: orders clustered on o_totalprice into
+    // 16 files + a per-file min/max manifest; the range scan consults
+    // the manifest and loads only intersecting files (the spec counts
+    // them), then must equal the plain full-scan filter
+    "manifest_pruned_scan" -> ((s, d) => {
+      val dir = stageLayout(s, d, "price") { tmp =>
+        graft.sources.StatsManifest.writeClustered(t(s, d).orders, tmp,
+          col("o_totalprice"), Seq("o_totalprice"), nFiles = 16)
+      }
+      val (df, _, _) = graft.sources.StatsManifest.scanPruned(s, dir,
+        Seq(("o_totalprice", lit(200000.0), lit(300000.0))))
+      df.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), graft.functions.dsum2(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+    // multi-dimensional skipping: the same table clustered on the
+    // bit-interleaved Z-value of (custkey, price bucket) — BOTH box
+    // dimensions get file-level min/max locality, so a 2-D box prunes
+    // where a linear sort layout cannot (ZOrderSpec proves the gap)
+    "zorder_scan" -> ((s, d) => {
+      val dir = stageLayout(s, d, "zorder") { tmp =>
+        graft.sources.StatsManifest.writeClustered(t(s, d).orders, tmp,
+          graft.sources.StatsManifest.zValue(col("o_custkey"), floor(col("o_totalprice") / 10000)),
+          Seq("o_custkey", "o_totalprice"), nFiles = 16)
+      }
+      val (df, _, _) = graft.sources.StatsManifest.scanPruned(s, dir,
+        Seq(("o_custkey", lit(300L), lit(600L)),
+          ("o_totalprice", lit(100000.0), lit(200000.0))))
+      df.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), graft.functions.dsum2(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
     }),
     // ORC source/sink round trip: parquet -> orc -> orc scan -> agg
     "orc_roundtrip" -> ((s, d) => {
@@ -1020,6 +1100,31 @@ object SparkEntry {
         | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
 
+    // the manifest-pruned scan must equal the plain full-scan filter —
+    // skipping may never change an answer
+    "manifest_pruned_scan" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_totalprice >= 200000.0 AND o_totalprice <= 300000.0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "zorder_scan" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_custkey >= 300 AND o_custkey <= 600
+        | AND o_totalprice >= 100000.0 AND o_totalprice <= 200000.0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // capacity ≥ distinct types makes the Misra-Gries summary exact,
+    // so the streaming state answer is the batch top-1 per user
+    "streaming_state_topk" ->
+      """WITH counts AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2),
+        | ranked AS (SELECT user_id, event_type, n,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+        |   FROM counts)
+        |SELECT user_id, event_type AS top_type, n AS n_top FROM ranked WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
     // stream-static enrichment converges to the identical batch
     // join+agg (the static side carries no streaming state)
     "streaming_static_join" ->
@@ -1134,6 +1239,14 @@ object SparkEntry {
     "dedup_hash" ->
       """SELECT sha256(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY h""".stripMargin,
+
+    // batch-internal dedup (min id per digest) then anti-join against
+    // the persisted store — the relational spelling of ingest dedup
+    "incremental_dedup" ->
+      """WITH store AS (SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 2 = 0),
+        | batch AS (SELECT sha256(text) AS h, min(doc_id) AS doc_id FROM documents GROUP BY 1)
+        |SELECT b.h, b.doc_id FROM batch b LEFT JOIN store s ON b.h = s.h
+        |WHERE s.h IS NULL ORDER BY b.h""".stripMargin,
 
     // stop-shingle cap mirrored from Dedup.DefaultMaxDf: shingles with
     // document frequency > 10 are dropped from intersections AND set

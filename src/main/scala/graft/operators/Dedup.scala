@@ -36,6 +36,24 @@ object Dedup {
       .groupBy(col("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup — the ingest-time form of [[hashGroups]]:
+    * dedup a new batch WITHIN itself (canonical minimum id per
+    * digest), then drop everything whose digest already exists in the
+    * persisted corpus digest store. Returns the surviving (h, doc_id)
+    * pairs; the caller unions them into the store to complete the
+    * ingest cycle.
+    *
+    * Scale shape: the store side is digests only (32 B/doc — the
+    * 100 TB corpus's store is ~3 orders of magnitude smaller than the
+    * corpus), the batch reduces to digests before the anti-join, and
+    * both sides shuffle on the digest key. */
+  def incrementalDigestDedup(batch: DataFrame, storeDigests: DataFrame,
+                             textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    batch
+      .select(sha2(col(textCol), 256).as("h"), col(idCol))
+      .groupBy(col("h")).agg(min(col(idCol)).as(idCol))
+      .join(storeDigests.select(col("h")).distinct(), Seq("h"), "left_anti")
+
   private def rawShingles(docs: DataFrame, w: Int, textCol: String, idCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),

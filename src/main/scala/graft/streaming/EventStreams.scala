@@ -185,6 +185,57 @@ object EventStreams {
       .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  final case class MgTopState(counts: Map[String, Long], n_seen: Long)
+  final case class TopType(user_id: Long, top_type: String, n_top: Long, n_seen: Long)
+
+  /** Streaming bounded top-1-of-top-k: a per-key Misra-Gries summary
+    * (capacity-bounded — the SAME sketch as functions.TopKByCount,
+    * here held in typed transformWithState state) folded across
+    * micro-batches. State per key is ≤ capacity entries regardless of
+    * stream length or value cardinality — the property that lets a
+    * 1000-executor job track heavy hitters per user over an unbounded
+    * stream. With capacity ≥ the true distinct count the summary is
+    * EXACT, so the drained stream converges to the batch group-count
+    * answer (its oracle); under-capacity behavior carries the standard
+    * mergeable-summaries error bound (asserted in StreamingSpec).
+    * Each batch emits the key's current top type plus a monotone
+    * n_seen, so "latest snapshot" = argmax(n_seen) downstream. */
+  class TopTypeProcessor(capacity: Int) extends StatefulProcessor[Long, Event, TopType] {
+    @transient private var state: ValueState[MgTopState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[MgTopState]("mg",
+        org.apache.spark.sql.Encoders.product[MgTopState], TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[TopType] = {
+      val prev = if (state.exists()) state.get() else MgTopState(Map.empty, 0L)
+      val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
+      val next = sorted.foldLeft(prev) { (acc, e) =>
+        val c = acc.counts
+        val nc =
+          if (c.contains(e.event_type)) c.updated(e.event_type, c(e.event_type) + 1)
+          else if (c.size < capacity) c.updated(e.event_type, 1L)
+          else {
+            // the Misra-Gries step: decrement everything, drop zeros
+            val dec = c.map { case (k, v) => k -> (v - 1) }.filter(_._2 > 0)
+            dec
+          }
+        MgTopState(nc, acc.n_seen + 1)
+      }
+      state.update(next)
+      if (next.counts.isEmpty) Iterator.empty
+      else {
+        val (topType, topN) = next.counts.minBy { case (k, v) => (-v, k) }
+        Iterator.single(TopType(uid, topType, topN, next.n_seen))
+      }
+    }
+  }
+
+  def topTypePerUser(events: Dataset[Event], capacity: Int): Dataset[TopType] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TopTypeProcessor(capacity), TimeMode.None(), OutputMode.Update())
+  }
+
   final case class OpenSession(startMicros: Long, lastMicros: Long, n: Long, cents: Long)
   final case class ClosedSession(user_id: Long, session_start: Timestamp,
                                  n_events: Long, sum_value: Double)

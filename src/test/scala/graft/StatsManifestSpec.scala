@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.StatsManifest
+
+class StatsManifestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+  test("zValue interleaves bits: known values, and locality beats concatenation") {
+    val got = spark.range(1)
+      .select(
+        StatsManifest.zValue(lit(3L), lit(1L)).as("z31"),
+        StatsManifest.zValue(lit(1L), lit(3L)).as("z13"),
+        StatsManifest.zValue(lit(0L), lit(0L)).as("z00"),
+        StatsManifest.zValue(lit(65535L), lit(65535L)).as("zmax"))
+      .head()
+    // a-bits land at even positions, b-bits at odd ones
+    assert(got.getLong(0) === 7L)   // a=11 -> 101, b=01 -> 010
+    assert(got.getLong(1) === 11L)  // a=01 -> 001, b=11 -> 1010
+    assert(got.getLong(2) === 0L)
+    assert(got.getLong(3) === (1L << 32) - 1)
+  }
+
+  test("manifest covers every file and every row") {
+    val dir = Files.createTempDirectory("graft-manifest").toString
+    StatsManifest.writeClustered(orders, dir, col("o_totalprice"),
+      Seq("o_totalprice", "o_custkey"), nFiles = 8)
+    val m = StatsManifest.readManifest(spark, dir)
+    assert(m.count() === 8L)
+    assert(m.agg(sum("n_rows")).head().getLong(0) === orders.count())
+    // clustered layout: per-file price intervals are pairwise disjoint
+    val iv = m.select("min_o_totalprice", "max_o_totalprice")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
+    iv.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 <= b._1, s"overlapping file intervals $a $b")
+      case _ =>
+    }
+  }
+
+  test("range scan prunes files and answers exactly like the full scan") {
+    val dir = Files.createTempDirectory("graft-prune").toString
+    StatsManifest.writeClustered(orders, dir, col("o_totalprice"),
+      Seq("o_totalprice"), nFiles = 8)
+    val (df, scanned, total) = StatsManifest.scanPruned(spark, dir,
+      Seq(("o_totalprice", lit(200000.0), lit(250000.0))))
+    assert(total === 8L)
+    assert(scanned < total, s"no files skipped: $scanned of $total")
+    val want = orders.where(col("o_totalprice").between(200000.0, 250000.0))
+    assert(df.count() === want.count())
+    assert(df.agg(sum("o_orderkey")).head().getLong(0) ===
+      want.agg(sum("o_orderkey")).head().getLong(0))
+  }
+
+  test("a 2-D box prunes under z-order where the linear layout cannot") {
+    val zDir = Files.createTempDirectory("graft-z").toString
+    val linDir = Files.createTempDirectory("graft-lin").toString
+    val stats = Seq("o_custkey", "o_totalprice")
+    StatsManifest.writeClustered(orders, zDir,
+      StatsManifest.zValue(col("o_custkey"), floor(col("o_totalprice") / 10000)),
+      stats, nFiles = 16)
+    // linear layout clustered on price alone: no custkey locality
+    StatsManifest.writeClustered(orders, linDir, col("o_totalprice"), stats, nFiles = 16)
+    // selective predicate on custkey ONLY — orthogonal to the linear sort
+    val preds = Seq(("o_custkey", lit(100L), lit(200L)))
+    val (zDf, zScanned, zTotal) = StatsManifest.scanPruned(spark, zDir, preds)
+    val (lDf, lScanned, _) = StatsManifest.scanPruned(spark, linDir, preds)
+    assert(zScanned < zTotal, "z-order layout must skip files on the second dimension")
+    assert(zScanned < lScanned,
+      s"z-order ($zScanned files) should beat the linear layout ($lScanned files)")
+    // skipping never changes the answer
+    assert(zDf.count() === lDf.count())
+    val want = orders.where(col("o_custkey").between(100L, 200L)).count()
+    assert(zDf.count() === want)
+  }
+}

@@ -306,6 +306,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("Misra-Gries top-type state: exact at capacity, heavy hitter survives under-capacity") {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    import ss.implicits._
+    // one user, skewed types: A×12, B×3, C×2, D×1, interleaved so the
+    // heavy hitter is never the last arrival
+    val types = Seq("A", "B", "A", "A", "C", "A", "A", "B", "A", "D",
+      "A", "A", "C", "A", "B", "A", "A", "A")
+    val rows = types.zipWithIndex.map { case (t, i) =>
+      (i.toLong, ts(i), 1L, t, 1.0, "")
+    }
+    val dir = Files.createTempDirectory("graft-mg").toString
+    rows.take(9).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/b0")
+    rows.drop(9).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/b1")
+    def lastSnapshot(capacity: Int, name: String) = {
+      val stream = EventStreams.readEventStream(ss, s"$dir/{b0,b1}")
+        .as[EventStreams.Event]
+      val out = EventStreams.runToMemory(ss,
+        EventStreams.topTypePerUser(stream, capacity).toDF(), name, OutputMode.Update())
+      out.orderBy(org.apache.spark.sql.functions.desc("n_seen")).head()
+    }
+    // capacity ≥ distinct types: summary is exact counting
+    val exact = lastSnapshot(8, "mg_exact")
+    assert(exact.getString(1) === "A")
+    assert(exact.getLong(2) === 12L)
+    assert(exact.getLong(3) === types.size.toLong)
+    // capacity 2 < 4 distinct: counts are lower bounds with error ≤
+    // n_seen/(capacity+1), but the true heavy hitter (12 > 18/3)
+    // must survive the summary and rank first
+    val small = lastSnapshot(2, "mg_small")
+    assert(small.getString(1) === "A")
+    assert(small.getLong(2) <= 12L && small.getLong(2) >= 12L - types.size / 3)
+  }
+
   test("transformWithState running totals agree with the mapGroupsWithState fold") {
     val dir = Files.createTempDirectory("graft-stream-tws").toString
     writeBatches(dir)
