@@ -342,6 +342,20 @@ object SparkEntry {
           emb.where(col("vec_id") % 50 === 0), emb)
         .orderBy("q_id", "rank")
     }),
+    // incremental index ingest: build on 80% of the corpus, fold the
+    // remaining batch in with frozen centroids/code books (no retrain),
+    // query the grown index — rows-only (approximate ANN); the
+    // findability and recall properties are asserted in SimilaritySpec
+    "ann_index_append" -> ((s, d) => {
+      val emb = t(s, d).embeddings
+      // the batch residue (7k+3) is disjoint from the centroid seed
+      // stride (10k), so the base keeps its coarse geometry
+      val idx = Similarity.ivfPqAppend(
+        Similarity.ivfPqBuild(emb.where(col("vec_id") % 7 =!= 3)),
+        emb.where(col("vec_id") % 7 === 3))
+      Similarity.ivfPqQuery(idx, emb.where(col("vec_id") % 70 === 3), emb)
+        .orderBy("q_id", "rank")
+    }),
     "embedding_near_dups" -> ((s, d) =>
       Similarity.cosineNearDupPairs(t(s, d).embeddings).orderBy("id_a", "id_b")),
     // approximate (LSH-bucketed) variant — rows-only by design; recall
@@ -439,6 +453,24 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // the round-5 ingest cycle composed end-to-end: incremental digest
+    // dedup against the persisted store → temperature-α=1/2 rebalance
+    // over the survivors → context-window chunking; the whole chain
+    // hash-checked against one DuckDB CTE chain (the incremental twin
+    // of pipeline_e2e)
+    "pipeline_ingest" -> ((s, d) => {
+      val docs = t(s, d).documents
+      val store = docs.where(col("doc_id") % 2 === 0)
+        .select(sha2(col("text"), 256).as("h"))
+      val fresh = Dedup.incrementalDigestDedup(docs, store).select(col("doc_id"))
+      val survivors = docs.join(fresh, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("text"))
+      val kept = Corpus.temperatureResample(survivors)
+        .select(col("doc_id"), col("lang"), col("text"))
+      Corpus.chunk(kept, size = 256)
+        .select(col("doc_id"), col("lang"), col("chunk_idx"), col("chunk"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
     // temperature-α=1/2 multilingual rebalancing: per-stratum keep
     // rates derived from stratum counts (sqrt keeps every double
     // IEEE-exact → hash-checkable), rates broadcast back, keep
@@ -1462,6 +1494,26 @@ object SparkEntry {
       s"""SELECT doc_id, lang FROM documents
          |WHERE $HashPermille < CASE WHEN lang = 'en' THEN 100 ELSE 300 END
          |ORDER BY doc_id""".stripMargin,
+
+    // the ingest cycle as one CTE chain: store anti-join → temperature
+    // rates over survivors → chunk explode
+    "pipeline_ingest" ->
+      s"""WITH store AS (SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 2 = 0),
+         | batch AS (SELECT sha256(text) AS h, min(doc_id) AS doc_id FROM documents GROUP BY 1),
+         | fresh AS (SELECT b.doc_id FROM batch b LEFT JOIN store s ON b.h = s.h WHERE s.h IS NULL),
+         | dd AS (SELECT d.doc_id, d.lang, d.text FROM documents d JOIN fresh f ON d.doc_id = f.doc_id),
+         | n AS (SELECT lang, count(*) AS n_l FROM dd GROUP BY lang),
+         | r AS (SELECT lang, CAST(floor(1000.0 * sqrt((SELECT CAST(min(n_l) AS DOUBLE) FROM n))
+         |   / sqrt(CAST(n_l AS DOUBLE))) AS BIGINT) AS keep_permille FROM n),
+         | kept AS (SELECT dd.doc_id, dd.lang, dd.text FROM dd JOIN r ON dd.lang = r.lang
+         |          WHERE $HashPermille < r.keep_permille),
+         | c AS (SELECT doc_id, lang, text,
+         |   CAST(ceil(length(text) / 256.0) AS BIGINT) AS n_chunks FROM kept),
+         | u AS (SELECT doc_id, lang, text, n_chunks,
+         |   unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM c)
+         |SELECT doc_id, lang, chunk_idx,
+         | substring(text, CAST(chunk_idx * 256 + 1 AS INT), 256) AS chunk
+         |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // temperature α=1/2 rebalancing: rate = sqrt(n_min)/sqrt(n_l) —
     // sqrt/div/mul are IEEE correctly-rounded, so both engines

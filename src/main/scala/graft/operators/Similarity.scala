@@ -444,6 +444,29 @@ object Similarity {
     IvfPqIndex(corpusAssigned.select(col("vec_id"), col("cell")), codes, cellCent, books, m, subDim)
   }
 
+  /** Incremental index append — the ingest half of the ANN lifecycle:
+    * fold a batch of NEW vectors into an existing index WITHOUT
+    * retraining. Centroids and code books are frozen (the production
+    * posture: appends reuse the trained geometry; a periodic rebuild
+    * absorbs distribution drift), so the batch only pays one coarse
+    * assignment against the broadcast centroids and one residual PQ
+    * encode — both map-side over the batch, independent of index size.
+    * Cells and codes relations grow by exactly the batch. */
+  def ivfPqAppend(index: IvfPqIndex, newVecs: DataFrame): IvfPqIndex = {
+    val asCents = index.coarseCents.select(col("cell").as("cent_id"), col("cent_emb"))
+    val assigned = coarseAssign(newVecs, asCents, 1).localCheckpoint()
+    val res = assigned
+      .join(broadcast(index.coarseCents), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding"), col("cent_emb"), (a, b) => a - b).as("embedding"))
+    val newCodes = pqEncode(res.select(col("vec_id"), col("embedding")),
+      index.books, index.m, index.subDim)
+    IvfPqIndex(
+      index.cells.unionAll(assigned.select(col("vec_id"), col("cell"))),
+      index.codes.unionAll(newCodes),
+      index.coarseCents, index.books, index.m, index.subDim)
+  }
+
   /** Persist the index as four parquet relations under `dir`. */
   def ivfPqWrite(index: IvfPqIndex, dir: String): Unit = {
     index.cells.write.mode("overwrite").parquet(s"$dir/cells")

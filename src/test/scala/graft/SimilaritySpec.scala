@@ -115,6 +115,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(reloaded === inMem)
   }
 
+  test("ivfPqAppend folds a batch into the frozen index and the batch becomes findable") {
+    val emb = TestSpark.spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    // batch residue (7k+3) disjoint from the centroid seed stride
+    // (10k): the base build keeps its full coarse geometry
+    val base = emb.where(col("vec_id") % 7 =!= 3)
+    val batch = emb.where(col("vec_id") % 7 === 3)
+    val idx = Similarity.ivfPqBuild(base, step = 10)
+    val appended = Similarity.ivfPqAppend(idx, batch)
+    // the index grows by exactly the batch, geometry untouched
+    assert(appended.cells.count() === emb.count())
+    assert(appended.codes.count() === emb.count())
+    assert(appended.coarseCents.collect().toSet === idx.coarseCents.collect().toSet)
+    // queries are all batch members: before the append they cannot be
+    // each other's neighbors; after, they must surface
+    val queries = emb.where(col("vec_id") % 70 === 3)
+    val before = Similarity.ivfPqQuery(idx, queries, emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val after = Similarity.ivfPqQuery(appended, queries, emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(before.forall { case (_, c) => c % 7 != 3 })
+    assert(after.exists { case (_, c) => c % 7 == 3 },
+      "appended vectors never surfaced as neighbors")
+    // recall vs the full-corpus truth must not drop when the index
+    // grows to cover the whole corpus
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(s: Set[(Long, Long)]) = exact.intersect(s).size.toDouble / exact.size
+    info(s"recall@5 base-only=${recall(before)} appended=${recall(after)}")
+    assert(recall(after) >= recall(before))
+  }
+
   test("Lloyd codebook refinement does not degrade pq recall and stays deterministic") {
     val emb = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") % 10 === 0), k = 5)
