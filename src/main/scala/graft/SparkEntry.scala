@@ -311,6 +311,16 @@ object SparkEntry {
       Dedup.incrementalDigestDedup(docs, store).orderBy("h")
     }),
     "near_dup_jaccard" -> ((s, d) => Dedup.nearestByJaccard(t(s, d).documents).orderBy("doc_id")),
+    // substring-level duplication (Lee et al. 2022 shape): strided
+    // 32-char window grid, grouped on the span, kept where >= 2 docs
+    "dup_spans" -> ((s, d) =>
+      Dedup.duplicatedSpans(t(s, d).documents, k = 32, stride = 8, minDocs = 2).orderBy("span")),
+    // inverted index: the canonical MapReduce workload one past
+    // wordcount — term -> (df, cf, sorted postings)
+    "inverted_index" -> ((s, d) => Retrieval.invertedIndex(t(s, d).documents).orderBy("word")),
+    // BM25 ranked retrieval over the index's statistics (fixed-order
+    // per-term fold + round(4) for cross-engine determinism)
+    "bm25_topk" -> ((s, d) => Retrieval.bm25TopK(t(s, d).documents, Bm25Terms, k = 20)),
     // connected components over J >= 0.3 pairs: canonical doc per cluster
     "dedup_clusters" -> ((s, d) => {
       val docs = t(s, d).documents
@@ -761,6 +771,22 @@ object SparkEntry {
        |  SELECT lower(regexp_replace(t.tok, '$P', '', 'g')) AS word
        |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM documents) t
        |)""".stripMargin
+
+  /** Per-document variant of [[W]] for the retrieval family. */
+  private val WDoc =
+    s"""WITH w0 AS (
+       |  SELECT doc_id, lower(regexp_replace(t.tok, '$P', '', 'g')) AS word
+       |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents) t
+       |), w AS (SELECT doc_id, word FROM w0 WHERE length(word) > 0)""".stripMargin
+
+  /** BM25 query + parameters, shared by the Spark query and its twin.
+    * The twin interpolates the SAME Scala-computed doubles the Spark
+    * expression uses (shortest-round-trip rendering parses back to the
+    * identical bits in DuckDB), so both engines evaluate bit-equal
+    * literals — the same discipline dsum applies to aggregation. */
+  private[graft] val Bm25Terms = Seq("spark", "hash", "dup")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
 
   def oracleSql: Map[String, String] = Map(
     "wordcount" ->
@@ -1300,6 +1326,48 @@ object SparkEntry {
         | r AS (SELECT doc_id, other_id, jaccard,
         |        row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, other_id) AS rn FROM sym)
         |SELECT doc_id, other_id, jaccard FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // strided 32-char window grid, grouped on the span itself
+    "dup_spans" ->
+      """WITH sp AS (
+        |  SELECT doc_id, substring(text, CAST(i AS INTEGER), 32) AS span
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 31, 8)) AS i
+        |        FROM documents WHERE length(text) >= 32) t)
+        |SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+        |FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2 ORDER BY span""".stripMargin,
+
+    "inverted_index" ->
+      s"""$WDoc, tfq AS (SELECT word, doc_id, count(*) AS tf FROM w GROUP BY 1, 2)
+         |SELECT word, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+         | string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+         |FROM tfq GROUP BY word ORDER BY word""".stripMargin,
+
+    // BM25 with the Spark side's exact literals and association:
+    // ln(idf+1) * (tf*(k1+1)) / (tf + k1*((1-b) + b*dl/avgdl)), summed
+    // over the terms in fixed order, rounded to 4 decimals after the sum
+    "bm25_topk" -> {
+      val termCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"max(CASE WHEN word = '$t' THEN w_score END) AS s$i"
+      }.mkString(",\n        | ")
+      val scoreSum = Bm25Terms.indices.map(i => s"coalesce(s$i, 0.0)").mkString(" + ")
+      val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""$WDoc,
+         | tf AS (SELECT doc_id, word, count(*) AS tf FROM w WHERE word IN ($inList) GROUP BY 1, 2),
+         | dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         | dl AS (SELECT d.doc_id, coalesce(c.c, 0) AS dl FROM documents d
+         |        LEFT JOIN (SELECT doc_id, count(*) AS c FROM w GROUP BY 1) c USING (doc_id)),
+         | st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         | contrib AS (
+         |   SELECT t.doc_id, t.word,
+         |     ln((st.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+         |       * (t.tf * ${Bm25K1 + 1.0}) / (t.tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl.dl / st.avgdl)) AS w_score
+         |   FROM tf t JOIN dfq f USING (word) JOIN dl ON dl.doc_id = t.doc_id CROSS JOIN st),
+         | per AS (SELECT doc_id,
+         | $termCols
+         | FROM contrib GROUP BY doc_id)
+         |SELECT doc_id, round($scoreSum, 4) AS score
+         |FROM per ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
 
     // same capped-shingle Jaccard pipeline as near_dup_jaccard, then
     // min-label transitive closure via a recursive CTE

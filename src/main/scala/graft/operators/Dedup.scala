@@ -310,4 +310,36 @@ object Dedup {
     }
     perDoc.select(col("doc_id"), fp.as("simhash"))
   }
+
+  /** Exact substring-level duplication (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): character spans of
+    * length `k` repeated across ≥ `minDocs` distinct documents — the
+    * boilerplate/citation/license-block signal that document-level
+    * Jaccard misses because the surrounding text differs. Their
+    * suffix-array construction is a single-machine algorithm; the
+    * shuffle-native equivalent is a strided k-char window grid: every
+    * duplicated run of length ≥ k + stride − 1 is guaranteed to cover
+    * at least one full grid window at equal offsets modulo stride on
+    * both copies ONLY when the copies are stride-aligned, so the grid
+    * is exact for stride = 1 and a (k, stride)-tunable recall knob
+    * above that — callers pick stride ≈ k/4 for the 4× input reduction
+    * and accept misses of unaligned duplicates shorter than k + stride.
+    *
+    * Scale shape: one row per window leaves the scan (stride-fraction
+    * of corpus bytes), partial-aggregated map-side, shuffled on the
+    * span; the span text itself is the group key so collisions are
+    * impossible (group by xxhash64(span) would halve shuffle width at
+    * a ~n²/2⁶⁵ false-merge risk — the digest trick from [[hashGroups]]
+    * applies verbatim if wanted). Output is bounded by HAVING ≥ minDocs. */
+  def duplicatedSpans(docs: DataFrame, k: Int = 32, stride: Int = 8, minDocs: Int = 2,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .where(length(col(textCol)) >= k)
+      .select(col(idCol).as("doc_id"),
+        explode(sequence(lit(1), length(col(textCol)) - lit(k - 1), lit(stride))).as("pos"),
+        col(textCol))
+      .select(col("doc_id"), col(textCol).substr(col("pos"), lit(k)).as("span"))
+      .groupBy(col("span"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .where(col("n_docs") >= minDocs)
 }

@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Retrieval}
+
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "spark shuffles data and spark sorts data"),
+    (1L, "hash joins beat sort merge joins on small builds"),
+    (2L, "spark hash aggregate spills to disk"),
+    (3L, "window functions rank rows per key"),
+    (4L, "")
+  ).toDF("doc_id", "text")
+
+  test("invertedIndex: df/cf/postings agree with independent Scala index") {
+    val got = Retrieval.invertedIndex(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+
+    val exp = Seq(0L, 1L, 2L, 3L, 4L)
+      .flatMap { id =>
+        val text = docs.where($"doc_id" === id).head().getString(1)
+        text.split("\\s+").map(_.replaceAll("[!-/:-@\\[-`{-~]", "").toLowerCase)
+          .filter(_.nonEmpty).map(w => (w, id))
+      }
+      .groupBy(_._1)
+      .map { case (w, occ) =>
+        val byDoc = occ.groupBy(_._2)
+        w -> ((byDoc.size.toLong, occ.size.toLong,
+          byDoc.keys.toSeq.sorted.mkString(",")))
+      }
+    assert(got === exp)
+  }
+
+  test("bm25TopK: matches an independent Scala BM25 computation") {
+    val terms = Seq("spark", "joins")
+    val got = Retrieval.bm25TopK(docs, terms, k = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+
+    // independent fold, same formula and constants
+    val texts = Map(
+      0L -> "spark shuffles data and spark sorts data",
+      1L -> "hash joins beat sort merge joins on small builds",
+      2L -> "spark hash aggregate spills to disk",
+      3L -> "window functions rank rows per key",
+      4L -> "")
+    val words = texts.map { case (id, t) =>
+      id -> t.split("\\s+").map(_.replaceAll("[!-/:-@\\[-`{-~]", "").toLowerCase).filter(_.nonEmpty).toSeq
+    }
+    val n = texts.size.toLong
+    val avgdl = words.values.map(_.size).sum.toDouble / n
+    val df = terms.map(t => t -> words.values.count(_.contains(t)).toLong).toMap
+    val (k1, b) = (1.2, 0.75)
+    def score(id: Long): Double = {
+      val raw = terms.map { t =>
+        val tf = words(id).count(_ == t).toLong
+        if (tf == 0L) 0.0
+        else math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0) *
+          (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * words(id).size / avgdl))
+      }.reduceLeft(_ + _)
+      BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val exp = texts.keys.toSeq.filter(id => terms.exists(words(id).contains))
+      .map(id => id -> score(id))
+      .sortBy { case (id, s) => (-s, id) }
+    assert(got.toSeq === exp)
+    // rarity wins: doc 1 holds the df=1 term 'joins' twice, beating the
+    // df=2 term 'spark' twice in doc 0
+    assert(got.head._1 === 1L)
+  }
+
+  test("duplicatedSpans: finds aligned cross-doc spans, ignores unique text") {
+    val shared = "0123456789abcdefghijklmnopqrstuvwxyz" // 36 chars >= k
+    val spanDocs = Seq(
+      (10L, shared + " tail one"),
+      (11L, shared + " other tail"),            // same span at offset 1
+      (12L, "completely unrelated body of text that repeats nothing at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(spanDocs, k = 32, stride = 8, minDocs = 2).collect()
+    assert(got.nonEmpty)
+    // every reported span must occur in >= 2 docs, and the shared prefix is among them
+    assert(got.forall(_.getLong(1) >= 2L))
+    assert(got.exists(_.getString(0) == shared.substring(0, 32)))
+    // nothing from the unique doc's vocabulary
+    assert(!got.exists(_.getString(0).contains("unrelated")))
+  }
+
+  test("duplicatedSpans: stride grid is exhaustive at stride 1") {
+    val a = "x" * 10 + "SHAREDSHAREDSHAREDSHAREDSHAREDXX" + "y" * 10
+    val b = "z" * 3 + "SHAREDSHAREDSHAREDSHAREDSHAREDXX" + "w" * 20
+    val d = Seq((0L, a), (1L, b)).toDF("doc_id", "text")
+    // unaligned copies (offsets 11 vs 4): stride 1 must still find the span
+    val got = Dedup.duplicatedSpans(d, k = 32, stride = 1, minDocs = 2).collect()
+    assert(got.exists(_.getString(0) == "SHAREDSHAREDSHAREDSHAREDSHAREDXX"))
+  }
+}
