@@ -291,6 +291,26 @@ object SparkEntry {
     "asof_join" -> ((s, d) => Windows.lastClickBeforePurchase(t(s, d).events)),
     "interval_join" -> ((s, d) => Windows.purchasesWithRecentClicks(t(s, d).events)),
     "window_ranks" -> ((s, d) => Windows.perUserRanks(t(s, d).events)),
+    // ordered view -> click -> purchase funnel, each stage anchored at
+    // the first qualifying event of the previous stage
+    "funnel_daily" -> ((s, d) => Windows.funnelDaily(t(s, d).events)),
+    // Spark 4 recursive CTE (UnionLoop): dense monthly spine over the
+    // orders date range; LEFT JOIN zero-fills order-free months. The
+    // spine is driver-free iteration INSIDE the engine — the recursive
+    // union materializes per step, 80 steps here, each a one-row add.
+    "recursive_spine" -> ((s, d) => {
+      t(s, d).orders.createOrReplaceTempView("orders_rs")
+      s.sql("""WITH RECURSIVE spine(mon) AS (
+              |  SELECT CAST('1995-01-01 00:00:00' AS TIMESTAMP)
+              |  UNION ALL
+              |  SELECT mon + INTERVAL '1' MONTH FROM spine
+              |  WHERE mon < CAST('2001-08-01 00:00:00' AS TIMESTAMP)
+              |)
+              |SELECT s.mon, count(o.o_orderkey) AS n_orders,
+              |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+              |FROM spine s LEFT JOIN orders_rs o ON date_trunc('MONTH', o.o_orderdate) = s.mon
+              |GROUP BY s.mon ORDER BY s.mon""".stripMargin)
+    }),
     "json_props_agg" -> ((s, d) => Windows.propsKeyStats(t(s, d).events)),
     // Spark 4 VARIANT: open-schema payload parsing with typed extraction
     "variant_props_agg" -> ((s, d) => Windows.variantPropsStats(t(s, d).events)),
@@ -1071,6 +1091,33 @@ object SparkEntry {
         | percent_rank() OVER w AS prank, cume_dist() OVER w AS cdist
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
         |ORDER BY event_id""".stripMargin,
+
+    // each stage: first qualifying event at-or-after the previous
+    // stage's anchor, per (day, user); day rollups join on the day
+    "funnel_daily" ->
+      """WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id, event_type,
+        |                  CAST(ts AS TIMESTAMP) AS tsu FROM events),
+        | v AS (SELECT day, user_id, min(tsu) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+        | c AS (SELECT e.day, e.user_id, min(e.tsu) AS t_click FROM e JOIN v USING (day, user_id)
+        |        WHERE e.event_type = 'click' AND e.tsu >= v.t_view GROUP BY 1, 2),
+        | b AS (SELECT e.day, e.user_id, min(e.tsu) AS t_buy FROM e JOIN c USING (day, user_id)
+        |        WHERE e.event_type = 'purchase' AND e.tsu >= c.t_click GROUP BY 1, 2),
+        | nv AS (SELECT day, count(*) AS n_view FROM v GROUP BY day),
+        | nc AS (SELECT day, count(*) AS n_click FROM c GROUP BY day),
+        | nb AS (SELECT day, count(*) AS n_buy FROM b GROUP BY day)
+        |SELECT nv.day, nv.n_view, coalesce(nc.n_click, 0) AS n_click, coalesce(nb.n_buy, 0) AS n_buy
+        |FROM nv LEFT JOIN nc USING (day) LEFT JOIN nb USING (day) ORDER BY nv.day""".stripMargin,
+
+    "recursive_spine" ->
+      """WITH RECURSIVE spine(mon) AS (
+        |  SELECT TIMESTAMP '1995-01-01 00:00:00'
+        |  UNION ALL
+        |  SELECT mon + INTERVAL 1 MONTH FROM spine WHERE mon < TIMESTAMP '2001-08-01 00:00:00'
+        |)
+        |SELECT s.mon, count(o.o_orderkey) AS n_orders,
+        |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM spine s LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = s.mon
+        |GROUP BY s.mon ORDER BY s.mon""".stripMargin,
 
     "json_props_agg" ->
       """SELECT event_type, count(DISTINCT CAST(json_extract(props, '$.k') AS INTEGER)) AS n_k,

@@ -163,4 +163,39 @@ object Windows {
       .select(col("purchase_id"), col("click_id"), col("user_id"))
       .orderBy(col("purchase_id"), col("click_id"))
   }
+
+  /** Ordered funnel analysis — view → click → purchase per (user, day),
+    * each stage anchored at the user's FIRST qualifying event of the
+    * previous stage (a click counts only at-or-after the first view;
+    * a purchase only at-or-after the first qualifying click). The
+    * sequencing constraint is what separates this from three
+    * independent counts — it is the standard product-analytics funnel.
+    *
+    * Scale shape: each stage is filter → (day, user) partial-agg →
+    * equi-join on (day, user) — every shuffle keys on the user, no
+    * window over a whole day's events, no stage sees more than the
+    * previous stage's survivors. Day-level rollups at the end are
+    * tiny (one row per day). */
+  def funnelDaily(events: DataFrame): DataFrame = {
+    val e = events.select(
+      to_date(col("ts")).as("day"), col("user_id"), col("event_type"), col("ts"))
+    def firstAtOrAfter(stage: String, prev: DataFrame, prevTs: String, outTs: String) =
+      e.where(col("event_type") === stage)
+        .join(prev, Seq("day", "user_id"))
+        .where(col("ts") >= col(prevTs))
+        .groupBy(col("day"), col("user_id"))
+        .agg(min(col("ts")).as(outTs))
+    val views = e.where(col("event_type") === "view")
+      .groupBy(col("day"), col("user_id")).agg(min(col("ts")).as("t_view"))
+    val clicks = firstAtOrAfter("click", views, "t_view", "t_click")
+    val buys = firstAtOrAfter("purchase", clicks, "t_click", "t_buy")
+    views.groupBy(col("day")).agg(count(lit(1)).as("n_view"))
+      .join(clicks.groupBy(col("day")).agg(count(lit(1)).as("n_click")), Seq("day"), "left")
+      .join(buys.groupBy(col("day")).agg(count(lit(1)).as("n_buy")), Seq("day"), "left")
+      .select(col("day"),
+        col("n_view"),
+        coalesce(col("n_click"), lit(0L)).as("n_click"),
+        coalesce(col("n_buy"), lit(0L)).as("n_buy"))
+      .orderBy(col("day"))
+  }
 }

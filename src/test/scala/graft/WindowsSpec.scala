@@ -44,4 +44,34 @@ class WindowsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(r.fieldIndex("rn")), r.getDouble(r.fieldIndex("running_value"))))
     assert(out.toSeq === Seq((1L, 1.25), (2L, 3.75), (3L, 7.75)))
   }
+
+  test("funnelDaily: stage order enforced — pre-view clicks and pre-click purchases don't count") {
+    val events = Seq(
+      // user 1: full ordered funnel
+      (1L, ts(0), 1L, "view", 0.0, ""), (2L, ts(5), 1L, "click", 0.0, ""),
+      (3L, ts(9), 1L, "purchase", 0.0, ""),
+      // user 2: click BEFORE the first view — stage 2 must not count it
+      (4L, ts(2), 2L, "click", 0.0, ""), (5L, ts(4), 2L, "view", 0.0, ""),
+      // user 3: purchase before any click — stage 3 must not count it
+      (6L, ts(0), 3L, "view", 0.0, ""), (7L, ts(1), 3L, "purchase", 0.0, ""),
+      (8L, ts(3), 3L, "click", 0.0, ""),
+      // user 4: view only
+      (9L, ts(0), 4L, "view", 0.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Windows.funnelDaily(events).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 4 viewers; only users 1 and 3 click at-or-after their first view;
+    // only user 1 purchases at-or-after that click
+    assert(out.toSeq === Seq((4L, 2L, 1L)))
+  }
+
+  test("recursive CTE (Spark 4 UnionLoop): spine generation terminates and is dense") {
+    val df = spark.sql(
+      """WITH RECURSIVE r(n) AS (
+        |  SELECT 1 UNION ALL SELECT n + 1 FROM r WHERE n < 12
+        |) SELECT n FROM r ORDER BY n""".stripMargin)
+    assert(df.collect().map(_.getInt(0)).toSeq === (1 to 12))
+    assert(df.queryExecution.executedPlan.toString.contains("UnionLoop"),
+      "recursive CTE should plan as UnionLoopExec")
+  }
 }
