@@ -311,6 +311,15 @@ object SparkEntry {
               |FROM spine s LEFT JOIN orders_rs o ON date_trunc('MONTH', o.o_orderdate) = s.mon
               |GROUP BY s.mon ORDER BY s.mon""".stripMargin)
     }),
+    // ---- deep-relational plan shapes (TPC-H-flavored, TpchDepth) ----
+    "q4_priority_exists" -> ((s, d) => TpchDepth.q4PriorityExists(t(s, d))),
+    "q12_priority_split" -> ((s, d) => TpchDepth.q12PrioritySplit(t(s, d))),
+    "q14_promo_revenue" -> ((s, d) => TpchDepth.q14PromoRevenue(t(s, d))),
+    "q16_supplier_cnt" -> ((s, d) => TpchDepth.q16SupplierCount(t(s, d))),
+    "q18_large_volume" -> ((s, d) => TpchDepth.q18LargeVolume(t(s, d))),
+    "q19_disjunctive" -> ((s, d) => TpchDepth.q19Disjunctive(t(s, d))),
+    "q21_waiting_suppliers" -> ((s, d) => TpchDepth.q21WaitingSuppliers(t(s, d))),
+    "q22_dormant_customers" -> ((s, d) => TpchDepth.q22DormantCustomers(t(s, d))),
     "json_props_agg" -> ((s, d) => Windows.propsKeyStats(t(s, d).events)),
     // Spark 4 VARIANT: open-schema payload parsing with typed extraction
     "variant_props_agg" -> ((s, d) => Windows.variantPropsStats(t(s, d).events)),
@@ -1118,6 +1127,79 @@ object SparkEntry {
         |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM spine s LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = s.mon
         |GROUP BY s.mon ORDER BY s.mon""".stripMargin,
+
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+        |              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q12_priority_split" ->
+      """SELECT l_linestatus,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT 100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+        |       / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 15 AND p_type <> 'PROMO'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type
+        |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin,
+
+    "q18_large_volume" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 110.0)
+        |SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      """WITH li AS (
+        |  SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'),
+        | late AS (SELECT DISTINCT l_orderkey AS lo, l_suppkey AS ls FROM li
+        |          WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY),
+        | ontime AS (SELECT DISTINCT l_orderkey AS oo, l_suppkey AS os FROM li
+        |            WHERE l_shipdate <= o_orderdate + INTERVAL 90 DAY)
+        |SELECT s_name, count(*) AS numwait
+        |FROM late JOIN supplier ON ls = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM ontime WHERE oo = lo AND os <> ls)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "q22_dormant_customers" ->
+      """WITH a AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS a
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, a
+        |WHERE c_acctbal > 0.5 * a.a
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1998-06-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "json_props_agg" ->
       """SELECT event_type, count(DISTINCT CAST(json_extract(props, '$.k') AS INTEGER)) AS n_k,

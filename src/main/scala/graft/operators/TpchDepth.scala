@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions._
+import graft.sources.Tables
+
+/** Deep-relational plan shapes, TPC-H-flavored and adapted to the test
+  * schema (SURVEY.md §2.5/§2.7 depth; the reference has none of these —
+  * its single compiled plan is a scan+agg, map_reduce.cpp:128-175).
+  * What each query adds beyond the M2 breadth pack is a PLAN SHAPE the
+  * engine must get right at 100 TB:
+  *
+  *  - correlated EXISTS with a non-equi residual  → semi join carrying an
+  *    extra-condition filter on the equi key (q4, q21)
+  *  - NOT IN over a nullable build side           → null-aware anti join
+  *    (one null on the build side empties the result; Spark plans a
+  *    broadcast null-aware anti, not a plain anti) (q16)
+  *  - disjunctive multi-column predicates         → OR-of-conjunctions kept
+  *    join-side so the scan still prunes on the common conjuncts (q19)
+  *  - HAVING over a fact-fact aggregate feeding a second join (q18)
+  *  - global scalar-subquery threshold + anti join (q22)
+  *  - conditional aggregation (CASE inside sum) (q12, q14)
+  *
+  * All dimension sides stay broadcast; the only shuffles are the
+  * fact-table group-bys/joins on their natural keys — same posture as
+  * Relational.scala.
+  */
+object TpchDepth {
+
+  private def revenue: Column =
+    col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** Q4-shaped priority check: orders in a quarter having at least one
+    * lineitem shipped >60 days after the order date. The EXISTS becomes
+    * a LEFT SEMI join on orderkey with the lateness residual evaluated
+    * inside the join — one shuffle, no duplicate-elimination afterwards
+    * (semi join semantics give that for free; a plain join + distinct
+    * would shuffle twice). */
+  def q4PriorityExists(t: Tables): DataFrame = {
+    val o = t.orders.where(
+      col("o_orderdate") >= lit("1995-01-01").cast(TimestampType) &&
+      col("o_orderdate") < lit("1995-07-01").cast(TimestampType))
+    o.join(t.lineitem,
+        col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Q12-shaped shipping-priority split: conditional aggregation (CASE
+    * folded into the sum) over the orders⋈lineitem shuffle — the
+    * high/low split costs nothing extra because both measures ride the
+    * same partial aggregate. */
+  def q12PrioritySplit(t: Tables): DataFrame =
+    t.orders.join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .where(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType) &&
+             col("l_shipdate") < lit("1996-01-01").cast(TimestampType))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+          .as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+
+  /** Q14-shaped promo share: ratio of two decimal-exact sums over one
+    * scan-month of lineitem ⋈ part (part broadcast). The division is a
+    * single double op on two exact decimals — deterministic across
+    * engines and partitionings. */
+  def q14PromoRevenue(t: Tables): DataFrame =
+    t.lineitem
+      .where(col("l_shipdate") >= lit("1995-09-01").cast(TimestampType) &&
+             col("l_shipdate") < lit("1995-10-01").cast(TimestampType))
+      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) * dsum6(when(col("p_type") === "PROMO", revenue).otherwise(lit(0.0))) /
+          dsum6(revenue)).as("promo_revenue"))
+
+  /** Q16-shaped supplier count: distinct suppliers per (brand, type)
+    * offering small parts, EXCLUDING a NOT-IN subquery of suppliers in
+    * deficit. `NOT IN (nullable subquery)` is the null-aware anti join —
+    * only the SQL surface plans it (the DataFrame API has no join type
+    * for it), and Spark must use the null-aware variant because a plain
+    * anti join would be wrong if the build side ever held a NULL.
+    * TpchDepthSpec asserts the plan carries the null-aware flag. */
+  def q16SupplierCount(t: Tables): DataFrame = {
+    t.lineitem.createOrReplaceTempView("q16_lineitem")
+    t.part.createOrReplaceTempView("q16_part")
+    t.supplier.createOrReplaceTempView("q16_supplier")
+    t.spark.sql("""
+      |SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM q16_lineitem JOIN q16_part ON l_partkey = p_partkey
+      |WHERE p_size <= 15 AND p_type <> 'PROMO'
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM q16_supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type
+      |ORDER BY supplier_cnt DESC, p_brand, p_type
+      |""".stripMargin)
+  }
+
+  /** Q18-shaped large-volume customers: fact-side HAVING (sum of
+    * quantity per order above a threshold) feeding a join back to
+    * orders+customer. The big aggregate happens FIRST, on the lineitem
+    * shuffle alone; only the few surviving orderkeys join onward —
+    * at 100 TB the HAVING is the data cliff, so it must sit below the
+    * joins, not above them. */
+  def q18LargeVolume(t: Tables, minQty: Double = 110.0, k: Int = 20): DataFrame = {
+    val bigOrders = t.lineitem.groupBy(col("l_orderkey"))
+      .agg(dsum2(col("l_quantity")).as("total_qty"))
+      .where(col("total_qty") > minQty)
+    t.orders.join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(desc("total_qty"), asc("o_orderkey"))
+      .limit(k)
+  }
+
+  /** Q19-shaped disjunctive revenue: three OR'd (brand, size-range,
+    * quantity-range) conjunction groups evaluated inside the
+    * lineitem ⋈ part join. The common `l_partkey = p_partkey` stays the
+    * equi key; the disjunction is a residual — Catalyst still pushes
+    * the per-side common conjuncts (quantity bounds to lineitem, size
+    * bounds to part) down to the scans. */
+  def q19Disjunctive(t: Tables): DataFrame = {
+    val cond =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    t.lineitem
+      .join(broadcast(t.part), col("l_partkey") === col("p_partkey") && cond)
+      .agg(dsum6(revenue).as("revenue"))
+  }
+
+  /** Q21-shaped waiting suppliers: for orders with status 'F', count per
+    * supplier the orders where THIS supplier shipped late (>90 days
+    * after order date) while some OTHER supplier on the same order
+    * shipped on time. Two correlated quantifiers — the EXISTS becomes a
+    * semi join keyed on orderkey with a `suppkey <>` residual, the
+    * lateness is a plain filter. Everything shuffles on orderkey once;
+    * supplier names broadcast at the end. */
+  def q21WaitingSuppliers(t: Tables, k: Int = 20): DataFrame = {
+    val li = t.lineitem.join(
+      t.orders.where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+      col("l_orderkey") === col("o_orderkey"))
+    val late = li.where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select(col("l_orderkey").as("lo"), col("l_suppkey").as("ls")).distinct()
+    val onTime = li.where(col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select(col("l_orderkey").as("oo"), col("l_suppkey").as("os")).distinct()
+    late
+      .join(onTime, col("lo") === col("oo") && col("ls") =!= col("os"), "left_semi")
+      .groupBy(col("ls"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(t.supplier), col("ls") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(desc("numwait"), asc("s_name"))
+      .limit(k)
+  }
+
+  /** Q22-shaped dormant above-average customers: a GLOBAL scalar
+    * subquery (average positive balance — one broadcastable number) as
+    * the filter threshold, then NOT EXISTS recent orders as an anti
+    * join, grouped by nation. The threshold aggregate reduces the whole
+    * customer table to one row before anything joins, and the anti
+    * join's build side is pre-filtered to the recent window — the right
+    * order at any scale. (The synthetic data gives every customer at
+    * least one order, so dormancy is "no order since 1998-06-01".) */
+  def q22DormantCustomers(t: Tables): DataFrame = {
+    val avgBal = t.customer.where(col("c_acctbal") > 0)
+      .agg(davg(col("c_acctbal")).as("a"))
+    t.customer
+      .join(broadcast(avgBal), col("c_acctbal") > lit(0.5) * col("a"))
+      .join(t.orders
+          .where(col("o_orderdate") >= lit("1998-06-01").cast(TimestampType))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), dsum2(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+}
