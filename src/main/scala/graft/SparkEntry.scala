@@ -401,6 +401,10 @@ object SparkEntry {
     // vs the exact pairs is asserted in SimilaritySpec
     "embedding_near_dups_lsh" -> ((s, d) =>
       Similarity.cosineNearDupPairsLsh(t(s, d).embeddings).orderBy("id_a", "id_b")),
+    // SemDeDup: cluster-then-compare semantic dedup — deterministic
+    // stride centroids + greedy min-id survivor, hash-exact vs the twin
+    "semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(t(s, d).embeddings).orderBy("vec_id")),
     "text_quality" -> ((s, d) => TextQuality.qualityFeatures(t(s, d).documents).orderBy("doc_id")),
     "token_count" -> ((s, d) => TextQuality.tokenCounts(t(s, d).documents).orderBy("doc_id")),
     // Gopher-style repetition signals (dup-trigram fraction, top-bigram
@@ -1253,6 +1257,22 @@ object SparkEntry {
         | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(sim, 4) AS sim_r FROM s WHERE sim >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // same centroid stride (40), assignment tie-break (sim DESC, cid
+    // ASC) and survivor rule as Similarity.semanticDedup
+    "semantic_dedup" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 40 = 0),
+        | sims AS (SELECT e.vec_id, c.cid,
+        |          list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.ce AS DOUBLE[])) AS sim
+        |          FROM embeddings e CROSS JOIN c),
+        | r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM sims),
+        | asg AS (SELECT e.vec_id, e.embedding, r.cid AS cell
+        |         FROM r JOIN embeddings e USING (vec_id) WHERE rn = 1),
+        | drops AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+        |           ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |           AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4)
+        |SELECT vec_id, cell, vec_id NOT IN (SELECT vec_id FROM drops) AS kept
+        |FROM asg ORDER BY vec_id""".stripMargin,
 
     "window_funcs" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS tsu FROM events)

@@ -560,6 +560,45 @@ object Similarity {
     ivfPqQuery(index, emb.where(col("vec_id") % qStride === 0), emb, nProbe, k, rerank)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with a cheap coarse
+    * quantizer, then compare pairs ONLY within a cluster — the pairwise
+    * cost drops from O(N²) to Σ|cell|², the whole point of the method
+    * (cross-cell near-dups are the accepted approximation; the spec
+    * bounds what it misses against the brute-force pair set).
+    *
+    * This variant is fully deterministic so it can be hash-checked
+    * end-to-end against a SQL twin: centroids are stride-sampled
+    * (vec_id % step = 0, the same device the IVF quantizer uses),
+    * assignment is argmax cosine with centroid-id tie-break, and the
+    * survivor rule is greedy min-id — a vector is DROPPED iff some
+    * smaller-id vector in the same cell has cosine ≥ tau. One broadcast
+    * join (centroids), one within-cell self-join, no iteration. The
+    * transitive-closure variant is `nearDupClusters` over these same
+    * pair edges when group-level semantics are needed.
+    *
+    * At 100 TB: assignment is map-side (centroids broadcast); the
+    * self-join shuffles on `cell`, and cell sizes are governed by the
+    * centroid count (step) — skewed cells are the known failure mode,
+    * handled the same way as any skewed join key (AQE skew split).
+    * Output: (vec_id, cell, kept) for every vector. */
+  def semanticDedup(emb: DataFrame, step: Int = 40, tau: Double = 0.4): DataFrame = {
+    val cents = emb.where(col("vec_id") % step === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    // materialize once: the assignment feeds both self-join sides and
+    // the final projection (same device as Dedup.jaccardPairs)
+    val asg = coarseAssign(emb, cents, 1).localCheckpoint(true)
+    val a = asg.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), vec_norm(col("embedding")).as("n_a"))
+    val b = asg.select(col("cell").as("cell_b"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), vec_norm(col("embedding")).as("n_b"))
+    val drops = a.join(b, col("cell") === col("cell_b") && col("id_a") < col("id_b"))
+      .where((vec_dot(col("emb_a"), col("emb_b")) / (col("n_a") * col("n_b"))) >= tau)
+      .select(col("id_b").as("dropped")).distinct()
+    asg.join(drops, col("vec_id") === col("dropped"), "left")
+      .select(col("vec_id"), col("cell"), col("dropped").isNull.as("kept"))
+  }
+
   /** Bucketed ANN: exact cosine ranking within LSH buckets only —
     * the scale path that avoids the full cross product. Recall is
     * tunable via nPlanes (fewer planes = bigger buckets = higher

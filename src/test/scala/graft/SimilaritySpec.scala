@@ -211,6 +211,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(nul.select(vec_adc_score(col("tables"), col("codes"))).head().isNullAt(0))
   }
 
+  test("semanticDedup: drops are sound, misses are cross-cell only, result is deterministic") {
+    val emb = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val tau = 0.4
+    val out = Similarity.semanticDedup(emb, step = 10, tau = tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length === emb.count())
+    val cell = out.map(r => r._1 -> r._2).toMap
+    val dropped = out.filter(!_._3).map(_._1).toSet
+    // brute-force ground truth: all (a < b) pairs with cosine >= tau
+    val exactPairs = Similarity.cosineNearDupPairs(emb, minSim = tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // soundness: every dropped vector has a smaller-id exact neighbor
+    // (the within-cell witness is in particular a global near-dup)
+    dropped.foreach { d =>
+      assert(exactPairs.exists { case (a, b) => b == d && a < d },
+        s"vec $d dropped without a smaller-id near-dup witness")
+    }
+    // the method's contract: a near-dup pair NOT caught must span cells
+    exactPairs.foreach { case (a, b) =>
+      if (!dropped.contains(b) && cell(a) == cell(b))
+        fail(s"same-cell pair ($a,$b) above tau survived both")
+    }
+    // determinism across runs (stride centroids, no randomness)
+    val again = Similarity.semanticDedup(emb, step = 10, tau = tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(again.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+  }
+
   test("lshBuckets: identical vectors share a bucket") {
     val b = Similarity.lshBuckets(vecs((1L, Seq(1f, 2f, 3f)), (2L, Seq(1f, 2f, 3f)),
       (3L, Seq(-1f, -2f, -3f))), nPlanes = 8, dim = 3)
