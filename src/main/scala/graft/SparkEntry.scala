@@ -711,6 +711,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), graft.functions.dsum2(col("value")).as("sum_value"))
         .orderBy("user_id")
     }),
+    // streaming CDC → current snapshot: foreachBatch maintains a
+    // versioned copy-on-write latest-image table, LWW by (ts,
+    // event_id). The source redelivers every event twice (2 copies ×
+    // 2 files) — LWW absorbs the duplicates with no dedup operator;
+    // the oracle is the batch argmax per user over the SINGLE-copy
+    // table
+    "streaming_latest_image" -> ((s, d) => {
+      val tmp = stageEvents(s, d, copies = 2, filesPerCopy = 2)
+      val ss = streamSession(s)
+      val table = java.nio.file.Files.createTempDirectory("graft-cow-latest").toString
+      EventStreams.runLatestImageMerge(ss, tmp, table).orderBy("user_id")
+    }),
     // partitioned parquet layout + partition pruning: only the matching
     // o_orderpriority directory is scanned (SourcesSpec asserts the
     // PartitionFilters reach the file index)
@@ -1300,6 +1312,16 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the versioned CoW latest-image table must equal the batch argmax
+    // per user (LWW by (ts, event_id)) over the single-copy events
+    "streaming_latest_image" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, event_id, event_type, value FROM events),
+        | r AS (SELECT user_id, tsu, event_id, event_type, value,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY tsu DESC, event_id DESC) AS rn FROM e)
+        |SELECT user_id, tsu AS last_ts, event_id AS last_event_id,
+        |       event_type AS last_type, value AS last_value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     // the streaming pipeline must converge to the identical batch answer
     "streaming_tumbling_agg" ->

@@ -411,6 +411,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("CoW latest-image merge: LWW survives out-of-order batches, versions accumulate") {
+    // b0 carries user 100's NEWER event; b1 its OLDER one (out-of-order
+    // across batches) plus user 200; b2 redelivers b0's row verbatim
+    val dir = Files.createTempDirectory("graft-stream-lww").toString
+    val df = Seq(
+      (10L, ts(60), 100L, "purchase", 5.0, ""),
+      (2L, ts(10), 100L, "click", 1.0, ""),
+      (3L, ts(20), 200L, "view", 2.0, ""),
+      (10L, ts(60), 100L, "purchase", 5.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    df.where($"event_id" === 10L && $"event_type" === "purchase").limit(1)
+      .coalesce(1).write.parquet(s"$dir/b0")
+    df.where($"event_id" < 10L).coalesce(1).write.parquet(s"$dir/b1")
+    df.where($"event_id" === 10L).limit(1).coalesce(1).write.parquet(s"$dir/b2")
+    new java.io.File(s"$dir/b0").setLastModified(1000000L)
+    new java.io.File(s"$dir/b1").setLastModified(2000000L)
+    new java.io.File(s"$dir/b2").setLastModified(3000000L)
+    val table = Files.createTempDirectory("graft-cow-test").toString
+    val fin = EventStreams.runLatestImageMerge(spark, s"$dir/{b0,b1,b2}", table)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    // user 100's older event (id 2) must NOT displace the newer id 10
+    assert(fin(100L) === (10L, "purchase"), fin.toString)
+    assert(fin(200L) === (3L, "view"))
+    // one immutable version per micro-batch landed
+    val vs = new java.io.File(table).listFiles().map(_.getName).filter(_.startsWith("v"))
+    assert(vs.length >= 2, vs.mkString(","))
+    // every version is still readable (time travel): the earliest has
+    // at most as many keys as the latest
+    val first = spark.read.parquet(s"$table/${vs.sorted.head}").count()
+    val last = spark.read.parquet(s"$table/${vs.sorted.last}").count()
+    assert(first <= last)
+  }
+
   test("mapGroupsWithState running totals match a direct fold") {
     val dir = Files.createTempDirectory("graft-stream2").toString
     writeBatches(dir)
