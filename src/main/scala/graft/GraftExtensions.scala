@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{VecDot, VecSelfDotRule}
+import graft.functions.{VecDot, VecSelfDotRule, WordNGrams}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions as SQL functions, so `spark.sql("... vec_dot
@@ -41,6 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "might_contain"),
       (exprs: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
+    // table-valued generator (UDTF): word n-grams, one row per gram
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
+      (exprs: Seq[Expression]) => WordNGrams(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => VecSelfDotRule)
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
   }

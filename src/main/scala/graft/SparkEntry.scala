@@ -206,6 +206,16 @@ object SparkEntry {
         .orderBy(col("s_name"))
     }),
     "corr_stats" -> ((s, d) => Relational.quantityPriceCorr(t(s, d).lineitem)),
+    "regression_agg" -> ((s, d) => Relational.regressionByFlag(t(s, d).lineitem)),
+    // native Generator (UDTF) through the SQL surface: word trigrams of
+    // every document in one sliding pass, no intermediate token arrays
+    "ngram_udtf" -> ((s, d) => {
+      t(s, d).documents.createOrReplaceTempView("docs_ng")
+      s.sql("""SELECT ngram, count(*) AS n
+              |FROM docs_ng LATERAL VIEW word_ngrams(text, 3) g AS ngram
+              |GROUP BY ngram HAVING count(*) >= 3
+              |ORDER BY ngram""".stripMargin)
+    }),
     // co-located join over pre-bucketed tables: zero shuffle Exchange
     // in the join+agg plan (BucketingSpec asserts it); result matches
     // the plain-join oracle
@@ -1023,6 +1033,32 @@ object SparkEntry {
         |      - CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)))
         |  AS corr_qty_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // identical moment formulas and parenthesization as the Spark side
+    // (closed-form OLS from exact decimal sums — see regressionByFlag)
+    "regression_agg" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sxy,
+        |  CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n AS n_rows,
+        |  (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+        |  (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n AS intercept,
+        |  ((n*sxy - sx*sy) * (n*sxy - sx*sy)) / ((n*sxx - sx*sx) * (n*syy - sy*sy)) AS r2
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    // trigram grid via generate_series — same tokenization (\s+ split,
+    // drop empties) as the WordNGrams generator
+    "ngram_udtf" ->
+      """WITH toks AS (SELECT list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS l
+        |              FROM documents),
+        | tg AS (SELECT l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS ngram
+        |        FROM (SELECT l, unnest(generate_series(1, len(l) - 2)) AS i FROM toks WHERE len(l) >= 3))
+        |SELECT ngram, count(*) AS n FROM tg GROUP BY ngram HAVING count(*) >= 3
+        |ORDER BY ngram""".stripMargin,
 
     "json_roundtrip" ->
       """SELECT o_orderstatus,

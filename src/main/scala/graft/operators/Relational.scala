@@ -262,6 +262,30 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Per-group simple linear regression (price ~ quantity) in closed
+    * form from exact decimal moments — the same device as
+    * quantityPriceCorr: slope/intercept/r² are single double ops over
+    * order-independent decimal sums, so the result is bit-identical
+    * across engines and partitionings (a naive regr_slope/regr_r2
+    * accumulates doubles in partition order and is not). One map-side
+    * combined aggregate; six moments ride one shuffle row per group. */
+  def regressionByFlag(li: DataFrame): DataFrame = {
+    val n = count(lit(1))
+    val sx = dsum2(col("l_quantity"))
+    val sy = dsum2(col("l_extendedprice"))
+    val sxy = dsum(col("l_quantity") * col("l_extendedprice"), 4)
+    val sxx = dsum(col("l_quantity") * col("l_quantity"), 4)
+    val syy = dsum(col("l_extendedprice") * col("l_extendedprice"), 4)
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    li.groupBy(col("l_returnflag"))
+      .agg(n.as("n_rows"),
+        slope.as("slope"),
+        ((sy - slope * sx) / n).as("intercept"),
+        (((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+          ((n * sxx - sx * sx) * (n * syy - sy * sy))).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Skew-safe equi-join: salts the big (probe) side into `factor`
     * sub-keys and replicates the small (build) side once per salt, so
     * one hot key spreads over `factor` tasks instead of one straggler.
