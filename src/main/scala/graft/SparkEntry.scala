@@ -562,6 +562,26 @@ object SparkEntry {
       ChangeData.mergeApply(base, existing.unionAll(inserts), "c_custkey")
         .orderBy("c_custkey")
     }),
+    // incremental materialized-view maintenance: the per-priority
+    // order-revenue view is refreshed from the CHANGE BATCH alone
+    // (base view + signed delta aggregate, never re-scanning the
+    // fact table) and must equal the full recompute, which is the
+    // oracle. Base = orders with key%10!=0; the batch inserts the
+    // %10==0 tranche and deletes every %7==0 order (retractions
+    // spanning both base rows and same-batch inserts)
+    "incremental_view" -> ((s, d) => {
+      val o = t(s, d).orders
+      val keys = Seq("o_orderpriority")
+      val base = ChangeData.aggView(
+        o.where(col("o_orderkey") % 10 =!= 0), keys, "o_totalprice")
+      val batch = o.where(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderpriority"), col("o_totalprice"), lit("upsert").as("op"))
+        .unionByName(o.where(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderpriority"), col("o_totalprice"), lit("delete").as("op")))
+      val merged = ChangeData.mergeViews(
+        base, ChangeData.aggDelta(batch, keys, "o_totalprice"), keys)
+      ChangeData.presentView(merged, keys).orderBy("o_orderpriority")
+    }),
     // SCD2 dimension history from the order log: per-customer status
     // runs with validity intervals — two key-partitioned windows
     "scd2_dimension" -> ((s, d) =>
@@ -1832,6 +1852,14 @@ object SparkEntry {
         |FROM base b FULL OUTER JOIN chg c ON b.c_custkey = c.c_custkey
         |WHERE c.op IS NULL OR c.op = 'upsert'
         |ORDER BY c_custkey""".stripMargin,
+
+    // the incrementally-maintained view must equal the full recompute
+    // over the post-change fact set (everything except %7==0 orders)
+    "incremental_view" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM orders WHERE o_orderkey % 7 <> 0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // SCD2 run-collapse + validity intervals, the naive two-window
     // formulation

@@ -62,4 +62,36 @@ class ChangeDataSpec extends AnyFunSuite {
     val k3 = out.filter(_.getLong(0) == 3L)
     assert(k3.map(_.getString(1)).toSeq === Seq("P", "Q"), "tie column must order same-ts rows")
   }
+
+  test("incremental view: retractions, empty-group vanish, merge associativity") {
+    val keys = Seq("k")
+    val fact = Seq(("a", 10.0), ("a", 20.0), ("b", 5.0)).toDF("k", "v")
+    val base = ChangeData.aggView(fact, keys, "v")
+
+    // delete BOTH of a's rows (group must vanish), insert-and-retract
+    // within one batch for c (must never appear), plain insert for d
+    val batch = Seq(
+      ("a", 10.0, "delete"), ("a", 20.0, "delete"),
+      ("c", 7.0, "upsert"), ("c", 7.0, "delete"),
+      ("d", 1.0, "upsert")
+    ).toDF("k", "v", "op")
+    val merged = ChangeData.presentView(
+      ChangeData.mergeViews(base, ChangeData.aggDelta(batch, keys, "v"), keys), keys)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(merged.toSeq === Seq(("b", 1L, 5.0), ("d", 1L, 1.0)))
+
+    // associativity: ((base + d1) + d2) == (base + (d1 + d2))
+    val d1 = ChangeData.aggDelta(Seq(("b", 2.0, "upsert")).toDF("k", "v", "op"), keys, "v")
+    val d2 = ChangeData.aggDelta(Seq(("b", 3.0, "upsert"), ("e", 4.0, "upsert")).toDF("k", "v", "op"), keys, "v")
+    def render(df: org.apache.spark.sql.DataFrame) =
+      ChangeData.presentView(df, keys).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val left = render(ChangeData.mergeViews(ChangeData.mergeViews(base, d1, keys), d2, keys))
+    val right = render(ChangeData.mergeViews(base, ChangeData.mergeViews(d1, d2, keys), keys))
+    assert(left === right)
+    // and both equal the full recompute over fact + all inserts
+    val full = render(ChangeData.aggView(
+      fact.unionByName(Seq(("b", 2.0), ("b", 3.0), ("e", 4.0)).toDF("k", "v")), keys, "v"))
+    assert(left === full)
+  }
 }
