@@ -1072,8 +1072,9 @@ object SparkEntry {
 
     // trigram grid via generate_series — same tokenization (\s+ split,
     // drop empties) as the WordNGrams generator
+    // explicit whitespace class: Java \s includes \x0B, RE2 \s does not
     "ngram_udtf" ->
-      """WITH toks AS (SELECT list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS l
+      """WITH toks AS (SELECT list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> length(x) > 0) AS l
         |              FROM documents),
         | tg AS (SELECT l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS ngram
         |        FROM (SELECT l, unnest(generate_series(1, len(l) - 2)) AS i FROM toks WHERE len(l) >= 3))
@@ -1256,10 +1257,10 @@ object SparkEntry {
         |          WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY),
         | ontime AS (SELECT DISTINCT l_orderkey AS oo, l_suppkey AS os FROM li
         |            WHERE l_shipdate <= o_orderdate + INTERVAL 90 DAY)
-        |SELECT s_name, count(*) AS numwait
+        |SELECT s_suppkey, s_name, count(*) AS numwait
         |FROM late JOIN supplier ON ls = s_suppkey
         |WHERE EXISTS (SELECT 1 FROM ontime WHERE oo = lo AND os <> ls)
-        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+        |GROUP BY s_suppkey, s_name ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
 
     "q22_dormant_customers" ->
       """WITH a AS (
@@ -1338,7 +1339,7 @@ object SparkEntry {
         |         FROM r JOIN embeddings e USING (vec_id) WHERE rn = 1),
         | drops AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
         |           ON a.cell = b.cell AND a.vec_id < b.vec_id
-        |           AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4)
+        |           AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 12) >= 0.4)
         |SELECT vec_id, cell, vec_id NOT IN (SELECT vec_id FROM drops) AS kept
         |FROM asg ORDER BY vec_id""".stripMargin,
 

@@ -20,7 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * is the dominant map-side cost at corpus scale.
   *
   * Whitespace-run tokenization matches TextOps.words / the reference
-  * tokenizer (SURVEY.md §7.4): split on \s+, drop empties. Null or
+  * tokenizer (SURVEY.md §7.4): split on whitespace runs, drop empties.
+  * The separator class is the EXPLICIT [ \t\n\f\r] — not the regex \s —
+  * because Java's \s includes vertical tab (\x0B) while RE2's (the
+  * DuckDB twin's engine) does not; the explicit class makes both
+  * tokenizers identical by construction. Null or
   * too-short text yields no rows (SQL generator contract — LATERAL
   * VIEW OUTER resurrects the row if needed). `n` must be a foldable
   * positive integer: per-row n would make the output schema
@@ -53,7 +57,7 @@ case class WordNGrams(child: Expression, n: Expression)
     if (t == null) Iterator.empty
     else {
       val words = t.asInstanceOf[UTF8String].toString
-        .split("\\s+").iterator.filter(_.nonEmpty).toArray
+        .split("[ \t\n\f\r]+").iterator.filter(_.nonEmpty).toArray
       if (words.length < k) Iterator.empty
       else new Iterator[InternalRow] {
         private[this] var i = 0

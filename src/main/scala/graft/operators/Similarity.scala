@@ -592,8 +592,14 @@ object Similarity {
       col("embedding").as("emb_a"), vec_norm(col("embedding")).as("n_a"))
     val b = asg.select(col("cell").as("cell_b"), col("vec_id").as("id_b"),
       col("embedding").as("emb_b"), vec_norm(col("embedding")).as("n_b"))
+    // the tau gate compares ROUNDED cosine (12 decimals) so a pair
+    // sitting within ULPs of the threshold cannot flip between engines
+    // whose float accumulation orders differ (the twin mirrors the
+    // round). The argmax ASSIGNMENT keeps raw floats: centroid sims are
+    // separated by the data, not the threshold, and both sides compute
+    // them from the same literals.
     val drops = a.join(b, col("cell") === col("cell_b") && col("id_a") < col("id_b"))
-      .where((vec_dot(col("emb_a"), col("emb_b")) / (col("n_a") * col("n_b"))) >= tau)
+      .where(round(vec_dot(col("emb_a"), col("emb_b")) / (col("n_a") * col("n_b")), 12) >= tau)
       .select(col("id_b").as("dropped")).distinct()
     asg.join(drops, col("vec_id") === col("dropped"), "left")
       .select(col("vec_id"), col("cell"), col("dropped").isNull.as("kept"))

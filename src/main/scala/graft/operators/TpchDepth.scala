@@ -154,13 +154,17 @@ object TpchDepth {
       .select(col("l_orderkey").as("lo"), col("l_suppkey").as("ls")).distinct()
     val onTime = li.where(col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
       .select(col("l_orderkey").as("oo"), col("l_suppkey").as("os")).distinct()
+    // the aggregation key is the SUPPLIER KEY, not the name — two
+    // suppliers sharing a name stay distinct rows; s_suppkey also rides
+    // the output (and the sort tie-break) so the twin's grouping and
+    // the LIMIT boundary are deterministic by construction
     late
       .join(onTime, col("lo") === col("oo") && col("ls") =!= col("os"), "left_semi")
       .groupBy(col("ls"))
       .agg(count(lit(1)).as("numwait"))
       .join(broadcast(t.supplier), col("ls") === col("s_suppkey"))
-      .select(col("s_name"), col("numwait"))
-      .orderBy(desc("numwait"), asc("s_name"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(desc("numwait"), asc("s_suppkey"))
       .limit(k)
   }
 

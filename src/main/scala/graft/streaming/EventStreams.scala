@@ -370,6 +370,15 @@ object EventStreams {
     * range and rewrite only touched partitions (same CoW posture as
     * ChangeData.mergeApply, which carries the op/delete semantics). */
   def runLatestImageMerge(spark: SparkSession, srcDir: String, tableDir: String): DataFrame = {
+    // tableDir must be FRESH per run: without a checkpointLocation a
+    // restart renumbers batchIds from 0, and the "max version strictly
+    // below mine" replay rule would then merge against a STALE higher
+    // version left by the previous run. Guarded here instead of
+    // documented-only (the ADVICE r5 hazard).
+    require(!new java.io.File(tableDir).exists() ||
+        Option(new java.io.File(tableDir).listFiles()).toSeq.flatten.isEmpty,
+      s"runLatestImageMerge needs a fresh tableDir (found existing versions in $tableDir); " +
+        "reusing a table across runs requires a streaming checkpointLocation so batchIds resume")
     def latestOf(df: DataFrame): DataFrame = df
       .groupBy(col("user_id"))
       .agg(max(struct(col("last_ts"), col("last_event_id"),
@@ -403,8 +412,17 @@ object EventStreams {
       .start()
     q.processAllAvailable()
     q.stop()
-    val last = versions(new java.io.File(tableDir)).sortBy(_._1).last._2
-    spark.read.parquet(last.toString)
+    // an empty source dir yields zero micro-batches and zero versions —
+    // return an empty latest-image relation instead of throwing on .last
+    versions(new java.io.File(tableDir)).sortBy(_._1).lastOption match {
+      case Some((_, dir)) => spark.read.parquet(dir.toString)
+      case None =>
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(
+            StructField("user_id", LongType), StructField("last_ts", TimestampType),
+            StructField("last_event_id", LongType), StructField("last_type", StringType),
+            StructField("last_value", DoubleType))))
+    }
   }
 
   /** Convenience: run a streaming DataFrame to completion against a

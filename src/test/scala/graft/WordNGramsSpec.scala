@@ -20,6 +20,10 @@ class WordNGramsSpec extends AnyFunSuite {
     assert(grams("a  b\tc \n d", 3) === Seq("a b c", "b c d"))
     assert(grams("a b c", 1) === Seq("a", "b", "c"))
     assert(grams(" leading  and trailing ", 2) === Seq("leading and", "and trailing"))
+    // vertical tab is NOT a separator: Java regex \s would split here,
+    // RE2 (the DuckDB twin) would not — the explicit [ \t\n\f\r] class
+    // pins both engines to the same tokenization
+    assert(grams("a\u000Bb c d", 3) === Seq("a\u000Bb c d"))
   }
 
   test("too-short and null text emit no rows; LATERAL VIEW OUTER resurrects them") {
