@@ -355,11 +355,26 @@ object SparkEntry {
     "dup_spans" -> ((s, d) =>
       Dedup.duplicatedSpans(t(s, d).documents, k = 32, stride = 8, minDocs = 2).orderBy("span")),
     // inverted index: the canonical MapReduce workload one past
-    // wordcount — term -> (df, cf, sorted postings)
-    "inverted_index" -> ((s, d) => Retrieval.invertedIndex(t(s, d).documents).orderBy("word")),
+    // wordcount — term -> (df, cf, sorted postings). The df cap BINDS
+    // at sf0.01 (drops the ~15 hottest of 31 terms): hot-term posting
+    // state is bounded by construction, and the twin mirrors the cap
+    "inverted_index" -> ((s, d) =>
+      Retrieval.invertedIndex(t(s, d).documents, maxDf = RetrievalMaxDf).orderBy("word")),
     // BM25 ranked retrieval over the index's statistics (fixed-order
-    // per-term fold + round(4) for cross-engine determinism)
-    "bm25_topk" -> ((s, d) => Retrieval.bm25TopK(t(s, d).documents, Bm25Terms, k = 20)),
+    // per-term fold + round(4) for cross-engine determinism); query
+    // terms above the df cap are stop terms and contribute 0
+    "bm25_topk" -> ((s, d) =>
+      Retrieval.bm25TopK(t(s, d).documents, Bm25Terms, k = 20, maxDf = RetrievalMaxDf)),
+    // the build-once/query-many retrieval lifecycle (the ANN side's
+    // ivfPqWrite/Read posture): persist the four index relations,
+    // reload, score BM25 from the stored postings — same oracle as the
+    // recompute path, so hash-green == lifecycle-parity proof
+    "bm25_from_index" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-invidx").toString
+      Retrieval.invIndexWrite(
+        Retrieval.invIndexBuild(t(s, d).documents, maxDf = RetrievalMaxDf), dir)
+      Retrieval.bm25FromIndex(Retrieval.invIndexRead(s, dir), Bm25Terms, k = 20)
+    }),
     // connected components over J >= 0.3 pairs: canonical doc per cluster
     "dedup_clusters" -> ((s, d) => {
       val docs = t(s, d).documents
@@ -862,6 +877,38 @@ object SparkEntry {
   private[graft] val Bm25Terms = Seq("spark", "hash", "dup")
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
+  // df cap shared by the retrieval queries and their twins; chosen to
+  // BIND at sf0.01 (df range 25..402 over 500 docs) so the stop-term
+  // enforcement is exercised through the oracle gate, not just specs
+  private[graft] val RetrievalMaxDf = 390
+
+  /** One BM25 twin serves both the recompute path (`bm25_topk`) and
+    * the persisted-index path (`bm25_from_index`): the index stores
+    * exactly the relations this SQL derives, so lifecycle parity is
+    * proven by both queries hashing against the same oracle. */
+  private lazy val bm25TwinSql: String = {
+    val termCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"max(CASE WHEN word = '$t' THEN w_score END) AS s$i"
+    }.mkString(",\n        | ")
+    val scoreSum = Bm25Terms.indices.map(i => s"coalesce(s$i, 0.0)").mkString(" + ")
+    val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""$WDoc,
+       | tf AS (SELECT doc_id, word, count(*) AS tf FROM w WHERE word IN ($inList) GROUP BY 1, 2),
+       | dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= $RetrievalMaxDf),
+       | dl AS (SELECT d.doc_id, coalesce(c.c, 0) AS dl FROM documents d
+       |        LEFT JOIN (SELECT doc_id, count(*) AS c FROM w GROUP BY 1) c USING (doc_id)),
+       | st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       | contrib AS (
+       |   SELECT t.doc_id, t.word,
+       |     ln((st.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+       |       * (t.tf * ${Bm25K1 + 1.0}) / (t.tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl.dl / st.avgdl)) AS w_score
+       |   FROM tf t JOIN dfq f USING (word) JOIN dl ON dl.doc_id = t.doc_id CROSS JOIN st),
+       | per AS (SELECT doc_id,
+       | $termCols
+       | FROM contrib GROUP BY doc_id)
+       |SELECT doc_id, round($scoreSum, 4) AS score
+       |FROM per ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "wordcount" ->
@@ -1564,38 +1611,23 @@ object SparkEntry {
         |SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
         |FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2 ORDER BY span""".stripMargin,
 
+    // HAVING df <= cap mirrors the enforced stop-term drop on the
+    // Spark side (Retrieval.cappedTermFreqs)
     "inverted_index" ->
       s"""$WDoc, tfq AS (SELECT word, doc_id, count(*) AS tf FROM w GROUP BY 1, 2)
          |SELECT word, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
          | string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
-         |FROM tfq GROUP BY word ORDER BY word""".stripMargin,
+         |FROM tfq GROUP BY word HAVING count(*) <= $RetrievalMaxDf ORDER BY word""".stripMargin,
 
     // BM25 with the Spark side's exact literals and association:
     // ln(idf+1) * (tf*(k1+1)) / (tf + k1*((1-b) + b*dl/avgdl)), summed
-    // over the terms in fixed order, rounded to 4 decimals after the sum
-    "bm25_topk" -> {
-      val termCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
-        s"max(CASE WHEN word = '$t' THEN w_score END) AS s$i"
-      }.mkString(",\n        | ")
-      val scoreSum = Bm25Terms.indices.map(i => s"coalesce(s$i, 0.0)").mkString(" + ")
-      val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
-      s"""$WDoc,
-         | tf AS (SELECT doc_id, word, count(*) AS tf FROM w WHERE word IN ($inList) GROUP BY 1, 2),
-         | dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
-         | dl AS (SELECT d.doc_id, coalesce(c.c, 0) AS dl FROM documents d
-         |        LEFT JOIN (SELECT doc_id, count(*) AS c FROM w GROUP BY 1) c USING (doc_id)),
-         | st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-         | contrib AS (
-         |   SELECT t.doc_id, t.word,
-         |     ln((st.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
-         |       * (t.tf * ${Bm25K1 + 1.0}) / (t.tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl.dl / st.avgdl)) AS w_score
-         |   FROM tf t JOIN dfq f USING (word) JOIN dl ON dl.doc_id = t.doc_id CROSS JOIN st),
-         | per AS (SELECT doc_id,
-         | $termCols
-         | FROM contrib GROUP BY doc_id)
-         |SELECT doc_id, round($scoreSum, 4) AS score
-         |FROM per ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
-    },
+    // over the terms in fixed order, rounded to 4 decimals after the
+    // sum; dfq's HAVING mirrors the enforced stop-term cap (a query
+    // term above it contributes 0 on both engines)
+    "bm25_topk" -> bm25TwinSql,
+    // the persisted-index path answers the SAME query from the stored
+    // relations — one oracle proves both (lifecycle parity = hash-green)
+    "bm25_from_index" -> bm25TwinSql,
 
     // same capped-shingle Jaccard pipeline as near_dup_jaccard, then
     // min-label transitive closure via a recursive CTE

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Full-text retrieval over the corpus: inverted index construction and
@@ -17,11 +17,25 @@ import org.apache.spark.sql.functions._
   * occurrence). BM25 scoring touches only the query terms' postings —
   * an `isin` filter that prunes before the shuffle — and the corpus
   * constants (N, avgdl) ride a broadcast, so the score join is
-  * term-postings × tiny. Hot terms ("the") are real skew at 100 TB:
-  * the index carries df, so callers cap or drop stop-term postings the
-  * same way Dedup caps stop-shingles (maxDf there, df filter here).
+  * term-postings × tiny.
+  *
+  * Hot terms ("the") are real skew at 100 TB: a posting list is df
+  * entries in ONE aggregation buffer, so an uncapped stop term is a
+  * single-key state blowup. The cap is therefore ENFORCED, not advised:
+  * every posting aggregation runs behind a df pre-filter (a cheap
+  * count-only agg + semi-shaped join, the Dedup.cappedShingleIds
+  * pattern) that drops terms with df > maxDf as stop terms BEFORE any
+  * list state exists. The df agg itself carries counts, never lists —
+  * its per-key state is constant-size no matter how hot the term.
   */
 object Retrieval {
+
+  /** Default document-frequency cap. At sf0.01 (500 docs) this is a
+    * no-op; in production set ≈ 1e-4·|docs| (the Dedup.DefaultMaxDf
+    * guidance) — terms in more documents than that are stop terms
+    * carrying ~zero idf signal at df·(k1+1)/(df+k1·…) saturation.
+    * The cap is always applied: there is no uncapped code path. */
+  val DefaultMaxDf = 100000
 
   /** One row per (word, doc) with its term frequency — the posting
     * before grouping. Tokenization is the reference-exact pipeline
@@ -34,14 +48,25 @@ object Retrieval {
       .groupBy(col("word"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
 
+  /** (word, doc, tf) restricted to terms with df <= maxDf. The df
+    * pre-agg holds one counter per term (bounded state); the join
+    * reuses the groupBy's hash partitioning on `word`, so the cap
+    * costs no extra shuffle of the posting table. */
+  private def cappedTermFreqs(tf: DataFrame, maxDf: Int): DataFrame = {
+    val keep = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select(col("word"))
+    tf.join(keep, Seq("word"))
+  }
+
   /** The inverted index: term → document frequency, collection
-    * frequency, and the sorted posting list. Postings render as a
-    * comma-joined string for byte-stable comparison; the arrayed form
-    * is the structural output. A posting list is bounded by df — at
-    * 100 TB the df column is exactly what a caller filters on to keep
-    * stop-term rows from dominating the agg state. */
-  def invertedIndex(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docTermFreqs(docs, textCol, idCol)
+    * frequency, and the sorted posting list, for terms with
+    * df <= maxDf (hotter terms are stop terms and never reach the
+    * posting aggregation — see the object doc; the per-term list
+    * state is thereby bounded by maxDf). Postings render as a
+    * comma-joined string for byte-stable comparison. */
+  def invertedIndex(docs: DataFrame, maxDf: Int = DefaultMaxDf,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    cappedTermFreqs(docTermFreqs(docs, textCol, idCol), maxDf)
       .groupBy(col("word"))
       .agg(
         count(lit(1)).as("df"),
@@ -51,7 +76,10 @@ object Retrieval {
 
   /** BM25 (Robertson/Spärck Jones; the +1 inside the log is the
     * Lucene/BM25+ variant that keeps IDF positive for df > N/2).
-    * Returns the top-k documents for a bag of query terms.
+    * Returns the top-k documents for a bag of query terms. A query
+    * term whose df exceeds maxDf is a stop term and contributes 0 —
+    * the same cap the index build enforces, so this recompute path
+    * and [[bm25FromIndex]] over a persisted index agree exactly.
     *
     * Determinism across engines: each term's contribution is computed
     * once per (term, doc) row, the per-document sum is a fixed
@@ -60,9 +88,8 @@ object Retrieval {
     * whose accumulation order the engine picks), and the final score
     * is rounded to 4 decimals with doc_id as tie-break. */
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
-               k1: Double = 1.2, b: Double = 0.75,
+               k1: Double = 1.2, b: Double = 0.75, maxDf: Int = DefaultMaxDf,
                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    require(terms.nonEmpty, "bm25TopK needs at least one query term")
     val tf = docTermFreqs(docs, textCol, idCol).where(col("word").isin(terms: _*))
     val dl = docs.select(
       col(idCol).as("doc_id"),
@@ -72,7 +99,18 @@ object Retrieval {
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+    scoreBm25(terms, k, k1, b, tf, df, dl, stats)
+  }
 
+  /** The shared scoring tail of both BM25 paths: tf restricted to the
+    * query terms, df already capped, per-doc lengths, one-row corpus
+    * stats. Kept private so the recompute and index-backed paths are
+    * structurally identical (bit-equal floats). */
+  private def scoreBm25(terms: Seq[String], k: Int, k1: Double, b: Double,
+                        tf: DataFrame, df: DataFrame, dl: DataFrame,
+                        stats: DataFrame): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
     val contrib = tf
       .join(broadcast(df), Seq("word"))
       .join(dl, Seq("doc_id"))
@@ -93,5 +131,63 @@ object Retrieval {
       .select(col("doc_id"), round(score, 4).as("score"))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
+  }
+
+  /** The persisted form of the inverted index — the build-once /
+    * query-many lifecycle the ANN side already has (Similarity
+    * .ivfPqWrite/Read): four relations instead of recomputing term
+    * statistics from the corpus on every query.
+    *  - postings (word, doc_id, tf): corpus-term-sized but capped —
+    *    no term carries more than maxDf rows;
+    *  - terms (word, df): the capped vocabulary with true df;
+    *  - docLens (doc_id, dl): per-document token counts;
+    *  - stats (n_docs, avgdl): one broadcastable row.
+    * A query touches only its terms' postings (predicate pushdown on
+    * `word` at the parquet scan) plus the tiny side relations — the
+    * corpus text is never re-read. */
+  final case class InvIndex(postings: DataFrame, terms: DataFrame,
+                            docLens: DataFrame, stats: DataFrame)
+
+  /** Build the index relations from a corpus (one pass for postings +
+    * df, one narrow pass for document lengths). The maxDf cap is part
+    * of the INDEX — queries against it inherit the same stop-term set,
+    * which is what keeps [[bm25FromIndex]] hash-equal to [[bm25TopK]]
+    * at the same cap. */
+  def invIndexBuild(docs: DataFrame, maxDf: Int = DefaultMaxDf,
+                    textCol: String = "text", idCol: String = "doc_id"): InvIndex = {
+    val tf = docTermFreqs(docs, textCol, idCol)
+    val terms = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+    val postings = tf.join(terms.select(col("word")), Seq("word"))
+    val dl = docs.select(
+      col(idCol).as("doc_id"),
+      size(filter(TextOps.tokens(col(textCol)), t => length(TextOps.cleanWord(t)) > 0)).as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    InvIndex(postings, terms, dl, stats)
+  }
+
+  /** Persist the index as four parquet relations under `dir`. */
+  def invIndexWrite(index: InvIndex, dir: String): Unit = {
+    index.postings.write.mode("overwrite").parquet(s"$dir/postings")
+    index.terms.write.mode("overwrite").parquet(s"$dir/terms")
+    index.docLens.write.mode("overwrite").parquet(s"$dir/doc_lens")
+    index.stats.write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  def invIndexRead(spark: SparkSession, dir: String): InvIndex =
+    InvIndex(spark.read.parquet(s"$dir/postings"), spark.read.parquet(s"$dir/terms"),
+      spark.read.parquet(s"$dir/doc_lens"), spark.read.parquet(s"$dir/stats"))
+
+  /** BM25 from a (possibly reloaded) index: the amortized half of the
+    * lifecycle. Same scoring tail as [[bm25TopK]] — only the inputs
+    * differ (stored relations instead of a corpus recompute), so the
+    * two paths return identical rows at the same cap. */
+  def bm25FromIndex(index: InvIndex, terms: Seq[String], k: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = index.postings.where(col("word").isin(terms: _*))
+    val df = index.terms.where(col("word").isin(terms: _*))
+    scoreBm25(terms, k, k1, b, tf, df, index.docLens, index.stats)
   }
 }

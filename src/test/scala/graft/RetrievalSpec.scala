@@ -71,6 +71,52 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.head._1 === 1L)
   }
 
+  test("maxDf cap is enforced: no posting list exceeds it, stop terms are dropped") {
+    val full = Retrieval.invertedIndex(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(full.values.exists(_ > 1L), "fixture must contain a would-be stop term")
+    val capped = Retrieval.invertedIndex(docs, maxDf = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every surviving posting list is within the cap…
+    assert(capped.values.forall(_ <= 1L))
+    // …and the survivors are EXACTLY the full index minus stop terms
+    assert(capped === full.filter(_._2 <= 1L))
+  }
+
+  test("a query term above the cap is a stop term and contributes zero") {
+    // 'spark' (df 2) is capped out at maxDf = 1; 'joins' (df 1) survives.
+    // Doc 0 contains only 'spark' → absent; doc 1 scores on 'joins' alone.
+    val got = Retrieval.bm25TopK(docs, Seq("spark", "joins"), k = 10, maxDf = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(got.map(_._1) === Seq(1L))
+    val uncapped = Retrieval.bm25TopK(docs, Seq("joins"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(got === uncapped, "capped two-term query must equal the rare-term-only query")
+  }
+
+  test("persisted index lifecycle: bm25FromIndex over a reload == recompute, cap stored") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val terms = Seq("spark", "hash", "dup")
+    // pick a cap that BINDS on this corpus: the median df
+    val dfs = Retrieval.invIndexBuild(real).terms.collect().map(_.getLong(1)).sorted
+    val cap = dfs(dfs.length / 2).toInt
+    assert(dfs.last > cap, "cap must bind for this test to mean anything")
+    val dir = java.nio.file.Files.createTempDirectory("graft-invidx-spec").toString
+    Retrieval.invIndexWrite(Retrieval.invIndexBuild(real, maxDf = cap), dir)
+    val reloaded = Retrieval.invIndexRead(spark, dir)
+    // stored postings honor the cap: no term carries more rows than maxDf
+    val maxPosting = reloaded.postings.groupBy("word").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(maxPosting <= cap)
+    // the amortized path answers exactly what the recompute path answers
+    val fromIdx = Retrieval.bm25FromIndex(reloaded, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val recomputed = Retrieval.bm25TopK(real, terms, k = 20, maxDf = cap)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromIdx === recomputed)
+    assert(fromIdx.nonEmpty)
+  }
+
   test("duplicatedSpans: finds aligned cross-doc spans, ignores unique text") {
     val shared = "0123456789abcdefghijklmnopqrstuvwxyz" // 36 chars >= k
     val spanDocs = Seq(
