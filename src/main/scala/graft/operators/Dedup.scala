@@ -326,11 +326,20 @@ object Dedup {
     * and accept misses of unaligned duplicates shorter than k + stride.
     *
     * Scale shape: one row per window leaves the scan (stride-fraction
-    * of corpus bytes), partial-aggregated map-side, shuffled on the
-    * span; the span text itself is the group key so collisions are
-    * impossible (group by xxhash64(span) would halve shuffle width at
-    * a ~n²/2⁶⁵ false-merge risk — the digest trick from [[hashGroups]]
-    * applies verbatim if wanted). Output is bounded by HAVING ≥ minDocs. */
+    * of corpus bytes), partial-aggregated map-side, and the GROUP KEY
+    * is xxhash64(span) — an 8-byte id instead of the k-char text, the
+    * same identity device as [[shingleIds]] (at k = 32 that is ~4× less
+    * key width on every shuffled row, and the count-distinct expand
+    * phase keys on (hash, doc_id) instead of (span, doc_id)). The span
+    * TEXT rides only as a min() payload: partial min collapses it to at
+    * most one span per (hash, partition) map-side, and since all spans
+    * under one hash are equal absent a collision, min() is exactly the
+    * recovery join the flagged set would otherwise need — without the
+    * second pass. Collision budget is the shingleIds one (~n²/2⁶⁵,
+    * accepted); the output is hash-FREE (span, n_docs, n_occ), so the
+    * DuckDB twin groups by the text itself and the oracle proves the
+    * hashed plan reproduces the text-keyed answer bit-for-bit.
+    * Output is bounded by HAVING ≥ minDocs. */
   def duplicatedSpans(docs: DataFrame, k: Int = 32, stride: Int = 8, minDocs: Int = 2,
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs
@@ -339,7 +348,9 @@ object Dedup {
         explode(sequence(lit(1), length(col(textCol)) - lit(k - 1), lit(stride))).as("pos"),
         col(textCol))
       .select(col("doc_id"), col(textCol).substr(col("pos"), lit(k)).as("span"))
-      .groupBy(col("span"))
-      .agg(count_distinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .groupBy(xxhash64(col("span")).as("h"))
+      .agg(min(col("span")).as("span"),
+        count_distinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
       .where(col("n_docs") >= minDocs)
+      .select(col("span"), col("n_docs"), col("n_occ"))
 }
