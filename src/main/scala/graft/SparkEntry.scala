@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators._
-import graft.sources.Tables
+import graft.sources.{LakeTable, Tables}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -73,6 +73,27 @@ object SparkEntry {
       write(tmp)
       tmp
     })
+  /** The LakeTable fixture: base projection + a KEY-LOCALIZED CDC batch
+    * (updates/deletes over keys 300-400, inserts at key+100000), shared
+    * by table_commit / table_time_travel and their DuckDB twins. The
+    * locality is the point: only the data files whose key interval
+    * meets [300, 400] are rewritten by the commit. */
+  private def tableCommitBase(s: SparkSession, d: String): DataFrame =
+    t(s, d).customer.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+
+  private def tableCommitChanges(s: SparkSession, d: String): DataFrame = {
+    val inRange = t(s, d).customer.where(col("c_custkey").between(300, 400))
+    val updates = inRange.select(col("c_custkey"),
+      when(col("c_custkey") % 7 === 3, "delete").otherwise("upsert").as("op"),
+      when(col("c_custkey") % 7 === 3, lit(null).cast("string"))
+        .otherwise(lit("MOVED")).as("c_mktsegment"),
+      lit(null).cast("double").as("c_acctbal"))
+    val inserts = inRange.where(col("c_custkey") % 50 === 0)
+      .select((col("c_custkey") + 100000).as("c_custkey"), lit("upsert").as("op"),
+        lit("NEW").as("c_mktsegment"), lit(0.0).as("c_acctbal"))
+    updates.unionAll(inserts)
+  }
+
   private def stageEvents(s: SparkSession, d: String, copies: Int, filesPerCopy: Int): String =
     stagedEvents.getOrElseUpdate((d, copies, filesPerCopy), {
       stagedCleanup
@@ -577,6 +598,30 @@ object SparkEntry {
       ChangeData.mergeApply(base, existing.unionAll(inserts), "c_custkey")
         .orderBy("c_custkey")
     }),
+    // the transactional table lifecycle as ONE commit: init a
+    // key-clustered LakeTable from customer, merge a KEY-LOCALIZED CDC
+    // batch (updates/deletes/inserts confined to keys 300-400, so only
+    // the files covering that interval are rewritten and re-stat'd —
+    // LakeTableSpec counts them), read the new snapshot. The oracle is
+    // the plain full recompute: hash-green proves the pruned partial
+    // rewrite equals the full merge
+    "table_commit" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-lake").toString
+      LakeTable.init(tableCommitBase(s, d), dir, "c_custkey", nFiles = 8)
+      LakeTable.commitMerge(tableCommitChanges(s, d), dir, "c_custkey",
+        targetRowsPerFile = 250)
+      LakeTable.readLatest(s, dir).orderBy("c_custkey")
+    }),
+    // time travel: after the commit above, snapshot v0 must still read
+    // as the ORIGINAL table, byte-for-byte (the oracle is the plain
+    // base projection)
+    "table_time_travel" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-lake-tt").toString
+      LakeTable.init(tableCommitBase(s, d), dir, "c_custkey", nFiles = 8)
+      LakeTable.commitMerge(tableCommitChanges(s, d), dir, "c_custkey",
+        targetRowsPerFile = 250)
+      LakeTable.readVersion(s, dir, 0L).orderBy("c_custkey")
+    }),
     // incremental materialized-view maintenance: the per-priority
     // order-revenue view is refreshed from the CHANGE BATCH alone
     // (base view + signed delta aggregate, never re-scanning the
@@ -807,6 +852,26 @@ object SparkEntry {
       val (df, _, _) = graft.sources.StatsManifest.scanPruned(s, dir,
         Seq(("o_custkey", lit(300L), lit(600L)),
           ("o_totalprice", lit(100000.0), lit(200000.0))))
+      df.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), graft.functions.dsum2(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+    // 3-D z-order: the k-ary interleave (zValueN) clusters custkey ×
+    // price-bucket × orderkey-bucket at once, so a 3-predicate box
+    // prunes files on ALL THREE dimensions (StatsManifestSpec counts
+    // the skips vs a linear layout)
+    "zorder3_scan" -> ((s, d) => {
+      val dir = stageLayout(s, d, "zorder3") { tmp =>
+        graft.sources.StatsManifest.writeClustered(t(s, d).orders, tmp,
+          graft.sources.StatsManifest.zValueN(Seq(
+            col("o_custkey"), floor(col("o_totalprice") / 10000),
+            floor(col("o_orderkey") / 64))),
+          Seq("o_custkey", "o_totalprice", "o_orderkey"), nFiles = 16)
+      }
+      val (df, _, _) = graft.sources.StatsManifest.scanPruned(s, dir,
+        Seq(("o_custkey", lit(300L), lit(600L)),
+          ("o_totalprice", lit(100000.0), lit(200000.0)),
+          ("o_orderkey", lit(10000L), lit(40000L))))
       df.groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), graft.functions.dsum2(col("o_totalprice")).as("sum_price"))
         .orderBy("o_orderstatus")
@@ -1448,6 +1513,14 @@ object SparkEntry {
         | AND o_totalprice >= 100000.0 AND o_totalprice <= 200000.0
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    "zorder3_scan" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_custkey >= 300 AND o_custkey <= 600
+        | AND o_totalprice >= 100000.0 AND o_totalprice <= 200000.0
+        | AND o_orderkey >= 10000 AND o_orderkey <= 40000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     // capacity ≥ distinct types makes the Misra-Gries summary exact,
     // so the streaming state answer is the batch top-1 per user
     "streaming_state_topk" ->
@@ -1884,6 +1957,32 @@ object SparkEntry {
         |       coalesce(c.c_acctbal, b.c_acctbal) AS c_acctbal
         |FROM base b FULL OUTER JOIN chg c ON b.c_custkey = c.c_custkey
         |WHERE c.op IS NULL OR c.op = 'upsert'
+        |ORDER BY c_custkey""".stripMargin,
+
+    // the LakeTable commit (pruned partial rewrite + carried files)
+    // must equal the PLAIN full merge over the whole table — the
+    // full-recompute oracle for the transactional lifecycle
+    "table_commit" ->
+      """WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+        | chg AS (
+        |   SELECT c_custkey,
+        |     CASE WHEN c_custkey % 7 = 3 THEN 'delete' ELSE 'upsert' END AS op,
+        |     CASE WHEN c_custkey % 7 = 3 THEN NULL ELSE 'MOVED' END AS c_mktsegment,
+        |     CAST(NULL AS DOUBLE) AS c_acctbal
+        |   FROM customer WHERE c_custkey BETWEEN 300 AND 400
+        |   UNION ALL
+        |   SELECT c_custkey + 100000, 'upsert', 'NEW', 0.0
+        |   FROM customer WHERE c_custkey % 50 = 0 AND c_custkey BETWEEN 300 AND 400)
+        |SELECT coalesce(c.c_custkey, b.c_custkey) AS c_custkey,
+        |       coalesce(c.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+        |       coalesce(c.c_acctbal, b.c_acctbal) AS c_acctbal
+        |FROM base b FULL OUTER JOIN chg c ON b.c_custkey = c.c_custkey
+        |WHERE c.op IS NULL OR c.op = 'upsert'
+        |ORDER BY c_custkey""".stripMargin,
+
+    // snapshot v0 read AFTER v1 was committed == the untouched base
+    "table_time_travel" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
         |ORDER BY c_custkey""".stripMargin,
 
     // the incrementally-maintained view must equal the full recompute

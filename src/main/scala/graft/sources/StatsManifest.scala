@@ -27,41 +27,91 @@ object StatsManifest {
   private def dataDir(dir: String) = s"$dir/data"
   private def manifestDir(dir: String) = s"$dir/_manifest"
 
-  /** Bit-interleaved Z-order value of two non-negative ints (16 bits
-    * each): consecutive z-values are close in BOTH a and b, so a
-    * z-clustered layout gives file-level min/max locality on each
-    * dimension at once — the standard multi-dimensional clustering
-    * move. Pure shift/or/and expression tree: codegen'd, no UDF. */
-  def zValue(a: Column, b: Column, bits: Int = 16): Column =
-    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(a.cast(LongType).bitwiseAND(lit(1L << i)), i))
-        .bitwiseOR(shiftleft(b.cast(LongType).bitwiseAND(lit(1L << i)), i + 1))
+  /** Bit-interleaved Z-order value of k non-negative ints (`bits` low
+    * bits each, k·bits ≤ 63): bit i of column j lands at position
+    * i·k + j, so consecutive z-values are close in EVERY dimension at
+    * once — the standard multi-dimensional clustering move, here for
+    * arbitrary arity (a 3-predicate box needs 3-D locality; 2-D
+    * interleave leaves the third dimension scattered). Pure
+    * shift/or/and expression tree: codegen'd, no UDF. */
+  def zValueN(cols: Seq[Column], bits: Int = 16): Column = {
+    val k = cols.size
+    require(k >= 1 && k * bits <= 63, s"zValueN: $k cols × $bits bits must fit a Long")
+    cols.zipWithIndex.foldLeft(lit(0L)) { case (acc, (c, j)) =>
+      (0 until bits).foldLeft(acc) { (a, i) =>
+        // source bit i → target bit i·k + j, so shift by i·(k−1) + j
+        a.bitwiseOR(shiftleft(c.cast(LongType).bitwiseAND(lit(1L << i)), i * (k - 1) + j))
+      }
     }
+  }
+
+  /** The 2-D special case (kept as the common call shape). */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    zValueN(Seq(a, b), bits)
+
+  /** Manifest rows (file, min_*, max_*, n_rows) for an EXPLICIT list of
+    * parquet files — the stats pass shared by the full build and the
+    * incremental append: the scan touches only the listed files and
+    * only `statsCols` (narrow and parallel). A production writer
+    * collects the same numbers from write-task statistics for free;
+    * the contract (one manifest row per data file) is identical. */
+  def statsOf(spark: SparkSession, files: Seq[String], statsCols: Seq[String]): DataFrame = {
+    val aggs = statsCols.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+    } :+ count(lit(1)).as("n_rows")
+    spark.read.parquet(files: _*)
+      .select(input_file_name().as("file") +: statsCols.map(col): _*)
+      .groupBy(col("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The data files currently in the layout, absolute paths. */
+  def listDataFiles(dir: String): Seq[String] =
+    Option(new java.io.File(dataDir(dir)).listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
 
   /** Write `df` into `nFiles` parquet files clustered on `clusterExpr`
     * (range partition + in-file sort), then write a per-file manifest
-    * with min/max of each column in `statsCols` plus row counts.
-    *
-    * The stats pass re-scans only `statsCols` grouped by
-    * `input_file_name` — narrow and parallel. A production writer
-    * collects the same numbers from write-task statistics for free;
-    * the contract (one manifest row per data file) is identical. */
+    * with min/max of each column in `statsCols` plus row counts. */
   def writeClustered(df: DataFrame, dir: String, clusterExpr: Column,
                      statsCols: Seq[String], nFiles: Int): Unit = {
     df.repartitionByRange(nFiles, clusterExpr)
       .sortWithinPartitions(clusterExpr)
       .write.mode("overwrite").parquet(dataDir(dir))
-    val spark = df.sparkSession
-    val aggs = statsCols.flatMap { c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
-    } :+ count(lit(1)).as("n_rows")
-    spark.read.parquet(dataDir(dir))
-      .select(input_file_name().as("file") +: statsCols.map(col): _*)
-      .groupBy(col("file"))
-      .agg(aggs.head, aggs.tail: _*)
+    statsOf(df.sparkSession, listDataFiles(dir), statsCols)
       .coalesce(1)
       .write.mode("overwrite").parquet(manifestDir(dir))
+  }
+
+  /** Incremental commit: append `df` as new clustered files and stat
+    * ONLY those files, merging their rows into the existing manifest —
+    * at 100 TB the difference between a per-commit stats pass that
+    * reads the append batch and one that re-reads the whole table
+    * (the r5 verdict's scale hazard in the overwrite-only writer).
+    * Returns the new file paths so callers (and the spec) can count
+    * exactly what the stats job scanned. Per-file intervals of
+    * different commits may overlap — pruning stays CORRECT (interval
+    * intersection), just less tight than one global re-cluster; a
+    * compaction rewrite restores disjointness when drift accumulates. */
+  def appendClustered(df: DataFrame, dir: String, clusterExpr: Column,
+                      statsCols: Seq[String], nFiles: Int): Seq[String] = {
+    val before = listDataFiles(dir).toSet
+    df.repartitionByRange(nFiles, clusterExpr)
+      .sortWithinPartitions(clusterExpr)
+      .write.mode("append").parquet(dataDir(dir))
+    val newFiles = listDataFiles(dir).filterNot(before)
+    val spark = df.sparkSession
+    // the old manifest is re-written in place: materialize it on the
+    // driver first (file-count-sized — the accepted scale class of
+    // Spark's own file index) so the lazy read cannot race the overwrite
+    val oldSchema = readManifest(spark, dir).schema
+    val oldRows = readManifest(spark, dir).collect()
+    val oldDf = spark.createDataFrame(
+      java.util.Arrays.asList(oldRows: _*), oldSchema)
+    oldDf.unionByName(statsOf(spark, newFiles, statsCols))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(manifestDir(dir))
+    newFiles
   }
 
   def readManifest(spark: SparkSession, dir: String): DataFrame =

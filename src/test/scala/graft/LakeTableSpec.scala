@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.ChangeData
+import graft.sources.LakeTable
+
+/** The transactional commit lifecycle: merge → pruned partial rewrite →
+  * incremental re-stat → versioned snapshot, with time-travel reads.
+  * The assertions are the lifecycle's three contracts: (1) a commit
+  * rewrites and re-stats ONLY files whose key interval meets the
+  * batch, (2) the committed snapshot equals the full-recompute merge,
+  * (3) every old snapshot stays readable and unchanged. */
+class LakeTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val base = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+
+  /** Update/delete batch confined to keys [lo, hi] (delete on %7==3). */
+  private def batch(lo: Long, hi: Long): DataFrame = base
+    .where(col("c_custkey").between(lo, hi))
+    .select(col("c_custkey"),
+      when(col("c_custkey") % 7 === 3, "delete").otherwise("upsert").as("op"),
+      when(col("c_custkey") % 7 === 3, lit(null).cast("string"))
+        .otherwise(lit("MOVED")).as("c_mktsegment"),
+      lit(null).cast("double").as("c_acctbal"))
+
+  private def rows(df: DataFrame): Set[(Long, String, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+  test("commit rewrites only the files covering the batch keys and re-stats only those") {
+    val dir = Files.createTempDirectory("graft-lake-prune").toString
+    LakeTable.init(base, dir, "c_custkey", nFiles = 8)
+    val m0 = LakeTable.manifest(spark, dir, 0L).collect()
+      .map(r => r.getString(0) -> r.toSeq).toMap
+    val c = LakeTable.commitMerge(batch(10, 30), dir, "c_custkey", targetRowsPerFile = 40)
+    assert(c.version === 1L)
+    // a 21-key batch over an 8-file layout of 150 keys touches few files
+    assert(c.filesRewritten < 8L, s"rewrote ${c.filesRewritten} of 8")
+    assert(c.filesRewritten + c.filesCarried >= 8L - 1L)
+    // carried manifest rows are VERBATIM v0 rows: same file, same stats
+    // (proof the stats pass never touched them)
+    val m1 = LakeTable.manifest(spark, dir, 1L).collect().map(r => r.getString(0) -> r.toSeq)
+    val carried = m1.filter { case (f, _) => m0.contains(f) }
+    assert(carried.length.toLong === c.filesCarried)
+    carried.foreach { case (f, row) => assert(row === m0(f), s"re-stat'd carried file $f") }
+  }
+
+  test("committed snapshot equals the full-recompute merge; v0 time-travels intact") {
+    val dir = Files.createTempDirectory("graft-lake-merge").toString
+    LakeTable.init(base, dir, "c_custkey", nFiles = 8)
+    LakeTable.commitMerge(batch(10, 30), dir, "c_custkey", targetRowsPerFile = 40)
+    val want = rows(ChangeData.mergeApply(base, batch(10, 30), "c_custkey"))
+    assert(rows(LakeTable.readLatest(spark, dir)) === want)
+    // deletes really happened (10 % 7 == 3) and updates landed
+    assert(LakeTable.readLatest(spark, dir).where(col("c_custkey") === 10L).isEmpty)
+    assert(LakeTable.readLatest(spark, dir)
+      .where(col("c_custkey") === 11L).head().getString(1) === "MOVED")
+    // snapshot 0 still reads as the original table
+    assert(rows(LakeTable.readVersion(spark, dir, 0L)) === rows(base))
+  }
+
+  test("an insert-only batch beyond every file interval touches zero base files") {
+    val dir = Files.createTempDirectory("graft-lake-insert").toString
+    LakeTable.init(base, dir, "c_custkey", nFiles = 8)
+    val inserts = base.where(col("c_custkey") % 50 === 0)
+      .select((col("c_custkey") + 100000).as("c_custkey"), lit("upsert").as("op"),
+        lit("NEW").as("c_mktsegment"), lit(0.0).as("c_acctbal"))
+    val c = LakeTable.commitMerge(inserts, dir, "c_custkey", targetRowsPerFile = 40)
+    // no base file's [min, max] contains a 100xxx key: all carried
+    assert(c.filesCarried === 8L)
+    val got = rows(LakeTable.readLatest(spark, dir))
+    assert(got === rows(base) ++ rows(inserts.drop("op")))
+  }
+
+  test("commits chain: every intermediate snapshot stays readable as committed") {
+    val dir = Files.createTempDirectory("graft-lake-chain").toString
+    LakeTable.init(base, dir, "c_custkey", nFiles = 8)
+    LakeTable.commitMerge(batch(10, 30), dir, "c_custkey", targetRowsPerFile = 40)
+    val v1Snapshot = rows(LakeTable.readVersion(spark, dir, 1L))
+    val c2 = LakeTable.commitMerge(batch(100, 130), dir, "c_custkey", targetRowsPerFile = 40)
+    assert(c2.version === 2L)
+    assert(c2.filesRewritten < c2.filesRewritten + c2.filesCarried)
+    // v1 unchanged by the later commit
+    assert(rows(LakeTable.readVersion(spark, dir, 1L)) === v1Snapshot)
+    // v2 equals the two-step fold
+    val step1 = ChangeData.mergeApply(base, batch(10, 30), "c_custkey")
+    val want = rows(ChangeData.mergeApply(step1, batch(100, 130), "c_custkey"))
+    assert(rows(LakeTable.readLatest(spark, dir)) === want)
+    assert(LakeTable.versions(dir) === Seq(0L, 1L, 2L))
+  }
+}

@@ -26,6 +26,46 @@ class StatsManifestSpec extends AnyFunSuite {
     assert(got.getLong(3) === (1L << 32) - 1)
   }
 
+  test("zValueN interleaves k ways: known values, 2-D case matches zValue") {
+    val got = spark.range(1)
+      .select(
+        StatsManifest.zValueN(Seq(lit(1L), lit(1L), lit(1L))).as("z111"),
+        // bit i of col j lands at i·k + j: col0 bit1 → 3, col2 bit0 → 2
+        StatsManifest.zValueN(Seq(lit(2L), lit(0L), lit(1L))).as("z201"),
+        StatsManifest.zValueN(Seq(lit(3L), lit(1L)), 16).as("z2d"),
+        StatsManifest.zValue(lit(3L), lit(1L)).as("zOld"))
+      .head()
+    assert(got.getLong(0) === 7L)
+    assert(got.getLong(1) === 12L)
+    assert(got.getLong(2) === got.getLong(3))
+  }
+
+  test("appendClustered stats only the new files; old manifest rows carried verbatim") {
+    val dir = Files.createTempDirectory("graft-append").toString
+    val (first, second) = (orders.where(col("o_orderkey") % 2 === 0),
+      orders.where(col("o_orderkey") % 2 === 1))
+    StatsManifest.writeClustered(first, dir, col("o_totalprice"), Seq("o_totalprice"), nFiles = 4)
+    val m0 = StatsManifest.readManifest(spark, dir).collect()
+      .map(r => r.getString(0) -> r.toSeq).toMap
+    val newFiles = StatsManifest.appendClustered(second, dir, col("o_totalprice"),
+      Seq("o_totalprice"), nFiles = 4)
+    // the incremental stats pass covered exactly the appended files
+    assert(newFiles.size === 4)
+    assert(newFiles.forall(f => !m0.keys.exists(_.endsWith(new java.io.File(f).getName))))
+    val m1 = StatsManifest.readManifest(spark, dir).collect()
+      .map(r => r.getString(0) -> r.toSeq).toMap
+    assert(m1.size === m0.size + newFiles.size)
+    // pre-existing rows are byte-identical: never re-scanned, never re-stat'd
+    m0.foreach { case (f, row) => assert(m1(f) === row) }
+    // the merged manifest still accounts for every row, and pruned
+    // answers stay exact across the commit boundary
+    assert(m1.values.map(_.last.asInstanceOf[Long]).sum === orders.count())
+    val (df, _, total) = StatsManifest.scanPruned(spark, dir,
+      Seq(("o_totalprice", lit(200000.0), lit(250000.0))))
+    assert(total === 8L)
+    assert(df.count() === orders.where(col("o_totalprice").between(200000.0, 250000.0)).count())
+  }
+
   test("manifest covers every file and every row") {
     val dir = Files.createTempDirectory("graft-manifest").toString
     StatsManifest.writeClustered(orders, dir, col("o_totalprice"),
@@ -76,5 +116,30 @@ class StatsManifestSpec extends AnyFunSuite {
     assert(zDf.count() === lDf.count())
     val want = orders.where(col("o_custkey").between(100L, 200L)).count()
     assert(zDf.count() === want)
+  }
+
+  test("a 3-D box prunes under 3-way z-order at least as well as a linear layout") {
+    val zDir = Files.createTempDirectory("graft-z3").toString
+    val linDir = Files.createTempDirectory("graft-lin3").toString
+    val stats = Seq("o_custkey", "o_totalprice", "o_orderkey")
+    StatsManifest.writeClustered(orders, zDir,
+      StatsManifest.zValueN(Seq(col("o_custkey"), floor(col("o_totalprice") / 10000),
+        floor(col("o_orderkey") / 64))),
+      stats, nFiles = 16)
+    StatsManifest.writeClustered(orders, linDir, col("o_totalprice"), stats, nFiles = 16)
+    // box over the two dimensions ORTHOGONAL to the linear sort
+    val preds = Seq(
+      ("o_custkey", lit(100L), lit(400L)),
+      ("o_orderkey", lit(1000L), lit(3000L)))
+    val (zDf, zScanned, zTotal) = StatsManifest.scanPruned(spark, zDir, preds)
+    val (lDf, lScanned, _) = StatsManifest.scanPruned(spark, linDir, preds)
+    assert(zScanned < zTotal, "3-D z-order must skip files on non-leading dimensions")
+    assert(zScanned <= lScanned,
+      s"3-D z-order ($zScanned files) must not lose to the linear layout ($lScanned)")
+    // skipping never changes the answer
+    val want = orders.where(col("o_custkey").between(100L, 400L)
+      && col("o_orderkey").between(1000L, 3000L)).count()
+    assert(zDf.count() === want)
+    assert(lDf.count() === want)
   }
 }
