@@ -441,6 +441,22 @@ object SparkEntry {
       Similarity.ivfPqQuery(idx, emb.where(col("vec_id") % 70 === 3), emb)
         .orderBy("q_id", "rank")
     }),
+    // the append path's rebuild trigger: per-cell residual energy of an
+    // append batch vs the build-time baseline. The batch here is
+    // deliberately OUT of distribution (embeddings scaled ×-2), so
+    // drift ratios exceed the threshold and rebuild fires — rows-only
+    // (float ratios); the trip/no-trip contract is SimilaritySpec's
+    "ann_drift" -> ((s, d) => {
+      val emb = t(s, d).embeddings
+      val index = Similarity.ivfPqBuild(emb)
+      val baseline = Similarity.cellResidualEnergy(index, emb)
+      val shifted = emb.select(col("vec_id"),
+        transform(col("embedding"), x => (x * lit(-2.0)).cast("float")).as("embedding"))
+      Similarity.appendDrift(index, baseline, shifted)
+        .select(col("cell"), col("n_batch"), round(col("drift_ratio"), 4).as("drift_r"),
+          col("rebuild"))
+        .orderBy("cell")
+    }),
     "embedding_near_dups" -> ((s, d) =>
       Similarity.cosineNearDupPairs(t(s, d).embeddings).orderBy("id_a", "id_b")),
     // approximate (LSH-bucketed) variant — rows-only by design; recall

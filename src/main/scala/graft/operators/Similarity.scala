@@ -467,6 +467,45 @@ object Similarity {
       index.coarseCents, index.books, index.m, index.subDim)
   }
 
+  /** Per-cell mean residual energy of `vecs` under the index's frozen
+    * geometry: assign each vector to its nearest coarse centroid and
+    * average ||v − centroid||² per cell. This is exactly the quantity
+    * the PQ codes' accuracy depends on — the code books were trained on
+    * build-time residuals, so when a cell's residual energy grows, its
+    * codes quantize coarser and ADC ranking degrades FOR THAT CELL.
+    * One map-side pass (centroids broadcast), one int-keyed agg. */
+  def cellResidualEnergy(index: IvfPqIndex, vecs: DataFrame): DataFrame = {
+    val asCents = index.coarseCents.select(col("cell").as("cent_id"), col("cent_emb"))
+    coarseAssign(vecs, asCents, 1)
+      .join(broadcast(index.coarseCents), "cell")
+      .select(col("cell"),
+        vec_dot(zip_with(col("embedding"), col("cent_emb"), (a, b) => a - b),
+          zip_with(col("embedding"), col("cent_emb"), (a, b) => a - b)).as("e2"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), avg(col("e2")).as("mean_energy"))
+  }
+
+  /** Drift measurement for the append path — the rebuild trigger that
+    * [[ivfPqAppend]]'s "periodic rebuild absorbs distribution drift"
+    * contract needs as a tested operator, not a comment: compare an
+    * append batch's per-cell residual energy against a baseline
+    * (compute it over the corpus at build time, persist it next to the
+    * index). Emits one row per batch-touched cell with the energy
+    * ratio and the threshold decision; `rebuild = true` on any cell
+    * with meaningful mass is the "stop appending, retrain" signal.
+    * Cost: the same one broadcast-assign pass as an append itself —
+    * drift monitoring rides the ingest, no extra corpus scan. */
+  def appendDrift(index: IvfPqIndex, baseline: DataFrame, batch: DataFrame,
+                  threshold: Double = 1.5, minBatchPerCell: Long = 4L): DataFrame =
+    cellResidualEnergy(index, batch)
+      .select(col("cell"), col("n").as("n_batch"), col("mean_energy").as("batch_energy"))
+      .join(broadcast(baseline.select(col("cell"), col("mean_energy").as("base_energy"))),
+        Seq("cell"))
+      .select(col("cell"), col("n_batch"),
+        (col("batch_energy") / col("base_energy")).as("drift_ratio"),
+        (col("n_batch") >= minBatchPerCell &&
+          col("batch_energy") / col("base_energy") >= threshold).as("rebuild"))
+
   /** Persist the index as four parquet relations under `dir`. */
   def ivfPqWrite(index: IvfPqIndex, dir: String): Unit = {
     index.cells.write.mode("overwrite").parquet(s"$dir/cells")

@@ -146,6 +146,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall(after) >= recall(before))
   }
 
+  test("appendDrift: an out-of-distribution batch trips the rebuild trigger, an in-distribution one does not") {
+    val emb = TestSpark.spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val index = Similarity.ivfPqBuild(emb, step = 10)
+    val baseline = Similarity.cellResidualEnergy(index, emb)
+    // in-distribution: a residue-class sample of the SAME corpus — its
+    // per-cell residual energy sits near the baseline, no cell fires
+    // (threshold 1.5 leaves headroom for small-sample variance)
+    val inDist = Similarity.appendDrift(index, baseline, emb.where(col("vec_id") % 3 === 1))
+      .collect().map(r => (r.getLong(0), r.getBoolean(3)))
+    assert(inDist.nonEmpty)
+    assert(inDist.forall(!_._2), s"in-distribution batch tripped: ${inDist.filter(_._2).mkString(",")}")
+    // out-of-distribution: scale the space ×-2 — residuals against the
+    // frozen centroids blow up and the trigger must fire somewhere
+    val shifted = emb.select(col("vec_id"),
+      transform(col("embedding"), x => (x * lit(-2.0)).cast("float")).as("embedding"))
+    val ood = Similarity.appendDrift(index, baseline, shifted)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3)))
+    assert(ood.exists(_._3), "shifted batch never tripped the rebuild trigger")
+    // and the signal is not a fluke of one cell: median ratio is high
+    val ratios = ood.map(_._2).sorted
+    assert(ratios(ratios.length / 2) > 1.5, s"median drift ratio ${ratios(ratios.length / 2)}")
+  }
+
   test("Lloyd codebook refinement does not degrade pq recall and stays deterministic") {
     val emb = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") % 10 === 0), k = 5)
