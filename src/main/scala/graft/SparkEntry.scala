@@ -94,6 +94,35 @@ object SparkEntry {
     updates.unionAll(inserts)
   }
 
+  /** Staged document drops for the streaming ingest: `nFiles` parquet
+    * files holding contiguous doc_id ranges, modification times
+    * strictly increasing with the range, so the file stream (sorted by
+    * timestamp) delivers documents in id order — making the streaming
+    * run's "first occurrence wins" equal the batch oracle's min-id
+    * rule. Memoized per sfDir like the other fixtures. */
+  private def stageDocStream(s: SparkSession, d: String, nFiles: Int): String =
+    stageLayout(s, d, s"docstream$nFiles") { tmp =>
+      val docs = t(s, d).documents.select(col("doc_id"), col("lang"), col("text"))
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val per = maxId / nFiles + 1
+      (0 until nFiles).foreach { i =>
+        // the file stream lists LEAVES of the source dir: land each
+        // range as one flat file with a timestamp encoding its order
+        val stage = s"$tmp/.stage$i"
+        docs.where(col("doc_id") >= i * per && col("doc_id") < (i + 1) * per)
+          .coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(s"$tmp/d$i.parquet")
+        require(part.renameTo(dest), s"staging move failed for $dest")
+        dest.setLastModified(1000000L * (i + 1))
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(stage))
+      }
+    }
+
   private def stageEvents(s: SparkSession, d: String, copies: Int, filesPerCopy: Int): String =
     stagedEvents.getOrElseUpdate((d, copies, filesPerCopy), {
       stagedCleanup
@@ -816,6 +845,27 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"), graft.functions.dsum2(col("value")).as("sum_value"))
         .orderBy("user_id")
+    }),
+    // the CONTINUOUS corpus-ingest pipeline e2e: a 4-file document
+    // stream → per-batch min-id dedup → anti-join against the growing
+    // persisted digest store (seeded with the even-id history) →
+    // FIXED-rate temperature resample (policy from the full-corpus
+    // profile) → chunking → compacted batch_id-keyed landing. Drained
+    // with the files in doc_id order, the union of landings equals the
+    // one-shot batch pipeline, which is the oracle
+    "streaming_pipeline_ingest" -> ((s, d) => {
+      val src = stageDocStream(s, d, nFiles = 4)
+      val ss = streamSession(s)
+      val storeDir = java.nio.file.Files.createTempDirectory("graft-ingest-store").toString
+      t(ss, d).documents.where(col("doc_id") % 2 === 0)
+        .select(sha2(col("text"), 256).as("h"))
+        .write.mode("overwrite").parquet(s"$storeDir/seed")
+      val rates = Corpus.temperatureRates(
+        t(ss, d).documents.select(col("doc_id"), col("lang"), col("text")))
+      val out = java.nio.file.Files.createTempDirectory("graft-ingest-out").toString
+      graft.streaming.IngestPipeline
+        .runIngest(ss, src, storeDir, rates, out, targetRowsPerFile = 5000L)
+        .orderBy("doc_id", "chunk_idx")
     }),
     // streaming CDC → current snapshot: foreachBatch maintains a
     // versioned copy-on-write latest-image table, LWW by (ts,
@@ -1920,6 +1970,28 @@ object SparkEntry {
          | fresh AS (SELECT b.doc_id FROM batch b LEFT JOIN store s ON b.h = s.h WHERE s.h IS NULL),
          | dd AS (SELECT d.doc_id, d.lang, d.text FROM documents d JOIN fresh f ON d.doc_id = f.doc_id),
          | n AS (SELECT lang, count(*) AS n_l FROM dd GROUP BY lang),
+         | r AS (SELECT lang, CAST(floor(1000.0 * sqrt((SELECT CAST(min(n_l) AS DOUBLE) FROM n))
+         |   / sqrt(CAST(n_l AS DOUBLE))) AS BIGINT) AS keep_permille FROM n),
+         | kept AS (SELECT dd.doc_id, dd.lang, dd.text FROM dd JOIN r ON dd.lang = r.lang
+         |          WHERE $HashPermille < r.keep_permille),
+         | c AS (SELECT doc_id, lang, text,
+         |   CAST(ceil(length(text) / 256.0) AS BIGINT) AS n_chunks FROM kept),
+         | u AS (SELECT doc_id, lang, text, n_chunks,
+         |   unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM c)
+         |SELECT doc_id, lang, chunk_idx,
+         | substring(text, CAST(chunk_idx * 256 + 1 AS INT), 256) AS chunk
+         |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // the streaming ingest drained == ONE batch pass with the same
+    // store seed and the PROFILE-derived rates (n over the full
+    // documents table, not the survivors — the policy-snapshot
+    // distinction vs pipeline_ingest's self-derived rates)
+    "streaming_pipeline_ingest" ->
+      s"""WITH store AS (SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 2 = 0),
+         | batch AS (SELECT sha256(text) AS h, min(doc_id) AS doc_id FROM documents GROUP BY 1),
+         | fresh AS (SELECT b.doc_id FROM batch b LEFT JOIN store s ON b.h = s.h WHERE s.h IS NULL),
+         | dd AS (SELECT d.doc_id, d.lang, d.text FROM documents d JOIN fresh f ON d.doc_id = f.doc_id),
+         | n AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
          | r AS (SELECT lang, CAST(floor(1000.0 * sqrt((SELECT CAST(min(n_l) AS DOUBLE) FROM n))
          |   / sqrt(CAST(n_l AS DOUBLE))) AS BIGINT) AS keep_permille FROM n),
          | kept AS (SELECT dd.doc_id, dd.lang, dd.text FROM dd JOIN r ON dd.lang = r.lang

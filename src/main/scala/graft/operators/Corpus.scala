@@ -179,17 +179,30 @@ object Corpus {
     * (stratum) keys; the rate table is stratum-cardinality-sized and
     * broadcast back. No row-scale shuffle at all. */
   def temperatureResample(docs: DataFrame, strataCol: String = "lang",
-                          textCol: String = "text"): DataFrame = {
-    val counts = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("n_l"))
+                          textCol: String = "text"): DataFrame =
+    resampleWithRates(docs, temperatureRates(docs, strataCol), strataCol, textCol)
+
+  /** The rate table alone — (stratum, n_l, keep_permille) from a
+    * PROFILE corpus. Split out so a streaming ingest can derive the
+    * policy ONCE from a profile snapshot and apply it unchanged to
+    * every micro-batch (per-batch rates would drift with batch
+    * composition and make the run order-dependent). */
+  def temperatureRates(profile: DataFrame, strataCol: String = "lang"): DataFrame = {
+    val counts = profile.groupBy(col(strataCol)).agg(count(lit(1)).as("n_l"))
     val minN = counts.agg(min(col("n_l")).as("n_min"))
-    val rates = counts.crossJoin(broadcast(minN))
+    counts.crossJoin(broadcast(minN))
       .withColumn("keep_permille",
         floor(lit(1000.0) * sqrt(col("n_min").cast(DoubleType))
           / sqrt(col("n_l").cast(DoubleType))).cast(LongType))
       .select(col(strataCol), col("n_l"), col("keep_permille"))
+  }
+
+  /** Apply a precomputed rate table: broadcast join on the stratum,
+    * keep by the content-hash permille (retry- and order-stable). */
+  def resampleWithRates(docs: DataFrame, rates: DataFrame,
+                        strataCol: String = "lang", textCol: String = "text"): DataFrame =
     docs.join(broadcast(rates), Seq(strataCol))
       .where(hashPermille(col(textCol)) < col("keep_permille"))
-  }
 
   /** All stopwords of all languages — the combined natural-language
     * signal for quality scoring (per-language lists: TextQuality).

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.{Corpus, Dedup}
+
+/** The CONTINUOUS twin of the batch `pipeline_ingest` composition:
+  * document drops arriving as a file stream, each micro-batch run as
+  * one ingest transaction —
+  *
+  *   batch-internal min-id dedup → anti-join against the PERSISTED
+  *   digest store (exact dedup across batches AND against history) →
+  *   fixed-rate temperature resample (policy from a profile snapshot,
+  *   broadcast — see Corpus.temperatureRates) → context-window
+  *   chunking → size-governed compacted landing.
+  *
+  * Exactly-once discipline, the same two devices the other streaming
+  * sinks use (EventStreams.runToCompactedParquet / runLatestImageMerge):
+  *  - every write is KEYED BY BATCH ID and overwrites its own
+  *    directory: output lands in `outDir/batch_id=N/`, and the batch's
+  *    newly-seen digests commit to `storeDir/bN/` — a re-delivered
+  *    batch overwrites both instead of duplicating either;
+  *  - a batch reads only digest dirs with id < its own (the seed plus
+  *    every EARLIER commit), so a replay sees exactly the store its
+  *    original run saw — in particular it does NOT dedup against its
+  *    own previously-committed digests or a later batch's.
+  *
+  * Scale shape per micro-batch: digests are 32-byte keys aggregated
+  * batch-side then anti-joined against the store scan (the
+  * Dedup.incrementalDigestDedup posture — batch-sized state, the store
+  * is never re-written, only appended); rates ride a broadcast; the
+  * chunker is a narrow generator; the landing is ⌈rows/target⌉ files.
+  * Nothing in the loop scales with stream history except the store
+  * scan, which a production deployment replaces with a bucketed or
+  * bloom-fronted digest table (Sketches.bloomSemiFilter is the shipped
+  * half of that).
+  */
+object IngestPipeline {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType),
+    StructField("text", StringType)))
+
+  def readDocStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
+  private def storeBatchIds(storeDir: String): Seq[Long] =
+    Option(new java.io.File(storeDir).listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("b"))
+      .flatMap(f => scala.util.Try(f.getName.drop(1).toLong).toOption)
+      .sorted
+
+  /** One micro-batch of the ingest, exposed so the spec can re-run a
+    * batch verbatim and prove replay idempotence. `rates` must be the
+    * fixed profile policy, not derived from `batch`. */
+  def ingestBatch(batch: DataFrame, batchId: Long, storeDir: String,
+                  rates: DataFrame, outDir: String, targetRowsPerFile: Long,
+                  chunkSize: Int): Unit = {
+    val ss = batch.sparkSession
+    // the store AS OF this batch: seed + strictly earlier commits
+    val priorDirs = s"$storeDir/seed" +:
+      storeBatchIds(storeDir).filter(_ < batchId).map(i => s"$storeDir/b$i")
+    val store = priorDirs.map(ss.read.parquet(_)).reduce(_ unionAll _)
+    val fresh = Dedup.incrementalDigestDedup(batch, store)
+    val survivors = batch.join(fresh.select(col("doc_id")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("text"))
+    val kept = Corpus.resampleWithRates(survivors, rates)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val chunks = Corpus.chunk(kept, chunkSize)
+      .select(col("doc_id"), col("lang"), col("chunk_idx"), col("chunk"))
+    graft.sources.Sinks.writeCompacted(chunks, s"$outDir/batch_id=$batchId", targetRowsPerFile)
+    // commit the batch's digests LAST (post-resample docs included:
+    // a later duplicate of a sampled-out doc is still a duplicate)
+    fresh.select(col("h")).write.mode("overwrite").parquet(s"$storeDir/b$batchId")
+  }
+
+  /** Run the ingest against a bounded source dir to completion and
+    * return the landed chunk table. `storeDir` must contain the
+    * pre-seeded digest history under `seed/`. */
+  def runIngest(spark: SparkSession, srcDir: String, storeDir: String,
+                rates: DataFrame, outDir: String, targetRowsPerFile: Long,
+                chunkSize: Int = 256): DataFrame = {
+    val q = readDocStream(spark, srcDir).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ingestBatch(batch.toDF(), batchId, storeDir, rates, outDir,
+          targetRowsPerFile, chunkSize)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
+      .select(col("doc_id"), col("lang"), col("chunk_idx"), col("chunk"))
+  }
+}

@@ -444,6 +444,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(first <= last)
   }
 
+  test("streaming ingest: cross-batch + store dedup, fixed rates, replayed batch idempotent") {
+    import org.apache.spark.sql.functions.{col, lit, sha2}
+    import graft.streaming.IngestPipeline
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma"),
+      (2L, "en", "delta epsilon"),
+      (3L, "en", "stored text"),       // digest pre-seeded in the store
+      (5L, "en", "alpha beta gamma"),  // later-batch duplicate of doc 1
+      (6L, "fr", "zeta eta theta")
+    ).toDF("doc_id", "lang", "text")
+    val src = Files.createTempDirectory("graft-ingest-src").toString
+    // flat leaf files, timestamp-ordered (the stream lists leaves only)
+    Seq(($"doc_id" <= 3, "d0", 1000000L), ($"doc_id" >= 5, "d1", 2000000L))
+      .foreach { case (cond, name, t) =>
+        docs.where(cond).coalesce(1).write.parquet(s"$src/.stage$name")
+        val part = new java.io.File(s"$src/.stage$name").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(s"$src/$name.parquet")
+        assert(part.renameTo(dest))
+        dest.setLastModified(t)
+      }
+    val storeDir = Files.createTempDirectory("graft-ingest-st").toString
+    Seq("stored text").toDF("text").select(sha2($"text", 256).as("h"))
+      .write.parquet(s"$storeDir/seed")
+    // keep-everything policy: the dedup semantics are what's under test
+    val rates = Seq(("en", 3L, 1000L), ("fr", 1L, 1000L))
+      .toDF("lang", "n_l", "keep_permille")
+    val out = Files.createTempDirectory("graft-ingest-o").toString
+    val got = IngestPipeline.runIngest(spark, src, storeDir, rates, out,
+        targetRowsPerFile = 100L, chunkSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    // doc 3 deduped against the store, doc 5 against doc 1's committed
+    // digest; survivors chunked at 8 chars
+    assert(got.map(_._1) === Set(1L, 2L, 6L))
+    assert(got === Set(
+      (1L, 0L, "alpha be"), (1L, 1L, "ta gamma"),
+      (2L, 0L, "delta ep"), (2L, 1L, "silon"),
+      (6L, 0L, "zeta eta"), (6L, 1L, " theta")))
+    // REPLAY batch 0 verbatim (a re-delivered micro-batch): outputs and
+    // store commits are keyed by batch id, so nothing changes — in
+    // particular batch 0 does NOT dedup against its own b0 digests
+    IngestPipeline.ingestBatch(spark.read.parquet(s"$src/d0.parquet"), 0L, storeDir,
+      rates, out, targetRowsPerFile = 100L, chunkSize = 8)
+    val replayed = spark.read.parquet(out)
+      .select(col("doc_id"), col("lang"), col("chunk_idx"), col("chunk"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    assert(replayed === got)
+  }
+
   test("mapGroupsWithState running totals match a direct fold") {
     val dir = Files.createTempDirectory("graft-stream2").toString
     writeBatches(dir)
