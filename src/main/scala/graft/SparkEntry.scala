@@ -657,6 +657,19 @@ object SparkEntry {
         targetRowsPerFile = 250)
       LakeTable.readLatest(s, dir).orderBy("c_custkey")
     }),
+    // compaction commit on top of the merge: small files rewrite into
+    // key-clustered larger ones, content untouched — the SAME oracle as
+    // table_commit, so hash-green proves compaction is invisible to
+    // readers
+    "table_compact" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-lake-cp").toString
+      LakeTable.init(tableCommitBase(s, d), dir, "c_custkey", nFiles = 8)
+      LakeTable.commitMerge(tableCommitChanges(s, d), dir, "c_custkey",
+        targetRowsPerFile = 250)
+      LakeTable.commitCompact(s, dir, "c_custkey",
+        smallFileRows = 200, targetRowsPerFile = 1000)
+      LakeTable.readLatest(s, dir).orderBy("c_custkey")
+    }),
     // time travel: after the commit above, snapshot v0 must still read
     // as the ORIGINAL table, byte-for-byte (the oracle is the plain
     // base projection)
@@ -1012,6 +1025,27 @@ object SparkEntry {
   // BIND at sf0.01 (df range 25..402 over 500 docs) so the stop-term
   // enforcement is exercised through the oracle gate, not just specs
   private[graft] val RetrievalMaxDf = 390
+
+  /** One merge twin serves both LakeTable queries: `table_commit`
+    * (merge alone) and `table_compact` (merge + compaction) — the
+    * compaction's reader-invisibility IS the second hash match. */
+  private lazy val lakeMergeTwinSql: String =
+    """WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+      | chg AS (
+      |   SELECT c_custkey,
+      |     CASE WHEN c_custkey % 7 = 3 THEN 'delete' ELSE 'upsert' END AS op,
+      |     CASE WHEN c_custkey % 7 = 3 THEN NULL ELSE 'MOVED' END AS c_mktsegment,
+      |     CAST(NULL AS DOUBLE) AS c_acctbal
+      |   FROM customer WHERE c_custkey BETWEEN 300 AND 400
+      |   UNION ALL
+      |   SELECT c_custkey + 100000, 'upsert', 'NEW', 0.0
+      |   FROM customer WHERE c_custkey % 50 = 0 AND c_custkey BETWEEN 300 AND 400)
+      |SELECT coalesce(c.c_custkey, b.c_custkey) AS c_custkey,
+      |       coalesce(c.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+      |       coalesce(c.c_acctbal, b.c_acctbal) AS c_acctbal
+      |FROM base b FULL OUTER JOIN chg c ON b.c_custkey = c.c_custkey
+      |WHERE c.op IS NULL OR c.op = 'upsert'
+      |ORDER BY c_custkey""".stripMargin
 
   /** One BM25 twin serves both the recompute path (`bm25_topk`) and
     * the persisted-index path (`bm25_from_index`): the index stores
@@ -2050,23 +2084,9 @@ object SparkEntry {
     // the LakeTable commit (pruned partial rewrite + carried files)
     // must equal the PLAIN full merge over the whole table — the
     // full-recompute oracle for the transactional lifecycle
-    "table_commit" ->
-      """WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
-        | chg AS (
-        |   SELECT c_custkey,
-        |     CASE WHEN c_custkey % 7 = 3 THEN 'delete' ELSE 'upsert' END AS op,
-        |     CASE WHEN c_custkey % 7 = 3 THEN NULL ELSE 'MOVED' END AS c_mktsegment,
-        |     CAST(NULL AS DOUBLE) AS c_acctbal
-        |   FROM customer WHERE c_custkey BETWEEN 300 AND 400
-        |   UNION ALL
-        |   SELECT c_custkey + 100000, 'upsert', 'NEW', 0.0
-        |   FROM customer WHERE c_custkey % 50 = 0 AND c_custkey BETWEEN 300 AND 400)
-        |SELECT coalesce(c.c_custkey, b.c_custkey) AS c_custkey,
-        |       coalesce(c.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
-        |       coalesce(c.c_acctbal, b.c_acctbal) AS c_acctbal
-        |FROM base b FULL OUTER JOIN chg c ON b.c_custkey = c.c_custkey
-        |WHERE c.op IS NULL OR c.op = 'upsert'
-        |ORDER BY c_custkey""".stripMargin,
+    "table_commit" -> lakeMergeTwinSql,
+    // compaction is reader-invisible: same rows, same oracle
+    "table_compact" -> lakeMergeTwinSql,
 
     // snapshot v0 read AFTER v1 was committed == the untouched base
     "table_time_travel" ->

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.ChangeData
 
@@ -143,5 +143,85 @@ object LakeTable {
       else carried.unionByName(StatsManifest.statsOf(spark, newFiles, Seq(keyCol)))
     nextManifest.coalesce(1).write.mode("overwrite").parquet(manifestDir(tableDir, next))
     Commit(next, newFiles.size.toLong, (allFiles.length - touched.size).toLong)
+  }
+
+  /** Compaction commit: rewrite the snapshot's SMALL files
+    * (n_rows < smallFileRows) into ⌈rows/target⌉ key-clustered files;
+    * everything else carries by reference. Content-identical by
+    * construction — the same rows land in fewer, larger, re-clustered
+    * files — so a reader cannot tell a compaction happened except by
+    * file count. This is the maintenance half of the small-files story:
+    * the size-governed writer bounds what one commit produces, and
+    * compaction retires the long tail that many small commits still
+    * accumulate at 100 TB. */
+  def commitCompact(spark: SparkSession, tableDir: String, keyCol: String,
+                    smallFileRows: Long, targetRowsPerFile: Long): Commit = {
+    val v = versions(tableDir).last
+    val m = manifest(spark, tableDir, v)
+    val small = m.where(col("n_rows") < smallFileRows)
+      .select(col("file")).collect().map(_.getString(0))
+    val total = m.count()
+    val next = v + 1
+    if (small.isEmpty) {
+      // nothing to do — still snapshot (a commit is a commit), all carried
+      m.coalesce(1).write.mode("overwrite").parquet(manifestDir(tableDir, next))
+      return Commit(next, 0L, total)
+    }
+    val rows = spark.read.parquet(small.toIndexedSeq: _*).count()
+    val nFiles = math.max(1L, math.ceil(rows.toDouble / targetRowsPerFile).toLong).toInt
+    spark.read.parquet(small.toIndexedSeq: _*)
+      .repartitionByRange(nFiles, col(keyCol)).sortWithinPartitions(keyCol)
+      .write.mode("overwrite").option("maxRecordsPerFile", targetRowsPerFile)
+      .parquet(commitDir(tableDir, next))
+    val newFiles = listFiles(commitDir(tableDir, next))
+    m.where(!col("file").isin(small.toIndexedSeq: _*))
+      .unionByName(StatsManifest.statsOf(spark, newFiles, Seq(keyCol)))
+      .coalesce(1).write.mode("overwrite").parquet(manifestDir(tableDir, next))
+    Commit(next, newFiles.size.toLong, total - small.length)
+  }
+
+  /** Manifest-pruned read of a snapshot: load only the files whose key
+    * interval intersects [lo, hi] (the StatsManifest.scanPruned device
+    * over a versioned manifest), re-apply the row filter. Returns the
+    * dataframe plus (files scanned, files total). */
+  def scanPrunedVersion(spark: SparkSession, tableDir: String, v: Long,
+                        keyCol: String, lo: Column, hi: Column): (DataFrame, Long, Long) = {
+    val m = manifest(spark, tableDir, v)
+    val total = m.count()
+    val hits = m.where(col(s"min_$keyCol") <= hi && col(s"max_$keyCol") >= lo)
+      .select(col("file")).collect().map(_.getString(0))
+    val pruned =
+      if (hits.isEmpty) readVersion(spark, tableDir, v).where(lit(false))
+      else spark.read.parquet(hits.toIndexedSeq: _*)
+    (pruned.where(col(keyCol) >= lo && col(keyCol) <= hi), hits.length.toLong, total)
+  }
+
+  /** Retire history: keep the newest `keepVersions` snapshots, delete
+    * older version dirs, then delete every data file no RETAINED
+    * manifest references. Files born in an old commit but still
+    * referenced by a kept snapshot survive — reference counting over
+    * the manifests, not commit-dir age, decides. Driver-side file ops
+    * over file-count-sized lists. Returns (#versions dropped, #data
+    * files deleted). */
+  def vacuum(spark: SparkSession, tableDir: String, keepVersions: Int): (Long, Long) = {
+    require(keepVersions >= 1, "vacuum must keep at least the latest snapshot")
+    val vs = versions(tableDir)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
+    // manifest paths are input_file_name() URIs; normalize to local paths
+    def norm(p: String): String =
+      if (p.startsWith("file:")) java.net.URI.create(p).getPath else p
+    val referenced = keep.flatMap { v =>
+      manifest(spark, tableDir, v).select(col("file")).collect().map(r => norm(r.getString(0)))
+    }.toSet
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(): Unit
+    }
+    drop.foreach(v => rmTree(new java.io.File(vDir(tableDir, v))))
+    val dataFiles = Option(new java.io.File(s"$tableDir/files").listFiles()).toSeq.flatten
+      .flatMap(c => Option(c.listFiles()).toSeq.flatten)
+      .filter(_.getName.endsWith(".parquet"))
+    val dead = dataFiles.filterNot(f => referenced.contains(f.getAbsolutePath))
+    dead.foreach(_.delete())
+    (drop.size.toLong, dead.size.toLong)
   }
 }

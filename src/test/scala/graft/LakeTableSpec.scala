@@ -76,6 +76,52 @@ class LakeTableSpec extends AnyFunSuite {
     assert(got === rows(base) ++ rows(inserts.drop("op")))
   }
 
+  test("compaction: small files merge content-identically, large files carry; no-op when none qualify") {
+    val dir = Files.createTempDirectory("graft-lake-compact").toString
+    LakeTable.init(base, dir, "c_custkey", nFiles = 8) // ~19 rows per file
+    // threshold below every file size: a commit happens, nothing rewrites
+    val noop = LakeTable.commitCompact(spark, dir, "c_custkey",
+      smallFileRows = 10, targetRowsPerFile = 200)
+    assert(noop.version === 1L && noop.filesRewritten === 0L && noop.filesCarried === 8L)
+    assert(rows(LakeTable.readLatest(spark, dir)) === rows(base))
+    // threshold above every file size: all 8 merge into one clustered file
+    val c = LakeTable.commitCompact(spark, dir, "c_custkey",
+      smallFileRows = 25, targetRowsPerFile = 200)
+    assert(c.version === 2L && c.filesRewritten === 1L && c.filesCarried === 0L)
+    assert(LakeTable.manifest(spark, dir, 2L).count() === 1L)
+    // a reader cannot tell compaction happened except by file count
+    assert(rows(LakeTable.readLatest(spark, dir)) === rows(base))
+  }
+
+  test("pruned snapshot read: key range loads a strict file subset, answers exactly") {
+    val dir = Files.createTempDirectory("graft-lake-pruned").toString
+    LakeTable.init(base, dir, "c_custkey", nFiles = 8)
+    val (df, scanned, total) = LakeTable.scanPrunedVersion(spark, dir, 0L,
+      "c_custkey", lit(50L), lit(70L))
+    assert(total === 8L && scanned < total, s"scanned $scanned of $total")
+    assert(rows(df) === rows(base.where(col("c_custkey").between(50L, 70L))))
+  }
+
+  test("vacuum: old versions retire, unreferenced files delete, referenced survivors stay") {
+    val dir = Files.createTempDirectory("graft-lake-vacuum").toString
+    LakeTable.init(base, dir, "c_custkey", nFiles = 8)
+    LakeTable.commitMerge(batch(10, 30), dir, "c_custkey", targetRowsPerFile = 40)
+    val want = rows(LakeTable.readLatest(spark, dir))
+    def dataFiles() = Option(new java.io.File(s"$dir/files").listFiles()).toSeq.flatten
+      .flatMap(c => Option(c.listFiles()).toSeq.flatten)
+      .count(_.getName.endsWith(".parquet"))
+    val before = dataFiles()
+    val (droppedVersions, deletedFiles) = LakeTable.vacuum(spark, dir, keepVersions = 1)
+    assert(droppedVersions === 1L)
+    // v1 carries most c0 files by reference: they must SURVIVE the
+    // vacuum even though their commit dir is old; only the files the
+    // merge replaced (v0-only) die
+    assert(deletedFiles > 0L && deletedFiles < before.toLong, s"deleted $deletedFiles of $before")
+    assert(dataFiles() === before - deletedFiles.toInt)
+    assert(LakeTable.versions(dir) === Seq(1L))
+    assert(rows(LakeTable.readLatest(spark, dir)) === want)
+  }
+
   test("commits chain: every intermediate snapshot stays readable as committed") {
     val dir = Files.createTempDirectory("graft-lake-chain").toString
     LakeTable.init(base, dir, "c_custkey", nFiles = 8)
