@@ -877,7 +877,10 @@ object SparkEntry {
         t(ss, d).documents.select(col("doc_id"), col("lang"), col("text")))
       val out = java.nio.file.Files.createTempDirectory("graft-ingest-out").toString
       graft.streaming.IngestPipeline
-        .runIngest(ss, src, storeDir, rates, out, targetRowsPerFile = 5000L)
+        .runIngest(ss, src, storeDir, rates, out, targetRowsPerFile = 5000L,
+          // bloom-fronted store scan: exact (no false negatives), so the
+          // oracle hash ALSO proves the runtime-filter path loses nothing
+          bloomBits = 1L << 20)
         .orderBy("doc_id", "chunk_idx")
     }),
     // streaming CDC → current snapshot: foreachBatch maintains a

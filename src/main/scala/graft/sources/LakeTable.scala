@@ -112,10 +112,15 @@ object LakeTable {
     val spark = changes.sparkSession
     val v = versions(tableDir).last
     val m = manifest(spark, tableDir, v)
+    // broadcast the MANIFEST (file-count-sized) and stream the batch's
+    // keys against it — at 100 TB the change batch can be millions of
+    // keys while the manifest is tens of thousands of rows, so the
+    // interval join must broadcast the manifest side, never the keys
     val keys = changes.select(col(keyCol).as("__k")).distinct()
-    val touched = m.join(keys,
-        col(s"min_$keyCol") <= col("__k") && col(s"max_$keyCol") >= col("__k"), "left_semi")
-      .select(col("file")).collect().map(_.getString(0)).toSet
+    val touched = keys.join(broadcast(m.select(col("file"),
+          col(s"min_$keyCol"), col(s"max_$keyCol"))),
+        col(s"min_$keyCol") <= col("__k") && col(s"max_$keyCol") >= col("__k"))
+      .select(col("file")).distinct().collect().map(_.getString(0)).toSet
     val allFiles = m.select(col("file")).collect().map(_.getString(0))
 
     val base =

@@ -32,9 +32,9 @@ import graft.operators.{Corpus, Dedup}
   * is never re-written, only appended); rates ride a broadcast; the
   * chunker is a narrow generator; the landing is ⌈rows/target⌉ files.
   * Nothing in the loop scales with stream history except the store
-  * scan, which a production deployment replaces with a bucketed or
-  * bloom-fronted digest table (Sketches.bloomSemiFilter is the shipped
-  * half of that).
+  * scan — and with `bloomBits` set, even that is cut to a batch-sized
+  * candidate set before the shuffle (a batch-built broadcast Bloom
+  * filter in the store scan's predicate; exact, see [[ingestBatch]]).
   */
 object IngestPipeline {
 
@@ -56,15 +56,35 @@ object IngestPipeline {
 
   /** One micro-batch of the ingest, exposed so the spec can re-run a
     * batch verbatim and prove replay idempotence. `rates` must be the
-    * fixed profile policy, not derived from `batch`. */
+    * fixed profile policy, not derived from `batch`.
+    *
+    * `bloomBits > 0` fronts the store scan with a Bloom filter BUILT
+    * FROM THE BATCH's digests (the small side) and broadcast into the
+    * store scan's predicate: store rows that cannot match any batch
+    * digest drop before the anti-join shuffle. EXACT by construction —
+    * Bloom has no false negatives, so every store digest that could
+    * kill a batch row survives the filter; false positives only cost
+    * wasted probe rows. At 100 TB this is the difference between
+    * shuffling the full digest history every micro-batch and shuffling
+    * a batch-sized candidate set. */
   def ingestBatch(batch: DataFrame, batchId: Long, storeDir: String,
                   rates: DataFrame, outDir: String, targetRowsPerFile: Long,
-                  chunkSize: Int): Unit = {
+                  chunkSize: Int, bloomBits: Long = 0L,
+                  bloomItems: Long = 100000L): Unit = {
     val ss = batch.sparkSession
     // the store AS OF this batch: seed + strictly earlier commits
     val priorDirs = s"$storeDir/seed" +:
       storeBatchIds(storeDir).filter(_ < batchId).map(i => s"$storeDir/b$i")
-    val store = priorDirs.map(ss.read.parquet(_)).reduce(_ unionAll _)
+    val storeAll = priorDirs.map(ss.read.parquet(_)).reduce(_ unionAll _)
+    val store =
+      if (bloomBits <= 0L) storeAll
+      else graft.operators.Sketches.bloomSemiFilter(
+        // might_contain probes on BIGINT: key the filter on the 64-bit
+        // hash of the digest on BOTH sides (equal digests → equal
+        // hashes, so the no-false-negative guarantee carries over)
+        batch.select(xxhash64(sha2(col("text"), 256)).as("k")), "k",
+        storeAll.withColumn("__k", xxhash64(col("h"))), "__k",
+        bloomItems, bloomBits).drop("__k")
     val fresh = Dedup.incrementalDigestDedup(batch, store)
     val survivors = batch.join(fresh.select(col("doc_id")), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("text"))
@@ -83,11 +103,12 @@ object IngestPipeline {
     * pre-seeded digest history under `seed/`. */
   def runIngest(spark: SparkSession, srcDir: String, storeDir: String,
                 rates: DataFrame, outDir: String, targetRowsPerFile: Long,
-                chunkSize: Int = 256): DataFrame = {
+                chunkSize: Int = 256, bloomBits: Long = 0L,
+                bloomItems: Long = 100000L): DataFrame = {
     val q = readDocStream(spark, srcDir).writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         ingestBatch(batch.toDF(), batchId, storeDir, rates, outDir,
-          targetRowsPerFile, chunkSize)
+          targetRowsPerFile, chunkSize, bloomBits, bloomItems)
       }
       .start()
     q.processAllAvailable()

@@ -491,6 +491,16 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("doc_id"), col("lang"), col("chunk_idx"), col("chunk"))
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
     assert(replayed === got)
+    // the bloom-fronted store scan is EXACT (no false negatives): the
+    // same run with the runtime filter on answers identically
+    val storeDir2 = Files.createTempDirectory("graft-ingest-st2").toString
+    Seq("stored text").toDF("text").select(sha2($"text", 256).as("h"))
+      .write.parquet(s"$storeDir2/seed")
+    val out2 = Files.createTempDirectory("graft-ingest-o2").toString
+    val bloomed = IngestPipeline.runIngest(spark, src, storeDir2, rates, out2,
+        targetRowsPerFile = 100L, chunkSize = 8, bloomBits = 1L << 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    assert(bloomed === got)
   }
 
   test("mapGroupsWithState running totals match a direct fold") {
