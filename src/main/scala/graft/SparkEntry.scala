@@ -895,6 +895,17 @@ object SparkEntry {
       val table = java.nio.file.Files.createTempDirectory("graft-cow-latest").toString
       EventStreams.runLatestImageMerge(ss, tmp, table).orderBy("user_id")
     }),
+    // the same CDC materialization, committed INTO a LakeTable: every
+    // micro-batch is a version-pinned LWW commit with interval-pruned
+    // partial rewrites and time travel across batch boundaries; the
+    // doubled source (2 copies × 2 files) proves redelivery-safety
+    // through the oracle, which is the same batch argmax
+    "streaming_table_commits" -> ((s, d) => {
+      val tmp = stageEvents(s, d, copies = 2, filesPerCopy = 2)
+      val ss = streamSession(s)
+      val table = java.nio.file.Files.createTempDirectory("graft-lake-cdc").toString
+      EventStreams.runLatestImageLake(ss, tmp, table).orderBy("user_id")
+    }),
     // partitioned parquet layout + partition pruning: only the matching
     // o_orderpriority directory is scanned (SourcesSpec asserts the
     // PartitionFilters reach the file index)
@@ -1028,6 +1039,17 @@ object SparkEntry {
   // BIND at sf0.01 (df range 25..402 over 500 docs) so the stop-term
   // enforcement is exercised through the oracle gate, not just specs
   private[graft] val RetrievalMaxDf = 390
+
+  /** One argmax twin serves both CDC materializations: the hand-rolled
+    * version-dir table (`streaming_latest_image`) and the LakeTable-
+    * committed one (`streaming_table_commits`). */
+  private lazy val latestImageTwinSql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, event_id, event_type, value FROM events),
+      | r AS (SELECT user_id, tsu, event_id, event_type, value,
+      |        row_number() OVER (PARTITION BY user_id ORDER BY tsu DESC, event_id DESC) AS rn FROM e)
+      |SELECT user_id, tsu AS last_ts, event_id AS last_event_id,
+      |       event_type AS last_type, value AS last_value
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
   /** One merge twin serves both LakeTable queries: `table_commit`
     * (merge alone) and `table_compact` (merge + compaction) — the
@@ -1587,13 +1609,10 @@ object SparkEntry {
 
     // the versioned CoW latest-image table must equal the batch argmax
     // per user (LWW by (ts, event_id)) over the single-copy events
-    "streaming_latest_image" ->
-      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, event_id, event_type, value FROM events),
-        | r AS (SELECT user_id, tsu, event_id, event_type, value,
-        |        row_number() OVER (PARTITION BY user_id ORDER BY tsu DESC, event_id DESC) AS rn FROM e)
-        |SELECT user_id, tsu AS last_ts, event_id AS last_event_id,
-        |       event_type AS last_type, value AS last_value
-        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "streaming_latest_image" -> latestImageTwinSql,
+    // LakeTable-committed variant: same final image, same oracle —
+    // the pruned partial rewrites are reader-invisible
+    "streaming_table_commits" -> latestImageTwinSql,
 
     // the streaming pipeline must converge to the identical batch answer
     "streaming_tumbling_agg" ->

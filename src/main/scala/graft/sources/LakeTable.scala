@@ -150,6 +150,59 @@ object LakeTable {
     Commit(next, newFiles.size.toLong, (allFiles.length - touched.size).toLong)
   }
 
+  /** Version-PINNED last-writer-wins commit — the LakeTable backend for
+    * a streaming CDC materialization (EventStreams.runLatestImageLake):
+    * fold a batch of key images into the table, newest row per key
+    * winning by the `orderedPayload` prefix (an argmax via
+    * max(struct(...)), the runLatestImageMerge rule — NOT the
+    * change-wins coalesce of [[commitMerge]], so an out-of-order image
+    * arriving in a later batch loses to a newer base row).
+    *
+    * The version is the CALLER's (a micro-batch id): the commit merges
+    * against the newest version STRICTLY BELOW it and overwrites its
+    * own commit + manifest dirs, so a re-delivered batch reproduces
+    * exactly its original commit instead of stacking a new version —
+    * the replay contract, now with the pruned-rewrite economics:
+    * untouched files carry by reference like every other commit.
+    * A first commit (no earlier version) seeds the table. */
+  def commitLatestImageAt(images: DataFrame, tableDir: String, keyCol: String,
+                          orderedPayload: Seq[String], targetRowsPerFile: Long,
+                          version: Long): Commit = {
+    val spark = images.sparkSession
+    def latestOf(df: DataFrame): DataFrame = df
+      .groupBy(col(keyCol))
+      .agg(max(struct(orderedPayload.map(col): _*)).as("__m"))
+      .select(col(keyCol) +: orderedPayload.map(c => col(s"__m.$c").as(c)): _*)
+    val prior = versions(tableDir).filter(_ < version)
+    val (merged, touched, carriedM, totalBase) = prior.lastOption match {
+      case None => (latestOf(images), Set.empty[String], None, 0L)
+      case Some(v) =>
+        val m = manifest(spark, tableDir, v)
+        val keys = images.select(col(keyCol).as("__k")).distinct()
+        val touched = keys.join(broadcast(m.select(col("file"),
+              col(s"min_$keyCol"), col(s"max_$keyCol"))),
+            col(s"min_$keyCol") <= col("__k") && col(s"max_$keyCol") >= col("__k"))
+          .select(col("file")).distinct().collect().map(_.getString(0)).toSet
+        val allFiles = m.select(col("file")).collect().map(_.getString(0))
+        val base =
+          if (touched.nonEmpty) spark.read.parquet(touched.toIndexedSeq: _*)
+          else spark.read.parquet(allFiles.head).where(lit(false))
+        val carried = if (touched.isEmpty) m else m.where(!col("file").isin(touched.toSeq: _*))
+        (latestOf(base.unionByName(latestOf(images))), touched, Some(carried),
+          allFiles.length.toLong)
+    }
+    val rows = merged.count()
+    val nFiles = math.max(1L, math.ceil(rows.toDouble / targetRowsPerFile).toLong).toInt
+    merged.repartitionByRange(nFiles, col(keyCol)).sortWithinPartitions(keyCol)
+      .write.mode("overwrite").option("maxRecordsPerFile", targetRowsPerFile)
+      .parquet(commitDir(tableDir, version))
+    val newFiles = listFiles(commitDir(tableDir, version))
+    val newStats = StatsManifest.statsOf(spark, newFiles, Seq(keyCol))
+    carriedM.map(_.unionByName(newStats)).getOrElse(newStats)
+      .coalesce(1).write.mode("overwrite").parquet(manifestDir(tableDir, version))
+    Commit(version, newFiles.size.toLong, totalBase - touched.size)
+  }
+
   /** Compaction commit: rewrite the snapshot's SMALL files
     * (n_rows < smallFileRows) into ⌈rows/target⌉ key-clustered files;
     * everything else carries by reference. Content-identical by

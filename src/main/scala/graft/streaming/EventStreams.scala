@@ -425,6 +425,44 @@ object EventStreams {
     }
   }
 
+  /** Streaming CDC → LakeTable: the versioned-directory device of
+    * [[runLatestImageMerge]] upgraded to the full table lifecycle —
+    * each micro-batch folds its per-key latest images into a
+    * `graft.sources.LakeTable` via a version-PINNED last-writer-wins
+    * commit (version = batchId, merging against the newest strictly
+    * earlier version), which buys what the hand-rolled version dirs
+    * could not: interval-pruned partial rewrites (untouched files carry
+    * by reference, stats recomputed for rewritten files only),
+    * manifest-backed time travel over every micro-batch boundary, and
+    * compaction/vacuum afterwards with the same tools as any other
+    * table. Out-of-order, replay and redelivery proofs carry over from
+    * the LWW argmax + overwrite-own-version contract. */
+  def runLatestImageLake(spark: SparkSession, srcDir: String, tableDir: String,
+                         targetRowsPerFile: Long = 5000L): DataFrame = {
+    require(graft.sources.LakeTable.versions(tableDir).isEmpty,
+      s"runLatestImageLake needs a fresh tableDir: $tableDir (no checkpoint → batchIds restart)")
+    val q = readEventStream(spark, srcDir).writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val images = batch.select(col("user_id"), col("ts").as("last_ts"),
+          col("event_id").as("last_event_id"), col("event_type").as("last_type"),
+          col("value").as("last_value"))
+        graft.sources.LakeTable.commitLatestImageAt(images, tableDir, "user_id",
+          Seq("last_ts", "last_event_id", "last_type", "last_value"),
+          targetRowsPerFile, version = batchId)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    if (graft.sources.LakeTable.versions(tableDir).isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField("user_id", LongType), StructField("last_ts", TimestampType),
+          StructField("last_event_id", LongType), StructField("last_type", StringType),
+          StructField("last_value", DoubleType))))
+    else graft.sources.LakeTable.readLatest(spark, tableDir)
+  }
+
   /** Convenience: run a streaming DataFrame to completion against a
     * bounded source dir and return the final result via a named
     * in-memory sink table. */

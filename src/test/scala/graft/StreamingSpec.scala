@@ -444,6 +444,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(first <= last)
   }
 
+  test("CDC into LakeTable: LWW commits, time travel across batches, replayed commit idempotent") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.LakeTable
+    val dir = Files.createTempDirectory("graft-lakecdc-src").toString
+    val df = Seq(
+      (10L, ts(60), 100L, "purchase", 5.0, ""),
+      (2L, ts(10), 100L, "click", 1.0, ""),
+      (3L, ts(20), 200L, "view", 2.0, ""),
+      (10L, ts(60), 100L, "purchase", 5.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // b0: user 100's NEWER event; b1: its OLDER one + user 200; b2: b0 redelivered
+    df.where($"event_id" === 10L).limit(1).coalesce(1).write.parquet(s"$dir/b0")
+    df.where($"event_id" < 10L).coalesce(1).write.parquet(s"$dir/b1")
+    df.where($"event_id" === 10L).limit(1).coalesce(1).write.parquet(s"$dir/b2")
+    new java.io.File(s"$dir/b0").setLastModified(1000000L)
+    new java.io.File(s"$dir/b1").setLastModified(2000000L)
+    new java.io.File(s"$dir/b2").setLastModified(3000000L)
+    val table = Files.createTempDirectory("graft-lakecdc-tbl").toString
+    val fin = EventStreams.runLatestImageLake(spark, s"$dir/{b0,b1,b2}", table, 100L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    // out-of-order safe: the older id-2 event never displaces id 10
+    assert(fin(100L) === (10L, "purchase"), fin.toString)
+    assert(fin(200L) === (3L, "view"))
+    // one snapshot per micro-batch; time travel reads v0 as committed
+    assert(LakeTable.versions(table).size >= 2)
+    val v0 = LakeTable.readVersion(spark, table, LakeTable.versions(table).head)
+    assert(v0.count() <= fin.size.toLong)
+    // replay batch 0 verbatim: version-pinned overwrite, table unchanged
+    val images0 = spark.read.parquet(s"$dir/b0")
+      .select(col("user_id"), col("ts").as("last_ts"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+    LakeTable.commitLatestImageAt(images0, table, "user_id",
+      Seq("last_ts", "last_event_id", "last_type", "last_value"), 100L, version = 0L)
+    val replayed = LakeTable.readLatest(spark, table)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(replayed === fin)
+  }
+
   test("streaming ingest: cross-batch + store dedup, fixed rates, replayed batch idempotent") {
     import org.apache.spark.sql.functions.{col, lit, sha2}
     import graft.streaming.IngestPipeline
