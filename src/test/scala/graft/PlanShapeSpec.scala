@@ -130,6 +130,56 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(physical.contains("BroadcastHashJoin"), physical)
   }
 
+  test("inverted index: the df cap gates the posting aggregation — no collect_list below the cap join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val df = graft.operators.Retrieval.invertedIndex(t.documents, maxDf = 5)
+    val plan = df.queryExecution.optimizedPlan
+    // the top aggregate carries the posting collect_list…
+    val top = plan.collectFirst { case a: Aggregate
+      if a.aggregateExpressions.exists(_.toString.contains("collect_list")) => a }
+    assert(top.isDefined, plan.toString)
+    // …and strictly below it sits the cap join (df pre-agg ⋉ postings),
+    // so no list state ever forms for a stop term
+    val join = top.get.child.collectFirst { case j: Join => j }
+    assert(join.isDefined, s"expected the cap semi-join under the posting agg:\n$plan")
+    val countAggBelowJoin = join.get.collectFirst { case a: Aggregate
+      if a.aggregateExpressions.exists(_.toString.contains("count")) &&
+        !a.aggregateExpressions.exists(_.toString.contains("collect_list")) => a }
+    assert(countAggBelowJoin.isDefined,
+      s"cap side must be a count-only aggregate (bounded state):\n$plan")
+  }
+
+  test("LakeTable commit: the interval join broadcasts the manifest, streams the change keys") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-lake").toString
+    val base = t.customer.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    graft.sources.LakeTable.init(base, dir, "c_custkey", nFiles = 4)
+    // reproduce the commit's pruning join shape and inspect its plan
+    val m = graft.sources.LakeTable.manifest(spark, dir, 0L)
+    val keys = base.where(col("c_custkey").between(10, 30))
+      .select(col("c_custkey").as("__k")).distinct()
+    val probe = keys.join(broadcast(m.select(col("file"),
+        col("min_c_custkey"), col("max_c_custkey"))),
+      col("min_c_custkey") <= col("__k") && col("max_c_custkey") >= col("__k"))
+    val plan = simple(probe)
+    // non-equi ⇒ nested loop, but the BUILD side must be the manifest
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight"), plan)
+  }
+
+  test("bloom-fronted store: might_contain filters the store scan before any join") {
+    import org.apache.spark.sql.functions._
+    val store = t.documents.select(sha2(col("text"), 256).as("h"))
+    val batch = t.documents.where(col("doc_id") % 2 === 0)
+      .select(xxhash64(sha2(col("text"), 256)).as("k"))
+    val filtered = graft.operators.Sketches.bloomSemiFilter(
+      batch, "k", store.withColumn("__k", xxhash64(col("h"))), "__k",
+      expectedItems = 1000L, numBits = 1L << 16)
+    val plan = formatted(filtered)
+    assert(plan.contains("might_contain"), plan)
+    // a filter, not a join: the store side never shuffles for this
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("dynamic partition pruning: a selective dim filter prunes fact partitions at runtime") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft-dpp").toString
