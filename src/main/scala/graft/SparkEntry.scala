@@ -670,6 +670,22 @@ object SparkEntry {
         smallFileRows = 200, targetRowsPerFile = 1000)
       LakeTable.readLatest(s, dir).orderBy("c_custkey")
     }),
+    // ADDITIVE SCHEMA EVOLUTION through a commit: the batch carries a
+    // column the table never had (c_tier); touched rows take its
+    // values, carried files read it as NULL via mergeSchema — Delta's
+    // mergeSchema posture from plain column algebra, full-recompute
+    // oracle with the same union-payload semantics
+    "table_evolve" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-lake-ev").toString
+      LakeTable.init(tableCommitBase(s, d), dir, "c_custkey", nFiles = 8)
+      val evolved = tableCommitChanges(s, d)
+        .withColumn("c_tier",
+          when(col("op") === "upsert", lit("GOLD")).otherwise(lit(null).cast("string")))
+      LakeTable.commitMerge(evolved, dir, "c_custkey", targetRowsPerFile = 250)
+      LakeTable.readLatest(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"), col("c_tier"))
+        .orderBy("c_custkey")
+    }),
     // time travel: after the commit above, snapshot v0 must still read
     // as the ORIGINAL table, byte-for-byte (the oracle is the plain
     // base projection)
@@ -2109,6 +2125,27 @@ object SparkEntry {
     "table_commit" -> lakeMergeTwinSql,
     // compaction is reader-invisible: same rows, same oracle
     "table_compact" -> lakeMergeTwinSql,
+    // the union-payload evolution: rows the batch upserted carry the
+    // new column's value; every other surviving row reads NULL
+    "table_evolve" ->
+      """WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+        | chg AS (
+        |   SELECT c_custkey,
+        |     CASE WHEN c_custkey % 7 = 3 THEN 'delete' ELSE 'upsert' END AS op,
+        |     CASE WHEN c_custkey % 7 = 3 THEN NULL ELSE 'MOVED' END AS c_mktsegment,
+        |     CAST(NULL AS DOUBLE) AS c_acctbal,
+        |     CASE WHEN c_custkey % 7 = 3 THEN NULL ELSE 'GOLD' END AS c_tier
+        |   FROM customer WHERE c_custkey BETWEEN 300 AND 400
+        |   UNION ALL
+        |   SELECT c_custkey + 100000, 'upsert', 'NEW', 0.0, 'GOLD'
+        |   FROM customer WHERE c_custkey % 50 = 0 AND c_custkey BETWEEN 300 AND 400)
+        |SELECT coalesce(c.c_custkey, b.c_custkey) AS c_custkey,
+        |       coalesce(c.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+        |       coalesce(c.c_acctbal, b.c_acctbal) AS c_acctbal,
+        |       c.c_tier AS c_tier
+        |FROM base b FULL OUTER JOIN chg c ON b.c_custkey = c.c_custkey
+        |WHERE c.op IS NULL OR c.op = 'upsert'
+        |ORDER BY c_custkey""".stripMargin,
 
     // snapshot v0 read AFTER v1 was committed == the untouched base
     "table_time_travel" ->

@@ -25,22 +25,37 @@ object ChangeData {
     * broadcasts instead when the batch is small enough).
     *
     * `changes` carries the key, an `op` column (`upsert` | `delete`)
-    * and the base's payload columns; a NULL payload column in an
-    * upsert keeps the base value (partial-update semantics, like
+    * and payload columns; a NULL payload column in an upsert keeps the
+    * base value (partial-update semantics, like
     * `MERGE … UPDATE SET c = coalesce(src.c, tgt.c)`).
     *   - upsert + match    → update (column-wise coalesce)
     *   - upsert + no match → insert
     *   - delete + match    → drop the row
     *   - base-only         → carried through unchanged
+    *
+    * ADDITIVE SCHEMA EVOLUTION: the output payload is the UNION of
+    * both sides' columns (base order first, batch-new columns
+    * appended). A column only the batch carries reads as NULL on base
+    * rows the batch never touched; a column only the base carries
+    * keeps its base value on every surviving row — exactly Delta's
+    * `mergeSchema` posture, as plain column algebra.
+    *
     * Keys must be unique on both sides (a CDC batch is deduped to its
     * latest image per key upstream — see Dedup / EventStreams.dedupEvents).
     */
   def mergeApply(base: DataFrame, changes: DataFrame, keyCol: String,
                  opCol: String = "op"): DataFrame = {
-    val payload = base.columns.filterNot(_ == keyCol).toSeq
-    val b = base.select(col(keyCol) +: payload.map(c => col(c).as(s"__b_$c")): _*)
-    val c = changes.select(col(keyCol) +: col(opCol).as("__op") +:
-      payload.map(p => col(p).as(s"__c_$p")): _*)
+    val basePayload = base.columns.filterNot(_ == keyCol).toSeq
+    val chgPayload = changes.columns.filterNot(c => c == keyCol || c == opCol).toSeq
+    val payload = basePayload ++ chgPayload.filterNot(basePayload.contains)
+    val b = base.select(col(keyCol) +: payload.map { c =>
+      (if (basePayload.contains(c)) col(c)
+       else lit(null).cast(changes.schema(c).dataType)).as(s"__b_$c")
+    }: _*)
+    val c = changes.select(col(keyCol) +: col(opCol).as("__op") +: payload.map { p =>
+      (if (chgPayload.contains(p)) col(p)
+       else lit(null).cast(base.schema(p).dataType)).as(s"__c_$p")
+    }: _*)
     b.join(c, Seq(keyCol), "full_outer")
       .where(col("__op").isNull || col("__op") === "upsert")
       .select(col(keyCol) +: payload.map(p =>

@@ -79,11 +79,15 @@ object LakeTable {
 
   /** Time-travel read: the file list of snapshot `v`, whatever commits
     * happened since. File-count-sized driver collect — the same scale
-    * class as Spark's own file index (and StatsManifest.scanPruned). */
+    * class as Spark's own file index (and StatsManifest.scanPruned).
+    * `mergeSchema` because commits may EVOLVE the schema additively
+    * (ChangeData.mergeApply's union-payload contract): carried files
+    * predating a new column read it as NULL, which is the evolution
+    * semantics a reader expects. */
   def readVersion(spark: SparkSession, tableDir: String, v: Long): DataFrame = {
     val files = manifest(spark, tableDir, v).select(col("file"))
       .collect().map(_.getString(0))
-    spark.read.parquet(files.toIndexedSeq: _*)
+    spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*)
   }
 
   def readLatest(spark: SparkSession, tableDir: String): DataFrame =
@@ -124,7 +128,7 @@ object LakeTable {
     val allFiles = m.select(col("file")).collect().map(_.getString(0))
 
     val base =
-      if (touched.nonEmpty) spark.read.parquet(touched.toIndexedSeq: _*)
+      if (touched.nonEmpty) spark.read.option("mergeSchema", "true").parquet(touched.toIndexedSeq: _*)
       else spark.read.parquet(allFiles.head).where(lit(false)) // schema-only: all inserts
     val merged = ChangeData.mergeApply(
       base.drop(opCol), changes, keyCol, opCol)
@@ -227,7 +231,7 @@ object LakeTable {
     }
     val rows = spark.read.parquet(small.toIndexedSeq: _*).count()
     val nFiles = math.max(1L, math.ceil(rows.toDouble / targetRowsPerFile).toLong).toInt
-    spark.read.parquet(small.toIndexedSeq: _*)
+    spark.read.option("mergeSchema", "true").parquet(small.toIndexedSeq: _*)
       .repartitionByRange(nFiles, col(keyCol)).sortWithinPartitions(keyCol)
       .write.mode("overwrite").option("maxRecordsPerFile", targetRowsPerFile)
       .parquet(commitDir(tableDir, next))

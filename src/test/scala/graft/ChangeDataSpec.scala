@@ -29,6 +29,23 @@ class ChangeDataSpec extends AnyFunSuite {
       (1L, "A", 10.0), (2L, "B2", 21.0), (3L, "C2", 30.0), (9L, "NEW", 90.0)))
   }
 
+  test("mergeApply evolves schema additively in both directions") {
+    val base = Seq((1L, "A"), (2L, "B")).toDF("k", "seg")
+    // the batch carries a NEW column `tier` and OMITS `seg`
+    val changes = Seq(
+      (2L, "upsert", "gold"),           // update: keeps seg from base, gains tier
+      (9L, "upsert", "silver")          // insert: no base seg -> null
+    ).toDF("k", "op", "tier")
+    val out = ChangeData.mergeApply(base, changes, "k")
+    assert(out.columns.toSeq === Seq("k", "seg", "tier"))
+    val rows = out.orderBy("k")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2)))).toSeq
+    assert(rows === Seq(
+      (1L, Some("A"), None),            // untouched base row: new column reads NULL
+      (2L, Some("B"), Some("gold")),    // batch-omitted column retained from base
+      (9L, None, Some("silver"))))      // insert: base-only column NULL
+  }
+
   test("scd2Intervals collapses runs and emits contiguous, versioned intervals") {
     def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
     val log = Seq(

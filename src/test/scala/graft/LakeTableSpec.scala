@@ -122,6 +122,22 @@ class LakeTableSpec extends AnyFunSuite {
     assert(rows(LakeTable.readLatest(spark, dir)) === want)
   }
 
+  test("schema evolution: a batch-new column lands on touched rows, reads NULL on carried files") {
+    val dir = Files.createTempDirectory("graft-lake-evolve").toString
+    LakeTable.init(base, dir, "c_custkey", nFiles = 8)
+    val evolved = batch(10, 30).withColumn("c_tier",
+      when(col("op") === "upsert", lit("gold")).otherwise(lit(null).cast("string")))
+    val c = LakeTable.commitMerge(evolved, dir, "c_custkey", targetRowsPerFile = 40)
+    assert(c.filesCarried > 0L, "evolution must coexist with carried old-schema files")
+    val out = LakeTable.readLatest(spark, dir)
+    assert(out.columns.contains("c_tier"))
+    // upserted rows carry the value; rows in carried (old-schema) files read NULL
+    assert(out.where(col("c_custkey") === 11L).head().getAs[String]("c_tier") === "gold")
+    assert(out.where(col("c_custkey") === 100L).head().getAs[String]("c_tier") === null)
+    // v0 time travel still reads the PRE-evolution schema
+    assert(!LakeTable.readVersion(spark, dir, 0L).columns.contains("c_tier"))
+  }
+
   test("commits chain: every intermediate snapshot stays readable as committed") {
     val dir = Files.createTempDirectory("graft-lake-chain").toString
     LakeTable.init(base, dir, "c_custkey", nFiles = 8)
