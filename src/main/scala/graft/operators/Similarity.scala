@@ -564,10 +564,14 @@ object Similarity {
       .join(broadcast(qtab), Seq("q_id", "cell"))
       .select(col("q_id"), col("c_id"),
         vec_adc_score(col("tables"), col("codes")).as("dist"))
-    // ADC shortlist: rerank·k per query, from codes alone
-    val adcW = Window.partitionBy(col("q_id")).orderBy(asc("dist"), asc("c_id"))
-    val shortlist = scored.withColumn("adc_rank", row_number().over(adcW))
-      .where(col("adc_rank") <= k * rerank)
+    // ADC shortlist: rerank·k per query, from codes alone. This is the
+    // engine's own GroupedTopK physical operator, not a row_number
+    // window: a bounded k·rerank heap per query with map-side partial
+    // reduction, so candidates never fully sort and the exchange moves
+    // at most k·rerank rows per (partition, query) — the right shape
+    // when nProbe cells make the per-query candidate set large.
+    val shortlist = graft.plans.GroupedTopK.topKPerKey(
+        scored, Seq("q_id"), Seq(("dist", false), ("c_id", false)), k * rerank)
       .select(col("q_id"), col("c_id"))
     // exact verify: only the bounded shortlist (nQueries · rerank·k
     // rows) reads original vectors — broadcast as the build side so
