@@ -98,6 +98,37 @@ object IngestPipeline {
     fresh.select(col("h")).write.mode("overwrite").parquet(s"$storeDir/b$batchId")
   }
 
+  /** Fold finalized batch commits into the seed — the store's
+    * compaction. Without it the digest store is seed + one directory
+    * per micro-batch forever, and every batch's scan unions an
+    * ever-growing dir list. Merging `b0..bThroughBatch` into the seed
+    * (distinct, one write, then retire the batch dirs) keeps the dir
+    * list bounded by compaction cadence.
+    *
+    * FINALIZATION CONTRACT: only compact batches that can no longer
+    * replay (their offsets are committed in the stream's checkpoint) —
+    * a replayed batch must see the store AS OF its original run, and
+    * compaction folds later digests into the seed where an earlier
+    * replay would wrongly dedup against them. The caller owns that
+    * horizon, exactly like a lake vacuum owns its retention window.
+    * Returns the number of batch dirs retired. */
+  def compactStore(spark: SparkSession, storeDir: String, throughBatch: Long): Long = {
+    val ids = storeBatchIds(storeDir).filter(_ <= throughBatch)
+    if (ids.isEmpty) return 0L
+    val dirs = s"$storeDir/seed" +: ids.map(i => s"$storeDir/b$i")
+    val merged = dirs.map(spark.read.parquet(_)).reduce(_ unionAll _).distinct()
+    val staging = s"$storeDir/.seed_next"
+    merged.coalesce(1).write.mode("overwrite").parquet(staging)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(s"$storeDir/seed"))
+    require(new java.io.File(staging).renameTo(new java.io.File(s"$storeDir/seed")),
+      s"store compaction swap failed in $storeDir")
+    ids.foreach(i => rm(new java.io.File(s"$storeDir/b$i")))
+    ids.size.toLong
+  }
+
   /** Run the ingest against a bounded source dir to completion and
     * return the landed chunk table. `storeDir` must contain the
     * pre-seeded digest history under `seed/`. */

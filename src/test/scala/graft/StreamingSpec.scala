@@ -539,6 +539,21 @@ class StreamingSpec extends AnyFunSuite {
         targetRowsPerFile = 100L, chunkSize = 8, bloomBits = 1L << 16)
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
     assert(bloomed === got)
+    // store compaction: fold the finalized batch commits into the seed —
+    // dir list shrinks, and the NEXT batch dedups identically against it
+    val retired = IngestPipeline.compactStore(spark, storeDir, throughBatch = 1L)
+    assert(retired === 2L)
+    assert(!new java.io.File(s"$storeDir/b0").exists())
+    val nextBatch = Seq(
+      (7L, "en", "alpha beta gamma"),  // dup of compacted doc 1: must still drop
+      (8L, "en", "brand new text")
+    ).toDF("doc_id", "lang", "text")
+    IngestPipeline.ingestBatch(nextBatch, 2L, storeDir, rates, out,
+      targetRowsPerFile = 100L, chunkSize = 8)
+    val after = spark.read.parquet(out)
+      .select(col("doc_id"), col("lang"), col("chunk_idx"), col("chunk"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    assert(after === got ++ Set((8L, 0L, "brand ne"), (8L, 1L, "w text")))
   }
 
   test("mapGroupsWithState running totals match a direct fold") {
