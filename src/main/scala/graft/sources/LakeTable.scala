@@ -60,22 +60,32 @@ object LakeTable {
       .flatMap(f => scala.util.Try(f.getName.drop(1).toLong).toOption)
       .sorted
 
-  /** Create the table: cluster the seed data on the key (range
-    * partition + in-file sort, so file key-intervals are disjoint and
-    * commit-time pruning bites), stat the files, snapshot as v0. */
-  def init(df: DataFrame, tableDir: String, keyCol: String, nFiles: Int): Commit = {
+  /** Create the table: cluster the seed data (range partition +
+    * in-file sort — on the key by default, or a caller expression such
+    * as a [[StatsManifest.zValueN]] interleave for multi-dimensional
+    * locality), stat the files, snapshot as v0. The manifest carries
+    * min/max for the key plus every column in `statsCols`; later
+    * commits INHERIT that stats schema from the manifest itself, so
+    * the per-file skipping surface is decided once, at init. */
+  def init(df: DataFrame, tableDir: String, keyCol: String, nFiles: Int,
+           statsCols: Seq[String] = Nil, clusterExpr: Option[Column] = None): Commit = {
     require(versions(tableDir).isEmpty, s"LakeTable.init needs a fresh tableDir: $tableDir")
     val spark = df.sparkSession
-    df.repartitionByRange(nFiles, col(keyCol)).sortWithinPartitions(keyCol)
+    val cluster = clusterExpr.getOrElse(col(keyCol))
+    df.repartitionByRange(nFiles, cluster).sortWithinPartitions(cluster)
       .write.mode("overwrite").parquet(commitDir(tableDir, 0L))
     val files = listFiles(commitDir(tableDir, 0L))
-    StatsManifest.statsOf(spark, files, Seq(keyCol))
+    StatsManifest.statsOf(spark, files, keyCol +: statsCols.filterNot(_ == keyCol))
       .coalesce(1).write.mode("overwrite").parquet(manifestDir(tableDir, 0L))
     Commit(0L, files.size.toLong, 0L)
   }
 
   def manifest(spark: SparkSession, tableDir: String, v: Long): DataFrame =
     spark.read.parquet(manifestDir(tableDir, v))
+
+  /** The columns a manifest carries stats for (its min_X/max_X pairs). */
+  private def statsColsOf(m: DataFrame): Seq[String] =
+    m.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSeq
 
   /** Time-travel read: the file list of snapshot `v`, whatever commits
     * happened since. File-count-sized driver collect — the same scale
@@ -149,7 +159,7 @@ object LakeTable {
       else m.where(!col("file").isin(touched.toSeq: _*))
     val nextManifest =
       if (newFiles.isEmpty) carried
-      else carried.unionByName(StatsManifest.statsOf(spark, newFiles, Seq(keyCol)))
+      else carried.unionByName(StatsManifest.statsOf(spark, newFiles, statsColsOf(m)))
     nextManifest.coalesce(1).write.mode("overwrite").parquet(manifestDir(tableDir, next))
     Commit(next, newFiles.size.toLong, (allFiles.length - touched.size).toLong)
   }
@@ -201,7 +211,9 @@ object LakeTable {
       .write.mode("overwrite").option("maxRecordsPerFile", targetRowsPerFile)
       .parquet(commitDir(tableDir, version))
     val newFiles = listFiles(commitDir(tableDir, version))
-    val newStats = StatsManifest.statsOf(spark, newFiles, Seq(keyCol))
+    val newStats = StatsManifest.statsOf(spark, newFiles,
+      prior.lastOption.map(v => statsColsOf(manifest(spark, tableDir, v)))
+        .getOrElse(Seq(keyCol)))
     carriedM.map(_.unionByName(newStats)).getOrElse(newStats)
       .coalesce(1).write.mode("overwrite").parquet(manifestDir(tableDir, version))
     Commit(version, newFiles.size.toLong, totalBase - touched.size)
@@ -237,25 +249,32 @@ object LakeTable {
       .parquet(commitDir(tableDir, next))
     val newFiles = listFiles(commitDir(tableDir, next))
     m.where(!col("file").isin(small.toIndexedSeq: _*))
-      .unionByName(StatsManifest.statsOf(spark, newFiles, Seq(keyCol)))
+      .unionByName(StatsManifest.statsOf(spark, newFiles, statsColsOf(m)))
       .coalesce(1).write.mode("overwrite").parquet(manifestDir(tableDir, next))
     Commit(next, newFiles.size.toLong, total - small.length)
   }
 
-  /** Manifest-pruned read of a snapshot: load only the files whose key
-    * interval intersects [lo, hi] (the StatsManifest.scanPruned device
-    * over a versioned manifest), re-apply the row filter. Returns the
-    * dataframe plus (files scanned, files total). */
+  /** Manifest-pruned read of a snapshot: load only the files whose
+    * stat intervals intersect EVERY predicate `lo <= col <= hi` (the
+    * StatsManifest.scanPruned device over a versioned manifest; any
+    * column stat'd at [[init]] prunes, multi-column boxes prune well
+    * when init clustered on a [[StatsManifest.zValueN]] interleave),
+    * then re-apply the row filters. Returns the dataframe plus
+    * (files scanned, files total). */
   def scanPrunedVersion(spark: SparkSession, tableDir: String, v: Long,
-                        keyCol: String, lo: Column, hi: Column): (DataFrame, Long, Long) = {
+                        preds: Seq[(String, Column, Column)]): (DataFrame, Long, Long) = {
     val m = manifest(spark, tableDir, v)
     val total = m.count()
-    val hits = m.where(col(s"min_$keyCol") <= hi && col(s"max_$keyCol") >= lo)
-      .select(col("file")).collect().map(_.getString(0))
+    val hits = preds.foldLeft(m) { case (acc, (c, lo, hi)) =>
+      acc.where(col(s"min_$c") <= hi && col(s"max_$c") >= lo)
+    }.select(col("file")).collect().map(_.getString(0))
     val pruned =
       if (hits.isEmpty) readVersion(spark, tableDir, v).where(lit(false))
-      else spark.read.parquet(hits.toIndexedSeq: _*)
-    (pruned.where(col(keyCol) >= lo && col(keyCol) <= hi), hits.length.toLong, total)
+      else spark.read.option("mergeSchema", "true").parquet(hits.toIndexedSeq: _*)
+    val filtered = preds.foldLeft(pruned) { case (acc, (c, lo, hi)) =>
+      acc.where(col(c) >= lo && col(c) <= hi)
+    }
+    (filtered, hits.length.toLong, total)
   }
 
   /** Retire history: keep the newest `keepVersions` snapshots, delete

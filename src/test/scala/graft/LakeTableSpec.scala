@@ -97,9 +97,29 @@ class LakeTableSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft-lake-pruned").toString
     LakeTable.init(base, dir, "c_custkey", nFiles = 8)
     val (df, scanned, total) = LakeTable.scanPrunedVersion(spark, dir, 0L,
-      "c_custkey", lit(50L), lit(70L))
+      Seq(("c_custkey", lit(50L), lit(70L))))
     assert(total === 8L && scanned < total, s"scanned $scanned of $total")
     assert(rows(df) === rows(base.where(col("c_custkey").between(50L, 70L))))
+  }
+
+  test("z-clustered init: a 2-D box prunes snapshots on BOTH stat'd dimensions, commits inherit stats") {
+    val dir = Files.createTempDirectory("graft-lake-z").toString
+    LakeTable.init(base, dir, "c_custkey", nFiles = 8,
+      statsCols = Seq("c_acctbal"),
+      clusterExpr = Some(graft.sources.StatsManifest.zValueN(Seq(
+        col("c_custkey"), floor(col("c_acctbal") / 500)))))
+    val preds = Seq(
+      ("c_custkey", lit(1L).cast("long"), lit(60L).cast("long")),
+      ("c_acctbal", lit(0.0), lit(3000.0)))
+    val (df, scanned, total) = LakeTable.scanPrunedVersion(spark, dir, 0L, preds)
+    assert(total === 8L && scanned < total, s"scanned $scanned of $total")
+    assert(rows(df) === rows(base.where(col("c_custkey").between(1L, 60L)
+      && col("c_acctbal").between(0.0, 3000.0))))
+    // a merge commit inherits the two-column stats schema from the manifest
+    LakeTable.commitMerge(batch(10, 30), dir, "c_custkey", targetRowsPerFile = 40)
+    val m1 = LakeTable.manifest(spark, dir, 1L)
+    assert(m1.columns.contains("min_c_acctbal") && m1.columns.contains("max_c_acctbal"))
+    assert(m1.where(col("min_c_acctbal").isNull).count() === 0L)
   }
 
   test("vacuum: old versions retire, unreferenced files delete, referenced survivors stay") {
