@@ -325,32 +325,42 @@ object Dedup {
     * above that — callers pick stride ≈ k/4 for the 4× input reduction
     * and accept misses of unaligned duplicates shorter than k + stride.
     *
-    * Scale shape: one row per window leaves the scan (stride-fraction
-    * of corpus bytes), partial-aggregated map-side, and the GROUP KEY
-    * is xxhash64(span) — an 8-byte id instead of the k-char text, the
-    * same identity device as [[shingleIds]] (at k = 32 that is ~4× less
-    * key width on every shuffled row, and the count-distinct expand
-    * phase keys on (hash, doc_id) instead of (span, doc_id)). The span
-    * TEXT rides only as a min() payload: partial min collapses it to at
-    * most one span per (hash, partition) map-side, and since all spans
-    * under one hash are equal absent a collision, min() is exactly the
-    * recovery join the flagged set would otherwise need — without the
-    * second pass. Collision budget is the shingleIds one (~n²/2⁶⁵,
-    * accepted); the output is hash-FREE (span, n_docs, n_occ), so the
-    * DuckDB twin groups by the text itself and the oracle proves the
-    * hashed plan reproduces the text-keyed answer bit-for-bit.
-    * Output is bounded by HAVING ≥ minDocs. */
+    * Scale shape, two passes over the window grid (the grid itself is
+    * a narrow scan+generate, no shuffle — recomputing it is cheap;
+    * sorting it would not be):
+    *  1. COUNT pass: group by xxhash64(span) — an 8-byte id instead of
+    *     the k-char text, the [[shingleIds]] identity device (~4× less
+    *     key width on every shuffled row; the count-distinct expand
+    *     keys on (hash, doc_id) ints). All-fixed-width aggregates keep
+    *     this a partial-combined HashAggregate; carrying the span text
+    *     as a min() payload instead would demote the whole corpus agg
+    *     to SortAggregate (min over strings has no fixed-width buffer).
+    *     HAVING ≥ minDocs bounds the flagged set.
+    *  2. RECOVERY pass: re-derive the windows and semi-join them to
+    *     the flagged hashes — only actual duplicate occurrences reach
+    *     the min(span) agg, so the one string-keyed aggregate runs
+    *     over the duplicated tail, not the corpus.
+    * Collision budget is the shingleIds one (~n²/2⁶⁵, accepted); the
+    * output is hash-FREE (span, n_docs, n_occ), so the DuckDB twin
+    * groups by the text itself and the oracle proves the hashed plan
+    * reproduces the text-keyed answer bit-for-bit. */
   def duplicatedSpans(docs: DataFrame, k: Int = 32, stride: Int = 8, minDocs: Int = 2,
-                      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def windows: DataFrame = docs
       .where(length(col(textCol)) >= k)
       .select(col(idCol).as("doc_id"),
         explode(sequence(lit(1), length(col(textCol)) - lit(k - 1), lit(stride))).as("pos"),
         col(textCol))
       .select(col("doc_id"), col(textCol).substr(col("pos"), lit(k)).as("span"))
+    val flagged = windows
       .groupBy(xxhash64(col("span")).as("h"))
-      .agg(min(col("span")).as("span"),
-        count_distinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
       .where(col("n_docs") >= minDocs)
+    val spans = windows
+      .select(xxhash64(col("span")).as("h"), col("span"))
+      .join(flagged.select(col("h")), Seq("h"), "left_semi")
+      .groupBy(col("h")).agg(min(col("span")).as("span"))
+    flagged.join(spans, Seq("h"))
       .select(col("span"), col("n_docs"), col("n_occ"))
+  }
 }
