@@ -49,13 +49,16 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"))
 
   /** (word, doc, tf) restricted to terms with df <= maxDf. The df
-    * pre-agg holds one counter per term (bounded state); the join
-    * reuses the groupBy's hash partitioning on `word`, so the cap
-    * costs no extra shuffle of the posting table. */
+    * pre-agg holds one counter per term (bounded state). The tf table
+    * feeds BOTH join branches (the cap side and the postings side) —
+    * localCheckpoint materializes the tokenize+agg once instead of
+    * recomputing the corpus scan per branch (the Dedup.jaccardPairs
+    * device; blocks are dropped by the ContextCleaner with the plan). */
   private def cappedTermFreqs(tf: DataFrame, maxDf: Int): DataFrame = {
-    val keep = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val tfM = tf.localCheckpoint(true)
+    val keep = tfM.groupBy(col("word")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select(col("word"))
-    tf.join(keep, Seq("word"))
+    tfM.join(keep, Seq("word"))
   }
 
   /** The inverted index: term → document frequency, collection
@@ -155,7 +158,8 @@ object Retrieval {
     * at the same cap. */
   def invIndexBuild(docs: DataFrame, maxDf: Int = DefaultMaxDf,
                     textCol: String = "text", idCol: String = "doc_id"): InvIndex = {
-    val tf = docTermFreqs(docs, textCol, idCol)
+    // one tokenize+agg pass feeds both the term stats and the postings
+    val tf = docTermFreqs(docs, textCol, idCol).localCheckpoint(true)
     val terms = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
     val postings = tf.join(terms.select(col("word")), Seq("word"))
