@@ -51,11 +51,7 @@ object SparkEntry {
   // remove non-empty dirs, so one recursive-delete hook instead)
   private lazy val stagedCleanup: Unit = sys.addShutdownHook {
     (stagedEvents.values ++ stagedLayouts.values).foreach { dir =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(new java.io.File(dir))
+      graft.sources.FsUtil.deleteRecursively(new java.io.File(dir))
     }
   }
 
@@ -116,10 +112,7 @@ object SparkEntry {
         val dest = new java.io.File(s"$tmp/d$i.parquet")
         require(part.renameTo(dest), s"staging move failed for $dest")
         dest.setLastModified(1000000L * (i + 1))
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(stage))
+        graft.sources.FsUtil.deleteRecursively(new java.io.File(stage))
       }
     }
 
@@ -227,7 +220,7 @@ object SparkEntry {
     "array_funcs" -> ((s, d) => t(s, d).documents
       .select(col("doc_id"),
         array_sort(array_distinct(
-          filter(split(col("text"), "\\s+"), x => length(x) > 0))).as("toks"))
+          filter(split(col("text"), TextOps.TokenSepRe), x => length(x) > 0))).as("toks"))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_distinct"),
         concat_ws("|", slice(col("toks"), 1, 3)).as("first3"))
@@ -507,7 +500,7 @@ object SparkEntry {
     "packed_sequences" -> ((s, d) => {
       val ch = Corpus.chunk(t(s, d).documents.select(col("doc_id"), col("text")), size = 128)
         .withColumn("n_tokens",
-          size(filter(split(col("chunk"), "\\s+"), x => length(x) > 0)).cast("long"))
+          size(filter(split(col("chunk"), TextOps.TokenSepRe), x => length(x) > 0)).cast("long"))
       Corpus.packChunks(ch, tokensPerPack = 64L, nShards = 8)
         .select(col("shard"), col("pack_id"), col("doc_id"), col("chunk_idx"),
           col("n_tokens"), col("start_off"))
@@ -518,7 +511,7 @@ object SparkEntry {
     "packed_text" -> ((s, d) => {
       val ch = Corpus.chunk(t(s, d).documents.select(col("doc_id"), col("text")), size = 128)
         .withColumn("n_tokens",
-          size(filter(split(col("chunk"), "\\s+"), x => length(x) > 0)).cast("long"))
+          size(filter(split(col("chunk"), TextOps.TokenSepRe), x => length(x) > 0)).cast("long"))
       Corpus.assemblePacks(Corpus.packChunks(ch, tokensPerPack = 64L, nShards = 8))
         .orderBy("shard", "pack_id")
     }),
@@ -1033,14 +1026,14 @@ object SparkEntry {
   private val W =
     s"""WITH w AS (
        |  SELECT lower(regexp_replace(t.tok, '$P', '', 'g')) AS word
-       |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM documents) t
+       |  FROM (SELECT unnest(string_split_regex(text, '[ \\t\\n\\f\\r]+')) AS tok FROM documents) t
        |)""".stripMargin
 
   /** Per-document variant of [[W]] for the retrieval family. */
   private val WDoc =
     s"""WITH w0 AS (
        |  SELECT doc_id, lower(regexp_replace(t.tok, '$P', '', 'g')) AS word
-       |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents) t
+       |  FROM (SELECT doc_id, unnest(string_split_regex(text, '[ \\t\\n\\f\\r]+')) AS tok FROM documents) t
        |), w AS (SELECT doc_id, word FROM w0 WHERE length(word) > 0)""".stripMargin
 
   /** BM25 query + parameters, shared by the Spark query and its twin.
@@ -1264,7 +1257,7 @@ object SparkEntry {
 
     "array_funcs" ->
       """WITH tk AS (SELECT doc_id,
-        |  list_sort(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0))) AS toks
+        |  list_sort(list_distinct(list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> length(x) > 0))) AS toks
         |  FROM documents)
         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_distinct,
         | array_to_string(toks[1:3], '|') AS first3
@@ -1796,7 +1789,7 @@ object SparkEntry {
     // document frequency > 10 are dropped from intersections AND set
     // sizes on both sides (a no-op at sf0.01, where max df = 7)
     "near_dup_jaccard" ->
-      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS l FROM documents),
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> length(x) > 0) AS l FROM documents),
         | pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM toks WHERE len(l) >= 3),
         | sh0 AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle FROM pos),
         | rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 10),
@@ -1843,7 +1836,7 @@ object SparkEntry {
     // same capped-shingle Jaccard pipeline as near_dup_jaccard, then
     // min-label transitive closure via a recursive CTE
     "dedup_clusters" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS l FROM documents),
+      """WITH RECURSIVE toks AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> length(x) > 0) AS l FROM documents),
         | pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM toks WHERE len(l) >= 3),
         | sh0 AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle FROM pos),
         | rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 10),
@@ -1874,7 +1867,7 @@ object SparkEntry {
         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
 
     "text_quality" ->
-      s"""WITH t AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS tk
+      s"""WITH t AS (SELECT doc_id, text, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS tk
          |           FROM documents)
          |SELECT doc_id,
          | CAST(len(tk) AS BIGINT) AS n_tokens,
@@ -1887,7 +1880,7 @@ object SparkEntry {
 
     "token_count" ->
       """SELECT doc_id,
-        | CAST(len(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS BIGINT) AS ws_tokens,
+        | CAST(len(list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> length(x) > 0)) AS BIGINT) AS ws_tokens,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens,
         | CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_llm_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -1895,7 +1888,7 @@ object SparkEntry {
     // duplicate-gram fractions: BIGINT/BIGINT divisions on both sides
     // (DuckDB sum() widens to HUGEINT — cast back before dividing)
     "repetition_stats" ->
-      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS l FROM documents),
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> length(x) > 0) AS l FROM documents),
         | base AS (SELECT doc_id, l FROM toks WHERE len(l) >= 1),
         | tg AS (SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS g
         |         FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM base WHERE len(l) >= 3)),
@@ -1917,7 +1910,7 @@ object SparkEntry {
         | u AS (SELECT doc_id, text, n_chunks, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM c),
         | ch AS (SELECT doc_id, chunk_idx, substring(text, CAST(chunk_idx * 128 + 1 AS INT), 128) AS chunk FROM u),
         | tok AS (SELECT doc_id, chunk_idx, doc_id % 8 AS shard,
-        |   CAST(len(list_filter(string_split_regex(chunk, '\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        |   CAST(len(list_filter(string_split_regex(chunk, '[ \t\n\f\r]+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens
         |   FROM ch),
         | off AS (SELECT doc_id, chunk_idx, shard, n_tokens,
         |   CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx
@@ -1933,7 +1926,7 @@ object SparkEntry {
         | u AS (SELECT doc_id, text, n_chunks, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM c),
         | ch AS (SELECT doc_id, chunk_idx, substring(text, CAST(chunk_idx * 128 + 1 AS INT), 128) AS chunk FROM u),
         | tok AS (SELECT doc_id, chunk_idx, chunk, doc_id % 8 AS shard,
-        |   CAST(len(list_filter(string_split_regex(chunk, '\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        |   CAST(len(list_filter(string_split_regex(chunk, '[ \t\n\f\r]+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens
         |   FROM ch),
         | off AS (SELECT doc_id, chunk_idx, chunk, shard, n_tokens,
         |   CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx
@@ -1952,7 +1945,7 @@ object SparkEntry {
     "fingerprint_ref" ->
       s"""WITH cw AS (SELECT doc_id,
          |    list_filter(list_transform(
-         |      list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0),
+         |      list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), t -> length(t) > 0),
          |      t -> lower(regexp_replace(t, '$P', '', 'g'))), w -> length(w) > 0) AS ws
          |  FROM documents),
          | h AS (SELECT doc_id, list_transform(ws, w ->
@@ -1965,7 +1958,7 @@ object SparkEntry {
     // text-shingle twin of the engine's 64-bit-id overlap count —
     // identical values absent xxhash64 collisions (prob ~n²/2⁶⁵)
     "decontaminate" ->
-      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS l FROM documents),
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> length(x) > 0) AS l FROM documents),
         | pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM toks WHERE len(l) >= 3),
         | sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle FROM pos),
         | bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
@@ -1978,7 +1971,7 @@ object SparkEntry {
 
     "lang_id" ->
       """WITH t AS (SELECT doc_id,
-        |  list_transform(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0), x -> lower(x)) AS tk
+        |  list_transform(list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> length(x) > 0), x -> lower(x)) AS tk
         |  FROM documents),
         | s AS (SELECT doc_id,
         |  CAST(len(list_filter(tk, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS BIGINT) AS s_en,
@@ -2207,7 +2200,7 @@ object SparkEntry {
       s"""WITH dd AS (SELECT min(doc_id) AS doc_id, min(lang) AS lang, text
          |            FROM documents GROUP BY text),
          | tkk AS (SELECT doc_id, lang, text,
-         |   list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS tk FROM dd),
+         |   list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS tk FROM dd),
          | sc AS (SELECT doc_id, lang, text,
          |   CAST(len(list_filter(tk, x -> list_contains([$AllStopwordsSqlList], lower(x)))) AS BIGINT)
          |     / CAST(len(tk) AS BIGINT) AS score
@@ -2229,7 +2222,7 @@ object SparkEntry {
     // uses — the two sides cannot drift
     "quality_filter" ->
       s"""WITH t AS (SELECT doc_id, lang,
-         |  list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS tk
+         |  list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS tk
          |  FROM documents),
          | s AS (SELECT doc_id, lang,
          |  CAST(len(list_filter(tk, x -> list_contains([$AllStopwordsSqlList], lower(x)))) AS BIGINT)

@@ -238,7 +238,7 @@ object Corpus {
   def qualityQuantileFilter(docs: DataFrame, keep: Double = 0.5,
                             strataCol: String = "lang", textCol: String = "text",
                             idCol: String = "doc_id"): DataFrame = {
-    val tk = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val tk = filter(split(col(textCol), TextOps.TokenSepRe), t => length(t) > 0)
     val hits = size(filter(tk, t =>
       array_contains(array(AllStopwords.map(lit): _*), lower(t))))
     val score = hits.cast(LongType) / size(tk).cast(LongType)

@@ -58,7 +58,7 @@ object Dedup {
     docs
       .select(col(idCol).as("doc_id"),
         // drop empty tokens (split keeps a trailing "" on trailing whitespace)
-        filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("toks"))
+        filter(split(col(textCol), TextOps.TokenSepRe), t => length(t) > 0).as("toks"))
       .where(size(col("toks")) >= w)
       .select(col("doc_id"),
         explode(expr(s"transform(sequence(0, size(toks) - $w), i -> concat_ws(' ', slice(toks, i + 1, $w)))")).as("shingle"))

@@ -20,9 +20,21 @@ object TextOps {
     * for oracle agreement on non-ASCII corpora (SURVEY.md §7.4). */
   val IspunctClass: String = "[!-/:-@\\[-`{-~]"
 
+  /** The tokenizer's separator class, shared by every text operator.
+    * EXPLICIT [ \t\n\f\r] rather than the regex \s: Java's \s includes
+    * vertical tab (\x0B) while RE2's (DuckDB, the oracle engine) does
+    * not, so \s-split tokenizers are not identical by construction
+    * across engines. The C++ reference's `ifstream >> string`
+    * (map_reduce.cpp:159) skips the C locale's isspace set, which DOES
+    * include \x0B — a deliberate, documented divergence on a character
+    * that occurs in no real corpus, traded for cross-engine exactness
+    * on the ones that do. */
+  val TokenSepRe: String = "[ \t\n\f\r]+"
+
   /** Whitespace tokenization — same token multiset as the reference's
-    * per-stream `ifstream >> string` (map_reduce.cpp:159). */
-  def tokens(text: Column): Column = split(text, "\\s+")
+    * per-stream `ifstream >> string` (map_reduce.cpp:159; see
+    * [[TokenSepRe]] for the \x0B caveat). */
+  def tokens(text: Column): Column = split(text, TokenSepRe)
 
   /** Strip punctuation then lowercase (map_reduce.cpp:160-167):
     * `don't`→`dont`, `end.`→`end`, `co-op`→`coop`; digits kept. */

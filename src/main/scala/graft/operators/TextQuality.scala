@@ -14,7 +14,7 @@ import org.apache.spark.sql.types._
 object TextQuality {
 
   /** Non-empty whitespace tokens of a text column. */
-  private def toks(c: Column): Column = filter(split(c, "\\s+"), t => length(t) > 0)
+  private def toks(c: Column): Column = filter(split(c, TextOps.TokenSepRe), t => length(t) > 0)
 
   /** Small multilingual stopword lists — plan-time constants. */
   val Stopwords: Map[String, Seq[String]] = Map(

@@ -121,32 +121,43 @@ object LakeTable {
     *  5. snapshot: carried manifest rows (verbatim) ∪ new stats rows →
     *     v+1. Readers of v keep an immutable view throughout.
     */
-  def commitMerge(changes: DataFrame, tableDir: String, keyCol: String,
-                  targetRowsPerFile: Long, opCol: String = "op"): Commit = {
-    val spark = changes.sparkSession
-    val v = versions(tableDir).last
-    val m = manifest(spark, tableDir, v)
-    // broadcast the MANIFEST (file-count-sized) and stream the batch's
-    // keys against it — at 100 TB the change batch can be millions of
-    // keys while the manifest is tens of thousands of rows, so the
-    // interval join must broadcast the manifest side, never the keys
-    val keys = changes.select(col(keyCol).as("__k")).distinct()
+  /** The pruning core every commit shares: which of the snapshot's
+    * files a batch's keys touch (interval join BROADCASTING the
+    * file-count-sized manifest and streaming the keys — at 100 TB the
+    * batch can be millions of keys while the manifest is tens of
+    * thousands of rows), the touched rows as a DataFrame (schema-only
+    * when nothing matches), and the carried manifest remainder. */
+  private final case class Pruned(touched: Set[String], nBaseFiles: Long,
+                                  base: DataFrame, carried: DataFrame)
+  private def pruneTouched(spark: SparkSession, m: DataFrame, batch: DataFrame,
+                           keyCol: String): Pruned = {
+    val keys = batch.select(col(keyCol).as("__k")).distinct()
     val touched = keys.join(broadcast(m.select(col("file"),
           col(s"min_$keyCol"), col(s"max_$keyCol"))),
         col(s"min_$keyCol") <= col("__k") && col(s"max_$keyCol") >= col("__k"))
       .select(col("file")).distinct().collect().map(_.getString(0)).toSet
     val allFiles = m.select(col("file")).collect().map(_.getString(0))
-
     val base =
       if (touched.nonEmpty) spark.read.option("mergeSchema", "true").parquet(touched.toIndexedSeq: _*)
-      else spark.read.parquet(allFiles.head).where(lit(false)) // schema-only: all inserts
-    val merged = ChangeData.mergeApply(
-      base.drop(opCol), changes, keyCol, opCol)
+      else spark.read.parquet(allFiles.head).where(lit(false)) // schema-only
+    val carried = if (touched.isEmpty) m else m.where(!col("file").isin(touched.toSeq: _*))
+    Pruned(touched, allFiles.length.toLong, base, carried)
+  }
 
-    val next = v + 1
-    val rows = merged.count()
+  /** Write a commit's merged rows (already materialized; `rows` is its
+    * count) key-clustered under version `next` and return the manifest
+    * for the new snapshot. The no-surviving-rows edge is handled
+    * explicitly: if nothing carries either, ONE empty schema-bearing
+    * file + a null-stats manifest row keep the emptied table readable
+    * and writable (statsOf emits no row for a 0-row file, and an empty
+    * manifest would strand readVersion and the next commit). */
+  private def landCommit(spark: SparkSession, merged: DataFrame, rows: Long,
+                         tableDir: String, next: Long, keyCol: String,
+                         targetRowsPerFile: Long, carried: Option[DataFrame],
+                         statsCols: Seq[String]): Seq[String] = {
+    val carriedCount = carried.map(_.count()).getOrElse(0L)
     val newFiles =
-      if (rows == 0L) Seq.empty[String]
+      if (rows == 0L && carriedCount > 0L) Seq.empty[String]
       else {
         val nFiles = math.max(1L, math.ceil(rows.toDouble / targetRowsPerFile).toLong).toInt
         merged.repartitionByRange(nFiles, col(keyCol)).sortWithinPartitions(keyCol)
@@ -154,14 +165,44 @@ object LakeTable {
           .parquet(commitDir(tableDir, next))
         listFiles(commitDir(tableDir, next))
       }
-    val carried =
-      if (touched.isEmpty) m
-      else m.where(!col("file").isin(touched.toSeq: _*))
-    val nextManifest =
-      if (newFiles.isEmpty) carried
-      else carried.unionByName(StatsManifest.statsOf(spark, newFiles, statsColsOf(m)))
+    val newStats =
+      if (newFiles.isEmpty) None
+      else if (rows == 0L) {
+        // emptied table: synthesize the (file, nulls…, 0) manifest row
+        // (statsOf emits nothing for a 0-row file; the schema read is
+        // valid here because the empty file was just written)
+        val row = org.apache.spark.sql.Row.fromSeq(
+          newFiles.head +: Seq.fill(statsCols.length * 2)(null) :+ 0L)
+        Some(spark.createDataFrame(java.util.Arrays.asList(row),
+          StatsManifest.statsOf(spark, newFiles, statsCols).schema))
+      } else Some(StatsManifest.statsOf(spark, newFiles, statsCols))
+    val nextManifest = (carried.filter(_ => carriedCount > 0L), newStats) match {
+      case (Some(c), Some(s)) => c.unionByName(s)
+      case (Some(c), None) => c
+      case (None, Some(s)) => s
+      case (None, None) => throw new IllegalStateException(
+        s"commit $next would have an empty manifest — landCommit guards should prevent this")
+    }
     nextManifest.coalesce(1).write.mode("overwrite").parquet(manifestDir(tableDir, next))
-    Commit(next, newFiles.size.toLong, (allFiles.length - touched.size).toLong)
+    newFiles
+  }
+
+  def commitMerge(changes: DataFrame, tableDir: String, keyCol: String,
+                  targetRowsPerFile: Long, opCol: String = "op"): Commit = {
+    val spark = changes.sparkSession
+    val v = versions(tableDir).last
+    val m = manifest(spark, tableDir, v)
+    val p = pruneTouched(spark, m, changes, keyCol)
+    // the merge is consumed twice (count + clustered write):
+    // localCheckpoint materializes the join once (the
+    // Dedup.jaccardPairs device) instead of re-reading the touched
+    // files and re-joining per action
+    val merged = ChangeData.mergeApply(
+      p.base.drop(opCol), changes, keyCol, opCol).localCheckpoint(true)
+    val next = v + 1
+    val newFiles = landCommit(spark, merged, merged.count(), tableDir, next,
+      keyCol, targetRowsPerFile, Some(p.carried), statsColsOf(m))
+    Commit(next, newFiles.size.toLong, p.nBaseFiles - p.touched.size)
   }
 
   /** Version-PINNED last-writer-wins commit — the LakeTable backend for
@@ -188,34 +229,19 @@ object LakeTable {
       .agg(max(struct(orderedPayload.map(col): _*)).as("__m"))
       .select(col(keyCol) +: orderedPayload.map(c => col(s"__m.$c").as(c)): _*)
     val prior = versions(tableDir).filter(_ < version)
-    val (merged, touched, carriedM, totalBase) = prior.lastOption match {
-      case None => (latestOf(images), Set.empty[String], None, 0L)
+    val (merged0, touched, carriedM, totalBase, statsCols) = prior.lastOption match {
+      case None =>
+        (latestOf(images), Set.empty[String], None, 0L, Seq(keyCol))
       case Some(v) =>
         val m = manifest(spark, tableDir, v)
-        val keys = images.select(col(keyCol).as("__k")).distinct()
-        val touched = keys.join(broadcast(m.select(col("file"),
-              col(s"min_$keyCol"), col(s"max_$keyCol"))),
-            col(s"min_$keyCol") <= col("__k") && col(s"max_$keyCol") >= col("__k"))
-          .select(col("file")).distinct().collect().map(_.getString(0)).toSet
-        val allFiles = m.select(col("file")).collect().map(_.getString(0))
-        val base =
-          if (touched.nonEmpty) spark.read.parquet(touched.toIndexedSeq: _*)
-          else spark.read.parquet(allFiles.head).where(lit(false))
-        val carried = if (touched.isEmpty) m else m.where(!col("file").isin(touched.toSeq: _*))
-        (latestOf(base.unionByName(latestOf(images))), touched, Some(carried),
-          allFiles.length.toLong)
+        val p = pruneTouched(spark, m, images, keyCol)
+        (latestOf(p.base.unionByName(latestOf(images))), p.touched, Some(p.carried),
+          p.nBaseFiles, statsColsOf(m))
     }
-    val rows = merged.count()
-    val nFiles = math.max(1L, math.ceil(rows.toDouble / targetRowsPerFile).toLong).toInt
-    merged.repartitionByRange(nFiles, col(keyCol)).sortWithinPartitions(keyCol)
-      .write.mode("overwrite").option("maxRecordsPerFile", targetRowsPerFile)
-      .parquet(commitDir(tableDir, version))
-    val newFiles = listFiles(commitDir(tableDir, version))
-    val newStats = StatsManifest.statsOf(spark, newFiles,
-      prior.lastOption.map(v => statsColsOf(manifest(spark, tableDir, v)))
-        .getOrElse(Seq(keyCol)))
-    carriedM.map(_.unionByName(newStats)).getOrElse(newStats)
-      .coalesce(1).write.mode("overwrite").parquet(manifestDir(tableDir, version))
+    // consumed twice (count + clustered write): materialize once
+    val merged = merged0.localCheckpoint(true)
+    val newFiles = landCommit(spark, merged, merged.count(), tableDir, version,
+      keyCol, targetRowsPerFile, carriedM, statsCols)
     Commit(version, newFiles.size.toLong, totalBase - touched.size)
   }
 
@@ -241,9 +267,12 @@ object LakeTable {
       m.coalesce(1).write.mode("overwrite").parquet(manifestDir(tableDir, next))
       return Commit(next, 0L, total)
     }
-    val rows = spark.read.parquet(small.toIndexedSeq: _*).count()
+    // read the small files once (count + clustered write)
+    val smallRows = spark.read.option("mergeSchema", "true")
+      .parquet(small.toIndexedSeq: _*).localCheckpoint(true)
+    val rows = smallRows.count()
     val nFiles = math.max(1L, math.ceil(rows.toDouble / targetRowsPerFile).toLong).toInt
-    spark.read.option("mergeSchema", "true").parquet(small.toIndexedSeq: _*)
+    smallRows
       .repartitionByRange(nFiles, col(keyCol)).sortWithinPartitions(keyCol)
       .write.mode("overwrite").option("maxRecordsPerFile", targetRowsPerFile)
       .parquet(commitDir(tableDir, next))
@@ -294,10 +323,7 @@ object LakeTable {
     val referenced = keep.flatMap { v =>
       manifest(spark, tableDir, v).select(col("file")).collect().map(r => norm(r.getString(0)))
     }.toSet
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(): Unit
-    }
-    drop.foreach(v => rmTree(new java.io.File(vDir(tableDir, v))))
+    drop.foreach(v => FsUtil.deleteRecursively(new java.io.File(vDir(tableDir, v))))
     val dataFiles = Option(new java.io.File(s"$tableDir/files").listFiles()).toSeq.flatten
       .flatMap(c => Option(c.listFiles()).toSeq.flatten)
       .filter(_.getName.endsWith(".parquet"))

@@ -38,9 +38,15 @@ object StatsManifest {
     val k = cols.size
     require(k >= 1 && k * bits <= 63, s"zValueN: $k cols × $bits bits must fit a Long")
     cols.zipWithIndex.foldLeft(lit(0L)) { case (acc, (c, j)) =>
+      // negatives CLAMP to 0: two's-complement low bits of -1 would
+      // otherwise interleave maximally far from 0, silently destroying
+      // locality across the sign boundary (answers stay exact — stats
+      // come from the data — but skipping would quietly stop). Clamped,
+      // all negatives cluster together at the origin.
+      val nn = greatest(c.cast(LongType), lit(0L))
       (0 until bits).foldLeft(acc) { (a, i) =>
         // source bit i → target bit i·k + j, so shift by i·(k−1) + j
-        a.bitwiseOR(shiftleft(c.cast(LongType).bitwiseAND(lit(1L << i)), i * (k - 1) + j))
+        a.bitwiseOR(shiftleft(nn.bitwiseAND(lit(1L << i)), i * (k - 1) + j))
       }
     }
   }

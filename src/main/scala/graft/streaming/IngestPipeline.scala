@@ -54,6 +54,19 @@ object IngestPipeline {
       .flatMap(f => scala.util.Try(f.getName.drop(1).toLong).toOption)
       .sorted
 
+  /** Crash recovery for [[compactStore]]'s two-rename swap: if a crash
+    * landed between renaming the old seed aside and renaming the new
+    * one in, the completed `.seed_next` is the truth — finish the swap.
+    * Called at the top of every store read/compact so the pipeline
+    * self-heals instead of failing on a missing seed dir. */
+  private def healStore(storeDir: String): Unit = {
+    val seed = new java.io.File(s"$storeDir/seed")
+    val next = new java.io.File(s"$storeDir/.seed_next")
+    if (!seed.exists() && next.exists())
+      require(next.renameTo(seed), s"store heal failed in $storeDir")
+    graft.sources.FsUtil.deleteRecursively(new java.io.File(s"$storeDir/.seed_old"))
+  }
+
   /** One micro-batch of the ingest, exposed so the spec can re-run a
     * batch verbatim and prove replay idempotence. `rates` must be the
     * fixed profile policy, not derived from `batch`.
@@ -72,6 +85,7 @@ object IngestPipeline {
                   chunkSize: Int, bloomBits: Long = 0L,
                   bloomItems: Long = 100000L): Unit = {
     val ss = batch.sparkSession
+    healStore(storeDir) // finish any interrupted compaction swap first
     // the store AS OF this batch: seed + strictly earlier commits
     val priorDirs = s"$storeDir/seed" +:
       storeBatchIds(storeDir).filter(_ < batchId).map(i => s"$storeDir/b$i")
@@ -113,19 +127,25 @@ object IngestPipeline {
     * horizon, exactly like a lake vacuum owns its retention window.
     * Returns the number of batch dirs retired. */
   def compactStore(spark: SparkSession, storeDir: String, throughBatch: Long): Long = {
+    healStore(storeDir)
     val ids = storeBatchIds(storeDir).filter(_ <= throughBatch)
     if (ids.isEmpty) return 0L
     val dirs = s"$storeDir/seed" +: ids.map(i => s"$storeDir/b$i")
     val merged = dirs.map(spark.read.parquet(_)).reduce(_ unionAll _).distinct()
     val staging = s"$storeDir/.seed_next"
     merged.coalesce(1).write.mode("overwrite").parquet(staging)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-    }
-    rm(new java.io.File(s"$storeDir/seed"))
-    require(new java.io.File(staging).renameTo(new java.io.File(s"$storeDir/seed")),
+    // swap by METADATA renames, never an rm of live data: the only
+    // crash window with no seed dir is between the two renames, and
+    // healStore (run before every store read) completes the swap from
+    // the surviving .seed_next. The old seed is deleted LAST.
+    val seed = new java.io.File(s"$storeDir/seed")
+    val old = new java.io.File(s"$storeDir/.seed_old")
+    graft.sources.FsUtil.deleteRecursively(old)
+    require(seed.renameTo(old), s"store compaction: could not set aside $seed")
+    require(new java.io.File(staging).renameTo(seed),
       s"store compaction swap failed in $storeDir")
-    ids.foreach(i => rm(new java.io.File(s"$storeDir/b$i")))
+    ids.foreach(i => graft.sources.FsUtil.deleteRecursively(new java.io.File(s"$storeDir/b$i")))
+    graft.sources.FsUtil.deleteRecursively(old)
     ids.size.toLong
   }
 

@@ -158,6 +158,24 @@ class LakeTableSpec extends AnyFunSuite {
     assert(!LakeTable.readVersion(spark, dir, 0L).columns.contains("c_tier"))
   }
 
+  test("a commit that deletes every row leaves a readable, writable empty table") {
+    val dir = Files.createTempDirectory("graft-lake-empty").toString
+    LakeTable.init(base, dir, "c_custkey", nFiles = 4)
+    val deleteAll = base.select(col("c_custkey"), lit("delete").as("op"),
+      lit(null).cast("string").as("c_mktsegment"), lit(null).cast("double").as("c_acctbal"))
+    val c = LakeTable.commitMerge(deleteAll, dir, "c_custkey", targetRowsPerFile = 40)
+    assert(c.filesCarried === 0L)
+    // the emptied snapshot reads as zero rows WITH a schema
+    val empty = LakeTable.readLatest(spark, dir)
+    assert(empty.count() === 0L)
+    assert(empty.columns.toSeq === Seq("c_custkey", "c_mktsegment", "c_acctbal"))
+    // and the table accepts the next commit (re-population)
+    val inserts = base.limit(5).select(col("c_custkey"), lit("upsert").as("op"),
+      col("c_mktsegment"), col("c_acctbal"))
+    LakeTable.commitMerge(inserts, dir, "c_custkey", targetRowsPerFile = 40)
+    assert(rows(LakeTable.readLatest(spark, dir)) === rows(base.limit(5)))
+  }
+
   test("commits chain: every intermediate snapshot stays readable as committed") {
     val dir = Files.createTempDirectory("graft-lake-chain").toString
     LakeTable.init(base, dir, "c_custkey", nFiles = 8)
