@@ -418,6 +418,23 @@ object SparkEntry {
         Retrieval.invIndexBuild(t(s, d).documents, maxDf = RetrievalMaxDf), dir)
       Retrieval.bm25FromIndex(Retrieval.invIndexRead(s, dir), Bm25Terms, k = 20)
     }),
+    // incremental index maintenance: build on 80% of the corpus,
+    // persist, reload, fold the held-out batch in WITHOUT re-reading
+    // the indexed docs (df counters merge, postings re-filter against
+    // the merged cap, stats merge from exact integer sums), persist
+    // the grown index, score from the reload. Same oracle as the
+    // full-corpus recompute — hash-green == append-exactness proof
+    "bm25_after_append" -> ((s, d) => {
+      val docs = t(s, d).documents
+      val dir0 = java.nio.file.Files.createTempDirectory("graft-invidx-base").toString
+      val dir1 = java.nio.file.Files.createTempDirectory("graft-invidx-grown").toString
+      Retrieval.invIndexWrite(
+        Retrieval.invIndexBuild(docs.where(col("doc_id") % 5 =!= 2), maxDf = RetrievalMaxDf), dir0)
+      Retrieval.invIndexWrite(
+        Retrieval.invIndexAppend(Retrieval.invIndexRead(s, dir0),
+          docs.where(col("doc_id") % 5 === 2)), dir1)
+      Retrieval.bm25FromIndex(Retrieval.invIndexRead(s, dir1), Bm25Terms, k = 20)
+    }),
     // connected components over J >= 0.3 pairs: canonical doc per cluster
     "dedup_clusters" -> ((s, d) => {
       val docs = t(s, d).documents
@@ -477,6 +494,25 @@ object SparkEntry {
       Similarity.appendDrift(index, baseline, shifted)
         .select(col("cell"), col("n_batch"), round(col("drift_ratio"), 4).as("drift_r"),
           col("rebuild"))
+        .orderBy("cell")
+    }),
+    // the drift trigger ACTED ON: maintain an index through an
+    // out-of-distribution batch (constant-offset shift = a coherent new
+    // mode). appendDrift trips, ivfPqMaintain retrains over corpus ∪
+    // batch, and the output is the refreshed per-cell baseline the next
+    // drift check will compare against — rows-only (float energies);
+    // the trip/absorb contract is SimilaritySpec's
+    "ann_rebuild" -> ((s, d) => {
+      val emb = t(s, d).embeddings
+      val base = emb.where(col("vec_id") % 7 =!= 3)
+      val ood = emb.where(col("vec_id") % 7 === 3).select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), x => (x + lit(3.0f)).cast("float")).as("embedding"))
+      val idx = Similarity.ivfPqBuild(base)
+      val baseline = Similarity.cellResidualEnergy(idx, base)
+      val (_, newBaseline, rebuilt) = Similarity.ivfPqMaintain(idx, baseline, base, ood)
+      newBaseline.select(col("cell"), col("n"),
+          round(col("mean_energy"), 4).as("energy_r"), lit(rebuilt).as("rebuilt"))
         .orderBy("cell")
     }),
     "embedding_near_dups" -> ((s, d) =>
@@ -1832,6 +1868,9 @@ object SparkEntry {
     // the persisted-index path answers the SAME query from the stored
     // relations — one oracle proves both (lifecycle parity = hash-green)
     "bm25_from_index" -> bm25TwinSql,
+    // the appended index must answer exactly what a full rebuild
+    // answers — one twin serves all three BM25 paths
+    "bm25_after_append" -> bm25TwinSql,
 
     // same capped-shingle Jaccard pipeline as near_dup_jaccard, then
     // min-label transitive closure via a recursive CTE

@@ -142,14 +142,37 @@ object Retrieval {
     * statistics from the corpus on every query.
     *  - postings (word, doc_id, tf): corpus-term-sized but capped —
     *    no term carries more than maxDf rows;
-    *  - terms (word, df): the capped vocabulary with true df;
+    *  - terms (word, df): the FULL vocabulary with true df — one
+    *    constant-size counter per word, never a list, so carrying the
+    *    over-cap tail costs nothing and makes appends exact: without
+    *    it, "new word" and "capped stop term" are indistinguishable
+    *    and a later append would resurrect a stop term with a tiny
+    *    fake df. The cap (stored alongside) filters at posting-build
+    *    and query time;
     *  - docLens (doc_id, dl): per-document token counts;
-    *  - stats (n_docs, avgdl): one broadcastable row.
+    *  - stats (n_docs, sum_dl, avgdl, max_df): one broadcastable row
+    *    (sum_dl is the EXACT integer total so an append can recompute
+    *    avgdl bit-identically to a full rebuild: integer sums merge,
+    *    one final division).
     * A query touches only its terms' postings (predicate pushdown on
     * `word` at the parquet scan) plus the tiny side relations — the
     * corpus text is never re-read. */
   final case class InvIndex(postings: DataFrame, terms: DataFrame,
-                            docLens: DataFrame, stats: DataFrame)
+                            docLens: DataFrame, stats: DataFrame, maxDf: Int)
+
+  /** (doc_id, dl) token lengths — the narrow per-document pass both
+    * build and append run over their own docs. */
+  private def docLengths(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(filter(TextOps.tokens(col(textCol)), t => length(TextOps.cleanWord(t)) > 0)).as("dl"))
+
+  private def statsOf(dl: DataFrame, maxDf: Int): DataFrame =
+    dl.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).cast("long").as("sum_dl"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+      lit(maxDf).as("max_df"))
 
   /** Build the index relations from a corpus (one pass for postings +
     * df, one narrow pass for document lengths). The maxDf cap is part
@@ -161,18 +184,50 @@ object Retrieval {
     // one tokenize+agg pass feeds both the term stats and the postings
     val tf = docTermFreqs(docs, textCol, idCol).localCheckpoint(true)
     val terms = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDf)
-    val postings = tf.join(terms.select(col("word")), Seq("word"))
-    val dl = docs.select(
-      col(idCol).as("doc_id"),
-      size(filter(TextOps.tokens(col(textCol)), t => length(TextOps.cleanWord(t)) > 0)).as("dl"))
-    val stats = dl.agg(
-      count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    InvIndex(postings, terms, dl, stats)
+    val postings = tf.join(terms.where(col("df") <= maxDf).select(col("word")), Seq("word"))
+    val dl = docLengths(docs, textCol, idCol)
+    InvIndex(postings, terms, dl, statsOf(dl, maxDf), maxDf)
   }
 
-  /** Persist the index as four parquet relations under `dir`. */
+  /** Incremental index maintenance — fold a batch of NEW documents into
+    * an existing index without re-reading the indexed corpus, exact to
+    * a full rebuild over the union (RetrievalSpec proves equality).
+    * The only corpus-sized input touched is the index's own relations:
+    *  - df counters merge by addition (outer join of two counter
+    *    tables — vocabulary-sized, constant state per key);
+    *  - postings union, then re-filter against the MERGED df: a term
+    *    the batch pushes over the cap has its existing postings
+    *    retired (the rebuild would drop them too), a term the old
+    *    corpus already capped stays retired because its true df only
+    *    grew — both directions fall out of one semi-shaped join;
+    *  - docLens union; stats re-derived from exact integer sums
+    *    (old one-row stats + the batch's one-row agg), so avgdl is
+    *    bit-identical to the rebuild's single division. */
+  def invIndexAppend(index: InvIndex, newDocs: DataFrame,
+                     textCol: String = "text", idCol: String = "doc_id"): InvIndex = {
+    val newTf = docTermFreqs(newDocs, textCol, idCol).localCheckpoint(true)
+    val newTerms = newTf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val terms = index.terms.select(col("word"), col("df").as("df_a"))
+      .join(newTerms.select(col("word"), col("df").as("df_b")), Seq("word"), "full_outer")
+      .select(col("word"),
+        (coalesce(col("df_a"), lit(0L)) + coalesce(col("df_b"), lit(0L))).as("df"))
+    val postings = index.postings.unionByName(newTf)
+      .join(terms.where(col("df") <= index.maxDf).select(col("word")), Seq("word"))
+    val newDl = docLengths(newDocs, textCol, idCol)
+    val oldStats = index.stats.select(col("n_docs").as("n_a"), col("sum_dl").as("s_a"))
+    val stats = newDl.agg(count(lit(1)).as("n_b"), sum(col("dl")).cast("long").as("s_b"))
+      .crossJoin(oldStats)
+      .select(
+        (col("n_a") + col("n_b")).as("n_docs"),
+        (col("s_a") + coalesce(col("s_b"), lit(0L))).as("sum_dl"),
+        ((col("s_a") + coalesce(col("s_b"), lit(0L))).cast("double") /
+          (col("n_a") + col("n_b"))).as("avgdl"),
+        lit(index.maxDf).as("max_df"))
+    InvIndex(postings, terms, index.docLens.unionByName(newDl), stats, index.maxDf)
+  }
+
+  /** Persist the index as four parquet relations under `dir` (the cap
+    * rides the one-row stats relation). */
   def invIndexWrite(index: InvIndex, dir: String): Unit = {
     index.postings.write.mode("overwrite").parquet(s"$dir/postings")
     index.terms.write.mode("overwrite").parquet(s"$dir/terms")
@@ -180,9 +235,14 @@ object Retrieval {
     index.stats.write.mode("overwrite").parquet(s"$dir/stats")
   }
 
-  def invIndexRead(spark: SparkSession, dir: String): InvIndex =
+  def invIndexRead(spark: SparkSession, dir: String): InvIndex = {
+    val stats = spark.read.parquet(s"$dir/stats")
+    // one-row driver read to recover the index's cap — the same class
+    // of driver touch as reading a manifest's file list
+    val maxDf = stats.select(col("max_df")).head().getInt(0)
     InvIndex(spark.read.parquet(s"$dir/postings"), spark.read.parquet(s"$dir/terms"),
-      spark.read.parquet(s"$dir/doc_lens"), spark.read.parquet(s"$dir/stats"))
+      spark.read.parquet(s"$dir/doc_lens"), stats, maxDf)
+  }
 
   /** BM25 from a (possibly reloaded) index: the amortized half of the
     * lifecycle. Same scoring tail as [[bm25TopK]] — only the inputs
@@ -191,7 +251,7 @@ object Retrieval {
   def bm25FromIndex(index: InvIndex, terms: Seq[String], k: Int,
                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val tf = index.postings.where(col("word").isin(terms: _*))
-    val df = index.terms.where(col("word").isin(terms: _*))
+    val df = index.terms.where(col("word").isin(terms: _*) && col("df") <= index.maxDf)
     scoreBm25(terms, k, k1, b, tf, df, index.docLens, index.stats)
   }
 }

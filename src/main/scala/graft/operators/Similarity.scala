@@ -506,6 +506,41 @@ object Similarity {
         (col("n_batch") >= minBatchPerCell &&
           col("batch_energy") / col("base_energy") >= threshold).as("rebuild"))
 
+  /** The drift-GATED maintenance step that closes the append lifecycle:
+    * [[appendDrift]] decides, this operator acts. An in-distribution
+    * batch folds in with [[ivfPqAppend]] (frozen geometry, map-side
+    * cost); a batch that trips the trigger forces the RETRAIN the
+    * append path's frozen-geometry contract defers — coarse centroids
+    * and code books rebuilt over corpus ∪ batch, everything re-encoded,
+    * and the baseline energies refreshed so the next drift check
+    * compares against the new geometry. The decision itself is one
+    * driver-side boolean off a cell-count-sized aggregate (the
+    * bloomSemiFilter class of driver touch, not row-scale).
+    *
+    * At 100 TB the asymmetry is the point: appends are
+    * batch-sized, rebuilds are corpus-sized — so the trigger's job is
+    * to make the expensive path RARE and measured rather than periodic
+    * and blind. Returns (updated index, baseline to carry forward,
+    * whether a rebuild happened). */
+  def ivfPqMaintain(index: IvfPqIndex, baseline: DataFrame,
+                    corpusVectors: DataFrame, batch: DataFrame,
+                    threshold: Double = 1.5, minBatchPerCell: Long = 4L,
+                    coarseStep: Int = 10, step: Int = 50, kCent: Int = 48)
+      : (IvfPqIndex, DataFrame, Boolean) = {
+    val tripped = !appendDrift(index, baseline, batch, threshold, minBatchPerCell)
+      .where(col("rebuild")).isEmpty
+    if (!tripped) (ivfPqAppend(index, batch), baseline, false)
+    else {
+      // project both sides to the vector core first: callers may carry
+      // extra columns (labels, payloads) on either input
+      val all = corpusVectors.select(col("vec_id"), col("embedding"))
+        .unionByName(batch.select(col("vec_id"), col("embedding")))
+      val dim = index.m * index.subDim
+      val rebuilt = ivfPqBuild(all, coarseStep, step, index.m, kCent, dim)
+      (rebuilt, cellResidualEnergy(rebuilt, all), true)
+    }
+  }
+
   /** Persist the index as four parquet relations under `dir`. */
   def ivfPqWrite(index: IvfPqIndex, dir: String): Unit = {
     index.cells.write.mode("overwrite").parquet(s"$dir/cells")

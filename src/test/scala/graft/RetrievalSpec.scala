@@ -117,6 +117,61 @@ class RetrievalSpec extends AnyFunSuite {
     assert(fromIdx.nonEmpty)
   }
 
+  test("invIndexAppend: postings, df, stats and bm25 all equal a full rebuild over the union") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = real.where($"doc_id" % 5 =!= 2)
+    val batch = real.where($"doc_id" % 5 === 2)
+    // a cap that BINDS: the union corpus must push some base-legal term
+    // over it, or the retire-on-crossing path is untested
+    val baseDf = Retrieval.invIndexBuild(base).terms.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val unionDf = Retrieval.invIndexBuild(real).terms.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cap = baseDf.values.max.toInt // every base term legal; union can cross
+    val crossers = unionDf.filter { case (w, d) => baseDf.getOrElse(w, 0L) <= cap && d > cap }
+    assert(crossers.nonEmpty, "fixture must contain a term the append pushes over the cap")
+
+    val appended = Retrieval.invIndexAppend(Retrieval.invIndexBuild(base, maxDf = cap), batch)
+    val rebuilt = Retrieval.invIndexBuild(real, maxDf = cap)
+    def postingsOf(i: Retrieval.InvIndex) = i.postings.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def termsOf(i: Retrieval.InvIndex) = i.terms.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(postingsOf(appended) === postingsOf(rebuilt))
+    assert(termsOf(appended) === termsOf(rebuilt))
+    // the crossing term's base postings were retired by the append
+    assert(!postingsOf(appended).exists(p => crossers.contains(p._1)))
+    // stats merge from exact integer sums: bit-identical row
+    val (sa, sr) = (appended.stats.head(), rebuilt.stats.head())
+    assert(sa.getLong(0) === sr.getLong(0))
+    assert(sa.getLong(1) === sr.getLong(1))
+    assert(sa.getDouble(2) === sr.getDouble(2))
+    // and the query path agrees end-to-end
+    val terms = Seq("spark", "hash", "dup")
+    def bm25(i: Retrieval.InvIndex) = Retrieval.bm25FromIndex(i, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(bm25(appended) === bm25(rebuilt))
+  }
+
+  test("invIndexAppend survives a persist/reload boundary on both sides") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = real.where($"doc_id" % 5 =!= 2)
+    val batch = real.where($"doc_id" % 5 === 2)
+    val (d0, d1) = (java.nio.file.Files.createTempDirectory("graft-invidx-a").toString,
+      java.nio.file.Files.createTempDirectory("graft-invidx-b").toString)
+    Retrieval.invIndexWrite(Retrieval.invIndexBuild(base, maxDf = 40), d0)
+    val grown = Retrieval.invIndexAppend(Retrieval.invIndexRead(spark, d0), batch)
+    assert(grown.maxDf === 40) // the cap rode the stats relation through the reload
+    Retrieval.invIndexWrite(grown, d1)
+    val terms = Seq("spark", "hash", "dup")
+    val fromDisk = Retrieval.bm25FromIndex(Retrieval.invIndexRead(spark, d1), terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val recomputed = Retrieval.bm25TopK(real, terms, k = 20, maxDf = 40)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromDisk === recomputed)
+    assert(fromDisk.nonEmpty)
+  }
+
   test("duplicatedSpans: finds aligned cross-doc spans, ignores unique text") {
     val shared = "0123456789abcdefghijklmnopqrstuvwxyz" // 36 chars >= k
     val spanDocs = Seq(

@@ -169,6 +169,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ratios(ratios.length / 2) > 1.5, s"median drift ratio ${ratios(ratios.length / 2)}")
   }
 
+  test("ivfPqMaintain: drifted batch forces a retrain that absorbs the new mode; in-distribution batch appends frozen") {
+    val emb = TestSpark.spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val base = emb.where(col("vec_id") % 7 =!= 3)
+    val batch = emb.where(col("vec_id") % 7 === 3)
+    val idx = Similarity.ivfPqBuild(base, step = 10)
+    val baseline = Similarity.cellResidualEnergy(idx, base)
+    // in-distribution: the held-out residue class of the same corpus —
+    // maintain must take the cheap path (frozen geometry, batch-sized)
+    val (appended, carried, rebuilt1) = Similarity.ivfPqMaintain(idx, baseline, base, batch)
+    assert(!rebuilt1, "in-distribution batch forced a retrain")
+    assert(appended.cells.count() === emb.count())
+    assert(appended.coarseCents.collect().toSet === idx.coarseCents.collect().toSet)
+    assert(carried eq baseline) // baseline carried forward untouched
+    // out-of-distribution: a constant-offset shift — a coherent NEW
+    // MODE the frozen centroids cannot represent (every residual holds
+    // the full offset), which is exactly the case appends must not
+    // paper over. Fresh ids keep the union well-formed and let the
+    // retrain's stride sampling seed centroids inside the new mode.
+    val ood = batch.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("embedding"), x => (x + lit(3.0f)).cast("float")).as("embedding"))
+    val (retrained, newBaseline, rebuilt2) = Similarity.ivfPqMaintain(idx, baseline, base, ood)
+    assert(rebuilt2, "shifted batch did not force a retrain")
+    assert(retrained.cells.count() === base.count() + ood.count())
+    assert(newBaseline.count() > 0)
+    // the retrain must ABSORB the mode: the ood batch's total residual
+    // energy under the rebuilt geometry collapses vs the frozen one
+    // (frozen residuals carry ~||offset||² each; rebuilt cells sit
+    // inside the mode)
+    def totalEnergy(i: Similarity.IvfPqIndex) = Similarity.cellResidualEnergy(i, ood)
+      .agg(sum(col("n") * col("mean_energy"))).head().getDouble(0)
+    val (frozenE, rebuiltE) = (totalEnergy(idx), totalEnergy(retrained))
+    info(s"ood batch residual energy: frozen=$frozenE rebuilt=$rebuiltE")
+    assert(rebuiltE < frozenE * 0.1,
+      s"retrain did not absorb the drift: $frozenE -> $rebuiltE")
+  }
+
   test("Lloyd codebook refinement does not degrade pq recall and stays deterministic") {
     val emb = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") % 10 === 0), k = 5)
