@@ -373,6 +373,11 @@ object SparkEntry {
     "q19_disjunctive" -> ((s, d) => TpchDepth.q19Disjunctive(t(s, d))),
     "q21_waiting_suppliers" -> ((s, d) => TpchDepth.q21WaitingSuppliers(t(s, d))),
     "q22_dormant_customers" -> ((s, d) => TpchDepth.q22DormantCustomers(t(s, d))),
+    // correlated-subquery decorrelation shapes (scalar max over a
+    // reused view; correlated scalar avg; nested correlated aggregate)
+    "q15_top_supplier" -> ((s, d) => TpchDepth.q15TopSupplier(t(s, d))),
+    "q17_small_qty_revenue" -> ((s, d) => TpchDepth.q17SmallQuantityRevenue(t(s, d))),
+    "q20_dominant_suppliers" -> ((s, d) => TpchDepth.q20DominantSuppliers(t(s, d))),
     "json_props_agg" -> ((s, d) => Windows.propsKeyStats(t(s, d).events)),
     // Spark 4 VARIANT: open-schema payload parsing with typed extraction
     "variant_props_agg" -> ((s, d) => Windows.variantPropsStats(t(s, d).events)),
@@ -1504,6 +1509,52 @@ object SparkEntry {
         |       / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin,
+
+    // the revenue view appears twice (scalar max + row pick) — both
+    // derive total_revenue through the same exact-decimal sum, so the
+    // equality compares identical doubles on both engines
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // integer-exact threshold: q < 0.2*avg(q) algebra'd to 5*n*q <
+    // sum(q) so no float division reaches the comparison on either side
+    "q17_small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#4'),
+        | pp AS (
+        |  SELECT l_partkey AS pk, sum(CAST(l_quantity AS BIGINT)) AS sum_qty, count(*) AS n_li
+        |  FROM li GROUP BY 1)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / CAST(7.0 AS DOUBLE) AS avg_yearly
+        |FROM li JOIN pp ON l_partkey = pk
+        |WHERE CAST(l_quantity AS BIGINT) * 5 * n_li < sum_qty""".stripMargin,
+
+    // nested correlated aggregate, integer dominance test (6*qty_ps >
+    // qty_p, a >1/6 share) — the per-part rollup reads the
+    // (part,supplier) aggregate, never the fact table twice
+    "q20_dominant_suppliers" ->
+      """WITH shipped AS (
+        |  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS qty_ps
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red%'
+        |  GROUP BY 1, 2),
+        | pp AS (SELECT l_partkey, sum(qty_ps) AS qty_p FROM shipped GROUP BY 1)
+        |SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT DISTINCT l_suppkey FROM shipped JOIN pp USING (l_partkey)
+        |  WHERE qty_ps * 6 > qty_p)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q16_supplier_cnt" ->
       """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt

@@ -189,4 +189,80 @@ object TpchDepth {
       .agg(count(lit(1)).as("numcust"), dsum2(col("c_acctbal")).as("totacctbal"))
       .orderBy(col("c_nationkey"))
   }
+
+  /** Q15-shaped top supplier: a revenue view consumed TWICE — once for
+    * its scalar max, once to pick the row(s) attaining it. The view is
+    * supplier-count-sized after its aggregation, so it materializes
+    * once (localCheckpoint, the Dedup.jaccardPairs device) instead of
+    * re-running the lineitem scan+shuffle per consumer; the max side
+    * reduces to one broadcast row. Equality on total_revenue is safe
+    * across engines because both sides derive it through the same
+    * exact-decimal sum (dsum6), then compare the identical doubles. */
+  def q15TopSupplier(t: Tables): DataFrame = {
+    val rev = t.lineitem
+      .where(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType) &&
+             col("l_shipdate") < lit("1995-04-01").cast(TimestampType))
+      .groupBy(col("l_suppkey"))
+      .agg(dsum6(revenue).as("total_revenue"))
+      .localCheckpoint(true)
+    val top = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.join(broadcast(top), col("total_revenue") === col("mx"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Q17-shaped small-quantity revenue: the correlated scalar AVG
+    * (`l_quantity < 0.2 * avg(l_quantity) WHERE l_partkey = p_partkey`)
+    * decorrelated into a per-part aggregate joined back on the key —
+    * the classic rewrite, with the brand filter SEMI-JOINED below the
+    * aggregate so the per-part stats are computed over 1/25th of the
+    * fact table instead of all of it (the pushdown a correlated form
+    * hides from the optimizer).
+    *
+    * Cross-engine exactness: quantities are integers, so the fractional
+    * threshold is algebra'd away — q < sum/(5·n) ⇔ 5·n·q < sum —
+    * leaving pure BIGINT comparisons; only the final revenue sum is
+    * float, and it goes through the exact-decimal device. */
+  def q17SmallQuantityRevenue(t: Tables, brand: String = "Brand#4"): DataFrame = {
+    val branded = broadcast(
+      t.part.where(col("p_brand") === brand).select(col("p_partkey")))
+    val li = t.lineitem
+      .join(branded, col("l_partkey") === col("p_partkey"), "left_semi")
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity").cast(LongType)).as("sum_qty"),
+           count(lit(1)).as("n_li"))
+    li.join(perPart, col("l_partkey") === col("pk"))
+      .where(col("l_quantity").cast(LongType) * lit(5L) * col("n_li") < col("sum_qty"))
+      .agg((dsum6(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+  }
+
+  /** Q20-shaped dominant suppliers: a NESTED correlated aggregate —
+    * suppliers shipping more than a 1/`mult` share of some part's total
+    * volume, for a name-prefixed part family. Decorrelated bottom-up:
+    * one (part, supplier) aggregate, one per-part rollup OF THAT
+    * aggregate (never a second fact scan), an integer-exact dominance
+    * filter (mult·qty_ps > qty_p), then a semi join into the supplier
+    * dimension. The fact table is touched once, pre-pruned by the
+    * broadcast part family; every later stage works on aggregate-sized
+    * data. (`mult` defaults to 6 — a >1/6 share, which is selective on
+    * the synthetic data's near-uniform supplier spread; the classic
+    * >1/2 form is mult = 2.) */
+  def q20DominantSuppliers(t: Tables, prefix: String = "red", mult: Int = 6): DataFrame = {
+    val family = broadcast(
+      t.part.where(col("p_name").startsWith(prefix)).select(col("p_partkey")))
+    val shipped = t.lineitem
+      .join(family, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast(LongType)).as("qty_ps"))
+      .localCheckpoint(true) // consumed by the rollup AND the filter
+    val perPart = shipped.groupBy(col("l_partkey")).agg(sum(col("qty_ps")).as("qty_p"))
+    val dominant = shipped.join(perPart, Seq("l_partkey"))
+      .where(col("qty_ps") * lit(mult.toLong) > col("qty_p"))
+      .select(col("l_suppkey")).distinct()
+    t.supplier
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_suppkey"))
+  }
 }

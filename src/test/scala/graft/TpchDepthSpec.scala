@@ -71,6 +71,75 @@ class TpchDepthSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q15: view materializes once; result rows attain the scalar max") {
+    val df = TpchDepth.q15TopSupplier(t)
+    // the revenue view feeds two consumers (scalar max + row pick);
+    // localCheckpoint means the final plan reads the materialized RDD —
+    // the lineitem parquet scan must not appear at all
+    assert(!simple(df).contains("lineitem"), simple(df))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // independent check: recompute the view and its max directly
+    import org.apache.spark.sql.functions._
+    import graft.functions.dsum6
+    val rev = t.lineitem
+      .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+             col("l_shipdate") < lit("1995-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey")).agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val mx = rev.values.max
+    assert(rows.map(_.getLong(0)).toSet === rev.filter(_._2 == mx).keySet)
+    assert(rows.forall(_.getDouble(2) === mx))
+  }
+
+  test("q17: decorrelated form equals Spark's own decorrelation of the correlated original") {
+    val df = TpchDepth.q17SmallQuantityRevenue(t)
+    // the brand filter is semi-joined BELOW the per-part aggregate
+    val plan = simple(df)
+    assert(plan.toLowerCase.contains("leftsemi"), plan)
+    t.lineitem.createOrReplaceTempView("q17_lineitem")
+    t.part.createOrReplaceTempView("q17_part")
+    // the original correlated scalar subquery, decorrelated by Catalyst
+    val correlated = spark.sql("""
+      |SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+      |FROM q17_lineitem JOIN q17_part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#4'
+      |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM q17_lineitem WHERE l_partkey = p_partkey)
+      |""".stripMargin).head().getDouble(0)
+    val got = df.head().getDouble(0)
+    assert(math.abs(got - correlated) < 1e-6, s"$got vs correlated $correlated")
+  }
+
+  test("q20: nested correlated aggregate — rollup reads the aggregate, dominance matches the correlated original") {
+    // mult=4 (>1/4 share): at sf0.001 a PROPER subset of suppliers
+    // qualifies — nonempty, and not everyone, so the filter is exercised
+    // in both directions (the query's default mult=6 is tuned to sf0.01,
+    // where the oracle gate runs)
+    val df = TpchDepth.q20DominantSuppliers(t, mult = 4)
+    // fact table consumed once: the (part,supplier) aggregate is
+    // checkpointed and both later stages read it — no lineitem scan in
+    // the final plan
+    assert(!simple(df).contains("lineitem"), simple(df))
+    t.lineitem.createOrReplaceTempView("q20_lineitem")
+    t.part.createOrReplaceTempView("q20_part")
+    t.supplier.createOrReplaceTempView("q20_supplier")
+    val correlated = spark.sql("""
+      |SELECT s_suppkey FROM q20_supplier WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM q20_lineitem l
+      |  JOIN q20_part ON p_partkey = l_partkey
+      |  WHERE p_name LIKE 'red%'
+      |  GROUP BY l_partkey, l_suppkey
+      |  HAVING sum(l_quantity) * 4 > (
+      |    SELECT sum(l_quantity) FROM q20_lineitem i
+      |    JOIN q20_part ON p_partkey = i.l_partkey
+      |    WHERE p_name LIKE 'red%' AND i.l_partkey = l.l_partkey))
+      |""".stripMargin).collect().map(_.getLong(0)).toSet
+    assert(df.collect().map(_.getLong(0)).toSet === correlated)
+    // a PROPER subset: the dominance filter cuts both ways
+    assert(correlated.nonEmpty)
+    assert(correlated.size < t.supplier.count())
+  }
+
   test("q22: global threshold reduces to one row before the customer filter") {
     // the scalar aggregate side must be a one-row broadcast, never a shuffle
     val df = TpchDepth.q22DormantCustomers(t)
