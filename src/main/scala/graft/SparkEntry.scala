@@ -127,6 +127,34 @@ object SparkEntry {
       tmp
     })
 
+  /** Event staging for the OUTER stream-stream join: the real events
+    * (4 files) plus one far-future click+purchase pair for a sentinel
+    * user, in its own file with a maximal modification time so the
+    * mtime-ordered file source delivers it LAST. The sentinel advances
+    * both branch watermarks past every real event, so the final
+    * no-data batch can evict remaining join state and emit the
+    * unmatched-null rows — without it, purchases near the stream's end
+    * would still be "maybe matched later" when the bounded run stops,
+    * and the batch-equality oracle would miss rows. */
+  private def stageEventsWithFlush(s: SparkSession, d: String): String =
+    stageLayout(s, d, "events-flush") { tmp =>
+      t(s, d).events.coalesce(4).write.mode("overwrite").parquet(tmp)
+      val stage = s"$tmp/.stage-sentinel"
+      t(s, d).events.limit(1).select(
+          lit(-1L).as("event_id"),
+          expr("timestamp'2199-01-01 00:00:00'").as("ts"),
+          lit(-1L).as("user_id"),
+          explode(array(lit("click"), lit("purchase"))).as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$tmp/sentinel.parquet")
+      require(part.renameTo(dest), s"sentinel staging failed for $dest")
+      dest.setLastModified(4102444800000L) // year 2100 ≫ any staged mtime
+      graft.sources.FsUtil.deleteRecursively(new java.io.File(stage))
+    }
+
   /** Eagerly stage every (copies, filesPerCopy) fixture the streaming
     * queries use. The bench calls this BEFORE timing begins so the
     * first timed sample of a streaming query never includes the
@@ -838,6 +866,22 @@ object SparkEntry {
         watermark = "365 days")
       EventStreams.runToMemory(ss, streamed, s"stream_ssjoin_${System.nanoTime()}",
           org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy("purchase_id", "click_id")
+    }),
+    // stream-stream LEFT OUTER interval join: unmatched purchases
+    // surface with NULL click ids from state EVICTION after the
+    // sentinel flush event pushes both watermarks past the corpus (the
+    // watermark delay still exceeds the corpus span, so no REAL event
+    // is ever late regardless of file order). Converges to the batch
+    // LEFT JOIN — its own oracle below.
+    "streaming_interval_left_join" -> ((s, d) => {
+      val tmp = stageEventsWithFlush(s, d)
+      val ss = streamSession(s)
+      val streamed = EventStreams.clickPurchaseLeftJoin(EventStreams.readEventStream(ss, tmp),
+        watermark = "365 days")
+      EventStreams.runToMemory(ss, streamed, s"stream_ssljoin_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .where(col("user_id") =!= -1L) // drop the sentinel's own pair
         .orderBy("purchase_id", "click_id")
     }),
     // streaming exact dedup: the source dir carries every event TWICE
@@ -1623,6 +1667,17 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "interval_join" -> IntervalJoinSql,
+
+    // LEFT JOIN twin of the interval join: the unmatched purchases
+    // carry NULL click_id — exactly the rows streaming eviction emits
+    "streaming_interval_left_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu FROM events)
+        |SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+        |FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
+        | ON c.user_id = p.user_id
+        | AND c.tsu >= p.tsu - INTERVAL '30 minutes' AND c.tsu <= p.tsu
+        |ORDER BY purchase_id, click_id""".stripMargin,
 
     // the stream-stream join converges to the identical batch answer,
     // so it shares the literal same oracle

@@ -90,6 +90,34 @@ object EventStreams {
       .select(col("purchase_id"), col("click_id"), col("user_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the outer twin of
+    * [[clickPurchaseJoin]]: purchases with no click in the trailing
+    * 30-minute window emit with NULL click columns. Outer emission is
+    * the part inner joins never exercise: an unmatched purchase can
+    * only be declared unmatched once BOTH watermarks pass its match
+    * window, so the null rows surface from state EVICTION, not from
+    * data arrival — the engine must run the trailing no-data batch
+    * after the final watermark advance, and a bounded run converges to
+    * the batch LEFT JOIN only if the watermark ends up past every real
+    * purchase (the caller arranges that with a far-future flush event;
+    * see the `streaming_interval_left_join` fixture). State stays
+    * bounded exactly as in the inner form: click state is droppable
+    * once the watermark passes click_ts + 30 minutes, purchase state
+    * once it passes purchase_ts. */
+  def clickPurchaseLeftJoin(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(clicks, col("c_user") === col("user_id")
+        && col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES")
+        && col("click_ts") <= col("purchase_ts"),
+        "left_outer")
+      .select(col("purchase_id"), col("click_id"), col("user_id"))
+  }
+
   /** Streaming exact dedup on a key column: the streaming twin of
     * Dedup.exactGroups for the at-ingest case (re-delivered files,
     * at-least-once upstreams). First occurrence emits immediately

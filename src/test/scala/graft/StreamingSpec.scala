@@ -156,6 +156,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(want === Set((2L, 1L, 1L), (4L, 5L, 1L), (6L, 5L, 1L)))
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched purchases emit null clicks on eviction") {
+    val dir = Files.createTempDirectory("graft-stream-sslj").toString
+    // same pairing fixture as the inner-join test: user 2's purchase
+    // (id 7) has no click at all and must surface as a NULL row
+    val mixed = Seq(
+      (1L, ts(0), 1L, "click", 1.0, ""), (2L, ts(10), 1L, "purchase", 2.0, ""),
+      (3L, ts(50), 1L, "click", 4.0, ""), (4L, ts(90), 1L, "purchase", 8.0, ""),
+      (5L, ts(70), 1L, "click", 16.0, ""), (6L, ts(90), 1L, "purchase", 32.0, ""),
+      (7L, ts(20), 2L, "purchase", 64.0, ""))
+    val df = mixed.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    df.where($"event_id" <= 3).coalesce(1).write.parquet(s"$dir/b0")
+    df.where($"event_id" > 3).coalesce(1).write.parquet(s"$dir/b1")
+    // flush sentinel: a far-future click+purchase pair, mtime-forced to
+    // arrive LAST, so the final watermark passes every real purchase
+    // and eviction emits the unmatched rows before the bounded run ends
+    val far = new Timestamp(ts(0).getTime + 367L * 24 * 3600 * 1000)
+    Seq((-1L, far, -1L, "click", 0.0, ""), (-2L, far, -1L, "purchase", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/b2")
+    new java.io.File(s"$dir/b2").listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => assert(f.setLastModified(4102444800000L)))
+    val streamed = EventStreams.clickPurchaseLeftJoin(
+      EventStreams.readEventStream(spark, s"$dir/{b0,b1,b2}"), watermark = "365 days")
+    val q = streamed.writeStream.format("memory").queryName("ssljoin_out")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssljoin_out").where($"user_id" =!= -1L)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2))).toSet
+    assert(got === Set(
+      (2L, Some(1L), 1L), (4L, Some(5L), 1L), (6L, Some(5L), 1L), (7L, None, 2L)))
+  }
+
   test("flatMapGroupsWithState sessions agree with batch sessionize and close on event-time timeout") {
     val dir = Files.createTempDirectory("graft-stream-fmgws").toString
     def hm(h: Int, m: Int) = new Timestamp(1704067200000L + (h * 60L + m) * 60000L)
