@@ -406,6 +406,19 @@ object SparkEntry {
     "q15_top_supplier" -> ((s, d) => TpchDepth.q15TopSupplier(t(s, d))),
     "q17_small_qty_revenue" -> ((s, d) => TpchDepth.q17SmallQuantityRevenue(t(s, d))),
     "q20_dominant_suppliers" -> ((s, d) => TpchDepth.q20DominantSuppliers(t(s, d))),
+    // iterative graph analytics: deterministic PageRank over the
+    // supplier↔customer trade graph (both directions, so no node is a
+    // pure sink). 5 fixed iterations; per-edge contributions rounded
+    // then decimal-summed so the hash compare survives cross-engine
+    // float accumulation — the twin unrolls the same 5 steps as CTEs
+    "page_rank" -> ((s, d) => {
+      val tt = t(s, d)
+      val pairs = tt.lineitem.join(tt.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck")).distinct()
+      val edges = pairs.select(col("sk").as("src"), (col("ck") + 100000L).as("dst"))
+        .unionAll(pairs.select((col("ck") + 100000L).as("src"), col("sk").as("dst")))
+      Graph.pageRank(edges).orderBy("node")
+    }),
     "json_props_agg" -> ((s, d) => Windows.propsKeyStats(t(s, d).events)),
     // Spark 4 VARIANT: open-schema payload parsing with typed extraction
     "variant_props_agg" -> ((s, d) => Windows.variantPropsStats(t(s, d).events)),
@@ -1107,6 +1120,34 @@ object SparkEntry {
       | AND c.tsu >= p.tsu - INTERVAL '30 minutes' AND c.tsu <= p.tsu
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** PageRank twin: the 5 fixed iterations UNROLLED as chained CTEs
+    * (straight-line SQL sidesteps engines' recursive-CTE aggregation
+    * restrictions while computing the identical fold). Every arithmetic
+    * step mirrors Graph.pageRank operation-for-operation: double init
+    * 1/n, per-edge round(rank/deg, 12), exact DECIMAL(38,12) sums,
+    * then (1−0.85)·… as single IEEE double ops. */
+  private lazy val pageRankTwinSql: String = {
+    val pre =
+      """WITH pairs AS (SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        | edges AS (SELECT s AS src, 100000 + c AS dst FROM pairs
+        |           UNION ALL SELECT 100000 + c AS src, s AS dst FROM pairs),
+        | nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst AS node FROM edges),
+        | deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        | nn AS (SELECT count(*) AS n FROM nodes),
+        | r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes)""".stripMargin
+    val iters = (1 to 5).map { i =>
+      s""" r$i AS (SELECT nodes.node,
+         |   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+         |     + CAST(0.85 AS DOUBLE) * CAST(coalesce(c.s, 0) AS DOUBLE) AS rank
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS node, sum(CAST(round(r.rank / deg.deg, 12) AS DECIMAL(38,12))) AS s
+         |    FROM r${i - 1} r JOIN deg ON deg.src = r.node JOIN edges e ON e.src = r.node
+         |    GROUP BY e.dst) c ON c.node = nodes.node)""".stripMargin
+    }.mkString(",\n")
+    s"$pre,\n$iters\nSELECT node, round(rank, 8) AS pr FROM r5 ORDER BY node"
+  }
+
   /** Shared token-pipeline CTE for the wordcount family. */
   private val W =
     s"""WITH w AS (
@@ -1599,6 +1640,8 @@ object SparkEntry {
         |  SELECT DISTINCT l_suppkey FROM shipped JOIN pp USING (l_partkey)
         |  WHERE qty_ps * 6 > qty_p)
         |ORDER BY s_suppkey""".stripMargin,
+
+    "page_rank" -> pageRankTwinSql,
 
     "q16_supplier_cnt" ->
       """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt

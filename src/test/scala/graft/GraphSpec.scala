@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Graph
+
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("two-node cycle is the fixed point: both ranks stay 1/2") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // r = 0.15/2 + 0.85 * (1/2) = 1/2 exactly at every step
+    assert(got === Map(1L -> 0.5, 2L -> 0.5))
+  }
+
+  test("star graph: the centre out-ranks the leaves, mass is plausible") {
+    // leaves 2..5 each point at 1; 1 points at 2 (no dangling centre)
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (1L, 2L)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, iters = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the {1,2} pair trades the bulk of the mass (2 holds the centre's
+    // whole vote, so it can even exceed the centre); the pure leaves
+    // 3..5 hold only the teleport floor
+    assert(got(1L) > got(3L), got.toString)
+    assert(got(2L) > got(3L), got.toString)
+    assert(got(3L) === got(4L))
+    assert(got(4L) === got(5L))
+    // no dangling nodes here: total mass conserved up to rounding
+    assert(math.abs(got.values.sum - 1.0) < 1e-6, got.values.sum.toString)
+  }
+
+  test("pageRank matches an independent Scala fold with the identical rounding steps") {
+    // deterministic pseudo-random digraph on 30 nodes
+    val edges = (for (i <- 0L until 30L; j <- 0L until 30L
+                      if i != j && (i * 31 + j * 17) % 7 == 0) yield (i, j)).toSeq
+    val got = Graph.pageRank(edges.toDF("src", "dst"), iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // independent fold, same operation order per STEP (sums over exact
+    // BigDecimal after the same round-to-12)
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+    val in = edges.groupBy(_._2).map { case (d, es) => d -> es.map(_._1) }
+    def r12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 5) {
+      rank = nodes.map { v =>
+        val s = in.getOrElse(v, Seq.empty).map(u => r12(rank(u) / out(u))).sum
+        v -> ((1.0 - 0.85) / n + 0.85 * s.toDouble)
+      }.toMap
+    }
+    val want = rank.map { case (v, r) =>
+      v -> BigDecimal(r).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble }
+    assert(got === want)
+  }
+
+  test("deterministic across runs") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val run = () => Graph.pageRank(edges).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(run() === run())
+  }
+}
