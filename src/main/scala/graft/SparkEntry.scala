@@ -791,6 +791,39 @@ object SparkEntry {
         base, ChangeData.aggDelta(batch, keys, "o_totalprice"), keys)
       ChangeData.presentView(merged, keys).orderBy("o_orderpriority")
     }),
+    // incremental JOIN-view maintenance: the orders⟕customer
+    // enrichment view refreshed through a dim batch (segment rewrites
+    // + dim deletes) THEN a fact batch (price upserts, deletes, new
+    // orders) — fact source never re-scanned; dim deltas broadcast
+    // against the view. Oracle = full LEFT JOIN over the
+    // deltas-applied tables
+    "incremental_join_view" -> ((s, d) => {
+      val tt = t(s, d)
+      val fact = tt.orders.select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+        col("o_totalprice"))
+      val dim = tt.customer.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val v0 = ChangeData.enrichView(fact, dim, "c_custkey")
+      val dimDelta = dim.where(col("c_custkey").between(100, 150))
+        .select(col("c_custkey"), lit("upsert").as("op"),
+          lit("MOVED").as("c_mktsegment"), (col("c_acctbal") * 2).as("c_acctbal"))
+        .unionByName(dim.where(col("c_custkey").between(151, 160))
+          .select(col("c_custkey"), lit("delete").as("op"),
+            lit(null).cast("string").as("c_mktsegment"),
+            lit(null).cast("double").as("c_acctbal")))
+      val v1 = ChangeData.enrichViewApplyDim(v0, dimDelta, "c_custkey")
+      val dim1 = ChangeData.mergeApply(dim, dimDelta, "c_custkey")
+      val factDelta = fact.where(col("o_orderkey") % 100 === 7)
+        .select(col("o_orderkey"), lit("upsert").as("op"), col("c_custkey"),
+          (col("o_totalprice") + 10.0).as("o_totalprice"))
+        .unionByName(fact.where(col("o_orderkey") % 100 === 13)
+          .select(col("o_orderkey"), lit("delete").as("op"), col("c_custkey"),
+            col("o_totalprice")))
+        .unionByName(fact.where(col("o_orderkey") % 1000 === 21)
+          .select((col("o_orderkey") + 500000L).as("o_orderkey"), lit("upsert").as("op"),
+            lit(42L).as("c_custkey"), lit(1.0).as("o_totalprice")))
+      ChangeData.enrichViewApplyFact(v1, factDelta, dim1, "o_orderkey", "c_custkey")
+        .orderBy("o_orderkey")
+    }),
     // SCD2 dimension history from the order log: per-customer status
     // runs with validity intervals — two key-partitioned windows
     "scd2_dimension" -> ((s, d) =>
@@ -2358,6 +2391,25 @@ object SparkEntry {
         |FROM chg
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, version""".stripMargin,
+
+    // the incrementally-maintained enrichment view == a full LEFT JOIN
+    // over the deltas-applied tables (deltas reproduced as CASE/filter
+    // algebra on the base tables)
+    "incremental_join_view" ->
+      """WITH dim1 AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey BETWEEN 100 AND 150 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment,
+        |    CASE WHEN c_custkey BETWEEN 100 AND 150 THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey NOT BETWEEN 151 AND 160),
+        | fact1 AS (
+        |  SELECT o_orderkey, o_custkey AS c_custkey,
+        |    CASE WHEN o_orderkey % 100 = 7 THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 <> 13
+        |  UNION ALL
+        |  SELECT o_orderkey + 500000, 42, 1.0 FROM orders WHERE o_orderkey % 1000 = 21)
+        |SELECT f.o_orderkey, f.c_custkey, f.o_totalprice, d.c_mktsegment, d.c_acctbal
+        |FROM fact1 f LEFT JOIN dim1 d ON f.c_custkey = d.c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
 
     // the TeraSort-shaped distributed rank == the naive global window
     "global_rank" ->

@@ -109,6 +109,54 @@ object ChangeData {
     view.select(keys.map(col) :+ col("n") :+
       col("sum_dec").cast(DoubleType).as("sum_value"): _*)
 
+  /** Incremental maintenance for a JOIN view — the enrichment wide
+    * table V = fact LEFT JOIN dim ON joinKey, kept fresh under change
+    * batches on EITHER side without ever re-scanning the fact table.
+    * LEFT OUTER (fact-preserving) is what makes the view closed under
+    * maintenance: every fact row is present (dim payload NULL when
+    * unmatched), so a dim insert upgrades rows already in the view and
+    * a dim delete downgrades them — neither needs the fact source.
+    * This is the standard delta-join construction (ΔV from Δfact ⋈ dim
+    * and V ⋈ Δdim), specialized to many-to-one enrichment:
+    *  - [[enrichView]]: bootstrap build (one join);
+    *  - [[enrichViewApplyDim]]: Δdim is typically tiny → broadcast
+    *    against the view; upserts REPLACE the dim payload wholesale
+    *    (a CDC dim image is a full row), deletes null it;
+    *  - [[enrichViewApplyFact]]: stale/deleted fact rows leave by
+    *    anti join on the fact pk; upserted rows re-enrich against the
+    *    CURRENT dim (post-Δ) and append.
+    * Refresh cost tracks |Δ| (+ one view-sized pass), never |fact
+    * source|. Keys must be unique per side, as in [[mergeApply]]. */
+  def enrichView(fact: DataFrame, dim: DataFrame, joinKey: String): DataFrame =
+    fact.join(dim, Seq(joinKey), "left")
+
+  def enrichViewApplyDim(view: DataFrame, dimChanges: DataFrame, joinKey: String,
+                         opCol: String = "op"): DataFrame = {
+    val payload = dimChanges.columns.filterNot(c => c == joinKey || c == opCol).toSeq
+    val ch = dimChanges.select(col(joinKey) +: col(opCol).as("__op") +:
+      payload.map(c => col(c).as(s"__d_$c")): _*)
+    view.join(broadcast(ch), Seq(joinKey), "left")
+      .select(col(joinKey) +: view.columns.filterNot(_ == joinKey).toSeq.map { c =>
+        if (payload.contains(c))
+          // dim upsert replaces the payload; dim delete reverts the row
+          // to its unmatched (NULL) left-join form; untouched keys keep
+          // their current enrichment
+          when(col("__op") === "upsert", col(s"__d_$c"))
+            .when(col("__op") === "delete", lit(null).cast(view.schema(c).dataType))
+            .otherwise(col(c)).as(c)
+        else col(c).as(c)
+      }: _*)
+  }
+
+  def enrichViewApplyFact(view: DataFrame, factChanges: DataFrame, dimCurrent: DataFrame,
+                          factKey: String, joinKey: String,
+                          opCol: String = "op"): DataFrame = {
+    val survivors = view.join(factChanges.select(col(factKey)), Seq(factKey), "left_anti")
+    val inserts = factChanges.where(col(opCol) === "upsert").drop(opCol)
+      .join(dimCurrent, Seq(joinKey), "left")
+    survivors.unionByName(inserts.select(view.columns.map(col): _*))
+  }
+
   /** Slowly-changing-dimension (type 2) history from a change log:
     * collapse consecutive equal attribute values per key, then emit
     * one validity interval per run — (key, attr, valid_from,

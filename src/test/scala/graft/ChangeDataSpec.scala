@@ -80,6 +80,37 @@ class ChangeDataSpec extends AnyFunSuite {
     assert(k3.map(_.getString(1)).toSeq === Seq("P", "Q"), "tie column must order same-ts rows")
   }
 
+  test("enrichView maintenance: closed under dim and fact deltas, equals full recompute") {
+    val fact = Seq((1L, 10L, 100.0), (2L, 20L, 200.0), (3L, 30L, 300.0))
+      .toDF("fk", "jk", "price")
+    val dim = Seq((10L, "A"), (20L, "B")).toDF("jk", "seg") // no 30 yet
+    val v0 = ChangeData.enrichView(fact, dim, "jk")
+    // dim batch: rewrite 10, DELETE 20, INSERT 30 (upgrades fact row 3,
+    // which sat in the view with a NULL payload — the case that forces
+    // the view to be LEFT OUTER)
+    val dimDelta = Seq((10L, "upsert", "A2"), (20L, "delete", null.asInstanceOf[String]),
+      (30L, "upsert", "C")).toDF("jk", "op", "seg")
+    val v1 = ChangeData.enrichViewApplyDim(v0, dimDelta, "jk")
+    val dim1 = ChangeData.mergeApply(dim, dimDelta, "jk")
+    // fact batch: price rewrite on 1, delete 2, insert 4 pointing at the
+    // DELETED dim key (must come back NULL-enriched)
+    val factDelta = Seq((1L, "upsert", 10L, 111.0), (2L, "delete", 20L, 200.0),
+      (4L, "upsert", 20L, 400.0)).toDF("fk", "op", "jk", "price")
+    val v2 = ChangeData.enrichViewApplyFact(v1, factDelta, dim1, "fk", "jk")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(df.columns.indexOf("fk")), r.getLong(df.columns.indexOf("jk")),
+        r.getDouble(df.columns.indexOf("price")),
+        Option(r.getAs[String]("seg")))).toSet
+    assert(rows(v2) === Set(
+      (1L, 10L, 111.0, Some("A2")), // fact upsert re-enriched vs dim1
+      (3L, 30L, 300.0, Some("C")),  // dim insert upgraded the null row
+      (4L, 20L, 400.0, None)))      // new fact row vs deleted dim key
+    // and the incremental path equals the full recompute over the
+    // deltas-applied sources
+    val factAfter = ChangeData.mergeApply(fact, factDelta, "fk")
+    assert(rows(v2) === rows(ChangeData.enrichView(factAfter, dim1, "jk")))
+  }
+
   test("incremental view: retractions, empty-group vanish, merge associativity") {
     val keys = Seq("k")
     val fact = Seq(("a", 10.0), ("a", 20.0), ("b", 5.0)).toDF("k", "v")
