@@ -180,6 +180,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("runtime bloom filter: a selective build side injects might_contain into the probe side") {
+    import org.apache.spark.sql.functions._
+    // the 100 TB posture for shuffle joins DPP cannot help (join key ≠
+    // partition column): the optimizer builds a bloom filter from the
+    // filtered creation side and semi-filters the probe side BEFORE its
+    // shuffle. Thresholds are tuned for real scans, so the application
+    // side's size gate drops to 0 for this fixture; broadcast is
+    // disabled or the join would not need a runtime filter at all.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val li = ss.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val o = ss.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .where(col("o_orderpriority") === "1-URGENT")
+    val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.explainString(FormattedMode)
+    assert(plan.contains("might_contain"), plan)
+    // and the filter is a pre-shuffle reduction, not a semantics change
+    val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = t.lineitem.join(
+        t.orders.where(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
   test("dynamic partition pruning: a selective dim filter prunes fact partitions at runtime") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft-dpp").toString
