@@ -481,6 +481,16 @@ object SparkEntry {
           docs.where(col("doc_id") % 5 === 2)), dir1)
       Retrieval.bm25FromIndex(Retrieval.invIndexRead(s, dir1), Bm25Terms, k = 20)
     }),
+    // fuzzy (edit-distance) join over the distinct part-name
+    // dictionary: lossless positional q-gram count filter, then exact
+    // levenshtein verify — never the O(N²) cross product. The twin IS
+    // the cross product (the oracle may be naive; the operator may not)
+    "fuzzy_name_pairs" -> ((s, d) => {
+      val names = t(s, d).part.groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("id"))
+        .select(col("id"), col("p_name").as("s"))
+      Dedup.editDistancePairs(names, q = 2, maxDist = 2).orderBy("id_a", "id_b")
+    }),
     // connected components over J >= 0.3 pairs: canonical doc per cluster
     "dedup_clusters" -> ((s, d) => {
       val docs = t(s, d).documents
@@ -1675,6 +1685,16 @@ object SparkEntry {
         |ORDER BY s_suppkey""".stripMargin,
 
     "page_rank" -> pageRankTwinSql,
+
+    // naive all-pairs twin of the q-gram-filtered fuzzy join (the
+    // length >= 6 guard mirrors the operator's short-string exclusion;
+    // vacuous on this data, where every name is >= 7 chars)
+    "fuzzy_name_pairs" ->
+      """WITH s AS (SELECT min(p_partkey) AS id, p_name AS s FROM part GROUP BY p_name)
+        |SELECT a.id AS id_a, b.id AS id_b, CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM s a JOIN s b ON a.id < b.id
+        |WHERE length(a.s) >= 6 AND length(b.s) >= 6 AND levenshtein(a.s, b.s) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q16_supplier_cnt" ->
       """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt

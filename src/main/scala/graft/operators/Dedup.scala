@@ -363,4 +363,56 @@ object Dedup {
     flagged.join(spans, Seq("h"))
       .select(col("span"), col("n_docs"), col("n_occ"))
   }
+
+  /** Fuzzy (edit-distance) self-join — the approximate string join of
+    * Gravano et al. 2001 (VLDB), q-gram count filtering: all pairs of
+    * strings within `maxDist` edits, WITHOUT the O(N²) cross product.
+    *
+    * Candidate generation is LOSSLESS by the positional q-gram lemma:
+    * if ed(a,b) = e ≤ d, at least max(|a|,|b|) − q + 1 − q·e of the
+    * longer string's q-grams survive every edit untouched and occur in
+    * the other string within e positions of their origin. The count
+    * filter therefore keeps every true pair (the gram join counts all
+    * banded gram matches, which only over-counts bag overlap — a
+    * superset), and exact `levenshtein` verification removes the rest.
+    * Two necessary conditions prune before counting: grams must match
+    * at |Δpos| ≤ d, and |len(a) − len(b)| ≤ d.
+    *
+    * Strings shorter than q·(d+1) are EXCLUDED (their lossless
+    * threshold would be < 1 — no count filter can certify them; the
+    * caller handles the short tail separately, typically by exact
+    * grouping, which is cheap at those lengths).
+    *
+    * Scale shape: grams shuffle as (8-byte xxhash64, int pos); the
+    * only wide data is the bounded candidate set reaching the verify
+    * join. Hot grams ("re", "ed" on English text) are the skew axis —
+    * the positional band caps their pair fan-out per occurrence at
+    * 2d+1 of the hot gram's df, and AQE skew-split handles the rest
+    * (the SkewJoinSpec posture). Verification touches candidates only. */
+  def editDistancePairs(strs: DataFrame, q: Int = 2, maxDist: Int = 2,
+                        strCol: String = "s", idCol: String = "id"): DataFrame = {
+    // consumed by the gram pass and twice by the verify join
+    val s = strs.select(col(idCol).as("id"), col(strCol).as("s"))
+      .where(length(col("s")) >= q * (maxDist + 1))
+      .localCheckpoint(true)
+    val grams = s.select(col("id"), length(col("s")).as("len"),
+        explode(sequence(lit(1), length(col("s")) - lit(q - 1))).as("pos"), col("s"))
+      .select(col("id"), col("len"), col("pos"),
+        xxhash64(col("s").substr(col("pos"), lit(q))).as("g"))
+    val cand = grams.as("a").join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+        abs(col("a.pos") - col("b.pos")) <= maxDist &&
+        abs(col("a.len") - col("b.len")) <= maxDist)
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.len").as("len_a"), col("b.len").as("len_b"))
+      .agg(count(lit(1)).as("m"))
+      .where(col("m") >=
+        greatest(col("len_a"), col("len_b")) - lit(q - 1) - lit(q * maxDist))
+    cand
+      .join(s.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(s.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b")).cast(org.apache.spark.sql.types.LongType).as("dist"))
+      .where(col("dist") <= maxDist)
+  }
 }

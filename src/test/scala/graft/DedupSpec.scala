@@ -68,4 +68,42 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
+
+  test("editDistancePairs equals the brute-force cross product on a mixed fixture") {
+    import org.apache.spark.sql.functions._
+    val strs = Seq(
+      (1L, "kitten"), (2L, "mitten"),   // ed 1
+      (3L, "sitting"),                  // ed(kitten,sitting)=3 > 2: out
+      (4L, "banana"), (5L, "bananas"),  // ed 1
+      (6L, "aaaaaaaa"), (7L, "aaaaaaab"), // repeated grams: bag counting must keep this ed-1 pair
+      (8L, "zzzz")                      // below q*(d+1)=6: excluded entirely
+    ).toDF("id", "s")
+    val got = Dedup.editDistancePairs(strs, q = 2, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val s = strs.where(length(col("s")) >= 6)
+    val want = s.select(col("id").as("id_a"), col("s").as("s_a"))
+      .crossJoin(s.select(col("id").as("id_b"), col("s").as("s_b")))
+      .where(col("id_a") < col("id_b") && levenshtein(col("s_a"), col("s_b")) <= 2)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(got === Set((1L, 2L, 1L), (4L, 5L, 1L), (6L, 7L, 1L)))
+  }
+
+  test("editDistancePairs is lossless on real data: equals the cross product over part names") {
+    import org.apache.spark.sql.functions._
+    val names = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .groupBy(col("p_name")).agg(min(col("p_partkey")).as("id"))
+      .select(col("id"), col("p_name").as("s"))
+    val got = Dedup.editDistancePairs(names, q = 2, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = names.select(col("id").as("id_a"), col("s").as("s_a"))
+      .crossJoin(names.select(col("id").as("id_b"), col("s").as("s_b")))
+      .where(col("id_a") < col("id_b") && levenshtein(col("s_a"), col("s_b")) <= 2)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute)
+    assert(got.nonEmpty)
+  }
 }
