@@ -481,6 +481,20 @@ object SparkEntry {
           docs.where(col("doc_id") % 5 === 2)), dir1)
       Retrieval.bm25FromIndex(Retrieval.invIndexRead(s, dir1), Bm25Terms, k = 20)
     }),
+    // sketch MERGEABILITY — the property that makes approximate
+    // distinct counts distributed: per-(segment, nation) HLL sketches
+    // built in one pass, then UNIONED up to segment level (binary
+    // sketch state merges; re-scanning is never needed). Rows-only
+    // (estimates by design); SketchesSpec pins union == direct build
+    // and the error bound
+    "sketch_rollup" -> ((s, d) => {
+      val c = t(s, d).customer
+      c.groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(expr("hll_sketch_agg(c_custkey)").as("sk"))
+        .groupBy(col("c_mktsegment"))
+        .agg(expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)").as("approx_nd"))
+        .orderBy("c_mktsegment")
+    }),
     // fuzzy (edit-distance) join over the distinct part-name
     // dictionary: lossless positional q-gram count filter, then exact
     // levenshtein verify — never the O(N²) cross product. The twin IS

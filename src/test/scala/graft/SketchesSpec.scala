@@ -76,4 +76,29 @@ class SketchesSpec extends AnyFunSuite {
       .agg(max(col("count"))).head().getLong(0)
     assert(maxPerFile <= 1000L, s"a file holds $maxPerFile rows")
   }
+
+  test("HLL sketches merge exactly: union of partials == one direct build, error bounded") {
+    val c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    // partial per-nation sketches unioned up to segment level…
+    val merged = c.groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(expr("hll_sketch_agg(c_custkey)").as("sk"))
+      .groupBy(col("c_mktsegment"))
+      .agg(expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)").as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // …must estimate exactly what a single whole-group sketch estimates
+    // (sketch state is a commutative monoid; merge loses nothing)
+    val direct = c.groupBy(col("c_mktsegment"))
+      .agg(expr("CAST(hll_sketch_estimate(hll_sketch_agg(c_custkey)) AS BIGINT)").as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === direct)
+    // and the estimate tracks the exact distinct count (default lgK=12
+    // keeps relative error ~1.6%; keys here are unique per customer)
+    val exact = c.groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("c_custkey")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (seg, n) =>
+      assert(math.abs(merged(seg) - n) <= math.max(2L, (n * 0.05).toLong),
+        s"$seg: est ${merged(seg)} vs exact $n")
+    }
+  }
 }
