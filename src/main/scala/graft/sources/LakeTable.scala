@@ -144,8 +144,29 @@ object LakeTable {
     Pruned(touched, allFiles.length.toLong, base, carried)
   }
 
+  /** Atomic snapshot publication — the OPTIMISTIC CONCURRENCY CONTROL
+    * seam: the manifest is written to a hidden staging root, then a
+    * single directory RENAME makes it version `next`. POSIX rename
+    * fails if the target exists, so when two writers race to the same
+    * version exactly one wins; the loser's staging is removed and it
+    * gets [[java.util.ConcurrentModificationException]] — re-read the
+    * table, re-merge, retry ([[commitMergeRetrying]]). Readers never
+    * see a partial snapshot: a version dir either does not exist or
+    * holds its complete manifest, and the loser's attempt-scoped data
+    * files are unreferenced orphans until [[vacuum]] sweeps them. */
+  private def publishAtomic(manifest0: DataFrame, tableDir: String, next: Long): Unit = {
+    val staging = new java.io.File(s"$tableDir/.inflight_v${next}_${System.nanoTime()}")
+    manifest0.coalesce(1).write.mode("overwrite").parquet(s"${staging.getPath}/_manifest")
+    if (!staging.renameTo(new java.io.File(vDir(tableDir, next)))) {
+      FsUtil.deleteRecursively(staging)
+      throw new java.util.ConcurrentModificationException(
+        s"LakeTable commit conflict: version $next already published in $tableDir — " +
+          "re-read the latest snapshot and retry the commit")
+    }
+  }
+
   /** Write a commit's merged rows (already materialized; `rows` is its
-    * count) key-clustered under version `next` and return the manifest
+    * count) key-clustered into `dataDir` and return the manifest
     * for the new snapshot. The no-surviving-rows edge is handled
     * explicitly: if nothing carries either, ONE empty schema-bearing
     * file + a null-stats manifest row keep the emptied table readable
@@ -154,7 +175,8 @@ object LakeTable {
   private def landCommit(spark: SparkSession, merged: DataFrame, rows: Long,
                          tableDir: String, next: Long, keyCol: String,
                          targetRowsPerFile: Long, carried: Option[DataFrame],
-                         statsCols: Seq[String]): Seq[String] = {
+                         statsCols: Seq[String], dataDir: String,
+                         atomic: Boolean): Seq[String] = {
     val carriedCount = carried.map(_.count()).getOrElse(0L)
     val newFiles =
       if (rows == 0L && carriedCount > 0L) Seq.empty[String]
@@ -162,8 +184,8 @@ object LakeTable {
         val nFiles = math.max(1L, math.ceil(rows.toDouble / targetRowsPerFile).toLong).toInt
         merged.repartitionByRange(nFiles, col(keyCol)).sortWithinPartitions(keyCol)
           .write.mode("overwrite").option("maxRecordsPerFile", targetRowsPerFile)
-          .parquet(commitDir(tableDir, next))
-        listFiles(commitDir(tableDir, next))
+          .parquet(dataDir)
+        listFiles(dataDir)
       }
     val newStats =
       if (newFiles.isEmpty) None
@@ -183,15 +205,26 @@ object LakeTable {
       case (None, None) => throw new IllegalStateException(
         s"commit $next would have an empty manifest — landCommit guards should prevent this")
     }
-    nextManifest.coalesce(1).write.mode("overwrite").parquet(manifestDir(tableDir, next))
+    if (atomic) publishAtomic(nextManifest, tableDir, next)
+    else nextManifest.coalesce(1).write.mode("overwrite").parquet(manifestDir(tableDir, next))
     newFiles
   }
 
   def commitMerge(changes: DataFrame, tableDir: String, keyCol: String,
-                  targetRowsPerFile: Long, opCol: String = "op"): Commit = {
+                  targetRowsPerFile: Long, opCol: String = "op"): Commit =
+    commitMergeAt(changes, tableDir, keyCol, targetRowsPerFile,
+      versions(tableDir).last, opCol)
+
+  /** [[commitMerge]] pinned to an explicit base version — the seam the
+    * OCC spec uses to reproduce a writer racing on a STALE snapshot
+    * (read v, merge against v, publish v+1 after someone else already
+    * did). Fails with ConcurrentModificationException at publish time;
+    * nothing the loser wrote is visible to any reader. */
+  private[graft] def commitMergeAt(changes: DataFrame, tableDir: String, keyCol: String,
+                                   targetRowsPerFile: Long, baseVersion: Long,
+                                   opCol: String = "op"): Commit = {
     val spark = changes.sparkSession
-    val v = versions(tableDir).last
-    val m = manifest(spark, tableDir, v)
+    val m = manifest(spark, tableDir, baseVersion)
     val p = pruneTouched(spark, m, changes, keyCol)
     // the merge is consumed twice (count + clustered write):
     // localCheckpoint materializes the join once (the
@@ -199,10 +232,34 @@ object LakeTable {
     // files and re-joining per action
     val merged = ChangeData.mergeApply(
       p.base.drop(opCol), changes, keyCol, opCol).localCheckpoint(true)
-    val next = v + 1
+    val next = baseVersion + 1
+    // attempt-scoped data dir: two racing writers must never share one
+    // (the loser's overwrite would clobber the winner's data files);
+    // the manifest records absolute paths, so the dir name is free
+    val dataDir = s"$tableDir/files/c${next}a${System.nanoTime()}"
     val newFiles = landCommit(spark, merged, merged.count(), tableDir, next,
-      keyCol, targetRowsPerFile, Some(p.carried), statsColsOf(m))
+      keyCol, targetRowsPerFile, Some(p.carried), statsColsOf(m), dataDir, atomic = true)
     Commit(next, newFiles.size.toLong, p.nBaseFiles - p.touched.size)
+  }
+
+  /** The OCC retry loop every real lake writer runs: attempt, and on a
+    * conflict re-read the NEW latest snapshot and re-merge — the batch
+    * re-applies cleanly because MERGE is defined against whatever base
+    * it lands on. Bounded attempts; rethrows when contention outlasts
+    * them. */
+  def commitMergeRetrying(changes: DataFrame, tableDir: String, keyCol: String,
+                          targetRowsPerFile: Long, opCol: String = "op",
+                          maxAttempts: Int = 5): Commit = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return commitMerge(changes, tableDir, keyCol, targetRowsPerFile, opCol)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Version-PINNED last-writer-wins commit — the LakeTable backend for
@@ -238,10 +295,15 @@ object LakeTable {
         (latestOf(p.base.unionByName(latestOf(images))), p.touched, Some(p.carried),
           p.nBaseFiles, statsColsOf(m))
     }
-    // consumed twice (count + clustered write): materialize once
+    // consumed twice (count + clustered write): materialize once.
+    // NOT atomic-published: this commit is version-PINNED and replays
+    // must overwrite their own snapshot (the streaming idempotence
+    // contract) — the micro-batch engine is the single writer here, so
+    // the OCC rename that would reject the overwrite is wrong for it
     val merged = merged0.localCheckpoint(true)
     val newFiles = landCommit(spark, merged, merged.count(), tableDir, version,
-      keyCol, targetRowsPerFile, carriedM, statsCols)
+      keyCol, targetRowsPerFile, carriedM, statsCols,
+      commitDir(tableDir, version), atomic = false)
     Commit(version, newFiles.size.toLong, totalBase - touched.size)
   }
 
@@ -263,8 +325,9 @@ object LakeTable {
     val total = m.count()
     val next = v + 1
     if (small.isEmpty) {
-      // nothing to do — still snapshot (a commit is a commit), all carried
-      m.coalesce(1).write.mode("overwrite").parquet(manifestDir(tableDir, next))
+      // nothing to do — still snapshot (a commit is a commit), all
+      // carried; published atomically like any other maintenance commit
+      publishAtomic(m, tableDir, next)
       return Commit(next, 0L, total)
     }
     // read the small files once (count + clustered write)
@@ -272,14 +335,16 @@ object LakeTable {
       .parquet(small.toIndexedSeq: _*).localCheckpoint(true)
     val rows = smallRows.count()
     val nFiles = math.max(1L, math.ceil(rows.toDouble / targetRowsPerFile).toLong).toInt
+    val dataDir = s"$tableDir/files/c${next}a${System.nanoTime()}"
     smallRows
       .repartitionByRange(nFiles, col(keyCol)).sortWithinPartitions(keyCol)
       .write.mode("overwrite").option("maxRecordsPerFile", targetRowsPerFile)
-      .parquet(commitDir(tableDir, next))
-    val newFiles = listFiles(commitDir(tableDir, next))
-    m.where(!col("file").isin(small.toIndexedSeq: _*))
-      .unionByName(StatsManifest.statsOf(spark, newFiles, statsColsOf(m)))
-      .coalesce(1).write.mode("overwrite").parquet(manifestDir(tableDir, next))
+      .parquet(dataDir)
+    val newFiles = listFiles(dataDir)
+    publishAtomic(
+      m.where(!col("file").isin(small.toIndexedSeq: _*))
+        .unionByName(StatsManifest.statsOf(spark, newFiles, statsColsOf(m))),
+      tableDir, next)
     Commit(next, newFiles.size.toLong, total - small.length)
   }
 
@@ -329,6 +394,16 @@ object LakeTable {
       .filter(_.getName.endsWith(".parquet"))
     val dead = dataFiles.filterNot(f => referenced.contains(f.getAbsolutePath))
     dead.foreach(_.delete())
+    // sweep the husks OCC leaves behind: emptied commit/attempt dirs
+    // and staging roots of writers that crashed before their publish
+    // rename (never visible to readers — versions() only sees v dirs)
+    Option(new java.io.File(s"$tableDir/files").listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && Option(d.listFiles()).forall(_.forall(f =>
+        !f.getName.endsWith(".parquet"))))
+      .foreach(FsUtil.deleteRecursively)
+    Option(new java.io.File(tableDir).listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith(".inflight_v"))
+      .foreach(FsUtil.deleteRecursively)
     (drop.size.toLong, dead.size.toLong)
   }
 }

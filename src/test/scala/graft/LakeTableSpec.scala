@@ -176,6 +176,44 @@ class LakeTableSpec extends AnyFunSuite {
     assert(rows(LakeTable.readLatest(spark, dir)) === rows(base.limit(5)))
   }
 
+  test("optimistic concurrency: the stale writer loses at publish, nothing partial is visible, retry lands") {
+    val dir = Files.createTempDirectory("graft-lake-occ").toString
+    LakeTable.init(base, dir, "c_custkey", nFiles = 4)
+    val batchA = base.where(col("c_custkey") <= 50)
+      .select(col("c_custkey"), lit("upsert").as("op"),
+        lit("RACED-A").as("c_mktsegment"), lit(null).cast("double").as("c_acctbal"))
+    val batchB = base.where(col("c_custkey").between(25, 75))
+      .select(col("c_custkey"), lit("upsert").as("op"),
+        lit(null).cast("string").as("c_mktsegment"), lit(-1.0).as("c_acctbal"))
+    // both writers read snapshot v0; A publishes v1 first
+    val a = LakeTable.commitMergeAt(batchA, dir, "c_custkey", 100, baseVersion = 0L)
+    assert(a.version === 1L)
+    // B merged against the now-STALE v0 — its publish of v1 must fail,
+    // or A's commit would be silently lost (the lost-update anomaly)
+    intercept[java.util.ConcurrentModificationException] {
+      LakeTable.commitMergeAt(batchB, dir, "c_custkey", 100, baseVersion = 0L)
+    }
+    // the loser left nothing visible: versions and content are A's
+    assert(LakeTable.versions(dir) === Seq(0L, 1L))
+    assert(LakeTable.readLatest(spark, dir).where(col("c_mktsegment") === "RACED-A").count() > 0)
+    // the writer loop retries: re-reads v1, re-merges B on top → v2
+    val b = LakeTable.commitMergeRetrying(batchB, dir, "c_custkey", 100)
+    assert(b.version === 2L)
+    // final state holds BOTH effects — sequential A-then-B semantics
+    val fin = LakeTable.readLatest(spark, dir)
+    assert(fin.where(col("c_mktsegment") === "RACED-A" && col("c_custkey") <= 50).count() > 0)
+    assert(fin.where(col("c_acctbal") === -1.0).count() ===
+      base.where(col("c_custkey").between(25, 75)).count())
+    assert(fin.count() === base.count())
+    // the loser's attempt-scoped data files are unreferenced orphans —
+    // vacuum sweeps them even while every snapshot is retained
+    val (dropped, dead) = LakeTable.vacuum(spark, dir, keepVersions = 3)
+    assert(dropped === 0L)
+    assert(dead > 0L, "the failed attempt's orphan files were not swept")
+    // and the surviving snapshots still read exactly
+    assert(rows(LakeTable.readVersion(spark, dir, 2L)) === rows(fin))
+  }
+
   test("commits chain: every intermediate snapshot stays readable as committed") {
     val dir = Files.createTempDirectory("graft-lake-chain").toString
     LakeTable.init(base, dir, "c_custkey", nFiles = 8)
