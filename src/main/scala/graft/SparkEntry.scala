@@ -756,6 +756,25 @@ object SparkEntry {
         targetRowsPerFile = 250)
       LakeTable.readLatest(s, dir).orderBy("c_custkey")
     }),
+    // merge-on-read deletes: an O(delta) delete-vector commit (ZERO
+    // files rewritten — the read path subtracts the vector), then a
+    // CoW merge that resurrects part of the band and must reconcile
+    // the vector (fresh upserts may not stay masked). Oracle = the
+    // equivalent filter/union recompute
+    "table_delete_vectors" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-lake-dv").toString
+      LakeTable.init(tableCommitBase(s, d), dir, "c_custkey", nFiles = 8)
+      val dv = LakeTable.commitDelete(
+        tableCommitBase(s, d).where(col("c_custkey").between(350, 380))
+          .select(col("c_custkey")), dir, "c_custkey")
+      require(dv.filesRewritten == 0L, "delete-vector commit must rewrite nothing")
+      LakeTable.commitMerge(
+        tableCommitBase(s, d).where(col("c_custkey").between(360, 365))
+          .select(col("c_custkey"), lit("upsert").as("op"),
+            lit("BACK").as("c_mktsegment"), lit(0.0).as("c_acctbal")),
+        dir, "c_custkey", targetRowsPerFile = 250)
+      LakeTable.readLatest(s, dir).orderBy("c_custkey")
+    }),
     // compaction commit on top of the merge: small files rewrite into
     // key-clustered larger ones, content untouched — the SAME oracle as
     // table_commit, so hash-green proves compaction is invisible to
@@ -2371,6 +2390,15 @@ object SparkEntry {
     // must equal the PLAIN full merge over the whole table — the
     // full-recompute oracle for the transactional lifecycle
     "table_commit" -> lakeMergeTwinSql,
+    // delete band 350-380 via the vector, resurrect 360-365 via merge:
+    // survivors = outside the band, plus the resurrected rows
+    "table_delete_vectors" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey BETWEEN 360 AND 365 THEN 'BACK' ELSE c_mktsegment END AS c_mktsegment,
+        |  CASE WHEN c_custkey BETWEEN 360 AND 365 THEN 0.0 ELSE c_acctbal END AS c_acctbal
+        |FROM customer
+        |WHERE c_custkey NOT BETWEEN 350 AND 380 OR c_custkey BETWEEN 360 AND 365
+        |ORDER BY c_custkey""".stripMargin,
     // compaction is reader-invisible: same rows, same oracle
     "table_compact" -> lakeMergeTwinSql,
     // the union-payload evolution: rows the batch upserted carry the

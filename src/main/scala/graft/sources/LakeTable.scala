@@ -46,7 +46,17 @@ object LakeTable {
 
   private def vDir(tableDir: String, v: Long) = f"$tableDir/v$v%09d"
   private def manifestDir(tableDir: String, v: Long) = s"${vDir(tableDir, v)}/_manifest"
+  private def deletesDir(tableDir: String, v: Long) = s"${vDir(tableDir, v)}/_deletes"
   private def commitDir(tableDir: String, v: Long) = s"$tableDir/files/c$v"
+
+  /** The snapshot's delete vector, if any: a one-column relation of
+    * keys logically deleted from rows still PHYSICALLY present in the
+    * snapshot's data files (the merge-on-read half of the table; see
+    * [[commitDelete]]). None == empty. */
+  private def deleteSet(spark: SparkSession, tableDir: String, v: Long): Option[DataFrame] =
+    if (new java.io.File(deletesDir(tableDir, v)).exists())
+      Some(spark.read.parquet(deletesDir(tableDir, v)))
+    else None
 
   private def listFiles(dir: String): Seq[String] =
     Option(new java.io.File(dir).listFiles()).toSeq.flatten
@@ -97,7 +107,14 @@ object LakeTable {
   def readVersion(spark: SparkSession, tableDir: String, v: Long): DataFrame = {
     val files = manifest(spark, tableDir, v).select(col("file"))
       .collect().map(_.getString(0))
-    spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*)
+    val base = spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*)
+    // merge-on-read: subtract the snapshot's delete vector. The
+    // vector's one column IS the key column name, so the anti join
+    // needs no caller-supplied schema; a broadcast anti join on the
+    // (delta-sized) vector is the read-time cost deletes traded the
+    // rewrite for
+    deleteSet(spark, tableDir, v).fold(base)(d =>
+      base.join(broadcast(d), d.columns.toSeq, "left_anti"))
   }
 
   def readLatest(spark: SparkSession, tableDir: String): DataFrame =
@@ -154,9 +171,12 @@ object LakeTable {
     * see a partial snapshot: a version dir either does not exist or
     * holds its complete manifest, and the loser's attempt-scoped data
     * files are unreferenced orphans until [[vacuum]] sweeps them. */
-  private def publishAtomic(manifest0: DataFrame, tableDir: String, next: Long): Unit = {
+  private def publishAtomic(manifest0: DataFrame, tableDir: String, next: Long,
+                            deletes: Option[DataFrame] = None): Unit = {
     val staging = new java.io.File(s"$tableDir/.inflight_v${next}_${System.nanoTime()}")
     manifest0.coalesce(1).write.mode("overwrite").parquet(s"${staging.getPath}/_manifest")
+    deletes.foreach(_.coalesce(1).write.mode("overwrite")
+      .parquet(s"${staging.getPath}/_deletes"))
     if (!staging.renameTo(new java.io.File(vDir(tableDir, next)))) {
       FsUtil.deleteRecursively(staging)
       throw new java.util.ConcurrentModificationException(
@@ -176,7 +196,8 @@ object LakeTable {
                          tableDir: String, next: Long, keyCol: String,
                          targetRowsPerFile: Long, carried: Option[DataFrame],
                          statsCols: Seq[String], dataDir: String,
-                         atomic: Boolean): Seq[String] = {
+                         atomic: Boolean,
+                         deletes: Option[DataFrame] = None): Seq[String] = {
     val carriedCount = carried.map(_.count()).getOrElse(0L)
     val newFiles =
       if (rows == 0L && carriedCount > 0L) Seq.empty[String]
@@ -205,7 +226,7 @@ object LakeTable {
       case (None, None) => throw new IllegalStateException(
         s"commit $next would have an empty manifest — landCommit guards should prevent this")
     }
-    if (atomic) publishAtomic(nextManifest, tableDir, next)
+    if (atomic) publishAtomic(nextManifest, tableDir, next, deletes)
     else nextManifest.coalesce(1).write.mode("overwrite").parquet(manifestDir(tableDir, next))
     newFiles
   }
@@ -226,20 +247,55 @@ object LakeTable {
     val spark = changes.sparkSession
     val m = manifest(spark, tableDir, baseVersion)
     val p = pruneTouched(spark, m, changes, keyCol)
+    // merge-on-read reconciliation: the touched files are read THROUGH
+    // the snapshot's delete vector (a vector-deleted row must not
+    // resurrect via the coalesce merge), and the batch's keys leave
+    // the carried vector — their physical locations are exactly the
+    // touched files this commit rewrites, so after the rewrite the
+    // vector entry would wrongly mask a fresh upsert
+    val del = deleteSet(spark, tableDir, baseVersion)
+    val baseData = del.fold(p.base)(d =>
+      p.base.join(broadcast(d), d.columns.toSeq, "left_anti"))
+    val nextDel = del
+      .map(_.join(broadcast(changes.select(col(keyCol)).distinct()), Seq(keyCol), "left_anti")
+        .localCheckpoint(true))
+      .filter(_.count() > 0L)
     // the merge is consumed twice (count + clustered write):
     // localCheckpoint materializes the join once (the
     // Dedup.jaccardPairs device) instead of re-reading the touched
     // files and re-joining per action
     val merged = ChangeData.mergeApply(
-      p.base.drop(opCol), changes, keyCol, opCol).localCheckpoint(true)
+      baseData.drop(opCol), changes, keyCol, opCol).localCheckpoint(true)
     val next = baseVersion + 1
     // attempt-scoped data dir: two racing writers must never share one
     // (the loser's overwrite would clobber the winner's data files);
     // the manifest records absolute paths, so the dir name is free
     val dataDir = s"$tableDir/files/c${next}a${System.nanoTime()}"
     val newFiles = landCommit(spark, merged, merged.count(), tableDir, next,
-      keyCol, targetRowsPerFile, Some(p.carried), statsColsOf(m), dataDir, atomic = true)
+      keyCol, targetRowsPerFile, Some(p.carried), statsColsOf(m), dataDir, atomic = true,
+      deletes = nextDel)
     Commit(next, newFiles.size.toLong, p.nBaseFiles - p.touched.size)
+  }
+
+  /** O(|Δ|) DELETE commit — the merge-on-read half of the table: no
+    * data file is read or rewritten. The new snapshot carries every
+    * manifest row VERBATIM plus a delete VECTOR (distinct key set,
+    * unioned with any carried vector) that [[readVersion]] /
+    * [[scanPrunedVersion]] subtract with a broadcast anti join. This is
+    * what a delete costs at 100 TB when rewriting is unaffordable:
+    * delta-sized write now, vector-sized read tax until a later
+    * [[commitMerge]] touching those keys (or a compaction rewrite)
+    * reconciles physically. Published atomically like any commit —
+    * racing writers resolve through the same OCC rename. */
+  def commitDelete(keys: DataFrame, tableDir: String, keyCol: String): Commit = {
+    val spark = keys.sparkSession
+    val v = versions(tableDir).last
+    val m = manifest(spark, tableDir, v)
+    val newDel = keys.select(col(keyCol)).distinct()
+    val mergedDel = deleteSet(spark, tableDir, v)
+      .fold(newDel)(_.unionByName(newDel).distinct())
+    publishAtomic(m, tableDir, v + 1, Some(mergedDel))
+    Commit(v + 1, 0L, m.count())
   }
 
   /** The OCC retry loop every real lake writer runs: attempt, and on a
@@ -324,10 +380,15 @@ object LakeTable {
       .select(col("file")).collect().map(_.getString(0))
     val total = m.count()
     val next = v + 1
+    // a delete vector carries VERBATIM through compaction: rewritten
+    // small files are read raw (they may still hold vector-masked
+    // rows), so the vector must keep masking them — correctness never
+    // depends on whether a given row's file was compacted
+    val carriedDel = deleteSet(spark, tableDir, v)
     if (small.isEmpty) {
       // nothing to do — still snapshot (a commit is a commit), all
       // carried; published atomically like any other maintenance commit
-      publishAtomic(m, tableDir, next)
+      publishAtomic(m, tableDir, next, carriedDel)
       return Commit(next, 0L, total)
     }
     // read the small files once (count + clustered write)
@@ -344,7 +405,7 @@ object LakeTable {
     publishAtomic(
       m.where(!col("file").isin(small.toIndexedSeq: _*))
         .unionByName(StatsManifest.statsOf(spark, newFiles, statsColsOf(m))),
-      tableDir, next)
+      tableDir, next, carriedDel)
     Commit(next, newFiles.size.toLong, total - small.length)
   }
 
@@ -368,7 +429,10 @@ object LakeTable {
     val filtered = preds.foldLeft(pruned) { case (acc, (c, lo, hi)) =>
       acc.where(col(c) >= lo && col(c) <= hi)
     }
-    (filtered, hits.length.toLong, total)
+    // the pruned read honors merge-on-read deletes like readVersion
+    val visible = deleteSet(spark, tableDir, v).fold(filtered)(d =>
+      filtered.join(broadcast(d), d.columns.toSeq, "left_anti"))
+    (visible, hits.length.toLong, total)
   }
 
   /** Retire history: keep the newest `keepVersions` snapshots, delete

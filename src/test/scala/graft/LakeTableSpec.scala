@@ -214,6 +214,47 @@ class LakeTableSpec extends AnyFunSuite {
     assert(rows(LakeTable.readVersion(spark, dir, 2L)) === rows(fin))
   }
 
+  test("delete vector: O(delta) commit rewrites nothing, reads subtract, merge reconciles, compaction carries") {
+    val dir = Files.createTempDirectory("graft-lake-dv").toString
+    LakeTable.init(base, dir, "c_custkey", nFiles = 4)
+    val m0 = LakeTable.manifest(spark, dir, 0L).select(col("file"))
+      .collect().map(_.getString(0)).toSet
+    // delete keys 10..40 via the vector — no data file touched
+    val c1 = LakeTable.commitDelete(
+      base.where(col("c_custkey").between(10, 40)).select(col("c_custkey")),
+      dir, "c_custkey")
+    assert(c1.filesRewritten === 0L)
+    assert(LakeTable.manifest(spark, dir, 1L).select(col("file"))
+      .collect().map(_.getString(0)).toSet === m0, "delete vector must not rewrite files")
+    val nDel = base.where(col("c_custkey").between(10, 40)).count()
+    assert(LakeTable.readLatest(spark, dir).count() === base.count() - nDel)
+    assert(LakeTable.readLatest(spark, dir)
+      .where(col("c_custkey").between(10, 40)).count() === 0L)
+    // time travel: v0 still reads the full table
+    assert(LakeTable.readVersion(spark, dir, 0L).count() === base.count())
+    // pruned reads subtract the vector too
+    val (pr, _, _) = LakeTable.scanPrunedVersion(spark, dir, 1L,
+      Seq(("c_custkey", lit(1L), lit(60L))))
+    assert(pr.where(col("c_custkey").between(10, 40)).count() === 0L)
+    // a merge upserting key 20 must RESURRECT it (vector reconciled),
+    // while the rest of the band stays deleted
+    // note the non-null payload: the old row is LOGICALLY GONE behind
+    // the vector, so this upsert is an insert — a NULL payload column
+    // would land as NULL (there is no base value to coalesce back)
+    LakeTable.commitMerge(
+      base.where(col("c_custkey") === 20)
+        .select(col("c_custkey"), lit("upsert").as("op"),
+          lit("BACK").as("c_mktsegment"), lit(0.0).as("c_acctbal")),
+      dir, "c_custkey", targetRowsPerFile = 40)
+    val v2 = LakeTable.readLatest(spark, dir)
+    assert(v2.where(col("c_custkey") === 20 && col("c_mktsegment") === "BACK").count() === 1L)
+    assert(v2.where(col("c_custkey").between(10, 40)).count() === 1L)
+    // compaction carries the vector verbatim: content identical after
+    LakeTable.commitCompact(spark, dir, "c_custkey",
+      smallFileRows = Long.MaxValue, targetRowsPerFile = 200)
+    assert(rows(LakeTable.readLatest(spark, dir)) === rows(v2))
+  }
+
   test("commits chain: every intermediate snapshot stays readable as committed") {
     val dir = Files.createTempDirectory("graft-lake-chain").toString
     LakeTable.init(base, dir, "c_custkey", nFiles = 8)
