@@ -1719,14 +1719,15 @@ object SparkEntry {
 
     "page_rank" -> pageRankTwinSql,
 
-    // naive all-pairs twin of the q-gram-filtered fuzzy join (the
-    // length >= 6 guard mirrors the operator's short-string exclusion;
-    // vacuous on this data, where every name is >= 7 chars)
+    // naive all-pairs twin of the q-gram-filtered fuzzy join — the
+    // operator is TOTAL (gram path for certifiable pairs, exact
+    // length-banded tail for the short rest), so the twin carries no
+    // length guard
     "fuzzy_name_pairs" ->
       """WITH s AS (SELECT min(p_partkey) AS id, p_name AS s FROM part GROUP BY p_name)
         |SELECT a.id AS id_a, b.id AS id_b, CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
         |FROM s a JOIN s b ON a.id < b.id
-        |WHERE length(a.s) >= 6 AND length(b.s) >= 6 AND levenshtein(a.s, b.s) <= 2
+        |WHERE levenshtein(a.s, b.s) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q16_supplier_cnt" ->

@@ -378,10 +378,15 @@ object Dedup {
     * Two necessary conditions prune before counting: grams must match
     * at |Δpos| ≤ d, and |len(a) − len(b)| ≤ d.
     *
-    * Strings shorter than q·(d+1) are EXCLUDED (their lossless
-    * threshold would be < 1 — no count filter can certify them; the
-    * caller handles the short tail separately, typically by exact
-    * grouping, which is cheap at those lengths).
+    * The q-gram lemma cannot certify a pair whose LONGER side is
+    * shorter than q·(d+1) (its threshold would be < 1, and two close
+    * short strings can share zero grams). Those pairs — both sides
+    * short — go through a bounded exact pass instead: the short set
+    * self-joins banded on length. At any corpus scale the short set is
+    * alphabet-bounded (there are at most |Σ|^(q·(d+1)) distinct short
+    * strings; dedup upstream if they repeat), so the quadratic pass is
+    * quadratic in a CONSTANT. A short×long pair is certified by the
+    * long side's threshold and stays in the filtered path.
     *
     * Scale shape: grams shuffle as (8-byte xxhash64, int pos); the
     * only wide data is the bounded candidate set reaching the verify
@@ -391,10 +396,12 @@ object Dedup {
     * (the SkewJoinSpec posture). Verification touches candidates only. */
   def editDistancePairs(strs: DataFrame, q: Int = 2, maxDist: Int = 2,
                         strCol: String = "s", idCol: String = "id"): DataFrame = {
+    val certLen = q * (maxDist + 1) // lemma threshold ≥ 1 iff max(len) ≥ this
     // consumed by the gram pass and twice by the verify join
-    val s = strs.select(col(idCol).as("id"), col(strCol).as("s"))
-      .where(length(col("s")) >= q * (maxDist + 1))
-      .localCheckpoint(true)
+    val all = strs.select(col(idCol).as("id"), col(strCol).as("s")).localCheckpoint(true)
+    // every string with at least one gram participates (a short side
+    // can pair with a certifiable long side within the length band)
+    val s = all.where(length(col("s")) >= q)
     val grams = s.select(col("id"), length(col("s")).as("len"),
         explode(sequence(lit(1), length(col("s")) - lit(q - 1))).as("pos"), col("s"))
       .select(col("id"), col("len"), col("pos"),
@@ -406,13 +413,29 @@ object Dedup {
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.len").as("len_a"), col("b.len").as("len_b"))
       .agg(count(lit(1)).as("m"))
-      .where(col("m") >=
-        greatest(col("len_a"), col("len_b")) - lit(q - 1) - lit(q * maxDist))
-    cand
-      .join(s.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
-      .join(s.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+      // the pair partition: the gram path owns pairs whose LONGER side
+      // is certifiable; the rest go to the exact tail below
+      .where(greatest(col("len_a"), col("len_b")) >= certLen &&
+        col("m") >= greatest(col("len_a"), col("len_b")) - lit(q - 1) - lit(q * maxDist))
+    val filtered = cand
+      .join(all.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(all.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         levenshtein(col("s_a"), col("s_b")).cast(org.apache.spark.sql.types.LongType).as("dist"))
       .where(col("dist") <= maxDist)
+    // the uncertifiable tail: BOTH sides shorter than certLen (a pair
+    // with one certifiable side is the gram path's, by the partition
+    // above; a gramless string's partners are all in this set — its
+    // length band tops out below certLen). Exact, length-banded
+    // self-join over the alphabet-bounded short set.
+    val short = all.where(length(col("s")) < certLen)
+    val shortPairs = short.select(col("id").as("id_a"), col("s").as("s_a"))
+      .join(short.select(col("id").as("id_b"), col("s").as("s_b")),
+        col("id_a") < col("id_b") &&
+        abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b")).cast(org.apache.spark.sql.types.LongType).as("dist"))
+      .where(col("dist") <= maxDist)
+    filtered.unionByName(shortPairs)
   }
 }

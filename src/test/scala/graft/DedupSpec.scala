@@ -72,23 +72,27 @@ class DedupSpec extends AnyFunSuite {
   test("editDistancePairs equals the brute-force cross product on a mixed fixture") {
     import org.apache.spark.sql.functions._
     val strs = Seq(
-      (1L, "kitten"), (2L, "mitten"),   // ed 1
+      (1L, "kitten"), (2L, "mitten"),   // ed 1 (gram path)
       (3L, "sitting"),                  // ed(kitten,sitting)=3 > 2: out
       (4L, "banana"), (5L, "bananas"),  // ed 1
       (6L, "aaaaaaaa"), (7L, "aaaaaaab"), // repeated grams: bag counting must keep this ed-1 pair
-      (8L, "zzzz")                      // below q*(d+1)=6: excluded entirely
+      (8L, "zzzz"), (9L, "zzzx"),       // both below certLen=6: the exact short tail
+      (10L, "zzzzz"), (11L, "zzzzzz")   // short×long across the certLen boundary
     ).toDF("id", "s")
     val got = Dedup.editDistancePairs(strs, q = 2, maxDist = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val s = strs.where(length(col("s")) >= 6)
-    val want = s.select(col("id").as("id_a"), col("s").as("s_a"))
-      .crossJoin(s.select(col("id").as("id_b"), col("s").as("s_b")))
+    // the operator covers ALL pairs — brute force with no length filter
+    val want = strs.select(col("id").as("id_a"), col("s").as("s_a"))
+      .crossJoin(strs.select(col("id").as("id_b"), col("s").as("s_b")))
       .where(col("id_a") < col("id_b") && levenshtein(col("s_a"), col("s_b")) <= 2)
       .select(col("id_a"), col("id_b"),
         levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === want)
-    assert(got === Set((1L, 2L, 1L), (4L, 5L, 1L), (6L, 7L, 1L)))
+    assert(got === Set(
+      (1L, 2L, 1L), (4L, 5L, 1L), (6L, 7L, 1L),          // certified gram-path pairs
+      (8L, 9L, 1L), (8L, 10L, 1L), (9L, 10L, 2L),        // short-tail pairs
+      (8L, 11L, 2L), (10L, 11L, 1L)))                     // across the boundary
   }
 
   test("editDistancePairs is lossless on real data: equals the cross product over part names") {
