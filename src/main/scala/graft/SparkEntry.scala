@@ -155,6 +155,24 @@ object SparkEntry {
       graft.sources.FsUtil.deleteRecursively(new java.io.File(stage))
     }
 
+  /** Staged embedding drops for the streaming ANN ingest: the held-out
+    * residue class split into `nFiles` mtime-ordered parquet files. */
+  private def stageVecStream(s: SparkSession, d: String, nFiles: Int): String =
+    stageLayout(s, d, s"vecstream$nFiles") { tmp =>
+      val batch = t(s, d).embeddings.where(col("vec_id") % 7 === 3)
+        .select(col("vec_id"), col("embedding"))
+      (0 until nFiles).foreach { i =>
+        val stage = s"$tmp/.stage$i"
+        batch.where(col("vec_id") % nFiles === i).coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(s"$tmp/v$i.parquet")
+        require(part.renameTo(dest), s"staging move failed for $dest")
+        dest.setLastModified(1000000L * (i + 1))
+        graft.sources.FsUtil.deleteRecursively(new java.io.File(stage))
+      }
+    }
+
   /** Eagerly stage every (copies, filesPerCopy) fixture the streaming
     * queries use. The bench calls this BEFORE timing begins so the
     * first timed sample of a streaming query never includes the
@@ -972,6 +990,27 @@ object SparkEntry {
           org.apache.spark.sql.streaming.OutputMode.Append())
         .where(col("user_id") =!= -1L) // drop the sentinel's own pair
         .orderBy("purchase_id", "click_id")
+    }),
+    // streaming ANN ingest: embedding drops folded into the PERSISTED
+    // IVF×PQ index per micro-batch (frozen geometry, batch-keyed
+    // cells/codes commits, drift decisions recorded against the
+    // build-time baseline). Output = queries answered by the GROWN
+    // index — rows-only (approximate ANN); batch≡streaming equality
+    // and replay idempotence are StreamingSpec's
+    "streaming_ann_ingest" -> ((s, d) => {
+      val emb = t(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      val base = emb.where(col("vec_id") % 7 =!= 3)
+      val dir = java.nio.file.Files.createTempDirectory("graft-annstream").toString
+      val idx = Similarity.ivfPqBuild(base)
+      Similarity.ivfPqWrite(idx, dir)
+      Similarity.cellResidualEnergy(idx, base)
+        .write.mode("overwrite").parquet(s"$dir/baseline")
+      val src = stageVecStream(s, d, 3)
+      val ss = streamSession(s)
+      graft.streaming.VectorIngest.runAnnIngest(ss, src, dir)
+      Similarity.ivfPqQuery(Similarity.ivfPqReadGrown(s, dir),
+          emb.where(col("vec_id") % 70 === 3), emb)
+        .orderBy("q_id", "rank")
     }),
     // streaming exact dedup: the source dir carries every event TWICE
     // (a simulated at-least-once redelivery); the deduped stream must

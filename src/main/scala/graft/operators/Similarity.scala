@@ -452,7 +452,13 @@ object Similarity {
     * assignment against the broadcast centroids and one residual PQ
     * encode — both map-side over the batch, independent of index size.
     * Cells and codes relations grow by exactly the batch. */
-  def ivfPqAppend(index: IvfPqIndex, newVecs: DataFrame): IvfPqIndex = {
+  /** The append's unit of work, exposed on its own for the STREAMING
+    * ingest (graft.streaming.VectorIngest): the batch's (cells, codes)
+    * under the index's frozen geometry — one broadcast coarse
+    * assignment, one residual PQ encode, nothing that reads the
+    * index's own cells/codes relations. [[ivfPqAppend]] is exactly
+    * these rows unioned onto the index. */
+  def ivfPqEncodeBatch(index: IvfPqIndex, newVecs: DataFrame): (DataFrame, DataFrame) = {
     val asCents = index.coarseCents.select(col("cell").as("cent_id"), col("cent_emb"))
     val assigned = coarseAssign(newVecs, asCents, 1).localCheckpoint()
     val res = assigned
@@ -461,9 +467,14 @@ object Similarity {
         zip_with(col("embedding"), col("cent_emb"), (a, b) => a - b).as("embedding"))
     val newCodes = pqEncode(res.select(col("vec_id"), col("embedding")),
       index.books, index.m, index.subDim)
+    (assigned.select(col("vec_id"), col("cell")), newCodes)
+  }
+
+  def ivfPqAppend(index: IvfPqIndex, newVecs: DataFrame): IvfPqIndex = {
+    val (cellsNew, codesNew) = ivfPqEncodeBatch(index, newVecs)
     IvfPqIndex(
-      index.cells.unionAll(assigned.select(col("vec_id"), col("cell"))),
-      index.codes.unionAll(newCodes),
+      index.cells.unionAll(cellsNew),
+      index.codes.unionAll(codesNew),
       index.coarseCents, index.books, index.m, index.subDim)
   }
 
@@ -555,6 +566,18 @@ object Similarity {
   def ivfPqRead(spark: SparkSession, dir: String, m: Int = 16, dim: Int = 64): IvfPqIndex = {
     val subDim = dim / m
     IvfPqIndex(spark.read.parquet(s"$dir/cells"), spark.read.parquet(s"$dir/codes"),
+      spark.read.parquet(s"$dir/coarse_cents"), spark.read.parquet(s"$dir/books"), m, subDim)
+  }
+
+  /** Read an index whose cells/codes GREW under the streaming ingest:
+    * the seed relations live as root files, each micro-batch's rows in
+    * a `b<id>/` subdir (batch-keyed so replays overwrite their own
+    * commit — the ingest-store device), and a recursive listing reads
+    * them as one relation. Geometry stays the flat layout. */
+  def ivfPqReadGrown(spark: SparkSession, dir: String, m: Int = 16, dim: Int = 64): IvfPqIndex = {
+    val subDim = dim / m
+    def rec(p: String) = spark.read.option("recursiveFileLookup", "true").parquet(p)
+    IvfPqIndex(rec(s"$dir/cells"), rec(s"$dir/codes"),
       spark.read.parquet(s"$dir/coarse_cents"), spark.read.parquet(s"$dir/books"), m, subDim)
   }
 

@@ -589,6 +589,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(after === got ++ Set((8L, 0L, "brand ne"), (8L, 1L, "w text")))
   }
 
+  test("streaming ANN ingest: grown index == batch append, replay idempotent, OOD batch flags rebuild") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val base = emb.where(col("vec_id") % 7 =!= 3)
+    val batch = emb.where(col("vec_id") % 7 === 3)
+    val dir = Files.createTempDirectory("graft-annstream-spec").toString
+    val idx = Similarity.ivfPqBuild(base, step = 10)
+    Similarity.ivfPqWrite(idx, dir)
+    Similarity.cellResidualEnergy(idx, base).write.mode("overwrite").parquet(s"$dir/baseline")
+    // two mtime-ordered drops
+    val src = Files.createTempDirectory("graft-annstream-src").toString
+    val p0 = batch.where(col("vec_id") % 2 === 0)
+    val p1 = batch.where(col("vec_id") % 2 =!= 0)
+    p0.coalesce(1).write.parquet(s"$src/p0")
+    p1.coalesce(1).write.parquet(s"$src/p1")
+    val drift = graft.streaming.VectorIngest.runAnnIngest(
+      spark, s"$src/{p0,p1}", dir)
+    // in-distribution drops: the rebuild trigger must stay quiet
+    assert(drift.count() > 0)
+    assert(drift.where(col("rebuild")).isEmpty, "in-distribution batch flagged a rebuild")
+    // the grown index answers EXACTLY what the batch append path answers
+    val queries = emb.where(col("vec_id") % 70 === 3)
+    def answers(i: Similarity.IvfPqIndex) = Similarity.ivfPqQuery(i, queries, emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val streamed = answers(Similarity.ivfPqReadGrown(spark, dir))
+    val batched = answers(Similarity.ivfPqAppend(idx, batch))
+    assert(streamed === batched)
+    // replay: re-running a batch overwrites its own commit — no growth
+    val cellsBefore = Similarity.ivfPqReadGrown(spark, dir).cells.count()
+    graft.streaming.VectorIngest.annIngestBatch(p0, 0L, dir)
+    assert(Similarity.ivfPqReadGrown(spark, dir).cells.count() === cellsBefore)
+    assert(answers(Similarity.ivfPqReadGrown(spark, dir)) === batched)
+    // an out-of-distribution drop (constant-offset mode) flags rebuild
+    val ood = batch.select((col("vec_id") + 500000L).as("vec_id"),
+      transform(col("embedding"), x => (x + lit(3.0f)).cast("float")).as("embedding"))
+    graft.streaming.VectorIngest.annIngestBatch(ood, 99L, dir)
+    val d99 = spark.read.parquet(s"$dir/drift/b99")
+    assert(d99.where(col("rebuild")).count() > 0, "OOD drop did not flag a rebuild")
+  }
+
   test("mapGroupsWithState running totals match a direct fold") {
     val dir = Files.createTempDirectory("graft-stream2").toString
     writeBatches(dir)
