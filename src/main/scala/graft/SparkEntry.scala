@@ -1143,6 +1143,26 @@ object SparkEntry {
     // 16 files + a per-file min/max manifest; the range scan consults
     // the manifest and loads only intersecting files (the spec counts
     // them), then must equal the plain full-scan filter
+    // per-file BLOOM skipping for the anti-clustered point lookup: the
+    // layout clusters by DATE, the lookup is by CUSTOMER — every file's
+    // custkey interval spans the domain, so min/max pruning keeps all
+    // 16 files while the blooms keep only the ones that might hold the
+    // customer. No false negatives: the result is exact (the oracle)
+    "bloom_pruned_scan" -> ((s, d) => {
+      val dir = stageLayout(s, d, "bloomscan") { tmp =>
+        val o = t(s, d).orders.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        graft.sources.StatsManifest.writeClustered(o, tmp, col("o_orderdate"),
+          Seq("o_orderdate", "o_custkey"), nFiles = 16)
+        graft.sources.StatsManifest.bloomsOf(
+            s, graft.sources.StatsManifest.listDataFiles(tmp), "o_custkey")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/_blooms")
+      }
+      val (df, _, _) = graft.sources.StatsManifest.scanBloomPruned(
+        s, s.read.parquet(s"$dir/_blooms"), "o_custkey", 42L)
+      df.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
     "manifest_pruned_scan" -> ((s, d) => {
       val dir = stageLayout(s, d, "price") { tmp =>
         graft.sources.StatsManifest.writeClustered(t(s, d).orders, tmp,
@@ -1942,6 +1962,12 @@ object SparkEntry {
 
     // the manifest-pruned scan must equal the plain full-scan filter —
     // skipping may never change an answer
+    // bloom skipping is exact: same rows as the unpruned point lookup
+    "bloom_pruned_scan" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_custkey = 42
+        |ORDER BY o_orderkey""".stripMargin,
+
     "manifest_pruned_scan" ->
       """SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -123,6 +123,51 @@ object StatsManifest {
   def readManifest(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(manifestDir(dir))
 
+  /** Per-file BLOOM FILTERS over `colName` — point-lookup skipping for
+    * a column the layout is NOT clustered on, where min/max intervals
+    * are useless (every file spans roughly the whole domain, so range
+    * pruning keeps everything). One distributed pass builds a filter
+    * per file over xxhash64(col) — the same key convention Spark's
+    * runtime bloom filters use — and the (file, bloom) relation rides
+    * next to the manifest. No false negatives ever: a file holding the
+    * looked-up value always survives; false positives cost only extra
+    * files read, bounded by `numBits`. */
+  def bloomsOf(spark: SparkSession, files: Seq[String], colName: String,
+               expectedItems: Long = 100000L, numBits: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.GraftSqlShim
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val agg = new BloomFilterAggregate(
+      GraftSqlShim.expression(xxhash64(col(colName))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    spark.read.parquet(files: _*)
+      .select(input_file_name().as("file"), col(colName))
+      .groupBy(col("file"))
+      .agg(GraftSqlShim.column(agg).as(s"bloom_$colName"))
+  }
+
+  /** Point-lookup scan through a (file, bloom) relation: probe every
+    * file's filter with the value's hash ON THE DRIVER (file-count-
+    * sized work, the manifest scale class), read only files that might
+    * contain it, re-apply the exact row filter. Returns the dataframe
+    * plus (files scanned, files total). */
+  def scanBloomPruned(spark: SparkSession, blooms: DataFrame, colName: String,
+                      value: Any): (DataFrame, Long, Long) = {
+    val rows = blooms.select(col("file"), col(s"bloom_$colName")).collect()
+    val h = spark.range(1).select(xxhash64(lit(value))).head().getLong(0)
+    val hit = rows.filter { r =>
+      org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        .mightContainLong(h)
+    }.map(_.getString(0))
+    val pruned =
+      if (hit.nonEmpty) spark.read.parquet(hit.toIndexedSeq: _*).where(col(colName) === lit(value))
+      else if (rows.nonEmpty) // all filters negative: schema-only empty
+        spark.read.parquet(rows.head.getString(0)).where(lit(false))
+      else spark.emptyDataFrame
+    (pruned, hit.length.toLong, rows.length.toLong)
+  }
+
   /** Plan a pruned scan for a conjunction of range predicates
     * `lo <= col <= hi`: consult the manifest (file-count-sized,
     * driver-collected — the same scale class as Spark's own file

@@ -142,4 +142,26 @@ class StatsManifestSpec extends AnyFunSuite {
     assert(zDf.count() === want)
     assert(lDf.count() === want)
   }
+
+  test("bloom skipping prunes the anti-clustered point lookup that min/max cannot") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloomscan").toString
+    StatsManifest.writeClustered(orders, dir, col("o_orderdate"),
+      Seq("o_orderdate", "o_custkey"), nFiles = 16)
+    val blooms = StatsManifest.bloomsOf(spark, StatsManifest.listDataFiles(dir), "o_custkey")
+    // the premise: the layout is clustered on DATE, so EVERY file's
+    // custkey interval covers the probe — range pruning keeps all files
+    val cust = 42L
+    val m = StatsManifest.readManifest(spark, dir)
+    assert(m.where(col("min_o_custkey") <= cust && col("max_o_custkey") >= cust).count()
+      === m.count(), "fixture broke: min/max pruning was already selective")
+    val (df, scanned, total) = StatsManifest.scanBloomPruned(spark, blooms, "o_custkey", cust)
+    assert(scanned < total, s"blooms skipped nothing: $scanned of $total")
+    // no false negatives: the pruned read returns exactly the rows
+    val want = orders.where(col("o_custkey") === cust)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq === want)
+    assert(want.nonEmpty)
+  }
 }
