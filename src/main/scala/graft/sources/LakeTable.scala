@@ -227,7 +227,16 @@ object LakeTable {
         s"commit $next would have an empty manifest — landCommit guards should prevent this")
     }
     if (atomic) publishAtomic(nextManifest, tableDir, next, deletes)
-    else nextManifest.coalesce(1).write.mode("overwrite").parquet(manifestDir(tableDir, next))
+    else {
+      nextManifest.coalesce(1).write.mode("overwrite").parquet(manifestDir(tableDir, next))
+      // overwrite-path vector publication mirrors the manifest: write
+      // the carried vector, or remove a stale one a replayed version
+      // may have left (the vector can EMPTY between replays)
+      deletes match {
+        case Some(d) => d.coalesce(1).write.mode("overwrite").parquet(deletesDir(tableDir, next))
+        case None => FsUtil.deleteRecursively(new java.io.File(deletesDir(tableDir, next)))
+      }
+    }
     newFiles
   }
 
@@ -256,8 +265,11 @@ object LakeTable {
     val del = deleteSet(spark, tableDir, baseVersion)
     val baseData = del.fold(p.base)(d =>
       p.base.join(broadcast(d), d.columns.toSeq, "left_anti"))
+    // NO broadcast hint on the batch-keys side: a CDC batch can be
+    // millions of keys (the pruneTouched rationale) while the vector is
+    // delta-sized — let the planner pick the build side / AQE decide
     val nextDel = del
-      .map(_.join(broadcast(changes.select(col(keyCol)).distinct()), Seq(keyCol), "left_anti")
+      .map(_.join(changes.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
         .localCheckpoint(true))
       .filter(_.count() > 0L)
     // the merge is consumed twice (count + clustered write):
@@ -342,14 +354,25 @@ object LakeTable {
       .agg(max(struct(orderedPayload.map(col): _*)).as("__m"))
       .select(col(keyCol) +: orderedPayload.map(c => col(s"__m.$c").as(c)): _*)
     val prior = versions(tableDir).filter(_ < version)
-    val (merged0, touched, carriedM, totalBase, statsCols) = prior.lastOption match {
+    val (merged0, touched, carriedM, totalBase, statsCols, nextDel) = prior.lastOption match {
       case None =>
-        (latestOf(images), Set.empty[String], None, 0L, Seq(keyCol))
+        (latestOf(images), Set.empty[String], None, 0L, Seq(keyCol),
+          None: Option[DataFrame])
       case Some(v) =>
         val m = manifest(spark, tableDir, v)
         val p = pruneTouched(spark, m, images, keyCol)
-        (latestOf(p.base.unionByName(latestOf(images))), p.touched, Some(p.carried),
-          p.nBaseFiles, statsColsOf(m))
+        // merge-on-read reconciliation, exactly the commitMergeAt rule:
+        // vector-masked base rows must not compete in the LWW argmax,
+        // and an image for a masked key claims it back from the vector
+        val del = deleteSet(spark, tableDir, v)
+        val baseData = del.fold(p.base)(d =>
+          p.base.join(broadcast(d), d.columns.toSeq, "left_anti"))
+        val carriedDel = del
+          .map(_.join(images.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+            .localCheckpoint(true))
+          .filter(_.count() > 0L)
+        (latestOf(baseData.unionByName(latestOf(images))), p.touched, Some(p.carried),
+          p.nBaseFiles, statsColsOf(m), carriedDel)
     }
     // consumed twice (count + clustered write): materialize once.
     // NOT atomic-published: this commit is version-PINNED and replays
@@ -359,7 +382,7 @@ object LakeTable {
     val merged = merged0.localCheckpoint(true)
     val newFiles = landCommit(spark, merged, merged.count(), tableDir, version,
       keyCol, targetRowsPerFile, carriedM, statsCols,
-      commitDir(tableDir, version), atomic = false)
+      commitDir(tableDir, version), atomic = false, deletes = nextDel)
     Commit(version, newFiles.size.toLong, totalBase - touched.size)
   }
 
@@ -442,8 +465,16 @@ object LakeTable {
     * the manifests, not commit-dir age, decides. Driver-side file ops
     * over file-count-sized lists. Returns (#versions dropped, #data
     * files deleted). */
-  def vacuum(spark: SparkSession, tableDir: String, keepVersions: Int): (Long, Long) = {
+  /** `orphanAgeMs` is the RETENTION GATE protecting concurrent
+    * writers: an attempt dir, staging root, or unreferenced data file
+    * younger than it may belong to a commit in flight between its data
+    * write and its publish rename, so only artifacts older than the
+    * gate are swept (the Delta-vacuum posture; production default is
+    * hours-to-days). Tests that own the only writer may pass 0. */
+  def vacuum(spark: SparkSession, tableDir: String, keepVersions: Int,
+             orphanAgeMs: Long = 24L * 3600 * 1000): (Long, Long) = {
     require(keepVersions >= 1, "vacuum must keep at least the latest snapshot")
+    val cutoff = System.currentTimeMillis() - orphanAgeMs
     val vs = versions(tableDir)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
     // manifest paths are input_file_name() URIs; normalize to local paths
@@ -457,16 +488,18 @@ object LakeTable {
       .flatMap(c => Option(c.listFiles()).toSeq.flatten)
       .filter(_.getName.endsWith(".parquet"))
     val dead = dataFiles.filterNot(f => referenced.contains(f.getAbsolutePath))
+      .filter(_.lastModified() <= cutoff)
     dead.foreach(_.delete())
-    // sweep the husks OCC leaves behind: emptied commit/attempt dirs
+    // sweep the husks OCC leaves behind — emptied commit/attempt dirs
     // and staging roots of writers that crashed before their publish
-    // rename (never visible to readers — versions() only sees v dirs)
+    // rename — but ONLY past the retention gate, and never a dir whose
+    // listing failed (null list ≠ empty dir)
     Option(new java.io.File(s"$tableDir/files").listFiles()).toSeq.flatten
-      .filter(d => d.isDirectory && Option(d.listFiles()).forall(_.forall(f =>
-        !f.getName.endsWith(".parquet"))))
+      .filter(d => d.isDirectory && d.lastModified() <= cutoff &&
+        Option(d.listFiles()).exists(_.forall(f => !f.getName.endsWith(".parquet"))))
       .foreach(FsUtil.deleteRecursively)
     Option(new java.io.File(tableDir).listFiles()).toSeq.flatten
-      .filter(_.getName.startsWith(".inflight_v"))
+      .filter(f => f.getName.startsWith(".inflight_v") && f.lastModified() <= cutoff)
       .foreach(FsUtil.deleteRecursively)
     (drop.size.toLong, dead.size.toLong)
   }

@@ -154,17 +154,23 @@ object StatsManifest {
   def scanBloomPruned(spark: SparkSession, blooms: DataFrame, colName: String,
                       value: Any): (DataFrame, Long, Long) = {
     val rows = blooms.select(col("file"), col(s"bloom_$colName")).collect()
-    val h = spark.range(1).select(xxhash64(lit(value))).head().getLong(0)
+    require(rows.nonEmpty, s"scanBloomPruned over an empty blooms relation for $colName")
+    // hash the probe AT THE COLUMN'S TYPE: xxhash64 is input-width-
+    // sensitive (an Int 42 and a Long 42 hash differently), so a
+    // mistyped literal would turn every filter falsely negative. The
+    // type comes from one parquet footer read of a listed file.
+    val dt = spark.read.parquet(rows.head.getString(0)).schema(colName).dataType
+    val h = spark.range(1).select(xxhash64(lit(value).cast(dt))).head().getLong(0)
     val hit = rows.filter { r =>
       org.apache.spark.util.sketch.BloomFilter
         .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
         .mightContainLong(h)
     }.map(_.getString(0))
     val pruned =
-      if (hit.nonEmpty) spark.read.parquet(hit.toIndexedSeq: _*).where(col(colName) === lit(value))
-      else if (rows.nonEmpty) // all filters negative: schema-only empty
+      if (hit.nonEmpty)
+        spark.read.parquet(hit.toIndexedSeq: _*).where(col(colName) === lit(value).cast(dt))
+      else // all filters negative: schema-bearing empty
         spark.read.parquet(rows.head.getString(0)).where(lit(false))
-      else spark.emptyDataFrame
     (pruned, hit.length.toLong, rows.length.toLong)
   }
 

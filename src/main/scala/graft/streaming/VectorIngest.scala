@@ -72,6 +72,14 @@ object VectorIngest {
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.read.option("recursiveFileLookup", "true").parquet(s"$indexDir/drift")
+    // a drain that found nothing to drain is a no-op, not an error:
+    // with zero micro-batches the drift dir was never created
+    if (new java.io.File(s"$indexDir/drift").exists())
+      spark.read.option("recursiveFileLookup", "true").parquet(s"$indexDir/drift")
+    else spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("cell", LongType), StructField("n_batch", LongType),
+        StructField("drift_ratio", DoubleType), StructField("rebuild", BooleanType),
+        StructField("batch_id", LongType))))
   }
 }

@@ -131,7 +131,7 @@ class LakeTableSpec extends AnyFunSuite {
       .flatMap(c => Option(c.listFiles()).toSeq.flatten)
       .count(_.getName.endsWith(".parquet"))
     val before = dataFiles()
-    val (droppedVersions, deletedFiles) = LakeTable.vacuum(spark, dir, keepVersions = 1)
+    val (droppedVersions, deletedFiles) = LakeTable.vacuum(spark, dir, keepVersions = 1, orphanAgeMs = 0L)
     assert(droppedVersions === 1L)
     // v1 carries most c0 files by reference: they must SURVIVE the
     // vacuum even though their commit dir is old; only the files the
@@ -207,7 +207,7 @@ class LakeTableSpec extends AnyFunSuite {
     assert(fin.count() === base.count())
     // the loser's attempt-scoped data files are unreferenced orphans —
     // vacuum sweeps them even while every snapshot is retained
-    val (dropped, dead) = LakeTable.vacuum(spark, dir, keepVersions = 3)
+    val (dropped, dead) = LakeTable.vacuum(spark, dir, keepVersions = 3, orphanAgeMs = 0L)
     assert(dropped === 0L)
     assert(dead > 0L, "the failed attempt's orphan files were not swept")
     // and the surviving snapshots still read exactly
@@ -253,6 +253,34 @@ class LakeTableSpec extends AnyFunSuite {
     LakeTable.commitCompact(spark, dir, "c_custkey",
       smallFileRows = Long.MaxValue, targetRowsPerFile = 200)
     assert(rows(LakeTable.readLatest(spark, dir)) === rows(v2))
+  }
+
+  test("latest-image commits respect the delete vector: masked rows stay out, an image reclaims its key") {
+    val dir = Files.createTempDirectory("graft-lake-dvlww").toString
+    LakeTable.init(base, dir, "c_custkey", nFiles = 4)
+    val nBand = base.where(col("c_custkey").between(10, 40)).count()
+    LakeTable.commitDelete(
+      base.where(col("c_custkey").between(10, 40)).select(col("c_custkey")),
+      dir, "c_custkey")
+    // a latest-image commit touching keys OUTSIDE the band: the band
+    // must stay masked (vector carried), the images must land
+    val img1 = base.where(col("c_custkey").between(60, 70))
+      .select(col("c_custkey"), lit("ZZZ-LWW1").as("c_mktsegment"), col("c_acctbal"))
+    LakeTable.commitLatestImageAt(img1, dir, "c_custkey",
+      Seq("c_mktsegment", "c_acctbal"), targetRowsPerFile = 40, version = 2L)
+    val v2 = LakeTable.readLatest(spark, dir)
+    assert(v2.where(col("c_custkey").between(10, 40)).count() === 0L,
+      "vector-masked rows resurrected through a latest-image commit")
+    assert(v2.where(col("c_mktsegment") === "ZZZ-LWW1").count() === 11L)
+    assert(v2.count() === base.count() - nBand)
+    // an image FOR a masked key reclaims it from the vector
+    val img2 = base.where(col("c_custkey") === 20)
+      .select(col("c_custkey"), lit("ZZZ-LWW2").as("c_mktsegment"), col("c_acctbal"))
+    LakeTable.commitLatestImageAt(img2, dir, "c_custkey",
+      Seq("c_mktsegment", "c_acctbal"), targetRowsPerFile = 40, version = 3L)
+    val v3 = LakeTable.readLatest(spark, dir)
+    assert(v3.where(col("c_custkey") === 20 && col("c_mktsegment") === "ZZZ-LWW2").count() === 1L)
+    assert(v3.where(col("c_custkey").between(10, 40)).count() === 1L)
   }
 
   test("commits chain: every intermediate snapshot stays readable as committed") {
