@@ -437,6 +437,13 @@ object SparkEntry {
         .unionAll(pairs.select((col("ck") + 100000L).as("src"), col("sk").as("dst")))
       Graph.pageRank(edges).orderBy("node")
     }),
+    // distributed time-series subsequence search: top-k z-normalized
+    // matches of a literal pattern over every user's event-value
+    // series. Every per-window float is an ORDERED-array fold, so both
+    // engines compute bit-identical doubles — a hash-exact similarity
+    // search
+    "series_subseq_topk" -> ((s, d) =>
+      Series.znormSubsequenceTopK(t(s, d).events, SeriesPattern, k = 20)),
     "json_props_agg" -> ((s, d) => Windows.propsKeyStats(t(s, d).events)),
     // Spark 4 VARIANT: open-schema payload parsing with typed extraction
     "variant_props_agg" -> ((s, d) => Windows.variantPropsStats(t(s, d).events)),
@@ -1255,6 +1262,45 @@ object SparkEntry {
       | AND c.tsu >= p.tsu - INTERVAL '30 minutes' AND c.tsu <= p.tsu
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** The subsequence-search pattern, shared by the Spark query and the
+    * twin builder (a shape with one rise-dip-rise, w = 8). */
+  private val SeriesPattern: Seq[Double] = Seq(1.0, 3.0, 2.0, 5.0, 4.0, 6.0, 5.5, 8.0)
+
+  /** Time-series twin: the identical ordered folds in DuckDB list
+    * lambdas. Seeding parity: Spark's aggregate starts at 0.0 and
+    * DuckDB's list_reduce starts at the first element — IEEE 0.0 + x
+    * == x exactly, so the partial sums coincide from the first add.
+    * The z-normalized pattern embeds as shortest-round-trip double
+    * literals, which both engines parse back to the identical bits. */
+  private lazy val seriesTwinSql: String = {
+    val w = SeriesPattern.length
+    val pMu = SeriesPattern.sum / w
+    val pSd = math.sqrt(SeriesPattern.map(x => (x - pMu) * (x - pMu)).sum / w)
+    val pz = SeriesPattern.map(x => (x - pMu) / pSd).mkString("[", ", ", "]")
+    s"""WITH s AS (
+       |  SELECT user_id, array_agg(value ORDER BY CAST(ts AS TIMESTAMP), event_id) AS vs
+       |  FROM events GROUP BY user_id),
+       | wn AS (
+       |  SELECT user_id, CAST(i AS BIGINT) AS pos, list_slice(vs, i, i + ${w - 1}) AS win
+       |  FROM (SELECT user_id, vs, unnest(generate_series(1, len(vs) - ${w - 1})) AS i
+       |        FROM s WHERE len(vs) >= $w)),
+       | st AS (
+       |  SELECT user_id, pos, win,
+       |    list_reduce(win, (a, x) -> a + x) / ${w}.0 AS mu
+       |  FROM wn),
+       | sdv AS (
+       |  SELECT user_id, pos, win, mu,
+       |    sqrt(list_reduce(list_transform(win, x -> (x - mu) * (x - mu)), (a, y) -> a + y) / ${w}.0) AS sdev
+       |  FROM st),
+       | d AS (
+       |  SELECT user_id, pos,
+       |    list_reduce(list_transform(list_zip(win, $pz),
+       |      s2 -> ((s2[1] - mu) / sdev - s2[2]) * ((s2[1] - mu) / sdev - s2[2])), (a, y) -> a + y) AS dist
+       |  FROM sdv WHERE sdev > 0)
+       |SELECT user_id, pos, round(dist, 6) AS dist_r
+       |FROM d ORDER BY dist_r, user_id, pos LIMIT 20""".stripMargin
+  }
+
   /** PageRank twin: the 5 fixed iterations UNROLLED as chained CTEs
     * (straight-line SQL sidesteps engines' recursive-CTE aggregation
     * restrictions while computing the identical fold). Every arithmetic
@@ -1777,6 +1823,7 @@ object SparkEntry {
         |ORDER BY s_suppkey""".stripMargin,
 
     "page_rank" -> pageRankTwinSql,
+    "series_subseq_topk" -> seriesTwinSql,
 
     // naive all-pairs twin of the q-gram-filtered fuzzy join — the
     // operator is TOTAL (gram path for certifiable pairs, exact
