@@ -839,6 +839,20 @@ object SparkEntry {
         targetRowsPerFile = 250)
       LakeTable.readVersion(s, dir, 0L).orderBy("c_custkey")
     }),
+    // CHANGE DATA FEED between two snapshots, derived from the
+    // manifest diff alone: only the commit's rewritten/replaced files
+    // are read (carried bytes are shared and CANNOT differ), and rows
+    // rewritten unchanged (the rest of the touched files' key ranges)
+    // are dropped by the null-safe compare. Oracle = classified FULL
+    // OUTER diff of the recomputed before/after states
+    "table_change_feed" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-lake-cdf").toString
+      LakeTable.init(tableCommitBase(s, d), dir, "c_custkey", nFiles = 8)
+      LakeTable.commitMerge(tableCommitChanges(s, d), dir, "c_custkey",
+        targetRowsPerFile = 250)
+      LakeTable.changesBetween(s, dir, 0L, 1L, "c_custkey")
+        .orderBy("c_custkey", "_op")
+    }),
     // incremental materialized-view maintenance: the per-priority
     // order-revenue view is refreshed from the CHANGE BATCH alone
     // (base view + signed delta aggregate, never re-scanning the
@@ -899,6 +913,44 @@ object SparkEntry {
           keyCol = "o_custkey", attrCol = "o_orderstatus",
           tsCol = "o_orderdate", tieCol = "o_orderkey")
         .orderBy("o_custkey", "version")),
+    // INCREMENTAL SCD2: history built from pre-1997 orders, the 1997+
+    // tranche folded in as an append batch — untouched keys and closed
+    // intervals carry verbatim, only open segments recompute (seeded by
+    // the current row, versions continuing). Oracle = the SAME full-log
+    // recompute twin as scd2_dimension: incremental == full IS the hash
+    "scd2_incremental" -> ((s, d) => {
+      val o = t(s, d).orders
+      val cut = lit(java.sql.Date.valueOf("1997-01-01"))
+      val hist = ChangeData.scd2Intervals(o.where(col("o_orderdate") < cut),
+        keyCol = "o_custkey", attrCol = "o_orderstatus",
+        tsCol = "o_orderdate", tieCol = "o_orderkey")
+      ChangeData.scd2Apply(hist,
+          o.where(col("o_orderdate") >= cut)
+            .select(col("o_custkey"), col("o_orderstatus"),
+              col("o_orderdate"), col("o_orderkey")),
+          keyCol = "o_custkey", attrCol = "o_orderstatus",
+          tsCol = "o_orderdate", tieCol = "o_orderkey")
+        .orderBy("o_custkey", "version")
+    }),
+    // temporal AS-OF enrichment against the SCD2 dimension: each probe
+    // joins the one status version valid at its date — an EQUI-key
+    // hash join with the interval as residual (1:1 because intervals
+    // partition the key's timeline); backdated probes (%97 band) keep
+    // NULL, the LEFT-join warehouse convention
+    "scd2_asof_join" -> ((s, d) => {
+      val dim = ChangeData.scd2Intervals(t(s, d).orders,
+        keyCol = "o_custkey", attrCol = "o_orderstatus",
+        tsCol = "o_orderdate", tieCol = "o_orderkey")
+      val probes = t(s, d).orders.select(
+        col("o_orderkey"), col("o_custkey"),
+        when(col("o_orderkey") % 97 === 0,
+            col("o_orderdate") - expr("INTERVAL 20000 DAYS"))
+          .otherwise(col("o_orderdate") + expr("INTERVAL 10 DAYS")).as("probe_date"))
+      ChangeData.scd2AsOfJoin(probes, dim, "o_custkey", "probe_date")
+        .select(col("o_orderkey"), col("o_custkey"), col("probe_date"),
+          col("o_orderstatus").as("status_asof"))
+        .orderBy("o_orderkey")
+    }),
     // exact global row_number without a single-task sort: TeraSort
     // range exchange + per-partition rank + broadcast prefix offsets
     "global_rank" -> ((s, d) =>
@@ -1367,10 +1419,34 @@ object SparkEntry {
       |       event_type AS last_type, value AS last_value
       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
-  /** One merge twin serves both LakeTable queries: `table_commit`
-    * (merge alone) and `table_compact` (merge + compaction) — the
-    * compaction's reader-invisibility IS the second hash match. */
-  private lazy val lakeMergeTwinSql: String =
+  /** SCD2 dimension CTEs shared by the history, incremental, and as-of
+    * twins: `dim` is the full-log recompute of the per-customer status
+    * validity intervals. */
+  private lazy val scd2DimCtes: String =
+    """WITH ordered AS (
+      |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+      |    lag(o_orderstatus) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders),
+      | chg AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+      |         FROM ordered WHERE prev IS NULL OR o_orderstatus <> prev),
+      | dim AS (
+      |   SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+      |          lead(o_orderdate) OVER w AS valid_to,
+      |          CAST(row_number() OVER w AS BIGINT) AS version,
+      |          (lead(o_orderdate) OVER w) IS NULL AS is_current
+      |   FROM chg
+      |   WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))""".stripMargin
+
+  private lazy val scd2TwinSql: String =
+    s"""$scd2DimCtes
+       |SELECT o_custkey, o_orderstatus, valid_from, valid_to, version, is_current
+       |FROM dim ORDER BY o_custkey, version""".stripMargin
+
+  /** The full-recompute merge CTEs shared by every LakeTable twin:
+    * `merged` is the state after applying the CDC batch to the base
+    * projection with MERGE semantics (NULL payload keeps base). */
+  private lazy val lakeMergeCtes: String =
     """WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
       | chg AS (
       |   SELECT c_custkey,
@@ -1380,13 +1456,47 @@ object SparkEntry {
       |   FROM customer WHERE c_custkey BETWEEN 300 AND 400
       |   UNION ALL
       |   SELECT c_custkey + 100000, 'upsert', 'NEW', 0.0
-      |   FROM customer WHERE c_custkey % 50 = 0 AND c_custkey BETWEEN 300 AND 400)
-      |SELECT coalesce(c.c_custkey, b.c_custkey) AS c_custkey,
-      |       coalesce(c.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
-      |       coalesce(c.c_acctbal, b.c_acctbal) AS c_acctbal
-      |FROM base b FULL OUTER JOIN chg c ON b.c_custkey = c.c_custkey
-      |WHERE c.op IS NULL OR c.op = 'upsert'
-      |ORDER BY c_custkey""".stripMargin
+      |   FROM customer WHERE c_custkey % 50 = 0 AND c_custkey BETWEEN 300 AND 400),
+      | merged AS (
+      |   SELECT coalesce(c.c_custkey, b.c_custkey) AS c_custkey,
+      |          coalesce(c.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+      |          coalesce(c.c_acctbal, b.c_acctbal) AS c_acctbal
+      |   FROM base b FULL OUTER JOIN chg c ON b.c_custkey = c.c_custkey
+      |   WHERE c.op IS NULL OR c.op = 'upsert')""".stripMargin
+
+  /** One merge twin serves both LakeTable queries: `table_commit`
+    * (merge alone) and `table_compact` (merge + compaction) — the
+    * compaction's reader-invisibility IS the second hash match. */
+  private lazy val lakeMergeTwinSql: String =
+    s"""$lakeMergeCtes
+       |SELECT c_custkey, c_mktsegment, c_acctbal FROM merged
+       |ORDER BY c_custkey""".stripMargin
+
+  /** Change-feed twin: classify the FULL OUTER diff of the recomputed
+    * before/after states — insert (new only), delete (old only), and
+    * update pre+post images for keys whose payload IS DISTINCT. The
+    * operator derives the same rows from the manifest diff alone;
+    * hash-green proves the O(Δ)-files feed equals the full-state
+    * diff. */
+  private lazy val lakeChangeFeedTwinSql: String =
+    s"""$lakeMergeCtes,
+       | d AS (
+       |   SELECT b.c_custkey AS ok, m.c_custkey AS nk,
+       |          b.c_mktsegment AS om, b.c_acctbal AS oa,
+       |          m.c_mktsegment AS nm, m.c_acctbal AS na
+       |   FROM base b FULL OUTER JOIN merged m ON b.c_custkey = m.c_custkey
+       |   WHERE b.c_custkey IS NULL OR m.c_custkey IS NULL
+       |      OR b.c_mktsegment IS DISTINCT FROM m.c_mktsegment
+       |      OR b.c_acctbal IS DISTINCT FROM m.c_acctbal)
+       |SELECT nk AS c_custkey, nm AS c_mktsegment, na AS c_acctbal, 'insert' AS _op
+       |FROM d WHERE ok IS NULL
+       |UNION ALL
+       |SELECT ok, om, oa, 'delete' FROM d WHERE nk IS NULL
+       |UNION ALL
+       |SELECT ok, om, oa, 'update_pre' FROM d WHERE ok IS NOT NULL AND nk IS NOT NULL
+       |UNION ALL
+       |SELECT nk, nm, na, 'update_post' FROM d WHERE ok IS NOT NULL AND nk IS NOT NULL
+       |ORDER BY c_custkey, _op""".stripMargin
 
   /** One BM25 twin serves both the recompute path (`bm25_topk`) and
     * the persisted-index path (`bm25_from_index`): the index stores
@@ -2503,6 +2613,7 @@ object SparkEntry {
     // must equal the PLAIN full merge over the whole table — the
     // full-recompute oracle for the transactional lifecycle
     "table_commit" -> lakeMergeTwinSql,
+    "table_change_feed" -> lakeChangeFeedTwinSql,
     // delete band 350-380 via the vector, resurrect 360-365 via merge:
     // survivors = outside the band, plus the resurrected rows
     "table_delete_vectors" ->
@@ -2551,21 +2662,24 @@ object SparkEntry {
 
     // SCD2 run-collapse + validity intervals, the naive two-window
     // formulation
-    "scd2_dimension" ->
-      """WITH ordered AS (
-        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
-        |    lag(o_orderstatus) OVER (PARTITION BY o_custkey
-        |      ORDER BY o_orderdate, o_orderkey) AS prev
-        |  FROM orders),
-        | chg AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
-        |         FROM ordered WHERE prev IS NULL OR o_orderstatus <> prev)
-        |SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
-        |       lead(o_orderdate) OVER w AS valid_to,
-        |       CAST(row_number() OVER w AS BIGINT) AS version,
-        |       (lead(o_orderdate) OVER w) IS NULL AS is_current
-        |FROM chg
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        |ORDER BY o_custkey, version""".stripMargin,
+    "scd2_dimension" -> scd2TwinSql,
+    // the SAME twin grades the incremental path: scd2Apply over the
+    // date-split history+batch must equal the full recompute over the
+    // whole log — incremental-exactness IS the hash match
+    "scd2_incremental" -> scd2TwinSql,
+    "scd2_asof_join" ->
+      s"""$scd2DimCtes,
+         | probes AS (
+         |   SELECT o_orderkey, o_custkey,
+         |     CASE WHEN o_orderkey % 97 = 0 THEN o_orderdate - INTERVAL 20000 DAY
+         |          ELSE o_orderdate + INTERVAL 10 DAY END AS probe_date
+         |   FROM orders)
+         |SELECT p.o_orderkey, p.o_custkey, p.probe_date,
+         |       d.o_orderstatus AS status_asof
+         |FROM probes p LEFT JOIN dim d ON p.o_custkey = d.o_custkey
+         |  AND p.probe_date >= d.valid_from
+         |  AND (d.valid_to IS NULL OR p.probe_date < d.valid_to)
+         |ORDER BY o_orderkey""".stripMargin,
 
     // the incrementally-maintained enrichment view == a full LEFT JOIN
     // over the deltas-applied tables (deltas reproduced as CASE/filter

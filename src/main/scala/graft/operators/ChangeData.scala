@@ -184,4 +184,69 @@ object ChangeData {
         col(tsCol).as("valid_from"), col("valid_to"), col("version"),
         col("valid_to").isNull.as("is_current"))
   }
+
+  /** Temporal (as-of) enrichment against an SCD2 dimension: each fact
+    * row joins the ONE dimension version whose validity interval holds
+    * its timestamp — `valid_from <= ts < valid_to`, open interval
+    * NULL-terminated. The join keeps its EQUI key (the dimension key),
+    * so Catalyst plans a plain hash/sort-merge join with the interval
+    * as a residual — never a range/theta join: per (key, ts) the
+    * intervals partition `[first_from, ∞)`, so the residual selects
+    * exactly one build row and the join is 1:1 by construction
+    * (zero-length intervals from same-timestamp change points match
+    * nothing, the successor interval matches instead). LEFT join:
+    * facts dated before the key's first version — or with no dimension
+    * key at all — keep NULL attributes, the warehouse convention. */
+  def scd2AsOfJoin(fact: DataFrame, dim: DataFrame, keyCol: String,
+                   tsCol: String): DataFrame = {
+    val d = dim.drop("version", "is_current")
+    fact.join(d,
+      fact(keyCol) === d(keyCol) &&
+        fact(tsCol) >= d("valid_from") &&
+        (d("valid_to").isNull || fact(tsCol) < d("valid_to")),
+      "left")
+      .drop(d(keyCol)).drop("valid_from", "valid_to")
+  }
+
+  /** INCREMENTAL SCD2 maintenance: fold an append-only change batch
+    * into an existing [[scd2Intervals]] history without re-reading the
+    * log. Closed intervals of touched keys and the whole history of
+    * untouched keys carry VERBATIM; only each touched key's OPEN
+    * segment recomputes — seeded by its current row (so a batch run
+    * continuing the current attribute collapses into it, closing
+    * nothing), with version numbers continuing from the seed. Keys new
+    * to the table build from the batch alone. At 100 TB the work is
+    * batch-keys-sized: two key joins against the history plus
+    * key-partitioned windows over seed ∪ batch — the log, which this
+    * maintains a view OF, appears nowhere.
+    *
+    * Contract: batch rows must order strictly AFTER every logged row
+    * of their key (ts beyond the key's log horizon — the append-only
+    * CDC posture). A batch backdated INTO a closed interval would need
+    * closed history rewritten, which is a restatement, not an append:
+    * run [[scd2Intervals]] over the corrected log instead. */
+  def scd2Apply(history: DataFrame, batch: DataFrame, keyCol: String, attrCol: String,
+                tsCol: String, tieCol: String): DataFrame = {
+    val keys = batch.select(col(keyCol)).distinct()
+    val untouched = history.join(keys, Seq(keyCol), "left_anti")
+    val touched = history.join(keys, Seq(keyCol), "left_semi")
+    val closed = touched.where(!col("is_current"))
+    val seed = touched.where(col("is_current"))
+    // the seed re-enters the change-point scan as its key's first row:
+    // ts = the open interval's start, tie below any real tie so equal
+    // timestamps (impossible under the contract, cheap to pin) keep it
+    // first
+    val tieType = batch.schema(tieCol).dataType
+    val seedLog = seed.select(col(keyCol), col(attrCol),
+      col("valid_from").as(tsCol), lit(-1L).cast(tieType).as(tieCol))
+    val tail = scd2Intervals(
+      seedLog.unionByName(batch.select(col(keyCol), col(attrCol), col(tsCol), col(tieCol))),
+      keyCol, attrCol, tsCol, tieCol)
+    // versions continue where the seed's stood (new keys offset 0)
+    val offsets = seed.select(col(keyCol), (col("version") - 1L).as("__off"))
+    val adjusted = tail.join(offsets, Seq(keyCol), "left")
+      .withColumn("version", col("version") + coalesce(col("__off"), lit(0L)))
+      .drop("__off")
+    untouched.unionByName(closed).unionByName(adjusted)
+  }
 }

@@ -458,6 +458,100 @@ object LakeTable {
     (visible, hits.length.toLong, total)
   }
 
+  /** CHANGE DATA FEED: the row-level difference between two snapshots,
+    * classified insert / delete / update_pre / update_post — what a
+    * downstream consumer replays to stay in sync without re-reading
+    * the table (the Delta change-data-feed posture, DERIVED from the
+    * snapshots rather than stored by the writer). O(Δ) by
+    * construction: a carried file's bytes are shared by both
+    * snapshots, so its rows cannot differ — only files present in
+    * exactly ONE manifest are read, plus the interval-pruned carried
+    * files holding keys whose delete-vector membership changed
+    * (delta-sized, like the vectors). A compaction between the
+    * versions contributes nothing: its rewritten rows are value-equal
+    * on both sides and the null-safe struct compare drops them, so
+    * reader invisibility extends to the feed.
+    *
+    * Keys are unique per snapshot (commitMerge's keyed-upsert
+    * invariant), so the full-outer join is 1:1 and a key yields at
+    * most two rows. Updates emit BOTH images — the retract + assert
+    * pair an incremental view maintainer consumes
+    * (ChangeData.aggDelta's signed-delta contract). Schema evolution
+    * is handled the readVersion way: a column absent on one side
+    * compares as NULL there, so adding a column surfaces as updates
+    * only for rows whose values actually changed. */
+  def changesBetween(spark: SparkSession, tableDir: String, fromV: Long, toV: Long,
+                     keyCol: String, opCol: String = "_op"): DataFrame = {
+    val m1 = manifest(spark, tableDir, fromV)
+    val m2 = manifest(spark, tableDir, toV)
+    val f1 = m1.select(col("file")).collect().map(_.getString(0)).toSet
+    val f2 = m2.select(col("file")).collect().map(_.getString(0)).toSet
+    def readSome(files: Seq[String], schemaFrom: Set[String]) =
+      if (files.nonEmpty) spark.read.option("mergeSchema", "true").parquet(files: _*)
+      else spark.read.parquet(schemaFrom.head).where(lit(false)) // schema-only
+    val removed = readSome((f1 -- f2).toSeq.sorted, f1)
+    val added = readSome((f2 -- f1).toSeq.sorted, f2)
+    val d1 = deleteSet(spark, tableDir, fromV)
+    val d2 = deleteSet(spark, tableDir, toV)
+    // keys whose VECTOR membership changed live in carried files (a
+    // rewritten file's rows already appear on the removed/added side);
+    // read only the carried files whose key interval can hold such a
+    // key, and only those keys' rows
+    val carriedDiffRows: Option[DataFrame] =
+      if (d1.isEmpty && d2.isEmpty) None
+      else {
+        val proto = d1.orElse(d2).get.where(lit(false))
+        val a = d1.getOrElse(proto)
+        val b = d2.getOrElse(proto)
+        val diffKeys = a.exceptAll(b).unionAll(b.exceptAll(a)).distinct()
+          .localCheckpoint(true) // consumed by the prune join AND the semi join
+        val carried = (f1 & f2).toSeq.sorted
+        val touched =
+          if (carried.isEmpty) Array.empty[String]
+          else diffKeys.select(col(keyCol).as("__k"))
+            .join(broadcast(m2.where(col("file").isin(carried: _*))
+                .select(col("file"), col(s"min_$keyCol"), col(s"max_$keyCol"))),
+              col(s"min_$keyCol") <= col("__k") && col(s"max_$keyCol") >= col("__k"))
+            .select(col("file")).distinct().collect().map(_.getString(0))
+        if (touched.isEmpty) None
+        else Some(spark.read.option("mergeSchema", "true").parquet(touched.toIndexedSeq: _*)
+          .join(diffKeys, Seq(keyCol), "left_semi"))
+      }
+    // each side's VISIBLE rows among the delta files: subtract that
+    // snapshot's vector (broadcast anti, the readVersion device)
+    def minusVec(df: DataFrame, vec: Option[DataFrame]) =
+      vec.fold(df)(v => df.join(broadcast(v), v.columns.toSeq, "left_anti"))
+    val oldRows = carriedDiffRows.foldLeft(minusVec(removed, d1))(
+      (acc, c) => acc.unionByName(minusVec(c, d1), allowMissingColumns = true))
+    val newRows = carriedDiffRows.foldLeft(minusVec(added, d2))(
+      (acc, c) => acc.unionByName(minusVec(c, d2), allowMissingColumns = true))
+    // align both sides on the UNION of their columns (additive schema
+    // evolution means the old side may lack columns the new side has)
+    val payloadCols = (oldRows.columns ++ newRows.columns).distinct.filterNot(_ == keyCol).toSeq
+    def side(df: DataFrame, out: String) = {
+      val typed = payloadCols.map { c =>
+        if (df.columns.contains(c)) col(c).as(c)
+        else {
+          val dt = (if (oldRows.columns.contains(c)) oldRows else newRows).schema(c).dataType
+          lit(null).cast(dt).as(c)
+        }
+      }
+      df.select(col(keyCol), struct(typed: _*).as(out))
+    }
+    val diff = side(oldRows, "__o").join(side(newRows, "__n"), Seq(keyCol), "full_outer")
+      .where(!(col("__o") <=> col("__n"))) // both-present-and-equal rows vanish
+    diff.select(col(keyCol), explode(
+        when(col("__o").isNull,
+          array(struct(col("__n").as("p"), lit("insert").as("op"))))
+        .when(col("__n").isNull,
+          array(struct(col("__o").as("p"), lit("delete").as("op"))))
+        .otherwise(array(
+          struct(col("__o").as("p"), lit("update_pre").as("op")),
+          struct(col("__n").as("p"), lit("update_post").as("op"))))).as("__c"))
+      .select(col(keyCol) +: payloadCols.map(c => col(s"__c.p.$c").as(c))
+        :+ col("__c.op").as(opCol): _*)
+  }
+
   /** Retire history: keep the newest `keepVersions` snapshots, delete
     * older version dirs, then delete every data file no RETAINED
     * manifest references. Files born in an old commit but still

@@ -80,6 +80,57 @@ class ChangeDataSpec extends AnyFunSuite {
     assert(k3.map(_.getString(1)).toSeq === Seq("P", "Q"), "tie column must order same-ts rows")
   }
 
+  test("scd2Apply: incremental fold equals full recompute across every batch shape") {
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val before = Seq(
+      (1L, "A", ts(1), 101L), (1L, "B", ts(3), 102L),  // will flip again in batch
+      (2L, "X", ts(1), 201L),                          // batch CONTINUES the run
+      (3L, "P", ts(2), 301L),                          // untouched by the batch
+      (4L, "M", ts(1), 401L), (4L, "N", ts(2), 402L)   // touched, multi-version
+    ).toDF("k", "attr", "ts", "tie")
+    val batch = Seq(
+      (1L, "A", ts(5), 103L),                 // reopens a prior attr: new version
+      (2L, "X", ts(6), 202L),                 // same attr: collapses, closes nothing
+      (4L, "M", ts(7), 403L), (4L, "M", ts(8), 404L), // flip + in-batch run
+      (9L, "Z", ts(5), 901L)                  // key new to the table
+    ).toDF("k", "attr", "ts", "tie")
+    val hist = ChangeData.scd2Intervals(before, "k", "attr", "ts", "tie")
+    val got = ChangeData.scd2Apply(hist, batch, "k", "attr", "ts", "tie")
+    val want = ChangeData.scd2Intervals(before.unionByName(batch), "k", "attr", "ts", "tie")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the continuing run really collapsed: key 2 still one open interval
+    assert(got.where(col("k") === 2L).count() === 1)
+    // versions continue, never restart: key 4 ends at version 3
+    assert(got.where(col("k") === 4L).agg(max("version")).head().getLong(0) === 3L)
+    // untouched key 3's row is byte-identical to its input history
+    assert(got.where(col("k") === 3L).exceptAll(hist.where(col("k") === 3L)).isEmpty)
+  }
+
+  test("scd2AsOfJoin picks exactly the version valid at each probe; backdated probes keep NULL") {
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val log = Seq(
+      (1L, "A", ts(2), 101L), (1L, "B", ts(5), 102L),
+      (2L, "X", ts(3), 201L),
+      // same-ts flip: zero-length interval must never double-match
+      (3L, "P", ts(4), 301L), (3L, "Q", ts(4), 302L)
+    ).toDF("k", "attr", "ts", "tie")
+    val dim = ChangeData.scd2Intervals(log, "k", "attr", "ts", "tie")
+    val facts = Seq(
+      (10L, 1L, ts(2)),  // exactly at a boundary: the NEW version wins
+      (11L, 1L, ts(4)),  // inside the first interval
+      (12L, 1L, ts(9)),  // open interval
+      (13L, 1L, ts(1)),  // before any version: NULL
+      (14L, 3L, ts(4)),  // on the zero-length flip: exactly one match (Q)
+      (15L, 7L, ts(4))   // key with no dimension at all: NULL
+    ).toDF("fid", "k", "fts")
+    val out = ChangeData.scd2AsOfJoin(facts, dim, "k", "fts")
+      .select(col("fid"), col("attr")).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(10L -> "A", 11L -> "A", 12L -> "B", 13L -> null,
+      14L -> "Q", 15L -> null))
+    // 1:1: no probe multiplies
+    assert(ChangeData.scd2AsOfJoin(facts, dim, "k", "fts").count() === facts.count())
+  }
+
   test("enrichView maintenance: closed under dim and fact deltas, equals full recompute") {
     val fact = Seq((1L, 10L, 100.0), (2L, 20L, 200.0), (3L, 30L, 300.0))
       .toDF("fk", "jk", "price")

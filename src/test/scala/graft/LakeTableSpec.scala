@@ -283,6 +283,65 @@ class LakeTableSpec extends AnyFunSuite {
     assert(v3.where(col("c_custkey").between(10, 40)).count() === 1L)
   }
 
+  test("change feed: classified O(Δ)-file diff; compaction invisible; vector flips surface; replay reproduces the table") {
+    val dir = Files.createTempDirectory("graft-lake-cdf").toString
+    LakeTable.init(base, dir, "c_custkey", nFiles = 8)
+    LakeTable.commitMerge(batch(10, 30), dir, "c_custkey", targetRowsPerFile = 40)
+    val feed = LakeTable.changesBetween(spark, dir, 0L, 1L, "c_custkey")
+    // deletes are exactly the %7==3 band keys, with their PRE images
+    val dels = feed.where(col("_op") === "delete")
+    assert(dels.collect().map(_.getLong(0)).toSet ===
+      (10L to 30L).filter(_ % 7 == 3).toSet)
+    assert(dels.where(col("c_mktsegment") === "MOVED").isEmpty) // pre, not post
+    // every surviving band key yields an update pre+post pair
+    val updKeys = (10L to 30L).filterNot(_ % 7 == 3).toSet
+    Seq("update_pre", "update_post").foreach { op =>
+      assert(feed.where(col("_op") === op).collect().map(_.getLong(0)).toSet === updKeys)
+    }
+    feed.where(col("_op") === "update_post").collect()
+      .foreach(r => assert(r.getString(1) === "MOVED"))
+    // post images KEEP the base balance (NULL payload = keep), pre == base
+    val baseBal = base.where(col("c_custkey") === 11L).head().getDouble(2)
+    assert(feed.where(col("_op") === "update_post" && col("c_custkey") === 11L)
+      .head().getDouble(2) === baseBal)
+    // rewritten-but-unchanged rows (rest of the touched files' ranges)
+    // never surface — the feed is change-sized, not rewrite-sized
+    assert(feed.where(!col("c_custkey").between(10, 30)).isEmpty)
+    // a compaction commit feeds NOTHING (reader invisibility)
+    LakeTable.commitCompact(spark, dir, "c_custkey", smallFileRows = 40, targetRowsPerFile = 1000)
+    assert(LakeTable.changesBetween(spark, dir, 1L, 2L, "c_custkey").isEmpty)
+    // a delete-VECTOR commit (zero rewrites) feeds the masked band as
+    // deletes with real pre images read from interval-pruned carried files
+    val band = base.where(col("c_custkey").between(100, 110))
+    val dv = LakeTable.commitDelete(band.select(col("c_custkey")), dir, "c_custkey")
+    assert(dv.filesRewritten === 0L)
+    val dvFeed = LakeTable.changesBetween(spark, dir, 2L, 3L, "c_custkey")
+    assert(dvFeed.select("_op").distinct().collect().map(_.getString(0)).toSeq === Seq("delete"))
+    assert(rows(dvFeed.drop("_op")) === rows(band))
+    // composite v0→v3 feed replayed over v0 reproduces v3 exactly
+    val all = LakeTable.changesBetween(spark, dir, 0L, 3L, "c_custkey")
+    val replay = all.where(col("_op").isin("insert", "update_post"))
+      .select(col("c_custkey"), lit("upsert").as("op"), col("c_mktsegment"), col("c_acctbal"))
+      .unionByName(all.where(col("_op") === "delete")
+        .select(col("c_custkey"), lit("delete").as("op"),
+          lit(null).cast("string").as("c_mktsegment"), lit(null).cast("double").as("c_acctbal")))
+    assert(rows(ChangeData.mergeApply(base, replay, "c_custkey")) ===
+      rows(LakeTable.readLatest(spark, dir)))
+  }
+
+  test("change feed across an evolving commit: post images carry the new column, pre images read it NULL") {
+    val dir = Files.createTempDirectory("graft-lake-cdf-ev").toString
+    LakeTable.init(base, dir, "c_custkey", nFiles = 8)
+    val evolved = batch(10, 30).withColumn("c_tier",
+      when(col("op") === "upsert", lit("GOLD")).otherwise(lit(null).cast("string")))
+    LakeTable.commitMerge(evolved, dir, "c_custkey", targetRowsPerFile = 40)
+    val feed = LakeTable.changesBetween(spark, dir, 0L, 1L, "c_custkey")
+    assert(feed.columns.contains("c_tier"))
+    assert(feed.where(col("_op") === "update_post").collect()
+      .forall(_.getAs[String]("c_tier") === "GOLD"))
+    assert(feed.where(col("_op") === "update_pre" && col("c_tier").isNotNull).isEmpty)
+  }
+
   test("commits chain: every intermediate snapshot stays readable as committed") {
     val dir = Files.createTempDirectory("graft-lake-chain").toString
     LakeTable.init(base, dir, "c_custkey", nFiles = 8)
