@@ -530,6 +530,17 @@ object SparkEntry {
         .select(col("id"), col("p_name").as("s"))
       Dedup.editDistancePairs(names, q = 2, maxDist = 2).orderBy("id_a", "id_b")
     }),
+    // ENTITY RESOLUTION over the part-name dictionary: fuzzy pairs →
+    // transitive min-label clusters → deterministic canonical pick
+    // (the entity's min-id name). Twin = naive N² levenshtein +
+    // recursive-CTE closure — the oracle may be quadratic, the
+    // operator may not
+    "entity_resolution" -> ((s, d) => {
+      val names = t(s, d).part.groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("id"))
+        .select(col("id"), col("p_name").as("s"))
+      Dedup.resolveEntities(names, q = 2, maxDist = 2).orderBy("id")
+    }),
     // connected components over J >= 0.3 pairs: canonical doc per cluster
     "dedup_clusters" -> ((s, d) => {
       val docs = t(s, d).documents
@@ -1945,6 +1956,20 @@ object SparkEntry {
         |FROM s a JOIN s b ON a.id < b.id
         |WHERE levenshtein(a.s, b.s) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "entity_resolution" ->
+      """WITH RECURSIVE s AS (SELECT min(p_partkey) AS id, p_name AS s FROM part GROUP BY p_name),
+        | j AS (SELECT a.id AS src, b.id AS dst FROM s a JOIN s b
+        |       ON a.id <> b.id AND levenshtein(a.s, b.s) <= 2),
+        | reach(id, label) AS (
+        |   SELECT id, id FROM s
+        |   UNION
+        |   SELECT j.dst, r.label FROM reach r JOIN j ON j.src = r.id
+        | ),
+        | lab AS (SELECT id, min(label) AS entity_id FROM reach GROUP BY id)
+        |SELECT l.id, s.s, l.entity_id, cs.s AS canonical
+        |FROM lab l JOIN s USING (id) JOIN s cs ON cs.id = l.entity_id
+        |ORDER BY id""".stripMargin,
 
     "q16_supplier_cnt" ->
       """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt

@@ -438,4 +438,32 @@ object Dedup {
       .where(col("dist") <= maxDist)
     filtered.unionByName(shortPairs)
   }
+
+  /** ENTITY RESOLUTION: records whose string attribute lies within
+    * `maxDist` edits group TRANSITIVELY into one entity, and each
+    * entity gets a canonical representative — the standard
+    * name/address consolidation a curation pipeline runs before
+    * joining dirty sources. Pure composition of shipped halves:
+    * [[editDistancePairs]] (lossless q-gram-filtered fuzzy self-join,
+    * never the N² product) feeds [[nearDupClusters]] (min-label
+    * connected components), then the canonical pick — the entity's
+    * min-id record's string — makes the output deterministic across
+    * re-runs and engines. One row per input record:
+    * (id, s, entity_id, canonical).
+    *
+    * Scale: inherits its parts' bounded shapes; the two closing joins
+    * are equi joins on id/entity_id (the representative relation is
+    * cluster-count-sized — AQE broadcasts it when small). */
+  def resolveEntities(recs: DataFrame, q: Int = 2, maxDist: Int = 2,
+                      strCol: String = "s", idCol: String = "id"): DataFrame = {
+    val pairs = editDistancePairs(recs, q, maxDist, strCol, idCol)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val clusters = nearDupClusters(pairs, recs.select(col(idCol).as("doc_id")))
+    val labeled = recs.select(col(idCol).as("id"), col(strCol).as("s"))
+      .join(clusters.withColumnRenamed("doc_id", "id"), Seq("id"))
+    val reps = labeled.where(col("id") === col("cluster_id"))
+      .select(col("cluster_id"), col("s").as("canonical"))
+    labeled.join(reps, Seq("cluster_id"))
+      .select(col("id"), col("s"), col("cluster_id").as("entity_id"), col("canonical"))
+  }
 }

@@ -110,4 +110,21 @@ class DedupSpec extends AnyFunSuite {
     assert(got === brute)
     assert(got.nonEmpty)
   }
+
+  test("resolveEntities: transitive fuzzy clusters, min-id canonical, singletons self-canonical") {
+    import spark.implicits._
+    val recs = Seq(
+      // edit chain: each adjacent pair ≤ 2 edits, the ends are 3 apart
+      // — only TRANSITIVITY puts all four in one entity
+      (1L, "kitten"), (2L, "sitten"), (3L, "sittin"), (4L, "sitting"),
+      (5L, "banana"), (6L, "bananas"),
+      (7L, "zzzzzz")
+    ).toDF("id", "s")
+    val out = Dedup.resolveEntities(recs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out === Map(
+      1L -> (1L, "kitten"), 2L -> (1L, "kitten"), 3L -> (1L, "kitten"), 4L -> (1L, "kitten"),
+      5L -> (5L, "banana"), 6L -> (5L, "banana"),
+      7L -> (7L, "zzzzzz")))
+  }
 }
