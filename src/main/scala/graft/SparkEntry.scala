@@ -468,6 +468,12 @@ object SparkEntry {
     // 32-char window grid, grouped on the span, kept where >= 2 docs
     "dup_spans" -> ((s, d) =>
       Dedup.duplicatedSpans(t(s, d).documents, k = 32, stride = 8, minDocs = 2).orderBy("span")),
+    // duplicated spans coalesced into maximal per-document regions
+    // (gaps-and-islands over the flagged window grid) — the byte
+    // ranges a cleaning pass actually cuts
+    "dup_regions" -> ((s, d) =>
+      Dedup.duplicatedRegions(t(s, d).documents, k = 32, stride = 8, minDocs = 2)
+        .orderBy("doc_id", "region_start")),
     // inverted index: the canonical MapReduce workload one past
     // wordcount — term -> (df, cf, sorted postings). The df cap BINDS
     // at sf0.01 (drops the ~15 hottest of 31 terms): hot-term posting
@@ -530,6 +536,13 @@ object SparkEntry {
         .select(col("id"), col("p_name").as("s"))
       Dedup.editDistancePairs(names, q = 2, maxDist = 2).orderBy("id_a", "id_b")
     }),
+    // one-scan column profiling: every measure for every column in a
+    // single partial+final aggregate, unpivoted to the catalog's long
+    // format — the summary a pipeline runs before trusting a source
+    "column_profile" -> ((s, d) =>
+      Profiling.columnProfile(t(s, d).customer,
+          Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey"))
+        .orderBy("col_name")),
     // ENTITY RESOLUTION over the part-name dictionary: fuzzy pairs →
     // transitive min-label clusters → deterministic canonical pick
     // (the entity's min-id name). Twin = naive N² levenshtein +
@@ -1957,6 +1970,16 @@ object SparkEntry {
         |WHERE levenshtein(a.s, b.s) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "column_profile" -> {
+      val cols = Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           | count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct,
+           | CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
+           |FROM customer""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
     "entity_resolution" ->
       """WITH RECURSIVE s AS (SELECT min(p_partkey) AS id, p_name AS s FROM part GROUP BY p_name),
         | j AS (SELECT a.id AS src, b.id AS dst FROM s a JOIN s b
@@ -2333,6 +2356,25 @@ object SparkEntry {
         |        FROM documents WHERE length(text) >= 32) t)
         |SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
         |FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2 ORDER BY span""".stripMargin,
+
+    "dup_regions" ->
+      """WITH sp AS (
+        |  SELECT doc_id, i AS pos, substring(text, CAST(i AS INTEGER), 32) AS span
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 31, 8)) AS i
+        |        FROM documents WHERE length(text) >= 32) t),
+        | flagged AS (SELECT span FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+        | hits AS (SELECT doc_id, pos, pos + 31 AS e FROM sp JOIN flagged USING (span)),
+        | marked AS (SELECT doc_id, pos, e,
+        |    CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        |         THEN 1 ELSE 0 END AS ni
+        |    FROM hits),
+        | isl AS (SELECT doc_id, pos, e,
+        |    sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM marked)
+        |SELECT doc_id, min(pos) AS region_start, max(e) AS region_end,
+        |       max(e) - min(pos) + 1 AS region_len
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, region_start""".stripMargin,
 
     // HAVING df <= cap mirrors the enforced stop-term drop on the
     // Spark side (Retrieval.cappedTermFreqs)

@@ -364,6 +364,46 @@ object Dedup {
       .select(col("span"), col("n_docs"), col("n_occ"))
   }
 
+  /** Maximal duplicated REGIONS per document — the actionable form of
+    * the [[duplicatedSpans]] signal (a cleaning pass cuts
+    * text[start..end], it does not cut 32-char confetti): k-char grid
+    * windows flagged as cross-document duplicates coalesce per
+    * document into islands by the gaps-and-islands device — windows
+    * sort per doc by position, a new island opens where the position
+    * clears the running max end by more than one, each island reports
+    * [min start, max end]. Scale shape: the flag pass is
+    * duplicatedSpans' 8-byte-hash aggregate; the coalesce is
+    * key-partitioned windows over the FLAGGED subset only (duplicated
+    * tail, not the corpus), parallel in document cardinality with no
+    * global sort anywhere. */
+  def duplicatedRegions(docs: DataFrame, k: Int = 32, stride: Int = 8, minDocs: Int = 2,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def windows: DataFrame = docs
+      .where(length(col(textCol)) >= k)
+      .select(col(idCol).as("doc_id"),
+        explode(sequence(lit(1), length(col(textCol)) - lit(k - 1), lit(stride))).as("pos"),
+        col(textCol))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        xxhash64(col(textCol).substr(col("pos"), lit(k))).as("h"))
+    val flagged = windows
+      .groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+    val hits = windows.join(flagged.select(col("h")), Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"), (col("pos") + lit(k - 1)).as("end"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val islands = hits
+      .withColumn("prev_max_end",
+        max(col("end")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        (col("prev_max_end").isNull || col("pos") > col("prev_max_end") + 1).cast(LongType))
+      .withColumn("island", sum(col("new_island")).over(byDoc))
+    islands.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("region_start"), max(col("end")).as("region_end"))
+      .select(col("doc_id"), col("region_start"), col("region_end"),
+        (col("region_end") - col("region_start") + 1).as("region_len"))
+  }
+
   /** Fuzzy (edit-distance) self-join — the approximate string join of
     * Gravano et al. 2001 (VLDB), q-gram count filtering: all pairs of
     * strings within `maxDist` edits, WITHOUT the O(N²) cross product.

@@ -111,6 +111,24 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("duplicatedRegions coalesces flagged windows into maximal islands per document") {
+    import spark.implicits._
+    // X and Y are shared verbatim across both docs; every flank and
+    // separator is unique to its doc, so only windows fully inside X
+    // or Y flag — and the islands must be exactly X's and Y's extents
+    val X = "THEQUICKBROWNFOXJUMPSOVERTHELAZYDOG!" // 36 chars at pos 11..46
+    val Y = "ZZYYXXWWVVUUTTSS"                     // 16 chars at pos 57..72
+    val docs = Seq(
+      (1L, "qwertyuiop" + X + "0123456789" + Y),
+      (2L, "poiuytrewq" + X + "9876543210" + Y)
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedRegions(docs, k = 8, stride = 1, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out === Set(
+      (1L, 11L, 46L, 36L), (1L, 57L, 72L, 16L),
+      (2L, 11L, 46L, 36L), (2L, 57L, 72L, 16L)))
+  }
+
   test("resolveEntities: transitive fuzzy clusters, min-id canonical, singletons self-canonical") {
     import spark.implicits._
     val recs = Seq(
