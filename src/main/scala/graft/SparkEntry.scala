@@ -536,6 +536,23 @@ object SparkEntry {
         .select(col("id"), col("p_name").as("s"))
       Dedup.editDistancePairs(names, q = 2, maxDist = 2).orderBy("id_a", "id_b")
     }),
+    // exact dedup with a PRIORITY survivor rule: within each digest
+    // group the curated (highest-priority) copy wins, min id on ties —
+    // one bounded max_by buffer per group, never a per-key sort
+    "priority_dedup" -> ((s, d) => {
+      val docs = t(s, d).documents.withColumn("priority", col("doc_id") % 7)
+      Dedup.priorityDedup(docs)
+        .select(col("doc_id"), col("lang"), col("priority"))
+        .orderBy("doc_id")
+    }),
+    // per-source data budget: keep each language's docs in
+    // deterministic multiplicative-hash order until the char budget is
+    // reached — "at most N chars per source" stated directly
+    "budget_cap" -> ((s, d) =>
+      Corpus.budgetCap(t(s, d).documents, budget = 20000)
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")),
     // one-scan column profiling: every measure for every column in a
     // single partial+final aggregate, unpivoted to the catalog's long
     // format — the summary a pipeline runs before trusting a source
@@ -876,6 +893,31 @@ object SparkEntry {
         targetRowsPerFile = 250)
       LakeTable.changesBetween(s, dir, 0L, 1L, "c_custkey")
         .orderBy("c_custkey", "_op")
+    }),
+    // the change feed FEEDING incremental view maintenance: a
+    // per-segment aggregate view built at v0 stays current through the
+    // commit by consuming changesBetween's pre/post images as signed
+    // deltas (update_pre/delete retract, update_post/insert assert) —
+    // the lake table maintains its own materialized views without
+    // re-reading itself. Oracle = the aggregate over the recomputed
+    // merged state
+    "table_view_maintenance" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-lake-mv").toString
+      LakeTable.init(tableCommitBase(s, d), dir, "c_custkey", nFiles = 8)
+      val view0 = ChangeData.aggView(LakeTable.readVersion(s, dir, 0L),
+        Seq("c_mktsegment"), "c_acctbal")
+      LakeTable.commitMerge(tableCommitChanges(s, d), dir, "c_custkey",
+        targetRowsPerFile = 250)
+      val feed = LakeTable.changesBetween(s, dir, 0L, 1L, "c_custkey")
+      val delta = ChangeData.aggDelta(
+        feed.select(col("c_mktsegment"), col("c_acctbal"),
+          when(col("_op").isin("delete", "update_pre"), "delete")
+            .otherwise("upsert").as("op")),
+        Seq("c_mktsegment"), "c_acctbal")
+      ChangeData.presentView(
+          ChangeData.mergeViews(view0, delta, Seq("c_mktsegment")),
+          Seq("c_mktsegment"))
+        .orderBy("c_mktsegment")
     }),
     // incremental materialized-view maintenance: the per-priority
     // order-revenue view is refreshed from the CHANGE BATCH alone
@@ -1970,6 +2012,20 @@ object SparkEntry {
         |WHERE levenshtein(a.s, b.s) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "priority_dedup" ->
+      """WITH p AS (SELECT doc_id, lang, text, doc_id % 7 AS priority FROM documents),
+        | r AS (SELECT doc_id, lang, priority,
+        |   row_number() OVER (PARTITION BY text ORDER BY priority DESC, doc_id) AS rn
+        |   FROM p)
+        |SELECT doc_id, lang, priority FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "budget_cap" ->
+      """WITH w AS (SELECT doc_id, lang, length(text) AS n_chars,
+        |   (doc_id * 2654435761) % 4294967296 AS ord FROM documents),
+        | c AS (SELECT doc_id, lang, n_chars,
+        |   sum(n_chars) OVER (PARTITION BY lang ORDER BY ord, doc_id) AS cum FROM w)
+        |SELECT doc_id, lang, n_chars FROM c WHERE cum <= 20000 ORDER BY doc_id""".stripMargin,
+
     "column_profile" -> {
       val cols = Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
       cols.map(c =>
@@ -2681,6 +2737,11 @@ object SparkEntry {
     // full-recompute oracle for the transactional lifecycle
     "table_commit" -> lakeMergeTwinSql,
     "table_change_feed" -> lakeChangeFeedTwinSql,
+    "table_view_maintenance" ->
+      s"""$lakeMergeCtes
+         |SELECT c_mktsegment, count(*) AS n,
+         |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // delete band 350-380 via the vector, resurrect 360-365 via merge:
     // survivors = outside the band, plus the resurrected rows
     "table_delete_vectors" ->

@@ -48,6 +48,31 @@ object Corpus {
     docs.where(hashPermille(col(textCol)) < rate)
   }
 
+  /** Per-source DATA-BUDGET cap: keep each group's documents, in a
+    * deterministic pseudo-random order, until the group's cumulative
+    * weight (tokens, chars, bytes) reaches `budget` — "at most N
+    * tokens of web crawl, M of code" stated directly instead of
+    * tuning sampling rates until the mix lands nearby. The order is a
+    * Knuth multiplicative hash of the id — engine-exact integer
+    * arithmetic (unlike engine-specific hash builtins), stable across
+    * runs and partitionings, and uncorrelated with insertion order so
+    * the kept prefix is an unbiased sample of the group. Strict cap:
+    * the first document that would cross the budget is dropped (with
+    * everything after it).
+    *
+    * Scale: one key-partitioned running sum — parallelism is group
+    * cardinality, no global sort; a hot group is one partition's sort,
+    * the same class as every per-key window here. */
+  def budgetCap(docs: DataFrame, budget: Long, groupCol: String = "lang",
+                weightCol: Column = length(col("text")),
+                idCol: String = "doc_id"): DataFrame = {
+    val ord = pmod(col(idCol) * lit(2654435761L), lit(4294967296L))
+    val w = Window.partitionBy(col(groupCol)).orderBy(ord, col(idCol))
+    docs.withColumn("__cum", sum(weightCol).over(w))
+      .where(col("__cum") <= budget)
+      .drop("__cum")
+  }
+
   /** Split each document into fixed-size character chunks (the context
     * -window packing primitive): (doc_id, chunk_idx, chunk, n_chunks).
     * Pure generator over a narrow projection — scales linearly, no

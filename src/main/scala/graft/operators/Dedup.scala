@@ -54,6 +54,22 @@ object Dedup {
       .groupBy(col("h")).agg(min(col(idCol)).as(idCol))
       .join(storeDigests.select(col("h")).distinct(), Seq("h"), "left_anti")
 
+  /** Exact dedup with a PRIORITY survivor rule — "keep the curated
+    * copy, drop the crawl's": within each content-digest group the
+    * winner is the highest-priority row, min id breaking ties. One
+    * `max_by` aggregate per digest — a single fixed-size buffer per
+    * group regardless of how many copies a boilerplate document has
+    * (the bounded-state posture of GroupedTopK at k = 1), partial+final
+    * combinable, never a per-key sort. Emits the winning rows with
+    * their full payload. */
+  def priorityDedup(docs: DataFrame, textCol: String = "text",
+                    priorityCol: String = "priority", idCol: String = "doc_id"): DataFrame = {
+    val all = struct(docs.columns.map(col).toIndexedSeq: _*)
+    docs.groupBy(sha2(col(textCol), 256).as("__digest"))
+      .agg(max_by(all, struct(col(priorityCol), (-col(idCol)).as("__negid"))).as("__w"))
+      .select(col("__w.*"))
+  }
+
   private def rawShingles(docs: DataFrame, w: Int, textCol: String, idCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),

@@ -186,4 +186,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.select(col("doc_id")).except(again).count() === 0L)
     assert(again.except(out.select(col("doc_id"))).count() === 0L)
   }
+
+  test("budgetCap: strict per-group cap, unbiased hash order, partitioning-invariant") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, if (i % 3 == 0) "code" else "web", "x" * 100))
+      .toDF("doc_id", "lang", "text")
+    val out = Corpus.budgetCap(docs, budget = 1000)
+    // 100 chars/doc → exactly 10 docs per group survive, never 11
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("web" -> 10L, "code" -> 10L))
+    // the kept set is hash-selected, not the first ids: the minimum
+    // kept web id would be 1 under insertion order — hash order keeps
+    // a spread sample instead
+    val keptWeb = out.where(col("lang") === "web").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptWeb !== (1L to 15L).filterNot(_ % 3 == 0).take(10).toSet)
+    // deterministic under repartitioning and input order
+    val again = Corpus.budgetCap(docs.orderBy(col("doc_id").desc).repartition(7), budget = 1000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === out.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // a budget below the smallest weight keeps nothing
+    assert(Corpus.budgetCap(docs, budget = 99).isEmpty)
+  }
 }

@@ -111,6 +111,24 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("priorityDedup: highest priority wins its digest group, min id on ties, payload carried") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha", 0L, "crawl"),   // beaten by doc 3's priority 5
+      (3L, "alpha", 5L, "curated"),
+      (9L, "alpha", 5L, "curated2"), // same priority as 3: min id 3 wins
+      (4L, "beta", 1L, "only"),      // singleton survives regardless
+      (7L, "gamma", 0L, "tie-lo"),   // equal priority: min id wins
+      (8L, "gamma", 0L, "tie-hi")
+    ).toDF("doc_id", "text", "priority", "src")
+    val out = Dedup.priorityDedup(docs).collect()
+      .map(r => r.getString(1) -> (r.getLong(0), r.getString(3))).toMap
+    assert(out === Map(
+      "alpha" -> (3L, "curated"),
+      "beta" -> (4L, "only"),
+      "gamma" -> (7L, "tie-lo")))
+  }
+
   test("duplicatedRegions coalesces flagged windows into maximal islands per document") {
     import spark.implicits._
     // X and Y are shared verbatim across both docs; every flank and
