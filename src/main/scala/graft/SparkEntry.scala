@@ -894,6 +894,19 @@ object SparkEntry {
       LakeTable.changesBetween(s, dir, 0L, 1L, "c_custkey")
         .orderBy("c_custkey", "_op")
     }),
+    // DESCRIBE HISTORY off the manifests alone (no data file read):
+    // row counts per snapshot across init → merge → compaction, the
+    // compaction row proving reader-count invariance
+    "table_history" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-lake-h").toString
+      LakeTable.init(tableCommitBase(s, d), dir, "c_custkey", nFiles = 8)
+      LakeTable.commitMerge(tableCommitChanges(s, d), dir, "c_custkey",
+        targetRowsPerFile = 250)
+      LakeTable.commitCompact(s, dir, "c_custkey",
+        smallFileRows = 200, targetRowsPerFile = 1000)
+      LakeTable.history(s, dir).select(col("version"), col("n_rows"))
+        .orderBy("version")
+    }),
     // the change feed FEEDING incremental view maintenance: a
     // per-segment aggregate view built at v0 stays current through the
     // commit by consuming changesBetween's pre/post images as signed
@@ -2737,6 +2750,12 @@ object SparkEntry {
     // full-recompute oracle for the transactional lifecycle
     "table_commit" -> lakeMergeTwinSql,
     "table_change_feed" -> lakeChangeFeedTwinSql,
+    "table_history" ->
+      s"""$lakeMergeCtes
+         |SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows FROM base
+         |UNION ALL SELECT 1, count(*) FROM merged
+         |UNION ALL SELECT 2, count(*) FROM merged
+         |ORDER BY version""".stripMargin,
     "table_view_maintenance" ->
       s"""$lakeMergeCtes
          |SELECT c_mktsegment, count(*) AS n,

@@ -458,6 +458,23 @@ object LakeTable {
     (visible, hits.length.toLong, total)
   }
 
+  /** DESCRIBE HISTORY: one row per snapshot — (version, n_files,
+    * n_rows) read from the manifests alone (file-count-sized driver
+    * work, no data file touched). The n_rows of a merge-on-read
+    * snapshot subtracts its delete vector: history reports what a
+    * reader would see, not what the files physically hold (vector
+    * keys are assumed present in the snapshot — the contract the
+    * read-time subtraction itself relies on). */
+  def history(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    versions(tableDir).map { v =>
+      val m = manifest(spark, tableDir, v)
+        .agg(count(lit(1)), sum(col("n_rows"))).head()
+      val masked = deleteSet(spark, tableDir, v).map(_.count()).getOrElse(0L)
+      (v, m.getLong(0), m.getLong(1) - masked)
+    }.toDF("version", "n_files", "n_rows")
+  }
+
   /** CHANGE DATA FEED: the row-level difference between two snapshots,
     * classified insert / delete / update_pre / update_post — what a
     * downstream consumer replays to stay in sync without re-reading

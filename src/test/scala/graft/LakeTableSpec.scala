@@ -342,6 +342,45 @@ class LakeTableSpec extends AnyFunSuite {
     assert(feed.where(col("_op") === "update_pre" && col("c_tier").isNotNull).isEmpty)
   }
 
+  test("a replica synced from the change feed alone tracks every snapshot kind") {
+    val dir = Files.createTempDirectory("graft-lake-sync").toString
+    LakeTable.init(base, dir, "c_custkey", nFiles = 8)
+    LakeTable.commitMerge(batch(10, 30), dir, "c_custkey", targetRowsPerFile = 40)
+    LakeTable.commitDelete(
+      base.where(col("c_custkey").between(100, 105)).select(col("c_custkey")),
+      dir, "c_custkey")
+    LakeTable.commitCompact(spark, dir, "c_custkey", smallFileRows = 40, targetRowsPerFile = 1000)
+    LakeTable.commitMerge(batch(120, 130), dir, "c_custkey", targetRowsPerFile = 40)
+    // bootstrap at v0, then apply ONLY feeds — CDC replication
+    var replica = LakeTable.readVersion(spark, dir, 0L).localCheckpoint(true)
+    LakeTable.versions(dir).sliding(2).foreach { case Seq(a, b) =>
+      val feed = LakeTable.changesBetween(spark, dir, a, b, "c_custkey")
+      val asBatch = feed.where(col("_op").isin("insert", "update_post"))
+        .select(col("c_custkey"), lit("upsert").as("op"), col("c_mktsegment"), col("c_acctbal"))
+        .unionByName(feed.where(col("_op") === "delete")
+          .select(col("c_custkey"), lit("delete").as("op"),
+            lit(null).cast("string").as("c_mktsegment"), lit(null).cast("double").as("c_acctbal")))
+      replica = ChangeData.mergeApply(replica, asBatch, "c_custkey").localCheckpoint(true)
+      assert(rows(replica) === rows(LakeTable.readVersion(spark, dir, b)),
+        s"replica diverged syncing v$a -> v$b")
+    }
+  }
+
+  test("history reads row counts off the manifests, subtracting delete vectors") {
+    val dir = Files.createTempDirectory("graft-lake-hist").toString
+    LakeTable.init(base, dir, "c_custkey", nFiles = 8)
+    LakeTable.commitDelete(
+      base.where(col("c_custkey").between(1, 5)).select(col("c_custkey")), dir, "c_custkey")
+    LakeTable.commitCompact(spark, dir, "c_custkey", smallFileRows = 40, targetRowsPerFile = 1000)
+    val h = LakeTable.history(spark, dir).orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = base.count()
+    assert(h(0) === ((0L, 8L, n)))
+    assert(h(1) === ((1L, 8L, n - 5)))       // vector subtracts, zero rewrites
+    assert(h(2)._3 === n - 5)                // compaction preserves the reader count
+    assert(h(2)._2 < 8L)                     // while shrinking the file count
+  }
+
   test("commits chain: every intermediate snapshot stays readable as committed") {
     val dir = Files.createTempDirectory("graft-lake-chain").toString
     LakeTable.init(base, dir, "c_custkey", nFiles = 8)

@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.{FormattedMode, SimpleMode}
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Relational, TextOps}
+import org.apache.spark.sql.functions.col
+import graft.operators.{ChangeData, Corpus, Relational, TextOps}
 import graft.plans.Bucketing
 import graft.sources.Tables
 
@@ -56,6 +57,27 @@ class PlanShapeSpec extends AnyFunSuite {
   test("theta join keeps the equi key hashable — no nested loop") {
     val plan = simple(Relational.lateShipments(t))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("scd2 as-of join keeps the dimension key as an EQUI join — the interval is residual, never a nested loop") {
+    val dim = ChangeData.scd2Intervals(t.orders,
+      keyCol = "o_custkey", attrCol = "o_orderstatus",
+      tsCol = "o_orderdate", tieCol = "o_orderkey")
+    val probes = t.orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate").as("probe_ts"))
+    val plan = simple(ChangeData.scd2AsOfJoin(probes, dim, "o_custkey", "probe_ts"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"), plan)
+  }
+
+  test("budgetCap: one key-partitioned window, no global sort") {
+    val capped = Corpus.budgetCap(t.documents, budget = 20000)
+    val plan = simple(capped)
+    // the running sum partitions by the group column...
+    assert(plan.contains("hashpartitioning(lang"), plan)
+    // ...and no exchange brings everything to one partition (the
+    // global-sort signature this operator exists to avoid)
+    assert(!plan.contains("SinglePartition"), plan)
   }
 
   test("range join broadcasts the tiny band table") {
