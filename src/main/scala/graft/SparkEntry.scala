@@ -411,6 +411,11 @@ object SparkEntry {
               |GROUP BY s.mon ORDER BY s.mon""".stripMargin)
     }),
     // ---- deep-relational plan shapes (TPC-H-flavored, TpchDepth) ----
+    "q2_min_cost_supplier" -> ((s, d) => TpchDepth.q2MinCostSupplier(t(s, d))),
+    "q7_nation_volume" -> ((s, d) => TpchDepth.q7NationVolume(t(s, d))),
+    "q8_market_share" -> ((s, d) => TpchDepth.q8MarketShare(t(s, d))),
+    "q10_returned_items" -> ((s, d) => TpchDepth.q10ReturnedItems(t(s, d))),
+    "q13_customer_distribution" -> ((s, d) => TpchDepth.q13CustomerDistribution(t(s, d))),
     "q4_priority_exists" -> ((s, d) => TpchDepth.q4PriorityExists(t(s, d))),
     "q12_priority_split" -> ((s, d) => TpchDepth.q12PrioritySplit(t(s, d))),
     "q14_promo_revenue" -> ((s, d) => TpchDepth.q14PromoRevenue(t(s, d))),
@@ -1942,6 +1947,82 @@ object SparkEntry {
         |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM spine s LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = s.mon
         |GROUP BY s.mon ORDER BY s.mon""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH rs AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        | cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS cost
+        |  FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM rs)
+        |  GROUP BY 1, 2),
+        | mc AS (SELECT l_partkey, min(cost) AS min_cost FROM cost GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, cost
+        |FROM cost JOIN mc USING (l_partkey)
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN rs ON l_suppkey = s_suppkey
+        |WHERE cost = min_cost AND p_size <= 15 AND p_type = 'SMALL'
+        |ORDER BY s_acctbal DESC, p_partkey LIMIT 20""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS volume
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        | round(
+        |   CAST(sum(CAST(CASE WHEN n1.n_name = 'NATION_5'
+        |       THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+        |   / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+        |   6) AS mkt_share
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        |  AND o_custkey IN (
+        |    SELECT c_custkey FROM customer
+        |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |    JOIN region ON n2.n_regionkey = r_regionkey
+        |    WHERE r_name = 'AMERICA')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1995-10-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q13_customer_distribution" ->
+      """WITH cc AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN (
+        |    SELECT o_orderkey, o_custkey FROM orders
+        |    WHERE o_orderpriority <> '1-URGENT') o
+        |  ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM cc GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
     "q4_priority_exists" ->
       """SELECT o_orderpriority, count(*) AS order_count

@@ -101,6 +101,126 @@ object TpchDepth {
       |""".stripMargin)
   }
 
+  /** Q2-shaped minimum-cost supplier: per qualifying part, the
+    * region's supplier whose total shipped value for it is MINIMAL —
+    * TPC-H Q2's correlated scalar MIN (partsupp is absent from the
+    * schema; the (part, supplier, cost) relation derives from
+    * lineitem, preserving the shape). Decorrelated by hand: per-part
+    * MIN aggregate joined back on (part, cost) — cost values are
+    * dsum-exact decimals, so the equality join is deterministic. The
+    * region filter semi-joins the supplier side BELOW the cost
+    * aggregate (prune before the expensive group-by, the q17 device);
+    * dimension sides broadcast. */
+  def q2MinCostSupplier(t: Tables, region: String = "EUROPE", k: Int = 20): DataFrame = {
+    val regionSupp = t.supplier
+      .join(broadcast(t.nation.join(
+          broadcast(t.region.where(col("r_name") === region)),
+          col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+    val cost = t.lineitem
+      .join(broadcast(regionSupp.select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(dsum2(col("l_extendedprice")).as("cost"))
+    val minCost = cost.groupBy(col("l_partkey")).agg(min(col("cost")).as("min_cost"))
+    cost.join(minCost, Seq("l_partkey"))
+      .where(col("cost") === col("min_cost"))
+      .join(broadcast(t.part.where(col("p_size") <= 15 && col("p_type") === "SMALL")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("cost"))
+      .orderBy(col("s_acctbal").desc, col("p_partkey"))
+      .limit(k)
+  }
+
+  /** Q7-shaped two-nation volume: shipping revenue between a nation
+    * pair, either direction, by ship year — the disjunctive
+    * nation-pair predicate rides ABOVE the joins while both nation
+    * lookups broadcast; the only shuffles are the fact-fact
+    * lineitem⋈orders join and the final small group-by. */
+  def q7NationVolume(t: Tables, nationA: String = "NATION_1",
+                     nationB: String = "NATION_2"): DataFrame = {
+    val sn = t.nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val cn = t.nation.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    t.lineitem
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cn), col("c_nationkey") === col("c_nk"))
+      .where((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+             (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast(LongType).as("l_year"))
+      .agg(dsum6(revenue).as("volume"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** Q8-shaped market share: one nation's slice of a region's market
+    * for a part type, by order year — the ratio of two conditional
+    * decimal-exact sums computed on the SAME partial aggregate (the
+    * q12/q14 conditional-aggregation device), divided once as doubles
+    * and rounded, so engines agree bit-for-bit. */
+  def q8MarketShare(t: Tables, region: String = "AMERICA",
+                    nation: String = "NATION_5", ptype: String = "PROMO"): DataFrame = {
+    val marketCust = t.customer
+      .join(broadcast(t.nation.join(
+          broadcast(t.region.where(col("r_name") === region)),
+          col("n_regionkey") === col("r_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val sn = t.nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    t.lineitem
+      .join(broadcast(t.part.where(col("p_type") === ptype)),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(marketCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+      .agg(round(
+        dsum6(when(col("supp_nation") === nation, revenue).otherwise(lit(0.0))) /
+          dsum6(revenue), 6).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Q10-shaped returned-item ranking: customers by revenue lost to
+    * returns in one quarter — fact-fact join shuffles on orderkey,
+    * the customer join carries the grouping payload, nation
+    * broadcasts, and the top-k is TakeOrderedAndProject (never a
+    * global sort). */
+  def q10ReturnedItems(t: Tables, k: Int = 20): DataFrame =
+    t.lineitem.where(col("l_returnflag") === "R")
+      .join(t.orders.where(
+          col("o_orderdate") >= lit("1995-10-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1996-01-01").cast(TimestampType)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(dsum6(revenue).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+
+  /** Q13-shaped customer distribution: how many customers placed k
+    * orders, EXCLUDING one priority class — the filter lives on the
+    * join's ORDER side (pre-join subquery ≡ the ON-clause filter of
+    * the spec text), so customers keep their LEFT-join row and land
+    * in the k = 0 bucket instead of vanishing. Two-level aggregate:
+    * per-customer count, then the count histogram. */
+  def q13CustomerDistribution(t: Tables,
+                              exclude: Seq[String] = Seq("1-URGENT")): DataFrame = {
+    val o = t.orders.where(!col("o_orderpriority").isin(exclude: _*))
+    t.customer
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   /** Q18-shaped large-volume customers: fact-side HAVING (sum of
     * quantity per order above a threshold) feeding a join back to
     * orders+customer. The big aggregate happens FIRST, on the lineitem

@@ -110,6 +110,47 @@ class TpchDepthSpec extends AnyFunSuite {
     assert(math.abs(got - correlated) < 1e-6, s"$got vs correlated $correlated")
   }
 
+  test("q2: hand-decorrelated min-cost pick equals Spark's own decorrelation of the correlated MIN") {
+    val got = TpchDepth.q2MinCostSupplier(t, region = "EUROPE").collect()
+      .map(r => (r.getLong(3), r.getString(1))).toSet
+    t.lineitem.createOrReplaceTempView("q2_lineitem")
+    t.part.createOrReplaceTempView("q2_part")
+    t.supplier.createOrReplaceTempView("q2_supplier")
+    t.nation.createOrReplaceTempView("q2_nation")
+    t.region.createOrReplaceTempView("q2_region")
+    val correlated = spark.sql("""
+      |WITH rs AS (
+      |  SELECT s_suppkey, s_name, s_acctbal FROM q2_supplier
+      |  JOIN q2_nation ON s_nationkey = n_nationkey
+      |  JOIN q2_region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+      | cost AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS cost
+      |  FROM q2_lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM rs) GROUP BY 1, 2)
+      |SELECT p_partkey, s_name
+      |FROM cost c JOIN q2_part ON l_partkey = p_partkey JOIN rs ON l_suppkey = s_suppkey
+      |WHERE p_size <= 15 AND p_type = 'SMALL'
+      |  AND cost = (SELECT min(cost) FROM cost c2 WHERE c2.l_partkey = c.l_partkey)
+      |ORDER BY s_acctbal DESC, p_partkey LIMIT 20
+      |""".stripMargin).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === correlated)
+    assert(got.nonEmpty)
+  }
+
+  test("q13: every customer lands in exactly one bucket; an all-excluding filter fills the zero bucket") {
+    val dist = TpchDepth.q13CustomerDistribution(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nCust = t.customer.count()
+    // the LEFT join loses nobody: buckets partition the customers
+    assert(dist.values.sum === nCust)
+    // excluding every priority class must put ALL customers in the
+    // zero bucket — the row would vanish under an inner join
+    val all = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val zeroed = TpchDepth.q13CustomerDistribution(t, exclude = all).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(zeroed === Map(0L -> nCust))
+  }
+
   test("q20: nested correlated aggregate — rollup reads the aggregate, dominance matches the correlated original") {
     // mult=4 (>1/4 share): at sf0.001 a PROPER subset of suppliers
     // qualifies — nonempty, and not everyone, so the filter is exercised
