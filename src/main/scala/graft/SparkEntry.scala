@@ -412,6 +412,9 @@ object SparkEntry {
     }),
     // ---- deep-relational plan shapes (TPC-H-flavored, TpchDepth) ----
     "q2_min_cost_supplier" -> ((s, d) => TpchDepth.q2MinCostSupplier(t(s, d))),
+    "q6_forecast_revenue" -> ((s, d) => TpchDepth.q6ForecastRevenue(t(s, d))),
+    "q9_product_profit" -> ((s, d) => TpchDepth.q9ProductProfit(t(s, d))),
+    "q11_important_stock" -> ((s, d) => TpchDepth.q11ImportantStock(t(s, d))),
     "q7_nation_volume" -> ((s, d) => TpchDepth.q7NationVolume(t(s, d))),
     "q8_market_share" -> ((s, d) => TpchDepth.q8MarketShare(t(s, d))),
     "q10_returned_items" -> ((s, d) => TpchDepth.q10ReturnedItems(t(s, d))),
@@ -1966,6 +1969,34 @@ object SparkEntry {
         |JOIN rs ON l_suppkey = s_suppkey
         |WHERE cost = min_cost AND p_size <= 15 AND p_type = 'SMALL'
         |ORDER BY s_acctbal DESC, p_partkey LIMIT 20""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    - 0.8 * p_retailprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q11_important_stock" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(l_quantity * p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS vd
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1)
+        |SELECT l_partkey, CAST(vd AS DOUBLE) AS value FROM v
+        |WHERE vd * 1800 > (SELECT CAST(sum(vd) AS DECIMAL(38,2)) FROM v)
+        |ORDER BY value DESC, l_partkey""".stripMargin,
 
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -134,6 +134,59 @@ object TpchDepth {
       .limit(k)
   }
 
+  /** Q6-shaped forecast revenue: one tight scan-only aggregate — every
+    * predicate (year band, discount band, quantity cap) pushes to the
+    * parquet scan, no join anywhere; the whole query is a data cliff
+    * followed by one exact-decimal sum. The canonical "does the engine
+    * skip what it can" probe. */
+  def q6ForecastRevenue(t: Tables): DataFrame =
+    t.lineitem
+      .where(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType) &&
+             col("l_shipdate") < lit("1996-01-01").cast(TimestampType) &&
+             col("l_discount").between(0.05, 0.07) &&
+             col("l_quantity") < 24)
+      .agg(dsum6(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
+  /** Q9-shaped product-line profit by nation and order year (the
+    * schema has no partsupp: unit cost derives from the part's retail
+    * price at a fixed margin, preserving the shape — a LIKE-filtered
+    * part dim, three broadcast dims, one fact-fact shuffle, profit as
+    * a single exact-decimal sum of a multi-column expression). */
+  def q9ProductProfit(t: Tables, namePattern: String = "%red%",
+                      costFactor: Double = 0.8): DataFrame =
+    t.lineitem
+      .join(broadcast(t.part.where(col("p_name").like(namePattern))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast(LongType).as("o_year"))
+      .agg(dsum6(revenue - lit(costFactor) * col("p_retailprice") * col("l_quantity"))
+        .as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  /** Q11-shaped important stock: per-part shipped value against a
+    * GLOBAL threshold — the grouped aggregate crossed with its own
+    * one-row total (the q22 scalar-threshold device applied to the
+    * aggregate itself, not the raw fact). The comparison stays in
+    * DECIMAL end to end (`value × N > Σvalue`, N = 1/fraction; the default keeps above-average parts — a proper subset): the
+    * total is a sum of exact decimals, never float-accumulated, so a
+    * borderline part cannot flip with partition order or engine. */
+  def q11ImportantStock(t: Tables, invFraction: Long = 1800): DataFrame = {
+    val valueDec = t.lineitem
+      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_quantity") * col("p_retailprice")).cast(DecimalType(18, 2)))
+        .cast(DecimalType(38, 2)).as("vd"))
+    valueDec
+      .crossJoin(broadcast(valueDec
+        .agg(sum(col("vd")).cast(DecimalType(38, 2)).as("total"))))
+      .where(col("vd") * invFraction > col("total"))
+      .select(col("l_partkey"), col("vd").cast(DoubleType).as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
   /** Q7-shaped two-nation volume: shipping revenue between a nation
     * pair, either direction, by ship year — the disjunctive
     * nation-pair predicate rides ABOVE the joins while both nation
