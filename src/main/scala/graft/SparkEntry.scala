@@ -902,6 +902,27 @@ object SparkEntry {
       LakeTable.changesBetween(s, dir, 0L, 1L, "c_custkey")
         .orderBy("c_custkey", "_op")
     }),
+    // Bloom-indexed POINT LOOKUP maintained through commits: the
+    // per-file filter store blooms only newly-written files (data
+    // files are immutable), and the lookup probes driver-side, reads
+    // possible files only, and still sees the merge's update — exact
+    // (no false negatives), oracle = the filter over the recomputed
+    // merged state
+    "table_bloom_lookup" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-lake-bl").toString
+      LakeTable.init(tableCommitBase(s, d), dir, "c_custkey", nFiles = 8)
+      LakeTable.ensureBlooms(s, dir, "c_acctbal")
+      LakeTable.commitMerge(tableCommitChanges(s, d), dir, "c_custkey",
+        targetRowsPerFile = 250)
+      LakeTable.ensureBlooms(s, dir, "c_acctbal")
+      // an anti-clustered probe: customer 42's balance (42 is outside
+      // the change band, so its row lives in a carried file)
+      val probe = tableCommitBase(s, d)
+        .where(col("c_custkey") === 42).head().getDouble(2)
+      val (rows, _, _) = LakeTable.lookupVersion(
+        s, dir, LakeTable.versions(dir).last, "c_acctbal", probe)
+      rows.orderBy("c_custkey")
+    }),
     // DESCRIBE HISTORY off the manifests alone (no data file read):
     // row counts per snapshot across init → merge → compaction, the
     // compaction row proving reader-count invariance
@@ -2862,6 +2883,11 @@ object SparkEntry {
     // full-recompute oracle for the transactional lifecycle
     "table_commit" -> lakeMergeTwinSql,
     "table_change_feed" -> lakeChangeFeedTwinSql,
+    "table_bloom_lookup" ->
+      s"""$lakeMergeCtes
+         |SELECT c_custkey, c_mktsegment, c_acctbal FROM merged
+         |WHERE c_acctbal = (SELECT c_acctbal FROM customer WHERE c_custkey = 42)
+         |ORDER BY c_custkey""".stripMargin,
     "table_history" ->
       s"""$lakeMergeCtes
          |SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows FROM base

@@ -458,6 +458,58 @@ object LakeTable {
     (visible, hits.length.toLong, total)
   }
 
+  private def bloomDir(tableDir: String, colName: String) =
+    s"$tableDir/_bloomstore/$colName"
+
+  /** POINT-LOOKUP INDEX maintenance: a per-file Bloom store for
+    * `colName` (the [[StatsManifest.bloomsOf]] filters — the skipping
+    * device for ANTI-clustered columns whose min/max intervals span
+    * the domain in every file). Because data files are IMMUTABLE, the
+    * store needs no per-version carry logic: rows key by file path,
+    * and covering a new snapshot means blooming only the files no
+    * earlier call has seen — a commit's index maintenance cost is its
+    * rewritten files, nothing else. Stale rows for vacuumed files are
+    * inert (lookups probe only the snapshot's files). Returns how many
+    * files were newly bloomed, which is also what the spec counts. */
+  def ensureBlooms(spark: SparkSession, tableDir: String, colName: String): Long = {
+    val files = manifest(spark, tableDir, versions(tableDir).last)
+      .select(col("file")).collect().map(_.getString(0)).toSet
+    val dir = bloomDir(tableDir, colName)
+    val covered =
+      if (new java.io.File(dir).exists())
+        spark.read.parquet(dir).select(col("file")).collect().map(_.getString(0)).toSet
+      else Set.empty[String]
+    val missing = (files -- covered).toSeq.sorted
+    if (missing.nonEmpty)
+      StatsManifest.bloomsOf(spark, missing, colName)
+        .write.mode("append").parquet(dir)
+    missing.size.toLong
+  }
+
+  /** Bloom-indexed point lookup against snapshot `v`: probe each
+    * file's filter driver-side (file-count-sized, the manifest scale
+    * class), read only possible files, re-apply the exact row filter,
+    * subtract the snapshot's delete vector. Exact — Blooms have no
+    * false negatives, and the store must cover every snapshot file
+    * (run [[ensureBlooms]] after commits; a gap here would silently
+    * drop rows, so it throws instead). Returns (rows, files read,
+    * files total). */
+  def lookupVersion(spark: SparkSession, tableDir: String, v: Long,
+                    colName: String, value: Any): (DataFrame, Long, Long) = {
+    require(new java.io.File(bloomDir(tableDir, colName)).exists(),
+      s"no bloom store for $colName — run ensureBlooms first")
+    val files = manifest(spark, tableDir, v)
+      .select(col("file")).collect().map(_.getString(0)).toSet
+    val blooms = spark.read.parquet(bloomDir(tableDir, colName))
+      .where(col("file").isin(files.toSeq: _*))
+    require(blooms.count() == files.size.toLong,
+      s"bloom store for $colName does not cover snapshot $v — run ensureBlooms first")
+    val (rows, hits, total) = StatsManifest.scanBloomPruned(spark, blooms, colName, value)
+    val visible = deleteSet(spark, tableDir, v).fold(rows)(d =>
+      rows.join(broadcast(d), d.columns.toSeq, "left_anti"))
+    (visible, hits, total)
+  }
+
   /** DESCRIBE HISTORY: one row per snapshot — (version, n_files,
     * n_rows) read from the manifests alone (file-count-sized driver
     * work, no data file touched). The n_rows of a merge-on-read

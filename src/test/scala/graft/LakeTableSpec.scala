@@ -381,6 +381,33 @@ class LakeTableSpec extends AnyFunSuite {
     assert(h(2)._2 < 8L)                     // while shrinking the file count
   }
 
+  test("bloom store: commits bloom only their new files; lookups are exact, skip files, honor the vector") {
+    val dir = Files.createTempDirectory("graft-lake-bloom").toString
+    LakeTable.init(base, dir, "c_custkey", nFiles = 8)
+    assert(LakeTable.ensureBlooms(spark, dir, "c_acctbal") === 8L)
+    assert(LakeTable.ensureBlooms(spark, dir, "c_acctbal") === 0L) // idempotent
+    val c = LakeTable.commitMerge(batch(10, 30), dir, "c_custkey", targetRowsPerFile = 40)
+    // index maintenance cost == the commit's rewritten files, not the table
+    assert(LakeTable.ensureBlooms(spark, dir, "c_acctbal") === c.filesRewritten)
+    // exactness: the lookup equals the plain filter, while skipping files
+    val probe = base.where(col("c_custkey") === 42).head().getDouble(2)
+    val (got, hits, total) = LakeTable.lookupVersion(spark, dir, 1L, "c_acctbal", probe)
+    assert(rows(got) === rows(LakeTable.readLatest(spark, dir)
+      .where(col("c_acctbal") === probe)))
+    assert(got.count() >= 1L)
+    assert(hits < total, s"blooms skipped nothing ($hits of $total)")
+    // a delete-vector commit hides the row from lookups with no rewrite
+    LakeTable.commitDelete(base.where(col("c_custkey") === 42)
+      .select(col("c_custkey")), dir, "c_custkey")
+    assert(LakeTable.ensureBlooms(spark, dir, "c_acctbal") === 0L)
+    val (gone, _, _) = LakeTable.lookupVersion(spark, dir, 2L, "c_acctbal", probe)
+    assert(gone.where(col("c_custkey") === 42).isEmpty)
+    // an uncovered store refuses instead of silently dropping rows
+    intercept[IllegalArgumentException] {
+      LakeTable.lookupVersion(spark, dir, 2L, "c_mktsegment", "BUILDING")
+    }
+  }
+
   test("commits chain: every intermediate snapshot stays readable as committed") {
     val dir = Files.createTempDirectory("graft-lake-chain").toString
     LakeTable.init(base, dir, "c_custkey", nFiles = 8)
