@@ -1984,12 +1984,12 @@ object SparkEntry {
         |  FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM rs)
         |  GROUP BY 1, 2),
         | mc AS (SELECT l_partkey, min(cost) AS min_cost FROM cost GROUP BY 1)
-        |SELECT s_acctbal, s_name, n_name, p_partkey, cost
+        |SELECT s_acctbal, s_name, n_name, p_partkey, s_suppkey, cost
         |FROM cost JOIN mc USING (l_partkey)
         |JOIN part ON l_partkey = p_partkey
         |JOIN rs ON l_suppkey = s_suppkey
         |WHERE cost = min_cost AND p_size <= 15 AND p_type = 'SMALL'
-        |ORDER BY s_acctbal DESC, p_partkey LIMIT 20""".stripMargin,
+        |ORDER BY s_acctbal DESC, p_partkey, s_suppkey LIMIT 20""".stripMargin,
 
     "q6_forecast_revenue" ->
       """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
@@ -2167,7 +2167,7 @@ object SparkEntry {
 
     "budget_cap" ->
       """WITH w AS (SELECT doc_id, lang, length(text) AS n_chars,
-        |   (doc_id * 2654435761) % 4294967296 AS ord FROM documents),
+        |   ((doc_id % 2147483648) * 2654435761) % 4294967296 AS ord FROM documents),
         | c AS (SELECT doc_id, lang, n_chars,
         |   sum(n_chars) OVER (PARTITION BY lang ORDER BY ord, doc_id) AS cum FROM w)
         |SELECT doc_id, lang, n_chars FROM c WHERE cum <= 20000 ORDER BY doc_id""".stripMargin,

@@ -66,7 +66,13 @@ object Corpus {
   def budgetCap(docs: DataFrame, budget: Long, groupCol: String = "lang",
                 weightCol: Column = length(col("text")),
                 idCol: String = "doc_id"): DataFrame = {
-    val ord = pmod(col(idCol) * lit(2654435761L), lit(4294967296L))
+    // reduce the id BELOW the multiply: ids past 2^31 would overflow
+    // the 64-bit product (silent wrap here, an error in an ANSI
+    // engine); (id mod 2^31) · K stays under 2^63 and keeps the
+    // engine-exact-arithmetic claim true at any corpus size, with the
+    // id itself as the order's tiebreaker for aliased buckets
+    val ord = pmod(pmod(col(idCol), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
     val w = Window.partitionBy(col(groupCol)).orderBy(ord, col(idCol))
     docs.withColumn("__cum", sum(weightCol).over(w))
       .where(col("__cum") <= budget)

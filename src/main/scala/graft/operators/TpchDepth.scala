@@ -129,8 +129,11 @@ object TpchDepth {
         col("l_partkey") === col("p_partkey"))
       .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
-        col("p_partkey"), col("cost"))
-      .orderBy(col("s_acctbal").desc, col("p_partkey"))
+        col("p_partkey"), col("l_suppkey").as("s_suppkey"), col("cost"))
+      // (p_partkey, s_suppkey) is unique per cost row, so the sort is
+      // TOTAL — two suppliers tying on (cost, acctbal) for one part
+      // cannot flap the LIMIT cut across engines
+      .orderBy(col("s_acctbal").desc, col("p_partkey"), col("s_suppkey"))
       .limit(k)
   }
 

@@ -58,6 +58,14 @@ object LakeTable {
       Some(spark.read.parquet(deletesDir(tableDir, v)))
     else None
 
+  /** Subtract a delete vector from visible rows — THE merge-on-read
+    * read-time idiom, shared by every read surface (readVersion,
+    * scanPrunedVersion, lookupVersion, changesBetween) so vector
+    * semantics can only change in one place. Broadcast anti join: the
+    * vector is delta-sized by construction. */
+  private def minusVector(df: DataFrame, vec: Option[DataFrame]): DataFrame =
+    vec.fold(df)(d => df.join(broadcast(d), d.columns.toSeq, "left_anti"))
+
   private def listFiles(dir: String): Seq[String] =
     Option(new java.io.File(dir).listFiles()).toSeq.flatten
       .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
@@ -108,13 +116,10 @@ object LakeTable {
     val files = manifest(spark, tableDir, v).select(col("file"))
       .collect().map(_.getString(0))
     val base = spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*)
-    // merge-on-read: subtract the snapshot's delete vector. The
-    // vector's one column IS the key column name, so the anti join
-    // needs no caller-supplied schema; a broadcast anti join on the
-    // (delta-sized) vector is the read-time cost deletes traded the
-    // rewrite for
-    deleteSet(spark, tableDir, v).fold(base)(d =>
-      base.join(broadcast(d), d.columns.toSeq, "left_anti"))
+    // merge-on-read: subtract the snapshot's delete vector — the
+    // read-time cost deletes traded the rewrite for (the vector's one
+    // column IS the key column name, so no caller-supplied schema)
+    minusVector(base, deleteSet(spark, tableDir, v))
   }
 
   def readLatest(spark: SparkSession, tableDir: String): DataFrame =
@@ -263,13 +268,19 @@ object LakeTable {
     // touched files this commit rewrites, so after the rewrite the
     // vector entry would wrongly mask a fresh upsert
     val del = deleteSet(spark, tableDir, baseVersion)
-    val baseData = del.fold(p.base)(d =>
-      p.base.join(broadcast(d), d.columns.toSeq, "left_anti"))
+    val baseData = minusVector(p.base, del)
     // NO broadcast hint on the batch-keys side: a CDC batch can be
     // millions of keys (the pruneTouched rationale) while the vector is
-    // delta-sized — let the planner pick the build side / AQE decide
+    // delta-sized — let the planner pick the build side / AQE decide.
+    // A vector key leaves the carried vector for EITHER exit: it is a
+    // batch key (the rewrite lands a fresh row that must not stay
+    // masked), or its row sat in a touched file (the rewrite read
+    // baseData through the vector, so the row is physically gone —
+    // keeping the entry would make history() double-count it and tax
+    // every later read for nothing)
     val nextDel = del
       .map(_.join(changes.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+        .join(p.base.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
         .localCheckpoint(true))
       .filter(_.count() > 0L)
     // the merge is consumed twice (count + clustered write):
@@ -453,9 +464,7 @@ object LakeTable {
       acc.where(col(c) >= lo && col(c) <= hi)
     }
     // the pruned read honors merge-on-read deletes like readVersion
-    val visible = deleteSet(spark, tableDir, v).fold(filtered)(d =>
-      filtered.join(broadcast(d), d.columns.toSeq, "left_anti"))
-    (visible, hits.length.toLong, total)
+    (minusVector(filtered, deleteSet(spark, tableDir, v)), hits.length.toLong, total)
   }
 
   private def bloomDir(tableDir: String, colName: String) =
@@ -480,9 +489,28 @@ object LakeTable {
         spark.read.parquet(dir).select(col("file")).collect().map(_.getString(0)).toSet
       else Set.empty[String]
     val missing = (files -- covered).toSeq.sorted
-    if (missing.nonEmpty)
-      StatsManifest.bloomsOf(spark, missing, colName)
+    if (missing.nonEmpty) {
+      // bloom relations are file-count-sized — the manifest scale class
+      val built = StatsManifest.bloomsOf(spark, missing, colName).collect()
+      // a 0-row file produces no bloomsOf group (the emptied-table
+      // edge): synthesize an empty filter for it — mightContain is
+      // always false, exactly right for a file holding nothing — so
+      // coverage converges, this call stays idempotent, and
+      // lookupVersion's completeness check can hold
+      val have = built.map(_.getString(0)).toSet
+      val empties = missing.filterNot(have).map { f =>
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.spark.util.sketch.BloomFilter.create(1).writeTo(bos)
+        org.apache.spark.sql.Row(f, bos.toByteArray)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("file", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(s"bloom_$colName",
+          org.apache.spark.sql.types.BinaryType)))
+      spark.createDataFrame(
+          java.util.Arrays.asList((built.toSeq ++ empties): _*), schema)
         .write.mode("append").parquet(dir)
+    }
     missing.size.toLong
   }
 
@@ -505,18 +533,18 @@ object LakeTable {
     require(blooms.count() == files.size.toLong,
       s"bloom store for $colName does not cover snapshot $v — run ensureBlooms first")
     val (rows, hits, total) = StatsManifest.scanBloomPruned(spark, blooms, colName, value)
-    val visible = deleteSet(spark, tableDir, v).fold(rows)(d =>
-      rows.join(broadcast(d), d.columns.toSeq, "left_anti"))
-    (visible, hits, total)
+    (minusVector(rows, deleteSet(spark, tableDir, v)), hits, total)
   }
 
   /** DESCRIBE HISTORY: one row per snapshot — (version, n_files,
     * n_rows) read from the manifests alone (file-count-sized driver
     * work, no data file touched). The n_rows of a merge-on-read
     * snapshot subtracts its delete vector: history reports what a
-    * reader would see, not what the files physically hold (vector
-    * keys are assumed present in the snapshot — the contract the
-    * read-time subtraction itself relies on). */
+    * reader would see, not what the files physically hold. Exact
+    * when vector keys exist in the snapshot — commitMerge retires
+    * entries whose rows a rewrite drops, so the only way to skew this
+    * count is commitDelete of a key the table never held (reads are
+    * unaffected either way; the anti join is presence-agnostic). */
   def history(spark: SparkSession, tableDir: String): DataFrame = {
     import spark.implicits._
     versions(tableDir).map { v =>
@@ -587,13 +615,11 @@ object LakeTable {
           .join(diffKeys, Seq(keyCol), "left_semi"))
       }
     // each side's VISIBLE rows among the delta files: subtract that
-    // snapshot's vector (broadcast anti, the readVersion device)
-    def minusVec(df: DataFrame, vec: Option[DataFrame]) =
-      vec.fold(df)(v => df.join(broadcast(v), v.columns.toSeq, "left_anti"))
-    val oldRows = carriedDiffRows.foldLeft(minusVec(removed, d1))(
-      (acc, c) => acc.unionByName(minusVec(c, d1), allowMissingColumns = true))
-    val newRows = carriedDiffRows.foldLeft(minusVec(added, d2))(
-      (acc, c) => acc.unionByName(minusVec(c, d2), allowMissingColumns = true))
+    // snapshot's vector (the shared minusVector idiom)
+    val oldRows = carriedDiffRows.foldLeft(minusVector(removed, d1))(
+      (acc, c) => acc.unionByName(minusVector(c, d1), allowMissingColumns = true))
+    val newRows = carriedDiffRows.foldLeft(minusVector(added, d2))(
+      (acc, c) => acc.unionByName(minusVector(c, d2), allowMissingColumns = true))
     // align both sides on the UNION of their columns (additive schema
     // evolution means the old side may lack columns the new side has)
     val payloadCols = (oldRows.columns ++ newRows.columns).distinct.filterNot(_ == keyCol).toSeq

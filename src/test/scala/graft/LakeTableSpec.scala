@@ -379,6 +379,31 @@ class LakeTableSpec extends AnyFunSuite {
     assert(h(1) === ((1L, 8L, n - 5)))       // vector subtracts, zero rewrites
     assert(h(2)._3 === n - 5)                // compaction preserves the reader count
     assert(h(2)._2 < 8L)                     // while shrinking the file count
+    // a merge upserting a NEIGHBOR key rewrites the masked keys' file:
+    // their rows drop physically and their vector entries retire with
+    // them, so history cannot double-count and stays == the reader
+    LakeTable.commitMerge(
+      base.where(col("c_custkey") === 10).select(col("c_custkey"),
+        lit("upsert").as("op"), lit("X").as("c_mktsegment"),
+        lit(null).cast("double").as("c_acctbal")),
+      dir, "c_custkey", targetRowsPerFile = 40)
+    val h3 = LakeTable.history(spark, dir).orderBy("version").collect()
+    assert(h3.last.getLong(2) === LakeTable.readLatest(spark, dir).count())
+  }
+
+  test("bloom store covers an emptied table's schema-bearing file; lookups return empty, not an error") {
+    val dir = Files.createTempDirectory("graft-lake-bloom0").toString
+    val small = base.limit(20)
+    LakeTable.init(small, dir, "c_custkey", nFiles = 2)
+    LakeTable.commitMerge(
+      small.select(col("c_custkey"), lit("delete").as("op"),
+        lit(null).cast("string").as("c_mktsegment"),
+        lit(null).cast("double").as("c_acctbal")),
+      dir, "c_custkey", targetRowsPerFile = 40)
+    assert(LakeTable.ensureBlooms(spark, dir, "c_acctbal") === 1L) // the 0-row file
+    assert(LakeTable.ensureBlooms(spark, dir, "c_acctbal") === 0L) // converged
+    val (rows0, hits, total) = LakeTable.lookupVersion(spark, dir, 1L, "c_acctbal", 123.45)
+    assert(rows0.isEmpty && hits === 0L && total === 1L)
   }
 
   test("bloom store: commits bloom only their new files; lookups are exact, skip files, honor the vector") {
