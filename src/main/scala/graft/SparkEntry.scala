@@ -393,6 +393,11 @@ object SparkEntry {
     // ordered view -> click -> purchase funnel, each stage anchored at
     // the first qualifying event of the previous stage
     "funnel_daily" -> ((s, d) => Windows.funnelDaily(t(s, d).events)),
+    // cohort retention matrix: first-activity-week cohorts × activity
+    // weeks, rate against cohort size — nothing windows the raw events
+    "cohort_retention" -> ((s, d) =>
+      Windows.cohortRetention(t(s, d).events)
+        .orderBy("cohort_week", "activity_week")),
     // Spark 4 recursive CTE (UnionLoop): dense monthly spine over the
     // orders date range; LEFT JOIN zero-fills order-free months. The
     // spine is driver-free iteration INSIDE the engine — the recursive
@@ -922,6 +927,18 @@ object SparkEntry {
       val (rows, _, _) = LakeTable.lookupVersion(
         s, dir, LakeTable.versions(dir).last, "c_acctbal", probe)
       rows.orderBy("c_custkey")
+    }),
+    // SHALLOW CLONE: the clone's v0 references the source's files —
+    // zero data copied; reading it must equal the source's merged
+    // state (same twin as table_commit, which is the point)
+    "table_clone" -> ((s, d) => {
+      val src = java.nio.file.Files.createTempDirectory("graft-lake-csrc").toString
+      val cln = java.nio.file.Files.createTempDirectory("graft-lake-ccln").toString
+      LakeTable.init(tableCommitBase(s, d), src, "c_custkey", nFiles = 8)
+      LakeTable.commitMerge(tableCommitChanges(s, d), src, "c_custkey",
+        targetRowsPerFile = 250)
+      LakeTable.cloneShallow(s, src, cln)
+      LakeTable.readLatest(s, cln).orderBy("c_custkey")
     }),
     // DESCRIBE HISTORY off the manifests alone (no data file read):
     // row counts per snapshot across init → merge → compaction, the
@@ -1947,6 +1964,18 @@ object SparkEntry {
 
     // each stage: first qualifying event at-or-after the previous
     // stage's anchor, per (day, user); day rollups join on the day
+    "cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu FROM events),
+        | cohort AS (SELECT user_id, min(date_trunc('week', tsu)) AS cohort_week FROM e GROUP BY 1),
+        | sizes AS (SELECT cohort_week, count(*) AS cohort_size FROM cohort GROUP BY 1),
+        | active AS (SELECT DISTINCT user_id, date_trunc('week', tsu) AS activity_week FROM e),
+        | m AS (SELECT cohort_week, activity_week, count(*) AS n_users
+        |       FROM active JOIN cohort USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort_week, activity_week, n_users,
+        |       round(CAST(n_users AS DOUBLE) / cohort_size, 6) AS retention
+        |FROM m JOIN sizes USING (cohort_week)
+        |ORDER BY cohort_week, activity_week""".stripMargin,
+
     "funnel_daily" ->
       """WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id, event_type,
         |                  CAST(ts AS TIMESTAMP) AS tsu FROM events),
@@ -2888,6 +2917,7 @@ object SparkEntry {
          |SELECT c_custkey, c_mktsegment, c_acctbal FROM merged
          |WHERE c_acctbal = (SELECT c_acctbal FROM customer WHERE c_custkey = 42)
          |ORDER BY c_custkey""".stripMargin,
+    "table_clone" -> lakeMergeTwinSql,
     "table_history" ->
       s"""$lakeMergeCtes
          |SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows FROM base

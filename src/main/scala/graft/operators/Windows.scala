@@ -25,6 +25,30 @@ import graft.functions._
   */
 object Windows {
 
+  /** Cohort retention matrix — the product-analytics staple: users
+    * cohort by FIRST-activity week, and each (cohort week, activity
+    * week) cell counts the cohort's users still active, with the
+    * retention rate against the cohort's size. Two aggregates and two
+    * equi joins; the cohort relation is user-count-sized, the activity
+    * relation is distinct-(user, week)-bounded, and nothing windows
+    * over the raw events — at 100 TB the only event-scale work is the
+    * two shuffles onto user_id. The rate is one double division of two
+    * exact longs, rounded — engine-identical. */
+  def cohortRetention(events: DataFrame, idCol: String = "user_id",
+                      tsCol: String = "ts"): DataFrame = {
+    def wk(c: org.apache.spark.sql.Column) = date_trunc("week", c).cast(DateType)
+    val cohort = events.groupBy(col(idCol))
+      .agg(min(wk(col(tsCol))).as("cohort_week"))
+    val sizes = cohort.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_size"))
+    val active = events.select(col(idCol), wk(col(tsCol)).as("activity_week")).distinct()
+    active.join(cohort, Seq(idCol))
+      .groupBy(col("cohort_week"), col("activity_week"))
+      .agg(count(lit(1)).as("n_users")) // distinct users by construction
+      .join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("activity_week"), col("n_users"),
+        round(col("n_users").cast(DoubleType) / col("cohort_size"), 6).as("retention"))
+  }
+
   /** row_number / rank / lag / lead / running aggregate per user. */
   def perUserAnalytics(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

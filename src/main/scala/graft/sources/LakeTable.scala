@@ -467,6 +467,39 @@ object LakeTable {
     (minusVector(filtered, deleteSet(spark, tableDir, v)), hits.length.toLong, total)
   }
 
+  /** SHALLOW CLONE: a new table whose v0 manifest (and delete vector)
+    * REFERENCES the source snapshot's data files — zero bytes of data
+    * copied, published atomically like any commit. From then on the
+    * two tables diverge freely: the clone's commits land under its own
+    * `files/` root, and its vacuum can never delete source files (it
+    * only sweeps its own root; manifests referencing foreign paths
+    * keep reading them). The standard shallow-clone hazard is the
+    * OTHER direction and is the caller's retention policy: a vacuum on
+    * the SOURCE does not know about clones, so keep source snapshots
+    * as long as clones reference them. Returns the cloned source
+    * version. */
+  def cloneShallow(spark: SparkSession, sourceDir: String, targetDir: String,
+                   sourceVersion: Option[Long] = None): Long = {
+    require(versions(targetDir).isEmpty,
+      s"cloneShallow needs a fresh targetDir: $targetDir")
+    val sv = sourceVersion.getOrElse(versions(sourceDir).last)
+    publishAtomic(manifest(spark, sourceDir, sv), targetDir, 0L,
+      deleteSet(spark, sourceDir, sv))
+    sv
+  }
+
+  /** Time travel BY TIMESTAMP: the newest snapshot published at or
+    * before `tsMillis`. Publication time is the version dir's mtime —
+    * stamped by the atomic rename that made the snapshot visible, so
+    * it is the commit's linearization point, not a writer-supplied
+    * claim. */
+  def versionAsOf(tableDir: String, tsMillis: Long): Long = {
+    val vs = versions(tableDir)
+      .filter(v => new java.io.File(vDir(tableDir, v)).lastModified() <= tsMillis)
+    require(vs.nonEmpty, s"no snapshot published at or before $tsMillis in $tableDir")
+    vs.max
+  }
+
   private def bloomDir(tableDir: String, colName: String) =
     s"$tableDir/_bloomstore/$colName"
 

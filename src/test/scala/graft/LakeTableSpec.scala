@@ -433,6 +433,46 @@ class LakeTableSpec extends AnyFunSuite {
     }
   }
 
+  test("shallow clone: zero data copied, reads equal, both tables then diverge independently") {
+    val src = Files.createTempDirectory("graft-lake-src").toString
+    val cln = Files.createTempDirectory("graft-lake-cln").toString
+    LakeTable.init(base, src, "c_custkey", nFiles = 8)
+    LakeTable.commitMerge(batch(10, 30), src, "c_custkey", targetRowsPerFile = 40)
+    assert(LakeTable.cloneShallow(spark, src, cln) === 1L)
+    // the clone reads the source's state without holding any data file
+    assert(rows(LakeTable.readLatest(spark, cln)) === rows(LakeTable.readLatest(spark, src)))
+    assert(!new java.io.File(s"$cln/files").exists())
+    // commits diverge: clone-side merge leaves the source untouched...
+    val srcBefore = rows(LakeTable.readLatest(spark, src))
+    LakeTable.commitMerge(batch(50, 60), cln, "c_custkey", targetRowsPerFile = 40)
+    assert(rows(LakeTable.readLatest(spark, src)) === srcBefore)
+    assert(rows(LakeTable.readLatest(spark, cln)) ===
+      rows(ChangeData.mergeApply(ChangeData.mergeApply(base, batch(10, 30), "c_custkey"),
+        batch(50, 60), "c_custkey")))
+    // ...and a source-side merge leaves the clone untouched
+    val clnBefore = rows(LakeTable.readLatest(spark, cln))
+    LakeTable.commitMerge(batch(100, 110), src, "c_custkey", targetRowsPerFile = 40)
+    assert(rows(LakeTable.readLatest(spark, cln)) === clnBefore)
+    // the clone's vacuum never deletes the source's files
+    LakeTable.vacuum(spark, cln, keepVersions = 1, orphanAgeMs = 0)
+    assert(rows(LakeTable.readLatest(spark, cln)) === clnBefore)
+    assert(rows(LakeTable.readVersion(spark, src, 1L)) === srcBefore)
+  }
+
+  test("versionAsOf resolves publication-time timestamps to the right snapshot") {
+    val dir = Files.createTempDirectory("graft-lake-asof").toString
+    LakeTable.init(base, dir, "c_custkey", nFiles = 8)
+    LakeTable.commitMerge(batch(10, 30), dir, "c_custkey", targetRowsPerFile = 40)
+    LakeTable.commitMerge(batch(50, 60), dir, "c_custkey", targetRowsPerFile = 40)
+    // pin publication mtimes so the probe points are deterministic
+    def vDir(v: Long) = new java.io.File(f"$dir/v$v%09d")
+    Seq(0L, 1L, 2L).foreach(v => assert(vDir(v).setLastModified(1000000L * (v + 1))))
+    assert(LakeTable.versionAsOf(dir, 1000000L) === 0L)      // exactly at publish
+    assert(LakeTable.versionAsOf(dir, 2500000L) === 1L)      // between publishes
+    assert(LakeTable.versionAsOf(dir, Long.MaxValue) === 2L) // latest
+    intercept[IllegalArgumentException](LakeTable.versionAsOf(dir, 999999L))
+  }
+
   test("commits chain: every intermediate snapshot stays readable as committed") {
     val dir = Files.createTempDirectory("graft-lake-chain").toString
     LakeTable.init(base, dir, "c_custkey", nFiles = 8)
