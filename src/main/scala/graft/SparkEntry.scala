@@ -928,6 +928,17 @@ object SparkEntry {
         s, dir, LakeTable.versions(dir).last, "c_acctbal", probe)
       rows.orderBy("c_custkey")
     }),
+    // OPTIMIZE/ZORDER layout evolution: a full reclustering rewrite on
+    // a NEW expression must be invisible to readers — same twin as
+    // table_commit, same hash
+    "table_recluster" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-lake-rc").toString
+      LakeTable.init(tableCommitBase(s, d), dir, "c_custkey", nFiles = 8)
+      LakeTable.commitMerge(tableCommitChanges(s, d), dir, "c_custkey",
+        targetRowsPerFile = 250)
+      LakeTable.commitRecluster(s, dir, "c_custkey", col("c_acctbal"), nFiles = 8)
+      LakeTable.readLatest(s, dir).orderBy("c_custkey")
+    }),
     // SHALLOW CLONE: the clone's v0 references the source's files —
     // zero data copied; reading it must equal the source's merged
     // state (same twin as table_commit, which is the point)
@@ -2918,6 +2929,7 @@ object SparkEntry {
          |WHERE c_acctbal = (SELECT c_acctbal FROM customer WHERE c_custkey = 42)
          |ORDER BY c_custkey""".stripMargin,
     "table_clone" -> lakeMergeTwinSql,
+    "table_recluster" -> lakeMergeTwinSql,
     "table_history" ->
       s"""$lakeMergeCtes
          |SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows FROM base

@@ -443,6 +443,34 @@ object LakeTable {
     Commit(next, newFiles.size.toLong, total - small.length)
   }
 
+  /** OPTIMIZE … ZORDER BY: rewrite the snapshot clustered on a NEW
+    * expression — the layout-evolution commit a table runs when its
+    * dominant predicate changes after init chose the clustering (init
+    * decides once; this is the one operation that re-decides). Reads
+    * the whole snapshot THROUGH the delete vector (a full rewrite is
+    * the natural point to reconcile it physically — the new snapshot
+    * carries no vector), lands key-sorted within the new clustering,
+    * re-stats everything. Deliberately the opposite cost profile of
+    * [[commitCompact]]: compaction is incremental and reader-invisible;
+    * reclustering is a full rewrite you schedule when pruning stats
+    * say the layout no longer fits the workload (the
+    * StatsManifestSpec skip-rate numbers are exactly that signal).
+    * Readers of old snapshots are untouched throughout. */
+  def commitRecluster(spark: SparkSession, tableDir: String, keyCol: String,
+                      clusterExpr: Column, nFiles: Int): Commit = {
+    val v = versions(tableDir).last
+    val m = manifest(spark, tableDir, v)
+    val rows = readVersion(spark, tableDir, v).localCheckpoint(true)
+    val next = v + 1
+    val dataDir = s"$tableDir/files/c${next}a${System.nanoTime()}"
+    rows.repartitionByRange(nFiles, clusterExpr).sortWithinPartitions(clusterExpr)
+      .write.mode("overwrite").parquet(dataDir)
+    val newFiles = listFiles(dataDir)
+    publishAtomic(StatsManifest.statsOf(spark, newFiles, statsColsOf(m)),
+      tableDir, next)
+    Commit(next, newFiles.size.toLong, 0L)
+  }
+
   /** Manifest-pruned read of a snapshot: load only the files whose
     * stat intervals intersect EVERY predicate `lo <= col <= hi` (the
     * StatsManifest.scanPruned device over a versioned manifest; any

@@ -473,6 +473,29 @@ class LakeTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](LakeTable.versionAsOf(dir, 999999L))
   }
 
+  test("recluster: layout evolves to the new predicate, rows identical, vector reconciled, history intact") {
+    val dir = Files.createTempDirectory("graft-lake-recl").toString
+    LakeTable.init(base, dir, "c_custkey", nFiles = 8, statsCols = Seq("c_acctbal"))
+    LakeTable.commitDelete(
+      base.where(col("c_custkey").between(1, 10)).select(col("c_custkey")),
+      dir, "c_custkey")
+    val before = rows(LakeTable.readLatest(spark, dir))
+    // an acctbal box on the custkey-clustered layout prunes poorly
+    val pred = Seq(("c_acctbal", lit(0.0), lit(1000.0)))
+    val (_, hits0, _) = LakeTable.scanPrunedVersion(spark, dir, 1L, pred)
+    LakeTable.commitRecluster(spark, dir, "c_custkey", col("c_acctbal"), nFiles = 8)
+    // same table to every reader...
+    assert(rows(LakeTable.readLatest(spark, dir)) === before)
+    // ...but the box now prunes on the evolved layout
+    val (pruned, hits1, total1) = LakeTable.scanPrunedVersion(spark, dir, 2L, pred)
+    assert(hits1 < hits0, s"recluster did not improve pruning: $hits1 vs $hits0 of $total1")
+    assert(rows(pruned) === before.filter(r => r._3 >= 0.0 && r._3 <= 1000.0))
+    // the full rewrite reconciled the vector physically — none carried
+    assert(!new java.io.File(f"$dir/v${2L}%09d/_deletes").exists())
+    // pre-recluster snapshots stay as committed
+    assert(rows(LakeTable.readVersion(spark, dir, 0L)) === rows(base))
+  }
+
   test("commits chain: every intermediate snapshot stays readable as committed") {
     val dir = Files.createTempDirectory("graft-lake-chain").toString
     LakeTable.init(base, dir, "c_custkey", nFiles = 8)
