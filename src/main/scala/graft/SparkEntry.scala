@@ -928,6 +928,16 @@ object SparkEntry {
         s, dir, LakeTable.versions(dir).last, "c_acctbal", probe)
       rows.orderBy("c_custkey")
     }),
+    // CHECK-constrained commit: the same merge through the validation
+    // seam (enforcement is O(merged rows), carried files can't newly
+    // violate) — a passing batch must read exactly like table_commit
+    "table_checked_commit" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-lake-ck").toString
+      LakeTable.init(tableCommitBase(s, d), dir, "c_custkey", nFiles = 8)
+      LakeTable.commitMergeChecked(tableCommitChanges(s, d), dir, "c_custkey",
+        targetRowsPerFile = 250, check = col("c_mktsegment").isNotNull)
+      LakeTable.readLatest(s, dir).orderBy("c_custkey")
+    }),
     // OPTIMIZE/ZORDER layout evolution: a full reclustering rewrite on
     // a NEW expression must be invisible to readers — same twin as
     // table_commit, same hash
@@ -2930,6 +2940,7 @@ object SparkEntry {
          |ORDER BY c_custkey""".stripMargin,
     "table_clone" -> lakeMergeTwinSql,
     "table_recluster" -> lakeMergeTwinSql,
+    "table_checked_commit" -> lakeMergeTwinSql,
     "table_history" ->
       s"""$lakeMergeCtes
          |SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows FROM base

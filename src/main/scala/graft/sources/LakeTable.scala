@@ -257,7 +257,8 @@ object LakeTable {
     * nothing the loser wrote is visible to any reader. */
   private[graft] def commitMergeAt(changes: DataFrame, tableDir: String, keyCol: String,
                                    targetRowsPerFile: Long, baseVersion: Long,
-                                   opCol: String = "op"): Commit = {
+                                   opCol: String = "op",
+                                   validate: DataFrame => Unit = _ => ()): Commit = {
     val spark = changes.sparkSession
     val m = manifest(spark, tableDir, baseVersion)
     val p = pruneTouched(spark, m, changes, keyCol)
@@ -289,6 +290,10 @@ object LakeTable {
     // files and re-joining per action
     val merged = ChangeData.mergeApply(
       baseData.drop(opCol), changes, keyCol, opCol).localCheckpoint(true)
+    // constraint seam: runs BEFORE anything lands — a validation throw
+    // aborts with no snapshot published and no data dir referenced
+    // (the unredeemed attempt dir is vacuum's orphan sweep's job)
+    validate(merged)
     val next = baseVersion + 1
     // attempt-scoped data dir: two racing writers must never share one
     // (the loser's overwrite would clobber the winner's data files);
@@ -299,6 +304,26 @@ object LakeTable {
       deletes = nextDel)
     Commit(next, newFiles.size.toLong, p.nBaseFiles - p.touched.size)
   }
+
+  /** CHECK-constrained merge: [[commitMerge]] that REJECTS the commit
+    * when any merged row fails `check` — Delta's CHECK-constraint
+    * semantics (a violation is FALSE or NULL, so `x > 0` rejects null
+    * x). Validation runs over the MERGED touched+batch rows only:
+    * carried files are byte-identical to an already-accepted snapshot,
+    * so only rows this commit writes can newly violate — enforcement
+    * is O(Δ), not a table scan per commit. A violation throws before
+    * anything is published; readers never see a partial state. */
+  def commitMergeChecked(changes: DataFrame, tableDir: String, keyCol: String,
+                         targetRowsPerFile: Long, check: Column,
+                         opCol: String = "op"): Commit =
+    commitMergeAt(changes, tableDir, keyCol, targetRowsPerFile,
+      versions(tableDir).last, opCol,
+      validate = merged => {
+        val bad = merged.where(!coalesce(check, lit(false))).count()
+        if (bad > 0) throw new IllegalStateException(
+          s"CHECK constraint violated by $bad merged row(s); commit aborted — " +
+            "no snapshot was published")
+      })
 
   /** O(|Δ|) DELETE commit — the merge-on-read half of the table: no
     * data file is read or rewritten. The new snapshot carries every

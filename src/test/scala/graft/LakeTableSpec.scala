@@ -496,6 +496,41 @@ class LakeTableSpec extends AnyFunSuite {
     assert(rows(LakeTable.readVersion(spark, dir, 0L)) === rows(base))
   }
 
+  test("CHECK constraint: a violating batch aborts with nothing published; a clean batch commits") {
+    val dir = Files.createTempDirectory("graft-lake-check").toString
+    LakeTable.init(base, dir, "c_custkey", nFiles = 8)
+    val check = col("c_mktsegment").isNotNull && col("c_custkey") < 100000L
+    // the insert tranche lands at key+100000 — violates the key cap
+    val bad = batch(10, 30).unionByName(
+      base.where(col("c_custkey") === 40)
+        .select((col("c_custkey") + 100000).as("c_custkey"), lit("upsert").as("op"),
+          lit("NEW").as("c_mktsegment"), lit(0.0).as("c_acctbal")))
+    val before = rows(LakeTable.readLatest(spark, dir))
+    intercept[IllegalStateException] {
+      LakeTable.commitMergeChecked(bad, dir, "c_custkey",
+        targetRowsPerFile = 40, check = check)
+    }
+    // atomic abort: no new version, table unchanged
+    assert(LakeTable.versions(dir) === Seq(0L))
+    assert(rows(LakeTable.readLatest(spark, dir)) === before)
+    // a NULL check result counts as a violation, like SQL CHECK: an
+    // INSERTED row (no base to coalesce) with a null balance makes
+    // `c_acctbal > 0` evaluate to NULL, which must reject
+    val nulling = base.limit(1)
+      .select(lit(99999L).as("c_custkey"), lit("upsert").as("op"),
+        lit("OK").as("c_mktsegment"), lit(null).cast("double").as("c_acctbal"))
+    intercept[IllegalStateException] {
+      LakeTable.commitMergeChecked(nulling, dir, "c_custkey",
+        targetRowsPerFile = 40, check = col("c_acctbal") > 0)
+    }
+    // a clean batch passes through the same path
+    val c = LakeTable.commitMergeChecked(batch(10, 30), dir, "c_custkey",
+      targetRowsPerFile = 40, check = check)
+    assert(c.version === 1L)
+    assert(rows(LakeTable.readLatest(spark, dir)) ===
+      rows(ChangeData.mergeApply(base, batch(10, 30), "c_custkey")))
+  }
+
   test("commits chain: every intermediate snapshot stays readable as committed") {
     val dir = Files.createTempDirectory("graft-lake-chain").toString
     LakeTable.init(base, dir, "c_custkey", nFiles = 8)
