@@ -946,7 +946,8 @@ object SparkEntry {
       LakeTable.init(tableCommitBase(s, d), dir, "c_custkey", nFiles = 8)
       LakeTable.commitMerge(tableCommitChanges(s, d), dir, "c_custkey",
         targetRowsPerFile = 250)
-      LakeTable.commitRecluster(s, dir, "c_custkey", col("c_acctbal"), nFiles = 8)
+      LakeTable.commitRecluster(s, dir, "c_custkey", col("c_acctbal"),
+        targetRowsPerFile = 250)
       LakeTable.readLatest(s, dir).orderBy("c_custkey")
     }),
     // SHALLOW CLONE: the clone's v0 references the source's files —

@@ -182,12 +182,18 @@ object LakeTable {
     manifest0.coalesce(1).write.mode("overwrite").parquet(s"${staging.getPath}/_manifest")
     deletes.foreach(_.coalesce(1).write.mode("overwrite")
       .parquet(s"${staging.getPath}/_deletes"))
-    if (!staging.renameTo(new java.io.File(vDir(tableDir, next)))) {
+    val dest = new java.io.File(vDir(tableDir, next))
+    if (!staging.renameTo(dest)) {
       FsUtil.deleteRecursively(staging)
       throw new java.util.ConcurrentModificationException(
         s"LakeTable commit conflict: version $next already published in $tableDir — " +
           "re-read the latest snapshot and retry the commit")
     }
+    // stamp PUBLICATION time (not staging-write time) for versionAsOf:
+    // set after the rename, so the stamp is at-or-after the instant the
+    // snapshot became visible — timestamp travel errs conservative
+    // (never returns a snapshot that was not yet visible at the probe)
+    dest.setLastModified(System.currentTimeMillis())
   }
 
   /** Write a commit's merged rows (already materialized; `rows` is its
@@ -202,13 +208,15 @@ object LakeTable {
                          targetRowsPerFile: Long, carried: Option[DataFrame],
                          statsCols: Seq[String], dataDir: String,
                          atomic: Boolean,
-                         deletes: Option[DataFrame] = None): Seq[String] = {
+                         deletes: Option[DataFrame] = None,
+                         cluster: Option[Column] = None): Seq[String] = {
     val carriedCount = carried.map(_.count()).getOrElse(0L)
+    val clusterCol = cluster.getOrElse(col(keyCol))
     val newFiles =
       if (rows == 0L && carriedCount > 0L) Seq.empty[String]
       else {
         val nFiles = math.max(1L, math.ceil(rows.toDouble / targetRowsPerFile).toLong).toInt
-        merged.repartitionByRange(nFiles, col(keyCol)).sortWithinPartitions(keyCol)
+        merged.repartitionByRange(nFiles, clusterCol).sortWithinPartitions(clusterCol)
           .write.mode("overwrite").option("maxRecordsPerFile", targetRowsPerFile)
           .parquet(dataDir)
         listFiles(dataDir)
@@ -468,31 +476,31 @@ object LakeTable {
     Commit(next, newFiles.size.toLong, total - small.length)
   }
 
-  /** OPTIMIZE … ZORDER BY: rewrite the snapshot clustered on a NEW
-    * expression — the layout-evolution commit a table runs when its
-    * dominant predicate changes after init chose the clustering (init
-    * decides once; this is the one operation that re-decides). Reads
-    * the whole snapshot THROUGH the delete vector (a full rewrite is
-    * the natural point to reconcile it physically — the new snapshot
-    * carries no vector), lands key-sorted within the new clustering,
-    * re-stats everything. Deliberately the opposite cost profile of
-    * [[commitCompact]]: compaction is incremental and reader-invisible;
-    * reclustering is a full rewrite you schedule when pruning stats
-    * say the layout no longer fits the workload (the
-    * StatsManifestSpec skip-rate numbers are exactly that signal).
-    * Readers of old snapshots are untouched throughout. */
+  /** OPTIMIZE … ZORDER BY: rewrite the snapshot clustered and sorted
+    * on a NEW expression — the layout-evolution commit a table runs
+    * when its dominant predicate changes after init chose the
+    * clustering (init decides once; this is the one operation that
+    * re-decides). Reads the whole snapshot THROUGH the delete vector
+    * (a full rewrite is the natural point to reconcile it physically —
+    * the new snapshot carries no vector) and re-stats everything,
+    * landing through [[landCommit]] so the emptied-table edge keeps
+    * its schema-bearing file like every other commit. Deliberately the
+    * opposite cost profile of [[commitCompact]]: compaction is
+    * incremental and reader-invisible; reclustering is a full rewrite
+    * you schedule when pruning stats say the layout no longer fits the
+    * workload (the StatsManifestSpec skip-rate numbers are exactly
+    * that signal). Readers of old snapshots are untouched. */
   def commitRecluster(spark: SparkSession, tableDir: String, keyCol: String,
-                      clusterExpr: Column, nFiles: Int): Commit = {
+                      clusterExpr: Column, targetRowsPerFile: Long): Commit = {
     val v = versions(tableDir).last
     val m = manifest(spark, tableDir, v)
+    // consumed twice (count + clustered write): checkpoint once
     val rows = readVersion(spark, tableDir, v).localCheckpoint(true)
     val next = v + 1
     val dataDir = s"$tableDir/files/c${next}a${System.nanoTime()}"
-    rows.repartitionByRange(nFiles, clusterExpr).sortWithinPartitions(clusterExpr)
-      .write.mode("overwrite").parquet(dataDir)
-    val newFiles = listFiles(dataDir)
-    publishAtomic(StatsManifest.statsOf(spark, newFiles, statsColsOf(m)),
-      tableDir, next)
+    val newFiles = landCommit(spark, rows, rows.count(), tableDir, next, keyCol,
+      targetRowsPerFile, carried = None, statsColsOf(m), dataDir, atomic = true,
+      cluster = Some(clusterExpr))
     Commit(next, newFiles.size.toLong, 0L)
   }
 
@@ -542,10 +550,15 @@ object LakeTable {
   }
 
   /** Time travel BY TIMESTAMP: the newest snapshot published at or
-    * before `tsMillis`. Publication time is the version dir's mtime —
-    * stamped by the atomic rename that made the snapshot visible, so
-    * it is the commit's linearization point, not a writer-supplied
-    * claim. */
+    * before `tsMillis`. Publication time is the version dir's mtime,
+    * stamped by [[publishAtomic]] immediately AFTER the rename that
+    * made the snapshot visible — so a probe between visibility and
+    * stamp resolves to the previous snapshot (conservative: never one
+    * that was not yet visible). Defined for atomically-published
+    * tables; the overwrite-mode streaming path (version-pinned
+    * replays) deliberately re-publishes versions in place, so replayed
+    * tables re-stamp and timestamp travel there reflects the replay,
+    * matching its reproduce-the-snapshot contract. */
   def versionAsOf(tableDir: String, tsMillis: Long): Long = {
     val vs = versions(tableDir)
       .filter(v => new java.io.File(vDir(tableDir, v)).lastModified() <= tsMillis)

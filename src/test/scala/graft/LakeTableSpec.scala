@@ -483,7 +483,8 @@ class LakeTableSpec extends AnyFunSuite {
     // an acctbal box on the custkey-clustered layout prunes poorly
     val pred = Seq(("c_acctbal", lit(0.0), lit(1000.0)))
     val (_, hits0, _) = LakeTable.scanPrunedVersion(spark, dir, 1L, pred)
-    LakeTable.commitRecluster(spark, dir, "c_custkey", col("c_acctbal"), nFiles = 8)
+    LakeTable.commitRecluster(spark, dir, "c_custkey", col("c_acctbal"),
+      targetRowsPerFile = 20)
     // same table to every reader...
     assert(rows(LakeTable.readLatest(spark, dir)) === before)
     // ...but the box now prunes on the evolved layout
@@ -494,6 +495,20 @@ class LakeTableSpec extends AnyFunSuite {
     assert(!new java.io.File(f"$dir/v${2L}%09d/_deletes").exists())
     // pre-recluster snapshots stay as committed
     assert(rows(LakeTable.readVersion(spark, dir, 0L)) === rows(base))
+    // reclustering an EMPTIED table keeps it readable and writable
+    // (the landCommit schema-bearing-file guard, not a bare write)
+    val edir = Files.createTempDirectory("graft-lake-recl0").toString
+    val small = base.limit(10)
+    LakeTable.init(small, edir, "c_custkey", nFiles = 2)
+    LakeTable.commitDelete(small.select(col("c_custkey")), edir, "c_custkey")
+    LakeTable.commitRecluster(spark, edir, "c_custkey", col("c_acctbal"),
+      targetRowsPerFile = 20)
+    assert(LakeTable.readLatest(spark, edir).isEmpty)
+    LakeTable.commitMerge(
+      small.limit(3).select(col("c_custkey"), lit("upsert").as("op"),
+        col("c_mktsegment"), col("c_acctbal")),
+      edir, "c_custkey", targetRowsPerFile = 20)
+    assert(LakeTable.readLatest(spark, edir).count() === 3L)
   }
 
   test("CHECK constraint: a violating batch aborts with nothing published; a clean batch commits") {
