@@ -590,6 +590,17 @@ object SparkEntry {
       val pairs = Dedup.jaccardPairs(docs).where(col("jaccard") >= 0.3)
       Dedup.nearDupClusters(pairs, docs).orderBy("doc_id")
     }),
+    // near-dup families keep their BEST copy (length as the quality
+    // proxy), not the min id — the priorityDedup survivor rule lifted
+    // to similarity clusters; one bounded max_by buffer per family
+    "cluster_best_pick" -> ((s, d) => {
+      val docs = t(s, d).documents
+      val pairs = Dedup.jaccardPairs(docs).where(col("jaccard") >= 0.3)
+      val scored = docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("score"))
+      Dedup.bestPerCluster(Dedup.nearDupClusters(pairs, docs), scored)
+        .orderBy("cluster_id")
+    }),
     "minhash_near_dups" -> ((s, d) =>
       Dedup.minhashNearDups(t(s, d).documents, minJaccard = 0.3).orderBy("doc_a", "doc_b")),
     "simhash" -> ((s, d) => Dedup.simhash(t(s, d).documents).orderBy("doc_id")),
@@ -675,6 +686,11 @@ object SparkEntry {
     "semantic_dedup" -> ((s, d) =>
       Similarity.semanticDedup(t(s, d).embeddings).orderBy("vec_id")),
     "text_quality" -> ((s, d) => TextQuality.qualityFeatures(t(s, d).documents).orderBy("doc_id")),
+    // perplexity-proxy scoring: per-doc sum of ln p(word) under the
+    // corpus's own unigram distribution — per-token logs rounded and
+    // DECIMAL-summed so accumulation order cannot wiggle the hash
+    "unigram_logprob" -> ((s, d) =>
+      TextQuality.unigramLogProb(t(s, d).documents).orderBy("doc_id")),
     "token_count" -> ((s, d) => TextQuality.tokenCounts(t(s, d).documents).orderBy("doc_id")),
     // Gopher-style repetition signals (dup-trigram fraction, top-bigram
     // share): boilerplate/spam detectors for corpus filtering
@@ -1589,6 +1605,29 @@ object SparkEntry {
     s"""$scd2DimCtes
        |SELECT o_custkey, o_orderstatus, valid_from, valid_to, version, is_current
        |FROM dim ORDER BY o_custkey, version""".stripMargin
+
+  /** The near-dup cluster CTEs (shingles → J≥0.3 edges → recursive
+    * min-label closure), shared by `dedup_clusters` and
+    * `cluster_best_pick`. */
+  private lazy val dedupClustersCtes: String =
+    """WITH RECURSIVE toks AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> length(x) > 0) AS l FROM documents),
+      | pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM toks WHERE len(l) >= 3),
+      | sh0 AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle FROM pos),
+      | rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 10),
+      | sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
+      | cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      | inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |            GROUP BY a.doc_id, b.doc_id),
+      | j AS (SELECT doc_a, doc_b, inter / (ca.n_sh + cb.n_sh - inter) AS jaccard
+      |        FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b),
+      | e AS (SELECT doc_a AS src, doc_b AS dst FROM j WHERE jaccard >= 0.3
+      |       UNION ALL SELECT doc_b AS src, doc_a AS dst FROM j WHERE jaccard >= 0.3),
+      | reach(doc_id, label) AS (
+      |   SELECT doc_id, doc_id FROM documents
+      |   UNION
+      |   SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.doc_id
+      | )""".stripMargin
 
   /** The full-recompute merge CTEs shared by every LakeTable twin:
     * `merged` is the state after applying the CDC batch to the base
@@ -2653,25 +2692,18 @@ object SparkEntry {
     // same capped-shingle Jaccard pipeline as near_dup_jaccard, then
     // min-label transitive closure via a recursive CTE
     "dedup_clusters" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> length(x) > 0) AS l FROM documents),
-        | pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM toks WHERE len(l) >= 3),
-        | sh0 AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle FROM pos),
-        | rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 10),
-        | sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
-        | cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        | inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |            GROUP BY a.doc_id, b.doc_id),
-        | j AS (SELECT doc_a, doc_b, inter / (ca.n_sh + cb.n_sh - inter) AS jaccard
-        |        FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b),
-        | e AS (SELECT doc_a AS src, doc_b AS dst FROM j WHERE jaccard >= 0.3
-        |       UNION ALL SELECT doc_b AS src, doc_a AS dst FROM j WHERE jaccard >= 0.3),
-        | reach(doc_id, label) AS (
-        |   SELECT doc_id, doc_id FROM documents
-        |   UNION
-        |   SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.doc_id
-        | )
-        |SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""$dedupClustersCtes
+         |SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "cluster_best_pick" ->
+      s"""$dedupClustersCtes,
+         | lab AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+         | L AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS score FROM documents),
+         | r AS (SELECT cluster_id, lab.doc_id, score,
+         |        row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, lab.doc_id) AS rn
+         |        FROM lab JOIN L USING (doc_id))
+         |SELECT cluster_id, doc_id AS keep_id, score FROM r WHERE rn = 1
+         |ORDER BY cluster_id""".stripMargin,
 
     "cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
@@ -2682,6 +2714,19 @@ object SparkEntry {
         | r AS (SELECT q_id, c_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank FROM s)
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, round(sim, 4) AS sim_r
         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    "unigram_logprob" ->
+      s"""$WDoc,
+         | c AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+         | t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+         | lp AS (SELECT w.doc_id,
+         |   CAST(round(ln(CAST(c.cnt AS DOUBLE) / t.total), 12) AS DECIMAL(28,12)) AS l
+         |   FROM w JOIN c USING (word) CROSS JOIN t),
+         | s AS (SELECT doc_id, count(*) AS n_tokens, sum(l) AS sl FROM lp GROUP BY 1)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       round(CAST(sl AS DOUBLE), 6) AS logprob,
+         |       round(CAST(sl AS DOUBLE) / n_tokens, 6) AS avg_logprob
+         |FROM s ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, text, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS tk

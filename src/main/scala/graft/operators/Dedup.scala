@@ -300,6 +300,23 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Near-dup dedup with a QUALITY survivor rule: each
+    * [[nearDupClusters]] family keeps its best-scoring member (max
+    * score, min id on ties) — what a curation pipeline actually does
+    * with near-duplicate families: keep the cleanest/longest copy,
+    * not the smallest id. One bounded `max_by` buffer per cluster —
+    * the [[priorityDedup]] device lifted from exact digests to
+    * similarity clusters; a boilerplate family of any size costs one
+    * fixed-width aggregation state. */
+  def bestPerCluster(clusters: DataFrame, scored: DataFrame, idCol: String = "doc_id",
+                     scoreCol: String = "score"): DataFrame =
+    clusters.join(scored, Seq(idCol))
+      .groupBy(col("cluster_id"))
+      .agg(max_by(struct(col(idCol), col(scoreCol)),
+        struct(col(scoreCol), (-col(idCol)).as("__negid"))).as("__w"))
+      .select(col("cluster_id"), col(s"__w.$idCol").as("keep_id"),
+        col(s"__w.$scoreCol").as(scoreCol))
+
   // ---------------------------------------------------------------
   // SimHash
   // ---------------------------------------------------------------

@@ -16,6 +16,41 @@ object TextQuality {
   /** Non-empty whitespace tokens of a text column. */
   private def toks(c: Column): Column = filter(split(c, TextOps.TokenSepRe), t => length(t) > 0)
 
+  /** Unigram log-probability scoring — the perplexity-proxy quality
+    * filter: each document scores the sum of ln p(word) under the
+    * corpus's OWN unigram MLE distribution (count/total). Garbled or
+    * out-of-register documents land far below the corpus mean, which
+    * is the cheap stand-in for LM-perplexity filtering at corpus scale
+    * (one vocabulary aggregate + one word join — no model, no
+    * inference pass).
+    *
+    * Scale shape: the vocabulary relation shuffles on the word key
+    * (zipfian hot words are AQE's skew-join case, the SkewJoinSpec
+    * posture); per-document accumulation is a plain hash aggregate.
+    * Cross-engine exactness is engineered the PageRank way: each
+    * token's ln(count/total) is ONE double op with identical operand
+    * association on both engines, rounded to 12 dp and summed as
+    * DECIMAL — accumulation order can never wiggle the hash. */
+  def unigramLogProb(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val words = docs
+      .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), TextOps.cleanWord(col("tok")).as("word"))
+      .where(length(col("word")) > 0)
+    val counts = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).cast(DoubleType).as("total"))
+    words.join(counts, Seq("word"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(log(col("cnt").cast(DoubleType) / col("total")), 12)
+          .cast(DecimalType(28, 12)).as("l"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("l")).as("sl"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sl").cast(DoubleType), 6).as("logprob"),
+        round(col("sl").cast(DoubleType) / col("n_tokens"), 6).as("avg_logprob"))
+  }
+
   /** Small multilingual stopword lists — plan-time constants. */
   val Stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),

@@ -187,6 +187,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(again.except(out.select(col("doc_id"))).count() === 0L)
   }
 
+  test("unigramLogProb equals an independent Scala fold; rare tokens score a doc down") {
+    import spark.implicits._
+    import graft.operators.TextQuality
+    val docs = Seq((1L, "aa aa aa aa"), (2L, "aa aa aa zz")).toDF("doc_id", "text")
+    val out = TextQuality.unigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // corpus counts: aa = 7, zz = 1, total = 8 — fold with the SAME
+    // rounding discipline (12 dp per token, decimal sum, 6 dp out)
+    def r12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: BigDecimal) = x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lAa = r12(math.log(7.0 / 8.0)); val lZz = r12(math.log(1.0 / 8.0))
+    val d1 = lAa * 4; val d2 = lAa * 3 + lZz
+    assert(out(1L) === ((4L, r6(d1), r6(d1 / 4))))
+    assert(out(2L) === ((4L, r6(d2), r6(d2 / 4))))
+    // the rare-token document scores strictly lower
+    assert(out(2L)._2 < out(1L)._2)
+  }
+
   test("budgetCap: strict per-group cap, unbiased hash order, partitioning-invariant") {
     import spark.implicits._
     val docs = (1L to 200L).map(i => (i, if (i % 3 == 0) "code" else "web", "x" * 100))

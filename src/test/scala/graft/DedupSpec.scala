@@ -129,6 +129,17 @@ class DedupSpec extends AnyFunSuite {
       "gamma" -> (7L, "tie-lo")))
   }
 
+  test("bestPerCluster keeps the highest-scoring member per family, min id on ties") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val scored = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 7L), (5L, 2L), (6L, 2L))
+      .toDF("doc_id", "score")
+    val out = Dedup.bestPerCluster(clusters, scored).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map(1L -> (2L, 30L), 4L -> (4L, 7L), 5L -> (5L, 2L)))
+  }
+
   test("duplicatedRegions coalesces flagged windows into maximal islands per document") {
     import spark.implicits._
     // X and Y are shared verbatim across both docs; every flank and
