@@ -393,6 +393,11 @@ object SparkEntry {
     // ordered view -> click -> purchase funnel, each stage anchored at
     // the first qualifying event of the previous stage
     "funnel_daily" -> ((s, d) => Windows.funnelDaily(t(s, d).events)),
+    // MATCH_RECOGNIZE-style sequence matching: per-user event strings
+    // in total (ts, event_id) order, regex-counted for the
+    // view→click→purchase pattern
+    "event_pattern_match" -> ((s, d) =>
+      Windows.eventPatternMatches(t(s, d).events).orderBy("user_id")),
     // cohort retention matrix: first-activity-week cohorts × activity
     // weeks, rate against cohort size — nothing windows the raw events
     "cohort_retention" -> ((s, d) =>
@@ -2025,6 +2030,15 @@ object SparkEntry {
 
     // each stage: first qualifying event at-or-after the previous
     // stage's anchor, per (day, user); day rollups join on the day
+    "event_pattern_match" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS tsu FROM events),
+        | s AS (SELECT user_id, string_agg(event_type, ' ' ORDER BY tsu, event_id) AS seq
+        |       FROM e GROUP BY 1)
+        |SELECT user_id,
+        |       CAST(len(regexp_extract_all(seq, 'view click purchase')) AS BIGINT) AS n_matches
+        |FROM s WHERE len(regexp_extract_all(seq, 'view click purchase')) > 0
+        |ORDER BY user_id""".stripMargin,
+
     "cohort_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu FROM events),
         | cohort AS (SELECT user_id, min(date_trunc('week', tsu)) AS cohort_week FROM e GROUP BY 1),

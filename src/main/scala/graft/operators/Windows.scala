@@ -49,6 +49,32 @@ object Windows {
         round(col("n_users").cast(DoubleType) / col("cohort_size"), 6).as("retention"))
   }
 
+  /** Event-sequence pattern matching — the MATCH_RECOGNIZE workload
+    * expressed with the engine's own primitives: each user's events
+    * collapse, in total (ts, event_id) order, into one token string,
+    * and a regex over it counts non-overlapping occurrences of the
+    * behavioral pattern (`view click purchase` by default). The
+    * ordered array fold makes the string identical across engines and
+    * partitionings.
+    *
+    * State caveat, stated like the Misra-Gries one: the per-user
+    * collect is bounded by ONE USER's event count — fine for
+    * behavioral analytics where per-entity history is human-scale;
+    * for adversarially hot keys, pre-window the sessions first
+    * (sessionized aggs above) so the collected span is bounded by
+    * construction. */
+  def eventPatternMatches(events: DataFrame,
+                          pattern: String = "view click purchase"): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+        col("event_type")))).as("seq"))
+      .select(col("user_id"),
+        array_join(transform(col("seq"), x => x.getField("event_type")), " ").as("s"))
+      .select(col("user_id"),
+        regexp_count(col("s"), lit(pattern)).cast(LongType).as("n_matches"))
+      .where(col("n_matches") > 0)
+
   /** row_number / rank / lag / lead / running aggregate per user. */
   def perUserAnalytics(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

@@ -65,6 +65,26 @@ class WindowsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((4L, 2L, 1L)))
   }
 
+  test("eventPatternMatches: ordered non-overlapping counts; same-ts ties break by event_id; noise never matches") {
+    val events = Seq(
+      // user 100: two complete consecutive funnels -> two matches
+      (1L, ts(0), 100L, "view", 0.0, ""), (2L, ts(1), 100L, "click", 0.0, ""),
+      (3L, ts(2), 100L, "purchase", 0.0, ""),
+      (4L, ts(3), 100L, "view", 0.0, ""), (5L, ts(4), 100L, "click", 0.0, ""),
+      (6L, ts(5), 100L, "purchase", 0.0, ""),
+      // user 200: stages out of ORDER by ts but in order by event_id at
+      // the same ts — the tie column decides, producing a match
+      (7L, ts(0), 200L, "view", 0.0, ""), (8L, ts(1), 200L, "click", 0.0, ""),
+      (9L, ts(1), 200L, "purchase", 0.0, ""),
+      // user 300: right events, wrong order — no match
+      (10L, ts(0), 300L, "purchase", 0.0, ""), (11L, ts(1), 300L, "click", 0.0, ""),
+      (12L, ts(2), 300L, "view", 0.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Windows.eventPatternMatches(events).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(100L -> 2L, 200L -> 1L))
+  }
+
   test("recursive CTE (Spark 4 UnionLoop): spine generation terminates and is dense") {
     val df = spark.sql(
       """WITH RECURSIVE r(n) AS (
