@@ -2028,15 +2028,14 @@ object SparkEntry {
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
         |ORDER BY event_id""".stripMargin,
 
-    // each stage: first qualifying event at-or-after the previous
-    // stage's anchor, per (day, user); day rollups join on the day
     "event_pattern_match" ->
       """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS tsu FROM events),
-        | s AS (SELECT user_id, string_agg(event_type, ' ' ORDER BY tsu, event_id) AS seq
-        |       FROM e GROUP BY 1)
-        |SELECT user_id,
-        |       CAST(len(regexp_extract_all(seq, 'view click purchase')) AS BIGINT) AS n_matches
-        |FROM s WHERE len(regexp_extract_all(seq, 'view click purchase')) > 0
+        | s AS (SELECT user_id, string_agg('[' || event_type || ']', '' ORDER BY tsu, event_id) AS seq
+        |       FROM e GROUP BY 1),
+        | m AS (SELECT user_id,
+        |        CAST(len(regexp_extract_all(seq, '\[view\]\[click\]\[purchase\]')) AS BIGINT) AS n_matches
+        |        FROM s)
+        |SELECT user_id, n_matches FROM m WHERE n_matches > 0
         |ORDER BY user_id""".stripMargin,
 
     "cohort_retention" ->
@@ -2051,6 +2050,8 @@ object SparkEntry {
         |FROM m JOIN sizes USING (cohort_week)
         |ORDER BY cohort_week, activity_week""".stripMargin,
 
+    // each stage: first qualifying event at-or-after the previous
+    // stage's anchor, per (day, user); day rollups join on the day
     "funnel_daily" ->
       """WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id, event_type,
         |                  CAST(ts AS TIMESTAMP) AS tsu FROM events),

@@ -37,7 +37,13 @@ object TextQuality {
       .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("tok"))
       .select(col("doc_id"), TextOps.cleanWord(col("tok")).as("word"))
       .where(length(col("word")) > 0)
+    // the vocabulary is consumed twice (probe join + total): checkpoint
+    // the vocab-sized relation once so the corpus-scale tokenize+agg
+    // behind it runs once, not per consumer (the commitMerge device;
+    // the token stream itself stays unmaterialized — two narrow scans
+    // beat storing an exploded corpus)
     val counts = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val total = counts.agg(sum(col("cnt")).cast(DoubleType).as("total"))
     words.join(counts, Seq("word"))
       .crossJoin(broadcast(total))

@@ -64,16 +64,28 @@ object Windows {
     * (sessionized aggs above) so the collected span is bounded by
     * construction. */
   def eventPatternMatches(events: DataFrame,
-                          pattern: String = "view click purchase"): DataFrame =
+                          pattern: String = "view click purchase"): DataFrame = {
+    // every token renders bracket-delimited ("[view][click]…"), so a
+    // pattern token can never match inside a longer event type
+    // ("[preview]" does not contain "[view]") and adjacent matches
+    // share no boundary character (consecutive funnels both count).
+    // Tokens are taken literally; word-only names keep the built
+    // regex metacharacter-free on both engines
+    val toks = pattern.split(" ").toSeq
+    require(toks.nonEmpty && toks.forall(_.matches("\\w+")),
+      s"pattern tokens must be word characters: $pattern")
+    val regex = toks.map(t => s"\\[$t\\]").mkString
     events
       .groupBy(col("user_id"))
       .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
         col("event_type")))).as("seq"))
       .select(col("user_id"),
-        array_join(transform(col("seq"), x => x.getField("event_type")), " ").as("s"))
+        array_join(transform(col("seq"),
+          x => concat(lit("["), x.getField("event_type"), lit("]"))), "").as("s"))
       .select(col("user_id"),
-        regexp_count(col("s"), lit(pattern)).cast(LongType).as("n_matches"))
+        regexp_count(col("s"), lit(regex)).cast(LongType).as("n_matches"))
       .where(col("n_matches") > 0)
+  }
 
   /** row_number / rank / lag / lead / running aggregate per user. */
   def perUserAnalytics(events: DataFrame): DataFrame = {

@@ -189,11 +189,16 @@ object LakeTable {
         s"LakeTable commit conflict: version $next already published in $tableDir — " +
           "re-read the latest snapshot and retry the commit")
     }
-    // stamp PUBLICATION time (not staging-write time) for versionAsOf:
-    // set after the rename, so the stamp is at-or-after the instant the
-    // snapshot became visible — timestamp travel errs conservative
-    // (never returns a snapshot that was not yet visible at the probe)
-    dest.setLastModified(System.currentTimeMillis())
+    // stamp PUBLICATION time (not staging-write time) for versionAsOf.
+    // The stamp lands just AFTER the rename, so there is a brief
+    // rename-to-stamp window in which the dir still carries its
+    // (earlier) staging mtime — a probe racing inside that window, or
+    // one issued after a failed stamp (surfaced below, mtime then
+    // stays at staging time), can resolve to this snapshot early.
+    // Once the stamp lands, at-or-before semantics are exact.
+    if (!dest.setLastModified(System.currentTimeMillis()))
+      System.err.println(s"[lake] warning: could not stamp publication time on $dest; " +
+        "versionAsOf will use its staging-write time")
   }
 
   /** Write a commit's merged rows (already materialized; `rows` is its
@@ -552,9 +557,12 @@ object LakeTable {
   /** Time travel BY TIMESTAMP: the newest snapshot published at or
     * before `tsMillis`. Publication time is the version dir's mtime,
     * stamped by [[publishAtomic]] immediately AFTER the rename that
-    * made the snapshot visible — so a probe between visibility and
-    * stamp resolves to the previous snapshot (conservative: never one
-    * that was not yet visible). Defined for atomically-published
+    * made the snapshot visible. A probe racing the brief
+    * rename-to-stamp window may resolve one snapshot early (the dir
+    * briefly carries its earlier staging mtime); once the stamp lands,
+    * at-or-before semantics are exact — callers needing a hard
+    * guarantee pin versions, not wall clocks. Defined for
+    * atomically-published
     * tables; the overwrite-mode streaming path (version-pinned
     * replays) deliberately re-publishes versions in place, so replayed
     * tables re-stamp and timestamp travel there reflects the replay,

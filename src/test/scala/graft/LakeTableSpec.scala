@@ -498,17 +498,19 @@ class LakeTableSpec extends AnyFunSuite {
     // reclustering an EMPTIED table keeps it readable and writable
     // (the landCommit schema-bearing-file guard, not a bare write)
     val edir = Files.createTempDirectory("graft-lake-recl0").toString
-    val small = base.limit(10)
+    // key predicates, not limit(): every re-execution sees the SAME rows
+    val small = base.where(col("c_custkey") <= 10)
     LakeTable.init(small, edir, "c_custkey", nFiles = 2)
     LakeTable.commitDelete(small.select(col("c_custkey")), edir, "c_custkey")
     LakeTable.commitRecluster(spark, edir, "c_custkey", col("c_acctbal"),
       targetRowsPerFile = 20)
     assert(LakeTable.readLatest(spark, edir).isEmpty)
     LakeTable.commitMerge(
-      small.limit(3).select(col("c_custkey"), lit("upsert").as("op"),
-        col("c_mktsegment"), col("c_acctbal")),
+      small.where(col("c_custkey") <= 3)
+        .select(col("c_custkey"), lit("upsert").as("op"),
+          col("c_mktsegment"), col("c_acctbal")),
       edir, "c_custkey", targetRowsPerFile = 20)
-    assert(LakeTable.readLatest(spark, edir).count() === 3L)
+    assert(LakeTable.readLatest(spark, edir).count() === 4L) // keys 0..3
   }
 
   test("CHECK constraint: a violating batch aborts with nothing published; a clean batch commits") {

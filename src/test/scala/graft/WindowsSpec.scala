@@ -78,7 +78,11 @@ class WindowsSpec extends AnyFunSuite {
       (9L, ts(1), 200L, "purchase", 0.0, ""),
       // user 300: right events, wrong order — no match
       (10L, ts(0), 300L, "purchase", 0.0, ""), (11L, ts(1), 300L, "click", 0.0, ""),
-      (12L, ts(2), 300L, "view", 0.0, "")
+      (12L, ts(2), 300L, "view", 0.0, ""),
+      // user 400: 'preview' must NOT satisfy the 'view' stage (token
+      // boundaries, not substrings)
+      (13L, ts(0), 400L, "preview", 0.0, ""), (14L, ts(1), 400L, "click", 0.0, ""),
+      (15L, ts(2), 400L, "purchase", 0.0, "")
     ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val out = Windows.eventPatternMatches(events).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
