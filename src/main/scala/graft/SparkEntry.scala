@@ -606,6 +606,16 @@ object SparkEntry {
       Dedup.bestPerCluster(Dedup.nearDupClusters(pairs, docs), scored)
         .orderBy("cluster_id")
     }),
+    // incremental NEAR-dup ingest: the odd-id batch admits against the
+    // even-id corpus's persisted band store — near-dup memory at
+    // bands×8 bytes/doc, corpus text never re-read (rows-only: LSH
+    // admission is approximate by design; DedupSpec pins semantics)
+    "minhash_ingest" -> ((s, d) => {
+      val docs = t(s, d).documents
+      val store = Dedup.bandKeys(docs.where(col("doc_id") % 2 === 0))
+      Dedup.incrementalMinhashDedup(docs.where(col("doc_id") % 2 === 1), store)
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")
+    }),
     "minhash_near_dups" -> ((s, d) =>
       Dedup.minhashNearDups(t(s, d).documents, minJaccard = 0.3).orderBy("doc_a", "doc_b")),
     "simhash" -> ((s, d) => Dedup.simhash(t(s, d).documents).orderBy("doc_id")),

@@ -190,6 +190,55 @@ object Dedup {
       .select(col("doc_id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
   }
 
+  /** The (doc_id, band, bh) relation of a document set — the unit the
+    * incremental near-dup ingest persists: `bands` 8-byte keys per
+    * document, the signature-store smallness that keeps a 100 TB
+    * corpus's near-dup memory ~3 orders of magnitude below the corpus
+    * itself. */
+  def bandKeys(docs: DataFrame, w: Int = 3, k: Int = 32, bands: Int = 8,
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val r = k / bands
+    val bks = (0 until bands).map { i =>
+      struct(lit(i).as("band"), xxhash64(lit(i), slice(col("sig"), i * r + 1, r)).as("bh"))
+    }
+    minhashSignatures(docs, w, k, textCol, idCol)
+      .select(col("doc_id"), explode(array(bks: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
+  /** Incremental NEAR-dup ingest — [[incrementalDigestDedup]]'s
+    * posture lifted from exact digests to MinHash/LSH: a batch
+    * document is dropped when any of its band keys collides with the
+    * persisted corpus band store, or with a LOWER-id batch document
+    * (conservative batch-internal rule: a collision with an
+    * already-dropped doc still drops — near-dup-of-a-near-dup is the
+    * cheap side of the error for corpus construction). The corpus
+    * text is never re-read; the only store-sized work is one semi
+    * join on (band, bh).
+    *
+    * Admission is at LSH's operating point (the r-row/b-band S-curve),
+    * not exact-Jaccard — exact verification would need stored
+    * shingles, which the store deliberately trades away for size.
+    * Returns the admitted batch rows; append [[bandKeys]] of the
+    * admitted set to the store to complete the ingest cycle. */
+  def incrementalMinhashDedup(batch: DataFrame, bandStore: DataFrame,
+                              w: Int = 3, k: Int = 32, bands: Int = 8,
+                              textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // consumed twice (internal self-join + store semi join)
+    val banded = bandKeys(batch, w, k, bands, textCol, idCol).localCheckpoint(true)
+    val internal = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") > col("y.doc_id"), "left_semi")
+      .select(col("doc_id"))
+    val vsStore = banded
+      .join(bandStore.select(col("band"), col("bh")), Seq("band", "bh"), "left_semi")
+      .select(col("doc_id"))
+    val dropIds = internal.unionByName(vsStore).distinct()
+      .withColumnRenamed("doc_id", idCol)
+    batch.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** LSH banding: split the k-wide signature into `bands` bands of
     * k/bands rows; docs agreeing on any whole band become candidates.
     * Only (band-key, doc_id) shuffles — never the signatures crossed. */

@@ -129,6 +129,26 @@ class DedupSpec extends AnyFunSuite {
       "gamma" -> (7L, "tie-lo")))
   }
 
+  test("incrementalMinhashDedup: store near-dups drop, novel docs admit, batch-internal min id wins") {
+    import spark.implicits._
+    val corpusText = "the quick brown fox jumps over the lazy dog again and again today"
+    val novelText = "completely different words about spark catalyst plans and shuffles here"
+    val store = Dedup.bandKeys(Seq((1L, corpusText)).toDF("doc_id", "text"))
+    val batch = Seq(
+      (10L, corpusText),   // exact dup of stored doc 1: every band collides -> drop
+      (11L, novelText),    // novel: admit
+      (12L, novelText)     // exact dup of batch-mate 11 (lower id): drop
+    ).toDF("doc_id", "text")
+    val admitted = Dedup.incrementalMinhashDedup(batch, store)
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted === Set(11L))
+    // the ingest cycle closes: appending the admitted band keys makes a
+    // replay of the same batch admit NOTHING
+    val grown = store.unionByName(
+      Dedup.bandKeys(batch.where(org.apache.spark.sql.functions.col("doc_id") === 11L)))
+    assert(Dedup.incrementalMinhashDedup(batch, grown).isEmpty)
+  }
+
   test("bestPerCluster keeps the highest-scoring member per family, min id on ties") {
     import spark.implicits._
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L))
