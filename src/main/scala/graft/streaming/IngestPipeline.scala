@@ -80,10 +80,19 @@ object IngestPipeline {
     * wasted probe rows. At 100 TB this is the difference between
     * shuffling the full digest history every micro-batch and shuffling
     * a batch-sized candidate set. */
+  /** `bandStoreDir`, when set, adds a NEAR-dup admission stage after
+    * the exact-digest one: documents whose LSH band keys collide with
+    * the persisted band store (or a lower-id batch mate) drop — the
+    * [[graft.operators.Dedup.incrementalMinhashDedup]] semantics under
+    * the same batch-keyed AS-OF/commit discipline as the digest store,
+    * so replays stay idempotent. Band keys of ADMITTED documents
+    * commit pre-resample (a later near-dup of a sampled-out doc is
+    * still a near-dup — the digest contract, extended). */
   def ingestBatch(batch: DataFrame, batchId: Long, storeDir: String,
                   rates: DataFrame, outDir: String, targetRowsPerFile: Long,
                   chunkSize: Int, bloomBits: Long = 0L,
-                  bloomItems: Long = 100000L): Unit = {
+                  bloomItems: Long = 100000L,
+                  bandStoreDir: Option[String] = None): Unit = {
     val ss = batch.sparkSession
     healStore(storeDir) // finish any interrupted compaction swap first
     // the store AS OF this batch: seed + strictly earlier commits
@@ -102,7 +111,15 @@ object IngestPipeline {
     val fresh = Dedup.incrementalDigestDedup(batch, store)
     val survivors = batch.join(fresh.select(col("doc_id")), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("text"))
-    val kept = Corpus.resampleWithRates(survivors, rates)
+    // near-dup admission against the band store AS OF this batch
+    val admitted = bandStoreDir.fold(survivors) { bd =>
+      val bandPrior = (s"$bd/seed" +:
+        storeBatchIds(bd).filter(_ < batchId).map(i => s"$bd/b$i"))
+        .map(ss.read.parquet(_)).reduce(_ unionAll _)
+      Dedup.incrementalMinhashDedup(survivors, bandPrior)
+        .localCheckpoint(true) // consumed twice: resample + band commit
+    }
+    val kept = Corpus.resampleWithRates(admitted, rates)
       .select(col("doc_id"), col("lang"), col("text"))
     val chunks = Corpus.chunk(kept, chunkSize)
       .select(col("doc_id"), col("lang"), col("chunk_idx"), col("chunk"))
@@ -110,6 +127,9 @@ object IngestPipeline {
     // commit the batch's digests LAST (post-resample docs included:
     // a later duplicate of a sampled-out doc is still a duplicate)
     fresh.select(col("h")).write.mode("overwrite").parquet(s"$storeDir/b$batchId")
+    bandStoreDir.foreach(bd =>
+      Dedup.bandKeys(admitted).select(col("band"), col("bh"))
+        .write.mode("overwrite").parquet(s"$bd/b$batchId"))
   }
 
   /** Fold finalized batch commits into the seed — the store's
@@ -155,11 +175,12 @@ object IngestPipeline {
   def runIngest(spark: SparkSession, srcDir: String, storeDir: String,
                 rates: DataFrame, outDir: String, targetRowsPerFile: Long,
                 chunkSize: Int = 256, bloomBits: Long = 0L,
-                bloomItems: Long = 100000L): DataFrame = {
+                bloomItems: Long = 100000L,
+                bandStoreDir: Option[String] = None): DataFrame = {
     val q = readDocStream(spark, srcDir).writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         ingestBatch(batch.toDF(), batchId, storeDir, rates, outDir,
-          targetRowsPerFile, chunkSize, bloomBits, bloomItems)
+          targetRowsPerFile, chunkSize, bloomBits, bloomItems, bandStoreDir)
       }
       .start()
     q.processAllAvailable()

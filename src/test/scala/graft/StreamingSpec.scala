@@ -589,6 +589,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(after === got ++ Set((8L, 0L, "brand ne"), (8L, 1L, "w text")))
   }
 
+  test("streaming ingest near-dup stage: punctuation variants drop across batches and within one; replay idempotent") {
+    import org.apache.spark.sql.functions.{col, sha2}
+    import graft.streaming.IngestPipeline
+    import graft.operators.Dedup
+    val docs = Seq(
+      // batch 0: doc 1 is a WHITESPACE variant of the SEEDED corpus
+      // doc — different sha256 (digest stage passes), identical raw
+      // token stream (every band collides) -> near-dup stage drops
+      (1L, "en", "quick  brown fox   jumps high"),
+      (2L, "en", "totally novel words appear here"),
+      // batch 1: doc 5 is a variant of doc 2 (admitted in batch 0, its
+      // bands committed) -> drops vs the GROWN store; docs 6/7 are
+      // variants of each other in the SAME batch -> min id admits
+      (5L, "en", "totally  novel words appear   here"),
+      (6L, "en", "another fresh document entirely different"),
+      (7L, "en", "another  fresh document   entirely different")
+    ).toDF("doc_id", "lang", "text")
+    val src = Files.createTempDirectory("graft-nd-src").toString
+    Seq(($"doc_id" <= 2, "d0", 1000000L), ($"doc_id" >= 5, "d1", 2000000L))
+      .foreach { case (cond, name, t) =>
+        docs.where(cond).coalesce(1).write.parquet(s"$src/.stage$name")
+        val part = new java.io.File(s"$src/.stage$name").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(s"$src/$name.parquet")
+        assert(part.renameTo(dest))
+        dest.setLastModified(t)
+      }
+    val storeDir = Files.createTempDirectory("graft-nd-st").toString
+    Seq("unrelated seed digest").toDF("text").select(sha2($"text", 256).as("h"))
+      .write.parquet(s"$storeDir/seed")
+    val bandDir = Files.createTempDirectory("graft-nd-bs").toString
+    Dedup.bandKeys(Seq((100L, "quick brown fox jumps high")).toDF("doc_id", "text"))
+      .select(col("band"), col("bh")).write.parquet(s"$bandDir/seed")
+    val rates = Seq(("en", 5L, 1000L)).toDF("lang", "n_l", "keep_permille")
+    val out = Files.createTempDirectory("graft-nd-o").toString
+    val got = IngestPipeline.runIngest(spark, src, storeDir, rates, out,
+        targetRowsPerFile = 100L, chunkSize = 64, bandStoreDir = Some(bandDir))
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(2L, 6L))
+    // replayed batch 0 sees both stores AS OF batch 0 and overwrites
+    // its own commits: the landed corpus is unchanged
+    IngestPipeline.ingestBatch(spark.read.parquet(s"$src/d0.parquet"), 0L, storeDir,
+      rates, out, targetRowsPerFile = 100L, chunkSize = 64, bandStoreDir = Some(bandDir))
+    val replayed = spark.read.parquet(out).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(replayed === Set(2L, 6L))
+  }
+
   test("streaming ANN ingest: grown index == batch append, replay idempotent, OOD batch flags rebuild") {
     import graft.operators.Similarity
     import org.apache.spark.sql.functions._
