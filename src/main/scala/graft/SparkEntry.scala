@@ -393,11 +393,15 @@ object SparkEntry {
     // ordered view -> click -> purchase funnel, each stage anchored at
     // the first qualifying event of the previous stage
     "funnel_daily" -> ((s, d) => Windows.funnelDaily(t(s, d).events)),
-    // MATCH_RECOGNIZE-style sequence matching: per-user event strings
-    // in total (ts, event_id) order, regex-counted for the
-    // view→click→purchase pattern
+    // MATCH_RECOGNIZE-style sequence matching, sessionize-first:
+    // per-SESSION event strings in total (ts, event_id) order,
+    // regex-counted for the view→click→purchase pattern, rolled up
+    // per user — collected state is session-bounded, never
+    // whole-history
+    // 12-hour gap: the events table's median per-user inter-event gap
+    // is ~7h, so shorter gaps sessionize every event alone
     "event_pattern_match" -> ((s, d) =>
-      Windows.eventPatternMatches(t(s, d).events).orderBy("user_id")),
+      Windows.eventPatternMatches(t(s, d).events, gapMinutes = 720).orderBy("user_id")),
     // cohort retention matrix: first-activity-week cohorts × activity
     // weeks, rate against cohort size — nothing windows the raw events
     "cohort_retention" -> ((s, d) =>
@@ -457,11 +461,14 @@ object SparkEntry {
     }),
     // distributed time-series subsequence search: top-k z-normalized
     // matches of a literal pattern over every user's event-value
-    // series. Every per-window float is an ORDERED-array fold, so both
+    // series, via the SEGMENTED window builder (per-group state is
+    // segment-sized, never one key's whole series — identical window
+    // set and bit-identical scores to the collect path, SeriesSpec).
+    // Every per-window float is an ORDERED-array fold, so both
     // engines compute bit-identical doubles — a hash-exact similarity
     // search
     "series_subseq_topk" -> ((s, d) =>
-      Series.znormSubsequenceTopK(t(s, d).events, SeriesPattern, k = 20)),
+      Series.znormSubsequenceTopKSegmented(t(s, d).events, SeriesPattern, k = 20)),
     "json_props_agg" -> ((s, d) => Windows.propsKeyStats(t(s, d).events)),
     // Spark 4 VARIANT: open-schema payload parsing with typed extraction
     "variant_props_agg" -> ((s, d) => Windows.variantPropsStats(t(s, d).events)),
@@ -2038,13 +2045,26 @@ object SparkEntry {
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
         |ORDER BY event_id""".stripMargin,
 
+    // sessionize-first: the same gaps-and-islands split (>= 12-hour
+    // µs-integer gap breaks, lag-null fall-through to 0) before the
+    // per-SESSION token string — a pattern cannot span sessions on
+    // either engine
     "event_pattern_match" ->
-      """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS tsu FROM events),
-        | s AS (SELECT user_id, string_agg('[' || event_type || ']', '' ORDER BY tsu, event_id) AS seq
-        |       FROM e GROUP BY 1),
+      """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS tsu,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        | g AS (SELECT user_id, event_id, event_type, tsu,
+        |        CASE WHEN us - lag(us) OVER w >= 43200000000 THEN 1 ELSE 0 END AS brk
+        |       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+        | sx AS (SELECT user_id, event_id, event_type, tsu,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |        FROM g),
+        | t AS (SELECT user_id, sess,
+        |        string_agg('[' || event_type || ']', '' ORDER BY tsu, event_id) AS seq
+        |       FROM sx GROUP BY 1, 2),
         | m AS (SELECT user_id,
-        |        CAST(len(regexp_extract_all(seq, '\[view\]\[click\]\[purchase\]')) AS BIGINT) AS n_matches
-        |        FROM s)
+        |        CAST(sum(len(regexp_extract_all(seq, '\[view\]\[click\]\[purchase\]'))) AS BIGINT) AS n_matches
+        |        FROM t GROUP BY 1)
         |SELECT user_id, n_matches FROM m WHERE n_matches > 0
         |ORDER BY user_id""".stripMargin,
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed time-series similarity search (the Odyssey / distributed
@@ -11,12 +11,15 @@ import org.apache.spark.sql.functions._
   * (each window is standardized before comparison, so a pattern finds
   * its occurrences at any offset/scale of the raw values).
   *
-  * Scale shape: series assemble per KEY (one shuffle, per-key state =
-  * that key's series — the time-series norm; a key too large for one
-  * buffer takes the windowed-aggregation variant instead), windows
-  * explode as (key, start, w-slice) with the W-SIZED slice the only
-  * payload, the pattern broadcasts as a literal array, and the global
-  * top-k is a TakeOrderedAndProject — never a full sort.
+  * Two window-builders share one scoring fold:
+  *  - [[znormSubsequenceTopK]] assembles each key's series in one
+  *    per-key collect — simple, exact, fine when per-key history is
+  *    human-scale;
+  *  - [[znormSubsequenceTopKSegmented]] (the registered path) explodes
+  *    overlapping (key, segment) chunks of length L+w−1 — the
+  *    `duplicatedSpans` strided-grid device — so per-GROUP state is
+  *    segment-sized no matter how long one key's series grows. Both
+  *    produce the identical window set, hence bit-identical scores.
   *
   * Cross-engine exactness (the reason this can be hash-checked at
   * all): every per-window quantity — mean, variance, distance — is a
@@ -28,20 +31,43 @@ import org.apache.spark.sql.functions._
   */
 object Series {
 
-  /** Top-k z-normalized matches of `pattern` across all users' series.
-    * Series order is (ts, event_id) — a total order, so re-runs build
-    * identical windows. Output: (user_id, start, dist_r). */
+  /** Z-normalize the pattern driver-side into a literal array column. */
+  private def znormPattern(pattern: Seq[Double]): Column = {
+    val w = pattern.length
+    require(w >= 2, "pattern needs at least 2 points")
+    val pMu = pattern.sum / w
+    val pSd = math.sqrt(pattern.map(x => (x - pMu) * (x - pMu)).sum / w)
+    require(pSd > 0, "a flat pattern has no z-normal form")
+    array(pattern.map(x => lit((x - pMu) / pSd)): _*)
+  }
+
+  /** Score (user_id, start, win) rows against the z-normed pattern and
+    * keep the global top-k — a TakeOrderedAndProject, never a full
+    * sort. The ordered folds are the cross-engine-exact part. */
+  private def scoreTopK(wins: DataFrame, pz: Column, w: Int, k: Int): DataFrame =
+    wins
+      .withColumn("__pz", pz) // the broadcast-as-literal pattern
+      .withColumn("mu", expr(s"aggregate(win, CAST(0.0 AS DOUBLE), (a, x) -> a + x) / ${w}.0"))
+      .withColumn("sd", sqrt(
+        expr(s"aggregate(transform(win, x -> (x - mu) * (x - mu)), CAST(0.0 AS DOUBLE), (a, y) -> a + y) / ${w}.0")))
+      .where(col("sd") > 0) // flat windows have no z-normal form
+      .withColumn("dist", expr(
+        "aggregate(zip_with(win, __pz, (x, p) -> ((x - mu) / sd - p) * ((x - mu) / sd - p)), CAST(0.0 AS DOUBLE), (a, y) -> a + y)"))
+      .select(col("user_id"), col("start").cast("long").as("pos"),
+        round(col("dist"), 6).as("dist_r"))
+      .orderBy(col("dist_r"), col("user_id"), col("pos"))
+      .limit(k)
+
+  /** Top-k z-normalized matches of `pattern` across all users' series,
+    * via one per-key series collect. Series order is (ts, event_id) —
+    * a total order, so re-runs build identical windows. Output:
+    * (user_id, pos, dist_r). Per-key agg state is that key's full
+    * series; for unbounded keys use the segmented variant below. */
   def znormSubsequenceTopK(events: DataFrame, pattern: Seq[Double], k: Int = 20,
                            valueCol: String = "value", keyCol: String = "user_id",
                            tsCol: String = "ts", tieCol: String = "event_id"): DataFrame = {
     val w = pattern.length
-    require(w >= 2, "pattern needs at least 2 points")
-    // z-normalize the pattern once, driver-side
-    val pMu = pattern.sum / w
-    val pSd = math.sqrt(pattern.map(x => (x - pMu) * (x - pMu)).sum / w)
-    require(pSd > 0, "a flat pattern has no z-normal form")
-    val pz = array(pattern.map(x => lit((x - pMu) / pSd)): _*)
-
+    val pz = znormPattern(pattern)
     val series = events
       .select(col(keyCol).as("user_id"), col(tsCol).as("__ts"),
         col(tieCol).as("__tie"), col(valueCol).as("__v"))
@@ -53,19 +79,59 @@ object Series {
         explode(sequence(lit(1), size(col("vs")) - lit(w - 1))).as("start"), col("vs"))
       .select(col("user_id"), col("start"),
         slice(col("vs"), col("start"), lit(w)).as("win"))
-    // ordered folds: identical association on both engines
-    val scored = wins
-      .withColumn("__pz", pz) // the broadcast-as-literal pattern
-      .withColumn("mu", expr(s"aggregate(win, CAST(0.0 AS DOUBLE), (a, x) -> a + x) / ${w}.0"))
-      .withColumn("sd", sqrt(
-        expr(s"aggregate(transform(win, x -> (x - mu) * (x - mu)), CAST(0.0 AS DOUBLE), (a, y) -> a + y) / ${w}.0")))
-      .where(col("sd") > 0) // flat windows have no z-normal form
-      .withColumn("dist", expr(
-        "aggregate(zip_with(win, __pz, (x, p) -> ((x - mu) / sd - p) * ((x - mu) / sd - p)), CAST(0.0 AS DOUBLE), (a, y) -> a + y)"))
-    scored
-      .select(col("user_id"), col("start").cast("long").as("pos"),
-        round(col("dist"), 6).as("dist_r"))
-      .orderBy(col("dist_r"), col("user_id"), col("pos"))
-      .limit(k)
+    scoreTopK(wins, pz, w, k)
+  }
+
+  /** The bounded-state variant: the same answer with per-GROUP state
+    * capped at `segLen + w - 1` values regardless of series length.
+    *
+    * Device (the `duplicatedSpans` strided grid, Dedup.duplicatedSpans):
+    * each row's 1-based series position `p` (a spillable sort-window
+    * row_number, no agg buffer) assigns it to owner segment
+    * `g = (p-1) div L`; the first `w-1` rows of each segment ALSO
+    * replicate to segment `g-1` as overlap tail, so every window whose
+    * start lies in a segment is fully contained in that segment's
+    * group. Windows are then built per (key, segment) exactly as the
+    * collect path builds them per key, and a window is emitted only by
+    * the segment that OWNS its start — each window exists exactly
+    * once. Positions within a key are contiguous by construction, so
+    * `start = min_pos + i - 1` recovers the global position without
+    * carrying it per row.
+    *
+    * Window set ≡ the collect path's (same slices of the same ordered
+    * series), and scoring is the same ordered fold — so results are
+    * bit-identical, which SeriesSpec asserts on a multi-segment key. */
+  def znormSubsequenceTopKSegmented(events: DataFrame, pattern: Seq[Double], k: Int = 20,
+                                    segLen: Int = 4096,
+                                    valueCol: String = "value", keyCol: String = "user_id",
+                                    tsCol: String = "ts", tieCol: String = "event_id"): DataFrame = {
+    val w = pattern.length
+    val pz = znormPattern(pattern)
+    require(segLen >= w, s"segment length $segLen must cover one window of $w")
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("__ts"), col("__tie"))
+    val positioned = events
+      .select(col(keyCol).as("user_id"), col(tsCol).as("__ts"),
+        col(tieCol).as("__tie"), col(valueCol).as("__v"))
+      .withColumn("p", row_number().over(byKey).cast("long"))
+      .select(col("user_id"), col("p"), col("__v"))
+    val owner = expr(s"(p - 1) div $segLen")
+    val inOverlapHead = expr(s"(p - 1) % $segLen") <= lit(w - 2)
+    val segs = positioned.select(col("user_id"), col("p"), col("__v"),
+      explode(when(inOverlapHead && owner > 0, array(owner, owner - 1))
+        .otherwise(array(owner))).as("seg"))
+    val grouped = segs
+      .groupBy(col("user_id"), col("seg"))
+      .agg(expr("transform(array_sort(collect_list(struct(p, __v))), s -> s.__v)").as("vs"),
+        min(col("p")).as("min_p"))
+    val wins = grouped.where(size(col("vs")) >= w)
+      .select(col("user_id"), col("seg"), col("min_p"),
+        explode(sequence(lit(1), size(col("vs")) - lit(w - 1))).as("i"), col("vs"))
+      .withColumn("start", col("min_p") + col("i") - 1)
+      // only the segment that owns the start emits the window
+      .where(expr(s"(start - 1) div $segLen") === col("seg"))
+      .select(col("user_id"), col("start"),
+        slice(col("vs"), col("i"), lit(w)).as("win"))
+    scoreTopK(wins, pz, w, k)
   }
 }

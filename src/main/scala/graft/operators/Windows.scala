@@ -50,21 +50,24 @@ object Windows {
   }
 
   /** Event-sequence pattern matching — the MATCH_RECOGNIZE workload
-    * expressed with the engine's own primitives: each user's events
-    * collapse, in total (ts, event_id) order, into one token string,
-    * and a regex over it counts non-overlapping occurrences of the
-    * behavioral pattern (`view click purchase` by default). The
-    * ordered array fold makes the string identical across engines and
-    * partitionings.
+    * expressed with the engine's own primitives, SESSIONIZE-FIRST so
+    * per-key aggregation state is bounded by construction: events
+    * first split into inactivity-gap sessions (gaps-and-islands over
+    * a spillable sort window — no agg buffer), then each SESSION's
+    * events collapse, in total (ts, event_id) order, into one token
+    * string, a regex counts non-overlapping occurrences of the
+    * behavioral pattern per session, and a final sum rolls sessions
+    * up per user. The collected span is one session, never one
+    * user's lifetime — a 10M-event bot user becomes many small rows,
+    * not one multi-GB aggregation buffer.
     *
-    * State caveat, stated like the Misra-Gries one: the per-user
-    * collect is bounded by ONE USER's event count — fine for
-    * behavioral analytics where per-entity history is human-scale;
-    * for adversarially hot keys, pre-window the sessions first
-    * (sessionized aggs above) so the collected span is bounded by
-    * construction. */
+    * Boundary semantics (deliberate, mirrored in the oracle twin): a
+    * pattern cannot span a session boundary — a funnel interrupted by
+    * `gap` of inactivity is two sessions and does not count. That is
+    * the standard product-analytics reading of a behavioral funnel. */
   def eventPatternMatches(events: DataFrame,
-                          pattern: String = "view click purchase"): DataFrame = {
+                          pattern: String = "view click purchase",
+                          gapMinutes: Int = 30): DataFrame = {
     // every token renders bracket-delimited ("[view][click]…"), so a
     // pattern token can never match inside a longer event type
     // ("[preview]" does not contain "[view]") and adjacent matches
@@ -75,16 +78,42 @@ object Windows {
     require(toks.nonEmpty && toks.forall(_.matches("\\w+")),
       s"pattern tokens must be word characters: $pattern")
     val regex = toks.map(t => s"\\[$t\\]").mkString
-    events
+    sessionTokenStrings(events, gapMinutes)
+      .select(col("user_id"),
+        regexp_count(col("s"), lit(regex)).cast(LongType).as("n"))
       .groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n_matches"))
+      .where(col("n_matches") > 0)
+  }
+
+  /** The bounded-state sessionization stage of [[eventPatternMatches]],
+    * exposed so the state bound is testable: one output row per
+    * (user, session), whose `s` token string covers exactly that
+    * session's events. Session break = an inactivity gap of
+    * `gapMinutes` or more (µs-integer compare on both engines — the
+    * same `>=` closing rule as Spark's `session_window`). The break
+    * flags come from a lag over a sort window (WindowExec: external
+    * spillable sort, no per-key buffer); only the per-SESSION collect
+    * materializes an array. */
+  def sessionTokenStrings(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("__us", unix_micros(col("ts")))
+      // first row of a key: lag is null -> null >= gap is null -> 0,
+      // so session indices start at 0 (identical CASE fall-through in
+      // the DuckDB twin)
+      .withColumn("__brk",
+        when(col("__us") - lag(col("__us"), 1).over(w) >= gapUs, lit(1L)).otherwise(lit(0L)))
+      .withColumn("sess",
+        sum(col("__brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess"))
       .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
         col("event_type")))).as("seq"))
-      .select(col("user_id"),
+      .select(col("user_id"), col("sess"),
         array_join(transform(col("seq"),
           x => concat(lit("["), x.getField("event_type"), lit("]"))), "").as("s"))
-      .select(col("user_id"),
-        regexp_count(col("s"), lit(regex)).cast(LongType).as("n_matches"))
-      .where(col("n_matches") > 0)
   }
 
   /** row_number / rank / lag / lead / running aggregate per user. */

@@ -56,6 +56,44 @@ class SeriesSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("segmented builder equals the collect path on keys spanning many segments") {
+    // deterministic pseudo-random series much longer than one segment:
+    // with segLen = 32, user 1 spans 5 segments (150 values) and the
+    // planted pattern copy straddles a segment boundary (start 30,
+    // covers positions 30..37 across segments 0 and 1)
+    val rng = new scala.util.Random(42)
+    val base = Seq.fill(150)(rng.nextDouble() * 10.0)
+    val planted = base.patch(29, pattern.map(x => 3.0 + 0.5 * x), pattern.length)
+    val vals = Seq(1L -> planted, 2L -> Seq.fill(40)(rng.nextDouble() * 10.0))
+    val expect = Series.znormSubsequenceTopK(eventsOf(vals), pattern, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val got = Series.znormSubsequenceTopKSegmented(eventsOf(vals), pattern, k = 20, segLen = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === expect)
+    assert(got.head === ((1L, 30L, 0.0))) // the boundary-straddling plant wins at distance 0
+  }
+
+  test("segmented builder: per-group collected state is segment-bounded") {
+    // 200-value series, segLen 32, w 8: every (key, segment) group
+    // holds at most segLen + w - 1 = 39 values — never the whole key
+    val vals = Seq(1L -> Seq.tabulate(200)(i => math.sin(i * 0.7) * 5 + i % 13))
+    val df = eventsOf(vals)
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val positioned = df.select($"user_id", $"ts", $"event_id", $"value".as("__v"))
+      .withColumn("p", row_number().over(byKey).cast("long"))
+    val segLen = 32
+    val w = pattern.length
+    val segs = positioned.select($"user_id", $"p", $"__v",
+      explode(when(expr(s"(p - 1) % $segLen") <= lit(w - 2) && expr(s"(p - 1) div $segLen") > 0,
+        array(expr(s"(p - 1) div $segLen"), expr(s"(p - 1) div $segLen") - 1))
+        .otherwise(array(expr(s"(p - 1) div $segLen")))).as("seg"))
+    val maxGroup = segs.groupBy($"user_id", $"seg").count()
+      .agg(max($"count")).collect().head.getLong(0)
+    assert(maxGroup <= segLen + w - 1)
+    assert(maxGroup > segLen) // overlap tails really replicate
+  }
+
   test("flat windows are skipped: a constant series yields no matches") {
     val got = Series.znormSubsequenceTopK(
       eventsOf(Seq(1L -> Seq.fill(12)(4.25))), pattern, k = 5).collect()

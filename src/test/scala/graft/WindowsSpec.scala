@@ -1,6 +1,7 @@
 package graft
 
 import java.sql.Timestamp
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Windows
 
@@ -87,6 +88,47 @@ class WindowsSpec extends AnyFunSuite {
     val out = Windows.eventPatternMatches(events).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === Map(100L -> 2L, 200L -> 1L))
+  }
+
+  test("eventPatternMatches: a funnel spanning a session boundary does not count") {
+    val events = Seq(
+      // user 1: view, click, then 40 minutes of silence before the
+      // purchase — the purchase opens a NEW session, so no match
+      (1L, ts(0), 1L, "view", 0.0, ""), (2L, ts(5), 1L, "click", 0.0, ""),
+      (3L, ts(45), 1L, "purchase", 0.0, ""),
+      // user 2: the identical funnel fully inside one session -> match
+      (4L, ts(0), 2L, "view", 0.0, ""), (5L, ts(5), 2L, "click", 0.0, ""),
+      (6L, ts(10), 2L, "purchase", 0.0, ""),
+      // user 3: one funnel per session, two sessions -> per-session
+      // counts sum to 2
+      (7L, ts(0), 3L, "view", 0.0, ""), (8L, ts(1), 3L, "click", 0.0, ""),
+      (9L, ts(2), 3L, "purchase", 0.0, ""),
+      (10L, ts(60), 3L, "view", 0.0, ""), (11L, ts(61), 3L, "click", 0.0, ""),
+      (12L, ts(62), 3L, "purchase", 0.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Windows.eventPatternMatches(events).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(2L -> 1L, 3L -> 2L))
+  }
+
+  test("eventPatternMatches state is session-bounded: a 10k-event hot user never materializes one whole-history row") {
+    // 10_000 events, each 31 minutes apart -> 10_000 one-event
+    // sessions; the largest collected span (token-string length) is
+    // ONE event's token, proving no per-user whole-history buffer
+    val hot = (0 until 10000).map { i =>
+      (i.toLong, ts(i * 31), 7L, "click", 0.0, "")
+    }
+    // and a user whose 5-event burst stays within gaps -> one session
+    val burst = (0 until 5).map { i =>
+      (100000L + i, ts(i), 8L, "view", 0.0, "")
+    }
+    val events = (hot ++ burst).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val spans = Windows.sessionTokenStrings(events, gapMinutes = 30)
+      .groupBy($"user_id").agg(
+        count(lit(1)).as("n_sessions"), max(length($"s")).as("max_span"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(spans(7L) === ((10000L, "[click]".length)))
+    assert(spans(8L) === ((1L, "[view]".length * 5)))
   }
 
   test("recursive CTE (Spark 4 UnionLoop): spine generation terminates and is dense") {
