@@ -416,8 +416,14 @@ object LakeTable {
         val del = deleteSet(spark, tableDir, v)
         val baseData = del.fold(p.base)(d =>
           p.base.join(broadcast(d), d.columns.toSeq, "left_anti"))
+        // retire entries whose physical rows this rewrite drops — the
+        // commitMergeAt rule: a vector key inside a touched file is
+        // already absent from baseData (read through the vector), so
+        // keeping its entry would under-count history() and tax every
+        // later read with a dead probe
         val carriedDel = del
           .map(_.join(images.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+            .join(p.base.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
             .localCheckpoint(true))
           .filter(_.count() > 0L)
         (latestOf(baseData.unionByName(latestOf(images))), p.touched, Some(p.carried),
@@ -635,8 +641,14 @@ object LakeTable {
       s"no bloom store for $colName — run ensureBlooms first")
     val files = manifest(spark, tableDir, v)
       .select(col("file")).collect().map(_.getString(0)).toSet
+    // coverage means DISTINCT files: a racing/re-run ensureBlooms can
+    // append a duplicate row for a file (harmless — the file is
+    // immutable, so the filters are interchangeable), which must
+    // neither fail the completeness check as a phantom gap nor make
+    // the pruned scan read its file twice
     val blooms = spark.read.parquet(bloomDir(tableDir, colName))
       .where(col("file").isin(files.toSeq: _*))
+      .dropDuplicates("file")
     require(blooms.count() == files.size.toLong,
       s"bloom store for $colName does not cover snapshot $v — run ensureBlooms first")
     val (rows, hits, total) = StatsManifest.scanBloomPruned(spark, blooms, colName, value)
