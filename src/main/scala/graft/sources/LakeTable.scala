@@ -348,9 +348,16 @@ object LakeTable {
     * [[commitMerge]] touching those keys (or a compaction rewrite)
     * reconciles physically. Published atomically like any commit —
     * racing writers resolve through the same OCC rename. */
-  def commitDelete(keys: DataFrame, tableDir: String, keyCol: String): Commit = {
+  def commitDelete(keys: DataFrame, tableDir: String, keyCol: String): Commit =
+    commitDeleteAt(keys, tableDir, keyCol, versions(tableDir).last)
+
+  /** [[commitDelete]] pinned to an explicit base version — the OCC race
+    * seam, exactly [[commitMergeAt]]'s: read v, build the vector
+    * against v, publish v+1 after someone else already did → the
+    * rename fails and nothing the loser staged is visible. */
+  private[graft] def commitDeleteAt(keys: DataFrame, tableDir: String, keyCol: String,
+                                    v: Long): Commit = {
     val spark = keys.sparkSession
-    val v = versions(tableDir).last
     val m = manifest(spark, tableDir, v)
     val newDel = keys.select(col(keyCol)).distinct()
     val mergedDel = deleteSet(spark, tableDir, v)
@@ -360,17 +367,17 @@ object LakeTable {
   }
 
   /** The OCC retry loop every real lake writer runs: attempt, and on a
-    * conflict re-read the NEW latest snapshot and re-merge — the batch
-    * re-applies cleanly because MERGE is defined against whatever base
-    * it lands on. Bounded attempts; rethrows when contention outlasts
+    * conflict re-read the NEW latest snapshot and re-apply — safe for
+    * every commit kind here because each is defined against whatever
+    * base it lands on (MERGE re-merges, DELETE re-unions the vector,
+    * COMPACT re-selects the small files, RECLUSTER re-reads the
+    * snapshot). Bounded attempts; rethrows when contention outlasts
     * them. */
-  def commitMergeRetrying(changes: DataFrame, tableDir: String, keyCol: String,
-                          targetRowsPerFile: Long, opCol: String = "op",
-                          maxAttempts: Int = 5): Commit = {
+  private def retryingCommit(maxAttempts: Int)(attemptOnce: => Commit): Commit = {
     var attempt = 0
     while (true) {
       attempt += 1
-      try return commitMerge(changes, tableDir, keyCol, targetRowsPerFile, opCol)
+      try return attemptOnce
       catch {
         case e: java.util.ConcurrentModificationException =>
           if (attempt >= maxAttempts) throw e
@@ -378,6 +385,40 @@ object LakeTable {
     }
     sys.error("unreachable")
   }
+
+  def commitMergeRetrying(changes: DataFrame, tableDir: String, keyCol: String,
+                          targetRowsPerFile: Long, opCol: String = "op",
+                          maxAttempts: Int = 5): Commit =
+    retryingCommit(maxAttempts)(
+      commitMerge(changes, tableDir, keyCol, targetRowsPerFile, opCol))
+
+  /** [[commitDelete]] under the writer retry loop — a delete losing a
+    * race re-reads the new snapshot and re-unions its keys into THAT
+    * snapshot's vector (idempotent: the vector is a distinct set). */
+  def commitDeleteRetrying(keys: DataFrame, tableDir: String, keyCol: String,
+                           maxAttempts: Int = 5): Commit =
+    retryingCommit(maxAttempts)(commitDelete(keys, tableDir, keyCol))
+
+  /** [[commitCompact]] under the writer retry loop — the maintenance
+    * job racing a foreground writer. A lost race re-reads the new
+    * snapshot and re-selects ITS small files, so compacting never
+    * resurrects rows a concurrent merge rewrote: each attempt's inputs
+    * come entirely from the snapshot it publishes against. */
+  def commitCompactRetrying(spark: SparkSession, tableDir: String, keyCol: String,
+                            smallFileRows: Long, targetRowsPerFile: Long,
+                            maxAttempts: Int = 5): Commit =
+    retryingCommit(maxAttempts)(
+      commitCompact(spark, tableDir, keyCol, smallFileRows, targetRowsPerFile))
+
+  /** [[commitRecluster]] under the writer retry loop — layout
+    * evolution racing a foreground writer re-reads and re-clusters the
+    * WINNING snapshot, so no concurrently-merged row is lost to the
+    * rewrite. */
+  def commitReclusterRetrying(spark: SparkSession, tableDir: String, keyCol: String,
+                              clusterExpr: Column, targetRowsPerFile: Long,
+                              maxAttempts: Int = 5): Commit =
+    retryingCommit(maxAttempts)(
+      commitRecluster(spark, tableDir, keyCol, clusterExpr, targetRowsPerFile))
 
   /** Version-PINNED last-writer-wins commit — the LakeTable backend for
     * a streaming CDC materialization (EventStreams.runLatestImageLake):
@@ -451,8 +492,15 @@ object LakeTable {
     * compaction retires the long tail that many small commits still
     * accumulate at 100 TB. */
   def commitCompact(spark: SparkSession, tableDir: String, keyCol: String,
-                    smallFileRows: Long, targetRowsPerFile: Long): Commit = {
-    val v = versions(tableDir).last
+                    smallFileRows: Long, targetRowsPerFile: Long): Commit =
+    commitCompactAt(spark, tableDir, keyCol, smallFileRows, targetRowsPerFile,
+      versions(tableDir).last)
+
+  /** [[commitCompact]] pinned to an explicit base version — the OCC
+    * race seam (see [[commitMergeAt]]). */
+  private[graft] def commitCompactAt(spark: SparkSession, tableDir: String, keyCol: String,
+                                     smallFileRows: Long, targetRowsPerFile: Long,
+                                     v: Long): Commit = {
     val m = manifest(spark, tableDir, v)
     val small = m.where(col("n_rows") < smallFileRows)
       .select(col("file")).collect().map(_.getString(0))
@@ -502,8 +550,15 @@ object LakeTable {
     * workload (the StatsManifestSpec skip-rate numbers are exactly
     * that signal). Readers of old snapshots are untouched. */
   def commitRecluster(spark: SparkSession, tableDir: String, keyCol: String,
-                      clusterExpr: Column, targetRowsPerFile: Long): Commit = {
-    val v = versions(tableDir).last
+                      clusterExpr: Column, targetRowsPerFile: Long): Commit =
+    commitReclusterAt(spark, tableDir, keyCol, clusterExpr, targetRowsPerFile,
+      versions(tableDir).last)
+
+  /** [[commitRecluster]] pinned to an explicit base version — the OCC
+    * race seam (see [[commitMergeAt]]). */
+  private[graft] def commitReclusterAt(spark: SparkSession, tableDir: String, keyCol: String,
+                                       clusterExpr: Column, targetRowsPerFile: Long,
+                                       v: Long): Commit = {
     val m = manifest(spark, tableDir, v)
     // consumed twice (count + clustered write): checkpoint once
     val rows = readVersion(spark, tableDir, v).localCheckpoint(true)
@@ -798,6 +853,26 @@ object LakeTable {
     val dead = dataFiles.filterNot(f => referenced.contains(f.getAbsolutePath))
       .filter(_.lastModified() <= cutoff)
     dead.foreach(_.delete())
+    // GC parity for the ancillary point-lookup index: the per-file
+    // Bloom store keys rows by data-file path, and a vacuumed file's
+    // row is pure dead weight (inert for lookups, but the store would
+    // otherwise grow monotonically with commit churn). Keep a row iff
+    // its file still exists on disk — a live-but-unreferenced young
+    // file (a commit in flight) keeps its row, matching the data-file
+    // retention gate above. Store relations are file-count-sized (the
+    // manifest scale class), so the rewrite is a driver-side
+    // collect + overwrite like every other manifest operation.
+    Option(new java.io.File(s"$tableDir/_bloomstore").listFiles()).toSeq.flatten
+      .filter(_.isDirectory).foreach { colDir =>
+        val store = spark.read.parquet(colDir.getPath)
+        val live = store.collect().filter(r => new java.io.File(norm(r.getString(0))).exists())
+        if (live.length.toLong != store.count()) {
+          val schema = store.schema
+          FsUtil.deleteRecursively(colDir)
+          spark.createDataFrame(java.util.Arrays.asList(live.toSeq: _*), schema)
+            .coalesce(1).write.parquet(colDir.getPath)
+        }
+      }
     // sweep the husks OCC leaves behind — emptied commit/attempt dirs
     // and staging roots of writers that crashed before their publish
     // rename — but ONLY past the retention gate, and never a dir whose

@@ -564,4 +564,99 @@ class LakeTableSpec extends AnyFunSuite {
     assert(rows(LakeTable.readLatest(spark, dir)) === want)
     assert(LakeTable.versions(dir) === Seq(0L, 1L, 2L))
   }
+
+  test("OCC: delete/compact/recluster lose a race like merge does, and their retry loops land on the winner") {
+    val dir = Files.createTempDirectory("graft-lake-occ-all").toString
+    LakeTable.init(base, dir, "c_custkey", nFiles = 8)
+    // a foreground merge publishes v1 while the maintenance jobs still
+    // hold snapshot v0 — each stale publish of v1 must fail, leaving
+    // versions and content exactly the winner's
+    LakeTable.commitMerge(batch(10, 30), dir, "c_custkey", targetRowsPerFile = 40)
+    val afterMerge = rows(LakeTable.readLatest(spark, dir))
+    intercept[java.util.ConcurrentModificationException] {
+      LakeTable.commitCompactAt(spark, dir, "c_custkey",
+        smallFileRows = 1000L, targetRowsPerFile = 500L, v = 0L)
+    }
+    assert(LakeTable.versions(dir) === Seq(0L, 1L))
+    assert(rows(LakeTable.readLatest(spark, dir)) === afterMerge)
+    // the retry loop re-reads v1 and re-selects ITS small files: the
+    // compaction lands content-identical on top of the merge
+    val c2 = LakeTable.commitCompactRetrying(spark, dir, "c_custkey",
+      smallFileRows = 1000L, targetRowsPerFile = 500L)
+    assert(c2.version === 2L)
+    assert(rows(LakeTable.readLatest(spark, dir)) === afterMerge)
+    // delete racing: stale against v1 (v2 already exists) → conflict;
+    // the retry re-reads v2 and unions its keys into THAT vector
+    val delKeys = base.where(col("c_custkey") === 50L).select(col("c_custkey"))
+    intercept[java.util.ConcurrentModificationException] {
+      LakeTable.commitDeleteAt(delKeys, dir, "c_custkey", v = 1L)
+    }
+    val c3 = LakeTable.commitDeleteRetrying(delKeys, dir, "c_custkey")
+    assert(c3.version === 3L)
+    assert(LakeTable.readLatest(spark, dir).where(col("c_custkey") === 50L).isEmpty)
+    assert(rows(LakeTable.readLatest(spark, dir)) ===
+      afterMerge.filterNot(_._1 == 50L))
+    // recluster racing: stale against v2 (v3 exists) → conflict; the
+    // retry rewrites the WINNING snapshot (vector reconciled: key 50
+    // stays gone through the full rewrite)
+    intercept[java.util.ConcurrentModificationException] {
+      LakeTable.commitReclusterAt(spark, dir, "c_custkey",
+        col("c_acctbal"), targetRowsPerFile = 500L, v = 2L)
+    }
+    val c4 = LakeTable.commitReclusterRetrying(spark, dir, "c_custkey",
+      col("c_acctbal"), targetRowsPerFile = 500L)
+    assert(c4.version === 4L)
+    assert(rows(LakeTable.readLatest(spark, dir)) ===
+      afterMerge.filterNot(_._1 == 50L))
+  }
+
+  test("OCC: a compaction THREAD racing a merge THREAD — both land in either order, no lost rows") {
+    val dir = Files.createTempDirectory("graft-lake-occ-race").toString
+    LakeTable.init(base, dir, "c_custkey", nFiles = 12)
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def runner(body: => Unit) = new Thread(() =>
+      try { gate.await(); body } catch { case t: Throwable => errs.add(t) })
+    val merger = runner {
+      LakeTable.commitMergeRetrying(batch(10, 30), dir, "c_custkey",
+        targetRowsPerFile = 40)
+    }
+    val compactor = runner {
+      LakeTable.commitCompactRetrying(spark, dir, "c_custkey",
+        smallFileRows = 1000L, targetRowsPerFile = 500L)
+    }
+    merger.start(); compactor.start()
+    merger.join(120000); compactor.join(120000)
+    assert(errs.isEmpty, s"a racing writer failed: ${errs.peek()}")
+    // both landed — sequential semantics in SOME order: the merge's
+    // effect is present, and the compaction (whichever side it ran on)
+    // changed nothing a reader can see
+    assert(LakeTable.versions(dir) === Seq(0L, 1L, 2L))
+    assert(rows(LakeTable.readLatest(spark, dir)) ===
+      rows(ChangeData.mergeApply(base, batch(10, 30), "c_custkey")))
+  }
+
+  test("vacuum drops bloom-store rows for deleted files; surviving lookups stay exact") {
+    val dir = Files.createTempDirectory("graft-lake-bloomgc").toString
+    LakeTable.init(base, dir, "c_custkey", nFiles = 8)
+    assert(LakeTable.ensureBlooms(spark, dir, "c_acctbal") === 8L)
+    val c = LakeTable.commitMerge(batch(10, 30), dir, "c_custkey", targetRowsPerFile = 40)
+    assert(LakeTable.ensureBlooms(spark, dir, "c_acctbal") === c.filesRewritten)
+    val storeDir = s"$dir/_bloomstore/c_acctbal"
+    val before = spark.read.parquet(storeDir).count()
+    assert(before === 8L + c.filesRewritten) // covers v0 AND v1 files
+    // retire v0: its exclusively-referenced files delete, and the
+    // bloom rows keyed by them must go with them
+    val (_, deadFiles) = LakeTable.vacuum(spark, dir, keepVersions = 1, orphanAgeMs = 0L)
+    assert(deadFiles > 0L)
+    val after = spark.read.parquet(storeDir).count()
+    assert(after === before - deadFiles, "bloom store kept rows for vacuumed files")
+    assert(after === LakeTable.manifest(spark, dir, 1L).count(),
+      "store should cover exactly the surviving snapshot's files")
+    // and the shrunken store still answers point lookups exactly
+    val probe = base.where(col("c_custkey") === 42).head().getDouble(2)
+    val (got, _, _) = LakeTable.lookupVersion(spark, dir, 1L, "c_acctbal", probe)
+    assert(rows(got) === rows(LakeTable.readLatest(spark, dir)
+      .where(col("c_acctbal") === probe)))
+  }
 }
