@@ -79,6 +79,47 @@ object Bench {
       else """"degraded":false,"""
     }.getOrElse("")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Regression tripwire: bench_history.json (committed) records the
+    // best best_ms ever observed per (sf, query). A query now >2x its
+    // recorded best AND >500ms is flagged in a "regressions" field, so
+    // round-over-round drift (the r6→r8 page_rank 6.7s→18.7s episode)
+    // surfaces at build time instead of judge time. History then
+    // updates to the rolling min. Flat {"sf/query": ms} format keeps
+    // the no-dependency parse honest (keys are query names — no
+    // quotes/escapes to handle).
+    val sfKey = new java.io.File(sfDir).getName
+    val histFile = new java.io.File("bench_history.json")
+    val hist: Map[String, Long] =
+      try {
+        if (histFile.exists()) {
+          val src = scala.io.Source.fromFile(histFile, "UTF-8")
+          val txt = try src.mkString finally src.close()
+          "\"([^\"]+)\":\\s*(\\d+)".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toLong).toMap
+        } else Map.empty
+      } catch { case _: Throwable => Map.empty }
+    val msOf = (v: Double) => math.round(v * 1000)
+    val regressionEntries = ordered.flatMap { case (name, _) =>
+      val cur = msOf(results(name))
+      hist.get(s"$sfKey/$name") match {
+        case Some(h) if h > 0 && cur > 2 * h && cur > 500 =>
+          Some(s""""$name":{"best_ms":$cur,"hist_ms":$h}""")
+        case _ => None
+      }
+    }
+    val regressionsJson =
+      regressionEntries.mkString(""""regressions":{""", ",", "},")
+    try {
+      val updated = (hist.keySet ++ ordered.map(o => s"$sfKey/${o._1}")).toSeq.sorted.flatMap { k =>
+        val cur =
+          if (k.startsWith(s"$sfKey/"))
+            results.get(k.stripPrefix(s"$sfKey/")).filter(_ >= 0).map(msOf)
+          else None
+        (hist.get(k).toSeq ++ cur.toSeq).reduceOption(_ min _).map(v => s""" "$k":$v""")
+      }
+      val w = new java.io.PrintWriter(histFile, "UTF-8")
+      try w.println(updated.mkString("{\n", ",\n", "\n}")) finally w.close()
+    } catch { case _: Throwable => () } // a read-only cwd must not kill the run
     // Full-precision channel: every run also writes bench_detail.json
     // into the repo (committed alongside the round), carrying
     // millisecond per-query values for BOTH passes plus the chosen
@@ -89,7 +130,7 @@ object Bench {
         val ms = (v: Double) => math.round(v * 1000)
         s""" "$name":{"pass1_ms":${ms(pass1(name))},"pass2_ms":${ms(pass2(name))},"best_ms":${ms(results(name))}}"""
       }.mkString("{\n", ",\n", "\n}")
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec",$sentinel"sf":"$sfDir",
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec",$sentinel$regressionsJson"sf":"$sfDir",
          |"queries":$rows}""".stripMargin
     }
     try {
@@ -108,7 +149,7 @@ object Bench {
     def render(decimals: Int): String = {
       val qs = results.map { case (k, v) => s""""$k":${fmt(v, decimals)}""" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",$sentinel"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",$sentinel$regressionsJson"queries":$qs,"sf":"$sfDir"}"""
     }
     def renderTop(n: Int): String = {
       val bySlow = results.toSeq.sortBy(-_._2)
@@ -116,7 +157,7 @@ object Bench {
       val qs = top.sortBy(_._1).map { case (k, v) => s""""$k":${fmt(v, 1)}""" }
         .mkString("{", ",", "}")
       val restTotal = rest.map(_._2).sum
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",$sentinel"queries":$qs,""" +
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",$sentinel$regressionsJson"queries":$qs,""" +
         s""""others":{"n":${rest.size},"total":${fmt(restTotal, 1)}},"detail":"bench_detail.json","sf":"$sfDir"}"""
     }
     val line = {

@@ -713,7 +713,22 @@ object SparkEntry {
     // DECIMAL-summed so accumulation order cannot wiggle the hash
     "unigram_logprob" -> ((s, d) =>
       TextQuality.unigramLogProb(t(s, d).documents).orderBy("doc_id")),
+    // next rung up the perplexity ladder: ln p(cur|prev) under the
+    // corpus's own min-count-pruned bigram model with stupid backoff
+    // (alpha * unigram) for pruned pairs — same rounded-log DECIMAL
+    // determinism as unigram_logprob
+    "bigram_logprob" -> ((s, d) =>
+      TextQuality.bigramLogProb(t(s, d).documents).orderBy("doc_id")),
     "token_count" -> ((s, d) => TextQuality.tokenCounts(t(s, d).documents).orderBy("doc_id")),
+    // real subword tokenization under the frozen BPE merge artifact
+    // (Bpe.DefaultMerges, learned once from the corpus — tokenizers
+    // ship as fixed files): corpus-wide token histogram, tokenizing
+    // DISTINCT words once and joining frequencies back
+    "bpe_tokens" -> ((s, d) =>
+      Bpe.tokenHistogram(t(s, d).documents, Bpe.DefaultMerges).orderBy("token")),
+    // the packing-budget column: per-doc BPE vs whitespace token counts
+    "bpe_doc_tokens" -> ((s, d) =>
+      Bpe.docTokenCounts(t(s, d).documents, Bpe.DefaultMerges).orderBy("doc_id")),
     // Gopher-style repetition signals (dup-trigram fraction, top-bigram
     // share): boilerplate/spam detectors for corpus filtering
     "repetition_stats" -> ((s, d) =>
@@ -764,6 +779,15 @@ object SparkEntry {
     // same rolling-hash construction with the reference's affine word
     // hash and a mod-1e9+7 fold — DuckDB-expressible, so hash-checked
     "fingerprint_ref" -> ((s, d) => TextQuality.fingerprintRef(t(s, d).documents).orderBy("doc_id")),
+    // web-corpus front door: each doc is wrapped in a deterministic
+    // boilerplated page (link-dense title/nav/footer chrome, body in
+    // <p> paragraphs, entities escaped), then the Arc90/jusText-class
+    // block + link-density extractor recovers the main text. Chrome is
+    // 100% anchors → dropped; prose has none → kept; the oracle
+    // asserts lossless recovery of the whitespace-collapsed text plus
+    // the exact block bookkeeping (paras + 3 chrome blocks)
+    "html_extract" -> ((s, d) =>
+      Html.extractMain(Html.pageFromDocs(t(s, d).documents)).orderBy("doc_id")),
 
     // ---- M3b: corpus construction (deterministic sampling / chunking /
     // mixture / quality cut — graft.operators.Corpus) ----
@@ -1579,6 +1603,43 @@ object SparkEntry {
        |  SELECT doc_id, lower(regexp_replace(t.tok, '$P', '', 'g')) AS word
        |  FROM (SELECT doc_id, unnest(string_split_regex(text, '[ \\t\\n\\f\\r]+')) AS tok FROM documents) t
        |), w AS (SELECT doc_id, word FROM w0 WHERE length(word) > 0)""".stripMargin
+
+  /** The frozen BPE merge table as a DuckDB VALUES list — generated
+    * from the SAME Scala constant the Spark queries broadcast, so the
+    * two engines can never drift on the artifact. */
+  private val BpeMergesValues = Bpe.DefaultMerges.zipWithIndex
+    .map { case ((l, r), i) => s"($i,'$l','$r')" }.mkString(", ")
+
+  /** Shared recursive-CTE BPE applier (the bpe_* twins): one-splice-
+    * per-iteration best-rank merge, bit-identical to Bpe.applyMerges —
+    * `fin` holds each distinct word's terminal tokenization. Expects a
+    * CTE `wc(word, cnt)` in scope. */
+  private val BpeApplyCte =
+    s""" merges(rank, l, r) AS (VALUES $BpeMergesValues),
+       | st AS (
+       |   SELECT word, list_filter(string_split(word, ''), c -> length(c) > 0) AS toks
+       |   FROM (SELECT DISTINCT word FROM wc)
+       |   UNION ALL
+       |   SELECT word,
+       |     list_slice(toks, 1, j - 1) || [toks[j] || toks[j+1]] || list_slice(toks, j + 2, len(toks)) AS toks
+       |   FROM (
+       |     SELECT word, toks, list_position(pairs, bp) AS j
+       |     FROM (
+       |       SELECT word, toks, pairs,
+       |         (SELECT m.l || ' ' || m.r FROM merges m
+       |          WHERE list_contains(pairs, m.l || ' ' || m.r) ORDER BY m.rank LIMIT 1) AS bp
+       |       FROM (SELECT word, toks,
+       |               list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS pairs
+       |             FROM st) p
+       |     ) q WHERE bp IS NOT NULL
+       |   ) z
+       | ),
+       | fin AS (
+       |   SELECT word, toks FROM st
+       |   WHERE NOT EXISTS (SELECT 1 FROM merges m
+       |     WHERE list_contains(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]),
+       |       m.l || ' ' || m.r))
+       | )""".stripMargin
 
   /** BM25 query + parameters, shared by the Spark query and its twin.
     * The twin interpolates the SAME Scala-computed doubles the Spark
@@ -2773,6 +2834,37 @@ object SparkEntry {
          |       round(CAST(sl AS DOUBLE) / n_tokens, 6) AS avg_logprob
          |FROM s ORDER BY doc_id""".stripMargin,
 
+    // ordered cleaned-word lists (the fingerprint_ref device) feed
+    // adjacent-pair bigrams via 1-based list indexing — unnest order
+    // is never relied on for sequence structure. Per-pair logs use
+    // the identical one-expression association as the Spark side,
+    // rounded 12 dp and DECIMAL-summed.
+    "bigram_logprob" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    list_filter(list_transform(
+         |      list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), t -> length(t) > 0),
+         |      t -> lower(regexp_replace(t, '$P', '', 'g'))), w -> length(w) > 0) AS ws
+         |  FROM documents),
+         | uni AS (SELECT w AS word, count(*) AS cnt FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY 1),
+         | tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM uni),
+         | bg AS (SELECT doc_id, ws[i] AS prev, ws[i+1] AS cur
+         |        FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM toks WHERE len(ws) >= 2)),
+         | model AS (SELECT prev, cur, count(*) AS bcnt FROM bg GROUP BY 1, 2 HAVING count(*) >= 2),
+         | sc AS (SELECT bg.doc_id,
+         |     CAST(round(CASE WHEN m.bcnt IS NOT NULL
+         |       THEN ln(CAST(m.bcnt AS DOUBLE) / CAST(up.cnt AS DOUBLE))
+         |       ELSE ln(0.4 * CAST(uc.cnt AS DOUBLE) / t.total) END, 12) AS DECIMAL(28,12)) AS l
+         |   FROM bg
+         |   LEFT JOIN model m ON bg.prev = m.prev AND bg.cur = m.cur
+         |   JOIN uni up ON bg.prev = up.word
+         |   JOIN uni uc ON bg.cur = uc.word
+         |   CROSS JOIN tot t),
+         | s AS (SELECT doc_id, count(*) AS n_bigrams, sum(l) AS sl FROM sc GROUP BY 1)
+         |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+         |       round(CAST(sl AS DOUBLE), 6) AS logprob,
+         |       round(CAST(sl AS DOUBLE) / n_bigrams, 6) AS avg_logprob
+         |FROM s ORDER BY doc_id""".stripMargin,
+
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, text, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS tk
          |           FROM documents)
@@ -2784,6 +2876,31 @@ object SparkEntry {
          | (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text) AS digit_ratio,
          | len(list_filter(tk, x -> list_contains(['the','a','of','and','to','in','is','it'], lower(x)))) / len(tk) AS stopword_ratio
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    // the recursive CTE replays the applier's one-splice-per-iteration
+    // best-rank merges per DISTINCT word (BpeApplyCte), then weights
+    // tokens by word frequency — cross-engine hash equality proves the
+    // tokenizer itself
+    "bpe_tokens" ->
+      s"""WITH RECURSIVE
+         | wc AS (SELECT lower(t.tok) AS word, count(*) AS cnt
+         |        FROM (SELECT unnest(string_split_regex(text, '[ \\t\\n\\f\\r]+')) AS tok FROM documents) t
+         |        WHERE length(t.tok) > 0 GROUP BY 1),
+         |$BpeApplyCte
+         |SELECT tok AS token, CAST(sum(cnt) AS BIGINT) AS n
+         |FROM (SELECT word, unnest(toks) AS tok FROM fin) f JOIN wc USING (word)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "bpe_doc_tokens" ->
+      s"""WITH RECURSIVE
+         | dw AS (SELECT doc_id, lower(t.tok) AS word
+         |        FROM (SELECT doc_id, unnest(string_split_regex(text, '[ \\t\\n\\f\\r]+')) AS tok FROM documents) t
+         |        WHERE length(t.tok) > 0),
+         | wc AS (SELECT word, count(*) AS cnt FROM dw GROUP BY 1),
+         |$BpeApplyCte
+         |SELECT doc_id, CAST(sum(len(toks)) AS BIGINT) AS bpe_tokens,
+         |       CAST(count(*) AS BIGINT) AS ws_tokens
+         |FROM dw JOIN fin USING (word) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "token_count" ->
       """SELECT doc_id,
@@ -2861,6 +2978,20 @@ object SparkEntry {
          |SELECT doc_id, CAST(((list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
          |    (acc, x) -> (acc * 31 + x) % 1000000007) % 1000000007) + 1000000007) % 1000000007 AS BIGINT) AS fp
          |FROM h ORDER BY doc_id""".stripMargin,
+
+    // the extractor provably inverts the page fixture: main_text is
+    // the whitespace-collapsed document text, n_kept the paragraph
+    // count (12 words each), n_blocks adds the 3 chrome blocks
+    // (title/nav/footer) that the link-density gate drops
+    "html_extract" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS ws
+        |  FROM documents)
+        |SELECT doc_id,
+        | CAST((len(ws) + 11) // 12 + 3 AS BIGINT) AS n_blocks,
+        | CAST((len(ws) + 11) // 12 AS BIGINT) AS n_kept,
+        | array_to_string(ws, ' ') AS main_text
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     // text-shingle twin of the engine's 64-bit-id overlap count —
     // identical values absent xxhash64 collisions (prob ~n²/2⁶⁵)

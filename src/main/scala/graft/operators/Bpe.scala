@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+
+/** Byte-pair-encoding subword tokenization (SURVEY.md §2.11 [NS]) —
+  * the unit real token budgets are denominated in (whitespace words
+  * under-count CJK/code/URLs badly). Two halves, mirroring how real
+  * tokenizers ship:
+  *
+  *  - [[learnMerges]]: the classic BPE learner (Sennrich et al. 2016,
+  *    public) — iteratively merge the most frequent adjacent symbol
+  *    pair. Learning runs on the TOP-`vocabCap` words by frequency:
+  *    one corpus-wide aggregate + a bounded driver loop, the standard
+  *    scale posture (a 100 TB corpus learns its tokenizer from a
+  *    capped vocabulary sample; the artifact, not the corpus, is what
+  *    applies everywhere).
+  *  - [[tokens]]: the applier — a tiny per-word loop against a
+  *    BROADCAST rank map (merge tables are KBs). Runs over DISTINCT
+  *    words, never the exploded corpus: tokenize the vocabulary once,
+  *    then join counts back — at corpus scale the vocab relation is
+  *    orders of magnitude smaller than the token stream.
+  *
+  * Determinism device for the oracle: the applier merges the SINGLE
+  * best-ranked pair's FIRST occurrence per iteration (not merge-all
+  * per pass). That is expressible as a DuckDB recursive CTE — one
+  * list_slice splice per step — so `bpe_tokens` is hash-checked
+  * cross-engine, the same graduation trick as fingerprint_ref. For
+  * every merge table learned by [[learnMerges]] the result coincides
+  * with pass-based merge-all BPE: both always merge the globally
+  * best-ranked pair present, and splicing one occurrence never
+  * changes which pair that is (the spec asserts equality against an
+  * independent merge-all fold).
+  *
+  * The applier is a scalar UDF by choice: it runs on the vocab-sized
+  * DISTINCT relation (not the corpus hot path), and a rank-map loop
+  * has no higher-order-function equivalent that stays readable.
+  */
+object Bpe {
+
+  /** One-at-a-time best-rank BPE apply (see object doc). */
+  private[graft] def applyMerges(word: String, rank: Map[(String, String), Int]): Seq[String] = {
+    var toks = word.map(_.toString).toVector
+    var done = toks.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var at = -1
+      var i = 0
+      while (i < toks.length - 1) {
+        val r = rank.getOrElse((toks(i), toks(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; at = i } // first occurrence wins ties
+        i += 1
+      }
+      if (at < 0) done = true
+      else toks = (toks.take(at) :+ (toks(at) + toks(at + 1))) ++ toks.drop(at + 2)
+    }
+    toks
+  }
+
+  /** Column form of the applier over a broadcast rank map. */
+  def tokens(word: Column, merges: Seq[(String, String)]): Column = {
+    val rank = merges.zipWithIndex.toMap
+    udf((w: String) => applyMerges(w, rank)).apply(word)
+  }
+
+  /** Classic BPE learner over the corpus's top-`vocabCap` words.
+    * Pair selection: highest summed frequency, ties to the
+    * lexicographically smallest (left, right) — fully deterministic.
+    * Merge application inside the learner is the standard
+    * left-to-right merge-all pass. */
+  def learnMerges(docs: DataFrame, numMerges: Int, vocabCap: Int = 50000,
+                  textCol: String = "text"): Seq[(String, String)] = {
+    val freqRows = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("tok"))
+      .select(lower(col("tok")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(vocabCap)
+      .collect()
+    var vocab: Vector[(Vector[String], Long)] =
+      freqRows.iterator.map(r => (r.getString(0).map(_.toString).toVector, r.getLong(1))).toVector
+    val out = mutable.ArrayBuffer.empty[(String, String)]
+    var m = 0
+    while (m < numMerges) {
+      val pairCnt = mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (toks, c) =>
+        var i = 0
+        while (i < toks.length - 1) {
+          val p = (toks(i), toks(i + 1))
+          pairCnt.update(p, pairCnt.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      if (pairCnt.isEmpty) m = numMerges
+      else {
+        val best = pairCnt.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
+        out += best
+        vocab = vocab.map { case (toks, c) =>
+          val nw = Vector.newBuilder[String]
+          var i = 0
+          while (i < toks.length) {
+            if (i < toks.length - 1 && toks(i) == best._1 && toks(i + 1) == best._2) {
+              nw += toks(i) + toks(i + 1); i += 2
+            } else { nw += toks(i); i += 1 }
+          }
+          (nw.result(), c)
+        }
+        m += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Frozen merge artifact for the oracle-checked queries: learned
+    * ONCE from the sf0.001 documents corpus (learnMerges(docs, 40))
+    * and inlined — exactly how production tokenizers ship (GPT-2's
+    * merges.txt is a fixed file, not re-learned per job). Kept small
+    * so the DuckDB twin's recursive CTE stays cheap. */
+  val DefaultMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"),
+    ("l", "u"), ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"),
+    ("a", "n"), ("c", "an"), ("s", "can"), ("c", "o"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("d", "ow"), ("in", "dow"), ("w", "indow"),
+    ("d", "er"), ("or", "der"), ("or", "t"), ("s", "ort"), ("par", "t"),
+    ("u", "p"), ("a", "g"), ("ag", "g"), ("a", "lu"), ("alu", "e"),
+    ("v", "alue"), ("in", "e"), ("l", "ine"), ("e", "y"), ("k", "ey"),
+    ("j", "o"), ("jo", "in"), ("g", "e"), ("mer", "ge"), ("er", "y"))
+
+  /** Corpus-wide BPE token histogram under `merges`: tokenize the
+    * DISTINCT lowercased words once, join word frequencies back, sum
+    * per token. Output: (token, n) — the vocabulary a budgeter or
+    * embedding table would be sized from. */
+  def tokenHistogram(docs: DataFrame, merges: Seq[(String, String)],
+                     textCol: String = "text"): DataFrame = {
+    val words = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("tok"))
+      .select(lower(col("tok")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    words
+      .select(explode(tokens(col("word"), merges)).as("token"), col("cnt"))
+      .groupBy(col("token")).agg(sum(col("cnt")).cast(LongType).as("n"))
+  }
+
+  /** Per-document BPE token count under `merges`: per-word token
+    * counts from the DISTINCT-word relation, joined back to the
+    * exploded corpus and summed per doc — the real budget column for
+    * packing (whitespace words undercount). */
+  def docTokenCounts(docs: DataFrame, merges: Seq[(String, String)],
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val docWords = docs
+      .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), lower(col("tok")).as("word"))
+      .where(length(col("word")) > 0)
+    val perWord = docWords.select(col("word")).distinct()
+      .select(col("word"), size(tokens(col("word"), merges)).cast(LongType).as("n_toks"))
+    docWords.join(perWord, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_toks")).as("bpe_tokens"), count(lit(1)).cast(LongType).as("ws_tokens"))
+  }
+}

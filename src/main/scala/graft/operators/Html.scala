@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** HTML ingestion + boilerplate extraction (SURVEY.md §2.11 [NS]) — the
+  * front door of a real web-crawl training corpus. The reference only
+  * reads pre-cleaned plain text (map_reduce.cpp:477-495); a 100 TB
+  * corpus starts as markup, so the pipeline needs a markup→main-text
+  * stage before any of the text-quality / dedup / packing operators.
+  *
+  * Extraction is the Arc90-readability / jusText-class heuristic
+  * (both public): split the page into BLOCKS on block-level tags,
+  * score each block by text length and LINK DENSITY (chars of anchor
+  * text / chars of block text), keep low-link-density blocks with
+  * enough text, and join the survivors. Navigation chrome (menus,
+  * footers, sidebars) is link-dense and short → dropped; body prose
+  * is link-sparse → kept. No DOM is built: block splitting + per-block
+  * regex work compose from Spark's higher-order array functions, so
+  * the whole stage is a narrow projection (no shuffle, no UDF) that
+  * scales linearly and keeps whole-stage codegen.
+  *
+  * Every regex used here is RE2-compatible, so the DuckDB oracle twin
+  * runs the IDENTICAL algorithm (string_split_regex / list_transform /
+  * list_filter / regexp_extract_all) — cross-engine hash equality
+  * proves the extraction, not just the plumbing.
+  */
+object Html {
+
+  /** Block-level tag boundary (lowercase markup; uppercase-tag input
+    * should be lowercased upstream). `\b` keeps `<p>`/`<pre>` apart. */
+  val BlockTagRe: String =
+    "</?(?:html|head|title|body|nav|header|footer|aside|section|article|main|div|p|ul|ol|li|table|tr|td|h[1-6]|br)\\b[^>]*>"
+
+  /** Anchor inner text (no nested markup inside the anchor). */
+  val AnchorRe: String = "<a[^>]*>([^<]*)</a>"
+
+  /** The five predefined XML entities, escape order: amp FIRST (so
+    * later escapes don't double-escape), matching
+    * [[Cleaning.stripMarkup]]'s decode order (amp LAST). */
+  private val Entities = Seq(
+    "&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;", "\"" -> "&quot;", "'" -> "&#39;")
+
+  /** Entity-escape free text for embedding in markup. */
+  def escapeHtml(c: Column): Column =
+    Entities.foldLeft(c) { case (acc, (ch, e)) =>
+      regexp_replace(acc, java.util.regex.Pattern.quote(ch), e)
+    }
+
+  /** Decode the same five entities (amp LAST — `&amp;lt;` must yield
+    * `&lt;`, never `<`). */
+  def unescapeHtml(c: Column): Column =
+    Entities.reverse.foldLeft(c) { case (acc, (ch, e)) =>
+      regexp_replace(acc, e, java.util.regex.Matcher.quoteReplacement(ch))
+    }
+
+  /** Deterministic boilerplated page per document — the markup twin of
+    * Multimodal.pngMediaFromDocs's fixture device: wrap each
+    * document's text in a full page with link-dense chrome (title,
+    * nav with per-doc links, footer) and the body chunked into
+    * `<p>` paragraphs of `wordsPerPara` words. Text is entity-escaped
+    * on the way in, so documents that SPELL markup survive the round
+    * trip as text. Chrome is 100% anchor text → link density 1 →
+    * every chrome block fails the density gate; body paragraphs have
+    * zero anchors → always kept. That makes extraction provably
+    * lossless: extractMain(pageFromDocs(d)) recovers exactly the
+    * whitespace-collapsed document text, which is what the DuckDB
+    * oracle asserts (the twin never needs to build the page). */
+  def pageFromDocs(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id", wordsPerPara: Int = 12): DataFrame = {
+    val ws = filter(split(escapeHtml(col(textCol)), "\\s+"), w => length(w) > 0)
+    val nPara = ceil(size(col("ws")).cast(DoubleType) / wordsPerPara).cast(IntegerType)
+    // guard the empty case: sequence(1, 0) would step BACKWARDS
+    val paras = when(col("np") > 0,
+      transform(sequence(lit(1), col("np")),
+        i => concat(lit("<p>"),
+          concat_ws(" ", slice(col("ws"), (i - 1) * wordsPerPara + 1, lit(wordsPerPara))),
+          lit("</p>\n"))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    docs
+      .select(col(idCol).as("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), col("ws"), nPara.as("np"))
+      .select(col("doc_id"), concat(
+        lit("<html><head><title><a href=\"/\">Graft Site</a></title></head>\n<body>\n"),
+        lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> <a href=\"/doc/"),
+        col("doc_id").cast(StringType), lit("\">Doc "), col("doc_id").cast(StringType),
+        lit("</a></nav>\n<div>\n"),
+        concat_ws("", paras),
+        lit("</div>\n<footer><a href=\"/terms\">Terms</a> <a href=\"/privacy\">Privacy</a> <a href=\"/contact\">Contact</a></footer>\n</body></html>")
+      ).as("html"))
+  }
+
+  /** Per-block cleaned text: strip remaining (inline) tags to spaces,
+    * decode entities, collapse whitespace, trim. */
+  private def cleanBlock(b: Column): Column =
+    trim(regexp_replace(unescapeHtml(regexp_replace(b, "<[^<>]*>", " ")), "\\s+", " "))
+
+  /** Total anchor-text chars of a block (link-density numerator). */
+  private def anchorLen(b: Column): Column =
+    length(concat_ws("", regexp_extract_all(b, lit(AnchorRe), lit(1))))
+
+  /** Main-text extraction. A block is kept iff its cleaned text has at
+    * least `minLen` chars AND `anchorLen * densityDen <= len *
+    * densityNum` (link density ≤ num/den — integer arithmetic, no
+    * float threshold to flap the hash gate). Returns per page:
+    * `n_blocks` (non-empty blocks seen), `n_kept`, and the extracted
+    * `main_text` (kept blocks joined by single spaces). */
+  def extractMain(pages: DataFrame, htmlCol: String = "html", idCol: String = "doc_id",
+                  minLen: Int = 1, densityNum: Int = 1, densityDen: Int = 3): DataFrame = {
+    val blocks = split(col(htmlCol), BlockTagRe)
+    val scored = transform(blocks, b => struct(
+      cleanBlock(b).as("txt"), anchorLen(b).as("alen")))
+    val nonEmpty = filter(scored, s => length(s.getField("txt")) > 0)
+    val kept = filter(col("ne"), s =>
+      length(s.getField("txt")) >= minLen &&
+        s.getField("alen") * densityDen <= length(s.getField("txt")) * densityNum)
+    pages
+      .select(col(idCol).as("doc_id"), nonEmpty.as("ne"))
+      .select(col("doc_id"),
+        size(col("ne")).cast(LongType).as("n_blocks"),
+        size(kept).cast(LongType).as("n_kept"),
+        concat_ws(" ", transform(kept, s => s.getField("txt"))).as("main_text"))
+  }
+}

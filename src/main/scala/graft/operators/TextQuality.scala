@@ -57,6 +57,65 @@ object TextQuality {
         round(col("sl").cast(DoubleType) / col("n_tokens"), 6).as("avg_logprob"))
   }
 
+  /** Bigram LM quality scoring with stupid backoff (Brants et al.
+    * 2007, public) — the next rung above [[unigramLogProb]] on the
+    * perplexity-proxy ladder: each document scores the sum over
+    * adjacent cleaned-word pairs of ln p(cur | prev), where
+    *
+    *   p(cur | prev) = bigram_cnt / unigram_cnt(prev)   if the bigram
+    *                                                    survives the
+    *                                                    min-count prune
+    *                 = alpha * unigram_cnt(cur) / total otherwise
+    *
+    * The model is the corpus's OWN counts with singleton bigrams
+    * pruned (`minBigramCount` = 2) — pruning is what makes backoff
+    * real when scoring the training corpus against itself (unpruned,
+    * every observed bigram trivially has count >= 1).
+    *
+    * Scale shape: one unigram aggregate + one bigram aggregate (both
+    * vocab-sized, checkpointed once), then the corpus-scale bigram
+    * stream probes them — zipfian hot `prev` keys are AQE's skew-join
+    * case. Cross-engine exactness is the unigramLogProb device: each
+    * pair's log is ONE double expression with identical operand
+    * association on both engines (`ln(bc/pc)` / `ln((alpha*cc)/total)`),
+    * rounded to 12 dp and summed as DECIMAL. Documents with fewer than
+    * 2 cleaned words have no bigrams and drop out on both sides. */
+  def bigramLogProb(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                    minBigramCount: Int = 2, alpha: Double = 0.4): DataFrame = {
+    val ws = filter(transform(TextOps.tokens(col(textCol)), t => TextOps.cleanWord(t)),
+      w => length(w) > 0)
+    val base = docs.select(col(idCol).as("doc_id"), ws.as("ws"))
+    val uni = base.select(explode(col("ws")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val total = uni.agg(sum(col("cnt")).cast(DoubleType).as("total"))
+    def bigrams = base.where(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("prev"),
+          element_at(col("ws"), i + 1).as("cur")))).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val model = bigrams.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("bcnt"))
+      .where(col("bcnt") >= minBigramCount)
+      .localCheckpoint(true)
+    val up = uni.select(col("word").as("prev"), col("cnt").as("pc"))
+    val uc = uni.select(col("word").as("cur"), col("cnt").as("cc"))
+    bigrams
+      .join(model, Seq("prev", "cur"), "left")
+      .join(up, Seq("prev"))
+      .join(uc, Seq("cur"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(when(col("bcnt").isNotNull,
+            log(col("bcnt").cast(DoubleType) / col("pc").cast(DoubleType)))
+          .otherwise(log(lit(alpha) * col("cc").cast(DoubleType) / col("total"))), 12)
+          .cast(DecimalType(28, 12)).as("l"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("l")).as("sl"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sl").cast(DoubleType), 6).as("logprob"),
+        round(col("sl").cast(DoubleType) / col("n_bigrams"), 6).as("avg_logprob"))
+  }
+
   /** Small multilingual stopword lists — plan-time constants. */
   val Stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),

@@ -865,8 +865,9 @@ object LakeTable {
     Option(new java.io.File(s"$tableDir/_bloomstore").listFiles()).toSeq.flatten
       .filter(_.isDirectory).foreach { colDir =>
         val store = spark.read.parquet(colDir.getPath)
-        val live = store.collect().filter(r => new java.io.File(norm(r.getString(0))).exists())
-        if (live.length.toLong != store.count()) {
+        val all = store.collect()
+        val live = all.filter(r => new java.io.File(norm(r.getString(0))).exists())
+        if (live.length != all.length) {
           val schema = store.schema
           FsUtil.deleteRecursively(colDir)
           spark.createDataFrame(java.util.Arrays.asList(live.toSeq: _*), schema)

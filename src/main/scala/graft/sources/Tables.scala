@@ -20,20 +20,26 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame = t("part")
   def orders: DataFrame = t("orders")
   def lineitem: DataFrame = t("lineitem")
-  /** events.ts is nanosecond-precision INT64 parquet, which Spark 4
-    * refuses to read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Read it
-    * as raw nanos and floor-divide to microseconds — exactly what
-    * DuckDB's CAST(ts_ns AS TIMESTAMP) does, keeping the oracle
-    * bit-identical. Integer `div`, not `/`: epoch-nanos ~1.7e18
-    * exceeds double precision.
-    *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set at
-    * session BUILD (Bench/Verify/Explain/TestSpark) — a loader must
-    * not mutate session config as a side effect. */
+  /** events.ts has shipped in two physical layouts across testdata
+    * generations: nanosecond-precision INT64 (TIMESTAMP(NANOS), which
+    * Spark 4 only reads under `spark.sql.legacy.parquet.nanosAsLong=
+    * true`, as a raw Long) and native TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false (which Spark infers as TIMESTAMP_NTZ).
+    * Branch on the inferred type so either file works, and normalize
+    * both to session-zoned TimestampType so every downstream window /
+    * watermark / oracle-compare path sees one type. Sessions run with
+    * timeZone=UTC, so the NTZ→TZ cast reinterprets the wall-clock
+    * value as UTC — the same instant DuckDB's CAST(ts AS TIMESTAMP)
+    * produces. Integer `div`, not `/`, for the nanos branch:
+    * epoch-nanos ~1.7e18 exceeds double precision. */
   def events: DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "set spark.sql.legacy.parquet.nanosAsLong=true at session build to read events.parquet")
-    t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")

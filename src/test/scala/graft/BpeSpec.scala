@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Bpe
+
+/** BPE learner + applier: hand-computed merges on a tiny corpus,
+  * applier equivalence to an independent pass-based merge-all fold,
+  * and the histogram plumbing. */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Independent oracle: the STANDARD pass-based apply — merge ALL
+    * left-to-right non-overlapping occurrences of the best-ranked
+    * pair per pass. The engine's one-splice-per-iteration variant
+    * must agree (both always consume the globally best-ranked pair). */
+  private def mergeAllOracle(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    val rank = merges.zipWithIndex.toMap
+    var toks = word.map(_.toString).toVector
+    var done = false
+    while (!done) {
+      val present = toks.zip(toks.drop(1)).flatMap(p => rank.get(p).map(r => (r, p)))
+      if (present.isEmpty) done = true
+      else {
+        val (_, best) = present.minBy(_._1)
+        val nw = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i < toks.length - 1 && (toks(i), toks(i + 1)) == best) {
+            nw += toks(i) + toks(i + 1); i += 2
+          } else { nw += toks(i); i += 1 }
+        }
+        toks = nw.result()
+      }
+    }
+    toks
+  }
+
+  test("learner reproduces the hand-computed merge sequence") {
+    // corpus: "low low low lower lowest" — pair counts round 1:
+    // (l,o)=5, (o,w)=5, (w,e)=2, (e,r)=1, (e,s)=1, (s,t)=1
+    // tie (l,o) vs (o,w) → lexicographically smaller (l,o) first
+    val docs = Seq((0L, "low low low lower lowest")).toDF("doc_id", "text")
+    val m = Bpe.learnMerges(docs, numMerges = 4, vocabCap = 100)
+    assert(m === Seq(("l", "o"), ("lo", "w"), ("low", "e"), ("lowe", "r")))
+  }
+
+  test("applier: merges apply in rank order, first occurrence first") {
+    val merges = Seq(("l", "o"), ("lo", "w"), ("low", "e"), ("lowe", "r"))
+    assert(Bpe.applyMerges("low", merges.zipWithIndex.toMap.map { case (p, i) => p -> i })
+      === Seq("low"))
+    assert(Bpe.applyMerges("lowest", merges.zipWithIndex.toMap.map { case (p, i) => p -> i })
+      === Seq("lowe", "s", "t"))
+    assert(Bpe.applyMerges("wow", merges.zipWithIndex.toMap.map { case (p, i) => p -> i })
+      === Seq("w", "o", "w"))
+    assert(Bpe.applyMerges("", Map(("a", "b") -> 0)) === Seq.empty)
+  }
+
+  test("one-splice applier == pass-based merge-all on learned merges") {
+    val docs = Seq((0L,
+      "the quick brown fox jumps over the lazy dog the the quick quick brown fox dog")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, numMerges = 12, vocabCap = 100)
+    val rank = merges.zipWithIndex.toMap
+    val words = Seq("the", "quick", "brown", "foxes", "thequick", "overthe", "a", "doggo")
+    words.foreach { w =>
+      assert(Bpe.applyMerges(w, rank) === mergeAllOracle(w, merges), s"word $w")
+    }
+  }
+
+  test("applier output concatenates back to the word") {
+    val docs = Seq((0L, "abab abab abcd dcba abc bca")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, numMerges = 6, vocabCap = 100)
+    val rank = merges.zipWithIndex.toMap
+    Seq("abab", "abcd", "xyzzy", "aabb").foreach { w =>
+      assert(Bpe.applyMerges(w, rank).mkString === w)
+    }
+  }
+
+  test("token histogram: tokens weighted by word frequency") {
+    val docs = Seq((0L, "ab ab"), (1L, "ab cd")).toDF("doc_id", "text")
+    val merges = Seq(("a", "b"))
+    val hist = Bpe.tokenHistogram(docs, merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hist === Map("ab" -> 3L, "c" -> 1L, "d" -> 1L))
+  }
+
+  test("doc token counts: bpe tokens >= words, exact on fixture") {
+    val docs = Seq((0L, "ab ab xy"), (1L, "zz")).toDF("doc_id", "text")
+    val merges = Seq(("a", "b"))
+    val m = Bpe.docTokenCounts(docs, merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 0: ab→[ab](1), ab→1, xy→[x,y](2) = 4 bpe / 3 ws
+    // doc 1: zz→[z,z](2) = 2 bpe / 1 ws
+    assert(m === Map(0L -> ((4L, 3L)), 1L -> ((2L, 1L))))
+  }
+}

@@ -205,6 +205,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(2L)._2 < out(1L)._2)
   }
 
+  test("bigramLogProb: independent fold, pruning forces backoff, short docs drop") {
+    import spark.implicits._
+    import graft.operators.TextQuality
+    val docs = Seq((1L, "a b a b a b"), (2L, "a b c"), (3L, "solo")).toDF("doc_id", "text")
+    val out = TextQuality.bigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // unigrams: a=4 b=4 c=1 solo=1, total=10
+    // bigrams: (a,b)=4 kept, (b,a)=2 kept, (b,c)=1 PRUNED → backoff
+    def r12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: BigDecimal) = x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lAb = r12(math.log(4.0 / 4.0))          // p(b|a) = 4/4
+    val lBa = r12(math.log(2.0 / 4.0))          // p(a|b) = 2/4
+    val lBc = r12(math.log(0.4 * 1.0 / 10.0))   // backoff: alpha * cnt(c)/total
+    val d1 = lAb * 3 + lBa * 2
+    val d2 = lAb + lBc
+    assert(out(1L) === ((5L, r6(d1), r6(d1 / 5))))
+    assert(out(2L) === ((2L, r6(d2), r6(d2 / 2))))
+    // a one-word doc has no bigrams and no row
+    assert(!out.contains(3L))
+    // the pruned-bigram doc scores strictly lower per bigram
+    assert(out(2L)._3 < out(1L)._3)
+  }
+
   test("budgetCap: strict per-group cap, unbiased hash order, partitioning-invariant") {
     import spark.implicits._
     val docs = (1L to 200L).map(i => (i, if (i % 3 == 0) "code" else "web", "x" * 100))

@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Html
+
+/** Boilerplate extraction: block splitting, link-density gating,
+  * entity round trips, malformed/nested markup, and the lossless
+  * page-fixture inversion the html_extract oracle relies on. */
+class HtmlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def pages(htmls: String*) =
+    htmls.zipWithIndex.map { case (h, i) => (i.toLong, h) }.toDF("doc_id", "html")
+
+  private def extract(html: String,
+                      minLen: Int = 1, num: Int = 1, den: Int = 3): (Long, Long, String) = {
+    val r = Html.extractMain(pages(html), minLen = minLen, densityNum = num, densityDen = den)
+      .collect().head
+    (r.getLong(1), r.getLong(2), r.getString(3))
+  }
+
+  test("prose kept, link-dense chrome dropped") {
+    val html = "<nav><a href=\"/\">Home</a> <a href=\"/x\">About us</a></nav>" +
+      "<p>real content words here</p>" +
+      "<footer><a href=\"#\">Terms</a></footer>"
+    val (nBlocks, nKept, text) = extract(html)
+    assert(nBlocks === 3L)
+    assert(nKept === 1L)
+    assert(text === "real content words here")
+  }
+
+  test("mixed block: moderate link density passes the 1/3 gate") {
+    // one 4-char anchor inside 30+ chars of prose: alen*3 <= len
+    val html = "<p>read the <a href=\"/d\">docs</a> for all further details</p>"
+    val (_, nKept, text) = extract(html)
+    assert(nKept === 1L)
+    assert(text === "read the docs for all further details")
+  }
+
+  test("minLen gate drops short blocks") {
+    val html = "<p>ok</p><p>a much longer paragraph of text</p>"
+    val (nBlocks, nKept, text) = extract(html, minLen = 10)
+    assert(nBlocks === 2L)
+    assert(nKept === 1L)
+    assert(text === "a much longer paragraph of text")
+  }
+
+  test("nested inline markup inside a block is stripped to spaces") {
+    val html = "<p>one <b>two <i>three</i></b> four</p>"
+    assert(extract(html)._3 === "one two three four")
+  }
+
+  test("malformed: unclosed tags and stray '<' degrade to text, never markup") {
+    // '<oops' has no closing '>' before the next '<' tag, so the
+    // standard tag-strip approximation leaves it as visible text
+    val html = "<p>before <oops after</p>"
+    assert(extract(html)._3 === "before <oops after")
+  }
+
+  test("entities decode after tag strip: spelled-out markup stays text") {
+    val html = "<p>&lt;b&gt;not bold&lt;/b&gt; &amp;amp; stays</p>"
+    assert(extract(html)._3 === "<b>not bold</b> &amp; stays")
+  }
+
+  test("escape/unescape round-trips the five entities") {
+    val tricky = "a<b & c>\"d\" 'e' &amp;lt;"
+    val df = Seq(tricky).toDF("t")
+      .select(Html.unescapeHtml(Html.escapeHtml(col("t"))).as("rt"))
+    assert(df.collect().head.getString(0) === tricky)
+  }
+
+  test("page fixture inverts: extract(pageFromDocs(docs)) == collapsed text") {
+    val texts = Seq(
+      "plain words only",
+      "  leading   and   trailing   whitespace  collapse   ",
+      "doc that spells <p>markup</p> & entities &lt;x&gt;",
+      "",
+      ("w" + (1 to 30).mkString(" w")), // multiple paragraphs
+      "tab\tand\nnewline separated")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Html.extractMain(Html.pageFromDocs(docs)).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val ws = t.split("\\s+").filter(_.nonEmpty)
+      val nPara = (ws.length + 11) / 12
+      val (_, nBlocks, nKept, text) = got(i)
+      assert(nBlocks === nPara + 3L, s"doc $i n_blocks")
+      assert(nKept === nPara.toLong, s"doc $i n_kept")
+      assert(text === ws.mkString(" "), s"doc $i text")
+    }
+  }
+
+  test("empty doc page still shows the 3 chrome blocks, extracts nothing") {
+    val docs = Seq((0L, "")).toDF("doc_id", "text")
+    val r = Html.extractMain(Html.pageFromDocs(docs)).collect().head
+    assert(r.getLong(1) === 3L && r.getLong(2) === 0L && r.getString(3) === "")
+  }
+}
