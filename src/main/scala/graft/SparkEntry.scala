@@ -753,6 +753,28 @@ object SparkEntry {
       Corpus.assemblePacks(Corpus.packChunks(ch, tokensPerPack = 64L, nShards = 8))
         .orderBy("shard", "pack_id")
     }),
+    // packing under REAL subword budgets: same chunk/shard/offset
+    // machinery as packed_sequences, but n_tokens is the chunk's BPE
+    // token count under the frozen merges — tokenized over the
+    // CHUNK-level vocabulary (128-char chunk boundaries split words,
+    // and a fragment tokenizes as itself, not as its parent word)
+    "packed_bpe" -> ((s, d) => {
+      val ch = Corpus.chunk(t(s, d).documents.select(col("doc_id"), col("text")), size = 128)
+      val chunkWords = ch
+        .select(col("doc_id"), col("chunk_idx"), explode(TextOps.tokens(col("chunk"))).as("tok"))
+        .select(col("doc_id"), col("chunk_idx"), lower(col("tok")).as("word"))
+        .where(length(col("word")) > 0)
+      val perWord = chunkWords.select(col("word")).distinct()
+        .select(col("word"), size(Bpe.tokens(col("word"), Bpe.DefaultMerges)).cast("long").as("n_toks"))
+      val cb = chunkWords.join(perWord, Seq("word"))
+        .groupBy(col("doc_id"), col("chunk_idx")).agg(sum(col("n_toks")).as("bpe_n"))
+      val withTok = ch.join(cb, Seq("doc_id", "chunk_idx"), "left")
+        .withColumn("n_tokens", coalesce(col("bpe_n"), lit(0L)))
+      Corpus.packChunks(withTok, tokensPerPack = 64L, nShards = 8)
+        .select(col("shard"), col("pack_id"), col("doc_id"), col("chunk_idx"),
+          col("n_tokens"), col("start_off"))
+        .orderBy("shard", "doc_id", "chunk_idx")
+    }),
     // benchmark decontamination: docs sharing >= 2 trigram shingles with
     // the held-out set (doc_id % 97 == 0 stands in for the eval suite)
     "decontaminate" -> ((s, d) => {
@@ -2942,6 +2964,32 @@ object SparkEntry {
         |   FROM tok)
         |SELECT shard, CAST(floor(start_off / 64) AS BIGINT) AS pack_id, doc_id, chunk_idx, n_tokens, start_off
         |FROM off ORDER BY shard, doc_id, chunk_idx""".stripMargin,
+
+    // packing twin under BPE budgets: the chunk CTEs of
+    // packed_sequences + the recursive applier of bpe_tokens, with the
+    // word relation built from CHUNK tokens (boundary fragments
+    // tokenize as themselves on both engines)
+    "packed_bpe" ->
+      s"""WITH RECURSIVE
+         | c AS (SELECT doc_id, text, CAST(ceil(length(text) / 128.0) AS BIGINT) AS n_chunks FROM documents),
+         | u AS (SELECT doc_id, text, n_chunks, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM c),
+         | ch AS (SELECT doc_id, chunk_idx, substring(text, CAST(chunk_idx * 128 + 1 AS INT), 128) AS chunk FROM u),
+         | cw AS (SELECT doc_id, chunk_idx, lower(t.tok) AS word
+         |        FROM (SELECT doc_id, chunk_idx, unnest(string_split_regex(chunk, '[ \\t\\n\\f\\r]+')) AS tok FROM ch) t
+         |        WHERE length(t.tok) > 0),
+         | wc AS (SELECT word, count(*) AS cnt FROM cw GROUP BY 1),
+         |$BpeApplyCte,
+         | cb AS (SELECT cw.doc_id, cw.chunk_idx, CAST(sum(len(f.toks)) AS BIGINT) AS bpe_n
+         |        FROM cw JOIN fin f USING (word) GROUP BY 1, 2),
+         | tok AS (SELECT ch.doc_id, ch.chunk_idx, ch.doc_id % 8 AS shard,
+         |        coalesce(cb.bpe_n, 0) AS n_tokens
+         |        FROM ch LEFT JOIN cb USING (doc_id, chunk_idx)),
+         | off AS (SELECT doc_id, chunk_idx, shard, n_tokens,
+         |   CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+         |   FROM tok)
+         |SELECT shard, CAST(floor(start_off / 64) AS BIGINT) AS pack_id, doc_id, chunk_idx, n_tokens, start_off
+         |FROM off ORDER BY shard, doc_id, chunk_idx""".stripMargin,
 
     // pack assembly twin: same chunk/token/offset CTEs, then DuckDB's
     // ordered string_agg mirrors the sorted-collect_list concatenation
