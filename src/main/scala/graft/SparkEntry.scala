@@ -810,6 +810,17 @@ object SparkEntry {
     // the exact block bookkeeping (paras + 3 chrome blocks)
     "html_extract" -> ((s, d) =>
       Html.extractMain(Html.pageFromDocs(t(s, d).documents)).orderBy("doc_id")),
+    // crawl-graph builder: /doc/<id> hrefs parsed out of the raw
+    // markup → deduped directed edges (the twin derives the same graph
+    // from the fixture's closed-form link targets, so the hash proves
+    // the extraction)
+    "html_outlinks" -> ((s, d) =>
+      Html.outlinks(Html.pageFromDocs(t(s, d).documents)).orderBy("src", "dst")),
+    // link-authority quality prior over the EXTRACTED graph — the
+    // wordcount→inverted-index→PageRank MapReduce trilogy, fed by the
+    // engine's own HTML ingestion instead of a prebuilt edge table
+    "crawl_rank" -> ((s, d) =>
+      Graph.pageRank(Html.outlinks(Html.pageFromDocs(t(s, d).documents))).orderBy("node")),
 
     // ---- M3b: corpus construction (deterministic sampling / chunking /
     // mixture / quality cut — graft.operators.Corpus) ----
@@ -1590,16 +1601,16 @@ object SparkEntry {
     * step mirrors Graph.pageRank operation-for-operation: double init
     * 1/n, per-edge round(rank/deg, 12), exact DECIMAL(38,12) sums,
     * then (1−0.85)·… as single IEEE double ops. */
-  private lazy val pageRankTwinSql: String = {
+  /** 5-iteration PageRank twin over a pluggable `edges(src, dst)` CTE
+    * prefix (must start with WITH) — shared by `page_rank` (trade
+    * graph) and `crawl_rank` (extracted HTML link graph). */
+  private def pageRankUnrolled(edgesCtePrefix: String): String = {
     val pre =
-      """WITH pairs AS (SELECT DISTINCT l_suppkey AS s, o_custkey AS c
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        | edges AS (SELECT s AS src, 100000 + c AS dst FROM pairs
-        |           UNION ALL SELECT 100000 + c AS src, s AS dst FROM pairs),
-        | nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst AS node FROM edges),
-        | deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-        | nn AS (SELECT count(*) AS n FROM nodes),
-        | r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes)""".stripMargin
+      s"""$edgesCtePrefix,
+         | nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst AS node FROM edges),
+         | deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         | nn AS (SELECT count(*) AS n FROM nodes),
+         | r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes)""".stripMargin
     val iters = (1 to 5).map { i =>
       s""" r$i AS (SELECT nodes.node,
          |   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
@@ -1611,6 +1622,21 @@ object SparkEntry {
     }.mkString(",\n")
     s"$pre,\n$iters\nSELECT node, round(rank, 8) AS pr FROM r5 ORDER BY node"
   }
+
+  private lazy val pageRankTwinSql: String = pageRankUnrolled(
+    """WITH pairs AS (SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      | edges AS (SELECT s AS src, 100000 + c AS dst FROM pairs
+      |           UNION ALL SELECT 100000 + c AS src, s AS dst FROM pairs)""".stripMargin)
+
+  /** Closed-form crawl edges: the page fixture's nav links target
+    * (7id+3, 13id+5, id+1) mod 1000 — the twin derives the SAME graph
+    * from doc_id arithmetic, so hash equality proves the Spark side's
+    * href extraction from raw markup. */
+  private val CrawlEdgesCte =
+    """WITH t AS (SELECT doc_id, unnest([(doc_id*7+3)%1000, (doc_id*13+5)%1000, (doc_id+1)%1000]) AS dst
+      |           FROM documents),
+      | edges AS (SELECT DISTINCT doc_id AS src, dst FROM t WHERE dst <> doc_id)""".stripMargin
 
   /** Shared token-pipeline CTE for the wordcount family. */
   private val W =
@@ -3031,6 +3057,12 @@ object SparkEntry {
     // the whitespace-collapsed document text, n_kept the paragraph
     // count (12 words each), n_blocks adds the 3 chrome blocks
     // (title/nav/footer) that the link-density gate drops
+    "html_outlinks" ->
+      s"""$CrawlEdgesCte
+         |SELECT src, dst FROM edges ORDER BY src, dst""".stripMargin,
+
+    "crawl_rank" -> pageRankUnrolled(CrawlEdgesCte),
+
     "html_extract" ->
       """WITH w AS (SELECT doc_id,
         |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS ws

@@ -28,13 +28,14 @@ import org.apache.spark.sql.types._
   */
 object Html {
 
-  /** Block-level tag boundary (lowercase markup; uppercase-tag input
-    * should be lowercased upstream). `\b` keeps `<p>`/`<pre>` apart. */
+  /** Block-level tag boundary, case-insensitive (`(?i)` is shared by
+    * Java regex and RE2, so the DuckDB twin can reuse the pattern
+    * verbatim). `\b` keeps `<p>`/`<pre>` apart. */
   val BlockTagRe: String =
-    "</?(?:html|head|title|body|nav|header|footer|aside|section|article|main|div|p|ul|ol|li|table|tr|td|h[1-6]|br)\\b[^>]*>"
+    "(?i)</?(?:html|head|title|body|nav|header|footer|aside|section|article|main|div|p|ul|ol|li|table|tr|td|h[1-6]|br)\\b[^>]*>"
 
   /** Anchor inner text (no nested markup inside the anchor). */
-  val AnchorRe: String = "<a[^>]*>([^<]*)</a>"
+  val AnchorRe: String = "(?i)<a\\b[^>]*>([^<]*)</a>"
 
   /** The five predefined XML entities, escape order: amp FIRST (so
     * later escapes don't double-escape), matching
@@ -68,7 +69,8 @@ object Html {
     * whitespace-collapsed document text, which is what the DuckDB
     * oracle asserts (the twin never needs to build the page). */
   def pageFromDocs(docs: DataFrame, textCol: String = "text",
-                   idCol: String = "doc_id", wordsPerPara: Int = 12): DataFrame = {
+                   idCol: String = "doc_id", wordsPerPara: Int = 12,
+                   linkSpace: Int = 1000): DataFrame = {
     val ws = filter(split(escapeHtml(col(textCol)), "\\s+"), w => length(w) > 0)
     val nPara = ceil(size(col("ws")).cast(DoubleType) / wordsPerPara).cast(IntegerType)
     // guard the empty case: sequence(1, 0) would step BACKWARDS
@@ -83,13 +85,33 @@ object Html {
       .select(col("doc_id"), col("ws"), nPara.as("np"))
       .select(col("doc_id"), concat(
         lit("<html><head><title><a href=\"/\">Graft Site</a></title></head>\n<body>\n"),
-        lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> <a href=\"/doc/"),
-        col("doc_id").cast(StringType), lit("\">Doc "), col("doc_id").cast(StringType),
-        lit("</a></nav>\n<div>\n"),
+        lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> "),
+        concat_ws(" ", transform(
+          array((col("doc_id") * 7 + 3) % linkSpace,
+                (col("doc_id") * 13 + 5) % linkSpace,
+                (col("doc_id") + 1) % linkSpace),
+          d => concat(lit("<a href=\"/doc/"), d.cast(StringType),
+            lit("\">Doc "), d.cast(StringType), lit("</a>")))),
+        lit("</nav>\n<div>\n"),
         concat_ws("", paras),
         lit("</div>\n<footer><a href=\"/terms\">Terms</a> <a href=\"/privacy\">Privacy</a> <a href=\"/contact\">Contact</a></footer>\n</body></html>")
       ).as("html"))
   }
+
+  /** Outgoing `/doc/<id>` link edges of each page — the crawl-graph
+    * builder (frontier ordering / link-authority quality priors start
+    * here). Href parsing is one regexp_extract_all over the raw
+    * markup: narrow, no shuffle beyond the dedup. Self-loops dropped,
+    * parallel links deduped — a simple directed graph ready for
+    * [[graft.operators.Graph.pageRank]]. */
+  def outlinks(pages: DataFrame, htmlCol: String = "html", idCol: String = "doc_id"): DataFrame =
+    pages
+      .select(col(idCol).as("src"),
+        explode(regexp_extract_all(col(htmlCol),
+          lit("(?i)href=\"/doc/([0-9]+)\""), lit(1))).as("d"))
+      .select(col("src"), col("d").cast(LongType).as("dst"))
+      .where(col("dst") =!= col("src"))
+      .distinct()
 
   /** Per-block cleaned text: strip remaining (inline) tags to spaces,
     * decode entities, collapse whitespace, trim. */

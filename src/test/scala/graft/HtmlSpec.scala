@@ -92,6 +92,35 @@ class HtmlSpec extends AnyFunSuite {
     }
   }
 
+  test("uppercase tags split and strip like lowercase (case-insensitive regexes)") {
+    val html = "<NAV><A HREF=\"/\">Home</A></NAV><P>upper case prose here</P>"
+    val (nBlocks, nKept, text) = extract(html)
+    assert(nBlocks === 2L)
+    assert(nKept === 1L)
+    assert(text === "upper case prose here")
+  }
+
+  test("outlinks: /doc hrefs extracted, self-loops dropped, parallel links deduped") {
+    val html = "<nav><a href=\"/\">Home</a> <a href=\"/doc/7\">A</a> " +
+      "<a href=\"/doc/7\">again</a> <a href=\"/DOC/9\">caps path matches too</a>" +
+      "<a href=\"/doc/3\">B</a> <a href=\"/doc/1\">self</a></nav>"
+    val got = Html.outlinks(pages(html).withColumnRenamed("doc_id", "doc_id"))
+    // page doc_id = 0 (pages() zips from 0); self would be /doc/0
+    val edges = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges === Set((0L, 7L), (0L, 3L), (0L, 1L), (0L, 9L)))
+  }
+
+  test("fixture graph: outlinks(pageFromDocs) == closed-form targets") {
+    val docs = Seq((0L, "x"), (1L, "y"), (41L, "z")).toDF("doc_id", "text")
+    val got = Html.outlinks(Html.pageFromDocs(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Seq(0L, 1L, 41L).flatMap { id =>
+      Seq((id * 7 + 3) % 1000, (id * 13 + 5) % 1000, (id + 1) % 1000)
+        .filter(_ != id).map(d => (id, d))
+    }.toSet
+    assert(got === want)
+  }
+
   test("empty doc page still shows the 3 chrome blocks, extracts nothing") {
     val docs = Seq((0L, "")).toDF("doc_id", "text")
     val r = Html.extractMain(Html.pageFromDocs(docs)).collect().head
