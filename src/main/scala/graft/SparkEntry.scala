@@ -785,6 +785,10 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "lang_id" -> ((s, d) => TextQuality.langId(t(s, d).documents).orderBy("doc_id")),
+    // character-trigram language ID (the n-gram upgrade of the
+    // stopword voter): counts are pure replace arithmetic, so the
+    // twin computes identical integers
+    "lang_id_ngram" -> ((s, d) => TextQuality.langIdNgram(t(s, d).documents).orderBy("doc_id")),
     // cleaning/redaction pass: markup + entities + an email + a URL are
     // stitched around each document deterministically, then stripped,
     // redacted and whitespace-normalized back out (Cleaning.clean) —
@@ -3086,6 +3090,29 @@ object SparkEntry {
         | coalesce(ov.n_overlap, 0) >= 2 AS contaminated
         |FROM toks t LEFT JOIN ov USING (doc_id) WHERE t.doc_id % 97 <> 0
         |ORDER BY t.doc_id""".stripMargin,
+
+    // per-language trigram-hit totals generated from the SAME Scala
+    // profile constants the Spark expression uses; replace() is
+    // non-overlapping left-to-right in both engines, so the counts
+    // are identical integers
+    "lang_id_ngram" -> {
+      val score = (l: String) => TextQuality.NgramProfiles(l)
+        .map(g => s"(length(t) - length(replace(t, '$g', ''))) // 3").mkString(" + ")
+      s"""WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
+         | sc AS (SELECT doc_id,
+         |  CAST(${score("en")} AS BIGINT) AS g_en,
+         |  CAST(${score("de")} AS BIGINT) AS g_de,
+         |  CAST(${score("es")} AS BIGINT) AS g_es,
+         |  CAST(${score("fr")} AS BIGINT) AS g_fr
+         | FROM p)
+         |SELECT doc_id,
+         | CASE WHEN g_en = 0 AND g_de = 0 AND g_es = 0 AND g_fr = 0 THEN 'und'
+         |      WHEN g_en >= g_de AND g_en >= g_es AND g_en >= g_fr THEN 'en'
+         |      WHEN g_de >= g_es AND g_de >= g_fr THEN 'de'
+         |      WHEN g_es >= g_fr THEN 'es' ELSE 'fr' END AS pred_lang,
+         | g_en, g_de, g_es, g_fr
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
 
     "lang_id" ->
       """WITH t AS (SELECT doc_id,

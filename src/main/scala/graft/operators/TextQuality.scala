@@ -214,6 +214,45 @@ object TextQuality {
       col("s_en"), col("s_de"), col("s_es"), col("s_fr"), col("s_zh"))
   }
 
+  /** Character-trigram profiles for n-gram language ID — plan-time
+    * constants (Cavnar & Trenkle 1994's rank-profile idea reduced to a
+    * fixed characteristic-trigram set per language; public). Includes
+    * word-boundary grams (leading/trailing space), which carry most of
+    * the signal. */
+  val NgramProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" th", "the", "he ", " an", "and", "ing", " of", "of ", "ion", " is"),
+    "de" -> Seq("der", "ein", "sch", "die", "und", "ich", "cht", " ge", "ung", "ber"),
+    "es" -> Seq(" de", "que", " la", "ión", "ado", " el", "el ", "los", " se", "nte"),
+    "fr" -> Seq(" le", "les", " et", "eur", "une", "ais", "our", " pa", "ont", "dan"))
+
+  /** N-gram language ID: per-language score = total occurrences of the
+    * language's characteristic trigrams in the space-padded lowercased
+    * text. Occurrence counting is pure string arithmetic —
+    * `(len(t) − len(replace(t, g, ''))) / 3` per gram, non-overlapping
+    * left-to-right exactly like DuckDB's replace — so the twin computes
+    * identical integers; no tokenizer, no UDF, no shuffle. Prediction
+    * is argmax with the fixed en > de > es > fr tie order and `und`
+    * when every score is zero (the [[langId]] stopword voter's
+    * deterministic-priority device). */
+  def langIdNgram(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val t = concat(lit(" "), lower(col(textCol)), lit(" "))
+    def cnt(g: String): Column =
+      ((length(t) - length(call_function("replace", t, lit(g), lit("")))) / 3).cast(LongType)
+    def score(l: String): Column = NgramProfiles(l).map(cnt).reduce(_ + _)
+    val langs = Seq("en", "de", "es", "fr")
+    val scored = docs.select(
+      col(idCol).as("doc_id") +: langs.map(l => score(l).as(s"g_$l")): _*)
+    val s: String => Column = l => col(s"g_$l")
+    val pred = when(s("en") === 0 && s("de") === 0 && s("es") === 0 && s("fr") === 0, "und")
+      .when(s("en") >= s("de") && s("en") >= s("es") && s("en") >= s("fr"), "en")
+      .when(s("de") >= s("es") && s("de") >= s("fr"), "de")
+      .when(s("es") >= s("fr"), "es")
+      .otherwise("fr")
+    scored.select(col("doc_id"), pred.as("pred_lang"),
+      col("g_en"), col("g_de"), col("g_es"), col("g_fr"))
+  }
+
   /** Order-sensitive polynomial rolling hash (Rabin-Karp style) over
     * the cleaned word sequence: fp = fold(acc * P + xxhash64(word)),
     * wrapping 64-bit (needs spark.sql.ansi.enabled=false). Unlike the

@@ -228,6 +228,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(2L)._3 < out(1L)._3)
   }
 
+  test("langIdNgram: trigram profiles pick the language; no-hit text is und") {
+    import spark.implicits._
+    import graft.operators.TextQuality
+    val docs = Seq(
+      (1L, "the king and the queen of england"),
+      (2L, "der richter und die schönen kinder gehen durch"),
+      (3L, "que los árboles de la montaña se mueven"),
+      (4L, "les couleurs d'une peinture dans notre pays"),
+      (5L, "zzz qqq")).toDF("doc_id", "text")
+    val out = TextQuality.langIdNgram(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(1L)._1 === "en")
+    assert(out(2L)._1 === "de")
+    assert(out(3L)._1 === "es")
+    assert(out(4L)._1 === "fr")
+    assert(out(5L) === (("und", 0L, 0L, 0L, 0L)))
+    // scores equal an independent non-overlapping substring count
+    def cntAll(t: String, gs: Seq[String]): Long = gs.map { g =>
+      var (i, n) = (0, 0L)
+      var at = t.indexOf(g, i)
+      while (at >= 0) { n += 1; i = at + g.length; at = t.indexOf(g, i) }
+      n
+    }.sum
+    val padded = " " + "the king and the queen of england" + " "
+    assert(out(1L)._2 === cntAll(padded, TextQuality.NgramProfiles("en")))
+    assert(out(1L)._4 === cntAll(padded, TextQuality.NgramProfiles("es")))
+  }
+
   test("budgetCap: strict per-group cap, unbiased hash order, partitioning-invariant") {
     import spark.implicits._
     val docs = (1L to 200L).map(i => (i, if (i % 3 == 0) "code" else "web", "x" * 100))

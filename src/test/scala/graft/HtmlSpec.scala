@@ -121,6 +121,13 @@ class HtmlSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("plan shape: page build + extraction is one narrow projection — zero shuffles") {
+    val docs = Seq((0L, "a b c")).toDF("doc_id", "text")
+    val df = Html.extractMain(Html.pageFromDocs(docs))
+    assert(graft.plans.Bucketing.shuffleExchangeCount(df) === 0,
+      df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode))
+  }
+
   test("empty doc page still shows the 3 chrome blocks, extracts nothing") {
     val docs = Seq((0L, "")).toDF("doc_id", "text")
     val r = Html.extractMain(Html.pageFromDocs(docs)).collect().head
