@@ -719,6 +719,11 @@ object SparkEntry {
     // determinism as unigram_logprob
     "bigram_logprob" -> ((s, d) =>
       TextQuality.bigramLogProb(t(s, d).documents).orderBy("doc_id")),
+    // top of the n-gram ladder: trigram model with two-level stupid
+    // backoff (tri → bigram → unigram), pruned numerators, true-count
+    // denominators
+    "trigram_logprob" -> ((s, d) =>
+      TextQuality.trigramLogProb(t(s, d).documents).orderBy("doc_id")),
     "token_count" -> ((s, d) => TextQuality.tokenCounts(t(s, d).documents).orderBy("doc_id")),
     // real subword tokenization under the frozen BPE merge artifact
     // (Bpe.DefaultMerges, learned once from the corpus — tokenizers
@@ -2915,6 +2920,41 @@ object SparkEntry {
          |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
          |       round(CAST(sl AS DOUBLE), 6) AS logprob,
          |       round(CAST(sl AS DOUBLE) / n_bigrams, 6) AS avg_logprob
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // trigram twin: same ordered-list CTEs; backoff CASE arms match
+    // the Spark when-chain's operand association exactly (0.4 * 0.4
+    // folds to the same IEEE double in both engines)
+    "trigram_logprob" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    list_filter(list_transform(
+         |      list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), t -> length(t) > 0),
+         |      t -> lower(regexp_replace(t, '$P', '', 'g'))), w -> length(w) > 0) AS ws
+         |  FROM documents),
+         | uni AS (SELECT w AS word, count(*) AS cnt FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY 1),
+         | tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM uni),
+         | bg AS (SELECT ws[i] AS b1, ws[i+1] AS b2
+         |        FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM toks WHERE len(ws) >= 2)),
+         | bi AS (SELECT b1, b2, count(*) AS bc FROM bg GROUP BY 1, 2),
+         | tg AS (SELECT doc_id, ws[i-1] AS p2, ws[i] AS p1, ws[i+1] AS cur
+         |        FROM (SELECT doc_id, ws, unnest(range(2, len(ws))) AS i FROM toks WHERE len(ws) >= 3)),
+         | tri AS (SELECT p2, p1, cur, count(*) AS tc FROM tg GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+         | sc AS (SELECT tg.doc_id,
+         |     CAST(round(CASE
+         |       WHEN t3.tc IS NOT NULL THEN ln(CAST(t3.tc AS DOUBLE) / CAST(cx.bc AS DOUBLE))
+         |       WHEN bm.bc IS NOT NULL THEN ln(0.4 * CAST(bm.bc AS DOUBLE) / CAST(up.cnt AS DOUBLE))
+         |       ELSE ln(0.4 * 0.4 * CAST(uc.cnt AS DOUBLE) / t.total) END, 12) AS DECIMAL(28,12)) AS l
+         |   FROM tg
+         |   LEFT JOIN tri t3 ON tg.p2 = t3.p2 AND tg.p1 = t3.p1 AND tg.cur = t3.cur
+         |   LEFT JOIN (SELECT b1, b2, bc FROM bi WHERE bc >= 2) bm ON tg.p1 = bm.b1 AND tg.cur = bm.b2
+         |   JOIN bi cx ON tg.p2 = cx.b1 AND tg.p1 = cx.b2
+         |   JOIN uni up ON tg.p1 = up.word
+         |   JOIN uni uc ON tg.cur = uc.word
+         |   CROSS JOIN tot t),
+         | s AS (SELECT doc_id, count(*) AS n_trigrams, sum(l) AS sl FROM sc GROUP BY 1)
+         |SELECT doc_id, CAST(n_trigrams AS BIGINT) AS n_trigrams,
+         |       round(CAST(sl AS DOUBLE), 6) AS logprob,
+         |       round(CAST(sl AS DOUBLE) / n_trigrams, 6) AS avg_logprob
          |FROM s ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->

@@ -116,6 +116,74 @@ object TextQuality {
         round(col("sl").cast(DoubleType) / col("n_bigrams"), 6).as("avg_logprob"))
   }
 
+  /** Trigram LM scoring with two-level stupid backoff — the top of the
+    * n-gram ladder ([[unigramLogProb]] → [[bigramLogProb]] → this):
+    * per adjacent word triple,
+    *
+    *   p = tri_cnt / bi_cnt(p2,p1)          trigram survives the prune
+    *     = alpha * bi_cnt(p1,cur)/uni(p1)   else, bigram survives
+    *     = alpha² * uni(cur)/total          else
+    *
+    * Numerator tables are min-count-pruned (>= 2) so both backoff
+    * levels actually fire on self-scoring; DENOMINATORS are the true
+    * unpruned counts (a conditional probability's context count is a
+    * fact, not a model choice). alpha² is the literal product 0.4*0.4
+    * folded identically by both engines' IEEE doubles. Same scale and
+    * determinism posture as bigramLogProb: vocab-sized count relations
+    * checkpointed once, the corpus-scale triple stream probes them,
+    * each log is one identically-associated double expression rounded
+    * to 12 dp and DECIMAL-summed. Docs with < 3 cleaned words drop. */
+  def trigramLogProb(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                     minCount: Int = 2, alpha: Double = 0.4): DataFrame = {
+    val ws = filter(transform(TextOps.tokens(col(textCol)), t => TextOps.cleanWord(t)),
+      w => length(w) > 0)
+    val base = docs.select(col(idCol).as("doc_id"), ws.as("ws"))
+    val uni = base.select(explode(col("ws")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val total = uni.agg(sum(col("cnt")).cast(DoubleType).as("total"))
+    def bigrams = base.where(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("b1"),
+          element_at(col("ws"), i + 1).as("b2")))).as("b"))
+      .select(col("b.b1").as("b1"), col("b.b2").as("b2"))
+    val bi = bigrams.groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("bc"))
+      .localCheckpoint(true)
+    def trigrams = base.where(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(transform(sequence(lit(2), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i - 1).as("p2"),
+          element_at(col("ws"), i).as("p1"),
+          element_at(col("ws"), i + 1).as("cur")))).as("g"))
+      .select(col("doc_id"), col("g.p2").as("p2"), col("g.p1").as("p1"), col("g.cur").as("cur"))
+    val triModel = trigrams.groupBy(col("p2"), col("p1"), col("cur"))
+      .agg(count(lit(1)).as("tc")).where(col("tc") >= minCount)
+      .localCheckpoint(true)
+    val biModel = bi.where(col("bc") >= minCount)
+      .select(col("b1").as("p1"), col("b2").as("cur"), col("bc").as("mbc"))
+    val ctx = bi.select(col("b1").as("p2"), col("b2").as("p1"), col("bc").as("cbc"))
+    val up = uni.select(col("word").as("p1"), col("cnt").as("pc"))
+    val uc = uni.select(col("word").as("cur"), col("cnt").as("cc"))
+    trigrams
+      .join(triModel, Seq("p2", "p1", "cur"), "left")
+      .join(biModel, Seq("p1", "cur"), "left")
+      .join(ctx, Seq("p2", "p1"))
+      .join(up, Seq("p1"))
+      .join(uc, Seq("cur"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(when(col("tc").isNotNull,
+            log(col("tc").cast(DoubleType) / col("cbc").cast(DoubleType)))
+          .when(col("mbc").isNotNull,
+            log(lit(alpha) * col("mbc").cast(DoubleType) / col("pc").cast(DoubleType)))
+          .otherwise(log(lit(alpha) * lit(alpha) * col("cc").cast(DoubleType) / col("total"))), 12)
+          .cast(DecimalType(28, 12)).as("l"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("l")).as("sl"))
+      .select(col("doc_id"), col("n_trigrams"),
+        round(col("sl").cast(DoubleType), 6).as("logprob"),
+        round(col("sl").cast(DoubleType) / col("n_trigrams"), 6).as("avg_logprob"))
+  }
+
   /** Small multilingual stopword lists — plan-time constants. */
   val Stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),

@@ -228,6 +228,63 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(2L)._3 < out(1L)._3)
   }
 
+  test("trigramLogProb: independent fold hits all three backoff levels") {
+    import spark.implicits._
+    import graft.operators.TextQuality
+    // doc 1 repeats "a b c" so trigram (a,b,c) is kept (count 3 via
+    // overlaps? no — occurrences per doc: a b c a b c a b c has
+    // (a,b,c)x3, (b,c,a)x2, (c,a,b)x2 — all kept); doc 2's (b,c,d) is
+    // a singleton (pruned) with kept bigram (c,d)? no — (c,d) is also
+    // singleton, so its last arm fires; (a,b,c) in doc 2 scores from
+    // the kept trigram table
+    val docs = Seq(
+      (1L, "a b c a b c a b c"),
+      (2L, "a b c d"),
+      (3L, "xy"),
+      (4L, "x c d"),
+      (5L, "y c d"),
+      (6L, "p q r")).toDF("doc_id", "text")
+    val texts = Map(1L -> "a b c a b c a b c", 2L -> "a b c d",
+      4L -> "x c d", 5L -> "y c d", 6L -> "p q r")
+    val words: Map[Long, Seq[String]] = texts.view.mapValues(_.split(" ").toSeq).toMap
+    val all = words.values.toSeq :+ Seq("xy")
+    val uni = all.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = uni.values.sum.toDouble
+    val bi = all.flatMap(w => w.zip(w.drop(1))).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tri = all.flatMap(w => w.lazyZip(w.drop(1)).lazyZip(w.drop(2)).toSeq)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def r12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: BigDecimal) = x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def scoreDoc(ws: Seq[String]): (Long, Double, Double) = {
+      val ls = ws.lazyZip(ws.drop(1)).lazyZip(ws.drop(2)).toSeq.map { case (p2, p1, cur) =>
+        val t3 = tri.getOrElse((p2, p1, cur), 0L)
+        val bm = bi.getOrElse((p1, cur), 0L)
+        val l =
+          if (t3 >= 2) math.log(t3.toDouble / bi((p2, p1)).toDouble)
+          else if (bm >= 2) math.log(0.4 * bm.toDouble / uni(p1).toDouble)
+          else math.log(0.4 * 0.4 * uni(cur).toDouble / total)
+        r12(l)
+      }
+      val sl = ls.sum
+      (ls.size.toLong, r6(sl), r6(sl / ls.size))
+    }
+    val out = TextQuality.trigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) === scoreDoc(words(1L)))
+    assert(out(2L) === scoreDoc(words(2L)))
+    assert(out(4L) === scoreDoc(words(4L)))
+    assert(out(5L) === scoreDoc(words(5L)))
+    assert(out(6L) === scoreDoc(words(6L)))
+    assert(!out.contains(3L)) // < 3 words → no trigrams → no row
+    // sanity: the fixture really exercises all three arms
+    val arms = words.values.flatMap(ws => ws.lazyZip(ws.drop(1)).lazyZip(ws.drop(2)).toSeq).map {
+      case (p2, p1, cur) =>
+        if (tri.getOrElse((p2, p1, cur), 0L) >= 2) 1
+        else if (bi.getOrElse((p1, cur), 0L) >= 2) 2 else 3
+    }.toSet
+    assert(arms === Set(1, 2, 3))
+  }
+
   test("langIdNgram: trigram profiles pick the language; no-hit text is und") {
     import spark.implicits._
     import graft.operators.TextQuality
