@@ -116,6 +116,27 @@ object SparkEntry {
       }
     }
 
+  /** Staged HTML-page drops (the crawl-stream fixture): pageFromDocs
+    * over the corpus, split into `nFiles` ordered files like
+    * [[stageDocStream]]. */
+  private def stagePageStream(s: SparkSession, d: String, nFiles: Int): String =
+    stageLayout(s, d, s"pagestream$nFiles") { tmp =>
+      val pages = Html.pageFromDocs(t(s, d).documents)
+      val maxId = pages.agg(max(col("doc_id"))).head().getLong(0)
+      val per = maxId / nFiles + 1
+      (0 until nFiles).foreach { i =>
+        val stage = s"$tmp/.stage$i"
+        pages.where(col("doc_id") >= i * per && col("doc_id") < (i + 1) * per)
+          .coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(s"$tmp/p$i.parquet")
+        require(part.renameTo(dest), s"staging move failed for $dest")
+        dest.setLastModified(1000000L * (i + 1))
+        graft.sources.FsUtil.deleteRecursively(new java.io.File(stage))
+      }
+    }
+
   private def stageEvents(s: SparkSession, d: String, copies: Int, filesPerCopy: Int): String =
     stagedEvents.getOrElseUpdate((d, copies, filesPerCopy), {
       stagedCleanup
@@ -830,6 +851,25 @@ object SparkEntry {
     // engine's own HTML ingestion instead of a prebuilt edge table
     "crawl_rank" -> ((s, d) =>
       Graph.pageRank(Html.outlinks(Html.pageFromDocs(t(s, d).documents))).orderBy("node")),
+    // the crawl front door AS A STREAM: page drops arrive file-by-file,
+    // href extraction runs per micro-batch, and the edge dedup becomes
+    // Structured Streaming's stateful Deduplicate (Html.outlinks'
+    // distinct, unchanged) — drained output must equal the batch edge
+    // list, so the closed-form twin is shared with html_outlinks
+    "streaming_outlinks" -> ((s, d) => {
+      val src = stagePageStream(s, d, nFiles = 4)
+      val ss = streamSession(s)
+      val pages = ss.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("html", org.apache.spark.sql.types.StringType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+      EventStreams.runToMemory(ss, Html.outlinks(pages),
+          s"stream_outlinks_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy("src", "dst")
+    }),
 
     // ---- M3b: corpus construction (deterministic sampling / chunking /
     // mixture / quality cut — graft.operators.Corpus) ----
@@ -3102,6 +3142,12 @@ object SparkEntry {
     // count (12 words each), n_blocks adds the 3 chrome blocks
     // (title/nav/footer) that the link-density gate drops
     "html_outlinks" ->
+      s"""$CrawlEdgesCte
+         |SELECT src, dst FROM edges ORDER BY src, dst""".stripMargin,
+
+    // drained stateful-dedup edge stream must converge to the batch
+    // edge list — same closed-form twin
+    "streaming_outlinks" ->
       s"""$CrawlEdgesCte
          |SELECT src, dst FROM edges ORDER BY src, dst""".stripMargin,
 
