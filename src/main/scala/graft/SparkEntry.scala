@@ -121,7 +121,9 @@ object SparkEntry {
     * [[stageDocStream]]. */
   private def stagePageStream(s: SparkSession, d: String, nFiles: Int): String =
     stageLayout(s, d, s"pagestream$nFiles") { tmp =>
+      // lang rides along as crawl metadata (page-level language header)
       val pages = Html.pageFromDocs(t(s, d).documents)
+        .join(t(s, d).documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
       val maxId = pages.agg(max(col("doc_id"))).head().getLong(0)
       val per = maxId / nFiles + 1
       (0 until nFiles).foreach { i =>
@@ -136,6 +138,18 @@ object SparkEntry {
         graft.sources.FsUtil.deleteRecursively(new java.io.File(stage))
       }
     }
+
+  /** File-stream reader over a [[stagePageStream]] dir. */
+  private def readPageStream(ss: SparkSession, src: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    ss.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("html", StringType),
+        StructField("lang", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+  }
 
   private def stageEvents(s: SparkSession, d: String, copies: Int, filesPerCopy: Int): String =
     stagedEvents.getOrElseUpdate((d, copies, filesPerCopy), {
@@ -859,16 +873,37 @@ object SparkEntry {
     "streaming_outlinks" -> ((s, d) => {
       val src = stagePageStream(s, d, nFiles = 4)
       val ss = streamSession(s)
-      val pages = ss.readStream
-        .schema(org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("html", org.apache.spark.sql.types.StringType))))
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-      EventStreams.runToMemory(ss, Html.outlinks(pages),
+      EventStreams.runToMemory(ss, Html.outlinks(readPageStream(ss, src)),
           s"stream_outlinks_${System.nanoTime()}",
           org.apache.spark.sql.streaming.OutputMode.Append())
         .orderBy("src", "dst")
+    }),
+    // the FULL crawl-to-corpus pipeline as a stream: HTML page drops →
+    // per-micro-batch boilerplate extraction (the batch-proven
+    // lossless extractor, metadata passthrough) → exact dedup against
+    // the persisted digest store → temperature resample → chunk →
+    // compacted landing — every stage inside the same batch-keyed
+    // transaction. The store seed and the oracle both work on the
+    // COLLAPSED text (what extraction provably recovers), so the twin
+    // is the one-shot batch chain over whitespace-normalized documents
+    "streaming_html_ingest" -> ((s, d) => {
+      val src = stagePageStream(s, d, nFiles = 4)
+      val ss = streamSession(s)
+      val collapsed = concat_ws(" ",
+        filter(split(col("text"), "\\s+"), w => length(w) > 0))
+      val storeDir = java.nio.file.Files.createTempDirectory("graft-htmlingest-store").toString
+      t(ss, d).documents.where(col("doc_id") % 2 === 0)
+        .select(sha2(collapsed, 256).as("h"))
+        .write.mode("overwrite").parquet(s"$storeDir/seed")
+      val rates = Corpus.temperatureRates(
+        t(ss, d).documents.select(col("doc_id"), col("lang"), collapsed.as("text")))
+      val out = java.nio.file.Files.createTempDirectory("graft-htmlingest-out").toString
+      val docsStream = Html.extractMain(readPageStream(ss, src))
+        .select(col("doc_id"), col("lang"), col("main_text").as("text"))
+      graft.streaming.IngestPipeline
+        .runIngestStream(ss, docsStream, storeDir, rates, out,
+          targetRowsPerFile = 5000L, bloomBits = 1L << 20)
+        .orderBy("doc_id", "chunk_idx")
     }),
 
     // ---- M3b: corpus construction (deterministic sampling / chunking /
@@ -3282,6 +3317,31 @@ object SparkEntry {
     // store seed and the PROFILE-derived rates (n over the full
     // documents table, not the survivors — the policy-snapshot
     // distinction vs pipeline_ingest's self-derived rates)
+    // the crawl-to-corpus stream's twin: the SAME one-shot chain over
+    // whitespace-COLLAPSED documents (docsx) — what the lossless
+    // extractor provably recovers from the boilerplated pages — so the
+    // hash proves extraction, dedup, resample and chunking end-to-end
+    "streaming_html_ingest" ->
+      s"""WITH docsx AS (SELECT doc_id, lang,
+         |    array_to_string(list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0), ' ') AS text
+         |  FROM documents),
+         | store AS (SELECT DISTINCT sha256(text) AS h FROM docsx WHERE doc_id % 2 = 0),
+         | batch AS (SELECT sha256(text) AS h, min(doc_id) AS doc_id FROM docsx GROUP BY 1),
+         | fresh AS (SELECT b.doc_id FROM batch b LEFT JOIN store s ON b.h = s.h WHERE s.h IS NULL),
+         | dd AS (SELECT d.doc_id, d.lang, d.text FROM docsx d JOIN fresh f ON d.doc_id = f.doc_id),
+         | n AS (SELECT lang, count(*) AS n_l FROM docsx GROUP BY lang),
+         | r AS (SELECT lang, CAST(floor(1000.0 * sqrt((SELECT CAST(min(n_l) AS DOUBLE) FROM n))
+         |   / sqrt(CAST(n_l AS DOUBLE))) AS BIGINT) AS keep_permille FROM n),
+         | kept AS (SELECT dd.doc_id, dd.lang, dd.text FROM dd JOIN r ON dd.lang = r.lang
+         |          WHERE $HashPermille < r.keep_permille),
+         | c AS (SELECT doc_id, lang, text,
+         |   CAST(ceil(length(text) / 256.0) AS BIGINT) AS n_chunks FROM kept),
+         | u AS (SELECT doc_id, lang, text, n_chunks,
+         |   unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM c)
+         |SELECT doc_id, lang, chunk_idx,
+         | substring(text, CAST(chunk_idx * 256 + 1 AS INT), 256) AS chunk
+         |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "streaming_pipeline_ingest" ->
       s"""WITH store AS (SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 2 = 0),
          | batch AS (SELECT sha256(text) AS h, min(doc_id) AS doc_id FROM documents GROUP BY 1),

@@ -137,11 +137,15 @@ object Html {
     val kept = filter(col("ne"), s =>
       length(s.getField("txt")) >= minLen &&
         s.getField("alen") * densityDen <= length(s.getField("txt")) * densityNum)
+    // crawl metadata (lang, fetch time, …) rides through untouched —
+    // the Corpus.chunk passthrough convention
+    val passthrough = pages.columns.filter(c => c != htmlCol && c != idCol).map(col).toSeq
     pages
-      .select(col(idCol).as("doc_id"), nonEmpty.as("ne"))
-      .select(col("doc_id"),
-        size(col("ne")).cast(LongType).as("n_blocks"),
-        size(kept).cast(LongType).as("n_kept"),
-        concat_ws(" ", transform(kept, s => s.getField("txt"))).as("main_text"))
+      .select(col(idCol).as("doc_id") +: nonEmpty.as("ne") +: passthrough: _*)
+      .select(col("doc_id") +:
+        size(col("ne")).cast(LongType).as("n_blocks") +:
+        size(kept).cast(LongType).as("n_kept") +:
+        concat_ws(" ", transform(kept, s => s.getField("txt"))).as("main_text") +:
+        passthrough: _*)
   }
 }

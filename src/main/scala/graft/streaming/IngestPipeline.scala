@@ -176,8 +176,20 @@ object IngestPipeline {
                 rates: DataFrame, outDir: String, targetRowsPerFile: Long,
                 chunkSize: Int = 256, bloomBits: Long = 0L,
                 bloomItems: Long = 100000L,
-                bandStoreDir: Option[String] = None): DataFrame = {
-    val q = readDocStream(spark, srcDir).writeStream
+                bandStoreDir: Option[String] = None): DataFrame =
+    runIngestStream(spark, readDocStream(spark, srcDir), storeDir, rates,
+      outDir, targetRowsPerFile, chunkSize, bloomBits, bloomItems, bandStoreDir)
+
+  /** [[runIngest]] over a CALLER-BUILT streaming DataFrame of
+    * (doc_id, lang, text) — the seam that lets an upstream extraction
+    * stage (e.g. HTML boilerplate removal) run inside the same
+    * micro-batch transaction as the ingest itself. */
+  def runIngestStream(spark: SparkSession, docStream: DataFrame, storeDir: String,
+                      rates: DataFrame, outDir: String, targetRowsPerFile: Long,
+                      chunkSize: Int = 256, bloomBits: Long = 0L,
+                      bloomItems: Long = 100000L,
+                      bandStoreDir: Option[String] = None): DataFrame = {
+    val q = docStream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         ingestBatch(batch.toDF(), batchId, storeDir, rates, outDir,
           targetRowsPerFile, chunkSize, bloomBits, bloomItems, bandStoreDir)
