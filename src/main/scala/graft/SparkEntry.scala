@@ -759,6 +759,17 @@ object SparkEntry {
     // denominators
     "trigram_logprob" -> ((s, d) =>
       TextQuality.trigramLogProb(t(s, d).documents).orderBy("doc_id")),
+    // MODEL-based quality cut: the bigram LM's per-doc avg log-prob
+    // drives the histogram-two-pass quantile filter (keep the top
+    // half per language) — perplexity filtering as a real corpus
+    // pipeline stage, not just a score column
+    "perplexity_filter" -> ((s, d) => {
+      val docs = t(s, d).documents
+      val scored = docs.select(col("doc_id"), col("lang"))
+        .join(TextQuality.bigramLogProb(docs)
+          .select(col("doc_id"), col("avg_logprob").as("score")), Seq("doc_id"))
+      Corpus.quantileFilterByScore(scored, keep = 0.5).orderBy("doc_id")
+    }),
     "token_count" -> ((s, d) => TextQuality.tokenCounts(t(s, d).documents).orderBy("doc_id")),
     // real subword tokenization under the frozen BPE merge artifact
     // (Bpe.DefaultMerges, learned once from the corpus — tokenizers
@@ -1772,6 +1783,32 @@ object SparkEntry {
        |     WHERE list_contains(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]),
        |       m.l || ' ' || m.r))
        | )""".stripMargin
+
+  /** Shared bigram-LM CTE chain (bigram_logprob + perplexity_filter
+    * twins): ordered cleaned-word lists → adjacent pairs → min-count-
+    * pruned model with stupid backoff → per-doc DECIMAL-summed logs in
+    * `s(doc_id, n_bigrams, sl)`. */
+  private val BigramCtes =
+    s"""WITH toks AS (SELECT doc_id,
+       |    list_filter(list_transform(
+       |      list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), t -> length(t) > 0),
+       |      t -> lower(regexp_replace(t, '$P', '', 'g'))), w -> length(w) > 0) AS ws
+       |  FROM documents),
+       | uni AS (SELECT w AS word, count(*) AS cnt FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY 1),
+       | tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM uni),
+       | bg AS (SELECT doc_id, ws[i] AS prev, ws[i+1] AS cur
+       |        FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM toks WHERE len(ws) >= 2)),
+       | model AS (SELECT prev, cur, count(*) AS bcnt FROM bg GROUP BY 1, 2 HAVING count(*) >= 2),
+       | sc AS (SELECT bg.doc_id,
+       |     CAST(round(CASE WHEN m.bcnt IS NOT NULL
+       |       THEN ln(CAST(m.bcnt AS DOUBLE) / CAST(up.cnt AS DOUBLE))
+       |       ELSE ln(0.4 * CAST(uc.cnt AS DOUBLE) / t.total) END, 12) AS DECIMAL(28,12)) AS l
+       |   FROM bg
+       |   LEFT JOIN model m ON bg.prev = m.prev AND bg.cur = m.cur
+       |   JOIN uni up ON bg.prev = up.word
+       |   JOIN uni uc ON bg.cur = uc.word
+       |   CROSS JOIN tot t),
+       | s AS (SELECT doc_id, count(*) AS n_bigrams, sum(l) AS sl FROM sc GROUP BY 1)""".stripMargin
 
   /** BM25 query + parameters, shared by the Spark query and its twin.
     * The twin interpolates the SAME Scala-computed doubles the Spark
@@ -2972,30 +3009,22 @@ object SparkEntry {
     // the identical one-expression association as the Spark side,
     // rounded 12 dp and DECIMAL-summed.
     "bigram_logprob" ->
-      s"""WITH toks AS (SELECT doc_id,
-         |    list_filter(list_transform(
-         |      list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), t -> length(t) > 0),
-         |      t -> lower(regexp_replace(t, '$P', '', 'g'))), w -> length(w) > 0) AS ws
-         |  FROM documents),
-         | uni AS (SELECT w AS word, count(*) AS cnt FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY 1),
-         | tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM uni),
-         | bg AS (SELECT doc_id, ws[i] AS prev, ws[i+1] AS cur
-         |        FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM toks WHERE len(ws) >= 2)),
-         | model AS (SELECT prev, cur, count(*) AS bcnt FROM bg GROUP BY 1, 2 HAVING count(*) >= 2),
-         | sc AS (SELECT bg.doc_id,
-         |     CAST(round(CASE WHEN m.bcnt IS NOT NULL
-         |       THEN ln(CAST(m.bcnt AS DOUBLE) / CAST(up.cnt AS DOUBLE))
-         |       ELSE ln(0.4 * CAST(uc.cnt AS DOUBLE) / t.total) END, 12) AS DECIMAL(28,12)) AS l
-         |   FROM bg
-         |   LEFT JOIN model m ON bg.prev = m.prev AND bg.cur = m.cur
-         |   JOIN uni up ON bg.prev = up.word
-         |   JOIN uni uc ON bg.cur = uc.word
-         |   CROSS JOIN tot t),
-         | s AS (SELECT doc_id, count(*) AS n_bigrams, sum(l) AS sl FROM sc GROUP BY 1)
+      s"""$BigramCtes
          |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
          |       round(CAST(sl AS DOUBLE), 6) AS logprob,
          |       round(CAST(sl AS DOUBLE) / n_bigrams, 6) AS avg_logprob
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    // model-based quality cut: the bigram chain's per-doc average
+    // feeds the naive percent_rank twin of the histogram filter —
+    // proven equal for quality_filter, reproven here on the LM score
+    "perplexity_filter" ->
+      s"""$BigramCtes,
+         | scd AS (SELECT d.doc_id, d.lang, round(CAST(s.sl AS DOUBLE) / s.n_bigrams, 6) AS score
+         |         FROM documents d JOIN s ON d.doc_id = s.doc_id),
+         | r AS (SELECT doc_id, lang, score,
+         |         percent_rank() OVER (PARTITION BY lang ORDER BY score) AS pr FROM scd)
+         |SELECT doc_id, lang, score, pr FROM r WHERE pr >= 0.5 ORDER BY doc_id""".stripMargin,
 
     // trigram twin: same ordered-list CTEs; backoff CASE arms match
     // the Spark when-chain's operand association exactly (0.4 * 0.4

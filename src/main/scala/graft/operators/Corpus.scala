@@ -273,10 +273,19 @@ object Corpus {
     val hits = size(filter(tk, t =>
       array_contains(array(AllStopwords.map(lit): _*), lower(t))))
     val score = hits.cast(LongType) / size(tk).cast(LongType)
-    val scored = docs.withColumn("score", score)
-    // pass 1: histogram, then exact percent_rank per distinct score.
-    // The window partitions the HISTOGRAM by stratum — rows here are
-    // distinct score values, not documents.
+    quantileFilterByScore(docs.withColumn("score", score), keep, strataCol)
+  }
+
+  /** The histogram-two-pass quantile filter over a CALLER-SUPPLIED
+    * `score` column — the seam that lets MODEL-based scores (the
+    * unigram/bigram/trigram LM scorers) drive the same exact
+    * percent_rank cut the heuristic filter uses. `scored` must carry
+    * `score`; every input column passes through with score + pr
+    * appended. Pass 1 aggregates to a per-stratum score HISTOGRAM and
+    * ranks its DISTINCT values (no stratum-wide document sort
+    * anywhere); pass 2 joins the surviving scores back broadcast. */
+  def quantileFilterByScore(scored: DataFrame, keep: Double = 0.5,
+                            strataCol: String = "lang"): DataFrame = {
     val hist = scored.groupBy(col(strataCol), col("score"))
       .agg(count(lit(1)).as("cnt"))
     val below = Window.partitionBy(col(strataCol)).orderBy(col("score"))
@@ -288,9 +297,8 @@ object Corpus {
         .otherwise(col("cnt_below").cast(DoubleType) / (col("n") - 1L).cast(DoubleType)))
       .where(col("pr") >= 1.0 - keep)
       .select(col(strataCol), col("score"), col("pr"))
-    // pass 2: input columns pass through (so the filter composes into
-    // pipelines); score + pr appended, like the window formulation
+    val passthrough = scored.columns.filter(_ != "score").map(col).toSeq
     scored.join(broadcast(ranks), Seq(strataCol, "score"))
-      .select(docs.columns.map(col).toSeq :+ col("score") :+ col("pr"): _*)
+      .select(passthrough :+ col("score") :+ col("pr"): _*)
   }
 }
