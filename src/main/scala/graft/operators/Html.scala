@@ -84,7 +84,11 @@ object Html {
       .select(col(idCol).as("doc_id"), ws.as("ws"))
       .select(col("doc_id"), col("ws"), nPara.as("np"))
       .select(col("doc_id"), concat(
-        lit("<html><head><title><a href=\"/\">Graft Site</a></title></head>\n<body>\n"),
+        lit("<!-- graft page; <p>markup in comments is not content</p> -->\n"),
+        lit("<html><head><title><a href=\"/\">Graft Site</a></title>\n"),
+        lit("<style>.nav { color: red; } p { margin: 1em; }</style>\n"),
+        lit("<script>var graftPage = true; function noise() { return 42; }</script>\n"),
+        lit("</head>\n<body>\n"),
         lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> "),
         concat_ws(" ", transform(
           array((col("doc_id") * 7 + 3) % linkSpace,
@@ -128,9 +132,21 @@ object Html {
     * float threshold to flap the hash gate). Returns per page:
     * `n_blocks` (non-empty blocks seen), `n_kept`, and the extracted
     * `main_text` (kept blocks joined by single spaces). */
+  /** Container elements whose CONTENT must vanish, not just their
+    * tags: script and style bodies are code, and comments may contain
+    * markup that must never be re-interpreted as structure (jusText
+    * does the same removal first). `(?s)` + non-greedy work in both
+    * Java regex and RE2; the unterminated-container case degrades to
+    * tag-strip like any other malformed markup. */
+  private def dropInert(h: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(h,
+      "(?is)<script\\b[^>]*>.*?</script>", " "),
+      "(?is)<style\\b[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+
   def extractMain(pages: DataFrame, htmlCol: String = "html", idCol: String = "doc_id",
                   minLen: Int = 1, densityNum: Int = 1, densityDen: Int = 3): DataFrame = {
-    val blocks = split(col(htmlCol), BlockTagRe)
+    val blocks = split(dropInert(col(htmlCol)), BlockTagRe)
     val scored = transform(blocks, b => struct(
       cleanBlock(b).as("txt"), anchorLen(b).as("alen")))
     val nonEmpty = filter(scored, s => length(s.getField("txt")) > 0)

@@ -92,6 +92,26 @@ class HtmlSpec extends AnyFunSuite {
     }
   }
 
+  test("script/style bodies and comments vanish entirely — even with markup inside") {
+    val html = "<script>var x = '<p>fake</p>'; f();</script>" +
+      "<style>p { color: blue }</style>" +
+      "<!-- hidden <p>comment content</p> -->" +
+      "<p>only real prose survives</p>"
+    val (nBlocks, nKept, text) = extract(html)
+    assert(nBlocks === 1L)
+    assert(nKept === 1L)
+    assert(text === "only real prose survives")
+  }
+
+  test("unterminated script degrades to tag-strip, not to swallowing the page") {
+    val html = "<script>var x = 1; <p>after the unterminated script</p>"
+    // no </script>: the container regex cannot match, so the script
+    // TAG strips like any tag and its body text remains — the standard
+    // malformed-markup degradation (never drops trailing real content)
+    val (_, _, text) = extract(html)
+    assert(text.endsWith("after the unterminated script"))
+  }
+
   test("uppercase tags split and strip like lowercase (case-insensitive regexes)") {
     val html = "<NAV><A HREF=\"/\">Home</A></NAV><P>upper case prose here</P>"
     val (nBlocks, nKept, text) = extract(html)
