@@ -876,6 +876,18 @@ object SparkEntry {
     // engine's own HTML ingestion instead of a prebuilt edge table
     "crawl_rank" -> ((s, d) =>
       Graph.pageRank(Html.outlinks(Html.pageFromDocs(t(s, d).documents))).orderBy("node")),
+    // site-cluster discovery: undirected connected components over the
+    // extracted link graph — the min-label iterative device
+    // (Dedup.nearDupClusters) on crawl edges
+    "crawl_components" -> ((s, d) => {
+      val edges = Html.outlinks(Html.pageFromDocs(t(s, d).documents))
+      val pairs = edges.select(col("src").as("doc_a"), col("dst").as("doc_b"))
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      Dedup.nearDupClusters(pairs, nodes, idCol = "node")
+        .select(col("doc_id").as("node"), col("cluster_id"))
+        .orderBy("node")
+    }),
     // the crawl front door AS A STREAM: page drops arrive file-by-file,
     // href extraction runs per micro-batch, and the edge dedup becomes
     // Structured Streaming's stateful Deduplicate (Html.outlinks'
@@ -1728,10 +1740,11 @@ object SparkEntry {
     * (7id+3, 13id+5, id+1) mod 1000 — the twin derives the SAME graph
     * from doc_id arithmetic, so hash equality proves the Spark side's
     * href extraction from raw markup. */
-  private val CrawlEdgesCte =
-    """WITH t AS (SELECT doc_id, unnest([(doc_id*7+3)%1000, (doc_id*13+5)%1000, (doc_id+1)%1000]) AS dst
+  private val CrawlEdgesBody =
+    """t AS (SELECT doc_id, unnest([(doc_id*7+3)%1000, (doc_id*13+5)%1000, (doc_id+1)%1000]) AS dst
       |           FROM documents),
       | edges AS (SELECT DISTINCT doc_id AS src, dst FROM t WHERE dst <> doc_id)""".stripMargin
+  private val CrawlEdgesCte = s"WITH $CrawlEdgesBody"
 
   /** Shared token-pipeline CTE for the wordcount family. */
   private val W =
@@ -3216,6 +3229,19 @@ object SparkEntry {
          |SELECT src, dst FROM edges ORDER BY src, dst""".stripMargin,
 
     "crawl_rank" -> pageRankUnrolled(CrawlEdgesCte),
+
+    // undirected closure over the closed-form crawl edges — min label
+    // reachable in either direction is the component id
+    "crawl_components" ->
+      s"""WITH RECURSIVE $CrawlEdgesBody,
+         | e AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+         | nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst AS node FROM edges),
+         | reach(node, label) AS (
+         |   SELECT node, node FROM nodes
+         |   UNION
+         |   SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.node
+         | )
+         |SELECT node, min(label) AS cluster_id FROM reach GROUP BY node ORDER BY node""".stripMargin,
 
     "html_extract" ->
       """WITH w AS (SELECT doc_id,
