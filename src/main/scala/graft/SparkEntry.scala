@@ -69,6 +69,16 @@ object SparkEntry {
       write(tmp)
       tmp
     })
+  /** The single part file of a coalesce(1) stage write, with a loud
+    * failure naming the stage dir (a bare .get threw an anonymous
+    * NoSuchElementException when a stripe wrote no part — e.g. sparse
+    * doc_ids leaving a range empty). */
+  private def stagedPart(stage: String): java.io.File = {
+    val files = Option(new java.io.File(stage).listFiles()).getOrElse(Array.empty)
+    files.find(_.getName.endsWith(".parquet")).getOrElse(
+      sys.error(s"fixture stage $stage wrote no parquet part " +
+        s"(files: ${files.map(_.getName).mkString(", ")}) — empty id stripe?"))
+  }
   /** The LakeTable fixture: base projection + a KEY-LOCALIZED CDC batch
     * (updates/deletes over keys 300-400, inserts at key+100000), shared
     * by table_commit / table_time_travel and their DuckDB twins. The
@@ -107,8 +117,7 @@ object SparkEntry {
         val stage = s"$tmp/.stage$i"
         docs.where(col("doc_id") >= i * per && col("doc_id") < (i + 1) * per)
           .coalesce(1).write.parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
+        val part = stagedPart(stage)
         val dest = new java.io.File(s"$tmp/d$i.parquet")
         require(part.renameTo(dest), s"staging move failed for $dest")
         dest.setLastModified(1000000L * (i + 1))
@@ -130,8 +139,7 @@ object SparkEntry {
         val stage = s"$tmp/.stage$i"
         pages.where(col("doc_id") >= i * per && col("doc_id") < (i + 1) * per)
           .coalesce(1).write.parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
+        val part = stagedPart(stage)
         val dest = new java.io.File(s"$tmp/p$i.parquet")
         require(part.renameTo(dest), s"staging move failed for $dest")
         dest.setLastModified(1000000L * (i + 1))
@@ -182,8 +190,7 @@ object SparkEntry {
           explode(array(lit("click"), lit("purchase"))).as("event_type"),
           lit(0.0).as("value"), lit("{}").as("props"))
         .coalesce(1).write.parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
+      val part = stagedPart(stage)
       val dest = new java.io.File(s"$tmp/sentinel.parquet")
       require(part.renameTo(dest), s"sentinel staging failed for $dest")
       dest.setLastModified(4102444800000L) // year 2100 ≫ any staged mtime
@@ -199,8 +206,7 @@ object SparkEntry {
       (0 until nFiles).foreach { i =>
         val stage = s"$tmp/.stage$i"
         batch.where(col("vec_id") % nFiles === i).coalesce(1).write.parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
+        val part = stagedPart(stage)
         val dest = new java.io.File(s"$tmp/v$i.parquet")
         require(part.renameTo(dest), s"staging move failed for $dest")
         dest.setLastModified(1000000L * (i + 1))
@@ -1740,10 +1746,12 @@ object SparkEntry {
     * (7id+3, 13id+5, id+1) mod 1000 — the twin derives the SAME graph
     * from doc_id arithmetic, so hash equality proves the Spark side's
     * href extraction from raw markup. */
-  private val CrawlEdgesBody =
-    """t AS (SELECT doc_id, unnest([(doc_id*7+3)%1000, (doc_id*13+5)%1000, (doc_id+1)%1000]) AS dst
-      |           FROM documents),
-      | edges AS (SELECT DISTINCT doc_id AS src, dst FROM t WHERE dst <> doc_id)""".stripMargin
+  private val CrawlEdgesBody = {
+    val m = Html.DefaultLinkSpace // the SAME constant pageFromDocs links with
+    s"""t AS (SELECT doc_id, unnest([(doc_id*7+3)%$m, (doc_id*13+5)%$m, (doc_id+1)%$m]) AS dst
+       |           FROM documents),
+       | edges AS (SELECT DISTINCT doc_id AS src, dst FROM t WHERE dst <> doc_id)""".stripMargin
+  }
   private val CrawlEdgesCte = s"WITH $CrawlEdgesBody"
 
   /** Shared token-pipeline CTE for the wordcount family. */

@@ -68,9 +68,14 @@ object Html {
     * lossless: extractMain(pageFromDocs(d)) recovers exactly the
     * whitespace-collapsed document text, which is what the DuckDB
     * oracle asserts (the twin never needs to build the page). */
+  /** Target-id space of the page fixture's nav links — interpolated
+    * into BOTH [[pageFromDocs]] and the DuckDB closed-form edge twin
+    * (SparkEntry.CrawlEdgesBody), so fixture and twin cannot drift. */
+  val DefaultLinkSpace: Int = 1000
+
   def pageFromDocs(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id", wordsPerPara: Int = 12,
-                   linkSpace: Int = 1000): DataFrame = {
+                   linkSpace: Int = DefaultLinkSpace): DataFrame = {
     val ws = filter(split(escapeHtml(col(textCol)), "\\s+"), w => length(w) > 0)
     val nPara = ceil(size(col("ws")).cast(DoubleType) / wordsPerPara).cast(IntegerType)
     // guard the empty case: sequence(1, 0) would step BACKWARDS

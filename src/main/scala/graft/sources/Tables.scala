@@ -36,8 +36,20 @@ final case class Tables(spark: SparkSession, dir: String) {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = t("events")
     raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType =>
+        // a LongType ts only appears when nanosAsLong is on; if the
+        // session lacks it the read fails earlier with Spark's own
+        // TIMESTAMP(NANOS) error — nothing to guard here beyond docs
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // the NTZ→TZ cast reinterprets wall-clock in the SESSION zone;
+        // only UTC matches DuckDB's CAST(ts AS TIMESTAMP) — fail loud
+        // instead of diverging silently until the hash gate trips
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          s"events.parquet carries TIMESTAMP_NTZ: the session must run with " +
+            s"spark.sql.session.timeZone=UTC (got '${spark.conf.get("spark.sql.session.timeZone")}') " +
+            "or every downstream window/watermark/oracle compare shifts by the zone offset")
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }
