@@ -871,6 +871,19 @@ object SparkEntry {
     // the exact block bookkeeping (paras + 3 chrome blocks)
     "html_extract" -> ((s, d) =>
       Html.extractMain(Html.pageFromDocs(t(s, d).documents)).orderBy("doc_id")),
+    // the full entity decoder under load: the page fixture with an
+    // entity-rich paragraph injected at the top of the body — named,
+    // decimal, hex, double-escaped, unknown-name and invalid-codepoint
+    // references all decode (or deliberately survive) per the HTML
+    // one-pass rule; the twin inlines the closed-form decoded constant
+    "html_entities" -> ((s, d) => {
+      val pages = Html.pageFromDocs(t(s, d).documents)
+        .select(col("doc_id"),
+          regexp_replace(col("html"), "<div>\n",
+            java.util.regex.Matcher.quoteReplacement("<div>\n" + Html.EntityFixtureRaw))
+            .as("html"))
+      Html.extractMain(pages).orderBy("doc_id")
+    }),
     // crawl-graph builder: /doc/<id> hrefs parsed out of the raw
     // markup → deduped directed edges (the twin derives the same graph
     // from the fixture's closed-form link targets, so the hash proves
@@ -3260,6 +3273,22 @@ object SparkEntry {
         | CAST((len(ws) + 11) // 12 AS BIGINT) AS n_kept,
         | array_to_string(ws, ' ') AS main_text
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // html_extract plus one injected kept block whose decoded form is
+    // a compile-time constant from the SAME Scala object the fixture
+    // injects raw — the hash proves the entity decoder end to end
+    "html_entities" -> {
+      val dec = Html.EntityFixtureDecoded.replace("'", "''")
+      s"""WITH w AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS ws
+         |  FROM documents)
+         |SELECT doc_id,
+         | CAST((len(ws) + 11) // 12 + 4 AS BIGINT) AS n_blocks,
+         | CAST((len(ws) + 11) // 12 + 1 AS BIGINT) AS n_kept,
+         | CASE WHEN len(ws) > 0 THEN '$dec' || ' ' || array_to_string(ws, ' ')
+         |      ELSE '$dec' END AS main_text
+         |FROM w ORDER BY doc_id""".stripMargin
+    },
 
     // text-shingle twin of the engine's 64-bit-id overlap count —
     // identical values absent xxhash64 collisions (prob ~n²/2⁶⁵)

@@ -49,12 +49,101 @@ object Html {
       regexp_replace(acc, java.util.regex.Pattern.quote(ch), e)
     }
 
-  /** Decode the same five entities (amp LAST — `&amp;lt;` must yield
-    * `&lt;`, never `<`). */
-  def unescapeHtml(c: Column): Column =
-    Entities.reverse.foldLeft(c) { case (acc, (ch, e)) =>
-      regexp_replace(acc, e, java.util.regex.Matcher.quoteReplacement(ch))
-    }
+  /** Named entities the decoder understands: the XML five plus the
+    * set that actually occurs in crawled pages (typography, currency,
+    * Latin-1 letters). Unknown names pass through as literal text —
+    * the HTML-spec behavior for unrecognized references. */
+  val NamedEntities: Map[String, String] = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "nbsp" -> "\u00a0", "shy" -> "\u00ad",
+    "mdash" -> "—", "ndash" -> "–", "hellip" -> "…",
+    "lsquo" -> "‘", "rsquo" -> "’", "ldquo" -> "“",
+    "rdquo" -> "”", "laquo" -> "«", "raquo" -> "»",
+    "middot" -> "·", "bull" -> "•", "dagger" -> "†",
+    "copy" -> "©", "reg" -> "®", "trade" -> "™",
+    "deg" -> "°", "times" -> "×", "divide" -> "÷",
+    "plusmn" -> "±", "micro" -> "µ", "sect" -> "§",
+    "para" -> "¶", "euro" -> "€", "pound" -> "£",
+    "cent" -> "¢", "yen" -> "¥",
+    "frac12" -> "½", "frac14" -> "¼", "frac34" -> "¾",
+    "sup1" -> "¹", "sup2" -> "²", "sup3" -> "³",
+    "eacute" -> "é", "egrave" -> "è", "ecirc" -> "ê",
+    "agrave" -> "à", "acirc" -> "â", "ccedil" -> "ç",
+    "ntilde" -> "ñ", "uuml" -> "ü", "ouml" -> "ö",
+    "auml" -> "ä", "szlig" -> "ß", "aacute" -> "á",
+    "iacute" -> "í", "oacute" -> "ó", "uacute" -> "ú")
+
+  /** One reference: decimal `#NN`, hex `#xNN`, or a name. */
+  private val EntityRe = "&(#[0-9]{1,7}|#[xX][0-9A-Fa-f]{1,6}|[a-zA-Z][a-zA-Z0-9]{1,9});"
+
+  /** Codepoint → its UTF-8 bytes, built arithmetically (hex string →
+    * unhex → decode). Spark's own chr() is mod-256 ASCII, so `&#8217;`
+    * class codepoints need the byte construction done by hand — all
+    * codegen'd integer/string ops, no UDF. */
+  private def chrUtf8(cp: Column): Column = {
+    def b(x: Column) = lpad(hex(x), 2, "0")
+    def cont(x: Column) = b(x.bitwiseAND(lit(0x3f)).bitwiseOR(lit(0x80)))
+    val hexStr =
+      when(cp < 0x80, b(cp))
+        .when(cp < 0x800, concat(b(shiftright(cp, 6).bitwiseOR(lit(0xc0))), cont(cp)))
+        .when(cp < 0x10000, concat(b(shiftright(cp, 12).bitwiseOR(lit(0xe0))),
+          cont(shiftright(cp, 6)), cont(cp)))
+        .otherwise(concat(b(shiftright(cp, 18).bitwiseOR(lit(0xf0))),
+          cont(shiftright(cp, 12)), cont(shiftright(cp, 6)), cont(cp)))
+    decode(unhex(hexStr), "UTF-8")
+  }
+
+  /** Decode one reference body (sans `&`/`;`): numeric → codepoint
+    * (invalid codepoints — zero, surrogates, past U+10FFFF — stay
+    * literal), name → table lookup, unknown name → literal. */
+  private def decodeEntityBody(body: Column): Column = {
+    val literal = concat(lit("&"), body, lit(";"))
+    val cp = when(body.rlike("^#[xX]"),
+        conv(body.substr(lit(3), length(body)), 16, 10).cast("long"))
+      .otherwise(body.substr(lit(2), length(body)).cast("long"))
+    val validCp = cp >= 1 && cp <= 0x10ffff && !cp.between(0xd800, 0xdfff)
+    when(body.startsWith("#"),
+        when(validCp, chrUtf8(cp.cast("int"))).otherwise(literal))
+      .otherwise(coalesce(
+        element_at(typedLit(NamedEntities), body), literal))
+  }
+
+  /** Decode entity references in ONE left-to-right pass — the HTML
+    * behavior: `&amp;lt;` yields `&lt;` (the decoded `&` is never
+    * rescanned), which also makes this an exact inverse of
+    * [[escapeHtml]]. Mechanism: mark every reference with control
+    * delimiters, split, decode each marked body, reassemble — one
+    * regex pass plus per-piece arithmetic, no UDF, so the DuckDB twin
+    * never needs to replicate it (fixtures carry closed-form expected
+    * text). Control chars U+0001/U+0002 are stripped first (they are
+    * never content; this keeps hostile input from forging markers). */
+  def unescapeHtml(c: Column): Column = {
+    val marked = regexp_replace(
+      regexp_replace(c, "[\u0001\u0002]", ""), EntityRe, "\u0001$1\u0002")
+    // limit -1 keeps trailing empties so reassembly is exact
+    val parts = split(marked, "\u0002", -1)
+    concat_ws("", transform(parts, p => {
+      val i = instr(p, "\u0001")
+      when(i === 0, p).otherwise(concat(
+        p.substr(lit(1), i - 1),
+        decodeEntityBody(p.substr(i + 1, length(p)))))
+    }))
+  }
+
+  /** Entity-rich paragraph (raw markup) and its decoded form — the
+    * `html_entities` fixture injects the raw form into each page and
+    * the DuckDB twin inlines the decoded constant, so hash equality
+    * proves the full decoder: named, decimal, hex, double-escaped
+    * (`&amp;#65;` must NOT rescan to `A`), unknown-name passthrough,
+    * and invalid-codepoint passthrough (zero, surrogate, past
+    * U+10FFFF). */
+  val EntityFixtureRaw: String =
+    "<p>Caf&eacute; fa&ccedil;ade &mdash; r&#111;w&#x2019;s&nbsp;d&eacute;cor " +
+      "&laquo;&copy;&raquo; 2&frac12;&deg; &amp;&lt;tag&gt; &unknown; &#38;#65; " +
+      "&#0;&#xD800;&#1114112;</p>\n"
+  val EntityFixtureDecoded: String =
+    "Café façade — row’s" + "\u00a0" + "décor «©» 2½° &<tag> &unknown; &#65; " +
+      "&#0;&#xD800;&#1114112;"
 
   /** Deterministic boilerplated page per document — the markup twin of
     * Multimodal.pngMediaFromDocs's fixture device: wrap each

@@ -71,6 +71,37 @@ class HtmlSpec extends AnyFunSuite {
     assert(df.collect().head.getString(0) === tricky)
   }
 
+  test("entity decoder: named, decimal, hex, supplementary, invalid, unknown") {
+    val cases = Seq(
+      "a&nbsp;b" -> "a\u00a0b",
+      "caf&eacute; fa&ccedil;ade" -> "café façade",
+      "r&#111;w" -> "row",
+      "it&#x2019;s &#X2014;" -> "it’s —", // both hex markers
+      "&#x1F600;" -> new String(Character.toChars(0x1F600)), // 4-byte UTF-8
+      "&mdash;&hellip;&frac12;&euro;" -> "—…½€",
+      // unknown name, too-short name, too-long name: all literal
+      "&unknown; &q;x &notarealentityname;" -> "&unknown; &q;x &notarealentityname;",
+      // invalid codepoints stay literal: zero, surrogate, past max
+      "&#0; &#xD800; &#1114112;" -> "&#0; &#xD800; &#1114112;",
+      // one-pass: the decoded '&' of &amp; is never rescanned
+      "&amp;#65; &amp;nbsp; &amp;amp;" -> "&#65; &nbsp; &amp;",
+      "" -> "")
+    val got = cases.map(_._1).zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("i", "t").select(col("i"), Html.unescapeHtml(col("t")).as("d"))
+      .orderBy("i").collect().map(_.getString(1))
+    cases.map(_._2).zip(got).zipWithIndex.foreach { case ((want, g), i) =>
+      assert(g === want, s"case $i")
+    }
+  }
+
+  test("entity fixture paragraph decodes to its published constant") {
+    val got = Seq(Html.EntityFixtureRaw).toDF("h")
+      .select(Html.unescapeHtml(regexp_replace(col("h"), "<[^<>]*>", " ")).as("d"))
+      .select(trim(regexp_replace(col("d"), "\\s+", " ")).as("d"))
+      .collect().head.getString(0)
+    assert(got === Html.EntityFixtureDecoded)
+  }
+
   test("page fixture inverts: extract(pageFromDocs(docs)) == collapsed text") {
     val texts = Seq(
       "plain words only",
