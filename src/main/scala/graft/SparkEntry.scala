@@ -3304,26 +3304,37 @@ object SparkEntry {
         |FROM toks t LEFT JOIN ov USING (doc_id) WHERE t.doc_id % 97 <> 0
         |ORDER BY t.doc_id""".stripMargin,
 
-    // per-language trigram-hit totals generated from the SAME Scala
-    // profile constants the Spark expression uses; replace() is
+    // per-language gram-hit totals generated from the SAME Scala
+    // profile constants the Spark expression uses (gram-length-aware
+    // divisor — CJK profiles are character bigrams); replace() is
     // non-overlapping left-to-right in both engines, so the counts
-    // are identical integers
+    // are identical integers. The comparison chain is generated from
+    // the same NgramLangs order and is provably the argmax with
+    // earliest-index tie win — the first language >= all later ones
+    // is a maximum (any earlier better one would have taken its
+    // branch), which equals Spark's greatest() over (score, priority)
+    // structs.
     "lang_id_ngram" -> {
+      val langs = TextQuality.NgramLangs
       val score = (l: String) => TextQuality.NgramProfiles(l)
-        .map(g => s"(length(t) - length(replace(t, '$g', ''))) // 3").mkString(" + ")
+        .map(g => s"(length(t) - length(replace(t, '$g', ''))) // ${g.length}")
+        .mkString(" + ")
+      val scoreCols = langs
+        .map(l => s"  CAST(${score(l)} AS BIGINT) AS g_$l").mkString(",\n")
+      val allZero = langs.map(l => s"g_$l = 0").mkString(" AND ")
+      val chain = langs.init.zipWithIndex.map { case (l, i) =>
+        val conds = langs.drop(i + 1).map(j => s"g_$l >= g_$j").mkString(" AND ")
+        s"      WHEN $conds THEN '$l'"
+      }.mkString("\n")
       s"""WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
          | sc AS (SELECT doc_id,
-         |  CAST(${score("en")} AS BIGINT) AS g_en,
-         |  CAST(${score("de")} AS BIGINT) AS g_de,
-         |  CAST(${score("es")} AS BIGINT) AS g_es,
-         |  CAST(${score("fr")} AS BIGINT) AS g_fr
+         |$scoreCols
          | FROM p)
          |SELECT doc_id,
-         | CASE WHEN g_en = 0 AND g_de = 0 AND g_es = 0 AND g_fr = 0 THEN 'und'
-         |      WHEN g_en >= g_de AND g_en >= g_es AND g_en >= g_fr THEN 'en'
-         |      WHEN g_de >= g_es AND g_de >= g_fr THEN 'de'
-         |      WHEN g_es >= g_fr THEN 'es' ELSE 'fr' END AS pred_lang,
-         | g_en, g_de, g_es, g_fr
+         | CASE WHEN $allZero THEN 'und'
+         |$chain
+         |      ELSE '${langs.last}' END AS pred_lang,
+         | ${langs.map(l => s"g_$l").mkString(", ")}
          |FROM sc ORDER BY doc_id""".stripMargin
     },
 

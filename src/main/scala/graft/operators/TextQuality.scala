@@ -282,43 +282,64 @@ object TextQuality {
       col("s_en"), col("s_de"), col("s_es"), col("s_fr"), col("s_zh"))
   }
 
-  /** Character-trigram profiles for n-gram language ID — plan-time
+  /** Deterministic tie priority for [[langIdNgram]]: on equal scores
+    * the EARLIER language wins. The order is a fixed, documented
+    * policy (roughly descending web-corpus prevalence), shared with
+    * the DuckDB twin's generated comparison chain. */
+  val NgramLangs: Seq[String] =
+    Seq("en", "de", "es", "fr", "it", "pt", "nl", "sv", "ru", "zh", "ja", "ko")
+
+  /** Character-n-gram profiles for n-gram language ID — plan-time
     * constants (Cavnar & Trenkle 1994's rank-profile idea reduced to a
-    * fixed characteristic-trigram set per language; public). Includes
-    * word-boundary grams (leading/trailing space), which carry most of
-    * the signal. */
+    * fixed characteristic-gram set per language; public). European
+    * languages use trigrams with word-boundary grams (leading/trailing
+    * space — they carry most of the signal); the whitespace-free CJK
+    * scripts use character BIGRAMS (in scripts without spaces the
+    * signal lives in character pairs, and a bigram already pins the
+    * script). Scoring divides by each gram's OWN length, so mixed
+    * gram sizes count occurrences correctly. */
   val NgramProfiles: Map[String, Seq[String]] = Map(
     "en" -> Seq(" th", "the", "he ", " an", "and", "ing", " of", "of ", "ion", " is"),
     "de" -> Seq("der", "ein", "sch", "die", "und", "ich", "cht", " ge", "ung", "ber"),
     "es" -> Seq(" de", "que", " la", "ión", "ado", " el", "el ", "los", " se", "nte"),
-    "fr" -> Seq(" le", "les", " et", "eur", "une", "ais", "our", " pa", "ont", "dan"))
+    "fr" -> Seq(" le", "les", " et", "eur", "une", "ais", "our", " pa", "ont", "dan"),
+    "it" -> Seq(" di", "che", " co", "zio", "gli", " pe", "to ", "la ", "re ", "ell"),
+    "pt" -> Seq("ção", "ão ", "os ", "em ", " qu", "uma", "ara", " se", "nto", " da"),
+    "nl" -> Seq("een", "het", "aar", "van", " va", "oor", "ijk", " ge", "sch", "den"),
+    "sv" -> Seq("och", " oc", "att", " at", "det", "för", "ing", "en ", "är ", "som"),
+    "ru" -> Seq(" пр", " на", " по", "ого", "его", "ени", "ать", "ния", "что", "ть "),
+    "zh" -> Seq("我们", "一个", "没有", "这个", "什么", "他们", "时候", "可以", "自己", "知道"),
+    "ja" -> Seq("して", "いる", "こと", "です", "ます", "した", "から", "それ", "ない", "もの"),
+    "ko" -> Seq("하는", "니다", "있다", "것이", "에서", "하고", "했다", "이다", "되는", "그는"))
 
   /** N-gram language ID: per-language score = total occurrences of the
-    * language's characteristic trigrams in the space-padded lowercased
+    * language's characteristic grams in the space-padded lowercased
     * text. Occurrence counting is pure string arithmetic —
-    * `(len(t) − len(replace(t, g, ''))) / 3` per gram, non-overlapping
-    * left-to-right exactly like DuckDB's replace — so the twin computes
-    * identical integers; no tokenizer, no UDF, no shuffle. Prediction
-    * is argmax with the fixed en > de > es > fr tie order and `und`
-    * when every score is zero (the [[langId]] stopword voter's
-    * deterministic-priority device). */
+    * `(len(t) − len(replace(t, g, ''))) / len(g)` per gram,
+    * non-overlapping left-to-right exactly like DuckDB's replace — so
+    * the twin computes identical integers; no tokenizer, no UDF, no
+    * shuffle. Prediction is argmax via greatest() over (score,
+    * priority, lang) structs — lexicographic struct comparison gives
+    * max score with the fixed [[NgramLangs]] tie order (the when-chain
+    * this replaces stopped reading at 4 languages) — and `und` when
+    * every score is zero. */
   def langIdNgram(docs: DataFrame, textCol: String = "text",
                   idCol: String = "doc_id"): DataFrame = {
     val t = concat(lit(" "), lower(col(textCol)), lit(" "))
     def cnt(g: String): Column =
-      ((length(t) - length(call_function("replace", t, lit(g), lit("")))) / 3).cast(LongType)
+      ((length(t) - length(call_function("replace", t, lit(g), lit("")))) / g.length).cast(LongType)
     def score(l: String): Column = NgramProfiles(l).map(cnt).reduce(_ + _)
-    val langs = Seq("en", "de", "es", "fr")
     val scored = docs.select(
-      col(idCol).as("doc_id") +: langs.map(l => score(l).as(s"g_$l")): _*)
-    val s: String => Column = l => col(s"g_$l")
-    val pred = when(s("en") === 0 && s("de") === 0 && s("es") === 0 && s("fr") === 0, "und")
-      .when(s("en") >= s("de") && s("en") >= s("es") && s("en") >= s("fr"), "en")
-      .when(s("de") >= s("es") && s("de") >= s("fr"), "de")
-      .when(s("es") >= s("fr"), "es")
-      .otherwise("fr")
-    scored.select(col("doc_id"), pred.as("pred_lang"),
-      col("g_en"), col("g_de"), col("g_es"), col("g_fr"))
+      col(idCol).as("doc_id") +: NgramLangs.map(l => score(l).as(s"g_$l")): _*)
+    val entries = NgramLangs.zipWithIndex.map { case (l, i) =>
+      struct(col(s"g_$l").as("score"),
+        lit(NgramLangs.length - i).as("prio"), lit(l).as("lang"))
+    }
+    val best = greatest(entries: _*)
+    val anyHit = NgramLangs.map(l => col(s"g_$l")).reduce(_ + _) > 0
+    scored.select(col("doc_id") +:
+      when(anyHit, best.getField("lang")).otherwise("und").as("pred_lang") +:
+      NgramLangs.map(l => col(s"g_$l")): _*)
   }
 
   /** Order-sensitive polynomial rolling hash (Rabin-Karp style) over

@@ -293,7 +293,16 @@ class CorpusSpec extends AnyFunSuite {
       (2L, "der richter und die schönen kinder gehen durch"),
       (3L, "que los árboles de la montaña se mueven"),
       (4L, "les couleurs d'une peinture dans notre pays"),
-      (5L, "zzz qqq")).toDF("doc_id", "text")
+      (5L, "zzz qqq"),
+      // the round-10 breadth languages, incl. CJK char-bigram scripts
+      (6L, "che cosa vogliono gli amici della gestione per quello"),
+      (7L, "uma grande parte da construção em que os amigos"),
+      (8L, "een van de mensen gaat van het huis naar een schip"),
+      (9L, "och att det är en som för alla andra saker"),
+      (10L, "что он при этом думал о погоде и его дела на виду"),
+      (11L, "我们这个时候没有什么可以知道的事情"),
+      (12L, "それは大事なことですからしているものです"),
+      (13L, "그는 학교에서 공부하고 있다 그리고 집에 갔다 합니다")).toDF("doc_id", "text")
     val out = TextQuality.langIdNgram(docs).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
     assert(out(1L)._1 === "en")
@@ -301,6 +310,14 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(3L)._1 === "es")
     assert(out(4L)._1 === "fr")
     assert(out(5L) === (("und", 0L, 0L, 0L, 0L)))
+    assert(out(6L)._1 === "it")
+    assert(out(7L)._1 === "pt")
+    assert(out(8L)._1 === "nl")
+    assert(out(9L)._1 === "sv")
+    assert(out(10L)._1 === "ru")
+    assert(out(11L)._1 === "zh")
+    assert(out(12L)._1 === "ja")
+    assert(out(13L)._1 === "ko")
     // scores equal an independent non-overlapping substring count
     def cntAll(t: String, gs: Seq[String]): Long = gs.map { g =>
       var (i, n) = (0, 0L)
