@@ -776,6 +776,17 @@ object SparkEntry {
           .select(col("doc_id"), col("avg_logprob").as("score")), Seq("doc_id"))
       Corpus.quantileFilterByScore(scored, keep = 0.5).orderBy("doc_id")
     }),
+    // the crawl-authority prior wired into curation: the engine's own
+    // extracted link graph → PageRank → per-language quantile cut —
+    // link authority as a corpus quality signal, through the same
+    // histogram-two-pass seam the LM perplexity cut uses
+    "authority_filter" -> ((s, d) => {
+      val docs = t(s, d).documents
+      val rank = Graph.pageRank(Html.outlinks(Html.pageFromDocs(docs)))
+      val scored = docs.select(col("doc_id"), col("lang"))
+        .join(rank.select(col("node").as("doc_id"), col("pr").as("score")), Seq("doc_id"))
+      Corpus.quantileFilterByScore(scored, keep = 0.5).orderBy("doc_id")
+    }),
     "token_count" -> ((s, d) => TextQuality.tokenCounts(t(s, d).documents).orderBy("doc_id")),
     // real subword tokenization under the frozen BPE merge artifact
     // (Bpe.DefaultMerges, learned once from the corpus — tokenizers
@@ -1730,7 +1741,7 @@ object SparkEntry {
   /** 5-iteration PageRank twin over a pluggable `edges(src, dst)` CTE
     * prefix (must start with WITH) — shared by `page_rank` (trade
     * graph) and `crawl_rank` (extracted HTML link graph). */
-  private def pageRankUnrolled(edgesCtePrefix: String): String = {
+  private def pageRankCtes(edgesCtePrefix: String): String = {
     val pre =
       s"""$edgesCtePrefix,
          | nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst AS node FROM edges),
@@ -1746,8 +1757,11 @@ object SparkEntry {
          |    FROM r${i - 1} r JOIN deg ON deg.src = r.node JOIN edges e ON e.src = r.node
          |    GROUP BY e.dst) c ON c.node = nodes.node)""".stripMargin
     }.mkString(",\n")
-    s"$pre,\n$iters\nSELECT node, round(rank, 8) AS pr FROM r5 ORDER BY node"
+    s"$pre,\n$iters"
   }
+
+  private def pageRankUnrolled(edgesCtePrefix: String): String =
+    s"${pageRankCtes(edgesCtePrefix)}\nSELECT node, round(rank, 8) AS pr FROM r5 ORDER BY node"
 
   private lazy val pageRankTwinSql: String = pageRankUnrolled(
     """WITH pairs AS (SELECT DISTINCT l_suppkey AS s, o_custkey AS c
@@ -3059,6 +3073,18 @@ object SparkEntry {
          | r AS (SELECT doc_id, lang, score,
          |         percent_rank() OVER (PARTITION BY lang ORDER BY score) AS pr FROM scd)
          |SELECT doc_id, lang, score, pr FROM r WHERE pr >= 0.5 ORDER BY doc_id""".stripMargin,
+
+    // authority twin: the unrolled PageRank CTE chain over the
+    // closed-form crawl edges feeds the naive percent_rank filter —
+    // the same composition proven piecewise by crawl_rank and
+    // perplexity_filter
+    "authority_filter" ->
+      s"""${pageRankCtes(CrawlEdgesCte)},
+         | scd AS (SELECT d.doc_id, d.lang, round(r.rank, 8) AS score
+         |         FROM documents d JOIN r5 r ON d.doc_id = r.node),
+         | rk AS (SELECT doc_id, lang, score,
+         |         percent_rank() OVER (PARTITION BY lang ORDER BY score) AS pr FROM scd)
+         |SELECT doc_id, lang, score, pr FROM rk WHERE pr >= 0.5 ORDER BY doc_id""".stripMargin,
 
     // trigram twin: same ordered-list CTEs; backoff CASE arms match
     // the Spark when-chain's operand association exactly (0.4 * 0.4
