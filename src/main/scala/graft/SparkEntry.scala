@@ -907,14 +907,17 @@ object SparkEntry {
     "crawl_rank" -> ((s, d) =>
       Graph.pageRank(Html.outlinks(Html.pageFromDocs(t(s, d).documents))).orderBy("node")),
     // site-cluster discovery: undirected connected components over the
-    // extracted link graph — the min-label iterative device
-    // (Dedup.nearDupClusters) on crawl edges
+    // extracted link graph — large-star/small-star (Graph
+    // .starComponents), the O(log n)-round formulation a real crawl
+    // graph needs (min-label's O(diameter) is fine for shallow
+    // near-dup families, where Dedup keeps using it: one join+agg per
+    // round vs star's two — but crawl chains are unbounded)
     "crawl_components" -> ((s, d) => {
       val edges = Html.outlinks(Html.pageFromDocs(t(s, d).documents))
       val pairs = edges.select(col("src").as("doc_a"), col("dst").as("doc_b"))
       val nodes = edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node"))).distinct()
-      Dedup.nearDupClusters(pairs, nodes, idCol = "node")
+      Graph.starComponents(pairs, nodes, idCol = "node")
         .select(col("doc_id").as("node"), col("cluster_id"))
         .orderBy("node")
     }),

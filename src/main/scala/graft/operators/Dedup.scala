@@ -325,14 +325,23 @@ object Dedup {
     * the data); at extreme diameters switch to the large-star/
     * small-star formulation (Kiveris et al., "Connected Components in
     * MapReduce", SOCC 2014) — same join shape, fewer rounds. */
-  def nearDupClusters(pairs: DataFrame, docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    nearDupClustersWithRounds(pairs, docs, idCol)._1
+
+  /** [[nearDupClusters]] plus its round count — for the spec that
+    * shows [[graft.operators.Graph.starComponents]] converging in
+    * fewer rounds on long chains. */
+  private[graft] def nearDupClustersWithRounds(pairs: DataFrame, docs: DataFrame,
+                                               idCol: String = "doc_id"): (DataFrame, Int) = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
     var labels = docs.select(col(idCol).as("doc_id"), col(idCol).as("label"))
       .localCheckpoint(true)
+    var rounds = 0
     var changed = 1L
     while (changed > 0) {
+      rounds += 1
       val nbr = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("label")).as("nbr_label"))
@@ -346,7 +355,7 @@ object Dedup {
       changed = next.where(col("label") =!= col("old_label")).count()
       labels = next.select(col("doc_id"), col("label"))
     }
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    (labels.select(col("doc_id"), col("label").as("cluster_id")), rounds)
   }
 
   /** Near-dup dedup with a QUALITY survivor rule: each

@@ -69,6 +69,40 @@ class DedupSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("starComponents == min-label propagation on chain/cluster/singleton fixtures") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val ids = (1L to 7L).toDF("doc_id")
+    val got = graft.operators.Graph.starComponents(pairs, ids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // a denser random-ish graph: two interleaved components + isolates
+    val pairs2 = Seq((10L, 30L), (30L, 50L), (50L, 70L), (20L, 40L), (40L, 60L),
+      (70L, 90L), (60L, 80L), (11L, 10L), (21L, 20L)).toDF("doc_a", "doc_b")
+    val ids2 = (10L to 95L by 5L).toDF("doc_id").union(Seq(11L, 21L).toDF("doc_id"))
+    val a = graft.operators.Graph.starComponents(pairs2, ids2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.nearDupClusters(pairs2, ids2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
+  test("starComponents: O(log n) rounds beat min-label's O(diameter) on a long chain") {
+    // path graph 0-1-2-…-63: diameter 63. Min-label needs ~diameter
+    // rounds; large-star/small-star contracts doubly-exponentially.
+    val n = 64L
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ids = (0L until n).toDF("doc_id")
+    val (starDf, starRounds) = graft.operators.Graph.starComponentsWithRounds(pairs, ids)
+    val (mlDf, mlRounds) = Dedup.nearDupClustersWithRounds(pairs, ids)
+    val star = starDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ml = mlDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === (0L until n).map(_ -> 0L).toMap)
+    assert(star === ml)
+    assert(starRounds <= 10, s"star rounds: $starRounds")
+    assert(mlRounds >= 30, s"min-label rounds: $mlRounds") // the contrast the star form removes
+    assert(starRounds < mlRounds)
+  }
+
   test("editDistancePairs equals the brute-force cross product on a mixed fixture") {
     import org.apache.spark.sql.functions._
     val strs = Seq(
