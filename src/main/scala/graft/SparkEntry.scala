@@ -921,6 +921,56 @@ object SparkEntry {
         .select(col("doc_id").as("node"), col("cluster_id"))
         .orderBy("node")
     }),
+    // URL normalization as an oracle query: each doc's three raw href
+    // forms (absolute with uppercase scheme/host + default port +
+    // fragment; root-relative with query; dot-segment relative) are
+    // resolved + canonicalized against the page URL; host and
+    // registered-domain site keys come out of the normalized form.
+    // The twin builds the expected strings closed-form from doc_id
+    // arithmetic — the hash proves resolution, lowercasing, port and
+    // fragment stripping, dot-segment collapse, and suffix handling
+    "url_normalize" -> ((s, d) => {
+      val id = col("doc_id")
+      val base = concat(lit("https://"), Html.fixtureHost(id % Html.SiteSpace),
+        lit("/doc/"), id.cast("string"))
+      val t1 = (id * 7 + 3) % Html.DefaultLinkSpace
+      val t2 = (id * 13 + 5) % Html.DefaultLinkSpace
+      val t3 = (id + 1) % Html.DefaultLinkSpace
+      val raw1 = concat(lit("HTTP://"), upper(Html.fixtureHost(t1 % Html.SiteSpace)),
+        lit(":80/doc/"), t1.cast("string"), lit("#frag"))
+      val raw2 = concat(lit("/doc/"), t2.cast("string"), lit("?ref=nav"))
+      val raw3 = concat(lit("../doc/"), t3.cast("string"), lit("#s2"))
+      t(s, d).documents.select(id.as("doc_id"), base.as("base"), explode(array(
+          struct(lit("abs").as("kind"), raw1.as("raw_url")),
+          struct(lit("rel").as("kind"), raw3.as("raw_url")),
+          struct(lit("root").as("kind"), raw2.as("raw_url")))).as("r"))
+        .select(col("doc_id"), col("r.kind").as("kind"), col("r.raw_url").as("raw_url"),
+          Html.urlNormalize(col("r.raw_url"), col("base")).as("norm_url"))
+        .withColumn("host", Html.urlHost(col("norm_url")))
+        .withColumn("site", Html.registeredDomain(col("host")))
+        .orderBy("doc_id", "kind")
+    }),
+    // site-cluster discovery over REAL keys: the URL-page fixture's
+    // hrefs are parsed by the general outlinksFull (resolve+normalize),
+    // edges are lifted to host granularity, and large-star/small-star
+    // components run on host STRINGS — the site graph a crawl
+    // frontier/budget system actually partitions on. Only the absolute
+    // href crosses hosts (root/dot-relative resolve to the page's own
+    // host and drop as self-loops), so the host graph is the
+    // closed-form k → (7k+3) mod 50 permutation — cycles become
+    // clusters
+    "site_components" -> ((s, d) => {
+      val pages = Html.urlPageFromDocs(t(s, d).documents)
+      val hostEdges = Html.outlinksFull(pages)
+        .select(Html.urlHost(col("src_url")).as("doc_a"),
+          Html.urlHost(col("dst_url")).as("doc_b"))
+        .where(col("doc_a") =!= col("doc_b")).distinct()
+      val hosts = hostEdges.select(col("doc_a").as("host"))
+        .union(hostEdges.select(col("doc_b").as("host"))).distinct()
+      Graph.starComponents(hostEdges, hosts, idCol = "host")
+        .select(col("doc_id").as("host"), col("cluster_id"))
+        .orderBy("host")
+    }),
     // the crawl front door AS A STREAM: page drops arrive file-by-file,
     // href extraction runs per micro-batch, and the edge dedup becomes
     // Structured Streaming's stateful Deduplicate (Html.outlinks'
@@ -1783,6 +1833,16 @@ object SparkEntry {
        | edges AS (SELECT DISTINCT doc_id AS src, dst FROM t WHERE dst <> doc_id)""".stripMargin
   }
   private val CrawlEdgesCte = s"WITH $CrawlEdgesBody"
+
+  /** Closed-form SQL for the URL fixture's host / registered domain
+    * (Html.fixtureHost / registeredDomain on it), parameterized on a
+    * site-index expression — shared by the url_normalize and
+    * site_components twins. */
+  private def sqlHost(k: String): String =
+    s"(CASE WHEN ($k)%3=0 THEN 'site'||($k)||'.shop.example.co.uk' " +
+      s"ELSE 'site'||($k)||'.example.com' END)"
+  private def sqlSite(k: String): String =
+    s"(CASE WHEN ($k)%3=0 THEN 'example.co.uk' ELSE 'example.com' END)"
 
   /** Shared token-pipeline CTE for the wordcount family. */
   private val W =
@@ -3279,6 +3339,55 @@ object SparkEntry {
          |SELECT src, dst FROM edges ORDER BY src, dst""".stripMargin,
 
     "crawl_rank" -> pageRankUnrolled(CrawlEdgesCte),
+
+    // expected normalized URLs built closed-form from doc_id
+    // arithmetic — the three raw forms' resolution/canonicalization is
+    // what the hash proves (50 | 1000, so t%50 == (expr)%50 holds)
+    "url_normalize" -> {
+      val m = Html.DefaultLinkSpace
+      val ss = Html.SiteSpace
+      s"""WITH t AS (SELECT doc_id, (doc_id*7+3)%$m AS t1, (doc_id*13+5)%$m AS t2,
+         |                  (doc_id+1)%$m AS t3 FROM documents),
+         | rows AS (
+         |  SELECT doc_id, 'abs' AS kind,
+         |    'HTTP://' || upper(${sqlHost(s"t1%$ss")}) || ':80/doc/' || t1 || '#frag' AS raw_url,
+         |    'http://' || ${sqlHost(s"t1%$ss")} || '/doc/' || t1 AS norm_url,
+         |    ${sqlHost(s"t1%$ss")} AS host, ${sqlSite(s"t1%$ss")} AS site
+         |  FROM t
+         |  UNION ALL
+         |  SELECT doc_id, 'root',
+         |    '/doc/' || t2 || '?ref=nav',
+         |    'https://' || ${sqlHost(s"doc_id%$ss")} || '/doc/' || t2 || '?ref=nav',
+         |    ${sqlHost(s"doc_id%$ss")}, ${sqlSite(s"doc_id%$ss")}
+         |  FROM t
+         |  UNION ALL
+         |  SELECT doc_id, 'rel',
+         |    '../doc/' || t3 || '#s2',
+         |    'https://' || ${sqlHost(s"doc_id%$ss")} || '/doc/' || t3,
+         |    ${sqlHost(s"doc_id%$ss")}, ${sqlSite(s"doc_id%$ss")}
+         |  FROM t)
+         |SELECT doc_id, kind, raw_url, norm_url, host, site
+         |FROM rows ORDER BY doc_id, kind""".stripMargin
+    },
+
+    // only the absolute href crosses hosts, so the host graph is the
+    // closed-form k → (7k+3) mod SiteSpace map; undirected closure
+    // over it (the crawl_components recursive device, on strings)
+    "site_components" -> {
+      val ss = Html.SiteSpace
+      s"""WITH RECURSIVE e0 AS (
+         |  SELECT DISTINCT ${sqlHost(s"doc_id%$ss")} AS a, ${sqlHost(s"(doc_id*7+3)%$ss")} AS b
+         |  FROM documents
+         |  WHERE ${sqlHost(s"doc_id%$ss")} <> ${sqlHost(s"(doc_id*7+3)%$ss")}),
+         | e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b AS src, a AS dst FROM e0),
+         | nodes AS (SELECT DISTINCT src AS node FROM e),
+         | reach(node, label) AS (
+         |   SELECT node, node FROM nodes
+         |   UNION
+         |   SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.node)
+         |SELECT node AS host, min(label) AS cluster_id
+         |FROM reach GROUP BY node ORDER BY host""".stripMargin
+    },
 
     // undirected closure over the closed-form crawl edges — min label
     // reachable in either direction is the component id

@@ -211,6 +211,140 @@ object Html {
       .where(col("dst") =!= col("src"))
       .distinct()
 
+  // ---------------------------------------------------------------
+  // URL normalization + site keys (round-10: real hrefs are not all
+  // /doc/<id> — crawl keys need resolution + canonicalization)
+  // ---------------------------------------------------------------
+
+  /** Scheme prefix of an absolute URL (RFC 3986 scheme charset). */
+  private val SchemeRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://"
+
+  /** Resolve `u` against an absolute `base` and canonicalize — all
+    * RE2-compatible regex + string arithmetic, no UDF:
+    *
+    *  - fragment dropped (`#…` is client-side state, never a fetch key)
+    *  - absolute / protocol-relative (`//host/p`) / root-relative
+    *    (`/p`) / path-relative (`p`, `../p`) forms resolved against
+    *    the base's scheme, authority, and directory
+    *  - scheme and authority lowercased; default ports stripped
+    *    (`:80` for http, `:443` for https)
+    *  - dot segments collapsed: `/./` everywhere, then up to 4 levels
+    *    of `seg/../` (a documented bound — real hrefs nest 1-2; the
+    *    loop-free expression form is the point), leading `/../`
+    *    residue dropped, empty path → `/`
+    *
+    * Query strings are preserved verbatim (collapse never crosses the
+    * first `?`). */
+  def urlNormalize(u: Column, base: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val bScheme = lower(regexp_extract(base, s"($SchemeRe)", 1))
+    val bAuth = lower(regexp_extract(base, s"$SchemeRe([^/?#]*)", 1))
+    val bPath = regexp_extract(base, s"$SchemeRe[^/?#]*([^?#]*)", 1)
+    val bDir = regexp_replace(when(bPath === "", lit("/")).otherwise(bPath), "[^/]*$", "")
+    val isAbs = noFrag.rlike(SchemeRe)
+    val isProtoRel = noFrag.startsWith("//")
+    val isRootRel = noFrag.startsWith("/") && !isProtoRel
+    val resolved = when(isAbs, noFrag)
+      .when(isProtoRel, concat(regexp_replace(bScheme, "://$", ":"), noFrag))
+      .when(isRootRel, concat(bScheme, bAuth, noFrag))
+      .when(noFrag === "", concat(bScheme, bAuth, bPath))
+      .otherwise(concat(bScheme, bAuth, bDir, noFrag))
+    val scheme = lower(regexp_extract(resolved, s"($SchemeRe)", 1))
+    val auth = lower(regexp_extract(resolved, s"$SchemeRe([^/?#]*)", 1))
+    val rest = regexp_extract(resolved, s"$SchemeRe[^/?#]*(.*)$$", 1)
+    val auth2 = when(scheme === "http://", regexp_replace(auth, ":80$", ""))
+      .when(scheme === "https://", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+    val qPos = instr(rest, "?")
+    val path0 = when(qPos > 0, rest.substr(lit(1), qPos - 1)).otherwise(rest)
+    val query = when(qPos > 0, rest.substr(qPos, length(rest))).otherwise(lit(""))
+    val dotFree = (1 to 2).foldLeft(when(path0 === "", lit("/")).otherwise(path0)) {
+      (p, _) => regexp_replace(p, "/\\./", "/")
+    }
+    val parentFree = (1 to 4).foldLeft(dotFree) { (p, _) =>
+      regexp_replace(p, "/[^/]+/\\.\\./", "/")
+    }
+    val path = when(regexp_replace(parentFree, "^(/\\.\\.)+", "") === "", lit("/"))
+      .otherwise(regexp_replace(parentFree, "^(/\\.\\.)+", ""))
+    concat(scheme, auth2, path, when(query === "?", lit("")).otherwise(query))
+  }
+
+  /** Lowercased host of a URL, port stripped. */
+  def urlHost(u: Column): Column =
+    lower(regexp_replace(regexp_extract(u, s"$SchemeRe([^/?#]*)", 1), ":[0-9]+$", ""))
+
+  /** Multi-label public suffixes the registered-domain extractor
+    * recognizes (a fixed subset of the public-suffix list — the full
+    * list is data, not algorithm; swap in the real one at deploy). */
+  val MultiPartSuffixes: Seq[String] = Seq(
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx",
+    "co.in", "co.kr", "com.sg", "com.tr")
+
+  /** Registered domain (site key) of a host: last two labels, or last
+    * three when the last two are a multi-label public suffix — the
+    * key site clustering and per-source budget caps group on. */
+  def registeredDomain(host: Column): Column = {
+    val h = lower(regexp_replace(host, ":[0-9]+$", ""))
+    val parts = split(h, "\\.")
+    val last2 = concat_ws(".", slice(parts, -2, 2))
+    val last3 = concat_ws(".", slice(parts, -3, 3))
+    when(size(parts) <= 2, h)
+      .when(last2.isin(MultiPartSuffixes: _*), last3)
+      .otherwise(last2)
+  }
+
+  /** All href edges of each page, RESOLVED + normalized against the
+    * page URL — the general-form sibling of [[outlinks]] (which reads
+    * only the fixture's `/doc/<id>` shape). Narrow projection + one
+    * distinct; self-links dropped after normalization (a relative
+    * href can resolve back to its own page). */
+  def outlinksFull(pages: DataFrame, htmlCol: String = "html",
+                   urlCol: String = "url"): DataFrame =
+    pages
+      .select(col(urlCol).as("src_url"),
+        explode(regexp_extract_all(col(htmlCol), lit("(?i)href=\"([^\"]*)\""), lit(1))).as("href"))
+      .select(col("src_url"), urlNormalize(col("href"), col("src_url")).as("dst_url"))
+      .where(col("dst_url") =!= col("src_url"))
+      .distinct()
+
+  /** Host-id space of the URL-page fixture. */
+  val SiteSpace: Int = 50
+
+  /** Fixture host for site index k (k = id % [[SiteSpace]]): every
+    * third site sits under a multi-label public suffix so
+    * [[registeredDomain]] exercises both arms. Mirrored closed-form
+    * by the url_normalize / site_components twins. */
+  def fixtureHost(k: Column): Column =
+    when(k % 3 === 0, concat(lit("site"), k.cast(StringType), lit(".shop.example.co.uk")))
+      .otherwise(concat(lit("site"), k.cast(StringType), lit(".example.com")))
+
+  /** URL-bearing page fixture: each doc gets a canonical page URL on
+    * its fixture host and a nav whose three links hit the SAME
+    * closed-form targets as [[pageFromDocs]] but in three raw forms —
+    * absolute (uppercase scheme+host, default port, fragment),
+    * root-relative (query string), and dot-segment relative — so
+    * normalization, not just extraction, is what the oracle proves. */
+  def urlPageFromDocs(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val id = col(idCol)
+    def target(c: Column): Column = c % DefaultLinkSpace
+    val t1 = target(id * 7 + 3)
+    val t2 = target(id * 13 + 5)
+    val t3 = target(id + 1)
+    val url = concat(lit("https://"), fixtureHost(id % SiteSpace), lit("/doc/"), id.cast(StringType))
+    val href1 = concat(lit("HTTP://"), upper(fixtureHost(t1 % SiteSpace)),
+      lit(":80/doc/"), t1.cast(StringType), lit("#frag"))
+    val href2 = concat(lit("/doc/"), t2.cast(StringType), lit("?ref=nav"))
+    val href3 = concat(lit("../doc/"), t3.cast(StringType), lit("#s2"))
+    docs.select(id.as("doc_id"), url.as("url"),
+      concat(
+        lit("<html><head><title><a href=\"/\">Graft Site</a></title></head>\n<body>\n<nav>"),
+        lit("<a href=\""), href1, lit("\">abs</a> "),
+        lit("<a href=\""), href2, lit("\">root</a> "),
+        lit("<a href=\""), href3, lit("\">rel</a>"),
+        lit("</nav>\n</body></html>")).as("html"))
+  }
+
   /** Per-block cleaned text: strip remaining (inline) tags to spaces,
     * decode entities, collapse whitespace, trim. */
   private def cleanBlock(b: Column): Column =

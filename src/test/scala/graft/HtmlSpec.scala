@@ -172,6 +172,63 @@ class HtmlSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("urlNormalize: resolution + canonicalization matrix") {
+    val base = "https://Site1.Example.COM:443/a/b/page?q=1"
+    val cases = Seq(
+      "HTTP://Other.COM:80/X/Y#frag" -> "http://other.com/X/Y", // path case preserved
+      "https://h.com:443/p" -> "https://h.com/p",
+      "https://h.com:8080/p" -> "https://h.com:8080/p", // non-default port kept
+      "//cdn.com/lib.js" -> "https://cdn.com/lib.js",
+      "/root/x?a=b#c" -> "https://site1.example.com/root/x?a=b",
+      "rel/x" -> "https://site1.example.com/a/b/rel/x",
+      "../up" -> "https://site1.example.com/a/up",
+      "../../up2" -> "https://site1.example.com/up2",
+      "../../../over" -> "https://site1.example.com/over", // above root: residue dropped
+      "./here" -> "https://site1.example.com/a/b/here",
+      "x/./y" -> "https://site1.example.com/a/b/x/y",
+      // empty / fragment-only hrefs resolve to the base page (query
+      // dropped — the normalized form is a fetch key, not a replay)
+      "" -> "https://site1.example.com/a/b/page",
+      "#frag" -> "https://site1.example.com/a/b/page")
+    val got = cases.map(_._1).zipWithIndex.map { case (u, i) => (i, u) }.toDF("i", "u")
+      .select(col("i"), Html.urlNormalize(col("u"), lit(base)).as("n"))
+      .orderBy("i").collect().map(_.getString(1))
+    cases.map(_._2).zip(got).zipWithIndex.foreach { case ((want, g), i) =>
+      assert(g === want, s"case $i (${cases(i)._1})")
+    }
+  }
+
+  test("registeredDomain: plain and multi-label public suffixes") {
+    val cases = Seq(
+      "site3.shop.example.co.uk" -> "example.co.uk",
+      "a.b.example.com" -> "example.com",
+      "example.com" -> "example.com",
+      "localhost" -> "localhost",
+      "EXAMPLE.COM:8080" -> "example.com",
+      "www.gov.uk" -> "www.gov.uk") // gov.uk as last-2 → take 3; only 2 labels + www
+    val got = cases.map(_._1).zipWithIndex.map { case (u, i) => (i, u) }.toDF("i", "h")
+      .select(col("i"), Html.registeredDomain(col("h")).as("s"))
+      .orderBy("i").collect().map(_.getString(1))
+    cases.map(_._2).zip(got).zipWithIndex.foreach { case ((want, g), i) =>
+      assert(g === want, s"case $i (${cases(i)._1})")
+    }
+  }
+
+  test("outlinksFull over the URL fixture: host edges equal the closed-form map") {
+    val docs = (0L to 9L).map(i => (i, "x")).toDF("doc_id", "text")
+    val pages = Html.urlPageFromDocs(docs)
+    val hostEdges = Html.outlinksFull(pages)
+      .select(Html.urlHost(col("src_url")).as("a"), Html.urlHost(col("dst_url")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    def host(k: Long): String =
+      if (k % 3 == 0) s"site$k.shop.example.co.uk" else s"site$k.example.com"
+    val want = (0L to 9L).map { id =>
+      (host(id % 50), host(((id * 7 + 3) % 1000) % 50))
+    }.filter(p => p._1 != p._2).toSet
+    assert(hostEdges === want)
+  }
+
   test("plan shape: page build + extraction is one narrow projection — zero shuffles") {
     val docs = Seq((0L, "a b c")).toDF("doc_id", "text")
     val df = Html.extractMain(Html.pageFromDocs(docs))
