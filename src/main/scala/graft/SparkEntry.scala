@@ -921,6 +921,27 @@ object SparkEntry {
         .select(col("doc_id").as("node"), col("cluster_id"))
         .orderBy("node")
     }),
+    // the crawl pipeline starting where real crawls start: WARC-shaped
+    // record containers (header block + Content-Length + payload +
+    // terminators, concatenated per container file) are SPLIT by
+    // byte-exact length framing, then the proven boilerplate extractor
+    // runs on the recovered html. The twin rebuilds (url, ts,
+    // collapsed text) closed-form — the hash proves framing recovered
+    // every record byte-exactly
+    "warc_ingest" -> ((s, d) => {
+      val docs = t(s, d).documents
+      val id = col("doc_id")
+      val withMeta = Html.pageFromDocs(docs).select(col("doc_id"),
+        concat(lit("https://"), Html.fixtureHost(id % Html.SiteSpace),
+          lit("/doc/"), id.cast("string")).as("url"),
+        (lit(1700000000L) + id).as("fetch_ts"), col("html"))
+      val recs = graft.sources.Warc.records(
+        graft.sources.Warc.containersFromDocs(withMeta, nContainers = 8))
+      Html.extractMain(recs.drop("truncated"), idCol = "url")
+        .select(col("doc_id").as("url"), col("fetch_ts"),
+          col("n_blocks"), col("n_kept"), col("main_text"))
+        .orderBy("url")
+    }),
     // URL normalization as an oracle query: each doc's three raw href
     // forms (absolute with uppercase scheme/host + default port +
     // fragment; root-relative with query; dot-segment relative) are
@@ -3339,6 +3360,23 @@ object SparkEntry {
          |SELECT src, dst FROM edges ORDER BY src, dst""".stripMargin,
 
     "crawl_rank" -> pageRankUnrolled(CrawlEdgesCte),
+
+    // container framing + extraction: expected records rebuilt
+    // closed-form (url and fetch_ts from doc_id arithmetic, main_text
+    // the proven lossless collapse) — equality means the byte framing
+    // recovered every record exactly
+    "warc_ingest" -> {
+      val ss = Html.SiteSpace
+      s"""WITH w AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS ws
+         |  FROM documents)
+         |SELECT 'https://' || ${sqlHost(s"doc_id%$ss")} || '/doc/' || doc_id AS url,
+         | 1700000000 + doc_id AS fetch_ts,
+         | CAST((len(ws) + 11) // 12 + 3 AS BIGINT) AS n_blocks,
+         | CAST((len(ws) + 11) // 12 AS BIGINT) AS n_kept,
+         | array_to_string(ws, ' ') AS main_text
+         |FROM w ORDER BY url""".stripMargin
+    },
 
     // expected normalized URLs built closed-form from doc_id
     // arithmetic — the three raw forms' resolution/canonicalization is
