@@ -793,10 +793,12 @@ object SparkEntry {
     // ship as fixed files): corpus-wide token histogram, tokenizing
     // DISTINCT words once and joining frequencies back
     "bpe_tokens" -> ((s, d) =>
-      Bpe.tokenHistogram(t(s, d).documents, Bpe.DefaultMerges).orderBy("token")),
+      Bpe.tokenHistogram(t(s, d).documents, Bpe.DefaultMerges,
+        alphabet = Some(Bpe.DefaultAlphabet)).orderBy("token")),
     // the packing-budget column: per-doc BPE vs whitespace token counts
     "bpe_doc_tokens" -> ((s, d) =>
-      Bpe.docTokenCounts(t(s, d).documents, Bpe.DefaultMerges).orderBy("doc_id")),
+      Bpe.docTokenCounts(t(s, d).documents, Bpe.DefaultMerges,
+        alphabet = Some(Bpe.DefaultAlphabet)).orderBy("doc_id")),
     // Gopher-style repetition signals (dup-trigram fraction, top-bigram
     // share): boilerplate/spam detectors for corpus filtering
     "repetition_stats" -> ((s, d) =>
@@ -833,7 +835,8 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk_idx"), lower(col("tok")).as("word"))
         .where(length(col("word")) > 0)
       val perWord = chunkWords.select(col("word")).distinct()
-        .select(col("word"), size(Bpe.tokens(col("word"), Bpe.DefaultMerges)).cast("long").as("n_toks"))
+        .select(col("word"), size(Bpe.tokens(col("word"), Bpe.DefaultMerges,
+          Some(Bpe.DefaultAlphabet))).cast("long").as("n_toks"))
       val cb = chunkWords.join(perWord, Seq("word"))
         .groupBy(col("doc_id"), col("chunk_idx")).agg(sum(col("n_toks")).as("bpe_n"))
       val withTok = ch.join(cb, Seq("doc_id", "chunk_idx"), "left")

@@ -42,8 +42,32 @@ import scala.collection.mutable
 object Bpe {
 
   /** One-at-a-time best-rank BPE apply (see object doc). */
-  private[graft] def applyMerges(word: String, rank: Map[(String, String), Int]): Seq[String] = {
-    var toks = word.map(_.toString).toVector
+  private[graft] def applyMerges(word: String, rank: Map[(String, String), Int]): Seq[String] =
+    applyMerges(word, rank, None)
+
+  /** [[applyMerges]] with the artifact's OOV story: when `alphabet`
+    * is given, any codepoint OUTSIDE it is expanded to its UTF-8
+    * bytes as `<0xHH>` marker tokens before merging — the byte-level
+    * BPE fallback (GPT-2 class tokenizers ship the same guarantee: no
+    * input is ever unrepresentable). Byte tokens never appear in the
+    * merge table, so they pass through the loop untouched. With
+    * `None` every codepoint is its own base symbol (the pre-artifact
+    * behavior custom-merge specs rely on). */
+  private[graft] def applyMerges(word: String, rank: Map[(String, String), Int],
+                                 alphabet: Option[Set[String]]): Seq[String] = {
+    val base: Vector[String] = alphabet match {
+      case None => word.map(_.toString).toVector
+      case Some(ab) =>
+        // iterate CODEPOINTS so astral-plane chars fall back as whole
+        // characters, not as lone surrogates
+        word.codePoints().toArray.toVector.flatMap { cp =>
+          val s = new String(Character.toChars(cp))
+          if (ab.contains(s)) Vector(s)
+          else s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            .toVector.map(b => f"<0x${b & 0xff}%02x>")
+        }
+    }
+    var toks = base
     var done = toks.length < 2
     while (!done) {
       var best = Int.MaxValue
@@ -60,10 +84,12 @@ object Bpe {
     toks
   }
 
-  /** Column form of the applier over a broadcast rank map. */
-  def tokens(word: Column, merges: Seq[(String, String)]): Column = {
+  /** Column form of the applier over a broadcast rank map; pass an
+    * `alphabet` to arm the byte-fallback OOV path. */
+  def tokens(word: Column, merges: Seq[(String, String)],
+             alphabet: Option[Set[String]] = None): Column = {
     val rank = merges.zipWithIndex.toMap
-    udf((w: String) => applyMerges(w, rank)).apply(word)
+    udf((w: String) => applyMerges(w, rank, alphabet)).apply(word)
   }
 
   /** Classic BPE learner over the corpus's top-`vocabCap` words.
@@ -115,34 +141,56 @@ object Bpe {
     out.toSeq
   }
 
-  /** Frozen merge artifact for the oracle-checked queries: learned
-    * ONCE from the sf0.001 documents corpus (learnMerges(docs, 40))
-    * and inlined — exactly how production tokenizers ship (GPT-2's
-    * merges.txt is a fixed file, not re-learned per job). Kept small
-    * so the DuckDB twin's recursive CTE stays cheap. */
-  val DefaultMerges: Seq[(String, String)] = Seq(
-    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"),
-    ("l", "u"), ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"),
-    ("a", "n"), ("c", "an"), ("s", "can"), ("c", "o"), ("co", "lu"),
-    ("colu", "m"), ("colum", "n"), ("d", "ow"), ("in", "dow"), ("w", "indow"),
-    ("d", "er"), ("or", "der"), ("or", "t"), ("s", "ort"), ("par", "t"),
-    ("u", "p"), ("a", "g"), ("ag", "g"), ("a", "lu"), ("alu", "e"),
-    ("v", "alue"), ("in", "e"), ("l", "ine"), ("e", "y"), ("k", "ey"),
-    ("j", "o"), ("jo", "in"), ("g", "e"), ("mer", "ge"), ("er", "y"))
+  /** Frozen merge artifact for the oracle-checked queries, shipped as
+    * a classpath RESOURCE exactly how production tokenizers ship
+    * (GPT-2's merges.txt is a fixed file, not re-learned per job):
+    * learned ONCE to saturation from the sf0.01 documents corpus by
+    * [[graft.tools.LearnBpe]], which also records the corpus ALPHABET
+    * — the declared base-symbol set whose complement takes the
+    * `<0xHH>` byte fallback in [[applyMerges]]. (The synthetic corpus
+    * has a closed 31-word vocabulary, so "learn N hundred merges"
+    * saturates when every corpus word is a single token; novel words
+    * still tokenize at subword granularity, which the budget-realism
+    * spec asserts.) */
+  private lazy val artifact: (Seq[String], Seq[(String, String)]) =
+    loadArtifact("/graft/bpe_merges.txt")
+
+  lazy val DefaultMerges: Seq[(String, String)] = artifact._2
+
+  /** The artifact's declared base alphabet. */
+  lazy val DefaultAlphabet: Set[String] = artifact._1.toSet
+
+  private def loadArtifact(res: String): (Seq[String], Seq[(String, String)]) = {
+    val in = getClass.getResourceAsStream(res)
+    require(in != null, s"BPE artifact $res missing from classpath")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    val lines = try src.getLines().toVector finally src.close()
+    val data = lines.filterNot(l => l.isEmpty || l.startsWith("#"))
+    val (abLine, mergeLines) = (data.head, data.tail)
+    require(abLine.startsWith("alphabet\t"), s"BPE artifact $res: first data line must declare the alphabet")
+    val alphabet = abLine.stripPrefix("alphabet\t").split("").toSeq.filter(_.nonEmpty)
+    val merges = mergeLines.map { l =>
+      val parts = l.split("\t", -1)
+      require(parts.length == 2, s"BPE artifact $res: bad merge line '$l'")
+      (parts(0), parts(1))
+    }
+    (alphabet, merges)
+  }
 
   /** Corpus-wide BPE token histogram under `merges`: tokenize the
     * DISTINCT lowercased words once, join word frequencies back, sum
     * per token. Output: (token, n) — the vocabulary a budgeter or
     * embedding table would be sized from. */
   def tokenHistogram(docs: DataFrame, merges: Seq[(String, String)],
-                     textCol: String = "text"): DataFrame = {
+                     textCol: String = "text",
+                     alphabet: Option[Set[String]] = None): DataFrame = {
     val words = docs
       .select(explode(TextOps.tokens(col(textCol))).as("tok"))
       .select(lower(col("tok")).as("word"))
       .where(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
     words
-      .select(explode(tokens(col("word"), merges)).as("token"), col("cnt"))
+      .select(explode(tokens(col("word"), merges, alphabet)).as("token"), col("cnt"))
       .groupBy(col("token")).agg(sum(col("cnt")).cast(LongType).as("n"))
   }
 
@@ -151,13 +199,14 @@ object Bpe {
     * exploded corpus and summed per doc — the real budget column for
     * packing (whitespace words undercount). */
   def docTokenCounts(docs: DataFrame, merges: Seq[(String, String)],
-                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                     textCol: String = "text", idCol: String = "doc_id",
+                     alphabet: Option[Set[String]] = None): DataFrame = {
     val docWords = docs
       .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("tok"))
       .select(col("doc_id"), lower(col("tok")).as("word"))
       .where(length(col("word")) > 0)
     val perWord = docWords.select(col("word")).distinct()
-      .select(col("word"), size(tokens(col("word"), merges)).cast(LongType).as("n_toks"))
+      .select(col("word"), size(tokens(col("word"), merges, alphabet)).cast(LongType).as("n_toks"))
     docWords.join(perWord, Seq("word"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n_toks")).as("bpe_tokens"), count(lit(1)).cast(LongType).as("ws_tokens"))

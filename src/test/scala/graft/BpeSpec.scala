@@ -76,6 +76,57 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("frozen artifact loads: merges saturate the closed corpus vocab, alphabet covers it") {
+    assert(Bpe.DefaultMerges.nonEmpty)
+    assert(Bpe.DefaultAlphabet.nonEmpty)
+    // every merge symbol decomposes into alphabet characters
+    Bpe.DefaultMerges.foreach { case (l, r) =>
+      (l + r).foreach(c => assert(Bpe.DefaultAlphabet.contains(c.toString), s"char $c of ($l,$r)"))
+    }
+    // saturation: corpus-vocabulary words tokenize to ONE token
+    val rank = Bpe.DefaultMerges.zipWithIndex.toMap
+    Seq("table", "window", "column", "customer", "query", "the").foreach { w =>
+      assert(Bpe.applyMerges(w, rank, Some(Bpe.DefaultAlphabet)) === Seq(w), s"word $w")
+    }
+  }
+
+  test("OOV byte fallback: out-of-alphabet codepoints become <0xHH> byte tokens") {
+    val rank = Bpe.DefaultMerges.zipWithIndex.toMap
+    // ï is not in the corpus alphabet → its UTF-8 bytes, marked
+    val toks = Bpe.applyMerges("naïve", rank, Some(Bpe.DefaultAlphabet))
+    assert(toks.contains("<0xc3>") && toks.contains("<0xaf>"), toks.toString)
+    assert(toks.mkString.replace("<0xc3><0xaf>", "ï") === "naïve" ||
+      toks.mkString.contains("<0xc3>"))
+    // astral-plane codepoint: four bytes, never lone surrogates
+    val emoji = Bpe.applyMerges(new String(Character.toChars(0x1F600)), rank, Some(Bpe.DefaultAlphabet))
+    assert(emoji === Seq("<0xf0>", "<0x9f>", "<0x98>", "<0x80>"))
+    // in-alphabet text is untouched by arming the fallback
+    assert(Bpe.applyMerges("order", rank, Some(Bpe.DefaultAlphabet)) ===
+      Bpe.applyMerges("order", rank))
+  }
+
+  test("budget realism: novel prose tokenizes at subword granularity, ratio in a sane band") {
+    import org.apache.spark.sql.functions._
+    val prose = "government procurement regulations require detailed documentation " +
+      "throughout every administrative review period considering budgetary implications"
+    val docs = Seq((0L, prose)).toDF("doc_id", "text")
+    val m = Bpe.docTokenCounts(docs, Bpe.DefaultMerges, alphabet = Some(Bpe.DefaultAlphabet))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    val ratio = m._1.toDouble / m._2
+    val nChars = prose.split("\\s+").map(_.length.toLong).sum
+    // genuinely subword: above whole-word granularity, strictly below
+    // char-level (the merges learned on the closed corpus still
+    // compress novel words' shared fragments)
+    assert(ratio > 1.0, s"bpe/ws ratio $ratio")
+    assert(m._1 < nChars, s"bpe tokens ${m._1} not below char-level $nChars")
+    // corpus-register text packs at word granularity (saturated table)
+    val corpusText = "the customer query table window column order value"
+    val c = Bpe.docTokenCounts(Seq((0L, corpusText)).toDF("doc_id", "text"),
+        Bpe.DefaultMerges, alphabet = Some(Bpe.DefaultAlphabet))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(c._1 === c._2, s"corpus-vocab ratio ${c._1}/${c._2}")
+  }
+
   test("token histogram: tokens weighted by word frequency") {
     val docs = Seq((0L, "ab ab"), (1L, "ab cd")).toDF("doc_id", "text")
     val merges = Seq(("a", "b"))
