@@ -619,6 +619,21 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"),
           length(col("text")).cast("long").as("n_chars"))
         .orderBy("doc_id")),
+    // the same budget governor keyed on the CRAWL site key: each doc
+    // carries its page host (URL fixture) + registered domain, and the
+    // char budget caps per HOST — "at most N chars per site", the
+    // anti-single-source-domination rule a crawl corpus actually
+    // enforces (host keys come from the engine's own URL normalizer)
+    "domain_budget_cap" -> ((s, d) => {
+      val pages = Html.urlPageFromDocs(t(s, d).documents)
+      val docs = t(s, d).documents
+        .join(pages.select(col("doc_id"), Html.urlHost(col("url")).as("host")), Seq("doc_id"))
+        .withColumn("site", Html.registeredDomain(col("host")))
+      Corpus.budgetCap(docs, budget = 800, groupCol = "host")
+        .select(col("doc_id"), col("host"), col("site"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
     // one-scan column profiling: every measure for every column in a
     // single partial+final aggregate, unpivoted to the catalog's long
     // format — the summary a pipeline runs before trusting a source
@@ -2671,6 +2686,17 @@ object SparkEntry {
         | c AS (SELECT doc_id, lang, n_chars,
         |   sum(n_chars) OVER (PARTITION BY lang ORDER BY ord, doc_id) AS cum FROM w)
         |SELECT doc_id, lang, n_chars FROM c WHERE cum <= 20000 ORDER BY doc_id""".stripMargin,
+
+    // same window device partitioned on the closed-form fixture host
+    "domain_budget_cap" -> {
+      val ss = Html.SiteSpace
+      s"""WITH w AS (SELECT doc_id, ${sqlHost(s"doc_id%$ss")} AS host,
+         |   ${sqlSite(s"doc_id%$ss")} AS site, length(text) AS n_chars,
+         |   ((doc_id % 2147483648) * 2654435761) % 4294967296 AS ord FROM documents),
+         | c AS (SELECT doc_id, host, site, n_chars,
+         |   sum(n_chars) OVER (PARTITION BY host ORDER BY ord, doc_id) AS cum FROM w)
+         |SELECT doc_id, host, site, n_chars FROM c WHERE cum <= 800 ORDER BY doc_id""".stripMargin
+    },
 
     "column_profile" -> {
       val cols = Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
