@@ -45,30 +45,64 @@ object Warc {
   /** One parsed crawl record. */
   final case class Rec(url: String, fetch_ts: Long, html: String, truncated: Boolean)
 
-  /** Record string for the fixture side: WARC-shaped header block +
+  /** Deterministic per-record gzip (JDK Deflater: MTIME pinned to 0,
+    * fixed level — same input bytes → same output bytes, which the
+    * hash gate requires of a fixture). */
+  private[graft] def gzipBytes(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(b); gz.close()
+    bos.toByteArray
+  }
+
+  private[graft] def gunzipBytes(b: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
+    val bos = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var r = in.read(buf)
+    while (r > 0) { bos.write(buf, 0, r); r = in.read(buf) }
+    bos.toByteArray
+  }
+
+  /** Record BYTES for the fixture side: WARC-shaped header block +
     * payload + blank-line terminator. Content-Length counts payload
-    * BYTES (octet_length), the real WARC contract. */
-  def recordExpr(url: Column, fetchTs: Column, html: Column): Column =
+    * BYTES after any compression — the real WARC contract (crawl
+    * archives ship record-gzipped: each record independently
+    * compressed so containers stay splittable at record bounds). With
+    * `gzip` the payload is compressed and the header says
+    * `Content-Encoding: gzip`. Binary throughout — a gzip payload is
+    * not UTF-8. */
+  def recordExpr(url: Column, fetchTs: Column, html: Column,
+                 gzip: Boolean = false): Column = {
+    val payload =
+      if (!gzip) encode(html, "UTF-8")
+      else udf((s: String) => gzipBytes(s.getBytes(StandardCharsets.UTF_8))).apply(html)
+    val encodingHeader = if (gzip) "Content-Encoding: gzip\r\n" else ""
     concat(
-      lit(RecordMagic + "\r\n"),
-      lit("WARC-Target-URI: "), url, lit("\r\n"),
-      lit("WARC-Date: "), fetchTs.cast("string"), lit("\r\n"),
-      lit("Content-Length: "), octet_length(html).cast("string"), lit("\r\n"),
-      lit("\r\n"),
-      html, lit("\r\n\r\n"))
+      encode(concat(
+        lit(RecordMagic + "\r\n"),
+        lit("WARC-Target-URI: "), url, lit("\r\n"),
+        lit("WARC-Date: "), fetchTs.cast("string"), lit("\r\n"),
+        lit(encodingHeader),
+        lit("Content-Length: "), length(payload).cast("string"), lit("\r\n"),
+        lit("\r\n")), "UTF-8"),
+      payload,
+      encode(lit("\r\n\r\n"), "UTF-8"))
+  }
 
   /** Deterministic containers: records grouped by `doc_id %
-    * nContainers`, concatenated in doc_id order, UTF-8 encoded.
-    * Expects (doc_id, url, fetch_ts, html). */
-  def containersFromDocs(pages: DataFrame, nContainers: Int = 8): DataFrame =
+    * nContainers`, concatenated in doc_id order as BYTES. Expects
+    * (doc_id, url, fetch_ts, html). */
+  def containersFromDocs(pages: DataFrame, nContainers: Int = 8,
+                         gzip: Boolean = false): DataFrame =
     pages
       .select((col("doc_id") % nContainers).as("container_id"),
         struct(col("doc_id"),
-          recordExpr(col("url"), col("fetch_ts"), col("html")).as("rec")).as("r"))
+          recordExpr(col("url"), col("fetch_ts"), col("html"), gzip).as("rec")).as("r"))
       .groupBy(col("container_id"))
-      .agg(concat_ws("", transform(array_sort(collect_list(col("r"))),
-        r => r.getField("rec"))).as("payload"))
-      .select(col("container_id"), encode(col("payload"), "UTF-8").as("content"))
+      .agg(aggregate(transform(array_sort(collect_list(col("r"))), r => r.getField("rec")),
+        lit(Array.emptyByteArray), (acc, x) => concat(acc, x)).as("content"))
+      .select(col("container_id"), col("content"))
 
   /** Byte-cursor record iterator (see object doc for the malformed-
     * input contract). */
