@@ -244,13 +244,23 @@ object Bench {
       if (flagged.isEmpty) ""
       else if (confirmEnabled) confirmedJson
       else regressionEntries.mkString(""""regressions":{""", ",", "},")
+    // CONFIRMED regressions re-baseline: the rolling min otherwise
+    // ratchets in the fastest environment ever observed and re-flags
+    // the same queries every round on a permanently slower host
+    // (ADVICE r9). A flag that survived median-of-3 isolated fresh-JVM
+    // reps was reported on THIS round's committed bench line — history
+    // then adopts the isolated median so the signal fires once, and
+    // the rolling min takes back over if a later fix restores speed.
+    val rebaseline: Map[String, Long] =
+      confirmResults.collect { case (n, ms, _, true) => s"$sfKey/$n" -> ms }.toMap
     try {
       val updated = (hist.keySet ++ ordered.map(o => s"$sfKey/${o._1}")).toSeq.sorted.flatMap { k =>
         val cur =
           if (k.startsWith(s"$sfKey/"))
             results.get(k.stripPrefix(s"$sfKey/")).filter(_ >= 0).map(msOf)
           else None
-        (hist.get(k).toSeq ++ cur.toSeq).reduceOption(_ min _).map(v => s""" "$k":$v""")
+        rebaseline.get(k).orElse(
+          (hist.get(k).toSeq ++ cur.toSeq).reduceOption(_ min _)).map(v => s""" "$k":$v""")
       }
       val w = new java.io.PrintWriter(histFile, "UTF-8")
       try w.println(updated.mkString("{\n", ",\n", "\n}")) finally w.close()

@@ -225,6 +225,32 @@ object SparkEntry {
     ()
   }
 
+  /** Line fixture for the C4 rule engine: each doc's 12-word slices
+    * decorated with closed-form dirt — (doc_id+i)%5==0 loses terminal
+    * punctuation, (doc_id+i)%7==1 gains a brace (while keeping its
+    * '.', so the brace rule is what fires) — plus four injected lines
+    * covering the 'javascript', kept-sentence, 'lorem ipsum', and
+    * too-short cases. pos is the array index (injected head at 0-1,
+    * body at 2.., tail last); the twin mirrors the same arithmetic. */
+  private def c4LineFixture(s: SparkSession, d: String): DataFrame = {
+    val ws = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+    val docs = t(s, d).documents.select(col("doc_id"), ws.as("ws"))
+      .withColumn("np", ceil(size(col("ws")).cast("double") / 12).cast("int"))
+    val body = when(col("np") > 0, transform(sequence(lit(1), col("np")), i => {
+      val raw = concat_ws(" ", slice(col("ws"), (i - 1) * 12 + 1, lit(12)))
+      when((col("doc_id") + i) % 5 === 0, raw)
+        .when((col("doc_id") + i) % 7 === 1, concat(raw, lit(" {.")))
+        .otherwise(concat(raw, lit(".")))
+    })).otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"),
+      posexplode(concat(
+        array(lit("Enable javascript to view this site properly."),
+          lit("This sentence has exactly seven useful words.")),
+        body,
+        array(lit("Lorem ipsum dolor sit amet consectetur adipiscing elit."),
+          lit("Too short.")))).as(Seq("pos", "line")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- M1: the reference surface (SURVEY.md §2 [REF] rows) ----
     "wordcount" -> ((s, d) => TextOps.wordCount(t(s, d).documents).orderBy("word")),
@@ -1009,6 +1035,58 @@ object SparkEntry {
       Graph.starComponents(hostEdges, hosts, idCol = "host")
         .select(col("doc_id").as("host"), col("cluster_id"))
         .orderBy("host")
+    }),
+    // cross-corpus paragraph-frequency dedup (the MassiveText stage):
+    // every page gets the SAME link-free cookie-banner paragraph
+    // injected — the boilerplate class the per-page density gate
+    // provably keeps (zero anchors) — then extractBlocks lifts pages
+    // to (doc, pos, para) rows and paragraphDedup drops any paragraph
+    // occurring in more than one document, reassembling the rest. The
+    // twin rebuilds the paragraph relation closed-form (12-word slices
+    // + the shared constant) and runs the same df-filter in SQL, so
+    // the hash proves block extraction AND the frequency cut
+    "paragraph_dedup" -> ((s, d) => {
+      val pages = Html.pageFromDocs(t(s, d).documents)
+        .select(col("doc_id"), regexp_replace(col("html"), "<div>\n",
+          java.util.regex.Matcher.quoteReplacement("<div>\n" + Html.BoilerFixturePara))
+          .as("html"))
+      Dedup.paragraphDedup(Html.extractBlocks(pages)).orderBy("doc_id")
+    }),
+    // C4's line-level rules as an operator: the fixture decorates each
+    // doc's 12-word lines with closed-form dirt — every 5th line loses
+    // its terminal punctuation, every 7th gains a brace, and four
+    // injected lines carry the 'javascript' / 'lorem ipsum' /
+    // too-short / kept-sentence cases — then c4LineFilter keeps lines
+    // that end in terminal punctuation, have >= 5 words, and carry
+    // none of the tells. The twin builds the same lines and applies
+    // the same rules as independent SQL (regexp + split), so the hash
+    // proves the rule engine, not the fixture
+    "c4_line_filter" -> ((s, d) =>
+      TextQuality.c4LineFilter(c4LineFixture(s, d)).orderBy("doc_id")),
+    // latest-fetch snapshot dedup: two crawl snapshots of every third
+    // URL (the re-fetch carries an appended marker word and a later
+    // fetch_ts), one max((ts, payload)) per URL keeps the newest, and
+    // the proven extractor runs on the WINNING html — the twin derives
+    // (url, ts, n_snapshots, text) closed-form, so the hash proves the
+    // argmax picked the right snapshot's content everywhere
+    "crawl_snapshot_dedup" -> ((s, d) => {
+      val docs = t(s, d).documents
+      def meta(pages: DataFrame, tsBase: Long) = {
+        val id = col("doc_id")
+        pages.select(
+          concat(lit("https://"), Html.fixtureHost(id % Html.SiteSpace),
+            lit("/doc/"), id.cast("string")).as("url"),
+          (lit(tsBase) + id).as("fetch_ts"), col("html"))
+      }
+      val snap1 = meta(Html.pageFromDocs(docs), 1700000000L)
+      val snap2 = meta(Html.pageFromDocs(
+        docs.where(col("doc_id") % 3 === 0)
+          .withColumn("text", concat(col("text"), lit(" updatemarker")))), 1700500000L)
+      val latest = Dedup.latestSnapshot(snap1.unionByName(snap2))
+      Html.extractMain(latest, idCol = "url")
+        .select(col("doc_id").as("url"), col("fetch_ts"), col("n_snapshots"),
+          col("main_text"))
+        .orderBy("url")
     }),
     // the crawl front door AS A STREAM: page drops arrive file-by-file,
     // href extraction runs per micro-batch, and the edge dedup becomes
@@ -3455,6 +3533,79 @@ object SparkEntry {
          |SELECT node AS host, min(label) AS cluster_id
          |FROM reach GROUP BY node ORDER BY host""".stripMargin
     },
+
+    // paragraph relation rebuilt closed-form (12-word slices + the
+    // shared cookie constant from the SAME Scala object the fixture
+    // injects), then the df-filter and ordered reassembly in plain SQL
+    "paragraph_dedup" -> {
+      val cookie = Html.BoilerFixturePara
+        .stripPrefix("<p>").stripSuffix("</p>\n").replace("'", "''")
+      s"""WITH w AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS ws
+         |  FROM documents),
+         | np AS (SELECT doc_id, ws, CAST((len(ws) + 11) // 12 AS INT) AS n FROM w),
+         | body AS (SELECT doc_id, i AS pos,
+         |    array_to_string(list_slice(ws, (i-1)*12+1, i*12), ' ') AS para
+         |  FROM np, unnest(generate_series(1, n)) AS u(i)),
+         | paras AS (SELECT doc_id, 0 AS pos, '$cookie' AS para FROM w
+         |   UNION ALL SELECT * FROM body),
+         | dfr AS (SELECT para, count(DISTINCT doc_id) AS df FROM paras GROUP BY para)
+         |SELECT p.doc_id, count(*) AS n_paras,
+         | count(*) FILTER (WHERE df <= 1) AS n_kept,
+         | coalesce(string_agg(p.para, ' ' ORDER BY p.pos) FILTER (WHERE df <= 1), '') AS text
+         |FROM paras p JOIN dfr USING (para)
+         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+    },
+
+    // the same decorated lines built by the fixture's arithmetic, then
+    // the C4 rules applied as INDEPENDENT SQL (regexp + split + tells)
+    "c4_line_filter" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS ws
+        |  FROM documents),
+        | np AS (SELECT doc_id, ws, CAST((len(ws) + 11) // 12 AS INT) AS n FROM w),
+        | body AS (SELECT doc_id, i + 1 AS pos,
+        |    CASE WHEN (doc_id + i) % 5 = 0
+        |           THEN array_to_string(list_slice(ws, (i-1)*12+1, i*12), ' ')
+        |         WHEN (doc_id + i) % 7 = 1
+        |           THEN array_to_string(list_slice(ws, (i-1)*12+1, i*12), ' ') || ' {.'
+        |         ELSE array_to_string(list_slice(ws, (i-1)*12+1, i*12), ' ') || '.'
+        |    END AS line
+        |  FROM np, unnest(generate_series(1, n)) AS u(i)),
+        | lines AS (
+        |   SELECT doc_id, 0 AS pos, 'Enable javascript to view this site properly.' AS line FROM w
+        |   UNION ALL SELECT doc_id, 1, 'This sentence has exactly seven useful words.' FROM w
+        |   UNION ALL SELECT * FROM body
+        |   UNION ALL SELECT doc_id, n + 2, 'Lorem ipsum dolor sit amet consectetur adipiscing elit.' FROM np
+        |   UNION ALL SELECT doc_id, n + 3, 'Too short.' FROM np),
+        | k AS (SELECT doc_id, pos, line,
+        |    (regexp_matches(line, '[.!?"]$')
+        |     AND len(list_filter(string_split_regex(line, '\s+'), x -> length(x) > 0)) >= 5
+        |     AND NOT contains(lower(line), 'javascript')
+        |     AND NOT contains(lower(line), 'lorem ipsum')
+        |     AND NOT contains(line, '{')) AS keep
+        |  FROM lines)
+        |SELECT doc_id, count(*) AS n_lines, count(*) FILTER (WHERE keep) AS n_kept,
+        | coalesce(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE keep), '') AS text,
+        | count(*) FILTER (WHERE keep) >= 3 AS page_kept
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // closed-form latest-snapshot expectation: every third doc was
+    // re-fetched later with the marker appended; text length 48+ means
+    // ws is never empty, but the empty arm stays for smaller SFs
+    "crawl_snapshot_dedup" ->
+      s"""WITH w AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS ws
+         |  FROM documents)
+         |SELECT 'https://' || ${sqlHost(s"doc_id%${Html.SiteSpace}")} || '/doc/' || doc_id AS url,
+         | CAST(CASE WHEN doc_id % 3 = 0 THEN 1700500000 + doc_id
+         |           ELSE 1700000000 + doc_id END AS BIGINT) AS fetch_ts,
+         | CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_snapshots,
+         | CASE WHEN doc_id % 3 = 0 THEN
+         |        CASE WHEN len(ws) > 0 THEN array_to_string(ws, ' ') || ' updatemarker'
+         |             ELSE 'updatemarker' END
+         |      ELSE array_to_string(ws, ' ') END AS main_text
+         |FROM w ORDER BY url""".stripMargin,
 
     // undirected closure over the closed-form crawl edges — min label
     // reachable in either direction is the component id

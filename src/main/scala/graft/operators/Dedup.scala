@@ -54,6 +54,60 @@ object Dedup {
       .groupBy(col("h")).agg(min(col(idCol)).as(idCol))
       .join(storeDigests.select(col("h")).distinct(), Seq("h"), "left_anti")
 
+  /** Cross-corpus PARAGRAPH-frequency dedup (the MassiveText /
+    * Gopher-class "remove duplicated paragraphs" stage, Rae et al.
+    * 2021 — public): a paragraph that occurs in more than `maxDf`
+    * distinct documents is boilerplate (cookie banners, subscribe
+    * prompts, legal footers — link-FREE chrome the per-page density
+    * heuristic cannot see) and is dropped from every document; each
+    * document is reassembled from its surviving paragraphs in
+    * original order.
+    *
+    * Input is (idCol, posCol, paraCol) rows — e.g.
+    * [[Html.extractBlocks]] output. Returns per document: `n_paras`,
+    * `n_kept`, and the reassembled `text` ('' when nothing survives).
+    *
+    * Scale shape: document frequency is ONE aggregate keyed on the
+    * 8-byte xxhash64 of the paragraph (the digest shuffles, never the
+    * paragraph body — the [[hashGroups]] posture; identical to the
+    * text-keyed answer absent 64-bit collisions, prob ~n²/2⁶⁵), then
+    * the paragraph stream joins the df relation on the same hash.
+    * Reassembly is a per-document bounded aggregate (array_sort over
+    * one document's own paragraphs). Boilerplate hash keys are hot by
+    * definition — AQE's skew-join case, same as the LM probes. */
+  def paragraphDedup(paras: DataFrame, maxDf: Int = 1, idCol: String = "doc_id",
+                     posCol: String = "pos", paraCol: String = "para"): DataFrame = {
+    val hashed = paras.select(col(idCol).as("doc_id"), col(posCol).as("pos"),
+      col(paraCol).as("para"), xxhash64(col(paraCol)).as("ph"))
+    val dfRel = hashed.groupBy(col("ph"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    hashed
+      .join(dfRel, Seq("ph"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        count(when(col("df") <= maxDf, 1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("df") <= maxDf, struct(col("pos"), col("para"))))),
+          s => s.getField("para"))).as("text"))
+  }
+
+  /** Latest-fetch snapshot dedup — crawl corpora carry every re-fetch
+    * of a URL; training wants exactly one: the newest. One `max` of
+    * (ts, payload-struct) per key — lexicographic struct ordering
+    * makes the winner deterministic even on timestamp ties (payload
+    * breaks them), and the aggregate is a single fixed-size buffer per
+    * key, so the operator is one shuffle on the URL key at any scale. */
+  def latestSnapshot(recs: DataFrame, keyCol: String = "url",
+                     tsCol: String = "fetch_ts"): DataFrame = {
+    val rest = recs.columns.filter(c => c != keyCol && c != tsCol)
+    val payload = struct(col(tsCol) +: rest.map(col): _*)
+    recs.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_snapshots"), max(payload).as("w"))
+      .select(col(keyCol) +: col(s"w.$tsCol").as(tsCol) +:
+        rest.map(c => col(s"w.$c").as(c)) :+ col("n_snapshots"): _*)
+  }
+
   /** Exact dedup with a PRIORITY survivor rule — "keep the curated
     * copy, drop the crawl's": within each content-digest group the
     * winner is the highest-priority row, min id breaking ties. One

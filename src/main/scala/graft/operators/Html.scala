@@ -372,6 +372,37 @@ object Html {
       "(?is)<style\\b[^>]*>.*?</style>", " "),
       "(?s)<!--.*?-->", " ")
 
+  /** Shared boilerplate paragraph for the cross-document frequency
+    * dedup fixture: zero anchors and plenty of text, so the DENSITY
+    * gate keeps it on every page — it is exactly the link-free
+    * boilerplate class (cookie banners, subscribe prompts, legal
+    * footers) that per-page heuristics cannot catch and corpus-wide
+    * paragraph-frequency dedup exists to remove. */
+  val BoilerFixturePara: String =
+    "<p>This site uses cookies to improve your browsing experience you can opt out at any time</p>\n"
+
+  /** Kept blocks of each page as (doc_id, pos, para) ROWS — the
+    * paragraph-granularity sibling of [[extractMain]] (same inert-drop
+    * → block-split → clean → density gate), for operators that need
+    * per-paragraph identity rather than the joined text: cross-corpus
+    * paragraph-frequency dedup, paragraph-level near-dup, line rules.
+    * `pos` is the block's index among the KEPT blocks in document
+    * order. Pages with zero kept blocks emit no rows. Still a narrow
+    * projection — posexplode adds no shuffle. */
+  def extractBlocks(pages: DataFrame, htmlCol: String = "html", idCol: String = "doc_id",
+                    minLen: Int = 1, densityNum: Int = 1, densityDen: Int = 3): DataFrame = {
+    val blocks = split(dropInert(col(htmlCol)), BlockTagRe)
+    val scored = transform(blocks, b => struct(
+      cleanBlock(b).as("txt"), anchorLen(b).as("alen")))
+    val nonEmpty = filter(scored, s => length(s.getField("txt")) > 0)
+    val kept = filter(nonEmpty, s =>
+      length(s.getField("txt")) >= minLen &&
+        s.getField("alen") * densityDen <= length(s.getField("txt")) * densityNum)
+    pages
+      .select(col(idCol).as("doc_id"), transform(kept, s => s.getField("txt")).as("ps"))
+      .select(col("doc_id"), posexplode(col("ps")).as(Seq("pos", "para")))
+  }
+
   def extractMain(pages: DataFrame, htmlCol: String = "html", idCol: String = "doc_id",
                   minLen: Int = 1, densityNum: Int = 1, densityDen: Int = 3): DataFrame = {
     val blocks = split(dropInert(col(htmlCol)), BlockTagRe)

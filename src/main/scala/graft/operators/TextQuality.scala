@@ -195,6 +195,43 @@ object TextQuality {
   private def stopHits(tokens: Column, lang: String): Column =
     size(filter(tokens, t => array_contains(array(Stopwords(lang).map(lit): _*), lower(t))))
 
+  /** C4-class LINE-level cleaning rules (Raffel et al. 2020 §2.2,
+    * public — the rules behind the C4 corpus): a line survives iff it
+    *
+    *  - ends in terminal punctuation (`.` `!` `?` or closing quote),
+    *  - has at least `minWords` whitespace words,
+    *  - does not contain `javascript` / `lorem ipsum` (case-insensitive)
+    *    or a `{` (code and placeholder-page tells).
+    *
+    * Input is (idCol, posCol, lineCol) rows — [[Html.extractBlocks]]
+    * output or any line-split corpus. Returns per document: `n_lines`,
+    * `n_kept`, the reassembled `text` in original line order, and the
+    * C4 page gate `page_kept` (at least `minKeptLines` surviving
+    * lines — pages below it are navigation shells / stubs).
+    *
+    * Scale shape: the rules are a narrow per-row projection (regex +
+    * split, all codegen'd); the only shuffle is the per-document
+    * reassembly aggregate, whose state is bounded by one document's
+    * own lines. */
+  def c4LineFilter(lines: DataFrame, minWords: Int = 5, minKeptLines: Int = 3,
+                   idCol: String = "doc_id", posCol: String = "pos",
+                   lineCol: String = "line"): DataFrame = {
+    val l = col(lineCol)
+    val nWords = size(filter(split(l, "\\s+"), w => length(w) > 0))
+    val keep = l.rlike("[.!?\"]$") && nWords >= minWords &&
+      !lower(l).contains("javascript") && !lower(l).contains("lorem ipsum") &&
+      !l.contains("{")
+    lines
+      .select(col(idCol).as("doc_id"), col(posCol).as("pos"), l.as("line"), keep.as("keep"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("keep"), struct(col("pos"), col("line"))))),
+          s => s.getField("line"))).as("text"))
+      .withColumn("page_kept", col("n_kept") >= minKeptLines)
+  }
+
   /** Per-document quality features: token/char counts, mean token
     * length, punctuation / digit / stopword ratios. Ratios are plain
     * IEEE divisions of integer counts — deterministic. */

@@ -1,0 +1,134 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Html, TextQuality}
+
+/** Paragraph-granularity corpus cleaning: extractBlocks row lifting,
+  * cross-corpus paragraph-frequency dedup, C4 line rules, and
+  * latest-fetch snapshot dedup. */
+class ParagraphLineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // -------------------------------------------------- extractBlocks
+
+  test("extractBlocks lifts kept blocks to ordered rows; dropped blocks never get a pos") {
+    val html = "<nav><a href=\"/\">Home</a> <a href=\"/x\">About</a></nav>" +
+      "<p>first real paragraph</p><p>second real paragraph</p>" +
+      "<footer><a href=\"#\">Terms</a></footer>"
+    val rows = Html.extractBlocks(Seq((7L, html)).toDF("doc_id", "html"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(rows === Seq((7L, 0, "first real paragraph"), (7L, 1, "second real paragraph")))
+  }
+
+  test("extractBlocks emits nothing for a page with no kept blocks") {
+    val html = "<nav><a href=\"/\">Only chrome</a></nav>"
+    assert(Html.extractBlocks(Seq((1L, html)).toDF("doc_id", "html")).count() === 0L)
+  }
+
+  // ------------------------------------------------ paragraphDedup
+
+  private def paras(rows: (Long, Int, String)*) =
+    rows.toDF("doc_id", "pos", "para")
+
+  test("paragraphDedup drops cross-document repeats, keeps unique paragraphs in order") {
+    val in = paras(
+      (1L, 0, "shared cookie banner"), (1L, 1, "alpha body"), (1L, 2, "beta body"),
+      (2L, 0, "shared cookie banner"), (2L, 1, "gamma body"),
+      (3L, 0, "shared cookie banner"))
+    val got = Dedup.paragraphDedup(in).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got === Seq(
+      (1L, 3L, 2L, "alpha body beta body"),
+      (2L, 2L, 1L, "gamma body"),
+      (3L, 1L, 0L, "")))
+  }
+
+  test("paragraphDedup df is per-DOCUMENT, not per-occurrence: within-doc repeats survive maxDf=1") {
+    val in = paras((1L, 0, "repeat me"), (1L, 1, "repeat me"), (1L, 2, "tail"))
+    val got = Dedup.paragraphDedup(in).collect().map(r =>
+      (r.getLong(1), r.getLong(2), r.getString(3))).head
+    assert(got === ((3L, 3L, "repeat me repeat me tail")))
+  }
+
+  test("paragraphDedup maxDf=2 keeps pair-shared paragraphs, still drops broad boilerplate") {
+    val in = paras(
+      (1L, 0, "in two docs"), (2L, 0, "in two docs"),
+      (1L, 1, "in three docs"), (2L, 1, "in three docs"), (3L, 0, "in three docs"))
+    val got = Dedup.paragraphDedup(in, maxDf = 2).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSeq
+    assert(got === Seq((1L, "in two docs"), (2L, "in two docs"), (3L, "")))
+  }
+
+  test("paragraphDedup reassembly respects pos order, not arrival order") {
+    val in = paras((1L, 2, "c"), (1L, 0, "a"), (1L, 1, "b"))
+    assert(Dedup.paragraphDedup(in).collect().head.getString(3) === "a b c")
+  }
+
+  // -------------------------------------------------- c4LineFilter
+
+  private def lines(rows: (Long, Int, String)*) =
+    rows.toDF("doc_id", "pos", "line")
+
+  test("c4LineFilter rule matrix: each tell fires independently") {
+    val in = lines(
+      (1L, 0, "This sentence has five good words."),     // kept
+      (1L, 1, "No terminal punctuation on this line"),   // punct rule
+      (1L, 2, "Too short."),                             // minWords rule
+      (1L, 3, "Please enable JavaScript to continue browsing."), // javascript (case-insens)
+      (1L, 4, "Lorem Ipsum dolor sit amet consectetur."), // lorem ipsum (case-insens)
+      (1L, 5, "A code block looks like { this } here."),  // brace rule
+      (1L, 6, "Questions also count as terminal marks?"), // kept
+      (1L, 7, "He said \"quotes count as terminal.\""))   // kept (closing quote)
+    val r = TextQuality.c4LineFilter(in).collect().head
+    assert(r.getLong(1) === 8L)
+    assert(r.getLong(2) === 3L)
+    assert(r.getString(3) === "This sentence has five good words. " +
+      "Questions also count as terminal marks? He said \"quotes count as terminal.\"")
+    assert(r.getBoolean(4) === true) // 3 kept >= minKeptLines
+  }
+
+  test("c4LineFilter page gate: below minKeptLines the page flag drops") {
+    val in = lines(
+      (1L, 0, "Only one surviving sentence lives here."),
+      (1L, 1, "nope"),
+      (2L, 0, "First good sentence with enough words."),
+      (2L, 1, "Second good sentence with enough words."),
+      (2L, 2, "Third good sentence with enough words."))
+    val got = TextQuality.c4LineFilter(in).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(4))).toSeq
+    assert(got === Seq((1L, false), (2L, true)))
+  }
+
+  test("c4LineFilter matches an independent Scala fold on the page fixture lines") {
+    val docs = Seq((4L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (5L, "one two three")).toDF("doc_id", "text")
+    val in = docs.select(col("doc_id"), posexplode(split(col("text"), " ", 4)))
+      .toDF("doc_id", "pos", "line")
+      .withColumn("line", concat(col("line"), lit(" tail words for length.")))
+    val got = TextQuality.c4LineFilter(in, minWords = 5).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    // every decorated line ends '.', words = split-part words + 4 appended
+    val exp = Seq((4L, 4L), (5L, 3L))
+    assert(got === exp)
+  }
+
+  // ------------------------------------------------ latestSnapshot
+
+  test("latestSnapshot keeps the newest fetch and counts snapshots; singletons pass through") {
+    val recs = Seq(
+      ("https://a/0", 100L, "old body"),
+      ("https://a/0", 200L, "new body"),
+      ("https://b/1", 150L, "only body")).toDF("url", "fetch_ts", "html")
+    val got = Dedup.latestSnapshot(recs).orderBy("url")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === Seq(("https://a/0", 200L, "new body", 2L), ("https://b/1", 150L, "only body", 1L)))
+  }
+
+  test("latestSnapshot timestamp ties break deterministically on the payload") {
+    val recs = Seq(("u", 100L, "aaa"), ("u", 100L, "zzz")).toDF("url", "fetch_ts", "html")
+    // max of (ts, html) struct: lexicographic → 'zzz' wins, every run
+    assert(Dedup.latestSnapshot(recs).collect().head.getString(2) === "zzz")
+  }
+}

@@ -43,10 +43,10 @@ class WarcSpec extends AnyFunSuite {
     // build one good record + one whose declared length overshoots
     val good = spark.sql("SELECT 1").select(
       Warc.recordExpr(lit("https://x/ok"), lit(10L), lit("complete payload")).as("r"))
-      .collect().head.getString(0)
+      .collect().head.getAs[Array[Byte]](0)
     val cut = Warc.RecordMagic + "\r\nWARC-Target-URI: https://x/cut\r\n" +
       "WARC-Date: 11\r\nContent-Length: 999\r\n\r\nonly this much"
-    val bytes = (good + cut).getBytes("UTF-8")
+    val bytes = good ++ cut.getBytes("UTF-8")
     val got = Warc.parseRecords(bytes)
     assert(got.map(r => (r.url, r.html, r.truncated)) === Seq(
       ("https://x/ok", "complete payload", false),
@@ -56,17 +56,17 @@ class WarcSpec extends AnyFunSuite {
   test("malformed header ends the parse but keeps prior records") {
     val good = spark.sql("SELECT 1").select(
       Warc.recordExpr(lit("https://x/ok"), lit(10L), lit("fine")).as("r"))
-      .collect().head.getString(0)
+      .collect().head.getAs[Array[Byte]](0)
     // missing Content-Length: nothing safe to frame on — stop
     val bad = Warc.RecordMagic + "\r\nWARC-Target-URI: https://x/bad\r\n\r\npayload"
-    assert(Warc.parseRecords((good + bad).getBytes("UTF-8"))
+    assert(Warc.parseRecords(good ++ bad.getBytes("UTF-8"))
       .map(r => (r.url, r.truncated)) === Seq(("https://x/ok", false)))
     // wrong magic line: same degradation
     val wrongMagic = "NOT-WARC/9.9\r\nContent-Length: 3\r\n\r\nxyz"
-    assert(Warc.parseRecords((good + wrongMagic).getBytes("UTF-8"))
+    assert(Warc.parseRecords(good ++ wrongMagic.getBytes("UTF-8"))
       .map(_.url) === Seq("https://x/ok"))
     // trailing garbage with no header shape at all
-    assert(Warc.parseRecords((good + "garbage bytes").getBytes("UTF-8"))
+    assert(Warc.parseRecords(good ++ "garbage bytes".getBytes("UTF-8"))
       .map(_.url) === Seq("https://x/ok"))
   }
 
