@@ -251,6 +251,15 @@ object SparkEntry {
           lit("Too short.")))).as(Seq("pos", "line")))
   }
 
+  /** Deterministic curated-vs-crawl labeling for the NB classifier:
+    * even-numbered sources are the "curated" positive class, docs with
+    * doc_id%10<7 are the train split — both closed-form so the twin
+    * derives the same labels. */
+  private def nbLabeled(s: SparkSession, d: String): DataFrame =
+    t(s, d).documents.select(col("doc_id"), col("text"),
+      (substring(col("source"), 4, 10).cast("int") % 2 === 0).as("is_pos"),
+      (col("doc_id") % 10 < 7).as("is_train"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- M1: the reference surface (SURVEY.md §2 [REF] rows) ----
     "wordcount" -> ((s, d) => TextOps.wordCount(t(s, d).documents).orderBy("word")),
@@ -1087,6 +1096,25 @@ object SparkEntry {
         .select(col("doc_id").as("url"), col("fetch_ts"), col("n_snapshots"),
           col("main_text"))
         .orderBy("url")
+    }),
+    // LEARNED quality scoring: multinomial Naive Bayes trained on a
+    // deterministic curated-vs-crawl labeling (even source number =
+    // positive class, doc_id%10<7 = train split), scored over the
+    // whole corpus as a log-likelihood ratio — the linear "looks like
+    // the curated corpus" classifier the big-LM pipelines run beside
+    // the LM perplexity cut. The twin replays the identical train +
+    // score chain in SQL (12-dp rounded per-token evidence,
+    // DECIMAL-summed), so the hash proves training AND inference
+    "nb_quality_score" -> ((s, d) =>
+      TextQuality.nbLogLikelihoodRatio(nbLabeled(s, d)).orderBy("doc_id")),
+    // the classifier ACTED ON: NB llr drives the per-language
+    // histogram-two-pass quantile cut, beside perplexity_filter and
+    // authority_filter on the same seam
+    "classifier_filter" -> ((s, d) => {
+      val scored = t(s, d).documents.select(col("doc_id"), col("lang"))
+        .join(TextQuality.nbLogLikelihoodRatio(nbLabeled(s, d))
+          .select(col("doc_id"), col("llr").as("score")), Seq("doc_id"))
+      Corpus.quantileFilterByScore(scored, keep = 0.5).orderBy("doc_id")
     }),
     // the crawl front door AS A STREAM: page drops arrive file-by-file,
     // href extraction runs per micro-batch, and the edge dedup becomes
@@ -2016,6 +2044,36 @@ object SparkEntry {
     * twins): ordered cleaned-word lists → adjacent pairs → min-count-
     * pruned model with stupid backoff → per-doc DECIMAL-summed logs in
     * `s(doc_id, n_bigrams, sl)`. */
+  /** Naive-Bayes train + score chain, shared by the nb_quality_score
+    * and classifier_filter twins: identical labels (even source number
+    * positive, doc_id%10<7 train), identical smoothing and division
+    * association as the Spark expressions, 12-dp rounded evidence
+    * DECIMAL-summed, prior added as a 12-dp DECIMAL. */
+  private val NbCtes =
+    s"""WITH d AS (SELECT doc_id,
+       |    (CAST(substr(source, 4, 10) AS INT) % 2) = 0 AS is_pos,
+       |    doc_id % 10 < 7 AS is_train,
+       |    list_filter(list_transform(
+       |      list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), t -> length(t) > 0),
+       |      t -> lower(regexp_replace(t, '$P', '', 'g'))), w -> length(w) > 0) AS ws
+       |  FROM documents),
+       | toks AS (SELECT doc_id, is_pos, is_train, unnest(ws) AS word FROM d),
+       | m AS (SELECT word,
+       |     count(*) FILTER (WHERE is_pos) AS c1,
+       |     count(*) FILTER (WHERE NOT is_pos) AS c0
+       |   FROM toks WHERE is_train GROUP BY word),
+       | scal AS (SELECT sum(c1) + count(*) AS d1, sum(c0) + count(*) AS d0 FROM m),
+       | pri AS (SELECT CAST(round(ln((count(*) FILTER (WHERE is_pos)) * 1.0 /
+       |           (count(*) FILTER (WHERE NOT is_pos))), 12) AS DECIMAL(28,12)) AS prior
+       |   FROM d WHERE is_train),
+       | sc AS (SELECT t.doc_id,
+       |     CAST(round(ln((coalesce(m.c1, 0) + 1) * 1.0 / s.d1)
+       |              - ln((coalesce(m.c0, 0) + 1) * 1.0 / s.d0), 12) AS DECIMAL(28,12)) AS l
+       |   FROM toks t LEFT JOIN m USING (word) CROSS JOIN scal s),
+       | nb AS (SELECT doc_id, count(*) AS n_tokens,
+       |     round(CAST(sum(l) + (SELECT prior FROM pri) AS DOUBLE), 6) AS llr
+       |   FROM sc GROUP BY doc_id)""".stripMargin
+
   private val BigramCtes =
     s"""WITH toks AS (SELECT doc_id,
        |    list_filter(list_transform(
@@ -3606,6 +3664,21 @@ object SparkEntry {
          |             ELSE 'updatemarker' END
          |      ELSE array_to_string(ws, ' ') END AS main_text
          |FROM w ORDER BY url""".stripMargin,
+
+    // the NB train + score chain replayed in SQL end to end
+    "nb_quality_score" ->
+      s"""$NbCtes
+         |SELECT doc_id, n_tokens, llr, llr > 0 AS pred_pos
+         |FROM nb ORDER BY doc_id""".stripMargin,
+
+    // NB llr through the same percent_rank cut as perplexity_filter
+    "classifier_filter" ->
+      s"""$NbCtes,
+         | scd AS (SELECT d2.doc_id, d2.lang, nb.llr AS score
+         |         FROM documents d2 JOIN nb USING (doc_id)),
+         | r AS (SELECT doc_id, lang, score,
+         |         percent_rank() OVER (PARTITION BY lang ORDER BY score) AS pr FROM scd)
+         |SELECT doc_id, lang, score, pr FROM r WHERE pr >= 0.5 ORDER BY doc_id""".stripMargin,
 
     // undirected closure over the closed-form crawl edges — min label
     // reachable in either direction is the component id

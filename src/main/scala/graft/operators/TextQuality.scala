@@ -232,6 +232,64 @@ object TextQuality {
       .withColumn("page_kept", col("n_kept") >= minKeptLines)
   }
 
+  /** LEARNED quality classifier: multinomial Naive Bayes with add-1
+    * smoothing (Manning et al. IR ch.13, public — the same
+    * linear-classifier family the GPT-3/LLaMA pipelines use for
+    * "looks like the curated corpus" scoring). Input docs carry a
+    * boolean `posCol` label and a `trainCol` split flag; the model is
+    * word counts per class over the TRAIN docs, and every document
+    * (train and apply) is scored with the log-likelihood ratio
+    *
+    *   llr = ln(n⁺/n⁻) + Σ_tokens [ ln((c⁺(w)+1)/(T⁺+V)) −
+    *                                ln((c⁻(w)+1)/(T⁻+V)) ]
+    *
+    * (priors + smoothed per-token evidence; out-of-vocabulary words
+    * contribute the smoothing floor on both sides). Returns
+    * (doc_id, n_tokens, llr, pred_pos).
+    *
+    * Scale shape: training is ONE word×class aggregate (vocab-sized,
+    * checkpointed); scoring streams the corpus tokens against the
+    * broadcast-joined model — the unigramLogProb shape with a second
+    * count column. Cross-engine exactness is the LM device: each
+    * token's evidence is one identically-associated double expression
+    * rounded to 12 dp and DECIMAL-summed; the prior joins the sum as
+    * a 12-dp DECIMAL too. */
+  def nbLogLikelihoodRatio(docs: DataFrame, textCol: String = "text",
+                           idCol: String = "doc_id", posCol: String = "is_pos",
+                           trainCol: String = "is_train"): DataFrame = {
+    val ws = filter(transform(TextOps.tokens(col(textCol)), t => TextOps.cleanWord(t)),
+      w => length(w) > 0)
+    val base = docs.select(col(idCol).as("doc_id"), col(posCol).as("is_pos"),
+      col(trainCol).as("is_train"), ws.as("ws"))
+    val toks = base.select(col("doc_id"), col("is_pos"), col("is_train"),
+      explode(col("ws")).as("word"))
+    val model = toks.where(col("is_train"))
+      .groupBy(col("word"))
+      .agg(count(when(col("is_pos"), 1)).as("c1"),
+        count(when(!col("is_pos"), 1)).as("c0"))
+      .localCheckpoint(true)
+    // T_c + V in one pass over the vocab relation
+    val scal = model.agg((sum(col("c1")) + count(lit(1))).as("d1"),
+      (sum(col("c0")) + count(lit(1))).as("d0"))
+    val pri = base.where(col("is_train")).agg(
+      round(log(count(when(col("is_pos"), 1)).cast(DoubleType) /
+        count(when(!col("is_pos"), 1))), 12)
+        .cast(DecimalType(28, 12)).as("prior"))
+    toks
+      .join(model, Seq("word"), "left")
+      .crossJoin(broadcast(scal))
+      .crossJoin(broadcast(pri))
+      .select(col("doc_id"), col("prior"),
+        round(log((coalesce(col("c1"), lit(0L)) + lit(1L)).cast(DoubleType) / col("d1")) -
+              log((coalesce(col("c0"), lit(0L)) + lit(1L)).cast(DoubleType) / col("d0")), 12)
+          .cast(DecimalType(28, 12)).as("l"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), (sum(col("l")) + max(col("prior"))).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("s").cast(DoubleType), 6).as("llr"))
+      .withColumn("pred_pos", col("llr") > 0)
+  }
+
   /** Per-document quality features: token/char counts, mean token
     * length, punctuation / digit / stopword ratios. Ratios are plain
     * IEEE divisions of integer counts — deterministic. */
