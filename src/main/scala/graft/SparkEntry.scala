@@ -1097,6 +1097,12 @@ object SparkEntry {
           col("main_text"))
         .orderBy("url")
     }),
+    // Gopher's word-level document gate: count/length/alpha/stopword
+    // bands computed as exact integer counts with single IEEE
+    // divisions, and the conjunction flag — the twin recomputes every
+    // feature and band in SQL from the same constants
+    "gopher_rules" -> ((s, d) =>
+      TextQuality.gopherQualityGate(t(s, d).documents).orderBy("doc_id")),
     // LEARNED quality scoring: multinomial Naive Bayes trained on a
     // deterministic curated-vs-crawl labeling (even source number =
     // positive class, doc_id%10<7 = train split), scored over the
@@ -3664,6 +3670,25 @@ object SparkEntry {
          |             ELSE 'updatemarker' END
          |      ELSE array_to_string(ws, ' ') END AS main_text
          |FROM w ORDER BY url""".stripMargin,
+
+    // every Gopher feature and band recomputed in SQL from the same
+    // constants (stop list generated from the Scala object)
+    "gopher_rules" -> {
+      val stops = TextQuality.Stopwords("en").map(w => s"'$w'").mkString(", ")
+      s"""WITH tk AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS tk
+         |  FROM documents),
+         | f AS (SELECT doc_id,
+         |    CAST(len(tk) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk) AS mean_word_len,
+         |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(tk) AS alpha_frac,
+         |    CAST(len(list_filter(tk, x -> list_contains([$stops], lower(x)))) AS BIGINT) AS n_stop_hits
+         |  FROM tk)
+         |SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop_hits,
+         | (n_words BETWEEN 50 AND 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |  AND alpha_frac >= 0.8 AND n_stop_hits >= 2) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
 
     // the NB train + score chain replayed in SQL end to end
     "nb_quality_score" ->

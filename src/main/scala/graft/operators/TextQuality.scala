@@ -232,6 +232,40 @@ object TextQuality {
       .withColumn("page_kept", col("n_kept") >= minKeptLines)
   }
 
+  /** Gopher-class DOCUMENT-level quality gate (Rae et al. 2021 §A1.1,
+    * public — the word-level subset of the Gopher rules; the
+    * repetition subset lives in [[repetitionStats]] and the line
+    * subset in [[c4LineFilter]]): a document passes iff its word
+    * count, mean word length, alphabetic-word fraction, and stop-word
+    * hits all sit inside the configured bands. Returns the feature
+    * columns plus the conjunction `keep`.
+    *
+    * One narrow projection, no shuffle, no UDF. Determinism: every
+    * ratio is a single IEEE division of exact integer counts (the
+    * qualityFeatures posture), so thresshold comparisons agree
+    * cross-engine. */
+  def gopherQualityGate(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                        minWords: Int = 50, maxWords: Int = 100000,
+                        minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                        minAlphaFrac: Double = 0.8, minStopHits: Int = 2): DataFrame = {
+    val tk = toks(col(textCol))
+    val n = size(tk)
+    val meanLen = aggregate(tk, lit(0L), (acc, x) => acc + length(x))
+      .cast(DoubleType) / n
+    val alphaFrac = size(filter(tk, t => t.rlike("[A-Za-z]"))).cast(DoubleType) / n
+    val stops = stopHits(tk, "en")
+    docs.select(col(idCol).as("doc_id"),
+        n.cast(LongType).as("n_words"),
+        meanLen.as("mean_word_len"),
+        alphaFrac.as("alpha_frac"),
+        stops.cast(LongType).as("n_stop_hits"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen &&
+          col("alpha_frac") >= minAlphaFrac &&
+          col("n_stop_hits") >= minStopHits)
+  }
+
   /** LEARNED quality classifier: multinomial Naive Bayes with add-1
     * smoothing (Manning et al. IR ch.13, public — the same
     * linear-classifier family the GPT-3/LLaMA pipelines use for

@@ -114,6 +114,21 @@ class ParagraphLineSpec extends AnyFunSuite {
     assert(got === exp)
   }
 
+  // --------------------------------------------- gopherQualityGate
+
+  test("gopher gate: each band fails independently, a good doc passes") {
+    val the50 = Seq.fill(25)("the story").mkString(" ") // 50 words, stopwords, alpha
+    val rows = Seq(
+      (1L, the50),                                      // passes every band
+      (2L, "the a of and too short doc"),               // n_words < 50
+      (3L, Seq.fill(50)("surprisingly").mkString(" ") + " the a"), // mean len > 10
+      (4L, Seq.fill(48)("12345").mkString(" ") + " the a"),        // alpha_frac < 0.8
+      (5L, Seq.fill(50)("word").mkString(" ")))         // no stopword hits
+    val got = graft.operators.TextQuality.gopherQualityGate(rows.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getBoolean(5))).toSeq
+    assert(got === Seq((1L, true), (2L, false), (3L, false), (4L, false), (5L, false)))
+  }
+
   // ------------------------------------------------ latestSnapshot
 
   test("latestSnapshot keeps the newest fetch and counts snapshots; singletons pass through") {
