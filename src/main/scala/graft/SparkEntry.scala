@@ -1097,6 +1097,14 @@ object SparkEntry {
           col("main_text"))
         .orderBy("url")
     }),
+    // anchor-text aggregation: how the corpus DESCRIBES each target
+    // page (the off-page retrieval signal) — the fixture gives every
+    // source its own anchor wording (first word + target id), and the
+    // twin derives all of it from doc_id arithmetic, so the hash
+    // proves paired href/text extraction, entity decode, self-link
+    // drop, and the per-target distinct/min aggregation
+    "anchor_texts" -> ((s, d) =>
+      Html.anchorTexts(Html.anchorPageFromDocs(t(s, d).documents)).orderBy("dst")),
     // Gopher's word-level document gate: count/length/alpha/stopword
     // bands computed as exact integer counts with single IEEE
     // divisions, and the conjunction flag — the twin recomputes every
@@ -3670,6 +3678,22 @@ object SparkEntry {
          |             ELSE 'updatemarker' END
          |      ELSE array_to_string(ws, ' ') END AS main_text
          |FROM w ORDER BY url""".stripMargin,
+
+    // every anchor string derived closed-form: source's first word +
+    // target id, over the (7k+3, 13k+5, k+1) mod m link map
+    "anchor_texts" -> {
+      val m = Html.DefaultLinkSpace
+      s"""WITH w AS (SELECT doc_id,
+         |    coalesce(list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)[1], '') AS fw
+         |  FROM documents),
+         | e AS (SELECT doc_id AS src, fw,
+         |    unnest([(doc_id*7+3)%$m, (doc_id*13+5)%$m, (doc_id+1)%$m]) AS dst FROM w),
+         | p AS (SELECT src, CAST(dst AS BIGINT) AS dst, trim(fw || ' ' || dst) AS anchor
+         |   FROM e WHERE dst <> src)
+         |SELECT dst, count(DISTINCT src) AS n_inlinks,
+         | count(DISTINCT anchor) AS n_anchor_variants, min(anchor) AS top_anchor
+         |FROM p GROUP BY dst ORDER BY dst""".stripMargin
+    },
 
     // every Gopher feature and band recomputed in SQL from the same
     // constants (stop list generated from the Scala object)

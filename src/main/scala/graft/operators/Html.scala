@@ -211,6 +211,55 @@ object Html {
       .where(col("dst") =!= col("src"))
       .distinct()
 
+  /** Anchor-TEXT aggregation per link target — how the rest of the
+    * corpus describes a page (the classic off-page relevance signal:
+    * anchor text indexes the TARGET, not the source). Parses
+    * (href, inner text) pairs out of raw markup with two aligned
+    * regexp_extract_all passes (same pattern, groups 1 and 2 — match
+    * order is identical, so zipping is exact), entity-decodes and
+    * whitespace-collapses the text, drops self-links, and aggregates
+    * per target: distinct referring pages, distinct anchor variants,
+    * and the lexicographic-min variant (a deterministic
+    * representative). One narrow projection + one aggregate keyed on
+    * the target id — hot targets (popular pages) are AQE's skew case. */
+  def anchorTexts(pages: DataFrame, htmlCol: String = "html", idCol: String = "doc_id"): DataFrame = {
+    val pat = "(?i)<a\\b[^>]*href=\"/doc/([0-9]+)\"[^>]*>([^<]*)</a>"
+    val pairs = pages
+      .select(col(idCol).as("src"), explode(arrays_zip(
+        regexp_extract_all(col(htmlCol), lit(pat), lit(1)).as("d"),
+        regexp_extract_all(col(htmlCol), lit(pat), lit(2)).as("a"))).as("z"))
+      .select(col("src"), col("z.d").cast(LongType).as("dst"),
+        trim(regexp_replace(unescapeHtml(col("z.a")), "\\s+", " ")).as("anchor"))
+      .where(col("dst") =!= col("src"))
+    pairs.groupBy(col("dst"))
+      .agg(countDistinct(col("src")).as("n_inlinks"),
+        countDistinct(col("anchor")).as("n_anchor_variants"),
+        min(col("anchor")).as("top_anchor"))
+  }
+
+  /** Page fixture with PER-SOURCE anchor text: the same closed-form
+    * link targets as [[pageFromDocs]], but each anchor reads
+    * "<first word of the source doc> <target id>" (entity-escaped), so
+    * anchor aggregation has real variance to prove — the twin derives
+    * every anchor string from doc_id arithmetic + the source's first
+    * word. */
+  def anchorPageFromDocs(docs: DataFrame, textCol: String = "text",
+                         idCol: String = "doc_id",
+                         linkSpace: Int = DefaultLinkSpace): DataFrame = {
+    val first = coalesce(
+      element_at(filter(split(col(textCol), "\\s+"), w => length(w) > 0), 1), lit(""))
+    docs.select(col(idCol).as("doc_id"), escapeHtml(first).as("fw"),
+        array((col(idCol) * 7 + 3) % linkSpace,
+          (col(idCol) * 13 + 5) % linkSpace,
+          (col(idCol) + 1) % linkSpace).as("ts"))
+      .select(col("doc_id"), concat(
+        lit("<html><body>\n<nav>"),
+        concat_ws(" ", transform(col("ts"), d =>
+          concat(lit("<a href=\"/doc/"), d.cast(StringType), lit("\">"),
+            col("fw"), lit(" "), d.cast(StringType), lit("</a>")))),
+        lit("</nav>\n</body></html>")).as("html"))
+  }
+
   // ---------------------------------------------------------------
   // URL normalization + site keys (round-10: real hrefs are not all
   // /doc/<id> — crawl keys need resolution + canonicalization)

@@ -114,6 +114,19 @@ class ParagraphLineSpec extends AnyFunSuite {
     assert(got === exp)
   }
 
+  // -------------------------------------------------- anchorTexts
+
+  test("anchorTexts pairs href with its own text, decodes entities, drops self-links") {
+    val pages = Seq(
+      (1L, "<a href=\"/doc/9\">caf&eacute; guide</a> <a href=\"/doc/1\">self</a>" +
+        " <a href=\"/doc/9\">caf&eacute;   guide</a>"), // same text after collapse
+      (2L, "<a href=\"/doc/9\">other wording</a>")).toDF("doc_id", "html")
+    val got = Html.anchorTexts(pages).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    // dst 9: two sources, two distinct variants; the self-link to 1 vanished
+    assert(got === Seq((9L, 2L, 2L, "café guide")))
+  }
+
   // --------------------------------------------- gopherQualityGate
 
   test("gopher gate: each band fails independently, a good doc passes") {
