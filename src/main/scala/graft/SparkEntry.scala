@@ -1170,6 +1170,28 @@ object SparkEntry {
           targetRowsPerFile = 5000L, bloomBits = 1L << 20)
         .orderBy("doc_id", "chunk_idx")
     }),
+    // paragraph dedup AS A STREAM: the cookie-boilerplated page drops
+    // arrive in doc_id order, each micro-batch extracts blocks and
+    // drops every paragraph already seen (first-occurrence-wins — a
+    // stream cannot retract landed docs) against the persisted
+    // paragraph-hash store, inside the batch-keyed transaction. File
+    // order makes first-occurrence global argmin by (doc_id, pos), so
+    // the twin is one row_number window over the closed-form paragraph
+    // relation
+    "streaming_paragraph_ingest" -> ((s, d) => {
+      val src = stagePageStream(s, d, nFiles = 4)
+      val ss = streamSession(s)
+      val storeDir = java.nio.file.Files.createTempDirectory("graft-parastore").toString
+      ss.range(0).select(col("id").as("ph"))
+        .write.mode("overwrite").parquet(s"$storeDir/seed")
+      val out = java.nio.file.Files.createTempDirectory("graft-paraout").toString
+      val pages = readPageStream(ss, src).select(col("doc_id"),
+        regexp_replace(col("html"), "<div>\n",
+          java.util.regex.Matcher.quoteReplacement("<div>\n" + Html.BoilerFixturePara))
+          .as("html"))
+      graft.streaming.IngestPipeline.runParaIngest(ss, pages, storeDir, out)
+        .orderBy("doc_id")
+    }),
 
     // ---- M3b: corpus construction (deterministic sampling / chunking /
     // mixture / quality cut — graft.operators.Corpus) ----
@@ -3678,6 +3700,29 @@ object SparkEntry {
          |             ELSE 'updatemarker' END
          |      ELSE array_to_string(ws, ' ') END AS main_text
          |FROM w ORDER BY url""".stripMargin,
+
+    // first-occurrence-wins over the same closed-form paragraph
+    // relation as paragraph_dedup: one row_number window ordered by
+    // (doc_id, pos) — doc_id-ordered file drops make stream order and
+    // global order coincide
+    "streaming_paragraph_ingest" -> {
+      val cookie = Html.BoilerFixturePara
+        .stripPrefix("<p>").stripSuffix("</p>\n").replace("'", "''")
+      s"""WITH w AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS ws
+         |  FROM documents),
+         | np AS (SELECT doc_id, ws, CAST((len(ws) + 11) // 12 AS INT) AS n FROM w),
+         | body AS (SELECT doc_id, i AS pos,
+         |    array_to_string(list_slice(ws, (i-1)*12+1, i*12), ' ') AS para
+         |  FROM np, unnest(generate_series(1, n)) AS u(i)),
+         | paras AS (SELECT doc_id, 0 AS pos, '$cookie' AS para FROM w
+         |   UNION ALL SELECT * FROM body),
+         | r AS (SELECT doc_id, pos, para,
+         |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn FROM paras)
+         |SELECT doc_id, count(*) AS n_paras, count(*) FILTER (WHERE rn = 1) AS n_kept,
+         | coalesce(string_agg(para, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '') AS text
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     // every anchor string derived closed-form: source's first word +
     // target id, over the (7k+3, 13k+5, k+1) mod m link map

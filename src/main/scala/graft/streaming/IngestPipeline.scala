@@ -132,6 +132,69 @@ object IngestPipeline {
         .write.mode("overwrite").parquet(s"$bd/b$batchId"))
   }
 
+  /** One micro-batch of PARAGRAPH-granularity incremental dedup — the
+    * streaming form of [[graft.operators.Dedup.paragraphDedup]] with
+    * FIRST-OCCURRENCE-WINS semantics (a stream cannot retract already
+    * landed documents, so the first copy of a paragraph survives and
+    * every later copy — same batch or any later one — drops; the
+    * retroactive drop-ALL-copies form stays a batch job).
+    *
+    * Same batch-keyed transaction discipline as [[ingestBatch]]: the
+    * paragraph-hash store is read AS OF this batch (seed + strictly
+    * earlier commits), the landing and the batch's newly-first hashes
+    * overwrite their own directories, so replays are idempotent.
+    *
+    * Scale shape per batch: the first-occurrence rule is a window over
+    * the 8-byte paragraph hash (per-group rows = one paragraph's
+    * occurrences IN THIS BATCH — bounded), the store probe is one
+    * hash-keyed join, reassembly state is one document's paragraphs. */
+  def paraIngestBatch(paras: DataFrame, batchId: Long, storeDir: String,
+                      outDir: String): Unit = {
+    val ss = paras.sparkSession
+    healStore(storeDir)
+    val priorDirs = s"$storeDir/seed" +:
+      storeBatchIds(storeDir).filter(_ < batchId).map(i => s"$storeDir/b$i")
+    val store = priorDirs.map(ss.read.parquet(_)).reduce(_ unionAll _)
+    val hashed = paras.select(col("doc_id"), col("pos"), col("para"),
+      xxhash64(col("para")).as("ph"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ph")).orderBy(col("doc_id"), col("pos"))
+    val flagged = hashed.withColumn("rn", row_number().over(w))
+      .join(store.select(col("ph")).distinct().withColumn("seen", lit(true)),
+        Seq("ph"), "left")
+      .withColumn("keep", col("rn") === 1 && col("seen").isNull)
+      .localCheckpoint(true) // consumed twice: landing + store commit
+    val docs = flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("keep"), struct(col("pos"), col("para"))))),
+          s => s.getField("para"))).as("text"))
+    docs.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    // commit ONLY newly-first hashes: in-store repeats are already there
+    flagged.where(col("keep")).select(col("ph")).distinct()
+      .write.mode("overwrite").parquet(s"$storeDir/b$batchId")
+  }
+
+  /** Run paragraph-dedup ingest over a CALLER-BUILT streaming pages
+    * DataFrame: per micro-batch, block extraction runs inside the same
+    * transaction as the dedup (the [[runIngestStream]] seam at
+    * paragraph granularity). Returns the landed per-document table. */
+  def runParaIngest(spark: SparkSession, pageStream: DataFrame, storeDir: String,
+                    outDir: String): DataFrame = {
+    val q = pageStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        paraIngestBatch(graft.operators.Html.extractBlocks(batch.toDF()),
+          batchId, storeDir, outDir)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
+      .select(col("doc_id"), col("n_paras"), col("n_kept"), col("text"))
+  }
+
   /** Fold finalized batch commits into the seed — the store's
     * compaction. Without it the digest store is seed + one directory
     * per micro-batch forever, and every batch's scan unions an

@@ -114,6 +114,44 @@ class ParagraphLineSpec extends AnyFunSuite {
     assert(got === exp)
   }
 
+  // ------------------------------------------- paraIngestBatch
+
+  private def mkParaStore(): (String, String) = {
+    val store = java.nio.file.Files.createTempDirectory("pl-parastore").toString
+    spark.range(0).select(col("id").as("ph"))
+      .write.mode("overwrite").parquet(s"$store/seed")
+    val out = java.nio.file.Files.createTempDirectory("pl-paraout").toString
+    (store, out)
+  }
+
+  test("paraIngestBatch: first occurrence wins within a batch AND across batches") {
+    val (store, out) = mkParaStore()
+    graft.streaming.IngestPipeline.paraIngestBatch(
+      paras((1L, 0, "shared"), (1L, 1, "alpha"), (2L, 0, "shared")), 0L, store, out)
+    graft.streaming.IngestPipeline.paraIngestBatch(
+      paras((3L, 0, "shared"), (3L, 1, "beta")), 1L, store, out)
+    val got = spark.read.parquet(out).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSeq
+    assert(got === Seq((1L, 2L, "shared alpha"), (2L, 0L, ""), (3L, 1L, "beta")))
+  }
+
+  test("paraIngestBatch replay is idempotent: a re-delivered batch sees its original store") {
+    val (store, out) = mkParaStore()
+    graft.streaming.IngestPipeline.paraIngestBatch(
+      paras((1L, 0, "first")), 0L, store, out)
+    graft.streaming.IngestPipeline.paraIngestBatch(
+      paras((2L, 0, "first"), (2L, 1, "second")), 1L, store, out)
+    val before = spark.read.parquet(out).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSeq
+    // replay batch 1 verbatim — must overwrite, not duplicate or re-dedup
+    graft.streaming.IngestPipeline.paraIngestBatch(
+      paras((2L, 0, "first"), (2L, 1, "second")), 1L, store, out)
+    val after = spark.read.parquet(out).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSeq
+    assert(before === Seq((1L, "first"), (2L, "second")))
+    assert(after === before)
+  }
+
   // -------------------------------------------------- anchorTexts
 
   test("anchorTexts pairs href with its own text, decodes entities, drops self-links") {
