@@ -1105,6 +1105,12 @@ object SparkEntry {
     // drop, and the per-target distinct/min aggregation
     "anchor_texts" -> ((s, d) =>
       Html.anchorTexts(Html.anchorPageFromDocs(t(s, d).documents)).orderBy("dst")),
+    // the FULL Gopher n-gram repetition gate: top-gram char coverage
+    // for n=2..4, duplicated-gram char coverage for n=5..10, all nine
+    // sizes in one explode pass; the twin is GENERATED from the same
+    // band constants
+    "gopher_repetition" -> ((s, d) =>
+      TextQuality.gopherRepetitionGate(t(s, d).documents).orderBy("doc_id")),
     // Gopher's word-level document gate: count/length/alpha/stopword
     // bands computed as exact integer counts with single IEEE
     // divisions, and the conjunction flag — the twin recomputes every
@@ -3738,6 +3744,46 @@ object SparkEntry {
          |SELECT dst, count(DISTINCT src) AS n_inlinks,
          | count(DISTINCT anchor) AS n_anchor_variants, min(anchor) AS top_anchor
          |FROM p GROUP BY dst ORDER BY dst""".stripMargin
+    },
+
+    // nine gram relations, the (count, chars, gram) deterministic top
+    // pick, and the band conjunction — all generated from the same
+    // Seq((n, threshold)) constants the operator defaults to
+    "gopher_repetition" -> {
+      val topBands = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+      val dupBands = Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+      val gramCtes = (topBands ++ dupBands).map(_._1).map(n =>
+        s"""SELECT doc_id, total_chars, $n AS n,
+           |   array_to_string(list_slice(ws, i, i + ${n - 1}), ' ') AS gram
+           | FROM t, unnest(generate_series(1, len(ws) - ${n - 1})) AS u(i)
+           | WHERE len(ws) >= $n""".stripMargin).mkString("(", ")\n UNION ALL (", ")")
+      val wideCols = (topBands.map { case (n, _) =>
+        s"coalesce(max(CASE WHEN n = $n THEN top_frac END), 0.0) AS top_${n}_frac"
+      } ++ dupBands.map { case (n, _) =>
+        s"coalesce(max(CASE WHEN n = $n THEN dup_frac END), 0.0) AS dup_${n}_frac"
+      }).mkString(",\n    ")
+      val keep = (topBands.map { case (n, t) => s"top_${n}_frac <= CAST($t AS DOUBLE)" } ++
+        dupBands.map { case (n, t) => s"dup_${n}_frac <= CAST($t AS DOUBLE)" })
+        .mkString(" AND ")
+      s"""WITH t0 AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS ws
+         |  FROM documents),
+         | t AS (SELECT doc_id, ws, list_sum(list_transform(ws, x -> length(x))) AS total_chars
+         |  FROM t0 WHERE len(ws) >= 1),
+         | g AS ($gramCtes),
+         | c AS (SELECT doc_id, n, gram, any_value(total_chars) AS total_chars,
+         |    count(*) AS c, length(gram) - (n - 1) AS chars
+         |  FROM g GROUP BY doc_id, n, gram),
+         | r AS (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+         |    ORDER BY c DESC, chars DESC, gram DESC) AS rn FROM c),
+         | p AS (SELECT doc_id, n,
+         |    CAST(max(CASE WHEN rn = 1 THEN c * chars END) AS DOUBLE) / any_value(total_chars) AS top_frac,
+         |    CAST(coalesce(sum(CASE WHEN c >= 2 THEN c * chars END), 0) AS DOUBLE) / any_value(total_chars) AS dup_frac
+         |  FROM r GROUP BY doc_id, n),
+         | wdf AS (SELECT doc_id,
+         |    $wideCols
+         |  FROM p GROUP BY doc_id)
+         |SELECT *, ($keep) AS keep FROM wdf ORDER BY doc_id""".stripMargin
     },
 
     // every Gopher feature and band recomputed in SQL from the same

@@ -232,6 +232,67 @@ object TextQuality {
       .withColumn("page_kept", col("n_kept") >= minKeptLines)
   }
 
+  /** The FULL Gopher n-gram repetition gate (Rae et al. 2021 §A1.1,
+    * public): for n in 2..4 the fraction of document characters
+    * covered by the MOST-FREQUENT n-gram, for n in 5..10 the fraction
+    * covered by ALL duplicated n-grams (count ≥ 2, every occurrence
+    * counted — the standard open-source reading of the rule); a
+    * document passes iff every fraction sits under its band.
+    *
+    * Character coverage is exact integer arithmetic: an n-gram joined
+    * by single spaces carries `length(gram) − (n−1)` token characters,
+    * coverage = occurrences × token-chars, and each fraction is ONE
+    * IEEE division by the document's total token characters. The
+    * most-frequent pick breaks ties deterministically by
+    * (count, chars, gram) lexicographic max on both engines.
+    *
+    * Scale shape: all nine gram sizes explode in ONE pass (an array of
+    * (n, gram) structs per document), one (doc, n, gram) aggregate,
+    * one per-(doc, n) reduction, then a pivot back to columns — the
+    * shuffle keys are gram-hash-sized, never the document. */
+  def gopherRepetitionGate(docs: DataFrame, textCol: String = "text",
+                           idCol: String = "doc_id",
+                           topBands: Seq[(Int, Double)] = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16),
+                           dupBands: Seq[(Int, Double)] = Seq(5 -> 0.15, 6 -> 0.14,
+                             7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)): DataFrame = {
+    val ns = (topBands ++ dupBands).map(_._1)
+    val tk = toks(col(textCol))
+    def gramsOf(n: Int) = expr(
+      s"""transform(sequence(0, size(toks) - $n),
+         |  i -> struct($n AS n, concat_ws(' ', slice(toks, i + 1, $n)) AS gram))""".stripMargin)
+    val allGrams = concat(ns.map(n =>
+      when(size(col("toks")) >= n, gramsOf(n))
+        .otherwise(array().cast("array<struct<n:int,gram:string>>"))): _*)
+    val narrow = docs
+      .select(col(idCol).as("doc_id"), tk.as("toks"))
+      .where(size(col("toks")) >= 1)
+      .select(col("doc_id"),
+        aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)).as("total_chars"),
+        allGrams.as("gs"))
+    val counts = narrow
+      .select(col("doc_id"), col("total_chars"), explode(col("gs")).as("g"))
+      .groupBy(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .agg(first(col("total_chars")).as("total_chars"), count(lit(1)).as("c"))
+      .withColumn("chars", length(col("gram")) - (col("n") - 1))
+    val perN = counts.groupBy(col("doc_id"), col("n"))
+      .agg(first(col("total_chars")).as("total_chars"),
+        max(struct(col("c"), col("chars"), col("gram"))).as("top"),
+        sum(when(col("c") >= 2, col("c") * col("chars"))).as("dup_chars"))
+      .select(col("doc_id"), col("n"),
+        ((col("top.c") * col("top.chars")).cast(DoubleType) / col("total_chars")).as("top_frac"),
+        (coalesce(col("dup_chars"), lit(0L)).cast(DoubleType) / col("total_chars")).as("dup_frac"))
+    val aggCols = topBands.map { case (n, _) =>
+      coalesce(max(when(col("n") === n, col("top_frac"))), lit(0.0)).as(s"top_${n}_frac")
+    } ++ dupBands.map { case (n, _) =>
+      coalesce(max(when(col("n") === n, col("dup_frac"))), lit(0.0)).as(s"dup_${n}_frac")
+    }
+    val wide = perN.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
+    val keep = topBands.map { case (n, t) => col(s"top_${n}_frac") <= t }
+      .++(dupBands.map { case (n, t) => col(s"dup_${n}_frac") <= t })
+      .reduce(_ && _)
+    wide.withColumn("keep", keep)
+  }
+
   /** Gopher-class DOCUMENT-level quality gate (Rae et al. 2021 §A1.1,
     * public — the word-level subset of the Gopher rules; the
     * repetition subset lives in [[repetitionStats]] and the line

@@ -180,6 +180,29 @@ class ParagraphLineSpec extends AnyFunSuite {
     assert(got === Seq((1L, true), (2L, false), (3L, false), (4L, false), (5L, false)))
   }
 
+  // ----------------------------------------- gopherRepetitionGate
+
+  test("gopher repetition: coverage fractions match hand arithmetic") {
+    val doc = "xx yy xx yy zz" // 5 tokens, 10 chars
+    val r = graft.operators.TextQuality.gopherRepetitionGate(
+      Seq((1L, doc)).toDF("doc_id", "text")).collect().head
+    // bigrams: "xx yy"(2), "yy xx"(1), "yy zz"(1) → top = 2 occ × 4 chars / 10
+    assert(r.getAs[Double]("top_2_frac") === 0.8)
+    // the only duplicated gram size is n=2; all n>=5 dup fractions are 0
+    assert(r.getAs[Double]("dup_5_frac") === 0.0)
+    // trigram top: every trigram unique → 1 occ × 6 chars / 10
+    assert(r.getAs[Double]("top_3_frac") === 0.6)
+  }
+
+  test("gopher repetition: a looping doc fails, varied prose passes") {
+    val loop = Seq.fill(30)("buy cheap pills now").mkString(" ")
+    val prose = (1 to 60).map(i => s"w$i").mkString(" ")
+    val got = graft.operators.TextQuality.gopherRepetitionGate(
+      Seq((1L, loop), (2L, prose)).toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getAs[Boolean]("keep"))).toSeq
+    assert(got === Seq((1L, false), (2L, true)))
+  }
+
   // ------------------------------------------------ latestSnapshot
 
   test("latestSnapshot keeps the newest fetch and counts snapshots; singletons pass through") {
