@@ -1117,6 +1117,29 @@ object SparkEntry {
     // feature and band in SQL from the same constants
     "gopher_rules" -> ((s, d) =>
       TextQuality.gopherQualityGate(t(s, d).documents).orderBy("doc_id")),
+    // crawl snapshot differencing: two closed-form snapshots (every
+    // fifth URL dropped, every third re-rendered with a marker, an
+    // extra host's pages added for every seventh doc) diffed by
+    // content digest into added/removed/changed/unchanged — the
+    // re-fetch scheduling view; the twin derives each URL's status
+    // from the same arithmetic
+    "crawl_diff" -> ((s, d) => {
+      val docs = t(s, d).documents
+      def url(c: org.apache.spark.sql.Column) =
+        concat(lit("https://"), Html.fixtureHost(c % Html.SiteSpace),
+          lit("/doc/"), c.cast("string"))
+      val oldSnap = Html.pageFromDocs(docs)
+        .select(url(col("doc_id")).as("url"), col("html"))
+      val newMain = Html.pageFromDocs(
+          docs.withColumn("text", when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" updatemarker"))).otherwise(col("text"))))
+        .where(col("doc_id") % 5 =!= 0)
+        .select(url(col("doc_id")).as("url"), col("html"))
+      val extra = Html.pageFromDocs(docs.where(col("doc_id") % 7 === 0))
+        .select(concat(lit("https://extra.example.com/doc/"),
+          col("doc_id").cast("string")).as("url"), col("html"))
+      Dedup.snapshotDiff(oldSnap, newMain.unionByName(extra)).orderBy("url")
+    }),
     // LEARNED quality scoring: multinomial Naive Bayes trained on a
     // deterministic curated-vs-crawl labeling (even source number =
     // positive class, doc_id%10<7 = train split), scored over the
@@ -3804,6 +3827,20 @@ object SparkEntry {
          |  AND alpha_frac >= 0.8 AND n_stop_hits >= 2) AS keep
          |FROM f ORDER BY doc_id""".stripMargin
     },
+
+    // each URL's diff status from the same %5 / %3 / %7 arithmetic the
+    // fixture snapshots are built with (removed wins over changed —
+    // a page absent from the new crawl has no content to compare)
+    "crawl_diff" ->
+      s"""SELECT 'https://' || ${sqlHost(s"doc_id%${Html.SiteSpace}")} || '/doc/' || doc_id AS url,
+         | CASE WHEN doc_id % 5 = 0 THEN 'removed'
+         |      WHEN doc_id % 3 = 0 THEN 'changed'
+         |      ELSE 'unchanged' END AS status
+         |FROM documents
+         |UNION ALL
+         |SELECT 'https://extra.example.com/doc/' || doc_id AS url, 'added' AS status
+         |FROM documents WHERE doc_id % 7 = 0
+         |ORDER BY url""".stripMargin,
 
     // the NB train + score chain replayed in SQL end to end
     "nb_quality_score" ->

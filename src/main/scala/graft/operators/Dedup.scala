@@ -108,6 +108,25 @@ object Dedup {
         rest.map(c => col(s"w.$c").as(c)) :+ col("n_snapshots"): _*)
   }
 
+  /** Snapshot differencing — what changed between two crawls of the
+    * same key space: per key, `added` (new only), `removed` (old
+    * only), `changed` (both, different content), `unchanged`. The
+    * crawl-ops view that drives re-fetch scheduling and incremental
+    * corpus updates. Content compares by 32-byte digest, so the full
+    * outer join shuffles digests, never page bodies — one shuffle on
+    * the key at any scale. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String = "url",
+                   contentCol: String = "html"): DataFrame = {
+    val o = oldSnap.select(col(keyCol), sha2(col(contentCol), 256).as("h_old"))
+    val n = newSnap.select(col(keyCol), sha2(col(contentCol), 256).as("h_new"))
+    o.join(n, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") === col("h_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Exact dedup with a PRIORITY survivor rule — "keep the curated
     * copy, drop the crawl's": within each content-digest group the
     * winner is the highest-priority row, min id breaking ties. One

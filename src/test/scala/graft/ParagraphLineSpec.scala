@@ -205,6 +205,15 @@ class ParagraphLineSpec extends AnyFunSuite {
 
   // ------------------------------------------------ latestSnapshot
 
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val oldS = Seq(("u1", "a"), ("u2", "b"), ("u3", "c")).toDF("url", "html")
+    val newS = Seq(("u2", "b"), ("u3", "CHANGED"), ("u4", "d")).toDF("url", "html")
+    val got = Dedup.snapshotDiff(oldS, newS).orderBy("url")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got === Seq(("u1", "removed"), ("u2", "unchanged"),
+      ("u3", "changed"), ("u4", "added")))
+  }
+
   test("latestSnapshot keeps the newest fetch and counts snapshots; singletons pass through") {
     val recs = Seq(
       ("https://a/0", 100L, "old body"),
