@@ -722,6 +722,13 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, e.where(col("vec_id") % 50 === 0))
         .orderBy("q_id", "rank")
     }),
+    // EXACT-replayable distributed k-means: deterministic init (first
+    // k vectors), 6-dp-rounded min-code-tiebreak assignment, 10-dp
+    // DECIMAL-accumulated means — the whole clustering sits behind the
+    // hash gate (the twin unrolls all three Lloyd iterations), not
+    // just a row count like the approximate ANN family
+    "kmeans_assign" -> ((s, d) =>
+      Similarity.kmeans(t(s, d).embeddings).orderBy("vec_id")),
     "lsh_topk" -> ((s, d) => Similarity.lshTopK(t(s, d).embeddings).orderBy("q_id", "rank")),
     "ivf_topk" -> ((s, d) => Similarity.ivfTopK(t(s, d).embeddings).orderBy("q_id", "rank")),
     // product-quantization ANN (rows-only: approximate by design;
@@ -3341,6 +3348,35 @@ object SparkEntry {
          |        FROM lab JOIN L USING (doc_id))
          |SELECT cluster_id, doc_id AS keep_id, score FROM r WHERE rn = 1
          |ORDER BY cluster_id""".stripMargin,
+
+    // all three Lloyd iterations UNROLLED (the PageRank twin device):
+    // per iteration one rounded-score argmin assignment and one
+    // DECIMAL-mean centroid update, generated from the same (k, iters)
+    "kmeans_assign" -> {
+      val (k, iters) = (8, 3)
+      def assignCte(name: String, cents: String) =
+        s"""$name AS (SELECT vec_id, code FROM (
+           |  SELECT v.vec_id, c.code,
+           |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           |      round(2 * list_dot_product(v.x, c.c) - list_dot_product(c.c, c.c), 6) DESC,
+           |      c.code ASC) AS rn
+           |  FROM v CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+      val steps = (1 to iters).map { i =>
+        s"""${assignCte(s"a$i", s"cents${i - 1}")},
+           | m$i AS (SELECT a.code, s.pos,
+           |    round(CAST(sum(CAST(round(v.x[s.pos], 10) AS DECIMAL(28,12))) AS DOUBLE) / count(*), 10) AS m
+           |  FROM a$i a JOIN v USING (vec_id), unnest(generate_series(1, len(v.x))) AS s(pos)
+           |  GROUP BY a.code, s.pos),
+           | cl$i AS (SELECT code, list(m ORDER BY pos) AS c FROM m$i GROUP BY code),
+           | cents$i AS (SELECT c0.code, coalesce(cl.c, c0.c) AS c
+           |   FROM cents${i - 1} c0 LEFT JOIN cl$i cl USING (code))""".stripMargin
+      }.mkString(",\n ")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+         | cents0 AS (SELECT CAST(vec_id AS INT) AS code, x AS c FROM v WHERE vec_id < $k),
+         | $steps,
+         | ${assignCte("af", s"cents$iters")}
+         |SELECT vec_id, code FROM af ORDER BY vec_id""".stripMargin
+    },
 
     "cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id % 50 = 0),

@@ -132,6 +132,53 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim_r"))
   }
 
+  /** EXACT-replayable distributed k-means over full vectors — Lloyd's
+    * algorithm made bit-deterministic end to end, so the whole
+    * clustering (not just its row count) sits behind the oracle hash
+    * gate: deterministic init (the first k vectors, closed-form for
+    * the twin), assignment by the squared-L2 surrogate
+    * 2·x·c − |c|² ROUNDED to 6 dp with a min-code tie-break, and
+    * centroid means accumulated as 10-dp DECIMALs (partition-order
+    * independent) then rounded back to 10 dp. Empty clusters keep
+    * their previous centroid.
+    *
+    * Scale shape per iteration: one broadcast of k centroids into the
+    * corpus scan (no shuffle for assignment), one (code, dimension)
+    * partial-aggregate shuffle for the means — the PageRank posture:
+    * loop-invariant vectors localCheckpointed once, per-iteration
+    * lineage truncation, iterated state is k·dim. Returns the final
+    * (vec_id, code) assignment. */
+  def kmeans(vecs: DataFrame, k: Int = 8, iters: Int = 3,
+             idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val base = vecs.select(col(idCol).as("vec_id"),
+      col(embCol).cast(ArrayType(DoubleType)).as("x")).localCheckpoint(true)
+    def assign(cents: DataFrame): DataFrame = {
+      val withC2 = cents.withColumn("c2", vec_dot(col("c"), col("c")))
+      base.crossJoin(broadcast(withC2))
+        .select(col("vec_id"),
+          round(lit(2) * vec_dot(col("x"), col("c")) - col("c2"), 6).as("sc"),
+          col("code"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("sc"), (-col("code")).as("negc"), col("code"))).as("b"))
+        .select(col("vec_id"), col("b.code").as("code"))
+    }
+    var cents = base.where(col("vec_id") < k)
+      .select(col("vec_id").cast(IntegerType).as("code"), col("x").as("c"))
+    for (_ <- 1 to iters) {
+      val means = assign(cents).join(base, "vec_id")
+        .select(col("code"), posexplode(col("x")).as(Seq("pos", "v")))
+        .groupBy(col("code"), col("pos"))
+        .agg(round(sum(round(col("v"), 10).cast(DecimalType(28, 12))).cast(DoubleType) /
+          count(lit(1)), 10).as("m"))
+        .groupBy(col("code"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("cm"))
+      cents = cents.join(means, Seq("code"), "left")
+        .select(col("code"), coalesce(col("cm"), col("c")).as("c"))
+        .localCheckpoint(true)
+    }
+    assign(cents)
+  }
+
   /** Deterministic Lloyd (k-means) refinement of a code book, fully
     * relational — the quality step between a cheap stride-sampled init
     * and a production k-means|| init (Bahmani et al., VLDB 2012).
