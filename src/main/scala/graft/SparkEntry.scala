@@ -729,6 +729,20 @@ object SparkEntry {
     // just a row count like the approximate ANN family
     "kmeans_assign" -> ((s, d) =>
       Similarity.kmeans(t(s, d).embeddings).orderBy("vec_id")),
+    // SEMANTIC corpus rebalancing: k-means clusters as sampling strata
+    // — over-represented semantic regions downsample exactly like
+    // over-represented languages do in temperature_sample (embeddings
+    // and documents share the id space, so clusters key documents)
+    "cluster_balanced_sample" -> ((s, d) => {
+      val codes = Similarity.kmeans(t(s, d).embeddings)
+        .select(col("vec_id").as("doc_id"), col("code").as("cluster"))
+      val docs = t(s, d).documents.join(codes, Seq("doc_id"))
+        .select(col("doc_id"), col("cluster"), col("text"))
+      val rates = Corpus.temperatureRates(docs, strataCol = "cluster")
+      Corpus.resampleWithRates(docs, rates, strataCol = "cluster")
+        .select(col("doc_id"), col("cluster"), col("n_l"), col("keep_permille"))
+        .orderBy("doc_id")
+    }),
     "lsh_topk" -> ((s, d) => Similarity.lshTopK(t(s, d).embeddings).orderBy("q_id", "rank")),
     "ivf_topk" -> ((s, d) => Similarity.ivfTopK(t(s, d).embeddings).orderBy("q_id", "rank")),
     // product-quantization ANN (rows-only: approximate by design;
@@ -3352,31 +3366,23 @@ object SparkEntry {
     // all three Lloyd iterations UNROLLED (the PageRank twin device):
     // per iteration one rounded-score argmin assignment and one
     // DECIMAL-mean centroid update, generated from the same (k, iters)
-    "kmeans_assign" -> {
-      val (k, iters) = (8, 3)
-      def assignCte(name: String, cents: String) =
-        s"""$name AS (SELECT vec_id, code FROM (
-           |  SELECT v.vec_id, c.code,
-           |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
-           |      round(2 * list_dot_product(v.x, c.c) - list_dot_product(c.c, c.c), 6) DESC,
-           |      c.code ASC) AS rn
-           |  FROM v CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
-      val steps = (1 to iters).map { i =>
-        s"""${assignCte(s"a$i", s"cents${i - 1}")},
-           | m$i AS (SELECT a.code, s.pos,
-           |    round(CAST(sum(CAST(round(v.x[s.pos], 10) AS DECIMAL(28,12))) AS DOUBLE) / count(*), 10) AS m
-           |  FROM a$i a JOIN v USING (vec_id), unnest(generate_series(1, len(v.x))) AS s(pos)
-           |  GROUP BY a.code, s.pos),
-           | cl$i AS (SELECT code, list(m ORDER BY pos) AS c FROM m$i GROUP BY code),
-           | cents$i AS (SELECT c0.code, coalesce(cl.c, c0.c) AS c
-           |   FROM cents${i - 1} c0 LEFT JOIN cl$i cl USING (code))""".stripMargin
-      }.mkString(",\n ")
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
-         | cents0 AS (SELECT CAST(vec_id AS INT) AS code, x AS c FROM v WHERE vec_id < $k),
-         | $steps,
-         | ${assignCte("af", s"cents$iters")}
-         |SELECT vec_id, code FROM af ORDER BY vec_id""".stripMargin
-    },
+    "kmeans_assign" ->
+      s"""$KmeansCtes
+         |SELECT vec_id, code FROM af ORDER BY vec_id""".stripMargin,
+
+    // SEMANTIC rebalancing: the kmeans chain feeds the same
+    // temperature-rate + hash-permille machinery temperature_sample
+    // proves, keyed on cluster instead of language
+    "cluster_balanced_sample" ->
+      s"""$KmeansCtes,
+         | n AS (SELECT code AS cluster, count(*) AS n_l FROM af GROUP BY code),
+         | r AS (SELECT cluster, n_l,
+         |   CAST(floor(1000.0 * sqrt((SELECT CAST(min(n_l) AS DOUBLE) FROM n))
+         |        / sqrt(CAST(n_l AS DOUBLE))) AS BIGINT) AS keep_permille FROM n)
+         |SELECT d.doc_id, af.code AS cluster, r.n_l, r.keep_permille
+         |FROM documents d JOIN af ON d.doc_id = af.vec_id JOIN r ON af.code = r.cluster
+         |WHERE $HashPermille < r.keep_permille
+         |ORDER BY d.doc_id""".stripMargin,
 
     "cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
@@ -4319,6 +4325,35 @@ object SparkEntry {
          |  percent_rank() OVER (PARTITION BY lang ORDER BY score) AS pr FROM s)
          |SELECT doc_id, lang, score, pr FROM r WHERE pr >= 0.5
          |ORDER BY doc_id""".stripMargin)
+
+  /** The kmeans_assign twin's CTE chain (v, cents0, three unrolled
+    * Lloyd iterations, final assignment `af`), shared with the
+    * cluster-balanced sampling twin. Generated from the same
+    * (k, iters) the Spark operator defaults to. */
+  private def KmeansCtes: String = {
+    val (k, iters) = (8, 3)
+    def assignCte(name: String, cents: String) =
+      s"""$name AS (SELECT vec_id, code FROM (
+         |  SELECT v.vec_id, c.code,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      round(2 * list_dot_product(v.x, c.c) - list_dot_product(c.c, c.c), 6) DESC,
+         |      c.code ASC) AS rn
+         |  FROM v CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""${assignCte(s"a$i", s"cents${i - 1}")},
+         | m$i AS (SELECT a.code, s.pos,
+         |    round(CAST(sum(CAST(round(v.x[s.pos], 10) AS DECIMAL(28,12))) AS DOUBLE) / count(*), 10) AS m
+         |  FROM a$i a JOIN v USING (vec_id), unnest(generate_series(1, len(v.x))) AS s(pos)
+         |  GROUP BY a.code, s.pos),
+         | cl$i AS (SELECT code, list(m ORDER BY pos) AS c FROM m$i GROUP BY code),
+         | cents$i AS (SELECT c0.code, coalesce(cl.c, c0.c) AS c
+         |   FROM cents${i - 1} c0 LEFT JOIN cl$i cl USING (code))""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+       | cents0 AS (SELECT CAST(vec_id AS INT) AS code, x AS c FROM v WHERE vec_id < $k),
+       | $steps,
+       | ${assignCte("af", s"cents$iters")}""".stripMargin
+  }
 
   /** DuckDB twin of Corpus.hashPermille (affine char-sum of the first
     * 64 chars, mod 1000). Mirrors Spark's pmod — DuckDB's % is
