@@ -1138,6 +1138,30 @@ object SparkEntry {
     // feature and band in SQL from the same constants
     "gopher_rules" -> ((s, d) =>
       TextQuality.gopherQualityGate(t(s, d).documents).orderBy("doc_id")),
+    // robots.txt end to end: per-host files built closed-form (a
+    // decoy badbot group that must be IGNORED, a comment, an inert
+    // /private/ rule, and k%4-keyed /doc/ rules incl. an Allow that
+    // overrides a shorter Disallow) are PARSED by robotsRules, then
+    // every page URL gets the longest-prefix-match verdict — the twin
+    // derives rules and verdicts from the same arithmetic, so the
+    // hash proves group handling, parsing, and match resolution
+    "robots_filter" -> ((s, d) => {
+      val docs = t(s, d).documents
+      val hosts = docs.select((col("doc_id") % Html.SiteSpace).as("k")).distinct()
+      val content = concat(
+        lit("# graft robots fixture\nUser-agent: badbot\nDisallow: /\n\n" +
+          "User-agent: *\nDisallow: /private/\n"),
+        when(col("k") % 4 === 0, lit("Disallow: /doc/\n"))
+          .when(col("k") % 4 === 1, lit("Disallow: /doc/1\nAllow: /doc/12\n"))
+          .when(col("k") % 4 === 2, lit("Allow: /doc/\n"))
+          .otherwise(lit("")))
+      val rules = Html.robotsRules(
+        hosts.select(Html.fixtureHost(col("k")).as("host"), content.as("content")))
+      val urls = docs.select(concat(lit("https://"),
+        Html.fixtureHost(col("doc_id") % Html.SiteSpace),
+        lit("/doc/"), col("doc_id").cast("string")).as("url"))
+      Html.robotsFilter(urls, rules).orderBy("url")
+    }),
     // crawl snapshot differencing: two closed-form snapshots (every
     // fifth URL dropped, every third re-rendered with a marker, an
     // extra host's pages added for every seventh doc) diffed by
@@ -3868,6 +3892,30 @@ object SparkEntry {
          | (n_words BETWEEN 50 AND 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
          |  AND alpha_frac >= 0.8 AND n_stop_hits >= 2) AS keep
          |FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    // the k%4-keyed rule table and the longest-prefix verdict derived
+    // directly (no parsing — that is what the Spark side must prove)
+    "robots_filter" -> {
+      val ss = Html.SiteSpace
+      s"""WITH hosts AS (SELECT DISTINCT doc_id % $ss AS k FROM documents),
+         | rules AS (
+         |   SELECT k, '/private/' AS prefix, false AS allow FROM hosts
+         |   UNION ALL SELECT k, '/doc/', false FROM hosts WHERE k % 4 = 0
+         |   UNION ALL SELECT k, '/doc/1', false FROM hosts WHERE k % 4 = 1
+         |   UNION ALL SELECT k, '/doc/12', true FROM hosts WHERE k % 4 = 1
+         |   UNION ALL SELECT k, '/doc/', true FROM hosts WHERE k % 4 = 2),
+         | urls AS (SELECT doc_id, doc_id % $ss AS k,
+         |    'https://' || ${sqlHost(s"doc_id%$ss")} || '/doc/' || doc_id AS url,
+         |    '/doc/' || doc_id AS path
+         |   FROM documents),
+         | cand AS (SELECT u.url, r.prefix, r.allow
+         |   FROM urls u JOIN rules r USING (k) WHERE starts_with(u.path, r.prefix)),
+         | best AS (SELECT url, prefix, allow, row_number() OVER (PARTITION BY url
+         |    ORDER BY length(prefix) DESC, allow DESC, prefix DESC) AS rn FROM cand)
+         |SELECT u.url, coalesce(b.allow, true) AS allowed, coalesce(b.prefix, '') AS rule
+         |FROM urls u LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (url)
+         |ORDER BY u.url""".stripMargin
     },
 
     // each URL's diff status from the same %5 / %3 / %7 arithmetic the

@@ -394,6 +394,60 @@ object Html {
         lit("</nav>\n</body></html>")).as("html"))
   }
 
+  /** Parse robots.txt bodies into (host, allow, prefix) rules — the
+    * crawl-politeness front door (REP, RFC 9309, public). Lines are
+    * comment-stripped and trimmed; a window carries the most recent
+    * `User-agent:` forward so only rules in the wildcard (`*`) group
+    * survive (a crawl pipeline filters for ITS agent once, at parse
+    * time); empty-path Disallow lines mean "no restriction" per the
+    * spec and drop. Robots files are tiny, so the per-host window is
+    * bounded by one file's line count. */
+  def robotsRules(robots: DataFrame, hostCol: String = "host",
+                  contentCol: String = "content"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = robots
+      .select(col(hostCol).as("host"),
+        posexplode(split(col(contentCol), "\n")).as(Seq("pos", "raw")))
+      .select(col("host"), col("pos"),
+        trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
+    val marked = lines.withColumn("ua",
+      when(lower(col("line")).startsWith("user-agent:"),
+        trim(expr("substring(line, 12)"))))
+    val w = Window.partitionBy(col("host")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked.withColumn("grp", last(col("ua"), ignoreNulls = true).over(w))
+      .where(col("grp") === "*")
+      .select(col("host"),
+        when(lower(col("line")).startsWith("allow:"), lit(true))
+          .when(lower(col("line")).startsWith("disallow:"), lit(false)).as("allow"),
+        when(lower(col("line")).startsWith("allow:"), trim(expr("substring(line, 7)")))
+          .when(lower(col("line")).startsWith("disallow:"),
+            trim(expr("substring(line, 10)"))).as("prefix"))
+      .where(col("allow").isNotNull && length(col("prefix")) > 0)
+  }
+
+  /** Filter URLs by robots rules with the LONGEST-PREFIX-MATCH-wins
+    * verdict (Allow wins exact-length ties — the documented
+    * most-specific-rule resolution); URLs whose host has no matching
+    * rule are allowed. Returns (url, allowed, rule) where `rule` is
+    * the winning prefix ('' for the no-match default). One join on the
+    * host key — the rule side is per-host small, the classic broadcast
+    * dimension. */
+  def robotsFilter(urls: DataFrame, rules: DataFrame, urlCol: String = "url"): DataFrame = {
+    val u = urls.select(col(urlCol),
+      urlHost(col(urlCol)).as("host"),
+      regexp_extract(col(urlCol), s"$SchemeRe[^/?#]*(/[^?#]*)", 1).as("path"))
+    val best = u.join(broadcast(rules), Seq("host"))
+      .where(col("path").startsWith(col("prefix")))
+      .groupBy(col(urlCol))
+      .agg(max(struct(length(col("prefix")).as("l"),
+        col("allow").cast(IntegerType).as("a"), col("prefix").as("p"))).as("b"))
+    u.join(best, Seq(urlCol), "left")
+      .select(col(urlCol),
+        coalesce(col("b.a") === 1, lit(true)).as("allowed"),
+        coalesce(col("b.p"), lit("")).as("rule"))
+  }
+
   /** Per-block cleaned text: strip remaining (inline) tags to spaces,
     * decode entities, collapse whitespace, trim. */
   private def cleanBlock(b: Column): Column =

@@ -152,6 +152,32 @@ class ParagraphLineSpec extends AnyFunSuite {
     assert(after === before)
   }
 
+  // ------------------------------------------------ robots parsing
+
+  test("robotsRules: wildcard group only, comments stripped, empty Disallow dropped") {
+    val content = "# top comment\nUser-agent: badbot\nDisallow: /\n\n" +
+      "User-agent: *\nDisallow: /a/ # inline comment\nAllow: /a/b/\nDisallow:\n" +
+      "User-agent: otherbot\nDisallow: /c/\n"
+    val rules = Html.robotsRules(Seq(("h", content)).toDF("host", "content"))
+      .collect().map(r => (r.getBoolean(1), r.getString(2))).toSet
+    assert(rules === Set((false, "/a/"), (true, "/a/b/")))
+  }
+
+  test("robotsFilter: longest prefix wins, Allow wins length ties, no match allows") {
+    val rules = Seq(
+      ("h", false, "/a/"), ("h", true, "/a/b/"),
+      ("h", false, "/t/"), ("h", true, "/t/")).toDF("host", "allow", "prefix")
+    val urls = Seq("https://h/a/x", "https://h/a/b/x", "https://h/t/x", "https://h/free")
+      .toDF("url")
+    val got = Html.robotsFilter(urls, rules).orderBy("url")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getString(2))).toSeq
+    assert(got === Seq(
+      ("https://h/a/b/x", true, "/a/b/"),  // longer Allow overrides /a/
+      ("https://h/a/x", false, "/a/"),
+      ("https://h/free", true, ""),        // no rule → allowed
+      ("https://h/t/x", true, "/t/")))     // exact-length tie → Allow
+  }
+
   // -------------------------------------------------- anchorTexts
 
   test("anchorTexts pairs href with its own text, decodes entities, drops self-links") {
