@@ -1138,6 +1138,24 @@ object SparkEntry {
     // feature and band in SQL from the same constants
     "gopher_rules" -> ((s, d) =>
       TextQuality.gopherQualityGate(t(s, d).documents).orderBy("doc_id")),
+    // crawl frontier scheduling: outlink targets with NO crawled page
+    // (the fixture's link space is 2x the corpus id space, so half the
+    // targets are genuinely uncrawled), prioritized by distinct
+    // inlinks with a deterministic dst tiebreak, top-50 via
+    // TakeOrdered — "what to fetch next", composed from the proven
+    // edge extraction
+    "crawl_frontier" -> ((s, d) => {
+      val docs = t(s, d).documents
+      val edges = Html.outlinks(Html.pageFromDocs(docs))
+      val frontier = edges
+        .join(docs.select(col("doc_id").as("dst")), Seq("dst"), "left_anti")
+        .groupBy(col("dst")).agg(countDistinct(col("src")).as("n_inlinks"))
+      frontier.orderBy(col("n_inlinks").desc, col("dst")).limit(50)
+        .withColumn("priority", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n_inlinks").desc, col("dst"))).cast("long"))
+        .orderBy("priority")
+    }),
     // robots.txt end to end: per-host files built closed-form (a
     // decoy badbot group that must be IGNORED, a comment, an inert
     // /private/ rule, and k%4-keyed /doc/ rules incl. an Allow that
@@ -3893,6 +3911,18 @@ object SparkEntry {
          |  AND alpha_frac >= 0.8 AND n_stop_hits >= 2) AS keep
          |FROM f ORDER BY doc_id""".stripMargin
     },
+
+    // uncrawled targets of the closed-form edge map, ranked by
+    // distinct inlinks with the same deterministic tiebreak
+    "crawl_frontier" ->
+      s"""$CrawlEdgesCte,
+         | f AS (SELECT dst, count(DISTINCT src) AS n_inlinks FROM edges e
+         |   WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.dst)
+         |   GROUP BY dst),
+         | r AS (SELECT dst, n_inlinks,
+         |   row_number() OVER (ORDER BY n_inlinks DESC, dst) AS priority FROM f)
+         |SELECT dst, n_inlinks, priority FROM r WHERE priority <= 50
+         |ORDER BY priority""".stripMargin,
 
     // the k%4-keyed rule table and the longest-prefix verdict derived
     // directly (no parsing — that is what the Spark side must prove)
