@@ -194,6 +194,13 @@ object Bench {
     // remainder stays in the raw flag list, explicitly marked.
     val confirmEnabled = flagged.nonEmpty &&
       sys.env.getOrElse("SPARK_GRAFT_CONFIRM", "1") != "0"
+    // The r10-close episode (BENCH_NOTES.md): confirmation children
+    // measured 3988ms for a query that reads 1.2s on a quiet host —
+    // the parent's local[32]/128 GiB session was still resident. All
+    // timed work is done by here (passes + sentinel are eager vals
+    // above), so release the executors BEFORE spawning children;
+    // the trailing stop() is idempotent.
+    if (confirmEnabled) spark.stop()
     val confirmBudgetSec =
       sys.env.getOrElse("SPARK_GRAFT_CONFIRM_BUDGET_SEC", "900").toLong
     val confirmStart = System.nanoTime()
