@@ -1126,6 +1126,13 @@ object SparkEntry {
     // drop, and the per-target distinct/min aggregation
     "anchor_texts" -> ((s, d) =>
       Html.anchorTexts(Html.anchorPageFromDocs(t(s, d).documents)).orderBy("dst")),
+    // corpus drift monitoring: per-term KL(new||old) contributions
+    // between the even/odd doc_id slices (the stand-in for two crawl
+    // snapshots), top positive movers — catches a source going stale
+    // or a scraper change shifting the language
+    "corpus_drift" -> ((s, d) =>
+      TextQuality.tokenDistributionDrift(
+        t(s, d).documents.withColumn("is_new", col("doc_id") % 2 === 1))),
     // the FULL Gopher n-gram repetition gate: top-gram char coverage
     // for n=2..4, duplicated-gram char coverage for n=5..10, all nine
     // sizes in one explode pass; the twin is GENERATED from the same
@@ -3852,6 +3859,26 @@ object SparkEntry {
          | count(DISTINCT anchor) AS n_anchor_variants, min(anchor) AS top_anchor
          |FROM p GROUP BY dst ORDER BY dst""".stripMargin
     },
+
+    // the same smoothed per-term KL chain: union-vocab counts, one
+    // scalar row, identically-associated double expression per term
+    "corpus_drift" ->
+      s"""WITH d AS (SELECT doc_id % 2 = 1 AS is_new,
+         |    list_filter(list_transform(
+         |      list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), t -> length(t) > 0),
+         |      t -> lower(regexp_replace(t, '$P', '', 'g'))), w -> length(w) > 0) AS ws
+         |  FROM documents),
+         | toks AS (SELECT is_new, unnest(ws) AS word FROM d),
+         | m AS (SELECT word,
+         |    count(*) FILTER (WHERE NOT is_new) AS c_old,
+         |    count(*) FILTER (WHERE is_new) AS c_new
+         |  FROM toks GROUP BY word),
+         | scal AS (SELECT sum(c_old) + count(*) AS d_old, sum(c_new) + count(*) AS d_new FROM m)
+         |SELECT word, c_old, c_new,
+         | round(((c_new + 1) * 1.0 / d_new) *
+         |       ln(((c_new + 1) * 1.0 / d_new) / ((c_old + 1) * 1.0 / d_old)), 12) AS drift
+         |FROM m CROSS JOIN scal
+         |ORDER BY drift DESC, word LIMIT 50""".stripMargin,
 
     // nine gram relations, the (count, chars, gram) deterministic top
     // pick, and the band conjunction — all generated from the same

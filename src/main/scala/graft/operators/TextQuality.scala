@@ -295,6 +295,38 @@ object TextQuality {
     wide.withColumn("keep", keep)
   }
 
+  /** Token-distribution DRIFT between two corpus slices — the
+    * data-quality monitor that catches a source going stale or a
+    * scraper change shifting the language: per-term contributions to
+    * KL(new ‖ old) under add-1 smoothing over the union vocabulary,
+    *
+    *   drift(w) = p_new(w) · ln(p_new(w) / p_old(w)),
+    *   p_side(w) = (c_side(w)+1) / (T_side + V),
+    *
+    * returned as the top-`topK` positive movers (terms newly
+    * over-represented), count columns alongside. One word-keyed
+    * aggregate with two conditional counts + a broadcast scalar row —
+    * the vocab relation is the only shuffle. Determinism: each term's
+    * drift is one identically-associated double expression rounded to
+    * 12 dp; ordering carries the word tie-break. */
+  def tokenDistributionDrift(docs: DataFrame, splitCol: String = "is_new",
+                             textCol: String = "text", topK: Int = 50): DataFrame = {
+    val ws = filter(transform(TextOps.tokens(col(textCol)), t => TextOps.cleanWord(t)),
+      w => length(w) > 0)
+    val toks = docs.select(col(splitCol).as("is_new"), explode(ws).as("word"))
+    val m = toks.groupBy(col("word")).agg(
+      count(when(!col("is_new"), 1)).as("c_old"),
+      count(when(col("is_new"), 1)).as("c_new"))
+    val scal = m.agg((sum(col("c_old")) + count(lit(1))).as("d_old"),
+      (sum(col("c_new")) + count(lit(1))).as("d_new"))
+    val pn = (col("c_new") + lit(1L)).cast(DoubleType) / col("d_new")
+    val po = (col("c_old") + lit(1L)).cast(DoubleType) / col("d_old")
+    m.crossJoin(broadcast(scal))
+      .select(col("word"), col("c_old"), col("c_new"),
+        round(pn * log(pn / po), 12).as("drift"))
+      .orderBy(col("drift").desc, col("word")).limit(topK)
+  }
+
   /** Gopher-class DOCUMENT-level quality gate (Rae et al. 2021 §A1.1,
     * public — the word-level subset of the Gopher rules; the
     * repetition subset lives in [[repetitionStats]] and the line

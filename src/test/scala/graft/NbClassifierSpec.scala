@@ -71,6 +71,24 @@ class NbClassifierSpec extends AnyFunSuite {
     assert(got(1)._2 < 0 && got(1)._3 === false)
   }
 
+  test("token drift: a word that appears only in the new slice tops the movers") {
+    val in = Seq(
+      (1L, "stable words here", false),
+      (2L, "stable words here", true),
+      (3L, "stable words novelterm", true))
+      .toDF("doc_id", "text", "is_new")
+    val got = TextQuality.tokenDistributionDrift(in, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.head._1 === "novelterm")
+    assert(got.head._2 === 0L && got.head._3 === 1L)
+    // independent fold of the same formula for the top term
+    val (dOld, dNew) = (3L + 4L, 6L + 4L) // T_old+V, T_new+V (V=4)
+    val pn = 2.0 / dNew; val po = 1.0 / dOld
+    val exp = BigDecimal(pn * math.log(pn / po))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.head._4 === exp)
+  }
+
   test("apply docs never leak into the model") {
     val base = Seq(
       (1L, "alpha beta", true, true),
