@@ -1082,6 +1082,25 @@ object SparkEntry {
           .as("html"))
       Dedup.paragraphDedup(Html.extractBlocks(pages)).orderBy("doc_id")
     }),
+    // the crawl-native curation chain in ONE query: boilerplated pages
+    // → block extraction → cross-corpus paragraph dedup → Gopher
+    // word-level gate on the CLEANED text → context-window chunking
+    "crawl_curation_e2e" -> ((s, d) => {
+      val pages = Html.pageFromDocs(t(s, d).documents)
+        .select(col("doc_id"), regexp_replace(col("html"), "<div>\n",
+          java.util.regex.Matcher.quoteReplacement("<div>\n" + Html.BoilerFixturePara))
+          .as("html"))
+      val deduped = Dedup.paragraphDedup(Html.extractBlocks(pages))
+        .select(col("doc_id"), col("text"))
+      val gated = TextQuality.gopherQualityGate(deduped)
+        .where(col("keep"))
+        .join(deduped, Seq("doc_id"))
+        .join(t(s, d).documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("text"))
+      Corpus.chunk(gated, size = 256)
+        .select(col("doc_id"), col("lang"), col("chunk_idx"), col("chunk"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
     // C4's line-level rules as an operator: the fixture decorates each
     // doc's 12-word lines with closed-form dirt — every 5th line loses
     // its terminal punctuation, every 7th gains a brace, and four
@@ -3751,24 +3770,48 @@ object SparkEntry {
     // paragraph relation rebuilt closed-form (12-word slices + the
     // shared cookie constant from the SAME Scala object the fixture
     // injects), then the df-filter and ordered reassembly in plain SQL
-    "paragraph_dedup" -> {
-      val cookie = Html.BoilerFixturePara
-        .stripPrefix("<p>").stripSuffix("</p>\n").replace("'", "''")
-      s"""WITH w AS (SELECT doc_id,
-         |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS ws
-         |  FROM documents),
-         | np AS (SELECT doc_id, ws, CAST((len(ws) + 11) // 12 AS INT) AS n FROM w),
-         | body AS (SELECT doc_id, i AS pos,
-         |    array_to_string(list_slice(ws, (i-1)*12+1, i*12), ' ') AS para
-         |  FROM np, unnest(generate_series(1, n)) AS u(i)),
-         | paras AS (SELECT doc_id, 0 AS pos, '$cookie' AS para FROM w
-         |   UNION ALL SELECT * FROM body),
+    "paragraph_dedup" ->
+      s"""$ParaRelCtes,
          | dfr AS (SELECT para, count(DISTINCT doc_id) AS df FROM paras GROUP BY para)
          |SELECT p.doc_id, count(*) AS n_paras,
          | count(*) FILTER (WHERE df <= 1) AS n_kept,
          | coalesce(string_agg(p.para, ' ' ORDER BY p.pos) FILTER (WHERE df <= 1), '') AS text
          |FROM paras p JOIN dfr USING (para)
-         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+
+    // the crawl-native curation chain end to end: boilerplated pages →
+    // block extraction → cross-corpus paragraph dedup → Gopher
+    // word-level gate on the CLEANED text → context-window chunking —
+    // one hash proves the whole curation path a crawl corpus actually
+    // takes. The twin rebuilds the deduped text closed-form and then
+    // computes gate features and chunks TEXTUALLY from it
+    "crawl_curation_e2e" -> {
+      val stops = TextQuality.Stopwords("en").map(w => s"'$w'").mkString(", ")
+      s"""$ParaRelCtes,
+         | dfr AS (SELECT para, count(DISTINCT doc_id) AS df FROM paras GROUP BY para),
+         | dd AS (SELECT p.doc_id,
+         |    coalesce(string_agg(p.para, ' ' ORDER BY p.pos) FILTER (WHERE df <= 1), '') AS text
+         |  FROM paras p JOIN dfr USING (para) GROUP BY p.doc_id),
+         | tk AS (SELECT doc_id, text,
+         |    list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS tk
+         |  FROM dd),
+         | f AS (SELECT doc_id, text,
+         |    CAST(len(tk) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk) AS mean_word_len,
+         |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(tk) AS alpha_frac,
+         |    CAST(len(list_filter(tk, x -> list_contains([$stops], lower(x)))) AS BIGINT) AS n_stop_hits
+         |  FROM tk),
+         | g AS (SELECT doc_id, text FROM f
+         |  WHERE n_words BETWEEN 50 AND 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |    AND alpha_frac >= 0.8 AND n_stop_hits >= 2),
+         | j AS (SELECT g.doc_id, d2.lang, g.text FROM g JOIN documents d2 ON g.doc_id = d2.doc_id),
+         | c AS (SELECT doc_id, lang, text,
+         |    CAST(ceil(length(text) / 256.0) AS BIGINT) AS n_chunks FROM j),
+         | u AS (SELECT doc_id, lang, text,
+         |    unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM c)
+         |SELECT doc_id, lang, chunk_idx,
+         | substring(text, CAST(chunk_idx * 256 + 1 AS INT), 256) AS chunk
+         |FROM u ORDER BY doc_id, chunk_idx""".stripMargin
     },
 
     // the same decorated lines built by the fixture's arithmetic, then
@@ -3825,24 +3868,13 @@ object SparkEntry {
     // relation as paragraph_dedup: one row_number window ordered by
     // (doc_id, pos) — doc_id-ordered file drops make stream order and
     // global order coincide
-    "streaming_paragraph_ingest" -> {
-      val cookie = Html.BoilerFixturePara
-        .stripPrefix("<p>").stripSuffix("</p>\n").replace("'", "''")
-      s"""WITH w AS (SELECT doc_id,
-         |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS ws
-         |  FROM documents),
-         | np AS (SELECT doc_id, ws, CAST((len(ws) + 11) // 12 AS INT) AS n FROM w),
-         | body AS (SELECT doc_id, i AS pos,
-         |    array_to_string(list_slice(ws, (i-1)*12+1, i*12), ' ') AS para
-         |  FROM np, unnest(generate_series(1, n)) AS u(i)),
-         | paras AS (SELECT doc_id, 0 AS pos, '$cookie' AS para FROM w
-         |   UNION ALL SELECT * FROM body),
+    "streaming_paragraph_ingest" ->
+      s"""$ParaRelCtes,
          | r AS (SELECT doc_id, pos, para,
          |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn FROM paras)
          |SELECT doc_id, count(*) AS n_paras, count(*) FILTER (WHERE rn = 1) AS n_kept,
          | coalesce(string_agg(para, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '') AS text
-         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // every anchor string derived closed-form: source's first word +
     // target id, over the (7k+3, 13k+5, k+1) mod m link map
@@ -4430,6 +4462,25 @@ object SparkEntry {
          |  percent_rank() OVER (PARTITION BY lang ORDER BY score) AS pr FROM s)
          |SELECT doc_id, lang, score, pr FROM r WHERE pr >= 0.5
          |ORDER BY doc_id""".stripMargin)
+
+  /** The closed-form paragraph relation of the cookie-boilerplated
+    * page fixture (12-word body slices + the shared constant from the
+    * SAME Scala object the fixtures inject), shared by the
+    * paragraph_dedup / streaming_paragraph_ingest / crawl_curation_e2e
+    * twins. */
+  private def ParaRelCtes: String = {
+    val cookie = Html.BoilerFixturePara
+      .stripPrefix("<p>").stripSuffix("</p>\n").replace("'", "''")
+    s"""WITH w AS (SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS ws
+       |  FROM documents),
+       | np AS (SELECT doc_id, ws, CAST((len(ws) + 11) // 12 AS INT) AS n FROM w),
+       | body AS (SELECT doc_id, i AS pos,
+       |    array_to_string(list_slice(ws, (i-1)*12+1, i*12), ' ') AS para
+       |  FROM np, unnest(generate_series(1, n)) AS u(i)),
+       | paras AS (SELECT doc_id, 0 AS pos, '$cookie' AS para FROM w
+       |   UNION ALL SELECT * FROM body)""".stripMargin
+  }
 
   /** The kmeans_assign twin's CTE chain (v, cents0, three unrolled
     * Lloyd iterations, final assignment `af`), shared with the
