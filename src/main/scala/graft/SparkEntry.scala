@@ -1145,6 +1145,27 @@ object SparkEntry {
     // drop, and the per-target distinct/min aggregation
     "anchor_texts" -> ((s, d) =>
       Html.anchorTexts(Html.anchorPageFromDocs(t(s, d).documents)).orderBy("dst")),
+    // the corpus quality DASHBOARD: per source, document counts, mean
+    // learned-classifier llr (DECIMAL-summed — rounded llrs are exact
+    // 6-dp decimals), Gopher-gate pass fraction, and mean word count —
+    // the report a curation team actually reads when deciding which
+    // sources to keep
+    "source_quality_report" -> ((s, d) => {
+      val docs = t(s, d).documents
+      val nb = TextQuality.nbLogLikelihoodRatio(nbLabeled(s, d))
+        .select(col("doc_id"), col("llr"))
+      val gate = TextQuality.gopherQualityGate(docs)
+        .select(col("doc_id"), col("n_words"), col("keep"))
+      docs.select(col("doc_id"), col("source"))
+        .join(nb, Seq("doc_id")).join(gate, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("llr").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double") / count(lit(1)), 6).as("mean_llr"),
+          (count(when(col("keep"), 1)).cast("double") / count(lit(1))).as("keep_frac"),
+          (sum(col("n_words")).cast("double") / count(lit(1))).as("mean_words"))
+        .orderBy("source")
+    }),
     // corpus drift monitoring: per-term KL(new||old) contributions
     // between the even/odd doc_id slices (the stand-in for two crawl
     // snapshots), top positive movers — catches a source going stale
@@ -3890,6 +3911,30 @@ object SparkEntry {
          |SELECT dst, count(DISTINCT src) AS n_inlinks,
          | count(DISTINCT anchor) AS n_anchor_variants, min(anchor) AS top_anchor
          |FROM p GROUP BY dst ORDER BY dst""".stripMargin
+    },
+
+    // NB chain + Gopher features joined per doc, rolled up per source
+    // with DECIMAL-safe means
+    "source_quality_report" -> {
+      val stops = TextQuality.Stopwords("en").map(w => s"'$w'").mkString(", ")
+      s"""$NbCtes,
+         | gtk AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS tk
+         |  FROM documents),
+         | gf AS (SELECT doc_id,
+         |    CAST(len(tk) AS BIGINT) AS n_words,
+         |    (CAST(len(tk) AS BIGINT) BETWEEN 50 AND 100000
+         |     AND CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk) >= 3.0
+         |     AND CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk) <= 10.0
+         |     AND CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(tk) >= 0.8
+         |     AND len(list_filter(tk, x -> list_contains([$stops], lower(x)))) >= 2) AS keep
+         |  FROM gtk)
+         |SELECT d3.source, count(*) AS n_docs,
+         | round(CAST(sum(CAST(nb.llr AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_llr,
+         | CAST(count(*) FILTER (WHERE gf.keep) AS DOUBLE) / count(*) AS keep_frac,
+         | CAST(sum(gf.n_words) AS DOUBLE) / count(*) AS mean_words
+         |FROM documents d3 JOIN nb USING (doc_id) JOIN gf USING (doc_id)
+         |GROUP BY d3.source ORDER BY d3.source""".stripMargin
     },
 
     // the same smoothed per-term KL chain: union-vocab counts, one
