@@ -242,11 +242,17 @@ object SparkEntry {
         .when((col("doc_id") + i) % 7 === 1, concat(raw, lit(" {.")))
         .otherwise(concat(raw, lit(".")))
     })).otherwise(array().cast("array<string>"))
+    // even docs carry a THIRD identical head line: the fully-injected
+    // (0,1,2) span is then shared across documents, which is what
+    // gives span_scrub a genuinely-firing cross-doc contamination case
+    val head = when(col("doc_id") % 2 === 0,
+      array(lit("Enable javascript to view this site properly."),
+        lit("This sentence has exactly seven useful words."),
+        lit("A shared preamble sentence appears in even documents.")))
+      .otherwise(array(lit("Enable javascript to view this site properly."),
+        lit("This sentence has exactly seven useful words.")))
     docs.select(col("doc_id"),
-      posexplode(concat(
-        array(lit("Enable javascript to view this site properly."),
-          lit("This sentence has exactly seven useful words.")),
-        body,
+      posexplode(concat(head, body,
         array(lit("Lorem ipsum dolor sit amet consectetur adipiscing elit."),
           lit("Too short.")))).as(Seq("pos", "line")))
   }
@@ -1112,6 +1118,17 @@ object SparkEntry {
     // proves the rule engine, not the fixture
     "c4_line_filter" -> ((s, d) =>
       TextQuality.c4LineFilter(c4LineFixture(s, d)).orderBy("doc_id")),
+    // C4's OTHER half: span-level decontamination with REMOVAL — every
+    // 3-line span shared with the benchmark slice (doc_id%97==0, the
+    // decontaminate device) is cut from the corpus docs and the rest
+    // reassembled; the injected tell lines are identical across docs,
+    // so cross-doc spans genuinely fire
+    "span_scrub" -> ((s, d) => {
+      val lines = c4LineFixture(s, d)
+      Corpus.spanScrub(
+        lines.where(col("doc_id") % 97 =!= 0),
+        lines.where(col("doc_id") % 97 === 0)).orderBy("doc_id")
+    }),
     // latest-fetch snapshot dedup: two crawl snapshots of every third
     // URL (the re-fetch carries an appended marker word and a later
     // fetch_ts), one max((ts, payload)) per URL keeps the newest, and
@@ -3838,27 +3855,10 @@ object SparkEntry {
     // the same decorated lines built by the fixture's arithmetic, then
     // the C4 rules applied as INDEPENDENT SQL (regexp + split + tells)
     "c4_line_filter" ->
-      """WITH w AS (SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS ws
-        |  FROM documents),
-        | np AS (SELECT doc_id, ws, CAST((len(ws) + 11) // 12 AS INT) AS n FROM w),
-        | body AS (SELECT doc_id, i + 1 AS pos,
-        |    CASE WHEN (doc_id + i) % 5 = 0
-        |           THEN array_to_string(list_slice(ws, (i-1)*12+1, i*12), ' ')
-        |         WHEN (doc_id + i) % 7 = 1
-        |           THEN array_to_string(list_slice(ws, (i-1)*12+1, i*12), ' ') || ' {.'
-        |         ELSE array_to_string(list_slice(ws, (i-1)*12+1, i*12), ' ') || '.'
-        |    END AS line
-        |  FROM np, unnest(generate_series(1, n)) AS u(i)),
-        | lines AS (
-        |   SELECT doc_id, 0 AS pos, 'Enable javascript to view this site properly.' AS line FROM w
-        |   UNION ALL SELECT doc_id, 1, 'This sentence has exactly seven useful words.' FROM w
-        |   UNION ALL SELECT * FROM body
-        |   UNION ALL SELECT doc_id, n + 2, 'Lorem ipsum dolor sit amet consectetur adipiscing elit.' FROM np
-        |   UNION ALL SELECT doc_id, n + 3, 'Too short.' FROM np),
+      s"""$C4LinesCtes,
         | k AS (SELECT doc_id, pos, line,
-        |    (regexp_matches(line, '[.!?"]$')
-        |     AND len(list_filter(string_split_regex(line, '\s+'), x -> length(x) > 0)) >= 5
+        |    (regexp_matches(line, '[.!?"]$$')
+        |     AND len(list_filter(string_split_regex(line, '\\s+'), x -> length(x) > 0)) >= 5
         |     AND NOT contains(lower(line), 'javascript')
         |     AND NOT contains(lower(line), 'lorem ipsum')
         |     AND NOT contains(line, '{')) AS keep
@@ -3867,6 +3867,29 @@ object SparkEntry {
         | coalesce(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE keep), '') AS text,
         | count(*) FILTER (WHERE keep) >= 3 AS page_kept
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // spans via lead() windows over the shared line relation; removal
+    // set exploded from contaminated span starts; string equality
+    // where the engine uses the 8-byte span hash
+    "span_scrub" ->
+      s"""$C4LinesCtes,
+         | cl AS (SELECT * FROM lines WHERE doc_id % 97 <> 0),
+         | bl AS (SELECT * FROM lines WHERE doc_id % 97 = 0),
+         | cs AS (SELECT doc_id, pos AS start,
+         |    line || ' ' || lead(line, 1) OVER win || ' ' || lead(line, 2) OVER win AS txt,
+         |    lead(line, 2) OVER win IS NOT NULL AS okspan
+         |  FROM cl WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+         | bs AS (SELECT DISTINCT txt FROM (
+         |    SELECT line || ' ' || lead(line, 1) OVER win || ' ' || lead(line, 2) OVER win AS txt,
+         |      lead(line, 2) OVER win IS NOT NULL AS okspan
+         |    FROM bl WINDOW win AS (PARTITION BY doc_id ORDER BY pos)) WHERE okspan),
+         | rm AS (SELECT DISTINCT c.doc_id, u.p AS pos
+         |   FROM (SELECT doc_id, start, txt FROM cs WHERE okspan) c
+         |   JOIN bs USING (txt), unnest(generate_series(c.start, c.start + 2)) AS u(p))
+         |SELECT l.doc_id, count(*) AS n_lines, count(r.pos) AS n_removed,
+         | coalesce(string_agg(l.line, ' ' ORDER BY l.pos) FILTER (WHERE r.pos IS NULL), '') AS text
+         |FROM cl l LEFT JOIN rm r ON l.doc_id = r.doc_id AND l.pos = r.pos
+         |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin,
 
     // closed-form latest-snapshot expectation: every third doc was
     // re-fetched later with the marker appended; text length 48+ means
@@ -4507,6 +4530,32 @@ object SparkEntry {
          |  percent_rank() OVER (PARTITION BY lang ORDER BY score) AS pr FROM s)
          |SELECT doc_id, lang, score, pr FROM r WHERE pr >= 0.5
          |ORDER BY doc_id""".stripMargin)
+
+  /** The closed-form decorated-line relation of [[c4LineFixture]]
+    * (12-word slices with %5 punctuation-loss / %7 brace dirt plus the
+    * four injected tell lines), shared by the c4_line_filter and
+    * span_scrub twins. */
+  private def C4LinesCtes: String =
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS ws
+      |  FROM documents),
+      | np AS (SELECT doc_id, ws, CAST((len(ws) + 11) // 12 AS INT) AS n,
+      |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS off FROM w),
+      | body AS (SELECT doc_id, i + 1 + off AS pos,
+      |    CASE WHEN (doc_id + i) % 5 = 0
+      |           THEN array_to_string(list_slice(ws, (i-1)*12+1, i*12), ' ')
+      |         WHEN (doc_id + i) % 7 = 1
+      |           THEN array_to_string(list_slice(ws, (i-1)*12+1, i*12), ' ') || ' {.'
+      |         ELSE array_to_string(list_slice(ws, (i-1)*12+1, i*12), ' ') || '.'
+      |    END AS line
+      |  FROM np, unnest(generate_series(1, n)) AS u(i)),
+      | lines AS (
+      |   SELECT doc_id, 0 AS pos, 'Enable javascript to view this site properly.' AS line FROM np
+      |   UNION ALL SELECT doc_id, 1, 'This sentence has exactly seven useful words.' FROM np
+      |   UNION ALL SELECT doc_id, 2, 'A shared preamble sentence appears in even documents.' FROM np WHERE off = 1
+      |   UNION ALL SELECT doc_id, pos, line FROM body
+      |   UNION ALL SELECT doc_id, n + 2 + off, 'Lorem ipsum dolor sit amet consectetur adipiscing elit.' FROM np
+      |   UNION ALL SELECT doc_id, n + 3 + off, 'Too short.' FROM np)""".stripMargin
 
   /** The closed-form paragraph relation of the cookie-boilerplated
     * page fixture (12-word body slices + the shared constant from the

@@ -241,6 +241,50 @@ object Corpus {
   val AllStopwords: Seq[String] =
     TextQuality.Stopwords.toSeq.sortBy(_._1).flatMap(_._2)
 
+  /** SPAN-level decontamination with REMOVAL (the C4 move: drop any
+    * three-sentence span that also appears in the evaluation data,
+    * keep the rest of the document) — the surgical sibling of
+    * [[decontaminate]]'s whole-document flagging. Inputs are
+    * (doc_id, pos, line) relations for the corpus and the benchmark;
+    * a corpus line is removed iff it sits inside any `span`-line
+    * window whose joined text equals a benchmark span. Documents are
+    * reassembled from the surviving lines.
+    *
+    * Scale shape: spans build from per-document lead() windows
+    * (bounded by one document's lines), the contamination test is one
+    * join on the 8-byte span hash, and the removal set explodes each
+    * contaminated span into its `span` member positions — never a
+    * range join. */
+  def spanScrub(lines: DataFrame, benchLines: DataFrame, span: Int = 3,
+                idCol: String = "doc_id", posCol: String = "pos",
+                lineCol: String = "line"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def spansOf(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col(posCol))
+      val leads = (1 until span).map(i => lead(col(lineCol), i).over(w))
+      df.select(col(idCol).as("doc_id"), col(posCol).as("start"),
+          concat_ws(" ", col(lineCol) +: leads: _*).as("txt"),
+          leads.last.isNotNull.as("full"))
+        .where(col("full"))
+        .select(col("doc_id"), col("start"), xxhash64(col("txt")).as("sh"))
+    }
+    val benchSpans = spansOf(benchLines).select(col("sh")).distinct()
+    val removalPos = spansOf(lines)
+      .join(benchSpans, Seq("sh"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (span - 1))).as("pos"))
+      .distinct()
+    val flagged = lines
+      .select(col(idCol).as("doc_id"), col(posCol).as("pos"), col(lineCol).as("line"))
+      .join(removalPos.withColumn("rm", lit(true)), Seq("doc_id", "pos"), "left")
+    flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("rm"), 1)).as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("rm").isNull, struct(col("pos"), col("line"))))),
+          s => s.getField("line"))).as("text"))
+  }
+
   /** Quantile-based quality filter: keep the top `keep` fraction of
     * each stratum by stopword-density score, EXACTLY as
     * `percent_rank() OVER (PARTITION BY stratum ORDER BY score)` would

@@ -152,6 +152,29 @@ class ParagraphLineSpec extends AnyFunSuite {
     assert(after === before)
   }
 
+  // ---------------------------------------------------- spanScrub
+
+  test("spanScrub removes exactly the lines inside benchmark-matching spans") {
+    val bench = lines((100L, 0, "eval a"), (100L, 1, "eval b"), (100L, 2, "eval c"))
+    val corpus = lines(
+      (1L, 0, "intro"), (1L, 1, "eval a"), (1L, 2, "eval b"), (1L, 3, "eval c"), (1L, 4, "outro"),
+      (2L, 0, "eval a"), (2L, 1, "different"), (2L, 2, "eval c"))
+    val got = graft.operators.Corpus.spanScrub(corpus, bench).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got === Seq(
+      (1L, 5L, 3L, "intro outro"), // the matching 3-line span cut, rest kept
+      (2L, 3L, 0L, "eval a different eval c"))) // partial overlap is NOT a span match
+  }
+
+  test("spanScrub overlapping contaminated spans union their removals") {
+    val bench = lines(
+      (100L, 0, "x"), (100L, 1, "x"), (100L, 2, "x"))
+    val corpus = lines((1L, 0, "x"), (1L, 1, "x"), (1L, 2, "x"), (1L, 3, "x"), (1L, 4, "keep me."))
+    // spans (0,1,2) and (1,2,3) both match → positions 0-3 removed once
+    val r = graft.operators.Corpus.spanScrub(corpus, bench).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getString(3)) === ((5L, 4L, "keep me.")))
+  }
+
   // ------------------------------------------------ robots parsing
 
   test("robotsRules: wildcard group only, comments stripped, empty Disallow dropped") {
