@@ -876,6 +876,22 @@ object SparkEntry {
     "bpe_doc_tokens" -> ((s, d) =>
       Bpe.docTokenCounts(t(s, d).documents, Bpe.DefaultMerges,
         alphabet = Some(Bpe.DefaultAlphabet)).orderBy("doc_id")),
+    // pack-efficiency rollup: per shard, pack count / entry count /
+    // token total / mean fill vs the 64-token budget — the report that
+    // tells you whether packing wastes context-window tokens
+    "pack_stats" -> ((s, d) => {
+      val ch = Corpus.chunk(t(s, d).documents.select(col("doc_id"), col("text")), size = 128)
+        .withColumn("n_tokens",
+          size(filter(split(col("chunk"), TextOps.TokenSepRe), x => length(x) > 0)).cast("long"))
+      Corpus.packChunks(ch, tokensPerPack = 64L, nShards = 8)
+        .groupBy(col("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_entries"), sum(col("n_tokens")).as("pack_tokens"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_packs"), sum(col("n_entries")).as("n_entries"),
+          sum(col("pack_tokens")).as("total_tokens"),
+          (sum(col("pack_tokens")).cast("double") / (count(lit(1)) * 64)).as("mean_fill"))
+        .orderBy("shard")
+    }),
     // Gopher-style repetition signals (dup-trigram fraction, top-bigram
     // share): boilerplate/spam detectors for corpus filtering
     "repetition_stats" -> ((s, d) =>
@@ -3648,18 +3664,21 @@ object SparkEntry {
     // chunk CTE (as doc_chunks) → per-chunk token counts → per-shard
     // cumulative start offsets → pack = floor(start / budget)
     "packed_sequences" ->
-      """WITH c AS (SELECT doc_id, text, CAST(ceil(length(text) / 128.0) AS BIGINT) AS n_chunks FROM documents),
-        | u AS (SELECT doc_id, text, n_chunks, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM c),
-        | ch AS (SELECT doc_id, chunk_idx, substring(text, CAST(chunk_idx * 128 + 1 AS INT), 128) AS chunk FROM u),
-        | tok AS (SELECT doc_id, chunk_idx, doc_id % 8 AS shard,
-        |   CAST(len(list_filter(string_split_regex(chunk, '[ \t\n\f\r]+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens
-        |   FROM ch),
-        | off AS (SELECT doc_id, chunk_idx, shard, n_tokens,
-        |   CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
-        |   FROM tok)
-        |SELECT shard, CAST(floor(start_off / 64) AS BIGINT) AS pack_id, doc_id, chunk_idx, n_tokens, start_off
-        |FROM off ORDER BY shard, doc_id, chunk_idx""".stripMargin,
+      s"""$PackCtes
+         |SELECT shard, pack_id, doc_id, chunk_idx, n_tokens, start_off
+         |FROM p ORDER BY shard, doc_id, chunk_idx""".stripMargin,
+
+    // pack-efficiency rollup over the same packing chain: per shard,
+    // pack count, entry count, token total, and mean fill against the
+    // 64-token budget
+    "pack_stats" ->
+      s"""$PackCtes,
+         | pp AS (SELECT shard, pack_id, count(*) AS n_entries, sum(n_tokens) AS pack_tokens
+         |   FROM p GROUP BY shard, pack_id)
+         |SELECT shard, count(*) AS n_packs, CAST(sum(n_entries) AS BIGINT) AS n_entries,
+         | CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+         | CAST(sum(pack_tokens) AS DOUBLE) / (count(*) * 64) AS mean_fill
+         |FROM pp GROUP BY shard ORDER BY shard""".stripMargin,
 
     // packing twin under BPE budgets: the chunk CTEs of
     // packed_sequences + the recursive applier of bpe_tokens, with the
@@ -4530,6 +4549,23 @@ object SparkEntry {
          |  percent_rank() OVER (PARTITION BY lang ORDER BY score) AS pr FROM s)
          |SELECT doc_id, lang, score, pr FROM r WHERE pr >= 0.5
          |ORDER BY doc_id""".stripMargin)
+
+  /** The packed_sequences twin's chain (128-char chunks → whitespace
+    * token counts → per-shard running offsets → pack ids), ending in
+    * CTE `p` — shared with the pack_stats rollup twin. */
+  private def PackCtes: String =
+    """WITH c AS (SELECT doc_id, text, CAST(ceil(length(text) / 128.0) AS BIGINT) AS n_chunks FROM documents),
+      | u AS (SELECT doc_id, text, n_chunks, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM c),
+      | ch AS (SELECT doc_id, chunk_idx, substring(text, CAST(chunk_idx * 128 + 1 AS INT), 128) AS chunk FROM u),
+      | tok AS (SELECT doc_id, chunk_idx, doc_id % 8 AS shard,
+      |   CAST(len(list_filter(string_split_regex(chunk, '[ \t\n\f\r]+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+      |   FROM ch),
+      | off AS (SELECT doc_id, chunk_idx, shard, n_tokens,
+      |   CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+      |   FROM tok),
+      | p AS (SELECT shard, CAST(floor(start_off / 64) AS BIGINT) AS pack_id,
+      |   doc_id, chunk_idx, n_tokens, start_off FROM off)""".stripMargin
 
   /** The closed-form decorated-line relation of [[c4LineFixture]]
     * (12-word slices with %5 punctuation-loss / %7 brace dirt plus the
