@@ -1114,6 +1114,7 @@ object SparkEntry {
           .as("html"))
       val deduped = Dedup.paragraphDedup(Html.extractBlocks(pages))
         .select(col("doc_id"), col("text"))
+        .localCheckpoint(true) // consumed by the gate AND the rejoin
       val gated = TextQuality.gopherQualityGate(deduped)
         .where(col("keep"))
         .join(deduped, Seq("doc_id"))

@@ -77,8 +77,16 @@ object Dedup {
     * definition — AQE's skew-join case, same as the LM probes. */
   def paragraphDedup(paras: DataFrame, maxDf: Int = 1, idCol: String = "doc_id",
                      posCol: String = "pos", paraCol: String = "para"): DataFrame = {
+    // materialize the paragraph relation ONCE: it is consumed by both
+    // the df aggregate and the reassembly join, and upstream is
+    // usually extraction (regex-heavy) — without this the whole
+    // extract pipeline runs twice (no ReusedExchange: the two
+    // consumers shuffle different projections). At 100 TB this is the
+    // "write extracted paragraphs before dedup" stage every real
+    // pipeline has — recompute costs more than the spill-backed cache.
     val hashed = paras.select(col(idCol).as("doc_id"), col(posCol).as("pos"),
       col(paraCol).as("para"), xxhash64(col(paraCol)).as("ph"))
+      .localCheckpoint(true)
     val dfRel = hashed.groupBy(col("ph"))
       .agg(countDistinct(col("doc_id")).as("df"))
     hashed
