@@ -1261,6 +1261,24 @@ object SparkEntry {
         lit("/doc/"), col("doc_id").cast("string")).as("url"))
       Html.robotsFilter(urls, rules).orderBy("url")
     }),
+    // perceptual image dedup: every fourth image also appears as a
+    // nearest-neighbor 32x24 rescale (different PNG bytes, so byte
+    // digests CANNOT match it) — the integer NN mapping composes
+    // exactly, so the rescaled copy provably shares its original's
+    // aHash and exact dedup on the hash finds the pair; the twin
+    // computes every hash closed-form from the pattern formula
+    "image_phash_dedup" -> ((s, d) => {
+      val orig = Multimodal.pngMediaFromDocs(t(s, d).documents)
+        .select(col("media_id"), col("content"))
+      val variants = Multimodal
+        .resizeImage(orig.where(col("media_id") % 4 === 0), 32, 24)
+        .select((col("media_id") + 1000000L).as("media_id"), col("content"))
+      Multimodal.imageAHash(orig.unionByName(variants))
+        .groupBy(col("ahash"))
+        .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"), col("ahash"))
+        .orderBy("keep_id")
+    }),
     // crawl snapshot differencing: two closed-form snapshots (every
     // fifth URL dropped, every third re-rendered with a marker, an
     // extra host's pages added for every seventh doc) diffed by
@@ -4094,6 +4112,25 @@ object SparkEntry {
          |FROM urls u LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (url)
          |ORDER BY u.url""".stripMargin
     },
+
+    // every aHash derived closed-form: the fixture pattern value at
+    // the 8x8 nearest-neighbor grid, bits by the integer-exact
+    // 64*v > sum rule, packed row-major; the rescaled variants reuse
+    // the ORIGINAL's formula because the NN mapping composes exactly
+    "image_phash_dedup" ->
+      """WITH imgs AS (
+        |   SELECT doc_id AS media_id, doc_id AS pid FROM documents
+        |   UNION ALL SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id % 4 = 0),
+        | px AS (SELECT media_id, pid, (pid % 64 + 16) AS w, (pid % 48 + 16) AS h, u.x, v.y
+        |   FROM imgs, unnest(generate_series(0, 7)) u(x), unnest(generate_series(0, 7)) v(y)),
+        | lum AS (SELECT media_id, x, y,
+        |    ((pid % 256) * 31 + ((x * w) // 8) * 7 + ((y * h) // 8) * 13) % 256 AS v FROM px),
+        | s AS (SELECT media_id, sum(v) AS total FROM lum GROUP BY media_id),
+        | bits AS (SELECT l.media_id,
+        |    string_agg(CASE WHEN 64 * l.v > s.total THEN '1' ELSE '0' END, '' ORDER BY l.y * 8 + l.x) AS ahash
+        |   FROM lum l JOIN s USING (media_id) GROUP BY l.media_id)
+        |SELECT min(media_id) AS keep_id, count(*) AS n_copies, ahash
+        |FROM bits GROUP BY ahash ORDER BY keep_id""".stripMargin,
 
     // each URL's diff status from the same %5 / %3 / %7 arithmetic the
     // fixture snapshots are built with (removed wins over changed —

@@ -269,6 +269,51 @@ object Multimodal {
           lit(dstW).as("width"), lit(dstH).as("height")).as("meta"))
   }
 
+  /** Perceptual image hash (aHash — average hash, public): decode,
+    * nearest-neighbor map to 8×8 luminances (the SAME mapping as
+    * [[imageLumaHistogramResized]]/[[resizeImage]]), then one bit per
+    * cell — set iff 64·lum > Σlum (the integer-exact form of
+    * "above the mean"), packed row-major as a 64-char bit string.
+    * Compression- and rescale-robust where a byte digest is not: the
+    * integer NN mapping COMPOSES exactly (floor(4·x·w/32) =
+    * floor(x·w/8)), so a nearest-neighbor-rescaled copy provably
+    * yields the identical hash while its PNG bytes differ — exact
+    * dedup on the hash then catches re-encoded/rescaled copies.
+    * Narrow UDF (codec work, embarrassingly parallel); dedup after it
+    * is one group-by on the 64-char key. */
+  def imageAHash(media: DataFrame): DataFrame = {
+    val ah = udf((bytes: Array[Byte]) => {
+      val img = decodePng(bytes)
+      val sw = img.getWidth
+      val sh = img.getHeight
+      val rgb = img.getRGB(0, 0, sw, sh, null, 0, sw)
+      val lums = new Array[Long](64)
+      var total = 0L
+      var y = 0
+      var i = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val p = rgb((y * sh / 8) * sw + (x * sw / 8))
+          val lum = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+          lums(i) = lum
+          total += lum
+          i += 1
+          x += 1
+        }
+        y += 1
+      }
+      val sb = new StringBuilder(64)
+      var j = 0
+      while (j < 64) {
+        sb.append(if (64L * lums(j) > total) '1' else '0')
+        j += 1
+      }
+      sb.toString
+    })
+    media.select(col("media_id"), ah(col("content")).as("ahash"))
+  }
+
   // ---- Real audio codec layer: javax.sound.sampled (JDK-builtin WAV
   // PCM — lossless, no external codecs). Like the image layer, the
   // fixture waveform is a closed-form function of (id, sample index),

@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** Perceptual aHash: rescale invariance (the composed nearest-neighbor
+  * mapping), byte-digest divergence, and discrimination. */
+class ImageHashSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def media(ids: Long*) =
+    Multimodal.pngMediaFromDocs(ids.map(i => Tuple1(i)).toDF("doc_id"))
+      .select(col("media_id"), col("content"))
+
+  test("a nearest-neighbor rescale keeps the aHash while the PNG bytes change") {
+    val orig = media(7L)
+    val scaled = Multimodal.resizeImage(orig, 32, 24)
+      .select(col("media_id"), col("content"))
+    val h1 = Multimodal.imageAHash(orig).collect().head.getString(1)
+    val h2 = Multimodal.imageAHash(scaled).collect().head.getString(1)
+    assert(h1 === h2)
+    val b1 = orig.select(sha2(col("content"), 256)).collect().head.getString(0)
+    val b2 = scaled.select(sha2(col("content"), 256)).collect().head.getString(0)
+    assert(b1 !== b2) // byte digests CANNOT find this duplicate
+  }
+
+  test("different images hash differently; the bit string is 64 wide") {
+    val hs = Multimodal.imageAHash(media(1L, 2L, 3L))
+      .collect().map(_.getString(1)).toSeq
+    assert(hs.forall(h => h.length == 64 && h.forall(c => c == '0' || c == '1')))
+    assert(hs.distinct.size === 3)
+  }
+}
