@@ -1261,6 +1261,18 @@ object SparkEntry {
         lit("/doc/"), col("doc_id").cast("string")).as("url"))
       Html.robotsFilter(urls, rules).orderBy("url")
     }),
+    // corrupt-payload tolerance: every tenth-ish image is truncated to
+    // its 8-byte signature (undecodable); the safe audit reports
+    // (decode_ok, dims-or-NULL) instead of killing the job — at 100 TB
+    // one bad file must cost one row, not the run. The twin derives
+    // ok-ness and dimensions from the same arithmetic
+    "media_decode_audit" -> ((s, d) => {
+      val media = Multimodal.pngMediaFromDocs(t(s, d).documents)
+        .select(col("media_id"),
+          when(col("media_id") % 10 === 3, substring(col("content"), 1, 8))
+            .otherwise(col("content")).as("content"))
+      Multimodal.imageDecodeAudit(media).orderBy("media_id")
+    }),
     // perceptual image dedup: every fourth image also appears as a
     // nearest-neighbor 32x24 rescale (different PNG bytes, so byte
     // digests CANNOT match it) — the integer NN mapping composes
@@ -4112,6 +4124,14 @@ object SparkEntry {
          |FROM urls u LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (url)
          |ORDER BY u.url""".stripMargin
     },
+
+    // ok-ness and dimensions closed-form: corrupt iff media_id%10=3,
+    // dims from the fixture's %64/%48 arithmetic otherwise
+    "media_decode_audit" ->
+      """SELECT doc_id AS media_id, doc_id % 10 <> 3 AS decode_ok,
+        | CASE WHEN doc_id % 10 <> 3 THEN CAST(doc_id % 64 + 16 AS INT) END AS width,
+        | CASE WHEN doc_id % 10 <> 3 THEN CAST(doc_id % 48 + 16 AS INT) END AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     // every aHash derived closed-form: the fixture pattern value at
     // the 8x8 nearest-neighbor grid, bits by the integer-exact

@@ -269,6 +269,24 @@ object Multimodal {
           lit(dstW).as("width"), lit(dstH).as("height")).as("meta"))
   }
 
+  /** SAFE decode audit — the production posture for a 100 TB media
+    * crawl, where one corrupt payload must not kill the job: try the
+    * codec, return (decode_ok, width, height) with NULLs instead of
+    * an exception. Downstream feature passes filter on `decode_ok`;
+    * the audit COUNTS the loss instead of hiding it (a silent skip
+    * reads as "covered everything" when it didn't). Narrow UDF. */
+  def imageDecodeAudit(media: DataFrame): DataFrame = {
+    val audit = udf((bytes: Array[Byte]) => {
+      try {
+        val img = decodePng(bytes)
+        if (img == null) null else Array(img.getWidth, img.getHeight)
+      } catch { case _: Exception => null }
+    })
+    media.select(col("media_id"), audit(col("content")).as("wh"))
+      .select(col("media_id"), col("wh").isNotNull.as("decode_ok"),
+        element_at(col("wh"), 1).as("width"), element_at(col("wh"), 2).as("height"))
+  }
+
   /** Perceptual image hash (aHash — average hash, public): decode,
     * nearest-neighbor map to 8×8 luminances (the SAME mapping as
     * [[imageLumaHistogramResized]]/[[resizeImage]]), then one bit per

@@ -26,6 +26,16 @@ class ImageHashSpec extends AnyFunSuite {
     assert(b1 !== b2) // byte digests CANNOT find this duplicate
   }
 
+  test("decode audit: corrupt payloads report ok=false with NULL dims, valid ones their size") {
+    val m = media(5L) // 21x5+16? width = 5%64+16=21, height = 5%48+16=21
+    val mixed = m.unionByName(
+      m.select((col("media_id") + 1L).as("media_id"),
+        expr("substring(content, 1, 8)").as("content")))
+    val got = Multimodal.imageDecodeAudit(mixed).orderBy("media_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.isNullAt(2))).toSeq
+    assert(got === Seq((5L, true, false), (6L, false, true)))
+  }
+
   test("different images hash differently; the bit string is 64 wide") {
     val hs = Multimodal.imageAHash(media(1L, 2L, 3L))
       .collect().map(_.getString(1)).toSeq
