@@ -1261,6 +1261,25 @@ object SparkEntry {
         lit("/doc/"), col("doc_id").cast("string")).as("url"))
       Html.robotsFilter(urls, rules).orderBy("url")
     }),
+    // clipped-audio dedup: every fifth clip also appears HALF-LENGTH
+    // re-encoded (different WAV bytes — byte digests cannot match it);
+    // the truncation keeps the prefix waveform, so sign-bit prefix
+    // fingerprints group original and clip; the twin evaluates the
+    // closed-form waveform's sign bits directly
+    "audio_fingerprint_dedup" -> ((s, d) => {
+      val orig = Multimodal.wavMediaFromDocs(t(s, d).documents)
+        .select(col("media_id"), col("content"))
+      val clipEnc = udf((id: Long) =>
+        Multimodal.encodeWav(id, ((id % 50 + 10) * 40).toInt))
+      val clips = t(s, d).documents.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("media_id"),
+          clipEnc(col("doc_id")).as("content"))
+      Multimodal.audioPrefixFingerprint(orig.unionByName(clips))
+        .groupBy(col("afp"))
+        .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"), col("afp"))
+        .orderBy("keep_id")
+    }),
     // corrupt-payload tolerance: every tenth-ish image is truncated to
     // its 8-byte signature (undecodable); the safe audit reports
     // (decode_ok, dims-or-NULL) instead of killing the job — at 100 TB
@@ -4124,6 +4143,19 @@ object SparkEntry {
          |FROM urls u LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (url)
          |ORDER BY u.url""".stripMargin
     },
+
+    // 3-bit amplitude bands of the closed-form waveform over the first
+    // 64 samples; the clip rows reuse the original's formula because
+    // truncation does not change the prefix
+    "audio_fingerprint_dedup" ->
+      """WITH clips AS (
+        |   SELECT doc_id AS media_id, doc_id AS pid FROM documents
+        |   UNION ALL SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id % 5 = 0),
+        | bits AS (SELECT media_id,
+        |    string_agg(CAST(((pid % 97) * 31 + i * 7919) % 65536 // 8192 AS VARCHAR), '' ORDER BY i) AS afp
+        |   FROM clips, unnest(generate_series(0, 63)) AS u(i) GROUP BY media_id)
+        |SELECT min(media_id) AS keep_id, count(*) AS n_copies, afp
+        |FROM bits GROUP BY afp ORDER BY keep_id""".stripMargin,
 
     // ok-ness and dimensions closed-form: corrupt iff media_id%10=3,
     // dims from the fixture's %64/%48 arithmetic otherwise

@@ -391,6 +391,31 @@ object Multimodal {
           col("n_samples"), lit(16000).as("sample_rate")).as("meta"))
   }
 
+  /** Audio PREFIX fingerprint — the clipped-copy detector: each of the
+    * first `k` decoded samples quantized to a 3-bit amplitude band
+    * ((s+32768)/8192, digits 0-7), concatenated as a digit string. A
+    * re-encoded clip that truncates the recording keeps the same
+    * prefix waveform, so it provably shares the fingerprint while its
+    * WAV bytes (and any byte digest) differ — exact dedup on the
+    * fingerprint then groups recordings by shared prefix. (3-bit bands
+    * rather than sign bits: sign flips only near the zero boundary, so
+    * sign-prefixes lump distinct recordings; band digits discriminate
+    * at every 8192-step crossing.) Narrow codec UDF. */
+  def audioPrefixFingerprint(media: DataFrame, k: Int = 64): DataFrame = {
+    val fp = udf((bytes: Array[Byte]) => {
+      val s = decodeWavSamples(bytes)
+      val m = math.min(k, s.length)
+      val sb = new StringBuilder(m)
+      var i = 0
+      while (i < m) {
+        sb.append(('0' + (s(i) + 32768) / 8192).toChar)
+        i += 1
+      }
+      sb.toString
+    })
+    media.select(col("media_id"), fp(col("content")).as("afp"))
+  }
+
   /** REAL audio decode + feature extraction: amplitude histogram over
     * 16 buckets of the decoded signed samples. Integral counts — the
     * DuckDB twin evaluates the closed-form waveform over the sample

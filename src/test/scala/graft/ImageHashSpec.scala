@@ -36,6 +36,19 @@ class ImageHashSpec extends AnyFunSuite {
     assert(got === Seq((5L, true, false), (6L, false, true)))
   }
 
+  test("audio prefix fingerprint: a half-length clip shares it while WAV bytes differ") {
+    val docs = Seq(Tuple1(3L)).toDF("doc_id")
+    val orig = Multimodal.wavMediaFromDocs(docs).select(col("media_id"), col("content"))
+    val clipEnc = udf((id: Long) => Multimodal.encodeWav(id, ((id % 50 + 10) * 40).toInt))
+    val clip = docs.select(col("doc_id").as("media_id"), clipEnc(col("doc_id")).as("content"))
+    val f1 = Multimodal.audioPrefixFingerprint(orig).collect().head.getString(1)
+    val f2 = Multimodal.audioPrefixFingerprint(clip).collect().head.getString(1)
+    assert(f1 === f2 && f1.length === 64 && f1.forall(c => c >= '0' && c <= '7'))
+    val b1 = orig.select(sha2(col("content"), 256)).collect().head.getString(0)
+    val b2 = clip.select(sha2(col("content"), 256)).collect().head.getString(0)
+    assert(b1 !== b2)
+  }
+
   test("different images hash differently; the bit string is 64 wide") {
     val hs = Multimodal.imageAHash(media(1L, 2L, 3L))
       .collect().map(_.getString(1)).toSeq
