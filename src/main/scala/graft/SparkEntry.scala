@@ -1261,6 +1261,22 @@ object SparkEntry {
         lit("/doc/"), col("doc_id").cast("string")).as("url"))
       Html.robotsFilter(urls, rules).orderBy("url")
     }),
+    // clipped-video dedup: every third clip also appears truncated to
+    // its first frame (different container bytes); frame-0 aHash is a
+    // prefix invariant, so the pair groups — byte digests cannot do it
+    "video_fingerprint_dedup" -> ((s, d) => {
+      val orig = Multimodal.videoFromDocs(t(s, d).documents)
+        .select(col("media_id"), col("content"))
+      val clipEnc = udf((id: Long) => Multimodal.encodeVideo(id, 1, 16, 12))
+      val clips = t(s, d).documents.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("media_id"),
+          clipEnc(col("doc_id")).as("content"))
+      Multimodal.videoPrefixAHash(orig.unionByName(clips))
+        .groupBy(col("vhash"))
+        .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"), col("vhash"))
+        .orderBy("keep_id")
+    }),
     // clipped-audio dedup: every fifth clip also appears HALF-LENGTH
     // re-encoded (different WAV bytes — byte digests cannot match it);
     // the truncation keeps the prefix waveform, so sign-bit prefix
@@ -4143,6 +4159,22 @@ object SparkEntry {
          |FROM urls u LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (url)
          |ORDER BY u.url""".stripMargin
     },
+
+    // frame-0 aHash closed-form: the fixture's 16x12 frame-0 pattern
+    // (pid*7) sampled at the 8x8 NN grid with the 64*v > sum bit rule
+    "video_fingerprint_dedup" ->
+      """WITH vids AS (
+        |   SELECT doc_id AS media_id, doc_id AS pid FROM documents
+        |   UNION ALL SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id % 3 = 0),
+        | lum AS (SELECT media_id, u.x, v.y,
+        |    (((pid * 7) % 256) * 31 + ((u.x * 16) // 8) * 7 + ((v.y * 12) // 8) * 13) % 256 AS lv
+        |   FROM vids, unnest(generate_series(0, 7)) u(x), unnest(generate_series(0, 7)) v(y)),
+        | s AS (SELECT media_id, sum(lv) AS total FROM lum GROUP BY media_id),
+        | bits AS (SELECT l.media_id,
+        |    string_agg(CASE WHEN 64 * l.lv > s.total THEN '1' ELSE '0' END, '' ORDER BY l.y * 8 + l.x) AS vhash
+        |   FROM lum l JOIN s USING (media_id) GROUP BY l.media_id)
+        |SELECT min(media_id) AS keep_id, count(*) AS n_copies, vhash
+        |FROM bits GROUP BY vhash ORDER BY keep_id""".stripMargin,
 
     // 3-bit amplitude bands of the closed-form waveform over the first
     // 64 samples; the clip rows reuse the original's formula because

@@ -299,37 +299,48 @@ object Multimodal {
     * dedup on the hash then catches re-encoded/rescaled copies.
     * Narrow UDF (codec work, embarrassingly parallel); dedup after it
     * is one group-by on the 64-char key. */
+  private def aHashOf(img: java.awt.image.BufferedImage): String = {
+    val sw = img.getWidth
+    val sh = img.getHeight
+    val rgb = img.getRGB(0, 0, sw, sh, null, 0, sw)
+    val lums = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    var i = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val p = rgb((y * sh / 8) * sw + (x * sw / 8))
+        val lum = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+        lums(i) = lum
+        total += lum
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    val sb = new StringBuilder(64)
+    var j = 0
+    while (j < 64) {
+      sb.append(if (64L * lums(j) > total) '1' else '0')
+      j += 1
+    }
+    sb.toString
+  }
+
   def imageAHash(media: DataFrame): DataFrame = {
-    val ah = udf((bytes: Array[Byte]) => {
-      val img = decodePng(bytes)
-      val sw = img.getWidth
-      val sh = img.getHeight
-      val rgb = img.getRGB(0, 0, sw, sh, null, 0, sw)
-      val lums = new Array[Long](64)
-      var total = 0L
-      var y = 0
-      var i = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          val p = rgb((y * sh / 8) * sw + (x * sw / 8))
-          val lum = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
-          lums(i) = lum
-          total += lum
-          i += 1
-          x += 1
-        }
-        y += 1
-      }
-      val sb = new StringBuilder(64)
-      var j = 0
-      while (j < 64) {
-        sb.append(if (64L * lums(j) > total) '1' else '0')
-        j += 1
-      }
-      sb.toString
-    })
+    val ah = udf((bytes: Array[Byte]) => aHashOf(decodePng(bytes)))
     media.select(col("media_id"), ah(col("content")).as("ahash"))
+  }
+
+  /** Video prefix hash — the clipped-video detector: the aHash of
+    * FRAME 0. A re-encode that truncates the clip keeps the leading
+    * frames, so it provably shares the hash while the container bytes
+    * differ; frame 0 is the cheapest prefix invariant (extend to a
+    * stride-sampled hash sequence for stronger identity). */
+  def videoPrefixAHash(media: DataFrame): DataFrame = {
+    val vh = udf((bytes: Array[Byte]) => aHashOf(decodeVideoFrames(bytes)(0)))
+    media.select(col("media_id"), vh(col("content")).as("vhash"))
   }
 
   // ---- Real audio codec layer: javax.sound.sampled (JDK-builtin WAV

@@ -49,6 +49,19 @@ class ImageHashSpec extends AnyFunSuite {
     assert(b1 !== b2)
   }
 
+  test("video prefix hash: a one-frame truncation shares frame-0's aHash") {
+    val docs = Seq(Tuple1(9L)).toDF("doc_id")
+    val orig = Multimodal.videoFromDocs(docs).select(col("media_id"), col("content"))
+    val clipEnc = udf((id: Long) => Multimodal.encodeVideo(id, 1, 16, 12))
+    val clip = docs.select(col("doc_id").as("media_id"), clipEnc(col("doc_id")).as("content"))
+    val h1 = Multimodal.videoPrefixAHash(orig).collect().head.getString(1)
+    val h2 = Multimodal.videoPrefixAHash(clip).collect().head.getString(1)
+    assert(h1 === h2)
+    val b1 = orig.select(sha2(col("content"), 256)).collect().head.getString(0)
+    val b2 = clip.select(sha2(col("content"), 256)).collect().head.getString(0)
+    assert(b1 !== b2)
+  }
+
   test("different images hash differently; the bit string is 64 wide") {
     val hs = Multimodal.imageAHash(media(1L, 2L, 3L))
       .collect().map(_.getString(1)).toSeq
