@@ -1261,6 +1261,18 @@ object SparkEntry {
         lit("/doc/"), col("doc_id").cast("string")).as("url"))
       Html.robotsFilter(urls, rules).orderBy("url")
     }),
+    // Hamming NEAR-dup pairs over the same aHash fixture: banded
+    // candidates (lossless for dist<=6 by pigeonhole over 8 bands),
+    // exact bit_count verify — perceptual dedup's real form
+    "image_phash_near_dups" -> ((s, d) => {
+      val orig = Multimodal.pngMediaFromDocs(t(s, d).documents)
+        .select(col("media_id"), col("content"))
+      val variants = Multimodal
+        .resizeImage(orig.where(col("media_id") % 4 === 0), 32, 24)
+        .select((col("media_id") + 1000000L).as("media_id"), col("content"))
+      Multimodal.aHashNearDups(Multimodal.imageAHash(orig.unionByName(variants)))
+        .orderBy("id_a", "id_b")
+    }),
     // clipped-video dedup: every third clip also appears truncated to
     // its first frame (different container bytes); frame-0 aHash is a
     // prefix invariant, so the pair groups — byte digests cannot do it
@@ -4202,19 +4214,21 @@ object SparkEntry {
     // 64*v > sum rule, packed row-major; the rescaled variants reuse
     // the ORIGINAL's formula because the NN mapping composes exactly
     "image_phash_dedup" ->
-      """WITH imgs AS (
-        |   SELECT doc_id AS media_id, doc_id AS pid FROM documents
-        |   UNION ALL SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id % 4 = 0),
-        | px AS (SELECT media_id, pid, (pid % 64 + 16) AS w, (pid % 48 + 16) AS h, u.x, v.y
-        |   FROM imgs, unnest(generate_series(0, 7)) u(x), unnest(generate_series(0, 7)) v(y)),
-        | lum AS (SELECT media_id, x, y,
-        |    ((pid % 256) * 31 + ((x * w) // 8) * 7 + ((y * h) // 8) * 13) % 256 AS v FROM px),
-        | s AS (SELECT media_id, sum(v) AS total FROM lum GROUP BY media_id),
-        | bits AS (SELECT l.media_id,
-        |    string_agg(CASE WHEN 64 * l.v > s.total THEN '1' ELSE '0' END, '' ORDER BY l.y * 8 + l.x) AS ahash
-        |   FROM lum l JOIN s USING (media_id) GROUP BY l.media_id)
-        |SELECT min(media_id) AS keep_id, count(*) AS n_copies, ahash
-        |FROM bits GROUP BY ahash ORDER BY keep_id""".stripMargin,
+      s"""$PhashBitsCtes
+         |SELECT min(media_id) AS keep_id, count(*) AS n_copies, ahash
+         |FROM bits GROUP BY ahash ORDER BY keep_id""".stripMargin,
+
+    // the oracle may brute-force what the operator must not: all pairs
+    // with positional Hamming <= 6 over the same closed-form hashes
+    "image_phash_near_dups" ->
+      s"""$PhashBitsCtes,
+         | pairs AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |    CAST(list_sum(list_transform(generate_series(1, 64),
+         |      i -> CASE WHEN substring(a.ahash, i, 1) <> substring(b.ahash, i, 1)
+         |           THEN 1 ELSE 0 END)) AS BIGINT) AS dist
+         |   FROM bits a JOIN bits b ON a.media_id < b.media_id)
+         |SELECT id_a, id_b, dist FROM pairs WHERE dist <= 6
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // each URL's diff status from the same %5 / %3 / %7 arithmetic the
     // fixture snapshots are built with (removed wins over changed —
@@ -4671,6 +4685,22 @@ object SparkEntry {
          |  percent_rank() OVER (PARTITION BY lang ORDER BY score) AS pr FROM s)
          |SELECT doc_id, lang, score, pr FROM r WHERE pr >= 0.5
          |ORDER BY doc_id""".stripMargin)
+
+  /** The image-phash fixture's closed-form aHash bits (originals +
+    * rescaled variants), ending in CTE `bits` — shared by the exact
+    * dedup and Hamming near-dup twins. */
+  private def PhashBitsCtes: String =
+    """WITH imgs AS (
+      |   SELECT doc_id AS media_id, doc_id AS pid FROM documents
+      |   UNION ALL SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id % 4 = 0),
+      | px AS (SELECT media_id, pid, (pid % 64 + 16) AS w, (pid % 48 + 16) AS h, u.x, v.y
+      |   FROM imgs, unnest(generate_series(0, 7)) u(x), unnest(generate_series(0, 7)) v(y)),
+      | lum AS (SELECT media_id, x, y,
+      |    ((pid % 256) * 31 + ((x * w) // 8) * 7 + ((y * h) // 8) * 13) % 256 AS v FROM px),
+      | s AS (SELECT media_id, sum(v) AS total FROM lum GROUP BY media_id),
+      | bits AS (SELECT l.media_id,
+      |    string_agg(CASE WHEN 64 * l.v > s.total THEN '1' ELSE '0' END, '' ORDER BY l.y * 8 + l.x) AS ahash
+      |   FROM lum l JOIN s USING (media_id) GROUP BY l.media_id)""".stripMargin
 
   /** The packed_sequences twin's chain (128-char chunks → whitespace
     * token counts → per-shard running offsets → pack ids), ending in

@@ -333,6 +333,36 @@ object Multimodal {
     media.select(col("media_id"), ah(col("content")).as("ahash"))
   }
 
+  /** Banded Hamming NEAR-dup join over aHash bit strings — perceptual
+    * dedup's real form (small edits flip a few hash bits, so exact
+    * hash equality misses them): candidates from `nBands` exact band
+    * matches, then an exact Hamming verify via two 32-bit words and
+    * bit_count. LOSSLESS for the threshold by pigeonhole: maxDist <
+    * nBands means any qualifying pair agrees exactly on at least one
+    * band — the all-pairs product never materializes (the
+    * fuzzy-edit-join posture; the oracle twin may brute-force, the
+    * operator may not). */
+  def aHashNearDups(hashes: DataFrame, maxDist: Int = 6, nBands: Int = 8,
+                    idCol: String = "media_id", hashCol: String = "ahash"): DataFrame = {
+    require(maxDist < nBands, "losslessness needs maxDist < nBands (pigeonhole)")
+    val bandW = 64 / nBands
+    val bands = hashes.select(col(idCol).as("id"), col(hashCol).as("h"),
+      posexplode(array((0 until nBands).map(b =>
+        substring(col(hashCol), b * bandW + 1, bandW)): _*)).as(Seq("band", "key")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.h").as("h_a"), col("b.h").as("h_b"))
+      .distinct()
+    def w32(h: org.apache.spark.sql.Column, s: Int) =
+      conv(substring(h, s, 32), 2, 10).cast(LongType)
+    val dist = bit_count(w32(col("h_a"), 1).bitwiseXOR(w32(col("h_b"), 1))) +
+      bit_count(w32(col("h_a"), 33).bitwiseXOR(w32(col("h_b"), 33)))
+    cand.select(col("id_a"), col("id_b"), dist.cast(LongType).as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+
   /** Video prefix hash — the clipped-video detector: the aHash of
     * FRAME 0. A re-encode that truncates the clip keeps the leading
     * frames, so it provably shares the hash while the container bytes

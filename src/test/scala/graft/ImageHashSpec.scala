@@ -36,6 +36,22 @@ class ImageHashSpec extends AnyFunSuite {
     assert(got === Seq((5L, true, false), (6L, false, true)))
   }
 
+  test("aHashNearDups: exact Hamming distances; cross-band flips still found; far pairs dropped") {
+    val base = "0" * 64
+    val inBand = "111" + "0" * 61                  // dist 3, flips in one band
+    val spread6 = (0 until 8).map(b => if (b < 6) "1" + "0" * 7 else "0" * 8).mkString
+    // ^ dist 6, one flip in each of six different bands — the pigeonhole
+    //   worst case: bands 6 and 7 still match, so the pair MUST surface
+    val far = "1" * 64                             // dist 64, no shared band
+    val hashes = Seq((1L, base), (2L, inBand), (3L, spread6), (4L, far))
+      .toDF("media_id", "ahash")
+    val got = graft.operators.Multimodal.aHashNearDups(hashes).orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // (2,3) shares its first flipped bit, so its distance is 2+5=7 > 6
+    // → candidate generated (bands 6-7 match) but verify drops it
+    assert(got === Seq((1L, 2L, 3L), (1L, 3L, 6L)))
+  }
+
   test("audio prefix fingerprint: a half-length clip shares it while WAV bytes differ") {
     val docs = Seq(Tuple1(3L)).toDF("doc_id")
     val orig = Multimodal.wavMediaFromDocs(docs).select(col("media_id"), col("content"))
