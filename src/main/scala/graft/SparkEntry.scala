@@ -1262,8 +1262,9 @@ object SparkEntry {
       Html.robotsFilter(urls, rules).orderBy("url")
     }),
     // Hamming NEAR-dup pairs over the same aHash fixture: banded
-    // candidates (lossless for dist<=6 by pigeonhole over 8 bands),
-    // exact bit_count verify — perceptual dedup's real form
+    // candidates (lossless for dist<=3 by pigeonhole over 4 sixteen-bit
+    // bands — wide bands keep buckets sparse at corpus scale), exact
+    // bit_count verify — perceptual dedup's real form
     "image_phash_near_dups" -> ((s, d) => {
       val orig = Multimodal.pngMediaFromDocs(t(s, d).documents)
         .select(col("media_id"), col("content"))
@@ -4227,7 +4228,7 @@ object SparkEntry {
          |      i -> CASE WHEN substring(a.ahash, i, 1) <> substring(b.ahash, i, 1)
          |           THEN 1 ELSE 0 END)) AS BIGINT) AS dist
          |   FROM bits a JOIN bits b ON a.media_id < b.media_id)
-         |SELECT id_a, id_b, dist FROM pairs WHERE dist <= 6
+         |SELECT id_a, id_b, dist FROM pairs WHERE dist <= 3
          |ORDER BY id_a, id_b""".stripMargin,
 
     // each URL's diff status from the same %5 / %3 / %7 arithmetic the

@@ -341,25 +341,44 @@ object Multimodal {
     * nBands means any qualifying pair agrees exactly on at least one
     * band — the all-pairs product never materializes (the
     * fuzzy-edit-join posture; the oracle twin may brute-force, the
-    * operator may not). */
-  def aHashNearDups(hashes: DataFrame, maxDist: Int = 6, nBands: Int = 8,
+    * operator may not).
+    *
+    * Band width is the selectivity knob: 8-bit bands have only 256
+    * keys, so corpus-scale hash sets make every bucket dense and the
+    * candidate set quadratic-ish (measured 23s at sf0.1); 16-bit
+    * bands (65 536 keys) keep buckets sparse at the cost of a tighter
+    * lossless threshold (3 < 4 bands). Hot band keys (flat image
+    * regions hash alike) remain the skew point — AQE's skew-join
+    * case, salting the fallback, exactly like LSH banding. */
+  def aHashNearDups(hashes: DataFrame, maxDist: Int = 3, nBands: Int = 4,
                     idCol: String = "media_id", hashCol: String = "ahash"): DataFrame = {
     require(maxDist < nBands, "losslessness needs maxDist < nBands (pigeonhole)")
     val bandW = 64 / nBands
-    val bands = hashes.select(col(idCol).as("id"), col(hashCol).as("h"),
+    // materialize the (id, hash) relation once: it feeds the band
+    // explode AND the two rejoins below — without this the upstream
+    // hash computation (a codec decode per row) would run three times
+    val hs = hashes.select(col(idCol).as("id"), col(hashCol).as("h"))
+      .localCheckpoint(true)
+    val bands = hs.select(col("id"), col("h"),
       posexplode(array((0 until nBands).map(b =>
-        substring(col(hashCol), b * bandW + 1, bandW)): _*)).as(Seq("band", "key")))
+        substring(col("h"), b * bandW + 1, bandW)): _*)).as(Seq("band", "key")))
+    // the pair-dedup runs on 16-byte id pairs, NOT on pairs carrying
+    // two 64-char hash strings — hashes rejoin onto the (much smaller)
+    // deduped candidate set
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.h").as("h_a"), col("b.h").as("h_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    def w32(h: org.apache.spark.sql.Column, s: Int) =
-      conv(substring(h, s, 32), 2, 10).cast(LongType)
+    val h = hs
+    def w32(c: org.apache.spark.sql.Column, s: Int) =
+      conv(substring(c, s, 32), 2, 10).cast(LongType)
     val dist = bit_count(w32(col("h_a"), 1).bitwiseXOR(w32(col("h_b"), 1))) +
       bit_count(w32(col("h_a"), 33).bitwiseXOR(w32(col("h_b"), 33)))
-    cand.select(col("id_a"), col("id_b"), dist.cast(LongType).as("dist"))
+    cand
+      .join(h.select(col("id").as("id_a"), col("h").as("h_a")), Seq("id_a"))
+      .join(h.select(col("id").as("id_b"), col("h").as("h_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), dist.cast(LongType).as("dist"))
       .where(col("dist") <= maxDist)
   }
 

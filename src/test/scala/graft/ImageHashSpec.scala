@@ -39,17 +39,17 @@ class ImageHashSpec extends AnyFunSuite {
   test("aHashNearDups: exact Hamming distances; cross-band flips still found; far pairs dropped") {
     val base = "0" * 64
     val inBand = "111" + "0" * 61                  // dist 3, flips in one band
-    val spread6 = (0 until 8).map(b => if (b < 6) "1" + "0" * 7 else "0" * 8).mkString
-    // ^ dist 6, one flip in each of six different bands — the pigeonhole
-    //   worst case: bands 6 and 7 still match, so the pair MUST surface
+    val spread3 = (0 until 4).map(b => if (b < 3) "1" + "0" * 15 else "0" * 16).mkString
+    // ^ dist 3, one flip in each of three different 16-bit bands — the
+    //   pigeonhole worst case: band 3 still matches, the pair MUST surface
     val far = "1" * 64                             // dist 64, no shared band
-    val hashes = Seq((1L, base), (2L, inBand), (3L, spread6), (4L, far))
+    val hashes = Seq((1L, base), (2L, inBand), (3L, spread3), (4L, far))
       .toDF("media_id", "ahash")
     val got = graft.operators.Multimodal.aHashNearDups(hashes).orderBy("id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    // (2,3) shares its first flipped bit, so its distance is 2+5=7 > 6
-    // → candidate generated (bands 6-7 match) but verify drops it
-    assert(got === Seq((1L, 2L, 3L), (1L, 3L, 6L)))
+    // (2,3) shares its first flipped bit, so its distance is 2+2=4 > 3
+    // → candidate generated (band 3 matches) but the verify drops it
+    assert(got === Seq((1L, 2L, 3L), (1L, 3L, 3L)))
   }
 
   test("audio prefix fingerprint: a half-length clip shares it while WAV bytes differ") {
