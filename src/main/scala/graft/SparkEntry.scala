@@ -592,6 +592,20 @@ object SparkEntry {
     // terms above the df cap are stop terms and contribute 0
     "bm25_topk" -> ((s, d) =>
       Retrieval.bm25TopK(t(s, d).documents, Bm25Terms, k = 20, maxDf = RetrievalMaxDf)),
+    // positional-index phrase query: exact consecutive-token match
+    // with occurrence counts — what bag-of-words BM25 cannot answer
+    "phrase_search" -> ((s, d) =>
+      Retrieval.phraseSearch(t(s, d).documents, PhraseTerms).orderBy("doc_id")),
+    // model-free document embeddings: feature-hashed TF-IDF in sparse
+    // relational form, L2-normalized — similarity retrieval with no
+    // embedding column required
+    "tfidf_embed" -> ((s, d) =>
+      Retrieval.tfidfHashedVectors(t(s, d).documents, dim = 64)
+        .orderBy("doc_id", "dim_idx")),
+    // cosine top-k against doc 0's hashed vector: broadcast query dims,
+    // map-side partial dot products, TakeOrderedAndProject
+    "tfidf_query_topk" -> ((s, d) =>
+      Retrieval.tfidfQueryTopK(t(s, d).documents, queryId = 0L, k = 20, dim = 64)),
     // the build-once/query-many retrieval lifecycle (the ANN side's
     // ivfPqWrite/Read posture): persist the four index relations,
     // reload, score BM25 from the stored postings — same oracle as the
@@ -1002,6 +1016,11 @@ object SparkEntry {
     // engine's own HTML ingestion instead of a prebuilt edge table
     "crawl_rank" -> ((s, d) =>
       Graph.pageRank(Html.outlinks(Html.pageFromDocs(t(s, d).documents))).orderBy("node")),
+    // hubs-and-authorities over the same extracted graph: the frontier
+    // wants BOTH scores — schedule fetches by hub (directory pages
+    // surface new links), keep documents by auth (content pages)
+    "hits_rank" -> ((s, d) =>
+      Graph.hits(Html.outlinks(Html.pageFromDocs(t(s, d).documents))).orderBy("node")),
     // site-cluster discovery: undirected connected components over the
     // extracted link graph — large-star/small-star (Graph
     // .starComponents), the O(log n)-round formulation a real crawl
@@ -1453,6 +1472,11 @@ object SparkEntry {
       Corpus.stratifiedSample(t(s, d).documents,
           rates = Map("en" -> 100), defaultPermille = 300)
         .select(col("doc_id"), col("lang")).orderBy("doc_id")),
+    // fixed-k weight-biased sample with unbiased subset-sum estimators
+    // (Duffield-Lund-Thorup priority sampling); the corpus-wide work is
+    // ONE TakeOrderedAndProject top-(k+1) pick
+    "priority_sample" -> ((s, d) =>
+      Corpus.prioritySample(t(s, d).documents, k = 200).orderBy("doc_id")),
     "doc_chunks" -> ((s, d) =>
       Corpus.chunk(t(s, d).documents, size = 128)
         .select(col("doc_id"), col("chunk_idx"), col("chunk"), col("n_chunks"))
@@ -2248,6 +2272,39 @@ object SparkEntry {
   private def pageRankUnrolled(edgesCtePrefix: String): String =
     s"${pageRankCtes(edgesCtePrefix)}\nSELECT node, round(rank, 8) AS pr FROM r5 ORDER BY node"
 
+  /** 5-iteration HITS twin over a pluggable `edges(src, dst)` CTE
+    * prefix — mirrors Graph.hits operation-for-operation: per-edge
+    * round(score, 12) → DECIMAL(38,12) sums, L1 normalization by the
+    * exact decimal total, one IEEE double division per node. Each
+    * iteration is two unrolled half-steps (auth from hubs, hubs from
+    * auth). */
+  private def hitsUnrolled(edgesCtePrefix: String): String = {
+    val pre =
+      s"""$edgesCtePrefix,
+         | nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst AS node FROM edges),
+         | h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes)""".stripMargin
+    // the normalizing total is a WINDOW sum over the left-joined rows
+    // (NULLs ignored == sum over the raw aggregate; exact decimal sum
+    // is order-independent, so the value is identical to the Spark
+    // side's broadcast one-row total) — keeping every CTE single-
+    // referenced, because DuckDB inlines CTEs and a tot-CTE referenced
+    // from inside its own consumer goes exponential across 10 levels
+    def half(rawName: String, outName: String,
+             inName: String, inCol: String, from: String, to: String, outCol: String): String =
+      s""" $rawName AS (SELECT e.$to AS dst_node, sum(CAST(round(x.$inCol, 12) AS DECIMAL(38,12))) AS s
+         |   FROM $inName x JOIN edges e ON e.$from = x.node GROUP BY e.$to),
+         | $outName AS (SELECT node, round(CAST(coalesce(s, 0) AS DOUBLE) / CAST(sum(s) OVER () AS DOUBLE), 12) AS $outCol
+         |  FROM (SELECT nodes.node, r.s FROM nodes LEFT JOIN $rawName r ON r.dst_node = nodes.node) j)""".stripMargin
+    val iters = (1 to 5).map { i =>
+      half(s"ar$i", s"a$i", s"h${i - 1}", "hub", "src", "dst", "auth") + ",\n" +
+        half(s"hr$i", s"h$i", s"a$i", "auth", "dst", "src", "hub")
+    }.mkString(",\n")
+    s"""$pre,
+       |$iters
+       |SELECT a5.node, round(a5.auth, 8) AS auth, round(h5.hub, 8) AS hub
+       |FROM a5 JOIN h5 ON h5.node = a5.node ORDER BY a5.node""".stripMargin
+  }
+
   private lazy val pageRankTwinSql: String = pageRankUnrolled(
     """WITH pairs AS (SELECT DISTINCT l_suppkey AS s, o_custkey AS c
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
@@ -2389,6 +2446,9 @@ object SparkEntry {
     * identical bits in DuckDB), so both engines evaluate bit-equal
     * literals — the same discipline dsum applies to aggregation. */
   private[graft] val Bm25Terms = Seq("spark", "hash", "dup")
+  // phrase with multi-occurrence docs at sf0.01 (8 hits over 5 docs)
+  // so the occurrence COUNT is exercised, not just membership
+  private[graft] val PhraseTerms = Seq("slow", "hash", "batch")
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
   // df cap shared by the retrieval queries and their twins; chosen to
@@ -2536,6 +2596,54 @@ object SparkEntry {
        |SELECT doc_id, round($scoreSum, 4) AS score
        |FROM per ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   }
+
+  /** Phrase twin: same cleaned token stream as WDoc, but with 1-based
+    * positions derived from generate_series over the filtered token
+    * LIST (order-free positional arithmetic, the shingle-CTE device),
+    * then the identical positional intersection: start positions of
+    * term 0 survive iff term i's list holds p+i for every i. */
+  private lazy val phraseTwinSql: String = {
+    val ts = PhraseTerms
+    val inList = ts.distinct.map(t => s"'$t'").mkString(", ")
+    val pCtes = ts.zipWithIndex.map { case (t, i) =>
+      s" p$i AS (SELECT doc_id, list_sort(list(pos)) AS ps FROM px WHERE word = '$t' GROUP BY doc_id)"
+    }.mkString(",\n")
+    val joins = (1 until ts.length).map(i => s"JOIN p$i USING (doc_id)").mkString(" ")
+    val conds = (1 until ts.length).map(i => s"list_contains(p$i.ps, p + $i)").mkString(" AND ")
+    val filt = if (ts.length == 1) "p0.ps" else s"list_filter(p0.ps, p -> $conds)"
+    s"""WITH toksc AS (SELECT doc_id,
+       |   list_filter(list_transform(string_split_regex(text, '[ \\t\\n\\f\\r]+'),
+       |     x -> lower(regexp_replace(x, '$P', '', 'g'))), x -> length(x) > 0) AS l
+       |  FROM documents),
+       | px AS (SELECT doc_id, l[i] AS word, i AS pos
+       |   FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM toksc) z
+       |   WHERE l[i] IN ($inList)),
+       |$pCtes,
+       | m AS (SELECT p0.doc_id, len($filt) AS n_matches FROM p0 $joins)
+       |SELECT doc_id, n_matches FROM m WHERE n_matches > 0 ORDER BY doc_id""".stripMargin
+  }
+
+  /** Shared CTE chain for the hashed-TF-IDF family: tokenize (WDoc) →
+    * tf/df/N → rounded(12) idf → refBinHash dim assignment →
+    * DECIMAL-summed per-dim mass → exact-decimal L2 norm → rounded(8)
+    * normalized sparse vectors. Every arithmetic step mirrors
+    * Retrieval.tfidfHashedVectors operation-for-operation. */
+  private lazy val TfidfVecCtes: String =
+    s"""$WDoc,
+       | tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+       | dft AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+       | nn AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+       | idf AS (SELECT word,
+       |   round(ln((CAST((SELECT n FROM nn) AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) + 1.0, 12) AS idf
+       |  FROM dft),
+       | ct AS (SELECT doc_id,
+       |   CAST((coalesce(list_sum(list_transform(string_split(tf.word, ''), c -> 22 + 23 * (ascii(c) - 14))), 0) % 64 + 64) % 64 AS BIGINT) AS dim_idx,
+       |   CAST(round(CAST(tf.tf AS DOUBLE) * idf.idf, 12) AS DECIMAL(38,12)) AS c
+       |  FROM tf JOIN idf USING (word)),
+       | sd AS (SELECT doc_id, dim_idx, CAST(sum(c) AS DOUBLE) AS s FROM ct GROUP BY 1, 2),
+       | nr AS (SELECT doc_id, sqrt(CAST(sum(CAST(round(s * s, 12) AS DECIMAL(38,12))) AS DOUBLE)) AS norm
+       |        FROM sd GROUP BY 1),
+       | vec AS (SELECT sd.doc_id, sd.dim_idx, round(s / norm, 8) AS v FROM sd JOIN nr USING (doc_id))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "wordcount" ->
@@ -3547,6 +3655,16 @@ object SparkEntry {
     // the appended index must answer exactly what a full rebuild
     // answers — one twin serves all three BM25 paths
     "bm25_after_append" -> bm25TwinSql,
+    "phrase_search" -> phraseTwinSql,
+    "tfidf_embed" ->
+      s"""$TfidfVecCtes
+         |SELECT doc_id, dim_idx, v FROM vec ORDER BY doc_id, dim_idx""".stripMargin,
+    "tfidf_query_topk" ->
+      s"""$TfidfVecCtes,
+         | q AS (SELECT dim_idx, v AS qv FROM vec WHERE doc_id = 0),
+         | sc AS (SELECT vec.doc_id, CAST(sum(CAST(round(vec.v * q.qv, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sp
+         |        FROM vec JOIN q USING (dim_idx) WHERE vec.doc_id <> 0 GROUP BY 1)
+         |SELECT doc_id, round(sp, 6) AS cos FROM sc ORDER BY cos DESC, doc_id LIMIT 20""".stripMargin,
 
     // same capped-shingle Jaccard pipeline as near_dup_jaccard, then
     // min-label transitive closure via a recursive CTE
@@ -3836,6 +3954,7 @@ object SparkEntry {
          |SELECT src, dst FROM edges ORDER BY src, dst""".stripMargin,
 
     "crawl_rank" -> pageRankUnrolled(CrawlEdgesCte),
+    "hits_rank" -> hitsUnrolled(CrawlEdgesCte),
 
     // container framing + extraction: expected records rebuilt
     // closed-form (url and fetch_ts from doc_id arithmetic, main_text
@@ -4404,6 +4523,28 @@ object SparkEntry {
       s"""SELECT doc_id, lang FROM documents
          |WHERE $HashPermille < CASE WHEN lang = 'en' THEN 100 ELSE 300 END
          |ORDER BY doc_id""".stripMargin,
+
+    // priority sampling: rank by the integer key floor(h*2^20/w)
+    // (ascending == priority w/u descending), threshold from the
+    // 201st key, estimate max(w, tau) — identical Knuth-hash u and
+    // exact-integer arithmetic on both engines
+    "priority_sample" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS weight,
+        |    CAST(floor((((doc_id % 2147483648) * 2654435761) % 4294967296) * 1048576
+        |         / CAST(length(text) AS DOUBLE)) AS BIGINT) AS pkey
+        |  FROM documents WHERE length(text) > 0),
+        | top AS (SELECT * FROM keyed ORDER BY pkey, doc_id LIMIT 201),
+        | ranked AS (SELECT top.*, row_number() OVER (ORDER BY pkey, doc_id) AS rn FROM top),
+        | stats AS (SELECT count(*) AS cnt, max(pkey) AS mx FROM top)
+        |SELECT doc_id, weight,
+        | round(greatest(CAST(weight AS DOUBLE),
+        |   CASE WHEN (SELECT cnt FROM stats) = 201
+        |        THEN 4503599627370496.0 / CAST((SELECT mx FROM stats) AS DOUBLE)
+        |        ELSE 0.0 END), 6) AS w_est
+        |FROM ranked
+        |WHERE (SELECT cnt FROM stats) <= 200 OR rn <= 200
+        |ORDER BY doc_id""".stripMargin,
 
     // the ingest cycle as one CTE chain: store anti-join → temperature
     // rates over survivors → chunk explode

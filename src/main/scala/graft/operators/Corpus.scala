@@ -79,6 +79,58 @@ object Corpus {
       .drop("__cum")
   }
 
+  /** Priority sampling (Duffield, Lund, Thorup, "Priority sampling for
+    * estimation of arbitrary subset sums", JACM 2007): draw a fixed-k
+    * weight-biased sample that supports UNBIASED subset-sum estimates —
+    * the sampling scheme a corpus-curation pipeline wants when it must
+    * subsample 100 TB down to an inspectable k documents yet still
+    * report "this slice holds an estimated N tokens of code". Each doc
+    * gets priority q = w/u (u uniform); the k highest-priority docs are
+    * kept and every kept doc's weight estimate is max(w, τ) with τ the
+    * (k+1)-th priority — E[Σ estimates over any subset] equals that
+    * subset's true weight sum.
+    *
+    * Deterministic and engine-exact: u comes from the same Knuth
+    * multiplicative id hash as [[budgetCap]] (pure 64-bit integer
+    * arithmetic, no engine-specific builtin), and ranking by q
+    * descending is ranking by the INTEGER key floor(h·2^20/w)
+    * ascending — h ≤ 2^32 so h·2^20 ≤ 2^52 stays exactly
+    * representable and the floor is provably exact (quotient·divisor
+    * can't exceed 2^52, so division can't round across an integer
+    * boundary). τ reconstructs as the single IEEE division
+    * 2^52/key_(k+1) on identical inputs.
+    *
+    * Scale shape: the ONLY full-data operation is the top-(k+1) pick,
+    * which Catalyst plans as TakeOrderedAndProject — per-partition
+    * bounded heaps, one k-sized merge, no global sort, no shuffle of
+    * the corpus. Rank/threshold bookkeeping runs on the k+1 surviving
+    * rows. Docs with non-positive weight are excluded (q undefined).
+    * Output: (idCol, weight, w_est) — w_est = max(w, τ) rounded to 6. */
+  def prioritySample(docs: DataFrame, k: Int,
+                     weightCol: Column = length(col("text")),
+                     idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "prioritySample needs k > 0")
+    val h = pmod(pmod(col(idCol), lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
+    val keyed = docs.select(col(idCol), weightCol.cast(LongType).as("weight"))
+      .where(col("weight") > 0)
+      .withColumn("__key", floor(h * lit(1048576L) / col("weight").cast(DoubleType)).cast(LongType))
+    // TakeOrderedAndProject: bounded per-partition heaps, k+1 rows out
+    // materialize the k+1 survivors once — ranked and stats both read
+    // them, and neither should re-run the corpus-wide top-k pick
+    val top = keyed.orderBy(col("__key"), col(idCol)).limit(k + 1).localCheckpoint(true)
+    // everything below runs on ≤ k+1 rows (the single-partition window
+    // is k+1 rows by construction, not a data-scale sort)
+    val ranked = top.withColumn("__rn",
+      row_number().over(Window.orderBy(col("__key"), col(idCol))))
+    val stats = top.agg(count(lit(1)).as("__cnt"), max(col("__key")).as("__mx"))
+    val tau = when(col("__cnt") === k + 1,
+      lit(4503599627370496.0) / col("__mx").cast(DoubleType)).otherwise(lit(0.0))
+    ranked.crossJoin(broadcast(stats))
+      .where(col("__cnt") <= k || col("__rn") <= k)
+      .select(col(idCol), col("weight"),
+        round(greatest(col("weight").cast(DoubleType), tau), 6).as("w_est"))
+  }
+
   /** Split each document into fixed-size character chunks (the context
     * -window packing primitive): (doc_id, chunk_idx, chunk, n_chunks).
     * Pure generator over a narrow projection — scales linearly, no

@@ -64,6 +64,63 @@ object Graph {
     rank.select(col("node"), round(col("rank"), 8).as("pr"))
   }
 
+  /** Deterministic HITS (Kleinberg, "Authoritative sources in a
+    * hyperlinked environment", JACM 1999): the hubs-and-authorities
+    * companion to [[pageRank]] — auth(v) = Σ hub(u) over in-links,
+    * hub(u) = Σ auth(v) over out-links, fixed `iters` rounds. Where
+    * PageRank scores global random-walk importance, HITS separates
+    * DIRECTORY pages (high hub — they point at good content) from
+    * CONTENT pages (high auth — good content points… is pointed at),
+    * the split a crawl frontier wants: schedule by hub, keep by auth.
+    *
+    * Built for cross-engine hash-exactness like pageRank: per-edge
+    * contributions are rounded to 12 decimals and summed over
+    * DECIMAL(38,12) (order-independent), each half-step is L1
+    * normalized by the EXACT decimal total (power iteration needs
+    * normalization or the vector diverges; L1 keeps the divisor
+    * exactly representable where L2's sqrt would not be), and the one
+    * division per node is a single IEEE double op on identical
+    * inputs. The normalizing total rides the plan as a broadcast
+    * one-row aggregate — no driver-side scalar read in the loop.
+    *
+    * Scale shape per iteration: two rank-vector↔edge joins (shuffle
+    * on src, then dst) + two |V|-sized aggregates; iterated state is
+    * |V| like pageRank, lineage truncated per round. Output:
+    * (node, auth, hub) rounded to 8 decimals. */
+  def hits(edges: DataFrame, iters: Int = 5,
+           srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint(true)
+    require(e.limit(1).count() == 1, "hits over an empty edge list")
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    val dec = DecimalType(38, 12)
+    // one half-step: scores flow across edges from `from` to `to`,
+    // exact-decimal summed, then L1-normalized by the exact total
+    def halfStep(scores: DataFrame, scoreCol: String,
+                 from: String, to: String, outCol: String): DataFrame = {
+      val raw = scores.join(e, col("node") === col(from))
+        .select(col(to).as("dst_node"), round(col(scoreCol), 12).cast(dec).as("c"))
+        .groupBy(col("dst_node")).agg(sum(col("c")).as("s"))
+      val tot = raw.agg(sum(col("s")).as("tot"))
+      nodes.join(raw, col("node") === col("dst_node"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          round(coalesce(col("s"), lit(0)).cast("double") / col("tot").cast("double"), 12)
+            .as(outCol))
+        .localCheckpoint(true)
+    }
+    var hub = nodes.select(col("node"), lit(1.0).as("hub"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      auth = halfStep(hub, "hub", "src", "dst", "auth")
+      hub = halfStep(auth, "auth", "dst", "src", "hub")
+    }
+    auth.join(hub, "node")
+      .select(col("node"), round(col("auth"), 8).as("auth"), round(col("hub"), 8).as("hub"))
+  }
+
   /** Connected components by alternating large-star/small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SOCC 2014 — public): each round rewires every node's edges

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Full-text retrieval over the corpus: inverted index construction and
   * BM25 ranking. No reference analog (the reference's single query is
@@ -253,5 +254,124 @@ object Retrieval {
     val tf = index.postings.where(col("word").isin(terms: _*))
     val df = index.terms.where(col("word").isin(terms: _*) && col("df") <= index.maxDf)
     scoreBm25(terms, k, k1, b, tf, df, index.docLens, index.stats)
+  }
+
+  /** Positional postings for a set of terms: (doc_id, word, ps) with
+    * ps the SORTED 1-based positions of `word` in the document's
+    * cleaned token sequence (TextOps tokenize → clean → drop empties,
+    * the same stream the wordcount/BM25 families index — positions
+    * count surviving tokens, so adjacency is adjacency in the indexed
+    * text). The `terms` filter prunes at the scan: only the queried
+    * terms' occurrences ever reach the shuffle. Per-(doc, word) list
+    * state is the within-document tf — bounded by document length,
+    * never by corpus-wide df, so no cap is needed where the inverted
+    * index needs one. */
+  def positionalPostings(docs: DataFrame, terms: Seq[String],
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val cleaned = filter(
+      transform(TextOps.tokens(col(textCol)), t => TextOps.cleanWord(t)),
+      w => length(w) > 0)
+    docs
+      .select(col(idCol).as("doc_id"), posexplode(cleaned).as(Seq("pos0", "word")))
+      .where(col("word").isin(terms.distinct: _*))
+      .select(col("doc_id"), col("word"), (col("pos0") + 1).as("pos"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+  }
+
+  /** Exact phrase search: documents containing the words of `phrase`
+    * at consecutive token positions, with the occurrence count — the
+    * positional-index query BM25's bag-of-words scoring cannot answer
+    * ("training data" the phrase, not documents mentioning training
+    * and data). Standard positional-intersection evaluation
+    * (Manning/Raghavan/Schütze, IIR §2.4, public): start positions p
+    * of the first term survive iff term i sits at p+i for every i.
+    *
+    * Scale shape: ONE corpus scan with the term filter pushed to it,
+    * a shuffle of only the phrase terms' occurrences, then an m-way
+    * doc-keyed join of per-doc position lists (each side ≤ one row
+    * per doc) and a codegen'd array-intersection — no all-pairs
+    * anything, no corpus-wide position materialization.
+    * Output: (doc_id, n_matches > 0). */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String],
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs a non-empty phrase")
+    val m = phrase.length
+    // the postings relation is docs × phrase-terms — tiny; materialize
+    // once, every per-term branch below reads it instead of re-running
+    // the corpus scan
+    val lists = positionalPostings(docs, phrase, textCol, idCol).localCheckpoint(true)
+    val joined = phrase.zipWithIndex.map { case (t, i) =>
+      lists.where(col("word") === t).select(col("doc_id"), col("ps").as(s"p$i"))
+    }.reduce((a, b) => a.join(b, "doc_id"))
+    val matches = size(filter(col("p0"), p =>
+      (1 until m).map(i => array_contains(col(s"p$i"), p + i))
+        .foldLeft(lit(true))(_ && _))).cast("long")
+    joined.select(col("doc_id"), matches.as("n_matches"))
+      .where(col("n_matches") > 0)
+  }
+
+  /** Feature-hashed TF-IDF document vectors (the hashing trick,
+    * Weinberger et al. ICML 2009, public): each term's tf·idf mass
+    * lands in dimension refBinHash(word) mod `dim` — a MODEL-FREE
+    * document embedding, so content-similarity retrieval and
+    * semantic-dedup-style clustering run on corpora that have no
+    * precomputed embedding column. Output is the SPARSE relational
+    * form (doc_id, dim_idx, v) with the vector L2-normalized — the
+    * representation that joins, aggregates and shuffles like any
+    * other relation (a dense array column would resist pruning and
+    * per-dimension joins).
+    *
+    * Engine-exact: idf = round(ln((N+1)/(df+1)) + 1, 12) (the rounded
+    * -log device the LM family proved hash-stable), per-dim mass and
+    * the squared norm are DECIMAL(38,12) sums of rounded(12) terms
+    * (order-independent), sqrt/divide are single IEEE ops. N rides
+    * the plan as a broadcast one-row aggregate.
+    *
+    * Scale shape: one corpus tokenize (materialized once, both the df
+    * and contribution branches read it), everything after is keyed on
+    * word or (doc, dim) — bounded-state aggs, no corpus-wide sort. */
+  def tfidfHashedVectors(docs: DataFrame, dim: Int = 64,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tf = docTermFreqs(docs, textCol, idCol).localCheckpoint(true)
+    val dfT = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val nRow = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val idf = dfT.crossJoin(broadcast(nRow))
+      .select(col("word"),
+        round(log((col("n_docs").cast(DoubleType) + 1.0) / (col("df").cast(DoubleType) + 1.0)) + 1.0, 12)
+          .as("idf"))
+    val dec = DecimalType(38, 12)
+    val contrib = tf.join(idf, "word")
+      .select(col("doc_id"), TextOps.refBinHash(col("word"), dim).as("dim_idx"),
+        round(col("tf").cast(DoubleType) * col("idf"), 12).cast(dec).as("c"))
+    val sdim = contrib.groupBy(col("doc_id"), col("dim_idx"))
+      .agg(sum(col("c")).as("sd"))
+      .select(col("doc_id"), col("dim_idx"), col("sd").cast(DoubleType).as("s"))
+      .localCheckpoint(true) // read twice: the norm agg and the final join
+    val norms = sdim
+      .select(col("doc_id"), round(col("s") * col("s"), 12).cast(dec).as("q"))
+      .groupBy(col("doc_id")).agg(sum(col("q")).as("qq"))
+      .select(col("doc_id"), sqrt(col("qq").cast(DoubleType)).as("norm"))
+    sdim.join(norms, "doc_id")
+      .select(col("doc_id"), col("dim_idx"), round(col("s") / col("norm"), 8).as("v"))
+  }
+
+  /** Content top-k: the `k` documents most cosine-similar to document
+    * `queryId` under [[tfidfHashedVectors]] — normalized vectors make
+    * cosine a plain sparse dot product. The query vector (≤ dim rows)
+    * broadcasts; the corpus side joins on dim_idx, partial-aggregates
+    * map-side, and TakeOrderedAndProject bounds the pick — the
+    * brute-force baseline shape [[graft.operators.Similarity]]'s ANN
+    * paths accelerate, here available with no embedding column. */
+  def tfidfQueryTopK(docs: DataFrame, queryId: Long, k: Int, dim: Int = 64,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val vecs = tfidfHashedVectors(docs, dim, textCol, idCol).localCheckpoint(true)
+    val q = vecs.where(col("doc_id") === queryId).select(col("dim_idx"), col("v").as("qv"))
+    vecs.where(col("doc_id") =!= queryId)
+      .join(broadcast(q), "dim_idx")
+      .select(col("doc_id"), round(col("v") * col("qv"), 12).cast(DecimalType(38, 12)).as("p"))
+      .groupBy(col("doc_id")).agg(sum(col("p")).as("sp"))
+      .select(col("doc_id"), round(col("sp").cast(DoubleType), 6).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(k)
   }
 }

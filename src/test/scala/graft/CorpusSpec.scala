@@ -352,4 +352,41 @@ class CorpusSpec extends AnyFunSuite {
     // a budget below the smallest weight keeps nothing
     assert(Corpus.budgetCap(docs, budget = 99).isEmpty)
   }
+
+  test("prioritySample: k rows, DLT threshold estimator, independent replay") {
+    import spark.implicits._
+    // weights spread over two decades so the weight bias is visible
+    val n = 300
+    val fixture = (1L to n.toLong).map(i => (i, "x" * (10 + ((i * 37) % 200)).toInt))
+      .toDF("doc_id", "text")
+    val k = 50
+    val got = Corpus.prioritySample(fixture, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.length === k)
+
+    // independent replay of the exact arithmetic
+    def key(id: Long, w: Long): Long =
+      math.floor(((id % 2147483648L) * 2654435761L % 4294967296L) * 1048576L / w.toDouble).toLong
+    val keyed = (1L to n.toLong).map { i =>
+      val w = 10 + ((i * 37) % 200); (i, w.toLong, key(i, w.toLong))
+    }.sortBy(t => (t._3, t._1))
+    val tau = 4503599627370496.0 / keyed(k)._3.toDouble
+    val want = keyed.take(k).map { case (id, w, _) =>
+      (id, w, BigDecimal(math.max(w.toDouble, tau)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+    assert(got.toSeq === want)
+    // every estimate is at least the true weight (max(w, tau) >= w)
+    assert(got.forall { case (_, w, est) => est >= w.toDouble })
+
+    // n <= k: everything kept, estimates are the exact weights
+    val all = Corpus.prioritySample(fixture.where(col("doc_id") <= 20), k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(all.length === 20)
+    assert(all.forall { case (_, w, est) => est === w.toDouble })
+
+    // partitioning-invariant
+    val again = Corpus.prioritySample(fixture.repartition(13), k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(again.toSeq === got.toSeq)
+  }
 }

@@ -63,4 +63,47 @@ class GraphSpec extends AnyFunSuite {
     val run = () => Graph.pageRank(edges).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(run() === run())
   }
+
+  test("hits: directory star separates hub from authority exactly") {
+    // 1 points at 2,3,4 — a pure directory page over three content pages
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val got = Graph.hits(edges, iters = 5).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got(1L) === ((0.0, 1.0)), got.toString)           // all hub, no auth
+    assert(got(2L) === ((0.33333333, 0.0)), got.toString)    // all auth, no hub
+    assert(got(3L) === got(2L))
+    assert(got(4L) === got(2L))
+  }
+
+  test("hits matches an independent Scala fold with the identical rounding steps") {
+    val edges = (for (i <- 0L until 25L; j <- 0L until 25L
+                      if i != j && (i * 13 + j * 29) % 6 == 0) yield (i, j)).toSeq
+    val got = Graph.hits(edges.toDF("src", "dst"), iters = 5).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val in = edges.groupBy(_._2).map { case (d, es) => d -> es.map(_._1) }
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    def r12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def half(scores: Map[Long, Double], nbrs: Map[Long, Seq[Long]]): Map[Long, Double] = {
+      val raw = nodes.map(v => v -> nbrs.getOrElse(v, Seq.empty).map(u => r12(scores(u))).sum).toMap
+      val tot = raw.values.sum
+      nodes.map(v => v -> r12(raw(v).toDouble / tot.toDouble).toDouble).toMap
+    }
+    var hub = nodes.map(_ -> 1.0).toMap
+    var auth = Map.empty[Long, Double]
+    for (_ <- 1 to 5) {
+      auth = half(hub, in)   // auth(v) sums hub over in-links
+      hub = half(auth, out)  // hub(u) sums auth over out-links
+    }
+    def r8(x: Double) = BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = nodes.map(v => v -> ((r8(auth(v)), r8(hub(v))))).toMap
+    assert(got === want)
+  }
+
+  test("hits deterministic across runs") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val run = () => Graph.hits(edges).collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(run() === run())
+  }
 }

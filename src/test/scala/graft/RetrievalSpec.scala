@@ -188,6 +188,71 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!got.exists(_.getString(0).contains("unrelated")))
   }
 
+  test("phraseSearch: consecutive positions only, counts occurrences, m=1 is tf") {
+    val pd = Seq(
+      (0L, "spark shuffles data and spark sorts data"),
+      (1L, "data spark is not spark data reversed"),      // "spark data" once (pos 5-6)
+      (2L, "spark data spark data spark data"),           // three occurrences
+      (3L, "spark and then much later data"),             // words present, never adjacent
+      (4L, "Spark, data!")                                // cleaning: punctuation stripped, lowered
+    ).toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(pd, Seq("spark", "data")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 3L, 4L -> 1L))
+    // single-term phrase degenerates to term frequency
+    val tf = Retrieval.phraseSearch(pd, Seq("spark")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tf === Map(0L -> 2L, 1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 1L))
+    // a term absent from the corpus matches nothing
+    assert(Retrieval.phraseSearch(pd, Seq("spark", "zzz")).isEmpty)
+    // positions index the CLEANED stream: doc 0 "and spark sorts" ->
+    // phrase (and, spark) is adjacent after cleaning
+    val adj = Retrieval.phraseSearch(pd, Seq("and", "spark")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(adj === Map(0L -> 1L)) // doc 3 has "spark and", not "and spark"
+  }
+
+  test("tfidfHashedVectors: independent replay, unit norms, query top-k ranks shared-vocab docs first") {
+    val dim = 16
+    val got = Retrieval.tfidfHashedVectors(docs, dim = dim).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    // independent replay of the exact arithmetic
+    def clean(s: String) = s.toLowerCase.split("[ \t\n\f\r]+").map(_.filterNot(c => c.toInt < 128 && !c.isLetterOrDigit && !c.isWhitespace)).filter(_.nonEmpty)
+    val corpus = docs.collect().map(r => r.getLong(0) -> clean(r.getString(1))).filter(_._2.nonEmpty)
+    val tfm = corpus.map { case (id, ws) => id -> ws.groupBy(identity).map { case (w, o) => w -> o.length } }.toMap
+    val dfm = tfm.values.flatMap(_.keys).groupBy(identity).map { case (w, o) => w -> o.size }
+    val n = tfm.size
+    def r(x: Double, s: Int) = BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    def bin(w: String) = (((w.map(c => 22L + 23L * (c.toLong - 14L)).sum % dim) + dim) % dim)
+    val want = tfm.flatMap { case (id, tf) =>
+      val byDim = tf.toSeq.map { case (w, f) =>
+        bin(w) -> r(f.toDouble * r(math.log((n + 1.0) / (dfm(w) + 1.0)) + 1.0, 12).toDouble, 12)
+      }.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum.toDouble }
+      val norm = math.sqrt(byDim.values.map(s => r(s * s, 12)).sum.toDouble)
+      byDim.map { case (d, s) => (id, d) -> r(s / norm, 8).toDouble }
+    }
+    assert(got === want)
+    // L2 norms are 1 up to rounding
+    got.keys.map(_._1).toSeq.distinct.foreach { id =>
+      val nn = got.collect { case ((i, _), v) if i == id => v * v }.sum
+      assert(math.abs(nn - 1.0) < 1e-6, s"doc $id norm $nn")
+    }
+    // top-k replays exactly from the verified vectors (at dim=16 the
+    // hashing trick genuinely collides unrelated words into shared
+    // dims — the ranking is over hashed dims, not raw vocabulary, so
+    // the spec asserts the exact dot-product ranking, not intuition)
+    val top = Retrieval.tfidfQueryTopK(docs, queryId = 2L, k = 2, dim = dim).collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    val qv = want.collect { case ((i, d), v) if i == 2L => d -> v }
+    val wantTop = want.keys.map(_._1).toSeq.distinct.filter(_ != 2L).map { id =>
+      val dot = qv.toSeq.map { case (d, v) =>
+        want.get((id, d)).map(x => r(x * v, 12)).getOrElse(BigDecimal(0)) }.sum
+      id -> r(dot.toDouble, 6).toDouble
+    }.sortBy { case (id, c) => (-c, id) }.take(2)
+    assert(top === wantTop, s"got $top want $wantTop")
+  }
+
   test("duplicatedSpans: stride grid is exhaustive at stride 1") {
     val a = "x" * 10 + "SHAREDSHAREDSHAREDSHAREDSHAREDXX" + "y" * 10
     val b = "z" * 3 + "SHAREDSHAREDSHAREDSHAREDSHAREDXX" + "w" * 20
