@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{VecDot, VecSelfDotRule, WordNGrams}
+import graft.functions.{NfcNormalize, VecDot, VecSelfDotRule, WordNGrams}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions as SQL functions, so `spark.sql("... vec_dot
@@ -41,6 +41,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "might_contain"),
       (exprs: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
+    // Unicode NFC normalization (no Spark built-in); same SQL name as
+    // DuckDB's, so the oracle twin is the literal same call
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
     // table-valued generator (UDTF): word n-grams, one row per gram
     ext.injectFunction((
       FunctionIdentifier("word_ngrams"),

@@ -979,6 +979,33 @@ object SparkEntry {
           col("doc_id").cast("string"), lit("&u=1</p>\t\t  "), col("text")).as("text"))
       Cleaning.clean(dirty).orderBy("doc_id")
     }),
+    // Unicode NFC via the native codegen Expression (no Spark
+    // built-in): decomposed combining sequences and compatibility
+    // singletons stitched on deterministically, recomposed in-plan —
+    // the canonicalization exact-hash dedup needs upstream
+    "unicode_nfc" -> ((s, d) => {
+      val id = col("doc_id")
+      // DECOMPOSED on purpose (explicit escapes so no editor can
+      // silently recompose the source): combining acute U+0301,
+      // combining ring U+030A / diaeresis U+0308, and the
+      // angstrom-sign singleton U+212B; the twin builds the
+      // identical sequences via chr()
+      val suffix = when(id % 3 === 0, lit(" cafe\u0301 touche\u0301"))
+        .when(id % 3 === 1, lit(" A\u030Angstro\u0308m \u212B"))
+        .otherwise(lit(" plain ascii"))
+      val fx = t(s, d).documents.select(id, concat(col("text"), suffix).as("text"))
+      val nfc = graft.functions.NfcNormalize.nfc(col("text"))
+      fx.select(col("doc_id"), nfc.as("clean"), (nfc =!= col("text")).as("changed"),
+          length(col("text")).cast("long").as("n_before"),
+          length(nfc).cast("long").as("n_after"))
+        .orderBy("doc_id")
+    }),
+    // checksum-validated PII: payment-card candidates by shape, Luhn
+    // validation, valid matches redacted — invalid ones (order-id
+    // shaped data) counted and kept. Fixture stitches standard TEST
+    // numbers on deterministically (the text_clean device).
+    "card_scrub" -> ((s, d) =>
+      Cleaning.scrubCards(Cleaning.cardFixtureFromDocs(t(s, d).documents)).orderBy("doc_id")),
     "doc_fingerprint" -> ((s, d) => TextQuality.fingerprint(t(s, d).documents).orderBy("doc_id")),
     // same rolling-hash construction with the reference's affine word
     // hash and a mod-1e9+7 fold — DuckDB-expressible, so hash-checked
@@ -2644,6 +2671,31 @@ object SparkEntry {
        | nr AS (SELECT doc_id, sqrt(CAST(sum(CAST(round(s * s, 12) AS DECIMAL(38,12))) AS DOUBLE)) AS norm
        |        FROM sd GROUP BY 1),
        | vec AS (SELECT sd.doc_id, sd.dim_idx, round(s / norm, 8) AS v FROM sd JOIN nr USING (doc_id))""".stripMargin
+
+  /** Card-scrub twin: fixture stitched from the SAME TestCards /
+    * TestNonCards constants; Luhn replayed as integer lambda
+    * arithmetic; redaction folded with list_reduce(list_prepend) —
+    * text as init, candidates in document order. */
+  private lazy val cardScrubTwinSql: String = {
+    def arr(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
+    def pick(xs: Seq[String]) = s"(${arr(xs)})[CAST((doc_id // 4) % ${xs.size} AS INT) + 1]"
+    val ds = "replace(replace(x, ' ', ''), '-', '')"
+    def dig = s"CAST(substring($ds, length($ds) - i + 1, 1) AS INT)"
+    val luhn = s"(list_sum(list_transform(generate_series(1, length($ds)), i -> " +
+      s"CASE WHEN i % 2 = 0 THEN CASE WHEN 2 * $dig > 9 THEN 2 * $dig - 9 ELSE 2 * $dig END " +
+      s"ELSE $dig END)) % 10 = 0)"
+    s"""WITH fx AS (SELECT doc_id, text || CASE doc_id % 4
+       |   WHEN 0 THEN ' pay ' || ${pick(Cleaning.TestCards)} || ' now'
+       |   WHEN 1 THEN ' ref ' || ${pick(Cleaning.TestNonCards)} || ' code'
+       |   WHEN 2 THEN ' card ' || ${pick(Cleaning.TestCards)} || ' and ' || ${pick(Cleaning.TestNonCards)} || ' tail'
+       |   ELSE '' END AS text FROM documents),
+       | c AS (SELECT doc_id, text, regexp_extract_all(text, '\\b\\d(?:[ -]?\\d){12,18}\\b') AS cands FROM fx),
+       | v AS (SELECT doc_id, text, cands, list_filter(cands, x -> $luhn) AS valids FROM c)
+       |SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates,
+       | CAST(len(valids) AS BIGINT) AS n_cards,
+       | list_reduce(list_prepend(text, valids), (a, b) -> replace(a, b, '<CARD>')) AS clean
+       |FROM v ORDER BY doc_id""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "wordcount" ->
@@ -4489,6 +4541,17 @@ object SparkEntry {
     // strip, entity decode (amp LAST — same fold order as the Scala),
     // URL-then-email redaction, control strip, whitespace collapse.
     // All patterns are in the RE2 ∩ java.util.regex common subset.
+    "card_scrub" -> cardScrubTwinSql,
+    "unicode_nfc" ->
+      """WITH fx AS (SELECT doc_id, text || CASE doc_id % 3
+        |  WHEN 0 THEN ' cafe' || chr(769) || ' touche' || chr(769)
+        |  WHEN 1 THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm ' || chr(8491)
+        |  ELSE ' plain ascii' END AS text FROM documents)
+        |SELECT doc_id, nfc_normalize(text) AS clean,
+        | nfc_normalize(text) <> text AS changed,
+        | CAST(length(text) AS BIGINT) AS n_before,
+        | CAST(length(nfc_normalize(text)) AS BIGINT) AS n_after
+        |FROM fx ORDER BY doc_id""".stripMargin,
     "text_clean" ->
       """WITH dirty AS (SELECT doc_id,
         |  '<p>Contact <b>user' || CAST(doc_id AS VARCHAR) ||

@@ -69,4 +69,67 @@ object Cleaning {
       size(regexp_extract_all(noUrls, lit(EmailRe), lit(0))).cast(LongType).as("n_emails"),
       normalizeWhitespace(regexp_replace(noUrls, EmailRe, "<EMAIL>")).as("clean"))
   }
+
+  /** Payment-card candidates: 13-19 digits, single optional space or
+    * dash between digit pairs, word-bounded — the shape-level filter.
+    * Validation is [[luhnValid]]; the shape alone matches order ids
+    * and timestamps, which is why counting matches without a checksum
+    * over-redacts. RE2-compatible (no lookaround). */
+  val CardRe = "\\b\\d(?:[ -]?\\d){12,18}\\b"
+
+  /** Luhn checksum (ISO/IEC 7812, public domain) over a digits-only
+    * string: from the rightmost digit, double every second digit,
+    * subtract 9 when the double exceeds 9, valid iff the sum is a
+    * multiple of 10. Pure integer arithmetic over codegen'd
+    * higher-order functions — identical on both oracle engines. */
+  def luhnValid(ds: Column): Column = {
+    val n = length(ds)
+    def digit(i: Column): Column = ds.substr(n - i + 1, lit(1)).cast(IntegerType)
+    val total = aggregate(sequence(lit(1), n), lit(0), (acc, i) => {
+      val d = digit(i)
+      acc + when(i % 2 === 0, when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    total % 10 === 0
+  }
+
+  /** Detect and redact Luhn-valid payment-card numbers: candidates by
+    * shape ([[CardRe]]), validated by checksum, each valid match
+    * replaced with `<CARD>` (exact-string replace folded over the
+    * candidate list in document order). Luhn-INVALID candidates are
+    * counted but left in place — an order id shaped like a card is
+    * data, not PII. Zero-shuffle narrow projection like [[clean]];
+    * the Luhn fold is integer arithmetic over a ≤19-element sequence
+    * per candidate. Output: (doc_id, n_candidates, n_cards, clean). */
+  def scrubCards(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val cands = regexp_extract_all(col(textCol), lit(CardRe), lit(0))
+    val valids = filter(cands, c => luhnValid(regexp_replace(c, "[ -]", "")))
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(cands).cast(LongType).as("n_candidates"),
+      size(valids).cast(LongType).as("n_cards"),
+      aggregate(valids, col(textCol), (acc, c) => replace(acc, c, lit("<CARD>"))).as("clean"))
+  }
+
+  /** Deterministic card-bearing fixture (the text_clean device: the
+    * corpus has no card numbers, so the dirt is stitched on
+    * identically by both oracle engines). doc_id mod 4 selects none /
+    * a valid card / an invalid candidate / both; the constants are
+    * standard industry TEST numbers (public), rotated by doc_id so
+    * every format (plain, dashed, spaced, 15-digit) appears. */
+  val TestCards = Seq("4111111111111111", "4012-8888-8888-1881",
+    "3782 822463 10005", "5555555555554444")
+  val TestNonCards = Seq("4111111111111112", "1234 5678 9012 3456")
+
+  def cardFixtureFromDocs(docs: DataFrame): DataFrame = {
+    def pick(xs: Seq[String], k: Column): Column =
+      element_at(array(xs.map(lit): _*), (k % xs.size).cast(IntegerType) + 1)
+    val id = col("doc_id")
+    val rot = floor(id / 4).cast(LongType)
+    val suffix = when(id % 4 === 0, concat(lit(" pay "), pick(TestCards, rot), lit(" now")))
+      .when(id % 4 === 1, concat(lit(" ref "), pick(TestNonCards, rot), lit(" code")))
+      .when(id % 4 === 2, concat(lit(" card "), pick(TestCards, rot),
+        lit(" and "), pick(TestNonCards, rot), lit(" tail")))
+      .otherwise(lit(""))
+    docs.select(id, concat(col("text"), suffix).as("text"))
+  }
 }
