@@ -1504,6 +1504,16 @@ object SparkEntry {
     // ONE TakeOrderedAndProject top-(k+1) pick
     "priority_sample" -> ((s, d) =>
       Corpus.prioritySample(t(s, d).documents, k = 200).orderBy("doc_id")),
+    // materialized training ORDER: quality-quantile phases (histogram
+    // percent rank — no corpus sort) round-robined across shards with
+    // a deterministic within-shard sequence
+    "curriculum_shards" -> ((s, d) =>
+      Corpus.curriculumShards(
+        t(s, d).documents.select(col("doc_id"), length(col("text")).cast("long").as("score")),
+        phases = 4, nShards = 8).orderBy("doc_id")),
+    // one-row dataset-card vocabulary profile off the wordcount
+    // relation (TTR / hapax / top-share scrape-health tells)
+    "vocab_stats" -> ((s, d) => TextOps.vocabStats(t(s, d).documents)),
     "doc_chunks" -> ((s, d) =>
       Corpus.chunk(t(s, d).documents, size = 128)
         .select(col("doc_id"), col("chunk_idx"), col("chunk"), col("n_chunks"))
@@ -4586,6 +4596,35 @@ object SparkEntry {
       s"""SELECT doc_id, lang FROM documents
          |WHERE $HashPermille < CASE WHEN lang = 'en' THEN 100 ELSE 300 END
          |ORDER BY doc_id""".stripMargin,
+
+    // curriculum: percent rank from the score histogram, phase =
+    // clamped floor(pr*P), Knuth-hash shard + within-shard sequence
+    "curriculum_shards" ->
+      """WITH sc AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS score FROM documents),
+        | h AS (SELECT score, count(*) AS cnt FROM sc GROUP BY 1),
+        | r AS (SELECT score,
+        |   coalesce(sum(cnt) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnt_below,
+        |   sum(cnt) OVER () AS n FROM h),
+        | pr AS (SELECT score, CASE WHEN n = 1 THEN 0.0
+        |        ELSE CAST(cnt_below AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS pr FROM r),
+        | j AS (SELECT sc.doc_id, sc.score, pr.pr,
+        |   CAST(least(3, floor(pr.pr * 4)) AS BIGINT) AS phase,
+        |   CAST((((sc.doc_id % 2147483648) * 2654435761) % 4294967296) % 8 AS BIGINT) AS shard,
+        |   (((sc.doc_id % 2147483648) * 2654435761) % 4294967296) AS ord
+        |  FROM sc JOIN pr USING (score))
+        |SELECT doc_id, score, pr, phase, shard,
+        | CAST(row_number() OVER (PARTITION BY phase, shard ORDER BY ord, doc_id) AS BIGINT) AS seq
+        |FROM j ORDER BY doc_id""".stripMargin,
+
+    "vocab_stats" ->
+      s"""$W, wc AS (SELECT word, count(*) AS cnt FROM w WHERE length(word) > 0 GROUP BY word),
+         | a AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens, count(*) AS n_types,
+         |        CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax, max(cnt) AS max_freq FROM wc)
+         |SELECT n_tokens, n_types, n_hapax, max_freq,
+         | round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS type_token_ratio,
+         | round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6) AS hapax_frac,
+         | round(CAST(max_freq AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS top_share
+         |FROM a""".stripMargin,
 
     // priority sampling: rank by the integer key floor(h*2^20/w)
     // (ascending == priority w/u descending), threshold from the

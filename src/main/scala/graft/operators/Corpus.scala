@@ -131,6 +131,48 @@ object Corpus {
         round(greatest(col("weight").cast(DoubleType), tau), 6).as("w_est"))
   }
 
+  /** Curriculum shard assignment: bucket documents into `phases`
+    * quality strata by the GLOBAL percent rank of a caller-supplied
+    * `score` column, then round-robin each stratum across `nShards`
+    * output shards with a deterministic within-shard sequence — the
+    * materialized training ORDER ("easy/low-quality phases first,
+    * highest-quality last"), the one thing a plain quality FILTER
+    * cannot express. A trainer reads phase 0's shards, then phase
+    * 1's, …; within a phase every shard holds an unbiased (hash-
+    * ordered) slice of the stratum.
+    *
+    * Scale shape: the percent rank comes from the histogram-two-pass
+    * device ([[qualityQuantileFilter]]) — a (distinct-score)-sized
+    * relation, never a corpus-wide sort; its one unpartitioned window
+    * runs over the HISTOGRAM. Doc-scale work is one broadcast join
+    * plus a per-(phase, shard) row_number — parallelism is
+    * phases × shards, each partition ~|corpus|/(P·S). All ordering
+    * keys are the engine-exact Knuth id hash ([[budgetCap]]), so the
+    * curriculum is reproducible across runs and partitionings.
+    * Output: (idCol, score, pr, phase, shard, seq). */
+  def curriculumShards(scored: DataFrame, phases: Int = 4, nShards: Int = 8,
+                       idCol: String = "doc_id"): DataFrame = {
+    require(phases > 0 && nShards > 0, "curriculumShards needs phases > 0 and nShards > 0")
+    val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
+    val below = Window.orderBy(col("score")).rowsBetween(Window.unboundedPreceding, -1)
+    val tot = hist.agg(sum(col("cnt")).as("n"))
+    val ranks = hist
+      .withColumn("cnt_below", coalesce(sum(col("cnt")).over(below), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("score"), when(col("n") === 1L, lit(0.0))
+        .otherwise(col("cnt_below").cast(DoubleType) / (col("n") - 1L).cast(DoubleType)).as("pr"))
+    val h = pmod(pmod(col(idCol), lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
+    scored.join(broadcast(ranks), "score")
+      .select(col(idCol), col("score"), col("pr"),
+        least(lit((phases - 1).toLong), floor(col("pr") * phases).cast(LongType)).as("phase"),
+        (h % nShards).cast(LongType).as("shard"),
+        h.as("__ord"))
+      .withColumn("seq", row_number()
+        .over(Window.partitionBy(col("phase"), col("shard")).orderBy(col("__ord"), col(idCol)))
+        .cast(LongType))
+      .drop("__ord")
+  }
+
   /** Split each document into fixed-size character chunks (the context
     * -window packing primitive): (doc_id, chunk_idx, chunk, n_chunks).
     * Pure generator over a narrow projection — scales linearly, no

@@ -93,6 +93,24 @@ object TextOps {
       (acc, ch) => acc + lit(22L) + lit(23L) * (ascii(ch) - lit(14L))), lit(bins.toLong))
   }
 
+  /** One-row corpus vocabulary profile off the wordcount relation —
+    * the dataset-card numbers (token/type counts, type-token ratio,
+    * hapax fraction, top-term share) that flag a broken scrape (TTR
+    * collapse = boilerplate flood; hapax spike = OCR noise or
+    * mojibake) before any expensive stage runs. One scan + one
+    * bounded-state aggregate; ratios are single IEEE divisions of
+    * exact integers, rounded(6). */
+  def vocabStats(docs: DataFrame): DataFrame =
+    wordCount(docs).agg(
+      sum(col("cnt")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(when(col("cnt") === 1, lit(1L)).otherwise(lit(0L))).as("n_hapax"),
+      max(col("cnt")).as("max_freq"))
+      .select(col("n_tokens"), col("n_types"), col("n_hapax"), col("max_freq"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6).as("type_token_ratio"),
+        round(col("n_hapax").cast("double") / col("n_types").cast("double"), 6).as("hapax_frac"),
+        round(col("max_freq").cast("double") / col("n_tokens").cast("double"), 6).as("top_share"))
+
   /** Distinct words per reference bin — the word→output-file ownership
     * map a reference run would produce (with n processes, bin i goes to
     * process i mod n, map_reduce.cpp:306). */

@@ -389,4 +389,26 @@ class CorpusSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
     assert(again.toSeq === got.toSeq)
   }
+
+  test("curriculumShards: phases are score quantiles, shards slice every phase, seq is dense") {
+    import spark.implicits._
+    val scored = (1L to 400L).map(i => (i, (i * 31) % 100)).toDF("doc_id", "score")
+    val out = Corpus.curriculumShards(scored, phases = 4, nShards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.length === 400)
+    // phases are ordered by score: every doc in a higher phase has
+    // score >= every doc in a lower one (quantile cut on score)
+    val byPhase = out.groupBy(_._4).view.mapValues(_.map(_._2)).toMap
+    assert(byPhase.keySet === Set(0L, 1L, 2L, 3L))
+    for (p <- 0L to 2L) assert(byPhase(p).max <= byPhase(p + 1).min,
+      s"phase $p max ${byPhase(p).max} > phase ${p + 1} min ${byPhase(p + 1).min}")
+    // every (phase, shard) cell is non-empty and seq runs 1..n densely
+    out.groupBy(r => (r._4, r._5)).foreach { case (cell, rs) =>
+      assert(rs.map(_._6).sorted.toSeq === (1L to rs.length).toSeq, s"cell $cell seq not dense")
+    }
+    // deterministic under repartitioning
+    val again = Corpus.curriculumShards(scored.repartition(7), phases = 4, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(5))).toMap
+    assert(again === out.map(r => (r._1, r._6)).toMap)
+  }
 }

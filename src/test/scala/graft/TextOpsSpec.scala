@@ -76,4 +76,13 @@ class TextOpsSpec extends AnyFunSuite {
     val rows = TextOps.wordCountTopK(docs("b b a a c"), 2).collect()
     assert(rows.map(_.getString(0)).toSeq === Seq("a", "b"))
   }
+
+  test("vocabStats: counts and ratios match a hand computation") {
+    // tokens: a a a b b c -> 6 tokens, 3 types, 1 hapax (c), max 3 (a)
+    val r = TextOps.vocabStats(docs("a a a b b c")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) === ((6L, 3L, 1L, 3L)))
+    assert(r.getDouble(4) === 0.5)      // 3/6
+    assert(r.getDouble(5) === 0.333333) // 1/3 rounded(6)
+    assert(r.getDouble(6) === 0.5)      // 3/6
+  }
 }
