@@ -979,6 +979,19 @@ object SparkEntry {
           col("doc_id").cast("string"), lit("&u=1</p>\t\t  "), col("text")).as("text"))
       Cleaning.clean(dirty).orderBy("doc_id")
     }),
+    // script routing before language ID: per-doc codepoint-range
+    // census + dominant-script verdict; CJK/Cyrillic stitched on
+    // deterministically (the corpus is pure ASCII)
+    "script_profile" -> ((s, d) => {
+      val id = col("doc_id")
+      val suffix = when(id % 4 === 0, lit(" " + CjkSample))
+        .when(id % 4 === 1, lit(" " + CyrSample + " 99"))
+        .when(id % 4 === 2, lit(" " + CjkSample + " " + CyrSample))
+        .otherwise(lit(""))
+      TextQuality.scriptProfile(
+        t(s, d).documents.select(id, concat(col("text"), suffix).as("text")))
+        .orderBy("doc_id")
+    }),
     // Unicode NFC via the native codegen Expression (no Spark
     // built-in): decomposed combining sequences and compatibility
     // singletons stitched on deterministically, recomposed in-plan —
@@ -1048,6 +1061,14 @@ object SparkEntry {
     // surface new links), keep documents by auth (content pages)
     "hits_rank" -> ((s, d) =>
       Graph.hits(Html.outlinks(Html.pageFromDocs(t(s, d).documents))).orderBy("node")),
+    // TrustRank: teleport only to curator-vouched seeds (every 50th
+    // doc) — link farms with no seed path score ~0; the spam-resistant
+    // authority prior a raw crawl needs
+    "trust_rank" -> ((s, d) =>
+      Graph.personalizedPageRank(
+        Html.outlinks(Html.pageFromDocs(t(s, d).documents)),
+        t(s, d).documents.where(col("doc_id") % 50 === 0).select(col("doc_id").as("node")))
+        .orderBy("node")),
     // site-cluster discovery: undirected connected components over the
     // extracted link graph — large-star/small-star (Graph
     // .starComponents), the O(log n)-round formulation a real crawl
@@ -2309,6 +2330,31 @@ object SparkEntry {
   private def pageRankUnrolled(edgesCtePrefix: String): String =
     s"${pageRankCtes(edgesCtePrefix)}\nSELECT node, round(rank, 8) AS pr FROM r5 ORDER BY node"
 
+  /** 5-iteration TrustRank twin: pageRankCtes' arithmetic with the
+    * teleport term CASE'd on seed membership (every 50th doc), |S|
+    * from an in-graph seed count. Same single-scalar-subquery chain
+    * shape as the pageRank twin. */
+  private def trustRankUnrolled(edgesCtePrefix: String): String = {
+    val tele = "CASE WHEN f.is_seed THEN (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT k FROM ns) ELSE CAST(0.0 AS DOUBLE) END"
+    val pre =
+      s"""$edgesCtePrefix,
+         | nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst AS node FROM edges),
+         | deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         | sds AS (SELECT doc_id AS snode FROM documents WHERE doc_id % 50 = 0),
+         | flg AS (SELECT node, node IN (SELECT snode FROM sds) AS is_seed FROM nodes),
+         | ns AS (SELECT count(*) AS k FROM flg WHERE is_seed),
+         | r0 AS (SELECT f.node, f.is_seed, $tele AS rank FROM flg f)""".stripMargin
+    val iters = (1 to 5).map { i =>
+      s""" r$i AS (SELECT f.node, f.is_seed,
+         |   $tele + CAST(0.85 AS DOUBLE) * CAST(coalesce(c.s, 0) AS DOUBLE) AS rank
+         |  FROM flg f LEFT JOIN (
+         |    SELECT e.dst AS node, sum(CAST(round(r.rank / deg.deg, 12) AS DECIMAL(38,12))) AS s
+         |    FROM r${i - 1} r JOIN deg ON deg.src = r.node JOIN edges e ON e.src = r.node
+         |    GROUP BY e.dst) c ON c.node = f.node)""".stripMargin
+    }.mkString(",\n")
+    s"$pre,\n$iters\nSELECT node, round(rank, 8) AS ppr FROM r5 ORDER BY node"
+  }
+
   /** 5-iteration HITS twin over a pluggable `edges(src, dst)` CTE
     * prefix — mirrors Graph.hits operation-for-operation: per-edge
     * round(score, 12) → DECIMAL(38,12) sums, L1 normalization by the
@@ -2482,6 +2528,12 @@ object SparkEntry {
     * expression uses (shortest-round-trip rendering parses back to the
     * identical bits in DuckDB), so both engines evaluate bit-equal
     * literals — the same discipline dsum applies to aggregation. */
+  // script-profile fixture constants (explicit escapes; the twin
+  // rebuilds the identical sequences via chr())
+  private val CjkSample = "中文語料"
+  private val CyrSample = "слово"
+  private def chrConcat(s: String): String = s.map(c => s"chr(${c.toInt})").mkString(" || ")
+
   private[graft] val Bm25Terms = Seq("spark", "hash", "dup")
   // phrase with multi-occurrence docs at sf0.01 (8 hits over 5 docs)
   // so the occurrence COUNT is exercised, not just membership
@@ -4017,6 +4069,7 @@ object SparkEntry {
 
     "crawl_rank" -> pageRankUnrolled(CrawlEdgesCte),
     "hits_rank" -> hitsUnrolled(CrawlEdgesCte),
+    "trust_rank" -> trustRankUnrolled(CrawlEdgesCte),
 
     // container framing + extraction: expected records rebuilt
     // closed-form (url and fetch_ts from doc_id arithmetic, main_text
@@ -4552,6 +4605,28 @@ object SparkEntry {
     // URL-then-email redaction, control strip, whitespace collapse.
     // All patterns are in the RE2 ∩ java.util.regex common subset.
     "card_scrub" -> cardScrubTwinSql,
+    "script_profile" -> {
+      def c(cls: String) = s"CAST(length(text) - length(regexp_replace(text, '$cls', '', 'g')) AS BIGINT)"
+      s"""WITH fx AS (SELECT doc_id, text || CASE doc_id % 4
+         |  WHEN 0 THEN ' ' || ${chrConcat(CjkSample)}
+         |  WHEN 1 THEN ' ' || ${chrConcat(CyrSample)} || ' 99'
+         |  WHEN 2 THEN ' ' || ${chrConcat(CjkSample)} || ' ' || ${chrConcat(CyrSample)}
+         |  ELSE '' END AS text FROM documents),
+         | p AS (SELECT doc_id,
+         |  ${c("[A-Za-z]")} AS n_latin,
+         |  ${c("[\\x{0400}-\\x{04FF}]")} AS n_cyrillic,
+         |  ${c("[\\x{4E00}-\\x{9FFF}]")} AS n_cjk,
+         |  ${c("[0-9]")} AS n_digit,
+         |  ${c("[ \\t\\n\\f\\r]")} AS n_space,
+         |  CAST(length(text) AS BIGINT) AS n FROM fx)
+         |SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_digit, n_space,
+         | n - n_latin - n_cyrillic - n_cjk - n_digit - n_space AS n_other,
+         | CASE WHEN n_latin + n_cyrillic + n_cjk = 0 THEN 'none'
+         |      WHEN n_cjk >= n_latin AND n_cjk >= n_cyrillic THEN 'cjk'
+         |      WHEN n_cyrillic >= n_latin THEN 'cyrillic'
+         |      ELSE 'latin' END AS dominant
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
     "unicode_nfc" ->
       """WITH fx AS (SELECT doc_id, text || CASE doc_id % 3
         |  WHEN 0 THEN ' cafe' || chr(769) || ' touche' || chr(769)

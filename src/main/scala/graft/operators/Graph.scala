@@ -64,6 +64,53 @@ object Graph {
     rank.select(col("node"), round(col("rank"), 8).as("pr"))
   }
 
+  /** Seed-personalized PageRank (the TrustRank construction, Gyöngyi
+    * et al., "Combating web spam with TrustRank", VLDB 2004, public):
+    * teleport mass goes ONLY to a trusted seed set instead of
+    * uniformly — authority must flow out of pages a curator vouched
+    * for, so link farms with no seed path score ~0 no matter how
+    * densely they cite each other. The spam-resistance a raw crawl's
+    * quality prior actually needs; plain [[pageRank]] is the
+    * seeds = all-nodes special case.
+    *
+    * Same exactness discipline and scale shape as [[pageRank]]
+    * (rounded(12) contributions, DECIMAL(38,12) sums, |V| iterated
+    * state, per-round lineage truncation); the seed flag is joined
+    * onto the node list ONCE before the loop. Seeds outside the graph
+    * are ignored; |S| counts in-graph seeds (one driver scalar, the
+    * pageRank-n class of driver touch). Output: (node, ppr) rounded
+    * to 8 decimals — NOT L1-normalized to 1: the lost dangling/sink
+    * mass is the point (a node's ppr is its trust reachability). */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int = 5,
+                           damping: Double = 0.85, srcCol: String = "src",
+                           dstCol: String = "dst", seedCol: String = "node"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct()
+    val sd = seeds.select(col(seedCol).as("node")).distinct().withColumn("is_seed", lit(true))
+    val flagged = nodes.join(sd, Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint(true)
+    val nSeeds = flagged.where(col("is_seed")).count()
+    require(nSeeds > 0, "personalizedPageRank needs at least one seed inside the graph")
+    val degE = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint(true)
+    val base = when(col("is_seed"), lit((1.0 - damping) / nSeeds)).otherwise(lit(0.0))
+    var rank = flagged.select(col("node"), col("is_seed"), base.as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = rank.join(degE, col("node") === col("src"))
+        .select(col("dst"), round(col("rank") / col("deg"), 12).as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c").cast(DecimalType(38, 12))).as("s"))
+      rank = flagged.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"), col("is_seed"),
+          (base + lit(damping) * coalesce(col("s").cast("double"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+    }
+    rank.select(col("node"), round(col("rank"), 8).as("ppr"))
+  }
+
   /** Deterministic HITS (Kleinberg, "Authoritative sources in a
     * hyperlinked environment", JACM 1999): the hubs-and-authorities
     * companion to [[pageRank]] — auth(v) = Σ hub(u) over in-links,

@@ -596,4 +596,35 @@ object TextQuality {
       (acc, w) => pmod(acc * lit(31L) + wordHash(w), lit(1000000007L)))
     docs.select(col(idCol).as("doc_id"), fp.as("fp"))
   }
+
+  /** Unicode-script character profile: per-document counts of Latin /
+    * Cyrillic / CJK / digit / whitespace / other characters and a
+    * dominant-script verdict — the cheap structural complement to
+    * [[langIdNgram]] (script is decided by codepoint RANGES before
+    * any language model runs: a "mostly-CJK" doc routed to a Latin
+    * trigram profile is a pipeline bug this catches in one scan).
+    * Counts are the replace-arithmetic device (length minus length
+    * after deleting the class — identical integers cross-engine);
+    * dominance is a fixed-order CASE over the three script counts
+    * ('none' when all are zero), deterministic and mirrored. Narrow
+    * zero-shuffle projection; 5 RE2-safe regex passes per row. */
+  def scriptProfile(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    def cnt(cls: String): Column =
+      (length(col(textCol)) - length(regexp_replace(col(textCol), cls, ""))).cast(LongType)
+    val latin = cnt("[A-Za-z]")
+    val cyr = cnt("[\\x{0400}-\\x{04FF}]")
+    val cjk = cnt("[\\x{4E00}-\\x{9FFF}]")
+    val dig = cnt("[0-9]")
+    val sp = cnt("[ \\t\\n\\f\\r]")
+    docs.select(col(idCol).as("doc_id"),
+        latin.as("n_latin"), cyr.as("n_cyrillic"), cjk.as("n_cjk"),
+        dig.as("n_digit"), sp.as("n_space"),
+        (length(col(textCol)).cast(LongType) - latin - cyr - cjk - dig - sp).as("n_other"))
+      .withColumn("dominant",
+        when(col("n_latin") + col("n_cyrillic") + col("n_cjk") === 0, lit("none"))
+          .when(col("n_cjk") >= col("n_latin") && col("n_cjk") >= col("n_cyrillic"), lit("cjk"))
+          .when(col("n_cyrillic") >= col("n_latin"), lit("cyrillic"))
+          .otherwise(lit("latin")))
+  }
 }

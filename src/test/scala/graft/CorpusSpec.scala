@@ -390,6 +390,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("scriptProfile: range census and dominant verdict by hand") {
+    import spark.implicits._
+    import graft.operators.TextQuality
+    val fx = Seq(
+      (0L, "abc def 12"),                       // latin 6, digit 2, space 2
+      (1L, "ab \u0441\u043B\u043E\u0432\u043E"),// latin 2, cyr 5, space 1
+      (2L, "\u4E2D\u6587!"),                    // cjk 2, other 1
+      (3L, "!!! ???")                           // nothing scripted
+    ).toDF("doc_id", "text")
+    val got = TextQuality.scriptProfile(fx).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getString(7)))).toMap
+    assert(got(0L) === ((6L, 0L, 0L, 2L, 2L, 0L, "latin")))
+    assert(got(1L) === ((2L, 5L, 0L, 0L, 1L, 0L, "cyrillic")))
+    assert(got(2L) === ((0L, 0L, 2L, 0L, 0L, 1L, "cjk")))
+    assert(got(3L) === ((0L, 0L, 0L, 0L, 1L, 6L, "none")))
+  }
+
   test("curriculumShards: phases are score quantiles, shards slice every phase, seq is dense") {
     import spark.implicits._
     val scored = (1L to 400L).map(i => (i, (i * 31) % 100)).toDF("doc_id", "score")

@@ -101,6 +101,46 @@ class GraphSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("personalizedPageRank: trust flows only from seeds, farms score zero") {
+    // seed 1 -> 2 -> 3; disconnected "farm" 10 <-> 11 citing each other
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 10L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val got = Graph.personalizedPageRank(edges, seeds, iters = 20).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the farm has no seed path: exactly zero trust regardless of its
+    // internal link density
+    assert(got(10L) === 0.0 && got(11L) === 0.0, got.toString)
+    // trust decays along the chain from the seed
+    assert(got(1L) > got(2L) && got(2L) > got(3L), got.toString)
+    assert(got.values.forall(_ >= 0.0))
+  }
+
+  test("personalizedPageRank matches an independent fold; seeds outside the graph are ignored") {
+    val edges = (for (i <- 0L until 20L; j <- 0L until 20L
+                      if i != j && (i * 7 + j * 11) % 5 == 0) yield (i, j)).toSeq
+    val seeds = Seq(0L, 5L, 10L, 999L).map(Tuple1(_)).toDF("node") // 999 not in graph
+    val got = Graph.personalizedPageRank(edges.toDF("src", "dst"), seeds, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val inSeeds = Set(0L, 5L, 10L)
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+    val in = edges.groupBy(_._2).map { case (d, es) => d -> es.map(_._1) }
+    def r12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val base = (1.0 - 0.85) / inSeeds.size
+    def tele(v: Long) = if (inSeeds(v)) base else 0.0
+    var rank = nodes.map(v => v -> tele(v)).toMap
+    for (_ <- 1 to 5) {
+      rank = nodes.map { v =>
+        val s = in.getOrElse(v, Seq.empty).map(u => r12(rank(u) / out(u))).sum
+        v -> (tele(v) + 0.85 * s.toDouble)
+      }.toMap
+    }
+    val want = rank.map { case (v, r) =>
+      v -> BigDecimal(r).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble }
+    assert(got === want)
+  }
+
   test("hits deterministic across runs") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
     val run = () => Graph.hits(edges).collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
