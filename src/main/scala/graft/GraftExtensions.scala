@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{NfcNormalize, VecDot, VecSelfDotRule, WordNGrams}
+import graft.functions.{DeflateSize, NfcNormalize, VecDot, VecSelfDotRule, WordNGrams}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions as SQL functions, so `spark.sql("... vec_dot
@@ -41,6 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "might_contain"),
       (exprs: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
+    // deflate length (the compression-ratio quality gate's kernel)
+    ext.injectFunction((
+      FunctionIdentifier("deflate_size"),
+      new ExpressionInfo(classOf[DeflateSize].getName, "deflate_size"),
+      (exprs: Seq[Expression]) => DeflateSize(exprs(0))))
     // Unicode NFC normalization (no Spark built-in); same SQL name as
     // DuckDB's, so the oracle twin is the literal same call
     ext.injectFunction((

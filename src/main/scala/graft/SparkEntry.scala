@@ -411,6 +411,22 @@ object SparkEntry {
         .agg(graft.functions.dsum2(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"))
         .orderBy(col("o_orderstatus"))
     }),
+    // corrupt-record ACCOUNTING on a JSONL ingest: every 13th line
+    // truncated mid-string (deterministic damage), PERMISSIVE parse
+    // preserves it in _corrupt, the audit counts the loss and
+    // checksums the survivors — neither FAILFAST's dead job nor
+    // DROPMALFORMED's silent shrink
+    "json_bad_records" -> ((s, d) => {
+      val stage = java.nio.file.Files.createTempDirectory("graft-badjson").toString
+      t(s, d).documents
+        .select(col("doc_id"),
+          to_json(struct(col("doc_id"), col("lang"), col("text"))).as("line"))
+        .select(when(col("doc_id") % 13 === 0,
+            substring(col("line"), 1, 20)).otherwise(col("line")).as("value"))
+        .coalesce(1).write.mode("overwrite").text(stage)
+      graft.sources.Jsonl.audit(
+        graft.sources.Jsonl.readAudited(s, stage, "doc_id LONG, lang STRING, text STRING"))
+    }),
     "ref_bin_histogram" -> ((s, d) => TextOps.refBinHistogram(t(s, d).documents).orderBy("bin")),
     // typed Aggregator UDAF (SURVEY.md §2.10): exact top-k by count
     "topk_udaf" -> ((s, d) => {
@@ -557,6 +573,31 @@ object SparkEntry {
     "tumbling_agg" -> ((s, d) => Windows.tumblingCounts(t(s, d).events)),
     "sliding_agg" -> ((s, d) => Windows.slidingCounts(t(s, d).events)),
     "session_agg" -> ((s, d) => Windows.sessionize(t(s, d).events)),
+    // inter-arrival profile: per-user consecutive-event gaps in exact
+    // integer microseconds, NEAREST-RANK percentiles (value at rank
+    // ceil(q·n) — engines' interpolating percentiles differ by an ulp
+    // and flip rounding boundaries; the picked value is an exact
+    // integer, so the hash can't flap) — the burst/bot tell a raw
+    // event feed gets screened with
+    "event_gaps" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gaps = t(s, d).events
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .select(col("user_id"),
+          (unix_micros(col("ts")) - unix_micros(col("prev"))).as("gap_us"))
+      val ranked = gaps
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("gap_us"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      ranked.groupBy("user_id").agg(
+          count(lit(1)).as("n_gaps"),
+          max(when(col("rn") === ceil(col("n") * lit(0.5)).cast("long"), col("gap_us"))).as("p50_gap"),
+          max(when(col("rn") === ceil(col("n") * lit(0.9)).cast("long"), col("gap_us"))).as("p90_gap"),
+          max(col("gap_us")).as("max_gap"))
+        .orderBy("user_id")
+    }),
 
     // ---- M3: LLM-pipeline operators (SURVEY.md §2.11) ----
     "dedup_exact" -> ((s, d) => Dedup.exactGroups(t(s, d).documents).orderBy("keep_id")),
@@ -979,6 +1020,19 @@ object SparkEntry {
           col("doc_id").cast("string"), lit("&u=1</p>\t\t  "), col("text")).as("text"))
       Cleaning.clean(dirty).orderBy("doc_id")
     }),
+    // low-entropy gate: per-doc deflate ratio (rows-only — no SQL
+    // engine exposes deflate; determinism + separation pinned by spec)
+    "compression_ratio" -> ((s, d) =>
+      TextQuality.compressionRatio(t(s, d).documents).orderBy("doc_id")),
+    // sentence segmentation (the unit C4-style line rules and
+    // per-sentence dedup operate on): terminators stitched on
+    // deterministically — the corpus has none
+    "sentence_split" -> ((s, d) => {
+      val fx = t(s, d).documents.select(col("doc_id"),
+        concat(col("text"), lit(". Doc "), col("doc_id").cast("string"),
+          lit(" ends! Is it done? yes")).as("text"))
+      TextQuality.sentences(fx).orderBy("doc_id", "sent_idx")
+    }),
     // script routing before language ID: per-doc codepoint-range
     // census + dominant-script verdict; CJK/Cyrillic stitched on
     // deterministically (the corpus is pure ASCII)
@@ -1303,6 +1357,17 @@ object SparkEntry {
           org.apache.spark.sql.expressions.Window
             .orderBy(col("n_inlinks").desc, col("dst"))).cast("long"))
         .orderBy("priority")
+    }),
+    // politeness on top of the frontier: wave = per-host fetch rank
+    // (a host is hit once per wave), slot = cross-host order within a
+    // wave — the mercator host-queue interleave, relationally
+    "crawl_schedule" -> ((s, d) => {
+      val docs = t(s, d).documents
+      val frontier = Html.outlinks(Html.pageFromDocs(docs))
+        .join(docs.select(col("doc_id").as("dst")), Seq("dst"), "left_anti")
+        .groupBy(col("dst")).agg(countDistinct(col("src")).as("n_inlinks"))
+        .withColumn("host", col("dst") % Html.SiteSpace)
+      Html.politeSchedule(frontier).orderBy("dst")
     }),
     // robots.txt end to end: per-host files built closed-form (a
     // decoy badbot group that must be IGNORED, a comment, an inert
@@ -4605,6 +4670,51 @@ object SparkEntry {
     // URL-then-email redaction, control strip, whitespace collapse.
     // All patterns are in the RE2 ∩ java.util.regex common subset.
     "card_scrub" -> cardScrubTwinSql,
+    // nearest-rank pick: ceil(q·n) with q forced to DOUBLE (DuckDB's
+    // bare 0.9 is DECIMAL — exact 9.0 where IEEE gives 9.000…002, a
+    // different ceil)
+    "event_gaps" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu FROM events),
+        | o AS (SELECT user_id, event_id, tsu,
+        |        lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev FROM e),
+        | g AS (SELECT user_id, epoch_us(tsu) - epoch_us(prev) AS gap_us FROM o WHERE prev IS NOT NULL),
+        | r AS (SELECT user_id, gap_us,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY gap_us) AS rn,
+        |        count(*) OVER (PARTITION BY user_id) AS n FROM g)
+        |SELECT user_id, count(*) AS n_gaps,
+        | max(CASE WHEN rn = CAST(ceil(n * CAST(0.5 AS DOUBLE)) AS BIGINT) THEN gap_us END) AS p50_gap,
+        | max(CASE WHEN rn = CAST(ceil(n * CAST(0.9 AS DOUBLE)) AS BIGINT) THEN gap_us END) AS p90_gap,
+        | max(gap_us) AS max_gap
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "crawl_schedule" ->
+      s"""$CrawlEdgesCte,
+         | fr AS (SELECT e.dst, count(DISTINCT e.src) AS n_inlinks
+         |        FROM edges e LEFT JOIN documents d ON d.doc_id = e.dst
+         |        WHERE d.doc_id IS NULL GROUP BY e.dst),
+         | w1 AS (SELECT dst, n_inlinks, dst % ${Html.SiteSpace} AS host FROM fr),
+         | w2 AS (SELECT dst, n_inlinks, host,
+         |        CAST(row_number() OVER (PARTITION BY host ORDER BY n_inlinks DESC, dst) AS BIGINT) AS wave FROM w1)
+         |SELECT dst, n_inlinks, host, wave,
+         | CAST(row_number() OVER (PARTITION BY wave ORDER BY n_inlinks DESC, dst) AS BIGINT) AS slot
+         |FROM w2 ORDER BY dst""".stripMargin,
+
+    // the damage is doc_id arithmetic, so the audit is closed-form
+    "json_bad_records" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_good,
+        | CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        | CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE doc_id END) AS BIGINT) AS good_id_sum
+        |FROM documents""".stripMargin,
+
+    "sentence_split" ->
+      """WITH fx AS (SELECT doc_id, text || '. Doc ' || CAST(doc_id AS VARCHAR) || ' ends! Is it done? yes' AS text FROM documents),
+        | q AS (SELECT doc_id, list_filter(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]*'), x -> trim(x)), x -> length(x) > 0) AS l FROM fx),
+        | u AS (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM q)
+        |SELECT doc_id, CAST(i AS BIGINT) AS sent_idx, l[i] AS sentence,
+        | CAST(len(list_filter(string_split_regex(l[i], '[ \t\n\f\r]+'), x -> length(x) > 0)) AS BIGINT) AS n_words
+        |FROM u ORDER BY doc_id, sent_idx""".stripMargin,
+
     "script_profile" -> {
       def c(cls: String) = s"CAST(length(text) - length(regexp_replace(text, '$cls', '', 'g')) AS BIGINT)"
       s"""WITH fx AS (SELECT doc_id, text || CASE doc_id % 4

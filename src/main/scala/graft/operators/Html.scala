@@ -360,6 +360,28 @@ object Html {
   /** Host-id space of the URL-page fixture. */
   val SiteSpace: Int = 50
 
+  /** Politeness-interleaved fetch schedule over a scored frontier:
+    * `wave` = a URL's rank WITHIN its host (wave k is the k-th fetch
+    * from that host — one per politeness interval, so a host is never
+    * hit twice in a wave no matter how many of its URLs rank high),
+    * `slot` = the deterministic cross-host order within a wave. A
+    * priority-only frontier ordering hammers whichever host the link
+    * graph currently loves; this is the standard mercator-style
+    * host-queue interleave expressed relationally.
+    *
+    * Scale shape: two per-key windows (host-partitioned, then
+    * wave-partitioned) — parallelism is host count then wave count,
+    * no global sort; a hot host is one partition's sort, bounded by
+    * its own frontier size. */
+  def politeSchedule(frontier: DataFrame, hostCol: String = "host",
+                     urlCol: String = "dst", scoreCol: String = "n_inlinks"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byHost = Window.partitionBy(col(hostCol)).orderBy(col(scoreCol).desc, col(urlCol))
+    val withWave = frontier.withColumn("wave", row_number().over(byHost).cast(LongType))
+    val byWave = Window.partitionBy(col("wave")).orderBy(col(scoreCol).desc, col(urlCol))
+    withWave.withColumn("slot", row_number().over(byWave).cast(LongType))
+  }
+
   /** Fixture host for site index k (k = id % [[SiteSpace]]): every
     * third site sits under a multi-label public suffix so
     * [[registeredDomain]] exercises both arms. Mirrored closed-form

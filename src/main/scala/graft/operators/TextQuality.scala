@@ -597,6 +597,43 @@ object TextQuality {
     docs.select(col(idCol).as("doc_id"), fp.as("fp"))
   }
 
+  /** Compression-ratio quality signal: deflated bytes / raw bytes per
+    * document ([[graft.functions.DeflateSize]] — the RefinedWeb/
+    * Dolma-class low-entropy gate; boilerplate and generator loops
+    * compress far below prose with no tokenizer or model involved).
+    * Narrow zero-shuffle projection; rows-only check by design (no
+    * SQL engine exposes deflate), determinism + separation pinned by
+    * spec. */
+  def compressionRatio(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame =
+    docs.where(length(col(textCol)) > 0)
+      .select(col(idCol).as("doc_id"),
+        octet_length(col(textCol)).cast(LongType).as("n_bytes"),
+        graft.functions.DeflateSize.deflateSize(col(textCol)).cast(LongType).as("n_deflate"))
+      .withColumn("ratio",
+        round(col("n_deflate").cast(DoubleType) / col("n_bytes").cast(DoubleType), 6))
+
+  /** Sentence segmentation: split on terminal punctuation runs
+    * ([.!?]+, kept attached to their sentence), trim, drop empties,
+    * emit (doc_id, sent_idx, sentence, n_words) — the unit most
+    * line/sentence-level curation rules (C4's terminal-punctuation
+    * check, per-sentence dedup, citation-span scrubbing) actually
+    * operate on. Extraction — not split — because RE2 has no
+    * lookbehind: `[^.!?]+[.!?]*` matches each sentence WITH its
+    * terminator, identically on both engines. Trailing text without
+    * a terminator is a sentence (real scraped text ends mid-line
+    * constantly; dropping it would silently lose content). Narrow
+    * generator, no shuffle. */
+  def sentences(docs: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val pieces = regexp_extract_all(col(textCol), lit("[^.!?]+[.!?]*"), lit(0))
+    val cleaned = filter(transform(pieces, p => trim(p)), p => length(p) > 0)
+    docs.select(col(idCol).as("doc_id"), posexplode(cleaned).as(Seq("i", "sentence")))
+      .select(col("doc_id"), (col("i") + 1).cast(LongType).as("sent_idx"), col("sentence"),
+        size(filter(split(col("sentence"), TextOps.TokenSepRe), t => length(t) > 0))
+          .cast(LongType).as("n_words"))
+  }
+
   /** Unicode-script character profile: per-document counts of Latin /
     * Cyrillic / CJK / digit / whitespace / other characters and a
     * dominant-script verdict — the cheap structural complement to

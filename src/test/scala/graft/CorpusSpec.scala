@@ -408,6 +408,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(3L) === ((0L, 0L, 0L, 0L, 1L, 6L, "none")))
   }
 
+  test("sentences: terminator-attached segmentation, word counts, no-terminator tail kept") {
+    import spark.implicits._
+    import graft.operators.TextQuality
+    val fx = Seq(
+      (0L, "One two. Three! Four? tail no punct"),
+      (1L, "nopunct"),
+      (2L, ""),
+      (3L, "a.. b") // a run of terminators stays attached
+    ).toDF("doc_id", "text")
+    val got = TextQuality.sentences(fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc(0L).sortBy(_._2).map(x => (x._3, x._4)).toSeq ===
+      Seq(("One two.", 2L), ("Three!", 1L), ("Four?", 1L), ("tail no punct", 3L)))
+    assert(byDoc(1L).map(x => (x._3, x._4)).toSeq === Seq(("nopunct", 1L)))
+    assert(!byDoc.contains(2L)) // empty text yields no sentences
+    assert(byDoc(3L).sortBy(_._2).map(_._3).toSeq === Seq("a..", "b"))
+  }
+
   test("curriculumShards: phases are score quantiles, shards slice every phase, seq is dense") {
     import spark.implicits._
     val scored = (1L to 400L).map(i => (i, (i * 31) % 100)).toDF("doc_id", "score")

@@ -241,4 +241,22 @@ class HtmlSpec extends AnyFunSuite {
     val r = Html.extractMain(Html.pageFromDocs(docs)).collect().head
     assert(r.getLong(1) === 3L && r.getLong(2) === 0L && r.getString(3) === "")
   }
+
+  test("politeSchedule: one fetch per host per wave, priority-ordered slots, tie by url") {
+    val frontier = Seq(
+      (101L, 9L, 1L), (102L, 8L, 1L), (103L, 7L, 1L), // host 1: three urls
+      (201L, 10L, 2L),                                // host 2: one
+      (301L, 5L, 3L), (302L, 5L, 3L)                  // host 3: score tie -> url asc
+    ).toDF("dst", "n_inlinks", "host")
+    val got = Html.politeSchedule(frontier).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    // wave = per-host rank: no host fetched twice in a wave
+    assert(got(201L) === ((1L, 1L)) && got(101L) === ((1L, 2L)) && got(301L) === ((1L, 3L)))
+    assert(got(102L) === ((2L, 1L)) && got(302L) === ((2L, 2L)))
+    assert(got(103L) === ((3L, 1L)))
+    // determinism under repartitioning
+    val again = Html.politeSchedule(frontier.repartition(5)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(again === got)
+  }
 }

@@ -257,4 +257,23 @@ class PlanShapeSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === want)
   }
+
+  test("positional postings: the phrase-term filter cuts the corpus before the single shuffle") {
+    val df = graft.operators.Retrieval.positionalPostings(t.documents, Seq("slow", "hash"))
+    assert(Bucketing.shuffleExchangeCount(df) === 1, simple(df))
+    assert(simple(df).contains("IN (slow,hash)"), simple(df)) // pre-shuffle term filter
+  }
+
+  test("tfidf query top-k: broadcast query vector, TakeOrderedAndProject pick") {
+    val df = graft.operators.Retrieval.tfidfQueryTopK(t.documents, queryId = 0L, k = 5, dim = 16)
+    val plan = simple(df)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("script profile and sentence split are zero-shuffle narrow plans") {
+    import graft.operators.TextQuality
+    assert(Bucketing.shuffleExchangeCount(TextQuality.scriptProfile(t.documents)) === 0)
+    assert(Bucketing.shuffleExchangeCount(TextQuality.sentences(t.documents)) === 0)
+  }
 }

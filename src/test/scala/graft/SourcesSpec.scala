@@ -74,4 +74,29 @@ class SourcesSpec extends AnyFunSuite {
       assert(words(i).intersect(words(j)).isEmpty)
     assert(words.flatten.toSet.size === 7)
   }
+
+  test("Jsonl.readAudited: bad lines preserved verbatim, good rows parse, audit counts both") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-spec").toString
+    val lines = Seq(
+      """{"doc_id": 1, "lang": "en", "text": "alpha"}""",
+      """{"doc_id": 2, "lang": "de", "text": "beta"""", // truncated: unterminated string
+      """{"doc_id": 3, "lang":""",                      // truncated mid-object
+      """{"doc_id": 4, "lang": "fr", "text": "gamma"}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val rows = graft.sources.Jsonl.readAudited(spark, dir, "doc_id LONG, lang STRING, text STRING")
+    // Spark refuses queries whose referenced columns are ONLY the
+    // corrupt column (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — keep a data
+    // column in the projection
+    val bad = rows.where(col("_corrupt").isNotNull).select(col("_corrupt"), col("doc_id"))
+      .collect().map(_.getString(0)).toSet
+    assert(bad === Set(lines(1), lines(2))) // verbatim, nothing invented
+    val good = rows.where(col("_corrupt").isNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(good === Map(1L -> "alpha", 4L -> "gamma"))
+    val a = graft.sources.Jsonl.audit(rows).head()
+    assert((a.getLong(0), a.getLong(1), a.getLong(2), a.getLong(3)) === ((4L, 2L, 2L, 5L)))
+  }
 }
