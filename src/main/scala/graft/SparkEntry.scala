@@ -1052,15 +1052,8 @@ object SparkEntry {
     // the canonicalization exact-hash dedup needs upstream
     "unicode_nfc" -> ((s, d) => {
       val id = col("doc_id")
-      // DECOMPOSED on purpose (explicit escapes so no editor can
-      // silently recompose the source): combining acute U+0301,
-      // combining ring U+030A / diaeresis U+0308, and the
-      // angstrom-sign singleton U+212B; the twin builds the
-      // identical sequences via chr()
-      val suffix = when(id % 3 === 0, lit(" cafe\u0301 touche\u0301"))
-        .when(id % 3 === 1, lit(" A\u030Angstro\u0308m \u212B"))
-        .otherwise(lit(" plain ascii"))
-      val fx = t(s, d).documents.select(id, concat(col("text"), suffix).as("text"))
+      val fx = t(s, d).documents.select(id,
+        concat(col("text"), nfcSuffixCol(id)).as("text"))
       val nfc = graft.functions.NfcNormalize.nfc(col("text"))
       fx.select(col("doc_id"), nfc.as("clean"), (nfc =!= col("text")).as("changed"),
           length(col("text")).cast("long").as("n_before"),
@@ -2158,6 +2151,28 @@ object SparkEntry {
     // profile) → chunking → compacted batch_id-keyed landing. Drained
     // with the files in doc_id order, the union of landings equals the
     // one-shot batch pipeline, which is the oracle
+    // the cleaning family as a streaming stage: per micro-batch (one
+    // file per trigger) the SAME deterministic dirt is stitched on,
+    // Luhn-scrubbed and NFC-normalized — stateless narrow transforms
+    // ride the micro-batch engine unchanged, so the drained stream
+    // equals the batch clean chain, which is the oracle
+    "streaming_clean_ingest" -> ((s, d) => {
+      val src = stageDocStream(s, d, nFiles = 4)
+      val ss = streamSession(s)
+      val stream = ss.readStream
+        .schema("doc_id LONG, lang STRING, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+      val dirty = stream.select(col("doc_id"),
+        concat(col("text"), Cleaning.cardFixtureSuffix(col("doc_id")),
+          nfcSuffixCol(col("doc_id"))).as("text"))
+      val cleaned = Cleaning.scrubCards(dirty)
+        .select(col("doc_id"), col("n_candidates"), col("n_cards"),
+          graft.functions.NfcNormalize.nfc(col("clean")).as("clean"))
+      EventStreams.runToMemory(ss, cleaned, s"stream_clean_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy("doc_id")
+    }),
     "streaming_pipeline_ingest" -> ((s, d) => {
       val src = stageDocStream(s, d, nFiles = 4)
       val ss = streamSession(s)
@@ -2803,26 +2818,51 @@ object SparkEntry {
     * TestNonCards constants; Luhn replayed as integer lambda
     * arithmetic; redaction folded with list_reduce(list_prepend) —
     * text as init, candidates in document order. */
-  private lazy val cardScrubTwinSql: String = {
+  /** SQL form of Cleaning.cardFixtureSuffix — shared by card_scrub
+    * and the streaming clean-ingest twin. */
+  private lazy val CardSuffixSql: String = {
     def arr(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
     def pick(xs: Seq[String]) = s"(${arr(xs)})[CAST((doc_id // 4) % ${xs.size} AS INT) + 1]"
+    s"""CASE doc_id % 4
+       |   WHEN 0 THEN ' pay ' || ${pick(Cleaning.TestCards)} || ' now'
+       |   WHEN 1 THEN ' ref ' || ${pick(Cleaning.TestNonCards)} || ' code'
+       |   WHEN 2 THEN ' card ' || ${pick(Cleaning.TestCards)} || ' and ' || ${pick(Cleaning.TestNonCards)} || ' tail'
+       |   ELSE '' END""".stripMargin
+  }
+
+  /** The unicode_nfc fixture suffix (decomposed on purpose; explicit
+    * escapes so no editor can recompose the source) — shared by
+    * unicode_nfc and the streaming clean-ingest composition. */
+  private def nfcSuffixCol(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(id % 3 === 0, lit(" cafe\u0301 touche\u0301"))
+      .when(id % 3 === 1, lit(" A\u030Angstro\u0308m \u212B"))
+      .otherwise(lit(" plain ascii"))
+
+  private val NfcSuffixSql: String =
+    """CASE doc_id % 3
+      |  WHEN 0 THEN ' cafe' || chr(769) || ' touche' || chr(769)
+      |  WHEN 1 THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm ' || chr(8491)
+      |  ELSE ' plain ascii' END""".stripMargin
+
+  /** The scrub CTE chain over a prebuilt `fx(doc_id, text)` — Luhn as
+    * integer lambda arithmetic, redaction as a list_reduce fold. */
+  private def cardScrubCtes(fxCte: String): String = {
     val ds = "replace(replace(x, ' ', ''), '-', '')"
     def dig = s"CAST(substring($ds, length($ds) - i + 1, 1) AS INT)"
     val luhn = s"(list_sum(list_transform(generate_series(1, length($ds)), i -> " +
       s"CASE WHEN i % 2 = 0 THEN CASE WHEN 2 * $dig > 9 THEN 2 * $dig - 9 ELSE 2 * $dig END " +
       s"ELSE $dig END)) % 10 = 0)"
-    s"""WITH fx AS (SELECT doc_id, text || CASE doc_id % 4
-       |   WHEN 0 THEN ' pay ' || ${pick(Cleaning.TestCards)} || ' now'
-       |   WHEN 1 THEN ' ref ' || ${pick(Cleaning.TestNonCards)} || ' code'
-       |   WHEN 2 THEN ' card ' || ${pick(Cleaning.TestCards)} || ' and ' || ${pick(Cleaning.TestNonCards)} || ' tail'
-       |   ELSE '' END AS text FROM documents),
+    s"""$fxCte,
        | c AS (SELECT doc_id, text, regexp_extract_all(text, '\\b\\d(?:[ -]?\\d){12,18}\\b') AS cands FROM fx),
-       | v AS (SELECT doc_id, text, cands, list_filter(cands, x -> $luhn) AS valids FROM c)
+       | v AS (SELECT doc_id, text, cands, list_filter(cands, x -> $luhn) AS valids FROM c)""".stripMargin
+  }
+
+  private lazy val cardScrubTwinSql: String =
+    s"""${cardScrubCtes(s"WITH fx AS (SELECT doc_id, text || $CardSuffixSql AS text FROM documents)")}
        |SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates,
        | CAST(len(valids) AS BIGINT) AS n_cards,
        | list_reduce(list_prepend(text, valids), (a, b) -> replace(a, b, '<CARD>')) AS clean
        |FROM v ORDER BY doc_id""".stripMargin
-  }
 
   def oracleSql: Map[String, String] = Map(
     "wordcount" ->
@@ -4670,6 +4710,14 @@ object SparkEntry {
     // URL-then-email redaction, control strip, whitespace collapse.
     // All patterns are in the RE2 ∩ java.util.regex common subset.
     "card_scrub" -> cardScrubTwinSql,
+    // batch twin of the streaming clean chain: same dirt, same scrub,
+    // same normalization — micro-batching must be invisible
+    "streaming_clean_ingest" ->
+      s"""${cardScrubCtes(s"WITH fx AS (SELECT doc_id, text || $CardSuffixSql || $NfcSuffixSql AS text FROM documents)")}
+         |SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates,
+         | CAST(len(valids) AS BIGINT) AS n_cards,
+         | nfc_normalize(list_reduce(list_prepend(text, valids), (a, b) -> replace(a, b, '<CARD>'))) AS clean
+         |FROM v ORDER BY doc_id""".stripMargin,
     // nearest-rank pick: ceil(q·n) with q forced to DOUBLE (DuckDB's
     // bare 0.9 is DECIMAL — exact 9.0 where IEEE gives 9.000…002, a
     // different ceil)
@@ -4738,10 +4786,7 @@ object SparkEntry {
          |FROM p ORDER BY doc_id""".stripMargin
     },
     "unicode_nfc" ->
-      """WITH fx AS (SELECT doc_id, text || CASE doc_id % 3
-        |  WHEN 0 THEN ' cafe' || chr(769) || ' touche' || chr(769)
-        |  WHEN 1 THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm ' || chr(8491)
-        |  ELSE ' plain ascii' END AS text FROM documents)
+      s"""WITH fx AS (SELECT doc_id, text || $NfcSuffixSql AS text FROM documents)
         |SELECT doc_id, nfc_normalize(text) AS clean,
         | nfc_normalize(text) <> text AS changed,
         | CAST(length(text) AS BIGINT) AS n_before,

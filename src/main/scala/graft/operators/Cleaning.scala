@@ -120,16 +120,21 @@ object Cleaning {
     "3782 822463 10005", "5555555555554444")
   val TestNonCards = Seq("4111111111111112", "1234 5678 9012 3456")
 
-  def cardFixtureFromDocs(docs: DataFrame): DataFrame = {
+  /** The card-dirt suffix for a given id column — exposed so streaming
+    * compositions can stitch the SAME deterministic fixture per
+    * micro-batch. */
+  def cardFixtureSuffix(id: Column): Column = {
     def pick(xs: Seq[String], k: Column): Column =
       element_at(array(xs.map(lit): _*), (k % xs.size).cast(IntegerType) + 1)
-    val id = col("doc_id")
     val rot = floor(id / 4).cast(LongType)
-    val suffix = when(id % 4 === 0, concat(lit(" pay "), pick(TestCards, rot), lit(" now")))
+    when(id % 4 === 0, concat(lit(" pay "), pick(TestCards, rot), lit(" now")))
       .when(id % 4 === 1, concat(lit(" ref "), pick(TestNonCards, rot), lit(" code")))
       .when(id % 4 === 2, concat(lit(" card "), pick(TestCards, rot),
         lit(" and "), pick(TestNonCards, rot), lit(" tail")))
       .otherwise(lit(""))
-    docs.select(id, concat(col("text"), suffix).as("text"))
   }
+
+  def cardFixtureFromDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"), cardFixtureSuffix(col("doc_id"))).as("text"))
 }
