@@ -2276,6 +2276,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), graft.functions.dsum2(col("o_totalprice")).as("sum_price"))
         .orderBy("o_orderstatus")
     }),
+    // Hilbert-curve clustering over the SAME box predicates: strictly
+    // better locality than the Z interleave (consecutive curve
+    // positions are always grid-adjacent), so the same manifest prunes
+    // more files — StatsManifestSpec counts both
+    "hilbert_scan" -> ((s, d) => {
+      val dir = stageLayout(s, d, "hilbert") { tmp =>
+        graft.sources.StatsManifest.writeClustered(t(s, d).orders, tmp,
+          graft.functions.HilbertIndex2.hilbert(
+            col("o_custkey"), floor(col("o_totalprice") / 10000).cast("long")),
+          Seq("o_custkey", "o_totalprice"), nFiles = 16)
+      }
+      val (df, _, _) = graft.sources.StatsManifest.scanPruned(s, dir,
+        Seq(("o_custkey", lit(300L), lit(600L)),
+          ("o_totalprice", lit(100000.0), lit(200000.0))))
+      df.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), graft.functions.dsum2(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
     // 3-D z-order: the k-ary interleave (zValueN) clusters custkey ×
     // price-bucket × orderkey-bucket at once, so a 3-predicate box
     // prunes files on ALL THREE dimensions (StatsManifestSpec counts
@@ -3658,6 +3676,15 @@ object SparkEntry {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "zorder_scan" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_custkey >= 300 AND o_custkey <= 600
+        | AND o_totalprice >= 100000.0 AND o_totalprice <= 200000.0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // pruning changes which files are READ, never the answer — the
+    // oracle is the plain filtered aggregate, same as zorder_scan
+    "hilbert_scan" ->
       """SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_custkey >= 300 AND o_custkey <= 600

@@ -164,4 +164,49 @@ class StatsManifestSpec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).sorted.toSeq === want)
     assert(want.nonEmpty)
   }
+
+  test("hilbert index: bijection on the grid, every curve step is grid-adjacent") {
+    import graft.functions.HilbertIndex2
+    val bits = 3 // full 8x8 grid, exhaustively
+    val cells = for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y)
+    val d = cells.map { case (x, y) => (x, y) -> HilbertIndex2.index(x, y, bits) }.toMap
+    // bijection onto [0, 64)
+    assert(d.values.toSeq.sorted === (0L until 64L).toSeq)
+    // THE Hilbert property Z-order lacks: consecutive curve positions
+    // are always grid neighbors (Manhattan distance exactly 1)
+    val byD = d.map(_.swap)
+    for (i <- 0L until 63L) {
+      val (x1, y1) = byD(i); val (x2, y2) = byD(i + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L, s"step $i not adjacent")
+    }
+    // clamping is order-preserving at the edges
+    assert(HilbertIndex2.index(-5, 3, bits) === HilbertIndex2.index(0, 3, bits))
+    assert(HilbertIndex2.index(99, 3, bits) === HilbertIndex2.index(7, 3, bits))
+    // the Column path (codegen) agrees with the static loop
+    val viaDf = cells.toDF("x", "y")
+      .select(col("x"), col("y"), HilbertIndex2.hilbert(col("x"), col("y"), bits).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(viaDf === d)
+  }
+
+  test("a 2-D box prunes under hilbert clustering at least as well as the linear layout") {
+    import graft.functions.HilbertIndex2
+    val hDir = Files.createTempDirectory("graft-h").toString
+    val linDir = Files.createTempDirectory("graft-hl").toString
+    val stats = Seq("o_custkey", "o_totalprice")
+    StatsManifest.writeClustered(orders, hDir,
+      HilbertIndex2.hilbert(col("o_custkey"),
+        floor(col("o_totalprice") / 10000).cast("long")),
+      stats, nFiles = 16)
+    StatsManifest.writeClustered(orders, linDir, col("o_totalprice"), stats, nFiles = 16)
+    val preds = Seq(("o_custkey", lit(100L), lit(200L)))
+    val (hDf, hScanned, hTotal) = StatsManifest.scanPruned(spark, hDir, preds)
+    val (lDf, lScanned, _) = StatsManifest.scanPruned(spark, linDir, preds)
+    assert(hScanned < hTotal, "hilbert layout must skip files on the second dimension")
+    assert(hScanned < lScanned,
+      s"hilbert ($hScanned files) should beat the linear layout ($lScanned files)")
+    // skipping never changes the answer
+    val want = orders.where(col("o_custkey").between(100L, 200L)).count()
+    assert(hDf.count() === want && lDf.count() === want)
+  }
 }
