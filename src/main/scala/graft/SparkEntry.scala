@@ -573,6 +573,11 @@ object SparkEntry {
     "tumbling_agg" -> ((s, d) => Windows.tumblingCounts(t(s, d).events)),
     "sliding_agg" -> ((s, d) => Windows.slidingCounts(t(s, d).events)),
     "session_agg" -> ((s, d) => Windows.sessionize(t(s, d).events)),
+    // robust data-quality screen: median + MAD with the 5-MAD rule in
+    // exact decimal over nearest-rank picks — the outlier test that
+    // mean/stddev screens fail because outliers drag them
+    "value_outliers" -> ((s, d) =>
+      Profiling.madOutliers(t(s, d).events).orderBy("event_type")),
     // inter-arrival profile: per-user consecutive-event gaps in exact
     // integer microseconds, NEAREST-RANK percentiles (value at rank
     // ceil(q·n) — engines' interpolating percentiles differ by an ulp
@@ -4745,6 +4750,22 @@ object SparkEntry {
          | CAST(len(valids) AS BIGINT) AS n_cards,
          | nfc_normalize(list_reduce(list_prepend(text, valids), (a, b) -> replace(a, b, '<CARD>'))) AS clean
          |FROM v ORDER BY doc_id""".stripMargin,
+    "value_outliers" ->
+      """WITH e AS (SELECT event_type AS grp, event_id AS id, CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        | r1 AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY v, id) AS rn,
+        |        count(*) OVER (PARTITION BY grp) AS n FROM e),
+        | med AS (SELECT grp, v AS med FROM r1 WHERE rn = CAST(ceil(n * CAST(0.5 AS DOUBLE)) AS BIGINT)),
+        | dv AS (SELECT e.grp, e.id, e.v, med.med, abs(e.v - med.med) AS dev FROM e JOIN med USING (grp)),
+        | r2 AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY dev, id) AS rn,
+        |        count(*) OVER (PARTITION BY grp) AS n FROM dv),
+        | mad AS (SELECT grp, dev AS mad FROM r2 WHERE rn = CAST(ceil(n * CAST(0.5 AS DOUBLE)) AS BIGINT))
+        |SELECT dv.grp AS event_type, count(*) AS n,
+        | CAST(max(dv.med) AS DOUBLE) AS med, CAST(max(mad.mad) AS DOUBLE) AS mad,
+        | CAST(sum(CASE WHEN dv.dev > mad.mad * 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        | CAST(max(dv.dev) AS DOUBLE) AS max_dev
+        |FROM dv JOIN mad USING (grp)
+        |GROUP BY dv.grp ORDER BY dv.grp""".stripMargin,
+
     // nearest-rank pick: ceil(q·n) with q forced to DOUBLE (DuckDB's
     // bare 0.9 is DECIMAL — exact 9.0 where IEEE gives 9.000…002, a
     // different ceil)

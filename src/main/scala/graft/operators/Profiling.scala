@@ -43,4 +43,47 @@ object Profiling {
         col(s"__mx_$c").as("max_s"))): _*)).as("p"))
       .select(col("p.*"))
   }
+
+  /** Robust outlier screen per group: median + MAD (median absolute
+    * deviation) with the 5·MAD rule — the screen that survives the
+    * outliers it hunts, where mean/stddev are dragged by the very
+    * rows under test (Hampel; public standard practice). Entirely in
+    * EXACT DECIMAL arithmetic over nearest-rank medians (the
+    * event_gaps device: the picked value is a real data value, no
+    * interpolation, so the hash cannot flap) — floats appear only in
+    * the final presentation casts.
+    *
+    * Scale shape: two per-group rank windows (value, then deviation)
+    * + one aggregate — parallelism is group count, a hot group is one
+    * partition's sort. Output per group: (n, med, mad, n_outliers,
+    * max_dev). */
+  def madOutliers(df: DataFrame, groupCol: String = "event_type",
+                  valueCol: String = "value", idCol: String = "event_id",
+                  k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+      col(valueCol).cast("decimal(18,2)").as("v"))
+    val wAll = Window.partitionBy(col("grp"))
+    def pick(in: DataFrame, ordCol: String, outCol: String): DataFrame = {
+      val w = Window.partitionBy(col("grp")).orderBy(col(ordCol), col("id"))
+      in.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .where(col("rn") === ceil(col("n") * lit(0.5)).cast("long"))
+        .select(col("grp"), col(ordCol).as(outCol))
+    }
+    val med = pick(e, "v", "med")
+    val dev = e.join(med, "grp").withColumn("dev", abs(col("v") - col("med")))
+    val mad = pick(dev.select(col("grp"), col("id"), col("v"), col("dev")), "dev", "mad")
+    dev.join(mad, "grp")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("med_d"), max(col("mad")).as("mad_d"),
+        sum(when(col("dev") > col("mad") * k, lit(1L)).otherwise(lit(0L))).as("n_outliers"),
+        max(col("dev")).as("max_dev_d"))
+      .select(col("grp").as(groupCol), col("n"),
+        col("med_d").cast("double").as("med"),
+        col("mad_d").cast("double").as("mad"),
+        col("n_outliers"),
+        col("max_dev_d").cast("double").as("max_dev"))
+  }
 }

@@ -22,4 +22,23 @@ class ProfilingSpec extends AnyFunSuite {
     assert(out("x") === ((4L, 0L, 3L, "-4.0", "2.5")))
     assert(out.size === 3)
   }
+
+  test("madOutliers: planted spike flagged, clean group clean, robust to the spike itself") {
+    import org.apache.spark.sql.functions._
+    // group a: nine values near 10 plus one wild spike; group b: flat
+    val rows = ((1L to 9L).map(i => ("a", i, 10.0 + (i % 3))) :+ (("a", 10L, 500.0))) ++
+      (1L to 8L).map(i => ("b", i, 7.0))
+    val df = rows.toDF("event_type", "event_id", "value")
+    val got = Profiling.madOutliers(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
+    val (nA, medA, madA, outA, maxDevA) = got("a")
+    assert(nA === 10L)
+    assert(medA === 11.0, got.toString)      // the spike does NOT drag the median
+    assert(outA === 1L, got.toString)        // exactly the spike flagged
+    assert(maxDevA === 489.0)
+    val (nB, _, madB, outB, _) = got("b")
+    // flat group: every deviation is 0, MAD 0, and 0 > 0 is false —
+    // a constant column flags nothing
+    assert(nB === 8L && madB === 0.0 && outB === 0L)
+  }
 }
