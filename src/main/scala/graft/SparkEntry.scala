@@ -573,6 +573,37 @@ object SparkEntry {
     "tumbling_agg" -> ((s, d) => Windows.tumblingCounts(t(s, d).events)),
     "sliding_agg" -> ((s, d) => Windows.slidingCounts(t(s, d).events)),
     "session_agg" -> ((s, d) => Windows.sessionize(t(s, d).events)),
+    // recency weighting: exponentially decayed event mass per type,
+    // half-life 7 days, anchored at the table's own max ts (a
+    // deterministic anchor — "now" would unhash every run); rounded
+    // exp terms DECIMAL-summed, the LM ladder's rounded-log device
+    "decayed_counts" -> ((s, d) => {
+      val e = t(s, d).events
+      val anchor = e.agg(max(unix_micros(col("ts"))).as("anchor_us"))
+      e.crossJoin(broadcast(anchor))
+        .select(col("event_type"),
+          round(exp(lit(-math.log(2.0) / 7.0) *
+            ((col("anchor_us") - unix_micros(col("ts"))).cast("double") / lit(86400000000.0))), 12)
+            .cast("decimal(38,12)").as("w"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("w")).cast("double"), 6).as("decayed_n"))
+        .orderBy("event_type")
+    }),
+    // behavior features: first-order Markov transition counts between
+    // consecutive event types per user, with rounded row-conditional
+    // probabilities
+    "event_transitions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = t(s, d).events
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .where(col("prev_type").isNotNull)
+      pairs.groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("prev_type"))).cast("double"), 6))
+        .orderBy("prev_type", "event_type")
+    }),
     // robust data-quality screen: median + MAD with the 5-MAD rule in
     // exact decimal over nearest-rank picks — the outlier test that
     // mean/stddev screens fail because outliers drag them
@@ -4750,6 +4781,29 @@ object SparkEntry {
          | CAST(len(valids) AS BIGINT) AS n_cards,
          | nfc_normalize(list_reduce(list_prepend(text, valids), (a, b) -> replace(a, b, '<CARD>'))) AS clean
          |FROM v ORDER BY doc_id""".stripMargin,
+    // the decay constant is interpolated from the SAME Scala double
+    // (shortest round-trip repr), so both engines start from one bit
+    // pattern; exp + round(12) is the accepted rounded-log device
+    "decayed_counts" ->
+      s"""WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS tsu FROM events),
+         | a AS (SELECT max(epoch_us(tsu)) AS anchor_us FROM e),
+         | w AS (SELECT event_type,
+         |   CAST(round(exp(${-math.log(2.0) / 7.0} *
+         |     (CAST((SELECT anchor_us FROM a) - epoch_us(tsu) AS DOUBLE) / 86400000000.0)), 12)
+         |     AS DECIMAL(38,12)) AS w
+         |  FROM e)
+         |SELECT event_type, count(*) AS n, round(CAST(sum(w) AS DOUBLE), 6) AS decayed_n
+         |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "event_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS tsu FROM events),
+        | o AS (SELECT user_id, event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev_type FROM e),
+        | c AS (SELECT prev_type, event_type, count(*) AS n FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, event_type, n,
+        | round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+        |FROM c ORDER BY prev_type, event_type""".stripMargin,
+
     "value_outliers" ->
       """WITH e AS (SELECT event_type AS grp, event_id AS id, CAST(value AS DECIMAL(18,2)) AS v FROM events),
         | r1 AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY v, id) AS rn,
