@@ -683,6 +683,11 @@ object SparkEntry {
     // map-side partial dot products, TakeOrderedAndProject
     "tfidf_query_topk" -> ((s, d) =>
       Retrieval.tfidfQueryTopK(t(s, d).documents, queryId = 0L, k = 20, dim = 64)),
+    // diversified top-k (MMR): greedy λ·rel − (1−λ)·maxSim selection —
+    // coverage instead of k near-copies of the best hit; k bounded
+    // driver rounds, each one distributed argmax
+    "mmr_topk" -> ((s, d) =>
+      Retrieval.mmrTopK(t(s, d).documents, queryId = 0L, k = 5).orderBy("rank")),
     // the build-once/query-many retrieval lifecycle (the ANN side's
     // ivfPqWrite/Read posture): persist the four index relations,
     // reload, score BM25 from the stored postings — same oracle as the
@@ -2918,6 +2923,48 @@ object SparkEntry {
        | list_reduce(list_prepend(text, valids), (a, b) -> replace(a, b, '<CARD>')) AS clean
        |FROM v ORDER BY doc_id""".stripMargin
 
+  /** MMR twin: the 5 greedy selection rounds UNROLLED (the kmeans/
+    * pageRank device), each round an argmax window over
+    * λ·rel − (1−λ)·runningMaxSim and a broadcast-similarity update.
+    * The shared vec/rel/m/p relations are AS MATERIALIZED — DuckDB
+    * inlines multiply-referenced CTEs, and the m-chain references
+    * m(i−1) twice per level (directly and through the pick), which
+    * inlined goes exponential (the hits-twin lesson). λ and 1−λ are
+    * the engine's own Scala doubles, rendered with an e0 suffix so
+    * DuckDB parses them as DOUBLE, not DECIMAL. */
+  private lazy val mmrTwinSql: String = {
+    val lam = 0.7
+    val mu = 1.0 - lam
+    def dbl(x: Double) =
+      if (x.toString.toLowerCase.contains("e")) x.toString else x.toString + "e0"
+    def sim(src: String, out: String) =
+      s"SELECT vecm.doc_id, round(CAST(sum(CAST(round(vecm.v * $src.tv, 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS $out" +
+        s" FROM vecm JOIN $src USING (dim_idx) GROUP BY 1"
+    val steps = (1 to 5).map { i =>
+      val excl = (1 until i).map(j => s"AND relm.doc_id NOT IN (SELECT doc_id FROM p$j)").mkString(" ")
+      val base =
+        s""" sc$i AS (SELECT relm.doc_id, round(${dbl(lam)} * relm.rel - ${dbl(mu)} * m${i - 1}.msim, 6) AS score
+           |   FROM relm JOIN m${i - 1} USING (doc_id) WHERE 1=1 $excl),
+           | p$i AS MATERIALIZED (SELECT doc_id, score FROM sc$i ORDER BY score DESC, doc_id LIMIT 1)""".stripMargin
+      if (i < 5)
+        base +
+          s""",
+             | sv$i AS (SELECT dim_idx, v AS tv FROM vecm WHERE doc_id = (SELECT doc_id FROM p$i)),
+             | sm$i AS (${sim(s"sv$i", "s")}),
+             | m$i AS MATERIALIZED (SELECT m${i - 1}.doc_id, greatest(m${i - 1}.msim, coalesce(sm$i.s, 0.0)) AS msim
+             |   FROM m${i - 1} LEFT JOIN sm$i USING (doc_id))""".stripMargin
+      else base
+    }.mkString(",\n")
+    s"""$TfidfVecCtes,
+       | vecm AS MATERIALIZED (SELECT * FROM vec),
+       | q AS (SELECT dim_idx, v AS tv FROM vecm WHERE doc_id = 0),
+       | relm AS MATERIALIZED (SELECT * FROM (${sim("q", "rel")}) r WHERE doc_id <> 0),
+       | m0 AS MATERIALIZED (SELECT doc_id, CAST(0.0 AS DOUBLE) AS msim FROM relm),
+       |$steps
+       |${(1 to 5).map(i => s"SELECT CAST($i AS BIGINT) AS rank, doc_id, score FROM p$i").mkString("\nUNION ALL\n")}
+       |ORDER BY rank""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "wordcount" ->
       s"$W SELECT word, count(*) AS cnt FROM w WHERE length(word) > 0 GROUP BY word ORDER BY word",
@@ -3941,6 +3988,7 @@ object SparkEntry {
     "tfidf_embed" ->
       s"""$TfidfVecCtes
          |SELECT doc_id, dim_idx, v FROM vec ORDER BY doc_id, dim_idx""".stripMargin,
+    "mmr_topk" -> mmrTwinSql,
     "tfidf_query_topk" ->
       s"""$TfidfVecCtes,
          | q AS (SELECT dim_idx, v AS qv FROM vec WHERE doc_id = 0),

@@ -356,6 +356,59 @@ object Retrieval {
       .select(col("doc_id"), col("dim_idx"), round(col("s") / col("norm"), 8).as("v"))
   }
 
+  /** Diversified content top-k by Maximal Marginal Relevance
+    * (Carbonell & Goldstein, SIGIR 1998, public): greedily pick the
+    * document maximizing λ·rel − (1−λ)·maxSimToSelected — plain
+    * cosine top-k returns k near-copies of the best hit, which for
+    * corpus inspection / eval-set construction is k−1 wasted slots;
+    * MMR trades relevance for coverage explicitly (the diversified
+    * top-k family of PAPERS.md's region-search entry, on documents).
+    *
+    * Greedy selection is inherently sequential in k: each of the k
+    * rounds is ONE distributed argmax (TakeOrderedAndProject) and one
+    * broadcast-vector similarity pass updating a running max — the
+    * driver touches one row per round (the kmeans/pageRank bounded-
+    * loop class), never the corpus. Candidates are the docs sharing
+    * ≥1 hashed dim with the query (the same inner-join frontier as
+    * [[tfidfQueryTopK]]). All scores rounded(6) with doc_id
+    * tie-break — deterministic and twinnable; λ and 1−λ are the SAME
+    * Scala doubles the twin interpolates. */
+  def mmrTopK(docs: DataFrame, queryId: Long, k: Int = 5, lam: Double = 0.7,
+              dim: Int = 64, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val vecs = tfidfHashedVectors(docs, dim, textCol, idCol).localCheckpoint(true)
+    val dec = DecimalType(38, 12)
+    def dotWith(target: DataFrame, asCol: String): DataFrame =
+      vecs.join(broadcast(target), "dim_idx")
+        .select(col("doc_id"), round(col("v") * col("tv"), 12).cast(dec).as("p"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("p")).cast(DoubleType), 6).as(asCol))
+    val q = vecs.where(col("doc_id") === queryId).select(col("dim_idx"), col("v").as("tv"))
+    val rel = dotWith(q, "rel").where(col("doc_id") =!= queryId).localCheckpoint(true)
+    var m = rel.select(col("doc_id"), lit(0.0).as("msim"))
+    var picked = List.empty[(Int, Long, Double)]
+    for (step <- 1 to k) {
+      val excluded = queryId :: picked.map(_._2)
+      val top = rel.join(m, "doc_id")
+        .where(!col("doc_id").isin(excluded: _*))
+        .select(col("doc_id"),
+          round(lit(lam) * col("rel") - lit(1.0 - lam) * col("msim"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(1)
+        .collect()(0) // one row per round — the bounded-loop driver class
+      picked = picked :+ ((step, top.getLong(0), top.getDouble(1)))
+      if (step < k) {
+        val sv = vecs.where(col("doc_id") === top.getLong(0))
+          .select(col("dim_idx"), col("v").as("tv"))
+        m = m.join(dotWith(sv, "s"), Seq("doc_id"), "left")
+          .select(col("doc_id"), greatest(col("msim"), coalesce(col("s"), lit(0.0))).as("msim"))
+          .localCheckpoint(true)
+      }
+    }
+    import spark.implicits._
+    picked.toDF("rank", "doc_id", "score")
+      .select(col("rank").cast("long").as("rank"), col("doc_id"), col("score"))
+  }
+
   /** Content top-k: the `k` documents most cosine-similar to document
     * `queryId` under [[tfidfHashedVectors]] — normalized vectors make
     * cosine a plain sparse dot product. The query vector (≤ dim rows)

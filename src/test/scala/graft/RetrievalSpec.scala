@@ -253,6 +253,40 @@ class RetrievalSpec extends AnyFunSuite {
     assert(top === wantTop, s"got $top want $wantTop")
   }
 
+  test("mmrTopK: rank 1 is the cosine argmax, near-copies are demoted for coverage") {
+    val pd = Seq(
+      (0L, "spark shuffle hash join outline"),            // the query
+      (1L, "spark shuffle hash join outline extra"),      // near-copy of the query
+      (2L, "spark shuffle hash join outline extra words"),// near-copy of 1
+      (3L, "window rank sort partition frame"),           // different topic, one shared dim at most
+      (4L, "vector quantize embed cluster centroid")      // third distinct topic
+    ).toDF("doc_id", "text")
+    // diversity-heavy λ: at λ=0.7 a near-copy with high relevance can
+    // legitimately still win rank 2; λ=0.3 makes the trade visible
+    val mmr = Retrieval.mmrTopK(pd, queryId = 0L, k = 3, lam = 0.3, dim = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // rank 1 must equal the plain cosine top-1
+    val cos1 = Retrieval.tfidfQueryTopK(pd, queryId = 0L, k = 1, dim = 32).head().getLong(0)
+    assert(mmr.head._2 === cos1)
+    // no document repeats, ranks are 1..k, query never selected
+    assert(mmr.map(_._2).distinct.length === 3)
+    assert(mmr.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(!mmr.map(_._2).contains(0L))
+    // the diversification property: cosine alone ranks the near-copy
+    // family 1, 2 ahead of the different-topic doc 3; MMR demotes the
+    // twin BELOW doc 3 (doc 4 shares no hashed dim with the query, so
+    // it sits outside the candidate frontier by design)
+    val cosOrder = Retrieval.tfidfQueryTopK(pd, queryId = 0L, k = 3, dim = 32)
+      .collect().map(_.getLong(0)).toSeq
+    assert(cosOrder.take(2) === Seq(1L, 2L), cosOrder.toString) // twins dominate plain cosine
+    val rankOf = mmr.map(r => r._2 -> r._1).toMap
+    assert(rankOf(3L) < rankOf(2L), mmr.mkString(",")) // MMR breaks the twin monopoly
+    // deterministic
+    val again = Retrieval.mmrTopK(pd, queryId = 0L, k = 3, lam = 0.3, dim = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(again.toSeq === mmr.toSeq)
+  }
+
   test("duplicatedSpans: stride grid is exhaustive at stride 1") {
     val a = "x" * 10 + "SHAREDSHAREDSHAREDSHAREDSHAREDXX" + "y" * 10
     val b = "z" * 3 + "SHAREDSHAREDSHAREDSHAREDSHAREDXX" + "w" * 20
