@@ -1149,6 +1149,11 @@ object SparkEntry {
     // surface new links), keep documents by auth (content pages)
     "hits_rank" -> ((s, d) =>
       Graph.hits(Html.outlinks(Html.pageFromDocs(t(s, d).documents))).orderBy("node")),
+    // spam-ring tell: nodes mutually reachable within 3 directed hops
+    // over the extracted link graph, labeled by minimum ring member
+    "link_rings" -> ((s, d) =>
+      Graph.linkRings(Html.outlinks(Html.pageFromDocs(t(s, d).documents)), maxHops = 3)
+        .orderBy("node")),
     // TrustRank: teleport only to curator-vouched seeds (every 50th
     // doc) — link farms with no seed path score ~0; the spam-resistant
     // authority prior a raw crawl needs
@@ -4286,6 +4291,22 @@ object SparkEntry {
     "crawl_rank" -> pageRankUnrolled(CrawlEdgesCte),
     "hits_rank" -> hitsUnrolled(CrawlEdgesCte),
     "trust_rank" -> trustRankUnrolled(CrawlEdgesCte),
+    // bounded-hop reach by LEVEL (distinct per expansion), mutuality
+    // as a symmetric self-join, then transitive min-label closure over
+    // the mutual-pair graph (the dedup_clusters recursive device) so
+    // a ring that closes only through distant pairs labels consistently
+    "link_rings" ->
+      s"""WITH RECURSIVE $CrawlEdgesBody,
+         | r1 AS (SELECT DISTINCT src AS u, dst AS v FROM edges WHERE src <> dst),
+         | r2 AS (SELECT DISTINCT u, v FROM (SELECT a.u, b.v FROM r1 a JOIN r1 b ON a.v = b.u
+         |         UNION SELECT u, v FROM r1) z WHERE u <> v),
+         | r3 AS (SELECT DISTINCT u, v FROM (SELECT a.u, b.v FROM r2 a JOIN r1 b ON a.v = b.u
+         |         UNION SELECT u, v FROM r2) z WHERE u <> v),
+         | m AS (SELECT a.u AS node, a.v AS peer FROM r3 a JOIN r3 b ON a.u = b.v AND a.v = b.u),
+         | nn AS (SELECT DISTINCT node FROM m),
+         | reach AS (SELECT node, node AS label FROM nn
+         |           UNION SELECT m.node, reach.label FROM m JOIN reach ON reach.node = m.peer)
+         |SELECT node, min(label) AS ring_id FROM reach GROUP BY node ORDER BY node""".stripMargin,
 
     // container framing + extraction: expected records rebuilt
     // closed-form (url and fetch_ts from doc_id arithmetic, main_text

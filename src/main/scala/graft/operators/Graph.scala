@@ -168,6 +168,56 @@ object Graph {
       .select(col("node"), round(col("auth"), 8).as("auth"), round(col("hub"), 8).as("hub"))
   }
 
+  /** Short-cycle link rings: nodes mutually reachable within
+    * `maxHops` directed hops — the spam-ring tell (paid-link circles
+    * and PBNs cite each other in tight cycles; organic links rarely
+    * close one). Bounded-hop ON PURPOSE: exact distributed SCC needs
+    * pivot-reachability rounds (Fleischer et al. FW-BW; Blelloch et
+    * al. 2016 for the O(log n) randomized version — cited, not
+    * implemented: its expected-round bound needs random pivots, and
+    * this engine's determinism contract forbids rand()), while real
+    * rings are short cycles a 2-3-hop probe already closes (a
+    * length-L cycle is caught iff L ≤ 2·maxHops: its opposite members
+    * sit ≤ maxHops apart in each direction). Every
+    * ring member gets the MINIMUM member id as ring_id (the
+    * nearDupClusters label contract); nodes in no ring don't appear.
+    *
+    * Scale shape: maxHops−1 self-expansions of the reachability
+    * relation (join on the shared endpoint, distinct per level —
+    * never undeduped path explosion), then one symmetric self-join
+    * for mutuality and a min-aggregate. At web scale bounded-hop
+    * reach is |E|·avgDeg^(maxHops−1) — keep maxHops small (the
+    * point) and prune to suspect subgraphs first. */
+  def linkRings(edges: DataFrame, maxHops: Int = 3,
+                srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(maxHops >= 2, "a ring needs at least 2 hops")
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var reach = e
+    for (_ <- 2 to maxHops) {
+      val step = reach.as("a")
+        .join(e.select(col("u").as("m"), col("v").as("w")), col("v") === col("m"))
+        .select(col("u"), col("w").as("v"))
+      reach = reach.unionAll(step)
+        .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    }
+    val mutual = reach.as("a")
+      .join(reach.select(col("u").as("bu"), col("v").as("bv")),
+        col("u") === col("bv") && col("v") === col("bu"))
+      .select(col("u").as("node"), col("v").as("peer"))
+      .localCheckpoint(true)
+    // label by TRANSITIVE min over the mutual-pair graph, not the
+    // local window: a cycle of length up to 2·maxHops closes only
+    // through its distant pairs, and local minima would label one
+    // ring inconsistently — ring components are small, so the
+    // star-components closure is cheap here
+    val pairs = mutual.where(col("node") < col("peer"))
+      .select(col("node").as("doc_a"), col("peer").as("doc_b"))
+    val items = mutual.select(col("node").as("doc_id")).distinct()
+    starComponents(pairs, items)
+      .select(col("doc_id").as("node"), col("cluster_id").as("ring_id"))
+  }
+
   /** Connected components by alternating large-star/small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SOCC 2014 — public): each round rewires every node's edges

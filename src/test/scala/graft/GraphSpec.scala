@@ -141,6 +141,33 @@ class GraphSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("linkRings: cycles within the hop bound labeled by min member, chains and long cycles invisible") {
+    val edges = Seq(
+      (1L, 2L), (2L, 1L),                     // 2-cycle
+      (5L, 6L), (6L, 7L), (7L, 5L),           // 3-cycle
+      (10L, 11L), (11L, 12L),                 // chain, no ring
+      // 5-cycle: caught at maxHops=3 only through its DISTANT pairs
+      // (opposite members sit 2 and 3 hops apart) — the transitive
+      // closure must still label all five consistently
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L), (24L, 20L),
+      // 7-cycle: invisible at maxHops=3 (a length-L cycle closes iff
+      // L <= 2*maxHops; 7 > 6)
+      (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L), (34L, 35L), (35L, 36L), (36L, 30L)
+    ).toDF("src", "dst")
+    val got = Graph.linkRings(edges, maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 5L) ++
+      (20L to 24L).map(_ -> 20L).toMap, got.toString)
+    // the 7-cycle IS a ring once the bound covers it (7 <= 2*4)
+    val got4 = Graph.linkRings(edges, maxHops = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((30L to 36L).forall(n => got4(n) === 30L), got4.toString)
+    // deterministic under repartitioning
+    val again = Graph.linkRings(edges.repartition(5), maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
+
   test("hits deterministic across runs") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
     val run = () => Graph.hits(edges).collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
