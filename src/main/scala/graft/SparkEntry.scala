@@ -819,6 +819,11 @@ object SparkEntry {
     "minhash_near_dups" -> ((s, d) =>
       Dedup.minhashNearDups(t(s, d).documents, minJaccard = 0.3).orderBy("doc_a", "doc_b")),
     "simhash" -> ((s, d) => Dedup.simhash(t(s, d).documents).orderBy("doc_id")),
+    // int8 embedding compression WITH its error measurement: per-dim
+    // affine code book, byte codes, per-vector reconstruction MSE —
+    // the 4x serving-tier memory cut, measured not assumed
+    "embedding_quantize" -> ((s, d) =>
+      Similarity.int8QuantizeAudit(t(s, d).embeddings).orderBy("vec_id")),
     "cosine_topk" -> ((s, d) => {
       val e = t(s, d).embeddings
       Similarity.bruteForceTopK(e, e.where(col("vec_id") % 50 === 0))
@@ -3994,6 +3999,25 @@ object SparkEntry {
       s"""$TfidfVecCtes
          |SELECT doc_id, dim_idx, v FROM vec ORDER BY doc_id, dim_idx""".stripMargin,
     "mmr_topk" -> mmrTwinSql,
+    // per-dim code books from accumulation-free min/max; codes via
+    // floor(x/scale + 0.5) — floor of an identical IEEE double, not an
+    // engine-specific half-rounding cast; squared errors DECIMAL-summed
+    "embedding_quantize" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding[i] AS DOUBLE) AS x, i AS dim_idx
+        |   FROM (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i FROM embeddings) z),
+        | st AS (SELECT dim_idx, min(x) AS mn, round((max(x) - min(x)) / 255.0, 12) AS scale FROM c GROUP BY 1),
+        | cd AS (SELECT c.vec_id, c.x, st.mn, st.scale,
+        |        CASE WHEN st.scale = 0.0 THEN 0
+        |             ELSE greatest(0, least(255, CAST(floor((c.x - st.mn) / st.scale + 0.5) AS BIGINT))) END AS code
+        |        FROM c JOIN st USING (dim_idx)),
+        | e AS (SELECT vec_id, code,
+        |        CAST(round((x - (mn + CAST(code AS DOUBLE) * scale)) * (x - (mn + CAST(code AS DOUBLE) * scale)), 12)
+        |          AS DECIMAL(38,12)) AS e2
+        |       FROM cd)
+        |SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
+        | min(code) AS code_min, max(code) AS code_max,
+        | round(CAST(sum(e2) AS DOUBLE) / 64, 10) AS mse
+        |FROM e GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "tfidf_query_topk" ->
       s"""$TfidfVecCtes,
          | q AS (SELECT dim_idx, v AS qv FROM vec WHERE doc_id = 0),

@@ -768,4 +768,51 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("c_id"), round(col("sim"), 4).as("sim_r"))
   }
+
+  /** Scalar int8 quantization of the embedding column with a
+    * reconstruction-error audit: per-DIMENSION min/max over the
+    * corpus give a (min, scale) affine code book, every component
+    * maps to a byte, and the audit reports per-vector code checksums
+    * plus reconstruction MSE — the 4× memory cut that makes a
+    * 100 TB embedding column fit an ANN serving tier, shipped WITH
+    * the error measurement that says whether it was safe (the
+    * ivfPqMaintain posture: compression decisions measured, not
+    * assumed).
+    *
+    * Deterministic cross-engine: per-dim min/max involve no
+    * accumulation; scale = round((max−min)/255, 12); the code is
+    * floor((x−min)/scale + 0.5) clamped to [0, 255] — floor of an
+    * identical IEEE double, not an engine-specific half-rounding
+    * cast; squared errors are rounded(12) and DECIMAL-summed.
+    *
+    * Scale shape: one explode pass → a d-row stats relation
+    * (broadcast back) → one narrow re-encode pass; no shuffle of the
+    * vectors themselves beyond the dim-keyed stats join. */
+  def int8QuantizeAudit(vecs: DataFrame, dim: Int = 64): DataFrame = {
+    val comps = vecs.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim_idx", "x")))
+      .select(col("vec_id"), col("dim_idx"), col("x").cast(DoubleType).as("x"))
+      .localCheckpoint(true) // read twice: stats and re-encode
+    val stats = comps.groupBy(col("dim_idx"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .select(col("dim_idx"), col("mn"),
+        round((col("mx") - col("mn")) / 255.0, 12).as("scale"))
+    val coded = comps.join(broadcast(stats), "dim_idx")
+      .select(col("vec_id"), col("dim_idx"), col("x"), col("mn"), col("scale"),
+        when(col("scale") === 0.0, lit(0L))
+          .otherwise(greatest(lit(0L), least(lit(255L),
+            floor((col("x") - col("mn")) / col("scale") + 0.5).cast(LongType)))).as("code"))
+    val diff = col("x") - (col("mn") + col("code").cast(DoubleType) * col("scale"))
+    coded
+      .select(col("vec_id"), col("code"),
+        // diff*diff, not pow(diff, 2): one IEEE multiply mirrors d*d
+        // in SQL exactly; pow's libm path need not
+        round(diff * diff, 12).cast(DecimalType(38, 12)).as("e2"))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("d"),
+        sum(col("code")).as("code_sum"),
+        min(col("code")).as("code_min"), max(col("code")).as("code_max"),
+        round(sum(col("e2")).cast(DoubleType) / dim, 10).as("mse"))
+      .where(col("d") === dim).drop("d")
+  }
 }

@@ -305,4 +305,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b(1L) === b(2L))
     assert(b(1L) !== b(3L)) // antipodal vector flips every plane sign
   }
+
+  test("int8QuantizeAudit: byte-bounded codes, error within half a step, constant dims are free") {
+    val dim = 4
+    val fixture = vecs(
+      (0L, Seq(0f, 10f, 5f, 1f)),
+      (1L, Seq(255f, -10f, 5f, 1f)),
+      (2L, Seq(128f, 0f, 5f, 1f)),
+      (3L, Seq(64f, 3f, 5f, 1f)))
+    val got = Similarity.int8QuantizeAudit(fixture, dim = dim).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.size === 4)
+    got.values.foreach { case (_, cmin, cmax, mse) =>
+      assert(cmin >= 0L && cmax <= 255L)
+      assert(mse >= 0.0)
+    }
+    // dims 3 and 4 are constant across the corpus: scale 0, code 0,
+    // dequant = min = the value itself — zero error contribution.
+    // dim 1 spans 255 over 255 codes (step 1): max per-component error
+    // 0.5, so mse <= (0.5^2 * 2 active dims) / 4
+    got.values.foreach { case (_, _, _, mse) => assert(mse <= (0.25 * 2) / 4 + 1e-9, mse) }
+    // exact corners: vec 0 dim1 value 0 = corpus min -> code 0;
+    // vec 1 dim1 value 255 = corpus max -> code 255
+    assert(got(0L)._2 === 0L)
+    assert(got(1L)._3 === 255L)
+    // deterministic under repartitioning
+    val again = Similarity.int8QuantizeAudit(fixture.repartition(3), dim = dim).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(again === got)
+  }
 }
