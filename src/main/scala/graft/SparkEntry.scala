@@ -2202,6 +2202,22 @@ object SparkEntry {
     // profile) → chunking → compacted batch_id-keyed landing. Drained
     // with the files in doc_id order, the union of landings equals the
     // one-shot batch pipeline, which is the oracle
+    // the session's curation stages composed under ONE hash: dirt →
+    // Luhn scrub → NFC → weight-biased priority sample → curriculum
+    // shard assignment — each stage proven alone elsewhere; this
+    // proves they compose
+    "clean_curate_e2e" -> ((s, d) => {
+      val fx = t(s, d).documents.select(col("doc_id"),
+        concat(col("text"), Cleaning.cardFixtureSuffix(col("doc_id")),
+          nfcSuffixCol(col("doc_id"))).as("text"))
+      val cleaned = Cleaning.scrubCards(fx)
+        .select(col("doc_id"), graft.functions.NfcNormalize.nfc(col("clean")).as("text"))
+      val sampled = Corpus.prioritySample(cleaned, k = 100).localCheckpoint(true)
+      val shards = Corpus.curriculumShards(
+        sampled.select(col("doc_id"), col("weight").as("score")), phases = 4, nShards = 4)
+      sampled.join(shards.select(col("doc_id"), col("phase"), col("shard"), col("seq")), "doc_id")
+        .orderBy("doc_id")
+    }),
     // the cleaning family as a streaming stage: per micro-batch (one
     // file per trigger) the SAME deterministic dirt is stitched on,
     // Luhn-scrubbed and NFC-normalized — stateless narrow transforms
@@ -4866,6 +4882,41 @@ object SparkEntry {
     // URL-then-email redaction, control strip, whitespace collapse.
     // All patterns are in the RE2 ∩ java.util.regex common subset.
     "card_scrub" -> cardScrubTwinSql,
+    // every stage's twin chained: scrub CTEs → nfc clean → priority
+    // keys/threshold → curriculum histogram/phases — one hash
+    "clean_curate_e2e" ->
+      s"""${cardScrubCtes(s"WITH fx AS (SELECT doc_id, text || $CardSuffixSql || $NfcSuffixSql AS text FROM documents)")},
+         | cl AS (SELECT doc_id, nfc_normalize(list_reduce(list_prepend(text, valids), (a, b) -> replace(a, b, '<CARD>'))) AS text FROM v),
+         | keyed AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS weight,
+         |    CAST(floor((((doc_id % 2147483648) * 2654435761) % 4294967296) * 1048576
+         |         / CAST(length(text) AS DOUBLE)) AS BIGINT) AS pkey
+         |   FROM cl WHERE length(text) > 0),
+         | top AS (SELECT * FROM keyed ORDER BY pkey, doc_id LIMIT 101),
+         | ranked AS (SELECT top.*, row_number() OVER (ORDER BY pkey, doc_id) AS rn FROM top),
+         | stats AS (SELECT count(*) AS cnt, max(pkey) AS mx FROM top),
+         | samp AS (SELECT doc_id, weight,
+         |   round(greatest(CAST(weight AS DOUBLE),
+         |     CASE WHEN (SELECT cnt FROM stats) = 101
+         |          THEN 4503599627370496.0 / CAST((SELECT mx FROM stats) AS DOUBLE)
+         |          ELSE 0.0 END), 6) AS w_est
+         |  FROM ranked WHERE (SELECT cnt FROM stats) <= 100 OR rn <= 100),
+         | sc AS (SELECT doc_id, weight AS score FROM samp),
+         | h AS (SELECT score, count(*) AS cnt FROM sc GROUP BY 1),
+         | r AS (SELECT score,
+         |   coalesce(sum(cnt) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnt_below,
+         |   sum(cnt) OVER () AS n FROM h),
+         | pr AS (SELECT score, CASE WHEN n = 1 THEN 0.0
+         |        ELSE CAST(cnt_below AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS pr FROM r),
+         | j AS (SELECT sc.doc_id, sc.score,
+         |   CAST(least(3, floor(pr.pr * 4)) AS BIGINT) AS phase,
+         |   CAST((((sc.doc_id % 2147483648) * 2654435761) % 4294967296) % 4 AS BIGINT) AS shard,
+         |   (((sc.doc_id % 2147483648) * 2654435761) % 4294967296) AS ord
+         |  FROM sc JOIN pr USING (score))
+         |SELECT samp.doc_id, samp.weight, samp.w_est, j.phase, j.shard,
+         | CAST(row_number() OVER (PARTITION BY j.phase, j.shard ORDER BY j.ord, j.doc_id) AS BIGINT) AS seq
+         |FROM samp JOIN j ON j.doc_id = samp.doc_id
+         |ORDER BY samp.doc_id""".stripMargin,
+
     // batch twin of the streaming clean chain: same dirt, same scrub,
     // same normalization — micro-batching must be invisible
     "streaming_clean_ingest" ->
