@@ -1651,6 +1651,30 @@ object SparkEntry {
     "mixture_weights" -> ((s, d) =>
       Corpus.mixtureUpsample(t(s, d).documents, weights = Map("de" -> 3, "zh" -> 2))
         .orderBy("doc_id", "copy_id")),
+    // the mixture SOLVER: given target shares, derive the largest
+    // no-oversampling per-stratum keep rates (S = min n_l/t_l, rate =
+    // t·S/n) and APPLY them with the deterministic content hash — one
+    // hash proves solver + application; "50/30/20" stated directly
+    // instead of hand-tuning rates until the mix lands nearby
+    "mixture_solve" -> ((s, d) => {
+      val docs = t(s, d).documents
+      val targets = Seq(("en", 0.5), ("de", 0.3), ("zh", 0.2))
+      val prof = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+      val joined = prof.join(broadcast(s.createDataFrame(targets).toDF("lang", "t")), "lang")
+      val sRow = joined.agg(min(col("n_l").cast("double") / col("t")).as("scale"))
+      val rates = joined.crossJoin(broadcast(sRow))
+        .select(col("lang"), col("n_l"),
+          floor(lit(1000.0) * col("t") * col("scale") / col("n_l").cast("double"))
+            .cast("long").as("keep_permille"))
+        .localCheckpoint(true) // read by the apply pass and the output join
+      val kept = docs.join(broadcast(rates), "lang")
+        .where(Corpus.hashPermille(col("text")) < col("keep_permille"))
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      rates.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_l"), col("keep_permille"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("lang")
+    }),
     "quality_filter" -> ((s, d) =>
       Corpus.qualityQuantileFilter(t(s, d).documents, keep = 0.5)
         .select(col("doc_id"), col("lang"), col("score"), col("pr"))
@@ -5101,6 +5125,21 @@ object SparkEntry {
          | round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6) AS hapax_frac,
          | round(CAST(max_freq AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS top_share
          |FROM a""".stripMargin,
+
+    // solver mirrored with e0-suffixed double targets; the same
+    // content-hash application as sample_by_hash
+    "mixture_solve" ->
+      s"""WITH prof AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+         | tt AS (SELECT * FROM (VALUES ('en', 0.5e0), ('de', 0.3e0), ('zh', 0.2e0)) AS t(lang, t)),
+         | j AS (SELECT prof.lang, prof.n_l, tt.t FROM prof JOIN tt USING (lang)),
+         | sr AS (SELECT min(CAST(n_l AS DOUBLE) / t) AS scale FROM j),
+         | rates AS (SELECT lang, n_l,
+         |   CAST(floor(1000.0e0 * t * (SELECT scale FROM sr) / CAST(n_l AS DOUBLE)) AS BIGINT) AS keep_permille
+         |  FROM j),
+         | kept AS (SELECT d.lang, count(*) AS n_kept FROM documents d JOIN rates r ON d.lang = r.lang
+         |          WHERE $HashPermille < r.keep_permille GROUP BY 1)
+         |SELECT rates.lang, n_l, keep_permille, coalesce(kept.n_kept, 0) AS n_kept
+         |FROM rates LEFT JOIN kept USING (lang) ORDER BY lang""".stripMargin,
 
     // priority sampling: rank by the integer key floor(h*2^20/w)
     // (ascending == priority w/u descending), threshold from the

@@ -408,6 +408,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(3L) === ((0L, 0L, 0L, 0L, 1L, 6L, "none")))
   }
 
+  test("mixture solver math: binding stratum keeps everything, achieved shares track targets") {
+    // replicate the solver arithmetic on the real sf0.001 profile
+    val prof = docs.groupBy(col("lang")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val targets = Map("en" -> 0.5, "de" -> 0.3, "zh" -> 0.2)
+    val scale = targets.map { case (l, t) => prof(l) / t }.min
+    val rates = targets.map { case (l, t) => l -> math.floor(1000.0 * t * scale / prof(l)).toLong }
+    // the binding stratum (min n/t) keeps exactly everything
+    val binding = targets.keys.minBy(l => prof(l) / targets(l))
+    assert(rates(binding) === 1000L)
+    // no stratum oversamples, and expected kept counts hit the target
+    // shares within rounding: floor(n*rate/1000) / S ~= t
+    rates.foreach { case (_, r) => assert(r >= 1L && r <= 1000L) }
+    targets.foreach { case (l, t) =>
+      val expectedKept = prof(l) * rates(l) / 1000.0
+      assert(math.abs(expectedKept / scale - t) < 0.01, s"$l share off: ${expectedKept / scale}")
+    }
+  }
+
   test("sentences: terminator-attached segmentation, word counts, no-terminator tail kept") {
     import spark.implicits._
     import graft.operators.TextQuality
