@@ -795,6 +795,24 @@ object SparkEntry {
       val pairs = Dedup.jaccardPairs(docs).where(col("jaccard") >= 0.3)
       Dedup.nearDupClusters(pairs, docs).orderBy("doc_id")
     }),
+    // the dedup ops dashboard: per language, how many docs survive
+    // each stage — raw → exact (distinct digests) → near-dup (cluster
+    // min-id survivors) — the one report that says which stage is
+    // actually paying for itself on this corpus
+    "dedup_funnel" -> ((s, d) => {
+      val docs = t(s, d).documents
+      val pairs = Dedup.jaccardPairs(docs).where(col("jaccard") >= 0.3)
+      val lab = Dedup.nearDupClusters(pairs, docs)
+      val surv = lab.where(col("doc_id") === col("cluster_id")).select(col("doc_id"))
+      val raw = docs.groupBy("lang").agg(count(lit(1)).as("n_raw"),
+        countDistinct(sha2(col("text"), 256)).as("n_exact"))
+      val near = surv.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy("lang").agg(count(lit(1)).as("n_near"))
+      raw.join(near, Seq("lang"), "left")
+        .select(col("lang"), col("n_raw"), col("n_exact"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"))
+        .orderBy("lang")
+    }),
     // near-dup families keep their BEST copy (length as the quality
     // proxy), not the min id — the priorityDedup survivor rule lifted
     // to similarity clusters; one bounded max_by buffer per family
@@ -4070,6 +4088,16 @@ object SparkEntry {
     "dedup_clusters" ->
       s"""$dedupClustersCtes
          |SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_funnel" ->
+      s"""$dedupClustersCtes,
+         | lab AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+         | surv AS (SELECT doc_id FROM lab WHERE doc_id = cluster_id),
+         | raw AS (SELECT lang, count(*) AS n_raw,
+         |         CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_exact FROM documents GROUP BY 1),
+         | nn AS (SELECT d.lang, count(*) AS n_near FROM surv JOIN documents d USING (doc_id) GROUP BY 1)
+         |SELECT raw.lang, n_raw, n_exact, coalesce(nn.n_near, 0) AS n_near
+         |FROM raw LEFT JOIN nn USING (lang) ORDER BY raw.lang""".stripMargin,
 
     "cluster_best_pick" ->
       s"""$dedupClustersCtes,
