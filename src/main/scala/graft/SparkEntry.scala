@@ -795,6 +795,28 @@ object SparkEntry {
       val pairs = Dedup.jaccardPairs(docs).where(col("jaccard") >= 0.3)
       Dedup.nearDupClusters(pairs, docs).orderBy("doc_id")
     }),
+    // replica reconciliation (the Merkle-tree move, relationally):
+    // bucket both copies by id, compare counts + engine-exact
+    // fingerprint sums — divergence localizes to buckets without ever
+    // shipping rows; fixture diverges replica B deterministically
+    "table_reconcile" -> ((s, d) => {
+      val docs = t(s, d).documents
+      val a = docs.select(col("doc_id"), col("text"))
+      val b = docs.where(col("doc_id") =!= 42)
+        .select(col("doc_id"),
+          when(col("doc_id") % 97 === 13, concat(col("text"), lit(" tampered")))
+            .otherwise(col("text")).as("text"))
+      def sums(df: DataFrame, nCol: String, fCol: String) =
+        TextQuality.fingerprintRef(df)
+          .select((col("doc_id") % 16).as("bucket"), col("fp"))
+          .groupBy("bucket").agg(count(lit(1)).as(nCol), sum(col("fp")).as(fCol))
+      sums(a, "n_a", "f_a").join(sums(b, "n_b", "f_b"), Seq("bucket"), "full")
+        .select(col("bucket"),
+          coalesce(col("n_a"), lit(0L)).as("n_a"), coalesce(col("n_b"), lit(0L)).as("n_b"),
+          coalesce(col("f_a"), lit(0L)).as("f_a"), coalesce(col("f_b"), lit(0L)).as("f_b"))
+        .withColumn("diverged", col("n_a") =!= col("n_b") || col("f_a") =!= col("f_b"))
+        .orderBy("bucket")
+    }),
     // the dedup ops dashboard: per language, how many docs survive
     // each stage — raw → exact (distinct digests) → near-dup (cluster
     // min-id survivors) — the one report that says which stage is
@@ -4088,6 +4110,32 @@ object SparkEntry {
     "dedup_clusters" ->
       s"""$dedupClustersCtes
          |SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "table_reconcile" -> {
+      def fpSum(srcCte: String, pfx: String): String =
+        s""" ${pfx}cw AS (SELECT doc_id, list_filter(list_transform(
+           |    list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), t -> length(t) > 0),
+           |    t -> lower(regexp_replace(t, '$P', '', 'g'))), w -> length(w) > 0) AS ws FROM $srcCte),
+           | ${pfx}h AS (SELECT doc_id, list_transform(ws, w ->
+           |    CAST(coalesce(list_sum(list_transform(string_split(w, ''), c -> 22 + 23*(ascii(c) - 14))), 0) AS BIGINT)) AS hs
+           |  FROM ${pfx}cw),
+           | ${pfx}fp AS (SELECT doc_id % 16 AS bucket,
+           |    CAST(((list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+           |      (acc, x) -> (acc * 31 + x) % 1000000007) % 1000000007) + 1000000007) % 1000000007 AS BIGINT) AS fp
+           |  FROM ${pfx}h),
+           | ${pfx}s AS (SELECT bucket, count(*) AS n, CAST(sum(fp) AS BIGINT) AS f FROM ${pfx}fp GROUP BY 1)""".stripMargin
+      s"""WITH ta AS (SELECT doc_id, text FROM documents),
+         | tb AS (SELECT doc_id, CASE WHEN doc_id % 97 = 13 THEN text || ' tampered' ELSE text END AS text
+         |        FROM documents WHERE doc_id <> 42),
+         |${fpSum("ta", "ra")},
+         |${fpSum("tb", "rb")}
+         |SELECT coalesce(x.bucket, y.bucket) AS bucket,
+         | coalesce(x.n, 0) AS n_a, coalesce(y.n, 0) AS n_b,
+         | coalesce(x.f, 0) AS f_a, coalesce(y.f, 0) AS f_b,
+         | (coalesce(x.n, 0) <> coalesce(y.n, 0) OR coalesce(x.f, 0) <> coalesce(y.f, 0)) AS diverged
+         |FROM ras x FULL JOIN rbs y ON x.bucket = y.bucket
+         |ORDER BY bucket""".stripMargin
+    },
 
     "dedup_funnel" ->
       s"""$dedupClustersCtes,
