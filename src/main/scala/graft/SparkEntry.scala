@@ -471,6 +471,24 @@ object SparkEntry {
               |ORDER BY returnflag, linestatus""".stripMargin)
     }),
     // CSV source/sink round trip: parquet -> csv -> csv scan -> agg
+    // the CSV corner that corrupts real pipelines: embedded commas,
+    // quotes AND newlines. RFC-4180 quote-doubling on write (escape =
+    // quote char, not Spark's backslash default) + multiLine read;
+    // the oracle computes the same aggregate from the CONSTRUCTED
+    // text directly — hash equality proves the round trip lost
+    // nothing through the quoting layer
+    "csv_quoted_roundtrip" -> ((s, d) => {
+      val fx = t(s, d).documents.select(col("doc_id"),
+        concat(lit("a,\"q\" "), col("text"), lit("\nline2 "), col("doc_id").cast("string")).as("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-csvq").toString
+      fx.write.mode("overwrite").option("escape", "\"").csv(tmp)
+      val back = s.read.schema("doc_id LONG, text STRING")
+        .option("multiLine", "true").option("escape", "\"").csv(tmp)
+      TextQuality.fingerprintRef(back)
+        .agg(count(lit(1)).as("n_rows"), sum(col("fp")).as("fp_sum"))
+        .crossJoin(broadcast(back.agg(sum(length(col("text"))).as("total_chars"))))
+        .select(col("n_rows"), col("total_chars"), col("fp_sum"))
+    }),
     "csv_roundtrip" -> ((s, d) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
       t(s, d).lineitem.select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
@@ -4110,6 +4128,24 @@ object SparkEntry {
     "dedup_clusters" ->
       s"""$dedupClustersCtes
          |SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "csv_quoted_roundtrip" ->
+      s"""WITH fx AS (SELECT doc_id, 'a,"q" ' || text || chr(10) || 'line2 ' || CAST(doc_id AS VARCHAR) AS text
+         |            FROM documents),
+         | cw AS (SELECT doc_id, list_filter(list_transform(
+         |    list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), t -> length(t) > 0),
+         |    t -> lower(regexp_replace(t, '$P', '', 'g'))), w -> length(w) > 0) AS ws FROM fx),
+         | h AS (SELECT doc_id, list_transform(ws, w ->
+         |    CAST(coalesce(list_sum(list_transform(string_split(w, ''), c -> 22 + 23*(ascii(c) - 14))), 0) AS BIGINT)) AS hs
+         |  FROM cw),
+         | f AS (SELECT doc_id,
+         |    CAST(((list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+         |      (acc, x) -> (acc * 31 + x) % 1000000007) % 1000000007) + 1000000007) % 1000000007 AS BIGINT) AS fp
+         |  FROM h)
+         |SELECT count(*) AS n_rows,
+         | (SELECT CAST(sum(length(text)) AS BIGINT) FROM fx) AS total_chars,
+         | CAST(sum(fp) AS BIGINT) AS fp_sum
+         |FROM f""".stripMargin,
 
     "table_reconcile" -> {
       def fpSum(srcCte: String, pfx: String): String =
