@@ -996,6 +996,18 @@ object SparkEntry {
     // determinism as unigram_logprob
     "bigram_logprob" -> ((s, d) =>
       TextQuality.bigramLogProb(t(s, d).documents).orderBy("doc_id")),
+    // eval-set seeding: the k best LM-scored exemplars PER LANGUAGE,
+    // picked by the engine's own GroupedTopK physical operator
+    // (bounded per-group heaps) over the bigram model's average —
+    // composing the custom planner strategy with the LM ladder
+    "best_exemplars" -> ((s, d) => {
+      val scored = TextQuality.bigramLogProb(t(s, d).documents)
+        .join(t(s, d).documents.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("lang"), col("doc_id"), col("avg_logprob"))
+      graft.plans.GroupedTopK.topKPerKey(scored, Seq("lang"),
+          Seq(("avg_logprob", true), ("doc_id", false)), k = 3)
+        .orderBy(col("lang"), desc("avg_logprob"), asc("doc_id"))
+    }),
     // top of the n-gram ladder: trigram model with two-level stupid
     // backoff (tri → bigram → unigram), pruned numerators, true-count
     // denominators
@@ -4248,6 +4260,15 @@ object SparkEntry {
          |       round(CAST(sl AS DOUBLE), 6) AS logprob,
          |       round(CAST(sl AS DOUBLE) / n_bigrams, 6) AS avg_logprob
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    "best_exemplars" ->
+      s"""$BigramCtes,
+         | scd AS (SELECT d.lang, s.doc_id, round(CAST(s.sl AS DOUBLE) / s.n_bigrams, 6) AS avg_logprob
+         |         FROM documents d JOIN s ON d.doc_id = s.doc_id),
+         | rk AS (SELECT lang, doc_id, avg_logprob,
+         |        row_number() OVER (PARTITION BY lang ORDER BY avg_logprob DESC, doc_id) AS rn FROM scd)
+         |SELECT lang, doc_id, avg_logprob FROM rk WHERE rn <= 3
+         |ORDER BY lang, avg_logprob DESC, doc_id""".stripMargin,
 
     // model-based quality cut: the bigram chain's per-doc average
     // feeds the naive percent_rank twin of the histogram filter —
