@@ -2312,6 +2312,39 @@ object SparkEntry {
       sampled.join(shards.select(col("doc_id"), col("phase"), col("shard"), col("seq")), "doc_id")
         .orderBy("doc_id")
     }),
+    // the crawl front door, streaming: container files arrive one per
+    // micro-batch (binaryFile stream), records split and main text
+    // extracted per batch — stateless through the engine, so the
+    // drained stream equals batch warc_ingest and SHARES its twin
+    "streaming_warc_ingest" -> ((s, d) => {
+      val src = stageLayout(s, d, "warcstream") { tmp =>
+        val docs = t(s, d).documents
+        val id = col("doc_id")
+        val withMeta = Html.pageFromDocs(docs).select(col("doc_id"),
+          concat(lit("https://"), Html.fixtureHost(id % Html.SiteSpace),
+            lit("/doc/"), id.cast("string")).as("url"),
+          (lit(1700000000L) + id).as("fetch_ts"), col("html"))
+        graft.sources.Warc.containersFromDocs(withMeta, nContainers = 8)
+          .collect().foreach { r => // 8 container blobs — fixture staging
+            val cid = r.getLong(0)
+            val f = new java.io.File(s"$tmp/c$cid.warc")
+            java.nio.file.Files.write(f.toPath, r.getAs[Array[Byte]](1))
+            f.setLastModified(1000000L * (cid + 1))
+          }
+      }
+      val ss = streamSession(s)
+      val stream = ss.readStream.format("binaryFile")
+        // file streams need an explicit schema; binaryFile's is fixed
+        .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+        .option("pathGlobFilter", "*.warc").option("maxFilesPerTrigger", "1").load(src)
+      val recs = graft.sources.Warc.records(stream.select(col("content")))
+      val out = Html.extractMain(recs.drop("truncated"), idCol = "url")
+        .select(col("doc_id").as("url"), col("fetch_ts"),
+          col("n_blocks"), col("n_kept"), col("main_text"))
+      EventStreams.runToMemory(ss, out, s"stream_warc_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy("url")
+    }),
     // the cleaning family as a streaming stage: per micro-batch (one
     // file per trigger) the SAME deterministic dirt is stitched on,
     // Luhn-scrubbed and NFC-normalized — stateless narrow transforms
@@ -3042,6 +3075,19 @@ object SparkEntry {
        | CAST(len(valids) AS BIGINT) AS n_cards,
        | list_reduce(list_prepend(text, valids), (a, b) -> replace(a, b, '<CARD>')) AS clean
        |FROM v ORDER BY doc_id""".stripMargin
+
+  private lazy val warcIngestTwinSql: String = {
+    val ss = Html.SiteSpace
+    s"""WITH w AS (SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS ws
+       |  FROM documents)
+       |SELECT 'https://' || ${sqlHost(s"doc_id%$ss")} || '/doc/' || doc_id AS url,
+       | 1700000000 + doc_id AS fetch_ts,
+       | CAST((len(ws) + 11) // 12 + 3 AS BIGINT) AS n_blocks,
+       | CAST((len(ws) + 11) // 12 AS BIGINT) AS n_kept,
+       | array_to_string(ws, ' ') AS main_text
+       |FROM w ORDER BY url""".stripMargin
+  }
 
   /** MMR twin: the 5 greedy selection rounds UNROLLED (the kmeans/
     * pageRank device), each round an argmax window over
@@ -4509,18 +4555,10 @@ object SparkEntry {
     // closed-form (url and fetch_ts from doc_id arithmetic, main_text
     // the proven lossless collapse) — equality means the byte framing
     // recovered every record exactly
-    "warc_ingest" -> {
-      val ss = Html.SiteSpace
-      s"""WITH w AS (SELECT doc_id,
-         |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS ws
-         |  FROM documents)
-         |SELECT 'https://' || ${sqlHost(s"doc_id%$ss")} || '/doc/' || doc_id AS url,
-         | 1700000000 + doc_id AS fetch_ts,
-         | CAST((len(ws) + 11) // 12 + 3 AS BIGINT) AS n_blocks,
-         | CAST((len(ws) + 11) // 12 AS BIGINT) AS n_kept,
-         | array_to_string(ws, ' ') AS main_text
-         |FROM w ORDER BY url""".stripMargin
-    },
+    "warc_ingest" -> warcIngestTwinSql,
+    // the streaming front door answers exactly what the batch one
+    // does — one twin serves both (the bm25 trio device)
+    "streaming_warc_ingest" -> warcIngestTwinSql,
 
     // expected normalized URLs built closed-form from doc_id
     // arithmetic — the three raw forms' resolution/canonicalization is
