@@ -591,6 +591,28 @@ object SparkEntry {
     "tumbling_agg" -> ((s, d) => Windows.tumblingCounts(t(s, d).events)),
     "sliding_agg" -> ((s, d) => Windows.slidingCounts(t(s, d).events)),
     "session_agg" -> ((s, d) => Windows.sessionize(t(s, d).events)),
+    // RFM segmentation: recency/frequency/monetary quartiles per user
+    // (ntile with user_id tie-break, anchored at the table's max ts).
+    // The event-scale work is ONE aggregate; the three ntile windows
+    // run on the user-dimension-sized relation, not the event stream
+    "rfm_scores" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, d).events
+      val anchor = e.agg(max(unix_micros(col("ts"))).as("anchor_us"))
+      val per = e.groupBy(col("user_id")).agg(
+        max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("freq"),
+        graft.functions.dsum2(col("value")).as("mon"))
+      per.crossJoin(broadcast(anchor))
+        .withColumn("rec_us", col("anchor_us") - col("last_us"))
+        .withColumn("r", ntile(4).over(Window.orderBy(col("rec_us"), col("user_id"))).cast("long"))
+        .withColumn("f", ntile(4).over(Window.orderBy(col("freq").desc, col("user_id"))).cast("long"))
+        .withColumn("m", ntile(4).over(Window.orderBy(col("mon").desc, col("user_id"))).cast("long"))
+        .select(col("user_id"), col("freq"), round(col("mon"), 2).as("mon"),
+          col("rec_us"), col("r"), col("f"), col("m"),
+          concat(col("r"), col("f"), col("m")).as("rfm"))
+        .orderBy("user_id")
+    }),
     // recency weighting: exponentially decayed event mass per type,
     // half-life 7 days, anchored at the table's own max ts (a
     // deterministic anchor — "now" would unhash every run); rounded
@@ -1224,6 +1246,12 @@ object SparkEntry {
     // surface new links), keep documents by auth (content pages)
     "hits_rank" -> ((s, d) =>
       Graph.hits(Html.outlinks(Html.pageFromDocs(t(s, d).documents))).orderBy("node")),
+    // edge-weighted authority: rank splits across out-links by link
+    // MULTIPLICITY (three nav slots vouching for one target beat a
+    // single mention) instead of uniformly
+    "weighted_rank" -> ((s, d) =>
+      Graph.weightedPageRank(
+        Html.outlinksWeighted(Html.pageFromDocs(t(s, d).documents))).orderBy("node")),
     // spam-ring tell: nodes mutually reachable within 3 directed hops
     // over the extracted link graph, labeled by minimum ring member
     "link_rings" -> ((s, d) =>
@@ -4534,6 +4562,27 @@ object SparkEntry {
     "crawl_rank" -> pageRankUnrolled(CrawlEdgesCte),
     "hits_rank" -> hitsUnrolled(CrawlEdgesCte),
     "trust_rank" -> trustRankUnrolled(CrawlEdgesCte),
+    // weighted-PR twin: multiplicity edges from the same t CTE (no
+    // DISTINCT), contribution = round(rank·w/wsum, 12)
+    "weighted_rank" -> {
+      val pre =
+        s"""WITH $CrawlEdgesBody,
+           | ew AS (SELECT doc_id AS src, dst, count(*) AS w FROM t WHERE dst <> doc_id GROUP BY 1, 2),
+           | nodes AS (SELECT DISTINCT src AS node FROM ew UNION SELECT DISTINCT dst AS node FROM ew),
+           | deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM ew GROUP BY src),
+           | nn AS (SELECT count(*) AS n FROM nodes),
+           | r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes)""".stripMargin
+      val iters = (1 to 5).map { i =>
+        s""" r$i AS (SELECT nodes.node,
+           |   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+           |     + CAST(0.85 AS DOUBLE) * CAST(coalesce(c.s, 0) AS DOUBLE) AS rank
+           |  FROM nodes LEFT JOIN (
+           |    SELECT e.dst AS node, sum(CAST(round(r.rank * CAST(e.w AS DOUBLE) / CAST(deg.wsum AS DOUBLE), 12) AS DECIMAL(38,12))) AS s
+           |    FROM r${i - 1} r JOIN deg ON deg.src = r.node JOIN ew e ON e.src = r.node
+           |    GROUP BY e.dst) c ON c.node = nodes.node)""".stripMargin
+      }.mkString(",\n")
+      s"$pre,\n$iters\nSELECT node, round(rank, 8) AS wpr FROM r5 ORDER BY node"
+    },
     // bounded-hop reach by LEVEL (distinct per expansion), mutuality
     // as a symmetric self-join, then transitive min-label closure over
     // the mutual-pair graph (the dedup_clusters recursive device) so
@@ -5120,6 +5169,21 @@ object SparkEntry {
          | CAST(len(valids) AS BIGINT) AS n_cards,
          | nfc_normalize(list_reduce(list_prepend(text, valids), (a, b) -> replace(a, b, '<CARD>'))) AS clean
          |FROM v ORDER BY doc_id""".stripMargin,
+    "rfm_scores" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        | a AS (SELECT max(us) AS anchor_us FROM e),
+        | per AS (SELECT user_id, max(us) AS last_us, count(*) AS freq,
+        |         CAST(sum(v) AS DOUBLE) AS mon FROM e GROUP BY 1),
+        | w AS (SELECT user_id, freq, mon, (SELECT anchor_us FROM a) - last_us AS rec_us FROM per),
+        | q AS (SELECT user_id, freq, mon, rec_us,
+        |   CAST(ntile(4) OVER (ORDER BY rec_us, user_id) AS BIGINT) AS r,
+        |   CAST(ntile(4) OVER (ORDER BY freq DESC, user_id) AS BIGINT) AS f,
+        |   CAST(ntile(4) OVER (ORDER BY mon DESC, user_id) AS BIGINT) AS m
+        |  FROM w)
+        |SELECT user_id, freq, round(mon, 2) AS mon, rec_us, r, f, m,
+        | CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR) AS rfm
+        |FROM q ORDER BY user_id""".stripMargin,
+
     // the decay constant is interpolated from the SAME Scala double
     // (shortest round-trip repr), so both engines start from one bit
     // pattern; exp + round(12) is the accepted rounded-log device

@@ -211,6 +211,20 @@ object Html {
       .where(col("dst") =!= col("src"))
       .distinct()
 
+  /** [[outlinks]] with MULTIPLICITY kept as an edge weight: a page
+    * linking a target from three nav slots vouches for it harder than
+    * a single mention — the edge-weight signal weighted PageRank
+    * consumes. Same extraction, the distinct replaced by a count. */
+  def outlinksWeighted(pages: DataFrame, htmlCol: String = "html",
+                       idCol: String = "doc_id"): DataFrame =
+    pages
+      .select(col(idCol).as("src"),
+        explode(regexp_extract_all(col(htmlCol),
+          lit("(?i)href=\"/doc/([0-9]+)\""), lit(1))).as("d"))
+      .select(col("src"), col("d").cast(LongType).as("dst"))
+      .where(col("dst") =!= col("src"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+
   /** Anchor-TEXT aggregation per link target — how the rest of the
     * corpus describes a page (the classic off-page relevance signal:
     * anchor text indexes the TARGET, not the source). Parses

@@ -141,6 +141,23 @@ class GraphSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("weightedPageRank: uniform weights reproduce pageRank exactly, heavy edges pull mass") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val uniform = edges.withColumn("w", lit(1L))
+    val wpr = Graph.weightedPageRank(uniform).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pr = Graph.pageRank(edges).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(wpr === pr) // w=1 everywhere degenerates to the uniform split
+    // 1 splits 2:1 toward node 2 instead of evenly: 2 must gain, 3 lose
+    val skewed = Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L)).toDF("src", "dst", "w")
+    val even = Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L)).toDF("src", "dst", "w")
+    val g1 = Graph.weightedPageRank(skewed).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val g0 = Graph.weightedPageRank(even).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(g1(2L) > g0(2L), s"$g1 vs $g0")
+    assert(g1(3L) < g0(3L), s"$g1 vs $g0")
+  }
+
   test("linkRings: cycles within the hop bound labeled by min member, chains and long cycles invisible") {
     val edges = Seq(
       (1L, 2L), (2L, 1L),                     // 2-cycle
