@@ -276,4 +276,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(Bucketing.shuffleExchangeCount(TextQuality.scriptProfile(t.documents)) === 0)
     assert(Bucketing.shuffleExchangeCount(TextQuality.sentences(t.documents)) === 0)
   }
+
+  test("cleaning chain (scrub + NFC) stays a zero-shuffle narrow plan") {
+    import graft.operators.Cleaning
+    val df = Cleaning.scrubCards(Cleaning.cardFixtureFromDocs(t.documents))
+      .select(col("doc_id"), graft.functions.NfcNormalize.nfc(col("clean")).as("clean"))
+    assert(Bucketing.shuffleExchangeCount(df) === 0, simple(df))
+    // projections over one scan, nothing else (the redaction fold is a
+    // higher-order function — interpreted by Spark design, still
+    // narrow; the NFC expression itself is codegen'd)
+    assert(!simple(df).contains("Exchange") && !simple(df).contains("Join"), simple(df))
+  }
+
+  test("weighted pagerank loop joins against the one materialized (edge, wsum) relation") {
+    import graft.operators.{Graph, Html}
+    val df = Graph.weightedPageRank(
+      Html.outlinksWeighted(Html.pageFromDocs(t.documents)), iters = 2)
+    // lineage is truncated per round: the final plan hangs off the
+    // last checkpoint, not a 2-iteration join tower
+    val plan = simple(df)
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan"), plan)
+  }
 }
