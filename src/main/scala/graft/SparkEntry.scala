@@ -649,6 +649,22 @@ object SparkEntry {
     // mean/stddev screens fail because outliers drag them
     "value_outliers" -> ((s, d) =>
       Profiling.madOutliers(t(s, d).events).orderBy("event_type")),
+    // EXACT heavy hitters over the cleaned word stream: every word
+    // with frequency > total/2000 — the provably-complete hot-word
+    // blocklist (pigeonhole: < 2000 such words can exist) that the
+    // count-min sketch only candidates for. Two map-side-combined
+    // aggregates; share as floor-ppm integer arithmetic
+    "heavy_hitters" -> ((s, d) =>
+      Profiling.heavyHitters(TextOps.words(t(s, d).documents), "word", k = 2000)
+        .orderBy("key")),
+    // pre-shuffle skew audit over lineitem's join/agg keys: distinct
+    // count, hottest-key and top-10 share (floor-ppm), normalized
+    // Shannon entropy (rounded-nats DECIMAL sum) — the report that
+    // decides salting vs AQE before a 100 TB shuffle runs
+    "skew_report" -> ((s, d) =>
+      Profiling.skewReport(t(s, d).lineitem,
+        Seq("l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus"))
+        .orderBy("key_col")),
     // inter-arrival profile: per-user consecutive-event gaps in exact
     // integer microseconds, NEAREST-RANK percentiles (value at rank
     // ceil(q·n) — engines' interpolating percentiles differ by an ulp
@@ -5222,6 +5238,39 @@ object SparkEntry {
         | CAST(max(dv.dev) AS DOUBLE) AS max_dev
         |FROM dv JOIN mad USING (grp)
         |GROUP BY dv.grp ORDER BY dv.grp""".stripMargin,
+
+    // the strict n·k > total cut in pure BIGINT arithmetic; ppm via
+    // floor of one identical IEEE division (DuckDB CAST would round)
+    "heavy_hitters" ->
+      s"""$WDoc,
+         | c AS (SELECT word AS key, count(*) AS n FROM w GROUP BY 1),
+         | t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+         |SELECT key, n, CAST(floor(n * 1000000 / total) AS BIGINT) AS share_ppm
+         |FROM c CROSS JOIN t WHERE n * 2000 > total ORDER BY key""".stripMargin,
+
+    // per-key-column block UNION ALL'd; entropy terms are
+    // round(p·-ln p, 9) DECIMAL-summed (the LM-ladder device), bits =
+    // nats / ln 2 in one final double op
+    "skew_report" -> Seq("l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus")
+      .map { kc =>
+        s"""(WITH c AS (SELECT CAST($kc AS VARCHAR) AS key, count(*) AS n FROM lineitem GROUP BY 1),
+           |  r AS (SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rk,
+           |        sum(n) OVER () AS tot FROM c),
+           |  t AS (SELECT key, n, rk, tot, CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p FROM r),
+           |  h AS (SELECT key, n, rk, tot, CAST(round(p * -ln(p), 9) AS DECIMAL(38,9)) AS h_term FROM t),
+           |  a AS (SELECT count(*) AS n_keys, CAST(max(tot) AS BIGINT) AS total,
+           |        max(CASE WHEN rk = 1 THEN n END) AS top1,
+           |        CAST(sum(CASE WHEN rk <= 10 THEN n ELSE 0 END) AS BIGINT) AS top10,
+           |        sum(h_term) AS h_nats FROM h)
+           | SELECT '$kc' AS key_col, n_keys, total,
+           |  CAST(floor(top1 * 1000000 / total) AS BIGINT) AS top1_ppm,
+           |  CAST(floor(top10 * 1000000 / total) AS BIGINT) AS top10_ppm,
+           |  round(CAST(h_nats AS DOUBLE) / ln(2.0), 6) AS entropy_bits,
+           |  round(CASE WHEN n_keys > 1
+           |        THEN CAST(h_nats AS DOUBLE) / ln(CAST(n_keys AS DOUBLE))
+           |        ELSE 0.0 END, 6) AS entropy_norm
+           | FROM a)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY key_col"),
 
     // nearest-rank pick: ceil(q·n) with q forced to DOUBLE (DuckDB's
     // bare 0.9 is DECIMAL — exact 9.0 where IEEE gives 9.000…002, a

@@ -86,4 +86,75 @@ object Profiling {
         col("n_outliers"),
         col("max_dev_d").cast("double").as("max_dev"))
   }
+
+  /** EXACT heavy hitters: every key whose frequency strictly exceeds
+    * total/k, with its share of the table. Two aggregates, zero
+    * guessing: one scalar count (broadcast back as a one-row literal
+    * relation) and one hash aggregate over the key — the exact answer
+    * a count-min/SpaceSaving sketch only candidates for. At 100 TB
+    * both passes are map-side-combined single shuffles; the sketch
+    * path (Sketches.scala) remains the choice when one pass is a hard
+    * requirement, this is the choice when the blocklist must be
+    * provably complete (frequency > n/k keys CANNOT be missed — the
+    * pigeonhole bound says there are fewer than k of them, so the
+    * result relation is tiny no matter how big the input).
+    *
+    * Output: (key, n, share ppm) for every key with n·k > total,
+    * share rendered as floor(1e6·n/total) — the floor of one
+    * identical IEEE division on both engines, so the hash never
+    * compares a free-form float. */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int = 100): DataFrame = {
+    val total = df.agg(count(lit(1)).as("total"))
+    df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .where(col("n") * k > col("total"))
+      .select(col("key"), col("n"),
+        floor(col("n") * lit(1000000L) / col("total")).as("share_ppm"))
+  }
+
+  /** Key-skew report — the pre-shuffle audit that decides whether a
+    * groupBy/join key needs salting or AQE skew handling BEFORE the
+    * job burns a day at 100 TB: per candidate key column, the exact
+    * distinct-key count, the share of the hottest key and of the top
+    * 10 keys (integer ppm), and the normalized Shannon entropy of the
+    * key distribution in rounded-decimal arithmetic (1.0 = uniform,
+    * →0 = one key owns the table; each p·ln(p) term rounded to 9 dp
+    * then DECIMAL-summed — the LM ladder's device, so both engines
+    * accumulate identical terms — and bits = nats/ln 2 in one final
+    * double op).
+    *
+    * Scale shape: one hash aggregate per key column over the raw
+    * table (k scans a column-pruned parquet read each), then all
+    * statistics compute on the key-count relation — vocabulary-sized,
+    * never row-sized. The top-share window sorts keys by count, again
+    * on the count relation only. */
+  def skewReport(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty, "skewReport needs at least one key column")
+    val per = keyCols.map { kc =>
+      val counts = df.groupBy(col(kc).cast("string").as("key"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("n").desc, col("key"))
+      counts
+        .withColumn("rk", row_number().over(w))
+        .withColumn("tot", sum(col("n")).over(Window.partitionBy()))
+        .withColumn("p", col("n").cast("double") / col("tot").cast("double"))
+        .withColumn("h_term",
+          round(col("p") * -log(col("p")), 9).cast("decimal(38,9)"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          max(col("tot")).as("total"),
+          max(when(col("rk") === 1, col("n"))).as("top1"),
+          sum(when(col("rk") <= 10, col("n")).otherwise(lit(0L))).as("top10"),
+          sum(col("h_term")).as("h_nats"))
+        .select(lit(kc).as("key_col"), col("n_keys"), col("total"),
+          floor(col("top1") * lit(1000000L) / col("total")).as("top1_ppm"),
+          floor(col("top10") * lit(1000000L) / col("total")).as("top10_ppm"),
+          round(col("h_nats").cast("double") / lit(math.log(2.0)), 6).as("entropy_bits"),
+          round(when(col("n_keys") > 1,
+            col("h_nats").cast("double") / log(col("n_keys").cast("double")))
+            .otherwise(lit(0.0)), 6).as("entropy_norm"))
+    }
+    per.reduce(_ unionAll _)
+  }
 }
