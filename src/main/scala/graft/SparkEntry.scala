@@ -1023,6 +1023,21 @@ object SparkEntry {
     "semantic_dedup" -> ((s, d) =>
       Similarity.semanticDedup(t(s, d).embeddings).orderBy("vec_id")),
     "text_quality" -> ((s, d) => TextQuality.qualityFeatures(t(s, d).documents).orderBy("doc_id")),
+    // Flesch ease + FK grade from three regexp counters (vowel-group
+    // syllables); narrow, codegen'd, shuffle-free — extreme values in
+    // either direction flag broken extraction before an LM pass runs
+    "readability" -> ((s, d) => TextQuality.readability(t(s, d).documents).orderBy("doc_id")),
+    // global vocabulary collapse (TTR + hapax share over cleaned
+    // words) — the template-spam signal adjacent-n-gram repetition
+    // stats can't see; two key-local shuffles, per-doc state is the
+    // doc's vocabulary
+    "lexical_diversity" -> ((s, d) =>
+      TextQuality.lexicalDiversity(t(s, d).documents).orderBy("doc_id")),
+    // corpus routing: code-vs-prose surface signals (symbol density,
+    // indent/semicolon line shares, reserved-word density) blended to
+    // a fixed linear score — rounded before the is_code cut so both
+    // engines threshold the identical number
+    "code_detect" -> ((s, d) => TextQuality.codeDetect(t(s, d).documents).orderBy("doc_id")),
     // perplexity-proxy scoring: per-doc sum of ln p(word) under the
     // corpus's own unigram distribution — per-token logs rounded and
     // DECIMAL-summed so accumulation order cannot wiggle the hash
@@ -4429,6 +4444,61 @@ object SparkEntry {
          | (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text) AS digit_ratio,
          | len(list_filter(tk, x -> list_contains(['the','a','of','and','to','in','is','it'], lower(x)))) / len(tk) AS stopword_ratio
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    // three exact regexp counts; each ratio one IEEE division, both
+    // formulas left-associated identically, rounded 4 dp
+    "readability" ->
+      """WITH m AS (SELECT doc_id,
+        |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sents,
+        |  CAST(greatest(len(list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> length(x) > 0)), 1) AS BIGINT) AS n_words,
+        |  CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS BIGINT) AS n_syll
+        | FROM documents),
+        | r AS (SELECT doc_id, n_sents, n_words, n_syll,
+        |   CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE) AS wps,
+        |   CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE) AS spw FROM m)
+        |SELECT doc_id, n_sents, n_words, n_syll,
+        | round(CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * wps - CAST(84.6 AS DOUBLE) * spw, 4) AS flesch_ease,
+        | round(CAST(0.39 AS DOUBLE) * wps + CAST(11.8 AS DOUBLE) * spw - CAST(15.59 AS DOUBLE), 4) AS fk_grade
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "lexical_diversity" ->
+      s"""$WDoc,
+         | c AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY 1, 2),
+         | a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens, count(*) AS n_types,
+         |       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax FROM c GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_types, n_hapax,
+         | round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+         | round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6) AS hapax_ratio
+         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // the keyword alternation interpolates the SAME Scala constant the
+    // Spark side compiles (CodeKeywordRe), so the two engines cannot
+    // drift on the reserved-word list; is_code compares the ROUNDED
+    // score so the cut is over an identical literal on both engines
+    "code_detect" ->
+      s"""WITH m AS (SELECT doc_id,
+         |  CAST(greatest(length(text), 1) AS BIGINT) AS n_chars,
+         |  CAST(len(regexp_extract_all(text, '\\n')) + 1 AS BIGINT) AS n_lines,
+         |  CAST(greatest(len(list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0)), 1) AS BIGINT) AS n_words,
+         |  CAST(len(regexp_extract_all(text, '[{}()\\[\\];=<>]')) AS BIGINT) AS sym,
+         |  CAST(len(regexp_extract_all(text, '(?m)^(  |\\t)')) AS BIGINT) AS indented,
+         |  CAST(len(regexp_extract_all(text, '(?m);[ \\t]*$$')) AS BIGINT) AS semi_eol,
+         |  CAST(len(regexp_extract_all(lower(text), '${TextQuality.CodeKeywordRe}')) AS BIGINT) AS kw
+         | FROM documents),
+         | r AS (SELECT doc_id,
+         |   CAST(sym AS DOUBLE) / CAST(n_chars AS DOUBLE) AS sym_r,
+         |   CAST(indented AS DOUBLE) / CAST(n_lines AS DOUBLE) AS indent_r,
+         |   CAST(semi_eol AS DOUBLE) / CAST(n_lines AS DOUBLE) AS semi_r,
+         |   CAST(kw AS DOUBLE) / CAST(n_words AS DOUBLE) AS kw_r FROM m),
+         | sc AS (SELECT doc_id,
+         |   round(sym_r, 6) AS sym_ratio, round(indent_r, 6) AS indent_ratio,
+         |   round(semi_r, 6) AS semi_ratio, round(kw_r, 6) AS kw_ratio,
+         |   round(CAST(2.0 AS DOUBLE) * sym_r + CAST(0.5 AS DOUBLE) * indent_r
+         |     + CAST(1.0 AS DOUBLE) * semi_r + CAST(1.5 AS DOUBLE) * kw_r, 6) AS code_score
+         |  FROM r)
+         |SELECT doc_id, sym_ratio, indent_ratio, semi_ratio, kw_ratio, code_score,
+         | code_score > CAST(0.12 AS DOUBLE) AS is_code
+         |FROM sc ORDER BY doc_id""".stripMargin,
 
     // the recursive CTE replays the applier's one-splice-per-iteration
     // best-rank merges per DISTINCT word (BpeApplyCte), then weights

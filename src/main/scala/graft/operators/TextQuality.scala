@@ -664,4 +664,108 @@ object TextQuality {
           .when(col("n_cyrillic") >= col("n_latin"), lit("cyrillic"))
           .otherwise(lit("latin")))
   }
+
+  /** Readability scoring: Flesch reading ease + Flesch-Kincaid grade
+    * (public formulas, Kincaid et al. 1975) with the standard cheap
+    * syllable estimator — each maximal `[aeiouy]+` vowel group counts
+    * one syllable. Low-ease / high-grade documents are run-on or
+    * jargon-dense; extreme values in either direction flag broken
+    * extraction (no sentence breaks at all, or character soup).
+    *
+    * Scale shape: three regexp counters per row, zero shuffle, whole
+    * row stays in whole-stage codegen. Cross-engine: the three counts
+    * are exact integers; each ratio is one IEEE division and the two
+    * formulas evaluate left-associated identically on both engines,
+    * rounded to 4 dp at the end (the established float device). The
+    * regexes live in the Java∩RE2 intersection. */
+  def readability(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    val nS = greatest(regexp_count(t, lit("[.!?]+")), lit(1)).cast(LongType)
+    val nW = greatest(size(toks(t)), lit(1)).cast(LongType)
+    val nSy = greatest(regexp_count(lower(t), lit("[aeiouy]+")), lit(1)).cast(LongType)
+    docs.select(col(idCol).as("doc_id"),
+        nS.as("n_sents"), nW.as("n_words"), nSy.as("n_syll"))
+      .withColumn("wps", col("n_words").cast("double") / col("n_sents").cast("double"))
+      .withColumn("spw", col("n_syll").cast("double") / col("n_words").cast("double"))
+      .select(col("doc_id"), col("n_sents"), col("n_words"), col("n_syll"),
+        round(lit(206.835) - lit(1.015) * col("wps") - lit(84.6) * col("spw"), 4)
+          .as("flesch_ease"),
+        round(lit(0.39) * col("wps") + lit(11.8) * col("spw") - lit(15.59), 4)
+          .as("fk_grade"))
+  }
+
+  /** Lexical diversity: per document, type-token ratio and hapax
+    * share over the CLEANED word stream (the wordcount family's
+    * tokens — case/punct variants collapse to one type). Template
+    * spam and keyword-stuffed pages sit at the extremes: near-0 TTR
+    * (one phrase looped) or near-1 hapax share on long docs (word
+    * salad). Complements repetitionStats, which sees ADJACENT
+    * repetition; TTR sees global vocabulary collapse no n-gram
+    * window catches.
+    *
+    * Scale shape: one explode + one (doc_id, word) hash aggregate +
+    * one doc_id aggregate — both shuffles are key-local and the
+    * per-doc state is its vocabulary, never its token list. */
+  def lexicalDiversity(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    docs.select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("tok"))
+      .select(col("doc_id"), TextOps.cleanWord(col("tok")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1, lit(1L)).otherwise(lit(0L))).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6).as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_types").cast("double"), 6).as("hapax_ratio"))
+  }
+
+  /** Code keywords for [[codeDetect]] — high-precision tokens that
+    * almost never open a prose sentence but saturate source files.
+    * Kept deliberately short: breadth adds recall slowly and false
+    * positives fast ("return" already appears in prose; "for"/"if"
+    * would swamp). */
+  val CodeKeywordRe: String =
+    "\\b(def|class|import|return|function|var|const|void|public|static|struct|elif|lambda|printf|endif)\\b"
+
+  /** Code-vs-prose detection — the corpus-routing heuristic (source
+    * code wants different cleaning, dedup and packing than prose; a
+    * code-heavy shard poisons an LM quality gate tuned on text). Four
+    * orthogonal surface signals, no parser: structural-symbol density
+    * `{}()[];=<>`, indented-line share, semicolon-terminated-line
+    * share, and reserved-word density. The score is a fixed linear
+    * blend; `is_code` cuts at 0.12 — symbols alone put real code far
+    * above it (C ~0.15-0.25 on symbol density alone) while clean
+    * prose sits under 0.03.
+    *
+    * Scale shape: regexp counters + one multiline regexp per row —
+    * narrow, codegen'd, shuffle-free. `(?m)^` anchors per line in
+    * both Java and RE2, so the line-share signals never materialize
+    * a split array. */
+  def codeDetect(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    val nChars = greatest(length(t), lit(1)).cast(LongType)
+    val nLines = (regexp_count(t, lit("\n")) + lit(1)).cast(LongType)
+    val nW = greatest(size(toks(t)), lit(1)).cast(LongType)
+    val sym = regexp_count(t, lit("[{}()\\[\\];=<>]")).cast(LongType)
+    val indented = regexp_count(t, lit("(?m)^(  |\t)")).cast(LongType)
+    val semiEol = regexp_count(t, lit("(?m);[ \t]*$")).cast(LongType)
+    val kw = regexp_count(lower(t), lit(CodeKeywordRe)).cast(LongType)
+    docs.select(col(idCol).as("doc_id"),
+        (sym.cast("double") / nChars.cast("double")).as("sym_r"),
+        (indented.cast("double") / nLines.cast("double")).as("indent_r"),
+        (semiEol.cast("double") / nLines.cast("double")).as("semi_r"),
+        (kw.cast("double") / nW.cast("double")).as("kw_r"))
+      .select(col("doc_id"),
+        round(col("sym_r"), 6).as("sym_ratio"),
+        round(col("indent_r"), 6).as("indent_ratio"),
+        round(col("semi_r"), 6).as("semi_ratio"),
+        round(col("kw_r"), 6).as("kw_ratio"),
+        round(lit(2.0) * col("sym_r") + lit(0.5) * col("indent_r")
+          + lit(1.0) * col("semi_r") + lit(1.5) * col("kw_r"), 6).as("code_score"))
+      .withColumn("is_code", col("code_score") > lit(0.12))
+  }
 }

@@ -467,4 +467,58 @@ class CorpusSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(5))).toMap
     assert(again === out.map(r => (r._1, r._6)).toMap)
   }
+
+  test("readability: closed-form counts and formulas; floors guard empty text") {
+    import graft.operators.TextQuality
+    val spark2 = spark; import spark2.implicits._
+    val fx = Seq(
+      // 2 sentences, 6 words, syllable groups by hand:
+      // "the cat sat. a dog ate!" → e/a/a + a/o/a+e = 7 vowel groups
+      (1L, "the cat sat. a dog ate!"),
+      (2L, "")  // all three counters floor to 1 — no div-by-zero
+    ).toDF("doc_id", "text")
+    val got = TextQuality.readability(fx).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    val (ns, nw, nsy, ease, grade) = got(1L)
+    assert(ns === 2L && nw === 6L && nsy === 7L)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val wps = 6.0 / 2.0; val spw = 7.0 / 6.0
+    assert(ease === r4(206.835 - 1.015 * wps - 84.6 * spw))
+    assert(grade === r4(0.39 * wps + 11.8 * spw - 15.59))
+    assert(got(2L) === ((1L, 1L, 1L,
+      r4(206.835 - 1.015 - 84.6), r4(0.39 + 11.8 - 15.59))))
+  }
+
+  test("lexicalDiversity: types/hapax collapse case+punct variants; extremes ranked right") {
+    import graft.operators.TextQuality
+    val spark2 = spark; import spark2.implicits._
+    val fx = Seq(
+      (1L, "Spam! spam SPAM spam."),              // 4 tokens, 1 type, 0 hapax
+      (2L, "one two three four"),                 // all hapax
+      (3L, "a a b c")                              // 4 tokens, 3 types, 2 hapax
+    ).toDF("doc_id", "text")
+    val got = TextQuality.lexicalDiversity(fx).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got(1L) === ((4L, 1L, 0L, 0.25, 0.0)))
+    assert(got(2L) === ((4L, 4L, 4L, 1.0, 1.0)))
+    assert(got(3L) === ((4L, 3L, 2L, 0.75, 0.666667)))
+  }
+
+  test("codeDetect: real code crosses the cut, prose stays far under it") {
+    import graft.operators.TextQuality
+    val spark2 = spark; import spark2.implicits._
+    val code =
+      "def main(argc):\n  x = compute(argc);\n  return x;\n" +
+      "class Foo:\n  def bar(self):\n    return [1, 2, 3];\n"
+    val prose = "The quiet afternoon settled over the valley, and the " +
+      "farmers walked home along the river without any hurry at all."
+    val fx = Seq((1L, code), (2L, prose)).toDF("doc_id", "text")
+    val got = TextQuality.codeDetect(fx).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(5), r.getBoolean(6)))).toMap
+    assert(got(1L)._2 === true, s"code scored ${got(1L)._1}")
+    assert(got(2L)._2 === false, s"prose scored ${got(2L)._1}")
+    assert(got(1L)._1 > 3 * got(2L)._1)
+  }
 }
