@@ -657,6 +657,11 @@ object SparkEntry {
     "heavy_hitters" -> ((s, d) =>
       Profiling.heavyHitters(TextOps.words(t(s, d).documents), "word", k = 2000)
         .orderBy("key")),
+    // volume-spike tripwire: per-type daily counts scored against the
+    // preceding 7 observations' mean/stddev (row-frame, exact integer
+    // frame sums, fixed-association float finish, rounded-z cut)
+    "rolling_anomaly" -> ((s, d) =>
+      Series.rollingAnomaly(t(s, d).events).orderBy("key", "day")),
     // pre-shuffle skew audit over lineitem's join/agg keys: distinct
     // count, hottest-key and top-10 share (floor-ppm), normalized
     // Shannon entropy (rounded-nats DECIMAL sum) — the report that
@@ -704,6 +709,13 @@ object SparkEntry {
       Dedup.incrementalDigestDedup(docs, store).orderBy("h")
     }),
     "near_dup_jaccard" -> ((s, d) => Dedup.nearestByJaccard(t(s, d).documents).orderBy("doc_id")),
+    // asymmetric containment |S(A)∩S(B)|/|S(A)| — the partial-dup
+    // (quote-inside-page) detector Jaccard structurally misses; same
+    // df-capped candidate bound as jaccardPairs, directed output,
+    // containment rounded before the cut
+    "containment_dups" -> ((s, d) =>
+      Dedup.containmentPairs(t(s, d).documents, minContainment = 0.5)
+        .orderBy("doc_id", "other_id")),
     // substring-level duplication (Lee et al. 2022 shape): strided
     // 32-char window grid, grouped on the span, kept where >= 2 docs
     "dup_spans" -> ((s, d) =>
@@ -4161,6 +4173,29 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, other_id) AS rn FROM sym)
         |SELECT doc_id, other_id, jaccard FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+    // same shingle/df-cap CTEs as near_dup_jaccard, then the DIRECTED
+    // containment projection: inter over the OWNING side's set size,
+    // rounded 6 dp before the >= cut
+    "containment_dups" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> length(x) > 0) AS l FROM documents),
+        | pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM toks WHERE len(l) >= 3),
+        | sh0 AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle FROM pos),
+        | rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 10),
+        | sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
+        | cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        | inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |            GROUP BY a.doc_id, b.doc_id),
+        | dir AS (SELECT i.doc_a AS doc_id, i.doc_b AS other_id, i.inter, ca.n_sh AS n_own
+        |          FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a
+        |          UNION ALL
+        |          SELECT i.doc_b AS doc_id, i.doc_a AS other_id, i.inter, cb.n_sh AS n_own
+        |          FROM inter i JOIN cnt cb ON cb.doc_id = i.doc_b),
+        | c AS (SELECT doc_id, other_id, inter, n_own,
+        |        round(CAST(inter AS DOUBLE) / CAST(n_own AS DOUBLE), 6) AS containment FROM dir)
+        |SELECT doc_id, other_id, inter, n_own, containment
+        |FROM c WHERE containment >= CAST(0.5 AS DOUBLE) ORDER BY doc_id, other_id""".stripMargin,
+
     // strided 32-char window grid, grouped on the span itself
     "dup_spans" ->
       """WITH sp AS (
@@ -5308,6 +5343,30 @@ object SparkEntry {
         | CAST(max(dv.dev) AS DOUBLE) AS max_dev
         |FROM dv JOIN mad USING (grp)
         |GROUP BY dv.grp ORDER BY dv.grp""".stripMargin,
+
+    // row-based lookback frame of exact integer sums; mean/var/z in a
+    // fixed-association float finish; the anomaly cut compares the
+    // ROUNDED z on both engines
+    "rolling_anomaly" ->
+      """WITH daily AS (SELECT event_type AS key, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+        |               FROM events GROUP BY 1, 2),
+        | f AS (SELECT key, day, n,
+        |        count(n) OVER w AS n_prior,
+        |        CAST(sum(n) OVER w AS BIGINT) AS sum_prior,
+        |        CAST(sum(n * n) OVER w AS BIGINT) AS sumsq_prior
+        |        FROM daily
+        |        WINDOW w AS (PARTITION BY key ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        | g AS (SELECT key, day, n, n_prior, sum_prior, sumsq_prior,
+        |        CAST(sum_prior AS DOUBLE) / CAST(n_prior AS DOUBLE) AS mean
+        |        FROM f WHERE n_prior >= 4),
+        | h AS (SELECT key, day, n, n_prior, mean,
+        |        (CAST(sumsq_prior AS DOUBLE) - CAST(sum_prior AS DOUBLE) * mean)
+        |          / CAST(n_prior - 1 AS DOUBLE) AS vr FROM g),
+        | z AS (SELECT key, day, n, n_prior, mean,
+        |        CASE WHEN vr > 0 THEN round((CAST(n AS DOUBLE) - mean) / sqrt(vr), 6) END AS z FROM h)
+        |SELECT key, day, n, n_prior, round(mean, 6) AS mean_prior, z,
+        | (z IS NOT NULL AND abs(z) > CAST(3.0 AS DOUBLE)) AS is_anomaly
+        |FROM z ORDER BY key, day""".stripMargin,
 
     // the strict n·k > total cut in pure BIGINT arithmetic; ppm via
     // floor of one identical IEEE division (DuckDB CAST would round)

@@ -227,6 +227,36 @@ object Dedup {
         (col("inter") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
   }
 
+  /** Asymmetric shingle CONTAINMENT (Broder's other resemblance
+    * measure): C(A→B) = |S(A) ∩ S(B)| / |S(A)| — the fraction of A's
+    * shingles that also appear in B. This is the partial-duplicate
+    * detector Jaccard structurally misses: a paragraph quoted whole
+    * inside a 100× longer page has C(quote→page) ≈ 1 while Jaccard
+    * ≈ |quote|/|page| ≈ 0.01, far under any near-dup cut. Corpus use:
+    * kill doc A when some B contains it (directed edge, unlike the
+    * symmetric dedup clusters).
+    *
+    * Same candidate generation and cost bound as [[jaccardPairs]]
+    * (shared-shingle pairs only, df-capped) — one extra projection on
+    * the pair relation, so the 100 TB posture is unchanged. Output is
+    * DIRECTED: one row per (doc_id, other_id) with containment of
+    * doc_id in other_id >= minContainment, rounded to 6 dp BEFORE the
+    * cut so both engines threshold the identical number. */
+  def containmentPairs(docs: DataFrame, w: Int = 3, minContainment: Double = 0.5,
+                       maxDf: Int = DefaultMaxDf, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val j = jaccardPairs(docs, w, maxDf, textCol, idCol)
+    val dir = j.select(col("doc_a").as("doc_id"), col("doc_b").as("other_id"),
+        col("inter"), col("n_a").as("n_own"))
+      .unionAll(j.select(col("doc_b").as("doc_id"), col("doc_a").as("other_id"),
+        col("inter"), col("n_b").as("n_own")))
+    dir
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("n_own").cast("double"), 6))
+      .where(col("containment") >= minContainment)
+      .select(col("doc_id"), col("other_id"), col("inter"), col("n_own"), col("containment"))
+  }
+
   /** For every document, its single most-similar other document by
     * exact shingle Jaccard (symmetric closure of jaccardPairs, top-1
     * per doc, ties broken by the other id). */

@@ -134,4 +134,50 @@ object Series {
         slice(col("vs"), col("i"), lit(w)).as("win"))
     scoreTopK(wins, pz, w, k)
   }
+
+  /** Rolling z-score anomaly screen over per-key daily event counts —
+    * the volume-spike/outage tripwire a pipeline runs on every feed:
+    * each (key, day)'s count is scored against the mean/stddev of its
+    * own preceding `lookback` observations (ROW-based frame ending at
+    * 1 PRECEDING — today never launders itself into its own baseline;
+    * row-based so a gap day shrinks the window instead of silently
+    * zero-filling). Days with fewer than `minPrior` predecessors emit
+    * no score (cold start).
+    *
+    * Cross-engine exactness: the frame sums are EXACT INTEGERS (count,
+    * sum, sum of squares over longs); mean/var/z then evaluate in a
+    * fixed association — var = (sumsq − sum·mean)/(n−1), z =
+    * (x − mean)/sqrt(var) — identical single-op sequences on both
+    * engines, rounded to 6 dp; the anomaly cut compares the ROUNDED z
+    * so the boolean can't flap.
+    *
+    * Scale shape: the event stream collapses to (key, day) counts in
+    * one map-side-combined aggregate; the window runs on the daily
+    * relation (365 rows per key-year), partitioned by key — no global
+    * sort, no state beyond the 8-row frame. */
+  def rollingAnomaly(events: DataFrame, keyCol: String = "event_type",
+                     tsCol: String = "ts", lookback: Int = 7,
+                     minPrior: Int = 4, zCut: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rowsBetween(-lookback, -1)
+    daily
+      .withColumn("n_prior", count(col("n")).over(w))
+      .withColumn("sum_prior", sum(col("n")).over(w))
+      .withColumn("sumsq_prior", sum(col("n") * col("n")).over(w))
+      .where(col("n_prior") >= minPrior)
+      .withColumn("mean", col("sum_prior").cast("double") / col("n_prior").cast("double"))
+      .withColumn("vr",
+        (col("sumsq_prior").cast("double") - col("sum_prior").cast("double") * col("mean"))
+          / (col("n_prior") - 1).cast("double"))
+      .withColumn("z",
+        when(col("vr") > 0,
+          round((col("n").cast("double") - col("mean")) / sqrt(col("vr")), 6)))
+      .select(col("key"), col("day"), col("n"), col("n_prior"),
+        round(col("mean"), 6).as("mean_prior"), col("z"),
+        (col("z").isNotNull && abs(col("z")) > zCut).as("is_anomaly"))
+  }
 }

@@ -228,4 +228,25 @@ class DedupSpec extends AnyFunSuite {
       5L -> (5L, "banana"), 6L -> (5L, "banana"),
       7L -> (7L, "zzzzzz")))
   }
+
+  test("containmentPairs: a quote inside a long page scores ~1 directed, Jaccard misses it") {
+    import spark.implicits._
+    val quote = "alpha beta gamma delta epsilon zeta"        // 4 trigram shingles
+    val page = ("x" + (1 to 40).map(i => s" w$i").mkString) + " " + quote + " tail end here"
+    val fx = Seq((1L, quote), (2L, page), (3L, "totally unrelated words only here now"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.containmentPairs(fx, minContainment = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    // all 4 of the quote's shingles appear in the page → C(quote→page)=1
+    assert(got((1L, 2L)) === 1.0, got.toString)
+    // the page's containment in the quote is small → direction filtered
+    assert(!got.contains((2L, 1L)))
+    assert(!got.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // and symmetric Jaccard on the same pair is far below any dedup cut
+    val j = graft.operators.Dedup.jaccardPairs(fx)
+      .where(org.apache.spark.sql.functions.col("doc_a") === 1L &&
+        org.apache.spark.sql.functions.col("doc_b") === 2L)
+      .select("jaccard").collect().head.getDouble(0)
+    assert(j < 0.1, s"jaccard $j")
+  }
 }

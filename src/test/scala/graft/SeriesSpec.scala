@@ -99,4 +99,37 @@ class SeriesSpec extends AnyFunSuite {
       eventsOf(Seq(1L -> Seq.fill(12)(4.25))), pattern, k = 5).collect()
     assert(got.isEmpty)
   }
+
+  test("rollingAnomaly: planted spike flagged against its own trailing baseline") {
+    // 10 steady days of 10 events, then a 100-event day, then steady —
+    // plus a second key that stays flat (variance 0 → z null, never
+    // flagged) and a cold-start key with too little history
+    def day(d: Int) = Timestamp.valueOf(f"2024-03-${d}%02d 12:00:00")
+    val rows =
+      (1 to 12).flatMap { d =>
+        val n = if (d == 11) 100 else 10 + (d % 2)   // slight wiggle → var > 0
+        (1 to n).map(i => (d.toLong * 1000 + i, day(d), 1L, "spiky", 1.0, "{}"))
+      } ++
+      (1 to 8).flatMap { d => (1 to 5).map(i => (90000L + d * 100 + i, day(d), 2L, "flat", 1.0, "{}")) } ++
+      (1 to 3).flatMap { d => (1 to 7).map(i => (80000L + d * 100 + i, day(d), 3L, "cold", 1.0, "{}")) }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Series.rollingAnomaly(ev).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getLong(3), Option(r.get(5)).map(_.asInstanceOf[Double]), r.getBoolean(6)))).toMap
+    // the spike day: full 7-day baseline of ~10.5, count 100 → huge z
+    val (np, z, flag) = got(("spiky", "2024-03-11"))
+    assert(np === 7L && flag, s"spike row: $np $z $flag")
+    assert(z.exists(_ > 100), s"z was $z")
+    // the day AFTER the spike: baseline now contains the spike —
+    // variance explodes, today's normal count is NOT flagged
+    assert(!got(("spiky", "2024-03-12"))._3)
+    // flat key: zero variance → z null, is_anomaly false
+    val flatRows = got.filter(_._1._1 == "flat").values
+    assert(flatRows.nonEmpty && flatRows.forall(v => v._2.isEmpty && !v._3))
+    // cold key: only 2 prior days ever — below minPrior, no rows at all
+    assert(!got.keySet.exists(_._1 == "cold"))
+    // steady pre-spike days with full history: |z| small, unflagged
+    val steady = got(("spiky", "2024-03-10"))
+    assert(!steady._3 && steady._2.exists(z => math.abs(z) < 3))
+  }
 }
