@@ -1050,6 +1050,15 @@ object SparkEntry {
     // a fixed linear score — rounded before the is_code cut so both
     // engines threshold the identical number
     "code_detect" -> ((s, d) => TextQuality.codeDetect(t(s, d).documents).orderBy("doc_id")),
+    // skyline curation: docs on the (size ↑, vocabulary-richness ↑)
+    // Pareto frontier via the sample-prune-exact ladder — the
+    // quadratic dominance check runs only on the undominated band,
+    // never the corpus
+    "pareto_curation" -> ((s, d) => {
+      val ld = TextQuality.lexicalDiversity(t(s, d).documents)
+        .select(col("doc_id"), col("n_tokens"), col("ttr"))
+      Corpus.paretoFrontier(ld, Seq("n_tokens" -> true, "ttr" -> true)).orderBy("doc_id")
+    }),
     // perplexity-proxy scoring: per-doc sum of ln p(word) under the
     // corpus's own unigram distribution — per-token logs rounded and
     // DECIMAL-summed so accumulation order cannot wiggle the hash
@@ -4505,6 +4514,21 @@ object SparkEntry {
          | round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
          | round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6) AS hapax_ratio
          |FROM a ORDER BY doc_id""".stripMargin,
+
+    // the NOT EXISTS spelling of Pareto dominance — the oracle runs
+    // the O(n²) definition the Spark ladder avoids; comparisons are on
+    // the 6-dp-rounded ttr both sides
+    "pareto_curation" ->
+      s"""$WDoc,
+         | c AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY 1, 2),
+         | a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens, count(*) AS n_types FROM c GROUP BY 1),
+         | ld AS (SELECT doc_id, n_tokens,
+         |        round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr FROM a)
+         |SELECT p.doc_id, p.n_tokens, p.ttr FROM ld p
+         |WHERE NOT EXISTS (SELECT 1 FROM ld q
+         |  WHERE q.n_tokens >= p.n_tokens AND q.ttr >= p.ttr
+         |    AND (q.n_tokens > p.n_tokens OR q.ttr > p.ttr))
+         |ORDER BY p.doc_id""".stripMargin,
 
     // the keyword alternation interpolates the SAME Scala constant the
     // Spark side compiles (CodeKeywordRe), so the two engines cannot

@@ -439,4 +439,55 @@ object Corpus {
     scored.join(broadcast(ranks), Seq(strataCol, "score"))
       .select(passthrough :+ col("score") :+ col("pr"): _*)
   }
+
+  /** Pareto-frontier (skyline) curation: the rows no other row beats
+    * on EVERY objective at once — multi-criteria selection without
+    * inventing a weighted blend (Börzsönyi et al., "The Skyline
+    * Operator", ICDE 2001). Corpus use: pick documents on the
+    * quality-vs-length / diversity-vs-size frontier instead of a
+    * single scalar score that hides the trade-off.
+    *
+    * `dims` maps column name → true to maximize / false to minimize;
+    * B dominates A iff B is >= A on every oriented dim and > on at
+    * least one. Ties on ALL dims dominate nothing, so duplicated
+    * frontier points all survive.
+    *
+    * Scale shape (the 100 TB posture): a naive skyline is an O(n²)
+    * self-join, unrunnable at scale. This runs the sample-prune-exact
+    * ladder instead:
+    *  1. a deterministic hash sample (~1/64) computes ITS OWN skyline
+    *     with a broadcast nested-loop anti-join (sample², tiny);
+    *  2. the full table anti-joins against the BROADCAST sample
+    *     skyline — one scan, no shuffle, and every row strictly
+    *     dominated by a sample-frontier point dies here. A true
+    *     frontier point is dominated by nothing, so this prune is
+    *     lossless;
+    *  3. the exact pairwise anti-join runs only on the survivors —
+    *     the frontier plus its undominated band, orders of magnitude
+    *     smaller than n for any correlated data.
+    * Worst case (perfectly anti-correlated dims, frontier ≈ n) no
+    * algorithm avoids the quadratic check; the ladder then degrades
+    * to the naive join instead of failing. */
+  def paretoFrontier(df: DataFrame, dims: Seq[(String, Boolean)],
+                     idCol: String = "doc_id", sampleMod: Int = 64): DataFrame = {
+    require(dims.nonEmpty, "paretoFrontier needs at least one dimension")
+    def dominates(q: String, p: String): Column = {
+      val allGe = dims.map { case (c, maxi) =>
+        if (maxi) col(s"$q.$c") >= col(s"$p.$c") else col(s"$q.$c") <= col(s"$p.$c")
+      }.reduce(_ && _)
+      val anyGt = dims.map { case (c, maxi) =>
+        if (maxi) col(s"$q.$c") > col(s"$p.$c") else col(s"$q.$c") < col(s"$p.$c")
+      }.reduce(_ || _)
+      allGe && anyGt
+    }
+    def antiDominate(points: DataFrame, against: DataFrame): DataFrame =
+      points.as("p").join(against.as("q"), dominates("q", "p"), "left_anti")
+        .select(col("p.*"))
+    val cols = col(idCol) +: dims.map { case (c, _) => col(c) }
+    val pts = df.select(cols: _*)
+    val sample = pts.where(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
+    val sampleSky = antiDominate(sample, broadcast(sample))
+    val pruned = antiDominate(pts, broadcast(sampleSky)).localCheckpoint(true)
+    antiDominate(pruned, pruned)
+  }
 }

@@ -468,6 +468,37 @@ class CorpusSpec extends AnyFunSuite {
     assert(again === out.map(r => (r._1, r._6)).toMap)
   }
 
+  test("paretoFrontier: matches the O(n²) definition; prune ladder is lossless") {
+    import graft.operators.Corpus
+    val spark2 = spark; import spark2.implicits._
+    // anti-correlated dims + interior points + an exact frontier tie
+    val pts = Seq(
+      (1L, 10L, 0.9), (2L, 20L, 0.7), (3L, 30L, 0.5), (4L, 40L, 0.1),
+      (5L, 15L, 0.6),  // dominated by 2 (20 >= 15, 0.7 >= 0.6, strict both)
+      (6L, 40L, 0.1),  // exact tie with 4 on ALL dims — both survive
+      (7L, 5L, 0.95), (8L, 39L, 0.4)
+    ).toDF("doc_id", "n", "s")
+    def brute(rows: Seq[(Long, Long, Double)]): Set[Long] =
+      rows.filter { p => !rows.exists(q =>
+        q._2 >= p._2 && q._3 >= p._3 && (q._2 > p._2 || q._3 > p._3)) }.map(_._1).toSet
+    val expect = brute(pts.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+    val got = Corpus.paretoFrontier(pts, Seq("n" -> true, "s" -> true), idCol = "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expect)
+    assert(got === Set(1L, 2L, 3L, 4L, 6L, 7L, 8L))
+    // minimize orientation flips the frontier
+    val gotMin = Corpus.paretoFrontier(pts, Seq("n" -> false, "s" -> false), idCol = "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(gotMin === brute(pts.collect().map(r =>
+      (r.getLong(0), -r.getLong(1), -r.getDouble(2))).toSeq))
+    // the sample prune must be lossless for ANY sample the hash picks
+    (1 to 4).foreach { m =>
+      val g = Corpus.paretoFrontier(pts, Seq("n" -> true, "s" -> true),
+        idCol = "doc_id", sampleMod = m).collect().map(_.getLong(0)).toSet
+      assert(g === expect, s"sampleMod=$m")
+    }
+  }
+
   test("readability: closed-form counts and formulas; floors guard empty text") {
     import graft.operators.TextQuality
     val spark2 = spark; import spark2.implicits._
