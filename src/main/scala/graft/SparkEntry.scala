@@ -807,6 +807,20 @@ object SparkEntry {
         .select(col("id"), col("p_name").as("s"))
       Dedup.editDistancePairs(names, q = 2, maxDist = 2).orderBy("id_a", "id_b")
     }),
+    // native-Expression fuzzy matching: Jaro-Winkler over 3-char
+    // prefix blocks (the Winkler boost rewards exactly the prefix the
+    // block shares) — raw doubles compared, since the kernel mirrors
+    // DuckDB's RapidFuzz implementation operation-for-operation
+    "jw_name_match" -> ((s, d) => {
+      val names = t(s, d).part.groupBy(col("p_name")).agg(min(col("p_partkey")).as("id"))
+        .select(col("id"), col("p_name").as("s"), substring(col("p_name"), 1, 3).as("blk"))
+      names.as("a").join(names.as("b"),
+          col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          graft.functions.JaroWinkler.jaroWinkler(col("a.s"), col("b.s")).as("jw"))
+        .where(col("jw") >= 0.88)
+        .orderBy("id_a", "id_b")
+    }),
     // exact dedup with a PRIORITY survivor rule: within each digest
     // group the curated (highest-priority) copy wins, min id on ties —
     // one bounded max_by buffer per group, never a per-key sort
@@ -3769,6 +3783,16 @@ object SparkEntry {
         |FROM s a JOIN s b ON a.id < b.id
         |WHERE levenshtein(a.s, b.s) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // raw-double compare: the Spark kernel is an op-for-op mirror of
+    // the RapidFuzz implementation behind this DuckDB builtin
+    "jw_name_match" ->
+      """WITH s AS (SELECT min(p_partkey) AS id, p_name AS s, substring(p_name, 1, 3) AS blk
+        |           FROM part GROUP BY p_name),
+        | p AS (SELECT a.id AS id_a, b.id AS id_b, jaro_winkler_similarity(a.s, b.s) AS jw
+        |       FROM s a JOIN s b ON a.blk = b.blk AND a.id < b.id)
+        |SELECT id_a, id_b, jw FROM p
+        |WHERE jw >= CAST(0.88 AS DOUBLE) ORDER BY id_a, id_b""".stripMargin,
 
     "priority_dedup" ->
       """WITH p AS (SELECT doc_id, lang, text, doc_id % 7 AS priority FROM documents),
