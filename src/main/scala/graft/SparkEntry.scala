@@ -662,6 +662,14 @@ object SparkEntry {
     // frame sums, fixed-association float finish, rounded-z cut)
     "rolling_anomaly" -> ((s, d) =>
       Series.rollingAnomaly(t(s, d).events).orderBy("key", "day")),
+    // grow/decay screen: per-type OLS slope of daily volume with all
+    // four moment sums exact longs and ONE double division at the end
+    "trend_slopes" -> ((s, d) =>
+      Series.trendSlopes(t(s, d).events).orderBy("key")),
+    // WHEN the feed changed: integer-exact CUSUM peak (n·Sᵢ − i·Σy —
+    // no float accumulation, association-proof under segment trees)
+    "change_points" -> ((s, d) =>
+      Series.changePoints(t(s, d).events).orderBy("key")),
     // pre-shuffle skew audit over lineitem's join/agg keys: distinct
     // count, hottest-key and top-10 share (floor-ppm), normalized
     // Shannon entropy (rounded-nats DECIMAL sum) — the report that
@@ -5391,6 +5399,45 @@ object SparkEntry {
         | CAST(max(dv.dev) AS DOUBLE) AS max_dev
         |FROM dv JOIN mad USING (grp)
         |GROUP BY dv.grp ORDER BY dv.grp""".stripMargin,
+
+    // all four moment sums exact BIGINTs; slope/intercept are the
+    // same fixed-order double ops as the Spark side
+    "trend_slopes" ->
+      """WITH daily AS (SELECT event_type AS key, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+        |               FROM events GROUP BY 1, 2),
+        | d0 AS (SELECT key, min(day) AS day0 FROM daily GROUP BY key),
+        | xy AS (SELECT d.key, CAST(date_diff('day', d0.day0, d.day) AS BIGINT) AS x, d.n AS y
+        |        FROM daily d JOIN d0 ON d.key = d0.key),
+        | m AS (SELECT key, count(*) AS n_days,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |        FROM xy GROUP BY key),
+        | f AS (SELECT key, n_days, sx, sy,
+        |        CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |          / CAST(n_days * sxx - sx * sx AS DOUBLE) AS slope
+        |        FROM m WHERE n_days >= 3 AND n_days * sxx - sx * sx <> 0)
+        |SELECT key, n_days, round(slope, 6) AS slope,
+        | round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n_days AS DOUBLE), 6) AS intercept
+        |FROM f ORDER BY key""".stripMargin,
+
+    // n·Sᵢ − i·Σy in pure BIGINT arithmetic — segment-tree window
+    // aggregation can't move an integer sum; top-1 by |peak|, day asc
+    "change_points" ->
+      """WITH daily AS (SELECT event_type AS key, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+        |               FROM events GROUP BY 1, 2),
+        | r AS (SELECT key, day, n,
+        |        CAST(row_number() OVER (PARTITION BY key ORDER BY day) AS BIGINT) AS i,
+        |        CAST(sum(n) OVER (PARTITION BY key ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run,
+        |        count(*) OVER (PARTITION BY key) AS n_days,
+        |        CAST(sum(n) OVER (PARTITION BY key) AS BIGINT) AS total
+        |        FROM daily),
+        | c AS (SELECT key, day, n_days, n_days * run - i * total AS cusum_n
+        |        FROM r WHERE n_days >= 5),
+        | k AS (SELECT key, day, n_days, cusum_n,
+        |        row_number() OVER (PARTITION BY key ORDER BY abs(cusum_n) DESC, day) AS rk FROM c)
+        |SELECT key, day AS change_day, n_days,
+        | round(CAST(cusum_n AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS peak_cusum
+        |FROM k WHERE rk = 1 ORDER BY key""".stripMargin,
 
     // row-based lookback frame of exact integer sums; mean/var/z in a
     // fixed-association float finish; the anomaly cut compares the

@@ -180,4 +180,81 @@ object Series {
         round(col("mean"), 6).as("mean_prior"), col("z"),
         (col("z").isNotNull && abs(col("z")) > zCut).as("is_anomaly"))
   }
+
+  /** Per-key linear trend: the OLS slope/intercept of daily event
+    * volume against day offset — the grow/decay screen run over every
+    * feed (a dying source shows up here weeks before it flatlines).
+    *
+    * Exactness: x is the integer day offset from the key's own first
+    * day, y the integer daily count, so ALL four moment sums (Σx, Σy,
+    * Σxy, Σx²) are exact longs in one aggregate; slope =
+    * (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is exact-integer numerator and
+    * denominator with ONE double division at the end, intercept =
+    * (Σy − slope·Σx)/n two more fixed-order ops — no float
+    * accumulation anywhere, so cross-engine hashes can't wiggle.
+    *
+    * Scale shape: events collapse to (key, day) counts map-side; the
+    * min-day join and moment aggregate run on the daily relation.
+    * Keys with < minDays days or a degenerate x-spread emit nothing. */
+  def trendSlopes(events: DataFrame, keyCol: String = "event_type",
+                  tsCol: String = "ts", minDays: Int = 3): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val first = daily.groupBy("key").agg(min(col("day")).as("day0"))
+    daily.join(first, "key")
+      .select(col("key"), datediff(col("day"), col("day0")).cast("long").as("x"), col("n").as("y"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .where(col("n_days") >= minDays &&
+        (col("n_days") * col("sxx") - col("sx") * col("sx")) =!= 0)
+      .withColumn("slope",
+        (col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .select(col("key"), col("n_days"),
+        round(col("slope"), 6).as("slope"),
+        round((col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+          / col("n_days").cast("double"), 6).as("intercept"))
+  }
+
+  /** CUSUM change-point detection per key — "WHEN did this feed
+    * change": the day maximizing the cumulative deviation of daily
+    * volume from the key's own overall mean (Page 1954). A level
+    * shift makes |CUSUM| peak exactly at the shift boundary, which a
+    * per-day z-score (rollingAnomaly) smears across its lookback.
+    *
+    * Exactness: the textbook CUSUM Σ(yⱼ−μ) accumulates floats in
+    * order — and DuckDB aggregates window frames via segment trees,
+    * so float association is NOT reproducible cross-engine. Scaling
+    * by n removes every float: n·CUSUMᵢ = n·Sᵢ − i·Σy with Sᵢ the
+    * integer running sum — exact longs under ANY association. The
+    * only doubles are the final presentation division by n.
+    *
+    * Scale shape: daily-count relation, one running-sum window and
+    * one top-1-per-key window, both partitioned by key. */
+  def changePoints(events: DataFrame, keyCol: String = "event_type",
+                   tsCol: String = "ts", minDays: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wKey = Window.partitionBy(col("key"))
+    val wRun = wKey.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = daily
+      .withColumn("i", row_number().over(wKey.orderBy(col("day"))).cast("long"))
+      .withColumn("run", sum(col("n")).over(wRun))
+      .withColumn("n_days", count(lit(1)).over(wKey))
+      .withColumn("total", sum(col("n")).over(wKey))
+      .where(col("n_days") >= minDays)
+      .withColumn("cusum_n", col("n_days") * col("run") - col("i") * col("total"))
+    scored
+      .withColumn("rk", row_number().over(
+        wKey.orderBy(abs(col("cusum_n")).desc, col("day"))))
+      .where(col("rk") === 1)
+      .select(col("key"), col("day").as("change_day"), col("n_days"),
+        round(col("cusum_n").cast("double") / col("n_days").cast("double"), 6)
+          .as("peak_cusum"))
+  }
 }

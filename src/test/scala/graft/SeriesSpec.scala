@@ -100,6 +100,42 @@ class SeriesSpec extends AnyFunSuite {
     assert(got.isEmpty)
   }
 
+  test("trendSlopes: exact slope on a planted linear ramp; flat key slope 0; short key dropped") {
+    def day(d: Int) = Timestamp.valueOf(f"2024-03-${d}%02d 12:00:00")
+    // ramp: y = 2x + 3 on days 1..6 (x = 0..5) → slope exactly 2, icpt 3
+    val rows =
+      (1 to 6).flatMap { d => (1 to (2 * (d - 1) + 3)).map(i => (d * 100L + i, day(d), 1L, "ramp", 1.0, "{}")) } ++
+      (1 to 5).flatMap { d => (1 to 4).map(i => (9000L + d * 10 + i, day(d), 2L, "flat", 1.0, "{}")) } ++
+      (1 to 2).flatMap { d => (1 to 9).map(i => (8000L + d * 10 + i, day(d), 3L, "short", 1.0, "{}")) }
+    val got = Series.trendSlopes(rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("ramp") === ((6L, 2.0, 3.0)))
+    assert(got("flat") === ((5L, 0.0, 4.0)))
+    assert(!got.contains("short"))     // below minDays
+  }
+
+  test("changePoints: CUSUM peaks exactly at a planted level shift") {
+    def day(d: Int) = Timestamp.valueOf(f"2024-03-${d}%02d 12:00:00")
+    // 5 days at 4/day then 5 days at 20/day: |CUSUM| peaks on day 5
+    // (the last pre-shift day), where the running deficit is largest
+    val rows =
+      (1 to 10).flatMap { d =>
+        val n = if (d <= 5) 4 else 20
+        (1 to n).map(i => (d * 100L + i, day(d), 1L, "shift", 1.0, "{}"))
+      } ++
+      (1 to 6).flatMap { d => (1 to 7).map(i => (7000L + d * 10 + i, day(d), 2L, "level", 1.0, "{}")) }
+    val got = Series.changePoints(rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect().map(r => r.getString(0) -> ((r.getDate(1).toString, r.getLong(2), r.getDouble(3)))).toMap
+    val (chDay, nDays, peak) = got("shift")
+    assert(chDay === "2024-03-05" && nDays === 10L)
+    // exact: n·S₅ − 5·total = 10·20 − 5·120 = −400; scaled /10 = −40
+    assert(peak === -40.0)
+    // a level series has peak |cusum| at most rounding-size, and the
+    // argmax lands on day 1 by the tie-break (all cusum_n are 0)
+    assert(got("level")._3 === 0.0)
+    assert(got("level")._1 === "2024-03-01")
+  }
+
   test("rollingAnomaly: planted spike flagged against its own trailing baseline") {
     // 10 steady days of 10 events, then a 100-event day, then steady —
     // plus a second key that stays flat (variance 0 → z null, never
