@@ -1072,6 +1072,14 @@ object SparkEntry {
     // a fixed linear score — rounded before the is_code cut so both
     // engines threshold the identical number
     "code_detect" -> ((s, d) => TextQuality.codeDetect(t(s, d).documents).orderBy("doc_id")),
+    // statistically-bound word pairs: top-100 adjacent-pair PMI with
+    // a count floor; vocabulary-sized aggregates + TakeOrdered top-k
+    "collocations" -> ((s, d) => TextQuality.collocations(t(s, d).documents)),
+    // content-keyed train/val/test assignment — split follows the
+    // TEXT hash, so re-crawls/re-partitions can never leak val→train
+    "dataset_split" -> ((s, d) =>
+      Corpus.datasetSplit(t(s, d).documents)
+        .select(col("doc_id"), col("lang"), col("split")).orderBy("doc_id")),
     // skyline curation: docs on the (size ↑, vocabulary-richness ↑)
     // Pareto frontier via the sample-prune-exact ladder — the
     // quadratic dominance check runs only on the undominated band,
@@ -4546,6 +4554,37 @@ object SparkEntry {
          | round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
          | round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6) AS hapax_ratio
          |FROM a ORDER BY doc_id""".stripMargin,
+
+    // PMI per pair: one mul + one div + one ln in identical
+    // association; the (pmi desc, w1, w2) order is total so LIMIT
+    // can't flap on ties
+    "collocations" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    list_filter(list_transform(
+         |      list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), t -> length(t) > 0),
+         |      t -> lower(regexp_replace(t, '$P', '', 'g'))), w -> length(w) > 0) AS ws
+         |  FROM documents),
+         | uni AS (SELECT w AS word, count(*) AS cnt FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY 1),
+         | tu AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM uni),
+         | bgp AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+         |        FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM toks WHERE len(ws) >= 2)),
+         | bg AS (SELECT w1, w2, count(*) AS c12 FROM bgp GROUP BY 1, 2),
+         | tb AS (SELECT CAST(sum(c12) AS BIGINT) AS bt FROM bg),
+         | j AS (SELECT bg.w1, bg.w2, bg.c12,
+         |        CAST(bg.c12 AS DOUBLE) / CAST(tb.bt AS DOUBLE) AS p12,
+         |        CAST(u1.cnt AS DOUBLE) / CAST(tu.t AS DOUBLE) AS p1,
+         |        CAST(u2.cnt AS DOUBLE) / CAST(tu.t AS DOUBLE) AS p2
+         |        FROM bg JOIN uni u1 ON bg.w1 = u1.word JOIN uni u2 ON bg.w2 = u2.word
+         |        CROSS JOIN tu CROSS JOIN tb
+         |        WHERE bg.c12 >= 5)
+         |SELECT w1, w2, c12, round(ln(p12 / (p1 * p2)), 6) AS pmi
+         |FROM j ORDER BY pmi DESC, w1, w2 LIMIT 100""".stripMargin,
+
+    "dataset_split" ->
+      s"""SELECT doc_id, lang,
+         | CASE WHEN $HashPermille < 800 THEN 'train'
+         |      WHEN $HashPermille < 900 THEN 'val' ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the NOT EXISTS spelling of Pareto dominance — the oracle runs
     // the O(n²) definition the Spark ladder avoids; comparisons are on

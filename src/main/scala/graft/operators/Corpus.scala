@@ -440,6 +440,26 @@ object Corpus {
       .select(passthrough :+ col("score") :+ col("pr"): _*)
   }
 
+  /** Deterministic content-keyed train/val/test assignment — the
+    * split that survives re-crawls: a document's split follows its
+    * TEXT (hashPermille), so regenerating the corpus, adding sources
+    * or re-partitioning can never leak yesterday's val doc into
+    * today's train set, which is exactly what a rand()- or
+    * row-number-based split does. Narrow, shuffle-free, one scan.
+    * Exact duplicates land in the same split by construction — dedup
+    * before splitting if cross-split twins matter. */
+  def datasetSplit(docs: DataFrame, trainPermille: Int = 800, valPermille: Int = 100,
+                   textCol: String = "text"): DataFrame = {
+    require(trainPermille + valPermille <= 1000, "train+val must fit in 1000 permille")
+    docs
+      .withColumn("__h", hashPermille(col(textCol)))
+      .withColumn("split",
+        when(col("__h") < trainPermille, lit("train"))
+          .when(col("__h") < trainPermille + valPermille, lit("val"))
+          .otherwise(lit("test")))
+      .drop("__h")
+  }
+
   /** Pareto-frontier (skyline) curation: the rows no other row beats
     * on EVERY objective at once — multi-criteria selection without
     * inventing a weighted blend (Börzsönyi et al., "The Skyline

@@ -665,6 +665,50 @@ object TextQuality {
           .otherwise(lit("latin")))
   }
 
+  /** Top-k collocations by pointwise mutual information — the
+    * statistically-bound word pairs ("hong kong", "prime minister")
+    * that should be treated as units by downstream tokenization and
+    * phrase search. PMI = ln(p(w1w2) / (p(w1)·p(w2))) over adjacent
+    * cleaned-word pairs, with a minimum pair count (PMI without a
+    * count floor surfaces one-off typo pairs — the classic failure).
+    *
+    * Scale shape: two vocabulary-sized aggregates (unigram + bigram
+    * counts) and two joins of the bigram relation against the
+    * broadcast-sized totals; the top-k is TakeOrderedAndProject on
+    * the pruned bigram relation, no global sort. Determinism: each
+    * probability is one IEEE division, pmi one mul + one div + one
+    * ln, identically associated on both engines, rounded to 6; the
+    * (pmi desc, w1, w2) order is total. */
+  def collocations(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                   minCount: Int = 5, k: Int = 100): DataFrame = {
+    val ws = filter(transform(TextOps.tokens(col(textCol)), t => TextOps.cleanWord(t)),
+      w => length(w) > 0)
+    val base = docs.select(col(idCol).as("doc_id"), ws.as("ws"))
+    val uni = base.select(explode(col("ws")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val totU = uni.agg(sum(col("cnt")).as("t"))
+    val bg = base.where(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
+    val totB = bg.agg(sum(col("c12")).as("bt"))
+    bg.where(col("c12") >= minCount)
+      .join(uni.select(col("word").as("w1"), col("cnt").as("c1")), "w1")
+      .join(uni.select(col("word").as("w2"), col("cnt").as("c2")), "w2")
+      .crossJoin(broadcast(totU)).crossJoin(broadcast(totB))
+      .withColumn("p12", col("c12").cast(DoubleType) / col("bt").cast(DoubleType))
+      .withColumn("p1", col("c1").cast(DoubleType) / col("t").cast(DoubleType))
+      .withColumn("p2", col("c2").cast(DoubleType) / col("t").cast(DoubleType))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log(col("p12") / (col("p1") * col("p2"))), 6).as("pmi"))
+      .orderBy(desc("pmi"), col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Readability scoring: Flesch reading ease + Flesch-Kincaid grade
     * (public formulas, Kincaid et al. 1975) with the standard cheap
     * syllable estimator — each maximal `[aeiouy]+` vowel group counts

@@ -468,6 +468,47 @@ class CorpusSpec extends AnyFunSuite {
     assert(again === out.map(r => (r._1, r._6)).toMap)
   }
 
+  test("collocations: PMI by hand on a planted pair; count floor kills one-offs") {
+    import graft.operators.TextQuality
+    val spark2 = spark; import spark2.implicits._
+    // "aa bb" appears 6 times (always together); "cc" floats freely;
+    // "dd ee" appears once — below minCount
+    val fx = (1L to 6L).map(i => (i, "aa bb cc")).toSeq :+ (7L, "cc dd ee cc cc")
+    val df = fx.toDF("doc_id", "text")
+    val got = TextQuality.collocations(df, minCount = 5, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // unigrams: aa=6 bb=6 cc=9 dd=1 ee=1, T=23; bigrams: (aa,bb)=6,
+    // (bb,cc)=6, (cc,dd)=1, (dd,ee)=1, (ee,cc)=1, (cc,cc)=1, B=16
+    def pmi(c12: Long, c1: Long, c2: Long): Double = {
+      val p12 = c12.toDouble / 16.0; val p1 = c1.toDouble / 23.0; val p2 = c2.toDouble / 23.0
+      BigDecimal(math.log(p12 / (p1 * p2))).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got(("aa", "bb")) === ((6L, pmi(6, 6, 6))))
+    assert(got(("bb", "cc")) === ((6L, pmi(6, 6, 9))))
+    assert(got.size === 2)                       // the one-off pairs are floored out
+    assert(got(("aa", "bb"))._2 > got(("bb", "cc"))._2)  // tighter pair scores higher
+  }
+
+  test("datasetSplit: content-keyed, duplicate-stable, append-stable, quotas honored") {
+    import spark.implicits._
+    val out = Corpus.datasetSplit(docs).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byS = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byS.keySet === Set("train", "val", "test"))
+    assert(byS("train") > byS("val") && byS("train") > byS("test"))
+    // exact duplicate text → same split, regardless of id
+    val dup = Seq((1L, "same text here"), (999L, "same text here")).toDF("doc_id", "text")
+    val dupS = Corpus.datasetSplit(dup).select("split").collect().map(_.getString(0))
+    assert(dupS.distinct.length === 1)
+    // appending new documents never moves an existing assignment
+    val more = docs.unionByName(
+      Seq((100001L, "a brand new document", "en", "web", 20L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out2 = Corpus.datasetSplit(more).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.forall { case (id, s) => out2(id) == s })
+  }
+
   test("paretoFrontier: matches the O(n²) definition; prune ladder is lossless") {
     import graft.operators.Corpus
     val spark2 = spark; import spark2.implicits._
