@@ -1151,6 +1151,27 @@ object SparkEntry {
     "bpe_doc_tokens" -> ((s, d) =>
       Bpe.docTokenCounts(t(s, d).documents, Bpe.DefaultMerges,
         alphabet = Some(Bpe.DefaultAlphabet)).orderBy("doc_id")),
+    // tokenizer-fertility report: BPE-per-whitespace-token ratio per
+    // language — the budget-realism number packing reads; the applier
+    // still runs on DISTINCT words only
+    "bpe_fertility" -> ((s, d) => {
+      val dt = Bpe.docTokenCounts(t(s, d).documents, Bpe.DefaultMerges,
+        alphabet = Some(Bpe.DefaultAlphabet))
+      dt.join(t(s, d).documents.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws_tokens")).as("ws_tokens"),
+          sum(col("bpe_tokens")).as("bpe_tokens"))
+        .select(col("lang"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+          round(col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"), 6)
+            .as("fertility"))
+        .orderBy("lang")
+    }),
+    // per-label centroid table in long format: component-rounded
+    // decimal sums (shuffle-order-proof), one posexplode + one
+    // (label, dim) aggregate
+    "label_centroids" -> ((s, d) =>
+      Similarity.labelCentroids(t(s, d).embeddings).orderBy("label", "dim")),
     // pack-efficiency rollup: per shard, pack count / entry count /
     // token total / mean fill vs the 64-token budget — the report that
     // tells you whether packing wastes context-window tokens
@@ -4654,6 +4675,35 @@ object SparkEntry {
          |SELECT doc_id, CAST(sum(len(toks)) AS BIGINT) AS bpe_tokens,
          |       CAST(count(*) AS BIGINT) AS ws_tokens
          |FROM dw JOIN fin USING (word) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same recursive applier CTE as bpe_doc_tokens, rolled up to the
+    // language grain; fertility is one division over exact sums
+    "bpe_fertility" ->
+      s"""WITH RECURSIVE
+         | dw AS (SELECT doc_id, lower(t.tok) AS word
+         |        FROM (SELECT doc_id, unnest(string_split_regex(text, '[ \\t\\n\\f\\r]+')) AS tok FROM documents) t
+         |        WHERE length(t.tok) > 0),
+         | wc AS (SELECT word, count(*) AS cnt FROM dw GROUP BY 1),
+         |$BpeApplyCte,
+         | per AS (SELECT doc_id, CAST(sum(len(toks)) AS BIGINT) AS bpe_tokens,
+         |         CAST(count(*) AS BIGINT) AS ws_tokens
+         |         FROM dw JOIN fin USING (word) GROUP BY 1)
+         |SELECT d.lang, count(*) AS n_docs,
+         | CAST(sum(p.ws_tokens) AS BIGINT) AS ws_tokens,
+         | CAST(sum(p.bpe_tokens) AS BIGINT) AS bpe_tokens,
+         | round(CAST(sum(p.bpe_tokens) AS DOUBLE) / CAST(sum(p.ws_tokens) AS DOUBLE), 6) AS fertility
+         |FROM per p JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the embedding[i]/generate_series device; per-component rounded
+    // decimal sums mirror the Spark side exactly
+    "label_centroids" ->
+      """WITH c AS (SELECT label, CAST(embedding[i] AS DOUBLE) AS x, CAST(i AS BIGINT) AS dim
+        |   FROM (SELECT label, embedding, unnest(generate_series(1, len(embedding))) AS i FROM embeddings) z),
+        | r AS (SELECT label, dim, CAST(round(x, 9) AS DECIMAL(38,9)) AS vd FROM c),
+        | a AS (SELECT label, dim, count(*) AS n, sum(vd) AS s FROM r GROUP BY 1, 2)
+        |SELECT CAST(label AS BIGINT) AS label, dim, n,
+        | round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_v
+        |FROM a ORDER BY label, dim""".stripMargin,
 
     "token_count" ->
       """SELECT doc_id,

@@ -815,4 +815,28 @@ object Similarity {
         round(sum(col("e2")).cast(DoubleType) / dim, 10).as("mse"))
       .where(col("d") === dim).drop("d")
   }
+
+  /** Per-label embedding centroids in long (label, dim, mean) format —
+    * the class-prototype table behind semantic dedup cells, drift
+    * monitoring and nearest-centroid routing. Long format on purpose:
+    * the centroid relation stays a first-class table (joinable,
+    * window-able, hash-checkable) instead of an opaque array blob.
+    *
+    * Exactness: a float sum over a shuffle is order-dependent; each
+    * component is therefore rounded to 9 dp (floats carry ~7
+    * significant digits — nothing real is lost) and DECIMAL-summed,
+    * the LM-ladder device, so both engines accumulate identical
+    * terms under any partitioning. Scale shape: one posexplode + one
+    * (label, dim) hash aggregate — |labels|·dim output rows, map-side
+    * combined, no per-label state beyond the running sum. */
+  def labelCentroids(embs: DataFrame, vecCol: String = "embedding",
+                     labelCol: String = "label"): DataFrame =
+    embs
+      .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("dim0", "v")))
+      .select(col("label"), (col("dim0") + 1).cast(LongType).as("dim"),
+        round(col("v").cast(DoubleType), 9).cast(DecimalType(38, 9)).as("vd"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("vd")).as("s"))
+      .select(col("label").cast(LongType).as("label"), col("dim"), col("n"),
+        round(col("s").cast(DoubleType) / col("n").cast(DoubleType), 6).as("mean_v"))
 }

@@ -334,4 +334,22 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
     assert(again === got)
   }
+
+  test("labelCentroids: closed-form means in long format, partitioning-invariant") {
+    val fx = Seq(
+      (1L, Array(1.0f, 2.0f), 7),
+      (2L, Array(3.0f, 6.0f), 7),
+      (3L, Array(10.0f, 0.5f), 8)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroids(fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got((7L, 1L)) === ((2L, 2.0)))    // (1+3)/2
+    assert(got((7L, 2L)) === ((2L, 4.0)))    // (2+6)/2
+    assert(got((8L, 1L)) === ((1L, 10.0)))
+    assert(got((8L, 2L)) === ((1L, 0.5)))
+    assert(got.size === 4)
+    val again = Similarity.labelCentroids(fx.repartition(5)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(again === got)
+  }
 }
