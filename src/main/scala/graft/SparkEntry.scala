@@ -629,6 +629,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("w")).cast("double"), 6).as("decayed_n"))
         .orderBy("event_type")
     }),
+    // path mining: top user journeys as event-type trigrams over each
+    // user's time-ordered stream — per-user state is the type LIST
+    // (array fold, no self-join); top-50 is TakeOrdered
+    "event_paths" -> ((s, d) => {
+      val seqs = t(s, d).events
+        .groupBy(col("user_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(ts, event_id, event_type)))," +
+          " x -> x.event_type)").as("types"))
+        .where(size(col("types")) >= 3)
+      seqs.select(explode(expr(
+          "transform(sequence(1, size(types) - 2)," +
+            " i -> concat(types[i-1], '>', types[i], '>', types[i+1]))")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("path")).limit(50)
+    }),
     // behavior features: first-order Markov transition counts between
     // consecutive event types per user, with rounded row-conditional
     // probabilities
@@ -764,6 +779,28 @@ object SparkEntry {
     // driver rounds, each one distributed argmax
     "mmr_topk" -> ((s, d) =>
       Retrieval.mmrTopK(t(s, d).documents, queryId = 0L, k = 5).orderBy("rank")),
+    // reciprocal-rank fusion of the lexical (BM25) and hashed-TF-IDF
+    // rankings — Σ 1/(60+rank), the standard-constant RRF; hits found
+    // by only one ranker keep their single term via the outer join
+    "rrf_fusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d).documents
+      val ra = Retrieval.bm25TopK(docs, Bm25Terms, k = 20, maxDf = RetrievalMaxDf)
+        .withColumn("r_bm",
+          row_number().over(Window.orderBy(desc("score"), asc("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("r_bm"))
+      val rb = Retrieval.tfidfQueryTopK(docs, queryId = 0L, k = 20, dim = 64)
+        .withColumn("r_tf",
+          row_number().over(Window.orderBy(desc("cos"), asc("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("r_tf"))
+      ra.join(rb, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("r_bm"), col("r_tf"),
+          round(coalesce(lit(1.0) / (lit(60.0) + col("r_bm").cast("double")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60.0) + col("r_tf").cast("double")), lit(0.0)), 9)
+            .as("rrf"))
+        .orderBy(desc("rrf"), asc("doc_id"))
+        .limit(20)
+    }),
     // the build-once/query-many retrieval lifecycle (the ANN side's
     // ivfPqWrite/Read posture): persist the four index relations,
     // reload, score BM25 from the stored postings — same oracle as the
@@ -1382,6 +1419,13 @@ object SparkEntry {
       Graph.starComponents(pairs, nodes, idCol = "node")
         .select(col("doc_id").as("node"), col("cluster_id"))
         .orderBy("node")
+    }),
+    // 2-core of the crawl graph: iterative peeling separates the
+    // interlinked site core from pendant tendrils; fixed rounds, the
+    // twin unrolls the same peels as CTEs (the page_rank device)
+    "kcore_nodes" -> ((s, d) => {
+      val edges = Html.outlinks(Html.pageFromDocs(t(s, d).documents))
+      Graph.kCore(edges, k = 2, rounds = KCoreRounds).orderBy("node")
     }),
     // the crawl pipeline starting where real crawls start: WARC-shaped
     // record containers (header block + Content-Length + payload +
@@ -2829,6 +2873,34 @@ object SparkEntry {
   }
   private val CrawlEdgesCte = s"WITH $CrawlEdgesBody"
 
+  /** Peel rounds shared by the kcore_nodes query and its unrolled-CTE
+    * twin — one constant so the two engines cannot drift. */
+  private val KCoreRounds = 6
+
+  /** Unrolled k-core twin: e0 = canonical undirected simple edges,
+    * then KCoreRounds × (degree → keep → restrict) CTE triples — the
+    * page_rank unrolling device applied to peeling. */
+  private lazy val kCoreTwinSql: String = {
+    // MATERIALIZED: each e_i is referenced three times by round i+1;
+    // inlined CTEs would expand the base scan 3^rounds times (DuckDB
+    // inlines by default — observed as an fd exhaustion, not a hang)
+    val peels = (1 to KCoreRounds).map { i =>
+      s""" d$i AS (SELECT node, count(*) AS deg
+         |        FROM (SELECT a AS node FROM e${i - 1} UNION ALL SELECT b AS node FROM e${i - 1}) z
+         |        GROUP BY 1),
+         | k$i AS (SELECT node FROM d$i WHERE deg >= 2),
+         | e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+         |        JOIN k$i x ON e.a = x.node JOIN k$i y ON e.b = y.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$CrawlEdgesCte,
+       | e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |        FROM edges WHERE src <> dst),
+       |$peels
+       |SELECT node, count(*) AS deg
+       |FROM (SELECT a AS node FROM e$KCoreRounds UNION ALL SELECT b AS node FROM e$KCoreRounds) z
+       |GROUP BY 1 HAVING count(*) >= 2 ORDER BY node""".stripMargin
+  }
+
   /** Closed-form SQL for the URL fixture's host / registered domain
     * (Html.fixtureHost / registeredDomain on it), parameterized on a
     * site-index expression — shared by the url_normalize and
@@ -3108,6 +3180,15 @@ object SparkEntry {
        |SELECT doc_id, round($scoreSum, 4) AS score
        |FROM per ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   }
+
+  /** TF-IDF cosine top-k twin — a val so the rrf_fusion twin can
+    * embed the identical query as a subquery. */
+  private lazy val tfidfTopkTwin: String =
+    s"""$TfidfVecCtes,
+       | q AS (SELECT dim_idx, v AS qv FROM vec WHERE doc_id = 0),
+       | sc AS (SELECT vec.doc_id, CAST(sum(CAST(round(vec.v * q.qv, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sp
+       |        FROM vec JOIN q USING (dim_idx) WHERE vec.doc_id <> 0 GROUP BY 1)
+       |SELECT doc_id, round(sp, 6) AS cos FROM sc ORDER BY cos DESC, doc_id LIMIT 20""".stripMargin
 
   /** Phrase twin: same cleaned token stream as WDoc, but with 1-based
     * positions derived from generate_series over the filtered token
@@ -4338,12 +4419,21 @@ object SparkEntry {
         | min(code) AS code_min, max(code) AS code_max,
         | round(CAST(sum(e2) AS DOUBLE) / 64, 10) AS mse
         |FROM e GROUP BY vec_id ORDER BY vec_id""".stripMargin,
-    "tfidf_query_topk" ->
-      s"""$TfidfVecCtes,
-         | q AS (SELECT dim_idx, v AS qv FROM vec WHERE doc_id = 0),
-         | sc AS (SELECT vec.doc_id, CAST(sum(CAST(round(vec.v * q.qv, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sp
-         |        FROM vec JOIN q USING (dim_idx) WHERE vec.doc_id <> 0 GROUP BY 1)
-         |SELECT doc_id, round(sp, 6) AS cos FROM sc ORDER BY cos DESC, doc_id LIMIT 20""".stripMargin,
+    "tfidf_query_topk" -> tfidfTopkTwin,
+
+    // rank fusion over the two twins verbatim as subqueries: RRF =
+    // Σ 1/(60+rank), each term one division, missing rank → 0
+    "rrf_fusion" ->
+      s"""WITH ra AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_bm
+         |            FROM ($bm25TwinSql) z1),
+         | rb AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS r_tf
+         |        FROM ($tfidfTopkTwin) z2),
+         | f AS (SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id, ra.r_bm, rb.r_tf
+         |        FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
+         |SELECT doc_id, r_bm, r_tf,
+         | round(coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(r_bm AS DOUBLE)), 0.0)
+         |   + coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(r_tf AS DOUBLE)), 0.0), 9) AS rrf
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
     // same capped-shingle Jaccard pipeline as near_dup_jaccard, then
     // min-label transitive closure via a recursive CTE
@@ -5294,6 +5384,8 @@ object SparkEntry {
          | )
          |SELECT node, min(label) AS cluster_id FROM reach GROUP BY node ORDER BY node""".stripMargin,
 
+    "kcore_nodes" -> kCoreTwinSql,
+
     "html_extract" ->
       """WITH w AS (SELECT doc_id,
         |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS ws
@@ -5463,6 +5555,18 @@ object SparkEntry {
          |  FROM e)
          |SELECT event_type, count(*) AS n, round(CAST(sum(w) AS DOUBLE), 6) AS decayed_n
          |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // ordered list() per user (rn-keyed, never unnest order), trigram
+    // paths by 1-based list indexing; (n desc, path) is total
+    "event_paths" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |        FROM events),
+        | s AS (SELECT user_id, list(event_type ORDER BY rn) AS types FROM o GROUP BY 1),
+        | p AS (SELECT types[i] || '>' || types[i+1] || '>' || types[i+2] AS path
+        |       FROM (SELECT types, unnest(generate_series(1, len(types) - 2)) AS i
+        |             FROM s WHERE len(types) >= 3) z)
+        |SELECT path, count(*) AS n FROM p GROUP BY 1 ORDER BY n DESC, path LIMIT 50""".stripMargin,
 
     "event_transitions" ->
       """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS tsu FROM events),

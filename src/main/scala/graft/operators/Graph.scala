@@ -333,4 +333,41 @@ object Graph {
         least(col("doc_id"), coalesce(col("mn"), col("doc_id"))).as("cluster_id"))
     (labels, rounds)
   }
+
+  /** k-core decomposition by iterative peeling (Seidman 1983): drop
+    * every node with UNDIRECTED degree < k, recompute degrees on the
+    * surviving subgraph, repeat. What survives is the k-core — the
+    * maximal subgraph where everyone keeps >= k neighbors. Crawl use:
+    * the 2-core separates interlinked site cores from the pendant
+    * tendrils PageRank wastes mass on; dedup use: a dense near-dup
+    * family survives peeling, chains of coincidental pairs don't.
+    *
+    * Runs a FIXED round count (the page_rank device: the twin unrolls
+    * the same rounds as CTEs, and once the core stabilizes further
+    * rounds are no-ops, so a converged result is exact, not
+    * truncated). `rounds` defaults high enough for the registered
+    * fixtures; the output carries the final degree so a caller can
+    * assert stability (min(deg) >= k ⇒ converged). Each round is one
+    * semi-join + one degree aggregate on the shrinking edge set —
+    * state is the surviving edge relation, lineage truncated per
+    * round. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 6,
+            srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    // undirected simple graph: canonical min/max pairs, self-loops out
+    var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct().localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val keep = deg.where(col("deg") >= k).select(col("node"))
+      e = e.join(keep.withColumnRenamed("node", "a"), "a")
+        .join(keep.withColumnRenamed("node", "b"), "b")
+        .select(col("a"), col("b")).localCheckpoint(true)
+    }
+    e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= k)
+  }
 }

@@ -190,4 +190,24 @@ class GraphSpec extends AnyFunSuite {
     val run = () => Graph.hits(edges).collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
     assert(run() === run())
   }
+
+  test("kCore: pendant chain peels away, triangle core survives, peeling cascades") {
+    // triangle {1,2,3} + chain 3-4-5-6 hanging off it. 2-core = the
+    // triangle alone — but only AFTER the peel cascades down the
+    // chain (6 goes first, then 5, then 4): one round is not enough,
+    // which is exactly what the fixed-round loop must handle
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val got = Graph.kCore(edges, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k=3: the triangle is only a 2-core — nothing survives
+    assert(Graph.kCore(edges, k = 3).count() === 0)
+    // direction/duplication/self-loops must not matter (undirected
+    // simple-graph canonicalization)
+    val messy = edges.unionAll(Seq((2L, 1L), (1L, 1L), (3L, 2L)).toDF("src", "dst"))
+    val got2 = Graph.kCore(messy, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 === got)
+  }
 }
