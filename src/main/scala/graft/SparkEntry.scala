@@ -1112,6 +1112,46 @@ object SparkEntry {
     // statistically-bound word pairs: top-100 adjacent-pair PMI with
     // a count floor; vocabulary-sized aggregates + TakeOrdered top-k
     "collocations" -> ((s, d) => TextQuality.collocations(t(s, d).documents)),
+    // Church-Gale burstiness: variance-to-mean of per-doc counts —
+    // high-cf LOW-VMR words not on the stopword list are template
+    // boilerplate leaking through cleaning
+    "word_burstiness" -> ((s, d) =>
+      TextOps.wordBurstiness(t(s, d).documents).orderBy("word")),
+    // per-doc top-3 TF-IDF keywords through the GroupedTopK physical
+    // operator — bounded per-group heaps, never a per-doc sort
+    "doc_keywords" -> ((s, d) => {
+      val docs = t(s, d).documents
+      val tf = Retrieval.docTermFreqs(docs)
+      val dfr = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
+      val wt = tf.join(dfr, "word").crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("word"),
+          round(col("tf").cast("double")
+            * log(col("n_docs").cast("double") / col("df").cast("double")), 6).as("w"))
+      graft.plans.GroupedTopK.topKPerKey(wt, Seq("doc_id"),
+          Seq(("w", true), ("word", false)), k = 3)
+        .orderBy(col("doc_id"), desc("w"), asc("word"))
+    }),
+    // classifier-quality report: n-gram language ID vs the labeled
+    // lang column — the confusion matrix that says whether the router
+    // can be trusted per language
+    "lang_id_confusion" -> ((s, d) => {
+      val docs = t(s, d).documents
+      TextQuality.langIdNgram(docs).select(col("doc_id"), col("pred_lang"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")
+    }),
+    // ops report: exact duplicate pressure per source (sha256 groups)
+    // — the number that decides which feed pays for better dedup
+    "dup_rate_by_source" -> ((s, d) =>
+      t(s, d).documents.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(sha2(col("text"), 256)).as("n_unique"))
+        .select(col("source"), col("n_docs"), col("n_unique"),
+          floor((col("n_docs") - col("n_unique")) * lit(1000000L) / col("n_docs"))
+            .as("dup_ppm"))
+        .orderBy("source")),
     // content-keyed train/val/test assignment — split follows the
     // TEXT hash, so re-crawls/re-partitions can never leak val→train
     "dataset_split" -> ((s, d) =>
@@ -3181,6 +3221,32 @@ object SparkEntry {
        |FROM per ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** N-gram language-ID twin — a val so the lang_id_confusion twin
+    * can embed the identical prediction query as a subquery. */
+  private lazy val langIdNgramTwin: String = {
+    val langs = TextQuality.NgramLangs
+    val score = (l: String) => TextQuality.NgramProfiles(l)
+      .map(g => s"(length(t) - length(replace(t, '$g', ''))) // ${g.length}")
+      .mkString(" + ")
+    val scoreCols = langs
+      .map(l => s"  CAST(${score(l)} AS BIGINT) AS g_$l").mkString(",\n")
+    val allZero = langs.map(l => s"g_$l = 0").mkString(" AND ")
+    val chain = langs.init.zipWithIndex.map { case (l, i) =>
+      val conds = langs.drop(i + 1).map(j => s"g_$l >= g_$j").mkString(" AND ")
+      s"      WHEN $conds THEN '$l'"
+    }.mkString("\n")
+    s"""WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
+       | sc AS (SELECT doc_id,
+       |$scoreCols
+       | FROM p)
+       |SELECT doc_id,
+       | CASE WHEN $allZero THEN 'und'
+       |$chain
+       |      ELSE '${langs.last}' END AS pred_lang,
+       | ${langs.map(l => s"g_$l").mkString(", ")}
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   /** TF-IDF cosine top-k twin — a val so the rrf_fusion twin can
     * embed the identical query as a subquery. */
   private lazy val tfidfTopkTwin: String =
@@ -4666,6 +4732,39 @@ object SparkEntry {
          | round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6) AS hapax_ratio
          |FROM a ORDER BY doc_id""".stripMargin,
 
+    // df/cf/Σc² exact; mean/variance/VMR the fixed three-op double
+    // sequence (the rollingAnomaly device)
+    "word_burstiness" ->
+      s"""$WDoc,
+         | c AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+         | a AS (SELECT word, count(*) AS df, CAST(sum(c) AS BIGINT) AS cf,
+         |       CAST(sum(c * c) AS BIGINT) AS cf2 FROM c GROUP BY 1),
+         | m AS (SELECT word, df, cf, cf2,
+         |       CAST(cf AS DOUBLE) / CAST(df AS DOUBLE) AS mean_c FROM a WHERE cf >= 20),
+         | v AS (SELECT word, df, cf, mean_c,
+         |       (CAST(cf2 AS DOUBLE) - CAST(cf AS DOUBLE) * mean_c) / CAST(df AS DOUBLE) AS vr FROM m)
+         |SELECT word, df, cf, round(mean_c, 6) AS mean_tf, round(vr / mean_c, 6) AS vmr
+         |FROM v ORDER BY word""".stripMargin,
+
+    // tf·idf with idf = ln(N/df), one division + one ln + one mul;
+    // row_number top-3 mirrors the GroupedTopK heap semantics
+    "doc_keywords" ->
+      s"""$WDoc,
+         | tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+         | dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         | nd AS (SELECT count(*) AS n_docs FROM documents),
+         | wt AS (SELECT tf.doc_id, tf.word,
+         |   round(CAST(tf.tf AS DOUBLE) * ln(CAST(nd.n_docs AS DOUBLE) / CAST(dfq.df AS DOUBLE)), 6) AS w
+         |   FROM tf JOIN dfq USING (word) CROSS JOIN nd),
+         | r AS (SELECT doc_id, word, w,
+         |       row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, word) AS rn FROM wt)
+         |SELECT doc_id, word, w FROM r WHERE rn <= 3 ORDER BY doc_id, w DESC, word""".stripMargin,
+
+    "dup_rate_by_source" ->
+      """SELECT source, count(*) AS n_docs, count(DISTINCT sha256(text)) AS n_unique,
+        | CAST(floor((count(*) - count(DISTINCT sha256(text))) * 1000000 / count(*)) AS BIGINT) AS dup_ppm
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
     // PMI per pair: one mul + one div + one ln in identical
     // association; the (pmi desc, w1, w2) order is total so LIMIT
     // can't flap on ties
@@ -5436,29 +5535,14 @@ object SparkEntry {
     // is a maximum (any earlier better one would have taken its
     // branch), which equals Spark's greatest() over (score, priority)
     // structs.
-    "lang_id_ngram" -> {
-      val langs = TextQuality.NgramLangs
-      val score = (l: String) => TextQuality.NgramProfiles(l)
-        .map(g => s"(length(t) - length(replace(t, '$g', ''))) // ${g.length}")
-        .mkString(" + ")
-      val scoreCols = langs
-        .map(l => s"  CAST(${score(l)} AS BIGINT) AS g_$l").mkString(",\n")
-      val allZero = langs.map(l => s"g_$l = 0").mkString(" AND ")
-      val chain = langs.init.zipWithIndex.map { case (l, i) =>
-        val conds = langs.drop(i + 1).map(j => s"g_$l >= g_$j").mkString(" AND ")
-        s"      WHEN $conds THEN '$l'"
-      }.mkString("\n")
-      s"""WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
-         | sc AS (SELECT doc_id,
-         |$scoreCols
-         | FROM p)
-         |SELECT doc_id,
-         | CASE WHEN $allZero THEN 'und'
-         |$chain
-         |      ELSE '${langs.last}' END AS pred_lang,
-         | ${langs.map(l => s"g_$l").mkString(", ")}
-         |FROM sc ORDER BY doc_id""".stripMargin
-    },
+    "lang_id_ngram" -> langIdNgramTwin,
+
+    // the twin verbatim as a subquery, rolled up to the (label,
+    // prediction) confusion grain
+    "lang_id_confusion" ->
+      s"""SELECT d.lang, p.pred_lang, count(*) AS n
+         |FROM ($langIdNgramTwin) p JOIN documents d USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "lang_id" ->
       """WITH t AS (SELECT doc_id,

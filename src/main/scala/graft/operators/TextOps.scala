@@ -118,4 +118,36 @@ object TextOps {
     words(docs).distinct()
       .select(refBinHash(col("word"), bins).as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n_words"))
+
+  /** Word burstiness: for every word above a corpus-frequency floor,
+    * the variance-to-mean ratio of its per-document counts (among
+    * documents that contain it). Church & Gale's observation: content
+    * words are BURSTY (a doc that mentions "reactor" once mentions it
+    * five times — VMR ≫ 1) while function words are Poisson-flat
+    * (VMR ≈ 1 among containing docs). Corpus use: a high-VMR word is
+    * topical (keyword candidate); a high-cf LOW-VMR word not on the
+    * stopword list is template boilerplate leaking through cleaning.
+    *
+    * Exactness: df, cf and Σc² are exact longs from one (doc, word)
+    * aggregate; mean, population variance and VMR are the fixed
+    * three-op double sequence of the rollingAnomaly device, rounded
+    * to 6. Scale: two key-local hash aggregates, output is the
+    * vocabulary above the floor. */
+  def wordBurstiness(docs: DataFrame, minCf: Int = 20,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), cleanWord(col("tok")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("cf"),
+        sum(col("c") * col("c")).as("cf2"))
+      .where(col("cf") >= minCf)
+      .withColumn("mean_c", col("cf").cast("double") / col("df").cast("double"))
+      .withColumn("vr",
+        (col("cf2").cast("double") - col("cf").cast("double") * col("mean_c"))
+          / col("df").cast("double"))
+      .select(col("word"), col("df"), col("cf"),
+        round(col("mean_c"), 6).as("mean_tf"),
+        round(col("vr") / col("mean_c"), 6).as("vmr"))
 }

@@ -85,4 +85,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.getDouble(5) === 0.333333) // 1/3 rounded(6)
     assert(r.getDouble(6) === 0.5)      // 3/6
   }
+
+  test("wordBurstiness: bursty word VMR > 1, flat word VMR < 1, floor applied") {
+    // "hot" concentrates: counts (8, 1, 1) over 3 docs; "flat" appears
+    // ~uniformly: (3, 3, 4); "rare" total 3 — under the floor of 10
+    val fx = Seq(
+      (1L, ("hot " * 8) + ("flat " * 3) + "rare"),
+      (2L, "hot " + ("flat " * 3) + "rare"),
+      (3L, "hot " + ("flat " * 4) + "rare")
+    ).toDF("doc_id", "text")
+    val got = TextOps.wordBurstiness(fx, minCf = 10).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet === Set("hot", "flat"))
+    val (dfH, cfH, meanH, vmrH) = got("hot")
+    // mean 10/3; var = (66 - 10·10/3)/3 = 32.666667/3; vmr = var/mean = 3.266667
+    assert(dfH === 3L && cfH === 10L && meanH === 3.333333)
+    assert(vmrH === 3.266667)
+    val (_, _, _, vmrF) = got("flat")
+    assert(vmrF < 0.2, s"flat word VMR $vmrF")   // (9+9+16-100/3)/3 / (10/3) = 0.0666…
+  }
 }
