@@ -685,6 +685,27 @@ object SparkEntry {
     // no float accumulation, association-proof under segment trees)
     "change_points" -> ((s, d) =>
       Series.changePoints(t(s, d).events).orderBy("key")),
+    // robust center under unequal row mass: exact-decimal nearest-rank
+    // on cumulative weight — a real data value, no interpolation
+    "weighted_median" -> ((s, d) =>
+      Relational.weightedMedian(t(s, d).lineitem,
+        "l_returnflag", "l_extendedprice", "l_quantity").orderBy("l_returnflag")),
+    // orphan census over the star schema's four FK edges — one join +
+    // folded count per edge, no orphan list materialized
+    "fk_integrity" -> ((s, d) => {
+      val tt = t(s, d)
+      Relational.fkIntegrity(Seq(
+        ("lineitem.l_orderkey->orders", tt.lineitem, "l_orderkey", tt.orders, "o_orderkey"),
+        ("lineitem.l_partkey->part", tt.lineitem, "l_partkey", tt.part, "p_partkey"),
+        ("lineitem.l_suppkey->supplier", tt.lineitem, "l_suppkey", tt.supplier, "s_suppkey"),
+        ("orders.o_custkey->customer", tt.orders, "o_custkey", tt.customer, "c_custkey")))
+        .orderBy("fk_edge")
+    }),
+    // Benford first-digit screen on prices: string-extracted digit
+    // (no log10 at power-of-ten boundaries), floor-ppm shares vs the
+    // log10(1+1/d) expectation, signed deviation per digit
+    "benford_screen" -> ((s, d) =>
+      Profiling.benfordScreen(t(s, d).lineitem, "l_extendedprice").orderBy("digit")),
     // pre-shuffle skew audit over lineitem's join/agg keys: distinct
     // count, hottest-key and top-10 share (floor-ppm), normalized
     // Shannon entropy (rounded-nats DECIMAL sum) — the report that
@@ -1132,6 +1153,20 @@ object SparkEntry {
           Seq(("w", true), ("word", false)), k = 3)
         .orderBy(col("doc_id"), desc("w"), asc("word"))
     }),
+    // structural QA: dominant Unicode script vs the lang label — a
+    // CJK-dominant doc labeled 'en' is a mislabel or a mojibake feed
+    "script_lang_matrix" -> ((s, d) => {
+      val docs = t(s, d).documents
+      TextQuality.scriptProfile(docs).select(col("doc_id"), col("dominant"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"), col("dominant")).agg(count(lit(1)).as("n"))
+        .orderBy("lang", "dominant")
+    }),
+    // cross-source score calibration: quantile normalization — each
+    // doc's per-source rank mapped to the GLOBAL score at the same
+    // quantile, in PURE integer rank arithmetic (no float percentile)
+    "score_quantile_norm" -> ((s, d) =>
+      Corpus.quantileNormalize(t(s, d).documents).orderBy("doc_id")),
     // classifier-quality report: n-gram language ID vs the labeled
     // lang column — the confusion matrix that says whether the router
     // can be trusted per language
@@ -5537,6 +5572,41 @@ object SparkEntry {
     // structs.
     "lang_id_ngram" -> langIdNgramTwin,
 
+    // the script census on RAW documents (no fixture stitching),
+    // rolled up to the (label, dominant-script) grain
+    "script_lang_matrix" -> {
+      def c(cls: String) = s"CAST(length(text) - length(regexp_replace(text, '$cls', '', 'g')) AS BIGINT)"
+      s"""WITH p AS (SELECT doc_id,
+         |  ${c("[A-Za-z]")} AS n_latin,
+         |  ${c("[\\x{0400}-\\x{04FF}]")} AS n_cyrillic,
+         |  ${c("[\\x{4E00}-\\x{9FFF}]")} AS n_cjk FROM documents),
+         | v AS (SELECT doc_id,
+         |  CASE WHEN n_latin + n_cyrillic + n_cjk = 0 THEN 'none'
+         |       WHEN n_cjk >= n_latin AND n_cjk >= n_cyrillic THEN 'cjk'
+         |       WHEN n_cyrillic >= n_latin THEN 'cyrillic'
+         |       ELSE 'latin' END AS dominant FROM p)
+         |SELECT d.lang, v.dominant, count(*) AS n
+         |FROM v JOIN documents d USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    // rt = (rs−1)(N−1) // (ns−1) + 1 in pure BIGINT arithmetic; the
+    // normalized score is a real value picked by global rank
+    "score_quantile_norm" ->
+      """WITH b AS (SELECT doc_id, source AS grp, CAST(n_chars AS BIGINT) AS score FROM documents),
+        | s AS (SELECT doc_id, grp, score,
+        |       CAST(row_number() OVER (PARTITION BY grp ORDER BY score, doc_id) AS BIGINT) AS rs,
+        |       count(*) OVER (PARTITION BY grp) AS ns FROM b),
+        | g AS (SELECT CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT) AS rt,
+        |       score AS norm_score FROM b),
+        | n AS (SELECT count(*) AS ng FROM b),
+        | t AS (SELECT s.doc_id, s.grp, s.score,
+        |       CASE WHEN s.ns = 1 THEN 1
+        |            ELSE ((s.rs - 1) * (n.ng - 1)) // (s.ns - 1) + 1 END AS rt
+        |       FROM s CROSS JOIN n)
+        |SELECT t.doc_id, t.grp AS source, t.score, g.norm_score
+        |FROM t JOIN g ON g.rt = t.rt ORDER BY t.doc_id""".stripMargin,
+
     // the twin verbatim as a subquery, rolled up to the (label,
     // prediction) confusion grain
     "lang_id_confusion" ->
@@ -5739,6 +5809,44 @@ object SparkEntry {
         |SELECT key, day, n, n_prior, round(mean, 6) AS mean_prior, z,
         | (z IS NOT NULL AND abs(z) > CAST(3.0 AS DOUBLE)) AS is_anomaly
         |FROM z ORDER BY key, day""".stripMargin,
+
+    // exact-decimal cumulative-weight pick; DECIMAL compares, one
+    // presentation cast at the end
+    "weighted_median" ->
+      """WITH g AS (SELECT l_returnflag AS grp, CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+        |           sum(CAST(l_quantity AS DECIMAL(18,2))) AS w FROM lineitem GROUP BY 1, 2),
+        | r AS (SELECT grp, v, w,
+        |       sum(w) OVER (PARTITION BY grp ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw,
+        |       sum(w) OVER (PARTITION BY grp) AS tw FROM g)
+        |SELECT grp AS l_returnflag, CAST(min(v) AS DOUBLE) AS weighted_median,
+        |       CAST(max(tw) AS DOUBLE) AS total_weight
+        |FROM r WHERE cw * 2 >= tw GROUP BY grp ORDER BY grp""".stripMargin,
+
+    "fk_integrity" -> Seq(
+      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"))
+      .map { case (name, child, fk, parent, pk) =>
+        s"""(SELECT '$name' AS fk_edge, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+           | FROM (SELECT $fk AS k FROM $child) c
+           | LEFT JOIN (SELECT DISTINCT $pk AS k FROM $parent) p ON c.k = p.k)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY fk_edge"),
+
+    // digit via string extraction from floor(|x|); expectation is the
+    // same ln/ln-10 two-op double on both engines, floored to ppm
+    "benford_screen" ->
+      """WITH d AS (SELECT CAST(substring(CAST(CAST(floor(abs(l_extendedprice)) AS DECIMAL(38,0)) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |           FROM lineitem WHERE abs(l_extendedprice) >= 1),
+        | c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        | t AS (SELECT digit, n, sum(n) OVER () AS total FROM c),
+        | f AS (SELECT digit, n,
+        |        CAST(floor(n * 1000000 / total) AS BIGINT) AS share_ppm,
+        |        CAST(floor(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 1000000.0) AS BIGINT) AS benford_ppm
+        |        FROM t)
+        |SELECT digit, n, share_ppm, benford_ppm, share_ppm - benford_ppm AS dev_ppm
+        |FROM f ORDER BY digit""".stripMargin,
 
     // the strict n·k > total cut in pure BIGINT arithmetic; ppm via
     // floor of one identical IEEE division (DuckDB CAST would round)

@@ -440,6 +440,43 @@ object Corpus {
       .select(passthrough :+ col("score") :+ col("pr"): _*)
   }
 
+  /** Cross-source quantile normalization — the score-calibration move
+    * when per-source quality scores aren't comparable (source A's
+    * "80" may be source B's "40"): each row's within-source rank maps
+    * to the GLOBAL score at the same quantile, so downstream
+    * thresholds cut every source at the same calibrated level.
+    *
+    * Exactness: the textbook percent_rank → interpolate path drags
+    * floats through the hash; here the target global rank is PURE
+    * integer arithmetic — rt = (rs−1)·(N−1) div (ns−1) + 1 — and the
+    * normalized score is a real data value picked by rank. Singleton
+    * sources map to the global minimum (rank 1).
+    *
+    * Scale shape: one per-source rank window, one global rank window
+    * (the TotalOrder caveat applies: a global row_number is a single
+    * partition's sort — at 100 TB swap in the range-partitioned
+    * global rank from `TotalOrder.globalRank`), one broadcast scalar
+    * and one equi-join on the target rank. */
+  def quantileNormalize(docs: DataFrame, scoreCol: String = "n_chars",
+                        groupCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
+      col(scoreCol).cast("long").as("score"))
+    val perSource = base
+      .withColumn("rs", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("score"), col("doc_id"))).cast("long"))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy(col("grp"))))
+    val globalRanked = base
+      .withColumn("rg", row_number().over(
+        Window.orderBy(col("score"), col("doc_id"))).cast("long"))
+      .select(col("rg").as("rt"), col("score").as("norm_score"))
+    val ng = base.agg(count(lit(1)).as("ng"))
+    perSource.crossJoin(broadcast(ng))
+      .withColumn("rt", when(col("ns") === 1, lit(1L))
+        .otherwise(expr("((rs - 1) * (ng - 1)) div (ns - 1)") + 1))
+      .join(globalRanked, "rt")
+      .select(col("doc_id"), col("grp").as(groupCol), col("score"), col("norm_score"))
+  }
+
   /** Deterministic content-keyed train/val/test assignment — the
     * split that survives re-crawls: a document's split follows its
     * TEXT (hashPermille), so regenerating the corpus, adding sources

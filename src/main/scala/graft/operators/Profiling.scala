@@ -112,6 +112,32 @@ object Profiling {
         floor(col("n") * lit(1000000L) / col("total")).as("share_ppm"))
   }
 
+  /** Benford first-digit screen — the synthetic-data / fraud sanity
+    * check: naturally-grown multiplicative quantities (prices,
+    * populations) lead with digit d at frequency log10(1 + 1/d);
+    * fabricated or uniformly-generated numbers don't. Reports, per
+    * digit, the exact observed count, floor-ppm share, the Benford
+    * expectation in ppm, and the signed deviation — the analyst reads
+    * the deviation column, no chi-square table needed.
+    *
+    * Exactness: the digit is string-extracted from floor(|x|) (no
+    * log10 near a power-of-ten boundary); shares are the floor-ppm
+    * device; the expectation ln(1+1/d)/ln 10 is the same two-op
+    * double on both engines. One aggregate over the fact column. */
+  def benfordScreen(df: DataFrame, valueCol: String): DataFrame = {
+    val d1 = substring(floor(abs(col(valueCol))).cast("decimal(38,0)").cast("string"), 1, 1)
+      .cast("long")
+    df.where(abs(col(valueCol)) >= 1)
+      .select(d1.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("digit"), col("n"),
+        floor(col("n") * lit(1000000L) / col("total")).as("share_ppm"),
+        floor(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / lit(math.log(10.0))
+          * lit(1000000.0)).as("benford_ppm"))
+      .withColumn("dev_ppm", col("share_ppm") - col("benford_ppm"))
+  }
+
   /** Key-skew report — the pre-shuffle audit that decides whether a
     * groupBy/join key needs salting or AQE skew handling BEFORE the
     * job burns a day at 100 TB: per candidate key column, the exact

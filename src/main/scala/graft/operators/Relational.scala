@@ -310,4 +310,56 @@ object Relational {
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         approx_count_distinct(col("l_suppkey")).as("approx_supps"))
       .orderBy(col("l_returnflag"))
+
+  /** Weighted median per group — the robust center when rows carry
+    * unequal mass (a 50-unit line item should pull the "typical
+    * price" 50× harder than a 1-unit one). Nearest-rank on the
+    * cumulative weight: the smallest value whose running weight
+    * reaches half the total. ENTIRELY in exact decimal — values and
+    * weights cast to DECIMAL(18,2), the 2·cum >= total cut compares
+    * exact decimals, no interpolation — so the picked value is a real
+    * data value and the hash cannot flap (the madOutliers discipline).
+    *
+    * Scale shape: one (group, value) pre-aggregate collapses the fact
+    * table to distinct values per group, then two windows on that
+    * relation; a hot group costs one partition's sort of its DISTINCT
+    * values, not its rows. */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                     weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.select(col(groupCol).as("grp"),
+        col(valueCol).cast("decimal(18,2)").as("v"),
+        col(weightCol).cast("decimal(18,2)").as("wt"))
+      .groupBy(col("grp"), col("v")).agg(sum(col("wt")).as("w"))
+    val run = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("cw", sum(col("w")).over(run))
+      .withColumn("tw", sum(col("w")).over(Window.partitionBy(col("grp"))))
+      .where(col("cw") * 2 >= col("tw"))
+      .groupBy(col("grp"))
+      .agg(min(col("v")).as("wm"), max(col("tw")).as("tw"))
+      .select(col("grp").as(groupCol),
+        col("wm").cast("double").as("weighted_median"),
+        col("tw").cast("double").as("total_weight"))
+  }
+
+  /** Referential-integrity audit — the orphan census run before
+    * trusting any star-schema drop: for each declared FK edge, total
+    * child rows and rows whose parent key is missing (left-anti
+    * semantics via a null-right left join count). One row per edge.
+    *
+    * Scale shape: each check is one join child⋈parent on the FK —
+    * broadcast when the parent is a dim, shuffle otherwise — with the
+    * count folded into the same pass; no materialized orphan list
+    * unless a caller asks for the rows themselves. */
+  def fkIntegrity(edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    val checks = edges.map { case (name, child, fk, parent, pk) =>
+      child.select(col(fk).as("k"))
+        .join(parent.select(col(pk).as("k"), lit(1).as("__hit")).distinct(), Seq("k"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("__hit").isNull, lit(1L)).otherwise(lit(0L))).as("n_orphans"))
+        .select(lit(name).as("fk_edge"), col("n_rows"), col("n_orphans"))
+    }
+    checks.reduce(_ unionAll _)
+  }
 }

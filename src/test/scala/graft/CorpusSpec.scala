@@ -509,6 +509,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.forall { case (id, s) => out2(id) == s })
   }
 
+  test("quantileNormalize: extremes map to extremes, singleton to global min, ranks integer-exact") {
+    import spark.implicits._
+    val fx = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),     // source a: 3 docs
+      (4L, "b", 100L), (5L, "b", 200L),                   // source b: richer scale
+      (6L, "c", 7L)                                        // singleton source
+    ).toDF("doc_id", "source", "n_chars")
+    val got = Corpus.quantileNormalize(fx).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // global sorted scores: 7,10,20,30,100,200 (N=6)
+    // a: ranks 1,2,3 of 3 → rt = (rs-1)*5 div 2 + 1 = 1, 3, 6 → 7, 20, 200
+    assert(got(1L) === 7L && got(2L) === 20L && got(3L) === 200L)
+    // b: ranks 1,2 of 2 → rt = 1, 6 → 7, 200 (extremes map to extremes)
+    assert(got(4L) === 7L && got(5L) === 200L)
+    // singleton source → global min
+    assert(got(6L) === 7L)
+  }
+
   test("paretoFrontier: matches the O(n²) definition; prune ladder is lossless") {
     import graft.operators.Corpus
     val spark2 = spark; import spark2.implicits._

@@ -62,6 +62,50 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedMedian: weight pulls the pick; unit weights reduce to plain median") {
+    import graft.operators.Relational
+    val spark2 = spark; import spark2.implicits._
+    // values 1..4; weight 10 on value 4 drags the weighted median to 4
+    // (cum: 1,2,3,13 of 13 — first 2·cum >= 13 is value 3? cum(3)=3,
+    // 6 < 13; cum(4)=13, 26 >= 13 → pick 4)
+    val fx = Seq(("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 1.0), ("a", 4.0, 10.0),
+      ("b", 1.0, 1.0), ("b", 2.0, 1.0), ("b", 3.0, 1.0))
+      .toDF("grp", "v", "w")
+    val got = Relational.weightedMedian(fx, "grp", "v", "w").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got("a") === ((4.0, 13.0)))
+    assert(got("b") === ((2.0, 3.0)))    // unit weights → plain median
+  }
+
+  test("fkIntegrity: planted orphans counted exactly, clean edges zero") {
+    import graft.operators.Relational
+    val spark2 = spark; import spark2.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(1L, 1L, 2L, 9L, 8L).toDF("fk")       // two orphans
+    val clean = Seq(3L, 3L).toDF("fk")
+    val got = Relational.fkIntegrity(Seq(
+      ("dirty", child, "fk", parent, "pk"),
+      ("clean", clean, "fk", parent, "pk"))).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("dirty") === ((5L, 2L)))
+    assert(got("clean") === ((2L, 0L)))
+  }
+
+  test("benfordScreen: exact counts, leading digit from strings, expectation sums to ~1e6") {
+    val spark2 = spark; import spark2.implicits._
+    // digits by hand: 12.3→1, 0.5 dropped (<1), 199→1, 23→2, 9001→9, -345→3
+    val fx = Seq(12.3, 0.5, 199.0, 23.0, 9001.0, -345.0).toDF("x")
+    val got = Profiling.benfordScreen(fx, "x").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L)._1 === 2L && got(2L)._1 === 1L && got(3L)._1 === 1L && got(9L)._1 === 1L)
+    assert(got(1L)._2 === 400000L)                        // 2/5 floor-ppm
+    assert(got(1L)._3 === 301029L)                        // floor(1e6·log10 2)
+    // Benford expectations over all nine digits total ~1e6 (floor loss < 9)
+    val full = (1 to 9).map(d =>
+      math.floor(math.log(1.0 + 1.0 / d) / math.log(10.0) * 1e6).toLong).sum
+    assert(full > 999990L && full <= 1000000L)
+  }
+
   test("skewReport: uniform key → entropy_norm 1, constant key → 0, shares exact") {
     val df = (1L to 64L).map(i => (i % 8, "x")).toDF("u", "c")
     val got = Profiling.skewReport(df, Seq("u", "c")).collect()
