@@ -664,6 +664,14 @@ object SparkEntry {
     // mean/stddev screens fail because outliers drag them
     "value_outliers" -> ((s, d) =>
       Profiling.madOutliers(t(s, d).events).orderBy("event_type")),
+    // the robust center MAD flags around: clamp into the nearest-rank
+    // [p05, p95] band, then exact-decimal means raw vs winsorized
+    "winsorized_stats" -> ((s, d) =>
+      Profiling.winsorizedStats(t(s, d).events).orderBy("event_type")),
+    // rollup-vs-fact drift census: header totals against decimal-
+    // summed line amounts with a permille tolerance — exact verdicts
+    "order_reconcile" -> ((s, d) =>
+      Relational.orderReconcile(t(s, d).lineitem, t(s, d).orders)),
     // EXACT heavy hitters over the cleaned word stream: every word
     // with frequency > total/2000 — the provably-complete hot-word
     // blocklist (pigeonhole: < 2000 such words can exist) that the
@@ -760,6 +768,11 @@ object SparkEntry {
     "containment_dups" -> ((s, d) =>
       Dedup.containmentPairs(t(s, d).documents, minContainment = 0.5)
         .orderBy("doc_id", "other_id")),
+    // the inverse of dedup: share of a doc's shingles that exist
+    // nowhere else — template-assembled docs score ≈ 0 even when no
+    // single pairwise duplicate exists
+    "novelty_score" -> ((s, d) =>
+      Dedup.noveltyScores(t(s, d).documents).orderBy("doc_id")),
     // substring-level duplication (Lee et al. 2022 shape): strided
     // 32-char window grid, grouped on the span, kept where >= 2 docs
     "dup_spans" -> ((s, d) =>
@@ -1501,6 +1514,18 @@ object SparkEntry {
     "kcore_nodes" -> ((s, d) => {
       val edges = Html.outlinks(Html.pageFromDocs(t(s, d).documents))
       Graph.kCore(edges, k = 2, rounds = KCoreRounds).orderBy("node")
+    }),
+    // per-node triangle support via (deg, id)-oriented wedge
+    // enumeration — out-degree-bounded wedges, one equi-join closure.
+    // Graph: part co-purchase (parts sharing an order) — the dense
+    // community structure the crawl fixture's link arithmetic lacks
+    "triangle_count" -> ((s, d) => {
+      val li = t(s, d).lineitem
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val edges = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      Graph.triangleCounts(edges).orderBy("node")
     }),
     // the crawl pipeline starting where real crawls start: WARC-shaped
     // record containers (header block + Content-Length + payload +
@@ -5520,6 +5545,34 @@ object SparkEntry {
 
     "kcore_nodes" -> kCoreTwinSql,
 
+    // the canonical u<v<w three-way join — same triangle set the
+    // oriented wedge enumeration produces, corners exploded
+    "triangle_count" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         | ed AS (SELECT x.p AS src, y.p AS dst FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p),
+         | e AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM ed WHERE src <> dst),
+         | tri AS (SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+         |         FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+         |         JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+         | x AS (SELECT n1 AS node FROM tri
+         |       UNION ALL SELECT n2 FROM tri
+         |       UNION ALL SELECT n3 FROM tri)
+         |SELECT node, count(*) AS triangles FROM x GROUP BY 1 ORDER BY node""".stripMargin,
+
+    // distinct shingles (the near_dup CTE prefix), df = 1 share
+    "novelty_score" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> length(x) > 0) AS l FROM documents),
+        | pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM toks WHERE len(l) >= 3),
+        | sh0 AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle FROM pos),
+        | dfq AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY 1),
+        | a AS (SELECT doc_id, count(*) AS n_shingles,
+        |       CAST(sum(CASE WHEN dfq.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+        |       FROM sh0 JOIN dfq USING (shingle) GROUP BY 1)
+        |SELECT doc_id, n_shingles, n_unique,
+        | round(CAST(n_unique AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS novelty
+        |FROM a ORDER BY doc_id""".stripMargin,
+
     "html_extract" ->
       """WITH w AS (SELECT doc_id,
         |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS ws
@@ -5880,6 +5933,45 @@ object SparkEntry {
            |        ELSE 0.0 END, 6) AS entropy_norm
            | FROM a)""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY key_col"),
+
+    // nearest-rank band edges (q forced DOUBLE), decimal clamp,
+    // exact-decimal sums with one presentation division each
+    "winsorized_stats" ->
+      """WITH e AS (SELECT event_type AS grp, event_id AS id, CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        | r AS (SELECT grp, id, v, row_number() OVER (PARTITION BY grp ORDER BY v, id) AS rn,
+        |       count(*) OVER (PARTITION BY grp) AS n FROM e),
+        | ed AS (SELECT grp,
+        |        max(CASE WHEN rn = greatest(CAST(ceil(n * CAST(0.05 AS DOUBLE)) AS BIGINT), 1) THEN v END) AS p_lo,
+        |        max(CASE WHEN rn = CAST(ceil(n * CAST(0.95 AS DOUBLE)) AS BIGINT) THEN v END) AS p_hi
+        |        FROM r GROUP BY grp),
+        | c AS (SELECT e.grp, e.v, ed.p_lo, ed.p_hi,
+        |       CASE WHEN e.v < ed.p_lo THEN ed.p_lo
+        |            WHEN e.v > ed.p_hi THEN ed.p_hi ELSE e.v END AS cv
+        |       FROM e JOIN ed USING (grp))
+        |SELECT grp AS event_type, count(*) AS n,
+        | CAST(max(p_lo) AS DOUBLE) AS p05, CAST(max(p_hi) AS DOUBLE) AS p95,
+        | round(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_raw,
+        | round(CAST(sum(cv) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_winsorized
+        |FROM c GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // per-line amount = one fixed-association double product rounded
+    // 4 dp, DECIMAL-summed; verdicts compare exact decimals
+    "order_reconcile" ->
+      """WITH line AS (SELECT l_orderkey AS ok,
+        |  CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 4) AS DECIMAL(28,4)) AS amt
+        |  FROM lineitem),
+        | comp AS (SELECT ok, sum(amt) AS computed FROM line GROUP BY 1),
+        | j AS (SELECT CAST(o.o_totalprice AS DECIMAL(18,2)) AS tot,
+        |       c.computed IS NULL AS no_lines,
+        |       abs(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DECIMAL(28,4))
+        |         - coalesce(c.computed, CAST(0 AS DECIMAL(28,4)))) AS dev
+        |       FROM orders o LEFT JOIN comp c ON o.o_orderkey = c.ok)
+        |SELECT count(*) AS n_orders,
+        | CAST(sum(CASE WHEN no_lines THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lines,
+        | CAST(sum(CASE WHEN dev = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        | CAST(sum(CASE WHEN dev * 1000 <= CAST(tot AS DECIMAL(28,4)) * 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_tol,
+        | CAST(max(dev) AS DOUBLE) AS max_dev
+        |FROM j""".stripMargin,
 
     // nearest-rank pick: ceil(q·n) with q forced to DOUBLE (DuckDB's
     // bare 0.9 is DECIMAL — exact 9.0 where IEEE gives 9.000…002, a

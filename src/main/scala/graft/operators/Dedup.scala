@@ -257,6 +257,30 @@ object Dedup {
       .select(col("doc_id"), col("other_id"), col("inter"), col("n_own"), col("containment"))
   }
 
+  /** Shingle novelty score — the inverse of dedup: the fraction of a
+    * document's distinct shingles that appear NOWHERE else in the
+    * corpus. Curation reads it both ways: novelty ≈ 0 means the doc
+    * is assembled from corpus-common phrasing (template/boilerplate,
+    * even if no single pair-wise duplicate exists — the failure mode
+    * containment and Jaccard both miss when the sources are many),
+    * and a diversity-weighted sampler upweights high-novelty docs.
+    *
+    * Scale shape: the shingle relation, one df aggregate, one
+    * key-local join back, one per-doc aggregate — all shuffles on the
+    * shingle key, same bound as every shingle op here. */
+  def noveltyScores(docs: DataFrame, w: Int = 3, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val sh = shingles(docs, w, textCol, idCol)
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    sh.join(df, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, lit(1L)).otherwise(lit(0L))).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_shingles").cast("double"), 6)
+          .as("novelty"))
+  }
+
   /** For every document, its single most-similar other document by
     * exact shingle Jaccard (symmetric closure of jaccardPairs, top-1
     * per doc, ties broken by the other id). */

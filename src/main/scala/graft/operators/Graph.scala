@@ -351,6 +351,57 @@ object Graph {
     * semi-join + one degree aggregate on the shrinking edge set —
     * state is the surviving edge relation, lineage truncated per
     * round. */
+  /** Per-node triangle counts — the local clustering signal: a page
+    * whose neighbors interlink (many triangles) sits in a genuine
+    * community; link farms built as stars or chains carry none, which
+    * is why triangle support complements PageRank in spam screens.
+    *
+    * Algorithm (Schank-Wagner / the MapReduce classic): orient every
+    * undirected edge from the (degree, id)-SMALLER endpoint to the
+    * larger, enumerate wedges only from each node's OUT-edges, and
+    * close each wedge against the oriented edge set. The orientation
+    * is the whole scale story: out-degree is bounded by ~√|E| on any
+    * graph, so wedge count is Σ d_out² ≪ Σ d² — the hub that would
+    * generate a billion wedges under naive enumeration generates
+    * almost none as a wedge CENTER because every edge points INTO it.
+    * Each triangle is counted exactly once (its unique two-out-edge
+    * node centers it), then exploded back to all three corners.
+    *
+    * Exact integer counts — any correct engine agrees; the twin runs
+    * the canonical u<v<w three-way join instead, which is the same
+    * set. */
+  def triangleCounts(edges: DataFrame,
+                     srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct().localCheckpoint(true)
+    val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): u → v iff (deg(u), u) < (deg(v), v)
+    val oriented = e
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint(true)
+    // wedges from each center's out-edges, endpoints ID-ordered p < q
+    // so the closure probe is one EQUI-join against the canonical
+    // (a < b) edge set — no non-equi OR predicate anywhere
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.u").as("u"), col("x.v").as("p"), col("y.v").as("q"))
+    val closed = wedges
+      .join(e.select(col("a").as("p"), col("b").as("q")), Seq("p", "q"))
+      .select(col("u").as("n1"), col("p").as("n2"), col("q").as("n3"))
+    closed
+      .select(explode(array(col("n1"), col("n2"), col("n3"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
+
   def kCore(edges: DataFrame, k: Int, rounds: Int = 6,
             srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     // undirected simple graph: canonical min/max pairs, self-loops out

@@ -112,6 +112,47 @@ object Profiling {
         floor(col("n") * lit(1000000L) / col("total")).as("share_ppm"))
   }
 
+  /** Winsorized statistics per group: mean and stddev-free spread
+    * after clamping values into the [p05, p95] nearest-rank band —
+    * the robust summary that keeps the whole sample (unlike trimming)
+    * while capping the influence any single outlier can exert.
+    * Complements [[madOutliers]]: MAD FLAGS the outliers, winsorizing
+    * reports the center as if they had been tamed.
+    *
+    * Exactness: the band edges are nearest-rank PICKS (real decimal
+    * data values — the event_gaps device), the clamp is a decimal
+    * comparison, and the winsorized mean is an exact decimal sum with
+    * one presentation division. */
+  def winsorizedStats(df: DataFrame, groupCol: String = "event_type",
+                      valueCol: String = "value", idCol: String = "event_id",
+                      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+      col(valueCol).cast("decimal(18,2)").as("v"))
+    val wAll = Window.partitionBy(col("grp"))
+    val ranked = e
+      .withColumn("rn", row_number().over(wAll.orderBy(col("v"), col("id"))))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val edges = ranked
+      .withColumn("r_lo", greatest(ceil(col("n") * lit(lo)).cast("long"), lit(1L)))
+      .withColumn("r_hi", ceil(col("n") * lit(hi)).cast("long"))
+      .groupBy(col("grp"))
+      .agg(max(when(col("rn") === col("r_lo"), col("v"))).as("p_lo"),
+        max(when(col("rn") === col("r_hi"), col("v"))).as("p_hi"))
+    e.join(edges, "grp")
+      .withColumn("cv", when(col("v") < col("p_lo"), col("p_lo"))
+        .when(col("v") > col("p_hi"), col("p_hi")).otherwise(col("v")))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        max(col("p_lo")).as("plo"), max(col("p_hi")).as("phi"),
+        sum(col("v")).as("sraw"), sum(col("cv")).as("swin"))
+      .select(col("grp").as(groupCol), col("n"),
+        col("plo").cast("double").as("p05"),
+        col("phi").cast("double").as("p95"),
+        round(col("sraw").cast("double") / col("n").cast("double"), 6).as("mean_raw"),
+        round(col("swin").cast("double") / col("n").cast("double"), 6).as("mean_winsorized"))
+  }
+
   /** Benford first-digit screen — the synthetic-data / fraud sanity
     * check: naturally-grown multiplicative quantities (prices,
     * populations) lead with digit d at frequency log10(1 + 1/d);

@@ -343,6 +343,38 @@ object Relational {
         col("tw").cast("double").as("total_weight"))
   }
 
+  /** Cross-table reconciliation: does the order header's total agree
+    * with the sum of its line amounts (extprice·(1−disc)·(1+tax))?
+    * The drift census every warehouse runs between a rollup table and
+    * its fact source — headers with no lines and totals outside the
+    * tolerance band are the rows a sync job re-derives.
+    *
+    * Exactness: each line amount is ONE fixed-association double
+    * product rounded to 4 dp and DECIMAL-summed (the LM-ladder
+    * device); deviations and the permille tolerance compare in exact
+    * decimal, so the verdict booleans can't flap. One fact-side
+    * aggregate + one header join; output is a one-row census. */
+  def orderReconcile(lineitem: DataFrame, orders: DataFrame,
+                     tolPermille: Int = 10): DataFrame = {
+    val line = lineitem.select(col("l_orderkey").as("ok"),
+      round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * (lit(1.0) + col("l_tax")), 4).cast("decimal(28,4)").as("amt"))
+    val computed = line.groupBy(col("ok")).agg(sum(col("amt")).as("computed"))
+    orders.select(col("o_orderkey").as("ok"),
+        col("o_totalprice").cast("decimal(18,2)").as("tot"))
+      .join(computed, Seq("ok"), "left")
+      .select(col("tot"),
+        col("computed").isNull.as("no_lines"),
+        abs(col("tot").cast("decimal(28,4)")
+          - coalesce(col("computed"), lit(0).cast("decimal(28,4)"))).as("dev"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("no_lines"), lit(1L)).otherwise(lit(0L))).as("n_no_lines"),
+        sum(when(col("dev") === 0, lit(1L)).otherwise(lit(0L))).as("n_exact"),
+        sum(when(col("dev") * 1000 <= col("tot").cast("decimal(28,4)") * tolPermille,
+          lit(1L)).otherwise(lit(0L))).as("n_within_tol"),
+        max(col("dev")).cast("double").as("max_dev"))
+  }
+
   /** Referential-integrity audit — the orphan census run before
     * trusting any star-schema drop: for each declared FK edge, total
     * child rows and rows whose parent key is missing (left-anti

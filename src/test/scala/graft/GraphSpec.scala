@@ -191,6 +191,21 @@ class GraphSpec extends AnyFunSuite {
     assert(run() === run())
   }
 
+  test("triangleCounts: K4 corners carry 3 each, squares carry none, direction ignored") {
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) + square {5,6,7,8}
+    // (cycle, no triangle) + a pendant 4-9
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val edges = (k4 ++ Seq((5L, 6L), (6L, 7L), (7L, 8L), (5L, 8L), (4L, 9L)))
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // reversed/duplicated edges change nothing (canonicalization)
+    val messy = edges.unionAll(Seq((2L, 1L), (3L, 1L), (6L, 5L)).toDF("src", "dst"))
+    assert(Graph.triangleCounts(messy).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === got)
+  }
+
   test("kCore: pendant chain peels away, triangle core survives, peeling cascades") {
     // triangle {1,2,3} + chain 3-4-5-6 hanging off it. 2-core = the
     // triangle alone — but only AFTER the peel cascades down the

@@ -91,6 +91,20 @@ class ProfilingSpec extends AnyFunSuite {
     assert(got("clean") === ((2L, 0L)))
   }
 
+  test("winsorizedStats: the clamp tames a planted spike the raw mean eats") {
+    import graft.operators.Profiling
+    val spark2 = spark; import spark2.implicits._
+    // 19 values of 10, one 1000: p95 pick at rank ceil(20·0.95)=19 → 10
+    val rows = (1L to 19L).map(i => ("a", i, 10.0)) :+ (("a", 20L, 1000.0))
+    val got = Profiling.winsorizedStats(rows.toDF("event_type", "event_id", "value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).head
+    val (_, n, p05, p95, raw, win) = got
+    assert(n === 20L && p05 === 10.0 && p95 === 10.0)
+    assert(raw === 59.5)          // (19·10 + 1000)/20
+    assert(win === 10.0)          // spike clamped to p95
+  }
+
   test("benfordScreen: exact counts, leading digit from strings, expectation sums to ~1e6") {
     val spark2 = spark; import spark2.implicits._
     // digits by hand: 12.3→1, 0.5 dropped (<1), 199→1, 23→2, 9001→9, -345→3
