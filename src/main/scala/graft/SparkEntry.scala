@@ -1527,6 +1527,55 @@ object SparkEntry {
         .select(col("x.p").as("src"), col("y.p").as("dst"))
       Graph.triangleCounts(edges).orderBy("node")
     }),
+    // community-vs-hub discriminator: 2·tri/d(d−1) on the same graph
+    "clustering_coeff" -> ((s, d) => {
+      val li = t(s, d).lineitem
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val edges = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      Graph.clusteringCoefficients(edges).orderBy("node")
+    }),
+    // week-over-week volume report per event type: lag to the
+    // previous OBSERVED week, exact counts, one rounded division
+    "wow_change" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wk = t(s, d).events
+        .groupBy(col("event_type"), date_trunc("week", col("ts")).cast("date").as("week"))
+        .agg(count(lit(1)).as("n"))
+      wk.withColumn("prev_n",
+          lag(col("n"), 1).over(Window.partitionBy(col("event_type")).orderBy(col("week"))))
+        .withColumn("pct_change",
+          when(col("prev_n").isNotNull,
+            round((col("n") - col("prev_n")).cast("double")
+              / col("prev_n").cast("double") * lit(100.0), 4)))
+        .orderBy("event_type", "week")
+    }),
+    // market-basket lift over (user, day) event-type sets: lift =
+    // n_ab·N / (n_a·n_b) — exact integer numerator and denominator,
+    // one rounded division; sequences are event_paths' job, SETS are
+    // this one's
+    "basket_lift" -> ((s, d) => {
+      val b = t(s, d).events
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type")).distinct()
+        .localCheckpoint(true)
+      val nTotal = b.select(col("user_id"), col("day")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val per = b.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+      val pairs = b.as("x").join(b.as("y"),
+          col("x.user_id") === col("y.user_id") && col("x.day") === col("y.day")
+            && col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(per.select(col("event_type").as("ta"), col("n_t").as("n_a")), "ta")
+        .join(per.select(col("event_type").as("tb"), col("n_t").as("n_b")), "tb")
+        .crossJoin(broadcast(nTotal))
+        .select(col("ta"), col("tb"), col("n_ab"), col("n_a"), col("n_b"),
+          round((col("n_ab") * col("n_baskets")).cast("double")
+            / (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+        .orderBy("ta", "tb")
+    }),
     // the crawl pipeline starting where real crawls start: WARC-shaped
     // record containers (header block + Content-Length + payload +
     // terminators, concatenated per container file) are SPLIT by
@@ -5559,6 +5608,54 @@ object SparkEntry {
          |       UNION ALL SELECT n2 FROM tri
          |       UNION ALL SELECT n3 FROM tri)
          |SELECT node, count(*) AS triangles FROM x GROUP BY 1 ORDER BY node""".stripMargin,
+
+    // same triangle CTEs + the degree census; 2·tri/d(d−1) one
+    // rounded division, degree-<2 nodes report 0
+    "clustering_coeff" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         | ed AS (SELECT x.p AS src, y.p AS dst FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p),
+         | e AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM ed WHERE src <> dst),
+         | deg AS (SELECT node, count(*) AS deg
+         |         FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) z GROUP BY 1),
+         | tri AS (SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+         |         FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+         |         JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+         | tc AS (SELECT node, count(*) AS triangles
+         |        FROM (SELECT n1 AS node FROM tri
+         |              UNION ALL SELECT n2 FROM tri
+         |              UNION ALL SELECT n3 FROM tri) z GROUP BY 1)
+         |SELECT d.node, d.deg, coalesce(tc.triangles, 0) AS triangles,
+         | CASE WHEN d.deg >= 2
+         |      THEN round(CAST(coalesce(tc.triangles, 0) * 2 AS DOUBLE)
+         |             / CAST(d.deg * (d.deg - 1) AS DOUBLE), 6)
+         |      ELSE 0.0 END AS coeff
+         |FROM deg d LEFT JOIN tc ON d.node = tc.node ORDER BY d.node""".stripMargin,
+
+    // Monday-truncated weeks both engines; lag to the previous
+    // OBSERVED week; one rounded division
+    "wow_change" ->
+      """WITH wk AS (SELECT event_type, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week,
+        |            count(*) AS n FROM events GROUP BY 1, 2),
+        | l AS (SELECT event_type, week, n,
+        |       lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n FROM wk)
+        |SELECT event_type, week, n, prev_n,
+        | CASE WHEN prev_n IS NOT NULL
+        |      THEN round(CAST(n - prev_n AS DOUBLE) / CAST(prev_n AS DOUBLE) * 100.0, 4) END AS pct_change
+        |FROM l ORDER BY event_type, week""".stripMargin,
+
+    "basket_lift" ->
+      """WITH b AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type FROM events),
+        | nt AS (SELECT count(*) AS n_baskets FROM (SELECT DISTINCT user_id, day FROM b) z),
+        | per AS (SELECT event_type, count(*) AS n_t FROM b GROUP BY 1),
+        | pr AS (SELECT x.event_type AS ta, y.event_type AS tb, count(*) AS n_ab
+        |        FROM b x JOIN b y ON x.user_id = y.user_id AND x.day = y.day
+        |          AND x.event_type < y.event_type
+        |        GROUP BY 1, 2)
+        |SELECT pr.ta, pr.tb, pr.n_ab, pa.n_t AS n_a, pb.n_t AS n_b,
+        | round(CAST(pr.n_ab * nt.n_baskets AS DOUBLE) / CAST(pa.n_t * pb.n_t AS DOUBLE), 6) AS lift
+        |FROM pr JOIN per pa ON pr.ta = pa.event_type JOIN per pb ON pr.tb = pb.event_type
+        |CROSS JOIN nt ORDER BY pr.ta, pr.tb""".stripMargin,
 
     // distinct shingles (the near_dup CTE prefix), df = 1 share
     "novelty_score" ->

@@ -402,6 +402,31 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
   }
 
+  /** Local clustering coefficient per node: 2·triangles / d(d−1) —
+    * how close a node's neighborhood is to a clique. The community-
+    * vs-hub discriminator on top of [[triangleCounts]]: a genuine
+    * topic hub has high degree AND high coefficient, a spam
+    * aggregator has high degree and a coefficient near 0. Exact
+    * integer numerator/denominator, one rounded division; nodes of
+    * degree < 2 report 0 (no wedge exists to close). */
+  def clusteringCoefficients(edges: DataFrame,
+                             srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    deg.join(triangleCounts(edges, srcCol, dstCol), Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("coeff",
+        when(col("deg") >= 2,
+          round((col("triangles") * 2).cast("double")
+            / (col("deg") * (col("deg") - 1)).cast("double"), 6))
+          .otherwise(lit(0.0)))
+  }
+
   def kCore(edges: DataFrame, k: Int, rounds: Int = 6,
             srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     // undirected simple graph: canonical min/max pairs, self-loops out

@@ -206,6 +206,18 @@ class GraphSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap === got)
   }
 
+  test("clusteringCoefficients: clique corners 1.0, wedge center closes nothing, pendant 0") {
+    // triangle {1,2,3} with a pendant 3-4: coeff(1)=coeff(2)=1,
+    // coeff(3)=2·1/(3·2)=1/3, coeff(4)=0 (degree 1)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.clusteringCoefficients(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((2L, 1L, 1.0)))
+    assert(got(2L) === ((2L, 1L, 1.0)))
+    assert(got(3L) === ((3L, 1L, 0.333333)))
+    assert(got(4L) === ((1L, 0L, 0.0)))
+  }
+
   test("kCore: pendant chain peels away, triangle core survives, peeling cascades") {
     // triangle {1,2,3} + chain 3-4-5-6 hanging off it. 2-core = the
     // triangle alone — but only AFTER the peel cascades down the
