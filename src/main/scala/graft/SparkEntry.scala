@@ -2470,6 +2470,18 @@ object SparkEntry {
 
     // ---- M4: Structured Streaming (micro-batched file source; result
     // must converge to the batch tumbling agg, so it shares its oracle) ----
+    // the anomaly tripwire, streamed: the STREAM maintains only
+    // watermark-bounded per-(type, day) counters; the cross-day
+    // lookback math runs on the tiny finished daily relation — so the
+    // batch oracle serves unchanged
+    "streaming_rolling_anomaly" -> ((s, d) => {
+      val tmp = stageEvents(s, d, copies = 1, filesPerCopy = 4)
+      val ss = streamSession(s)
+      val daily = EventStreams.dailyCounts(EventStreams.readEventStream(ss, tmp))
+      val finished = EventStreams.runToMemory(ss, daily,
+        s"stream_daily_${System.nanoTime()}")
+      Series.scoreDailyAnomalies(finished).orderBy("key", "day")
+    }),
     "streaming_tumbling_agg" -> ((s, d) => {
       val tmp = stageEvents(s, d, copies = 1, filesPerCopy = 4)
       val ss = streamSession(s)
@@ -3355,6 +3367,30 @@ object SparkEntry {
        | ${langs.map(l => s"g_$l").mkString(", ")}
        |FROM sc ORDER BY doc_id""".stripMargin
   }
+
+  /** Rolling-anomaly twin — shared by the batch and streaming
+    * registrations (the streaming daily relation converges to the
+    * batch one exactly). */
+  private lazy val rollingAnomalyTwin: String =
+      """WITH daily AS (SELECT event_type AS key, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+        |               FROM events GROUP BY 1, 2),
+        | f AS (SELECT key, day, n,
+        |        count(n) OVER w AS n_prior,
+        |        CAST(sum(n) OVER w AS BIGINT) AS sum_prior,
+        |        CAST(sum(n * n) OVER w AS BIGINT) AS sumsq_prior
+        |        FROM daily
+        |        WINDOW w AS (PARTITION BY key ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        | g AS (SELECT key, day, n, n_prior, sum_prior, sumsq_prior,
+        |        CAST(sum_prior AS DOUBLE) / CAST(n_prior AS DOUBLE) AS mean
+        |        FROM f WHERE n_prior >= 4),
+        | h AS (SELECT key, day, n, n_prior, mean,
+        |        (CAST(sumsq_prior AS DOUBLE) - CAST(sum_prior AS DOUBLE) * mean)
+        |          / CAST(n_prior - 1 AS DOUBLE) AS vr FROM g),
+        | z AS (SELECT key, day, n, n_prior, mean,
+        |        CASE WHEN vr > 0 THEN round((CAST(n AS DOUBLE) - mean) / sqrt(vr), 6) END AS z FROM h)
+        |SELECT key, day, n, n_prior, round(mean, 6) AS mean_prior, z,
+        | (z IS NOT NULL AND abs(z) > CAST(3.0 AS DOUBLE)) AS is_anomaly
+        |FROM z ORDER BY key, day""".stripMargin
 
   /** TF-IDF cosine top-k twin — a val so the rrf_fusion twin can
     * embed the identical query as a subquery. */
@@ -5939,26 +5975,12 @@ object SparkEntry {
     // row-based lookback frame of exact integer sums; mean/var/z in a
     // fixed-association float finish; the anomaly cut compares the
     // ROUNDED z on both engines
-    "rolling_anomaly" ->
-      """WITH daily AS (SELECT event_type AS key, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
-        |               FROM events GROUP BY 1, 2),
-        | f AS (SELECT key, day, n,
-        |        count(n) OVER w AS n_prior,
-        |        CAST(sum(n) OVER w AS BIGINT) AS sum_prior,
-        |        CAST(sum(n * n) OVER w AS BIGINT) AS sumsq_prior
-        |        FROM daily
-        |        WINDOW w AS (PARTITION BY key ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
-        | g AS (SELECT key, day, n, n_prior, sum_prior, sumsq_prior,
-        |        CAST(sum_prior AS DOUBLE) / CAST(n_prior AS DOUBLE) AS mean
-        |        FROM f WHERE n_prior >= 4),
-        | h AS (SELECT key, day, n, n_prior, mean,
-        |        (CAST(sumsq_prior AS DOUBLE) - CAST(sum_prior AS DOUBLE) * mean)
-        |          / CAST(n_prior - 1 AS DOUBLE) AS vr FROM g),
-        | z AS (SELECT key, day, n, n_prior, mean,
-        |        CASE WHEN vr > 0 THEN round((CAST(n AS DOUBLE) - mean) / sqrt(vr), 6) END AS z FROM h)
-        |SELECT key, day, n, n_prior, round(mean, 6) AS mean_prior, z,
-        | (z IS NOT NULL AND abs(z) > CAST(3.0 AS DOUBLE)) AS is_anomaly
-        |FROM z ORDER BY key, day""".stripMargin,
+    "rolling_anomaly" -> rollingAnomalyTwin,
+
+    // the streaming path converges to the identical daily relation
+    // (watermarked 1-day windows), so one twin serves both
+    "streaming_rolling_anomaly" -> rollingAnomalyTwin,
+
 
     // exact-decimal cumulative-weight pick; DECIMAL compares, one
     // presentation cast at the end

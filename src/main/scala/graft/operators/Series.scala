@@ -157,11 +157,19 @@ object Series {
     * sort, no state beyond the 8-row frame. */
   def rollingAnomaly(events: DataFrame, keyCol: String = "event_type",
                      tsCol: String = "ts", lookback: Int = 7,
-                     minPrior: Int = 4, zCut: Double = 3.0): DataFrame = {
+                     minPrior: Int = 4, zCut: Double = 3.0): DataFrame =
+    scoreDailyAnomalies(
+      events.groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("n")),
+      lookback, minPrior, zCut)
+
+  /** The scoring tail of [[rollingAnomaly]], factored over a
+    * pre-aggregated (key, day, n) relation so the STREAMING path — a
+    * watermarked 1-day-window count maintained per micro-batch — can
+    * feed the identical screen and share the batch oracle. */
+  def scoreDailyAnomalies(daily: DataFrame, lookback: Int = 7,
+                          minPrior: Int = 4, zCut: Double = 3.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = events
-      .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
-      .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("key")).orderBy(col("day"))
       .rowsBetween(-lookback, -1)
     daily

@@ -49,6 +49,21 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
       .select(col("win.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming per-type DAILY counts — the feed-health base relation:
+    * 1-day tumbling windows per event_type, maintained incrementally
+    * per micro-batch. Downstream, `Series.scoreDailyAnomalies` runs
+    * the rolling z-score screen on the finished relation — the
+    * split that makes the anomaly tripwire streamable without
+    * multi-day window state: the STREAM maintains only per-(type,
+    * day) counters (watermark-bounded), the cross-day lookback math
+    * runs on the tiny daily relation after each batch. */
+  def dailyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type").as("key"), col("win.start").cast("date").as("day"), col("n"))
+
   /** Streaming sliding windows — same logical agg as
     * Windows.slidingCounts (1-hour windows every 30 minutes). */
   def slidingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
