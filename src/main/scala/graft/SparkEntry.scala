@@ -629,6 +629,49 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("w")).cast("double"), 6).as("decayed_n"))
         .orderBy("event_type")
     }),
+    // conversion latency: first view → first subsequent purchase per
+    // (user, day); per-day nearest-rank p50/p90 of the exact-integer
+    // µs lag (the event_gaps discipline — no interpolation)
+    "conversion_lags" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, d).events.select(to_date(col("ts")).as("day"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val v = e.where(col("event_type") === "view")
+        .groupBy(col("day"), col("user_id")).agg(min(col("us")).as("t_view"))
+      val p = e.where(col("event_type") === "purchase")
+        .join(v, Seq("day", "user_id"))
+        .where(col("us") >= col("t_view"))
+        .groupBy(col("day"), col("user_id"), col("t_view")).agg(min(col("us")).as("t_buy"))
+        .select(col("day"), (col("t_buy") - col("t_view")).as("lag_us"))
+      val w = Window.partitionBy(col("day")).orderBy(col("lag_us"))
+      p.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("day"))))
+        .groupBy(col("day"))
+        .agg(max(col("n")).as("n_conversions"),
+          max(when(col("rn") === ceil(col("n") * lit(0.5)).cast("long"), col("lag_us"))).as("p50_lag_us"),
+          max(when(col("rn") === ceil(col("n") * lit(0.9)).cast("long"), col("lag_us"))).as("p90_lag_us"),
+          max(col("lag_us")).as("max_lag_us"))
+        .orderBy("day")
+    }),
+    // marketing attribution: each purchase credited to the user's
+    // latest preceding click/view (last_value IGNORE NULLS over the
+    // time-ordered stream — no self-join), 'none' when cold
+    "attribution_last_touch" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, d).events.select(col("user_id"), col("event_id"), col("event_type"),
+        to_date(col("ts")).as("day"), unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type").isin("click", "view"),
+        struct(col("us"), col("event_id"), col("event_type")))
+      e.withColumn("lt", last(touch, ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .select(col("day"),
+          when(col("lt").isNotNull, col("lt.event_type")).otherwise(lit("none"))
+            .as("attributed"))
+        .groupBy(col("day"), col("attributed")).agg(count(lit(1)).as("n"))
+        .orderBy("day", "attributed")
+    }),
     // path mining: top user journeys as event-type trigrams over each
     // user's time-ordered stream — per-user state is the type LIST
     // (array fold, no self-join); top-50 is TakeOrdered
@@ -1514,6 +1557,23 @@ object SparkEntry {
     "kcore_nodes" -> ((s, d) => {
       val edges = Html.outlinks(Html.pageFromDocs(t(s, d).documents))
       Graph.kCore(edges, k = 2, rounds = KCoreRounds).orderBy("node")
+    }),
+    // power-law sanity: log2-binned undirected degree histogram of
+    // the crawl graph — bucket from the BINARY-STRING length (exact
+    // in both engines; log2 at power-of-two boundaries is not)
+    "degree_dist" -> ((s, d) => {
+      val edges = Html.outlinks(Html.pageFromDocs(t(s, d).documents))
+      val e = edges.select(col("src").as("a"), col("dst").as("b"))
+        .where(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+        .distinct()
+      e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .select((length(bin(col("deg"))) - 1).cast("long").as("bucket"), col("deg"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
+          max(col("deg")).as("max_deg"))
+        .orderBy("bucket")
     }),
     // per-node triangle support via (deg, id)-oriented wedge
     // enumeration — out-degree-bounded wedges, one equi-join closure.
@@ -5895,6 +5955,48 @@ object SparkEntry {
          |  FROM e)
          |SELECT event_type, count(*) AS n, round(CAST(sum(w) AS DOUBLE), 6) AS decayed_n
          |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // nearest-rank picks on exact integer µs lags; ties at a rank all
+    // carry the same value, so tie order cannot flap the pick
+    "conversion_lags" ->
+      """WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id, event_type,
+        |           epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        | v AS (SELECT day, user_id, min(us) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+        | p AS (SELECT e.day, e.user_id, v.t_view, min(e.us) AS t_buy
+        |       FROM e JOIN v ON e.day = v.day AND e.user_id = v.user_id
+        |       WHERE e.event_type = 'purchase' AND e.us >= v.t_view GROUP BY 1, 2, 3),
+        | l AS (SELECT day, t_buy - t_view AS lag_us FROM p),
+        | r AS (SELECT day, lag_us, row_number() OVER (PARTITION BY day ORDER BY lag_us) AS rn,
+        |       count(*) OVER (PARTITION BY day) AS n FROM l)
+        |SELECT day, max(n) AS n_conversions,
+        | max(CASE WHEN rn = CAST(ceil(n * CAST(0.5 AS DOUBLE)) AS BIGINT) THEN lag_us END) AS p50_lag_us,
+        | max(CASE WHEN rn = CAST(ceil(n * CAST(0.9 AS DOUBLE)) AS BIGINT) THEN lag_us END) AS p90_lag_us,
+        | max(lag_us) AS max_lag_us
+        |FROM r GROUP BY day ORDER BY day""".stripMargin,
+
+    // last_value IGNORE NULLS over the (us, event_id)-ordered stream
+    "attribution_last_touch" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |           epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        | t AS (SELECT user_id, event_type, day,
+        |       last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+        |       FROM e)
+        |SELECT day, coalesce(lt, 'none') AS attributed, count(*) AS n
+        |FROM t WHERE event_type = 'purchase' GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // log2 bucket from the binary-string length — exact in both
+    // engines where float log2 at 2^k boundaries is not
+    "degree_dist" ->
+      s"""$CrawlEdgesCte,
+         | e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM edges WHERE src <> dst),
+         | d AS (SELECT node, count(*) AS deg
+         |       FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) z GROUP BY 1),
+         | k AS (SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket, deg FROM d)
+         |SELECT bucket, count(*) AS n_nodes, min(deg) AS min_deg, max(deg) AS max_deg
+         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // ordered list() per user (rn-keyed, never unnest order), trigram
     // paths by 1-based list indexing; (n desc, path) is total
