@@ -1194,6 +1194,43 @@ object SparkEntry {
     // boilerplate leaking through cleaning
     "word_burstiness" -> ((s, d) =>
       TextOps.wordBurstiness(t(s, d).documents).orderBy("word")),
+    // within-doc chorus/footer CUT (repetition stats detect, this
+    // removes): first occurrence per sentence, reassembled in order;
+    // fixture plants a guaranteed repeat per doc
+    "sentence_dedup_within" -> ((s, d) => {
+      val fx = t(s, d).documents.select(col("doc_id"),
+        concat(col("text"), lit(" Again now. Again now. Doc tail.")).as("text"))
+      TextQuality.sentenceDedupWithin(fx).orderBy("doc_id")
+    }),
+    // register gate keyed to each doc's OWN language list — an en
+    // list scoring a de page near 0 is the bug this dispatch avoids
+    "stopword_coverage" -> ((s, d) =>
+      TextQuality.stopwordCoverage(t(s, d).documents).orderBy("lang")),
+    // data discovery: which column pairs actually join — exact
+    // distinct-set overlap coefficient per candidate pair
+    "joinability_report" -> ((s, d) => {
+      val tt = t(s, d)
+      Profiling.joinability(Seq(
+        ("events.user_id~customer.c_custkey", tt.events, "user_id", tt.customer, "c_custkey"),
+        ("lineitem.l_partkey~part.p_partkey", tt.lineitem, "l_partkey", tt.part, "p_partkey"),
+        ("orders.o_custkey~customer.c_custkey", tt.orders, "o_custkey", tt.customer, "c_custkey"),
+        ("orders.o_orderkey~part.p_partkey", tt.orders, "o_orderkey", tt.part, "p_partkey")))
+        .orderBy("col_pair")
+    }),
+    // hour-of-day load shape per event type with floor-ppm shares and
+    // a deterministic peak flag
+    "seasonality_profile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, d).events
+        .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("total", sum(col("n")).over(Window.partitionBy(col("event_type"))))
+        .withColumn("share_ppm", floor(col("n") * lit(1000000L) / col("total")))
+        .withColumn("is_peak", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(desc("n"), col("hr"))) === 1)
+        .select(col("event_type"), col("hr"), col("n"), col("share_ppm"), col("is_peak"))
+        .orderBy("event_type", "hr")
+    }),
     // per-doc top-3 TF-IDF keywords through the GroupedTopK physical
     // operator — bounded per-group heaps, never a per-doc sort
     "doc_keywords" -> ((s, d) => {
@@ -4936,6 +4973,65 @@ object SparkEntry {
          | round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
          | round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6) AS hapax_ratio
          |FROM a ORDER BY doc_id""".stripMargin,
+
+    // first-occurrence per (doc, sentence), ordered string_agg —
+    // the same sentence CTEs as sentence_split, different stitch
+    "sentence_dedup_within" ->
+      """WITH fx AS (SELECT doc_id, text || ' Again now. Again now. Doc tail.' AS text FROM documents),
+        | q AS (SELECT doc_id, list_filter(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]*'), x -> trim(x)), x -> length(x) > 0) AS l FROM fx),
+        | u AS (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM q),
+        | s AS (SELECT doc_id, CAST(i AS BIGINT) AS sent_idx, l[i] AS sentence FROM u),
+        | r AS (SELECT doc_id, sent_idx, sentence,
+        |       row_number() OVER (PARTITION BY doc_id, sentence ORDER BY sent_idx) AS rn FROM s),
+        | k AS (SELECT doc_id, count(*) AS n_kept,
+        |       string_agg(sentence, ' ' ORDER BY sent_idx) AS clean_text FROM r WHERE rn = 1 GROUP BY 1),
+        | t AS (SELECT doc_id, count(*) AS n_sents FROM s GROUP BY 1)
+        |SELECT t.doc_id, t.n_sents, k.n_kept, k.clean_text
+        |FROM t JOIN k USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+
+    // per-lang CASE over the SAME Scala stopword lists, interpolated —
+    // the two engines cannot drift on the word lists
+    "stopword_coverage" -> {
+      val langs = TextQuality.Stopwords.keys.toSeq.sorted
+      val caseArms = langs.map { l =>
+        val lst = TextQuality.Stopwords(l).map(w => s"'$w'").mkString("[", ",", "]")
+        s"WHEN lang = '$l' THEN CAST(len(list_filter(tk, x -> list_contains($lst, lower(x)))) AS BIGINT)"
+      }.mkString("\n        |       ")
+      s"""WITH t AS (SELECT lang, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS tk FROM documents),
+         | s AS (SELECT lang, CAST(len(tk) AS BIGINT) AS n_toks,
+         |       CASE $caseArms END AS n_stop
+         |       FROM t),
+         | f AS (SELECT lang, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_toks,
+         |       CAST(sum(n_stop) AS BIGINT) AS n_stop FROM s WHERE n_toks > 0 GROUP BY 1)
+         |SELECT lang, n_docs, n_toks, n_stop,
+         | round(CAST(n_stop AS DOUBLE) / CAST(n_toks AS DOUBLE), 6) AS coverage
+         |FROM f ORDER BY lang""".stripMargin
+    },
+
+    "joinability_report" -> Seq(
+      ("events.user_id~customer.c_custkey", "events", "user_id", "customer", "c_custkey"),
+      ("lineitem.l_partkey~part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("orders.o_custkey~customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+      ("orders.o_orderkey~part.p_partkey", "orders", "o_orderkey", "part", "p_partkey"))
+      .map { case (name, lt, lc, rt, rc) =>
+        s"""(SELECT '$name' AS col_pair,
+           |  count(a.v) AS n_left, count(b.v) AS n_right,
+           |  CAST(sum(CASE WHEN a.v IS NOT NULL AND b.v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+           |  round(CAST(sum(CASE WHEN a.v IS NOT NULL AND b.v IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(least(count(a.v), count(b.v)) AS DOUBLE), 6) AS overlap
+           | FROM (SELECT DISTINCT CAST($lc AS VARCHAR) AS v FROM $lt) a
+           | FULL JOIN (SELECT DISTINCT CAST($rc AS VARCHAR) AS v FROM $rt) b ON a.v = b.v)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_pair"),
+
+    "seasonality_profile" ->
+      """WITH h AS (SELECT event_type, CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+        |           count(*) AS n FROM events GROUP BY 1, 2),
+        | w AS (SELECT event_type, hr, n,
+        |       CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+        |       row_number() OVER (PARTITION BY event_type ORDER BY n DESC, hr) AS rk FROM h)
+        |SELECT event_type, hr, n,
+        | CAST(floor(n * 1000000 / total) AS BIGINT) AS share_ppm, rk = 1 AS is_peak
+        |FROM w ORDER BY event_type, hr""".stripMargin,
 
     // df/cf/Σc² exact; mean/variance/VMR the fixed three-op double
     // sequence (the rollingAnomaly device)

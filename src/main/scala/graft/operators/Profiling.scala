@@ -112,6 +112,32 @@ object Profiling {
         floor(col("n") * lit(1000000L) / col("total")).as("share_ppm"))
   }
 
+  /** Joinability report — the data-discovery scan a catalog runs to
+    * find which columns actually JOIN: for each candidate column
+    * pair, the exact distinct-value overlap and the overlap
+    * coefficient |A∩B| / min(|A|,|B|) (1.0 = one side's keys are a
+    * subset of the other's — a joinable FK; ≈0 = coincidental type
+    * match). One full-outer join of the two DISTINCT value sets per
+    * pair, counts folded in the same pass — no value list leaves the
+    * executors. */
+  def joinability(pairs: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    val checks = pairs.map { case (name, l, lc, r, rc) =>
+      val a = l.select(col(lc).cast("string").as("v")).distinct()
+        .withColumn("ina", lit(1L))
+      val b = r.select(col(rc).cast("string").as("v")).distinct()
+        .withColumn("inb", lit(1L))
+      a.join(b, Seq("v"), "full_outer")
+        .agg(sum(coalesce(col("ina"), lit(0L))).as("n_left"),
+          sum(coalesce(col("inb"), lit(0L))).as("n_right"),
+          sum(when(col("ina").isNotNull && col("inb").isNotNull, lit(1L))
+            .otherwise(lit(0L))).as("n_common"))
+        .select(lit(name).as("col_pair"), col("n_left"), col("n_right"), col("n_common"),
+          round(col("n_common").cast("double")
+            / least(col("n_left"), col("n_right")).cast("double"), 6).as("overlap"))
+    }
+    checks.reduce(_ unionAll _)
+  }
+
   /** Winsorized statistics per group: mean and stddev-free spread
     * after clamping values into the [p05, p95] nearest-rank band —
     * the robust summary that keeps the whole sample (unlike trimming)

@@ -665,6 +665,57 @@ object TextQuality {
           .otherwise(lit("latin")))
   }
 
+  /** Within-document sentence dedup: keep each sentence's FIRST
+    * occurrence, drop later repeats, reassemble the text in original
+    * order — the Gopher/RefinedWeb cleaning move for chorus/footer
+    * repetition INSIDE a page, which corpus-level paragraph dedup
+    * (cross-doc df) deliberately ignores. Repetition stats DETECT
+    * this; this operator actually cuts it.
+    *
+    * Scale shape: the sentence relation, one (doc, sentence) window
+    * for first-occurrence, one per-doc reassembly aggregate whose
+    * state is bounded by the doc's own sentences. */
+  def sentenceDedupWithin(docs: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = sentences(docs, textCol, idCol)
+    val tot = s.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sents"))
+    val kept = s
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"), col("sentence")).orderBy(col("sent_idx"))))
+      .where(col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(sent_idx, sentence))), x -> x.sentence)"))
+          .as("clean_text"))
+    tot.join(kept, "doc_id")
+  }
+
+  /** Per-language stopword coverage — the register/fluency gate keyed
+    * to each document's OWN language list (an English list scores a
+    * German page near 0 and mislabels it garbage — the bug this
+    * per-lang dispatch avoids). Docs in languages without a list
+    * report null coverage rather than a lie. */
+  def stopwordCoverage(docs: DataFrame, textCol: String = "text",
+                       langCol: String = "lang"): DataFrame = {
+    val tk = toks(col(textCol))
+    val langs = Stopwords.keys.toSeq.sorted
+    val hits = langs.foldLeft(lit(null).cast(IntegerType): Column) { (acc, l) =>
+      when(col(langCol) === l, stopHits(tk, l)).otherwise(acc)
+    }
+    docs
+      .select(col(langCol).as("lang"), size(tk).cast(LongType).as("n_toks"),
+        hits.cast(LongType).as("n_stop"))
+      .where(col("n_toks") > 0)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_toks"), sum(col("n_stop")).as("n_stop"))
+      .select(col("lang"), col("n_docs"), col("n_toks"), col("n_stop"),
+        round(col("n_stop").cast("double") / col("n_toks").cast("double"), 6)
+          .as("coverage"))
+  }
+
   /** Top-k collocations by pointwise mutual information — the
     * statistically-bound word pairs ("hong kong", "prime minister")
     * that should be treated as units by downstream tokenization and

@@ -509,6 +509,19 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.forall { case (id, s) => out2(id) == s })
   }
 
+  test("sentenceDedupWithin: repeats cut, order kept, distinct sentences untouched") {
+    import graft.operators.TextQuality
+    import spark.implicits._
+    val fx = Seq(
+      (1L, "One two. Chorus here! One two. Chorus here! Final bit."),
+      (2L, "All distinct. Every one? Yes.")
+    ).toDF("doc_id", "text")
+    val got = TextQuality.sentenceDedupWithin(fx).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((5L, 3L, "One two. Chorus here! Final bit.")))
+    assert(got(2L) === ((3L, 3L, "All distinct. Every one? Yes.")))
+  }
+
   test("quantileNormalize: extremes map to extremes, singleton to global min, ranks integer-exact") {
     import spark.implicits._
     val fx = Seq(

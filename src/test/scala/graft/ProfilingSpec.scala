@@ -91,6 +91,23 @@ class ProfilingSpec extends AnyFunSuite {
     assert(got("clean") === ((2L, 0L)))
   }
 
+  test("joinability: subset FK scores 1.0, disjoint scores 0, partial exact") {
+    import graft.operators.Profiling
+    val spark2 = spark; import spark2.implicits._
+    val parent = Seq(1L, 2L, 3L, 4L).toDF("pk")
+    val fk = Seq(1L, 1L, 2L).toDF("fk")          // distinct {1,2} ⊂ parent
+    val disjoint = Seq(100L, 200L).toDF("fk")
+    val partial = Seq(3L, 4L, 5L, 6L).toDF("fk") // {3,4} of 4 ∩ parent
+    val got = Profiling.joinability(Seq(
+      ("fk", fk, "fk", parent, "pk"),
+      ("dis", disjoint, "fk", parent, "pk"),
+      ("part", partial, "fk", parent, "pk"))).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("fk") === ((2L, 4L, 2L, 1.0)))
+    assert(got("dis") === ((2L, 4L, 0L, 0.0)))
+    assert(got("part") === ((4L, 4L, 2L, 0.5)))
+  }
+
   test("winsorizedStats: the clamp tames a planted spike the raw mean eats") {
     import graft.operators.Profiling
     val spark2 = spark; import spark2.implicits._
