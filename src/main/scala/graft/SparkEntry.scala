@@ -999,6 +999,36 @@ object SparkEntry {
       val pairs = Dedup.jaccardPairs(docs).where(col("jaccard") >= 0.3)
       Dedup.nearDupClusters(pairs, docs).orderBy("doc_id")
     }),
+    // dedup ROI report: near-dup family-size histogram — how much of
+    // the corpus is singletons vs deep copy families (the number that
+    // prices a better dedup pass); one rollup over the cluster labels
+    "dedup_family_sizes" -> ((s, d) => {
+      val docs = t(s, d).documents
+      val pairs = Dedup.jaccardPairs(docs).where(col("jaccard") >= 0.3)
+      Dedup.nearDupClusters(pairs, docs)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("family_size")).agg(count(lit(1)).as("n_families"))
+        .orderBy("family_size")
+    }),
+    // per-doc character-level Shannon entropy (rounded-nats DECIMAL
+    // sums, the skew_report device) — low-entropy docs are repetitive
+    // or padded; extreme-high are mojibake/binary leaks
+    "char_entropy" -> ((s, d) => {
+      val docs = t(s, d).documents
+      docs.select(col("doc_id"),
+          explode(filter(split(col("text"), ""), c => length(c) > 0)).as("ch"))
+        .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+        .withColumn("p", col("n").cast("double") / col("tot").cast("double"))
+        .withColumn("h_term", round(col("p") * -log(col("p")), 9).cast("decimal(38,9)"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("tot")).as("n_chars"), count(lit(1)).as("n_distinct_chars"),
+          sum(col("h_term")).as("h_nats"))
+        .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+          round(col("h_nats").cast("double") / lit(math.log(2.0)), 6).as("entropy_bits"))
+        .orderBy("doc_id")
+    }),
     // replica reconciliation (the Merkle-tree move, relationally):
     // bucket both copies by id, compare counts + engine-exact
     // fingerprint sums — divergence localizes to buckets without ever
@@ -4748,6 +4778,27 @@ object SparkEntry {
     "dedup_clusters" ->
       s"""$dedupClustersCtes
          |SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same reachability CTEs rolled to family-size grain
+    "dedup_family_sizes" ->
+      s"""$dedupClustersCtes,
+         | lab AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+         | cs AS (SELECT cluster_id, count(*) AS sz FROM lab GROUP BY 1)
+         |SELECT sz AS family_size, count(*) AS n_families
+         |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the skew_report entropy device at character grain
+    "char_entropy" ->
+      """WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        | g AS (SELECT doc_id, ch, count(*) AS n FROM c WHERE length(ch) > 0 GROUP BY 1, 2),
+        | w AS (SELECT doc_id, ch, n, CAST(sum(n) OVER (PARTITION BY doc_id) AS BIGINT) AS tot FROM g),
+        | p AS (SELECT doc_id, tot, CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p FROM w),
+        | h AS (SELECT doc_id, tot, CAST(round(p * -ln(p), 9) AS DECIMAL(38,9)) AS h_term FROM p),
+        | a AS (SELECT doc_id, max(tot) AS n_chars, count(*) AS n_distinct_chars,
+        |       sum(h_term) AS h_nats FROM h GROUP BY 1)
+        |SELECT doc_id, n_chars, n_distinct_chars,
+        | round(CAST(h_nats AS DOUBLE) / ln(2.0), 6) AS entropy_bits
+        |FROM a ORDER BY doc_id""".stripMargin,
 
     "csv_quoted_roundtrip" ->
       s"""WITH fx AS (SELECT doc_id, 'a,"q" ' || text || chr(10) || 'line2 ' || CAST(doc_id AS VARCHAR) AS text
