@@ -1224,6 +1224,57 @@ object SparkEntry {
     // boilerplate leaking through cleaning
     "word_burstiness" -> ((s, d) =>
       TextOps.wordBurstiness(t(s, d).documents).orderBy("word")),
+    // Heaps'-law vocabulary growth: cumulative (tokens, types) at
+    // 50-doc checkpoints in doc_id order — a flattening curve means
+    // the crawl is re-fetching known material; types are credited to
+    // the FIRST doc containing them (exact, no sampling)
+    "heaps_curve" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dw = t(s, d).documents
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), TextOps.cleanWord(col("tok")).as("word"))
+        .where(length(col("word")) > 0)
+      val tokensPerBucket = dw
+        .groupBy((col("doc_id") / 50).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_tok"))
+      val typesPerBucket = dw.groupBy(col("word")).agg(min(col("doc_id")).as("first_doc"))
+        .groupBy((col("first_doc") / 50).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_new"))
+      val w = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tokensPerBucket.join(typesPerBucket, Seq("bucket"), "left")
+        .select(col("bucket"), col("n_tok"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .withColumn("cum_tokens", sum(col("n_tok")).over(w))
+        .withColumn("cum_types", sum(col("n_new")).over(w))
+        .select(col("bucket"), col("cum_tokens"), col("cum_types"))
+        .orderBy("bucket")
+    }),
+    // exact two-sample Kolmogorov-Smirnov D between the even- and
+    // odd-doc length distributions: the max CDF gap computed as
+    // max |c1·n2 − c2·n1| in pure integers, ONE division at the end —
+    // the numeric-drift gate (corpus_drift covers token frequencies)
+    "ks_drift" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = t(s, d).documents.select(col("n_chars").as("v"),
+        (col("doc_id") % 2 === 0).as("g1"))
+      val per = v.groupBy(col("v")).agg(
+        sum(when(col("g1"), lit(1L)).otherwise(lit(0L))).as("a"),
+        sum(when(!col("g1"), lit(1L)).otherwise(lit(0L))).as("b"))
+      val tot = per.agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"))
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      per
+        .withColumn("c1", sum(col("a")).over(w))
+        .withColumn("c2", sum(col("b")).over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("n1"), col("n2"),
+          abs(col("c1") * col("n2") - col("c2") * col("n1")).as("gap"))
+        .groupBy(col("n1"), col("n2"))
+        .agg(max(col("gap")).as("d_num"))
+        .select(col("n1"), col("n2"), col("d_num"),
+          round(col("d_num").cast("double") / (col("n1") * col("n2")).cast("double"), 6)
+            .as("ks_d"))
+    }),
     // within-doc chorus/footer CUT (repetition stats detect, this
     // removes): first occurrence per sentence, reassembled in order;
     // fixture plants a guaranteed repeat per doc
@@ -5083,6 +5134,37 @@ object SparkEntry {
         |SELECT event_type, hr, n,
         | CAST(floor(n * 1000000 / total) AS BIGINT) AS share_ppm, rk = 1 AS is_peak
         |FROM w ORDER BY event_type, hr""".stripMargin,
+
+    // first-doc-credited types, 50-doc buckets, running integer sums
+    "heaps_curve" ->
+      s"""$WDoc,
+         | tb AS (SELECT doc_id // 50 AS bucket, count(*) AS n_tok FROM w GROUP BY 1),
+         | fd AS (SELECT word, min(doc_id) AS first_doc FROM w GROUP BY 1),
+         | nb AS (SELECT first_doc // 50 AS bucket, count(*) AS n_new FROM fd GROUP BY 1),
+         | j AS (SELECT tb.bucket, tb.n_tok, coalesce(nb.n_new, 0) AS n_new
+         |       FROM tb LEFT JOIN nb ON tb.bucket = nb.bucket)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         | CAST(sum(n_tok) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+         | CAST(sum(n_new) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+         |FROM j ORDER BY bucket""".stripMargin,
+
+    // max |c1·n2 − c2·n1| in pure BIGINTs, one rounded division
+    "ks_drift" ->
+      """WITH v AS (SELECT n_chars AS v, doc_id % 2 = 0 AS g1 FROM documents),
+        | per AS (SELECT v,
+        |         CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |         CAST(sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |         FROM v GROUP BY 1),
+        | tot AS (SELECT CAST(sum(a) AS BIGINT) AS n1, CAST(sum(b) AS BIGINT) AS n2 FROM per),
+        | c AS (SELECT v,
+        |       CAST(sum(a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c1,
+        |       CAST(sum(b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c2
+        |       FROM per),
+        | g AS (SELECT tot.n1, tot.n2, abs(c.c1 * tot.n2 - c.c2 * tot.n1) AS gap
+        |       FROM c CROSS JOIN tot)
+        |SELECT n1, n2, max(gap) AS d_num,
+        | round(CAST(max(gap) AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6) AS ks_d
+        |FROM g GROUP BY n1, n2""".stripMargin,
 
     // df/cf/Σc² exact; mean/variance/VMR the fixed three-op double
     // sequence (the rollingAnomaly device)
