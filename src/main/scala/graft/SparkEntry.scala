@@ -1341,6 +1341,49 @@ object SparkEntry {
     // quantile, in PURE integer rank arithmetic (no float percentile)
     "score_quantile_norm" -> ((s, d) =>
       Corpus.quantileNormalize(t(s, d).documents).orderBy("doc_id")),
+    // the confusion matrix reduced to decision numbers: per-language
+    // precision/recall/F1 (F1 from the ROUNDED p and r, mirrored)
+    "lang_id_metrics" -> ((s, d) => {
+      val docs = t(s, d).documents
+      val cm = TextQuality.langIdNgram(docs).select(col("doc_id"), col("pred_lang"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .localCheckpoint(true)
+      val byLang = cm.groupBy(col("lang")).agg(count(lit(1)).as("n_actual"),
+        sum(when(col("pred_lang") === col("lang"), lit(1L)).otherwise(lit(0L))).as("tp"))
+      val byPred = cm.groupBy(col("pred_lang").as("lang")).agg(count(lit(1)).as("n_pred"))
+      byLang.join(byPred, Seq("lang"), "left")
+        .select(col("lang"), col("n_actual"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"), col("tp"))
+        .withColumn("precision", when(col("n_pred") > 0,
+          round(col("tp").cast("double") / col("n_pred").cast("double"), 6)))
+        .withColumn("recall",
+          round(col("tp").cast("double") / col("n_actual").cast("double"), 6))
+        .withColumn("f1", when(col("precision").isNotNull
+            && col("precision") + col("recall") > 0,
+          round(lit(2.0) * col("precision") * col("recall")
+            / (col("precision") + col("recall")), 6)))
+        .orderBy("lang")
+    }),
+    // RM3-style pseudo-relevance feedback: expansion terms mined from
+    // the top-10 BM25 hits, ranked by feedback-tf · ln(N/df), query
+    // terms excluded — the classic recall move after a first pass
+    "rm3_expansion" -> ((s, d) => {
+      val docs = t(s, d).documents
+      val fb = Retrieval.bm25TopK(docs, Bm25Terms, k = 10, maxDf = RetrievalMaxDf)
+        .select(col("doc_id"))
+      val tf = Retrieval.docTermFreqs(docs)
+      val dfr = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(broadcast(fb), "doc_id")
+        .groupBy(col("word")).agg(sum(col("tf")).as("tf_fb"))
+        .where(!col("word").isin(Bm25Terms: _*))
+        .join(dfr, "word").crossJoin(broadcast(nd))
+        .select(col("word"), col("tf_fb"), col("df"),
+          round(col("tf_fb").cast("double")
+            * log(col("n_docs").cast("double") / col("df").cast("double")), 6).as("w"))
+        .orderBy(desc("w"), col("word"))
+        .limit(10)
+    }),
     // classifier-quality report: n-gram language ID vs the labeled
     // lang column — the confusion matrix that says whether the router
     // can be trusted per language
@@ -6081,6 +6124,46 @@ object SparkEntry {
         |       FROM s CROSS JOIN n)
         |SELECT t.doc_id, t.grp AS source, t.score, g.norm_score
         |FROM t JOIN g ON g.rt = t.rt ORDER BY t.doc_id""".stripMargin,
+
+    // confusion rolled to per-language precision/recall/F1; F1 from
+    // the rounded p and r exactly as the Spark side computes it
+    "lang_id_metrics" ->
+      s"""WITH cm AS (SELECT d.lang, p.pred_lang
+         |            FROM ($langIdNgramTwin) p JOIN documents d USING (doc_id)),
+         | ba AS (SELECT lang, count(*) AS n_actual,
+         |        CAST(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS tp
+         |        FROM cm GROUP BY 1),
+         | bp AS (SELECT pred_lang AS lang, count(*) AS n_pred FROM cm GROUP BY 1),
+         | j AS (SELECT ba.lang, ba.n_actual, coalesce(bp.n_pred, 0) AS n_pred, ba.tp
+         |       FROM ba LEFT JOIN bp ON ba.lang = bp.lang),
+         | pr AS (SELECT lang, n_actual, n_pred, tp,
+         |        CASE WHEN n_pred > 0
+         |             THEN round(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6) END AS precision,
+         |        round(CAST(tp AS DOUBLE) / CAST(n_actual AS DOUBLE), 6) AS recall
+         |        FROM j)
+         |SELECT lang, n_actual, n_pred, tp, precision, recall,
+         | CASE WHEN precision IS NOT NULL AND precision + recall > 0
+         |      THEN round(CAST(2.0 AS DOUBLE) * precision * recall / (precision + recall), 6) END AS f1
+         |FROM pr ORDER BY lang""".stripMargin,
+
+    // the bm25 twin (LIMIT 10 re-applied) feeds the feedback set;
+    // expansion weight = feedback-tf · ln(N/df), query terms excluded
+    "rm3_expansion" ->
+      s"""WITH fb AS (SELECT doc_id FROM ($bm25TwinSql) z ORDER BY score DESC, doc_id LIMIT 10),
+         | w0 AS (SELECT doc_id, lower(regexp_replace(t.tok, '$P', '', 'g')) AS word
+         |        FROM (SELECT doc_id, unnest(string_split_regex(text, '[ \\t\\n\\f\\r]+')) AS tok FROM documents) t),
+         | w AS (SELECT doc_id, word FROM w0 WHERE length(word) > 0),
+         | tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+         | dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         | nd AS (SELECT count(*) AS n_docs FROM documents),
+         | fbt AS (SELECT tf.word, CAST(sum(tf.tf) AS BIGINT) AS tf_fb
+         |         FROM tf JOIN fb USING (doc_id)
+         |         WHERE tf.word NOT IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |         GROUP BY 1)
+         |SELECT fbt.word, fbt.tf_fb, dfq.df,
+         | round(CAST(fbt.tf_fb AS DOUBLE) * ln(CAST(nd.n_docs AS DOUBLE) / CAST(dfq.df AS DOUBLE)), 6) AS w
+         |FROM fbt JOIN dfq USING (word) CROSS JOIN nd
+         |ORDER BY w DESC, fbt.word LIMIT 10""".stripMargin,
 
     // the twin verbatim as a subquery, rolled up to the (label,
     // prediction) confusion grain
