@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DeflateSize, JaroWinkler, NfcNormalize, VecDot, VecSelfDotRule, WordNGrams}
+import graft.functions.{DamerauLevenshtein, DeflateSize, JaroWinkler, NfcNormalize, VecDot, VecSelfDotRule, WordNGrams}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions as SQL functions, so `spark.sql("... vec_dot
@@ -57,6 +57,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
       (exprs: Seq[Expression]) => WordNGrams(exprs(0), exprs(1))))
+    // true (unrestricted) Damerau-Levenshtein — Spark ships plain
+    // levenshtein only; DuckDB's SQL name, exact-integer oracle
+    ext.injectFunction((
+      FunctionIdentifier("damerau_levenshtein"),
+      new ExpressionInfo(classOf[DamerauLevenshtein].getName, "damerau_levenshtein"),
+      (exprs: Seq[Expression]) => DamerauLevenshtein(exprs(0), exprs(1))))
     // Jaro-Winkler similarity (no Spark built-in); same SQL name and
     // RapidFuzz semantics as DuckDB's, so oracle twins are the
     // literal same call comparing raw doubles

@@ -929,6 +929,20 @@ object SparkEntry {
         .select(col("id"), col("p_name").as("s"))
       Dedup.editDistancePairs(names, q = 2, maxDist = 2).orderBy("id_a", "id_b")
     }),
+    // the second native string-distance Expression: TRUE (unrestricted)
+    // Damerau-Levenshtein over the same prefix blocks — exact integer
+    // distances, swap-typo pairs plain levenshtein over-penalizes
+    "dl_name_pairs" -> ((s, d) => {
+      val names = t(s, d).part.groupBy(col("p_name")).agg(min(col("p_partkey")).as("id"))
+        .select(col("id"), col("p_name").as("s"), substring(col("p_name"), 1, 3).as("blk"))
+      names.as("a").join(names.as("b"),
+          col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          graft.functions.DamerauLevenshtein.damerauLevenshtein(col("a.s"), col("b.s"))
+            .cast("long").as("dl"))
+        .where(col("dl") <= 4)
+        .orderBy("id_a", "id_b")
+    }),
     // native-Expression fuzzy matching: Jaro-Winkler over 3-char
     // prefix blocks (the Winkler boost rewards exactly the prefix the
     // block shares) — raw doubles compared, since the kernel mirrors
@@ -2703,6 +2717,15 @@ object SparkEntry {
         s"stream_daily_${System.nanoTime()}")
       Series.scoreDailyAnomalies(finished).orderBy("key", "day")
     }),
+    // the grow/decay screen over the SAME streamed daily relation
+    "streaming_trend" -> ((s, d) => {
+      val tmp = stageEvents(s, d, copies = 1, filesPerCopy = 4)
+      val ss = streamSession(s)
+      val daily = EventStreams.dailyCounts(EventStreams.readEventStream(ss, tmp))
+      val finished = EventStreams.runToMemory(ss, daily,
+        s"stream_daily_t_${System.nanoTime()}")
+      Series.trendFromDaily(finished).orderBy("key")
+    }),
     "streaming_tumbling_agg" -> ((s, d) => {
       val tmp = stageEvents(s, d, copies = 1, filesPerCopy = 4)
       val ss = streamSession(s)
@@ -3589,6 +3612,26 @@ object SparkEntry {
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
+  /** Trend-slopes twin — shared by the batch and streaming
+    * registrations. */
+  private lazy val trendSlopesTwin: String =
+      """WITH daily AS (SELECT event_type AS key, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+        |               FROM events GROUP BY 1, 2),
+        | d0 AS (SELECT key, min(day) AS day0 FROM daily GROUP BY key),
+        | xy AS (SELECT d.key, CAST(date_diff('day', d0.day0, d.day) AS BIGINT) AS x, d.n AS y
+        |        FROM daily d JOIN d0 ON d.key = d0.key),
+        | m AS (SELECT key, count(*) AS n_days,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |        FROM xy GROUP BY key),
+        | f AS (SELECT key, n_days, sx, sy,
+        |        CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |          / CAST(n_days * sxx - sx * sx AS DOUBLE) AS slope
+        |        FROM m WHERE n_days >= 3 AND n_days * sxx - sx * sx <> 0)
+        |SELECT key, n_days, round(slope, 6) AS slope,
+        | round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n_days AS DOUBLE), 6) AS intercept
+        |FROM f ORDER BY key""".stripMargin
+
   /** Rolling-anomaly twin — shared by the batch and streaming
     * registrations (the streaming daily relation converges to the
     * batch one exactly). */
@@ -4333,6 +4376,15 @@ object SparkEntry {
         |FROM s a JOIN s b ON a.id < b.id
         |WHERE levenshtein(a.s, b.s) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // exact-integer compare against DuckDB's builtin of the same name
+    "dl_name_pairs" ->
+      """WITH s AS (SELECT min(p_partkey) AS id, p_name AS s, substring(p_name, 1, 3) AS blk
+        |           FROM part GROUP BY p_name),
+        | p AS (SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST(damerau_levenshtein(a.s, b.s) AS BIGINT) AS dl
+        |       FROM s a JOIN s b ON a.blk = b.blk AND a.id < b.id)
+        |SELECT id_a, id_b, dl FROM p WHERE dl <= 4 ORDER BY id_a, id_b""".stripMargin,
 
     // raw-double compare: the Spark kernel is an op-for-op mirror of
     // the RapidFuzz implementation behind this DuckDB builtin
@@ -6349,23 +6401,11 @@ object SparkEntry {
 
     // all four moment sums exact BIGINTs; slope/intercept are the
     // same fixed-order double ops as the Spark side
-    "trend_slopes" ->
-      """WITH daily AS (SELECT event_type AS key, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
-        |               FROM events GROUP BY 1, 2),
-        | d0 AS (SELECT key, min(day) AS day0 FROM daily GROUP BY key),
-        | xy AS (SELECT d.key, CAST(date_diff('day', d0.day0, d.day) AS BIGINT) AS x, d.n AS y
-        |        FROM daily d JOIN d0 ON d.key = d0.key),
-        | m AS (SELECT key, count(*) AS n_days,
-        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-        |        CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
-        |        FROM xy GROUP BY key),
-        | f AS (SELECT key, n_days, sx, sy,
-        |        CAST(n_days * sxy - sx * sy AS DOUBLE)
-        |          / CAST(n_days * sxx - sx * sx AS DOUBLE) AS slope
-        |        FROM m WHERE n_days >= 3 AND n_days * sxx - sx * sx <> 0)
-        |SELECT key, n_days, round(slope, 6) AS slope,
-        | round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n_days AS DOUBLE), 6) AS intercept
-        |FROM f ORDER BY key""".stripMargin,
+    "trend_slopes" -> trendSlopesTwin,
+
+    // streaming daily relation converges to the batch one exactly
+    "streaming_trend" -> trendSlopesTwin,
+
 
     // n·Sᵢ − i·Σy in pure BIGINT arithmetic — segment-tree window
     // aggregation can't move an integer sum; top-1 by |peak|, day asc

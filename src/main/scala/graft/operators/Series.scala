@@ -205,12 +205,21 @@ object Series {
     * min-day join and moment aggregate run on the daily relation.
     * Keys with < minDays days or a degenerate x-spread emit nothing. */
   def trendSlopes(events: DataFrame, keyCol: String = "event_type",
-                  tsCol: String = "ts", minDays: Int = 3): DataFrame = {
-    val daily = events
-      .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
-      .agg(count(lit(1)).as("n"))
-    val first = daily.groupBy("key").agg(min(col("day")).as("day0"))
-    daily.join(first, "key")
+                  tsCol: String = "ts", minDays: Int = 3): DataFrame =
+    trendFromDaily(
+      events.groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("n")),
+      minDays)
+
+  /** The OLS tail of [[trendSlopes]] over a pre-aggregated (key, day,
+    * n) relation — the [[scoreDailyAnomalies]] split, so the
+    * streaming daily-count path shares the batch oracle. */
+  def trendFromDaily(daily: DataFrame, minDays: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // min-day via a window, not a self-join: a self-join on a
+    // memory-sink table hits conflicting-attribute resolution
+    daily
+      .withColumn("day0", min(col("day")).over(Window.partitionBy(col("key"))))
       .select(col("key"), datediff(col("day"), col("day0")).cast("long").as("x"), col("n").as("y"))
       .groupBy("key")
       .agg(count(lit(1)).as("n_days"),
