@@ -1013,6 +1013,21 @@ object SparkEntry {
       val pairs = Dedup.jaccardPairs(docs).where(col("jaccard") >= 0.3)
       Dedup.nearDupClusters(pairs, docs).orderBy("doc_id")
     }),
+    // duplication-corrected sampling: keep rate 1/family_size per
+    // near-dup family (content-hash keyed) — the corpus keeps ONE
+    // expected copy per family instead of rewarding replication
+    "dedup_weighted_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d).documents
+      val pairs = Dedup.jaccardPairs(docs).where(col("jaccard") >= 0.3)
+      Dedup.nearDupClusters(pairs, docs)
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+        .withColumn("family_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .where(Corpus.hashPermille(col("text")) * col("family_size") < 1000)
+        .select(col("doc_id"), col("cluster_id"), col("family_size"))
+        .orderBy("doc_id")
+    }),
     // dedup ROI report: near-dup family-size histogram — how much of
     // the corpus is singletons vs deep copy families (the number that
     // prices a better dedup pass); one rollup over the cluster labels
@@ -1515,6 +1530,30 @@ object SparkEntry {
     // (label, dim) aggregate
     "label_centroids" -> ((s, d) =>
       Similarity.labelCentroids(t(s, d).embeddings).orderBy("label", "dim")),
+    // vector hygiene: per-label norm spread (rounded-term decimal
+    // norm², nearest-rank p50/p90 picks) — a drifting norm scale
+    // silently breaks dot-product ANN
+    "embedding_norms" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val n2 = t(s, d).embeddings
+        .select(col("label").cast("long").as("label"), col("vec_id"),
+          posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("label"), col("vec_id"),
+          round(col("x").cast("double") * col("x").cast("double"), 12)
+            .cast("decimal(38,12)").as("x2"))
+        .groupBy(col("label"), col("vec_id")).agg(sum(col("x2")).as("s2"))
+        .select(col("label"), col("vec_id"),
+          round(sqrt(col("s2").cast("double")), 6).as("nrm"))
+      val wl = Window.partitionBy(col("label"))
+      n2.withColumn("rn", row_number().over(wl.orderBy(col("nrm"), col("vec_id"))))
+        .withColumn("n", count(lit(1)).over(wl))
+        .groupBy(col("label"))
+        .agg(max(col("n")).as("n_vecs"),
+          min(col("nrm")).as("min_norm"), max(col("nrm")).as("max_norm"),
+          max(when(col("rn") === ceil(col("n") * lit(0.5)).cast("long"), col("nrm"))).as("p50_norm"),
+          max(when(col("rn") === ceil(col("n") * lit(0.9)).cast("long"), col("nrm"))).as("p90_norm"))
+        .orderBy("label")
+    }),
     // pack-efficiency rollup: per shard, pack count / entry count /
     // token total / mean fill vs the 64-token budget — the report that
     // tells you whether packing wastes context-window tokens
@@ -1761,6 +1800,30 @@ object SparkEntry {
           col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
         .select(col("x.p").as("src"), col("y.p").as("dst"))
       Graph.triangleCounts(edges).orderBy("node")
+    }),
+    // one-row graph census: nodes/edges/triangles/wedges and global
+    // transitivity 3·tri/wedges (node-incident triangle sum IS 3·tri)
+    "graph_summary" -> ((s, d) => {
+      val li = t(s, d).lineitem
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val edges = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      val e = edges.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+      val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val triSum = Graph.triangleCounts(e, "a", "b")
+        .agg(coalesce(sum(col("triangles")), lit(0L)).as("tri3"))
+      val degStats = deg.agg(count(lit(1)).as("n_nodes"), max(col("deg")).as("max_deg"),
+        sum(expr("(deg * (deg - 1)) div 2")).as("wedges"))
+      val nEdges = e.agg(count(lit(1)).as("n_edges"))
+      degStats.crossJoin(broadcast(nEdges)).crossJoin(broadcast(triSum))
+        .select(col("n_nodes"), col("n_edges"), col("max_deg"), col("wedges"),
+          (col("tri3") / 3).cast("long").as("n_triangles"),
+          round(col("tri3").cast("double") / col("wedges").cast("double"), 6)
+            .as("transitivity"))
     }),
     // community-vs-hub discriminator: 2·tri/d(d−1) on the same graph
     "clustering_coeff" -> ((s, d) => {
@@ -4925,6 +4988,34 @@ object SparkEntry {
       s"""$dedupClustersCtes
          |SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // the embedding[i] device: rounded-term decimal norm², one sqrt,
+    // nearest-rank picks over the rounded norms
+    "embedding_norms" ->
+      """WITH c AS (SELECT CAST(label AS BIGINT) AS label, vec_id, CAST(embedding[i] AS DOUBLE) AS x
+        |   FROM (SELECT label, vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i FROM embeddings) z),
+        | s2 AS (SELECT label, vec_id, sum(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS s2
+        |        FROM c GROUP BY 1, 2),
+        | nr AS (SELECT label, vec_id, round(sqrt(CAST(s2 AS DOUBLE)), 6) AS nrm FROM s2),
+        | r AS (SELECT label, vec_id, nrm,
+        |       row_number() OVER (PARTITION BY label ORDER BY nrm, vec_id) AS rn,
+        |       count(*) OVER (PARTITION BY label) AS n FROM nr)
+        |SELECT label, max(n) AS n_vecs, min(nrm) AS min_norm, max(nrm) AS max_norm,
+        | max(CASE WHEN rn = CAST(ceil(n * CAST(0.5 AS DOUBLE)) AS BIGINT) THEN nrm END) AS p50_norm,
+        | max(CASE WHEN rn = CAST(ceil(n * CAST(0.9 AS DOUBLE)) AS BIGINT) THEN nrm END) AS p90_norm
+        |FROM r GROUP BY label ORDER BY label""".stripMargin,
+
+    // reachability labels + per-family size; keep iff
+    // hashPermille(text)·size < 1000 — one expected survivor/family
+    "dedup_weighted_sample" ->
+      s"""$dedupClustersCtes,
+         | lab AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+         | sz AS (SELECT lab.doc_id, lab.cluster_id,
+         |        count(*) OVER (PARTITION BY lab.cluster_id) AS family_size FROM lab)
+         |SELECT sz.doc_id, sz.cluster_id, CAST(sz.family_size AS BIGINT) AS family_size
+         |FROM sz JOIN documents d ON d.doc_id = sz.doc_id
+         |WHERE $HashPermille * sz.family_size < 1000
+         |ORDER BY sz.doc_id""".stripMargin,
+
     // same reachability CTEs rolled to family-size grain
     "dedup_family_sizes" ->
       s"""$dedupClustersCtes,
@@ -6028,6 +6119,26 @@ object SparkEntry {
          |       UNION ALL SELECT n2 FROM tri
          |       UNION ALL SELECT n3 FROM tri)
          |SELECT node, count(*) AS triangles FROM x GROUP BY 1 ORDER BY node""".stripMargin,
+
+    // node-incident triangle sum = 3·|triangles|; wedges in integer
+    // div; transitivity one rounded division
+    "graph_summary" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         | ed AS (SELECT x.p AS src, y.p AS dst FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p),
+         | e AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM ed WHERE src <> dst),
+         | deg AS (SELECT node, count(*) AS deg
+         |         FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) z GROUP BY 1),
+         | tri AS (SELECT e1.a AS n1 FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+         |         JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+         | t3 AS (SELECT CAST(count(*) * 3 AS BIGINT) AS tri3 FROM tri),
+         | ds AS (SELECT count(*) AS n_nodes, CAST(max(deg) AS BIGINT) AS max_deg,
+         |        CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS wedges FROM deg),
+         | ne AS (SELECT count(*) AS n_edges FROM e)
+         |SELECT ds.n_nodes, ne.n_edges, ds.max_deg, ds.wedges,
+         | t3.tri3 // 3 AS n_triangles,
+         | round(CAST(t3.tri3 AS DOUBLE) / CAST(ds.wedges AS DOUBLE), 6) AS transitivity
+         |FROM ds CROSS JOIN ne CROSS JOIN t3""".stripMargin,
 
     // same triangle CTEs + the degree census; 2·tri/d(d−1) one
     // rounded division, degree-<2 nodes report 0
