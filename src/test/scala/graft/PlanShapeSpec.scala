@@ -297,4 +297,48 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = simple(df)
     assert(plan.contains("ExistingRDD") || plan.contains("Scan"), plan)
   }
+
+  test("heavyHitters: the one-row total BROADCASTS; key counts partial-aggregate map-side") {
+    val df = graft.operators.Profiling.heavyHitters(TextOps.words(t.documents), "word", 2000)
+    val plan = formatted(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("partial_count"), plan)            // map-side combine
+    assert(Bucketing.shuffleExchangeCount(df) <= 2, simple(df))
+  }
+
+  test("readability / codeDetect: narrow zero-shuffle projections inside codegen") {
+    import graft.operators.TextQuality
+    for (df <- Seq(TextQuality.readability(t.documents), TextQuality.codeDetect(t.documents))) {
+      assert(Bucketing.shuffleExchangeCount(df) === 0, simple(df))
+      assert(formatted(df).contains("codegen id"), formatted(df))
+    }
+  }
+
+  test("paretoFrontier: both prune stages are BROADCAST anti-joins, never a shuffled quadratic") {
+    val spark2 = spark; import spark2.implicits._
+    val pts = (1L to 200L).map(i => (i, i % 37, 1.0 / (1 + i % 11))).toDF("doc_id", "n", "s")
+    val df = Corpus.paretoFrontier(pts, Seq("n" -> true, "s" -> true), idCol = "doc_id")
+    val plan = simple(df)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)   // dominance is non-equi by nature
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("triangleCounts: wedge and closure joins are EQUI joins — no nested loop anywhere") {
+    import graft.operators.Graph
+    val spark2 = spark; import spark2.implicits._
+    val edges = (1L to 300L).map(i => (i % 40, (i * 7) % 40)).toDF("src", "dst")
+    val plan = simple(Graph.triangleCounts(edges))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("jaro_winkler / damerau_levenshtein stay inside whole-stage codegen") {
+    // a parquet-backed source: a literal relation constant-folds to a
+    // LocalTableScan and proves nothing
+    val df = t.part.select(
+      graft.functions.JaroWinkler.jaroWinkler(col("p_name"), col("p_mfgr")).as("jw"),
+      graft.functions.DamerauLevenshtein.damerauLevenshtein(col("p_name"), col("p_mfgr")).as("dl"))
+    val plan = formatted(df)
+    assert(plan.contains("codegen id"), plan)
+    assert(!plan.contains("CodegenFallback"), plan)
+  }
 }
