@@ -146,13 +146,14 @@ object Bench {
     // All numeric rendering pins Locale.ROOT: the f interpolator and
     // String.format use the JVM default locale, and e.g. de_DE prints
     // "117,36" — no longer valid JSON.
-    val sentinel = ordered.headOption.map { case (name, fn) =>
+    val (sentinel, hostDegraded) = ordered.headOption.map { case (name, fn) =>
       val before = results(name)
       val after = math.min(timeSafe(fn), timeSafe(fn))
       val ratio = if (before > 0 && after > 0) after / before else -1.0
-      if (ratio > 3.0) s""""sentinel":{"query":"$name","ratio":${fmt(ratio, 2)}},"degraded":true,"""
-      else """"degraded":false,"""
-    }.getOrElse("")
+      if (ratio > 3.0)
+        (s""""sentinel":{"query":"$name","ratio":${fmt(ratio, 2)}},"degraded":true,""", true)
+      else (""""degraded":false,""", false)
+    }.getOrElse(("", false))
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Regression tripwire: bench_history.json (committed) records the
     // best best_ms ever observed per (sf, query). A query now >2x its
@@ -230,11 +231,20 @@ object Bench {
       val entries = confirmResults.collect { case (n, ms, h, true) =>
         s""""$n":{"isolated_ms":$ms,"hist_ms":$h}"""
       }
+      // The r10 contradiction: a round whose sentinel said the HOST
+      // was degraded still emitted plain "confirmed_regressions" —
+      // the isolated children ran on the same loaded host, so their
+      // confirmation is tainted. When the sentinel fired, the same
+      // measurements ship under "confirmed_degraded" instead: the
+      // flag stands for a quiet-host re-run, it is NOT a verdict.
+      val confirmedKey =
+        if (hostDegraded) """"confirmed_degraded":{"""
+        else """"confirmed_regressions":{"""
       if (!confirmEnabled) ""
       else {
         val cleared = confirmResults.count(!_._4)
         val unconfirmed = flagged.size - confirmResults.size
-        entries.mkString(""""confirmed_regressions":{""", ",", "},") +
+        entries.mkString(confirmedKey, ",", "},") +
           s""""flags_raw":${flagged.size},"flags_cleared":$cleared,""" +
           (if (unconfirmed > 0) s""""flags_unconfirmed":$unconfirmed,""" else "") +
           (if (confirmTruncated) """"confirm_truncated":true,""" else "")
@@ -258,8 +268,11 @@ object Bench {
     // reps was reported on THIS round's committed bench line — history
     // then adopts the isolated median so the signal fires once, and
     // the rolling min takes back over if a later fix restores speed.
+    // A degraded-host "confirmation" must not rewrite history either:
+    // adopting an inflated median would mask the next real regression.
     val rebaseline: Map[String, Long] =
-      confirmResults.collect { case (n, ms, _, true) => s"$sfKey/$n" -> ms }.toMap
+      if (hostDegraded) Map.empty
+      else confirmResults.collect { case (n, ms, _, true) => s"$sfKey/$n" -> ms }.toMap
     try {
       val updated = (hist.keySet ++ ordered.map(o => s"$sfKey/${o._1}")).toSeq.sorted.flatMap { k =>
         val cur =

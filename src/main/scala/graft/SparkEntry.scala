@@ -592,22 +592,28 @@ object SparkEntry {
     "sliding_agg" -> ((s, d) => Windows.slidingCounts(t(s, d).events)),
     "session_agg" -> ((s, d) => Windows.sessionize(t(s, d).events)),
     // RFM segmentation: recency/frequency/monetary quartiles per user
-    // (ntile with user_id tie-break, anchored at the table's max ts).
-    // The event-scale work is ONE aggregate; the three ntile windows
-    // run on the user-dimension-sized relation, not the event stream
+    // (quartiles with user_id tie-break, anchored at the table's max
+    // ts). The event-scale work is ONE aggregate; the three quartile
+    // assignments run on the user-dimension relation via
+    // TotalOrder.globalNtile — range-partitioned rank + integer
+    // bucket arithmetic, so even a billion-user dimension never hits
+    // a single-task ORDER BY (the plain ntile window would)
     "rfm_scores" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
+      import graft.operators.TotalOrder
       val e = t(s, d).events
       val anchor = e.agg(max(unix_micros(col("ts"))).as("anchor_us"))
       val per = e.groupBy(col("user_id")).agg(
         max(unix_micros(col("ts"))).as("last_us"),
         count(lit(1)).as("freq"),
         graft.functions.dsum2(col("value")).as("mon"))
-      per.crossJoin(broadcast(anchor))
+      val base = per.crossJoin(broadcast(anchor))
         .withColumn("rec_us", col("anchor_us") - col("last_us"))
-        .withColumn("r", ntile(4).over(Window.orderBy(col("rec_us"), col("user_id"))).cast("long"))
-        .withColumn("f", ntile(4).over(Window.orderBy(col("freq").desc, col("user_id"))).cast("long"))
-        .withColumn("m", ntile(4).over(Window.orderBy(col("mon").desc, col("user_id"))).cast("long"))
+      val tiled = TotalOrder.globalNtile(
+        TotalOrder.globalNtile(
+          TotalOrder.globalNtile(base, Seq(col("rec_us"), col("user_id")), 4, "r"),
+          Seq(col("freq").desc, col("user_id")), 4, "f"),
+        Seq(col("mon").desc, col("user_id")), 4, "m")
+      tiled
         .select(col("user_id"), col("freq"), round(col("mon"), 2).as("mon"),
           col("rec_us"), col("r"), col("f"), col("m"),
           concat(col("r"), col("f"), col("m")).as("rfm"))
@@ -1269,12 +1275,16 @@ object SparkEntry {
       val typesPerBucket = dw.groupBy(col("word")).agg(min(col("doc_id")).as("first_doc"))
         .groupBy((col("first_doc") / 50).cast("long").as("bucket"))
         .agg(count(lit(1)).as("n_new"))
-      val w = Window.orderBy(col("bucket"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      tokensPerBucket.join(typesPerBucket, Seq("bucket"), "left")
-        .select(col("bucket"), col("n_tok"), coalesce(col("n_new"), lit(0L)).as("n_new"))
-        .withColumn("cum_tokens", sum(col("n_tok")).over(w))
-        .withColumn("cum_types", sum(col("n_new")).over(w))
+      // cumulative token/type counts via the range-partitioned
+      // prefix-sum — the bucket relation grows with corpus size
+      // (N_docs/50 rows), so an unpartitioned ORDER BY window here is
+      // exactly the single-task sort the TotalOrder module exists to
+      // avoid
+      graft.operators.TotalOrder.prefixSum(
+        tokensPerBucket.join(typesPerBucket, Seq("bucket"), "left")
+          .select(col("bucket"), col("n_tok"), coalesce(col("n_new"), lit(0L)).as("n_new")),
+        Seq(col("bucket")),
+        Seq("n_tok" -> "cum_tokens", "n_new" -> "cum_types"))
         .select(col("bucket"), col("cum_tokens"), col("cum_types"))
         .orderBy("bucket")
     }),
@@ -1290,11 +1300,11 @@ object SparkEntry {
         sum(when(col("g1"), lit(1L)).otherwise(lit(0L))).as("a"),
         sum(when(!col("g1"), lit(1L)).otherwise(lit(0L))).as("b"))
       val tot = per.agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"))
-      val w = Window.orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      per
-        .withColumn("c1", sum(col("a")).over(w))
-        .withColumn("c2", sum(col("b")).over(w))
+      // the CDF prefix-sums run over the DISTINCT-value relation —
+      // unbounded cardinality, so range-partitioned prefix-sum, not a
+      // global ORDER BY window
+      graft.operators.TotalOrder.prefixSum(per, Seq(col("v")),
+        Seq("a" -> "c1", "b" -> "c2"))
         .crossJoin(broadcast(tot))
         .select(col("n1"), col("n2"),
           abs(col("c1") * col("n2") - col("c2") * col("n1")).as("gap"))

@@ -97,7 +97,16 @@ object Cleaning {
     * replaced with `<CARD>` (exact-string replace folded over the
     * candidate list in document order). Luhn-INVALID candidates are
     * counted but left in place — an order id shaped like a card is
-    * data, not PII. Zero-shuffle narrow projection like [[clean]];
+    * data, not PII.
+    *
+    * Known over-redaction edge: the fold is a plain substring
+    * replace, so a digit string IDENTICAL to a Luhn-valid candidate
+    * but embedded in a longer digit run (which [[CardRe]]'s word
+    * boundaries exclude from candidacy) is also rewritten — erring
+    * toward redaction is the deliberate trade for a single
+    * zero-regex-compile pass; a boundary-anchored splice would keep
+    * such runs but costs a per-candidate regex. The DuckDB twin
+    * mirrors the fold exactly. Zero-shuffle narrow projection like [[clean]];
     * the Luhn fold is integer arithmetic over a ≤19-element sequence
     * per candidate. Output: (doc_id, n_candidates, n_cards, clean). */
   def scrubCards(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {

@@ -98,7 +98,13 @@ object Corpus {
     * representable and the floor is provably exact (quotient·divisor
     * can't exceed 2^52, so division can't round across an integer
     * boundary). τ reconstructs as the single IEEE division
-    * 2^52/key_(k+1) on identical inputs.
+    * 2^52/key_(k+1) on identical inputs — note this floored-key
+    * reconstruction yields τ ≥ the true (k+1)-th priority, so w_est
+    * carries a SMALL systematic upward bias relative to the textbook
+    * estimator (bounded by one key quantum, ~w/2^20 relative); the
+    * trade buys integer-exact cross-engine determinism. Carry the
+    * threshold row's (h, w) and compute τ = w·2^32/h to recover the
+    * exact estimator if unbiasedness matters more than twinability.
     *
     * Scale shape: the ONLY full-data operation is the top-(k+1) pick,
     * which Catalyst plans as TakeOrderedAndProject — per-partition
@@ -452,11 +458,10 @@ object Corpus {
     * normalized score is a real data value picked by rank. Singleton
     * sources map to the global minimum (rank 1).
     *
-    * Scale shape: one per-source rank window, one global rank window
-    * (the TotalOrder caveat applies: a global row_number is a single
-    * partition's sort — at 100 TB swap in the range-partitioned
-    * global rank from `TotalOrder.globalRank`), one broadcast scalar
-    * and one equi-join on the target rank. */
+    * Scale shape: one per-source rank window, one RANGE-PARTITIONED
+    * global rank (`TotalOrder.globalRank` — the TeraSort exchange, so
+    * no single-task sort ever sees the row-scale relation), one
+    * broadcast scalar and one equi-join on the target rank. */
   def quantileNormalize(docs: DataFrame, scoreCol: String = "n_chars",
                         groupCol: String = "source", idCol: String = "doc_id"): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
@@ -465,9 +470,8 @@ object Corpus {
       .withColumn("rs", row_number().over(
         Window.partitionBy(col("grp")).orderBy(col("score"), col("doc_id"))).cast("long"))
       .withColumn("ns", count(lit(1)).over(Window.partitionBy(col("grp"))))
-    val globalRanked = base
-      .withColumn("rg", row_number().over(
-        Window.orderBy(col("score"), col("doc_id"))).cast("long"))
+    val globalRanked = TotalOrder
+      .globalRank(base, Seq(col("score"), col("doc_id")), rankCol = "rg")
       .select(col("rg").as("rt"), col("score").as("norm_score"))
     val ng = base.agg(count(lit(1)).as("ng"))
     perSource.crossJoin(broadcast(ng))

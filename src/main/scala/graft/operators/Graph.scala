@@ -334,23 +334,6 @@ object Graph {
     (labels, rounds)
   }
 
-  /** k-core decomposition by iterative peeling (Seidman 1983): drop
-    * every node with UNDIRECTED degree < k, recompute degrees on the
-    * surviving subgraph, repeat. What survives is the k-core — the
-    * maximal subgraph where everyone keeps >= k neighbors. Crawl use:
-    * the 2-core separates interlinked site cores from the pendant
-    * tendrils PageRank wastes mass on; dedup use: a dense near-dup
-    * family survives peeling, chains of coincidental pairs don't.
-    *
-    * Runs a FIXED round count (the page_rank device: the twin unrolls
-    * the same rounds as CTEs, and once the core stabilizes further
-    * rounds are no-ops, so a converged result is exact, not
-    * truncated). `rounds` defaults high enough for the registered
-    * fixtures; the output carries the final degree so a caller can
-    * assert stability (min(deg) >= k ⇒ converged). Each round is one
-    * semi-join + one degree aggregate on the shrinking edge set —
-    * state is the surviving edge relation, lineage truncated per
-    * round. */
   /** Per-node triangle counts — the local clustering signal: a page
     * whose neighbors interlink (many triangles) sits in a genuine
     * community; link farms built as stars or chains carry none, which
@@ -427,6 +410,23 @@ object Graph {
           .otherwise(lit(0.0)))
   }
 
+  /** k-core decomposition by iterative peeling (Seidman 1983): drop
+    * every node with UNDIRECTED degree < k, recompute degrees on the
+    * surviving subgraph, repeat. What survives is the k-core — the
+    * maximal subgraph where everyone keeps >= k neighbors. Crawl use:
+    * the 2-core separates interlinked site cores from the pendant
+    * tendrils PageRank wastes mass on; dedup use: a dense near-dup
+    * family survives peeling, chains of coincidental pairs don't.
+    *
+    * Runs a FIXED round count (the page_rank device: the twin unrolls
+    * the same rounds as CTEs, and once the core stabilizes further
+    * rounds are no-ops, so a converged result is exact, not
+    * truncated). `rounds` defaults high enough for the registered
+    * fixtures; the output carries the final degree so a caller can
+    * assert stability (min(deg) >= k ⇒ converged). Each round is one
+    * semi-join + one degree aggregate on the shrinking edge set —
+    * state is the surviving edge relation, lineage truncated per
+    * round. */
   def kCore(edges: DataFrame, k: Int, rounds: Int = 6,
             srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     // undirected simple graph: canonical min/max pairs, self-loops out

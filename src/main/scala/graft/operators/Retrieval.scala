@@ -387,21 +387,29 @@ object Retrieval {
     val rel = dotWith(q, "rel").where(col("doc_id") =!= queryId).localCheckpoint(true)
     var m = rel.select(col("doc_id"), lit(0.0).as("msim"))
     var picked = List.empty[(Int, Long, Double)]
-    for (step <- 1 to k) {
+    var exhausted = false
+    for (step <- 1 to k if !exhausted) {
       val excluded = queryId :: picked.map(_._2)
-      val top = rel.join(m, "doc_id")
+      val topOpt = rel.join(m, "doc_id")
         .where(!col("doc_id").isin(excluded: _*))
         .select(col("doc_id"),
           round(lit(lam) * col("rel") - lit(1.0 - lam) * col("msim"), 6).as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(1)
-        .collect()(0) // one row per round — the bounded-loop driver class
-      picked = picked :+ ((step, top.getLong(0), top.getDouble(1)))
-      if (step < k) {
-        val sv = vecs.where(col("doc_id") === top.getLong(0))
-          .select(col("dim_idx"), col("v").as("tv"))
-        m = m.join(dotWith(sv, "s"), Seq("doc_id"), "left")
-          .select(col("doc_id"), greatest(col("msim"), coalesce(col("s"), lit(0.0))).as("msim"))
-          .localCheckpoint(true)
+        .collect().headOption // one row per round — the bounded-loop driver class
+      topOpt match {
+        case None =>
+          // fewer than k docs share a hashed dim with the query —
+          // return the shorter ranking rather than throwing
+          exhausted = true
+        case Some(top) =>
+          picked = picked :+ ((step, top.getLong(0), top.getDouble(1)))
+          if (step < k) {
+            val sv = vecs.where(col("doc_id") === top.getLong(0))
+              .select(col("dim_idx"), col("v").as("tv"))
+            m = m.join(dotWith(sv, "s"), Seq("doc_id"), "left")
+              .select(col("doc_id"), greatest(col("msim"), coalesce(col("s"), lit(0.0))).as("msim"))
+              .localCheckpoint(true)
+          }
       }
     }
     import spark.implicits._

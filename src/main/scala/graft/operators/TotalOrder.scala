@@ -66,4 +66,56 @@ object TotalOrder {
       .withColumn(rankCol, row_number().over(within).cast(LongType) + col("__off"))
       .drop("__pid", "__off")
   }
+
+  /** Exact `sum(c) OVER (ORDER BY sortCols ROWS UNBOUNDED PRECEDING)`
+    * for each (input, output) pair in `sums`, at cluster scale: the
+    * same two-level TeraSort decomposition as [[globalRank]] — range
+    * exchange + in-partition running sums (parallel), per-partition
+    * TOTALS prefix-summed on a ≤`partitions`-row window, broadcast
+    * back as offsets. `sortCols` must be a total order so the result
+    * is independent of sampled range boundaries. Inputs are summed as
+    * LongType — the callers are exact-integer counters by design. */
+  def prefixSum(df: DataFrame, sortCols: Seq[Column],
+                sums: Seq[(String, String)], partitions: Int = 32): DataFrame = {
+    val ranged = rangedByKey(df, sortCols, partitions).localCheckpoint()
+    val totals = ranged.groupBy(col("__pid"))
+      .agg(sums.map { case (in, out) =>
+        sum(col(in).cast(LongType)).as(s"__t_$out") }.head,
+        sums.tail.map { case (in, out) =>
+          sum(col(in).cast(LongType)).as(s"__t_$out") }: _*)
+    val offsets = sums.foldLeft(totals) { case (acc, (_, out)) =>
+      acc.withColumn(s"__off_$out", coalesce(
+        sum(col(s"__t_$out")).over(
+          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    }.select(col("__pid") +: sums.map { case (_, out) => col(s"__off_$out") }: _*)
+    val within = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sums.foldLeft(ranged.join(broadcast(offsets), Seq("__pid"))) {
+      case (acc, (in, out)) =>
+        acc.withColumn(out, sum(col(in).cast(LongType)).over(within) + col(s"__off_$out"))
+    }.drop("__pid" +: sums.map { case (_, out) => s"__off_$out" }: _*)
+  }
+
+  /** Exact `ntile(n) OVER (ORDER BY sortCols)` at cluster scale:
+    * global rank via [[globalRank]] (range-partitioned — no
+    * single-task sort), then the SQL-standard bucket arithmetic in
+    * pure integers: with N rows the first N mod n buckets hold
+    * ⌈N/n⌉ rows and the rest ⌊N/n⌋ — exactly Spark's and DuckDB's
+    * NTile, so results are drop-in hash-compatible with the window
+    * form. `sortCols` must be a total order (unique tie-break). */
+  def globalNtile(df: DataFrame, sortCols: Seq[Column], n: Int,
+                  tileCol: String, partitions: Int = 32): DataFrame = {
+    val ranked = globalRank(df, sortCols, rankCol = "__rk", partitions)
+    // count off the ranked side — its lineage is already truncated at
+    // the checkpoint inside globalRank, so this never re-reads `df`
+    val cnt = ranked.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(cnt))
+      .withColumn(tileCol, expr(
+        s"""CASE WHEN __rk <= (__n % $n) * (__n div $n + 1)
+           |     THEN (__rk - 1) div (__n div $n + 1) + 1
+           |     ELSE (__n % $n) + (__rk - 1 - (__n % $n) * (__n div $n + 1)) div (__n div $n) + 1
+           |END""".stripMargin).cast(LongType))
+      .drop("__rk", "__n")
+  }
 }

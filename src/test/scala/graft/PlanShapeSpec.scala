@@ -335,8 +335,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // a parquet-backed source: a literal relation constant-folds to a
     // LocalTableScan and proves nothing
     val df = t.part.select(
-      graft.functions.JaroWinkler.jaroWinkler(col("p_name"), col("p_mfgr")).as("jw"),
-      graft.functions.DamerauLevenshtein.damerauLevenshtein(col("p_name"), col("p_mfgr")).as("dl"))
+      graft.functions.JaroWinkler.jaroWinkler(col("p_name"), col("p_brand")).as("jw"),
+      graft.functions.DamerauLevenshtein.damerauLevenshtein(col("p_name"), col("p_brand")).as("dl"))
     val plan = formatted(df)
     assert(plan.contains("codegen id"), plan)
     assert(!plan.contains("CodegenFallback"), plan)
