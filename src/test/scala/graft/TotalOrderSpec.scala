@@ -37,6 +37,44 @@ class TotalOrderSpec extends AnyFunSuite {
     assert(agg.getLong(2) === agg.getLong(3))
   }
 
+  test("prefixSum equals the single-window running sums at several partition counts") {
+    val keys = Seq(asc("a"), asc("b"))
+    val w = Window.orderBy(asc("a"), asc("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = df
+      .withColumn("cum_a", sum(col("a")).over(w))
+      .withColumn("cum_b", sum(col("b")).over(w))
+    for (parts <- Seq(3, 32)) {
+      val got = TotalOrder.prefixSum(df, keys,
+        Seq("a" -> "cum_a", "b" -> "cum_b"), partitions = parts)
+      val diff = got.join(naive, Seq("a", "b"))
+        .where(got("cum_a") =!= naive("cum_a") || got("cum_b") =!= naive("cum_b"))
+        .count()
+      assert(diff === 0L, s"prefix-sum mismatch at partitions=$parts")
+      assert(got.count() === df.count())
+    }
+  }
+
+  test("globalNtile equals the ntile window for bucket counts that divide evenly and not") {
+    val keys = Seq(asc("b"), asc("a"))
+    // 20000 % 4 == 0 (even buckets) and 20000 % 7 == 4 (ragged buckets)
+    for (n <- Seq(4, 7)) {
+      val naive = df.withColumn("t",
+        ntile(n).over(Window.orderBy(asc("b"), asc("a"))).cast("long"))
+      val got = TotalOrder.globalNtile(df, keys, n, "t", partitions = 8)
+      val diff = got.join(naive.withColumnRenamed("t", "t2"), Seq("a", "b"))
+        .where(col("t") =!= col("t2")).count()
+      assert(diff === 0L, s"ntile mismatch at n=$n")
+    }
+  }
+
+  test("globalNtile: fewer rows than buckets assigns bucket = rank") {
+    val tiny = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("a", "b")
+    val got = TotalOrder.globalNtile(tiny, Seq(asc("b")), 8, "t", partitions = 4)
+      .orderBy("b").select("t").as[Long].collect().toSeq
+    assert(got === Seq(1L, 2L, 3L))
+  }
+
   test("plan shape: the shuffle is a range exchange, not a single-partition sort") {
     val frag = TotalOrder.rangedByKey(df, Seq(asc("b")), 8)
     val plan = frag.queryExecution.executedPlan.toString
