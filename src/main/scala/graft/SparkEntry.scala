@@ -2799,6 +2799,54 @@ object SparkEntry {
         s"stream_daily_t_${System.nanoTime()}")
       Series.trendFromDaily(finished).orderBy("key")
     }),
+    // the WHEN-did-it-change monitor over the same streamed daily
+    // relation: CUSUM peak math on the finished (key, day, n) rows —
+    // the stream holds only watermark-bounded daily counters, so the
+    // batch change_points oracle serves unchanged
+    "streaming_change_points" -> ((s, d) => {
+      val tmp = stageEvents(s, d, copies = 1, filesPerCopy = 4)
+      val ss = streamSession(s)
+      val daily = EventStreams.dailyCounts(EventStreams.readEventStream(ss, tmp))
+      val finished = EventStreams.runToMemory(ss, daily,
+        s"stream_daily_cp_${System.nanoTime()}")
+      Series.changePointsFromDaily(finished).orderBy("key")
+    }),
+    // behavior-shift monitor, streamed: per-(user, day) ordered
+    // type sequences frozen by sort_array inside the stream's state
+    // (bounded by a user's DAILY activity; day-close eviction under
+    // append+watermark at scale), Markov counts on the finished
+    // relation. Day-bounded adjacency BY DESIGN — day-crossing pairs
+    // excluded on both engines — so this carries its own twin rather
+    // than sharing event_transitions' whole-history one
+    "streaming_event_transitions" -> ((s, d) => {
+      val tmp = stageEvents(s, d, copies = 1, filesPerCopy = 4)
+      val ss = streamSession(s)
+      val seqs = EventStreams.dailyTypeSeqs(EventStreams.readEventStream(ss, tmp))
+      val finished = EventStreams.runToMemory(ss, seqs,
+        s"stream_seqs_${System.nanoTime()}")
+      EventStreams.transitionsFromSeqs(finished)
+        .orderBy("prev_type", "event_type")
+    }),
+    // token-distribution drift, streamed: the stream's state is the
+    // per-word (c_old, c_new) counter pair — vocabulary-sized, the
+    // same bound as the batch aggregate's hashmap — and the smoothed
+    // KL finish runs on the finished counts, so the batch
+    // corpus_drift oracle serves unchanged
+    "streaming_corpus_drift" -> ((s, d) => {
+      val src = stageDocStream(s, d, nFiles = 4)
+      val ss = streamSession(s)
+      val docs = graft.streaming.IngestPipeline.readDocStream(ss, src)
+      val ws = filter(transform(TextOps.tokens(col("text")),
+        tk => TextOps.cleanWord(tk)), w => length(w) > 0)
+      val toks = docs.select((col("doc_id") % 2 === 1).as("is_new"),
+        explode(ws).as("word"))
+      val m = toks.groupBy(col("word")).agg(
+        count(when(!col("is_new"), 1)).as("c_old"),
+        count(when(col("is_new"), 1)).as("c_new"))
+      val finished = EventStreams.runToMemory(ss, m,
+        s"stream_drift_${System.nanoTime()}")
+      TextQuality.driftFromCounts(finished)
+    }),
     "streaming_tumbling_agg" -> ((s, d) => {
       val tmp = stageEvents(s, d, copies = 1, filesPerCopy = 4)
       val ss = streamSession(s)
@@ -3684,6 +3732,27 @@ object SparkEntry {
        | ${langs.map(l => s"g_$l").mkString(", ")}
        |FROM sc ORDER BY doc_id""".stripMargin
   }
+
+  /** Corpus-drift twin — shared by the batch and streaming
+    * registrations (the stream maintains exactly the per-word
+    * counter pair the batch aggregate builds). */
+  private lazy val corpusDriftTwin: String =
+      s"""WITH d AS (SELECT doc_id % 2 = 1 AS is_new,
+         |    list_filter(list_transform(
+         |      list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), t -> length(t) > 0),
+         |      t -> lower(regexp_replace(t, '$P', '', 'g'))), w -> length(w) > 0) AS ws
+         |  FROM documents),
+         | toks AS (SELECT is_new, unnest(ws) AS word FROM d),
+         | m AS (SELECT word,
+         |    count(*) FILTER (WHERE NOT is_new) AS c_old,
+         |    count(*) FILTER (WHERE is_new) AS c_new
+         |  FROM toks GROUP BY word),
+         | scal AS (SELECT sum(c_old) + count(*) AS d_old, sum(c_new) + count(*) AS d_new FROM m)
+         |SELECT word, c_old, c_new,
+         | round(((c_new + 1) * 1.0 / d_new) *
+         |       ln(((c_new + 1) * 1.0 / d_new) / ((c_old + 1) * 1.0 / d_old)), 12) AS drift
+         |FROM m CROSS JOIN scal
+         |ORDER BY drift DESC, word LIMIT 50""".stripMargin
 
   /** Trend-slopes twin — shared by the batch and streaming
     * registrations. */
@@ -5898,25 +5967,14 @@ object SparkEntry {
          |GROUP BY d3.source ORDER BY d3.source""".stripMargin
     },
 
+    // the streamed drift monitor maintains exactly the (word, c_old,
+    // c_new) counters the batch twin's m CTE builds — one twin, both
+    // paths
+    "streaming_corpus_drift" -> corpusDriftTwin,
+
     // the same smoothed per-term KL chain: union-vocab counts, one
     // scalar row, identically-associated double expression per term
-    "corpus_drift" ->
-      s"""WITH d AS (SELECT doc_id % 2 = 1 AS is_new,
-         |    list_filter(list_transform(
-         |      list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), t -> length(t) > 0),
-         |      t -> lower(regexp_replace(t, '$P', '', 'g'))), w -> length(w) > 0) AS ws
-         |  FROM documents),
-         | toks AS (SELECT is_new, unnest(ws) AS word FROM d),
-         | m AS (SELECT word,
-         |    count(*) FILTER (WHERE NOT is_new) AS c_old,
-         |    count(*) FILTER (WHERE is_new) AS c_new
-         |  FROM toks GROUP BY word),
-         | scal AS (SELECT sum(c_old) + count(*) AS d_old, sum(c_new) + count(*) AS d_new FROM m)
-         |SELECT word, c_old, c_new,
-         | round(((c_new + 1) * 1.0 / d_new) *
-         |       ln(((c_new + 1) * 1.0 / d_new) / ((c_old + 1) * 1.0 / d_old)), 12) AS drift
-         |FROM m CROSS JOIN scal
-         |ORDER BY drift DESC, word LIMIT 50""".stripMargin,
+    "corpus_drift" -> corpusDriftTwin,
 
     // nine gram relations, the (count, chars, gram) deterministic top
     // pick, and the band conjunction — all generated from the same
@@ -6555,6 +6613,38 @@ object SparkEntry {
     // the streaming path converges to the identical daily relation
     // (watermarked 1-day windows), so one twin serves both
     "streaming_rolling_anomaly" -> rollingAnomalyTwin,
+
+    // same streamed-daily convergence: the CUSUM monitor's stream
+    // maintains only the (key, day, n) counters the batch twin builds
+    // in its first CTE
+    "streaming_change_points" ->
+      """WITH daily AS (SELECT event_type AS key, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+        |               FROM events GROUP BY 1, 2),
+        | r AS (SELECT key, day, n,
+        |        CAST(row_number() OVER (PARTITION BY key ORDER BY day) AS BIGINT) AS i,
+        |        CAST(sum(n) OVER (PARTITION BY key ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run,
+        |        count(*) OVER (PARTITION BY key) AS n_days,
+        |        CAST(sum(n) OVER (PARTITION BY key) AS BIGINT) AS total
+        |        FROM daily),
+        | c AS (SELECT key, day, n_days, n_days * run - i * total AS cusum_n
+        |        FROM r WHERE n_days >= 5),
+        | k AS (SELECT key, day, n_days, cusum_n,
+        |        row_number() OVER (PARTITION BY key ORDER BY abs(cusum_n) DESC, day) AS rk FROM c)
+        |SELECT key, day AS change_day, n_days,
+        | round(CAST(cusum_n AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS peak_cusum
+        |FROM k WHERE rk = 1 ORDER BY key""".stripMargin,
+
+    // DAY-BOUNDED transitions (the streaming monitor's deliberate
+    // grain): lag partitioned by (user, day) — day-crossing pairs
+    // excluded, exactly as the per-day sequence lists exclude them
+    "streaming_event_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS tsu FROM events),
+        | o AS (SELECT user_id, event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id, CAST(tsu AS DATE) ORDER BY tsu, event_id) AS prev_type FROM e),
+        | c AS (SELECT prev_type, event_type, count(*) AS n FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, event_type, n,
+        | round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+        |FROM c ORDER BY prev_type, event_type""".stripMargin,
 
 
     // exact-decimal cumulative-weight pick; DECIMAL compares, one

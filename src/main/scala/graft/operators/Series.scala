@@ -252,11 +252,20 @@ object Series {
     * Scale shape: daily-count relation, one running-sum window and
     * one top-1-per-key window, both partitioned by key. */
   def changePoints(events: DataFrame, keyCol: String = "event_type",
-                   tsCol: String = "ts", minDays: Int = 5): DataFrame = {
+                   tsCol: String = "ts", minDays: Int = 5): DataFrame =
+    changePointsFromDaily(
+      events.groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("n")),
+      minDays)
+
+  /** The CUSUM peak math over an ALREADY-built (key, day, n) daily
+    * relation — the split that makes the change-point monitor
+    * streamable (the scoreDailyAnomalies device): the stream
+    * maintains only per-(key, day) counters, this runs on the tiny
+    * finished daily relation, so the batch twin's oracle serves the
+    * streaming query unchanged. */
+  def changePointsFromDaily(daily: DataFrame, minDays: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = events
-      .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
-      .agg(count(lit(1)).as("n"))
     val wKey = Window.partitionBy(col("key"))
     val wRun = wKey.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val scored = daily

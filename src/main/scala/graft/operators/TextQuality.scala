@@ -317,6 +317,15 @@ object TextQuality {
     val m = toks.groupBy(col("word")).agg(
       count(when(!col("is_new"), 1)).as("c_old"),
       count(when(col("is_new"), 1)).as("c_new"))
+    driftFromCounts(m, topK)
+  }
+
+  /** The KL-contribution math over an ALREADY-built (word, c_old,
+    * c_new) count relation — split out so the streaming drift monitor
+    * can maintain just the per-word counters in its state store and
+    * run this on the finished vocabulary-sized relation, sharing the
+    * batch twin's oracle unchanged. */
+  def driftFromCounts(m: DataFrame, topK: Int = 50): DataFrame = {
     val scal = m.agg((sum(col("c_old")) + count(lit(1))).as("d_old"),
       (sum(col("c_new")) + count(lit(1))).as("d_new"))
     val pn = (col("c_new") + lit(1L)).cast(DoubleType) / col("d_new")

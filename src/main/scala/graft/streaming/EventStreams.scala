@@ -64,6 +64,43 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("event_type").as("key"), col("win.start").cast("date").as("day"), col("n"))
 
+  /** Watermark-bounded per-(user, day) event-type sequences: the
+    * stream's state is one ordered list per (day, user) — bounded by
+    * a single user's DAILY activity, not their history (at cluster
+    * scale, Append mode + the watermark evict each day's lists once
+    * the day closes). sort_array over (ts, event_id, type) structs
+    * makes the within-day order a pure function of the data — file
+    * arrival order and micro-batch boundaries cannot leak in. The
+    * day grain is the deliberate semantic: a feed-health transition
+    * monitor reads same-day adjacency; day-crossing pairs are
+    * excluded on BOTH engines. */
+  def dailyTypeSeqs(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("win"), col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("seq"))
+      .select(col("win.start").cast("date").as("day"), col("user_id"),
+        expr("transform(seq, x -> x.event_type)").as("types"))
+
+  /** First-order Markov transition counts + row-conditional
+    * probabilities over the finished [[dailyTypeSeqs]] relation — the
+    * batch-side finish (the scoreDailyAnomalies split): adjacency is
+    * already frozen inside each day's list, so this is one explode +
+    * one aggregate over a (types × types)-sized result. */
+  def transitionsFromSeqs(seqs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    seqs.where(size(col("types")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(types) - 1)," +
+          " i -> struct(types[i-1] AS prev_type, types[i] AS event_type))")).as("pr"))
+      .select(col("pr.prev_type"), col("pr.event_type"))
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))).cast("double"), 6))
+  }
+
   /** Streaming sliding windows — same logical agg as
     * Windows.slidingCounts (1-hour windows every 30 minutes). */
   def slidingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =

@@ -46,6 +46,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("dailyTypeSeqs: day-bounded order-frozen sequences; transitions exclude day-crossing pairs") {
+    val dir = Files.createTempDirectory("graft-stream-seq").toString
+    val day2 = 24 * 60 // minutes into day 2
+    val ev = Seq(
+      // user 100, day 1: click → view → click (arrival order scrambled
+      // across files — sort_array must freeze ts order regardless)
+      (1L, ts(5), 100L, "click", 1.0, ""),
+      (2L, ts(30), 100L, "view", 2.0, ""),
+      (3L, ts(65), 100L, "click", 4.0, ""),
+      // user 100, day 2: purchase — the (click → purchase) pair CROSSES
+      // the day boundary and must not be counted
+      (4L, ts(day2 + 10), 100L, "purchase", 8.0, ""),
+      // user 200, day 1: a single event — no pairs
+      (5L, ts(10), 200L, "view", 16.0, ""))
+    val df = ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // file drops deliberately out of time order within user 100's day 1
+    df.where($"event_id" === 2 || $"event_id" === 5).coalesce(1).write.parquet(s"$dir/b0")
+    df.where($"event_id" === 3 || $"event_id" === 4).coalesce(1).write.parquet(s"$dir/b1")
+    df.where($"event_id" === 1).coalesce(1).write.parquet(s"$dir/b2")
+    val seqs = EventStreams.runToMemory(spark,
+      EventStreams.dailyTypeSeqs(EventStreams.readEventStream(spark, s"$dir/{b0,b1,b2}")),
+      "seq_out")
+    val u100d1 = seqs.where($"user_id" === 100L)
+      .orderBy("day").collect().map(_.getSeq[String](2).toList).toList
+    assert(u100d1 === List(List("click", "view", "click"), List("purchase")))
+    val trans = EventStreams.transitionsFromSeqs(seqs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    // only user 100 day 1 yields pairs; click→purchase (day-crossing)
+    // and user 200 (singleton) contribute nothing
+    assert(trans === Set(("click", "view", 1L, 1.0), ("view", "click", 1L, 1.0)))
+  }
+
   test("streaming session windows converge to the batch sessionize answer") {
     val dir = Files.createTempDirectory("graft-stream3").toString
     writeBatches(dir)
