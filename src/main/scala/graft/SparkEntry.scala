@@ -1125,6 +1125,30 @@ object SparkEntry {
       Dedup.incrementalMinhashDedup(docs.where(col("doc_id") % 2 === 1), store)
         .select(col("doc_id"), col("lang")).orderBy("doc_id")
     }),
+    // the LSH-admission gate's EXACT invariant, hash-checked: clones
+    // of store documents (identical text → identical raw token stream
+    // → identical minhash signature → every band collides) MUST all be
+    // rejected — so the rejected-clone set is derivable relationally
+    // with no minhash in sight. A broken hash/banding path admits a
+    // clone and this loses a row; the approximate near-dup behavior
+    // stays minhash_ingest's (rows-only) and DedupSpec's
+    "minhash_ingest_clone_rejects" -> ((s, d) => {
+      val docs = t(s, d).documents
+      val store = Dedup.bandKeys(docs.where(col("doc_id") % 2 === 0))
+      val clones = docs.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(10000L)).as("doc_id"), col("lang"), col("text"))
+      val batch = docs.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .unionByName(clones)
+      val admitted = Dedup.incrementalMinhashDedup(batch, store).select(col("doc_id"))
+      clones
+        // a clone with < 3 whitespace tokens has no shingles, hence no
+        // bands to collide on — outside the guarantee on both engines
+        .where(size(filter(split(col("text"), TextOps.TokenSepRe),
+          tk => length(tk) > 0)) >= 3)
+        .join(admitted, Seq("doc_id"), "left_anti")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
     "minhash_near_dups" -> ((s, d) =>
       Dedup.minhashNearDups(t(s, d).documents, minJaccard = 0.3).orderBy("doc_a", "doc_b")),
     "simhash" -> ((s, d) => Dedup.simhash(t(s, d).documents).orderBy("doc_id")),
@@ -1193,8 +1217,11 @@ object SparkEntry {
     // the append path's rebuild trigger: per-cell residual energy of an
     // append batch vs the build-time baseline. The batch here is
     // deliberately OUT of distribution (embeddings scaled ×-2), so
-    // drift ratios exceed the threshold and rebuild fires — rows-only
-    // (float ratios); the trip/no-trip contract is SimilaritySpec's
+    // drift ratios exceed the threshold and rebuild fires. HASH-exact
+    // since round 11: stride centroids, cosine argmax and the
+    // decimal-summed energies are all relational, so the twin
+    // recomputes the drift ratio end to end (the ivfPqBuild PQ code
+    // books never touch this output)
     "ann_drift" -> ((s, d) => {
       val emb = t(s, d).embeddings
       val index = Similarity.ivfPqBuild(emb)
@@ -1210,8 +1237,11 @@ object SparkEntry {
     // out-of-distribution batch (constant-offset shift = a coherent new
     // mode). appendDrift trips, ivfPqMaintain retrains over corpus ∪
     // batch, and the output is the refreshed per-cell baseline the next
-    // drift check will compare against — rows-only (float energies);
-    // the trip/absorb contract is SimilaritySpec's
+    // drift check will compare against. HASH-exact since round 11: the
+    // twin recomputes trigger AND rebuilt-geometry energies
+    // relationally (old stride centroids → batch/baseline energies →
+    // EXISTS trip → new stride centroids over corpus ∪ batch → fresh
+    // baseline)
     "ann_rebuild" -> ((s, d) => {
       val emb = t(s, d).embeddings
       val base = emb.where(col("vec_id") % 7 =!= 3)
@@ -2921,6 +2951,28 @@ object SparkEntry {
           emb.where(col("vec_id") % 70 === 3), emb)
         .orderBy("q_id", "rank")
     }),
+    // the streaming ingest's EXACT invariant, hash-checked: after the
+    // stream drains, the grown index's CELLS relation must hold every
+    // seed AND ingested vector exactly once, each assigned to its
+    // cosine-argmax stride centroid — frozen geometry makes the whole
+    // relation derivable relationally, so lost batches, replays that
+    // double-commit, or a drifted assignment all unhash it. The
+    // approximate part (PQ codes → query answers) stays
+    // streaming_ann_ingest's (rows-only) and StreamingSpec's
+    "streaming_ann_cells" -> ((s, d) => {
+      val emb = t(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      val base = emb.where(col("vec_id") % 7 =!= 3)
+      val dir = java.nio.file.Files.createTempDirectory("graft-anncells").toString
+      val idx = Similarity.ivfPqBuild(base)
+      Similarity.ivfPqWrite(idx, dir)
+      Similarity.cellResidualEnergy(idx, base)
+        .write.mode("overwrite").parquet(s"$dir/baseline")
+      val src = stageVecStream(s, d, 3)
+      val ss = streamSession(s)
+      graft.streaming.VectorIngest.runAnnIngest(ss, src, dir)
+      Similarity.ivfPqReadGrown(s, dir).cells
+        .select(col("vec_id"), col("cell")).orderBy("vec_id")
+    }),
     // streaming exact dedup: the source dir carries every event TWICE
     // (a simulated at-least-once redelivery); the deduped stream must
     // equal the single-copy batch table exactly
@@ -3732,6 +3784,28 @@ object SparkEntry {
        | ${langs.map(l => s"g_$l").mkString(", ")}
        |FROM sc ORDER BY doc_id""".stripMargin
   }
+
+  /** The assign-and-energy CTE chain shared by the ANN drift twins:
+    * nearest stride centroid by cosine argmax (raw-double compare,
+    * min-cell tie-break — the cosine_topk device) + per-cell
+    * residual energies as rounded(9) DECIMAL sums with ONE final
+    * division (cellResidualEnergy's own discipline). `vecs` must
+    * expose (vec_id, embedding); `cents` (cell, ce). Emits CTEs
+    * `${p}sims`/`${p}best`/`${p}e`/`${p}agg`. */
+  private def annEnergySql(p: String, vecs: String, cents: String): String =
+    s"""${p}sims AS (SELECT v.vec_id, c.cell,
+       |   list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), CAST(c.ce AS DOUBLE[])) AS sim
+       |   FROM $vecs v CROSS JOIN $cents c),
+       | ${p}best AS (SELECT vec_id, cell FROM (
+       |   SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+       |   FROM ${p}sims) z WHERE rn = 1),
+       | ${p}e AS (SELECT b.cell,
+       |   CAST(round(list_sum(list_transform(generate_series(1, len(v.embedding)), i ->
+       |     CAST(v.embedding[i] - c.ce[i] AS DOUBLE) * CAST(v.embedding[i] - c.ce[i] AS DOUBLE))), 9) AS DECIMAL(38,9)) AS e2
+       |   FROM ${p}best b JOIN $vecs v USING (vec_id) JOIN $cents c USING (cell)),
+       | ${p}agg AS (SELECT cell, count(*) AS n,
+       |   CAST(sum(e2) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS energy
+       |   FROM ${p}e GROUP BY cell)""".stripMargin
 
   /** Corpus-drift twin — shared by the batch and streaming
     * registrations (the stream maintains exactly the per-word
@@ -5210,6 +5284,63 @@ object SparkEntry {
         | r AS (SELECT q_id, c_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank FROM s)
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, round(sim, 4) AS sim_r
         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // the drift ratio recomputed relationally end to end: stride
+    // centroids, cosine-argmax assignment (cosine_topk's proven
+    // device) and decimal-summed residual energies for both the
+    // shifted batch and the corpus baseline — the PQ code books never
+    // touch this output, so nothing approximate remains
+    "ann_drift" ->
+      s"""WITH cents AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id % 10 = 0),
+         | batch AS (SELECT vec_id, list_transform(embedding, x -> CAST(x * -2.0 AS FLOAT)) AS embedding FROM embeddings),
+         | corpus AS (SELECT vec_id, embedding FROM embeddings),
+         | ${annEnergySql("b", "batch", "cents")},
+         | ${annEnergySql("c", "corpus", "cents")}
+         |SELECT b.cell, b.n AS n_batch, round(b.energy / c.energy, 4) AS drift_r,
+         | (b.n >= 4 AND b.energy / c.energy >= 1.5) AS rebuild
+         |FROM bagg b JOIN cagg c USING (cell) ORDER BY b.cell""".stripMargin,
+
+    // trigger AND rebuilt geometry recomputed relationally: old stride
+    // centroids → batch/baseline energies → EXISTS trip → new stride
+    // centroids over corpus ∪ batch → fresh per-cell baseline
+    "ann_rebuild" ->
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 3),
+         | ood AS (SELECT vec_id + 1000000 AS vec_id,
+         |   list_transform(embedding, x -> CAST(x + CAST(3.0 AS FLOAT) AS FLOAT)) AS embedding
+         |   FROM embeddings WHERE vec_id % 7 = 3),
+         | cents AS (SELECT vec_id AS cell, embedding AS ce FROM base WHERE vec_id % 10 = 0),
+         | ${annEnergySql("o", "ood", "cents")},
+         | ${annEnergySql("s", "base", "cents")},
+         | trip AS (SELECT count(*) > 0 AS tripped FROM oagg o JOIN sagg s USING (cell)
+         |          WHERE o.n >= 4 AND o.energy / s.energy >= 1.5),
+         | allv AS (SELECT * FROM base UNION ALL SELECT * FROM ood),
+         | cents2 AS (SELECT vec_id AS cell, embedding AS ce FROM allv WHERE vec_id % 10 = 0),
+         | ${annEnergySql("r", "allv", "cents2")}
+         |SELECT cell, n, round(energy, 4) AS energy_r, (SELECT tripped FROM trip) AS rebuilt
+         |FROM ragg ORDER BY cell""".stripMargin,
+
+    // the frozen-geometry cells relation is pure cosine argmax — any
+    // lost batch, double-commit replay, or drifted assignment unhashes
+    "streaming_ann_cells" ->
+      """WITH cents AS (SELECT vec_id AS cell, embedding AS ce
+        |               FROM embeddings WHERE vec_id % 10 = 0 AND vec_id % 7 <> 3),
+        | sims AS (SELECT e.vec_id, c.cell,
+        |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.ce AS DOUBLE[])) AS sim
+        |   FROM embeddings e CROSS JOIN cents c)
+        |SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        |  FROM sims) z
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // every planted store-clone with >= 3 tokens must be rejected by
+    // the LSH gate (identical text → identical signature → every band
+    // collides) — the rejected set is closed-form
+    "minhash_ingest_clone_rejects" ->
+      """WITH tk AS (SELECT doc_id,
+        |   list_filter(string_split_regex(text, '[ \t\n\f\r]+'), t -> length(t) > 0) AS tk
+        |   FROM documents)
+        |SELECT doc_id + 10000 AS doc_id FROM tk
+        |WHERE doc_id % 10 = 0 AND len(tk) >= 3 ORDER BY 1""".stripMargin,
 
     "unigram_logprob" ->
       s"""$WDoc,

@@ -536,11 +536,17 @@ object Similarity {
     val asCents = index.coarseCents.select(col("cell").as("cent_id"), col("cent_emb"))
     coarseAssign(vecs, asCents, 1)
       .join(broadcast(index.coarseCents), "cell")
+      // per-vector energy rounded(9) and DECIMAL-summed, mean as ONE
+      // final division — a raw avg() of doubles is partition-order-
+      // dependent, which both unhashes the drift twin and makes the
+      // rebuild trigger itself nondeterministic across shuffles
       .select(col("cell"),
-        vec_dot(zip_with(col("embedding"), col("cent_emb"), (a, b) => a - b),
-          zip_with(col("embedding"), col("cent_emb"), (a, b) => a - b)).as("e2"))
+        round(vec_dot(zip_with(col("embedding"), col("cent_emb"), (a, b) => a - b),
+          zip_with(col("embedding"), col("cent_emb"), (a, b) => a - b)), 9)
+          .cast(DecimalType(38, 9)).as("e2"))
       .groupBy(col("cell"))
-      .agg(count(lit(1)).as("n"), avg(col("e2")).as("mean_energy"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("e2")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("mean_energy"))
   }
 
   /** Drift measurement for the append path — the rebuild trigger that
