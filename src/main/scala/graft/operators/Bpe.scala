@@ -144,14 +144,17 @@ object Bpe {
   /** Frozen merge artifact for the oracle-checked queries, shipped as
     * a classpath RESOURCE exactly how production tokenizers ship
     * (GPT-2's merges.txt is a fixed file, not re-learned per job):
-    * learned ONCE to saturation from the sf0.01 documents corpus by
-    * [[graft.tools.LearnBpe]], which also records the corpus ALPHABET
-    * — the declared base-symbol set whose complement takes the
-    * `<0xHH>` byte fallback in [[applyMerges]]. (The synthetic corpus
-    * has a closed 31-word vocabulary, so "learn N hundred merges"
-    * saturates when every corpus word is a single token; novel words
-    * still tokenize at subword granularity, which the budget-realism
-    * spec asserts.) */
+    * learned ONCE by [[graft.tools.LearnBpe]] from the COMPOSITE
+    * testdata text corpus (documents ∪ part names/types ∪ customer +
+    * supplier names ∪ nation/region names ∪ event type+props), which
+    * also records the corpus ALPHABET — the declared base-symbol set
+    * whose complement takes the `<0xHH>` byte fallback in
+    * [[applyMerges]]. The composite makes the 2048-merge budget
+    * BINDING (the documents corpus alone is a closed 31-word
+    * vocabulary that saturates at 89 merges): the artifact carries
+    * real digit/structure subwords, so fertility and packing budgets
+    * behave like a production tokenizer's instead of a character
+    * count's. */
   private lazy val artifact: (Seq[String], Seq[(String, String)]) =
     loadArtifact("/graft/bpe_merges.txt")
 
