@@ -269,6 +269,34 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- M1: the reference surface (SURVEY.md §2 [REF] rows) ----
     "wordcount" -> ((s, d) => TextOps.wordCount(t(s, d).documents).orderBy("word")),
+    // Zipf's-law fit: OLS slope of ln(freq) on ln(rank) over the
+    // rank-frequency curve — the one-number corpus-health check
+    // (natural text ≈ −1; template spam and synthetic padding bend
+    // it). Rank comes from TotalOrder.globalRank — the vocabulary
+    // relation is unbounded at corpus scale, so no ORDER BY window —
+    // and every log term is rounded(12) and DECIMAL-summed with one
+    // fixed-association double finish (the trend_slopes discipline)
+    "zipf_fit" -> ((s, d) => {
+      import graft.operators.TotalOrder
+      val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+      val wc = TextOps.wordCount(t(s, d).documents)
+      val ranked = TotalOrder.globalRank(wc,
+        Seq(col("cnt").desc, col("word").asc), rankCol = "r")
+      val terms = ranked.select(
+        round(log(col("r").cast("double")), 12).cast(dec).as("x"),
+        round(log(col("cnt").cast("double")), 12).cast(dec).as("y"),
+        round(log(col("r").cast("double")) * log(col("cnt").cast("double")), 12).cast(dec).as("xy"),
+        round(log(col("r").cast("double")) * log(col("r").cast("double")), 12).cast(dec).as("xx"))
+      val m = terms.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("xy")).as("sxy"), sum(col("xx")).as("sxx"))
+      val slope = (col("n").cast("double") * col("sxy").cast("double")
+        - col("sx").cast("double") * col("sy").cast("double")) /
+        (col("n").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))
+      m.select(col("n").as("n_words"), round(slope, 6).as("slope"),
+        round((col("sy").cast("double") - slope * col("sx").cast("double"))
+          / col("n").cast("double"), 6).as("intercept"))
+    }),
     "wordcount_top100" -> ((s, d) => TextOps.wordCountTopK(t(s, d).documents, 100)),
     "wordcount_x8" -> ((s, d) => TextOps.wordCountX8(t(s, d).documents).orderBy("word")),
     "distinct_words" -> ((s, d) => TextOps.distinctWords(t(s, d).documents).orderBy("word")),
@@ -742,6 +770,27 @@ object SparkEntry {
     // no float accumulation, association-proof under segment trees)
     "change_points" -> ((s, d) =>
       Series.changePoints(t(s, d).events).orderBy("key")),
+    // equi-depth histogram of a ROW-SCALE fact column — the
+    // statistics-building primitive a CBO's column stats and a
+    // feature-binning step both need: 10 equal-population bins with
+    // exact bounds/mass. The bin assignment is TotalOrder.globalNtile
+    // (range-partitioned TeraSort rank + integer bucket arithmetic) —
+    // the plain ntile window the twin uses would be a single-task
+    // sort of the whole fact table at 100 TB
+    "equidepth_bins" -> ((s, d) => {
+      import graft.operators.TotalOrder
+      val li = t(s, d).lineitem.select(
+        col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("v"),
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+      TotalOrder.globalNtile(li,
+          Seq(col("v").asc, col("ok").asc, col("ln").asc), 10, "bin")
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("v")).cast("double").as("lo"),
+          max(col("v")).cast("double").as("hi"),
+          sum(col("v")).cast("double").as("mass"))
+        .orderBy("bin")
+    }),
     // robust center under unequal row mass: exact-decimal nearest-rank
     // on cumulative weight — a real data value, no interpolation
     "weighted_median" -> ((s, d) =>
@@ -883,6 +932,33 @@ object SparkEntry {
             .as("rrf"))
         .orderBy(desc("rrf"), asc("doc_id"))
         .limit(20)
+    }),
+    // before fusing two rankers, MEASURE their agreement: top-k set
+    // overlap (Jaccard) and Spearman's footrule Σ|r_a − r_b| on the
+    // intersection — all exact integers plus one rounded division.
+    // High overlap + low footrule means RRF adds nothing; disjoint
+    // lists mean one ranker is broken or they see different signals
+    "ranker_agreement" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d).documents
+      val ra = Retrieval.bm25TopK(docs, Bm25Terms, k = 20, maxDf = RetrievalMaxDf)
+        .withColumn("r_bm",
+          row_number().over(Window.orderBy(desc("score"), asc("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("r_bm"))
+      val rb = Retrieval.tfidfQueryTopK(docs, queryId = 0L, k = 20, dim = 64)
+        .withColumn("r_tf",
+          row_number().over(Window.orderBy(desc("cos"), asc("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("r_tf"))
+      val na = ra.agg(count(lit(1)).as("na"))
+      val nb = rb.agg(count(lit(1)).as("nb"))
+      ra.join(rb, "doc_id")
+        .agg(count(lit(1)).as("n_overlap"),
+          coalesce(sum(abs(col("r_bm") - col("r_tf"))), lit(0L)).as("footrule"))
+        .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+        .select(col("na"), col("nb"), col("n_overlap"),
+          round(col("n_overlap").cast("double")
+            / (col("na") + col("nb") - col("n_overlap")).cast("double"), 6).as("jaccard"),
+          col("footrule"))
     }),
     // the build-once/query-many retrieval lifecycle (the ANN side's
     // ivfPqWrite/Read posture): persist the four index relations,
@@ -1696,6 +1772,23 @@ object SparkEntry {
           lit(" ends! Is it done? yes")).as("text"))
       TextQuality.sentences(fx).orderBy("doc_id", "sent_idx")
     }),
+    // double-encoding screen BEFORE script routing: the UTF-8-read-
+    // as-Latin-1 tell sequences (Ã/Â + continuation, â€ punctuation)
+    // counted per doc — mojibake poisons tokenizers and lang ID
+    // silently. The corpus is pure ASCII, so carriers are stitched on
+    // deterministically (the card_scrub dirt device); clean docs MUST
+    // count zero, which the twin re-proves by running the same regex
+    // over the same stitched text
+    "mojibake_screen" -> ((s, d) => {
+      val dirty = t(s, d).documents.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            lit(" caf" + TextQuality.MojiAccent)).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit(" " + TextQuality.MojiQuote + "quoted")).otherwise(lit("")))
+          .as("text"))
+      TextQuality.mojibakeScreen(dirty).orderBy("doc_id")
+    }),
     // script routing before language ID: per-doc codepoint-range
     // census + dominant-script verdict; CJK/Cyrillic stitched on
     // deterministically (the corpus is pure ASCII)
@@ -2280,6 +2373,31 @@ object SparkEntry {
     // DECIMAL-summed), so the hash proves training AND inference
     "nb_quality_score" -> ((s, d) =>
       TextQuality.nbLogLikelihoodRatio(nbLabeled(s, d)).orderBy("doc_id")),
+    // the classifier you can't trust is worse than none: reliability
+    // diagram over the HELD-OUT split — sigmoid-calibrated llr binned
+    // into 10 probability bins, mean predicted p vs empirical positive
+    // rate per bin. exp() rounded(12) before the DECIMAL sum (the
+    // decayed_counts device); every rate is one division of exact ints
+    "nb_calibration" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+      val labeled = nbLabeled(s, d)
+      val scored = TextQuality.nbLogLikelihoodRatio(labeled)
+        .join(labeled.select(col("doc_id"), col("is_pos"), col("is_train")), "doc_id")
+        .where(!col("is_train"))
+      scored
+        .select(col("is_pos"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("llr"))), 12).as("p"))
+        .withColumn("bin", least(floor(col("p") * 10).cast("long"), lit(9L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_pos"), lit(1L)).otherwise(lit(0L))).as("n_pos"),
+          round(sum(col("p").cast(dec)).cast("double")
+            / count(lit(1)).cast("double"), 6).as("mean_p"))
+        .withColumn("emp_rate",
+          round(col("n_pos").cast("double") / col("n").cast("double"), 6))
+        .withColumn("gap", round(abs(col("mean_p") - col("emp_rate")), 6))
+        .orderBy("bin")
+    }),
     // the classifier ACTED ON: NB llr drives the per-language
     // histogram-two-pass quantile cut, beside perplexity_filter and
     // authority_filter on the same seam
@@ -5135,6 +5253,22 @@ object SparkEntry {
          |   + coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(r_tf AS DOUBLE)), 0.0), 9) AS rrf
          |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
+    // both ranker twins embedded verbatim (the rrf_fusion device), so
+    // agreement numbers can never drift from the rankings they measure
+    "ranker_agreement" ->
+      s"""WITH ra AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_bm
+         |            FROM ($bm25TwinSql) z1),
+         | rb AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS r_tf
+         |        FROM ($tfidfTopkTwin) z2),
+         | j AS (SELECT ra.doc_id, r_bm, r_tf FROM ra JOIN rb USING (doc_id)),
+         | m AS (SELECT (SELECT count(*) FROM ra) AS na, (SELECT count(*) FROM rb) AS nb,
+         |        count(*) AS n_overlap, coalesce(sum(abs(r_bm - r_tf)), 0) AS footrule FROM j)
+         |SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+         | CAST(n_overlap AS BIGINT) AS n_overlap,
+         | round(CAST(n_overlap AS DOUBLE) / CAST(na + nb - n_overlap AS DOUBLE), 6) AS jaccard,
+         | CAST(footrule AS BIGINT) AS footrule
+         |FROM m""".stripMargin,
+
     // same capped-shingle Jaccard pipeline as near_dup_jaccard, then
     // min-label transitive closure via a recursive CTE
     "dedup_clusters" ->
@@ -6280,6 +6414,25 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, llr, llr > 0 AS pred_pos
          |FROM nb ORDER BY doc_id""".stripMargin,
 
+    // held-out reliability bins off the same nb chain: identical
+    // sigmoid association, rounded(12) p DECIMAL-summed, rates as
+    // single divisions, gap from the two ROUNDED columns
+    "nb_calibration" ->
+      s"""$NbCtes,
+         | ev AS (SELECT nb.llr, d.is_pos FROM nb JOIN d USING (doc_id) WHERE NOT d.is_train),
+         | pp AS (SELECT is_pos, round(1.0 / (1.0 + exp(-llr)), 12) AS p FROM ev),
+         | b AS (SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin, is_pos,
+         |        CAST(p AS DECIMAL(28,12)) AS p FROM pp),
+         | g AS (SELECT bin, count(*) AS n,
+         |        CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |        round(CAST(sum(p) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_p
+         |        FROM b GROUP BY bin),
+         | g2 AS (SELECT bin, n, n_pos, mean_p,
+         |        round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS emp_rate FROM g)
+         |SELECT bin, n, n_pos, mean_p, emp_rate,
+         | round(abs(mean_p - emp_rate), 6) AS gap
+         |FROM g2 ORDER BY bin""".stripMargin,
+
     // NB llr through the same percent_rank cut as perplexity_filter
     "classifier_filter" ->
       s"""$NbCtes,
@@ -6778,6 +6931,42 @@ object SparkEntry {
         |FROM c ORDER BY prev_type, event_type""".stripMargin,
 
 
+    // identical rounded-log terms DECIMAL-summed; slope/intercept the
+    // same fixed-association double ops (the trend_slopes device);
+    // the twin's row_number window is the single-task sort globalRank
+    // replaces
+    "zipf_fit" ->
+      s"""$WDoc,
+         | wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+         | rk AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS r FROM wc),
+         | t AS (SELECT
+         |   CAST(round(ln(CAST(r AS DOUBLE)), 12) AS DECIMAL(28,12)) AS x,
+         |   CAST(round(ln(CAST(cnt AS DOUBLE)), 12) AS DECIMAL(28,12)) AS y,
+         |   CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(cnt AS DOUBLE)), 12) AS DECIMAL(28,12)) AS xy,
+         |   CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)), 12) AS DECIMAL(28,12)) AS xx
+         |   FROM rk),
+         | m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(xy) AS sxy, sum(xx) AS sxx FROM t),
+         | f AS (SELECT n, sx, sy,
+         |   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+         |   FROM m)
+         |SELECT CAST(n AS BIGINT) AS n_words, round(slope, 6) AS slope,
+         | round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+         |FROM f""".stripMargin,
+
+    // the twin's plain ntile window IS the single-task sort the Spark
+    // side's range-partitioned globalNtile avoids — same answer by
+    // the SQL-standard bucket arithmetic (TotalOrderSpec proves the
+    // equivalence for even and ragged bucket counts)
+    "equidepth_bins" ->
+      """WITH li AS (SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+        |            l_orderkey AS ok, l_linenumber AS ln FROM lineitem),
+        | b AS (SELECT v, ntile(10) OVER (ORDER BY v, ok, ln) AS bin FROM li)
+        |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n,
+        | CAST(min(v) AS DOUBLE) AS lo, CAST(max(v) AS DOUBLE) AS hi,
+        | CAST(sum(v) AS DOUBLE) AS mass
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
     // exact-decimal cumulative-weight pick; DECIMAL compares, one
     // presentation cast at the end
     "weighted_median" ->
@@ -6932,6 +7121,20 @@ object SparkEntry {
         |SELECT doc_id, CAST(i AS BIGINT) AS sent_idx, l[i] AS sentence,
         | CAST(len(list_filter(string_split_regex(l[i], '[ \t\n\f\r]+'), x -> length(x) > 0)) AS BIGINT) AS n_words
         |FROM u ORDER BY doc_id, sent_idx""".stripMargin,
+
+    // the same stitched dirt, the same regex — pattern and fixture
+    // constants rendered via chr() from the ONE Scala source of truth
+    "mojibake_screen" -> {
+      val pat = chrConcat(graft.operators.TextQuality.MojibakePattern)
+      s"""WITH d AS (SELECT doc_id,
+         |  text || (CASE WHEN doc_id % 5 = 0 THEN ' caf' || ${chrConcat(graft.operators.TextQuality.MojiAccent)} ELSE '' END)
+         |       || (CASE WHEN doc_id % 7 = 0 THEN ' ' || ${chrConcat(graft.operators.TextQuality.MojiQuote)} || 'quoted' ELSE '' END) AS tx
+         |  FROM documents)
+         |SELECT doc_id,
+         | CAST(len(regexp_extract_all(tx, $pat)) AS BIGINT) AS n_moji,
+         | len(regexp_extract_all(tx, $pat)) > 0 AS is_moji
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
 
     "script_profile" -> {
       def c(cls: String) = s"CAST(length(text) - length(regexp_replace(text, '$cls', '', 'g')) AS BIGINT)"

@@ -654,6 +654,32 @@ object TextQuality {
     * dominance is a fixed-order CASE over the three script counts
     * ('none' when all are zero), deterministic and mirrored. Narrow
     * zero-shuffle projection; 5 RE2-safe regex passes per row. */
+  /** Mojibake é as it appears after a UTF-8 byte pair is misread as
+    * Latin-1: U+00C3 U+00A9 ("Ã©"). */
+  val MojiAccent = "\u00c3\u00a9"
+
+  /** Mojibake left curly quote: UTF-8 E2 80 9C misread through
+    * cp1252 as U+00E2 U+20AC U+0153 ("â€œ"). */
+  val MojiQuote = "\u00e2\u20ac\u0153"
+
+  /** The telltale pattern family: a Latin-1 lead byte Ã/Â followed by
+    * a continuation-range codepoint, or the â€ curly-punctuation
+    * prefix — the classic signatures of UTF-8 decoded as
+    * Latin-1/cp1252 (the ftfy heuristic class, public). Plain
+    * alternation + character classes: inside the Java∩RE2 subset. */
+  val MojibakePattern = "[\u00c3\u00c2][\u0080-\u00bf]|\u00e2\u20ac"
+
+  /** Mojibake screen: count [[MojibakePattern]] hits per document and
+    * flag carriers — double-encoded text poisons tokenizers and
+    * language ID silently, and one regex scan catches it before any
+    * model runs. Detection only (repair needs a codec round-trip, a
+    * per-feed decision); narrow zero-shuffle projection. */
+  def mojibakeScreen(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      regexp_count(col(textCol), lit(MojibakePattern)).cast(LongType).as("n_moji"))
+      .withColumn("is_moji", col("n_moji") > 0)
+
   def scriptProfile(docs: DataFrame, textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame = {
     def cnt(cls: String): Column =

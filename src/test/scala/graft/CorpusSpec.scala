@@ -390,6 +390,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("mojibakeScreen: planted tells counted, clean ASCII and real accents score zero") {
+    import spark.implicits._
+    import graft.operators.TextQuality
+    val fx = Seq(
+      (1L, "plain ascii text with no damage at all"),
+      (2L, "caf" + TextQuality.MojiAccent + " au lait"),          // Ã© = 1 hit
+      (3L, TextQuality.MojiQuote + "hello" + TextQuality.MojiQuote), // two â€ hits
+      (4L, "résumé with REAL é accents"),          // true é: NOT mojibake
+      (5L, "caf" + TextQuality.MojiAccent + " and " + TextQuality.MojiQuote + "x"))
+      .toDF("doc_id", "text")
+    val got = TextQuality.mojibakeScreen(fx).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toList
+    assert(got === List((1L, 0L, false), (2L, 1L, true), (3L, 2L, true),
+      (4L, 0L, false), (5L, 2L, true)))
+  }
+
   test("scriptProfile: range census and dominant verdict by hand") {
     import spark.implicits._
     import graft.operators.TextQuality
