@@ -933,6 +933,35 @@ object SparkEntry {
         .orderBy(desc("rrf"), asc("doc_id"))
         .limit(20)
     }),
+    // ranking EVALUATION against an exact relevance set (docs whose
+    // cleaned vocabulary contains every query term): P@10, recall@20,
+    // MRR — the numbers that decide whether BM25 constants or the
+    // df cap need touching, all exact integers + single divisions
+    "retrieval_eval" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d).documents
+      val ranked = Retrieval.bm25TopK(docs, Bm25Terms, k = 20, maxDf = RetrievalMaxDf)
+        .withColumn("r",
+          row_number().over(Window.orderBy(desc("score"), asc("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("r"))
+      val rel = docs.select(col("doc_id"),
+          filter(transform(TextOps.tokens(col("text")), tk => TextOps.cleanWord(tk)),
+            w => length(w) > 0).as("ws"))
+        .where(Bm25Terms.map(term => array_contains(col("ws"), term)).reduce(_ && _))
+        .select(col("doc_id"))
+      val nRel = rel.agg(count(lit(1)).as("n_rel"))
+      ranked.join(rel, "doc_id")
+        .agg(count(lit(1)).as("rel_in_top20"),
+          coalesce(sum(when(col("r") <= 10, lit(1L)).otherwise(lit(0L))), lit(0L))
+            .as("rel_in_top10"),
+          min(col("r")).as("fr"))
+        .crossJoin(broadcast(nRel))
+        .select(col("n_rel"), col("rel_in_top10"), col("rel_in_top20"),
+          round(col("rel_in_top10").cast("double") / lit(10.0), 6).as("p_at_10"),
+          round(col("rel_in_top20").cast("double") / col("n_rel").cast("double"), 6)
+            .as("recall_at_20"),
+          round(lit(1.0) / col("fr").cast("double"), 6).as("mrr"))
+    }),
     // before fusing two rankers, MEASURE their agreement: top-k set
     // overlap (Jaccard) and Spearman's footrule Σ|r_a − r_b| on the
     // intersection — all exact integers plus one rounded division.
@@ -5252,6 +5281,28 @@ object SparkEntry {
          | round(coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(r_bm AS DOUBLE)), 0.0)
          |   + coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(r_tf AS DOUBLE)), 0.0), 9) AS rrf
          |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    // relevance = the conjunctive exact-match set off the shared WDoc
+    // tokenization; terms and count interpolated from the ONE Scala
+    // constant the Spark ranker queries use
+    "retrieval_eval" ->
+      s"""$WDoc,
+         | rk AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r
+         |        FROM ($bm25TwinSql) z1),
+         | rel AS (SELECT doc_id FROM w WHERE word IN (${Bm25Terms.map(x => s"'$x'").mkString(", ")})
+         |         GROUP BY doc_id HAVING count(DISTINCT word) = ${Bm25Terms.size}),
+         | n AS (SELECT count(*) AS n_rel FROM rel),
+         | h AS (SELECT r FROM rk JOIN rel USING (doc_id)),
+         | a AS (SELECT count(*) AS rel_in_top20,
+         |        coalesce(sum(CASE WHEN r <= 10 THEN 1 ELSE 0 END), 0) AS rel_in_top10,
+         |        min(r) AS fr FROM h)
+         |SELECT CAST(n.n_rel AS BIGINT) AS n_rel,
+         | CAST(a.rel_in_top10 AS BIGINT) AS rel_in_top10,
+         | CAST(a.rel_in_top20 AS BIGINT) AS rel_in_top20,
+         | round(CAST(a.rel_in_top10 AS DOUBLE) / 10.0, 6) AS p_at_10,
+         | round(CAST(a.rel_in_top20 AS DOUBLE) / CAST(n.n_rel AS DOUBLE), 6) AS recall_at_20,
+         | round(CAST(1.0 AS DOUBLE) / CAST(a.fr AS DOUBLE), 6) AS mrr
+         |FROM a CROSS JOIN n""".stripMargin,
 
     // both ranker twins embedded verbatim (the rrf_fusion device), so
     // agreement numbers can never drift from the rankings they measure
