@@ -280,7 +280,7 @@ object SparkEntry {
       import graft.operators.TotalOrder
       val dec = org.apache.spark.sql.types.DecimalType(28, 12)
       val wc = TextOps.wordCount(t(s, d).documents)
-      val ranked = TotalOrder.globalRank(wc,
+      val ranked = TotalOrder.globalRankAuto(wc,
         Seq(col("cnt").desc, col("word").asc), rankCol = "r")
       val terms = ranked.select(
         round(log(col("r").cast("double")), 12).cast(dec).as("x"),
@@ -634,13 +634,29 @@ object SparkEntry {
         max(unix_micros(col("ts"))).as("last_us"),
         count(lit(1)).as("freq"),
         graft.functions.dsum2(col("value")).as("mon"))
-      val base = per.crossJoin(broadcast(anchor))
-        .withColumn("rec_us", col("anchor_us") - col("last_us"))
-      val tiled = TotalOrder.globalNtile(
-        TotalOrder.globalNtile(
-          TotalOrder.globalNtile(base, Seq(col("rec_us"), col("user_id")), 4, "r"),
-          Seq(col("freq").desc, col("user_id")), 4, "f"),
-        Seq(col("mon").desc, col("user_id")), 4, "m")
+      // ONE adaptive decision for all three quartile passes: the user
+      // dimension is pinned and counted once — below the cutover the
+      // three plain ntile windows run on it (a few thousand rows sort
+      // in one task for free); above it, three range-partitioned
+      // globalNtile passes (value-identical, TotalOrderSpec-proven)
+      val (base, small) = TotalOrder.fitsOneTask(
+        per.crossJoin(broadcast(anchor))
+          .withColumn("rec_us", col("anchor_us") - col("last_us")))
+      val tiled =
+        if (small) {
+          import org.apache.spark.sql.expressions.Window
+          base
+            .withColumn("r", ntile(4).over(
+              Window.orderBy(col("rec_us"), col("user_id"))).cast("long"))
+            .withColumn("f", ntile(4).over(
+              Window.orderBy(col("freq").desc, col("user_id"))).cast("long"))
+            .withColumn("m", ntile(4).over(
+              Window.orderBy(col("mon").desc, col("user_id"))).cast("long"))
+        } else TotalOrder.globalNtile(
+          TotalOrder.globalNtile(
+            TotalOrder.globalNtile(base, Seq(col("rec_us"), col("user_id")), 4, "r"),
+            Seq(col("freq").desc, col("user_id")), 4, "f"),
+          Seq(col("mon").desc, col("user_id")), 4, "m")
       tiled
         .select(col("user_id"), col("freq"), round(col("mon"), 2).as("mon"),
           col("rec_us"), col("r"), col("f"), col("m"),
@@ -1415,7 +1431,7 @@ object SparkEntry {
       // (N_docs/50 rows), so an unpartitioned ORDER BY window here is
       // exactly the single-task sort the TotalOrder module exists to
       // avoid
-      graft.operators.TotalOrder.prefixSum(
+      graft.operators.TotalOrder.prefixSumAuto(
         tokensPerBucket.join(typesPerBucket, Seq("bucket"), "left")
           .select(col("bucket"), col("n_tok"), coalesce(col("n_new"), lit(0L)).as("n_new")),
         Seq(col("bucket")),
@@ -1438,7 +1454,7 @@ object SparkEntry {
       // the CDF prefix-sums run over the DISTINCT-value relation —
       // unbounded cardinality, so range-partitioned prefix-sum, not a
       // global ORDER BY window
-      graft.operators.TotalOrder.prefixSum(per, Seq(col("v")),
+      graft.operators.TotalOrder.prefixSumAuto(per, Seq(col("v")),
         Seq("a" -> "c1", "b" -> "c2"))
         .crossJoin(broadcast(tot))
         .select(col("n1"), col("n2"),

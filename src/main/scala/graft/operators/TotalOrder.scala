@@ -67,6 +67,26 @@ object TotalOrder {
       .drop("__pid", "__off")
   }
 
+  /** Rows at or below this take a plain single-task ORDER BY window:
+    * a few million rows of sort keys fit one task trivially, and the
+    * range machinery's FIXED cost — an exchange, a checkpoint, a
+    * broadcast, ~2s of scheduling — would dominate. Above it, the
+    * TeraSort path is mandatory: this constant is the explicit,
+    * tested statement of where "a global window is fine" stops being
+    * true. Both paths are value-identical (TotalOrderSpec proves
+    * window-equality), so the cutover can never move a hash. */
+  val WindowCutover = 4000000L
+
+  /** Pin `df` once (localCheckpoint) and report whether it fits the
+    * single-task window regime — the one count that makes rank/ntile/
+    * prefix-sum consumers adaptive. Callers reuse the returned
+    * (pinned) frame for either path so upstream work runs exactly
+    * once. */
+  def fitsOneTask(df: DataFrame, cutover: Long = WindowCutover): (DataFrame, Boolean) = {
+    val p = df.localCheckpoint()
+    (p, p.count() <= cutover)
+  }
+
   /** Exact `sum(c) OVER (ORDER BY sortCols ROWS UNBOUNDED PRECEDING)`
     * for each (input, output) pair in `sums`, at cluster scale: the
     * same two-level TeraSort decomposition as [[globalRank]] — range
@@ -117,5 +137,30 @@ object TotalOrder {
            |     ELSE (__n % $n) + (__rk - 1 - (__n % $n) * (__n div $n + 1)) div (__n div $n) + 1
            |END""".stripMargin).cast(LongType))
       .drop("__rk", "__n")
+  }
+
+  /** Adaptive [[globalRank]]: plain window below [[WindowCutover]],
+    * TeraSort path above. One checkpoint + one count either way. */
+  def globalRankAuto(df: DataFrame, sortCols: Seq[Column],
+                     rankCol: String = "global_rank", partitions: Int = 32,
+                     cutover: Long = WindowCutover): DataFrame = {
+    val (p, small) = fitsOneTask(df, cutover)
+    if (small)
+      p.withColumn(rankCol, row_number().over(Window.orderBy(sortCols: _*)).cast(LongType))
+    else globalRank(p, sortCols, rankCol, partitions)
+  }
+
+  /** Adaptive [[prefixSum]] (same cutover rule). */
+  def prefixSumAuto(df: DataFrame, sortCols: Seq[Column],
+                    sums: Seq[(String, String)], partitions: Int = 32,
+                    cutover: Long = WindowCutover): DataFrame = {
+    val (p, small) = fitsOneTask(df, cutover)
+    if (small) {
+      val w = Window.orderBy(sortCols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sums.foldLeft(p) { case (acc, (in, out)) =>
+        acc.withColumn(out, sum(col(in).cast(LongType)).over(w))
+      }
+    } else prefixSum(p, sortCols, sums, partitions)
   }
 }

@@ -75,6 +75,21 @@ class TotalOrderSpec extends AnyFunSuite {
     assert(got === Seq(1L, 2L, 3L))
   }
 
+  test("adaptive variants: window and TeraSort paths agree on both sides of the cutover") {
+    val keys = Seq(asc("a"), asc("b"))
+    // cutover far above the data → window path; far below → range path
+    val viaWindow = TotalOrder.globalRankAuto(df, keys, cutover = Long.MaxValue)
+    val viaRange = TotalOrder.globalRankAuto(df, keys, cutover = 1L)
+    val d1 = viaWindow.join(viaRange.withColumnRenamed("global_rank", "g2"), Seq("a", "b"))
+      .where(col("global_rank") =!= col("g2")).count()
+    assert(d1 === 0L)
+    val psW = TotalOrder.prefixSumAuto(df, keys, Seq("a" -> "ca"), cutover = Long.MaxValue)
+    val psR = TotalOrder.prefixSumAuto(df, keys, Seq("a" -> "ca"), cutover = 1L)
+    val d2 = psW.join(psR.withColumnRenamed("ca", "c2"), Seq("a", "b"))
+      .where(col("ca") =!= col("c2")).count()
+    assert(d2 === 0L)
+  }
+
   test("plan shape: the shuffle is a range exchange, not a single-partition sort") {
     val frag = TotalOrder.rangedByKey(df, Seq(asc("b")), 8)
     val plan = frag.queryExecution.executedPlan.toString
