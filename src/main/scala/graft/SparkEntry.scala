@@ -1992,7 +1992,7 @@ object SparkEntry {
         .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
       val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      val triSum = Graph.triangleCounts(e, "a", "b")
+      val triSum = Graph.triangleCounts(e, "a", "b", assumeCanonical = true)
         .agg(coalesce(sum(col("triangles")), lit(0L)).as("tri3"))
       val degStats = deg.agg(count(lit(1)).as("n_nodes"), max(col("deg")).as("max_deg"),
         sum(expr("(deg * (deg - 1)) div 2")).as("wedges"))

@@ -354,11 +354,17 @@ object Graph {
     * the canonical u<v<w three-way join instead, which is the same
     * set. */
   def triangleCounts(edges: DataFrame,
-                     srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
-    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .where(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-      .distinct().localCheckpoint(true)
+                     srcCol: String = "src", dstCol: String = "dst",
+                     assumeCanonical: Boolean = false): DataFrame = {
+    val raw = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    // callers that already hold the canonical (a < b, distinct,
+    // materialized) edge set skip a full re-canonicalization shuffle
+    val e =
+      if (assumeCanonical) raw
+      else raw
+        .where(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+        .distinct().localCheckpoint(true)
     val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     // orient by (deg, id): u → v iff (deg(u), u) < (deg(v), v)
@@ -394,13 +400,17 @@ object Graph {
     * degree < 2 report 0 (no wedge exists to close). */
   def clusteringCoefficients(edges: DataFrame,
                              srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    // canonicalize ONCE and share the materialized edge set with the
+    // triangle pass (assumeCanonical) — the edge build behind `edges`
+    // can itself be a join (the co-purchase graph), so running it
+    // twice doubles the query's dominant cost
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-      .distinct()
+      .distinct().localCheckpoint(true)
     val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    deg.join(triangleCounts(edges, srcCol, dstCol), Seq("node"), "left")
+    deg.join(triangleCounts(e, "a", "b", assumeCanonical = true), Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
       .withColumn("coeff",
