@@ -978,6 +978,49 @@ object SparkEntry {
             .as("recall_at_20"),
           round(lit(1.0) / col("fr").cast("double"), 6).as("mrr"))
     }),
+    // graded companion to retrieval_eval: relevance GRADE = how many
+    // of the query's terms the doc's cleaned vocabulary holds (1..3),
+    // gain = 2^grade − 1, nDCG@10 of the BM25 ranking against the
+    // ideal gain ordering. Discounts 1/log2(r+1) are precomputed ONCE
+    // in Scala, rounded(12), and interpolated into BOTH engines (the
+    // decayed_counts device), so no cross-engine log ever runs;
+    // gain·w terms are DECIMAL-summed, and the final nDCG is one
+    // division of two such sums
+    "ndcg_eval" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+      val docs = t(s, d).documents
+      val ranked = Retrieval.bm25TopK(docs, Bm25Terms, k = 20, maxDf = RetrievalMaxDf)
+        .withColumn("r",
+          row_number().over(Window.orderBy(desc("score"), asc("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("r"))
+      val graded = docs.select(col("doc_id"),
+          filter(transform(TextOps.tokens(col("text")), tk => TextOps.cleanWord(tk)),
+            w => length(w) > 0).as("ws"))
+        .select(col("doc_id"),
+          Bm25Terms.map(term => when(array_contains(col("ws"), term), lit(1L))
+            .otherwise(lit(0L))).reduce(_ + _).as("grade"))
+        .where(col("grade") > 0)
+        .select(col("doc_id"),
+          when(col("grade") === 1, lit(1L)).when(col("grade") === 2, lit(3L))
+            .otherwise(lit(7L)).as("gain"))
+        .localCheckpoint(true) // consumed by the DCG join AND the ideal top-10
+      val wts = broadcast(s.createDataFrame(NdcgDiscounts).toDF("r", "wgt"))
+      val dcg = ranked.where(col("r") <= 10).join(graded, "doc_id").join(wts, "r")
+        .agg(coalesce(sum(round(col("gain") * col("wgt"), 12).cast(dec)),
+            lit(0).cast(dec)).as("dcg_s"),
+          count(lit(1)).as("graded_in_top10"))
+      val ideal = graded.orderBy(desc("gain"), asc("doc_id")).limit(10)
+        .withColumn("r", row_number().over(Window.orderBy(desc("gain"), asc("doc_id"))).cast("long"))
+        .join(wts, "r")
+        .agg(sum(round(col("gain") * col("wgt"), 12).cast(dec)).as("idcg_s"))
+      val nG = graded.agg(count(lit(1)).as("n_graded"))
+      dcg.crossJoin(broadcast(ideal)).crossJoin(broadcast(nG))
+        .select(col("n_graded"), col("graded_in_top10"),
+          round(col("dcg_s").cast("double"), 6).as("dcg_at_10"),
+          round(col("idcg_s").cast("double"), 6).as("idcg_at_10"),
+          round(col("dcg_s").cast("double") / col("idcg_s").cast("double"), 6).as("ndcg_at_10"))
+    }),
     // before fusing two rankers, MEASURE their agreement: top-k set
     // overlap (Jaccard) and Spearman's footrule Σ|r_a − r_b| on the
     // intersection — all exact integers plus one rounded division.
@@ -2159,6 +2202,86 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("chunk_idx"), col("chunk"))
         .orderBy("doc_id", "chunk_idx")
     }),
+    // the WHOLE product in ONE hash: crawl containers in, training
+    // manifest out. Boilerplated pages are framed into WARC-shaped
+    // containers and parsed back (the crawl front door), blocks are
+    // extracted and cross-corpus paragraph-deduped, the Gopher word
+    // gate cuts junk, the mixture SOLVER derives the largest
+    // no-oversampling 50/30/20 en/de/zh rates over the SURVIVING
+    // profile and applies them by content hash, a fixed-k priority
+    // sample picks the budgeted corpus with unbiased weight
+    // estimators, curriculum phases/shards order it, and each doc is
+    // chunked, BPE-tokenized under the frozen merges, and packed
+    // under a 64-token budget — the output is the per-chunk training
+    // manifest (pack placement + curriculum slot + sampling weight).
+    // Every stage reuses an operator whose twin is already proven;
+    // the one hash proves the COMPOSITION (stage contracts line up,
+    // no stage re-orders or drops rows it shouldn't)
+    "warc_to_training_e2e" -> ((s, d) => {
+      val docs = t(s, d).documents
+      val id = col("doc_id")
+      val pages = Html.pageFromDocs(docs)
+        .select(col("doc_id"), regexp_replace(col("html"), "<div>\n",
+          java.util.regex.Matcher.quoteReplacement("<div>\n" + Html.BoilerFixturePara))
+          .as("html"))
+      val withMeta = pages.select(col("doc_id"),
+        concat(lit("https://"), Html.fixtureHost(id % Html.SiteSpace),
+          lit("/doc/"), id.cast("string")).as("url"),
+        (lit(1700000000L) + id).as("fetch_ts"), col("html"))
+      val recs = graft.sources.Warc.records(
+        graft.sources.Warc.containersFromDocs(withMeta, nContainers = 8))
+      // the fixture's fetch_ts stamp is invertible — recover doc_id
+      // without parsing the URL tail
+      val pagesBack = recs.select((col("fetch_ts") - 1700000000L).as("doc_id"), col("html"))
+      val deduped = Dedup.paragraphDedup(Html.extractBlocks(pagesBack))
+        .select(col("doc_id"), col("text"))
+        .localCheckpoint(true) // consumed by the gate AND the rejoin
+      val gated = TextQuality.gopherQualityGate(deduped)
+        .where(col("keep"))
+        .join(deduped, Seq("doc_id"))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("text"))
+      // mixture solve over the gated profile (not the raw corpus):
+      // rates reflect what survived quality, the order a real build
+      // runs the stages in
+      val targets = Seq(("en", 0.5), ("de", 0.3), ("zh", 0.2))
+      val prof = gated.groupBy("lang").agg(count(lit(1)).as("n_l"))
+      val joined = prof.join(broadcast(s.createDataFrame(targets).toDF("lang", "t")), "lang")
+      val sRow = joined.agg(min(col("n_l").cast("double") / col("t")).as("scale"))
+      val rates = joined.crossJoin(broadcast(sRow))
+        .select(col("lang"),
+          floor(lit(1000.0) * col("t") * col("scale") / col("n_l").cast("double"))
+            .cast("long").as("keep_permille"))
+      val mixed = gated.join(broadcast(rates), "lang")
+        .where(Corpus.hashPermille(col("text")) < col("keep_permille"))
+        .select(col("doc_id"), col("text"))
+        .localCheckpoint(true) // consumed by the sample AND the rejoin
+      val samp = Corpus.prioritySample(mixed, k = 100).localCheckpoint(true)
+      val shards = Corpus.curriculumShards(
+        samp.select(col("doc_id"), col("weight").as("score")), phases = 4, nShards = 4)
+      val chosen = mixed.join(samp.select("doc_id"), "doc_id")
+      val ch = Corpus.chunk(chosen.select(col("doc_id"), col("text")), size = 128)
+      val chunkWords = ch
+        .select(col("doc_id"), col("chunk_idx"), explode(TextOps.tokens(col("chunk"))).as("tok"))
+        .select(col("doc_id"), col("chunk_idx"), lower(col("tok")).as("word"))
+        .where(length(col("word")) > 0)
+      val perWord = chunkWords.select(col("word")).distinct()
+        .select(col("word"), size(Bpe.tokens(col("word"), Bpe.DefaultMerges,
+          Some(Bpe.DefaultAlphabet))).cast("long").as("n_toks"))
+      val cb = chunkWords.join(perWord, Seq("word"))
+        .groupBy(col("doc_id"), col("chunk_idx")).agg(sum(col("n_toks")).as("bpe_n"))
+      val withTok = ch.join(cb, Seq("doc_id", "chunk_idx"), "left")
+        .withColumn("n_tokens", coalesce(col("bpe_n"), lit(0L)))
+      val packed = Corpus.packChunks(withTok, tokensPerPack = 64L, nShards = 8)
+      packed
+        .join(broadcast(shards.select(col("doc_id"), col("phase"),
+          col("shard").as("curr_shard"), col("seq"))), "doc_id")
+        .join(broadcast(samp.select(col("doc_id"), col("w_est"))), "doc_id")
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"), col("shard"),
+          col("pack_id"), col("start_off"), col("phase"), col("curr_shard"),
+          col("seq"), col("w_est"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
     // C4's line-level rules as an operator: the fixture decorates each
     // doc's 12-word lines with closed-form dirt — every 5th line loses
     // its terminal punctuation, every 7th gains a brace, and four
@@ -2539,6 +2662,48 @@ object SparkEntry {
     // one-row dataset-card vocabulary profile off the wordcount
     // relation (TTR / hapax / top-share scrape-health tells)
     "vocab_stats" -> ((s, d) => TextOps.vocabStats(t(s, d).documents)),
+    // the DATASET CARD in one row — the release artifact a corpus
+    // ships with: sizes, language/source spread, top-language share,
+    // exact-dup pressure (sha256, never text, over the wire), the
+    // nearest-rank median doc length off the token-count HISTOGRAM
+    // (no corpus sort — the curriculumShards two-pass device), and
+    // the Gopher word-gate pass rate. All floor-ppm integer shares
+    // and one histogram-sized window — every input relation is an
+    // aggregate, so the card costs two corpus scans at any scale
+    "corpus_card" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d).documents
+      val tk = docs.select(col("doc_id"), col("lang"), col("source"),
+        size(filter(split(col("text"), TextOps.TokenSepRe), x => length(x) > 0))
+          .cast("long").as("n_toks"),
+        length(col("text")).cast("long").as("n_chars"),
+        sha2(col("text"), 256).as("h"))
+      val base = tk.agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("h")).as("n_distinct"))
+      val topl = tk.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("lang")).limit(1)
+        .select(col("lang").as("top_lang"), col("c").as("top_lang_docs"))
+      val hist = tk.groupBy(col("n_toks")).agg(count(lit(1)).as("cnt"))
+      val hh = hist.withColumn("cnt_below",
+        coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("n_toks")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val p50 = hh.crossJoin(broadcast(base.select(col("n_docs").as("nd"))))
+        .where(col("cnt_below") < ceil(col("nd") * lit(0.5)).cast("long") &&
+          col("cnt_below") + col("cnt") >= ceil(col("nd") * lit(0.5)).cast("long"))
+        .agg(min(col("n_toks")).as("p50_doc_tokens"))
+      val gate = TextQuality.gopherQualityGate(docs)
+        .agg(coalesce(sum(when(col("keep"), lit(1L)).otherwise(lit(0L))), lit(0L)).as("n_pass"))
+      base.crossJoin(broadcast(topl)).crossJoin(broadcast(p50)).crossJoin(broadcast(gate))
+        .select(col("n_docs"), col("n_langs"), col("n_sources"), col("top_lang"),
+          floor(col("top_lang_docs") * lit(1000000L) / col("n_docs")).as("top_lang_ppm"),
+          col("n_tokens"), col("n_chars"), col("p50_doc_tokens"),
+          floor((col("n_docs") - col("n_distinct")) * lit(1000000L) / col("n_docs")).as("dup_ppm"),
+          floor(col("n_pass") * lit(1000000L) / col("n_docs")).as("gopher_pass_ppm"))
+    }),
     "doc_chunks" -> ((s, d) =>
       Corpus.chunk(t(s, d).documents, size = 128)
         .select(col("doc_id"), col("chunk_idx"), col("chunk"), col("n_chunks"))
@@ -2568,6 +2733,34 @@ object SparkEntry {
       rates.join(kept, Seq("lang"), "left")
         .select(col("lang"), col("n_l"), col("keep_permille"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("lang")
+    }),
+    // mixture_solve's data-constrained dual (Muennighoff et al. 2023,
+    // public): given a TOKEN budget and target shares, how many
+    // EPOCHS must each stratum repeat to fill its allocation?
+    // target_l = floor(B·w_l) off the per-lang whitespace-token
+    // supply; epochs in permille (floor(1000·target/supply) — >1000
+    // means repetition), capped at the 4-epoch diminishing-returns
+    // knee with the over-budget shortfall reported. Exact integer
+    // arithmetic end to end — the planner a data-constrained
+    // training run starts from
+    "epoch_allocation" -> ((s, d) => {
+      val budget = 50000L
+      val targets = Seq(("en", 0.5), ("de", 0.3), ("zh", 0.2))
+      val supply = t(s, d).documents
+        .select(col("lang"),
+          size(filter(split(col("text"), TextOps.TokenSepRe), x => length(x) > 0))
+            .cast("long").as("n_toks"))
+        .groupBy(col("lang")).agg(sum(col("n_toks")).as("supply_tokens"))
+      supply.join(broadcast(s.createDataFrame(targets).toDF("lang", "w")), "lang")
+        .select(col("lang"), col("supply_tokens"),
+          floor(lit(budget.toDouble) * col("w")).cast("long").as("target_tokens"))
+        .withColumn("epochs_permille",
+          floor(col("target_tokens") * lit(1000L) / col("supply_tokens")))
+        .withColumn("capped", col("epochs_permille") > 4000L)
+        .withColumn("granted_tokens",
+          when(col("capped"), col("supply_tokens") * lit(4L)).otherwise(col("target_tokens")))
+        .withColumn("shortfall_tokens", col("target_tokens") - col("granted_tokens"))
         .orderBy("lang")
     }),
     "quality_filter" -> ((s, d) =>
@@ -3780,6 +3973,15 @@ object SparkEntry {
   // BIND at sf0.01 (df range 25..402 over 500 docs) so the stop-term
   // enforcement is exercised through the oracle gate, not just specs
   private[graft] val RetrievalMaxDf = 390
+
+  /** nDCG rank discounts 1/log2(r+1) for r = 1..10, rounded(12) ONCE
+    * in Scala and interpolated into BOTH engines — neither engine
+    * ever computes a log, so the only cross-engine arithmetic is an
+    * exact-input multiply + round (the decayed_counts device). */
+  private[graft] val NdcgDiscounts: Seq[(Long, Double)] = (1 to 10).map { r =>
+    val w = 1.0 / (math.log(r + 1.0) / math.log(2.0))
+    (r.toLong, BigDecimal(w).setScale(12, BigDecimal.RoundingMode.HALF_EVEN).toDouble)
+  }
 
   /** One argmax twin serves both CDC materializations: the hand-rolled
     * version-dir table (`streaming_latest_image`) and the LakeTable-
@@ -5320,6 +5522,38 @@ object SparkEntry {
          | round(CAST(1.0 AS DOUBLE) / CAST(a.fr AS DOUBLE), 6) AS mrr
          |FROM a CROSS JOIN n""".stripMargin,
 
+    // graded twin: same WDoc vocabulary, same BM25 twin ranking, and
+    // the SAME Scala-rounded discount constants in a VALUES table —
+    // gain·w rounded(12) DECIMAL-summed on both engines
+    "ndcg_eval" -> {
+      val wtVals = NdcgDiscounts.map { case (r, w) =>
+        val ws = if (w.toString.toLowerCase.contains("e")) w.toString else w.toString + "e0"
+        s"($r, $ws)"
+      }.mkString(", ")
+      s"""$WDoc,
+         | rk AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r
+         |        FROM ($bm25TwinSql) z1),
+         | graded AS (SELECT doc_id, count(DISTINCT word) AS grade FROM w
+         |            WHERE word IN (${Bm25Terms.map(x => s"'$x'").mkString(", ")})
+         |            GROUP BY doc_id),
+         | gg AS (SELECT doc_id, CASE WHEN grade = 1 THEN 1 WHEN grade = 2 THEN 3 ELSE 7 END AS gain FROM graded),
+         | wt(r, wgt) AS (VALUES $wtVals),
+         | dcg AS (SELECT coalesce(sum(CAST(round(gg.gain * wt.wgt, 12) AS DECIMAL(38,12))),
+         |                         CAST(0 AS DECIMAL(38,12))) AS dcg_s,
+         |         count(*) AS graded_in_top10
+         |        FROM rk JOIN gg USING (doc_id) JOIN wt ON wt.r = rk.r WHERE rk.r <= 10),
+         | ideal AS (SELECT gain, CAST(row_number() OVER (ORDER BY gain DESC, doc_id) AS BIGINT) AS ir FROM gg),
+         | idcg AS (SELECT sum(CAST(round(ideal.gain * wt.wgt, 12) AS DECIMAL(38,12))) AS idcg_s
+         |          FROM ideal JOIN wt ON wt.r = ideal.ir WHERE ideal.ir <= 10),
+         | n AS (SELECT count(*) AS n_graded FROM gg)
+         |SELECT CAST(n.n_graded AS BIGINT) AS n_graded,
+         | CAST(dcg.graded_in_top10 AS BIGINT) AS graded_in_top10,
+         | round(CAST(dcg.dcg_s AS DOUBLE), 6) AS dcg_at_10,
+         | round(CAST(idcg.idcg_s AS DOUBLE), 6) AS idcg_at_10,
+         | round(CAST(dcg.dcg_s AS DOUBLE) / CAST(idcg.idcg_s AS DOUBLE), 6) AS ndcg_at_10
+         |FROM dcg CROSS JOIN idcg CROSS JOIN n""".stripMargin
+    },
+
     // both ranker twins embedded verbatim (the rrf_fusion device), so
     // agreement numbers can never drift from the rankings they measure
     "ranker_agreement" ->
@@ -6189,6 +6423,96 @@ object SparkEntry {
          |SELECT doc_id, lang, chunk_idx,
          | substring(text, CAST(chunk_idx * 256 + 1 AS INT), 256) AS chunk
          |FROM u ORDER BY doc_id, chunk_idx""".stripMargin
+    },
+
+    // the full-build twin: every stage's proven CTE chain stitched
+    // end to end — paragraph relation + df cut (paragraph_dedup),
+    // Gopher features (crawl_curation_e2e), solver arithmetic
+    // (mixture_solve), k+1 priority pick (priority_sample), histogram
+    // percent-rank curriculum (curriculum_shards), and the recursive
+    // BPE applier + shard-cumsum packing (packed_bpe). The WARC
+    // framing round-trip is byte-lossless (warc_ingest's proof), so
+    // the twin starts from the same paragraph relation
+    "warc_to_training_e2e" -> {
+      val stops = TextQuality.Stopwords("en").map(w => s"'$w'").mkString(", ")
+      s"""${ParaRelCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         | dfr AS (SELECT para, count(DISTINCT doc_id) AS df FROM paras GROUP BY para),
+         | dd AS (SELECT p.doc_id,
+         |    coalesce(string_agg(p.para, ' ' ORDER BY p.pos) FILTER (WHERE df <= 1), '') AS text
+         |  FROM paras p JOIN dfr USING (para) GROUP BY p.doc_id),
+         | tk AS (SELECT doc_id, text,
+         |    list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS tk
+         |  FROM dd),
+         | f AS (SELECT doc_id, text,
+         |    CAST(len(tk) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk) AS mean_word_len,
+         |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(tk) AS alpha_frac,
+         |    CAST(len(list_filter(tk, x -> list_contains([$stops], lower(x)))) AS BIGINT) AS n_stop_hits
+         |  FROM tk),
+         | g AS (SELECT doc_id, text FROM f
+         |  WHERE n_words BETWEEN 50 AND 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |    AND alpha_frac >= 0.8 AND n_stop_hits >= 2),
+         | mj AS (SELECT g.doc_id, d2.lang, g.text FROM g JOIN documents d2 ON g.doc_id = d2.doc_id),
+         | prof AS (SELECT lang, count(*) AS n_l FROM mj GROUP BY 1),
+         | tt AS (SELECT * FROM (VALUES ('en', 0.5e0), ('de', 0.3e0), ('zh', 0.2e0)) AS t(lang, t)),
+         | pj AS (SELECT prof.lang, prof.n_l, tt.t FROM prof JOIN tt USING (lang)),
+         | sr AS (SELECT min(CAST(n_l AS DOUBLE) / t) AS scale FROM pj),
+         | rates AS (SELECT lang,
+         |   CAST(floor(1000.0e0 * t * (SELECT scale FROM sr) / CAST(n_l AS DOUBLE)) AS BIGINT) AS keep_permille
+         |  FROM pj),
+         | mixed AS (SELECT mj.doc_id, mj.text FROM mj JOIN rates r ON mj.lang = r.lang
+         |          WHERE $HashPermille < r.keep_permille),
+         | keyed AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS weight,
+         |    CAST(floor((((doc_id % 2147483648) * 2654435761) % 4294967296) * 1048576
+         |         / CAST(length(text) AS DOUBLE)) AS BIGINT) AS pkey
+         |   FROM mixed WHERE length(text) > 0),
+         | top AS (SELECT * FROM keyed ORDER BY pkey, doc_id LIMIT 101),
+         | ranked AS (SELECT top.*, row_number() OVER (ORDER BY pkey, doc_id) AS rn FROM top),
+         | stats AS (SELECT count(*) AS cnt, max(pkey) AS mx FROM top),
+         | samp AS (SELECT doc_id, weight,
+         |   round(greatest(CAST(weight AS DOUBLE),
+         |     CASE WHEN (SELECT cnt FROM stats) = 101
+         |          THEN 4503599627370496.0 / CAST((SELECT mx FROM stats) AS DOUBLE)
+         |          ELSE 0.0 END), 6) AS w_est
+         |  FROM ranked WHERE (SELECT cnt FROM stats) <= 100 OR rn <= 100),
+         | csc AS (SELECT doc_id, weight AS score FROM samp),
+         | ch1 AS (SELECT score, count(*) AS cnt FROM csc GROUP BY 1),
+         | cr AS (SELECT score,
+         |   coalesce(sum(cnt) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnt_below,
+         |   sum(cnt) OVER () AS n FROM ch1),
+         | cpr AS (SELECT score, CASE WHEN n = 1 THEN 0.0
+         |        ELSE CAST(cnt_below AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS pr FROM cr),
+         | cj AS (SELECT csc.doc_id,
+         |   CAST(least(3, floor(cpr.pr * 4)) AS BIGINT) AS phase,
+         |   CAST((((csc.doc_id % 2147483648) * 2654435761) % 4294967296) % 4 AS BIGINT) AS curr_shard,
+         |   (((csc.doc_id % 2147483648) * 2654435761) % 4294967296) AS ord
+         |  FROM csc JOIN cpr USING (score)),
+         | curr AS (SELECT doc_id, phase, curr_shard,
+         |   CAST(row_number() OVER (PARTITION BY phase, curr_shard ORDER BY ord, doc_id) AS BIGINT) AS seq
+         |  FROM cj),
+         | chosen AS (SELECT m.doc_id, m.text FROM mixed m JOIN samp USING (doc_id)),
+         | pc AS (SELECT doc_id, text, CAST(ceil(length(text) / 128.0) AS BIGINT) AS n_chunks FROM chosen),
+         | pu AS (SELECT doc_id, text, n_chunks, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM pc),
+         | pch AS (SELECT doc_id, chunk_idx, substring(text, CAST(chunk_idx * 128 + 1 AS INT), 128) AS chunk FROM pu),
+         | cw AS (SELECT doc_id, chunk_idx, lower(t.tok) AS word
+         |        FROM (SELECT doc_id, chunk_idx, unnest(string_split_regex(chunk, '[ \\t\\n\\f\\r]+')) AS tok FROM pch) t
+         |        WHERE length(t.tok) > 0),
+         | wc AS (SELECT word, count(*) AS cnt FROM cw GROUP BY 1),
+         |$BpeApplyCte,
+         | cb AS (SELECT cw.doc_id, cw.chunk_idx, CAST(sum(len(f2.toks)) AS BIGINT) AS bpe_n
+         |        FROM cw JOIN fin f2 USING (word) GROUP BY 1, 2),
+         | tok AS (SELECT pch.doc_id, pch.chunk_idx, pch.doc_id % 8 AS shard,
+         |        coalesce(cb.bpe_n, 0) AS n_tokens
+         |        FROM pch LEFT JOIN cb USING (doc_id, chunk_idx)),
+         | off AS (SELECT doc_id, chunk_idx, shard, n_tokens,
+         |   CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+         |   FROM tok)
+         |SELECT o.doc_id, o.chunk_idx, o.n_tokens, o.shard,
+         | CAST(floor(o.start_off / 64) AS BIGINT) AS pack_id, o.start_off,
+         | curr.phase, curr.curr_shard, curr.seq, samp.w_est
+         |FROM off o JOIN curr USING (doc_id) JOIN samp USING (doc_id)
+         |ORDER BY o.doc_id, o.chunk_idx""".stripMargin
     },
 
     // the same decorated lines built by the fixture's arithmetic, then
@@ -7295,6 +7619,59 @@ object SparkEntry {
          | round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6) AS hapax_frac,
          | round(CAST(max_freq AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS top_share
          |FROM a""".stripMargin,
+
+    // one-row card: every sub-relation rebuilt as its own aggregate
+    // CTE off the same token split; ppm shares floored the same way
+    "corpus_card" -> {
+      val stops = TextQuality.Stopwords("en").map(w => s"'$w'").mkString(", ")
+      s"""WITH tk AS (SELECT doc_id, lang, source, text,
+         |    CAST(len(list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0)) AS BIGINT) AS n_toks,
+         |    CAST(length(text) AS BIGINT) AS n_chars FROM documents),
+         | base AS (SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+         |    count(DISTINCT source) AS n_sources,
+         |    CAST(sum(n_toks) AS BIGINT) AS n_tokens, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |    count(DISTINCT sha256(text)) AS n_distinct FROM tk),
+         | topl AS (SELECT lang AS top_lang, count(*) AS top_lang_docs FROM tk
+         |          GROUP BY lang ORDER BY count(*) DESC, lang LIMIT 1),
+         | h AS (SELECT n_toks, count(*) AS cnt FROM tk GROUP BY 1),
+         | hh AS (SELECT n_toks, cnt,
+         |    coalesce(sum(cnt) OVER (ORDER BY n_toks ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnt_below FROM h),
+         | p50 AS (SELECT min(n_toks) AS p50_doc_tokens FROM hh CROSS JOIN base
+         |         WHERE cnt_below < CAST(ceil(n_docs * 0.5e0) AS BIGINT)
+         |           AND cnt_below + cnt >= CAST(ceil(n_docs * 0.5e0) AS BIGINT)),
+         | gf AS (SELECT CAST(len(tkl) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(tkl, x -> length(x))) AS DOUBLE) / len(tkl) AS mean_word_len,
+         |    CAST(len(list_filter(tkl, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(tkl) AS alpha_frac,
+         |    CAST(len(list_filter(tkl, x -> list_contains([$stops], lower(x)))) AS BIGINT) AS n_stop_hits
+         |   FROM (SELECT list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS tkl FROM documents) z),
+         | gate AS (SELECT count(*) FILTER (WHERE n_words BETWEEN 50 AND 100000 AND mean_word_len >= 3.0
+         |           AND mean_word_len <= 10.0 AND alpha_frac >= 0.8 AND n_stop_hits >= 2) AS n_pass FROM gf)
+         |SELECT base.n_docs, CAST(base.n_langs AS BIGINT) AS n_langs,
+         | CAST(base.n_sources AS BIGINT) AS n_sources, topl.top_lang,
+         | CAST(floor(topl.top_lang_docs * 1000000 / base.n_docs) AS BIGINT) AS top_lang_ppm,
+         | base.n_tokens, base.n_chars, p50.p50_doc_tokens,
+         | CAST(floor((base.n_docs - base.n_distinct) * 1000000 / base.n_docs) AS BIGINT) AS dup_ppm,
+         | CAST(floor(gate.n_pass * 1000000 / base.n_docs) AS BIGINT) AS gopher_pass_ppm
+         |FROM base CROSS JOIN topl CROSS JOIN p50 CROSS JOIN gate""".stripMargin
+    },
+
+    // integer epoch planner: e0-suffixed double weights only in the
+    // one floor(B·w) product, everything after is BIGINT arithmetic
+    "epoch_allocation" ->
+      """WITH sup AS (SELECT lang,
+        |    CAST(sum(len(list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> length(x) > 0))) AS BIGINT) AS supply_tokens
+        |   FROM documents GROUP BY 1),
+        | tt AS (SELECT * FROM (VALUES ('en', 0.5e0), ('de', 0.3e0), ('zh', 0.2e0)) AS t(lang, w)),
+        | a AS (SELECT sup.lang, sup.supply_tokens,
+        |    CAST(floor(50000.0e0 * tt.w) AS BIGINT) AS target_tokens
+        |   FROM sup JOIN tt USING (lang)),
+        | b AS (SELECT lang, supply_tokens, target_tokens,
+        |    CAST(floor(target_tokens * 1000 / supply_tokens) AS BIGINT) AS epochs_permille FROM a)
+        |SELECT lang, supply_tokens, target_tokens, epochs_permille,
+        | epochs_permille > 4000 AS capped,
+        | CASE WHEN epochs_permille > 4000 THEN supply_tokens * 4 ELSE target_tokens END AS granted_tokens,
+        | target_tokens - (CASE WHEN epochs_permille > 4000 THEN supply_tokens * 4 ELSE target_tokens END) AS shortfall_tokens
+        |FROM b ORDER BY lang""".stripMargin,
 
     // solver mirrored with e0-suffixed double targets; the same
     // content-hash application as sample_by_hash

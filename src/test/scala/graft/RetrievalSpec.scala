@@ -287,6 +287,18 @@ class RetrievalSpec extends AnyFunSuite {
     assert(again.toSeq === mmr.toSeq)
   }
 
+  test("NdcgDiscounts: rank 1 undiscounted, strictly decreasing, 12-dp stable") {
+    val w = SparkEntry.NdcgDiscounts
+    assert(w.map(_._1) === (1L to 10L))
+    assert(w.head._2 === 1.0) // 1/log2(2)
+    assert(w.map(_._2).sliding(2).forall { case Seq(a, b) => a > b })
+    // the interpolated constants ARE their own 12-dp rounding — the
+    // twin's VALUES literals round-trip to the same doubles
+    w.foreach { case (_, v) =>
+      assert(BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_EVEN).toDouble === v)
+    }
+  }
+
   test("duplicatedSpans: stride grid is exhaustive at stride 1") {
     val a = "x" * 10 + "SHAREDSHAREDSHAREDSHAREDSHAREDXX" + "y" * 10
     val b = "z" * 3 + "SHAREDSHAREDSHAREDSHAREDSHAREDXX" + "w" * 20
