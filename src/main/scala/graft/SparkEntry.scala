@@ -1713,6 +1713,40 @@ object SparkEntry {
     "bpe_doc_tokens" -> ((s, d) =>
       Bpe.docTokenCounts(t(s, d).documents, Bpe.DefaultMerges,
         alphabet = Some(Bpe.DefaultAlphabet)).orderBy("doc_id")),
+    // the artifact's SHAPE, not just its counts: corpus-weighted
+    // subword-length histogram (occurrences weighted by word
+    // frequency, types over distinct token strings) over the SAME
+    // composite corpus the artifact was learned from (tools.LearnBpe
+    // — documents alone is a closed 31-word vocab where every word
+    // saturates to one token and the histogram is just word lengths).
+    // A healthy learned vocabulary puts mass at 2-6 chars; a
+    // histogram stuck at 1 means the merges never fire — the
+    // one-glance realism check on a relearned artifact. Applier still
+    // runs on DISTINCT words only; the output is token-length-sized
+    "bpe_token_lengths" -> ((s, d) => {
+      val tb = t(s, d)
+      val corpus = tb.documents.select(col("text"))
+        .unionByName(tb.part.select(
+          concat_ws(" ", col("p_name"), col("p_type"), col("p_brand")).as("text")))
+        .unionByName(tb.customer.select(col("c_name").as("text")))
+        .unionByName(tb.supplier.select(col("s_name").as("text")))
+        .unionByName(tb.nation.select(col("n_name").as("text")))
+        .unionByName(tb.region.select(col("r_name").as("text")))
+        .unionByName(tb.events.select(
+          concat_ws(" ", col("event_type"), col("props")).as("text")))
+      val words = corpus
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .where(length(col("tok")) > 0)
+        .select(lower(col("tok")).as("word"))
+      val wc = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      wc.select(col("cnt"),
+          explode(Bpe.tokens(col("word"), Bpe.DefaultMerges,
+            Some(Bpe.DefaultAlphabet))).as("tok"))
+        .groupBy(length(col("tok")).cast("long").as("tok_len"))
+        .agg(sum(col("cnt")).as("n_occurrences"),
+          count_distinct(col("tok")).as("n_types"))
+        .orderBy("tok_len")
+    }),
     // tokenizer-fertility report: BPE-per-whitespace-token ratio per
     // language — the budget-realism number packing reads; the applier
     // still runs on DISTINCT words only
@@ -2111,6 +2145,26 @@ object SparkEntry {
         (lit(1700000000L) + id).as("fetch_ts"), col("html"))
       val recs = graft.sources.Warc.records(
         graft.sources.Warc.containersFromDocs(withMeta, nContainers = 8))
+      Html.extractMain(recs.drop("truncated"), idCol = "url")
+        .select(col("doc_id").as("url"), col("fetch_ts"),
+          col("n_blocks"), col("n_kept"), col("main_text"))
+        .orderBy("url")
+    }),
+    // the SAME front door over record-gzipped containers (the real
+    // crawl-archive layout: each record independently deflated with
+    // Content-Encoding: gzip in its header and Content-Length
+    // counting the COMPRESSED payload, so containers stay splittable
+    // at record bounds) — the parser inflates per record and the
+    // chain must reproduce warc_ingest exactly; one twin serves both
+    "warc_gzip_ingest" -> ((s, d) => {
+      val docs = t(s, d).documents
+      val id = col("doc_id")
+      val withMeta = Html.pageFromDocs(docs).select(col("doc_id"),
+        concat(lit("https://"), Html.fixtureHost(id % Html.SiteSpace),
+          lit("/doc/"), id.cast("string")).as("url"),
+        (lit(1700000000L) + id).as("fetch_ts"), col("html"))
+      val recs = graft.sources.Warc.records(
+        graft.sources.Warc.containersFromDocs(withMeta, nContainers = 8, gzip = true))
       Html.extractMain(recs.drop("truncated"), idCol = "url")
         .select(col("doc_id").as("url"), col("fetch_ts"),
           col("n_blocks"), col("n_kept"), col("main_text"))
@@ -3476,6 +3530,22 @@ object SparkEntry {
           org.apache.spark.sql.streaming.OutputMode.Append())
         .orderBy("doc_id")
     }),
+    // the corpus SAMPLER streamed: per micro-batch only the
+    // batch-local top-(k+1) priority frontier lands (k-bounded state
+    // — the frontier is associative, so batch frontiers compose
+    // losslessly); the exact DLT finish runs on the drained union and
+    // must equal the one-shot batch sample, which IS the oracle
+    "streaming_priority_sample" -> ((s, d) => {
+      val src = stageDocStream(s, d, nFiles = 4)
+      val ss = streamSession(s)
+      val stream = ss.readStream
+        .schema("doc_id LONG, lang STRING, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+      val out = java.nio.file.Files.createTempDirectory("graft-psample").toString
+      graft.streaming.IngestPipeline.runPrioritySampleIngest(ss, stream, out, k = 200)
+        .orderBy("doc_id")
+    }),
     "streaming_pipeline_ingest" -> ((s, d) => {
       val src = stageDocStream(s, d, nFiles = 4)
       val ss = streamSession(s)
@@ -3853,6 +3923,26 @@ object SparkEntry {
        |)""".stripMargin
 
   /** Per-document variant of [[W]] for the retrieval family. */
+  /** Shared by the batch and streaming priority samplers — the
+    * drained stream must answer exactly what one batch pass answers. */
+  private lazy val prioritySampleTwinSql: String =
+    """WITH keyed AS (
+      |  SELECT doc_id, CAST(length(text) AS BIGINT) AS weight,
+      |    CAST(floor((((doc_id % 2147483648) * 2654435761) % 4294967296) * 1048576
+      |         / CAST(length(text) AS DOUBLE)) AS BIGINT) AS pkey
+      |  FROM documents WHERE length(text) > 0),
+      | top AS (SELECT * FROM keyed ORDER BY pkey, doc_id LIMIT 201),
+      | ranked AS (SELECT top.*, row_number() OVER (ORDER BY pkey, doc_id) AS rn FROM top),
+      | stats AS (SELECT count(*) AS cnt, max(pkey) AS mx FROM top)
+      |SELECT doc_id, weight,
+      | round(greatest(CAST(weight AS DOUBLE),
+      |   CASE WHEN (SELECT cnt FROM stats) = 201
+      |        THEN 4503599627370496.0 / CAST((SELECT mx FROM stats) AS DOUBLE)
+      |        ELSE 0.0 END), 6) AS w_est
+      |FROM ranked
+      |WHERE (SELECT cnt FROM stats) <= 200 OR rn <= 200
+      |ORDER BY doc_id""".stripMargin
+
   private val WDoc =
     s"""WITH w0 AS (
        |  SELECT doc_id, lower(regexp_replace(t.tok, '$P', '', 'g')) AS word
@@ -6148,6 +6238,29 @@ object SparkEntry {
          | round(CAST(sum(p.bpe_tokens) AS DOUBLE) / CAST(sum(p.ws_tokens) AS DOUBLE), 6) AS fertility
          |FROM per p JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // same recursive applier, histogram over the unnested terminal
+    // tokens of the LearnBpe composite corpus — occurrences via the
+    // word-frequency join, types via count(DISTINCT token string)
+    "bpe_token_lengths" ->
+      s"""WITH RECURSIVE
+         | corpus AS (SELECT text FROM documents
+         |   UNION ALL SELECT p_name || ' ' || p_type || ' ' || p_brand FROM part
+         |   UNION ALL SELECT c_name FROM customer
+         |   UNION ALL SELECT s_name FROM supplier
+         |   UNION ALL SELECT n_name FROM nation
+         |   UNION ALL SELECT r_name FROM region
+         |   UNION ALL SELECT event_type || ' ' || props FROM events),
+         | dw AS (SELECT lower(t.tok) AS word
+         |        FROM (SELECT unnest(string_split_regex(text, '[ \\t\\n\\f\\r]+')) AS tok FROM corpus) t
+         |        WHERE length(t.tok) > 0),
+         | wc AS (SELECT word, count(*) AS cnt FROM dw GROUP BY 1),
+         |$BpeApplyCte,
+         | tl AS (SELECT wc.cnt, unnest(f.toks) AS tok FROM wc JOIN fin f USING (word))
+         |SELECT CAST(length(tok) AS BIGINT) AS tok_len,
+         | CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+         | CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+         |FROM tl GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // the embedding[i]/generate_series device; per-component rounded
     // decimal sums mirror the Spark side exactly
     "label_centroids" ->
@@ -6328,6 +6441,9 @@ object SparkEntry {
     // the streaming front door answers exactly what the batch one
     // does — one twin serves both (the bm25 trio device)
     "streaming_warc_ingest" -> warcIngestTwinSql,
+    // record-gzipped containers inflate back to the identical record
+    // stream — the same twin is the decompression proof
+    "warc_gzip_ingest" -> warcIngestTwinSql,
 
     // expected normalized URLs built closed-form from doc_id
     // arithmetic — the three raw forms' resolution/canonicalization is
@@ -7692,23 +7808,10 @@ object SparkEntry {
     // (ascending == priority w/u descending), threshold from the
     // 201st key, estimate max(w, tau) — identical Knuth-hash u and
     // exact-integer arithmetic on both engines
-    "priority_sample" ->
-      """WITH keyed AS (
-        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS weight,
-        |    CAST(floor((((doc_id % 2147483648) * 2654435761) % 4294967296) * 1048576
-        |         / CAST(length(text) AS DOUBLE)) AS BIGINT) AS pkey
-        |  FROM documents WHERE length(text) > 0),
-        | top AS (SELECT * FROM keyed ORDER BY pkey, doc_id LIMIT 201),
-        | ranked AS (SELECT top.*, row_number() OVER (ORDER BY pkey, doc_id) AS rn FROM top),
-        | stats AS (SELECT count(*) AS cnt, max(pkey) AS mx FROM top)
-        |SELECT doc_id, weight,
-        | round(greatest(CAST(weight AS DOUBLE),
-        |   CASE WHEN (SELECT cnt FROM stats) = 201
-        |        THEN 4503599627370496.0 / CAST((SELECT mx FROM stats) AS DOUBLE)
-        |        ELSE 0.0 END), 6) AS w_est
-        |FROM ranked
-        |WHERE (SELECT cnt FROM stats) <= 200 OR rn <= 200
-        |ORDER BY doc_id""".stripMargin,
+    "priority_sample" -> prioritySampleTwinSql,
+    // the drained stream's union of batch-local top-201 frontiers
+    // finishes to the identical sample — one twin serves both
+    "streaming_priority_sample" -> prioritySampleTwinSql,
 
     // the ingest cycle as one CTE chain: store anti-join → temperature
     // rates over survivors → chunk explode

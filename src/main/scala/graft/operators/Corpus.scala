@@ -116,10 +116,30 @@ object Corpus {
                      weightCol: Column = length(col("text")),
                      idCol: String = "doc_id"): DataFrame = {
     require(k > 0, "prioritySample needs k > 0")
+    priorityFinish(priorityKeyed(docs, weightCol, idCol), k, idCol)
+  }
+
+  /** The keying half of [[prioritySample]]: (idCol, weight, __key)
+    * with the exact-integer priority key. Split out so a STREAMING
+    * sampler can key each micro-batch and keep only its local
+    * top-(k+1) — the candidate frontier is associative (the global
+    * top-(k+1) is contained in any union of per-slice top-(k+1)s),
+    * so batch-local frontiers compose losslessly. */
+  def priorityKeyed(docs: DataFrame,
+                    weightCol: Column = length(col("text")),
+                    idCol: String = "doc_id"): DataFrame = {
     val h = pmod(pmod(col(idCol), lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
-    val keyed = docs.select(col(idCol), weightCol.cast(LongType).as("weight"))
+    docs.select(col(idCol), weightCol.cast(LongType).as("weight"))
       .where(col("weight") > 0)
       .withColumn("__key", floor(h * lit(1048576L) / col("weight").cast(DoubleType)).cast(LongType))
+  }
+
+  /** The finish half of [[prioritySample]] over an ALREADY-keyed
+    * relation (any superset of the global top-(k+1) candidate
+    * frontier gives the identical answer). */
+  def priorityFinish(keyed: DataFrame, k: Int,
+                     idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "priorityFinish needs k > 0")
     // TakeOrderedAndProject: bounded per-partition heaps, k+1 rows out
     // materialize the k+1 survivors once — ranked and stats both read
     // them, and neither should re-run the corpus-wide top-k pick

@@ -137,15 +137,25 @@ object Warc {
         parsed match {
           case None => pos = n // malformed header: stop, keep prior records
           case Some((url, ts, len)) =>
+            // record-level compression (the real crawl-archive layout:
+            // each record independently gzipped so containers stay
+            // splittable at record bounds); a payload cut mid-stream
+            // cannot inflate — best effort is the empty string, still
+            // flagged truncated
+            val gz = kv.get("Content-Encoding").contains("gzip")
+            def payloadStr(off: Int, l: Int): String =
+              if (!gz) new String(bytes, off, l, StandardCharsets.UTF_8)
+              else try new String(
+                gunzipBytes(java.util.Arrays.copyOfRange(bytes, off, off + l)),
+                StandardCharsets.UTF_8)
+              catch { case _: java.io.IOException | _: java.lang.ArrayIndexOutOfBoundsException => "" }
             val start = hEnd + 4
             val avail = n - start
             if (avail < len) { // truncated payload: emit what exists, flagged
-              out += Rec(url, ts,
-                new String(bytes, start, math.max(avail, 0), StandardCharsets.UTF_8), truncated = true)
+              out += Rec(url, ts, payloadStr(start, math.max(avail, 0)), truncated = true)
               pos = n
             } else {
-              out += Rec(url, ts,
-                new String(bytes, start, len, StandardCharsets.UTF_8), truncated = false)
+              out += Rec(url, ts, payloadStr(start, len), truncated = false)
               val after = start + len
               // record terminator must follow; anything else is
               // malformed framing and ends the parse

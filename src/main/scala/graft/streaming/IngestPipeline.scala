@@ -195,6 +195,34 @@ object IngestPipeline {
       .select(col("doc_id"), col("n_paras"), col("n_kept"), col("text"))
   }
 
+  /** Streaming fixed-k priority sampling (Duffield-Lund-Thorup over a
+    * document stream): the sampler's candidate frontier is ASSOCIATIVE
+    * — the global top-(k+1) by priority key is contained in the union
+    * of per-slice top-(k+1)s — so each micro-batch keys its documents
+    * ([[Corpus.priorityKeyed]]) and lands ONLY its own k+1 candidate
+    * rows, batch-keyed and replay-idempotent (a re-delivered batch
+    * overwrites its own directory). The exact finish (rank, threshold
+    * τ, w_est) runs once on the drained union — ≤ (k+1)·nBatches rows
+    * regardless of stream length, so per-batch state and the finish
+    * relation are both k-bounded. Drained output is IDENTICAL to the
+    * one-shot batch [[Corpus.prioritySample]], which is the oracle. */
+  def runPrioritySampleIngest(spark: SparkSession, docStream: DataFrame,
+                              outDir: String, k: Int): DataFrame = {
+    require(k > 0, "runPrioritySampleIngest needs k > 0")
+    val q = docStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Corpus.priorityKeyed(batch.toDF())
+          .orderBy(col("__key"), col("doc_id")).limit(k + 1)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.operators.Corpus.priorityFinish(
+      spark.read.parquet(outDir).select(col("doc_id"), col("weight"), col("__key")), k)
+  }
+
   /** Fold finalized batch commits into the seed — the store's
     * compaction. Without it the digest store is seed + one directory
     * per micro-batch forever, and every batch's scan unions an

@@ -390,6 +390,36 @@ class CorpusSpec extends AnyFunSuite {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("priorityKeyed/priorityFinish: batch-local frontiers compose to the one-shot sample") {
+    import spark.implicits._
+    val n = 300
+    val fixture = (1L to n.toLong).map(i => (i, "x" * (10 + ((i * 37) % 200)).toInt))
+      .toDF("doc_id", "text")
+    val k = 50
+    val oneShot = Corpus.prioritySample(fixture, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    // the streaming posture: 4 arbitrary slices, each reduced to its
+    // LOCAL top-(k+1) frontier, union finished once — must be the
+    // identical sample (the associativity runPrioritySampleIngest
+    // stands on)
+    val frontiers = (0 until 4).map { b =>
+      Corpus.priorityKeyed(fixture.where(col("doc_id") % 4 === b))
+        .orderBy(col("__key"), col("doc_id")).limit(k + 1)
+    }.reduce(_ unionAll _)
+    val streamed = Corpus.priorityFinish(frontiers, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(streamed.toSeq === oneShot.toSeq)
+    // a frontier union MISSING one slice must differ (the test can
+    // tell a real composition from a vacuous one)
+    val partial = (0 until 3).map { b =>
+      Corpus.priorityKeyed(fixture.where(col("doc_id") % 4 === b))
+        .orderBy(col("__key"), col("doc_id")).limit(k + 1)
+    }.reduce(_ unionAll _)
+    val broken = Corpus.priorityFinish(partial, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(broken.toSeq !== oneShot.toSeq)
+  }
+
   test("mojibakeScreen: planted tells counted, clean ASCII and real accents score zero") {
     import spark.implicits._
     import graft.operators.TextQuality

@@ -70,6 +70,34 @@ class WarcSpec extends AnyFunSuite {
       .map(_.url) === Seq("https://x/ok"))
   }
 
+  test("record-gzipped containers inflate to the identical record stream") {
+    val containers = Warc.containersFromDocs(
+      rows.toDF("doc_id", "url", "fetch_ts", "html"), nContainers = 2, gzip = true)
+    val got = Warc.records(containers)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getBoolean(3))).toSet
+    assert(got === rows.map { case (_, u, t, h) => (u, t, h, false) }.toSet)
+    // the compressed container is NOT the plain one (the flag isn't a no-op)
+    val plain = mkContainers(rows).collect().map(_.getAs[Array[Byte]]("content")).toSeq
+    val gz = containers.collect().map(_.getAs[Array[Byte]]("content")).toSeq
+    assert(plain.map(_.toSeq).toSet !== gz.map(_.toSeq).toSet)
+  }
+
+  test("truncated gzip payload cannot inflate: empty html, still flagged truncated") {
+    val full = spark.sql("SELECT 1").select(
+      Warc.recordExpr(lit("https://x/gz"), lit(7L), lit("payload to deflate"), gzip = true).as("r"))
+      .collect().head.getAs[Array[Byte]](0)
+    // cut the record 4 bytes into the compressed payload: header
+    // parses (declared length overshoots what's left), inflate fails
+    val headerEnd = {
+      var i = 0
+      while (!(full(i) == '\r' && full(i + 1) == '\n' && full(i + 2) == '\r' && full(i + 3) == '\n')) i += 1
+      i + 4
+    }
+    val cut = full.take(headerEnd + 4)
+    val got = Warc.parseRecords(cut)
+    assert(got.map(r => (r.url, r.html, r.truncated)) === Seq(("https://x/gz", "", true)))
+  }
+
   test("multi-byte payloads frame on BYTE length, not char count") {
     val rs = Seq((0L, "https://x/é", 1L, "café — 2½° ’quoted’"),
       (1L, "https://x/plain", 2L, "ascii"))
