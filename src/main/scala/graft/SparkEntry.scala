@@ -356,6 +356,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_candidates"))
         .orderBy(col("l_returnflag"))
     }),
+    // the Bloom filter's ONE exact guarantee, hash-checked: no false
+    // negatives — every probe row whose key IS in the build set must
+    // survive the filter, so the true members that pass equal the
+    // true members outright (false POSITIVES stay rows-only in
+    // bloom_filter_probe; they're the approximate part). A broken
+    // hash/bit path loses a member and the count unhashes
+    "bloom_no_false_negatives" -> ((s, d) => {
+      val tt = t(s, d)
+      val urgent = tt.orders.where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey")).localCheckpoint(true) // build + 2 semi probes
+      val cand = Sketches.bloomSemiFilter(urgent, "o_orderkey",
+        tt.lineitem, "l_orderkey", expectedItems = 100000, numBits = 1000000)
+      val nTrue = tt.lineitem
+        .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .agg(count(lit(1)).as("n_true_members"))
+      val nPassed = cand
+        .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .agg(count(lit(1)).as("n_true_passed"))
+      nTrue.crossJoin(broadcast(nPassed))
+    }),
     // sketch-based percentiles (rows-only by design, like approx_distinct:
     // the sketch is engine-specific; the exact twin is `percentiles`)
     "approx_percentiles" -> ((s, d) => t(s, d).orders
@@ -912,6 +932,13 @@ object SparkEntry {
     // with occurrence counts — what bag-of-words BM25 cannot answer
     "phrase_search" -> ((s, d) =>
       Retrieval.phraseSearch(t(s, d).documents, PhraseTerms).orderBy("doc_id")),
+    // proximity (slop) query between phrase and bag-of-words: every
+    // all-terms doc with its EXACT minimal covering token span and
+    // the ≤window verdict — the positional index answering "near",
+    // not just "adjacent" or "anywhere"
+    "proximity_search" -> ((s, d) =>
+      Retrieval.proximitySearch(t(s, d).documents, PhraseTerms, window = 12)
+        .orderBy("doc_id")),
     // model-free document embeddings: feature-hashed TF-IDF in sparse
     // relational form, L2-normalized — similarity retrieval with no
     // embedding column required
@@ -1945,6 +1972,19 @@ object SparkEntry {
     "card_scrub" -> ((s, d) =>
       Cleaning.scrubCards(Cleaning.cardFixtureFromDocs(t(s, d).documents)).orderBy("doc_id")),
     "doc_fingerprint" -> ((s, d) => TextQuality.fingerprint(t(s, d).documents).orderBy("doc_id")),
+    // the xxhash fingerprint's derived exact invariant: fp is a pure
+    // function of text, so distinct-fp count ≤ distinct-text count
+    // with equality iff collision-free — the property fingerprint
+    // comparison stands on, now hash-checked (the 64-bit budget makes
+    // a real collision ~n²/2⁶⁵; a broken fold shows up immediately)
+    "fingerprint_collision_audit" -> ((s, d) => {
+      val docs = t(s, d).documents
+      val texts = docs.agg(count(lit(1)).as("n_docs"),
+        countDistinct(sha2(col("text"), 256)).as("n_distinct_texts"))
+      val nfp = TextQuality.fingerprint(docs)
+        .agg(countDistinct(col("fp")).as("n_distinct_fps"))
+      texts.crossJoin(broadcast(nfp))
+    }),
     // same rolling-hash construction with the reference's affine word
     // hash and a mod-1e9+7 fold — DuckDB-expressible, so hash-checked
     "fingerprint_ref" -> ((s, d) => TextQuality.fingerprintRef(t(s, d).documents).orderBy("doc_id")),
@@ -4669,6 +4709,22 @@ object SparkEntry {
         | round(quantile_cont(o_totalprice, 0.99), 4) AS p99, count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    // no-false-negatives is EXACT: true members that pass the filter
+    // == true members, both counts one relational semi-join
+    "bloom_no_false_negatives" ->
+      """WITH u AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        | c AS (SELECT count(*) AS n FROM lineitem l
+        |        WHERE EXISTS (SELECT 1 FROM u WHERE u.o_orderkey = l.l_orderkey))
+        |SELECT n AS n_true_members, n AS n_true_passed FROM c""".stripMargin,
+
+    // collision-freeness rendered relationally: distinct fingerprints
+    // must equal distinct texts (fp is a pure function of text)
+    "fingerprint_collision_audit" ->
+      """SELECT count(*) AS n_docs,
+        | count(DISTINCT sha256(text)) AS n_distinct_texts,
+        | count(DISTINCT sha256(text)) AS n_distinct_fps
+        |FROM documents""".stripMargin,
+
     "corr_stats" ->
       """SELECT l_returnflag, count(*) AS n,
         | (count(*) * CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
@@ -5551,6 +5607,30 @@ object SparkEntry {
     // answers — one twin serves all three BM25 paths
     "bm25_after_append" -> bm25TwinSql,
     "phrase_search" -> phraseTwinSql,
+    // same cleaned positional relation as the phrase twin, then the
+    // m-way per-doc occurrence join and exact min-span aggregate
+    "proximity_search" -> {
+      val ts = PhraseTerms
+      val inList = ts.distinct.map(t => s"'$t'").mkString(", ")
+      val eCtes = ts.zipWithIndex.map { case (t, i) =>
+        s" e$i AS (SELECT doc_id, pos AS p$i FROM px WHERE word = '$t')"
+      }.mkString(",\n")
+      val joins = (1 until ts.length).map(i => s"JOIN e$i USING (doc_id)").mkString(" ")
+      val plist = ts.indices.map(i => s"p$i").mkString(", ")
+      s"""WITH toksc AS (SELECT doc_id,
+         |   list_filter(list_transform(string_split_regex(text, '[ \\t\\n\\f\\r]+'),
+         |     x -> lower(regexp_replace(x, '$P', '', 'g'))), x -> length(x) > 0) AS l
+         |  FROM documents),
+         | px AS (SELECT doc_id, l[i] AS word, i AS pos
+         |   FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM toksc) z
+         |   WHERE l[i] IN ($inList)),
+         |$eCtes,
+         | j AS (SELECT e0.doc_id, greatest($plist) - least($plist) + 1 AS span
+         |   FROM e0 $joins)
+         |SELECT doc_id, CAST(min(span) AS BIGINT) AS min_window,
+         | count(*) AS n_combos, min(span) <= 12 AS within
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "tfidf_embed" ->
       s"""$TfidfVecCtes
          |SELECT doc_id, dim_idx, v FROM vec ORDER BY doc_id, dim_idx""".stripMargin,

@@ -311,6 +311,40 @@ object Retrieval {
       .where(col("n_matches") > 0)
   }
 
+  /** Proximity (slop) search — the query between phrase and
+    * bag-of-words: documents containing ALL `terms` with the minimal
+    * token span covering one occurrence of each ≤ `window` ("hash
+    * near batch", not "hash anywhere and batch anywhere"). Returns
+    * every all-terms doc with its exact min_window (span = max−min+1
+    * over one-occurrence-per-term choices) and the ≤window verdict,
+    * so one relation answers any tighter slop too.
+    *
+    * Scale shape: the [[positionalPostings]] scan with the term
+    * filter pushed down, then a doc-keyed m-way join of exploded
+    * per-term occurrence lists — per-doc cost is the product of the
+    * queried terms' WITHIN-DOC frequencies (query-term tf, single
+    * digits in prose; the corpus-wide df never multiplies). A
+    * pathological doc repeating every query term thousands of times
+    * would want the sorted-merge linear min-window instead — at that
+    * point cap per-doc tf like the inverted index caps df. */
+  def proximitySearch(docs: DataFrame, terms: Seq[String], window: Int,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(terms.distinct.size == terms.size && terms.size >= 2,
+      "proximitySearch needs >= 2 distinct terms")
+    require(window >= terms.size, "window can't be tighter than the term count")
+    val lists = positionalPostings(docs, terms, textCol, idCol).localCheckpoint(true)
+    val joined = terms.zipWithIndex.map { case (t, i) =>
+      lists.where(col("word") === t).select(col("doc_id"), explode(col("ps")).as(s"p$i"))
+    }.reduce((a, b) => a.join(b, "doc_id"))
+    val ps = terms.indices.map(i => col(s"p$i"))
+    joined
+      .select(col("doc_id"), (greatest(ps: _*) - least(ps: _*) + 1).as("span"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("span")).cast("long").as("min_window"),
+        count(lit(1)).as("n_combos"))
+      .withColumn("within", col("min_window") <= window)
+  }
+
   /** Feature-hashed TF-IDF document vectors (the hashing trick,
     * Weinberger et al. ICML 2009, public): each term's tf·idf mass
     * lands in dimension refBinHash(word) mod `dim` — a MODEL-FREE

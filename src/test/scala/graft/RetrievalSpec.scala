@@ -287,6 +287,24 @@ class RetrievalSpec extends AnyFunSuite {
     assert(again.toSeq === mmr.toSeq)
   }
 
+  test("proximitySearch: exact min spans, slop verdicts, all-terms requirement") {
+    import spark.implicits._
+    val fx = Seq(
+      (1L, "alpha beta gamma tail tail tail"),        // adjacent: span 3
+      (2L, "alpha x x x beta x x gamma"),             // spread: span 8
+      (3L, "alpha beta only two of the terms here"),  // gamma missing
+      (4L, "gamma x beta x alpha"),                   // order-free: span 5
+      (5L, "alpha x x x x x x x x beta gamma alpha")  // best choice uses LAST alpha: span 3
+    ).toDF("doc_id", "text")
+    val got = Retrieval.proximitySearch(fx, Seq("alpha", "beta", "gamma"), window = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(got.keySet === Set(1L, 2L, 4L, 5L)) // doc 3 lacks a term
+    assert(got(1L) === ((3L, true)))
+    assert(got(2L) === ((8L, false)))
+    assert(got(4L) === ((5L, true)))
+    assert(got(5L) === ((3L, true))) // min over occurrence choices, not first-hit
+  }
+
   test("NdcgDiscounts: rank 1 undiscounted, strictly decreasing, 12-dp stable") {
     val w = SparkEntry.NdcgDiscounts
     assert(w.map(_._1) === (1L to 10L))
