@@ -1740,6 +1740,13 @@ object SparkEntry {
     "bpe_doc_tokens" -> ((s, d) =>
       Bpe.docTokenCounts(t(s, d).documents, Bpe.DefaultMerges,
         alphabet = Some(Bpe.DefaultAlphabet)).orderBy("doc_id")),
+    // context-limit enforcement with EXACT accounting: each doc's
+    // longest whole-word prefix fitting a 48-BPE-token budget (binding
+    // for most docs at sf0.01, not all — both branches live), with
+    // the kept counts and the truncation flag
+    "token_budget_truncate" -> ((s, d) =>
+      Bpe.truncateToTokenBudget(t(s, d).documents, Bpe.DefaultMerges, budget = 48L,
+        alphabet = Some(Bpe.DefaultAlphabet)).orderBy("doc_id")),
     // the artifact's SHAPE, not just its counts: corpus-weighted
     // subword-length histogram (occurrences weighted by word
     // frequency, types over distinct token strings) over the SAME
@@ -2802,6 +2809,21 @@ object SparkEntry {
       Corpus.chunk(t(s, d).documents, size = 128)
         .select(col("doc_id"), col("chunk_idx"), col("chunk"), col("n_chunks"))
         .orderBy("doc_id", "chunk_idx")),
+    // overlapping windows (stride 96 under size 128 = 32-char
+    // overlap): every span lives inside at least one chunk — the
+    // boundary-blindness fix disjoint chunking can't offer
+    "doc_chunks_overlap" -> ((s, d) =>
+      Corpus.chunkSliding(t(s, d).documents, size = 128, stride = 96)
+        .orderBy("doc_id", "chunk_idx")),
+    // sentence-aligned packing: whole sentences into ~256-char
+    // chunks (the sentence_split stitch guarantees real multi-
+    // sentence docs); no chunk ever cuts a sentence
+    "sentence_chunks" -> ((s, d) => {
+      val fx = t(s, d).documents.select(col("doc_id"),
+        concat(col("text"), lit(". Doc "), col("doc_id").cast("string"),
+          lit(" ends! Is it done? yes")).as("text"))
+      Corpus.sentenceChunks(fx, budget = 256).orderBy("doc_id", "chunk_idx")
+    }),
     "mixture_weights" -> ((s, d) =>
       Corpus.mixtureUpsample(t(s, d).documents, weights = Map("de" -> 3, "zh" -> 2))
         .orderBy("doc_id", "copy_id")),
@@ -6318,6 +6340,31 @@ object SparkEntry {
          | round(CAST(sum(p.bpe_tokens) AS DOUBLE) / CAST(sum(p.ws_tokens) AS DOUBLE), 6) AS fertility
          |FROM per p JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // positional word relation + the recursive applier, then the same
+    // prefix-closed keep predicate as one window + filter; a doc
+    // whose first word overflows LEFT-JOINs to an empty prefix
+    "token_budget_truncate" ->
+      s"""WITH RECURSIVE
+         | tl AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS l FROM documents),
+         | dwp AS (SELECT doc_id, i AS pos, l[i] AS tok, lower(l[i]) AS word
+         |         FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM tl) z),
+         | wc AS (SELECT word, count(*) AS cnt FROM dwp GROUP BY 1),
+         |$BpeApplyCte,
+         | jo AS (SELECT dwp.doc_id, dwp.pos, dwp.tok, CAST(len(f.toks) AS BIGINT) AS n_toks
+         |        FROM dwp JOIN fin f USING (word)),
+         | cb AS (SELECT doc_id, pos, tok, n_toks,
+         |    coalesce(sum(n_toks) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM jo),
+         | tot AS (SELECT doc_id, CAST(sum(n_toks) AS BIGINT) AS bpe_total FROM jo GROUP BY 1),
+         | kept AS (SELECT doc_id, count(*) AS ws_tokens_kept, CAST(sum(n_toks) AS BIGINT) AS bpe_tokens_kept,
+         |    string_agg(tok, ' ' ORDER BY pos) AS prefix
+         |   FROM cb WHERE cum_before + n_toks <= 48 GROUP BY doc_id)
+         |SELECT tot.doc_id, coalesce(kept.ws_tokens_kept, 0) AS ws_tokens_kept,
+         | coalesce(kept.bpe_tokens_kept, 0) AS bpe_tokens_kept,
+         | tot.bpe_total > 48 AS truncated,
+         | coalesce(kept.prefix, '') AS prefix
+         |FROM tot LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     // same recursive applier, histogram over the unnested terminal
     // tokens of the LearnBpe composite corpus — occurrences via the
     // word-frequency join, types via count(DISTINCT token string)
@@ -8128,6 +8175,33 @@ object SparkEntry {
         |SELECT doc_id, chunk_idx,
         | substring(text, CAST(chunk_idx * 128 + 1 AS INT), 128) AS chunk, n_chunks
         |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // windows every 96 chars, each 128 long — the stride denominator
+    // moves, the substring length doesn't
+    "doc_chunks_overlap" ->
+      """WITH c AS (SELECT doc_id, text, CAST(ceil(length(text) / 96.0) AS BIGINT) AS n_chunks
+        |           FROM documents),
+        | u AS (SELECT doc_id, text, n_chunks,
+        |        unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM c)
+        |SELECT doc_id, chunk_idx,
+        | substring(text, CAST(chunk_idx * 96 + 1 AS INT), 128) AS chunk, n_chunks
+        |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // the sentence_split CTEs + a per-doc prefix-char window; chunk
+    // id = floor(chars-before/256) with the joining space counted
+    "sentence_chunks" ->
+      """WITH fx AS (SELECT doc_id, text || '. Doc ' || CAST(doc_id AS VARCHAR) || ' ends! Is it done? yes' AS text FROM documents),
+        | q AS (SELECT doc_id, list_filter(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]*'), x -> trim(x)), x -> length(x) > 0) AS l FROM fx),
+        | u AS (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM q),
+        | sx AS (SELECT doc_id, i AS sent_idx, l[i] AS sentence FROM u),
+        | cb AS (SELECT doc_id, sent_idx, sentence,
+        |    coalesce(sum(length(sentence) + 1) OVER (PARTITION BY doc_id ORDER BY sent_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM sx),
+        | g AS (SELECT doc_id, CAST(floor(cum_before / 256) AS BIGINT) AS chunk_idx, sent_idx, sentence FROM cb)
+        |SELECT doc_id, chunk_idx, count(*) AS n_sents,
+        | string_agg(sentence, ' ' ORDER BY sent_idx) AS chunk,
+        | CAST(length(string_agg(sentence, ' ' ORDER BY sent_idx)) AS BIGINT) AS n_chars
+        |FROM g GROUP BY doc_id, chunk_idx ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "mixture_weights" ->
       """WITH w AS (SELECT doc_id, lang,

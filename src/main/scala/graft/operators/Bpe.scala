@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -213,5 +214,53 @@ object Bpe {
     docWords.join(perWord, Seq("word"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n_toks")).as("bpe_tokens"), count(lit(1)).cast(LongType).as("ws_tokens"))
+  }
+
+  /** Context-limit enforcement with EXACT token accounting: keep each
+    * document's longest whole-word prefix whose BPE token total fits
+    * `budget`, reassembled with single spaces. The keep predicate
+    * (tokens-before + own-tokens ≤ budget, tokens-before counting ALL
+    * prior words) is prefix-closed — once a word overflows, every
+    * later word's tokens-before already exceeds the budget — so no
+    * sequential scan is needed: one per-doc window + a filter.
+    * Output: (doc_id, ws_tokens_kept, bpe_tokens_kept, truncated,
+    * prefix). Docs whose every word overflows (or with no words) keep
+    * nothing and report an empty prefix.
+    *
+    * Scale shape: the applier runs on DISTINCT words only
+    * ([[docTokenCounts]]); doc-scale work is one doc-partitioned
+    * running sum and one ordered reassembly whose collect_list is
+    * bounded by the kept prefix (≤ budget tokens → ≤ budget words). */
+  def truncateToTokenBudget(docs: DataFrame, merges: Seq[(String, String)],
+                            budget: Long,
+                            textCol: String = "text", idCol: String = "doc_id",
+                            alphabet: Option[Set[String]] = None): DataFrame = {
+    require(budget > 0, "truncateToTokenBudget needs budget > 0")
+    val docWords = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .where(length(col("tok")) > 0)
+      .withColumn("word", lower(col("tok")))
+    val perWord = docWords.select(col("word")).distinct()
+      .select(col("word"), size(tokens(col("word"), merges, alphabet)).cast(LongType).as("n_toks"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = docWords.join(perWord, Seq("word"))
+      .withColumn("cum_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+    val totals = cum.groupBy(col("doc_id")).agg(sum(col("n_toks")).as("bpe_total"))
+    cum.where(col("cum_before") + col("n_toks") <= budget)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("ws_tokens_kept"),
+        sum(col("n_toks")).as("bpe_tokens_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("prefix"))
+      // right join: a doc whose FIRST word already overflows keeps 0
+      .join(totals, Seq("doc_id"), "right")
+      .select(col("doc_id"),
+        coalesce(col("ws_tokens_kept"), lit(0L)).as("ws_tokens_kept"),
+        coalesce(col("bpe_tokens_kept"), lit(0L)).as("bpe_tokens_kept"),
+        (col("bpe_total") > budget).as("truncated"),
+        coalesce(col("prefix"), lit("")).as("prefix"))
   }
 }

@@ -223,6 +223,57 @@ object Corpus {
       .select(col("doc_id") +: col("chunk_idx") +: col("chunk") +: col("n_chunks") +: passthrough: _*)
   }
 
+  /** Overlapping context windows — the chunker embedding/RAG
+    * pipelines actually want (a fact cut at a hard boundary is
+    * invisible to both neighboring disjoint chunks; overlap
+    * size−stride keeps every span inside at least one window):
+    * window i = substring(i·stride+1, size), i in [0, ceil(len/
+    * stride)), tail windows shortening naturally. stride == size
+    * degenerates to [[chunk]]. Same narrow zero-shuffle generator
+    * shape; the deliberate cost is the size/stride duplication
+    * factor in output bytes. */
+  def chunkSliding(docs: DataFrame, size: Int, stride: Int,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      "chunkSliding needs 0 < stride <= size")
+    val nChunks = ceil(length(col(textCol)) / lit(stride.toDouble)).cast(LongType)
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        nChunks.as("n_chunks"))
+      // same empty-text generator guard as chunk()
+      .withColumn("chunk_idx",
+        explode(when(col("n_chunks") > 0, sequence(lit(0L), col("n_chunks") - 1))))
+      .withColumn("chunk",
+        col("text").substr((col("chunk_idx") * stride + 1).cast(IntegerType), lit(size)))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"), col("n_chunks"))
+  }
+
+  /** Sentence-aligned chunking: pack whole sentences into ~`budget`-
+    * char chunks (chunk id = floor(chars-before/budget) with the
+    * joining space counted), so no chunk ever cuts a sentence — the
+    * boundary rule retrieval chunkers prefer over hard character
+    * cuts. A sentence longer than the budget owns its span and later
+    * sentences land in later ids (ids stay monotone per doc and may
+    * skip — position, not sequence). Per-doc window over the
+    * sentence relation + one (doc, chunk) string_agg: partitioned by
+    * document, bounded state, no global sort. */
+  def sentenceChunks(docs: DataFrame, budget: Int,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, "sentenceChunks needs budget > 0")
+    val sents = TextQuality.sentences(docs, textCol, idCol)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("sent_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sents
+      .withColumn("cum_before",
+        coalesce(sum(length(col("sentence")) + lit(1)).over(w), lit(0L)))
+      .withColumn("chunk_idx", floor(col("cum_before") / budget))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_sents"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("sent_idx"), col("sentence")))),
+          s => s.getField("sentence"))).as("chunk"))
+      .withColumn("n_chars", length(col("chunk")).cast(LongType))
+  }
+
   /** Integral mixture up-weighting: replicate each document `w(stratum)`
     * times, emitting a copy index — how a mixture spec ("3 epochs of
     * code, 1 of web") becomes rows. Integral weights keep the operation

@@ -144,4 +144,22 @@ class BpeSpec extends AnyFunSuite {
     // doc 1: zz→[z,z](2) = 2 bpe / 1 ws
     assert(m === Map(0L -> ((4L, 3L)), 1L -> ((2L, 1L))))
   }
+
+  test("truncateToTokenBudget: whole-word prefix, first-word overflow, exact fit") {
+    val docs = Seq(
+      (0L, "ab ab xy ab"),   // tokens 1,1,2,1 — budget 3 keeps "ab ab" (2), xy overflows
+      (1L, "wxyz hi"),       // first word = 4 tokens > 3: empty prefix, 0 kept
+      (2L, "ab xy")          // 1+2 = 3 exactly: fits, NOT truncated
+    ).toDF("doc_id", "text")
+    val merges = Seq(("a", "b"))
+    val got = Bpe.truncateToTokenBudget(docs, merges, budget = 3L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getString(4)))).toMap
+    assert(got(0L) === ((2L, 2L, true, "ab ab")))
+    assert(got(1L) === ((0L, 0L, true, "")))
+    assert(got(2L) === ((2L, 3L, false, "ab xy")))
+    // original case survives reassembly (tokenization keys on lower)
+    val cased = Seq((3L, "AB xy")).toDF("doc_id", "text")
+    val c = Bpe.truncateToTokenBudget(cased, merges, budget = 3L).head()
+    assert(c.getString(4) === "AB xy")
+  }
 }

@@ -390,6 +390,42 @@ class CorpusSpec extends AnyFunSuite {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("chunkSliding: stride windows, shortened tail, stride==size degenerates to chunk") {
+    import spark.implicits._
+    val fx = Seq((1L, "abcdefghij"), (2L, "")).toDF("doc_id", "text")
+    val got = Corpus.chunkSliding(fx, size = 4, stride = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(t => (t._1, t._2))
+    // ceil(10/3) = 4 windows at offsets 0,3,6,9; empty text emits none
+    assert(got.toSeq === Seq((1L, 0L, "abcd"), (1L, 1L, "defg"), (1L, 2L, "ghij"), (1L, 3L, "j")))
+    // the 32-char overlap claim in miniature: every 2-char span of the
+    // text appears intact inside at least one window
+    val windows = got.map(_._3)
+    (0 until 9).foreach { i =>
+      val span = "abcdefghij".substring(i, i + 2)
+      assert(windows.exists(_.contains(span)), s"span $span lost at boundary")
+    }
+    val slid = Corpus.chunkSliding(fx, size = 4, stride = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val plain = Corpus.chunk(fx, size = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(slid === plain)
+  }
+
+  test("sentenceChunks: boundaries never cut sentences, oversized sentence owns its span") {
+    import spark.implicits._
+    val fx = Seq((1L, "aa bb. " + "x" * 20 + "! cc dd.")).toDF("doc_id", "text")
+    val got = Corpus.sentenceChunks(fx, budget = 10).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3))).sortBy(_._1)
+    // sentences: "aa bb." (6), "xxxxxxxxxxxxxxxxxxxx!" (21), "cc dd." —
+    // chars-before 0, 7, 29 → ids 0, 0 (starts inside budget, overflows
+    // by one sentence), 2 (ids are positions and may SKIP)
+    assert(got.map(_._1).toSeq === Seq(0L, 2L))
+    assert(got.head._2 === 2L) // two sentences packed in chunk 0
+    // reassembly is lossless: joining the chunks gives back the
+    // sentence stream
+    assert(got.map(_._3).mkString(" ") === "aa bb. " + "x" * 20 + "! cc dd.")
+  }
+
   test("priorityKeyed/priorityFinish: batch-local frontiers compose to the one-shot sample") {
     import spark.implicits._
     val n = 300
