@@ -356,6 +356,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_candidates"))
         .orderBy(col("l_returnflag"))
     }),
+    // privacy-release audit: k-anonymity (every quasi-identifier
+    // group ≥ k rows) and l-diversity (≥ l distinct sensitive values
+    // per group) over the order log — quasi-id (status, priority,
+    // order year), sensitive = customer key; k/l sized to SPLIT the
+    // fixture groups so both verdict branches are exercised. The
+    // relation is
+    // quasi-id-cardinality-sized (a broadcastable rollup at any row
+    // scale); the flags are the go/no-go a data release reads
+    "k_anonymity_audit" -> ((s, d) =>
+      t(s, d).orders
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"),
+          year(col("o_orderdate")).cast("long").as("order_year"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("o_custkey")).as("n_distinct_sensitive"))
+        .withColumn("k_anonymous", col("n_rows") >= 150)
+        .withColumn("l_diverse", col("n_distinct_sensitive") >= 143)
+        .orderBy("o_orderstatus", "o_orderpriority", "order_year")),
     // the Bloom filter's ONE exact guarantee, hash-checked: no false
     // negatives — every probe row whose key IS in the build set must
     // survive the filter, so the true members that pass equal the
@@ -2361,6 +2378,96 @@ object SparkEntry {
       val shards = Corpus.curriculumShards(
         samp.select(col("doc_id"), col("weight").as("score")), phases = 4, nShards = 4)
       val chosen = mixed.join(samp.select("doc_id"), "doc_id")
+      val ch = Corpus.chunk(chosen.select(col("doc_id"), col("text")), size = 128)
+      val chunkWords = ch
+        .select(col("doc_id"), col("chunk_idx"), explode(TextOps.tokens(col("chunk"))).as("tok"))
+        .select(col("doc_id"), col("chunk_idx"), lower(col("tok")).as("word"))
+        .where(length(col("word")) > 0)
+      val perWord = chunkWords.select(col("word")).distinct()
+        .select(col("word"), size(Bpe.tokens(col("word"), Bpe.DefaultMerges,
+          Some(Bpe.DefaultAlphabet))).cast("long").as("n_toks"))
+      val cb = chunkWords.join(perWord, Seq("word"))
+        .groupBy(col("doc_id"), col("chunk_idx")).agg(sum(col("n_toks")).as("bpe_n"))
+      val withTok = ch.join(cb, Seq("doc_id", "chunk_idx"), "left")
+        .withColumn("n_tokens", coalesce(col("bpe_n"), lit(0L)))
+      val packed = Corpus.packChunks(withTok, tokensPerPack = 64L, nShards = 8)
+      packed
+        .join(broadcast(shards.select(col("doc_id"), col("phase"),
+          col("shard").as("curr_shard"), col("seq"))), "doc_id")
+        .join(broadcast(samp.select(col("doc_id"), col("w_est"))), "doc_id")
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"), col("shard"),
+          col("pack_id"), col("start_off"), col("phase"), col("curr_shard"),
+          col("seq"), col("w_est"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+    // the whole build STREAMED: the same crawl-to-manifest chain with
+    // containers arriving one per micro-batch. Paragraph dedup flips
+    // to FIRST-OCCURRENCE-WINS (a stream cannot retract landed docs;
+    // arrival order is container_id = doc_id mod 8, then doc_id —
+    // which the twin's one window reproduces); mixture rates are a
+    // POLICY SNAPSHOT solved on the batch (drop-all-copies) curation
+    // — yesterday's solve applied to today's stream; the sampler
+    // lands k+1-row frontiers per batch and finishes exactly after
+    // the drain; curriculum + BPE packing run on the ≤k-doc sample
+    "streaming_warc_to_training" -> ((s, d) => {
+      val src = stageLayout(s, d, "warctrainstream") { tmp =>
+        val docs = t(s, d).documents
+        val id = col("doc_id")
+        val pages = Html.pageFromDocs(docs)
+          .select(col("doc_id"), regexp_replace(col("html"), "<div>\n",
+            java.util.regex.Matcher.quoteReplacement("<div>\n" + Html.BoilerFixturePara))
+            .as("html"))
+        val withMeta = pages.select(col("doc_id"),
+          concat(lit("https://"), Html.fixtureHost(id % Html.SiteSpace),
+            lit("/doc/"), id.cast("string")).as("url"),
+          (lit(1700000000L) + id).as("fetch_ts"), col("html"))
+        graft.sources.Warc.containersFromDocs(withMeta, nContainers = 8)
+          .collect().foreach { r =>
+            val cid = r.getLong(0)
+            val f = new java.io.File(s"$tmp/c$cid.warc")
+            java.nio.file.Files.write(f.toPath, r.getAs[Array[Byte]](1))
+            f.setLastModified(1000000L * (cid + 1))
+          }
+      }
+      val ss = streamSession(s)
+      val docs = t(ss, d).documents
+      // policy snapshot: the batch e2e's rate solve, reused verbatim
+      val pagesB = Html.pageFromDocs(docs)
+        .select(col("doc_id"), regexp_replace(col("html"), "<div>\n",
+          java.util.regex.Matcher.quoteReplacement("<div>\n" + Html.BoilerFixturePara))
+          .as("html"))
+      val dedupedB = Dedup.paragraphDedup(Html.extractBlocks(pagesB))
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      val gatedB = TextQuality.gopherQualityGate(dedupedB)
+        .where(col("keep"))
+        .join(dedupedB, Seq("doc_id"))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("text"))
+      val targets = Seq(("en", 0.5), ("de", 0.3), ("zh", 0.2))
+      val prof = gatedB.groupBy("lang").agg(count(lit(1)).as("n_l"))
+      val joinedP = prof.join(broadcast(ss.createDataFrame(targets).toDF("lang", "t")), "lang")
+      val sRow = joinedP.agg(min(col("n_l").cast("double") / col("t")).as("scale"))
+      val rates = joinedP.crossJoin(broadcast(sRow))
+        .select(col("lang"),
+          floor(lit(1000.0) * col("t") * col("scale") / col("n_l").cast("double"))
+            .cast("long").as("keep_permille"))
+        .localCheckpoint(true)
+      val storeDir = java.nio.file.Files.createTempDirectory("graft-wtstore").toString
+      ss.range(0).select(col("id").as("ph"))
+        .write.mode("overwrite").parquet(s"$storeDir/seed")
+      val landDir = java.nio.file.Files.createTempDirectory("graft-wtland").toString
+      val frontierDir = java.nio.file.Files.createTempDirectory("graft-wtfront").toString
+      val stream = ss.readStream.format("binaryFile")
+        .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+        .option("pathGlobFilter", "*.warc").option("maxFilesPerTrigger", "1").load(src)
+      val samp = graft.streaming.IngestPipeline.runWarcTrainingIngest(ss, stream,
+          storeDir, landDir, frontierDir,
+          docs.select(col("doc_id"), col("lang")), rates, k = 100)
+        .localCheckpoint(true)
+      val shards = Corpus.curriculumShards(
+        samp.select(col("doc_id"), col("weight").as("score")), phases = 4, nShards = 4)
+      val chosen = ss.read.parquet(landDir).select(col("doc_id"), col("text"))
+        .join(samp.select("doc_id"), "doc_id")
       val ch = Corpus.chunk(chosen.select(col("doc_id"), col("text")), size = 128)
       val chunkWords = ch
         .select(col("doc_id"), col("chunk_idx"), explode(TextOps.tokens(col("chunk"))).as("tok"))
@@ -4731,6 +4838,15 @@ object SparkEntry {
         | round(quantile_cont(o_totalprice, 0.99), 4) AS p99, count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    // straight rollup + integer thresholds; year() is BIGINT in
+    // DuckDB, the Spark side casts to match
+    "k_anonymity_audit" ->
+      """SELECT o_orderstatus, o_orderpriority, year(o_orderdate) AS order_year,
+        | count(*) AS n_rows, count(DISTINCT o_custkey) AS n_distinct_sensitive,
+        | count(*) >= 150 AS k_anonymous,
+        | count(DISTINCT o_custkey) >= 143 AS l_diverse
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
     // no-false-negatives is EXACT: true members that pass the filter
     // == true members, both counts one relational semi-join
     "bloom_no_false_negatives" ->
@@ -6705,6 +6821,111 @@ object SparkEntry {
          |  FROM pj),
          | mixed AS (SELECT mj.doc_id, mj.text FROM mj JOIN rates r ON mj.lang = r.lang
          |          WHERE $HashPermille < r.keep_permille),
+         | keyed AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS weight,
+         |    CAST(floor((((doc_id % 2147483648) * 2654435761) % 4294967296) * 1048576
+         |         / CAST(length(text) AS DOUBLE)) AS BIGINT) AS pkey
+         |   FROM mixed WHERE length(text) > 0),
+         | top AS (SELECT * FROM keyed ORDER BY pkey, doc_id LIMIT 101),
+         | ranked AS (SELECT top.*, row_number() OVER (ORDER BY pkey, doc_id) AS rn FROM top),
+         | stats AS (SELECT count(*) AS cnt, max(pkey) AS mx FROM top),
+         | samp AS (SELECT doc_id, weight,
+         |   round(greatest(CAST(weight AS DOUBLE),
+         |     CASE WHEN (SELECT cnt FROM stats) = 101
+         |          THEN 4503599627370496.0 / CAST((SELECT mx FROM stats) AS DOUBLE)
+         |          ELSE 0.0 END), 6) AS w_est
+         |  FROM ranked WHERE (SELECT cnt FROM stats) <= 100 OR rn <= 100),
+         | csc AS (SELECT doc_id, weight AS score FROM samp),
+         | ch1 AS (SELECT score, count(*) AS cnt FROM csc GROUP BY 1),
+         | cr AS (SELECT score,
+         |   coalesce(sum(cnt) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnt_below,
+         |   sum(cnt) OVER () AS n FROM ch1),
+         | cpr AS (SELECT score, CASE WHEN n = 1 THEN 0.0
+         |        ELSE CAST(cnt_below AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS pr FROM cr),
+         | cj AS (SELECT csc.doc_id,
+         |   CAST(least(3, floor(cpr.pr * 4)) AS BIGINT) AS phase,
+         |   CAST((((csc.doc_id % 2147483648) * 2654435761) % 4294967296) % 4 AS BIGINT) AS curr_shard,
+         |   (((csc.doc_id % 2147483648) * 2654435761) % 4294967296) AS ord
+         |  FROM csc JOIN cpr USING (score)),
+         | curr AS (SELECT doc_id, phase, curr_shard,
+         |   CAST(row_number() OVER (PARTITION BY phase, curr_shard ORDER BY ord, doc_id) AS BIGINT) AS seq
+         |  FROM cj),
+         | chosen AS (SELECT m.doc_id, m.text FROM mixed m JOIN samp USING (doc_id)),
+         | pc AS (SELECT doc_id, text, CAST(ceil(length(text) / 128.0) AS BIGINT) AS n_chunks FROM chosen),
+         | pu AS (SELECT doc_id, text, n_chunks, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM pc),
+         | pch AS (SELECT doc_id, chunk_idx, substring(text, CAST(chunk_idx * 128 + 1 AS INT), 128) AS chunk FROM pu),
+         | cw AS (SELECT doc_id, chunk_idx, lower(t.tok) AS word
+         |        FROM (SELECT doc_id, chunk_idx, unnest(string_split_regex(chunk, '[ \\t\\n\\f\\r]+')) AS tok FROM pch) t
+         |        WHERE length(t.tok) > 0),
+         | wc AS (SELECT word, count(*) AS cnt FROM cw GROUP BY 1),
+         |$BpeApplyCte,
+         | cb AS (SELECT cw.doc_id, cw.chunk_idx, CAST(sum(len(f2.toks)) AS BIGINT) AS bpe_n
+         |        FROM cw JOIN fin f2 USING (word) GROUP BY 1, 2),
+         | tok AS (SELECT pch.doc_id, pch.chunk_idx, pch.doc_id % 8 AS shard,
+         |        coalesce(cb.bpe_n, 0) AS n_tokens
+         |        FROM pch LEFT JOIN cb USING (doc_id, chunk_idx)),
+         | off AS (SELECT doc_id, chunk_idx, shard, n_tokens,
+         |   CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+         |   FROM tok)
+         |SELECT o.doc_id, o.chunk_idx, o.n_tokens, o.shard,
+         | CAST(floor(o.start_off / 64) AS BIGINT) AS pack_id, o.start_off,
+         | curr.phase, curr.curr_shard, curr.seq, samp.w_est
+         |FROM off o JOIN curr USING (doc_id) JOIN samp USING (doc_id)
+         |ORDER BY o.doc_id, o.chunk_idx""".stripMargin
+    },
+
+    // the streamed build's twin: the batch chain (dd..rates) supplies
+    // the POLICY SNAPSHOT rates; the corpus itself takes the
+    // first-occurrence-wins dedup — one window ordered by the stream
+    // arrival order (container_id = doc_id % 8, then doc_id, pos) —
+    // and the sampler/curriculum/packing CTEs run on it
+    "streaming_warc_to_training" -> {
+      val stops = TextQuality.Stopwords("en").map(w => s"'$w'").mkString(", ")
+      s"""${ParaRelCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         | dfr AS (SELECT para, count(DISTINCT doc_id) AS df FROM paras GROUP BY para),
+         | dd AS (SELECT p.doc_id,
+         |    coalesce(string_agg(p.para, ' ' ORDER BY p.pos) FILTER (WHERE df <= 1), '') AS text
+         |  FROM paras p JOIN dfr USING (para) GROUP BY p.doc_id),
+         | tk AS (SELECT doc_id, text,
+         |    list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS tk
+         |  FROM dd),
+         | f AS (SELECT doc_id, text,
+         |    CAST(len(tk) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk) AS mean_word_len,
+         |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(tk) AS alpha_frac,
+         |    CAST(len(list_filter(tk, x -> list_contains([$stops], lower(x)))) AS BIGINT) AS n_stop_hits
+         |  FROM tk),
+         | g AS (SELECT doc_id, text FROM f
+         |  WHERE n_words BETWEEN 50 AND 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |    AND alpha_frac >= 0.8 AND n_stop_hits >= 2),
+         | mj AS (SELECT g.doc_id, d2.lang, g.text FROM g JOIN documents d2 ON g.doc_id = d2.doc_id),
+         | prof AS (SELECT lang, count(*) AS n_l FROM mj GROUP BY 1),
+         | tt AS (SELECT * FROM (VALUES ('en', 0.5e0), ('de', 0.3e0), ('zh', 0.2e0)) AS t(lang, t)),
+         | pj AS (SELECT prof.lang, prof.n_l, tt.t FROM prof JOIN tt USING (lang)),
+         | sr AS (SELECT min(CAST(n_l AS DOUBLE) / t) AS scale FROM pj),
+         | rates AS (SELECT lang,
+         |   CAST(floor(1000.0e0 * t * (SELECT scale FROM sr) / CAST(n_l AS DOUBLE)) AS BIGINT) AS keep_permille
+         |  FROM pj),
+         | rs AS (SELECT doc_id, pos, para,
+         |    row_number() OVER (PARTITION BY para ORDER BY doc_id % 8, doc_id, pos) AS rn FROM paras),
+         | sdd AS (SELECT doc_id,
+         |    coalesce(string_agg(para, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '') AS text
+         |  FROM rs GROUP BY doc_id),
+         | stk AS (SELECT doc_id, text,
+         |    list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS tk2
+         |  FROM sdd),
+         | sf AS (SELECT doc_id, text,
+         |    CAST(len(tk2) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(tk2, x -> length(x))) AS DOUBLE) / len(tk2) AS mean_word_len,
+         |    CAST(len(list_filter(tk2, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(tk2) AS alpha_frac,
+         |    CAST(len(list_filter(tk2, x -> list_contains([$stops], lower(x)))) AS BIGINT) AS n_stop_hits
+         |  FROM stk),
+         | sg AS (SELECT doc_id, text FROM sf
+         |  WHERE n_words BETWEEN 50 AND 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |    AND alpha_frac >= 0.8 AND n_stop_hits >= 2),
+         | smj AS (SELECT sg.doc_id, d3.lang, sg.text FROM sg JOIN documents d3 ON sg.doc_id = d3.doc_id),
+         | mixed AS (SELECT smj.doc_id, smj.text FROM smj JOIN rates r2 ON smj.lang = r2.lang
+         |          WHERE $HashPermille < r2.keep_permille),
          | keyed AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS weight,
          |    CAST(floor((((doc_id % 2147483648) * 2654435761) % 4294967296) * 1048576
          |         / CAST(length(text) AS DOUBLE)) AS BIGINT) AS pkey

@@ -195,6 +195,54 @@ object IngestPipeline {
       .select(col("doc_id"), col("n_paras"), col("n_kept"), col("text"))
   }
 
+  /** The whole training-data build STREAMED — the continuous form of
+    * the batch `warc_to_training_e2e` composition's in-stream stages:
+    * WARC containers arrive one per micro-batch; each batch parses
+    * records, extracts blocks, runs the first-occurrence-wins
+    * paragraph dedup against the growing hash store
+    * ([[paraIngestBatch]]'s transaction), Gopher-gates the batch's
+    * landed docs, applies the BROADCAST mixture-rate snapshot (policy
+    * solved on the batch curation — the [[runIngestStream]]
+    * policy-snapshot posture), and lands only the batch's k+1-row
+    * priority frontier. After the drain the exact DLT finish runs on
+    * the frontier union — the caller picks up curriculum + packing
+    * on the ≤k-doc sample. Every per-batch stage is batch-keyed and
+    * replay-idempotent; per-batch sampler state is k-bounded and the
+    * store holds 8-byte paragraph hashes, never text.
+    * `langDim` is the doc_id → lang dimension (stream-static join);
+    * `rates` is (lang, keep_permille). */
+  def runWarcTrainingIngest(spark: SparkSession, containerStream: DataFrame,
+                            storeDir: String, landDir: String, frontierDir: String,
+                            langDim: DataFrame, rates: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "runWarcTrainingIngest needs k > 0")
+    val q = containerStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val recs = graft.sources.Warc.records(batch.toDF().select(col("content")))
+        // the fixture's fetch_ts stamp is invertible (warc_ingest)
+        val pages = recs.select((col("fetch_ts") - 1700000000L).as("doc_id"), col("html"))
+        paraIngestBatch(graft.operators.Html.extractBlocks(pages),
+          batchId, storeDir, landDir)
+        val landed = spark.read.parquet(s"$landDir/batch_id=$batchId")
+          .select(col("doc_id"), col("text"))
+        val gated = graft.operators.TextQuality.gopherQualityGate(landed)
+          .where(col("keep")).select(col("doc_id"))
+          .join(landed, Seq("doc_id"))
+          .join(langDim, Seq("doc_id"))
+        val mixed = gated.join(broadcast(rates), "lang")
+          .where(graft.operators.Corpus.hashPermille(col("text")) < col("keep_permille"))
+          .select(col("doc_id"), col("text"))
+        graft.operators.Corpus.priorityKeyed(mixed)
+          .orderBy(col("__key"), col("doc_id")).limit(k + 1)
+          .write.mode("overwrite").parquet(s"$frontierDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.operators.Corpus.priorityFinish(
+      spark.read.parquet(frontierDir).select(col("doc_id"), col("weight"), col("__key")), k)
+  }
+
   /** Streaming fixed-k priority sampling (Duffield-Lund-Thorup over a
     * document stream): the sampler's candidate frontier is ASSOCIATIVE
     * — the global top-(k+1) by priority key is contained in the union
