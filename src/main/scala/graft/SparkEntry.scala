@@ -1819,6 +1819,17 @@ object SparkEntry {
     // (label, dim) aggregate
     "label_centroids" -> ((s, d) =>
       Similarity.labelCentroids(t(s, d).embeddings).orderBy("label", "dim")),
+    // the second-moment structure as a relation (dim_i <= dim_j upper
+    // triangle): centering means and cross products rounded before
+    // DECIMAL sums, one division per cell — PCA/whitening/Mahalanobis
+    // all start here
+    "embedding_covariance" -> ((s, d) =>
+      Similarity.embeddingCovariance(t(s, d).embeddings).orderBy("dim_i", "dim_j")),
+    // dominant principal component: 3 power-iteration steps unrolled
+    // over the exact covariance relation (the kmeans device — each
+    // step one broadcast join + one d-row aggregate), λ = final ‖Cv‖
+    "pca_top_component" -> ((s, d) =>
+      Similarity.pcaTopComponent(t(s, d).embeddings, iters = 3).orderBy("dim")),
     // vector hygiene: per-label norm spread (rounded-term decimal
     // norm², nearest-rank p50/p90 picks) — a drifting norm scale
     // silently breaks dot-product ANN
@@ -4092,6 +4103,22 @@ object SparkEntry {
        |)""".stripMargin
 
   /** Per-document variant of [[W]] for the retrieval family. */
+  /** Shared covariance CTE chain (embedding_covariance +
+    * pca_top_component): rounded(9) components, DECIMAL-mean
+    * centering, rounded(12) cross products DECIMAL-summed over the
+    * vec_id self-join — mirrors Similarity.embeddingCovariance
+    * operation-for-operation. */
+  private lazy val CovCtes: String =
+    """WITH c AS (SELECT vec_id, CAST(i AS BIGINT) AS dim, round(CAST(embedding[i] AS DOUBLE), 9) AS x
+      |   FROM (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i FROM embeddings) z),
+      | m AS (SELECT dim, count(*) AS n,
+      |    round(CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mu
+      |   FROM c GROUP BY 1),
+      | ce AS (SELECT c.vec_id, c.dim, round(c.x - m.mu, 9) AS cx FROM c JOIN m USING (dim)),
+      | up AS (SELECT a.dim AS dim_i, b.dim AS dim_j, count(*) AS n,
+      |    round(CAST(sum(CAST(round(a.cx * b.cx, 12) AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 8) AS cov
+      |   FROM ce a JOIN ce b ON a.vec_id = b.vec_id AND a.dim <= b.dim GROUP BY 1, 2)""".stripMargin
+
   /** Shared by the batch and streaming priority samplers — the
     * drained stream must answer exactly what one batch pass answers. */
   private lazy val prioritySampleTwinSql: String =
@@ -6503,6 +6530,31 @@ object SparkEntry {
          | CAST(sum(cnt) AS BIGINT) AS n_occurrences,
          | CAST(count(DISTINCT tok) AS BIGINT) AS n_types
          |FROM tl GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // centered components + rounded(12)-product DECIMAL sums over the
+    // vec_id self-join — operation-for-operation the Spark chain
+    "embedding_covariance" ->
+      s"""$CovCtes
+         |SELECT dim_i, dim_j, n, cov FROM up ORDER BY dim_i, dim_j""".stripMargin,
+
+    // the same covariance CTEs symmetrized, then 3 unrolled
+    // matvec/normalize steps (the kmeans/mmr device); λ from the
+    // final norm
+    "pca_top_component" -> {
+      val steps = (1 to 3).map { i =>
+        s""" w$i AS (SELECT f.i AS dim, round(CAST(sum(CAST(round(f.cov * v${i - 1}.v, 12) AS DECIMAL(38,12))) AS DOUBLE), 8) AS w
+           |   FROM fm f JOIN v${i - 1} ON v${i - 1}.dim = f.j GROUP BY 1),
+           | n$i AS (SELECT sqrt(CAST(sum(CAST(round(w * w, 12) AS DECIMAL(38,12))) AS DOUBLE)) AS nrm FROM w$i),
+           | v$i AS (SELECT dim, round(w / (SELECT nrm FROM n$i), 8) AS v FROM w$i)""".stripMargin
+      }.mkString(",\n")
+      s"""$CovCtes,
+         | fm AS (SELECT dim_i AS i, dim_j AS j, cov FROM up
+         |   UNION ALL SELECT dim_j, dim_i, cov FROM up WHERE dim_i < dim_j),
+         | v0 AS (SELECT DISTINCT dim_i AS dim, CAST(1.0 AS DOUBLE) AS v FROM up),
+         |$steps
+         |SELECT v3.dim, v3.v, round((SELECT nrm FROM n3), 6) AS lambda
+         |FROM v3 ORDER BY dim""".stripMargin
+    },
 
     // the embedding[i]/generate_series device; per-component rounded
     // decimal sums mirror the Spark side exactly

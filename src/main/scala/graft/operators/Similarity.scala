@@ -845,4 +845,93 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum(col("vd")).as("s"))
       .select(col("label").cast(LongType).as("label"), col("dim"), col("n"),
         round(col("s").cast(DoubleType) / col("n").cast(DoubleType), 6).as("mean_v"))
+
+  /** Centered embedding components in relational form: (vec_id, dim,
+    * cx) with cx = round(x − μ_dim, 9), μ from the [[labelCentroids]]
+    * rounded-DECIMAL mean device. The shared front half of the
+    * covariance/PCA pair. */
+  private def centeredComponents(embs: DataFrame, vecCol: String,
+                                 idCol: String): DataFrame = {
+    val comps = embs
+      .select(col(idCol).as("vec_id"), posexplode(col(vecCol)).as(Seq("dim0", "v")))
+      .select(col("vec_id"), (col("dim0") + 1).cast(LongType).as("dim"),
+        round(col("v").cast(DoubleType), 9).as("x"))
+    val means = comps
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(38, 9))).as("s"))
+      .select(col("dim"), col("n"),
+        round(col("s").cast(DoubleType) / col("n").cast(DoubleType), 6).as("mu"))
+    comps.join(broadcast(means), "dim")
+      .select(col("vec_id"), col("dim"), round(col("x") - col("mu"), 9).as("cx"))
+  }
+
+  /** EXACT population covariance matrix of the embedding columns —
+    * the second-moment structure PCA/whitening/Mahalanobis all start
+    * from, as a first-class relation (dim_i ≤ dim_j upper triangle:
+    * joinable, prunable, hash-checkable — a d×d array blob is none
+    * of those). Output: (dim_i, dim_j, n, cov).
+    *
+    * Exactness: components and the centering means are rounded(9),
+    * each cross product rounded(12) and DECIMAL-summed (order-free),
+    * one division + round(8) at the end — both engines accumulate
+    * identical terms under any partitioning. Scale shape: the
+    * self-join on vec_id explodes each vector to its d(d+1)/2
+    * pairs — the standard n·d² outer-product aggregate, map-side
+    * combined, no state beyond the running sums; d is the embedding
+    * width (fixed, small), never the corpus. */
+  def embeddingCovariance(embs: DataFrame, vecCol: String = "embedding",
+                          idCol: String = "vec_id"): DataFrame = {
+    val ce = centeredComponents(embs, vecCol, idCol).localCheckpoint(true)
+    val a = ce.select(col("vec_id"), col("dim").as("dim_i"), col("cx").as("ca"))
+    val b = ce.select(col("vec_id"), col("dim").as("dim_j"), col("cx").as("cb"))
+    a.join(b, Seq("vec_id")).where(col("dim_i") <= col("dim_j"))
+      .select(col("dim_i"), col("dim_j"),
+        round(col("ca") * col("cb"), 12).cast(DecimalType(38, 12)).as("p"))
+      .groupBy(col("dim_i"), col("dim_j"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"))
+      .select(col("dim_i"), col("dim_j"), col("n"),
+        round(col("sp").cast(DoubleType) / col("n").cast(DoubleType), 8).as("cov"))
+  }
+
+  /** Dominant principal component by POWER ITERATION over the exact
+    * covariance relation — `iters` unrolled matrix-vector steps (the
+    * kmeans/pageRank bounded-loop device: each step is one broadcast
+    * join + one d-row aggregate, the driver never touches data).
+    * Start vector is the all-ones direction; every step rounds the
+    * matvec to 8 dp after a rounded(12)-product DECIMAL sum and
+    * normalizes by a single IEEE sqrt/divide, so both engines walk
+    * the identical float path. Output: (dim, v, lambda) with λ the
+    * final ‖Cv‖ — the Rayleigh estimate of the top eigenvalue.
+    *
+    * Scale shape: the covariance build dominates (n·d²); the
+    * iteration itself runs on d² rows regardless of corpus size. */
+  def pcaTopComponent(embs: DataFrame, iters: Int = 3,
+                      vecCol: String = "embedding",
+                      idCol: String = "vec_id"): DataFrame = {
+    require(iters > 0, "pcaTopComponent needs iters > 0")
+    val up = embeddingCovariance(embs, vecCol, idCol).localCheckpoint(true)
+    val full = up.select(col("dim_i").as("i"), col("dim_j").as("j"), col("cov"))
+      .unionAll(up.where(col("dim_i") < col("dim_j"))
+        .select(col("dim_j").as("i"), col("dim_i").as("j"), col("cov")))
+      .localCheckpoint(true) // loop-invariant: one matrix, iters readers
+    var v = full.select(col("i").as("dim")).distinct().withColumn("v", lit(1.0))
+    var lastNorm: DataFrame = null
+    for (_ <- 1 to iters) {
+      val w = full.join(broadcast(v.select(col("dim").as("__vd"), col("v"))),
+          col("j") === col("__vd"))
+        .select(col("i"), round(col("cov") * col("v"), 12).cast(DecimalType(38, 12)).as("p"))
+        .groupBy(col("i"))
+        .agg(round(sum(col("p")).cast(DoubleType), 8).as("w"))
+      val nrm = w.agg(
+        sqrt(sum(round(col("w") * col("w"), 12).cast(DecimalType(38, 12))).cast(DoubleType))
+          .as("nrm"))
+      lastNorm = nrm
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("i").as("dim"), round(col("w") / col("nrm"), 8).as("v"))
+        .localCheckpoint(true) // each step feeds the next; keep lineage flat
+    }
+    v.crossJoin(broadcast(lastNorm))
+      .select(col("dim"), col("v"), round(col("nrm"), 6).as("lambda"))
+  }
 }

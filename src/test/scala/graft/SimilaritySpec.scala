@@ -352,4 +352,33 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
     assert(again === got)
   }
+
+  test("embeddingCovariance/pcaTopComponent: exact moments, dominant axis recovered") {
+    val spark2 = spark; import spark2.implicits._
+    // mass along axis 1 (t = -2..2), a correlated t/10 on axis 2,
+    // axes 3-4 constant zero
+    val fx = (-2 to 2).map { t =>
+      ((t + 3).toLong, Seq(t.toDouble, t / 10.0, 0.0, 0.0))
+    }.toDF("vec_id", "embedding")
+    val cov = Similarity.embeddingCovariance(fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(cov.size === 10) // 4*5/2 upper triangle
+    assert(cov((1L, 1L)) === 2.0)      // population var of -2..2
+    assert(cov((1L, 2L)) === 0.2)      // exact cross moment
+    assert(cov((2L, 2L)) === 0.02)
+    assert(cov((3L, 3L)) === 0.0)
+    assert(cov((1L, 3L)) === 0.0)
+    // partitioning-invariant (the rounded-DECIMAL-sum claim)
+    val again = Similarity.embeddingCovariance(fx.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(again === cov)
+    val pc = Similarity.pcaTopComponent(fx, iters = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    // dominant direction ~ (1, 0.1, 0, 0)/||.||: v1 ≈ 0.995
+    assert(math.abs(pc(1L)._1) > 0.99, pc.toString)
+    assert(math.abs(pc(2L)._1) < 0.11 && math.abs(pc(2L)._1) > 0.09)
+    assert(pc(3L)._1 === 0.0 && pc(4L)._1 === 0.0)
+    // λ ≈ top eigenvalue 2.02 (the fixture's exact spectrum)
+    assert(math.abs(pc(1L)._2 - 2.02) < 0.01, pc(1L)._2.toString)
+  }
 }
