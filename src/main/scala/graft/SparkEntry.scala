@@ -1830,6 +1830,14 @@ object SparkEntry {
     // step one broadcast join + one d-row aggregate), λ = final ‖Cv‖
     "pca_top_component" -> ((s, d) =>
       Similarity.pcaTopComponent(t(s, d).embeddings, iters = 3).orderBy("dim")),
+    // diagonal whitening: per-dim z-scores from the exact rounded-
+    // DECIMAL variance — what every distance-based downstream assumes
+    "embedding_standardize" -> ((s, d) =>
+      Similarity.embeddingStandardize(t(s, d).embeddings).orderBy("vec_id", "dim")),
+    // hygiene screen: top-50 vectors by Σz² (diagonal Mahalanobis) —
+    // scores far above d flag pipeline artifacts before modeling
+    "embedding_outliers" -> ((s, d) =>
+      Similarity.embeddingOutliers(t(s, d).embeddings, k = 50).orderBy("rank")),
     // vector hygiene: per-label norm spread (rounded-term decimal
     // norm², nearest-rank p50/p90 picks) — a drifting norm scale
     // silently breaks dot-product ANN
@@ -4118,6 +4126,21 @@ object SparkEntry {
       | up AS (SELECT a.dim AS dim_i, b.dim AS dim_j, count(*) AS n,
       |    round(CAST(sum(CAST(round(a.cx * b.cx, 12) AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 8) AS cov
       |   FROM ce a JOIN ce b ON a.vec_id = b.vec_id AND a.dim <= b.dim GROUP BY 1, 2)""".stripMargin
+
+  /** Standardization CTE chain (embedding_standardize +
+    * embedding_outliers): CovCtes' centered components + the per-dim
+    * rounded σ — mirrors Similarity.embeddingStandardize. */
+  private lazy val StdCtes: String =
+    """WITH c AS (SELECT vec_id, CAST(i AS BIGINT) AS dim, round(CAST(embedding[i] AS DOUBLE), 9) AS x
+      |   FROM (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i FROM embeddings) z),
+      | m AS (SELECT dim, count(*) AS n,
+      |    round(CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mu
+      |   FROM c GROUP BY 1),
+      | ce AS (SELECT c.vec_id, c.dim, round(c.x - m.mu, 9) AS cx FROM c JOIN m USING (dim)),
+      | st AS (SELECT dim,
+      |    round(sqrt(round(CAST(sum(CAST(round(cx * cx, 12) AS DECIMAL(38,12))) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE), 8)), 8) AS sigma
+      |   FROM ce GROUP BY 1)""".stripMargin
 
   /** Shared by the batch and streaming priority samplers — the
     * drained stream must answer exactly what one batch pass answers. */
@@ -6555,6 +6578,26 @@ object SparkEntry {
          |SELECT v3.dim, v3.v, round((SELECT nrm FROM n3), 6) AS lambda
          |FROM v3 ORDER BY dim""".stripMargin
     },
+
+    // z = rounded(cx/σ) with σ = round(sqrt(round(var,8)),8) — every
+    // rounding mirrored in order; zero-variance dims pinned to 0
+    "embedding_standardize" ->
+      s"""$StdCtes
+         |SELECT ce.vec_id, ce.dim,
+         | CASE WHEN st.sigma = 0 THEN 0.0 ELSE round(ce.cx / st.sigma, 8) END AS z
+         |FROM ce JOIN st USING (dim) ORDER BY vec_id, dim""".stripMargin,
+
+    // Σz² DECIMAL-summed per vector, total-ordered top-50
+    "embedding_outliers" ->
+      s"""$StdCtes,
+         | zr AS (SELECT ce.vec_id,
+         |    CASE WHEN st.sigma = 0 THEN 0.0 ELSE round(ce.cx / st.sigma, 8) END AS z
+         |   FROM ce JOIN st USING (dim)),
+         | m2 AS (SELECT vec_id,
+         |    round(CAST(sum(CAST(round(z * z, 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS m2
+         |   FROM zr GROUP BY 1)
+         |SELECT vec_id, m2, CAST(row_number() OVER (ORDER BY m2 DESC, vec_id) AS BIGINT) AS rank
+         |FROM m2 ORDER BY m2 DESC, vec_id LIMIT 50""".stripMargin,
 
     // the embedding[i]/generate_series device; per-component rounded
     // decimal sums mirror the Spark side exactly

@@ -866,6 +866,48 @@ object Similarity {
       .select(col("vec_id"), col("dim"), round(col("x") - col("mu"), 9).as("cx"))
   }
 
+  /** Per-dimension z-scores — the whitening step (diagonal form)
+    * every distance-based downstream (k-means, ANN, outlier screens)
+    * silently assumes: z = (x − μ)/σ with σ from the exact rounded-
+    * DECIMAL variance. Zero-variance dims standardize to 0 rather
+    * than NaN. Output: (vec_id, dim, z) — the sparse relational form
+    * that joins/prunes like any relation. One extra d-row broadcast
+    * over [[embeddingCovariance]]'s front half; n·d output rows. */
+  def embeddingStandardize(embs: DataFrame, vecCol: String = "embedding",
+                           idCol: String = "vec_id"): DataFrame = {
+    val ce = centeredComponents(embs, vecCol, idCol).localCheckpoint(true)
+    val stats = ce.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("cx") * col("cx"), 12).cast(DecimalType(38, 12))).as("s2"))
+      .select(col("dim"),
+        round(sqrt(round(col("s2").cast(DoubleType) / col("n").cast(DoubleType), 8)), 8)
+          .as("sigma"))
+    ce.join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim"),
+        when(col("sigma") === 0.0, lit(0.0))
+          .otherwise(round(col("cx") / col("sigma"), 8)).as("z"))
+  }
+
+  /** Embedding-hygiene outlier screen: per-vector squared Mahalanobis
+    * distance under the DIAGONAL covariance (Σ z²over dims — the
+    * d-expected statistic; the full-matrix form needs the inverse,
+    * which no exact cross-engine path survives), top-k by score with
+    * a total order. A vector that scores far above d is a pipeline
+    * artifact (wrong modality, truncated write, scale drift) before
+    * it is interesting data. Output: (vec_id, m2, rank), k rows. */
+  def embeddingOutliers(embs: DataFrame, k: Int = 50,
+                        vecCol: String = "embedding",
+                        idCol: String = "vec_id"): DataFrame = {
+    require(k > 0, "embeddingOutliers needs k > 0")
+    val m2 = embeddingStandardize(embs, vecCol, idCol)
+      .select(col("vec_id"), round(col("z") * col("z"), 12).cast(DecimalType(38, 12)).as("z2"))
+      .groupBy(col("vec_id"))
+      .agg(round(sum(col("z2")).cast(DoubleType), 6).as("m2"))
+    m2.orderBy(col("m2").desc, col("vec_id")).limit(k)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("m2").desc, col("vec_id"))).cast(LongType))
+  }
+
   /** EXACT population covariance matrix of the embedding columns —
     * the second-moment structure PCA/whitening/Mahalanobis all start
     * from, as a first-class relation (dim_i ≤ dim_j upper triangle:

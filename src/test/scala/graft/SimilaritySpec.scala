@@ -353,6 +353,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again === got)
   }
 
+  test("embeddingStandardize/embeddingOutliers: unit scale, planted artifact caught") {
+    val spark2 = spark; import spark2.implicits._
+    // 9 well-behaved vectors + one scale-drifted artifact (vec 10)
+    val fx = ((1 to 9).map { i =>
+      (i.toLong, Seq(math.sin(i.toDouble), math.cos(i.toDouble), (i % 3).toDouble, 1.0))
+    } :+ ((10L, Seq(40.0, -40.0, 40.0, 1.0)))).toDF("vec_id", "embedding")
+    val z = Similarity.embeddingStandardize(fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // constant dim 4 standardizes to 0 everywhere, not NaN
+    assert(z.filter(_._2 == 4L).forall(_._3 === 0.0))
+    // per-dim z mean ~0 and population var ~1 on the varying dims
+    (1L to 3L).foreach { d =>
+      val zs = z.filter(_._2 == d).map(_._3)
+      assert(math.abs(zs.sum / zs.length) < 1e-6, s"dim $d mean")
+      assert(math.abs(zs.map(v => v * v).sum / zs.length - 1.0) < 1e-6, s"dim $d var")
+    }
+    val top = Similarity.embeddingOutliers(fx, k = 3).collect()
+      .map(r => (r.getLong(2), r.getLong(0))).toMap
+    assert(top(1L) === 10L) // the artifact ranks first by a wide margin
+  }
+
   test("embeddingCovariance/pcaTopComponent: exact moments, dominant axis recovered") {
     val spark2 = spark; import spark2.implicits._
     // mass along axis 1 (t = -2..2), a correlated t/10 on axis 2,
