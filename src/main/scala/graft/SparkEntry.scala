@@ -2253,6 +2253,75 @@ object SparkEntry {
           col("n_blocks"), col("n_kept"), col("main_text"))
         .orderBy("url")
     }),
+    // rel=canonical dedup — the polite-crawl dedup signal that beats
+    // any content hash (the SITE tells you which copy is the master):
+    // every page's head carries a deliberately messy canonical href
+    // (uppercase scheme+host, explicit :443, fragment) pointing at
+    // its triple's master doc; extraction + normalization + grouping
+    // yield per-page master URL, the is_canonical verdict, and the
+    // duplicate-family size. One narrow regex pass + one group-by on
+    // the normalized key — scales like any hash dedup
+    "canonical_dedup" -> ((s, d) => {
+      val docs = t(s, d).documents
+      val id = col("doc_id")
+      val m = id - (id % 3)
+      val canonRaw = concat(lit("HTTPS://"), upper(Html.fixtureHost(m % Html.SiteSpace)),
+        lit(":443/doc/"), m.cast("string"), lit("#canon"))
+      val withCanon = Html.pageFromDocs(docs)
+        .select(col("doc_id"), regexp_replace(col("html"), lit("</head>"),
+          concat(lit("<link rel=\"canonical\" href=\""), canonRaw,
+            lit("\">\n</head>"))).as("html"))
+      val base = concat(lit("https://"), Html.fixtureHost(id % Html.SiteSpace),
+        lit("/doc/"), id.cast("string"))
+      val ext = withCanon.select(col("doc_id"),
+          regexp_extract(col("html"), "<link rel=\"canonical\" href=\"([^\"]*)\"", 1).as("raw"))
+        .select(col("doc_id"), Html.urlNormalize(col("raw"), base).as("canonical_url"),
+          base.as("own_url"))
+        .select(col("doc_id"), col("canonical_url"),
+          (col("canonical_url") === col("own_url")).as("is_canonical"))
+        // normalize ONCE, materialize ONCE: the family count and the
+        // output join both consume this narrow relation — without
+        // the checkpoint the page build + regex + normalizer tree
+        // run twice (13s → ~1s at sf0.1)
+        .localCheckpoint(true)
+      val fam = ext.groupBy(col("canonical_url")).agg(count(lit(1)).as("group_size"))
+      ext.join(fam, "canonical_url")
+        .select(col("doc_id"), col("canonical_url"), col("is_canonical"), col("group_size"))
+        .orderBy("doc_id")
+    }),
+    // sitemap-driven discovery — the OTHER half of polite crawling
+    // (robots says what you may fetch; the sitemap says what exists):
+    // each host's sitemap XML is assembled deterministically from its
+    // pages (<loc> + <lastmod>), parsed back with one positional
+    // regexp pass, and anti-joined against the already-crawled set —
+    // the output is the uncrawled discovery list a frontier ingests.
+    // The hash proves the XML build/parse round trip AND the
+    // discovery anti-join
+    "sitemap_discovery" -> ((s, d) => {
+      val docs = t(s, d).documents
+      val id = col("doc_id")
+      val url = concat(lit("https://"), Html.fixtureHost(id % Html.SiteSpace),
+        lit("/doc/"), id.cast("string"))
+      val entries = docs.select((id % Html.SiteSpace).as("hk"), id.as("doc_id"),
+        concat(lit("<url><loc>"), url, lit("</loc><lastmod>"),
+          (lit(1700000000L) + id).cast("string"), lit("</lastmod></url>")).as("e"))
+      val sitemaps = entries.groupBy(col("hk"))
+        .agg(concat(lit("<?xml version=\"1.0\"?><urlset>"),
+          concat_ws("", expr("transform(array_sort(collect_list(struct(doc_id, e))), s -> s.e)")),
+          lit("</urlset>")).as("xml"))
+      val parsed = sitemaps.select(col("hk"),
+          expr("regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)").as("locs"),
+          expr("regexp_extract_all(xml, '<lastmod>([^<]*)</lastmod>', 1)").as("mods"))
+        .select(col("hk"), explode(arrays_zip(col("locs"), col("mods"))).as("z"))
+        .select(col("hk"), col("z.locs").as("url"),
+          col("z.mods").cast("long").as("lastmod_ts"),
+          regexp_extract(col("z.locs"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"))
+      val crawled = docs.where(col("doc_id") % 2 === 0).select(col("doc_id"))
+      parsed.join(crawled, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), Html.fixtureHost(col("hk")).as("host"),
+          col("url"), col("lastmod_ts"))
+        .orderBy("doc_id")
+    }),
     // URL normalization as an oracle query: each doc's three raw href
     // forms (absolute with uppercase scheme/host + default port +
     // fragment; root-relative with query; dot-segment relative) are
@@ -6782,6 +6851,30 @@ object SparkEntry {
     // record-gzipped containers inflate back to the identical record
     // stream — the same twin is the decompression proof
     "warc_gzip_ingest" -> warcIngestTwinSql,
+
+    // closed-form: master m = doc_id − (doc_id mod 3); the hash
+    // proves injection round-trip, extraction, normalization
+    // (scheme/host lowering, :443 and fragment stripping), grouping
+    "canonical_dedup" -> {
+      val ss = Html.SiteSpace
+      s"""WITH x AS (SELECT doc_id, doc_id - (doc_id % 3) AS m FROM documents),
+         | c AS (SELECT doc_id, m,
+         |    'https://' || ${sqlHost(s"m%$ss")} || '/doc/' || m AS canonical_url FROM x),
+         | g AS (SELECT canonical_url, count(*) AS group_size FROM c GROUP BY 1)
+         |SELECT c.doc_id, c.canonical_url, c.doc_id = c.m AS is_canonical, g.group_size
+         |FROM c JOIN g USING (canonical_url) ORDER BY c.doc_id""".stripMargin
+    },
+
+    // closed-form discovery list: uncrawled = odd ids; url/lastmod
+    // rebuilt from doc_id arithmetic — the build/parse round trip is
+    // what the Spark side must invert losslessly
+    "sitemap_discovery" -> {
+      val ss = Html.SiteSpace
+      s"""SELECT doc_id, ${sqlHost(s"doc_id%$ss")} AS host,
+         | 'https://' || ${sqlHost(s"doc_id%$ss")} || '/doc/' || doc_id AS url,
+         | CAST(1700000000 + doc_id AS BIGINT) AS lastmod_ts
+         |FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id""".stripMargin
+    },
 
     // expected normalized URLs built closed-form from doc_id
     // arithmetic — the three raw forms' resolution/canonicalization is
