@@ -823,6 +823,12 @@ object SparkEntry {
     // no float accumulation, association-proof under segment trees)
     "change_points" -> ((s, d) =>
       Series.changePoints(t(s, d).events).orderBy("key")),
+    // volume = trend + seasonal + residual per (type, day): centered
+    // observed-day MA trend, epoch-arithmetic day-of-week seasonal
+    // means, and the residual a feed alert should threshold instead
+    // of raw volume (which confounds weekly shape with anomalies)
+    "stl_decompose" -> ((s, d) =>
+      Series.stlDecompose(t(s, d).events).orderBy("key", "day")),
     // equi-depth histogram of a ROW-SCALE fact column — the
     // statistics-building primitive a CBO's column stats and a
     // feature-binning step both need: 10 equal-population bins with
@@ -2252,6 +2258,32 @@ object SparkEntry {
         .select(col("doc_id").as("url"), col("fetch_ts"),
           col("n_blocks"), col("n_kept"), col("main_text"))
         .orderBy("url")
+    }),
+    // MULTI-SIGNAL dedup fusion — the entity-resolution step after
+    // the individual signals: exact-hash cliques (re-hosted copies
+    // planted at id+10000) and canonical families (the id−id%3
+    // triples) rarely agree on their own, so their edge UNION runs
+    // through large-star/small-star components and every doc gets ONE
+    // family id. Copies chain INTO canonical families through their
+    // text twin — the 2-hop merge neither signal finds alone, which
+    // is exactly what the closed-form twin pins
+    "dedup_graph_fusion" -> ((s, d) => {
+      val docs = t(s, d).documents.select(col("doc_id"), col("text"))
+      val copies = docs.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      val all = docs.unionByName(copies)
+      // exact signal: same-sha star edges to the group's min id
+      val hashed = all.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      val hubs = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("hub"))
+      val exactEdges = hashed.join(hubs, "h")
+        .where(col("doc_id") =!= col("hub"))
+        .select(col("doc_id").as("doc_a"), col("hub").as("doc_b"))
+      // canonical signal: originals point at their triple's master
+      val canonEdges = docs.where(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id").as("doc_a"), (col("doc_id") - col("doc_id") % 3).as("doc_b"))
+      Graph.starComponents(exactEdges.unionByName(canonEdges),
+          all.select(col("doc_id")))
+        .orderBy("doc_id")
     }),
     // rel=canonical dedup — the polite-crawl dedup signal that beats
     // any content hash (the SITE tells you which copy is the master):
@@ -6852,6 +6884,15 @@ object SparkEntry {
     // stream — the same twin is the decompression proof
     "warc_gzip_ingest" -> warcIngestTwinSql,
 
+    // the 2-hop merge closed-form: every original lands in its
+    // canonical triple; every planted copy chains into its text
+    // twin's triple through the exact-hash edge
+    "dedup_graph_fusion" ->
+      """SELECT doc_id, doc_id - (doc_id % 3) AS cluster_id FROM documents
+        |UNION ALL
+        |SELECT doc_id + 10000, doc_id - (doc_id % 3) FROM documents WHERE doc_id % 10 = 0
+        |ORDER BY 1""".stripMargin,
+
     // closed-form: master m = doc_id − (doc_id mod 3); the hash
     // proves injection round-trip, extraction, normalization
     // (scheme/host lowering, :443 and fragment stripping), grouping
@@ -7931,6 +7972,27 @@ object SparkEntry {
         |SELECT key, day AS change_day, n_days,
         | round(CAST(cusum_n AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS peak_cusum
         |FROM k WHERE rk = 1 ORDER BY key""".stripMargin,
+
+    // same daily CTE in micro-integer units (floor of int*1e6/cnt is
+    // provably exact — see the operator doc); dow via
+    // (day − epoch-Monday) % 7, not DAYOFWEEK (anchors differ)
+    "stl_decompose" ->
+      """WITH daily AS (SELECT event_type AS key, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+        |               FROM events GROUP BY 1, 2),
+        | tr AS (SELECT key, day, n,
+        |    CAST(floor(CAST(CAST(sum(n) OVER w AS BIGINT) * 1000000 AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE)) AS BIGINT) AS trend_u
+        |   FROM daily WINDOW w AS (PARTITION BY key ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        | dv AS (SELECT key, day, n, trend_u,
+        |    CAST((day - DATE '1970-01-05') % 7 AS BIGINT) AS dow,
+        |    n * 1000000 - trend_u AS dev_u FROM tr),
+        | se AS (SELECT key, dow,
+        |    CAST(floor(CAST(sum(dev_u) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS seasonal_u
+        |   FROM dv GROUP BY 1, 2)
+        |SELECT dv.key, dv.day, dv.n,
+        | CAST(dv.trend_u AS DOUBLE) / 1000000.0 AS trend, dv.dow,
+        | CAST(se.seasonal_u AS DOUBLE) / 1000000.0 AS seasonal,
+        | CAST(dv.dev_u - se.seasonal_u AS DOUBLE) / 1000000.0 AS residual
+        |FROM dv JOIN se USING (key, dow) ORDER BY dv.key, dv.day""".stripMargin,
 
     // row-based lookback frame of exact integer sums; mean/var/z in a
     // fixed-association float finish; the anomaly cut compares the

@@ -258,6 +258,56 @@ object Series {
         .agg(count(lit(1)).as("n")),
       minDays)
 
+  /** Additive STL-style decomposition of the per-key daily series:
+    * volume = trend + seasonal + residual. Trend is the centered
+    * observed-day moving average (±`halfWindow` ROWS — honest about
+    * gaps: the window is over observed days, not calendar days);
+    * seasonal is the day-of-week mean of the detrended deviations
+    * (dow from epoch-day arithmetic — SQL engines disagree on
+    * DAYOFWEEK's anchor, integer math doesn't); residual is what
+    * neither explains — the series a feed-health alert should
+    * actually threshold, since raw volume confounds weekly shape
+    * with real anomalies.
+    *
+    * Exactness: n is an exact count; trend/seasonal are one rounded
+    * division each off integer/DECIMAL sums; the residual is one
+    * fixed-association subtraction chain. Scale shape: everything
+    * runs on the (key, day) daily relation — two key-partitioned
+    * windows and one (key, dow) aggregate, never the event log. */
+  def stlDecompose(events: DataFrame, keyCol: String = "event_type",
+                   tsCol: String = "ts", halfWindow: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val daily = events.groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rowsBetween(-halfWindow, halfWindow)
+    // MICRO-INTEGER arithmetic throughout: round(sum/cnt, 6) is
+    // hash-unsafe here (a mean can land ON the 6-dp tie, where
+    // Spark's shortest-repr BigDecimal and IEEE-true values round
+    // apart — caught at sf0.01), but floor(int*1e6 / cnt) is
+    // provably exact: a non-integral ratio sits ≥ 1/cnt from the
+    // nearest integer, ~1e9 times the double's error. Components
+    // stay exact BIGINT micro-units until one final /1e6 display
+    // division, identical on both engines.
+    val dv = daily
+      .withColumn("trend_u",
+        floor((sum(col("n")).over(w) * lit(1000000L)).cast(DoubleType) /
+          count(lit(1)).over(w).cast(DoubleType)).cast(LongType))
+      .withColumn("dow",
+        pmod(datediff(col("day"), to_date(lit("1970-01-05"))), lit(7)).cast(LongType))
+      .withColumn("dev_u", col("n") * lit(1000000L) - col("trend_u"))
+    val seasonal = dv.groupBy(col("key"), col("dow"))
+      .agg(floor(sum(col("dev_u")).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).cast(LongType).as("seasonal_u"))
+    dv.join(seasonal, Seq("key", "dow"))
+      .select(col("key"), col("day"), col("n"),
+        (col("trend_u").cast(DoubleType) / lit(1000000.0)).as("trend"),
+        col("dow"),
+        (col("seasonal_u").cast(DoubleType) / lit(1000000.0)).as("seasonal"),
+        ((col("dev_u") - col("seasonal_u")).cast(DoubleType) / lit(1000000.0)).as("residual"))
+  }
+
   /** The CUSUM peak math over an ALREADY-built (key, day, n) daily
     * relation — the split that makes the change-point monitor
     * streamable (the scoreDailyAnomalies device): the stream

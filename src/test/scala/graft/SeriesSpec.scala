@@ -168,4 +168,38 @@ class SeriesSpec extends AnyFunSuite {
     val steady = got(("spiky", "2024-03-10"))
     assert(!steady._3 && steady._2.exists(z => math.abs(z) < 3))
   }
+
+  test("stlDecompose: exact additive identity, dow anchor, flat series decomposes to zero") {
+    // 3 weeks of a weekly-shaped series: weekday level 10, a +5
+    // weekend bump, plus one planted +40 spike
+    val rows = (0 until 21).map { i =>
+      val day = java.time.LocalDate.of(2024, 3, 4).plusDays(i.toLong) // a Monday
+      val dowBump = if (day.getDayOfWeek.getValue >= 6) 15 else 10
+      val n = dowBump + (if (i == 9) 40 else 0)
+      (day.toString, n)
+    }
+    val events = rows.flatMap { case (d, n) =>
+      (1 to n).map(j => (Timestamp.valueOf(d + " 12:00:00"), "load", j.toLong))
+    }.toDF("ts", "event_type", "event_id")
+    val got = Series.stlDecompose(events).collect()
+      .map(r => r.getDate(1).toString ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got.size === 21)
+    // the additive identity holds EXACTLY in micro-units for every row
+    got.values.foreach { case (n, trend, _, seasonal, residual) =>
+      val lhs = math.round(trend * 1e6) + math.round(seasonal * 1e6) + math.round(residual * 1e6)
+      assert(lhs === n * 1000000L, s"identity broke: $n vs $lhs")
+    }
+    // dow anchor: 2024-03-04 is a Monday -> dow 0; the weekend carries
+    // positive seasonal, midweek negative
+    assert(got("2024-03-04")._3 === 0L)
+    assert(got("2024-03-09")._3 === 5L && got("2024-03-09")._4 > 0)
+    // a weekday whose dow does NOT host the spike (the spike sits on
+    // Wednesday and lifts that dow's seasonal mean): Tuesday is below
+    // the overall level, so its seasonal runs negative
+    assert(got("2024-03-05")._3 === 1L && got("2024-03-05")._4 < 0, got("2024-03-05").toString)
+    // the spike day owns the LARGEST residual
+    val maxResDay = got.maxBy(_._2._5)._1
+    assert(maxResDay === "2024-03-13", got("2024-03-13").toString)
+  }
 }
