@@ -178,11 +178,30 @@ object Bench {
           Map.empty
       }
     val msOf = (v: Double) => math.round(v * 1000)
+    // Host-epoch normalization (round 11): a uniformly slower host
+    // (page-cache epoch, co-tenant load) shifts the WHOLE distribution
+    // under the 3x sentinel's radar — the r11 run whose suite median
+    // sat at 1.39x history "confirmed" three right-tail queries whose
+    // quiet-host re-runs reproduced the slowdown only because the
+    // whole epoch was slow (untouched code, suite-wide shift). The
+    // tripwire's job is RELATIVE regression, so the 2x criterion is
+    // scaled by the run's own median current/best ratio — the median
+    // is robust to the very regressions being hunted — floored at 1
+    // so a fast epoch never tightens the cut, and only trusted with
+    // enough history to be a distribution (>= 20 entries).
+    val hostFactor: Double = {
+      val ratios = ordered.flatMap { case (name, _) =>
+        val cur = msOf(results(name))
+        hist.get(s"$sfKey/$name").collect { case h if h > 0 && cur > 0 => cur.toDouble / h }
+      }.sorted
+      if (ratios.size < 20) 1.0 else math.max(1.0, ratios(ratios.size / 2))
+    }
+    val hostFactorJson = s""""host_factor":${fmt(hostFactor, 3)},"""
     // (name, current_ms, historical_best_ms), worst inflation first
     val flagged: Seq[(String, Long, Long)] = ordered.flatMap { case (name, _) =>
       val cur = msOf(results(name))
       hist.get(s"$sfKey/$name") match {
-        case Some(h) if h > 0 && cur > 2 * h && cur > 500 => Some((name, cur, h))
+        case Some(h) if h > 0 && cur > 2 * h * hostFactor && cur > 500 => Some((name, cur, h))
         case _ => None
       }
     }.sortBy { case (_, cur, h) => -cur.toDouble / h }
@@ -216,14 +235,16 @@ object Bench {
         else runIsolated(name, sfDir, cpus, math.min(300, budgetLeft)) match {
           case None => None // spawn failure: raw flag stands, noted on stderr
           case Some(first) =>
+            // the isolated children run in the same host epoch, so the
+            // confirm verdict uses the same normalized criterion
             val firstMs = msOf(first)
-            if (firstMs <= 2 * h) Some((name, firstMs, h, false))
+            if (firstMs <= 2 * h * hostFactor) Some((name, firstMs, h, false))
             else {
               val reps = firstMs +: (1 to 2).flatMap(_ =>
                 if (budgetLeft < 60) { confirmTruncated = true; None }
                 else runIsolated(name, sfDir, cpus, math.min(300, budgetLeft)).map(msOf))
               val med = reps.sorted.apply(reps.size / 2)
-              Some((name, med, h, med > 2 * h))
+              Some((name, med, h, med > 2 * h * hostFactor))
             }
         }
       }
@@ -306,7 +327,7 @@ object Bench {
         else confirmResults.map { case (n, ms, h, conf) =>
           s""""$n":{"isolated_ms":$ms,"hist_ms":$h,"confirmed":$conf}"""
         }.mkString(""""isolated":{""", ",", "},")
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec",$sentinel$rawFlags$isolatedRows$confirmedJson"sf":"$sfDir",
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec",$sentinel$hostFactorJson$rawFlags$isolatedRows$confirmedJson"sf":"$sfDir",
          |"queries":$rows}""".stripMargin
     }
     try {
@@ -328,7 +349,7 @@ object Bench {
     def render(decimals: Int): String = {
       val qs = results.map { case (k, v) => s""""$k":${fmt(v, decimals)}""" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",$sentinel$regressionsJson"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",$sentinel$hostFactorJson$regressionsJson"queries":$qs,"sf":"$sfDir"}"""
     }
     def renderTop(n: Int): String = {
       val bySlow = results.toSeq.sortBy(-_._2)
@@ -336,7 +357,7 @@ object Bench {
       val qs = top.sortBy(_._1).map { case (k, v) => s""""$k":${fmt(v, 1)}""" }
         .mkString("{", ",", "}")
       val restTotal = rest.map(_._2).sum
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",$sentinel$regressionsJson"queries":$qs,""" +
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",$sentinel$hostFactorJson$regressionsJson"queries":$qs,""" +
         s""""others":{"n":${rest.size},"total":${fmt(restTotal, 1)}},"detail":"bench_detail.json","sf":"$sfDir"}"""
     }
     val line = {

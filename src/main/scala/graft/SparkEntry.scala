@@ -106,9 +106,12 @@ object SparkEntry {
     * timestamp) delivers documents in id order — making the streaming
     * run's "first occurrence wins" equal the batch oracle's min-id
     * rule. Memoized per sfDir like the other fixtures. */
-  private def stageDocStream(s: SparkSession, d: String, nFiles: Int): String =
-    stageLayout(s, d, s"docstream$nFiles") { tmp =>
-      val docs = t(s, d).documents.select(col("doc_id"), col("lang"), col("text"))
+  private def stageDocStream(s: SparkSession, d: String, nFiles: Int,
+                             withSource: Boolean = false): String =
+    stageLayout(s, d, s"docstream$nFiles${if (withSource) "s" else ""}") { tmp =>
+      val cols = if (withSource) Seq(col("doc_id"), col("lang"), col("source"), col("text"))
+                 else Seq(col("doc_id"), col("lang"), col("text"))
+      val docs = t(s, d).documents.select(cols: _*)
       val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
       val per = maxId / nFiles + 1
       (0 until nFiles).foreach { i =>
@@ -918,6 +921,14 @@ object SparkEntry {
       Dedup.incrementalDigestDedup(docs, store).orderBy("h")
     }),
     "near_dup_jaccard" -> ((s, d) => Dedup.nearestByJaccard(t(s, d).documents).orderBy("doc_id")),
+    // MOSS-style winnowing: rightmost-min-per-window fingerprint
+    // selection at density 2/(w+1) with the >= w+k-1-token detection
+    // guarantee; selection is one per-doc window over a packed BIGINT
+    "winnowing_fingerprints" -> ((s, d) =>
+      Dedup.winnowingFingerprints(t(s, d).documents).orderBy("doc_id", "fp_pos")),
+    // the MOSS match step: pairs sharing >= 2 df-capped fingerprints
+    "winnowing_near_dups" -> ((s, d) =>
+      Dedup.winnowingNearDups(t(s, d).documents).orderBy("doc_a", "doc_b")),
     // asymmetric containment |S(A)∩S(B)|/|S(A)| — the partial-dup
     // (quote-inside-page) detector Jaccard structurally misses; same
     // df-capped candidate bound as jaccardPairs, directed output,
@@ -1376,6 +1387,19 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, e.where(col("vec_id") % 50 === 0))
         .orderBy("q_id", "rank")
     }),
+    // the k-occurrence hubness census: N_k histogram with antihubs —
+    // the high-dimensionality red flag every k-NN consumer inherits
+    "knn_hubness" -> ((s, d) =>
+      Similarity.knnHubness(t(s, d).embeddings).orderBy("n_k")),
+    // ratio-margin bitext mining: per-source best target scored by
+    // cos/(k-NN mass avg) — hub cancellation — with the mutual
+    // (forward-backward) flag; sides are vec_id parity
+    "bitext_margin_mining" -> ((s, d) => {
+      val e = t(s, d).embeddings
+      Similarity.bitextMarginMining(
+        e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1))
+        .orderBy("s_id")
+    }),
     // EXACT-replayable distributed k-means: deterministic init (first
     // k vectors), 6-dp-rounded min-code-tiebreak assignment, 10-dp
     // DECIMAL-accumulated means — the whole clustering sits behind the
@@ -1692,6 +1716,11 @@ object SparkEntry {
     "dataset_split" -> ((s, d) =>
       Corpus.datasetSplit(t(s, d).documents)
         .select(col("doc_id"), col("lang"), col("split")).orderBy("doc_id")),
+    // the QA step after the split: held-out docs sharing >= 2 distinct
+    // trigram shingles with ANY train doc — near-dups straddle a
+    // content-hash boundary even though exact dups cannot
+    "split_leakage_audit" -> ((s, d) =>
+      Corpus.splitLeakageAudit(t(s, d).documents).orderBy("doc_id")),
     // skyline curation: docs on the (size ↑, vocabulary-richness ↑)
     // Pareto frontier via the sample-prune-exact ladder — the
     // quadratic dominance check runs only on the undominated band,
@@ -1803,6 +1832,38 @@ object SparkEntry {
         .agg(sum(col("cnt")).as("n_occurrences"),
           count_distinct(col("tok")).as("n_types"))
         .orderBy("tok_len")
+    }),
+    // tokenizer COVERAGE audit: per-language byte-fallback share —
+    // the zh documents sit entirely outside the learned 41-symbol
+    // alphabet and take the <0xHH> path, en/de stay in-vocabulary;
+    // a nonzero oov_ppm on a language the tokenizer claims to cover
+    // is the one-glance artifact-mismatch alarm. Applier on DISTINCT
+    // words only, occurrence-weighted by the doc join
+    "bpe_oov_rate" -> ((s, d) => {
+      val docs = t(s, d).documents
+      // the raw corpus is alphabet-pure (zero fallback everywhere —
+      // hash-proven), so zh docs get one planted CJK token, stitched
+      // identically by both engines from the same constant
+      val stitched = docs.select(col("doc_id"),
+        when(col("lang") === "zh", concat(col("text"), lit(" " + OovFixtureTok)))
+          .otherwise(col("text")).as("text"))
+      val dw = stitched.select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+        .where(length(col("tok")) > 0)
+        .select(col("doc_id"), lower(col("tok")).as("word"))
+      val wt = dw.select(col("word")).distinct()
+        .select(col("word"),
+          Bpe.tokens(col("word"), Bpe.DefaultMerges, Some(Bpe.DefaultAlphabet)).as("toks"))
+        .select(col("word"), size(col("toks")).cast("long").as("n_toks"),
+          size(filter(col("toks"), t => t.rlike("^<0x[0-9a-f]{2}>$")))
+            .cast("long").as("n_oov"))
+      dw.join(wt, "word")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(sum(col("n_toks")).as("bpe_tokens"), sum(col("n_oov")).as("oov_tokens"))
+        .select(col("lang"), col("bpe_tokens"), col("oov_tokens"),
+          floor(col("oov_tokens") * lit(1000000L) / col("bpe_tokens")).as("oov_ppm"))
+        .orderBy("lang")
     }),
     // tokenizer-fertility report: BPE-per-whitespace-token ratio per
     // language — the budget-realism number packing reads; the applier
@@ -2998,39 +3059,21 @@ object SparkEntry {
     // the Gopher word-gate pass rate. All floor-ppm integer shares
     // and one histogram-sized window — every input relation is an
     // aggregate, so the card costs two corpus scans at any scale
-    "corpus_card" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = t(s, d).documents
-      val tk = docs.select(col("doc_id"), col("lang"), col("source"),
-        size(filter(split(col("text"), TextOps.TokenSepRe), x => length(x) > 0))
-          .cast("long").as("n_toks"),
-        length(col("text")).cast("long").as("n_chars"),
-        sha2(col("text"), 256).as("h"))
-      val base = tk.agg(count(lit(1)).as("n_docs"),
-        countDistinct(col("lang")).as("n_langs"),
-        countDistinct(col("source")).as("n_sources"),
-        sum(col("n_toks")).as("n_tokens"),
-        sum(col("n_chars")).as("n_chars"),
-        countDistinct(col("h")).as("n_distinct"))
-      val topl = tk.groupBy(col("lang")).agg(count(lit(1)).as("c"))
-        .orderBy(desc("c"), asc("lang")).limit(1)
-        .select(col("lang").as("top_lang"), col("c").as("top_lang_docs"))
-      val hist = tk.groupBy(col("n_toks")).agg(count(lit(1)).as("cnt"))
-      val hh = hist.withColumn("cnt_below",
-        coalesce(sum(col("cnt")).over(
-          Window.orderBy(col("n_toks")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      val p50 = hh.crossJoin(broadcast(base.select(col("n_docs").as("nd"))))
-        .where(col("cnt_below") < ceil(col("nd") * lit(0.5)).cast("long") &&
-          col("cnt_below") + col("cnt") >= ceil(col("nd") * lit(0.5)).cast("long"))
-        .agg(min(col("n_toks")).as("p50_doc_tokens"))
-      val gate = TextQuality.gopherQualityGate(docs)
-        .agg(coalesce(sum(when(col("keep"), lit(1L)).otherwise(lit(0L))), lit(0L)).as("n_pass"))
-      base.crossJoin(broadcast(topl)).crossJoin(broadcast(p50)).crossJoin(broadcast(gate))
-        .select(col("n_docs"), col("n_langs"), col("n_sources"), col("top_lang"),
-          floor(col("top_lang_docs") * lit(1000000L) / col("n_docs")).as("top_lang_ppm"),
-          col("n_tokens"), col("n_chars"), col("p50_doc_tokens"),
-          floor((col("n_docs") - col("n_distinct")) * lit(1000000L) / col("n_docs")).as("dup_ppm"),
-          floor(col("n_pass") * lit(1000000L) / col("n_docs")).as("gopher_pass_ppm"))
+    "corpus_card" -> ((s, d) => Corpus.datasetCard(t(s, d).documents)),
+    // the release artifact maintained INCREMENTALLY: each micro-batch
+    // commits its histogram-sized cube delta + first-seen digests; the
+    // finish recomputes the card from the drained stores, so the batch
+    // corpus_card twin serves unchanged
+    "streaming_corpus_card" -> ((s, d) => {
+      val src = stageDocStream(s, d, nFiles = 4, withSource = true)
+      val ss = streamSession(s)
+      val stream = ss.readStream
+        .schema("doc_id LONG, lang STRING, source STRING, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+      val cubeDir = java.nio.file.Files.createTempDirectory("graft-card-cube").toString
+      val digestDir = java.nio.file.Files.createTempDirectory("graft-card-digest").toString
+      graft.streaming.IngestPipeline.runCardIngest(ss, stream, cubeDir, digestDir)
     }),
     "doc_chunks" -> ((s, d) =>
       Corpus.chunk(t(s, d).documents, size = 128)
@@ -3539,6 +3582,18 @@ object SparkEntry {
       val finished = EventStreams.runToMemory(ss, daily,
         s"stream_daily_cp_${System.nanoTime()}")
       Series.changePointsFromDaily(finished).orderBy("key")
+    }),
+    // the decomposition monitor joins the streamed feed-health family
+    // (trend/anomaly/change-point): watermark-bounded per-(key, day)
+    // counters in the stream, the micro-integer STL finish on the
+    // finished daily relation — the batch twin serves unchanged
+    "streaming_stl" -> ((s, d) => {
+      val tmp = stageEvents(s, d, copies = 1, filesPerCopy = 4)
+      val ss = streamSession(s)
+      val daily = EventStreams.dailyCounts(EventStreams.readEventStream(ss, tmp))
+      val finished = EventStreams.runToMemory(ss, daily,
+        s"stream_daily_stl_${System.nanoTime()}")
+      Series.stlFromDaily(finished).orderBy("key", "day")
     }),
     // behavior-shift monitor, streamed: per-(user, day) ordered
     // type sequences frozen by sort_array inside the stream's state
@@ -4243,6 +4298,64 @@ object SparkEntry {
       |      / CAST(count(*) AS DOUBLE), 8)), 8) AS sigma
       |   FROM ce GROUP BY 1)""".stripMargin
 
+  /** Shared by the batch and streaming dataset cards — the drained
+    * incremental card (merged cube deltas + digest-store count)
+    * converges to the one-shot batch card. One-row card: every
+    * sub-relation rebuilt as its own aggregate CTE off the same token
+    * split; ppm shares floored the same way. */
+  private lazy val corpusCardTwinSql: String = {
+    val stops = TextQuality.Stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH tk AS (SELECT doc_id, lang, source, text,
+       |    CAST(len(list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0)) AS BIGINT) AS n_toks,
+       |    CAST(length(text) AS BIGINT) AS n_chars FROM documents),
+       | base AS (SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+       |    count(DISTINCT source) AS n_sources,
+       |    CAST(sum(n_toks) AS BIGINT) AS n_tokens, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |    count(DISTINCT sha256(text)) AS n_distinct FROM tk),
+       | topl AS (SELECT lang AS top_lang, count(*) AS top_lang_docs FROM tk
+       |          GROUP BY lang ORDER BY count(*) DESC, lang LIMIT 1),
+       | h AS (SELECT n_toks, count(*) AS cnt FROM tk GROUP BY 1),
+       | hh AS (SELECT n_toks, cnt,
+       |    coalesce(sum(cnt) OVER (ORDER BY n_toks ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnt_below FROM h),
+       | p50 AS (SELECT min(n_toks) AS p50_doc_tokens FROM hh CROSS JOIN base
+       |         WHERE cnt_below < CAST(ceil(n_docs * 0.5e0) AS BIGINT)
+       |           AND cnt_below + cnt >= CAST(ceil(n_docs * 0.5e0) AS BIGINT)),
+       | gf AS (SELECT CAST(len(tkl) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(tkl, x -> length(x))) AS DOUBLE) / len(tkl) AS mean_word_len,
+       |    CAST(len(list_filter(tkl, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(tkl) AS alpha_frac,
+       |    CAST(len(list_filter(tkl, x -> list_contains([$stops], lower(x)))) AS BIGINT) AS n_stop_hits
+       |   FROM (SELECT list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS tkl FROM documents) z),
+       | gate AS (SELECT count(*) FILTER (WHERE n_words BETWEEN 50 AND 100000 AND mean_word_len >= 3.0
+       |           AND mean_word_len <= 10.0 AND alpha_frac >= 0.8 AND n_stop_hits >= 2) AS n_pass FROM gf)
+       |SELECT base.n_docs, CAST(base.n_langs AS BIGINT) AS n_langs,
+       | CAST(base.n_sources AS BIGINT) AS n_sources, topl.top_lang,
+       | CAST(floor(topl.top_lang_docs * 1000000 / base.n_docs) AS BIGINT) AS top_lang_ppm,
+       | base.n_tokens, base.n_chars, p50.p50_doc_tokens,
+       | CAST(floor((base.n_docs - base.n_distinct) * 1000000 / base.n_docs) AS BIGINT) AS dup_ppm,
+       | CAST(floor(gate.n_pass * 1000000 / base.n_docs) AS BIGINT) AS gopher_pass_ppm
+       |FROM base CROSS JOIN topl CROSS JOIN p50 CROSS JOIN gate""".stripMargin
+  }
+
+  /** Shared by the batch and streaming STL monitors — the streamed
+    * daily relation converges to the batch one. */
+  private lazy val stlTwinSql: String =
+    """WITH daily AS (SELECT event_type AS key, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+      |               FROM events GROUP BY 1, 2),
+      | tr AS (SELECT key, day, n,
+      |    CAST(floor(CAST(CAST(sum(n) OVER w AS BIGINT) * 1000000 AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE)) AS BIGINT) AS trend_u
+      |   FROM daily WINDOW w AS (PARTITION BY key ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      | dv AS (SELECT key, day, n, trend_u,
+      |    CAST((day - DATE '1970-01-05') % 7 AS BIGINT) AS dow,
+      |    n * 1000000 - trend_u AS dev_u FROM tr),
+      | se AS (SELECT key, dow,
+      |    CAST(floor(CAST(sum(dev_u) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS seasonal_u
+      |   FROM dv GROUP BY 1, 2)
+      |SELECT dv.key, dv.day, dv.n,
+      | CAST(dv.trend_u AS DOUBLE) / 1000000.0 AS trend, dv.dow,
+      | CAST(se.seasonal_u AS DOUBLE) / 1000000.0 AS seasonal,
+      | CAST(dv.dev_u - se.seasonal_u AS DOUBLE) / 1000000.0 AS residual
+      |FROM dv JOIN se USING (key, dow) ORDER BY dv.key, dv.day""".stripMargin
+
   /** Shared by the batch and streaming priority samplers — the
     * drained stream must answer exactly what one batch pass answers. */
   private lazy val prioritySampleTwinSql: String =
@@ -4279,10 +4392,26 @@ object SparkEntry {
     * per-iteration best-rank merge, bit-identical to Bpe.applyMerges —
     * `fin` holds each distinct word's terminal tokenization. Expects a
     * CTE `wc(word, cnt)` in scope. */
-  private val BpeApplyCte =
+  /** The stitched-on OOV fixture token for bpe_oov_rate ("数据"): the
+    * raw corpus is alphabet-pure (n_oov = 0 for every language —
+    * hash-proven), so the byte-fallback path needs planted dirt, the
+    * card_scrub device. Both engines derive their rendering of it
+    * from THIS one constant. */
+  private val OovFixtureTok = "数据"
+
+  /** DuckDB applier base case, parameterizable: the default splits a
+    * word per character — correct ONLY while every char is in the
+    * learned alphabet (true of the raw corpus, hash-proven). The
+    * byte-faithful variant used by bpe_oov_rate expands each planted
+    * OOV char to its `<0xHH>` UTF-8 marker sequence (generated in
+    * Scala from [[OovFixtureTok]]), mirroring Bpe.tokens' fallback; no
+    * learned merge touches a marker (the alphabet-pure corpus could
+    * never produce one), so both engines' token streams stay aligned. */
+  private def bpeApplyCte(baseToks: String =
+      "list_filter(string_split(word, ''), c -> length(c) > 0)") =
     s""" merges(rank, l, r) AS (VALUES $BpeMergesValues),
        | st AS (
-       |   SELECT word, list_filter(string_split(word, ''), c -> length(c) > 0) AS toks
+       |   SELECT word, $baseToks AS toks
        |   FROM (SELECT DISTINCT word FROM wc)
        |   UNION ALL
        |   SELECT word,
@@ -4305,6 +4434,19 @@ object SparkEntry {
        |     WHERE list_contains(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]),
        |       m.l || ' ' || m.r))
        | )""".stripMargin
+
+  private val BpeApplyCte = bpeApplyCte()
+
+  /** Byte-faithful applier base case for the OOV-stitched corpus. */
+  private val BpeApplyCteByteFaithful: String = {
+    val cases = OovFixtureTok.map { c =>
+      val bytes = c.toString.getBytes("UTF-8")
+        .map(b => f"'<0x${b & 0xff}%02x>'").mkString("[", ", ", "]")
+      s"WHEN c = chr(${c.toInt}) THEN $bytes"
+    }.mkString(" ")
+    bpeApplyCte(
+      s"flatten(list_transform(list_filter(string_split(word, ''), c -> length(c) > 0), c -> CASE $cases ELSE [c] END))")
+  }
 
   /** Shared bigram-LM CTE chain (bigram_logprob + perplexity_filter
     * twins): ordered cleaned-word lists → adjacent pairs → min-count-
@@ -5824,6 +5966,34 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, other_id) AS rn FROM sym)
         |SELECT doc_id, other_id, jaccard FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+    // winnowing selection replayed verbatim: the packed-BIGINT window
+    // min IS the paper's "smallest hash, rightmost on ties" rule; the
+    // 40-bit md5-prefix hash comes from the same md5 string on both
+    // engines (HexInt40 expands DuckDB's missing conv(hex))
+    "winnowing_fingerprints" ->
+      s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS l FROM documents),
+         | g AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM toks WHERE len(l) >= 6),
+         | gr AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS gpos, md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS m FROM g),
+         | pk AS (SELECT doc_id, gpos, ${HexInt40("m")} * 1048576 + (1048575 - gpos) AS pk FROM gr),
+         | sel AS (SELECT doc_id, gpos, min(pk) OVER (PARTITION BY doc_id ORDER BY gpos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel FROM pk)
+         |SELECT DISTINCT doc_id, sel // 1048576 AS fp, 1048575 - (sel % 1048576) AS fp_pos
+         |FROM sel WHERE gpos >= 3 ORDER BY doc_id, fp_pos""".stripMargin,
+
+    // the match step off the same selection chain: distinct (doc, fp),
+    // df-capped at 50 (the stop-shingle posture), pairs sharing >= 2
+    "winnowing_near_dups" ->
+      s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS l FROM documents),
+         | g AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM toks WHERE len(l) >= 6),
+         | gr AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS gpos, md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS m FROM g),
+         | pk AS (SELECT doc_id, gpos, ${HexInt40("m")} * 1048576 + (1048575 - gpos) AS pk FROM gr),
+         | sel AS (SELECT doc_id, gpos, min(pk) OVER (PARTITION BY doc_id ORDER BY gpos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel FROM pk),
+         | f AS (SELECT DISTINCT doc_id, sel // 1048576 AS fp FROM sel WHERE gpos >= 3),
+         | rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 50),
+         | c AS (SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |FROM c a JOIN c b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""".stripMargin,
+
     // same shingle/df-cap CTEs as near_dup_jaccard, then the DIRECTED
     // containment projection: inter over the OWNING side's set size,
     // rounded 6 dp before the >= cut
@@ -6179,6 +6349,41 @@ object SparkEntry {
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, round(sim, 4) AS sim_r
         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
 
+    // the k-occurrence census off the proven cosine-rank chain: every
+    // vector a query, rank <= 10 occurrences counted per candidate,
+    // antihubs restored by the left join
+    "knn_hubness" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        | c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        | s AS (SELECT q_id, c_id, list_cosine_similarity(q.e, c.e) AS sim FROM q JOIN c ON q_id <> c_id),
+        | r AS (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank FROM s),
+        | occ AS (SELECT c_id, count(*) AS occ FROM r WHERE rank <= 10 GROUP BY 1)
+        |SELECT coalesce(occ.occ, 0) AS n_k, count(*) AS n_vectors
+        |FROM embeddings e LEFT JOIN occ ON e.vec_id = occ.c_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the margin math replayed: rounded(9)-DECIMAL cosines, k-NN mass
+    // sums, ONE division per margin rounded(6) before every rank
+    "bitext_margin_mining" ->
+      """WITH s AS (SELECT vec_id AS s_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 2 = 0),
+        | t AS (SELECT vec_id AS t_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 2 = 1),
+        | sims AS (SELECT s_id, t_id,
+        |   CAST(round(list_cosine_similarity(s.e, t.e), 9) AS DECIMAL(18,9)) AS sim FROM s CROSS JOIN t),
+        | ks AS (SELECT s_id, sum(sim) AS degs FROM
+        |   (SELECT s_id, sim, row_number() OVER (PARTITION BY s_id ORDER BY sim DESC, t_id) AS rn FROM sims)
+        |   WHERE rn <= 4 GROUP BY 1),
+        | kt AS (SELECT t_id, sum(sim) AS degt FROM
+        |   (SELECT t_id, sim, row_number() OVER (PARTITION BY t_id ORDER BY sim DESC, s_id) AS rn FROM sims)
+        |   WHERE rn <= 4 GROUP BY 1),
+        | m AS (SELECT s_id, t_id,
+        |   round((CAST(sim AS DOUBLE) * 2.0) / (CAST(ks.degs + kt.degt AS DOUBLE) / 4), 6) AS margin
+        |   FROM sims JOIN ks USING (s_id) JOIN kt USING (t_id)),
+        | fwd AS (SELECT s_id, t_id, margin, row_number() OVER (PARTITION BY s_id ORDER BY margin DESC, t_id) AS rns FROM m),
+        | bwd AS (SELECT s_id, t_id, row_number() OVER (PARTITION BY t_id ORDER BY margin DESC, s_id) AS rnt FROM m)
+        |SELECT f.s_id, f.t_id, f.margin, (b.rnt = 1) AS mutual
+        |FROM fwd f JOIN bwd b USING (s_id, t_id)
+        |WHERE f.rns = 1 AND f.margin >= 1.05 ORDER BY f.s_id""".stripMargin,
+
     // the drift ratio recomputed relationally end to end: stride
     // centroids, cosine-argmax assignment (cosine_topk's proven
     // device) and decimal-summed residual energies for both the
@@ -6520,6 +6725,26 @@ object SparkEntry {
          |      WHEN $HashPermille < 900 THEN 'val' ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // decontaminate's shingle-overlap machinery turned inward: the
+    // held-out splits audited against the train shingle set; the twin
+    // counts TEXT shingles where Spark counts xxhash64 ids — identical
+    // short of a 64-bit collision (same budget as every shingle twin)
+    "split_leakage_audit" ->
+      s"""WITH sp AS (SELECT doc_id, text,
+         |   CASE WHEN $HashPermille < 800 THEN 'train'
+         |        WHEN $HashPermille < 900 THEN 'val' ELSE 'test' END AS split
+         |  FROM documents),
+         | toks AS (SELECT doc_id, split, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS l FROM sp),
+         | pos AS (SELECT doc_id, split, l, unnest(generate_series(1, len(l) - 2)) AS i FROM toks WHERE len(l) >= 3),
+         | sh AS (SELECT DISTINCT doc_id, split, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle FROM pos),
+         | tsh AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train'),
+         | ov AS (SELECT s.doc_id, count(*) AS n_train_overlap FROM sh s JOIN tsh USING (shingle)
+         |        WHERE s.split <> 'train' GROUP BY 1)
+         |SELECT e.doc_id, e.split, coalesce(ov.n_train_overlap, 0) AS n_train_overlap,
+         | coalesce(ov.n_train_overlap, 0) >= 2 AS leaked
+         |FROM sp e LEFT JOIN ov USING (doc_id) WHERE e.split <> 'train'
+         |ORDER BY e.doc_id""".stripMargin,
+
     // the NOT EXISTS spelling of Pareto dominance — the oracle runs
     // the O(n²) definition the Spark ladder avoids; comparisons are on
     // the 6-dp-rounded ttr both sides
@@ -6588,6 +6813,28 @@ object SparkEntry {
          |SELECT doc_id, CAST(sum(len(toks)) AS BIGINT) AS bpe_tokens,
          |       CAST(count(*) AS BIGINT) AS ws_tokens
          |FROM dw JOIN fin USING (word) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the byte-fallback census over the CJK-stitched corpus: the
+    // byte-faithful applier base expands the planted OOV chars to
+    // their <0xHH> marker sequences (from the same Scala constant the
+    // stitch uses), and the marker pattern is pure ASCII in the
+    // Java∩RE2 intersection
+    "bpe_oov_rate" ->
+      s"""WITH RECURSIVE
+         | sd AS (SELECT doc_id, CASE WHEN lang = 'zh' THEN text || ' ' || ${OovFixtureTok.map(c => s"chr(${c.toInt})").mkString(" || ")} ELSE text END AS text FROM documents),
+         | dw AS (SELECT doc_id, lower(t.tok) AS word
+         |        FROM (SELECT doc_id, unnest(string_split_regex(text, '[ \\t\\n\\f\\r]+')) AS tok FROM sd) t
+         |        WHERE length(t.tok) > 0),
+         | wc AS (SELECT word, count(*) AS cnt FROM dw GROUP BY 1),
+         |$BpeApplyCteByteFaithful,
+         | wt AS (SELECT word, CAST(len(toks) AS BIGINT) AS n_toks,
+         |        CAST(len(list_filter(toks, x -> regexp_matches(x, '^<0x[0-9a-f]{2}>$$'))) AS BIGINT) AS n_oov
+         |        FROM fin)
+         |SELECT d.lang, CAST(sum(wt.n_toks) AS BIGINT) AS bpe_tokens,
+         | CAST(sum(wt.n_oov) AS BIGINT) AS oov_tokens,
+         | CAST(floor(sum(wt.n_oov) * 1000000 / sum(wt.n_toks)) AS BIGINT) AS oov_ppm
+         |FROM dw JOIN wt USING (word) JOIN documents d USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same recursive applier CTE as bpe_doc_tokens, rolled up to the
     // language grain; fertility is one division over exact sums
@@ -7976,23 +8223,10 @@ object SparkEntry {
     // same daily CTE in micro-integer units (floor of int*1e6/cnt is
     // provably exact — see the operator doc); dow via
     // (day − epoch-Monday) % 7, not DAYOFWEEK (anchors differ)
-    "stl_decompose" ->
-      """WITH daily AS (SELECT event_type AS key, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
-        |               FROM events GROUP BY 1, 2),
-        | tr AS (SELECT key, day, n,
-        |    CAST(floor(CAST(CAST(sum(n) OVER w AS BIGINT) * 1000000 AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE)) AS BIGINT) AS trend_u
-        |   FROM daily WINDOW w AS (PARTITION BY key ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-        | dv AS (SELECT key, day, n, trend_u,
-        |    CAST((day - DATE '1970-01-05') % 7 AS BIGINT) AS dow,
-        |    n * 1000000 - trend_u AS dev_u FROM tr),
-        | se AS (SELECT key, dow,
-        |    CAST(floor(CAST(sum(dev_u) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS seasonal_u
-        |   FROM dv GROUP BY 1, 2)
-        |SELECT dv.key, dv.day, dv.n,
-        | CAST(dv.trend_u AS DOUBLE) / 1000000.0 AS trend, dv.dow,
-        | CAST(se.seasonal_u AS DOUBLE) / 1000000.0 AS seasonal,
-        | CAST(dv.dev_u - se.seasonal_u AS DOUBLE) / 1000000.0 AS residual
-        |FROM dv JOIN se USING (key, dow) ORDER BY dv.key, dv.day""".stripMargin,
+    "stl_decompose" -> stlTwinSql,
+    // the streamed daily relation converges to the batch one — the
+    // micro-integer STL twin serves unchanged
+    "streaming_stl" -> stlTwinSql,
 
     // row-based lookback frame of exact integer sums; mean/var/z in a
     // fixed-association float finish; the anomaly cut compares the
@@ -8336,38 +8570,10 @@ object SparkEntry {
 
     // one-row card: every sub-relation rebuilt as its own aggregate
     // CTE off the same token split; ppm shares floored the same way
-    "corpus_card" -> {
-      val stops = TextQuality.Stopwords("en").map(w => s"'$w'").mkString(", ")
-      s"""WITH tk AS (SELECT doc_id, lang, source, text,
-         |    CAST(len(list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0)) AS BIGINT) AS n_toks,
-         |    CAST(length(text) AS BIGINT) AS n_chars FROM documents),
-         | base AS (SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
-         |    count(DISTINCT source) AS n_sources,
-         |    CAST(sum(n_toks) AS BIGINT) AS n_tokens, CAST(sum(n_chars) AS BIGINT) AS n_chars,
-         |    count(DISTINCT sha256(text)) AS n_distinct FROM tk),
-         | topl AS (SELECT lang AS top_lang, count(*) AS top_lang_docs FROM tk
-         |          GROUP BY lang ORDER BY count(*) DESC, lang LIMIT 1),
-         | h AS (SELECT n_toks, count(*) AS cnt FROM tk GROUP BY 1),
-         | hh AS (SELECT n_toks, cnt,
-         |    coalesce(sum(cnt) OVER (ORDER BY n_toks ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnt_below FROM h),
-         | p50 AS (SELECT min(n_toks) AS p50_doc_tokens FROM hh CROSS JOIN base
-         |         WHERE cnt_below < CAST(ceil(n_docs * 0.5e0) AS BIGINT)
-         |           AND cnt_below + cnt >= CAST(ceil(n_docs * 0.5e0) AS BIGINT)),
-         | gf AS (SELECT CAST(len(tkl) AS BIGINT) AS n_words,
-         |    CAST(list_sum(list_transform(tkl, x -> length(x))) AS DOUBLE) / len(tkl) AS mean_word_len,
-         |    CAST(len(list_filter(tkl, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(tkl) AS alpha_frac,
-         |    CAST(len(list_filter(tkl, x -> list_contains([$stops], lower(x)))) AS BIGINT) AS n_stop_hits
-         |   FROM (SELECT list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS tkl FROM documents) z),
-         | gate AS (SELECT count(*) FILTER (WHERE n_words BETWEEN 50 AND 100000 AND mean_word_len >= 3.0
-         |           AND mean_word_len <= 10.0 AND alpha_frac >= 0.8 AND n_stop_hits >= 2) AS n_pass FROM gf)
-         |SELECT base.n_docs, CAST(base.n_langs AS BIGINT) AS n_langs,
-         | CAST(base.n_sources AS BIGINT) AS n_sources, topl.top_lang,
-         | CAST(floor(topl.top_lang_docs * 1000000 / base.n_docs) AS BIGINT) AS top_lang_ppm,
-         | base.n_tokens, base.n_chars, p50.p50_doc_tokens,
-         | CAST(floor((base.n_docs - base.n_distinct) * 1000000 / base.n_docs) AS BIGINT) AS dup_ppm,
-         | CAST(floor(gate.n_pass * 1000000 / base.n_docs) AS BIGINT) AS gopher_pass_ppm
-         |FROM base CROSS JOIN topl CROSS JOIN p50 CROSS JOIN gate""".stripMargin
-    },
+    "corpus_card" -> corpusCardTwinSql,
+    // the drained incremental card converges to the one-shot batch
+    // card — same twin verbatim
+    "streaming_corpus_card" -> corpusCardTwinSql,
 
     // integer epoch planner: e0-suffixed double weights only in the
     // one floor(B·w) product, everything after is BIGINT arithmetic
@@ -8834,6 +9040,18 @@ object SparkEntry {
     * NULL to 0, matching the aggregate fold's initial value. */
   private def HashPermille: String =
     "((coalesce(list_sum(list_transform(string_split(substring(text, 1, 64), ''), c -> 22 + 23 * (ascii(c) - 14))), 0) % 1000 + 1000) % 1000)"
+
+  /** First 40 bits of an md5 hex string as a BIGINT — DuckDB has no
+    * conv(hex), so the 10 hex digits expand to explicit
+    * positional-weight terms (max value 2⁴⁰−1, overflow-free). Twin of
+    * Spark's `conv(substring(md5(g), 1, 10), 16, 10)`. */
+  private def HexInt40(e: String): String =
+    (1 to 10).map { i =>
+      val hv = s"(ascii(substring($e, $i, 1)) - CASE WHEN ascii(substring($e, $i, 1)) >= 97 THEN 87 ELSE 48 END)"
+      // CAST before the weight multiply: DuckDB keeps ascii() INT32 and
+      // does not promote, so 2³⁶-scale weights overflow without it
+      s"CAST($hv AS BIGINT) * ${1L << (4 * (10 - i))}"
+    }.mkString("(", " + ", ")")
 
   private def AllStopwordsSqlList: String =
     Corpus.AllStopwords.map(w => s"'$w'").mkString(",")

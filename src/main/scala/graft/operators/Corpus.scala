@@ -572,6 +572,101 @@ object Corpus {
       .drop("__h")
   }
 
+  /** Split-leakage audit — the QA step AFTER [[datasetSplit]]: for
+    * every val/test document, how many of its distinct w-gram
+    * shingles also appear anywhere in the train split. The
+    * content-hash split guarantees EXACT duplicates land together,
+    * but near-duplicates (a re-hosted copy with one edited line, a
+    * doc sharing a boilerplate paragraph) hash to different permille
+    * buckets and straddle the boundary — precisely the leakage an
+    * eval score silently absorbs. This is [[decontaminate]] turned
+    * inward: benchmark = the held-out splits, corpus = train.
+    *
+    * Scale shape: both sides reduce to 64-bit shingle ids
+    * (Dedup.shingleIds), so the only shuffle moves 8-byte keys; the
+    * train-shingle distinct reuses the same hash partitioning the
+    * overlap join needs. The held-out side is 1000−trainPermille
+    * permille of the corpus — the audit costs one dedup-scale join,
+    * not a quadratic pass. Output: every held-out doc with its split,
+    * overlap count, and the `leaked` verdict at `minOverlap`. */
+  def splitLeakageAudit(docs: DataFrame, w: Int = 3, minOverlap: Int = 2,
+                        trainPermille: Int = 800, valPermille: Int = 100,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sp = datasetSplit(docs, trainPermille, valPermille, textCol)
+    val trainSh = Dedup.shingleIds(sp.filter(col("split") === "train"), w, textCol, idCol)
+      .select(col("sh")).distinct()
+    val heldOut = sp.filter(col("split") =!= "train")
+    val overlap = Dedup.shingleIds(heldOut, w, textCol, idCol)
+      .join(trainSh, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_train_overlap"))
+    heldOut.select(col(idCol).as("doc_id"), col("split"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("n_train_overlap"), lit(0L)).as("n_train_overlap"),
+        (coalesce(col("n_train_overlap"), lit(0L)) >= minOverlap).as("leaked"))
+  }
+
+  /** The (lang, source, n_toks)-grain counters CUBE every dataset-card
+    * number except the distinct-text count derives from: per-cell doc
+    * count, char sum and Gopher-gate pass count. Splitting the card
+    * into cube → finish is what makes it streamable — a micro-batch
+    * commits only its batch-local cube delta (histogram-sized state:
+    * langs × sources × distinct doc lengths, never rows), batch deltas
+    * merge by re-aggregation, and the finish below recomputes the card
+    * from any union of deltas. */
+  def datasetCardCube(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        size(filter(split(col("text"), TextOps.TokenSepRe), x => length(x) > 0))
+          .cast(LongType).as("n_toks"),
+        length(col("text")).cast(LongType).as("n_chars"))
+      .join(TextQuality.gopherQualityGate(docs).select(col("doc_id"), col("keep")), "doc_id")
+      .groupBy(col("lang"), col("source"), col("n_toks"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"),
+        sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("n_pass"))
+
+  /** The release-artifact finish over an already-built cube: ONE row
+    * with doc/lang/source counts, floor-ppm top-language share,
+    * token/char totals, the nearest-rank median doc length read off
+    * the cube's length histogram (no corpus sort — the global window
+    * runs on the histogram relation), exact-dup pressure from the
+    * supplied distinct count, and the Gopher pass rate. `nDistinct`
+    * is a one-row (n_distinct) relation — countDistinct in batch, the
+    * digest store's row count when streamed. */
+  def datasetCardFromCube(cube: DataFrame, nDistinct: DataFrame): DataFrame = {
+    val base = cube.agg(
+      sum(col("cnt")).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(col("n_toks") * col("cnt")).as("n_tokens"),
+      sum(col("chars")).as("n_chars"),
+      sum(col("n_pass")).as("n_pass"))
+    val topl = cube.groupBy(col("lang")).agg(sum(col("cnt")).as("c"))
+      .orderBy(desc("c"), asc("lang")).limit(1)
+      .select(col("lang").as("top_lang"), col("c").as("top_lang_docs"))
+    val hist = cube.groupBy(col("n_toks")).agg(sum(col("cnt")).as("cnt"))
+    val hh = hist.withColumn("cnt_below",
+      coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("n_toks")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val p50 = hh.crossJoin(broadcast(base.select(col("n_docs").as("nd"))))
+      .where(col("cnt_below") < ceil(col("nd") * lit(0.5)).cast(LongType) &&
+        col("cnt_below") + col("cnt") >= ceil(col("nd") * lit(0.5)).cast(LongType))
+      .agg(min(col("n_toks")).as("p50_doc_tokens"))
+    base.crossJoin(broadcast(topl)).crossJoin(broadcast(p50)).crossJoin(broadcast(nDistinct))
+      .select(col("n_docs"), col("n_langs"), col("n_sources"), col("top_lang"),
+        floor(col("top_lang_docs") * lit(1000000L) / col("n_docs")).as("top_lang_ppm"),
+        col("n_tokens"), col("n_chars"), col("p50_doc_tokens"),
+        floor((col("n_docs") - col("n_distinct")) * lit(1000000L) / col("n_docs")).as("dup_ppm"),
+        floor(col("n_pass") * lit(1000000L) / col("n_docs")).as("gopher_pass_ppm"))
+  }
+
+  /** The one-shot batch dataset card: cube + exact distinct count →
+    * finish. Two corpus scans at any scale (cube + distinct), every
+    * sub-relation an aggregate. */
+  def datasetCard(docs: DataFrame): DataFrame =
+    datasetCardFromCube(datasetCardCube(docs),
+      docs.agg(countDistinct(sha2(col("text"), 256)).as("n_distinct")))
+
   /** Pareto-frontier (skyline) curation: the rows no other row beats
     * on EVERY objective at once — multi-criteria selection without
     * inventing a weighted blend (Börzsönyi et al., "The Skyline

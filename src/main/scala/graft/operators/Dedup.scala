@@ -176,6 +176,75 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
       .distinct() // dedup AFTER hashing: the distinct shuffles 8-byte keys
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003 — the MOSS scheme): hash every k-token gram, slide a
+    * window of `w` consecutive gram hashes, and in each window select
+    * the minimum hash — rightmost on ties (the paper's robust rule).
+    * The guarantee [[shingleIds]] cannot give: ANY shared run of at
+    * least w+k-1 tokens is caught by at least one SHARED fingerprint,
+    * at an expected density of only 2/(w+1) of the grams — local
+    * fingerprinting with a detection floor, instead of keeping (or
+    * minhashing away) the full shingle set.
+    *
+    * Engine-exact selection: the gram hash is the first 40 bits of
+    * md5 (identical bytes in any engine), packed with the tie-broken
+    * position as h·2²⁰ + (2²⁰−1−pos) — one BIGINT whose window MIN is
+    * precisely "smallest hash, rightmost position" (positions bounded
+    * by 2²⁰ grams/doc; document-scale, not corpus-scale). Selection is
+    * one per-doc ordered window over that packed key — key-partitioned
+    * frames, no corpus-wide sort, the rolling-anomaly posture. Only
+    * FULL windows select (pos ≥ w−1), per the paper.
+    * Output: distinct (doc_id, fp, fp_pos). */
+  def winnowingFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4,
+                            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        filter(split(col(textCol), TextOps.TokenSepRe), t => length(t) > 0).as("toks"))
+      .where(size(col("toks")) >= k + w - 1) // at least one full window
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, size(toks) - $k), i -> concat_ws(' ', slice(toks, i + 1, $k)))")))
+      .withColumnsRenamed(Map("pos" -> "gpos", "col" -> "gram"))
+    val h = expr("cast(conv(substring(md5(gram), 1, 10), 16, 10) as bigint)")
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("gpos"))
+      .rowsBetween(-(w - 1), 0)
+    grams
+      .select(col("doc_id"), col("gpos").cast(LongType).as("gpos"),
+        (h * lit(1L << 20) + (lit((1L << 20) - 1L) - col("gpos"))).as("pk"))
+      .withColumn("sel", min(col("pk")).over(win))
+      .where(col("gpos") >= w - 1)
+      .select(col("doc_id"),
+        shiftright(col("sel"), 20).as("fp"),
+        (lit((1L << 20) - 1L) - col("sel").bitwiseAND(lit((1L << 20) - 1L))).as("fp_pos"))
+      .distinct()
+  }
+
+  /** Copy-candidate pairs from shared winnowing fingerprints: the
+    * MOSS match step — pairs of documents sharing at least
+    * `minShared` distinct selected fingerprints, with the count. By
+    * the winnowing guarantee a shared ≥(w+k−1)-token run forces a
+    * shared fingerprint, so real copies cannot hide; minShared ≥ 2
+    * screens 40-bit-collision flukes.
+    *
+    * Scale shape: the join input is the SELECTED set (≈2/(w+1) of
+    * grams), keyed on 8-byte fps; fingerprints shared by more than
+    * `maxDf` docs (boilerplate — the df² blowup) are dropped from
+    * candidacy exactly like [[cappedShingleIds]]' stop shingles. */
+  def winnowingNearDups(docs: DataFrame, k: Int = 3, w: Int = 4,
+                        minShared: Int = 2, maxDf: Int = 50,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val fps = winnowingFingerprints(docs, k, w, textCol, idCol)
+      .select(col("doc_id"), col("fp")).distinct()
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select(col("fp"))
+    val capped = fps.join(rare, "fp")
+    capped.as("a").join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** A shingle-intersection self-join is O(df²) per shingle: one hot
     * "stop shingle" (boilerplate shared by df documents) alone produces
     * df² join rows, which is what makes uncapped exact Jaccard

@@ -275,11 +275,21 @@ object Series {
     * runs on the (key, day) daily relation — two key-partitioned
     * windows and one (key, dow) aggregate, never the event log. */
   def stlDecompose(events: DataFrame, keyCol: String = "event_type",
-                   tsCol: String = "ts", halfWindow: Int = 3): DataFrame = {
+                   tsCol: String = "ts", halfWindow: Int = 3): DataFrame =
+    stlFromDaily(
+      events.groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("n")),
+      halfWindow)
+
+  /** The decomposition math over an ALREADY-built (key, day, n) daily
+    * relation — the scoreDailyAnomalies/changePointsFromDaily split
+    * that makes the monitor streamable: the stream maintains only
+    * per-(key, day) counters, this runs on the tiny finished daily
+    * relation, so the batch twin's oracle serves the streaming query
+    * unchanged. */
+  def stlFromDaily(daily: DataFrame, halfWindow: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
-    val daily = events.groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
-      .agg(count(lit(1)).as("n"))
+    import org.apache.spark.sql.types.{DoubleType, LongType}
     val w = Window.partitionBy(col("key")).orderBy(col("day"))
       .rowsBetween(-halfWindow, halfWindow)
     // MICRO-INTEGER arithmetic throughout: round(sum/cnt, 6) is
@@ -297,10 +307,13 @@ object Series {
       .withColumn("dow",
         pmod(datediff(col("day"), to_date(lit("1970-01-05"))), lit(7)).cast(LongType))
       .withColumn("dev_u", col("n") * lit(1000000L) - col("trend_u"))
-    val seasonal = dv.groupBy(col("key"), col("dow"))
-      .agg(floor(sum(col("dev_u")).cast(DoubleType) /
-        count(lit(1)).cast(DoubleType)).cast(LongType).as("seasonal_u"))
-    dv.join(seasonal, Seq("key", "dow"))
+    // seasonal mean as an unordered (key, dow) window, not a
+    // groupBy + self-join: same shuffle, no join — and a self-join
+    // over a streaming memory-sink view trips attribute dedup
+    val wd = Window.partitionBy(col("key"), col("dow"))
+    dv.withColumn("seasonal_u",
+        floor(sum(col("dev_u")).over(wd).cast(DoubleType) /
+          count(lit(1)).over(wd).cast(DoubleType)).cast(LongType))
       .select(col("key"), col("day"), col("n"),
         (col("trend_u").cast(DoubleType) / lit(1000000.0)).as("trend"),
         col("dow"),

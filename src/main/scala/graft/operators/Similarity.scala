@@ -66,6 +66,83 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim_r"))
   }
 
+  /** Margin-based parallel-corpus mining (Artetxe & Schwenk, "Margin-
+    * based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings", ACL 2019): for each source-side vector, its best
+    * target-side candidate scored by the RATIO margin
+    *
+    *   margin(x, y) = cos(x, y) / ((avgNN_k(x) + avgNN_k(y)) / 2)
+    *
+    * — raw cosine rewards hubs (vectors near everything); dividing by
+    * the average of each side's k-NN similarity mass cancels the hub
+    * term, which is what makes mined bitext usable. A pair is `mutual`
+    * when each side is the other's margin-best — the
+    * forward-backward-intersection mining mode.
+    *
+    * Sides are vec_id parity (the fixture's two "languages"); real use
+    * passes two embedding relations. Exactness: cosines rounded(9) →
+    * DECIMAL k-NN sums → ONE IEEE division per margin, rounded(6)
+    * before every rank/threshold so both engines compare identical
+    * values. Scale shape: brute-force pair generation here (the
+    * correctness baseline, like [[cosineNearDupPairs]]) — at corpus
+    * scale swap in the lshBuckets/IVF shortlist for candidates; the
+    * margin math itself is two k-bounded window ranks and one join,
+    * unchanged by the candidate generator. */
+  def bitextMarginMining(src: DataFrame, tgt: DataFrame, k: Int = 4,
+                         minMargin: Double = 1.05): DataFrame = {
+    val s = src.select(col("vec_id").as("s_id"), col("embedding").as("s_emb"),
+      vec_norm(col("embedding")).as("s_n"))
+    val t = tgt.select(col("vec_id").as("t_id"), col("embedding").as("t_emb"),
+      vec_norm(col("embedding")).as("t_n"))
+    val sims = s.join(t)
+      .select(col("s_id"), col("t_id"),
+        round(vec_dot(col("s_emb"), col("t_emb")) / (col("s_n") * col("t_n")), 9)
+          .cast(DecimalType(18, 9)).as("sim"))
+      .localCheckpoint() // both k-NN passes and the margin join read it
+    def knnMass(side: String, other: String) = sims
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(side)).orderBy(desc("sim"), col(other))))
+      .where(col("rn") <= k)
+      .groupBy(col(side))
+      .agg(sum(col("sim")).as(s"deg_$side"))
+    val m = sims
+      .join(knnMass("s_id", "t_id"), "s_id")
+      .join(knnMass("t_id", "s_id"), "t_id")
+      .select(col("s_id"), col("t_id"),
+        round((col("sim").cast(DoubleType) * 2.0) /
+          ((col("deg_s_id") + col("deg_t_id")).cast(DoubleType) / k), 6).as("margin"))
+    val fwd = m.withColumn("rns", row_number().over(
+      Window.partitionBy(col("s_id")).orderBy(desc("margin"), col("t_id"))))
+    val bwd = m.select(col("s_id"), col("t_id"),
+      row_number().over(
+        Window.partitionBy(col("t_id")).orderBy(desc("margin"), col("s_id"))).as("rnt"))
+    fwd.where(col("rns") === 1 && col("margin") >= minMargin)
+      .join(bwd, Seq("s_id", "t_id"))
+      .select(col("s_id"), col("t_id"), col("margin"), (col("rnt") === 1).as("mutual"))
+  }
+
+  /** k-occurrence hubness audit (Radovanović, Nanopoulos, Ivanović,
+    * "Hubs in Space: Popular Nearest Neighbors in High-Dimensional
+    * Data", JMLR 2010): N_k(x) = how many other vectors list x in
+    * their k-NN — in high dimensions its distribution skews hard
+    * (a few hubs appear in everyone's neighbor lists, many antihubs
+    * in nobody's), which silently corrupts every k-NN-based consumer
+    * here: SemDeDup over-merges around hubs, margin mining's
+    * denominator inflates, IVF cells centered on hubs bloat. Output is
+    * the exact N_k histogram (n_k, n_vectors), antihubs included via
+    * the left join — a long right tail + a fat zero bucket is the
+    * red flag. Brute-force k-NN as the correctness baseline (the
+    * [[bruteForceTopK]] device); at corpus scale the IVF/LSH shortlist
+    * generates candidates, the census math is unchanged. */
+  def knnHubness(emb: DataFrame, k: Int = 10): DataFrame = {
+    val occ = bruteForceTopK(emb, emb, k)
+      .groupBy(col("c_id")).agg(count(lit(1)).as("occ"))
+    emb.select(col("vec_id"))
+      .join(occ, col("vec_id") === col("c_id"), "left")
+      .select(coalesce(col("occ"), lit(0L)).as("n_k"))
+      .groupBy(col("n_k")).agg(count(lit(1)).as("n_vectors"))
+  }
+
   /** Deterministic pseudo-random unit-free hyperplanes: component d of
     * plane p is derived from splitmix64(p * dim + d) scaled to [-1, 1].
     * Plan-build-time constants — identical across executors. */

@@ -271,6 +271,58 @@ object IngestPipeline {
       spark.read.parquet(outDir).select(col("doc_id"), col("weight"), col("__key")), k)
   }
 
+  /** One micro-batch of the STREAMING dataset card: commit (a) the
+    * batch's [[graft.operators.Corpus.datasetCardCube]] delta —
+    * histogram-sized state (langs × sources × distinct doc lengths),
+    * never rows — and (b) the batch's FIRST-SEEN text digests against
+    * the store AS OF this batch ([[ingestBatch]]'s transaction
+    * discipline), so the digest store's row count IS the stream's
+    * exact distinct-text count. Both commits are batch-keyed
+    * overwrites — replays are idempotent. */
+  def cardBatch(batch: DataFrame, batchId: Long, cubeDir: String,
+                digestDir: String): Unit = {
+    val ss = batch.sparkSession
+    healStore(digestDir)
+    graft.operators.Corpus.datasetCardCube(batch)
+      .write.mode("overwrite").parquet(s"$cubeDir/b$batchId")
+    val priorDirs = s"$digestDir/seed" +:
+      storeBatchIds(digestDir).filter(_ < batchId).map(i => s"$digestDir/b$i")
+    val store = priorDirs.map(ss.read.parquet(_)).reduce(_ unionAll _)
+    Dedup.incrementalDigestDedup(batch, store).select(col("h"))
+      .write.mode("overwrite").parquet(s"$digestDir/b$batchId")
+  }
+
+  /** The dataset card maintained INCREMENTALLY: drain the doc stream
+    * through [[cardBatch]], then finish — merge the cube deltas by
+    * re-aggregation and read the distinct count off the digest store.
+    * The drained card is IDENTICAL to the one-shot batch
+    * [[graft.operators.Corpus.datasetCard]], which is the oracle. */
+  def runCardIngest(spark: SparkSession, docStream: DataFrame,
+                    cubeDir: String, digestDir: String): DataFrame = {
+    // empty digest seed: the stream starts with no history
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("h", StringType))))
+      .write.mode("overwrite").parquet(s"$digestDir/seed")
+    val q = docStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        cardBatch(batch.toDF(), batchId, cubeDir, digestDir)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val cube = storeBatchIds(cubeDir).map(i => spark.read.parquet(s"$cubeDir/b$i"))
+      .reduce(_ unionAll _)
+      .groupBy(col("lang"), col("source"), col("n_toks"))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("chars")).as("chars"),
+        sum(col("n_pass")).as("n_pass"))
+    healStore(digestDir)
+    val digestDirs = s"$digestDir/seed" +:
+      storeBatchIds(digestDir).map(i => s"$digestDir/b$i")
+    val nDistinct = digestDirs.map(spark.read.parquet(_)).reduce(_ unionAll _)
+      .agg(count(lit(1)).as("n_distinct"))
+    graft.operators.Corpus.datasetCardFromCube(cube, nDistinct)
+  }
+
   /** Fold finalized batch commits into the seed — the store's
     * compaction. Without it the digest store is seed + one directory
     * per micro-batch forever, and every batch's scan unions an

@@ -706,4 +706,56 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(2L)._2 === false, s"prose scored ${got(2L)._1}")
     assert(got(1L)._1 > 3 * got(2L)._1)
   }
+
+  test("splitLeakageAudit: a near-dup straddling the split boundary is flagged; a clean held-out doc is not") {
+    import spark.implicits._
+    // replicate hashPermille (affine char-sum of the first 64 chars,
+    // pmod 1000) to ENGINEER a train/held-out near-dup pair: same long
+    // tail (shared shingles), prefix tweaked until the permille lands
+    // on opposite sides of the boundary
+    def permille(text: String): Long = {
+      val s = text.take(64).map(c => 22L + 23L * (c.toInt - 14)).sum
+      ((s % 1000) + 1000) % 1000
+    }
+    val tail = "the quick brown fox jumps over the lazy dog again and again today"
+    val cands = (0 until 2000).map(i => s"m$i $tail")
+    val trainDoc = cands.find(t => permille(t) < 800).get
+    val evalDoc = cands.find(t => permille(t) >= 800).get
+    val cleanEval = (0 until 2000)
+      .map(i => s"x$i completely disjoint vocabulary nothing matching anything here at all")
+      .find(t => permille(t) >= 800).get
+    val docs = Seq((1L, trainDoc), (2L, evalDoc), (3L, cleanEval)).toDF("doc_id", "text")
+    val got = Corpus.splitLeakageAudit(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.keySet === Set(2L, 3L), got.toString) // only held-out docs audited
+    assert(got(2L)._3 && got(2L)._2 >= 2, got(2L).toString) // the straddling near-dup leaks
+    assert(!got(3L)._3 && got(3L)._2 === 0, got(3L).toString)
+  }
+
+  test("datasetCard: cube deltas merge losslessly — the streaming-card contract") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, sha2, sum}
+    val long = ("the quick brown fox jumps over the lazy dog and keeps going " * 6).trim
+    val docs = Seq(
+      (1L, "en", "web", long), (2L, "en", "web", long + " extra"),
+      (3L, "de", "book", long), (4L, "en", "news", "too short"),
+      (5L, "zh", "web", long + " more"), (6L, "en", "web", long) // exact dup of 1
+    ).toDF("doc_id", "lang", "source", "text")
+    val whole = Corpus.datasetCard(docs).collect().map(_.toSeq)
+    // the streaming split: two disjoint batches, cube deltas merged by
+    // re-aggregation, distinct count supplied separately
+    val a = docs.where(col("doc_id") <= 3)
+    val b = docs.where(col("doc_id") > 3)
+    val merged = Corpus.datasetCardCube(a).unionAll(Corpus.datasetCardCube(b))
+      .groupBy(col("lang"), col("source"), col("n_toks"))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("chars")).as("chars"),
+        sum(col("n_pass")).as("n_pass"))
+    val nd = docs.agg(countDistinct(sha2(col("text"), 256)).as("n_distinct"))
+    val got = Corpus.datasetCardFromCube(merged, nd).collect().map(_.toSeq)
+    assert(whole.toSeq === got.toSeq)
+    // the fixture is non-vacuous: a dup exists and both gate branches fire
+    assert(whole.head(8).asInstanceOf[Long] > 0L)  // dup_ppm
+    val passPpm = whole.head(9).asInstanceOf[Long]
+    assert(passPpm > 0L && passPpm < 1000000L, passPpm.toString)
+  }
 }

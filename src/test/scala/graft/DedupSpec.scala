@@ -249,4 +249,50 @@ class DedupSpec extends AnyFunSuite {
       .select("jaccard").collect().head.getDouble(0)
     assert(j < 0.1, s"jaccard $j")
   }
+
+  test("winnowingFingerprints: coverage, density, detection guarantee, and hash decode") {
+    import org.apache.spark.sql.functions.col
+    val k = 3; val w = 4
+    // two docs sharing one long run (>= w+k-1 = 6 tokens) embedded in
+    // otherwise-disjoint text, one unrelated doc
+    val shared = "the winnowing guarantee forces a shared fingerprint here"
+    val fx = Seq(
+      (1L, s"preface words before anything $shared and then a tail of doc one"),
+      (2L, s"completely other opening tokens $shared closing differently two"),
+      (3L, "unrelated content entirely disjoint vocabulary nothing matches at all right")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowingFingerprints(fx, k, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // coverage: every w-window of full-window END positions contains a
+    // selected position — the paper's density invariant (at least one
+    // fingerprint per window means no gap of w grams goes unselected)
+    for (doc <- Seq(1L, 2L, 3L)) {
+      val nGrams = fx.where(col("doc_id") === doc).collect().head.getString(1)
+        .split("\\s+").length - k + 1
+      val sel = fps.filter(_._1 == doc).map(_._3).toSet
+      for (start <- 0 to nGrams - w)
+        assert((start until start + w).exists(p => sel.contains(p.toLong)),
+          s"doc $doc: window at $start has no selected gram")
+      // density: far fewer fingerprints than grams
+      assert(sel.size < nGrams, s"doc $doc selected everything")
+    }
+    // detection guarantee: docs 1 and 2 share a fingerprint VALUE
+    val f1 = fps.filter(_._1 == 1L).map(_._2).toSet
+    val f2 = fps.filter(_._1 == 2L).map(_._2).toSet
+    val f3 = fps.filter(_._1 == 3L).map(_._2).toSet
+    assert((f1 & f2).nonEmpty, "shared 8-token run produced no shared fingerprint")
+    assert((f1 & f3).isEmpty && (f2 & f3).isEmpty)
+    // decode: each fp is the 40-bit md5 prefix of the gram at fp_pos
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for ((doc, fp, pos) <- fps) {
+      val toks = fx.where(col("doc_id") === doc).collect().head.getString(1).split("\\s+")
+      val gram = toks.slice(pos.toInt, pos.toInt + k).mkString(" ")
+      val hex = md.digest(gram.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(fp === java.lang.Long.parseLong(hex.take(10), 16), s"doc $doc pos $pos")
+    }
+    // and the match step finds exactly the planted pair
+    val pairs = Dedup.winnowingNearDups(fx, k, w, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
 }

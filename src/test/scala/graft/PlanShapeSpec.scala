@@ -331,6 +331,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("winnowing: selection is key-partitioned window work, the match step joins equi on fp") {
+    import graft.operators.Dedup
+    // selection: no join anywhere — grams, packed keys, one window
+    val fp = Dedup.winnowingFingerprints(t.documents)
+    val selPlan = simple(fp)
+    assert(!selPlan.contains("Join"), selPlan)
+    // match step: fp-keyed equi joins only — no nested loop, no cartesian
+    val plan = simple(Dedup.winnowingNearDups(t.documents))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("split_leakage_audit: every join is an equi join on 8-byte shingle ids or doc ids") {
+    val plan = simple(Corpus.splitLeakageAudit(t.documents))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("jaro_winkler / damerau_levenshtein stay inside whole-stage codegen") {
     // a parquet-backed source: a literal relation constant-folds to a
     // LocalTableScan and proves nothing

@@ -202,4 +202,24 @@ class SeriesSpec extends AnyFunSuite {
     val maxResDay = got.maxBy(_._2._5)._1
     assert(maxResDay === "2024-03-13", got("2024-03-13").toString)
   }
+
+  test("stlFromDaily: the streaming split — a pre-built (key, day, n) relation decomposes identically") {
+    // the contract streaming_stl stands on: the stream maintains only
+    // per-(key, day) counters, so the finish over that relation must
+    // equal the batch operator over the raw events — regardless of
+    // the daily relation's row order or partitioning
+    val rows = (0 until 21).map { i =>
+      val day = java.time.LocalDate.of(2024, 3, 4).plusDays(i.toLong)
+      val n = (if (day.getDayOfWeek.getValue >= 6) 15 else 10) + (if (i == 9) 40 else 0)
+      (day.toString, n)
+    }
+    val events = rows.flatMap { case (d, n) =>
+      (1 to n).map(j => (Timestamp.valueOf(d + " 12:00:00"), "load", j.toLong))
+    }.toDF("ts", "event_type", "event_id")
+    val daily = rows.reverse.map { case (d, n) => ("load", java.sql.Date.valueOf(d), n.toLong) }
+      .toDF("key", "day", "n").repartition(7)
+    val batch = Series.stlDecompose(events).orderBy("key", "day").collect().map(_.toSeq)
+    val split = Series.stlFromDaily(daily).orderBy("key", "day").collect().map(_.toSeq)
+    assert(batch.toSeq === split.toSeq)
+  }
 }

@@ -402,4 +402,71 @@ class SimilaritySpec extends AnyFunSuite {
     // λ ≈ top eigenvalue 2.02 (the fixture's exact spectrum)
     assert(math.abs(pc(1L)._2 - 2.02) < 0.01, pc(1L)._2.toString)
   }
+
+  test("bitextMarginMining: margins equal an independent fold; exact twins are mutual best") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val srcRows = Seq(0L -> Array(1.0f, 0.1f, 0.0f, 0.0f),
+      2L -> Array(0.0f, 1.0f, 0.2f, 0.0f), 4L -> Array(0.1f, 0.0f, 1.0f, 0.3f))
+    val tgtRows = Seq(1L -> Array(1.0f, 0.1f, 0.0f, 0.0f), // exact twin of 0
+      3L -> Array(0.0f, 1.0f, 0.2f, 0.0f),                 // exact twin of 2
+      5L -> Array(0.5f, 0.5f, 0.5f, 0.5f))
+    val got = Similarity.bitextMarginMining(
+        srcRows.toDF("vec_id", "embedding"), tgtRows.toDF("vec_id", "embedding"),
+        k = 2, minMargin = 0.0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // the independent fold: vec_dot's sequential double accumulation,
+    // round(·,9) → exact decimal sums → one division → round(·,6)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    def r9(x: Double): JBD = JBD.valueOf(x).setScale(9, RoundingMode.HALF_UP)
+    val sims = for ((si, se) <- srcRows; (ti, te) <- tgtRows)
+      yield (si, ti, r9(dot(se, te) / (math.sqrt(dot(se, se)) * math.sqrt(dot(te, te)))))
+    def top2(rows: Seq[(Long, JBD)]): JBD =
+      rows.sortWith((a, b) => a._2.compareTo(b._2) > 0 ||
+        (a._2.compareTo(b._2) == 0 && a._1 < b._1)).take(2).map(_._2).reduce(_.add(_))
+    val degS = sims.groupBy(_._1).map { case (s, l) => s -> top2(l.map(x => (x._2, x._3))) }
+    val degT = sims.groupBy(_._2).map { case (t, l) => t -> top2(l.map(x => (x._1, x._3))) }
+    val margins = sims.map { case (s, t, sim) =>
+      (s, t) -> JBD.valueOf(sim.doubleValue * 2.0 /
+        (degS(s).add(degT(t)).doubleValue / 2)).setScale(6, RoundingMode.HALF_UP).doubleValue
+    }.toMap
+    val expBest = srcRows.map(_._1).map { s =>
+      s -> tgtRows.map(_._1).map(t => (t, margins((s, t))))
+        .sortWith((a, b) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)).head
+    }.toMap
+    assert(got.keySet === Set(0L, 2L, 4L))
+    for (s <- Seq(0L, 2L, 4L)) {
+      assert(got(s)._1 === expBest(s)._1, s"best target for $s")
+      assert(got(s)._2 === expBest(s)._2, s"margin for $s")
+    }
+    // the exact twins are each other's best in both directions
+    assert(got(0L)._1 === 1L && got(0L)._3, got(0L).toString)
+    assert(got(2L)._1 === 3L && got(2L)._3, got(2L).toString)
+  }
+
+  test("knnHubness: a planted hub dominates the census; histogram covers every vector") {
+    // 12 near-orthogonal vectors (e_i + 0.1·1⃗ in 13 dims) + the
+    // all-ones hub: cos(v_i, v_j) ≈ 0.25 but cos(v_i, hub) ≈ 0.55, so
+    // the hub is EVERY vector's nearest neighbor by construction —
+    // the exact geometry hubness emerges from in high dimensions
+    val pts = (0 until 12).map { i =>
+      (i.toLong, Array.tabulate(13)(d => (if (d == i) 1.0f else 0.0f) + 0.1f))
+    }
+    val hub = Seq((99L, Array.fill(13)(1.0f)))
+    val emb = (pts ++ hub).toDF("vec_id", "embedding")
+    val hist = Similarity.knnHubness(emb, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the histogram partitions all 13 vectors
+    assert(hist.values.sum === 13L, hist.toString)
+    // occurrence conservation: sum(n_k * n_vectors) = 13 queries * k
+    assert(hist.map { case (nk, nv) => nk * nv }.sum === 26L, hist.toString)
+    // the hub owns the census maximum: recompute its N_k directly
+    val occ = Similarity.bruteForceTopK(emb, emb, 2).collect()
+      .map(_.getLong(2)).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val hubNk = occ.getOrElse(99L, 0L)
+    assert(hubNk === occ.values.max && hubNk >= 10L, occ.toString)
+    assert(hist(hubNk) >= 1L)
+  }
 }
