@@ -839,6 +839,11 @@ object SparkEntry {
     // (range-partitioned TeraSort rank + integer bucket arithmetic) —
     // the plain ntile window the twin uses would be a single-task
     // sort of the whole fact table at 100 TB
+    // the dynamic-batching planner: equal-population length buckets
+    // (the equidepth ntile device) with exact pad-token accounting vs
+    // the naive global-max padding cost
+    "length_bucket_plan" -> ((s, d) =>
+      Corpus.lengthBucketPlan(t(s, d).documents).orderBy("bucket")),
     "equidepth_bins" -> ((s, d) => {
       import graft.operators.TotalOrder
       val li = t(s, d).lineitem.select(
@@ -2011,6 +2016,33 @@ object SparkEntry {
     // redacted and whitespace-normalized back out (Cleaning.clean) —
     // the corpus texts themselves are already clean, so the dirt is
     // constructed identically on both sides of the oracle
+    // confusable-folding dedup: planted homoglyph-spoofed twins (pure
+    // ASCII corpus — the card_scrub stitch device) defeat sha256
+    // grouping until the fold; families group on the folded text
+    "homoglyph_dedup" -> ((s, d) => {
+      val docs = t(s, d).documents.select(col("doc_id"), col("text"))
+      val spoofs = docs.where(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          Cleaning.homoglyphSpoof(col("text")).as("text"))
+      val all = docs.unionAll(spoofs)
+      all.select(col("doc_id"),
+          sha2(Cleaning.homoglyphNormalize(col("text")), 256).as("nh"),
+          (sha2(col("text"), 256) =!= sha2(Cleaning.homoglyphNormalize(col("text")), 256))
+            .as("was_spoofed"))
+        .groupBy(col("nh"))
+        .agg(min(col("doc_id")).as("rep_id"),
+          count(lit(1)).as("n_members"),
+          sum(when(col("was_spoofed"), lit(1L)).otherwise(lit(0L))).as("n_spoofed"))
+        .select(col("rep_id"), col("n_members"), col("n_spoofed"))
+        .orderBy("rep_id")
+    }),
+    // phone + IPv4 scan/redaction over stitched deterministic dirt —
+    // the PII pass beyond clean()'s URL/email redaction
+    "pii_scan" -> ((s, d) => {
+      val fx = t(s, d).documents.select(col("doc_id"),
+        concat(col("text"), Cleaning.piiFixtureSuffix(col("doc_id"))).as("text"))
+      Cleaning.piiScan(fx).orderBy("doc_id")
+    }),
     "text_clean" -> ((s, d) => {
       val dirty = t(s, d).documents.select(col("doc_id"),
         concat(lit("<p>Contact <b>user"), col("doc_id").cast("string"),
@@ -2107,6 +2139,33 @@ object SparkEntry {
     // the exact block bookkeeping (paras + 3 chrome blocks)
     "html_extract" -> ((s, d) =>
       Html.extractMain(Html.pageFromDocs(t(s, d).documents)).orderBy("doc_id")),
+    // page-level robots directives planted into the fixture head by
+    // doc_id rule; the Spark side must PARSE them back out of the full
+    // page — the twin is the closed-form rule (the html_entities
+    // device), so the hash proves the extraction end to end
+    "meta_robots" -> ((s, d) => {
+      val pages = Html.pageFromDocs(t(s, d).documents)
+      val directive = when(col("doc_id") % 4 === 0, lit("noindex"))
+        .when(col("doc_id") % 4 === 1, lit("noindex, nofollow"))
+        .when(col("doc_id") % 4 === 2, lit("index, follow"))
+      val fx = pages.select(col("doc_id"),
+        when(directive.isNotNull,
+          replace(col("html"), lit("<head>"),
+            concat(lit("<head>\n<meta name=\"robots\" content=\""), directive, lit("\">"))))
+          .otherwise(col("html")).as("html"))
+      Html.metaRobots(fx).orderBy("doc_id")
+    }),
+    // rendezvous sharding stability: assignments at 8 and at 9 shards
+    // side by side — every mover must land on the NEW shard, and only
+    // ~1/9 of docs move (mod-N would reshuffle 8/9)
+    "rendezvous_shards" -> ((s, d) => {
+      val docs = t(s, d).documents.select(col("doc_id"))
+      Corpus.rendezvousShard(
+          Corpus.rendezvousShard(docs, 8, "shard8"), 9, "shard9")
+        .select(col("doc_id"), col("shard8"), col("shard9"),
+          (col("shard8") =!= col("shard9")).as("moved"))
+        .orderBy("doc_id")
+    }),
     // the full entity decoder under load: the page fixture with an
     // entity-rich paragraph injected at the top of the body — named,
     // decimal, hex, double-escaped, unknown-name and invalid-codepoint
@@ -7894,6 +7953,29 @@ object SparkEntry {
         | array_to_string(ws, ' ') AS main_text
         |FROM w ORDER BY doc_id""".stripMargin,
 
+    // the closed-form directive rule the fixture planted — the Spark
+    // side must parse it back out of the page to hash-match
+    "meta_robots" ->
+      """SELECT doc_id,
+        | CASE doc_id % 4 WHEN 0 THEN 'noindex' WHEN 1 THEN 'noindex, nofollow'
+        |                 WHEN 2 THEN 'index, follow' ELSE '' END AS directive,
+        | doc_id % 4 IN (0, 1) AS noindex,
+        | doc_id % 4 = 1 AS nofollow
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the HRW argmax replayed: same "docId:shard" md5-prefix hash
+    // (HexInt40), max by (h, s) as a window rank per shard count
+    "rendezvous_shards" -> {
+      def pick(n: Int, out: String) =
+        s"""(SELECT doc_id, s AS $out FROM (
+           |  SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY ${HexInt40(s"md5(doc_id || ':' || s)")} DESC, s DESC) AS rn
+           |  FROM documents, unnest(generate_series(0, ${n - 1})) AS t(s)) WHERE rn = 1)""".stripMargin
+      s"""SELECT a.doc_id, CAST(a.shard8 AS BIGINT) AS shard8,
+         | CAST(b.shard9 AS BIGINT) AS shard9, a.shard8 <> b.shard9 AS moved
+         |FROM ${pick(8, "shard8")} a JOIN ${pick(9, "shard9")} b USING (doc_id)
+         |ORDER BY a.doc_id""".stripMargin
+    },
+
     // html_extract plus one injected kept block whose decoded form is
     // a compile-time constant from the SAME Scala object the fixture
     // injects raw — the hash proves the entity decoder end to end
@@ -8297,6 +8379,21 @@ object SparkEntry {
     // side's range-partitioned globalNtile avoids — same answer by
     // the SQL-standard bucket arithmetic (TotalOrderSpec proves the
     // equivalence for even and ragged bucket counts)
+    // ntile window twin of the range-partitioned globalNtile (the
+    // equidepth device); pad arithmetic is exact BIGINT, ppm floored
+    "length_bucket_plan" ->
+      """WITH tc AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> length(x) > 0)) AS BIGINT) AS n_toks FROM documents),
+        | b AS (SELECT doc_id, n_toks, ntile(8) OVER (ORDER BY n_toks, doc_id) AS bucket FROM tc),
+        | g AS (SELECT max(n_toks) AS gmax FROM tc),
+        | a AS (SELECT bucket, count(*) AS n_docs, min(n_toks) AS min_len,
+        |        max(n_toks) AS max_len, CAST(sum(n_toks) AS BIGINT) AS sum_tokens
+        |       FROM b GROUP BY 1)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, n_docs, min_len, max_len, sum_tokens,
+        | n_docs * max_len - sum_tokens AS pad_tokens,
+        | CAST(floor((n_docs * max_len - sum_tokens) * 1000000 / (n_docs * max_len)) AS BIGINT) AS pad_ppm,
+        | n_docs * g.gmax - sum_tokens AS naive_pad_tokens
+        |FROM a CROSS JOIN g ORDER BY bucket""".stripMargin,
+
     "equidepth_bins" ->
       """WITH li AS (SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
         |            l_orderkey AS ok, l_linenumber AS ln FROM lineitem),
@@ -8504,6 +8601,41 @@ object SparkEntry {
         | CAST(length(text) AS BIGINT) AS n_before,
         | CAST(length(nfc_normalize(text)) AS BIGINT) AS n_after
         |FROM fx ORDER BY doc_id""".stripMargin,
+    // the spoof map, the fold table and the fixture rule all render
+    // from the SAME Scala constants (chr() for every non-ASCII char)
+    "homoglyph_dedup" -> {
+      val foldFrom = Cleaning.ConfusablesFrom.map(c => s"chr(${c.toInt})").mkString(" || ")
+      val foldTo = s"'${Cleaning.ConfusablesTo}'"
+      val spoofTo = "аеорсух".map(c => s"chr(${c.toInt})").mkString(" || ")
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         | sp AS (SELECT doc_id + 100000 AS doc_id, translate(text, 'aeopcyx', $spoofTo) AS text
+         |        FROM documents WHERE doc_id % 7 = 3),
+         | allv AS (SELECT * FROM base UNION ALL SELECT * FROM sp),
+         | n AS (SELECT doc_id,
+         |    sha256(translate(text, $foldFrom, $foldTo)) AS nh,
+         |    sha256(text) <> sha256(translate(text, $foldFrom, $foldTo)) AS was_spoofed
+         |   FROM allv)
+         |SELECT min(doc_id) AS rep_id, count(*) AS n_members,
+         | CAST(sum(CASE WHEN was_spoofed THEN 1 ELSE 0 END) AS BIGINT) AS n_spoofed
+         |FROM n GROUP BY nh ORDER BY rep_id""".stripMargin
+    },
+
+    // same regex constants as the Spark pass; DuckDB standard strings
+    // keep backslashes literal, so the patterns transfer verbatim
+    "pii_scan" ->
+      s"""WITH fx AS (SELECT doc_id, text ||
+         |   CASE doc_id % 5 WHEN 0 THEN ' call 555-867-5309 now'
+         |                   WHEN 1 THEN ' from 192.168.1.77 seen'
+         |                   WHEN 2 THEN ' dial +1 (415) 555-0199 via 10.0.0.255 today'
+         |                   ELSE '' END AS text FROM documents),
+         | np AS (SELECT doc_id, text,
+         |    regexp_replace(text, '${Cleaning.PhoneRe}', '<PHONE>', 'g') AS nop FROM fx)
+         |SELECT doc_id,
+         | CAST(len(regexp_extract_all(text, '${Cleaning.PhoneRe}')) AS BIGINT) AS n_phones,
+         | CAST(len(regexp_extract_all(nop, '${Cleaning.Ipv4Re}')) AS BIGINT) AS n_ips,
+         | regexp_replace(nop, '${Cleaning.Ipv4Re}', '<IP>', 'g') AS clean
+         |FROM np ORDER BY doc_id""".stripMargin,
+
     "text_clean" ->
       """WITH dirty AS (SELECT doc_id,
         |  '<p>Contact <b>user' || CAST(doc_id AS VARCHAR) ||

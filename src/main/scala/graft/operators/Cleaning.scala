@@ -146,4 +146,62 @@ object Cleaning {
   def cardFixtureFromDocs(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       concat(col("text"), cardFixtureSuffix(col("doc_id"))).as("text"))
+
+  /** Unicode-confusable (homoglyph) table, Cyrillic + Greek lookalikes
+    * → their Latin skeletons — the UTS #39 confusables idea reduced to
+    * the high-frequency script-mixing set. Spoofed text ("sаle" with a
+    * Cyrillic а) defeats every content-hash dedup and URL/domain
+    * comparison in the engine unless folded first; one translate()
+    * call, cross-engine-identical by construction. The two strings are
+    * THE constant both engines derive from. */
+  val ConfusablesFrom: String =
+    "аеорсухіјѕ" + // а е о р с у х і ј ѕ
+    "αονρικυτ" +             // α ο ν ρ ι κ υ τ
+    "АЕОРСХВНКМТ" // А Е О Р С Х В Н К М Т
+  val ConfusablesTo: String = "aeopcyxijs" + "aovpikut" + "AEOPCXBHKMT"
+
+  /** Fold confusable codepoints to their Latin skeletons. */
+  def homoglyphNormalize(c: Column): Column =
+    translate(c, ConfusablesFrom, ConfusablesTo)
+
+  /** The REVERSE map (Latin → Cyrillic lowercase lookalikes) for the
+    * deterministic spoof fixture: the corpus is pure ASCII, so spoofed
+    * twins must be planted, the card_scrub device. Bijective over its
+    * domain, so normalize(spoof(x)) == x exactly. */
+  def homoglyphSpoof(c: Column): Column =
+    translate(c, "aeopcyx", "аеорсух")
+
+  /** North-American phone shapes: optional "+1 " country prefix,
+    * optional parens around the area code, space/dash separators.
+    * RE2-compatible (no lookaround). No LEADING \b: a boundary can
+    * never sit between space and '+' (both non-word), which would
+    * strand the '+' outside the redaction; the trailing \b keeps
+    * longer digit runs out. */
+  val PhoneRe = "(?:\\+1 )?\\(?\\d{3}\\)?[ -]?\\d{3}-\\d{4}\\b"
+
+  /** Dotted-quad IPv4 shape (no octet-range check — the scrub errs
+    * toward redaction like [[scrubCards]]). */
+  val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** PII scan beyond [[clean]]'s URL/email pass: count and redact
+    * phone numbers and IPv4 addresses. Phones scrub FIRST — an IP
+    * can't contain a phone but a phone's digit run must never be
+    * half-eaten by a greedy dotted-quad miss. Zero-shuffle narrow
+    * projection; counts agree exactly with what the clean text had
+    * redacted. Output: (doc_id, n_phones, n_ips, clean). */
+  def piiScan(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val noPhones = regexp_replace(col(textCol), PhoneRe, "<PHONE>")
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0))).cast(LongType).as("n_phones"),
+      size(regexp_extract_all(noPhones, lit(Ipv4Re), lit(0))).cast(LongType).as("n_ips"),
+      regexp_replace(noPhones, Ipv4Re, "<IP>").as("clean"))
+  }
+
+  /** Deterministic phone/IP dirt, the [[cardFixtureSuffix]] device. */
+  def piiFixtureSuffix(id: Column): Column =
+    when(id % 5 === 0, lit(" call 555-867-5309 now"))
+      .when(id % 5 === 1, lit(" from 192.168.1.77 seen"))
+      .when(id % 5 === 2, lit(" dial +1 (415) 555-0199 via 10.0.0.255 today"))
+      .otherwise(lit(""))
 }

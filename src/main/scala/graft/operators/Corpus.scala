@@ -607,6 +607,61 @@ object Corpus {
         (coalesce(col("n_train_overlap"), lit(0L)) >= minOverlap).as("leaked"))
   }
 
+  /** Rendezvous (highest-random-weight) sharding (Thaler &
+    * Ravishankar, "Using Name-Based Mappings to Increase Hit Rates",
+    * IEEE/ACM ToN 1998): a doc lands on argmax over shards of
+    * h(doc, shard). The property mod-N sharding cannot give: growing
+    * n → n+1 shards moves ONLY the docs whose hash against the NEW
+    * shard wins — expected 1/(n+1) of the corpus, and every mover
+    * goes TO the new shard — where `hash(doc) % n` reshuffles
+    * (n−1)/n of everything. That is the difference between an
+    * incremental shard split and a full dataset rewrite at 100 TB.
+    * h is the 40-bit md5 prefix of "docId:shard" (the winnowing
+    * device — engine-exact via conv/HexInt40); the argmax is one
+    * array_max over n (h, s) structs per row — narrow, zero shuffle. */
+  def rendezvousShard(docs: DataFrame, nShards: Int, outCol: String = "shard",
+                      idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, "rendezvousShard needs nShards > 0")
+    val picks = transform(sequence(lit(0), lit(nShards - 1)),
+      s => struct(
+        conv(substring(md5(concat(col(idCol).cast(StringType), lit(":"),
+          s.cast(StringType))), 1, 10), 16, 10).cast(LongType).as("h"),
+        s.cast(LongType).as("s")))
+    docs.withColumn(outCol, array_max(picks).getField("s"))
+  }
+
+  /** Length-bucketed batching plan — the dynamic-batching planner: a
+    * trainer that pads every sequence to one global max burns
+    * (max − len) pad tokens per doc; bucketing by length first (the
+    * standard bucketed-batching move) pads only to each bucket's own
+    * max. This emits the plan AND its exact cost: `nBuckets`
+    * equal-population length buckets (the equidepth_bins device —
+    * `TotalOrder.globalNtile`, a range exchange + bucket arithmetic,
+    * never a single-task sort), per bucket the boundaries, doc count,
+    * real token mass, pad tokens at the bucket max, the floor-ppm pad
+    * share, and the naive global-max pad cost for comparison. All
+    * exact integer arithmetic off whitespace token counts. */
+  def lengthBucketPlan(docs: DataFrame, nBuckets: Int = 8,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tc = docs.select(col(idCol).as("doc_id"),
+      size(filter(split(col(textCol), TextOps.TokenSepRe), t => length(t) > 0))
+        .cast(LongType).as("n_toks"))
+    val binned = TotalOrder.globalNtile(tc,
+      Seq(col("n_toks").asc, col("doc_id").asc), nBuckets, "bucket")
+    val global = tc.agg(max(col("n_toks")).as("gmax"))
+    binned.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_toks")).as("min_len"), max(col("n_toks")).as("max_len"),
+        sum(col("n_toks")).as("sum_tokens"))
+      .crossJoin(broadcast(global))
+      .select(col("bucket"), col("n_docs"), col("min_len"), col("max_len"),
+        col("sum_tokens"),
+        (col("n_docs") * col("max_len") - col("sum_tokens")).as("pad_tokens"),
+        floor((col("n_docs") * col("max_len") - col("sum_tokens")) * lit(1000000L)
+          / (col("n_docs") * col("max_len"))).as("pad_ppm"),
+        (col("n_docs") * col("gmax") - col("sum_tokens")).as("naive_pad_tokens"))
+  }
+
   /** The (lang, source, n_toks)-grain counters CUBE every dataset-card
     * number except the distinct-text count derives from: per-cell doc
     * count, char sum and Gopher-gate pass count. Splitting the card

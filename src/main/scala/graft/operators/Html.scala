@@ -298,6 +298,24 @@ object Html {
     *
     * Query strings are preserved verbatim (collapse never crosses the
     * first `?`). */
+  /** Page-level robots directive — the other half of crawl politeness
+    * after robots.txt path rules: a page that says `noindex` must not
+    * enter the corpus no matter what the path rules allowed, and
+    * `nofollow` cuts its outlinks from the frontier. One case-blind
+    * regex pass over the head (attribute order tolerated left-of-
+    * content; no lookaround — Java∩RE2); an absent tag is the empty
+    * directive, meaning index+follow. Output: (doc_id, directive,
+    * noindex, nofollow). */
+  def metaRobots(pages: DataFrame, htmlCol: String = "html",
+                 idCol: String = "doc_id"): DataFrame = {
+    val content = lower(regexp_extract(col(htmlCol),
+      "(?i)<meta[^>]*name=\"robots\"[^>]*content=\"([^\"]*)\"", 1))
+    pages.select(col(idCol).as("doc_id"),
+      content.as("directive"),
+      content.rlike("\\bnoindex\\b").as("noindex"),
+      content.rlike("\\bnofollow\\b").as("nofollow"))
+  }
+
   def urlNormalize(u: Column, base: Column): Column = {
     val noFrag = regexp_replace(u, "#.*$", "")
     val bScheme = lower(regexp_extract(base, s"($SchemeRe)", 1))

@@ -758,4 +758,45 @@ class CorpusSpec extends AnyFunSuite {
     val passPpm = whole.head(9).asInstanceOf[Long]
     assert(passPpm > 0L && passPpm < 1000000L, passPpm.toString)
   }
+
+  test("lengthBucketPlan: exact pad accounting matches a hand fold; bucketing beats naive padding") {
+    import spark.implicits._
+    // 16 docs with lengths 1..16 tokens, 4 buckets of 4
+    val docs = (1 to 16).map(n => (n.toLong, (1 to n).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Corpus.lengthBucketPlan(docs, nBuckets = 4).orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(7)))
+    // hand fold: bucket b holds lengths 4b-3..4b; max 4b;
+    // pad = Σ (4b - len); naive pad = Σ (16 - len)
+    val exp = (1 to 4).map { b =>
+      val lens = (4 * b - 3) to (4 * b)
+      (b.toLong, 4L, lens.min.toLong, lens.max.toLong, lens.sum.toLong,
+        lens.map(4 * b - _).sum.toLong, lens.map(16 - _).sum.toLong)
+    }
+    assert(got.toSeq === exp)
+    // the planner's pitch: bucketed pad strictly below naive in total
+    assert(got.map(_._6).sum < got.map(_._7).sum)
+  }
+
+  test("rendezvousShard: movers land ONLY on the new shard; move fraction near 1/(n+1); deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 400L).toDF("doc_id")
+    val both = Corpus.rendezvousShard(
+        Corpus.rendezvousShard(docs, 8, "s8"), 9, "s9")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the HRW property: growing 8 -> 9 shards, a doc moves iff shard 8
+    // (the NEW one) wins its argmax — movers can go nowhere else
+    val movers = both.filter(x => x._2 != x._3)
+    assert(movers.forall(_._3 == 8L), movers.take(5).mkString(","))
+    // expected 1/9 of docs move; generous band, zero would mean the
+    // new shard never wins (broken hash), 1/3 would mean mod-N-like churn
+    assert(movers.length > 400 / 20 && movers.length < 400 / 3, movers.length.toString)
+    // all 8 old shards occupied, and the assignment is pure (re-run identical)
+    assert(both.map(_._2).distinct.length === 8)
+    val again = Corpus.rendezvousShard(docs.repartition(7), 8, "s8")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(both.forall(x => again(x._1) == x._2))
+  }
 }

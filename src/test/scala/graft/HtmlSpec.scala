@@ -259,4 +259,21 @@ class HtmlSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
     assert(again === got)
   }
+
+  test("metaRobots: directive parsed case-blind; absent tag means index+follow; 'index' is not 'noindex'") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "<html><head><meta name=\"robots\" content=\"NOINDEX, NOFOLLOW\"></head><body>x</body></html>"),
+      (2L, "<html><head><META name=\"robots\" content=\"noindex\"><title>t</title></head><body>x</body></html>"),
+      (3L, "<html><head><meta name=\"robots\" content=\"index, follow\"></head><body>x</body></html>"),
+      (4L, "<html><head><title>no directive</title></head><body>x</body></html>")
+    ).toDF("doc_id", "html")
+    val got = Html.metaRobots(pages).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(got(1L) === (("noindex, nofollow", true, true)))
+    assert(got(2L) === (("noindex", true, false)))
+    // the \b guard: "index, follow" contains "index" but NOT "noindex"
+    assert(got(3L) === (("index, follow", false, false)))
+    assert(got(4L) === (("", false, false)))
+  }
 }
