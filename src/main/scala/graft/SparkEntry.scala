@@ -2229,6 +2229,17 @@ object SparkEntry {
         .select(col("doc_id").as("node"), col("cluster_id"))
         .orderBy("node")
     }),
+    // deterministic synchronous LPA over the crawl graph: the
+    // community level between components (one bridge merges all) and
+    // k-core (structure, not membership); fixed-tie mode, 4 rounds
+    "lpa_communities" -> ((s, d) => {
+      val edges = Html.outlinks(Html.pageFromDocs(t(s, d).documents))
+      Graph.lpaCommunities(edges).orderBy("node")
+    }),
+    // small-sample-honest source ranking: Wilson lower bound of the
+    // gate pass rate — 3/3 must not outrank 180/200
+    "source_quality_wilson" -> ((s, d) =>
+      TextQuality.sourceQualityWilson(t(s, d).documents).orderBy("quality_rank")),
     // 2-core of the crawl graph: iterative peeling separates the
     // interlinked site core from pendant tendrils; fixed rounds, the
     // twin unrolls the same peels as CTEs (the page_rank device)
@@ -7846,6 +7857,53 @@ object SparkEntry {
          |SELECT node, min(label) AS cluster_id FROM reach GROUP BY node ORDER BY node""".stripMargin,
 
     "kcore_nodes" -> kCoreTwinSql,
+
+    // the 4 LPA rounds unrolled as CTEs (the kmeans device); mode =
+    // row_number over (cnt DESC, label ASC) — Spark's max_by struct
+    "lpa_communities" -> {
+      def round(i: Int, prev: String) =
+        s""" r$i AS (SELECT u.src AS node, l.label, count(*) AS cnt
+           |   FROM und u JOIN $prev l ON u.dst = l.node GROUP BY 1, 2),
+           | l$i AS (SELECT node, label FROM (
+           |   SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+           |   FROM r$i) WHERE rn = 1)""".stripMargin
+      s"""WITH $CrawlEdgesBody,
+         | und AS (SELECT DISTINCT src, dst FROM
+         |   (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges)),
+         | l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+         |${round(1, "l0")},
+         |${round(2, "l1")},
+         |${round(3, "l2")},
+         |${round(4, "l3")}
+         |SELECT node, label AS community FROM l4 ORDER BY node""".stripMargin
+    },
+
+    // the same gate CTEs as corpus_card, per source; the Wilson bound
+    // is one fixed float expression over exact integers with literal
+    // z-constants — identical shape in both engines
+    "source_quality_wilson" -> {
+      val stops = TextQuality.Stopwords("en").map(w => s"'$w'").mkString(", ")
+      val pd = "CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+      val nd = "CAST(n_docs AS DOUBLE)"
+      s"""WITH gf AS (SELECT doc_id, source, CAST(len(tkl) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(tkl, x -> length(x))) AS DOUBLE) / len(tkl) AS mean_word_len,
+         |    CAST(len(list_filter(tkl, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(tkl) AS alpha_frac,
+         |    CAST(len(list_filter(tkl, x -> list_contains([$stops], lower(x)))) AS BIGINT) AS n_stop_hits
+         |   FROM (SELECT doc_id, source, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS tkl FROM documents) z),
+         | per AS (SELECT source, count(*) AS n_docs,
+         |    CAST(count(*) FILTER (WHERE n_words BETWEEN 50 AND 100000 AND mean_word_len >= 3.0
+         |      AND mean_word_len <= 10.0 AND alpha_frac >= 0.8 AND n_stop_hits >= 2) AS BIGINT) AS n_pass
+         |   FROM gf GROUP BY 1),
+         | w AS (SELECT source, n_docs, n_pass,
+         |    round($pd, 6) AS pass_rate,
+         |    round(($pd + 1.9208 / $nd
+         |      - 1.96 * sqrt(($pd * (1.0 - $pd) + 0.9604 / $nd) / $nd))
+         |      / (1.0 + 3.8416 / $nd), 9) AS wilson_lb
+         |   FROM per)
+         |SELECT source, n_docs, n_pass, pass_rate, wilson_lb,
+         | CAST(row_number() OVER (ORDER BY wilson_lb DESC, source) AS BIGINT) AS quality_rank
+         |FROM w ORDER BY quality_rank""".stripMargin
+    },
 
     // the canonical u<v<w three-way join — same triangle set the
     // oriented wedge enumeration produces, corners exploded

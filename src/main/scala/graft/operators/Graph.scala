@@ -274,6 +274,43 @@ object Graph {
     * MINIMUM id of its component as cluster_id (singletons keep their
     * own id) — the two implementations are interchangeable, and the
     * spec asserts equality on shared fixtures. */
+  /** Synchronous label propagation (Raghavan, Albert, Kumara, "Near
+    * linear time algorithm to detect community structures in
+    * large-scale networks", Phys. Rev. E 2007), made DETERMINISTIC:
+    * every node starts as its own label; each round it adopts the
+    * MODE of its neighbors' labels under a fixed tie policy (highest
+    * count, then smallest label) instead of the paper's random tie —
+    * randomness would unhash the oracle and make retries disagree.
+    * Communities sit between components (too coarse — one bridge
+    * merges everything) and k-core (structure, not membership): the
+    * link-spam-ring / topic-cluster view of a crawl graph.
+    *
+    * Scale shape: per round ONE join against the undirected edge
+    * relation (materialized once) and one (node, label) count whose
+    * mode is a bounded max_by buffer — state is |V| labels, lineage
+    * truncated per round (the pageRank device). Rounds are FIXED so
+    * the twin can unroll them as CTEs; synchronous LPA can oscillate
+    * on bipartite structure, and a fixed-round snapshot reports that
+    * deterministically instead of looping forever. */
+  def lpaCommunities(edges: DataFrame, rounds: Int = 4,
+                     srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    val nodes = und.select(col("src").as("node")).distinct().localCheckpoint(true)
+    var lab = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      val nb = und.join(lab.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
+      val next = nb.groupBy(col("src"))
+        .agg(max_by(col("label"), struct(col("cnt"), (-col("label")).as("nl"))).as("label"))
+      lab = nodes.join(next.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+        .localCheckpoint(true)
+    }
+    lab.select(col("node"), col("label").as("community"))
+  }
+
   def starComponents(pairs: DataFrame, items: DataFrame,
                      idCol: String = "doc_id"): DataFrame =
     starComponentsWithRounds(pairs, items, idCol)._1

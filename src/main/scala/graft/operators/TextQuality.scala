@@ -370,6 +370,38 @@ object TextQuality {
           col("n_stop_hits") >= minStopHits)
   }
 
+  /** Wilson score lower bound (Wilson, JASA 1927 — the small-sample-
+    * honest ranking statistic): rank sources by the LOWER 95%
+    * confidence bound of their [[gopherQualityGate]] pass rate
+    * instead of the raw proportion — a 3/3 source must not outrank a
+    * 180/200 one just because its tiny sample hit 100%. The
+    * z-derived constants (z=1.96, z²=3.8416, z²/2=1.9208,
+    * z²/4=0.9604) are literal in BOTH engines and the bound is ONE
+    * fixed float expression over the exact (n, k) integers — div,
+    * mult and sqrt are IEEE correctly-rounded, so the same shape on
+    * the same inputs yields the same doubles — rounded(9) before the
+    * rank. Scale shape: one gate scan + a source-cardinality
+    * aggregate; the rank window runs on the source dimension. */
+  def sourceQualityWilson(docs: DataFrame, sourceCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gate = gopherQualityGate(docs).select(col("doc_id"), col("keep"))
+    val per = docs.select(col("doc_id"), col(sourceCol).as("source"))
+      .join(gate, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("n_pass"))
+    val nd = col("n_docs").cast(DoubleType)
+    val p = col("n_pass").cast(DoubleType) / nd
+    val wl = (p + lit(1.9208) / nd
+      - lit(1.96) * sqrt((p * (lit(1.0) - p) + lit(0.9604) / nd) / nd)) /
+      (lit(1.0) + lit(3.8416) / nd)
+    per.select(col("source"), col("n_docs"), col("n_pass"),
+        round(p, 6).as("pass_rate"), round(wl, 9).as("wilson_lb"))
+      .withColumn("quality_rank",
+        row_number().over(Window.orderBy(desc("wilson_lb"), asc("source")))
+          .cast(LongType))
+  }
+
   /** LEARNED quality classifier: multinomial Naive Bayes with add-1
     * smoothing (Manning et al. IR ch.13, public — the same
     * linear-classifier family the GPT-3/LLaMA pipelines use for

@@ -799,4 +799,30 @@ class CorpusSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(both.forall(x => again(x._1) == x._2))
   }
+
+  test("sourceQualityWilson: a 2/2 source ranks below a 16/20 one; bound matches the closed form") {
+    import spark.implicits._
+    // passing text: >= 50 words with stopwords; failing: too short
+    val good = ("the quick brown fox jumps over a lazy dog and then " * 6).trim
+    val bad = "too short"
+    val docs =
+      ((1 to 2).map(i => (i.toLong, "tiny", good)) ++          // 2/2 = 100%
+       (1 to 20).map(i => (100L + i, "big", if (i <= 16) good else bad)))
+        .toDF("doc_id", "source", "text")
+    val got = graft.operators.TextQuality.sourceQualityWilson(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(4), r.getLong(5)))).toMap
+    assert(got("tiny")._1 === 2L && got("tiny")._2 === 2L)
+    assert(got("big")._1 === 20L && got("big")._2 === 16L)
+    // the small-sample honesty: 100% of 2 ranks BELOW 80% of 20
+    assert(got("big")._4 === 1L && got("tiny")._4 === 2L, got.toString)
+    // closed form replicated (same op order as the Column expression)
+    def wilson(k: Long, n: Long): Double = {
+      val nd = n.toDouble; val p = k.toDouble / nd
+      val raw = (p + 1.9208 / nd -
+        1.96 * math.sqrt((p * (1.0 - p) + 0.9604 / nd) / nd)) / (1.0 + 3.8416 / nd)
+      java.math.BigDecimal.valueOf(raw).setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    }
+    assert(got("tiny")._3 === wilson(2, 2))
+    assert(got("big")._3 === wilson(16, 20))
+  }
 }

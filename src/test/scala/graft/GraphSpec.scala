@@ -237,4 +237,23 @@ class GraphSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got2 === got)
   }
+
+  test("lpaCommunities: two bridged cliques resolve to two communities; deterministic") {
+    // cliques {1..5} and {11..15}, one bridge 5-11: components would
+    // merge everything through the bridge; LPA keeps in-clique label
+    // mass dominant on each side
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(1L to 5L) ++ clique(11L to 15L) :+ ((5L, 11L)))
+      .toDF("src", "dst")
+    val got = Graph.lpaCommunities(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cA = (1L to 5L).map(got).toSet
+    val cB = (11L to 15L).map(got).toSet
+    assert(cA.size === 1 && cB.size === 1 && cA != cB, got.toString)
+    // pure function of the graph: shuffled input, same communities
+    val again = Graph.lpaCommunities(edges.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
 }

@@ -347,6 +347,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("rendezvousShard is narrow (no shuffle); lengthBucketPlan takes the range path, not a global window") {
+    import graft.plans.Bucketing
+    val docs = t.documents.select(col("doc_id"))
+    assert(Bucketing.shuffleExchangeCount(Corpus.rendezvousShard(docs, 8)) === 0,
+      simple(Corpus.rendezvousShard(docs, 8)))
+    // the ntile device: TotalOrder's range machinery (per-__pid
+    // windows + broadcast offsets; the RangePartitioning exchange
+    // itself sits behind the checkpoint — TotalOrderSpec pins it on
+    // the pre-checkpoint plan), never a global ntile window
+    val plan = simple(Corpus.lengthBucketPlan(t.documents))
+    assert(!plan.contains("ntile("), plan)
+    assert(plan.contains("__pid"), plan)
+  }
+
   test("jaro_winkler / damerau_levenshtein stay inside whole-stage codegen") {
     // a parquet-backed source: a literal relation constant-folds to a
     // LocalTableScan and proves nothing
