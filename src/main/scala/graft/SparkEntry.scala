@@ -934,6 +934,27 @@ object SparkEntry {
     // the MOSS match step: pairs sharing >= 2 df-capped fingerprints
     "winnowing_near_dups" -> ((s, d) =>
       Dedup.winnowingNearDups(t(s, d).documents).orderBy("doc_a", "doc_b")),
+    // continuous MOSS: winnowing copy detection against the growing
+    // ADMITTED-fingerprint store; a re-posted copy in a later drop is
+    // caught by the detection guarantee, batch mates by the lower-id
+    // rule — the twin unrolls the 4 batch admissions
+    "streaming_winnowing_ingest" -> ((s, d) => {
+      val src = stageDocStream(s, d, nFiles = 4)
+      val ss = streamSession(s)
+      val stream = ss.readStream
+        .schema("doc_id LONG, lang STRING, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+      val fpDir = java.nio.file.Files.createTempDirectory("graft-winnow-store").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-winnow-out").toString
+      val admitted = graft.streaming.IngestPipeline
+        .runWinnowIngest(ss, stream, fpDir, out)
+        .withColumn("ok", lit(true))
+      t(ss, d).documents.select(col("doc_id"))
+        .join(admitted, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("ok"), lit(false)).as("admitted"))
+        .orderBy("doc_id")
+    }),
     // asymmetric containment |S(A)∩S(B)|/|S(A)| — the partial-dup
     // (quote-inside-page) detector Jaccard structurally misses; same
     // df-capped candidate bound as jaccardPairs, directed output,
@@ -3130,6 +3151,50 @@ object SparkEntry {
     // and one histogram-sized window — every input relation is an
     // aggregate, so the card costs two corpus scans at any scale
     "corpus_card" -> ((s, d) => Corpus.datasetCard(t(s, d).documents)),
+    // the go/no-go release artifact: every pre-release audit this
+    // engine ships (exact-dup pressure, quality-gate rate, split
+    // leakage, benchmark contamination, PII scan) as ONE relation of
+    // (check, value, threshold, pass) rows plus the failing-check
+    // count — at sf0.01 the leakage check FAILS (the synthetic corpus
+    // shares trigrams across every split boundary), so the verdict
+    // demonstrably binds instead of rubber-stamping
+    "release_gate" -> ((s, d) => {
+      val docs = t(s, d).documents
+      val nd = count(lit(1))
+      val dup = docs.agg(floor((nd - countDistinct(sha2(col("text"), 256))) * lit(1000000L) / nd)
+        .as("dup_ppm"))
+      val gate = TextQuality.gopherQualityGate(docs)
+        .agg(floor(sum(when(col("keep"), lit(1L)).otherwise(lit(0L))) * lit(1000000L) / nd)
+          .as("gopher_pass_ppm"))
+      val leak = Corpus.splitLeakageAudit(docs)
+        .agg(floor(sum(when(col("leaked"), lit(1L)).otherwise(lit(0L))) * lit(1000000L) / nd)
+          .as("leak_ppm"))
+      val contam = Corpus.decontaminate(
+          docs.where(col("doc_id") % 97 =!= 0), docs.where(col("doc_id") % 97 === 0))
+        .agg(floor(sum(when(col("contaminated"), lit(1L)).otherwise(lit(0L))) * lit(1000000L) / nd)
+          .as("contam_ppm"))
+      val pii = Cleaning.piiScan(docs)
+        .agg(floor(sum(when(col("n_phones") + col("n_ips") > 0, lit(1L)).otherwise(lit(0L)))
+          * lit(1000000L) / nd).as("pii_ppm"))
+      val vals = dup.crossJoin(broadcast(gate)).crossJoin(broadcast(leak))
+        .crossJoin(broadcast(contam)).crossJoin(broadcast(pii))
+      val checks = vals.selectExpr(
+        """stack(5,
+          | 'exact_dup_ppm', dup_ppm, CAST(50000 AS BIGINT), false,
+          | 'gopher_pass_ppm', gopher_pass_ppm, CAST(300000 AS BIGINT), true,
+          | 'split_leak_ppm', leak_ppm, CAST(100000 AS BIGINT), false,
+          | 'contaminated_ppm', contam_ppm, CAST(100000 AS BIGINT), false,
+          | 'pii_hit_ppm', pii_ppm, CAST(0 AS BIGINT), false
+          |) as (check_name, value, threshold, higher_is_better)""".stripMargin)
+        .withColumn("pass", when(col("higher_is_better"),
+          col("value") >= col("threshold")).otherwise(col("value") <= col("threshold")))
+      val summary = checks
+        .agg(sum(when(!col("pass"), lit(1L)).otherwise(lit(0L))).as("value"))
+        .select(lit("zz_failing_checks").as("check_name"), col("value"),
+          lit(0L).as("threshold"), lit(false).as("higher_is_better"),
+          (col("value") === 0L).as("pass"))
+      checks.unionByName(summary).orderBy("check_name")
+    }),
     // the release artifact maintained INCREMENTALLY: each micro-batch
     // commits its histogram-sized cube delta + first-seen digests; the
     // finish recomputes the card from the drained stores, so the batch
@@ -6064,6 +6129,46 @@ object SparkEntry {
          |FROM c a JOIN c b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""".stripMargin,
 
+    // the 4 batch admissions unrolled: batch = doc_id // per (the
+    // stageDocStream range layout), per-batch df cap, pairwise shared
+    // counts once, then a_b = batch b minus (mate-rejected ∪ rejected
+    // against the union of EARLIER admitted sets) — the recursive
+    // store semantics as plain CTEs
+    "streaming_winnowing_ingest" -> {
+      def adm(b: Int, priors: Seq[String]) = {
+        val vsStore =
+          if (priors.isEmpty) ""
+          else priors.map(p =>
+            s"AND doc_id NOT IN (SELECT c.d FROM cand c JOIN $p p ON c.e = p.doc_id WHERE c.db = $b)")
+            .mkString(" ", " ", "")
+        s""" a$b AS (SELECT doc_id FROM dd WHERE b = $b
+           |   AND doc_id NOT IN (SELECT d FROM cand WHERE eb = db AND db = $b)$vsStore)""".stripMargin
+      }
+      s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS l FROM documents),
+         | g AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM toks WHERE len(l) >= 6),
+         | gr AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS gpos, md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS m FROM g),
+         | pk AS (SELECT doc_id, gpos, ${HexInt40("m")} * 1048576 + (1048575 - gpos) AS pk FROM gr),
+         | sel AS (SELECT doc_id, gpos, min(pk) OVER (PARTITION BY doc_id ORDER BY gpos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel FROM pk),
+         | f AS (SELECT DISTINCT doc_id, sel // 1048576 AS fp FROM sel WHERE gpos >= 3),
+         | pc AS (SELECT CAST(max(doc_id) AS BIGINT) // 4 + 1 AS per FROM documents),
+         | fb AS (SELECT doc_id, fp, doc_id // (SELECT per FROM pc) AS b FROM f),
+         | rare AS (SELECT b, fp FROM fb GROUP BY b, fp HAVING count(*) <= 50),
+         | c0 AS (SELECT fb.doc_id, fb.fp, fb.b FROM fb JOIN rare USING (b, fp)),
+         | cand AS (SELECT a.doc_id AS e, d.doc_id AS d, a.b AS eb, d.b AS db
+         |          FROM c0 a JOIN c0 d ON a.fp = d.fp AND a.doc_id < d.doc_id
+         |          GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2),
+         | dd AS (SELECT doc_id, doc_id // (SELECT per FROM pc) AS b FROM documents),
+         |${adm(0, Nil)},
+         |${adm(1, Seq("a0"))},
+         |${adm(2, Seq("a0", "a1"))},
+         |${adm(3, Seq("a0", "a1", "a2"))},
+         | adm AS (SELECT doc_id FROM a0 UNION ALL SELECT doc_id FROM a1
+         |         UNION ALL SELECT doc_id FROM a2 UNION ALL SELECT doc_id FROM a3)
+         |SELECT d.doc_id, (adm.doc_id IS NOT NULL) AS admitted
+         |FROM documents d LEFT JOIN adm ON d.doc_id = adm.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
     // same shingle/df-cap CTEs as near_dup_jaccard, then the DIRECTED
     // containment projection: inter over the OWNING side's set size,
     // rounded 6 dp before the >= cut
@@ -8761,6 +8866,55 @@ object SparkEntry {
     // one-row card: every sub-relation rebuilt as its own aggregate
     // CTE off the same token split; ppm shares floored the same way
     "corpus_card" -> corpusCardTwinSql,
+
+    // each check's proven CTE chain aggregated to its ppm; NOTE the
+    // denominators follow the Spark aggs — leakage over the HELD-OUT
+    // relation, contamination over the non-benchmark relation
+    "release_gate" -> {
+      val stops = TextQuality.Stopwords("en").map(w => s"'$w'").mkString(", ")
+      s"""WITH gf AS (SELECT CAST(len(tkl) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(tkl, x -> length(x))) AS DOUBLE) / len(tkl) AS mean_word_len,
+         |    CAST(len(list_filter(tkl, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(tkl) AS alpha_frac,
+         |    CAST(len(list_filter(tkl, x -> list_contains([$stops], lower(x)))) AS BIGINT) AS n_stop_hits
+         |   FROM (SELECT list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS tkl FROM documents) z),
+         | gatev AS (SELECT CAST(floor(count(*) FILTER (WHERE n_words BETWEEN 50 AND 100000 AND mean_word_len >= 3.0
+         |    AND mean_word_len <= 10.0 AND alpha_frac >= 0.8 AND n_stop_hits >= 2) * 1000000 / count(*)) AS BIGINT) AS gopher_pass_ppm FROM gf),
+         | sp AS (SELECT doc_id, text,
+         |   CASE WHEN $HashPermille < 800 THEN 'train'
+         |        WHEN $HashPermille < 900 THEN 'val' ELSE 'test' END AS split
+         |  FROM documents),
+         | ltoks AS (SELECT doc_id, split, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS l FROM sp),
+         | lpos AS (SELECT doc_id, split, l, unnest(generate_series(1, len(l) - 2)) AS i FROM ltoks WHERE len(l) >= 3),
+         | lsh AS (SELECT DISTINCT doc_id, split, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle FROM lpos),
+         | ltsh AS (SELECT DISTINCT shingle FROM lsh WHERE split = 'train'),
+         | lov AS (SELECT s.doc_id, count(*) AS n FROM lsh s JOIN ltsh USING (shingle)
+         |         WHERE s.split <> 'train' GROUP BY 1),
+         | leakv AS (SELECT CAST(floor(count(*) FILTER (WHERE coalesce(lov.n, 0) >= 2) * 1000000 / count(*)) AS BIGINT) AS leak_ppm
+         |   FROM sp e LEFT JOIN lov USING (doc_id) WHERE e.split <> 'train'),
+         | dtoks AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS l FROM documents),
+         | dpos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM dtoks WHERE len(l) >= 3),
+         | dsh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle FROM dpos),
+         | dbsh AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id % 97 = 0),
+         | dov AS (SELECT s.doc_id, count(*) AS n FROM dsh s JOIN dbsh USING (shingle)
+         |         WHERE s.doc_id % 97 <> 0 GROUP BY s.doc_id),
+         | contamv AS (SELECT CAST(floor(count(*) FILTER (WHERE coalesce(dov.n, 0) >= 2) * 1000000 / count(*)) AS BIGINT) AS contam_ppm
+         |   FROM dtoks t LEFT JOIN dov USING (doc_id) WHERE t.doc_id % 97 <> 0),
+         | piiv AS (SELECT CAST(floor(count(*) FILTER (WHERE len(regexp_extract_all(text, '${Cleaning.PhoneRe}')) > 0
+         |    OR len(regexp_extract_all(regexp_replace(text, '${Cleaning.PhoneRe}', '<PHONE>', 'g'), '${Cleaning.Ipv4Re}')) > 0) * 1000000 / count(*)) AS BIGINT) AS pii_ppm FROM documents),
+         | dupv AS (SELECT CAST(floor((count(*) - count(DISTINCT sha256(text))) * 1000000 / count(*)) AS BIGINT) AS dup_ppm FROM documents),
+         | vals AS (SELECT * FROM dupv CROSS JOIN gatev CROSS JOIN leakv CROSS JOIN contamv CROSS JOIN piiv),
+         | checks AS (
+         |  SELECT 'exact_dup_ppm' AS check_name, dup_ppm AS value, CAST(50000 AS BIGINT) AS threshold, false AS higher_is_better, dup_ppm <= 50000 AS pass FROM vals
+         |  UNION ALL SELECT 'gopher_pass_ppm', gopher_pass_ppm, 300000, true, gopher_pass_ppm >= 300000 FROM vals
+         |  UNION ALL SELECT 'split_leak_ppm', leak_ppm, 100000, false, leak_ppm <= 100000 FROM vals
+         |  UNION ALL SELECT 'contaminated_ppm', contam_ppm, 100000, false, contam_ppm <= 100000 FROM vals
+         |  UNION ALL SELECT 'pii_hit_ppm', pii_ppm, 0, false, pii_ppm <= 0 FROM vals)
+         |SELECT check_name, value, threshold, higher_is_better, pass FROM checks
+         |UNION ALL
+         |SELECT 'zz_failing_checks', CAST(count(*) FILTER (WHERE NOT pass) AS BIGINT), 0, false,
+         |  count(*) FILTER (WHERE NOT pass) = 0 FROM checks
+         |ORDER BY check_name""".stripMargin
+    },
     // the drained incremental card converges to the one-shot batch
     // card — same twin verbatim
     "streaming_corpus_card" -> corpusCardTwinSql,

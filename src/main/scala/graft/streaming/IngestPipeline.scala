@@ -323,6 +323,67 @@ object IngestPipeline {
     graft.operators.Corpus.datasetCardFromCube(cube, nDistinct)
   }
 
+  /** One micro-batch of CONTINUOUS winnowing copy detection — the
+    * streaming MOSS: reject any batch document that shares at least
+    * `minShared` selected fingerprints with an ADMITTED document from
+    * an earlier batch (the store holds admitted docs' (doc_id, fp)
+    * pairs) or with a lower-id batch mate (admitted or not — the
+    * [[ingestBatch]] band-store mate rule), then commit the admitted
+    * documents' fingerprints batch-keyed. Hot fingerprints (df >
+    * `maxDf` within the batch) leave candidacy before any pair forms —
+    * the stop-shingle posture, mirrored by the twin per batch. By the
+    * winnowing guarantee a shared ≥ w+k−1-token run forces a shared
+    * fingerprint, so a re-posted copy cannot slip past the detector
+    * by arriving in a later crawl drop. Per-batch state: the batch's
+    * own capped fingerprint set; the store probe is one 8-byte-keyed
+    * join; replays are idempotent (batch-keyed overwrites, store read
+    * AS OF the batch). */
+  def winnowBatch(batch: DataFrame, batchId: Long, fpStoreDir: String,
+                  outDir: String, minShared: Int = 2, maxDf: Int = 50,
+                  k: Int = 3, w: Int = 4): Unit = {
+    val ss = batch.sparkSession
+    healStore(fpStoreDir)
+    val fpsAll = Dedup.winnowingFingerprints(batch, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+    val rare = fpsAll.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select(col("fp"))
+    val fps = fpsAll.join(rare, "fp").localCheckpoint(true)
+    val mateRej = fps.as("x").join(fps.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") > col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_id"), col("y.doc_id").as("mate"))
+      .agg(count(lit(1)).as("n")).where(col("n") >= minShared)
+      .select(col("doc_id"))
+    val priorDirs = s"$fpStoreDir/seed" +:
+      storeBatchIds(fpStoreDir).filter(_ < batchId).map(i => s"$fpStoreDir/b$i")
+    val store = priorDirs.map(ss.read.parquet(_)).reduce(_ unionAll _)
+    val storeRej = fps.join(store.select(col("doc_id").as("e"), col("fp")), "fp")
+      .groupBy(col("doc_id"), col("e")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= minShared).select(col("doc_id"))
+    val rejected = mateRej.unionByName(storeRej).distinct().localCheckpoint(true)
+    val admitted = batch.select(col("doc_id")).join(rejected, Seq("doc_id"), "left_anti")
+    fps.join(admitted, Seq("doc_id")).select(col("doc_id"), col("fp"))
+      .write.mode("overwrite").parquet(s"$fpStoreDir/b$batchId")
+    admitted.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+  }
+
+  /** Drain the doc stream through [[winnowBatch]] and return the
+    * admitted doc ids. */
+  def runWinnowIngest(spark: SparkSession, docStream: DataFrame,
+                      fpStoreDir: String, outDir: String,
+                      minShared: Int = 2, maxDf: Int = 50): DataFrame = {
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("doc_id", LongType), StructField("fp", LongType))))
+      .write.mode("overwrite").parquet(s"$fpStoreDir/seed")
+    val q = docStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        winnowBatch(batch.toDF(), batchId, fpStoreDir, outDir, minShared, maxDf)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir).select(col("doc_id"))
+  }
+
   /** Fold finalized batch commits into the seed — the store's
     * compaction. Without it the digest store is seed + one directory
     * per micro-batch forever, and every batch's scan unions an

@@ -295,4 +295,35 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq === Seq((1L, 2L)))
   }
+
+  test("winnowBatch: a re-posted copy in a later batch is rejected; mates by lower id; replay idempotent") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.IngestPipeline
+    val store = java.nio.file.Files.createTempDirectory("winnow-spec-store").toString
+    val out = java.nio.file.Files.createTempDirectory("winnow-spec-out").toString
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("fp", org.apache.spark.sql.types.LongType))))
+      .write.mode("overwrite").parquet(s"$store/seed")
+    val original = "the winnowing detector must catch this exact reposted paragraph later on"
+    val b0 = Seq(
+      (1L, original),
+      (2L, "completely unrelated first batch content with enough tokens to fingerprint"),
+      (3L, original + " trailing tweak")  // mate of 1 → rejected by lower-id rule
+    ).toDF("doc_id", "text")
+    val b1 = Seq(
+      (10L, s"new preamble then $original and a tail"), // copy of ADMITTED 1 → rejected vs store
+      (11L, "fresh second batch material sharing nothing with anything before now")
+    ).toDF("doc_id", "text")
+    IngestPipeline.winnowBatch(b0, 0L, store, out, minShared = 1)
+    IngestPipeline.winnowBatch(b1, 1L, store, out, minShared = 1)
+    def admitted = spark.read.parquet(out).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted === Set(1L, 2L, 11L), admitted.toString)
+    // replay: re-running batch 1 reads the store AS OF batch 1 and
+    // overwrites its own commits — nothing duplicates, nothing flips
+    IngestPipeline.winnowBatch(b1, 1L, store, out, minShared = 1)
+    assert(admitted === Set(1L, 2L, 11L), admitted.toString)
+  }
 }
