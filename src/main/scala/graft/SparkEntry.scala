@@ -934,6 +934,50 @@ object SparkEntry {
     // the MOSS match step: pairs sharing >= 2 df-capped fingerprints
     "winnowing_near_dups" -> ((s, d) =>
       Dedup.winnowingNearDups(t(s, d).documents).orderBy("doc_a", "doc_b")),
+    // the dedup-cut tuning table: how many pairs (and docs) a Jaccard
+    // threshold would merge, per candidate threshold — the artifact a
+    // curation team reads before picking THE cut; one pair relation,
+    // five broadcast threshold rows
+    "dedup_threshold_sweep" -> ((s, d) => {
+      val ths = Seq(0.02, 0.05, 0.1, 0.5, 0.9)
+      val pairs = Dedup.jaccardPairs(t(s, d).documents)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      val filt = pairs
+        .withColumn("threshold", explode(array(ths.map(lit): _*)))
+        .where(col("jaccard") >= col("threshold"))
+        .localCheckpoint(true) // feeds both aggregates
+      val np = filt.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+      val ndoc = filt
+        .select(col("threshold"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+        .groupBy(col("threshold")).agg(countDistinct(col("doc")).as("n_docs_affected"))
+      val base = t(s, d).documents.limit(1)
+        .select(explode(array(ths.map(lit): _*)).as("threshold"))
+      base.join(np, Seq("threshold"), "left").join(ndoc, Seq("threshold"), "left")
+        .select(col("threshold"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs_affected"), lit(0L)).as("n_docs_affected"))
+        .orderBy("threshold")
+    }),
+    // the operational check on fingerprint index size: winnowing
+    // selects ~2/(w+1) of grams; a density far off that band means a
+    // broken window or a degenerate hash
+    "winnowing_density_audit" -> ((s, d) => {
+      val docs = t(s, d).documents
+      val grams = docs
+        .select(size(filter(split(col("text"), TextOps.TokenSepRe), x => length(x) > 0))
+          .cast("long").as("n_toks"))
+        .where(col("n_toks") >= 6)
+        .agg(sum(col("n_toks") - 2 - 3).as("n_windows"),
+          sum(col("n_toks") - 2).as("n_grams"))
+      // n_windows = full windows (grams - w + 1); density vs grams
+      val sel = Dedup.winnowingFingerprints(docs)
+        .agg(count(lit(1)).as("n_selected"))
+      grams.crossJoin(broadcast(sel))
+        .select(col("n_grams"), col("n_windows"), col("n_selected"),
+          floor(col("n_selected") * lit(1000000L) / col("n_grams")).as("density_ppm"),
+          (floor(col("n_selected") * lit(1000000L) / col("n_grams"))
+            .between(200000L, 600000L)).as("near_theory")) // 2/(w+1) = 0.4
+    }),
     // continuous MOSS: winnowing copy detection against the growing
     // ADMITTED-fingerprint store; a re-posted copy in a later drop is
     // caught by the detection guarantee, batch mates by the lower-id
@@ -6128,6 +6172,47 @@ object SparkEntry {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
          |FROM c a JOIN c b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""".stripMargin,
+
+    // the jaccard pair chain joined to a threshold relation; the
+    // quotient is the same long/long double division on both sides
+    "dedup_threshold_sweep" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> length(x) > 0) AS l FROM documents),
+        | pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM toks WHERE len(l) >= 3),
+        | sh0 AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle FROM pos),
+        | rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 10),
+        | sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
+        | cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        | inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |            GROUP BY a.doc_id, b.doc_id),
+        | j AS (SELECT doc_a, doc_b, inter / (ca.n_sh + cb.n_sh - inter) AS jaccard
+        |        FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b),
+        | th AS (SELECT unnest([0.02, 0.05, 0.1, 0.5, 0.9]) AS threshold),
+        | f AS (SELECT th.threshold, j.doc_a, j.doc_b FROM j JOIN th ON j.jaccard >= th.threshold),
+        | np AS (SELECT threshold, count(*) AS n_pairs FROM f GROUP BY 1),
+        | nd AS (SELECT threshold, count(DISTINCT doc) AS n_docs_affected
+        |        FROM (SELECT threshold, unnest([doc_a, doc_b]) AS doc FROM f) GROUP BY 1)
+        |SELECT th.threshold, coalesce(np.n_pairs, 0) AS n_pairs,
+        | CAST(coalesce(nd.n_docs_affected, 0) AS BIGINT) AS n_docs_affected
+        |FROM th LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)
+        |ORDER BY th.threshold""".stripMargin,
+
+    // grams/windows by arithmetic off token counts, selections by the
+    // winnowing chain; density floored ppm
+    "winnowing_density_audit" ->
+      s"""WITH tc AS (SELECT CAST(len(list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0)) AS BIGINT) AS n_toks FROM documents),
+         | gsum AS (SELECT CAST(sum(n_toks - 2 - 3) AS BIGINT) AS n_windows, CAST(sum(n_toks - 2) AS BIGINT) AS n_grams FROM tc WHERE n_toks >= 6),
+         | toks AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS l FROM documents),
+         | g AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM toks WHERE len(l) >= 6),
+         | gr AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS gpos, md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS m FROM g),
+         | pk AS (SELECT doc_id, gpos, ${HexInt40("m")} * 1048576 + (1048575 - gpos) AS pk FROM gr),
+         | sel AS (SELECT doc_id, gpos, min(pk) OVER (PARTITION BY doc_id ORDER BY gpos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel FROM pk),
+         | ns AS (SELECT CAST(count(*) AS BIGINT) AS n_selected FROM
+         |   (SELECT DISTINCT doc_id, sel FROM sel WHERE gpos >= 3))
+         |SELECT g2.n_grams, g2.n_windows, ns.n_selected,
+         | CAST(floor(ns.n_selected * 1000000 / g2.n_grams) AS BIGINT) AS density_ppm,
+         | floor(ns.n_selected * 1000000 / g2.n_grams) BETWEEN 200000 AND 600000 AS near_theory
+         |FROM gsum g2 CROSS JOIN ns""".stripMargin,
 
     // the 4 batch admissions unrolled: batch = doc_id // per (the
     // stageDocStream range layout), per-batch df cap, pairwise shared
