@@ -361,6 +361,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("__pid"), plan)
   }
 
+  test("lpaCommunities: every per-round join is an equi join — no nested loop, no cartesian") {
+    import graft.operators.Graph
+    val spark2 = spark; import spark2.implicits._
+    val edges = (1L to 200L).map(i => (i % 30, (i * 11) % 30)).filter(p => p._1 != p._2)
+      .toDF("src", "dst")
+    val plan = simple(Graph.lpaCommunities(edges, rounds = 2))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("jaro_winkler / damerau_levenshtein stay inside whole-stage codegen") {
     // a parquet-backed source: a literal relation constant-folds to a
     // LocalTableScan and proves nothing
