@@ -800,6 +800,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(both.forall(x => again(x._1) == x._2))
   }
 
+  test("release_gate: verdict internally consistent — summary equals the failing-check count, directions honored") {
+    import org.apache.spark.sql.Row
+    val rows: Array[Row] =
+      graft.SparkEntry.queries("release_gate")(spark, "/root/testdata/sf0.001").collect()
+    val checks = rows.filterNot(_.getString(0) == "zz_failing_checks")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4)))
+    assert(checks.length === 5, rows.mkString("\n"))
+    // every pass flag is exactly the threshold comparison in its direction
+    checks.foreach { case (name, value, threshold, hib, pass) =>
+      val expect = if (hib) value >= threshold else value <= threshold
+      assert(pass === expect, s"$name: $value vs $threshold (hib=$hib)")
+    }
+    // the summary row counts the failures and only passes at zero
+    val zz = rows.find(_.getString(0) == "zz_failing_checks").get
+    assert(zz.getLong(1) === checks.count(!_._5).toLong)
+    assert(zz.getBoolean(4) === (zz.getLong(1) == 0L))
+  }
+
   test("sourceQualityWilson: a 2/2 source ranks below a 16/20 one; bound matches the closed form") {
     import spark.implicits._
     // passing text: >= 50 words with stopwords; failing: too short
