@@ -197,6 +197,19 @@ object Bench {
       if (ratios.size < 20) 1.0 else math.max(1.0, ratios(ratios.size / 2))
     }
     val hostFactorJson = s""""host_factor":${fmt(hostFactor, 3)},"""
+    // Machine-checked 2x baseline budget (VERDICT r11 #5): the parity
+    // workload wordcount_x8 vs the reference's best SINGLE-NODE run
+    // (2.172s, BASELINE.md — 2 MPI procs x 8 threads on one box),
+    // host-factor normalized like every other cut in this file. The
+    // contract is ratio <= 2.0; a breach screams on stderr so a round
+    // can never close quietly outside the budget.
+    val baselineJson: String = results.get("wordcount_x8").map { sec =>
+      val ratio = (sec / hostFactor) / 2.172
+      if (ratio > 2.0)
+        System.err.println(s"[bench] BASELINE BREACH: wordcount_x8 ${fmt(sec, 2)}s " +
+          s"= ${fmt(ratio, 2)}x the 2.172s single-node reference best (budget 2.0x)")
+      s""""baseline_ratio":${fmt(ratio, 3)},"""
+    }.getOrElse("")
     // (name, current_ms, historical_best_ms), worst inflation first
     val flagged: Seq[(String, Long, Long)] = ordered.flatMap { case (name, _) =>
       val cur = msOf(results(name))
@@ -291,8 +304,14 @@ object Bench {
     // the rolling min takes back over if a later fix restores speed.
     // A degraded-host "confirmation" must not rewrite history either:
     // adopting an inflated median would mask the next real regression.
+    // Nor may a merely-SLOW epoch (ADVICE r11): the 3x sentinel is a
+    // single-query spot check, but host_factor is the whole
+    // distribution — r11 adopted confirmed medians at host_factor
+    // 1.424/degraded=false, exactly the masking the sentinel guard
+    // exists for. Above a modest epoch bound the flag simply stands
+    // until a quiet-host round re-confirms it.
     val rebaseline: Map[String, Long] =
-      if (hostDegraded) Map.empty
+      if (hostDegraded || hostFactor > 1.2) Map.empty
       else confirmResults.collect { case (n, ms, _, true) => s"$sfKey/$n" -> ms }.toMap
     try {
       val updated = (hist.keySet ++ ordered.map(o => s"$sfKey/${o._1}")).toSeq.sorted.flatMap { k =>
@@ -327,7 +346,7 @@ object Bench {
         else confirmResults.map { case (n, ms, h, conf) =>
           s""""$n":{"isolated_ms":$ms,"hist_ms":$h,"confirmed":$conf}"""
         }.mkString(""""isolated":{""", ",", "},")
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec",$sentinel$hostFactorJson$rawFlags$isolatedRows$confirmedJson"sf":"$sfDir",
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec",$sentinel$hostFactorJson$baselineJson$rawFlags$isolatedRows$confirmedJson"sf":"$sfDir",
          |"queries":$rows}""".stripMargin
     }
     try {
@@ -349,7 +368,7 @@ object Bench {
     def render(decimals: Int): String = {
       val qs = results.map { case (k, v) => s""""$k":${fmt(v, decimals)}""" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",$sentinel$hostFactorJson$regressionsJson"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",$sentinel$hostFactorJson$baselineJson$regressionsJson"queries":$qs,"sf":"$sfDir"}"""
     }
     def renderTop(n: Int): String = {
       val bySlow = results.toSeq.sortBy(-_._2)
@@ -357,7 +376,7 @@ object Bench {
       val qs = top.sortBy(_._1).map { case (k, v) => s""""$k":${fmt(v, 1)}""" }
         .mkString("{", ",", "}")
       val restTotal = rest.map(_._2).sum
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",$sentinel$hostFactorJson$regressionsJson"queries":$qs,""" +
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",$sentinel$hostFactorJson$baselineJson$regressionsJson"queries":$qs,""" +
         s""""others":{"n":${rest.size},"total":${fmt(restTotal, 1)}},"detail":"bench_detail.json","sf":"$sfDir"}"""
     }
     val line = {

@@ -1470,6 +1470,68 @@ object SparkEntry {
         e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1))
         .orderBy("s_id")
     }),
+    // the 100-TB margin miner: hyperplane-LSH shortlist candidates
+    // into the IDENTICAL margin chain — the twin recomputes the same
+    // splitmix plane geometry (literals inlined by planeSql), so the
+    // CANDIDATE SET is hash-pinned, not just the margins
+    "bitext_margin_lsh" -> ((s, d) => {
+      val e = t(s, d).embeddings
+      Similarity.bitextMarginMiningLsh(
+        e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1))
+        .orderBy("s_id")
+    }),
+    // the production hubness audit: the same k-occurrence census over
+    // ivfTopK's shortlist-served neighbor lists — deterministic
+    // geometry end to end, so the census is a full hash oracle
+    "knn_hubness_ivf" -> ((s, d) =>
+      Similarity.knnHubnessIvf(t(s, d).embeddings).orderBy("n_k")),
+    // lsh_topk's EXACT shadow: the (vec_id, bucket) relation under the
+    // same 8 sign planes lshTopK buckets with — candidate structure
+    // hash-pinned while the top-k answers stay rows-only
+    "lsh_buckets" -> ((s, d) =>
+      Similarity.lshBuckets(t(s, d).embeddings, nPlanes = 8)
+        .select(col("vec_id"), col("bucket")).orderBy("vec_id")),
+    // ivf_topk's EXACT shadow: every vector's nProbe nearest stride
+    // centroids with probe rank (rank 1 = corpus home cell) — one
+    // relation pins both halves of the candidate structure
+    "ivf_cells" -> ((s, d) =>
+      Similarity.ivfProbeCells(t(s, d).embeddings).orderBy("vec_id", "rank")),
+    // ivf_pq_topk's EXACT shadow: the built index's cells relation
+    // (the streaming_ann_cells device, applied to the batch build)
+    "ivf_pq_cells" -> ((s, d) =>
+      Similarity.ivfPqBuild(t(s, d).embeddings).cells
+        .select(col("vec_id"), col("cell")).orderBy("vec_id")),
+    // pq_topk's EXACT shadow: the per-subspace code relation under the
+    // frozen stride codebook — with this every ANN family (lsh/ivf/
+    // ivf×pq/pq) carries a hash-checked exact invariant
+    "pq_codes" -> ((s, d) =>
+      Similarity.pqCodeRelation(t(s, d).embeddings).orderBy("vec_id", "j")),
+    // DSIR domain selection (Xie et al. 2023, arXiv:2302.03169): score
+    // the non-English pool by ln p_en(w) − ln p_pool(w) under add-1
+    // unigram models, keep the top quarter — importance resampling
+    // toward a target domain, the data-selection method a 100 TB
+    // pretraining pipeline runs before mixture solving
+    "dsir_select" -> ((s, d) => {
+      val docs = t(s, d).documents
+      Corpus.dsirSelect(docs.where(col("lang") =!= "en"),
+        docs.where(col("lang") === "en")).orderBy("doc_id")
+    }),
+    // simhash's derived EXACT invariant (the minhash clone-reject
+    // device): planted byte-identical clones MUST collide with their
+    // originals — identical text ⇒ identical 64-bit fingerprint — so
+    // the collision set is closed-form while a nondeterministic or
+    // text-unstable simhash unhashes it
+    "simhash_clone_invariant" -> ((s, d) => {
+      val docs = t(s, d).documents
+      val clones = docs.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      val sh = Dedup.simhash(
+        docs.select(col("doc_id"), col("text")).unionAll(clones))
+      sh.as("c").where(col("c.doc_id") >= 10000)
+        .join(sh.as("o"), col("c.doc_id") === col("o.doc_id") + 10000 &&
+          col("c.simhash") === col("o.simhash"))
+        .select(col("c.doc_id")).orderBy("doc_id")
+    }),
     // EXACT-replayable distributed k-means: deterministic init (first
     // k vectors), 6-dp-rounded min-code-tiebreak assignment, 10-dp
     // DECIMAL-accumulated means — the whole clustering sits behind the
@@ -4888,6 +4950,53 @@ object SparkEntry {
     * division (cellResidualEnergy's own discipline). `vecs` must
     * expose (vec_id, embedding); `cents` (cell, ce). Emits CTEs
     * `${p}sims`/`${p}best`/`${p}e`/`${p}agg`. */
+  /** Sign-LSH bucket key as DuckDB SQL over list column `eCol`
+    * (DOUBLE[]): bit p of table `tableId`'s key is the sign of
+    * <e, plane>, with the plane constants INLINED by
+    * Similarity.planeSql — the SAME splitmix geometry the Spark plan
+    * compiles in (verified bit-identical: DuckDB's list_dot_product
+    * and VecDot both accumulate doubles sequentially). Bits are
+    * disjoint, so the bitwise-OR fold reduces to a sum. */
+  private def lshBucketSql(eCol: String, nPlanes: Int, tableId: Int,
+                           dim: Int = 64): String =
+    (0 until nPlanes).map { p =>
+      s"(CASE WHEN list_dot_product($eCol, ${Similarity.planeSql(tableId * nPlanes + p, dim)}) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** The bitext_margin_lsh twin: the brute twin's margin chain fed
+    * from the LSH candidate relation instead of the cross product —
+    * per-table bucket keys on both sides (SAME plane sets), candidates
+    * = co-bucketed (s, t) in ANY table. */
+  private def bitextMarginLshTwinSql: String = {
+    val nPlanes = 4; val nTables = 8
+    def keyed(out: String, src: String, id: String) =
+      (0 until nTables).map(tb =>
+        s"SELECT $id, $tb AS tbl, ${lshBucketSql("e", nPlanes, tb)} AS bucket FROM $src")
+        .mkString(s"$out AS (", " UNION ALL ", ")")
+    s"""WITH s0 AS (SELECT vec_id AS s_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 2 = 0),
+       | t0 AS (SELECT vec_id AS t_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 2 = 1),
+       | ${keyed("sb", "s0", "s_id")},
+       | ${keyed("tb", "t0", "t_id")},
+       | cand AS (SELECT DISTINCT s_id, t_id FROM sb JOIN tb USING (tbl, bucket)),
+       | sims AS (SELECT s_id, t_id,
+       |   CAST(round(list_cosine_similarity(s0.e, t0.e), 9) AS DECIMAL(18,9)) AS sim
+       |   FROM cand JOIN s0 USING (s_id) JOIN t0 USING (t_id)),
+       | ks AS (SELECT s_id, sum(sim) AS degs FROM
+       |   (SELECT s_id, sim, row_number() OVER (PARTITION BY s_id ORDER BY sim DESC, t_id) AS rn FROM sims)
+       |   WHERE rn <= 4 GROUP BY 1),
+       | kt AS (SELECT t_id, sum(sim) AS degt FROM
+       |   (SELECT t_id, sim, row_number() OVER (PARTITION BY t_id ORDER BY sim DESC, s_id) AS rn FROM sims)
+       |   WHERE rn <= 4 GROUP BY 1),
+       | m AS (SELECT s_id, t_id,
+       |   round((CAST(sim AS DOUBLE) * 2.0) / (CAST(ks.degs + kt.degt AS DOUBLE) / 4), 6) AS margin
+       |   FROM sims JOIN ks USING (s_id) JOIN kt USING (t_id)),
+       | fwd AS (SELECT s_id, t_id, margin, row_number() OVER (PARTITION BY s_id ORDER BY margin DESC, t_id) AS rns FROM m),
+       | bwd AS (SELECT s_id, t_id, row_number() OVER (PARTITION BY t_id ORDER BY margin DESC, s_id) AS rnt FROM m)
+       |SELECT f.s_id, f.t_id, f.margin, (b.rnt = 1) AS mutual
+       |FROM fwd f JOIN bwd b USING (s_id, t_id)
+       |WHERE f.rns = 1 AND f.margin >= 1.05 ORDER BY f.s_id""".stripMargin
+  }
+
   private def annEnergySql(p: String, vecs: String, cents: String): String =
     s"""${p}sims AS (SELECT v.vec_id, c.cell,
        |   list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), CAST(c.ce AS DOUBLE[])) AS sim
@@ -6643,6 +6752,153 @@ object SparkEntry {
         |SELECT f.s_id, f.t_id, f.margin, (b.rnt = 1) AS mutual
         |FROM fwd f JOIN bwd b USING (s_id, t_id)
         |WHERE f.rns = 1 AND f.margin >= 1.05 ORDER BY f.s_id""".stripMargin,
+
+    // the LSH-shortlist margin miner, twinned end to end: bucket keys
+    // from the inlined splitmix planes, candidates from the co-bucket
+    // join, then the brute twin's margin chain verbatim
+    "bitext_margin_lsh" -> bitextMarginLshTwinSql,
+
+    // the IVF-shortlist hubness census: stride cells, nProbe probes,
+    // exact within-candidate cosine ranks, then knn_hubness's census
+    "knn_hubness_ivf" ->
+      """WITH cents AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings WHERE vec_id % 25 = 0),
+        | v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        | asg AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |   ORDER BY list_cosine_similarity(e, ce) DESC, cell) AS rn FROM v CROSS JOIN cents),
+        | home AS (SELECT vec_id AS c_id, cell FROM asg WHERE rn = 1),
+        | probe AS (SELECT vec_id AS q_id, cell FROM asg WHERE rn <= 4),
+        | cand AS (SELECT DISTINCT q_id, c_id FROM probe JOIN home USING (cell) WHERE q_id <> c_id),
+        | s AS (SELECT q_id, c_id, list_cosine_similarity(q.e, c.e) AS sim
+        |       FROM cand JOIN v q ON q.vec_id = cand.q_id JOIN v c ON c.vec_id = cand.c_id),
+        | r AS (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank FROM s),
+        | occ AS (SELECT c_id, count(*) AS occ FROM r WHERE rank <= 10 GROUP BY 1)
+        |SELECT coalesce(occ.occ, 0) AS n_k, count(*) AS n_vectors
+        |FROM embeddings e LEFT JOIN occ ON e.vec_id = occ.c_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // lsh_topk's bucket geometry, exactly twinned via inlined planes
+    "lsh_buckets" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+         |SELECT vec_id, CAST(${lshBucketSql("e", 8, 0)} AS BIGINT) AS bucket
+         |FROM v ORDER BY vec_id""".stripMargin,
+
+    // ivf_topk's candidate structure: nProbe nearest stride-50
+    // centroids per vector with probe rank (rank 1 = home cell)
+    "ivf_cells" ->
+      """WITH cents AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings WHERE vec_id % 50 = 0),
+        | v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        | asg AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |   ORDER BY list_cosine_similarity(e, ce) DESC, cell) AS rn FROM v CROSS JOIN cents)
+        |SELECT vec_id, CAST(rn AS BIGINT) AS rank, cell FROM asg
+        |WHERE rn <= 4 ORDER BY vec_id, rank""".stripMargin,
+
+    // ivf_pq_topk's cells relation under the batch-built index
+    "ivf_pq_cells" ->
+      """WITH cents AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings WHERE vec_id % 10 = 0),
+        | v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        | asg AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |   ORDER BY list_cosine_similarity(e, ce) DESC, cell) AS rn FROM v CROSS JOIN cents)
+        |SELECT vec_id, cell FROM asg WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // lsh_topk CONVERTED from rows-only to a full hash oracle (round
+    // 12): the bucket keys are deterministic splitmix planes (inlined
+    // literals, bit-identical dot products — see lsh_buckets), and the
+    // within-bucket ranking is exact cosine with id tie-break, so the
+    // ENTIRE approximate answer is replayable
+    "lsh_topk" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         | b AS (SELECT vec_id, e, ${lshBucketSql("e", 8, 0)} AS bucket FROM v),
+         | s AS (SELECT x.vec_id AS q_id, y.vec_id AS c_id,
+         |        list_cosine_similarity(x.e, y.e) AS sim
+         |        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+         | r AS (SELECT q_id, c_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank FROM s)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, round(sim, 4) AS sim_r
+         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // ivf_topk CONVERTED from rows-only to a full hash oracle (round
+    // 12): stride-centroid cells, nProbe probes, exact within-
+    // candidate cosine ranking — the knn_hubness_ivf chain minus the
+    // census (the cells relation alone remains pinned by ivf_cells)
+    "ivf_topk" ->
+      """WITH cents AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings WHERE vec_id % 50 = 0),
+        | v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        | asg AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |   ORDER BY list_cosine_similarity(e, ce) DESC, cell) AS rn FROM v CROSS JOIN cents),
+        | home AS (SELECT vec_id AS c_id, cell FROM asg WHERE rn = 1),
+        | probe AS (SELECT vec_id AS q_id, cell FROM asg WHERE rn <= 4),
+        | cand AS (SELECT DISTINCT q_id, c_id FROM probe JOIN home USING (cell) WHERE q_id <> c_id),
+        | s AS (SELECT q_id, c_id, list_cosine_similarity(q.e, c.e) AS sim
+        |       FROM cand JOIN v q ON q.vec_id = cand.q_id JOIN v c ON c.vec_id = cand.c_id),
+        | r AS (SELECT q_id, c_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank FROM s)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, round(sim, 4) AS sim_r
+        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // embedding_near_dups_lsh CONVERTED from rows-only (round 12):
+    // candidates co-bucketed in ANY of 8 four-plane tables, scored
+    // exactly and thresholded — the brute embedding_near_dups twin
+    // with the candidate cut replayed from the same inlined planes
+    "embedding_near_dups_lsh" -> {
+      val keyed = (0 until 8).map(tb =>
+        s"SELECT vec_id, $tb AS tbl, ${lshBucketSql("e", 4, tb)} AS bucket FROM v")
+        .mkString(" UNION ALL ")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         | b AS ($keyed),
+         | cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |          FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+         | s AS (SELECT id_a, id_b, list_cosine_similarity(a.e, c.e) AS sim
+         |       FROM cand JOIN v a ON a.vec_id = id_a JOIN v c ON c.vec_id = id_b)
+         |SELECT id_a, id_b, round(sim, 4) AS sim_r FROM s WHERE sim >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // pq encoding replayed: stride codebook (dense-ranked first kCent
+    // stride vectors), per-subspace argmin of -2·s·c + |c|² with the
+    // min-code tie-break — m=16 subspaces of subDim=4 over dim 64
+    "pq_codes" ->
+      """WITH sv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        | js AS (SELECT unnest(range(16)) AS j),
+        | cb0 AS (SELECT e, row_number() OVER (ORDER BY vec_id) - 1 AS code FROM sv WHERE vec_id % 50 = 0),
+        | cb AS (SELECT code, j, e[CAST(j*4+1 AS INT):CAST(j*4+4 AS INT)] AS cs FROM cb0 CROSS JOIN js WHERE code < 48),
+        | sub AS (SELECT vec_id, j, e[CAST(j*4+1 AS INT):CAST(j*4+4 AS INT)] AS s FROM sv CROSS JOIN js),
+        | d AS (SELECT vec_id, sub.j AS j, code,
+        |   list_dot_product(s, cs) * -2.0 + list_dot_product(cs, cs) AS d
+        |   FROM sub JOIN cb ON sub.j = cb.j),
+        | r AS (SELECT vec_id, j, code, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn FROM d)
+        |SELECT vec_id, CAST(j AS BIGINT) AS j, CAST(code AS BIGINT) AS code
+        |FROM r WHERE rn = 1 ORDER BY vec_id, j""".stripMargin,
+
+    // DSIR replayed: add-1 unigram models of pool (lang<>'en') and
+    // target ('en') over the union vocab, per-word Δ of rounded(12)
+    // lns subtracted as DECIMALs, per-doc DECIMAL sums, rank on the
+    // EXACT decimal with doc_id tie-break, integer ceil for the cut
+    "dsir_select" ->
+      s"""WITH w0 AS (SELECT doc_id, lang, lower(regexp_replace(t.tok, '$P', '', 'g')) AS word
+         |   FROM (SELECT doc_id, lang, unnest(string_split_regex(text, '[ \\t\\n\\f\\r]+')) AS tok FROM documents) t),
+         | w AS (SELECT doc_id, lang, word FROM w0 WHERE length(word) > 0),
+         | pw AS (SELECT doc_id, word FROM w WHERE lang <> 'en'),
+         | pc AS (SELECT word, count(*) AS pc FROM pw GROUP BY 1),
+         | tc AS (SELECT word, count(*) AS tc FROM w WHERE lang = 'en' GROUP BY 1),
+         | vocab AS (SELECT word, coalesce(pc.pc, 0) AS pc, coalesce(tc.tc, 0) AS tc
+         |   FROM (SELECT word FROM pc UNION SELECT word FROM tc) u LEFT JOIN pc USING (word) LEFT JOIN tc USING (word)),
+         | sizes AS (SELECT sum(pc) AS np, sum(tc) AS nt, count(*) AS v FROM vocab),
+         | delta AS (SELECT word,
+         |   CAST(round(ln(CAST(tc + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE)), 12) AS DECIMAL(28,12))
+         |   - CAST(round(ln(CAST(pc + 1 AS DOUBLE) / CAST(np + v AS DOUBLE)), 12) AS DECIMAL(28,12)) AS delta
+         |   FROM vocab CROSS JOIN sizes),
+         | scored AS (SELECT doc_id, count(*) AS n_tokens, sum(delta) AS sl
+         |   FROM pw JOIN delta USING (word) GROUP BY 1),
+         | nn AS (SELECT count(*) AS n FROM scored),
+         | r AS (SELECT doc_id, n_tokens, sl, row_number() OVER (ORDER BY sl DESC, doc_id) AS rk FROM scored)
+         |SELECT doc_id, n_tokens, round(CAST(sl AS DOUBLE), 6) AS dsir_logw,
+         |  rk <= (nn.n * 250 + 999) // 1000 AS selected
+         |FROM r CROSS JOIN nn ORDER BY doc_id""".stripMargin,
+
+    // identical text ⇒ identical simhash: every planted clone with at
+    // least one clean word must collide with its original
+    "simhash_clone_invariant" ->
+      s"""$WDoc
+         |SELECT DISTINCT doc_id + 10000 AS doc_id FROM w
+         |WHERE doc_id % 10 = 0 ORDER BY 1""".stripMargin,
 
     // the drift ratio recomputed relationally end to end: stride
     // centroids, cosine-argmax assignment (cosine_topk's proven

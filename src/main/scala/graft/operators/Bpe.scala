@@ -224,8 +224,10 @@ object Bpe {
     * later word's tokens-before already exceeds the budget — so no
     * sequential scan is needed: one per-doc window + a filter.
     * Output: (doc_id, ws_tokens_kept, bpe_tokens_kept, truncated,
-    * prefix). Docs whose every word overflows (or with no words) keep
-    * nothing and report an empty prefix.
+    * prefix). Docs whose every word overflows keep nothing and report
+    * an empty prefix; docs with NO words at all are absent from the
+    * output entirely (the totals relation is built from the word
+    * relation — the DuckDB twin mirrors the omission).
     *
     * Scale shape: the applier runs on DISTINCT words only
     * ([[docTokenCounts]]); doc-scale work is one doc-partitioned

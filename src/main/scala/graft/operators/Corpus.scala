@@ -772,4 +772,75 @@ object Corpus {
     val pruned = antiDominate(pts, broadcast(sampleSky)).localCheckpoint(true)
     antiDominate(pruned, pruned)
   }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.,
+    * NeurIPS 2023, arXiv:2302.03169): score every pool document by how
+    * much its token distribution looks like a TARGET domain,
+    *
+    *   log w(x) = Σ_tokens [ ln p_target(w) − ln p_pool(w) ]
+    *
+    * under add-1-smoothed unigram models of each side (shared vocab =
+    * the union), and keep the top `keepPermille`/1000 of the pool by
+    * weight. The paper hashes n-grams into ~10⁴ buckets purely to
+    * bound model size — the same join keyed on xxhash64(word) % m;
+    * exact word identity is used here so the whole selection sits
+    * behind the oracle hash gate, and the hashed variant swaps in at
+    * corpus scale without touching the scoring or selection math.
+    * Selection is deterministic top-fraction with a doc_id tie-break
+    * (the reproducible-build stand-in for the paper's Gumbel
+    * resampling), ranked on the EXACT DECIMAL weight (never the
+    * rounded display value) via TotalOrder.globalRankAuto, so a
+    * billion-doc pool never hits a single-task ORDER BY.
+    *
+    * Exactness (the unigramLogProb device): each vocabulary word's
+    * Δ = round(ln p_t, 12) − round(ln p_p, 12) is two identical
+    * one-division lns rounded to 12 dp and subtracted as DECIMALs;
+    * per-doc accumulation is a DECIMAL sum — order can never wiggle
+    * the hash. Scale shape: two vocab aggregates (word-keyed shuffle,
+    * zipfian skew = the AQE case), one broadcast of the 3-number
+    * sizes row, one word join into a per-doc hash aggregate, one
+    * range-partitioned rank. Pool docs with zero clean words are
+    * absent from the output (the truncateToTokenBudget posture; the
+    * twin mirrors the omission).
+    *
+    * Output: (doc_id, n_tokens, dsir_logw rounded(6), selected). */
+  def dsirSelect(pool: DataFrame, target: DataFrame, keepPermille: Int = 250,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(keepPermille >= 0 && keepPermille <= 1000,
+      s"keepPermille=$keepPermille must be in [0, 1000]")
+    def words(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), TextOps.cleanWord(col("tok")).as("word"))
+      .where(length(col("word")) > 0)
+    val pw = words(pool)
+    // both count relations feed two consumers (vocab join + sizes):
+    // pin the vocab-sized relations once, never the token streams
+    val pc = pw.groupBy(col("word")).agg(count(lit(1)).as("pc")).localCheckpoint(true)
+    val tc = words(target).groupBy(col("word")).agg(count(lit(1)).as("tc"))
+      .localCheckpoint(true)
+    val vocab = pc.select(col("word")).unionAll(tc.select(col("word"))).distinct()
+      .join(pc, Seq("word"), "left").join(tc, Seq("word"), "left")
+      .select(col("word"), coalesce(col("pc"), lit(0L)).as("pc"),
+        coalesce(col("tc"), lit(0L)).as("tc"))
+      .localCheckpoint(true)
+    val sizes = vocab.agg(sum(col("pc")).as("np"), sum(col("tc")).as("nt"),
+      count(lit(1)).as("v"))
+    def lnP(cnt: Column, n: Column, v: Column) =
+      round(log((cnt + 1).cast(DoubleType) / (n + v).cast(DoubleType)), 12)
+        .cast(DecimalType(28, 12))
+    val delta = vocab.crossJoin(broadcast(sizes))
+      .select(col("word"),
+        (lnP(col("tc"), col("nt"), col("v")) - lnP(col("pc"), col("np"), col("v")))
+          .as("delta"))
+    val scored = pw.join(delta, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("delta")).as("sl"))
+    val ranked = TotalOrder.globalRankAuto(scored, Seq(desc("sl"), asc("doc_id")),
+      rankCol = "__rk")
+    val n = ranked.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sl").cast(DoubleType), 6).as("dsir_logw"),
+        (col("__rk") <= expr(s"(__n * $keepPermille + 999) div 1000")).as("selected"))
+  }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.plans.Lineage.TruncateOps
 
 /** Iterative graph analytics over edge lists. No reference analog (the
   * reference's one dataflow is word count, map_reduce.cpp:452-616), but
@@ -18,8 +19,10 @@ import org.apache.spark.sql.types.DecimalType
   * degrees is materialized ONCE before the loop (it never changes);
   * each iteration's rank vector is node-sized — 100 TB of edges can
   * drive it, but the iterated state stays |V|, not |E|. Lineage is
-  * truncated per round (localCheckpoint, the Dedup.nearDupClusters
-  * device) so plan depth stays constant in `iters`.
+  * truncated per round (Lineage.truncate: localCheckpoint on
+  * local[32], reliable checkpoint() when spark.graft.checkpointDir is
+  * set — the cluster-operability seam) so plan depth stays constant
+  * in `iters`.
   */
 object Graph {
 
@@ -42,13 +45,13 @@ object Graph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct().truncateLineage
     val n = nodes.count()
     require(n > 0, "pageRank over an empty edge list")
     // the loop-invariant edge relation, degrees attached, materialized
     // once — every iteration joins against THIS, never the raw edges
     val degE = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
-      .localCheckpoint(true)
+      .truncateLineage
     val base = (1.0 - damping) / n
     var rank = nodes.select(col("node"), lit(1.0 / n).as("rank"))
     for (_ <- 1 to iters) {
@@ -59,7 +62,7 @@ object Graph {
       rank = nodes.join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(base) + lit(damping) * coalesce(col("s").cast("double"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
+        .truncateLineage
     }
     rank.select(col("node"), round(col("rank"), 8).as("pr"))
   }
@@ -78,11 +81,11 @@ object Graph {
       col(weightCol).cast("long").as("w"))
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct().truncateLineage
     val n = nodes.count()
     require(n > 0, "weightedPageRank over an empty edge list")
     val degE = e.join(e.groupBy(col("src")).agg(sum(col("w")).as("wsum")), "src")
-      .localCheckpoint(true)
+      .truncateLineage
     val base = (1.0 - damping) / n
     var rank = nodes.select(col("node"), lit(1.0 / n).as("rank"))
     for (_ <- 1 to iters) {
@@ -94,7 +97,7 @@ object Graph {
       rank = nodes.join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(base) + lit(damping) * coalesce(col("s").cast("double"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
+        .truncateLineage
     }
     rank.select(col("node"), round(col("rank"), 8).as("wpr"))
   }
@@ -126,11 +129,11 @@ object Graph {
     val sd = seeds.select(col(seedCol).as("node")).distinct().withColumn("is_seed", lit(true))
     val flagged = nodes.join(sd, Seq("node"), "left")
       .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
-      .localCheckpoint(true)
+      .truncateLineage
     val nSeeds = flagged.where(col("is_seed")).count()
     require(nSeeds > 0, "personalizedPageRank needs at least one seed inside the graph")
     val degE = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
-      .localCheckpoint(true)
+      .truncateLineage
     val base = when(col("is_seed"), lit((1.0 - damping) / nSeeds)).otherwise(lit(0.0))
     var rank = flagged.select(col("node"), col("is_seed"), base.as("rank"))
     for (_ <- 1 to iters) {
@@ -141,7 +144,7 @@ object Graph {
       rank = flagged.join(contrib, col("node") === col("dst"), "left")
         .select(col("node"), col("is_seed"),
           (base + lit(damping) * coalesce(col("s").cast("double"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
+        .truncateLineage
     }
     rank.select(col("node"), round(col("rank"), 8).as("ppr"))
   }
@@ -172,11 +175,11 @@ object Graph {
   def hits(edges: DataFrame, iters: Int = 5,
            srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint(true)
+      .distinct().truncateLineage
     require(e.limit(1).count() == 1, "hits over an empty edge list")
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct().truncateLineage
     val dec = DecimalType(38, 12)
     // one half-step: scores flow across edges from `from` to `to`,
     // exact-decimal summed, then L1-normalized by the exact total
@@ -191,7 +194,7 @@ object Graph {
         .select(col("node"),
           round(coalesce(col("s"), lit(0)).cast("double") / col("tot").cast("double"), 12)
             .as(outCol))
-        .localCheckpoint(true)
+        .truncateLineage
     }
     var hub = nodes.select(col("node"), lit(1.0).as("hub"))
     var auth: DataFrame = null
@@ -227,20 +230,20 @@ object Graph {
                 srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(maxHops >= 2, "a ring needs at least 2 hops")
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+      .where(col("u") =!= col("v")).distinct().truncateLineage
     var reach = e
     for (_ <- 2 to maxHops) {
       val step = reach.as("a")
         .join(e.select(col("u").as("m"), col("v").as("w")), col("v") === col("m"))
         .select(col("u"), col("w").as("v"))
       reach = reach.unionAll(step)
-        .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+        .where(col("u") =!= col("v")).distinct().truncateLineage
     }
     val mutual = reach.as("a")
       .join(reach.select(col("u").as("bu"), col("v").as("bv")),
         col("u") === col("bv") && col("v") === col("bu"))
       .select(col("u").as("node"), col("v").as("peer"))
-      .localCheckpoint(true)
+      .truncateLineage
     // label by TRANSITIVE min over the mutual-pair graph, not the
     // local window: a cycle of length up to 2·maxHops closes only
     // through its distant pairs, and local minima would label one
@@ -266,7 +269,7 @@ object Graph {
     * all keyed on node ids — the edge set never grows past the input
     * (large-star emits one edge per (u, v>u) slot, small-star one per
     * directed edge + one per larger endpoint, then dedup), and
-    * lineage is truncated per round (localCheckpoint). The driver
+    * lineage is truncated per round (Lineage.truncate). The driver
     * reads ONE (count, checksum) row per round for the convergence
     * test — never the data.
     *
@@ -296,8 +299,8 @@ object Graph {
                      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
-    val nodes = und.select(col("src").as("node")).distinct().localCheckpoint(true)
+      .distinct().truncateLineage
+    val nodes = und.select(col("src").as("node")).distinct().truncateLineage
     var lab = nodes.select(col("node"), col("node").as("label"))
     for (_ <- 1 to rounds) {
       val nb = und.join(lab.withColumnRenamed("node", "dst"), "dst")
@@ -306,7 +309,7 @@ object Graph {
         .agg(max_by(col("label"), struct(col("cnt"), (-col("label")).as("nl"))).as("label"))
       lab = nodes.join(next.withColumnRenamed("src", "node"), Seq("node"), "left")
         .select(col("node"), coalesce(col("label"), col("node")).as("label"))
-        .localCheckpoint(true)
+        .truncateLineage
     }
     lab.select(col("node"), col("label").as("community"))
   }
@@ -325,7 +328,7 @@ object Graph {
       e.select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
         .where(col("u") =!= col("v")).distinct()
     var e = canon(pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
-      .localCheckpoint(true)
+      .truncateLineage
     // convergence = identical (count, order-independent checksum);
     // one tiny driver-side row per round
     def sig(d: DataFrame): (Long, Long) = {
@@ -350,7 +353,7 @@ object Graph {
       val small = canon(
         dir.join(mins2, "x").select(col("y").as("u"), col("m").as("v"))
           .unionAll(mins2.select(col("x").as("u"), col("m").as("v"))))
-        .localCheckpoint(true)
+        .truncateLineage
       val cur = sig(small)
       done = cur == prev
       prev = cur
@@ -401,7 +404,7 @@ object Graph {
       else raw
         .where(col("a") =!= col("b"))
         .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-        .distinct().localCheckpoint(true)
+        .distinct().truncateLineage
     val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     // orient by (deg, id): u → v iff (deg(u), u) < (deg(v), v)
@@ -413,7 +416,7 @@ object Graph {
           struct(col("a").as("u"), col("b").as("v")))
           .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-      .localCheckpoint(true)
+      .truncateLineage
     // wedges from each center's out-edges, endpoints ID-ordered p < q
     // so the closure probe is one EQUI-join against the canonical
     // (a < b) edge set — no non-equi OR predicate anywhere
@@ -444,7 +447,7 @@ object Graph {
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-      .distinct().localCheckpoint(true)
+      .distinct().truncateLineage
     val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     deg.join(triangleCounts(e, "a", "b", assumeCanonical = true), Seq("node"), "left")
@@ -480,14 +483,14 @@ object Graph {
     var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-      .distinct().localCheckpoint(true)
+      .distinct().truncateLineage
     for (_ <- 1 to rounds) {
       val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       val keep = deg.where(col("deg") >= k).select(col("node"))
       e = e.join(keep.withColumnRenamed("node", "a"), "a")
         .join(keep.withColumnRenamed("node", "b"), "b")
-        .select(col("a"), col("b")).localCheckpoint(true)
+        .select(col("a"), col("b")).truncateLineage
     }
     e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))

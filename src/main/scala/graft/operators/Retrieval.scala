@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.plans.Lineage.TruncateOps
 
 /** Full-text retrieval over the corpus: inverted index construction and
   * BM25 ranking. No reference analog (the reference's single query is
@@ -442,7 +443,7 @@ object Retrieval {
               .select(col("dim_idx"), col("v").as("tv"))
             m = m.join(dotWith(sv, "s"), Seq("doc_id"), "left")
               .select(col("doc_id"), greatest(col("msim"), coalesce(col("s"), lit(0.0))).as("msim"))
-              .localCheckpoint(true)
+              .truncateLineage
           }
       }
     }

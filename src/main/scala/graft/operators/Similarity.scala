@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.plans.Lineage.TruncateOps
 
 /** Similarity search over an embedding column `Array[Float]`
   * (SURVEY.md §2.11 [NS]): brute-force cosine top-k as the correctness
@@ -83,11 +84,11 @@ object Similarity {
     * passes two embedding relations. Exactness: cosines rounded(9) →
     * DECIMAL k-NN sums → ONE IEEE division per margin, rounded(6)
     * before every rank/threshold so both engines compare identical
-    * values. Scale shape: brute-force pair generation here (the
-    * correctness baseline, like [[cosineNearDupPairs]]) — at corpus
-    * scale swap in the lshBuckets/IVF shortlist for candidates; the
-    * margin math itself is two k-bounded window ranks and one join,
-    * unchanged by the candidate generator. */
+    * values. Scale shape: brute-force pair generation here — this IS
+    * the correctness baseline (like [[cosineNearDupPairs]]); the
+    * registered scale path is [[bitextMarginMiningLsh]], which feeds
+    * the identical margin chain ([[marginFromSims]]) from the
+    * hyperplane-LSH shortlist instead of the cross product. */
   def bitextMarginMining(src: DataFrame, tgt: DataFrame, k: Int = 4,
                          minMargin: Double = 1.05): DataFrame = {
     val s = src.select(col("vec_id").as("s_id"), col("embedding").as("s_emb"),
@@ -99,6 +100,15 @@ object Similarity {
         round(vec_dot(col("s_emb"), col("t_emb")) / (col("s_n") * col("t_n")), 9)
           .cast(DecimalType(18, 9)).as("sim"))
       .localCheckpoint() // both k-NN passes and the margin join read it
+    marginFromSims(sims, k, minMargin)
+  }
+
+  /** The margin chain shared by the brute and LSH-shortlist miners —
+    * candidate-generator-agnostic by construction: per-side k-NN mass
+    * over whatever (s_id, t_id, sim DECIMAL(18,9)) relation arrives,
+    * ONE IEEE division per margin rounded(6) before every
+    * rank/threshold, forward-best filter, mutual flag. */
+  private def marginFromSims(sims: DataFrame, k: Int, minMargin: Double): DataFrame = {
     def knnMass(side: String, other: String) = sims
       .withColumn("rn", row_number().over(
         Window.partitionBy(col(side)).orderBy(desc("sim"), col(other))))
@@ -121,6 +131,45 @@ object Similarity {
       .select(col("s_id"), col("t_id"), col("margin"), (col("rnt") === 1).as("mutual"))
   }
 
+  /** The 100-TB-scale bitext miner: candidates from `nTables`
+    * independent hyperplane-LSH tables (SAME plane sets on both sides,
+    * so co-bucketing is a similarity event, not a coincidence), then
+    * the EXACT [[marginFromSims]] chain over the shortlist — k-NN mass
+    * is measured within the candidate set, the standard
+    * shortlist-margin approximation (Artetxe & Schwenk mine from a
+    * FAISS shortlist the same way). Nothing here is cross-product:
+    * bucketing is one map-side scan per side (plan-constant planes),
+    * candidates are ONE equi-join on (table, bucket) + distinct, and
+    * the margin chain is two k-bounded window ranks and a join on the
+    * candidate relation. Recall per pair at cosine s:
+    * 1 − (1 − (1 − acos(s)/π)^nPlanes)^nTables — defaults match
+    * [[cosineNearDupPairsLsh]]'s low-threshold regime (the synthetic
+    * corpus's true pairs sit at s ≈ 0.4-0.6). Fully deterministic
+    * (splitmix planes + rounded cosines), so the whole shortlist
+    * variant sits behind the oracle hash gate, not just a row count. */
+  def bitextMarginMiningLsh(src: DataFrame, tgt: DataFrame, k: Int = 4,
+                            minMargin: Double = 1.05, nPlanes: Int = 4,
+                            dim: Int = 64, nTables: Int = 8): DataFrame = {
+    def sideKeys(df: DataFrame, idAs: String) = {
+      val keys = (0 until nTables).map(t =>
+        struct(lit(t).as("t"), bucketKey(nPlanes, dim, t).as("bucket")))
+      df.select(col("vec_id").as(idAs), explode(array(keys: _*)).as("tb"))
+        .select(col(idAs), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    }
+    val cand = sideKeys(src, "s_id").join(sideKeys(tgt, "t_id"), Seq("t", "bucket"))
+      .select(col("s_id"), col("t_id")).distinct()
+    val s = src.select(col("vec_id").as("s_id"), col("embedding").as("s_emb"),
+      vec_norm(col("embedding")).as("s_n"))
+    val t = tgt.select(col("vec_id").as("t_id"), col("embedding").as("t_emb"),
+      vec_norm(col("embedding")).as("t_n"))
+    val sims = cand.join(s, "s_id").join(t, "t_id")
+      .select(col("s_id"), col("t_id"),
+        round(vec_dot(col("s_emb"), col("t_emb")) / (col("s_n") * col("t_n")), 9)
+          .cast(DecimalType(18, 9)).as("sim"))
+      .localCheckpoint()
+    marginFromSims(sims, k, minMargin)
+  }
+
   /** k-occurrence hubness audit (Radovanović, Nanopoulos, Ivanović,
     * "Hubs in Space: Popular Nearest Neighbors in High-Dimensional
     * Data", JMLR 2010): N_k(x) = how many other vectors list x in
@@ -132,16 +181,34 @@ object Similarity {
     * the exact N_k histogram (n_k, n_vectors), antihubs included via
     * the left join — a long right tail + a fat zero bucket is the
     * red flag. Brute-force k-NN as the correctness baseline (the
-    * [[bruteForceTopK]] device); at corpus scale the IVF/LSH shortlist
-    * generates candidates, the census math is unchanged. */
-  def knnHubness(emb: DataFrame, k: Int = 10): DataFrame = {
-    val occ = bruteForceTopK(emb, emb, k)
-      .groupBy(col("c_id")).agg(count(lit(1)).as("occ"))
+    * [[bruteForceTopK]] device); the registered scale path is
+    * [[knnHubnessIvf]] — IVF-shortlist candidates, identical census. */
+  def knnHubness(emb: DataFrame, k: Int = 10): DataFrame =
+    kOccurrenceCensus(emb, bruteForceTopK(emb, emb, k))
+
+  /** The census half of the hubness audit, shared by the brute and
+    * IVF variants: count each vector's appearances in others' top-k
+    * lists, restore antihubs via the left join, histogram N_k. */
+  private def kOccurrenceCensus(emb: DataFrame, ranked: DataFrame): DataFrame = {
+    val occ = ranked.groupBy(col("c_id")).agg(count(lit(1)).as("occ"))
     emb.select(col("vec_id"))
       .join(occ, col("vec_id") === col("c_id"), "left")
       .select(coalesce(col("occ"), lit(0L)).as("n_k"))
       .groupBy(col("n_k")).agg(count(lit(1)).as("n_vectors"))
   }
+
+  /** The 100-TB-scale hubness audit: the k-occurrence census over
+    * [[ivfTopK]]'s ranked lists instead of the brute cross product —
+    * exactly the production posture the audit exists for, since it is
+    * the IVF-served neighbor lists (shortlist biases included) whose
+    * hub structure every downstream k-NN consumer actually sees.
+    * Candidate cost drops from O(N²) to O(N² · nProbe / nCells); every
+    * step stays deterministic (stride centroids, argmax cells, exact
+    * within-candidate cosine ranks), so the census is hash-checkable
+    * end to end. */
+  def knnHubnessIvf(emb: DataFrame, k: Int = 10, step: Int = 25,
+                    nProbe: Int = 4): DataFrame =
+    kOccurrenceCensus(emb, ivfTopK(emb, step, nProbe, k))
 
   /** Deterministic pseudo-random unit-free hyperplanes: component d of
     * plane p is derived from splitmix64(p * dim + d) scaled to [-1, 1].
@@ -171,6 +238,41 @@ object Similarity {
     * candidate draws (tableId 0 = the original planes). */
   def lshBuckets(emb: DataFrame, nPlanes: Int = 16, dim: Int = 64, tableId: Int = 0): DataFrame =
     emb.select(col("vec_id"), col("embedding"), bucketKey(nPlanes, dim, tableId).as("bucket"))
+
+  /** Plane `p` rendered as a DuckDB DOUBLE-list literal (%.17e
+    * round-trips IEEE doubles exactly), so the oracle twin of every
+    * LSH-keyed query hashes the SAME geometry the Spark plan uses —
+    * what turns the bucket relation from rows-only into an exact
+    * invariant. */
+  def planeSql(p: Int, dim: Int): String =
+    plane(p, dim).map(v =>
+      String.format(java.util.Locale.ROOT, "%.17e", Double.box(v)))
+      .mkString("[", ", ", "]")
+
+  /** The EXACT skeleton under [[ivfTopK]], exposed as its own relation
+    * (the streaming_ann_cells device, applied to the batch index): for
+    * every vector its `nProbe` nearest stride centroids with probe
+    * rank — rank 1 is the corpus-side home cell, ranks ≤ nProbe are
+    * the query-side probes, so ONE relation pins both halves of the
+    * candidate structure. Frozen geometry (stride centroids, cosine
+    * argsort, id tie-break) makes it closed-form for the SQL twin;
+    * a drifted assignment, a lost vector, or a reordered probe list
+    * all unhash it while the top-k answers stay rows-only. */
+  def ivfProbeCells(emb: DataFrame, step: Int = 50, nProbe: Int = 4): DataFrame = {
+    val cents = emb.where(col("vec_id") % step === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    emb.join(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        (vec_dot(col("embedding"), col("cent_emb")) /
+          (vec_norm(col("embedding")) * vec_norm(col("cent_emb")))).as("cent_sim"))
+      .groupBy(col("vec_id"))
+      .agg(slice(reverse(array_sort(collect_list(
+        struct(col("cent_sim"), (-col("cent_id")).as("neg_id"), col("cent_id"))))),
+        1, nProbe).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "c")))
+      .select(col("vec_id"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("c.cent_id").as("cell"))
+  }
 
   /** The scale path for embedding near-dup pairs (the N² alternative to
     * cosineNearDupPairs): candidates are pairs co-bucketed in ANY of
@@ -228,7 +330,7 @@ object Similarity {
   def kmeans(vecs: DataFrame, k: Int = 8, iters: Int = 3,
              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val base = vecs.select(col(idCol).as("vec_id"),
-      col(embCol).cast(ArrayType(DoubleType)).as("x")).localCheckpoint(true)
+      col(embCol).cast(ArrayType(DoubleType)).as("x")).truncateLineage
     def assign(cents: DataFrame): DataFrame = {
       val withC2 = cents.withColumn("c2", vec_dot(col("c"), col("c")))
       base.crossJoin(broadcast(withC2))
@@ -251,7 +353,7 @@ object Similarity {
         .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("cm"))
       cents = cents.join(means, Seq("code"), "left")
         .select(col("code"), coalesce(col("cm"), col("c")).as("c"))
-        .localCheckpoint(true)
+        .truncateLineage
     }
     assign(cents)
   }
@@ -451,6 +553,29 @@ object Similarity {
       .select(col("vec_id"), col("j"), col("best.code").as("code"))
       .groupBy(col("vec_id"))
       .agg(expr("transform(array_sort(collect_list(struct(j, code))), s -> s.code)").as("codes"))
+
+  /** pq_topk's EXACT shadow (the ivf_cells device applied to the code
+    * relation): every vector's per-subspace PQ code under the frozen
+    * stride codebook, in long (vec_id, j, code) form — closed-form for
+    * the SQL twin because the default codebook is the first kCent
+    * stride vectors' subvectors (dense-ranked by vec_id) and encoding
+    * is an argmin of −2·s·c + |c|² with a min-code tie-break. A
+    * drifted codebook, a lost subspace, or an unstable argmin all
+    * unhash it while the ADC top-k answers stay rows-only. */
+  def pqCodeRelation(emb: DataFrame, step: Int = 50, m: Int = 16,
+                     kCent: Int = 48, dim: Int = 64): DataFrame = {
+    val subDim = dim / m
+    require(m * subDim == dim, s"m=$m must divide dim=$dim")
+    val books = pqCodebooks(emb, step, m, kCent, subDim, refineIters = 0, trainStride = 5)
+    pqSubspaces(emb, m, subDim)
+      .join(broadcast(books.withColumn("c2", vec_dot(col("cent_sub"), col("cent_sub")))), "j")
+      .select(col("vec_id"), col("j"), col("code"),
+        (vec_dot(col("sub"), col("cent_sub")) * -2.0 + col("c2")).as("d"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(max(struct((lit(0.0) - col("d")).as("negd"), (-col("code")).as("negc"), col("code"))).as("best"))
+      .select(col("vec_id"), col("j").cast(LongType).as("j"),
+        col("best.code").cast(LongType).as("code"))
+  }
 
   /** Per query: the m x kCent asymmetric-distance table of subspace
     * dots, as (q_id, tables[m][kCent]). */

@@ -97,6 +97,7 @@ object TotalOrder {
     * LongType — the callers are exact-integer counters by design. */
   def prefixSum(df: DataFrame, sortCols: Seq[Column],
                 sums: Seq[(String, String)], partitions: Int = 32): DataFrame = {
+    require(sums.nonEmpty, "prefixSum needs at least one (in, out) pair")
     val ranged = rangedByKey(df, sortCols, partitions).localCheckpoint()
     val totals = ranged.groupBy(col("__pid"))
       .agg(sums.map { case (in, out) =>
@@ -154,6 +155,7 @@ object TotalOrder {
   def prefixSumAuto(df: DataFrame, sortCols: Seq[Column],
                     sums: Seq[(String, String)], partitions: Int = 32,
                     cutover: Long = WindowCutover): DataFrame = {
+    require(sums.nonEmpty, "prefixSumAuto needs at least one (in, out) pair")
     val (p, small) = fitsOneTask(df, cutover)
     if (small) {
       val w = Window.orderBy(sortCols: _*)

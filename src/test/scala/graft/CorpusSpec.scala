@@ -843,4 +843,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(got("tiny")._3 === wilson(2, 2))
     assert(got("big")._3 === wilson(16, 20))
   }
+
+  test("dsirSelect: a planted target-mimic outranks a planted anti-target; cut is exact ceil") {
+    import spark.implicits._
+    // target speaks {alpha beta gamma}; the pool has one doc that
+    // mimics it exactly, one that shares nothing, and two middling
+    val target = Seq((100L, "alpha beta gamma alpha beta"), (101L, "beta gamma alpha"))
+      .toDF("doc_id", "text")
+    val pool = Seq(
+      (1L, "alpha beta gamma"),          // pure target vocabulary
+      (2L, "zeta eta theta iota"),       // disjoint vocabulary
+      (3L, "alpha zeta"), (4L, "beta eta")).toDF("doc_id", "text")
+    val got = Corpus.dsirSelect(pool, target, keepPermille = 500).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    // ceil(4 * 500 / 1000) = 2 selected
+    assert(got.values.count(_._2) === 2, got.toString)
+    assert(got(1L)._2 && !got(2L)._2, got.toString)            // mimic in, alien out
+    assert(got(1L)._1 > got(3L)._1 && got(3L)._1 > got(2L)._1) // weight ordering
+    // the weight of the mimic matches an independent fold of the model
+    val pw = Map("alpha" -> 2L, "beta" -> 2L, "gamma" -> 1L, "zeta" -> 2L,
+      "eta" -> 2L, "theta" -> 1L, "iota" -> 1L)
+    val tw = Map("alpha" -> 3L, "beta" -> 3L, "gamma" -> 2L)
+    val (np, nt, v) = (pw.values.sum, tw.values.sum, (pw.keySet ++ tw.keySet).size)
+    def r12(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+    def delta(w: String) =
+      r12(math.log((tw.getOrElse(w, 0L) + 1).toDouble / (nt + v)))
+        .subtract(r12(math.log((pw.getOrElse(w, 0L) + 1).toDouble / (np + v))))
+    val exp = Seq("alpha", "beta", "gamma").map(delta).reduce(_ add _)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    assert(got(1L)._1 === exp, s"got ${got(1L)._1} expected $exp")
+  }
 }

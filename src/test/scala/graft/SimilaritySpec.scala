@@ -469,4 +469,82 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hubNk === occ.values.max && hubNk >= 10L, occ.toString)
     assert(hist(hubNk) >= 1L)
   }
+
+  test("bitextMarginMiningLsh: degenerate planes (nPlanes=0) reproduce brute EXACTLY") {
+    // with zero planes every vector lands in bucket 0 of the single
+    // table, the candidate set IS the cross product, and the shortlist
+    // miner must equal the brute miner row for row — the sharpest
+    // possible statement that the margin chain is candidate-agnostic
+    val emb = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (src, tgt) = (emb.where(col("vec_id") % 2 === 0), emb.where(col("vec_id") % 2 === 1))
+    val brute = Similarity.bitextMarginMining(src, tgt).collect().toSet
+    val full = Similarity.bitextMarginMiningLsh(src, tgt, nPlanes = 0, nTables = 1)
+      .collect().toSet
+    assert(full === brute, s"brute=${brute.size} fullLsh=${full.size}")
+  }
+
+  test("bitextMarginMiningLsh recall vs brute mined pairs at default planes") {
+    val emb = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (src, tgt) = (emb.where(col("vec_id") % 2 === 0), emb.where(col("vec_id") % 2 === 1))
+    val brute = Similarity.bitextMarginMining(src, tgt).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.bitextMarginMiningLsh(src, tgt).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the shortlist miner may rank a different target first where the
+    // shortlist k-NN mass shifts the margin, but most mined pairs
+    // must survive the candidate cut (4 planes x 8 tables at the
+    // corpus's 0.4-0.6 cosine regime)
+    val recall = if (brute.isEmpty) 1.0 else brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall over ${brute.size} brute pairs")
+    assert(lsh.nonEmpty)
+  }
+
+  test("knnHubnessIvf: census totals conserved; shortlist lists overlap brute") {
+    val emb = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    val hist = Similarity.knnHubnessIvf(emb, k = 5, step = 10, nProbe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every vector appears exactly once in the histogram (antihubs too)
+    assert(hist.map(_._2).sum === n, hist.toSeq.toString)
+    // occurrence mass = the ranked-pair count = ivfTopK's pair count
+    val pairs = Similarity.ivfTopK(emb, step = 10, nProbe = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(hist.map { case (nk, nv) => nk * nv }.sum === pairs.size.toLong)
+    // and those lists are a real approximation of the brute lists
+    val brute = Similarity.bruteForceTopK(emb, emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.intersect(pairs).size.toDouble / brute.size
+    assert(recall > 0.2, s"recall $recall")
+  }
+
+  test("pqCodeRelation: m codes per vector, all within the stride codebook") {
+    val emb = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val codes = Similarity.pqCodeRelation(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = emb.count()
+    val nBooks = emb.where(col("vec_id") % 50 === 0).count().min(48)
+    assert(codes.length === 16 * n, s"${codes.length} rows for $n vectors")
+    assert(codes.forall { case (_, j, c) => j >= 0 && j < 16 && c >= 0 && c < nBooks })
+    // each codebook vector encodes to ITSELF in every subspace (its
+    // distance is exactly -|c|^2, the unique minimum at that centroid)
+    val strideIds = emb.where(col("vec_id") % 50 === 0).orderBy("vec_id")
+      .collect().map(_.getLong(0)).take(48).zipWithIndex.toMap
+    val self = codes.filter { case (v, _, _) => strideIds.contains(v) }
+    assert(self.forall { case (v, _, c) => c === strideIds(v).toLong },
+      "a codebook vector failed to encode to its own code")
+  }
+
+  test("ivfProbeCells: nProbe ranked centroid cells per vector, rank 1 = home cell") {
+    val emb = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cells = Similarity.ivfProbeCells(emb, step = 10, nProbe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = emb.count()
+    assert(cells.length === 3 * n, s"${cells.length} rows for $n vectors")
+    val byVec = cells.groupBy(_._1)
+    assert(byVec.values.forall { rows =>
+      rows.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L) && // ranks are 1..nProbe
+        rows.map(_._3).distinct.length == 3 &&          // probes are distinct cells
+        rows.forall(_._3 % 10 == 0)                     // cells are stride centroids
+    })
+  }
 }

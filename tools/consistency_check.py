@@ -22,8 +22,11 @@ def main() -> int:
     qstart = src.index("def queries")
     ostart = src.index("def oracleSql")
     queries = set(re.findall(r'"([a-z0-9_]+)" -> \(\(', src[qstart:ostart]))
-    oracles = set(re.findall(r'"([a-z0-9_]+)" ->', src[ostart:]))
-    oracles &= set(re.findall(r'"([a-z0-9_]+)"', src[qstart:ostart])) | oracles
+    # Anchor oracle keys to actual map entries — line start at the
+    # map's 4-space indent — so a quoted name followed by '->' inside
+    # SQL text or a comment can't masquerade as an orphan oracle
+    # (ADVICE r11: the old union-intersect line was a no-op).
+    oracles = set(re.findall(r'^    "([a-z0-9_]+)" ->', src[ostart:], re.M))
     problems = []
 
     orphan_oracles = sorted(o for o in oracles if o not in queries)
