@@ -4120,6 +4120,24 @@ object SparkEntry {
     // — the frontier is associative, so batch frontiers compose
     // losslessly); the exact DLT finish runs on the drained union and
     // must equal the one-shot batch sample, which IS the oracle
+    // streaming DSIR: frozen importance model broadcast against the
+    // doc stream, fixed-threshold gate, zero cross-batch state — the
+    // drained scores equal the one-shot batch scorer (the oracle)
+    "streaming_dsir_ingest" -> ((s, d) => {
+      val src = stageDocStream(s, d, nFiles = 4)
+      val ss = streamSession(s)
+      val docs = t(ss, d).documents
+      val model = Corpus.dsirModel(docs.where(col("lang") =!= "en"),
+        docs.where(col("lang") === "en"))
+      val stream = ss.readStream
+        .schema("doc_id LONG, lang STRING, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .where(col("lang") =!= "en")
+      val out = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+      graft.streaming.IngestPipeline.runDsirIngest(ss, stream, model, out)
+        .orderBy("doc_id")
+    }),
     "streaming_priority_sample" -> ((s, d) => {
       val src = stageDocStream(s, d, nFiles = 4)
       val ss = streamSession(s)
@@ -6892,6 +6910,28 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, round(CAST(sl AS DOUBLE), 6) AS dsir_logw,
          |  rk <= (nn.n * 250 + 999) // 1000 AS selected
          |FROM r CROSS JOIN nn ORDER BY doc_id""".stripMargin,
+
+    // the streaming scorer's twin = the batch dsir_select chain up to
+    // the per-doc scores, thresholded at logw >= 0 instead of ranked
+    "streaming_dsir_ingest" ->
+      s"""WITH w0 AS (SELECT doc_id, lang, lower(regexp_replace(t.tok, '$P', '', 'g')) AS word
+         |   FROM (SELECT doc_id, lang, unnest(string_split_regex(text, '[ \\t\\n\\f\\r]+')) AS tok FROM documents) t),
+         | w AS (SELECT doc_id, lang, word FROM w0 WHERE length(word) > 0),
+         | pw AS (SELECT doc_id, word FROM w WHERE lang <> 'en'),
+         | pc AS (SELECT word, count(*) AS pc FROM pw GROUP BY 1),
+         | tc AS (SELECT word, count(*) AS tc FROM w WHERE lang = 'en' GROUP BY 1),
+         | vocab AS (SELECT word, coalesce(pc.pc, 0) AS pc, coalesce(tc.tc, 0) AS tc
+         |   FROM (SELECT word FROM pc UNION SELECT word FROM tc) u LEFT JOIN pc USING (word) LEFT JOIN tc USING (word)),
+         | sizes AS (SELECT sum(pc) AS np, sum(tc) AS nt, count(*) AS v FROM vocab),
+         | delta AS (SELECT word,
+         |   CAST(round(ln(CAST(tc + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE)), 12) AS DECIMAL(28,12))
+         |   - CAST(round(ln(CAST(pc + 1 AS DOUBLE) / CAST(np + v AS DOUBLE)), 12) AS DECIMAL(28,12)) AS delta
+         |   FROM vocab CROSS JOIN sizes),
+         | scored AS (SELECT doc_id, count(*) AS n_tokens, sum(delta) AS sl
+         |   FROM pw JOIN delta USING (word) GROUP BY 1)
+         |SELECT doc_id, n_tokens, round(CAST(sl AS DOUBLE), 6) AS dsir_logw,
+         |  sl >= 0 AS selected
+         |FROM scored ORDER BY doc_id""".stripMargin,
 
     // identical text ⇒ identical simhash: every planted clone with at
     // least one clean word must collide with its original

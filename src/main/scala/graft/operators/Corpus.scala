@@ -808,16 +808,37 @@ object Corpus {
                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(keepPermille >= 0 && keepPermille <= 1000,
       s"keepPermille=$keepPermille must be in [0, 1000]")
-    def words(df: DataFrame) = df
-      .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("tok"))
-      .select(col("doc_id"), TextOps.cleanWord(col("tok")).as("word"))
-      .where(length(col("word")) > 0)
-    val pw = words(pool)
+    val scored = dsirScore(pool, dsirModel(pool, target, textCol, idCol),
+      textCol, idCol)
+    val ranked = TotalOrder.globalRankAuto(scored, Seq(desc("sl"), asc("doc_id")),
+      rankCol = "__rk")
+    val n = ranked.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sl").cast(DoubleType), 6).as("dsir_logw"),
+        (col("__rk") <= expr(s"(__n * $keepPermille + 999) div 1000")).as("selected"))
+  }
+
+  private def dsirWords(df: DataFrame, textCol: String, idCol: String) = df
+    .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("tok"))
+    .select(col("doc_id"), TextOps.cleanWord(col("tok")).as("word"))
+    .where(length(col("word")) > 0)
+
+  /** The frozen importance model behind [[dsirSelect]] — the per-word
+    * Δ = ln p_target(w) − ln p_pool(w) relation under add-1-smoothed
+    * unigram models over the union vocabulary. Exposed on its own so
+    * the STREAMING scorer can train it once and broadcast it against
+    * a firehose (the production posture: retrain on drift, never per
+    * batch). Vocab-sized — the only corpus-scale work is the two word
+    * aggregates behind it. */
+  def dsirModel(pool: DataFrame, target: DataFrame,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // both count relations feed two consumers (vocab join + sizes):
     // pin the vocab-sized relations once, never the token streams
-    val pc = pw.groupBy(col("word")).agg(count(lit(1)).as("pc")).localCheckpoint(true)
-    val tc = words(target).groupBy(col("word")).agg(count(lit(1)).as("tc"))
-      .localCheckpoint(true)
+    val pc = dsirWords(pool, textCol, idCol)
+      .groupBy(col("word")).agg(count(lit(1)).as("pc")).localCheckpoint(true)
+    val tc = dsirWords(target, textCol, idCol)
+      .groupBy(col("word")).agg(count(lit(1)).as("tc")).localCheckpoint(true)
     val vocab = pc.select(col("word")).unionAll(tc.select(col("word"))).distinct()
       .join(pc, Seq("word"), "left").join(tc, Seq("word"), "left")
       .select(col("word"), coalesce(col("pc"), lit(0L)).as("pc"),
@@ -828,19 +849,26 @@ object Corpus {
     def lnP(cnt: Column, n: Column, v: Column) =
       round(log((cnt + 1).cast(DoubleType) / (n + v).cast(DoubleType)), 12)
         .cast(DecimalType(28, 12))
-    val delta = vocab.crossJoin(broadcast(sizes))
+    vocab.crossJoin(broadcast(sizes))
       .select(col("word"),
         (lnP(col("tc"), col("nt"), col("v")) - lnP(col("pc"), col("np"), col("v")))
           .as("delta"))
-    val scored = pw.join(delta, Seq("word"))
+  }
+
+  /** Score documents against a frozen [[dsirModel]]: per-doc DECIMAL
+    * sum of the broadcast Δ table over the doc's clean words —
+    * (doc_id, n_tokens, sl), where sl is the EXACT decimal log weight.
+    * Depends only on each doc's own words + the frozen model, so the
+    * result is batch-partitioning-invariant: a stream draining through
+    * this per micro-batch converges to the one-shot batch score
+    * exactly. Out-of-vocabulary words are dropped by the inner join
+    * (their add-1 floors on both sides differ by a constant any
+    * caller can fold in; the registered fixtures train on the scored
+    * corpus, so vocab covers). */
+  def dsirScore(docs: DataFrame, model: DataFrame,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    dsirWords(docs, textCol, idCol)
+      .join(broadcast(model), Seq("word"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("delta")).as("sl"))
-    val ranked = TotalOrder.globalRankAuto(scored, Seq(desc("sl"), asc("doc_id")),
-      rankCol = "__rk")
-    val n = ranked.agg(count(lit(1)).as("__n"))
-    ranked.crossJoin(broadcast(n))
-      .select(col("doc_id"), col("n_tokens"),
-        round(col("sl").cast(DoubleType), 6).as("dsir_logw"),
-        (col("__rk") <= expr(s"(__n * $keepPermille + 999) div 1000")).as("selected"))
-  }
 }

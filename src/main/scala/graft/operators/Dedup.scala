@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.Lineage.TruncateOps
 import org.apache.spark.sql.types._
 
 /** Document deduplication for large-scale training-data pipelines:
@@ -539,9 +540,9 @@ object Dedup {
                                                idCol: String = "doc_id"): (DataFrame, Int) = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
+      .truncateLineage
     var labels = docs.select(col(idCol).as("doc_id"), col(idCol).as("label"))
-      .localCheckpoint(true)
+      .truncateLineage
     var rounds = 0
     var changed = 1L
     while (changed > 0) {
@@ -555,7 +556,7 @@ object Dedup {
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
           col("label").as("old_label"))
-        .localCheckpoint(true)
+        .truncateLineage
       changed = next.where(col("label") =!= col("old_label")).count()
       labels = next.select(col("doc_id"), col("label"))
     }

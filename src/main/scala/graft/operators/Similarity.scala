@@ -1154,11 +1154,11 @@ object Similarity {
                       vecCol: String = "embedding",
                       idCol: String = "vec_id"): DataFrame = {
     require(iters > 0, "pcaTopComponent needs iters > 0")
-    val up = embeddingCovariance(embs, vecCol, idCol).localCheckpoint(true)
+    val up = embeddingCovariance(embs, vecCol, idCol).truncateLineage
     val full = up.select(col("dim_i").as("i"), col("dim_j").as("j"), col("cov"))
       .unionAll(up.where(col("dim_i") < col("dim_j"))
         .select(col("dim_j").as("i"), col("dim_i").as("j"), col("cov")))
-      .localCheckpoint(true) // loop-invariant: one matrix, iters readers
+      .truncateLineage // loop-invariant: one matrix, iters readers
     var v = full.select(col("i").as("dim")).distinct().withColumn("v", lit(1.0))
     var lastNorm: DataFrame = null
     for (_ <- 1 to iters) {
@@ -1173,7 +1173,7 @@ object Similarity {
       lastNorm = nrm
       v = w.crossJoin(broadcast(nrm))
         .select(col("i").as("dim"), round(col("w") / col("nrm"), 8).as("v"))
-        .localCheckpoint(true) // each step feeds the next; keep lineage flat
+        .truncateLineage // each step feeds the next; keep lineage flat
     }
     v.crossJoin(broadcast(lastNorm))
       .select(col("dim"), col("v"), round(col("nrm"), 6).as("lambda"))

@@ -452,4 +452,36 @@ object IngestPipeline {
     spark.read.parquet(outDir)
       .select(col("doc_id"), col("lang"), col("chunk_idx"), col("chunk"))
   }
+
+  /** Streaming DSIR (Xie et al. 2023 importance resampling as a
+    * continuous feed gate): the importance model is trained ONCE
+    * ([[graft.operators.Corpus.dsirModel]]) and every micro-batch
+    * scores its documents against the FROZEN broadcast Δ table — the
+    * production posture: a 100 TB firehose is scored by a model you
+    * retrain on drift, never per batch, so the per-batch work is one
+    * broadcast join + one per-doc aggregate with ZERO cross-batch
+    * state. Selection is a fixed log-weight threshold (a stream
+    * cannot rank globally without unbounded state — the batch
+    * [[graft.operators.Corpus.dsirSelect]]'s top-fraction cut is the
+    * offline calibration that picks `minLogw`). Each batch lands
+    * batch-keyed (replays idempotent); because a doc's score depends
+    * only on its own words + the frozen model, the drained relation
+    * equals the one-shot batch scorer exactly — the oracle. */
+  def runDsirIngest(spark: SparkSession, docStream: DataFrame, model: DataFrame,
+                    outDir: String, minLogw: Double = 0.0): DataFrame = {
+    val frozen = model.localCheckpoint(true)
+    val q = docStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        Corpus.dsirScore(batch.toDF(), frozen)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sl").cast(DoubleType), 6).as("dsir_logw"),
+        (col("sl") >= lit(minLogw)).as("selected"))
+  }
 }

@@ -874,4 +874,17 @@ class CorpusSpec extends AnyFunSuite {
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
     assert(got(1L)._1 === exp, s"got ${got(1L)._1} expected $exp")
   }
+
+  test("dsirScore against the frozen model reproduces dsirSelect's weights") {
+    val pool = docs.where(col("lang") =!= "en")
+    val target = docs.where(col("lang") === "en")
+    val viaSelect = Corpus.dsirSelect(pool, target).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // the streaming path: train once, score against the frozen model
+    val model = Corpus.dsirModel(pool, target)
+    val viaScore = Corpus.dsirScore(pool, model).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDecimal(2).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)).toMap
+    assert(viaScore === viaSelect.map { case (k, v) => k -> v })
+  }
 }
