@@ -479,6 +479,25 @@ object SparkEntry {
         .agg(graft.functions.dsum2(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"))
         .orderBy(col("o_orderstatus"))
     }),
+    // the C4/OSCAR corpus container: gzip-framed JSON lines. Write the
+    // corpus as .jsonl.gz (require() proves the codec engaged, not a
+    // silent plain-text fallback), read it back with an explicit
+    // schema, and account per language — docs, chars, DISTINCT texts —
+    // so a decompression bug that drops or mangles lines unhashes
+    "jsonl_gz_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-jsonlgz").toString
+      t(s, d).documents.select(col("doc_id"), col("lang"), col("text"))
+        .write.mode("overwrite").option("compression", "gzip").json(tmp)
+      val gz = Option(new java.io.File(tmp).listFiles())
+        .map(_.count(_.getName.endsWith(".gz"))).getOrElse(0)
+      require(gz > 0, s"gzip json write produced no .gz files in $tmp")
+      s.read.schema("doc_id BIGINT, lang STRING, text STRING").json(tmp)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_chars"),
+          countDistinct(col("text")).as("n_texts"))
+        .orderBy("lang")
+    }),
     // corrupt-record ACCOUNTING on a JSONL ingest: every 13th line
     // truncated mid-string (deterministic damage), PERMISSIVE parse
     // preserves it in _corrupt, the audit counts the loss and
@@ -5504,6 +5523,12 @@ object SparkEntry {
       """SELECT o_orderstatus,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "jsonl_gz_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        | count(DISTINCT text) AS n_texts
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "streaming_sliding_agg" ->
       """WITH e AS (SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS b, value FROM events),

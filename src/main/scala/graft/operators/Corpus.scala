@@ -849,10 +849,15 @@ object Corpus {
     def lnP(cnt: Column, n: Column, v: Column) =
       round(log((cnt + 1).cast(DoubleType) / (n + v).cast(DoubleType)), 12)
         .cast(DecimalType(28, 12))
+    // oov_delta = the add-1 floor both models assign an unseen word
+    // (count 0 on each side) — a constant, carried on every model row
+    // so the scorer needs no second relation
     vocab.crossJoin(broadcast(sizes))
       .select(col("word"),
         (lnP(col("tc"), col("nt"), col("v")) - lnP(col("pc"), col("np"), col("v")))
-          .as("delta"))
+          .as("delta"),
+        (lnP(lit(0L), col("nt"), col("v")) - lnP(lit(0L), col("np"), col("v")))
+          .as("oov_delta"))
   }
 
   /** Score documents against a frozen [[dsirModel]]: per-doc DECIMAL
@@ -861,14 +866,21 @@ object Corpus {
     * Depends only on each doc's own words + the frozen model, so the
     * result is batch-partitioning-invariant: a stream draining through
     * this per micro-batch converges to the one-shot batch score
-    * exactly. Out-of-vocabulary words are dropped by the inner join
-    * (their add-1 floors on both sides differ by a constant any
-    * caller can fold in; the registered fixtures train on the scored
-    * corpus, so vocab covers). */
+    * exactly. Out-of-vocabulary words (a real firehose WILL carry
+    * them — the frozen model was trained yesterday) score the add-1
+    * floor Δ both smoothed models assign an unseen word, not a silent
+    * drop: a left join + coalesce against the model's constant
+    * `oov_delta` column. On vocab-covered corpora (the registered
+    * fixtures train on the scored pool) the two paths are
+    * row-identical. */
   def dsirScore(docs: DataFrame, model: DataFrame,
-                textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val oov = model.agg(max(col("oov_delta")).as("oov"))
     dsirWords(docs, textCol, idCol)
-      .join(broadcast(model), Seq("word"))
+      .join(broadcast(model.select(col("word"), col("delta"))), Seq("word"), "left")
+      .crossJoin(broadcast(oov))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("delta")).as("sl"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("delta"), col("oov"))).as("sl"))
+  }
 }

@@ -887,4 +887,25 @@ class CorpusSpec extends AnyFunSuite {
         (r.getLong(1), r.getDecimal(2).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)).toMap
     assert(viaScore === viaSelect.map { case (k, v) => k -> v })
   }
+
+  test("dsirScore: out-of-vocabulary words score the add-1 floor, never a silent drop") {
+    import spark.implicits._
+    val target = Seq((100L, "alpha beta")).toDF("doc_id", "text")
+    val pool = Seq((1L, "alpha beta"), (2L, "beta beta")).toDF("doc_id", "text")
+    val model = Corpus.dsirModel(pool, target)
+    // qux/zork are unseen by the model: both tokens must still count
+    // and carry the identical constant floor delta
+    val got = Corpus.dsirScore(Seq((9L, "alpha qux zork")).toDF("doc_id", "text"), model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2))).head
+    assert(got._2 === 3L, s"OOV words dropped: $got")
+    val alphaOnly = Corpus.dsirScore(Seq((9L, "alpha")).toDF("doc_id", "text"), model)
+      .collect().head.getDecimal(2)
+    // floor = ln(1/(nt+v)) - ln(1/(np+v)); nt=2, np=4, v=2 -> ln(6/4) per OOV token
+    val floor = java.math.BigDecimal.valueOf(math.log(1.0 / 4))
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+      .subtract(java.math.BigDecimal.valueOf(math.log(1.0 / 6))
+        .setScale(12, java.math.RoundingMode.HALF_UP))
+    assert(got._3.subtract(alphaOnly).compareTo(floor.add(floor)) === 0,
+      s"score ${got._3} minus $alphaOnly != 2x floor $floor")
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.{FormattedMode, SimpleMode}
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions.col
-import graft.operators.{ChangeData, Corpus, Relational, TextOps}
+import graft.operators.{ChangeData, Corpus, Relational, Similarity, TextOps}
 import graft.plans.Bucketing
 import graft.sources.Tables
 
@@ -379,5 +379,22 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = formatted(df)
     assert(plan.contains("codegen id"), plan)
     assert(!plan.contains("CodegenFallback"), plan)
+  }
+
+  test("bitext_margin_lsh and knn_hubness_ivf: the registered shortlist plans contain NO cartesian") {
+    // the round-11 verdict's two design-weak plans were cartesian at
+    // the registered layer; the shortlist variants must stay pure
+    // equi-join candidate generation — a regression here silently
+    // reintroduces the N^2 scale-killer, so the plan shape is pinned
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val margin = Similarity.bitextMarginMiningLsh(
+      emb.where(col("vec_id") % 2 === 0), emb.where(col("vec_id") % 2 === 1))
+    val mPlan = simple(margin)
+    assert(!mPlan.contains("CartesianProduct") && !mPlan.contains("BroadcastNestedLoopJoin"), mPlan)
+    val census = Similarity.knnHubnessIvf(emb, k = 5, step = 10, nProbe = 3)
+    val cPlan = simple(census)
+    assert(!cPlan.contains("CartesianProduct"), cPlan)
+    // the brute twins ARE allowed their cross product (the exact
+    // baselines); only the registered scale path is constrained
   }
 }
