@@ -5034,6 +5034,187 @@ object SparkEntry {
        |WHERE f.rns = 1 AND f.margin >= 1.05 ORDER BY f.s_id""".stripMargin
   }
 
+  // ---- XXH64 re-expressed as DuckDB SQL (round 12) -----------------
+  // The device that puts Spark's xxhash64-keyed fingerprints behind
+  // the oracle hash gate: XXH64 (public domain, Yann Collet) for
+  // short (< 32-byte) ASCII strings — exactly the clean-word /
+  // token regime of the fixtures — with 64-bit WRAPPING arithmetic
+  // emulated in HUGEINT (multiply via 32-bit split so no partial
+  // exceeds int128; xor through signed-BIGINT two's complement;
+  // rotate as shift-or-shift). Validated word-for-word against an
+  // independent XXH64 reference AND against Spark's own simhash /
+  // fingerprint dumps before registration. A ≥32-byte or non-ASCII
+  // token would need the stripe loop / UTF-8 bytes — it would FAIL
+  // the gate loudly, never silently corrupt it.
+  private val XW = "18446744073709551616" // 2^64
+  private val XP1 = "11400714785074694791"
+  private val XP2 = "14029467366897019727"
+  private val XP3 = "1609587929392839161"
+  private val XP4 = "9650029242287828579"
+  private val XP5 = "2870177450012600261"
+  private def xmul(a: String, b: String): String =
+    s"(((($a)%4294967296)*(($b)%4294967296) + (((($a)//4294967296)*(($b)%4294967296) + (($a)%4294967296)*(($b)//4294967296)) % 4294967296) * 4294967296) % $XW)"
+  private def xadd(a: String, b: String): String = s"((($a) + ($b)) % $XW)"
+  private def xrot(x: String, r: Int): String =
+    s"((($x) * ${1L << r} + ($x) // ${1L << (64 - r)}) % $XW)"
+  private def xxor(a: String, b: String): String = {
+    def ts(v: String) =
+      s"CAST(CASE WHEN ($v) >= 9223372036854775808 THEN ($v) - $XW ELSE ($v) END AS BIGINT)"
+    s"(CAST(xor(${ts(a)}, ${ts(b)}) AS HUGEINT) + CASE WHEN xor(${ts(a)}, ${ts(b)}) < 0 THEN $XW ELSE 0 END)"
+  }
+  private def xround8(h: String, k: String): String =
+    xadd(xmul(xrot(xxor(h, xmul(xrot(xmul(k, XP2), 31), XP1)), 27), XP1), XP4)
+  private def xround4(h: String, k: String): String =
+    xadd(xmul(xrot(xxor(h, xmul(k, XP1)), 23), XP2), XP3)
+  private def xround1(h: String, b: String): String =
+    xmul(xrot(xxor(h, xmul(b, XP5)), 11), XP1)
+
+  /** CTE chain computing h = xxhash64(word, seed=42) for every row of
+    * a CTE `xw(word)` already in scope; exposes `xh(word, h)` with h
+    * as an unsigned HUGEINT in [0, 2^64). */
+  private def xxh64WordCtes: String = {
+    val c8terms = (0 until 8)
+      .map(j => s"bs[CAST(g*8 + ${j + 1} AS INT)] * ${BigInt(256).pow(j)}::HUGEINT")
+      .mkString(" + ")
+    val c4terms = (0 until 4)
+      .map(j => s"bs[CAST((n//8)*8 + ${j + 1} AS INT)] * ${BigInt(256).pow(j)}::HUGEINT")
+      .mkString(" + ")
+    val tails = (1 to 7).map { i =>
+      s""" xt$i AS (SELECT word, n, tl, CASE WHEN len(tl) >= $i THEN ${xround1("h", s"tl[$i]")} ELSE h END AS h FROM ${if (i == 1) "xs4" else s"xt${i - 1}"})"""
+    }.mkString(",\n")
+    // 2870177450012600303 = seed 42 + PRIME64_5
+    s""" xb AS (SELECT word, length(word) AS n,
+       |   list_transform(range(1, length(word)+1), i -> CAST(ord(substr(word, CAST(i AS INT), 1)) AS HUGEINT)) AS bs
+       |   FROM xw),
+       | xch AS (SELECT word, n, bs,
+       |   list_transform(range(0, n // 8), g -> $c8terms) AS c8,
+       |   CASE WHEN n % 8 >= 4 THEN $c4terms END AS c4,
+       |   list_slice(bs, (n//8)*8 + (CASE WHEN n % 8 >= 4 THEN 4 ELSE 0 END) + 1, n) AS tl
+       |   FROM xb),
+       | xs0 AS (SELECT word, n, c8, c4, tl, CAST((2870177450012600303::HUGEINT + n) % $XW AS HUGEINT) AS h FROM xch),
+       | xs1 AS (SELECT word, n, c8, c4, tl, CASE WHEN len(c8) >= 1 THEN ${xround8("h", "c8[1]")} ELSE h END AS h FROM xs0),
+       | xs2 AS (SELECT word, n, c8, c4, tl, CASE WHEN len(c8) >= 2 THEN ${xround8("h", "c8[2]")} ELSE h END AS h FROM xs1),
+       | xs3 AS (SELECT word, n, c8, c4, tl, CASE WHEN len(c8) >= 3 THEN ${xround8("h", "c8[3]")} ELSE h END AS h FROM xs2),
+       | xs4 AS (SELECT word, n, c4, tl, CASE WHEN c4 IS NOT NULL THEN ${xround4("h", "c4")} ELSE h END AS h FROM xs3),
+       |$tails,
+       | xa1 AS (SELECT word, ${xxor("h", "h // 8589934592")} AS h FROM xt7),
+       | xa2 AS (SELECT word, ${xmul("h", XP2)} AS h FROM xa1),
+       | xa3 AS (SELECT word, ${xxor("h", "h // 536870912")} AS h FROM xa2),
+       | xa4 AS (SELECT word, ${xmul("h", XP3)} AS h FROM xa3),
+       | xh AS MATERIALIZED (SELECT word, ${xxor("h", "h // 4294967296")} AS h FROM xa4)""".stripMargin
+  }
+
+  /** The minhash_near_dups twin: Spark's ENTIRE MinHash+LSH pipeline
+    * replayed in DuckDB — shingle xxhash64 ids (xxh64WordCtes), the 32
+    * a·h+b wrapping permutations with SIGNED-long minimums (Spark's
+    * min() orders two's-complement longs), per-band key = Spark
+    * XXH64.hashInt(band, 42) chained through four XXH64.hashLong
+    * element rounds (each with its own avalanche — the multi-input
+    * xxhash64 semantics), co-band candidates, and the df-capped exact
+    * Jaccard verify. Every hash step runs as a fine-grained CTE stage
+    * (intermediates are COLUMNS — a nested expression would duplicate
+    * subtrees exponentially), with MATERIALIZED hints on the reused
+    * relations so the planner never inlines the 60-stage chain. */
+  /** The shared shingle → signature → band-key prefix, built once. */
+  private lazy val minhashPrefixSql: String = {
+    def sm(x0: Long): Long = {
+      var z = x0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d9a79fb9e4b8a7L
+      z ^ (z >>> 31)
+    }
+    def u64(v: Long): String = java.lang.Long.toUnsignedString(v)
+    val k = 32; val bands = 8; val r = k / bands
+    def xsig(e: String) =
+      s"CAST(CASE WHEN ($e) >= 9223372036854775808 THEN ($e) - $XW ELSE ($e) END AS BIGINT)"
+    def xuns(e: String) =
+      s"(CAST(($e) AS HUGEINT) + CASE WHEN ($e) < 0 THEN $XW ELSE 0 END)"
+    val sigAggs = (0 until k).map { i =>
+      // the same splitmix-derived (odd a, b) constants Dedup's
+      // minhashSignatures compiles into the plan
+      s"min(${xsig(xadd(xmul("hu", u64(sm(2L * i) | 1L)), u64(sm(2L * i + 1))))} ) AS s$i"
+    }.mkString(",\n   ")
+    val sigList = (0 until k).map(i => xuns(s"s$i")).mkString("[", ", ", "]")
+    def fmixStages(pfx: String, src: String) = Seq(
+      s" ${pfx}f1 AS (SELECT * EXCLUDE (h), ${xxor("h", "h // 8589934592")} AS h FROM $src)",
+      s" ${pfx}f2 AS (SELECT * EXCLUDE (h), ${xmul("h", XP2)} AS h FROM ${pfx}f1)",
+      s" ${pfx}f3 AS (SELECT * EXCLUDE (h), ${xxor("h", "h // 536870912")} AS h FROM ${pfx}f2)",
+      s" ${pfx}f4 AS (SELECT * EXCLUDE (h), ${xmul("h", XP3)} AS h FROM ${pfx}f3)",
+      s" ${pfx}f5 AS (SELECT * EXCLUDE (h), ${xxor("h", "h // 4294967296")} AS h FROM ${pfx}f4)")
+    val seed0 = "2870177450012600307" // 42 + PRIME64_5 + 4 (hashInt init)
+    val stages = scala.collection.mutable.ArrayBuffer[String]()
+    stages += s" hi0 AS (SELECT doc_id, band, e1,e2,e3,e4, ${xxor(seed0, xmul("band", XP1))} AS h FROM bd0)"
+    stages += s" hi1 AS (SELECT * EXCLUDE (h), ${xadd(xmul(xrot("h", 23), XP2), XP3)} AS h FROM hi0)"
+    stages ++= fmixStages("hi", "hi1")
+    var prev = "hif5"
+    for (j <- 1 to r) {
+      stages += s" hl${j}a AS (SELECT * EXCLUDE (h), ${xadd(xadd("h", XP5), "8")} AS h, ${xmul(xrot(xmul(s"e$j", XP2), 31), XP1)} AS k1 FROM $prev)"
+      stages += s" hl${j}b AS (SELECT * EXCLUDE (h, k1), ${xxor("h", "k1")} AS h FROM hl${j}a)"
+      stages += s" hl${j}c AS (SELECT * EXCLUDE (h), ${xadd(xmul(xrot("h", 27), XP1), XP4)} AS h FROM hl${j}b)"
+      stages ++= fmixStages(s"hl$j", s"hl${j}c")
+      prev = s"hl${j}f5"
+    }
+    minhashChainPrefix(sigAggs, sigList, r, bands, stages.mkString(",\n"), prev)
+  }
+
+  private def minhashNearDupsTwinSql: String =
+    s"""WITH $minhashPrefixSql,
+       | cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |   FROM bk x JOIN bk y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       | sids AS MATERIALIZED (SELECT DISTINCT doc_id, h AS sh FROM shl JOIN xh ON xh.word = shl.shingle),
+       | rare AS (SELECT sh FROM sids GROUP BY sh HAVING count(*) <= 10),
+       | cs AS (SELECT doc_id, sh FROM sids JOIN rare USING (sh)),
+       | cnts AS (SELECT doc_id, count(*) AS n_sh FROM cs GROUP BY 1),
+       | inter AS (SELECT doc_a, doc_b, count(*) AS i FROM cand
+       |   JOIN cs a ON a.doc_id = doc_a JOIN cs b ON b.doc_id = doc_b AND b.sh = a.sh
+       |   GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.n_sh + cb.n_sh - i) AS jaccard
+       |FROM inter JOIN cnts ca ON ca.doc_id = doc_a JOIN cnts cb ON cb.doc_id = doc_b
+       |WHERE CAST(i AS DOUBLE) / (ca.n_sh + cb.n_sh - i) >= 0.3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The minhash_ingest twin: the SAME band-key chain, replaying the
+    * incremental admission rule — an odd (batch) doc drops when any
+    * band key collides with the even (store) side or with a LOWER-id
+    * batch mate; shingle-less docs carry no keys and are always
+    * admitted (exactly incrementalMinhashDedup's anti-join). */
+  private def minhashIngestTwinSql: String =
+    s"""WITH $minhashPrefixSql,
+       | st AS (SELECT band, bh FROM bk WHERE doc_id % 2 = 0),
+       | bt AS (SELECT doc_id, band, bh FROM bk WHERE doc_id % 2 = 1),
+       | drops AS (SELECT DISTINCT doc_id FROM (
+       |   SELECT x.doc_id FROM bt x JOIN st ON x.band = st.band AND x.bh = st.bh
+       |   UNION ALL
+       |   SELECT x.doc_id FROM bt x JOIN bt y ON x.band = y.band AND x.bh = y.bh AND x.doc_id > y.doc_id))
+       |SELECT d.doc_id, d.lang FROM documents d
+       |WHERE d.doc_id % 2 = 1 AND d.doc_id NOT IN (SELECT doc_id FROM drops)
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** The shared shingle → signature → band-key CTE prefix (exposes
+    * `shl`, `xh`, and `bk(doc_id, band, bh)` over the full documents
+    * table — per-doc signatures depend only on the doc's own shingles,
+    * so filtering bk afterward equals Spark's compute-per-subset). */
+  private def minhashChainPrefix(sigAggs: String, sigList: String, r: Int,
+                                 bands: Int, stages: String, last: String): String =
+    s"""tl AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS toks
+       |   FROM documents),
+       | shl AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 2), i ->
+       |    array_to_string(list_slice(toks, CAST(i+1 AS INT), CAST(i+3 AS INT)), ' '))) AS shingle
+       |    FROM tl WHERE len(toks) >= 3),
+       | xw AS (SELECT DISTINCT shingle AS word FROM shl),
+       |${xxh64WordCtes},
+       | dsh AS (SELECT DISTINCT doc_id, h AS hu FROM shl JOIN xh ON xh.word = shl.shingle),
+       | sg AS (SELECT doc_id,
+       |   $sigAggs
+       |   FROM dsh GROUP BY doc_id),
+       | sigl AS MATERIALIZED (SELECT doc_id, $sigList AS sig FROM sg),
+       | bd0 AS (SELECT doc_id, band,
+       |    sig[CAST(band*$r+1 AS INT)] AS e1, sig[CAST(band*$r+2 AS INT)] AS e2,
+       |    sig[CAST(band*$r+3 AS INT)] AS e3, sig[CAST(band*$r+4 AS INT)] AS e4
+       |    FROM sigl CROSS JOIN (SELECT unnest(range($bands)) AS band)),
+       |$stages,
+       | bk AS MATERIALIZED (SELECT doc_id, band, h AS bh FROM $last)""".stripMargin
+
   private def annEnergySql(p: String, vecs: String, cents: String): String =
     s"""${p}sims AS (SELECT v.vec_id, c.cell,
        |   list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), CAST(c.ce AS DOUBLE[])) AS sim
@@ -6957,6 +7138,55 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, round(CAST(sl AS DOUBLE), 6) AS dsir_logw,
          |  sl >= 0 AS selected
          |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // minhash_near_dups CONVERTED from rows-only to a full hash oracle
+    // (round 12): signatures, band keys, candidates AND the Jaccard
+    // verify all replay — see minhashNearDupsTwinSql
+    "minhash_near_dups" -> minhashNearDupsTwinSql,
+
+    // minhash_ingest CONVERTED (round 12): the incremental LSH
+    // admission gate replayed band-for-band — see minhashIngestTwinSql
+    "minhash_ingest" -> minhashIngestTwinSql,
+
+    // simhash CONVERTED from rows-only to a full hash oracle (round
+    // 12): the per-word xxhash64 is replayed by the XXH64-in-SQL
+    // device (xxh64WordCtes), bit sums and the 64-bit fingerprint
+    // assemble in exact integer arithmetic — the whole fingerprint
+    // relation, not just the clone invariant, now sits behind the gate
+    "simhash" ->
+      s"""$WDoc,
+         | xw AS (SELECT DISTINCT word FROM w),
+         |${xxh64WordCtes},
+         | wcc AS (SELECT doc_id, word, count(*) AS w_cnt FROM w GROUP BY 1, 2),
+         | hb AS (SELECT doc_id, w_cnt,
+         |   CAST(CASE WHEN h >= 9223372036854775808 THEN h - $XW ELSE h END AS BIGINT) AS hs
+         |   FROM wcc JOIN xh USING (word)),
+         | bits AS (SELECT doc_id, j, sum(CASE WHEN ((hs >> CAST(j AS INT)) & 1) = 1 THEN w_cnt ELSE -w_cnt END) AS b
+         |   FROM hb CROSS JOIN (SELECT unnest(range(64)) AS j) GROUP BY 1, 2),
+         | fpu AS (SELECT doc_id, sum(CASE WHEN b > 0 THEN (1::HUGEINT << CAST(j AS INT)) ELSE 0::HUGEINT END) AS u
+         |   FROM bits GROUP BY 1)
+         |SELECT doc_id, CAST(CASE WHEN u >= 9223372036854775808 THEN u - $XW ELSE u END AS BIGINT) AS simhash
+         |FROM fpu ORDER BY doc_id""".stripMargin,
+
+    // doc_fingerprint CONVERTED from rows-only (round 12): the rolling
+    // fold acc*FNV + xxhash64(word) replays via list_reduce over the
+    // ordered per-doc hash list in the same HUGEINT wrap arithmetic;
+    // wordless docs keep fp = 0 through the left join (Spark's
+    // aggregate() init value)
+    "doc_fingerprint" ->
+      s"""WITH tl AS (SELECT doc_id,
+         |   list_filter(list_transform(string_split_regex(text, '[ \\t\\n\\f\\r]+'),
+         |     t -> lower(regexp_replace(t, '$P', '', 'g'))), x -> length(x) > 0) AS toks
+         |   FROM documents),
+         | xw AS (SELECT DISTINCT unnest(toks) AS word FROM tl),
+         |${xxh64WordCtes},
+         | tok AS (SELECT doc_id, unnest(toks) AS word, generate_subscripts(toks, 1) AS pos FROM tl),
+         | hs AS (SELECT doc_id, pos, h FROM tok JOIN xh USING (word)),
+         | lst AS (SELECT doc_id, list_prepend(0::HUGEINT, list(h ORDER BY pos)) AS hl FROM hs GROUP BY 1),
+         | fpu AS (SELECT doc_id, list_reduce(hl, (acc, x) -> ${xadd(xmul("acc", "1099511628211"), "x")}) AS u FROM lst)
+         |SELECT tl.doc_id,
+         |  CAST(CASE WHEN coalesce(u, 0) >= 9223372036854775808 THEN u - $XW ELSE coalesce(u, 0) END AS BIGINT) AS fp
+         |FROM tl LEFT JOIN fpu USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // identical text ⇒ identical simhash: every planted clone with at
     // least one clean word must collide with its original
