@@ -7075,6 +7075,35 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin
     },
 
+    // pq_topk CONVERTED from rows-only to a full hash oracle (round
+    // 12): codes from the pq_codes device, query tables from
+    // bit-identical subspace dots, and the ADC score as an ORDERED
+    // list_reduce fold — double addition is order-sensitive and
+    // VecAdcScore sums subspaces sequentially, so the fold (not a SUM
+    // aggregate) is what makes the scores replay bit-for-bit
+    "pq_topk" ->
+      """WITH sv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        | js AS (SELECT unnest(range(16)) AS j),
+        | cb0 AS (SELECT e, row_number() OVER (ORDER BY vec_id) - 1 AS code FROM sv WHERE vec_id % 50 = 0),
+        | cb AS MATERIALIZED (SELECT code, j, e[CAST(j*4+1 AS INT):CAST(j*4+4 AS INT)] AS cs FROM cb0 CROSS JOIN js WHERE code < 48),
+        | sub AS (SELECT vec_id, j, e[CAST(j*4+1 AS INT):CAST(j*4+4 AS INT)] AS s FROM sv CROSS JOIN js),
+        | d AS (SELECT vec_id, sub.j AS j, code,
+        |   list_dot_product(s, cs) * -2.0 + list_dot_product(cs, cs) AS d
+        |   FROM sub JOIN cb ON sub.j = cb.j),
+        | r AS (SELECT vec_id, j, code, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn FROM d),
+        | codes AS MATERIALIZED (SELECT vec_id, j, code FROM r WHERE rn = 1),
+        | qd AS MATERIALIZED (SELECT q.vec_id AS q_id, cb.j, cb.code,
+        |   list_dot_product(q.e[CAST(cb.j*4+1 AS INT):CAST(cb.j*4+4 AS INT)], cs) AS dot
+        |   FROM sv q CROSS JOIN cb WHERE q.vec_id % 50 = 0),
+        | sc AS (SELECT q_id, c.vec_id AS c_id,
+        |   list_reduce(list_prepend(0.0, list(dot ORDER BY c.j)), (acc, x) -> acc + x) AS sim
+        |   FROM codes c JOIN qd ON qd.j = c.j AND qd.code = c.code
+        |   WHERE q_id <> c.vec_id
+        |   GROUP BY 1, 2),
+        | rk AS (SELECT q_id, c_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank FROM sc)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, round(sim, 4) AS sim_r
+        |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
     // pq encoding replayed: stride codebook (dense-ranked first kCent
     // stride vectors), per-subspace argmin of -2·s·c + |c|² with the
     // min-code tie-break — m=16 subspaces of subDim=4 over dim 64
