@@ -5215,6 +5215,76 @@ object SparkEntry {
        |$stages,
        | bk AS MATERIALIZED (SELECT doc_id, band, h AS bh FROM $last)""".stripMargin
 
+  /** The complete residual-encoded IVF×PQ query funnel as ONE DuckDB
+    * twin (round 12): frozen stride-10 coarse cells → corpus residuals
+    * in FLOAT arithmetic (Spark's zip_with subtracts float32s; the
+    * cast to DOUBLE[] happens only at the dot products, mirroring
+    * VecDot's per-element widening) → dense-ranked stride-50 residual
+    * codebooks → argmin PQ encode → nProbe=12 probed cells with
+    * per-(query, cell) residual L2 ADC tables → candidate scores as
+    * ORDERED list_reduce folds (double addition is order-sensitive;
+    * this matches VecAdcScore's sequential loop bit-for-bit) → 40-row
+    * shortlist → exact cosine rerank. Parameterized by the cents/
+    * codebook/query filters so ivf_pq_topk, the parquet-roundtrip
+    * lifecycle, the frozen-geometry append AND the streaming ingest
+    * all share one validated builder — the roundtrip/append/stream
+    * variants MUST answer identically to the direct computation, which
+    * is exactly what their oracles now assert. */
+  private def ivfPqQueryTwinSql(centsWhere: String, bookWhere: String,
+                                queryWhere: String): String =
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+       | cents AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id % 10 = 0$centsWhere),
+       | asg AS (SELECT v.vec_id, cell, row_number() OVER (PARTITION BY v.vec_id
+       |   ORDER BY list_cosine_similarity(CAST(e AS DOUBLE[]), CAST(ce AS DOUBLE[])) DESC, cell) AS rn
+       |   FROM v CROSS JOIN cents),
+       | home AS MATERIALIZED (SELECT vec_id, cell FROM asg WHERE rn = 1),
+       | res AS MATERIALIZED (SELECT v.vec_id, home.cell,
+       |   list_transform(range(1, 65), i -> e[CAST(i AS INT)] - ce[CAST(i AS INT)]) AS r
+       |   FROM v JOIN home ON home.vec_id = v.vec_id JOIN cents ON cents.cell = home.cell),
+       | js AS (SELECT unnest(range(16)) AS j),
+       | cb0 AS (SELECT r, row_number() OVER (ORDER BY vec_id) - 1 AS code FROM res WHERE vec_id % 50 = 0$bookWhere),
+       | cb AS MATERIALIZED (SELECT code, j,
+       |   CAST(r[CAST(j*4+1 AS INT):CAST(j*4+4 AS INT)] AS DOUBLE[]) AS cs
+       |   FROM cb0 CROSS JOIN js WHERE code < 48),
+       | sub AS (SELECT vec_id, j, CAST(r[CAST(j*4+1 AS INT):CAST(j*4+4 AS INT)] AS DOUBLE[]) AS s
+       |   FROM res CROSS JOIN js),
+       | d AS (SELECT vec_id, sub.j AS j, code,
+       |   list_dot_product(s, cs) * -2.0 + list_dot_product(cs, cs) AS d
+       |   FROM sub JOIN cb ON sub.j = cb.j),
+       | codes AS MATERIALIZED (SELECT vec_id, j, code FROM (
+       |   SELECT vec_id, j, code, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn FROM d) z
+       |   WHERE rn = 1),
+       | q AS (SELECT vec_id AS q_id, e FROM v WHERE $queryWhere),
+       | qasg AS (SELECT q_id, cell, row_number() OVER (PARTITION BY q_id
+       |   ORDER BY list_cosine_similarity(CAST(e AS DOUBLE[]), CAST(ce AS DOUBLE[])) DESC, cell) AS rn
+       |   FROM q CROSS JOIN cents),
+       | probe AS MATERIALIZED (SELECT q_id, cell FROM qasg WHERE rn <= 12),
+       | qres AS (SELECT q_id, probe.cell,
+       |   list_transform(range(1, 65), i -> e[CAST(i AS INT)] - ce[CAST(i AS INT)]) AS r
+       |   FROM probe JOIN q USING (q_id) JOIN cents ON cents.cell = probe.cell),
+       | qsub AS (SELECT q_id, cell, j, CAST(r[CAST(j*4+1 AS INT):CAST(j*4+4 AS INT)] AS DOUBLE[]) AS s
+       |   FROM qres CROSS JOIN js),
+       | qterm AS MATERIALIZED (SELECT q_id, cell, qsub.j AS j, code,
+       |   list_dot_product(s, s) - list_dot_product(s, cs) * 2.0 + list_dot_product(cs, cs) AS term
+       |   FROM qsub JOIN cb ON qsub.j = cb.j),
+       | cand AS (SELECT q_id, home.vec_id AS c_id, probe.cell
+       |   FROM probe JOIN home ON home.cell = probe.cell WHERE q_id <> home.vec_id),
+       | sc AS (SELECT cand.q_id AS q_id, c_id,
+       |   list_reduce(list_prepend(0.0, list(term ORDER BY c.j)), (acc, x) -> acc + x) AS dist
+       |   FROM cand
+       |   JOIN codes c ON c.vec_id = cand.c_id
+       |   JOIN qterm t ON t.q_id = cand.q_id AND t.cell = cand.cell AND t.j = c.j AND t.code = c.code
+       |   GROUP BY 1, 2),
+       | short AS (SELECT q_id, c_id FROM (
+       |   SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, c_id ASC) AS rn FROM sc) z
+       |   WHERE rn <= 40),
+       | resc AS (SELECT short.q_id, short.c_id,
+       |   list_cosine_similarity(CAST(qv.e AS DOUBLE[]), CAST(cv.e AS DOUBLE[])) AS sim
+       |   FROM short JOIN q qv ON qv.q_id = short.q_id JOIN v cv ON cv.vec_id = short.c_id),
+       | rk AS (SELECT q_id, c_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank FROM resc)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, round(sim, 4) AS sim_r
+       |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
   private def annEnergySql(p: String, vecs: String, cents: String): String =
     s"""${p}sims AS (SELECT v.vec_id, c.cell,
        |   list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), CAST(c.ce AS DOUBLE[])) AS sim
@@ -7074,6 +7144,17 @@ object SparkEntry {
          |SELECT id_a, id_b, round(sim, 4) AS sim_r FROM s WHERE sim >= 0.4
          |ORDER BY id_a, id_b""".stripMargin
     },
+
+    // the residual IVF×PQ family CONVERTED from rows-only to full hash
+    // oracles (round 12) — all four share ivfPqQueryTwinSql; the
+    // roundtrip/append/streaming variants answering IDENTICALLY to the
+    // direct computation is precisely their contract
+    "ivf_pq_topk" -> ivfPqQueryTwinSql("", "", "vec_id % 50 = 0"),
+    "ann_index_roundtrip" -> ivfPqQueryTwinSql("", "", "vec_id % 50 = 0"),
+    "ann_index_append" ->
+      ivfPqQueryTwinSql(" AND vec_id % 7 <> 3", " AND vec_id % 7 <> 3", "vec_id % 70 = 3"),
+    "streaming_ann_ingest" ->
+      ivfPqQueryTwinSql(" AND vec_id % 7 <> 3", " AND vec_id % 7 <> 3", "vec_id % 70 = 3"),
 
     // pq_topk CONVERTED from rows-only to a full hash oracle (round
     // 12): codes from the pq_codes device, query tables from
