@@ -7052,10 +7052,11 @@ object SparkEntry {
     // join, then the brute twin's margin chain verbatim
     "bitext_margin_lsh" -> bitextMarginLshTwinSql,
 
-    // the IVF-shortlist hubness census: stride cells, nProbe probes,
+    // the IVF-shortlist hubness census: kCent-capped stride cells
+    // (vec_id % 25 = 0 AND vec_id < 25*64), nProbe probes,
     // exact within-candidate cosine ranks, then knn_hubness's census
     "knn_hubness_ivf" ->
-      """WITH cents AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings WHERE vec_id % 25 = 0),
+      """WITH cents AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 1600),
         | v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         | asg AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
         |   ORDER BY list_cosine_similarity(e, ce) DESC, cell) AS rn FROM v CROSS JOIN cents),
@@ -7076,10 +7077,11 @@ object SparkEntry {
          |SELECT vec_id, CAST(${lshBucketSql("e", 8, 0)} AS BIGINT) AS bucket
          |FROM v ORDER BY vec_id""".stripMargin,
 
-    // ivf_topk's candidate structure: nProbe nearest stride-50
-    // centroids per vector with probe rank (rank 1 = home cell)
+    // ivf_topk's candidate structure: nProbe nearest kCent-capped
+    // stride-50 centroids (vec_id < 50*64) per vector with probe rank
+    // (rank 1 = home cell)
     "ivf_cells" ->
-      """WITH cents AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings WHERE vec_id % 50 = 0),
+      """WITH cents AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 3200),
         | v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         | asg AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
         |   ORDER BY list_cosine_similarity(e, ce) DESC, cell) AS rn FROM v CROSS JOIN cents)
@@ -7110,11 +7112,12 @@ object SparkEntry {
          |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
 
     // ivf_topk CONVERTED from rows-only to a full hash oracle (round
-    // 12): stride-centroid cells, nProbe probes, exact within-
+    // 12): kCent-capped stride-centroid cells (vec_id < 50*64),
+    // nProbe probes, exact within-
     // candidate cosine ranking — the knn_hubness_ivf chain minus the
     // census (the cells relation alone remains pinned by ivf_cells)
     "ivf_topk" ->
-      """WITH cents AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings WHERE vec_id % 50 = 0),
+      """WITH cents AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 3200),
         | v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         | asg AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
         |   ORDER BY list_cosine_similarity(e, ce) DESC, cell) AS rn FROM v CROSS JOIN cents),

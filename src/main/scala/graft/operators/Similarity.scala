@@ -203,12 +203,12 @@ object Similarity {
     * the IVF-served neighbor lists (shortlist biases included) whose
     * hub structure every downstream k-NN consumer actually sees.
     * Candidate cost drops from O(N²) to O(N² · nProbe / nCells); every
-    * step stays deterministic (stride centroids, argmax cells, exact
-    * within-candidate cosine ranks), so the census is hash-checkable
-    * end to end. */
+    * step stays deterministic (kCent-capped stride centroids, argmax
+    * cells, exact within-candidate cosine ranks), so the census is
+    * hash-checkable end to end. */
   def knnHubnessIvf(emb: DataFrame, k: Int = 10, step: Int = 25,
-                    nProbe: Int = 4): DataFrame =
-    kOccurrenceCensus(emb, ivfTopK(emb, step, nProbe, k))
+                    nProbe: Int = 4, kCent: Int = 64): DataFrame =
+    kOccurrenceCensus(emb, ivfTopK(emb, step, nProbe, k, kCent = kCent))
 
   /** Deterministic pseudo-random unit-free hyperplanes: component d of
     * plane p is derived from splitmix64(p * dim + d) scaled to [-1, 1].
@@ -251,27 +251,30 @@ object Similarity {
 
   /** The EXACT skeleton under [[ivfTopK]], exposed as its own relation
     * (the streaming_ann_cells device, applied to the batch index): for
-    * every vector its `nProbe` nearest stride centroids with probe
-    * rank — rank 1 is the corpus-side home cell, ranks ≤ nProbe are
-    * the query-side probes, so ONE relation pins both halves of the
-    * candidate structure. Frozen geometry (stride centroids, cosine
-    * argsort, id tie-break) makes it closed-form for the SQL twin;
+    * every vector its `nProbe` nearest kCent-capped stride centroids
+    * with probe rank — rank 1 is the corpus-side home cell, ranks ≤
+    * nProbe are the query-side probes, so ONE relation pins both
+    * halves of the candidate structure. Frozen geometry (bounded
+    * stride centroids — see [[strideCentroids]] — cosine argsort, id
+    * tie-break) makes it closed-form for the SQL twin;
     * a drifted assignment, a lost vector, or a reordered probe list
     * all unhash it while the top-k answers stay rows-only. */
-  def ivfProbeCells(emb: DataFrame, step: Int = 50, nProbe: Int = 4): DataFrame = {
-    val cents = emb.where(col("vec_id") % step === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-    emb.join(broadcast(cents))
+  def ivfProbeCells(emb: DataFrame, step: Int = 50, nProbe: Int = 4,
+                    kCent: Int = 64): DataFrame = {
+    val cents = strideCentroids(emb, step, kCent)
+    val sims = emb.join(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
         (vec_dot(col("embedding"), col("cent_emb")) /
           (vec_norm(col("embedding")) * vec_norm(col("cent_emb")))).as("cent_sim"))
-      .groupBy(col("vec_id"))
-      .agg(slice(reverse(array_sort(collect_list(
-        struct(col("cent_sim"), (-col("cent_id")).as("neg_id"), col("cent_id"))))),
-        1, nProbe).as("top"))
-      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "c")))
-      .select(col("vec_id"), (col("pos") + 1).cast(LongType).as("rank"),
-        col("c.cent_id").as("cell"))
+    // bounded per-group pick (GroupedTopK's nProbe-row heap), then the
+    // probe rank as a window over the SHORTLIST — at most nProbe rows
+    // per vector, i.e. a sort of the result, never of N x nCells
+    val short = graft.plans.GroupedTopK.topKPerKey(sims, Seq("vec_id"),
+      Seq(("cent_sim", true), ("cent_id", false)), nProbe)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("cent_sim"), asc("cent_id"))
+    short.select(col("vec_id"), row_number().over(w).cast(LongType).as("rank"),
+      col("cent_id").as("cell"))
   }
 
   /** The scale path for embedding near-dup pairs (the N² alternative to
@@ -405,13 +408,17 @@ object Similarity {
   }
 
   /** Nearest coarse centroid(s) per vector (normalized data: max dot =
-    * nearest), as an AGGREGATE instead of a row_number window: a window
-    * would sort-shuffle the full N x nCells candidate table, while
-    * groupBy partial-aggregates it to N rows map-side before any
-    * exchange. Ordering is desc(cent_sim) with asc(cent_id) tie-break,
-    * encoded lexicographically as the struct (cent_sim, -cent_id).
-    * `cents`: (cent_id, cent_emb), broadcast. Output: (vec_id,
-    * embedding, cell) — one row per assigned cell. */
+    * nearest). n == 1 is an AGGREGATE instead of a row_number window: a
+    * window would sort-shuffle the full N x nCells candidate table,
+    * while groupBy partial-aggregates it to N rows map-side before any
+    * exchange. n > 1 goes through the engine's own GroupedTopK physical
+    * operator — a bounded n-row heap per vector with map-side partial
+    * reduction — so per-group aggregation state is n rows regardless of
+    * nCells (the old collect_list held EVERY cell's sim per vector,
+    * which grows with the centroid count). Ordering is desc(cent_sim)
+    * with asc(cent_id) tie-break. `cents`: (cent_id, cent_emb),
+    * broadcast. Output: (vec_id, embedding, cell) — one row per
+    * assigned cell. */
   private def coarseAssign(df: DataFrame, cents: DataFrame, n: Int): DataFrame = {
     val sims = df.join(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
@@ -423,29 +430,37 @@ object Similarity {
           col("cent_id"), col("embedding"))).as("m"))
         .select(col("vec_id"), col("m.embedding").as("embedding"), col("m.cent_id").as("cell"))
     else
-      // top-n cells via a bounded collect_list (<= nCells entries per
-      // vector, complete after the map-side partial agg) sorted and
-      // sliced in the projection — still no global sort
-      sims.groupBy(col("vec_id"))
-        .agg(first(col("embedding")).as("embedding"),
-          slice(reverse(array_sort(collect_list(
-            struct(col("cent_sim"), (-col("cent_id")).as("neg_id"), col("cent_id"))))),
-            1, n).as("top"))
-        .select(col("vec_id"), col("embedding"), explode(col("top.cent_id")).as("cell"))
+      graft.plans.GroupedTopK.topKPerKey(sims, Seq("vec_id"),
+          Seq(("cent_sim", true), ("cent_id", false)), n)
+        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
   }
 
-  /** IVF-style ANN: a deterministic coarse quantizer (stride-sampled
-    * init + `refineIters` Lloyd iterations, see lloydRefine) assigns
-    * each vector to its nearest centroid; queries probe only the
-    * `nProbe` nearest cells. The inverted-file analog of lshTopK:
-    * candidate cost drops from O(Q x N) to O(Q x N x nProbe / nCells).
-    * Centroid assignment is one broadcast join (centroid set is tiny);
-    * the cell join is an equi-join on cell id — shuffle on an int key
-    * only. */
-  def ivfTopK(emb: DataFrame, step: Int = 50, nProbe: Int = 4, k: Int = 10,
-              refineIters: Int = 0): DataFrame = {
-    val cents0 = emb.where(col("vec_id") % step === 0)
+  /** Fixed-cardinality stride centroids: the stride points inside the
+    * id window [0, step·kCent), so the centroid set is AT MOST `kCent`
+    * rows no matter how large the corpus grows — the same bounded-
+    * codebook posture as pqCodebooks, derived as a pure pushdown filter
+    * (no window, no sort). With dense vec_ids and N ≥ step·kCent the
+    * count is exactly kCent; a sparser id space just yields fewer
+    * cells. This is what keeps the centroid broadcast and the per-
+    * vector probe aggregation O(kCent) at 100x the corpus, where the
+    * old uncapped `vec_id % step == 0` grew both linearly with N. */
+  private def strideCentroids(emb: DataFrame, step: Int, kCent: Int): DataFrame =
+    emb.where(col("vec_id") % step === 0 && col("vec_id") < step.toLong * kCent)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+
+  /** IVF-style ANN: a deterministic coarse quantizer (stride-sampled
+    * init capped at `kCent` centroids — see strideCentroids — plus
+    * `refineIters` Lloyd iterations, see lloydRefine) assigns each
+    * vector to its nearest centroid; queries probe only the `nProbe`
+    * nearest cells. The inverted-file analog of lshTopK: candidate
+    * cost drops from O(Q x N) to O(Q x N x nProbe / nCells).
+    * Centroid assignment is one broadcast join of an O(kCent) centroid
+    * set (bounded even at 100x the corpus) through coarseAssign's
+    * bounded per-group pick; the cell join is an equi-join on cell
+    * id — shuffle on an int key only. */
+  def ivfTopK(emb: DataFrame, step: Int = 50, nProbe: Int = 4, k: Int = 10,
+              refineIters: Int = 0, kCent: Int = 64): DataFrame = {
+    val cents0 = strideCentroids(emb, step, kCent)
     // refine with the SAME metric query-time assignment uses (cosine;
     // the sub-vector's own norm is constant per argmax group, so it is
     // dropped from the score). Default is NO refinement: measured on

@@ -397,4 +397,21 @@ class PlanShapeSpec extends AnyFunSuite {
     // the brute twins ARE allowed their cross product (the exact
     // baselines); only the registered scale path is constrained
   }
+
+  test("IVF probe pick runs through GroupedTopK, not a collect-all-cells aggregate") {
+    // the round-12 verdict's last weak ANN plan: coarseAssign's n>1
+    // branch held EVERY cell's sim per vector in a collect_list (state
+    // grows with the centroid count). The bounded pick is pinned: the
+    // probe plan must contain the engine's GroupedTopK physical
+    // operator and no collect_list over the N x nCells sims
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = Similarity.ivfProbeCells(emb, step = 10, nProbe = 3)
+    val pPlan = simple(probes)
+    assert(pPlan.contains("GroupedTopK"), pPlan)
+    assert(!pPlan.contains("collect_list"), pPlan)
+    val topk = Similarity.ivfTopK(emb, step = 10, nProbe = 3, k = 5)
+    val tPlan = simple(topk)
+    assert(tPlan.contains("GroupedTopK"), tPlan)
+    assert(!tPlan.contains("collect_list"), tPlan)
+  }
 }

@@ -534,6 +534,45 @@ class SimilaritySpec extends AnyFunSuite {
       "a codebook vector failed to encode to its own code")
   }
 
+  test("strideCentroids cap: the IVF cell count is kCent-bounded however large the corpus") {
+    val emb = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // 500 dense vec_ids at step 10 would be 50 uncapped cells; kCent = 4
+    // must bound the geometry to the stride points inside [0, 40)
+    val cells = Similarity.ivfProbeCells(emb, step = 10, nProbe = 3, kCent = 4)
+      .select("cell").distinct().collect().map(_.getLong(0)).toSet
+    assert(cells.subsetOf(Set(0L, 10L, 20L, 30L)), cells.toString)
+    assert(cells.size === 4)
+    // the ranked answer stays complete under the cap: every vector still
+    // probes nProbe distinct capped cells
+    val probed = Similarity.ivfProbeCells(emb, step = 10, nProbe = 3, kCent = 4).collect()
+    assert(probed.length === 3 * emb.count())
+    // and ivfTopK's census mass is conserved on the same capped geometry
+    val pairs = Similarity.ivfTopK(emb, step = 10, nProbe = 3, k = 5, kCent = 4)
+    assert(pairs.groupBy("q_id").count().collect().forall(_.getLong(1) <= 5))
+  }
+
+  test("coarseAssign probe pick: GroupedTopK shortlist equals the window formulation exactly") {
+    import graft.functions.VectorFunctions.vec_norm
+    val emb = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Similarity.ivfProbeCells(emb, step = 10, nProbe = 3, kCent = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // independent reference: the same capped geometry through the
+    // window formulation GroupedTopK replaces — identical double
+    // arithmetic (vec_dot / vec_norm), so the sets must match exactly
+    val cents = emb.where(col("vec_id") % 10 === 0 && col("vec_id") < 40)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+      .orderBy(desc("cent_sim"), asc("cent_id"))
+    val ref = emb.crossJoin(cents)
+      .select(col("vec_id"), col("cent_id"),
+        (vec_dot(col("embedding"), col("cent_emb")) /
+          (vec_norm(col("embedding")) * vec_norm(col("cent_emb")))).as("cent_sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3).toLong, r.getLong(1))).toSet
+    assert(got === ref)
+  }
+
   test("ivfProbeCells: nProbe ranked centroid cells per vector, rank 1 = home cell") {
     val emb = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cells = Similarity.ivfProbeCells(emb, step = 10, nProbe = 3).collect()
