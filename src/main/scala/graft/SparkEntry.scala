@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.operators._
 import graft.sources.{LakeTable, Tables}
 import graft.streaming.EventStreams
+import graft.plans.Lineage.TruncateOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -385,7 +386,7 @@ object SparkEntry {
     "bloom_no_false_negatives" -> ((s, d) => {
       val tt = t(s, d)
       val urgent = tt.orders.where(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_orderkey")).localCheckpoint(true) // build + 2 semi probes
+        .select(col("o_orderkey")).truncateLineage // build + 2 semi probes
       val cand = Sketches.bloomSemiFilter(urgent, "o_orderkey",
         tt.lineitem, "l_orderkey", expectedItems = 100000, numBits = 1000000)
       val nTrue = tt.lineitem
@@ -964,7 +965,7 @@ object SparkEntry {
       val filt = pairs
         .withColumn("threshold", explode(array(ths.map(lit): _*)))
         .where(col("jaccard") >= col("threshold"))
-        .localCheckpoint(true) // feeds both aggregates
+        .truncateLineage // feeds both aggregates
       val np = filt.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
       val ndoc = filt
         .select(col("threshold"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
@@ -1154,7 +1155,7 @@ object SparkEntry {
         .select(col("doc_id"),
           when(col("grade") === 1, lit(1L)).when(col("grade") === 2, lit(3L))
             .otherwise(lit(7L)).as("gain"))
-        .localCheckpoint(true) // consumed by the DCG join AND the ideal top-10
+        .truncateLineage // consumed by the DCG join AND the ideal top-10
       val wts = broadcast(s.createDataFrame(NdcgDiscounts).toDF("r", "wgt"))
       val dcg = ranked.where(col("r") <= 10).join(graded, "doc_id").join(wts, "r")
         .agg(coalesce(sum(round(col("gain") * col("wgt"), 12).cast(dec)),
@@ -1535,6 +1536,17 @@ object SparkEntry {
       Corpus.dsirSelect(docs.where(col("lang") =!= "en"),
         docs.where(col("lang") === "en")).orderBy("doc_id")
     }),
+    // the DSIR memory-bound variant (the paper's actual posture): the
+    // SAME importance-resampling selection with the model keyed on
+    // xxhash64(word) % 1024 — the scorer's broadcast relation is
+    // provably m-bounded, the shape a 100 TB pool's union vocabulary
+    // requires. m = 1024 deliberately forces real bucket collisions at
+    // this fixture's vocab so the hashing is exercised, not vestigial
+    "dsir_select_hashed" -> ((s, d) => {
+      val docs = t(s, d).documents
+      Corpus.dsirSelectHashed(docs.where(col("lang") =!= "en"),
+        docs.where(col("lang") === "en"), m = 1024).orderBy("doc_id")
+    }),
     // simhash's derived EXACT invariant (the minhash clone-reject
     // device): planted byte-identical clones MUST collide with their
     // originals — identical text ⇒ identical 64-bit fingerprint — so
@@ -1542,6 +1554,14 @@ object SparkEntry {
     // text-unstable simhash unhashes it
     "simhash_clone_invariant" -> ((s, d) => {
       val docs = t(s, d).documents
+      // the clone-id offset must clear the real id space: a fixture
+      // whose doc_ids reach 10000 would leak real docs into the clone
+      // filter (and collide clone ids with real ids) — a fixture-size
+      // failure masquerading as a simhash bug (ADVICE r12). One scalar
+      // agg guards it loudly; shipped fixtures top out at 4999.
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      require(maxId < 10000,
+        s"simhash_clone_invariant fixture regime: max doc_id $maxId >= clone offset 10000")
       val clones = docs.where(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 10000).as("doc_id"), col("text"))
       val sh = Dedup.simhash(
@@ -1805,7 +1825,7 @@ object SparkEntry {
       val docs = t(s, d).documents
       val cm = TextQuality.langIdNgram(docs).select(col("doc_id"), col("pred_lang"))
         .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-        .localCheckpoint(true)
+        .truncateLineage
       val byLang = cm.groupBy(col("lang")).agg(count(lit(1)).as("n_actual"),
         sum(when(col("pred_lang") === col("lang"), lit(1L)).otherwise(lit(0L))).as("tp"))
       val byPred = cm.groupBy(col("pred_lang").as("lang")).agg(count(lit(1)).as("n_pred"))
@@ -2432,7 +2452,7 @@ object SparkEntry {
         .select(col("x.p").as("src"), col("y.p").as("dst"))
       val e = edges.select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
-        .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+        .where(col("a") =!= col("b")).distinct().truncateLineage
       val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       val triSum = Graph.triangleCounts(e, "a", "b", assumeCanonical = true)
@@ -2477,7 +2497,7 @@ object SparkEntry {
     "basket_lift" -> ((s, d) => {
       val b = t(s, d).events
         .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type")).distinct()
-        .localCheckpoint(true)
+        .truncateLineage
       val nTotal = b.select(col("user_id"), col("day")).distinct()
         .agg(count(lit(1)).as("n_baskets"))
       val per = b.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
@@ -2592,7 +2612,7 @@ object SparkEntry {
         // output join both consume this narrow relation — without
         // the checkpoint the page build + regex + normalizer tree
         // run twice (13s → ~1s at sf0.1)
-        .localCheckpoint(true)
+        .truncateLineage
       val fam = ext.groupBy(col("canonical_url")).agg(count(lit(1)).as("group_size"))
       ext.join(fam, "canonical_url")
         .select(col("doc_id"), col("canonical_url"), col("is_canonical"), col("group_size"))
@@ -2707,7 +2727,7 @@ object SparkEntry {
           .as("html"))
       val deduped = Dedup.paragraphDedup(Html.extractBlocks(pages))
         .select(col("doc_id"), col("text"))
-        .localCheckpoint(true) // consumed by the gate AND the rejoin
+        .truncateLineage // consumed by the gate AND the rejoin
       val gated = TextQuality.gopherQualityGate(deduped)
         .where(col("keep"))
         .join(deduped, Seq("doc_id"))
@@ -2750,7 +2770,7 @@ object SparkEntry {
       val pagesBack = recs.select((col("fetch_ts") - 1700000000L).as("doc_id"), col("html"))
       val deduped = Dedup.paragraphDedup(Html.extractBlocks(pagesBack))
         .select(col("doc_id"), col("text"))
-        .localCheckpoint(true) // consumed by the gate AND the rejoin
+        .truncateLineage // consumed by the gate AND the rejoin
       val gated = TextQuality.gopherQualityGate(deduped)
         .where(col("keep"))
         .join(deduped, Seq("doc_id"))
@@ -2770,8 +2790,8 @@ object SparkEntry {
       val mixed = gated.join(broadcast(rates), "lang")
         .where(Corpus.hashPermille(col("text")) < col("keep_permille"))
         .select(col("doc_id"), col("text"))
-        .localCheckpoint(true) // consumed by the sample AND the rejoin
-      val samp = Corpus.prioritySample(mixed, k = 100).localCheckpoint(true)
+        .truncateLineage // consumed by the sample AND the rejoin
+      val samp = Corpus.prioritySample(mixed, k = 100).truncateLineage
       val shards = Corpus.curriculumShards(
         samp.select(col("doc_id"), col("weight").as("score")), phases = 4, nShards = 4)
       val chosen = mixed.join(samp.select("doc_id"), "doc_id")
@@ -2834,7 +2854,7 @@ object SparkEntry {
           java.util.regex.Matcher.quoteReplacement("<div>\n" + Html.BoilerFixturePara))
           .as("html"))
       val dedupedB = Dedup.paragraphDedup(Html.extractBlocks(pagesB))
-        .select(col("doc_id"), col("text")).localCheckpoint(true)
+        .select(col("doc_id"), col("text")).truncateLineage
       val gatedB = TextQuality.gopherQualityGate(dedupedB)
         .where(col("keep"))
         .join(dedupedB, Seq("doc_id"))
@@ -2848,7 +2868,7 @@ object SparkEntry {
         .select(col("lang"),
           floor(lit(1000.0) * col("t") * col("scale") / col("n_l").cast("double"))
             .cast("long").as("keep_permille"))
-        .localCheckpoint(true)
+        .truncateLineage
       val storeDir = java.nio.file.Files.createTempDirectory("graft-wtstore").toString
       ss.range(0).select(col("id").as("ph"))
         .write.mode("overwrite").parquet(s"$storeDir/seed")
@@ -2860,7 +2880,7 @@ object SparkEntry {
       val samp = graft.streaming.IngestPipeline.runWarcTrainingIngest(ss, stream,
           storeDir, landDir, frontierDir,
           docs.select(col("doc_id"), col("lang")), rates, k = 100)
-        .localCheckpoint(true)
+        .truncateLineage
       val shards = Corpus.curriculumShards(
         samp.select(col("doc_id"), col("weight").as("score")), phases = 4, nShards = 4)
       val chosen = ss.read.parquet(landDir).select(col("doc_id"), col("text"))
@@ -3372,7 +3392,7 @@ object SparkEntry {
         .select(col("lang"), col("n_l"),
           floor(lit(1000.0) * col("t") * col("scale") / col("n_l").cast("double"))
             .cast("long").as("keep_permille"))
-        .localCheckpoint(true) // read by the apply pass and the output join
+        .truncateLineage // read by the apply pass and the output join
       val kept = docs.join(broadcast(rates), "lang")
         .where(Corpus.hashPermille(col("text")) < col("keep_permille"))
         .groupBy("lang").agg(count(lit(1)).as("n_kept"))
@@ -4073,7 +4093,7 @@ object SparkEntry {
           nfcSuffixCol(col("doc_id"))).as("text"))
       val cleaned = Cleaning.scrubCards(fx)
         .select(col("doc_id"), graft.functions.NfcNormalize.nfc(col("clean")).as("text"))
-      val sampled = Corpus.prioritySample(cleaned, k = 100).localCheckpoint(true)
+      val sampled = Corpus.prioritySample(cleaned, k = 100).truncateLineage
       val shards = Corpus.curriculumShards(
         sampled.select(col("doc_id"), col("weight").as("score")), phases = 4, nShards = 4)
       sampled.join(shards.select(col("doc_id"), col("phase"), col("shard"), col("seq")), "doc_id")
@@ -5083,9 +5103,17 @@ object SparkEntry {
       s""" xt$i AS (SELECT word, n, tl, CASE WHEN len(tl) >= $i THEN ${xround1("h", s"tl[$i]")} ELSE h END AS h FROM ${if (i == 1) "xs4" else s"xt${i - 1}"})"""
     }.mkString(",\n")
     // 2870177450012600303 = seed 42 + PRIME64_5
+    // regime guard (ADVICE r12): this device only implements the
+    // <32-byte single-lane XXH64 path over ASCII codepoints. A fixture
+    // whose tokens breach either limit must FAIL LOUDLY with the cause
+    // named, not surface as an opaque hash mismatch downstream —
+    // error() aborts the whole oracle query with the offending word.
     s""" xb AS (SELECT word, length(word) AS n,
        |   list_transform(range(1, length(word)+1), i -> CAST(ord(substr(word, CAST(i AS INT), 1)) AS HUGEINT)) AS bs
-       |   FROM xw),
+       |   FROM xw
+       |   WHERE CASE WHEN length(word) >= 32 OR regexp_matches(word, '[^\\x01-\\x7f]')
+       |         THEN error('xxh64 twin regime violation (>=32 chars or non-ASCII): ' || word)
+       |         ELSE TRUE END),
        | xch AS (SELECT word, n, bs,
        |   list_transform(range(0, n // 8), g -> $c8terms) AS c8,
        |   CASE WHEN n % 8 >= 4 THEN $c4terms END AS c4,
@@ -5230,10 +5258,23 @@ object SparkEntry {
     * all share one validated builder — the roundtrip/append/stream
     * variants MUST answer identically to the direct computation, which
     * is exactly what their oracles now assert. */
+  /** Loud regime guard for the IVF×PQ coarse-cents twins (round 13):
+    * the Spark side now ranks stride points by xxhash64(vec_id) and
+    * keeps kCoarse=256 (Similarity.hashRankedCentroids) — provably a
+    * no-op while the stride count stays ≤ 256, which holds at every
+    * shipped fixture and is what lets the twins keep replaying the
+    * plain stride rule. A future fixture past the cap must FAIL
+    * NAMING THE CAUSE, not surface as an opaque hash mismatch. */
+  private def coarseGuardOn(table: String): String =
+    s" AND CASE WHEN (SELECT count(*) FROM $table WHERE vec_id % 10 = 0) > 256" +
+      " THEN error('ivfpq coarse regime violation: stride cells exceed kCoarse=256," +
+      " the twin replays the uncapped stride rule') ELSE TRUE END"
+  private lazy val coarseGuard: String = coarseGuardOn("embeddings")
+
   private def ivfPqQueryTwinSql(centsWhere: String, bookWhere: String,
                                 queryWhere: String): String =
     s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
-       | cents AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id % 10 = 0$centsWhere),
+       | cents AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id % 10 = 0$coarseGuard$centsWhere),
        | asg AS (SELECT v.vec_id, cell, row_number() OVER (PARTITION BY v.vec_id
        |   ORDER BY list_cosine_similarity(CAST(e AS DOUBLE[]), CAST(ce AS DOUBLE[])) DESC, cell) AS rn
        |   FROM v CROSS JOIN cents),
@@ -7090,7 +7131,7 @@ object SparkEntry {
 
     // ivf_pq_topk's cells relation under the batch-built index
     "ivf_pq_cells" ->
-      """WITH cents AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings WHERE vec_id % 10 = 0),
+      s"""WITH cents AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings WHERE vec_id % 10 = 0$coarseGuard),
         | v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         | asg AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
         |   ORDER BY list_cosine_similarity(e, ce) DESC, cell) AS rn FROM v CROSS JOIN cents)
@@ -7230,6 +7271,39 @@ object SparkEntry {
          |  rk <= (nn.n * 250 + 999) // 1000 AS selected
          |FROM r CROSS JOIN nn ORDER BY doc_id""".stripMargin,
 
+    // the hashed-model DSIR twin: the dsir_select chain with every
+    // clean word collapsed to pmod(xxhash64(word), 1024) BEFORE the
+    // count/model/score stages — the hash replayed via xxh64WordCtes
+    // (unsigned HUGEINT -> signed two's-complement -> positive mod,
+    // Spark's pmod semantics), smoothing denominator = OCCUPIED
+    // bucket count, everything else byte-identical to the exact twin
+    "dsir_select_hashed" ->
+      s"""WITH w0 AS (SELECT doc_id, lang, lower(regexp_replace(t.tok, '$P', '', 'g')) AS word
+         |   FROM (SELECT doc_id, lang, unnest(string_split_regex(text, '[ \t\n\f\r]+')) AS tok FROM documents) t),
+         | w AS (SELECT doc_id, lang, word FROM w0 WHERE length(word) > 0),
+         | xw AS (SELECT DISTINCT word FROM w),
+         |$xxh64WordCtes,
+         | wb AS MATERIALIZED (SELECT doc_id, lang,
+         |   ((CAST(CASE WHEN h >= 9223372036854775808::HUGEINT THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) % 1024) + 1024) % 1024 AS bucket
+         |   FROM w JOIN xh USING (word)),
+         | pw AS (SELECT doc_id, bucket FROM wb WHERE lang <> 'en'),
+         | pc AS (SELECT bucket, count(*) AS pc FROM pw GROUP BY 1),
+         | tc AS (SELECT bucket, count(*) AS tc FROM wb WHERE lang = 'en' GROUP BY 1),
+         | vocab AS (SELECT bucket, coalesce(pc.pc, 0) AS pc, coalesce(tc.tc, 0) AS tc
+         |   FROM (SELECT bucket FROM pc UNION SELECT bucket FROM tc) u LEFT JOIN pc USING (bucket) LEFT JOIN tc USING (bucket)),
+         | sizes AS (SELECT sum(pc) AS np, sum(tc) AS nt, count(*) AS v FROM vocab),
+         | delta AS (SELECT bucket,
+         |   CAST(round(ln(CAST(tc + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE)), 12) AS DECIMAL(28,12))
+         |   - CAST(round(ln(CAST(pc + 1 AS DOUBLE) / CAST(np + v AS DOUBLE)), 12) AS DECIMAL(28,12)) AS delta
+         |   FROM vocab CROSS JOIN sizes),
+         | scored AS (SELECT doc_id, count(*) AS n_tokens, sum(delta) AS sl
+         |   FROM pw JOIN delta USING (bucket) GROUP BY 1),
+         | nn AS (SELECT count(*) AS n FROM scored),
+         | r AS (SELECT doc_id, n_tokens, sl, row_number() OVER (ORDER BY sl DESC, doc_id) AS rk FROM scored)
+         |SELECT doc_id, n_tokens, round(CAST(sl AS DOUBLE), 6) AS dsir_logw,
+         |  rk <= (nn.n * 250 + 999) // 1000 AS selected
+         |FROM r CROSS JOIN nn ORDER BY doc_id""".stripMargin,
+
     // the streaming scorer's twin = the batch dsir_select chain up to
     // the per-doc scores, thresholded at logw >= 0 instead of ranked
     "streaming_dsir_ingest" ->
@@ -7314,7 +7388,7 @@ object SparkEntry {
     // shifted batch and the corpus baseline — the PQ code books never
     // touch this output, so nothing approximate remains
     "ann_drift" ->
-      s"""WITH cents AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id % 10 = 0),
+      s"""WITH cents AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id % 10 = 0$coarseGuard),
          | batch AS (SELECT vec_id, list_transform(embedding, x -> CAST(x * -2.0 AS FLOAT)) AS embedding FROM embeddings),
          | corpus AS (SELECT vec_id, embedding FROM embeddings),
          | ${annEnergySql("b", "batch", "cents")},
@@ -7331,13 +7405,13 @@ object SparkEntry {
          | ood AS (SELECT vec_id + 1000000 AS vec_id,
          |   list_transform(embedding, x -> CAST(x + CAST(3.0 AS FLOAT) AS FLOAT)) AS embedding
          |   FROM embeddings WHERE vec_id % 7 = 3),
-         | cents AS (SELECT vec_id AS cell, embedding AS ce FROM base WHERE vec_id % 10 = 0),
+         | cents AS (SELECT vec_id AS cell, embedding AS ce FROM base WHERE vec_id % 10 = 0${coarseGuardOn("base")}),
          | ${annEnergySql("o", "ood", "cents")},
          | ${annEnergySql("s", "base", "cents")},
          | trip AS (SELECT count(*) > 0 AS tripped FROM oagg o JOIN sagg s USING (cell)
          |          WHERE o.n >= 4 AND o.energy / s.energy >= 1.5),
          | allv AS (SELECT * FROM base UNION ALL SELECT * FROM ood),
-         | cents2 AS (SELECT vec_id AS cell, embedding AS ce FROM allv WHERE vec_id % 10 = 0),
+         | cents2 AS (SELECT vec_id AS cell, embedding AS ce FROM allv WHERE vec_id % 10 = 0${coarseGuardOn("allv")}),
          | ${annEnergySql("r", "allv", "cents2")}
          |SELECT cell, n, round(energy, 4) AS energy_r, (SELECT tripped FROM trip) AS rebuilt
          |FROM ragg ORDER BY cell""".stripMargin,
@@ -7345,8 +7419,8 @@ object SparkEntry {
     // the frozen-geometry cells relation is pure cosine argmax — any
     // lost batch, double-commit replay, or drifted assignment unhashes
     "streaming_ann_cells" ->
-      """WITH cents AS (SELECT vec_id AS cell, embedding AS ce
-        |               FROM embeddings WHERE vec_id % 10 = 0 AND vec_id % 7 <> 3),
+      s"""WITH cents AS (SELECT vec_id AS cell, embedding AS ce
+         |               FROM embeddings WHERE vec_id % 10 = 0$coarseGuard AND vec_id % 7 <> 3),
         | sims AS (SELECT e.vec_id, c.cell,
         |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.ce AS DOUBLE[])) AS sim
         |   FROM embeddings e CROSS JOIN cents c)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.plans.Lineage.TruncateOps
 
 /** Corpus-construction operators for training-data pipelines
   * (SURVEY.md §2.11 [NS]): deterministic sampling, stratified
@@ -143,7 +144,7 @@ object Corpus {
     // TakeOrderedAndProject: bounded per-partition heaps, k+1 rows out
     // materialize the k+1 survivors once — ranked and stats both read
     // them, and neither should re-run the corpus-wide top-k pick
-    val top = keyed.orderBy(col("__key"), col(idCol)).limit(k + 1).localCheckpoint(true)
+    val top = keyed.orderBy(col("__key"), col(idCol)).limit(k + 1).truncateLineage
     // everything below runs on ≤ k+1 rows (the single-partition window
     // is k+1 rows by construction, not a data-scale sort)
     val ranked = top.withColumn("__rn",
@@ -769,7 +770,7 @@ object Corpus {
     val pts = df.select(cols: _*)
     val sample = pts.where(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
     val sampleSky = antiDominate(sample, broadcast(sample))
-    val pruned = antiDominate(pts, broadcast(sampleSky)).localCheckpoint(true)
+    val pruned = antiDominate(pts, broadcast(sampleSky)).truncateLineage
     antiDominate(pruned, pruned)
   }
 
@@ -784,8 +785,9 @@ object Corpus {
     * weight. The paper hashes n-grams into ~10⁴ buckets purely to
     * bound model size — the same join keyed on xxhash64(word) % m;
     * exact word identity is used here so the whole selection sits
-    * behind the oracle hash gate, and the hashed variant swaps in at
-    * corpus scale without touching the scoring or selection math.
+    * behind the oracle hash gate, and the m-bounded hashed variant is
+    * registered alongside it as [[dsirSelectHashed]] (identical
+    * scoring and selection math, bucket-keyed model).
     * Selection is deterministic top-fraction with a doc_id tie-break
     * (the reproducible-build stand-in for the paper's Gumbel
     * resampling), ranked on the EXACT DECIMAL weight (never the
@@ -805,11 +807,36 @@ object Corpus {
     *
     * Output: (doc_id, n_tokens, dsir_logw rounded(6), selected). */
   def dsirSelect(pool: DataFrame, target: DataFrame, keepPermille: Int = 250,
-                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    dsirRank(dsirScore(pool, dsirModel(pool, target, textCol, idCol),
+      textCol, idCol), keepPermille)
+
+  /** [[dsirSelect]] under the paper's actual memory bound: the model is
+    * keyed on xxhash64(word) mod `m` instead of exact word identity, so
+    * the Δ relation — and therefore the broadcast the scorer ships to
+    * every executor — is AT MOST m rows no matter how large the union
+    * vocabulary grows. This is the swap-in [[dsirScore]]'s scaladoc
+    * promises for the 100 TB pool, registered as its own query: a
+    * union-vocab model does not broadcast at corpus scale, an m-bucket
+    * one always does. Scoring and selection math are unchanged (same
+    * add-1 smoothing, DECIMAL accumulation, exact-rank cut); only the
+    * conditioning event coarsens from "this word" to "this bucket", and
+    * the smoothing denominator counts OCCUPIED buckets, so in the
+    * collision-free limit (m → ∞) the scores — not just the selection —
+    * reproduce [[dsirSelect]] exactly (DsirSpec pins both the m-bound
+    * and the limit). */
+  def dsirSelectHashed(pool: DataFrame, target: DataFrame, m: Long = 65536,
+                       keepPermille: Int = 250, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame =
+    dsirRank(dsirScoreKeyed(dsirBuckets(pool, m, textCol, idCol),
+      dsirModelHashed(pool, target, m, textCol, idCol), "bucket"), keepPermille)
+
+  /** The shared deterministic top-fraction cut: exact-DECIMAL global
+    * rank (TotalOrder, never a single-task ORDER BY), integer-ceil
+    * keep count. */
+  private def dsirRank(scored: DataFrame, keepPermille: Int): DataFrame = {
     require(keepPermille >= 0 && keepPermille <= 1000,
       s"keepPermille=$keepPermille must be in [0, 1000]")
-    val scored = dsirScore(pool, dsirModel(pool, target, textCol, idCol),
-      textCol, idCol)
     val ranked = TotalOrder.globalRankAuto(scored, Seq(desc("sl"), asc("doc_id")),
       rankCol = "__rk")
     val n = ranked.agg(count(lit(1)).as("__n"))
@@ -832,28 +859,58 @@ object Corpus {
     * batch). Vocab-sized — the only corpus-scale work is the two word
     * aggregates behind it. */
   def dsirModel(pool: DataFrame, target: DataFrame,
-                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    dsirModelKeyed(dsirWords(pool, textCol, idCol),
+      dsirWords(target, textCol, idCol), "word")
+
+  /** [[dsirModel]] under the hashed memory bound: identical smoothing
+    * and Δ arithmetic, keyed on xxhash64(word) mod `m` — AT MOST m
+    * rows (only occupied buckets are materialized; empty buckets score
+    * the same oov_delta floor through the scorer's left join, exactly
+    * like unseen words in the exact model). The smoothing "vocabulary
+    * size" is the occupied-bucket count, so a collision-free hash
+    * (m → ∞) makes every bucket a singleton word and the model
+    * row-identical to the exact one. */
+  def dsirModelHashed(pool: DataFrame, target: DataFrame, m: Long = 65536,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(m > 0, s"m=$m must be positive")
+    dsirModelKeyed(dsirBuckets(pool, m, textCol, idCol),
+      dsirBuckets(target, m, textCol, idCol), "bucket")
+  }
+
+  /** The per-doc hashed token→bucket relation: the [[dsirWords]]
+    * stream with each clean word collapsed to xxhash64(word) mod m. */
+  private def dsirBuckets(df: DataFrame, m: Long, textCol: String, idCol: String) =
+    dsirWords(df, textCol, idCol)
+      .select(col("doc_id"), pmod(xxhash64(col("word")), lit(m)).as("bucket"))
+
+  /** The model body shared by the exact and hashed variants: add-1
+    * unigram models of each side over the union key set, per-key
+    * Δ = round(ln p_t, 12) − round(ln p_p, 12) as DECIMALs. `poolKeys`
+    * / `targetKeys`: (doc_id, keyCol) token streams. */
+  private def dsirModelKeyed(poolKeys: DataFrame, targetKeys: DataFrame,
+                             keyCol: String): DataFrame = {
     // both count relations feed two consumers (vocab join + sizes):
     // pin the vocab-sized relations once, never the token streams
-    val pc = dsirWords(pool, textCol, idCol)
-      .groupBy(col("word")).agg(count(lit(1)).as("pc")).localCheckpoint(true)
-    val tc = dsirWords(target, textCol, idCol)
-      .groupBy(col("word")).agg(count(lit(1)).as("tc")).localCheckpoint(true)
-    val vocab = pc.select(col("word")).unionAll(tc.select(col("word"))).distinct()
-      .join(pc, Seq("word"), "left").join(tc, Seq("word"), "left")
-      .select(col("word"), coalesce(col("pc"), lit(0L)).as("pc"),
+    val pc = poolKeys
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("pc")).truncateLineage
+    val tc = targetKeys
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("tc")).truncateLineage
+    val vocab = pc.select(col(keyCol)).unionAll(tc.select(col(keyCol))).distinct()
+      .join(pc, Seq(keyCol), "left").join(tc, Seq(keyCol), "left")
+      .select(col(keyCol), coalesce(col("pc"), lit(0L)).as("pc"),
         coalesce(col("tc"), lit(0L)).as("tc"))
-      .localCheckpoint(true)
+      .truncateLineage
     val sizes = vocab.agg(sum(col("pc")).as("np"), sum(col("tc")).as("nt"),
       count(lit(1)).as("v"))
     def lnP(cnt: Column, n: Column, v: Column) =
       round(log((cnt + 1).cast(DoubleType) / (n + v).cast(DoubleType)), 12)
         .cast(DecimalType(28, 12))
-    // oov_delta = the add-1 floor both models assign an unseen word
+    // oov_delta = the add-1 floor both models assign an unseen key
     // (count 0 on each side) — a constant, carried on every model row
     // so the scorer needs no second relation
     vocab.crossJoin(broadcast(sizes))
-      .select(col("word"),
+      .select(col(keyCol),
         (lnP(col("tc"), col("nt"), col("v")) - lnP(col("pc"), col("np"), col("v")))
           .as("delta"),
         (lnP(lit(0L), col("nt"), col("v")) - lnP(lit(0L), col("np"), col("v")))
@@ -872,12 +929,27 @@ object Corpus {
     * drop: a left join + coalesce against the model's constant
     * `oov_delta` column. On vocab-covered corpora (the registered
     * fixtures train on the scored pool) the two paths are
-    * row-identical. */
+    * row-identical. Documents with zero clean words are absent from
+    * the output — the engine-wide word-relation contract
+    * (truncateToTokenBudget posture); the twin mirrors the
+    * omission. */
   def dsirScore(docs: DataFrame, model: DataFrame,
-                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    dsirScoreKeyed(dsirWords(docs, textCol, idCol), model, "word")
+
+  /** Score documents against a frozen [[dsirModelHashed]]: the same
+    * per-doc DECIMAL fold, but the broadcast relation is m-bounded —
+    * the shape that survives a vocabulary the exact model cannot
+    * ship. `m` must match the model's. */
+  def dsirScoreHashed(docs: DataFrame, model: DataFrame, m: Long = 65536,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    dsirScoreKeyed(dsirBuckets(docs, m, textCol, idCol), model, "bucket")
+
+  private def dsirScoreKeyed(docKeys: DataFrame, model: DataFrame,
+                             keyCol: String): DataFrame = {
     val oov = model.agg(max(col("oov_delta")).as("oov"))
-    dsirWords(docs, textCol, idCol)
-      .join(broadcast(model.select(col("word"), col("delta"))), Seq("word"), "left")
+    docKeys
+      .join(broadcast(model.select(col(keyCol), col("delta"))), Seq(keyCol), "left")
       .crossJoin(broadcast(oov))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),

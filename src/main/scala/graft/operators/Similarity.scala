@@ -99,7 +99,7 @@ object Similarity {
       .select(col("s_id"), col("t_id"),
         round(vec_dot(col("s_emb"), col("t_emb")) / (col("s_n") * col("t_n")), 9)
           .cast(DecimalType(18, 9)).as("sim"))
-      .localCheckpoint() // both k-NN passes and the margin join read it
+      .truncateLineage // both k-NN passes and the margin join read it
     marginFromSims(sims, k, minMargin)
   }
 
@@ -166,7 +166,7 @@ object Similarity {
       .select(col("s_id"), col("t_id"),
         round(vec_dot(col("s_emb"), col("t_emb")) / (col("s_n") * col("t_n")), 9)
           .cast(DecimalType(18, 9)).as("sim"))
-      .localCheckpoint()
+      .truncateLineage
     marginFromSims(sims, k, minMargin)
   }
 
@@ -448,6 +448,28 @@ object Similarity {
     emb.where(col("vec_id") % step === 0 && col("vec_id") < step.toLong * kCent)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
 
+  /** Bounded AND distribution-spanning coarse centroids for the
+    * IVF×PQ family: the `k` stride points with the SMALLEST
+    * xxhash64(vec_id) (vec_id tie-break). [[strideCentroids]]' id
+    * window is the cheaper cap but has an append blind spot — new
+    * vectors arrive at HIGH ids, so a rebuild under an id window could
+    * never seed centroids inside a drifted batch's mode, which is the
+    * whole point of ivfPqMaintain's retrain. Hash ranking keeps every
+    * id range eligible forever while the centroid set stays ≤ k.
+    * Plans as TakeOrderedAndProject: per-partition bounded heaps + one
+    * k-sized merge — no global sort, state O(k) per partition at any
+    * corpus size. At every shipped fixture the stride count is below
+    * the cap, so the rank is provably a no-op and the DuckDB twins
+    * replay the plain stride rule behind a LOUD regime guard
+    * (error() past the cap) instead of mis-replaying silently;
+    * SimilaritySpec pins the small-k selection against an independent
+    * xxhash64 ranking. */
+  private def hashRankedCentroids(emb: DataFrame, step: Int, k: Int): DataFrame =
+    emb.where(col("vec_id") % step === 0)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+
   /** IVF-style ANN: a deterministic coarse quantizer (stride-sampled
     * init capped at `kCent` centroids — see strideCentroids — plus
     * `refineIters` Lloyd iterations, see lloydRefine) assigns each
@@ -689,13 +711,14 @@ object Similarity {
     * candidate generation) — localCheckpoint materializes them once
     * (the Dedup.jaccardPairs pattern). */
   def ivfPqBuild(emb: DataFrame, coarseStep: Int = 10, step: Int = 50,
-                 m: Int = 16, kCent: Int = 48, dim: Int = 64): IvfPqIndex = {
+                 m: Int = 16, kCent: Int = 48, dim: Int = 64,
+                 kCoarse: Int = 256): IvfPqIndex = {
     val subDim = dim / m
     require(m * subDim == dim, s"m=$m must divide dim=$dim")
-    val cellCent = emb.where(col("vec_id") % coarseStep === 0)
-      .select(col("vec_id").as("cell"), col("embedding").as("cent_emb"))
+    val cellCent = hashRankedCentroids(emb, coarseStep, kCoarse)
+      .select(col("cent_id").as("cell"), col("cent_emb"))
     val asCents = cellCent.select(col("cell").as("cent_id"), col("cent_emb"))
-    val corpusAssigned = coarseAssign(emb, asCents, 1).localCheckpoint()
+    val corpusAssigned = coarseAssign(emb, asCents, 1).truncateLineage
     // corpus: one cell per vector; PQ code books train on and encode
     // the residuals (the codebook stride-samples inside pqCodebooks)
     val corpusRes = corpusAssigned
@@ -724,7 +747,7 @@ object Similarity {
     * these rows unioned onto the index. */
   def ivfPqEncodeBatch(index: IvfPqIndex, newVecs: DataFrame): (DataFrame, DataFrame) = {
     val asCents = index.coarseCents.select(col("cell").as("cent_id"), col("cent_emb"))
-    val assigned = coarseAssign(newVecs, asCents, 1).localCheckpoint()
+    val assigned = coarseAssign(newVecs, asCents, 1).truncateLineage
     val res = assigned
       .join(broadcast(index.coarseCents), "cell")
       .select(col("vec_id"), col("cell"),
@@ -806,7 +829,8 @@ object Similarity {
   def ivfPqMaintain(index: IvfPqIndex, baseline: DataFrame,
                     corpusVectors: DataFrame, batch: DataFrame,
                     threshold: Double = 1.5, minBatchPerCell: Long = 4L,
-                    coarseStep: Int = 10, step: Int = 50, kCent: Int = 48)
+                    coarseStep: Int = 10, step: Int = 50, kCent: Int = 48,
+                    kCoarse: Int = 256)
       : (IvfPqIndex, DataFrame, Boolean) = {
     val tripped = !appendDrift(index, baseline, batch, threshold, minBatchPerCell)
       .where(col("rebuild")).isEmpty
@@ -817,7 +841,7 @@ object Similarity {
       val all = corpusVectors.select(col("vec_id"), col("embedding"))
         .unionByName(batch.select(col("vec_id"), col("embedding")))
       val dim = index.m * index.subDim
-      val rebuilt = ivfPqBuild(all, coarseStep, step, index.m, kCent, dim)
+      val rebuilt = ivfPqBuild(all, coarseStep, step, index.m, kCent, dim, kCoarse)
       (rebuilt, cellResidualEnergy(rebuilt, all), true)
     }
   }
@@ -860,7 +884,7 @@ object Similarity {
     val (m, subDim) = (index.m, index.subDim)
     val cellCent = index.coarseCents
     val asCents = cellCent.select(col("cell").as("cent_id"), col("cent_emb"))
-    val queryAssigned = coarseAssign(queries, asCents, nProbe).localCheckpoint()
+    val queryAssigned = coarseAssign(queries, asCents, nProbe).truncateLineage
     val cents = index.books
     val codes = index.codes
     // queries: a residual PER PROBED CELL, each with its own L2 table
@@ -958,7 +982,7 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
     // materialize once: the assignment feeds both self-join sides and
     // the final projection (same device as Dedup.jaccardPairs)
-    val asg = coarseAssign(emb, cents, 1).localCheckpoint(true)
+    val asg = coarseAssign(emb, cents, 1).truncateLineage
     val a = asg.select(col("cell"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"), vec_norm(col("embedding")).as("n_a"))
     val b = asg.select(col("cell").as("cell_b"), col("vec_id").as("id_b"),
@@ -1015,7 +1039,7 @@ object Similarity {
     val comps = vecs.select(col("vec_id"),
         posexplode(col("embedding")).as(Seq("dim_idx", "x")))
       .select(col("vec_id"), col("dim_idx"), col("x").cast(DoubleType).as("x"))
-      .localCheckpoint(true) // read twice: stats and re-encode
+      .truncateLineage // read twice: stats and re-encode
     val stats = comps.groupBy(col("dim_idx"))
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .select(col("dim_idx"), col("mn"),
@@ -1092,7 +1116,7 @@ object Similarity {
     * over [[embeddingCovariance]]'s front half; n·d output rows. */
   def embeddingStandardize(embs: DataFrame, vecCol: String = "embedding",
                            idCol: String = "vec_id"): DataFrame = {
-    val ce = centeredComponents(embs, vecCol, idCol).localCheckpoint(true)
+    val ce = centeredComponents(embs, vecCol, idCol).truncateLineage
     val stats = ce.groupBy(col("dim"))
       .agg(count(lit(1)).as("n"),
         sum(round(col("cx") * col("cx"), 12).cast(DecimalType(38, 12))).as("s2"))
@@ -1141,7 +1165,7 @@ object Similarity {
     * width (fixed, small), never the corpus. */
   def embeddingCovariance(embs: DataFrame, vecCol: String = "embedding",
                           idCol: String = "vec_id"): DataFrame = {
-    val ce = centeredComponents(embs, vecCol, idCol).localCheckpoint(true)
+    val ce = centeredComponents(embs, vecCol, idCol).truncateLineage
     val a = ce.select(col("vec_id"), col("dim").as("dim_i"), col("cx").as("ca"))
     val b = ce.select(col("vec_id"), col("dim").as("dim_j"), col("cx").as("cb"))
     a.join(b, Seq("vec_id")).where(col("dim_i") <= col("dim_j"))

@@ -908,4 +908,69 @@ class CorpusSpec extends AnyFunSuite {
     assert(got._3.subtract(alphaOnly).compareTo(floor.add(floor)) === 0,
       s"score ${got._3} minus $alphaOnly != 2x floor $floor")
   }
+
+  // --- the wordless-doc contract sweep (VERDICT r12 #6): every per-doc
+  // operator built from a word relation OMITS docs with zero clean
+  // words (the truncateToTokenBudget posture) — pinned per operator so
+  // a silent contract change unhashes a spec, not a production corpus
+
+  test("unigramLogProb: a doc with zero clean words is absent from the output") {
+    import spark.implicits._
+    import graft.operators.TextQuality
+    val in = Seq((1L, "alpha beta alpha"), (2L, "!!! ... ???")).toDF("doc_id", "text")
+    assert(TextQuality.unigramLogProb(in).collect().map(_.getLong(0)).toSet === Set(1L))
+  }
+
+  test("bigramLogProb: docs with fewer than 2 clean words are absent from the output") {
+    import spark.implicits._
+    import graft.operators.TextQuality
+    val in = Seq((1L, "alpha beta alpha beta"), (2L, "solo"), (3L, "#")).toDF("doc_id", "text")
+    assert(TextQuality.bigramLogProb(in).collect().map(_.getLong(0)).toSet === Set(1L))
+  }
+
+  test("trigramLogProb: docs with fewer than 3 clean words are absent from the output") {
+    import spark.implicits._
+    import graft.operators.TextQuality
+    val in = Seq((1L, "alpha beta gamma alpha beta gamma"), (2L, "two words"), (3L, "...")).toDF("doc_id", "text")
+    assert(TextQuality.trigramLogProb(in).collect().map(_.getLong(0)).toSet === Set(1L))
+  }
+
+  test("dsirScore and dsirSelect: a doc with zero clean words is absent from the output") {
+    import spark.implicits._
+    val target = Seq((100L, "alpha beta")).toDF("doc_id", "text")
+    val pool = Seq((1L, "alpha beta"), (2L, "!!! ..."), (3L, "beta beta")).toDF("doc_id", "text")
+    val model = Corpus.dsirModel(pool, target)
+    assert(Corpus.dsirScore(pool, model).collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    assert(Corpus.dsirSelect(pool, target).collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+  }
+
+  test("dsirModelHashed: the model relation is provably m-bounded") {
+    val pool = docs.where(col("lang") =!= "en")
+    val target = docs.where(col("lang") === "en")
+    // the real fixture's union vocab is far larger than 16 buckets;
+    // the model must collapse to at most m rows — the broadcast bound
+    // that lets the scorer ship against an unboundable vocabulary
+    val m16 = Corpus.dsirModelHashed(pool, target, m = 16)
+    assert(m16.count() <= 16L)
+    assert(m16.select("bucket").collect().map(_.getLong(0)).forall(b => b >= 0 && b < 16))
+    // and the selection over the collided model is still a complete,
+    // exact-ceil cut over the same pool
+    val sel = Corpus.dsirSelectHashed(pool, target, m = 16).collect()
+    val exact = Corpus.dsirSelect(pool, target).collect()
+    assert(sel.length === exact.length)
+    assert(sel.count(_.getBoolean(3)) === exact.count(_.getBoolean(3)))
+  }
+
+  test("dsirSelectHashed: the collision-free limit reproduces dsirSelect exactly") {
+    val pool = docs.where(col("lang") =!= "en")
+    val target = docs.where(col("lang") === "en")
+    // m = 2^62: no two fixture words share a bucket, every bucket is a
+    // singleton word, occupied-bucket count = union vocab size — so
+    // the hashed scores (not just the selection) must be ROW-IDENTICAL
+    val hashed = Corpus.dsirSelectHashed(pool, target, m = 1L << 62).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+    val exact = Corpus.dsirSelect(pool, target).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+    assert(hashed === exact)
+  }
 }

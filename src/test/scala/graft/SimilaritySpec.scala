@@ -551,6 +551,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.groupBy("q_id").count().collect().forall(_.getLong(1) <= 5))
   }
 
+  test("hashRankedCentroids: the IVF×PQ coarse set is kCoarse-bounded, hash-ranked, and a no-op at fixture scale") {
+    val emb = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // small cap: selection must be the k stride points with the
+    // SMALLEST xxhash64(vec_id) — checked against a Scala-side sort of
+    // the hashes (independent of the TakeOrderedAndProject plan)
+    val idx = Similarity.ivfPqBuild(emb, coarseStep = 10, kCoarse = 7)
+    val got = idx.coarseCents.collect().map(_.getLong(0)).toSet
+    val ref = emb.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), xxhash64(col("vec_id")).as("h"))
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .sorted.take(7).map(_._2).toSet
+    assert(got === ref)
+    assert(got.size === 7)
+    // hash ranking spans the WHOLE id space: a drifted batch appended
+    // at high ids stays eligible to seed rebuild centroids (the
+    // ivfPqMaintain mode-absorption contract an id-window cap breaks)
+    val core = emb.select(col("vec_id"), col("embedding"))
+    val shifted = core.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val both = Similarity.ivfPqBuild(core.unionAll(shifted), coarseStep = 10, kCoarse = 40)
+      .coarseCents.collect().map(_.getLong(0))
+    assert(both.exists(_ >= 1000000L), "high-id vectors never become centroids")
+    assert(both.length === 40)
+    // and the DEFAULT cap is a provable no-op at fixture scale — the
+    // regime under which the DuckDB twins replay the plain stride rule
+    val full = Similarity.ivfPqBuild(emb)
+    assert(full.coarseCents.count() === emb.where(col("vec_id") % 10 === 0).count())
+  }
+
   test("coarseAssign probe pick: GroupedTopK shortlist equals the window formulation exactly") {
     import graft.functions.VectorFunctions.vec_norm
     val emb = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
