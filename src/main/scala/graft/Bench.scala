@@ -210,6 +210,29 @@ object Bench {
           s"= ${fmt(ratio, 2)}x the 2.172s single-node reference best (budget 2.0x)")
       s""""baseline_ratio":${fmt(ratio, 3)},"""
     }.getOrElse("")
+    // Suite-level 2x tripwire (the baseline_ratio analog for the WHOLE
+    // suite): baseline_ratio keys on one query, so a systemic plan
+    // regression that spares wordcount_x8 would close a round quietly.
+    // Ratio = host-normalized suite total over the sum of rolling bests,
+    // restricted to queries that HAVE history so a newly added query
+    // cannot inflate the numerator unmatched. The median-based
+    // host_factor divides out the epoch; what remains above 2x is mass
+    // that moved to the slow tail — a real regression, wherever it hid.
+    val suiteRatioJson: String = {
+      val pairs = ordered.flatMap { case (name, _) =>
+        val cur = msOf(results(name))
+        hist.get(s"$sfKey/$name").collect { case h if h > 0 && cur > 0 => (cur, h) }
+      }
+      if (pairs.size < 20) ""
+      else {
+        val ratio = (pairs.map(_._1).sum.toDouble / hostFactor) /
+          pairs.map(_._2).sum.toDouble
+        if (ratio > 2.0)
+          System.err.println(s"[bench] SUITE REGRESSION: normalized suite total " +
+            s"${fmt(ratio, 2)}x the rolling-best total (budget 2.0x)")
+        s""""suite_ratio":${fmt(ratio, 3)},"""
+      }
+    }
     // (name, current_ms, historical_best_ms), worst inflation first
     val flagged: Seq[(String, Long, Long)] = ordered.flatMap { case (name, _) =>
       val cur = msOf(results(name))
@@ -346,7 +369,7 @@ object Bench {
         else confirmResults.map { case (n, ms, h, conf) =>
           s""""$n":{"isolated_ms":$ms,"hist_ms":$h,"confirmed":$conf}"""
         }.mkString(""""isolated":{""", ",", "},")
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec",$sentinel$hostFactorJson$baselineJson$rawFlags$isolatedRows$confirmedJson"sf":"$sfDir",
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec",$sentinel$hostFactorJson$baselineJson$suiteRatioJson$rawFlags$isolatedRows$confirmedJson"sf":"$sfDir",
          |"queries":$rows}""".stripMargin
     }
     try {
@@ -368,7 +391,7 @@ object Bench {
     def render(decimals: Int): String = {
       val qs = results.map { case (k, v) => s""""$k":${fmt(v, decimals)}""" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",$sentinel$hostFactorJson$baselineJson$regressionsJson"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",$sentinel$hostFactorJson$baselineJson$suiteRatioJson$regressionsJson"queries":$qs,"sf":"$sfDir"}"""
     }
     def renderTop(n: Int): String = {
       val bySlow = results.toSeq.sortBy(-_._2)
@@ -376,7 +399,7 @@ object Bench {
       val qs = top.sortBy(_._1).map { case (k, v) => s""""$k":${fmt(v, 1)}""" }
         .mkString("{", ",", "}")
       val restTotal = rest.map(_._2).sum
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",$sentinel$hostFactorJson$baselineJson$regressionsJson"queries":$qs,""" +
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",$sentinel$hostFactorJson$baselineJson$suiteRatioJson$regressionsJson"queries":$qs,""" +
         s""""others":{"n":${rest.size},"total":${fmt(restTotal, 1)}},"detail":"bench_detail.json","sf":"$sfDir"}"""
     }
     val line = {

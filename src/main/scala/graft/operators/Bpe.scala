@@ -201,7 +201,10 @@ object Bpe {
   /** Per-document BPE token count under `merges`: per-word token
     * counts from the DISTINCT-word relation, joined back to the
     * exploded corpus and summed per doc — the real budget column for
-    * packing (whitespace words undercount). */
+    * packing (whitespace words undercount). Documents with no words
+    * are absent from the output — the engine-wide word-relation
+    * contract (truncateToTokenBudget posture); consumers that need a
+    * zero row right-join the doc list. */
   def docTokenCounts(docs: DataFrame, merges: Seq[(String, String)],
                      textCol: String = "text", idCol: String = "doc_id",
                      alphabet: Option[Set[String]] = None): DataFrame = {

@@ -87,7 +87,7 @@ object Dedup {
     // pipeline has — recompute costs more than the spill-backed cache.
     val hashed = paras.select(col(idCol).as("doc_id"), col(posCol).as("pos"),
       col(paraCol).as("para"), xxhash64(col(paraCol)).as("ph"))
-      .localCheckpoint(true)
+      .truncateLineage
     val dfRel = hashed.groupBy(col("ph"))
       .agg(countDistinct(col("doc_id")).as("df"))
     hashed
@@ -284,7 +284,7 @@ object Dedup {
     // the per-doc counts); localCheckpoint materializes it once and the
     // blocks are dropped by the ContextCleaner when the plan is GC'd
     // (a bare persist leaks across a long many-query session)
-    val sh = cappedShingleIds(docs, w, maxDf, textCol, idCol).localCheckpoint(true)
+    val sh = cappedShingleIds(docs, w, maxDf, textCol, idCol).truncateLineage
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -431,7 +431,7 @@ object Dedup {
                               w: Int = 3, k: Int = 32, bands: Int = 8,
                               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // consumed twice (internal self-join + store semi join)
-    val banded = bandKeys(batch, w, k, bands, textCol, idCol).localCheckpoint(true)
+    val banded = bandKeys(batch, w, k, bands, textCol, idCol).truncateLineage
     val internal = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") > col("y.doc_id"), "left_semi")
@@ -459,7 +459,7 @@ object Dedup {
     // auto-dropped when the plan is GC'd (persist would leak)
     val banded = sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-      .localCheckpoint(true)
+      .truncateLineage
     banded.as("x")
       .join(banded.as("y"), col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
         && col("x.doc_id") < col("y.doc_id"))
@@ -476,7 +476,7 @@ object Dedup {
   def verifyCandidates(cand: DataFrame, docs: DataFrame, w: Int = 3, minJaccard: Double = 0.5,
                        maxDf: Int = DefaultMaxDf,
                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sh = cappedShingleIds(docs, w, maxDf, textCol, idCol).localCheckpoint(true)
+    val sh = cappedShingleIds(docs, w, maxDf, textCol, idCol).truncateLineage
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val shA = sh.select(col("doc_id").as("doc_a"), col("sh"))
     val shB = sh.select(col("doc_id").as("doc_b"), col("sh"))
@@ -734,7 +734,7 @@ object Dedup {
                         strCol: String = "s", idCol: String = "id"): DataFrame = {
     val certLen = q * (maxDist + 1) // lemma threshold ≥ 1 iff max(len) ≥ this
     // consumed by the gram pass and twice by the verify join
-    val all = strs.select(col(idCol).as("id"), col(strCol).as("s")).localCheckpoint(true)
+    val all = strs.select(col(idCol).as("id"), col(strCol).as("s")).truncateLineage
     // every string with at least one gram participates (a short side
     // can pair with a certifiable long side within the length band)
     val s = all.where(length(col("s")) >= q)

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.plans.Lineage.TruncateOps
 
 /** Multimodal columns for training-data pipelines (SURVEY.md §2.11):
   * image/audio/video payloads travel as opaque `binary` columns with a
@@ -358,7 +359,7 @@ object Multimodal {
     // explode AND the two rejoins below — without this the upstream
     // hash computation (a codec decode per row) would run three times
     val hs = hashes.select(col(idCol).as("id"), col(hashCol).as("h"))
-      .localCheckpoint(true)
+      .truncateLineage
     val bands = hs.select(col("id"), col("h"),
       posexplode(array((0 until nBands).map(b =>
         substring(col("h"), b * bandW + 1, bandW)): _*)).as(Seq("band", "key")))

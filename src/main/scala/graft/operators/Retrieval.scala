@@ -57,7 +57,7 @@ object Retrieval {
     * recomputing the corpus scan per branch (the Dedup.jaccardPairs
     * device; blocks are dropped by the ContextCleaner with the plan). */
   private def cappedTermFreqs(tf: DataFrame, maxDf: Int): DataFrame = {
-    val tfM = tf.localCheckpoint(true)
+    val tfM = tf.truncateLineage
     val keep = tfM.groupBy(col("word")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select(col("word"))
     tfM.join(keep, Seq("word"))
@@ -184,7 +184,7 @@ object Retrieval {
   def invIndexBuild(docs: DataFrame, maxDf: Int = DefaultMaxDf,
                     textCol: String = "text", idCol: String = "doc_id"): InvIndex = {
     // one tokenize+agg pass feeds both the term stats and the postings
-    val tf = docTermFreqs(docs, textCol, idCol).localCheckpoint(true)
+    val tf = docTermFreqs(docs, textCol, idCol).truncateLineage
     val terms = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val postings = tf.join(terms.where(col("df") <= maxDf).select(col("word")), Seq("word"))
     val dl = docLengths(docs, textCol, idCol)
@@ -207,7 +207,7 @@ object Retrieval {
     *    bit-identical to the rebuild's single division. */
   def invIndexAppend(index: InvIndex, newDocs: DataFrame,
                      textCol: String = "text", idCol: String = "doc_id"): InvIndex = {
-    val newTf = docTermFreqs(newDocs, textCol, idCol).localCheckpoint(true)
+    val newTf = docTermFreqs(newDocs, textCol, idCol).truncateLineage
     val newTerms = newTf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val terms = index.terms.select(col("word"), col("df").as("df_a"))
       .join(newTerms.select(col("word"), col("df").as("df_b")), Seq("word"), "full_outer")
@@ -301,7 +301,7 @@ object Retrieval {
     // the postings relation is docs × phrase-terms — tiny; materialize
     // once, every per-term branch below reads it instead of re-running
     // the corpus scan
-    val lists = positionalPostings(docs, phrase, textCol, idCol).localCheckpoint(true)
+    val lists = positionalPostings(docs, phrase, textCol, idCol).truncateLineage
     val joined = phrase.zipWithIndex.map { case (t, i) =>
       lists.where(col("word") === t).select(col("doc_id"), col("ps").as(s"p$i"))
     }.reduce((a, b) => a.join(b, "doc_id"))
@@ -333,7 +333,7 @@ object Retrieval {
     require(terms.distinct.size == terms.size && terms.size >= 2,
       "proximitySearch needs >= 2 distinct terms")
     require(window >= terms.size, "window can't be tighter than the term count")
-    val lists = positionalPostings(docs, terms, textCol, idCol).localCheckpoint(true)
+    val lists = positionalPostings(docs, terms, textCol, idCol).truncateLineage
     val joined = terms.zipWithIndex.map { case (t, i) =>
       lists.where(col("word") === t).select(col("doc_id"), explode(col("ps")).as(s"p$i"))
     }.reduce((a, b) => a.join(b, "doc_id"))
@@ -368,7 +368,7 @@ object Retrieval {
     * word or (doc, dim) — bounded-state aggs, no corpus-wide sort. */
   def tfidfHashedVectors(docs: DataFrame, dim: Int = 64,
                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val tf = docTermFreqs(docs, textCol, idCol).localCheckpoint(true)
+    val tf = docTermFreqs(docs, textCol, idCol).truncateLineage
     val dfT = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val nRow = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
     val idf = dfT.crossJoin(broadcast(nRow))
@@ -382,7 +382,7 @@ object Retrieval {
     val sdim = contrib.groupBy(col("doc_id"), col("dim_idx"))
       .agg(sum(col("c")).as("sd"))
       .select(col("doc_id"), col("dim_idx"), col("sd").cast(DoubleType).as("s"))
-      .localCheckpoint(true) // read twice: the norm agg and the final join
+      .truncateLineage // read twice: the norm agg and the final join
     val norms = sdim
       .select(col("doc_id"), round(col("s") * col("s"), 12).cast(dec).as("q"))
       .groupBy(col("doc_id")).agg(sum(col("q")).as("qq"))
@@ -411,7 +411,7 @@ object Retrieval {
   def mmrTopK(docs: DataFrame, queryId: Long, k: Int = 5, lam: Double = 0.7,
               dim: Int = 64, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
-    val vecs = tfidfHashedVectors(docs, dim, textCol, idCol).localCheckpoint(true)
+    val vecs = tfidfHashedVectors(docs, dim, textCol, idCol).truncateLineage
     val dec = DecimalType(38, 12)
     def dotWith(target: DataFrame, asCol: String): DataFrame =
       vecs.join(broadcast(target), "dim_idx")
@@ -419,7 +419,7 @@ object Retrieval {
         .groupBy(col("doc_id"))
         .agg(round(sum(col("p")).cast(DoubleType), 6).as(asCol))
     val q = vecs.where(col("doc_id") === queryId).select(col("dim_idx"), col("v").as("tv"))
-    val rel = dotWith(q, "rel").where(col("doc_id") =!= queryId).localCheckpoint(true)
+    val rel = dotWith(q, "rel").where(col("doc_id") =!= queryId).truncateLineage
     var m = rel.select(col("doc_id"), lit(0.0).as("msim"))
     var picked = List.empty[(Int, Long, Double)]
     var exhausted = false
@@ -461,7 +461,7 @@ object Retrieval {
     * paths accelerate, here available with no embedding column. */
   def tfidfQueryTopK(docs: DataFrame, queryId: Long, k: Int, dim: Int = 64,
                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val vecs = tfidfHashedVectors(docs, dim, textCol, idCol).localCheckpoint(true)
+    val vecs = tfidfHashedVectors(docs, dim, textCol, idCol).truncateLineage
     val q = vecs.where(col("doc_id") === queryId).select(col("dim_idx"), col("v").as("qv"))
     vecs.where(col("doc_id") =!= queryId)
       .join(broadcast(q), "dim_idx")

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.plans.Lineage.TruncateOps
 
 /** Text-analysis operators for training-data curation (SURVEY.md §2.11
   * [NS]): quality scoring, token counting, stopword-based language ID
@@ -30,7 +31,10 @@ object TextQuality {
     * Cross-engine exactness is engineered the PageRank way: each
     * token's ln(count/total) is ONE double op with identical operand
     * association on both engines, rounded to 12 dp and summed as
-    * DECIMAL — accumulation order can never wiggle the hash. */
+    * DECIMAL — accumulation order can never wiggle the hash.
+    * Documents with zero clean words are absent from the output — the
+    * engine-wide word-relation contract (truncateToTokenBudget /
+    * dsirScore posture); the twin mirrors the omission. */
   def unigramLogProb(docs: DataFrame, textCol: String = "text",
                      idCol: String = "doc_id"): DataFrame = {
     val words = docs
@@ -43,7 +47,7 @@ object TextQuality {
     // the token stream itself stays unmaterialized — two narrow scans
     // beat storing an exploded corpus)
     val counts = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+      .truncateLineage
     val total = counts.agg(sum(col("cnt")).cast(DoubleType).as("total"))
     words.join(counts, Seq("word"))
       .crossJoin(broadcast(total))
@@ -87,7 +91,7 @@ object TextQuality {
     val base = docs.select(col(idCol).as("doc_id"), ws.as("ws"))
     val uni = base.select(explode(col("ws")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+      .truncateLineage
     val total = uni.agg(sum(col("cnt")).cast(DoubleType).as("total"))
     def bigrams = base.where(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("ws")) - 1),
@@ -96,7 +100,7 @@ object TextQuality {
       .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
     val model = bigrams.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("bcnt"))
       .where(col("bcnt") >= minBigramCount)
-      .localCheckpoint(true)
+      .truncateLineage
     val up = uni.select(col("word").as("prev"), col("cnt").as("pc"))
     val uc = uni.select(col("word").as("cur"), col("cnt").as("cc"))
     bigrams
@@ -140,7 +144,7 @@ object TextQuality {
     val base = docs.select(col(idCol).as("doc_id"), ws.as("ws"))
     val uni = base.select(explode(col("ws")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+      .truncateLineage
     val total = uni.agg(sum(col("cnt")).cast(DoubleType).as("total"))
     def bigrams = base.where(size(col("ws")) >= 2)
       .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
@@ -148,7 +152,7 @@ object TextQuality {
           element_at(col("ws"), i + 1).as("b2")))).as("b"))
       .select(col("b.b1").as("b1"), col("b.b2").as("b2"))
     val bi = bigrams.groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("bc"))
-      .localCheckpoint(true)
+      .truncateLineage
     def trigrams = base.where(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(transform(sequence(lit(2), size(col("ws")) - 1),
         i => struct(element_at(col("ws"), i - 1).as("p2"),
@@ -157,7 +161,7 @@ object TextQuality {
       .select(col("doc_id"), col("g.p2").as("p2"), col("g.p1").as("p1"), col("g.cur").as("cur"))
     val triModel = trigrams.groupBy(col("p2"), col("p1"), col("cur"))
       .agg(count(lit(1)).as("tc")).where(col("tc") >= minCount)
-      .localCheckpoint(true)
+      .truncateLineage
     val biModel = bi.where(col("bc") >= minCount)
       .select(col("b1").as("p1"), col("b2").as("cur"), col("bc").as("mbc"))
     val ctx = bi.select(col("b1").as("p2"), col("b2").as("p1"), col("bc").as("cbc"))
@@ -437,7 +441,7 @@ object TextQuality {
       .groupBy(col("word"))
       .agg(count(when(col("is_pos"), 1)).as("c1"),
         count(when(!col("is_pos"), 1)).as("c0"))
-      .localCheckpoint(true)
+      .truncateLineage
     // T_c + V in one pass over the vocab relation
     val scal = model.agg((sum(col("c1")) + count(lit(1))).as("d1"),
       (sum(col("c0")) + count(lit(1))).as("d0"))
@@ -804,7 +808,7 @@ object TextQuality {
     val base = docs.select(col(idCol).as("doc_id"), ws.as("ws"))
     val uni = base.select(explode(col("ws")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+      .truncateLineage
     val totU = uni.agg(sum(col("cnt")).as("t"))
     val bg = base.where(size(col("ws")) >= 2)
       .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
@@ -812,7 +816,7 @@ object TextQuality {
           element_at(col("ws"), i + 1).as("w2")))).as("b"))
       .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("c12"))
-      .localCheckpoint(true)
+      .truncateLineage
     val totB = bg.agg(sum(col("c12")).as("bt"))
     bg.where(col("c12") >= minCount)
       .join(uni.select(col("word").as("w1"), col("cnt").as("c1")), "w1")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.plans.Lineage.TruncateOps
 
 /** Total-order operators: exact global ranking over an arbitrarily
   * large table without ever sorting it in one task.
@@ -49,7 +50,7 @@ object TotalOrder {
 
   def globalRank(df: DataFrame, sortCols: Seq[Column],
                  rankCol: String = "global_rank", partitions: Int = 32): DataFrame = {
-    val ranged = rangedByKey(df, sortCols, partitions).localCheckpoint()
+    val ranged = rangedByKey(df, sortCols, partitions).truncateLineage
     val offsets = ranged
       .groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
       // single-partition window over ≤ `partitions` aggregate rows —
@@ -83,7 +84,7 @@ object TotalOrder {
     * (pinned) frame for either path so upstream work runs exactly
     * once. */
   def fitsOneTask(df: DataFrame, cutover: Long = WindowCutover): (DataFrame, Boolean) = {
-    val p = df.localCheckpoint()
+    val p = df.truncateLineage
     (p, p.count() <= cutover)
   }
 
@@ -98,7 +99,7 @@ object TotalOrder {
   def prefixSum(df: DataFrame, sortCols: Seq[Column],
                 sums: Seq[(String, String)], partitions: Int = 32): DataFrame = {
     require(sums.nonEmpty, "prefixSum needs at least one (in, out) pair")
-    val ranged = rangedByKey(df, sortCols, partitions).localCheckpoint()
+    val ranged = rangedByKey(df, sortCols, partitions).truncateLineage
     val totals = ranged.groupBy(col("__pid"))
       .agg(sums.map { case (in, out) =>
         sum(col(in).cast(LongType)).as(s"__t_$out") }.head,

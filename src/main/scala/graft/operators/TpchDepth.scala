@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions._
 import graft.sources.Tables
+import graft.plans.Lineage.TruncateOps
 
 /** Deep-relational plan shapes, TPC-H-flavored and adapted to the test
   * schema (SURVEY.md §2.5/§2.7 depth; the reference has none of these —
@@ -380,7 +381,7 @@ object TpchDepth {
              col("l_shipdate") < lit("1995-04-01").cast(TimestampType))
       .groupBy(col("l_suppkey"))
       .agg(dsum6(revenue).as("total_revenue"))
-      .localCheckpoint(true)
+      .truncateLineage
     val top = rev.agg(max(col("total_revenue")).as("mx"))
     rev.join(broadcast(top), col("total_revenue") === col("mx"))
       .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
@@ -431,7 +432,7 @@ object TpchDepth {
       .join(family, col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity").cast(LongType)).as("qty_ps"))
-      .localCheckpoint(true) // consumed by the rollup AND the filter
+      .truncateLineage // consumed by the rollup AND the filter
     val perPart = shipped.groupBy(col("l_partkey")).agg(sum(col("qty_ps")).as("qty_p"))
     val dominant = shipped.join(perPart, Seq("l_partkey"))
       .where(col("qty_ps") * lit(mult.toLong) > col("qty_p"))

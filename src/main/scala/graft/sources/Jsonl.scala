@@ -46,4 +46,22 @@ object Jsonl {
       count(when(col("_corrupt").isNull, lit(1))).as("n_good"),
       count(when(col("_corrupt").isNotNull, lit(1))).as("n_bad"),
       sum(when(col("_corrupt").isNull, col(idCol))).as("good_id_sum"))
+
+  /** Probe: can THIS runtime frame line-text in zstd (.jsonl.zst)?
+    * Spark bundles zstd-jni for parquet/orc/shuffle, but TEXT codecs
+    * route through Hadoop's ZStandardCodec, which needs the native
+    * hadoop zstd binding — absent in many deployments. C4/OSCAR
+    * distributions increasingly ship .jsonl.zst, so wherever this
+    * probe passes the gzip container discipline (jsonl_gz_roundtrip)
+    * gains the zstd variant; where it fails, gzip carries the
+    * contract and SourcesSpec pins that the probe's verdict agrees
+    * with an actual write attempt — availability is a CHECKED fact,
+    * never an assumption that surfaces as a mid-job crash. */
+  def zstdTextCodecAvailable(spark: SparkSession): Boolean =
+    try {
+      val codec = new org.apache.hadoop.io.compress.ZStandardCodec()
+      codec.setConf(spark.sparkContext.hadoopConfiguration)
+      val out = codec.createOutputStream(java.io.OutputStream.nullOutputStream())
+      out.write(42); out.close(); true
+    } catch { case _: Throwable => false }
 }

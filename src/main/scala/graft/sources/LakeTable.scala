@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.ChangeData
+import graft.plans.Lineage.TruncateOps
 
 /** A minimal transactional copy-on-write table — the composition the
   * shipped halves were building toward: CDC MERGE (ChangeData
@@ -295,14 +296,14 @@ object LakeTable {
     val nextDel = del
       .map(_.join(changes.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
         .join(p.base.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-        .localCheckpoint(true))
+        .truncateLineage)
       .filter(_.count() > 0L)
     // the merge is consumed twice (count + clustered write):
     // localCheckpoint materializes the join once (the
     // Dedup.jaccardPairs device) instead of re-reading the touched
     // files and re-joining per action
     val merged = ChangeData.mergeApply(
-      baseData.drop(opCol), changes, keyCol, opCol).localCheckpoint(true)
+      baseData.drop(opCol), changes, keyCol, opCol).truncateLineage
     // constraint seam: runs BEFORE anything lands — a validation throw
     // aborts with no snapshot published and no data dir referenced
     // (the unredeemed attempt dir is vacuum's orphan sweep's job)
@@ -465,7 +466,7 @@ object LakeTable {
         val carriedDel = del
           .map(_.join(images.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
             .join(p.base.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-            .localCheckpoint(true))
+            .truncateLineage)
           .filter(_.count() > 0L)
         (latestOf(baseData.unionByName(latestOf(images))), p.touched, Some(p.carried),
           p.nBaseFiles, statsColsOf(m), carriedDel)
@@ -475,7 +476,7 @@ object LakeTable {
     // must overwrite their own snapshot (the streaming idempotence
     // contract) — the micro-batch engine is the single writer here, so
     // the OCC rename that would reject the overwrite is wrong for it
-    val merged = merged0.localCheckpoint(true)
+    val merged = merged0.truncateLineage
     val newFiles = landCommit(spark, merged, merged.count(), tableDir, version,
       keyCol, targetRowsPerFile, carriedM, statsCols,
       commitDir(tableDir, version), atomic = false, deletes = nextDel)
@@ -519,7 +520,7 @@ object LakeTable {
     }
     // read the small files once (count + clustered write)
     val smallRows = spark.read.option("mergeSchema", "true")
-      .parquet(small.toIndexedSeq: _*).localCheckpoint(true)
+      .parquet(small.toIndexedSeq: _*).truncateLineage
     val rows = smallRows.count()
     val nFiles = math.max(1L, math.ceil(rows.toDouble / targetRowsPerFile).toLong).toInt
     val dataDir = s"$tableDir/files/c${next}a${System.nanoTime()}"
@@ -561,7 +562,7 @@ object LakeTable {
                                        v: Long): Commit = {
     val m = manifest(spark, tableDir, v)
     // consumed twice (count + clustered write): checkpoint once
-    val rows = readVersion(spark, tableDir, v).localCheckpoint(true)
+    val rows = readVersion(spark, tableDir, v).truncateLineage
     val next = v + 1
     val dataDir = s"$tableDir/files/c${next}a${System.nanoTime()}"
     val newFiles = landCommit(spark, rows, rows.count(), tableDir, next, keyCol,
@@ -775,7 +776,7 @@ object LakeTable {
         val a = d1.getOrElse(proto)
         val b = d2.getOrElse(proto)
         val diffKeys = a.exceptAll(b).unionAll(b.exceptAll(a)).distinct()
-          .localCheckpoint(true) // consumed by the prune join AND the semi join
+          .truncateLineage // consumed by the prune join AND the semi join
         val carried = (f1 & f2).toSeq.sorted
         val touched =
           if (carried.isEmpty) Array.empty[String]

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.operators.{Corpus, Dedup}
+import graft.plans.Lineage.TruncateOps
 
 /** The CONTINUOUS twin of the batch `pipeline_ingest` composition:
   * document drops arriving as a file stream, each micro-batch run as
@@ -117,7 +118,7 @@ object IngestPipeline {
         storeBatchIds(bd).filter(_ < batchId).map(i => s"$bd/b$i"))
         .map(ss.read.parquet(_)).reduce(_ unionAll _)
       Dedup.incrementalMinhashDedup(survivors, bandPrior)
-        .localCheckpoint(true) // consumed twice: resample + band commit
+        .truncateLineage // consumed twice: resample + band commit
     }
     val kept = Corpus.resampleWithRates(admitted, rates)
       .select(col("doc_id"), col("lang"), col("text"))
@@ -163,7 +164,7 @@ object IngestPipeline {
       .join(store.select(col("ph")).distinct().withColumn("seen", lit(true)),
         Seq("ph"), "left")
       .withColumn("keep", col("rn") === 1 && col("seen").isNull)
-      .localCheckpoint(true) // consumed twice: landing + store commit
+      .truncateLineage // consumed twice: landing + store commit
     val docs = flagged.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_paras"),
         count(when(col("keep"), 1)).as("n_kept"),
@@ -347,7 +348,7 @@ object IngestPipeline {
       .select(col("doc_id"), col("fp")).distinct()
     val rare = fpsAll.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select(col("fp"))
-    val fps = fpsAll.join(rare, "fp").localCheckpoint(true)
+    val fps = fpsAll.join(rare, "fp").truncateLineage
     val mateRej = fps.as("x").join(fps.as("y"),
         col("x.fp") === col("y.fp") && col("x.doc_id") > col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_id"), col("y.doc_id").as("mate"))
@@ -359,7 +360,7 @@ object IngestPipeline {
     val storeRej = fps.join(store.select(col("doc_id").as("e"), col("fp")), "fp")
       .groupBy(col("doc_id"), col("e")).agg(count(lit(1)).as("n"))
       .where(col("n") >= minShared).select(col("doc_id"))
-    val rejected = mateRej.unionByName(storeRej).distinct().localCheckpoint(true)
+    val rejected = mateRej.unionByName(storeRej).distinct().truncateLineage
     val admitted = batch.select(col("doc_id")).join(rejected, Seq("doc_id"), "left_anti")
     fps.join(admitted, Seq("doc_id")).select(col("doc_id"), col("fp"))
       .write.mode("overwrite").parquet(s"$fpStoreDir/b$batchId")
@@ -469,7 +470,7 @@ object IngestPipeline {
     * equals the one-shot batch scorer exactly — the oracle. */
   def runDsirIngest(spark: SparkSession, docStream: DataFrame, model: DataFrame,
                     outDir: String, minLogw: Double = 0.0): DataFrame = {
-    val frozen = model.localCheckpoint(true)
+    val frozen = model.truncateLineage
     val q = docStream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         Corpus.dsirScore(batch.toDF(), frozen)

@@ -127,6 +127,17 @@ class BpeSpec extends AnyFunSuite {
     assert(c._1 === c._2, s"corpus-vocab ratio ${c._1}/${c._2}")
   }
 
+  test("docTokenCounts: a doc with no words is absent from the output (wordless-doc contract)") {
+    // the engine-wide word-relation contract (VERDICT r12 #6): per-doc
+    // relations built from exploded words OMIT wordless docs rather
+    // than emitting a zero/null row — pinned here so bpe_oov_rate and
+    // the packing budgeters keep agreeing with their DuckDB twins
+    val docs = Seq((1L, "the customer table"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val ids = Bpe.docTokenCounts(docs, Bpe.DefaultMerges, alphabet = Some(Bpe.DefaultAlphabet))
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L))
+  }
+
   test("token histogram: tokens weighted by word frequency") {
     val docs = Seq((0L, "ab ab"), (1L, "ab cd")).toDF("doc_id", "text")
     val merges = Seq(("a", "b"))

@@ -38,6 +38,35 @@ class LineageSpec extends AnyFunSuite {
     }
   }
 
+  test("one-shot pins (non-loop operators) are value-identical across both truncation paths") {
+    // round 13: the ~80 single-shot relation pins (shared subplans
+    // consumed twice+) route through the same seam as the loops — a
+    // non-loop operator must answer identically under the reliable
+    // path too. minhashNearDups pins its shingle table; bm25 pins its
+    // term frequencies.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val localDups = graft.operators.Dedup.minhashNearDups(docs).collect().toSet
+    val localBm25 = graft.operators.Retrieval.bm25TopK(docs, Seq("the", "data"), 10).collect().toSet
+    withCheckpointDir { _ =>
+      def files(f: java.io.File): Seq[java.io.File] = {
+        val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        kids ++ kids.filter(_.isDirectory).flatMap(files)
+      }
+      // the SparkContext's checkpoint dir is pinned by the FIRST
+      // reliable truncate of the session (truncate only sets it when
+      // empty) — count files in the dir actually in effect, not the
+      // per-test conf value
+      def effectiveFiles(): Int = spark.sparkContext.getCheckpointDir
+        .map(d => files(new java.io.File(new java.net.URI(d).getPath)).count(_.isFile))
+        .getOrElse(0)
+      val before = effectiveFiles()
+      assert(graft.operators.Dedup.minhashNearDups(docs).collect().toSet === localDups)
+      assert(graft.operators.Retrieval.bm25TopK(docs, Seq("the", "data"), 10).collect().toSet === localBm25)
+      assert(effectiveFiles() > before,
+        "one-shot pins wrote no reliable checkpoint files")
+    }
+  }
+
   test("pageRank and kmeans are value-identical across both truncation paths") {
     val edges = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select((col("doc_id") % 40).as("src"), ((col("doc_id") * 7 + 3) % 40).as("dst"))

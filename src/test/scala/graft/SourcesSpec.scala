@@ -99,4 +99,30 @@ class SourcesSpec extends AnyFunSuite {
     val a = graft.sources.Jsonl.audit(rows).head()
     assert((a.getLong(0), a.getLong(1), a.getLong(2), a.getLong(3)) === ((4L, 2L, 2L, 5L)))
   }
+
+  test("zstd text-codec probe: the verdict agrees with an actual .jsonl.zst round trip") {
+    // the codec-availability gate for .jsonl.zst containers (C4/OSCAR
+    // increasingly ship them): whichever way THIS runtime answers, the
+    // probe must tell the truth — available means a real write+read
+    // round trip works and produces .zst part files; unavailable means
+    // the write attempt fails rather than silently falling back. The
+    // contract never flips silently when the runtime gains the codec.
+    import spark.implicits._
+    val avail = graft.sources.Jsonl.zstdTextCodecAvailable(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zst-spec").toString
+    val df = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val attempt = scala.util.Try {
+      df.coalesce(1).write.mode("overwrite").option("compression", "zstd").json(tmp)
+      val zst = Option(new java.io.File(tmp).listFiles())
+        .map(_.count(_.getName.endsWith(".zst"))).getOrElse(0)
+      require(zst > 0, s"zstd json write produced no .zst files in $tmp")
+      spark.read.schema("doc_id LONG, text STRING").json(tmp)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    }
+    if (avail)
+      assert(attempt.get === Set((1L, "alpha"), (2L, "beta")))
+    else
+      assert(attempt.isFailure,
+        "probe reported zstd text codec unavailable but the round trip succeeded — register the .jsonl.zst variant")
+  }
 }
