@@ -563,10 +563,18 @@ object Similarity {
     * final encode pass. */
   private def pqCodebooks(emb: DataFrame, step: Int, m: Int, kCent: Int, subDim: Int,
                           refineIters: Int, trainStride: Int): DataFrame = {
+    // first kCent stride points by vec_id, code = rank. Bounded-state
+    // form (round 13): orderBy+limit plans as TakeOrderedAndProject —
+    // a kCent-row heap per partition + one kCent-sized merge — where
+    // the old row_number window sort-shuffled EVERY stride point to a
+    // single task before the cap. The rank window then runs over the
+    // kCent-row result only; selection and codes are IDENTICAL, so
+    // the twins' dense-rank replay is untouched.
     val cents0 = pqSubspaces(
         emb.where(col("vec_id") % step === 0)
+          .select(col("vec_id"), col("embedding"))
+          .orderBy(col("vec_id")).limit(kCent)
           .withColumn("code", row_number().over(Window.orderBy(col("vec_id"))) - 1)
-          .where(col("code") < kCent)
           .select(col("code").cast("long").as("vec_id"), col("embedding")), m, subDim)
       .select(col("j"), col("vec_id").cast("int").as("code"), col("sub").as("cent_sub"))
     if (refineIters <= 0) cents0

@@ -413,5 +413,11 @@ class PlanShapeSpec extends AnyFunSuite {
     val tPlan = simple(topk)
     assert(tPlan.contains("GroupedTopK"), tPlan)
     assert(!tPlan.contains("collect_list"), tPlan)
+    // the PQ codebook's first-kCent pick is a bounded heap
+    // (TakeOrderedAndProject), never a global window sort of every
+    // stride point — the round-13 bounded-state rewrite, plan-pinned
+    val codes = Similarity.pqCodeRelation(emb)
+    val cPlan = simple(codes)
+    assert(cPlan.contains("TakeOrderedAndProject"), cPlan)
   }
 }
