@@ -213,24 +213,33 @@ object Bench {
     // Suite-level 2x tripwire (the baseline_ratio analog for the WHOLE
     // suite): baseline_ratio keys on one query, so a systemic plan
     // regression that spares wordcount_x8 would close a round quietly.
-    // Ratio = host-normalized suite total over the sum of rolling bests,
-    // restricted to queries that HAVE history so a newly added query
-    // cannot inflate the numerator unmatched. The median-based
-    // host_factor divides out the epoch; what remains above 2x is mass
-    // that moved to the slow tail — a real regression, wherever it hid.
+    // Ratio = suite total over the sum of rolling bests, restricted to
+    // queries that HAVE history so a newly added query cannot inflate
+    // the numerator unmatched. Normalization is ANCHORED on
+    // wordcount_x8's own cur/best ratio, NOT the suite-median
+    // host_factor: a systemic regression shifts the median itself, so
+    // dividing by it would absorb exactly the failure this wire exists
+    // to catch. A real epoch moves the anchor with the suite (the cut
+    // scales up, no fire); a code regression that spares the anchor
+    // leaves the cut at ~2x and screams. Both the anchored and raw
+    // ratios ship on the line so the distinction is auditable.
     val suiteRatioJson: String = {
       val pairs = ordered.flatMap { case (name, _) =>
         val cur = msOf(results(name))
-        hist.get(s"$sfKey/$name").collect { case h if h > 0 && cur > 0 => (cur, h) }
+        hist.get(s"$sfKey/$name").collect { case h if h > 0 && cur > 0 => (name, cur, h) }
       }
       if (pairs.size < 20) ""
       else {
-        val ratio = (pairs.map(_._1).sum.toDouble / hostFactor) /
-          pairs.map(_._2).sum.toDouble
+        val raw = pairs.map(_._2).sum.toDouble / pairs.map(_._3).sum.toDouble
+        val anchor = pairs.collectFirst {
+          case ("wordcount_x8", c, h) => c.toDouble / h
+        }.getOrElse(hostFactor)
+        val ratio = raw / math.max(1.0, anchor)
         if (ratio > 2.0)
-          System.err.println(s"[bench] SUITE REGRESSION: normalized suite total " +
-            s"${fmt(ratio, 2)}x the rolling-best total (budget 2.0x)")
-        s""""suite_ratio":${fmt(ratio, 3)},"""
+          System.err.println(s"[bench] SUITE REGRESSION: suite total " +
+            s"${fmt(ratio, 2)}x the rolling-best total after anchor " +
+            s"normalization (budget 2.0x; raw ${fmt(raw, 2)}x, anchor ${fmt(anchor, 2)}x)")
+        s""""suite_ratio":${fmt(ratio, 3)},"suite_ratio_raw":${fmt(raw, 3)},"""
       }
     }
     // (name, current_ms, historical_best_ms), worst inflation first

@@ -1559,7 +1559,7 @@ object SparkEntry {
       // filter (and collide clone ids with real ids) — a fixture-size
       // failure masquerading as a simhash bug (ADVICE r12). One scalar
       // agg guards it loudly; shipped fixtures top out at 4999.
-      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val maxId = docs.agg(coalesce(max(col("doc_id")), lit(-1L))).head().getLong(0)
       require(maxId < 10000,
         s"simhash_clone_invariant fixture regime: max doc_id $maxId >= clone offset 10000")
       val clones = docs.where(col("doc_id") % 10 === 0)
@@ -3277,6 +3277,12 @@ object SparkEntry {
     // ONE TakeOrderedAndProject top-(k+1) pick
     "priority_sample" -> ((s, d) =>
       Corpus.prioritySample(t(s, d).documents, k = 200).orderBy("doc_id")),
+    // the textbook-exact Duffield-Lund-Thorup estimator: true-priority
+    // ranking (h/w as one IEEE division) and tau from the threshold
+    // row's own (h, w) — the unbiased max(w, tau) the floored-key
+    // variant trades for integer-exact keys
+    "priority_sample_exact" -> ((s, d) =>
+      Corpus.prioritySampleExact(t(s, d).documents, k = 200).orderBy("doc_id")),
     // materialized training ORDER: quality-quantile phases (histogram
     // percent rank — no corpus sort) round-robined across shards with
     // a deterministic within-shard sequence
@@ -4674,6 +4680,31 @@ object SparkEntry {
       |WHERE (SELECT cnt FROM stats) <= 200 OR rn <= 200
       |ORDER BY doc_id""".stripMargin
 
+  /** priority_sample_exact's twin: true-priority ranking by the ratio
+    * h/w (one IEEE double division, engine-identical) and tau
+    * reconstructed from the threshold row's own (h, w) as w*2^32/h —
+    * the unbiased DLT estimator, same top-(k+1) skeleton. */
+  private lazy val prioritySampleExactTwinSql: String =
+    """WITH keyed AS (
+      |  SELECT doc_id, CAST(length(text) AS BIGINT) AS weight,
+      |    CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 AS DOUBLE) AS h
+      |  FROM documents WHERE length(text) > 0),
+      | r AS (SELECT doc_id, weight, h, h / CAST(weight AS DOUBLE) AS rr FROM keyed),
+      | top AS (SELECT * FROM r ORDER BY rr, doc_id LIMIT 201),
+      | ranked AS (SELECT top.*, row_number() OVER (ORDER BY rr, doc_id) AS rn FROM top),
+      | stats AS (SELECT count(*) AS cnt FROM top),
+      | thr AS (SELECT h AS th, weight AS tw FROM (
+      |   SELECT h, weight, row_number() OVER (ORDER BY rr DESC, doc_id DESC) AS z FROM top) q
+      |   WHERE z = 1)
+      |SELECT doc_id, weight,
+      | round(greatest(CAST(weight AS DOUBLE),
+      |   CASE WHEN (SELECT cnt FROM stats) = 201
+      |        THEN (SELECT CAST(tw AS DOUBLE) * 4294967296.0 / th FROM thr)
+      |        ELSE 0.0 END), 6) AS w_est
+      |FROM ranked
+      |WHERE (SELECT cnt FROM stats) <= 200 OR rn <= 200
+      |ORDER BY doc_id""".stripMargin
+
   private val WDoc =
     s"""WITH w0 AS (
        |  SELECT doc_id, lower(regexp_replace(t.tok, '$P', '', 'g')) AS word
@@ -5265,8 +5296,8 @@ object SparkEntry {
     * shipped fixture and is what lets the twins keep replaying the
     * plain stride rule. A future fixture past the cap must FAIL
     * NAMING THE CAUSE, not surface as an opaque hash mismatch. */
-  private def coarseGuardOn(table: String): String =
-    s" AND CASE WHEN (SELECT count(*) FROM $table WHERE vec_id % 10 = 0) > 256" +
+  private def coarseGuardOn(table: String, extraWhere: String = ""): String =
+    s" AND CASE WHEN (SELECT count(*) FROM $table WHERE vec_id % 10 = 0$extraWhere) > 256" +
       " THEN error('ivfpq coarse regime violation: stride cells exceed kCoarse=256," +
       " the twin replays the uncapped stride rule') ELSE TRUE END"
   private lazy val coarseGuard: String = coarseGuardOn("embeddings")
@@ -5274,7 +5305,7 @@ object SparkEntry {
   private def ivfPqQueryTwinSql(centsWhere: String, bookWhere: String,
                                 queryWhere: String): String =
     s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
-       | cents AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id % 10 = 0$coarseGuard$centsWhere),
+       | cents AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id % 10 = 0${coarseGuardOn("embeddings", centsWhere)}$centsWhere),
        | asg AS (SELECT v.vec_id, cell, row_number() OVER (PARTITION BY v.vec_id
        |   ORDER BY list_cosine_similarity(CAST(e AS DOUBLE[]), CAST(ce AS DOUBLE[])) DESC, cell) AS rn
        |   FROM v CROSS JOIN cents),
@@ -7420,7 +7451,7 @@ object SparkEntry {
     // lost batch, double-commit replay, or drifted assignment unhashes
     "streaming_ann_cells" ->
       s"""WITH cents AS (SELECT vec_id AS cell, embedding AS ce
-         |               FROM embeddings WHERE vec_id % 10 = 0$coarseGuard AND vec_id % 7 <> 3),
+         |               FROM embeddings WHERE vec_id % 10 = 0${coarseGuardOn("embeddings", " AND vec_id % 7 <> 3")} AND vec_id % 7 <> 3),
         | sims AS (SELECT e.vec_id, c.cell,
         |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.ce AS DOUBLE[])) AS sim
         |   FROM embeddings e CROSS JOIN cents c)
@@ -9780,6 +9811,7 @@ object SparkEntry {
     // 201st key, estimate max(w, tau) — identical Knuth-hash u and
     // exact-integer arithmetic on both engines
     "priority_sample" -> prioritySampleTwinSql,
+    "priority_sample_exact" -> prioritySampleExactTwinSql,
     // the drained stream's union of batch-local top-201 frontiers
     // finishes to the identical sample — one twin serves both
     "streaming_priority_sample" -> prioritySampleTwinSql,

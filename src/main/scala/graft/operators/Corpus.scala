@@ -139,24 +139,78 @@ object Corpus {
     * relation (any superset of the global top-(k+1) candidate
     * frontier gives the identical answer). */
   def priorityFinish(keyed: DataFrame, k: Int,
-                     idCol: String = "doc_id"): DataFrame = {
-    require(k > 0, "priorityFinish needs k > 0")
-    // TakeOrderedAndProject: bounded per-partition heaps, k+1 rows out
-    // materialize the k+1 survivors once — ranked and stats both read
-    // them, and neither should re-run the corpus-wide top-k pick
-    val top = keyed.orderBy(col("__key"), col(idCol)).limit(k + 1).truncateLineage
-    // everything below runs on ≤ k+1 rows (the single-partition window
-    // is k+1 rows by construction, not a data-scale sort)
+                     idCol: String = "doc_id"): DataFrame =
+    priorityPick(keyed.withColumn("__ord", col("__key")), k, idCol, Nil,
+      // τ from the floored integer key of the threshold row (= the
+      // max key among the k+1): 2^52 / key
+      t => lit(4503599627370496.0) / t.getField("__ord").cast(DoubleType))
+
+  /** The finish skeleton BOTH estimator variants share: top-(k+1) by
+    * (__ord, id) — TakeOrderedAndProject, bounded per-partition heaps,
+    * k+1 rows out, materialized once so ranked and stats never re-run
+    * the corpus-wide pick — then rank, threshold row (the lexicographic
+    * max of (__ord, id), carrying `thresholdFields` so τ can read the
+    * threshold row's OWN values), boundary filter, max(w, τ) estimate.
+    * Everything after the pick runs on ≤ k+1 rows. */
+  private def priorityPick(keyed: DataFrame, k: Int, idCol: String,
+                           thresholdFields: Seq[Column],
+                           tauOf: Column => Column): DataFrame = {
+    require(k > 0, "priority sampling needs k > 0")
+    val top = keyed.orderBy(col("__ord"), col(idCol)).limit(k + 1).truncateLineage
     val ranked = top.withColumn("__rn",
-      row_number().over(Window.orderBy(col("__key"), col(idCol))))
-    val stats = top.agg(count(lit(1)).as("__cnt"), max(col("__key")).as("__mx"))
-    val tau = when(col("__cnt") === k + 1,
-      lit(4503599627370496.0) / col("__mx").cast(DoubleType)).otherwise(lit(0.0))
+      row_number().over(Window.orderBy(col("__ord"), col(idCol))))
+    val stats = top.agg(count(lit(1)).as("__cnt"),
+      max(struct((col("__ord") +: col(idCol).as("__i") +: thresholdFields): _*)).as("__t"))
+    val tau = when(col("__cnt") === k + 1, tauOf(col("__t"))).otherwise(lit(0.0))
     ranked.crossJoin(broadcast(stats))
       .where(col("__cnt") <= k || col("__rn") <= k)
       .select(col(idCol), col("weight"),
         round(greatest(col("weight").cast(DoubleType), tau), 6).as("w_est"))
   }
+
+  /** The textbook-exact estimator variant of [[prioritySample]]
+    * (Duffield-Lund-Thorup's own τ): ranks by the TRUE priority
+    * q = w·2^32/h — implemented as the equivalent ascending ratio
+    * h/w, ONE IEEE division on integer-valued operands, identical in
+    * both engines — and reconstructs τ from the threshold row's own
+    * (h, w) as w·2^32/h. This recovers the unbiased max(w, τ)
+    * estimator that the floored-key variant deliberately trades away
+    * (its reconstructed τ sits above the true (k+1)-th priority by up
+    * to one key quantum, a small systematic upward bias its scaladoc
+    * documents). Registered alongside it so a pipeline can pick
+    * unbiasedness or integer-exact keys per use; the two variants
+    * select near-identical samples (they rank the same ratio, floored
+    * vs not). Same scale shape: the corpus-wide work is ONE
+    * TakeOrderedAndProject top-(k+1) pick; ranking, threshold and
+    * estimates run on the ≤ k+1 surviving rows. */
+  def prioritySampleExact(docs: DataFrame, k: Int,
+                          weightCol: Column = length(col("text")),
+                          idCol: String = "doc_id"): DataFrame =
+    priorityFinishExact(priorityKeyedExact(docs, weightCol, idCol), k, idCol)
+
+  /** The keying half of [[prioritySampleExact]] — (idCol, weight,
+    * __h, __ord) with __ord = h/w, the ascending equivalent of the
+    * true priority q = w·2^32/h. Split out like [[priorityKeyed]] so
+    * a streaming sampler can compose batch-local top-(k+1) frontiers
+    * losslessly. */
+  def priorityKeyedExact(docs: DataFrame,
+                         weightCol: Column = length(col("text")),
+                         idCol: String = "doc_id"): DataFrame = {
+    val h = pmod(pmod(col(idCol), lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
+    docs.select(col(idCol), weightCol.cast(LongType).as("weight"))
+      .where(col("weight") > 0)
+      .withColumn("__h", h.cast(DoubleType))
+      .withColumn("__ord", col("__h") / col("weight").cast(DoubleType))
+  }
+
+  /** The finish half of [[prioritySampleExact]]: the shared skeleton
+    * with τ read from the threshold row's OWN (h, w) as w·2^32/h —
+    * the unbiased textbook estimator. */
+  def priorityFinishExact(keyed: DataFrame, k: Int,
+                          idCol: String = "doc_id"): DataFrame =
+    priorityPick(keyed, k, idCol,
+      Seq(col("__h").as("__th"), col("weight").as("__tw")),
+      t => t.getField("__tw").cast(DoubleType) * lit(4294967296.0) / t.getField("__th"))
 
   /** Curriculum shard assignment: bucket documents into `phases`
     * quality strata by the GLOBAL percent rank of a caller-supplied

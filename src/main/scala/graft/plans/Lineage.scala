@@ -58,7 +58,17 @@ object Lineage {
             "Set the cleaner conf at session build time (it cannot be set " +
             "after SparkContext creation) or clean the directory between jobs.")
         }
-        df.checkpoint(eager = true)
+        // Dataset.checkpoint(eager) runs a count job and THEN a second
+        // job that recomputes every partition to write the reliable
+        // checkpoint files — unpersisted, the pin's upstream subplan
+        // would run TWICE, defeating the pin. Cache across the two
+        // jobs (persist before the plan is first materialized, so the
+        // write job reads the blocks the count populated) and release
+        // the blocks once the checkpoint files own the data — the
+        // returned Dataset reads the files, never the cache.
+        val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try cached.checkpoint(eager = true)
+        finally cached.unpersist(blocking = false)
       case None => df.localCheckpoint(eager = true)
     }
   }

@@ -63,5 +63,13 @@ object Jsonl {
       codec.setConf(spark.sparkContext.hadoopConfiguration)
       val out = codec.createOutputStream(java.io.OutputStream.nullOutputStream())
       out.write(42); out.close(); true
-    } catch { case _: Throwable => false }
+    } catch {
+      // the two shapes "binding absent" actually takes: the codec's
+      // own RuntimeException ("native ... not loaded") and a
+      // LinkageError from the JNI stub. Anything fatal (OOM, thread
+      // death) must propagate — a probe that swallows it would
+      // misreport a present codec as absent.
+      case _: LinkageError => false
+      case scala.util.control.NonFatal(_) => false
+    }
 }

@@ -944,6 +944,40 @@ class CorpusSpec extends AnyFunSuite {
     assert(Corpus.dsirSelect(pool, target).collect().map(_.getLong(0)).toSet === Set(1L, 3L))
   }
 
+  test("prioritySampleExact: tau is the threshold row's true priority; the floored-key variant bounds it above") {
+    import spark.implicits._
+    val docs = (1L to 12L).map(i => (i, "x" * (i * 7 % 23 + 3).toInt)).toDF("doc_id", "text")
+    val k = 4
+    val exact = Corpus.prioritySampleExact(docs, k).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // independent Scala fold of the DLT estimator
+    val keyed = (1L to 12L).map { i =>
+      val w = (i * 7 % 23 + 3)
+      val h = (((i % 2147483648L) * 2654435761L) % 4294967296L).toDouble
+      (i, w, h, h / w.toDouble)
+    }.sortBy(t => (t._4, t._1))
+    val thr = keyed(k) // the (k+1)-th row
+    val tau = thr._2.toDouble * 4294967296.0 / thr._3
+    val expect = keyed.take(k).map { case (i, w, _, _) =>
+      i -> (w, BigDecimal(math.max(w.toDouble, tau))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    assert(exact === expect)
+    // THIS-FIXTURE pin (not an operator invariant): the two variants
+    // rank the same ratio floored vs not, so they agree whenever no
+    // pair of docs sits within one key quantum at the k-boundary —
+    // true here by construction (ratios verified well-separated). A
+    // boundary near-tie can legitimately select a different doc and
+    // invert the tau bound; if a fixture tweak trips this, re-separate
+    // the ratios rather than suspect the operators.
+    val floored = Corpus.prioritySample(docs, k).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(floored.keySet === exact.keySet)
+    exact.foreach { case (id, (_, we)) =>
+      assert(floored(id) >= we - 1e-6, s"doc $id: floored ${floored(id)} < exact $we")
+    }
+  }
+
   test("dsirModelHashed: the model relation is provably m-bounded") {
     val pool = docs.where(col("lang") =!= "en")
     val target = docs.where(col("lang") === "en")
