@@ -280,6 +280,15 @@ object SparkEntry {
     // relation is unbounded at corpus scale, so no ORDER BY window —
     // and every log term is rounded(12) and DECIMAL-summed with one
     // fixed-association double finish (the trend_slopes discipline)
+    // tokenizer/embedding-table sizing: token-occurrence mass covered
+    // by the N most frequent words, per candidate cutoff — integer-
+    // exact ppm; rank + cumulative mass through the adaptive
+    // TotalOrder devices (a 100 TB vocabulary never takes a global
+    // ORDER BY window). Fixture cutoffs sized to the synthetic vocab
+    // (31 words) so the curve has real shape, saturation included
+    "vocab_coverage_curve" -> ((s, d) =>
+      graft.operators.TextQuality.vocabCoverageCurve(t(s, d).documents,
+        cutoffs = Seq(4L, 8L, 16L, 32L, 64L)).orderBy("vocab_size")),
     "zipf_fit" -> ((s, d) => {
       import graft.operators.TotalOrder
       val dec = org.apache.spark.sql.types.DecimalType(28, 12)
@@ -4183,6 +4192,26 @@ object SparkEntry {
       graft.streaming.IngestPipeline.runDsirIngest(ss, stream, model, out)
         .orderBy("doc_id")
     }),
+    // the streaming DSIR gate under the m-bounded hashed model: the
+    // per-batch broadcast is AT MOST m rows however large the firehose
+    // vocabulary grows — the dsir_select_hashed posture applied to the
+    // continuous feed (same frozen-model, zero-cross-batch-state shape)
+    "streaming_dsir_ingest_hashed" -> ((s, d) => {
+      val src = stageDocStream(s, d, nFiles = 4)
+      val ss = streamSession(s)
+      val docs = t(ss, d).documents
+      val model = Corpus.dsirModelHashed(docs.where(col("lang") =!= "en"),
+        docs.where(col("lang") === "en"), m = 1024)
+      val stream = ss.readStream
+        .schema("doc_id LONG, lang STRING, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .where(col("lang") =!= "en")
+      val out = java.nio.file.Files.createTempDirectory("graft-dsirh").toString
+      graft.streaming.IngestPipeline.runDsirIngest(ss, stream, model, out,
+        scorer = Corpus.dsirScoreHashed(_, _, m = 1024))
+        .orderBy("doc_id")
+    }),
     "streaming_priority_sample" -> ((s, d) => {
       val src = stageDocStream(s, d, nFiles = 4)
       val ss = streamSession(s)
@@ -7335,6 +7364,35 @@ object SparkEntry {
          |  rk <= (nn.n * 250 + 999) // 1000 AS selected
          |FROM r CROSS JOIN nn ORDER BY doc_id""".stripMargin,
 
+    // the hashed streaming gate's twin = the dsir_select_hashed chain
+    // up to the per-doc scores, thresholded at logw >= 0 (the same
+    // rank-free cut streaming_dsir_ingest uses — a stream cannot rank
+    // globally without unbounded state)
+    "streaming_dsir_ingest_hashed" ->
+      s"""WITH w0 AS (SELECT doc_id, lang, lower(regexp_replace(t.tok, '$P', '', 'g')) AS word
+         |   FROM (SELECT doc_id, lang, unnest(string_split_regex(text, '[ \t\n\f\r]+')) AS tok FROM documents) t),
+         | w AS (SELECT doc_id, lang, word FROM w0 WHERE length(word) > 0),
+         | xw AS (SELECT DISTINCT word FROM w),
+         |$xxh64WordCtes,
+         | wb AS MATERIALIZED (SELECT doc_id, lang,
+         |   ((CAST(CASE WHEN h >= 9223372036854775808::HUGEINT THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) % 1024) + 1024) % 1024 AS bucket
+         |   FROM w JOIN xh USING (word)),
+         | pw AS (SELECT doc_id, bucket FROM wb WHERE lang <> 'en'),
+         | pc AS (SELECT bucket, count(*) AS pc FROM pw GROUP BY 1),
+         | tc AS (SELECT bucket, count(*) AS tc FROM wb WHERE lang = 'en' GROUP BY 1),
+         | vocab AS (SELECT bucket, coalesce(pc.pc, 0) AS pc, coalesce(tc.tc, 0) AS tc
+         |   FROM (SELECT bucket FROM pc UNION SELECT bucket FROM tc) u LEFT JOIN pc USING (bucket) LEFT JOIN tc USING (bucket)),
+         | sizes AS (SELECT sum(pc) AS np, sum(tc) AS nt, count(*) AS v FROM vocab),
+         | delta AS (SELECT bucket,
+         |   CAST(round(ln(CAST(tc + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE)), 12) AS DECIMAL(28,12))
+         |   - CAST(round(ln(CAST(pc + 1 AS DOUBLE) / CAST(np + v AS DOUBLE)), 12) AS DECIMAL(28,12)) AS delta
+         |   FROM vocab CROSS JOIN sizes),
+         | scored AS (SELECT doc_id, count(*) AS n_tokens, sum(delta) AS sl
+         |   FROM pw JOIN delta USING (bucket) GROUP BY 1)
+         |SELECT doc_id, n_tokens, round(CAST(sl AS DOUBLE), 6) AS dsir_logw,
+         |  sl >= 0 AS selected
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
     // the streaming scorer's twin = the batch dsir_select chain up to
     // the per-doc scores, thresholded at logw >= 0 instead of ranked
     "streaming_dsir_ingest" ->
@@ -9373,6 +9431,21 @@ object SparkEntry {
     // same fixed-association double ops (the trend_slopes device);
     // the twin's row_number window is the single-task sort globalRank
     // replaces
+    // rank by (cnt desc, word), cumulative occurrence mass, per-cutoff
+    // max — the whole curve in exact integers (ppm via integer div)
+    "vocab_coverage_curve" ->
+      s"""$WDoc,
+         | c AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+         | tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+         | r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rk FROM c),
+         | cum AS (SELECT rk, CAST(sum(cnt) OVER (ORDER BY rk) AS BIGINT) AS cum FROM r),
+         | cuts(vocab_size) AS (VALUES (4),(8),(16),(32),(64))
+         |SELECT CAST(vocab_size AS BIGINT) AS vocab_size, max(cum) AS covered,
+         | (SELECT total FROM tot) AS total,
+         | (max(cum) * 1000000) // (SELECT total FROM tot) AS covered_ppm
+         |FROM cum JOIN cuts ON rk <= vocab_size
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "zipf_fit" ->
       s"""$WDoc,
          | wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),

@@ -469,11 +469,18 @@ object IngestPipeline {
     * only on its own words + the frozen model, the drained relation
     * equals the one-shot batch scorer exactly — the oracle. */
   def runDsirIngest(spark: SparkSession, docStream: DataFrame, model: DataFrame,
-                    outDir: String, minLogw: Double = 0.0): DataFrame = {
+                    outDir: String, minLogw: Double = 0.0,
+                    scorer: (DataFrame, DataFrame) => DataFrame =
+                      Corpus.dsirScore(_, _)): DataFrame = {
+    // `scorer` picks the model keying: Corpus.dsirScore against the
+    // exact union-vocab model (default), or Corpus.dsirScoreHashed
+    // against the m-bounded hashed model — the gate's broadcast then
+    // stays ≤ m rows on a firehose whose union vocabulary would not
+    // ship (the dsir_select_hashed posture, streaming half)
     val frozen = model.truncateLineage
     val q = docStream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        Corpus.dsirScore(batch.toDF(), frozen)
+        scorer(batch.toDF(), frozen)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         ()
       }

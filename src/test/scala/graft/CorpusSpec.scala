@@ -914,6 +914,20 @@ class CorpusSpec extends AnyFunSuite {
   // words (the truncateToTokenBudget posture) — pinned per operator so
   // a silent contract change unhashes a spec, not a production corpus
 
+  test("vocabCoverageCurve: exact integer coverage vs an independent fold; saturates above the vocab") {
+    import spark.implicits._
+    import graft.operators.TextQuality
+    // counts: aa=3 bb=2 cc=1 dd=1, total=7; rank aa,bb,cc,dd (word-asc tie)
+    val docs = Seq((1L, "aa bb aa cc"), (2L, "aa bb dd")).toDF("doc_id", "text")
+    val got = TextQuality.vocabCoverageCurve(docs, cutoffs = Seq(1L, 2L, 3L, 10L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set(
+      (1L, 3L, 7L, 428571L),   // 3e6/7 floored
+      (2L, 5L, 7L, 714285L),
+      (3L, 6L, 7L, 857142L),
+      (10L, 7L, 7L, 1000000L)))  // cutoff past the vocab: full coverage
+  }
+
   test("unigramLogProb: a doc with zero clean words is absent from the output") {
     import spark.implicits._
     import graft.operators.TextQuality

@@ -420,4 +420,33 @@ class PlanShapeSpec extends AnyFunSuite {
     val cPlan = simple(codes)
     assert(cPlan.contains("TakeOrderedAndProject"), cPlan)
   }
+
+  test("dsir_select_hashed ships its model broadcast; priority sampling picks via bounded heaps") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // the m-bounded model must reach the scorer as a broadcast hash
+    // join — a shuffled join here would mean the bucket relation lost
+    // its broadcast hint (the whole point of the hashed variant). The
+    // SELECT chain pins its scored input (TotalOrder.fitsOneTask), so
+    // the join is asserted on the scoring stage, where it is visible
+    val pool = docs.where(col("lang") =!= "en")
+    val target = docs.where(col("lang") === "en")
+    val scored = Corpus.dsirScoreHashed(pool,
+      Corpus.dsirModelHashed(pool, target, m = 1024), m = 1024)
+    val sPlan = simple(scored)
+    assert(sPlan.contains("BroadcastHashJoin"), sPlan)
+    assert(!sPlan.contains("SortMergeJoin"), sPlan)
+    // both estimator variants take their corpus-wide top-(k+1) through
+    // TakeOrderedAndProject (bounded per-partition heaps), never a
+    // global sort. priorityPick pins the k+1 survivors (the final plan
+    // shows only the pinned scan), so the pick stage is asserted on
+    // the keyed relations directly — the exact orderBy+limit shape the
+    // finish executes before its pin
+    Seq(Corpus.priorityKeyed(docs).orderBy(col("__key"), col("doc_id")),
+        Corpus.priorityKeyedExact(docs).orderBy(col("__ord"), col("doc_id")))
+      .foreach { picked =>
+        val p = simple(picked.limit(21))
+        assert(p.contains("TakeOrderedAndProject"), p)
+        assert(!p.contains("Exchange rangepartitioning"), p)
+      }
+  }
 }
