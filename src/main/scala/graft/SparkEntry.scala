@@ -273,13 +273,6 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- M1: the reference surface (SURVEY.md §2 [REF] rows) ----
     "wordcount" -> ((s, d) => TextOps.wordCount(t(s, d).documents).orderBy("word")),
-    // Zipf's-law fit: OLS slope of ln(freq) on ln(rank) over the
-    // rank-frequency curve — the one-number corpus-health check
-    // (natural text ≈ −1; template spam and synthetic padding bend
-    // it). Rank comes from TotalOrder.globalRank — the vocabulary
-    // relation is unbounded at corpus scale, so no ORDER BY window —
-    // and every log term is rounded(12) and DECIMAL-summed with one
-    // fixed-association double finish (the trend_slopes discipline)
     // tokenizer/embedding-table sizing: token-occurrence mass covered
     // by the N most frequent words, per candidate cutoff — integer-
     // exact ppm; rank + cumulative mass through the adaptive
@@ -289,6 +282,13 @@ object SparkEntry {
     "vocab_coverage_curve" -> ((s, d) =>
       graft.operators.TextQuality.vocabCoverageCurve(t(s, d).documents,
         cutoffs = Seq(4L, 8L, 16L, 32L, 64L)).orderBy("vocab_size")),
+    // Zipf's-law fit: OLS slope of ln(freq) on ln(rank) over the
+    // rank-frequency curve — the one-number corpus-health check
+    // (natural text ≈ −1; template spam and synthetic padding bend
+    // it). Rank comes from TotalOrder.globalRank — the vocabulary
+    // relation is unbounded at corpus scale, so no ORDER BY window —
+    // and every log term is rounded(12) and DECIMAL-summed with one
+    // fixed-association double finish (the trend_slopes discipline)
     "zipf_fit" -> ((s, d) => {
       import graft.operators.TotalOrder
       val dec = org.apache.spark.sql.types.DecimalType(28, 12)
@@ -5331,6 +5331,33 @@ object SparkEntry {
       " the twin replays the uncapped stride rule') ELSE TRUE END"
   private lazy val coarseGuard: String = coarseGuardOn("embeddings")
 
+  /** The hashed-DSIR scored-docs chain (clean words → xxh64 buckets →
+    * m=1024 bucket models with occupied-bucket smoothing → per-doc
+    * DECIMAL folds), shared by the batch selection twin and the
+    * streaming-gate twin — ONE validated chain, two final SELECTs
+    * (rank cut vs threshold), so the two twins can never desync. */
+  private lazy val hashedDsirScoredCtes: String =
+    s"""WITH w0 AS (SELECT doc_id, lang, lower(regexp_replace(t.tok, '$P', '', 'g')) AS word
+         |   FROM (SELECT doc_id, lang, unnest(string_split_regex(text, '[ \t\n\f\r]+')) AS tok FROM documents) t),
+         | w AS (SELECT doc_id, lang, word FROM w0 WHERE length(word) > 0),
+         | xw AS (SELECT DISTINCT word FROM w),
+         |$xxh64WordCtes,
+         | wb AS MATERIALIZED (SELECT doc_id, lang,
+         |   ((CAST(CASE WHEN h >= 9223372036854775808::HUGEINT THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) % 1024) + 1024) % 1024 AS bucket
+         |   FROM w JOIN xh USING (word)),
+         | pw AS (SELECT doc_id, bucket FROM wb WHERE lang <> 'en'),
+         | pc AS (SELECT bucket, count(*) AS pc FROM pw GROUP BY 1),
+         | tc AS (SELECT bucket, count(*) AS tc FROM wb WHERE lang = 'en' GROUP BY 1),
+         | vocab AS (SELECT bucket, coalesce(pc.pc, 0) AS pc, coalesce(tc.tc, 0) AS tc
+         |   FROM (SELECT bucket FROM pc UNION SELECT bucket FROM tc) u LEFT JOIN pc USING (bucket) LEFT JOIN tc USING (bucket)),
+         | sizes AS (SELECT sum(pc) AS np, sum(tc) AS nt, count(*) AS v FROM vocab),
+         | delta AS (SELECT bucket,
+         |   CAST(round(ln(CAST(tc + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE)), 12) AS DECIMAL(28,12))
+         |   - CAST(round(ln(CAST(pc + 1 AS DOUBLE) / CAST(np + v AS DOUBLE)), 12) AS DECIMAL(28,12)) AS delta
+         |   FROM vocab CROSS JOIN sizes),
+         | scored AS (SELECT doc_id, count(*) AS n_tokens, sum(delta) AS sl
+         |   FROM pw JOIN delta USING (bucket) GROUP BY 1)""".stripMargin
+
   private def ivfPqQueryTwinSql(centsWhere: String, bookWhere: String,
                                 queryWhere: String): String =
     s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
@@ -7338,26 +7365,7 @@ object SparkEntry {
     // Spark's pmod semantics), smoothing denominator = OCCUPIED
     // bucket count, everything else byte-identical to the exact twin
     "dsir_select_hashed" ->
-      s"""WITH w0 AS (SELECT doc_id, lang, lower(regexp_replace(t.tok, '$P', '', 'g')) AS word
-         |   FROM (SELECT doc_id, lang, unnest(string_split_regex(text, '[ \t\n\f\r]+')) AS tok FROM documents) t),
-         | w AS (SELECT doc_id, lang, word FROM w0 WHERE length(word) > 0),
-         | xw AS (SELECT DISTINCT word FROM w),
-         |$xxh64WordCtes,
-         | wb AS MATERIALIZED (SELECT doc_id, lang,
-         |   ((CAST(CASE WHEN h >= 9223372036854775808::HUGEINT THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) % 1024) + 1024) % 1024 AS bucket
-         |   FROM w JOIN xh USING (word)),
-         | pw AS (SELECT doc_id, bucket FROM wb WHERE lang <> 'en'),
-         | pc AS (SELECT bucket, count(*) AS pc FROM pw GROUP BY 1),
-         | tc AS (SELECT bucket, count(*) AS tc FROM wb WHERE lang = 'en' GROUP BY 1),
-         | vocab AS (SELECT bucket, coalesce(pc.pc, 0) AS pc, coalesce(tc.tc, 0) AS tc
-         |   FROM (SELECT bucket FROM pc UNION SELECT bucket FROM tc) u LEFT JOIN pc USING (bucket) LEFT JOIN tc USING (bucket)),
-         | sizes AS (SELECT sum(pc) AS np, sum(tc) AS nt, count(*) AS v FROM vocab),
-         | delta AS (SELECT bucket,
-         |   CAST(round(ln(CAST(tc + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE)), 12) AS DECIMAL(28,12))
-         |   - CAST(round(ln(CAST(pc + 1 AS DOUBLE) / CAST(np + v AS DOUBLE)), 12) AS DECIMAL(28,12)) AS delta
-         |   FROM vocab CROSS JOIN sizes),
-         | scored AS (SELECT doc_id, count(*) AS n_tokens, sum(delta) AS sl
-         |   FROM pw JOIN delta USING (bucket) GROUP BY 1),
+      s"""$hashedDsirScoredCtes,
          | nn AS (SELECT count(*) AS n FROM scored),
          | r AS (SELECT doc_id, n_tokens, sl, row_number() OVER (ORDER BY sl DESC, doc_id) AS rk FROM scored)
          |SELECT doc_id, n_tokens, round(CAST(sl AS DOUBLE), 6) AS dsir_logw,
@@ -7369,26 +7377,7 @@ object SparkEntry {
     // rank-free cut streaming_dsir_ingest uses — a stream cannot rank
     // globally without unbounded state)
     "streaming_dsir_ingest_hashed" ->
-      s"""WITH w0 AS (SELECT doc_id, lang, lower(regexp_replace(t.tok, '$P', '', 'g')) AS word
-         |   FROM (SELECT doc_id, lang, unnest(string_split_regex(text, '[ \t\n\f\r]+')) AS tok FROM documents) t),
-         | w AS (SELECT doc_id, lang, word FROM w0 WHERE length(word) > 0),
-         | xw AS (SELECT DISTINCT word FROM w),
-         |$xxh64WordCtes,
-         | wb AS MATERIALIZED (SELECT doc_id, lang,
-         |   ((CAST(CASE WHEN h >= 9223372036854775808::HUGEINT THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) % 1024) + 1024) % 1024 AS bucket
-         |   FROM w JOIN xh USING (word)),
-         | pw AS (SELECT doc_id, bucket FROM wb WHERE lang <> 'en'),
-         | pc AS (SELECT bucket, count(*) AS pc FROM pw GROUP BY 1),
-         | tc AS (SELECT bucket, count(*) AS tc FROM wb WHERE lang = 'en' GROUP BY 1),
-         | vocab AS (SELECT bucket, coalesce(pc.pc, 0) AS pc, coalesce(tc.tc, 0) AS tc
-         |   FROM (SELECT bucket FROM pc UNION SELECT bucket FROM tc) u LEFT JOIN pc USING (bucket) LEFT JOIN tc USING (bucket)),
-         | sizes AS (SELECT sum(pc) AS np, sum(tc) AS nt, count(*) AS v FROM vocab),
-         | delta AS (SELECT bucket,
-         |   CAST(round(ln(CAST(tc + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE)), 12) AS DECIMAL(28,12))
-         |   - CAST(round(ln(CAST(pc + 1 AS DOUBLE) / CAST(np + v AS DOUBLE)), 12) AS DECIMAL(28,12)) AS delta
-         |   FROM vocab CROSS JOIN sizes),
-         | scored AS (SELECT doc_id, count(*) AS n_tokens, sum(delta) AS sl
-         |   FROM pw JOIN delta USING (bucket) GROUP BY 1)
+      s"""$hashedDsirScoredCtes
          |SELECT doc_id, n_tokens, round(CAST(sl AS DOUBLE), 6) AS dsir_logw,
          |  sl >= 0 AS selected
          |FROM scored ORDER BY doc_id""".stripMargin,
@@ -9427,12 +9416,10 @@ object SparkEntry {
         |FROM c ORDER BY prev_type, event_type""".stripMargin,
 
 
-    // identical rounded-log terms DECIMAL-summed; slope/intercept the
-    // same fixed-association double ops (the trend_slopes device);
-    // the twin's row_number window is the single-task sort globalRank
-    // replaces
     // rank by (cnt desc, word), cumulative occurrence mass, per-cutoff
-    // max — the whole curve in exact integers (ppm via integer div)
+    // max — the whole curve in exact integers; the ppm scale-up runs
+    // in HUGEINT (Spark: DECIMAL(38,0)) so a 100 TB token total
+    // cannot wrap the 64-bit multiply on either engine
     "vocab_coverage_curve" ->
       s"""$WDoc,
          | c AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
@@ -9442,10 +9429,14 @@ object SparkEntry {
          | cuts(vocab_size) AS (VALUES (4),(8),(16),(32),(64))
          |SELECT CAST(vocab_size AS BIGINT) AS vocab_size, max(cum) AS covered,
          | (SELECT total FROM tot) AS total,
-         | (max(cum) * 1000000) // (SELECT total FROM tot) AS covered_ppm
+         | CAST((CAST(max(cum) AS HUGEINT) * 1000000) // (SELECT total FROM tot) AS BIGINT) AS covered_ppm
          |FROM cum JOIN cuts ON rk <= vocab_size
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // identical rounded-log terms DECIMAL-summed; slope/intercept the
+    // same fixed-association double ops (the trend_slopes device);
+    // the twin's row_number window is the single-task sort globalRank
+    // replaces
     "zipf_fit" ->
       s"""$WDoc,
          | wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),

@@ -17,6 +17,54 @@ object TextQuality {
   /** Non-empty whitespace tokens of a text column. */
   private def toks(c: Column): Column = filter(split(c, TextOps.TokenSepRe), t => length(t) > 0)
 
+  /** Tokenizer-sizing coverage curve: for each candidate vocabulary
+    * cutoff N, how much of the corpus's token OCCURRENCE mass the N
+    * most frequent clean words cover (ties broken word-asc) — the
+    * standard readout for sizing a tokenizer vocabulary or an
+    * embedding table ("64k entries cover 99.2% of tokens; the rest is
+    * subword/byte fallback"). Output: (vocab_size, covered, total,
+    * covered_ppm) with covered_ppm = covered·10⁶ div total — the
+    * scale-up runs in DECIMAL(38,0) so a 100 TB corpus's ~10¹³ token
+    * occurrences cannot wrap a 64-bit multiply (the twin mirrors via
+    * HUGEINT); the quotient is ≤ 10⁶ and lands back in a long. A
+    * corpus with zero clean words yields an empty curve (the
+    * word-relation omission contract).
+    *
+    * Scale shape: ONE corpus-scale word aggregate (vocab-sized
+    * result); rank and cumulative mass run over the VOCAB relation
+    * through the adaptive TotalOrder devices (range-partitioned
+    * rank/prefix-sum above the cutover — a vocabulary is unbounded-
+    * cardinality at 100 TB, so no global ORDER BY window), which pin
+    * the relation internally exactly once per device; the grand total
+    * is read off the LAST cumulative value, never a second corpus
+    * pass; the cutoff join is a broadcast of |cutoffs| rows. */
+  def vocabCoverageCurve(docs: DataFrame,
+                         cutoffs: Seq[Long] = Seq(1000L, 4000L, 16000L, 64000L),
+                         textCol: String = "text"): DataFrame = {
+    require(cutoffs.nonEmpty && cutoffs.forall(_ > 0),
+      s"vocabCoverageCurve needs positive cutoffs, got $cutoffs")
+    val counts = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("tok"))
+      .select(TextOps.cleanWord(col("tok")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val ranked = TotalOrder.globalRankAuto(counts,
+      Seq(desc("cnt"), asc("word")), rankCol = "rk")
+    val cum = TotalOrder.prefixSumAuto(ranked.select(col("rk"), col("cnt")),
+      Seq(col("rk")), Seq("cnt" -> "cum"))
+    // total = the last cumulative value — no separate corpus-side agg
+    val tot = cum.agg(max(col("cum")).as("total"))
+    val cuts = explode(array(cutoffs.map(lit): _*)).as("vocab_size")
+    cum.join(broadcast(counts.sparkSession.range(1).select(cuts)),
+        col("rk") <= col("vocab_size"))
+      .groupBy(col("vocab_size"))
+      .agg(max(col("cum")).as("covered"))
+      .crossJoin(broadcast(tot))
+      .select(col("vocab_size"), col("covered"), col("total"),
+        expr("CAST((CAST(covered AS DECIMAL(38,0)) * 1000000) div total AS BIGINT)")
+          .as("covered_ppm"))
+  }
+
   /** Unigram log-probability scoring — the perplexity-proxy quality
     * filter: each document scores the sum of ln p(word) under the
     * corpus's OWN unigram MLE distribution (count/total). Garbled or
@@ -35,46 +83,6 @@ object TextQuality {
     * Documents with zero clean words are absent from the output — the
     * engine-wide word-relation contract (truncateToTokenBudget /
     * dsirScore posture); the twin mirrors the omission. */
-  /** Tokenizer-sizing coverage curve: for each candidate vocabulary
-    * cutoff N, how much of the corpus's token OCCURRENCE mass the N
-    * most frequent clean words cover (ties broken word-asc) — the
-    * standard readout for sizing a tokenizer vocabulary or an
-    * embedding table ("64k entries cover 99.2% of tokens; the rest is
-    * subword/byte fallback"). Output: (vocab_size, covered, total,
-    * covered_ppm) with covered_ppm = covered·10⁶ div total — pure
-    * integer arithmetic, hash-exact cross-engine.
-    *
-    * Scale shape: ONE corpus-scale word aggregate (vocab-sized result,
-    * pinned once); rank and cumulative mass run over the VOCAB
-    * relation through the adaptive TotalOrder devices (range-
-    * partitioned rank/prefix-sum above the cutover — a vocabulary is
-    * unbounded-cardinality at 100 TB, so no global ORDER BY window);
-    * the cutoff join is a broadcast of |cutoffs| rows. */
-  def vocabCoverageCurve(docs: DataFrame,
-                         cutoffs: Seq[Long] = Seq(1000L, 4000L, 16000L, 64000L),
-                         textCol: String = "text"): DataFrame = {
-    require(cutoffs.nonEmpty, "vocabCoverageCurve needs at least one cutoff")
-    val counts = docs
-      .select(explode(TextOps.tokens(col(textCol))).as("tok"))
-      .select(TextOps.cleanWord(col("tok")).as("word"))
-      .where(length(col("word")) > 0)
-      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .truncateLineage
-    val tot = counts.agg(sum(col("cnt")).as("total"))
-    val ranked = TotalOrder.globalRankAuto(counts,
-      Seq(desc("cnt"), asc("word")), rankCol = "rk")
-    val cum = TotalOrder.prefixSumAuto(ranked.select(col("rk"), col("cnt")),
-      Seq(col("rk")), Seq("cnt" -> "cum"))
-    val cuts = explode(array(cutoffs.map(lit): _*)).as("vocab_size")
-    cum.join(broadcast(counts.sparkSession.range(1).select(cuts)),
-        col("rk") <= col("vocab_size"))
-      .groupBy(col("vocab_size"))
-      .agg(max(col("cum")).as("covered"))
-      .crossJoin(broadcast(tot))
-      .select(col("vocab_size"), col("covered"), col("total"),
-        expr("(covered * 1000000) div total").as("covered_ppm"))
-  }
-
   def unigramLogProb(docs: DataFrame, textCol: String = "text",
                      idCol: String = "doc_id"): DataFrame = {
     val words = docs
