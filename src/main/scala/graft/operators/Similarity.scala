@@ -44,9 +44,23 @@ object Similarity {
     val sims = q.join(c, col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         (vec_dot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n"))).as("sim"))
+    rankTopK(sims, k)
+  }
+
+  /** The shared top-k finish of every ANN ranker (brute/LSH/IVF):
+    * per-query top `k` by (sim desc, c_id asc) through GroupedTopK's
+    * bounded heap — per-group state is k rows regardless of candidate
+    * count, where the old row_number window sorted EVERY candidate per
+    * query (candidates per query grow with the corpus once the
+    * quantizer's cell count is capped) — then the rank as a window
+    * over the ≤ k survivors: result-sized, never candidate-sized.
+    * Same ordering, same tie-break — value-identical to the window
+    * formulation, so no twin moves. */
+  private def rankTopK(sims: DataFrame, k: Int): DataFrame = {
+    val short = graft.plans.GroupedTopK.topKPerKey(sims, Seq("q_id"),
+      Seq(("sim", true), ("c_id", false)), k)
     val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("c_id"))
-    sims.withColumn("rank", row_number().over(w).cast(LongType))
-      .where(col("rank") <= k)
+    short.withColumn("rank", row_number().over(w).cast(LongType))
       .select(col("q_id"), col("rank"), col("c_id"), round(col("sim"), 4).as("sim_r"))
   }
 
@@ -508,10 +522,7 @@ object Similarity {
       .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("c_id"),
         (vec_dot(col("q.embedding"), col("c.embedding")) / (col("q.nrm") * col("c.nrm"))).as("sim"))
       .groupBy(col("q_id"), col("c_id")).agg(max(col("sim")).as("sim")) // dedupe multi-cell hits
-    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("c_id"))
-    pairs.withColumn("rank", row_number().over(w).cast(LongType))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("c_id"), round(col("sim"), 4).as("sim_r"))
+    rankTopK(pairs, k)
   }
 
   /** Product-quantization ANN (Jégou et al., "Product Quantization for
@@ -651,10 +662,7 @@ object Similarity {
       .where(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("c_id"),
         vec_adc_score(col("tables"), col("codes")).as("sim"))
-    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("c_id"))
-    scored.withColumn("rank", row_number().over(w).cast(LongType))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("c_id"), round(col("sim"), 4).as("sim_r"))
+    rankTopK(scored, k)
   }
 
   /** Candidate pairs of the composed IVF×PQ index: queries probe their
@@ -944,10 +952,7 @@ object Similarity {
       .join(broadcast(withQ), "c_id")
       .select(col("q_id"), col("c_id"),
         (vec_dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
-    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("c_id"))
-    rescored.withColumn("rank", row_number().over(w).cast(LongType))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("c_id"), round(col("sim"), 4).as("sim_r"))
+    rankTopK(rescored, k)
   }
 
   /** IVF×PQ — the composed production funnel as ONE call: build the
@@ -1018,10 +1023,7 @@ object Similarity {
         col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("c_id"),
         (vec_dot(col("x.embedding"), col("y.embedding")) / (col("x.nrm") * col("y.nrm"))).as("sim"))
-    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("c_id"))
-    pairs.withColumn("rank", row_number().over(w).cast(LongType))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("c_id"), round(col("sim"), 4).as("sim_r"))
+    rankTopK(pairs, k)
   }
 
   /** Scalar int8 quantization of the embedding column with a
