@@ -551,6 +551,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.groupBy("q_id").count().collect().forall(_.getLong(1) <= 5))
   }
 
+  test("rankTopK finish: GroupedTopK heap equals the window formulation on a real ranker") {
+    import graft.functions.VectorFunctions.vec_norm
+    val emb = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val viaOp = Similarity.lshTopK(emb, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // independent window-rank replication of lshTopK's candidate chain
+    // — identical double arithmetic, so exact set equality is required
+    val b = Similarity.lshBuckets(emb, nPlanes = 8) // lshTopK's own plane count
+      .withColumn("nrm", vec_norm(col("embedding")))
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("c_id"),
+        (vec_dot(col("x.embedding"), col("y.embedding")) / (col("x.nrm") * col("y.nrm"))).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(desc("sim"), asc("c_id"))
+    val ref = pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("c_id"), round(col("sim"), 4).as("sim_r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(viaOp === ref)
+  }
+
   test("hashRankedCentroids: the IVF×PQ coarse set is kCoarse-bounded, hash-ranked, and a no-op at fixture scale") {
     val emb = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     // small cap: selection must be the k stride points with the
