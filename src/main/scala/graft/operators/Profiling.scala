@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
-import graft.plans.Lineage.TruncateOps
 
 /** Column profiling — the data-quality summary a pipeline runs before
   * trusting a new source: per column, row count, null count, exact
@@ -217,40 +216,69 @@ object Profiling {
     * accumulate identical terms — and bits = nats/ln 2 in one final
     * double op).
     *
-    * Scale shape: one hash aggregate per key column over the raw
-    * table (k scans a column-pruned parquet read each), then all
-    * statistics compute on the key-count relation — vocabulary-sized,
-    * never row-sized — through BOUNDED operators (round 13): the
-    * top-share pick is a TakeOrderedAndProject 10-row heap, the total
-    * rides as a one-row broadcast, and the entropy is a plain
-    * aggregate. A skew report exists precisely because some key is
-    * pathological — its own plan must not global-sort the key-count
-    * relation of the very column being audited (an unpartitioned
-    * row_number window did exactly that before). */
-  def skewReport(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    * Scale shape (round 13, the WindowCutover posture): the cutover
+    * decision comes from the SOURCE row count — a strict upper bound
+    * on every column's key cardinality, ONE cheap job shared by all
+    * columns, no materialization of the count relations (the bench
+    * tripwire caught both a pin-per-statistic rewrite and a
+    * fitsOneTask-pin variant at 7-10x the fused plan's cost; checkpoint
+    * fixed cost dominates vocabulary-sized relations, the r11 rfm
+    * lesson). BELOW the cutover the statistics run as the single fused
+    * window pipeline — one job per column, the measured-fastest shape.
+    * ABOVE it — the pathological-cardinality regime a skew report
+    * exists for, where the bound is conservative in the safe
+    * direction — the same statistics compute through BOUNDED
+    * operators: GroupedTopK's 10-row heap for the top shares, a
+    * broadcast one-row total, a plain aggregate for the entropy —
+    * never an unpartitioned window sort of the very relation being
+    * audited. Both branches are value-identical (same rounding, same
+    * tie-breaks), so the cutover can never move the oracle hash. */
+  def skewReport(df: DataFrame, keyCols: Seq[String],
+                 cutover: Long = TotalOrder.WindowCutover): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(keyCols.nonEmpty, "skewReport needs at least one key column")
+    val small = df.count() <= cutover
     val per = keyCols.map { kc =>
-      // consumed by three branches (totals, top-k, entropy): pin once
       val counts = df.groupBy(col(kc).cast("string").as("key"))
         .agg(count(lit(1)).as("n"))
-        .truncateLineage
-      val tot = counts.agg(sum(col("n")).as("tot"), count(lit(1)).as("n_keys"))
-      // top1 = the max count; top10 = the same deterministic
-      // (n desc, key) prefix the old rk <= 10 selected
-      val topn = counts.orderBy(col("n").desc, col("key")).limit(10)
-        .agg(max(col("n")).as("top1"), sum(col("n")).as("top10"))
-      val p = col("n").cast("double") / col("tot").cast("double")
-      val ent = counts.crossJoin(broadcast(tot.select(col("tot"))))
-        .select(round(p * -log(p), 9).cast("decimal(38,9)").as("h_term"))
-        .agg(sum(col("h_term")).as("h_nats"))
-      tot.crossJoin(topn).crossJoin(ent)
-        .select(lit(kc).as("key_col"), col("n_keys"), col("tot").as("total"),
-          floor(col("top1") * lit(1000000L) / col("tot")).as("top1_ppm"),
-          floor(col("top10") * lit(1000000L) / col("tot")).as("top10_ppm"),
-          round(col("h_nats").cast("double") / lit(math.log(2.0)), 6).as("entropy_bits"),
-          round(when(col("n_keys") > 1,
-            col("h_nats").cast("double") / log(col("n_keys").cast("double")))
-            .otherwise(lit(0.0)), 6).as("entropy_norm"))
+      val stats =
+        if (small) {
+          val w = Window.orderBy(col("n").desc, col("key"))
+          counts
+            .withColumn("rk", row_number().over(w))
+            .withColumn("tot", sum(col("n")).over(Window.partitionBy()))
+            .withColumn("p", col("n").cast("double") / col("tot").cast("double"))
+            .withColumn("h_term",
+              round(col("p") * -log(col("p")), 9).cast("decimal(38,9)"))
+            .agg(
+              count(lit(1)).as("n_keys"),
+              max(col("tot")).as("total"),
+              max(when(col("rk") === 1, col("n"))).as("top1"),
+              sum(when(col("rk") <= 10, col("n")).otherwise(lit(0L))).as("top10"),
+              sum(col("h_term")).as("h_nats"))
+        } else {
+          val tot = counts.agg(sum(col("n")).as("tot"), count(lit(1)).as("n_keys"))
+          // top1 = the max count; top10 = the same deterministic
+          // (n desc, key) prefix the window branch's rk <= 10 selects
+          val topn = graft.plans.GroupedTopK.topKPerKey(
+              counts.withColumn("__g", lit(0)), Seq("__g"),
+              Seq(("n", true), ("key", false)), 10)
+            .agg(max(col("n")).as("top1"), sum(col("n")).as("top10"))
+          val p = col("n").cast("double") / col("tot").cast("double")
+          val ent = counts.crossJoin(broadcast(tot.select(col("tot"))))
+            .select(round(p * -log(p), 9).cast("decimal(38,9)").as("h_term"))
+            .agg(sum(col("h_term")).as("h_nats"))
+          tot.crossJoin(topn).crossJoin(ent)
+            .select(col("n_keys"), col("tot").as("total"),
+              col("top1"), col("top10"), col("h_nats"))
+        }
+      stats.select(lit(kc).as("key_col"), col("n_keys"), col("total"),
+        floor(col("top1") * lit(1000000L) / col("total")).as("top1_ppm"),
+        floor(col("top10") * lit(1000000L) / col("total")).as("top10_ppm"),
+        round(col("h_nats").cast("double") / lit(math.log(2.0)), 6).as("entropy_bits"),
+        round(when(col("n_keys") > 1,
+          col("h_nats").cast("double") / log(col("n_keys").cast("double")))
+          .otherwise(lit(0.0)), 6).as("entropy_norm"))
     }
     per.reduce(_ unionAll _)
   }

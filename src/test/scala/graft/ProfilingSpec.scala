@@ -154,4 +154,18 @@ class ProfilingSpec extends AnyFunSuite {
     // n_keys > 1 guard (0/0 would otherwise NaN the report)
     assert(nkC === 1L && top1C === 1000000L && bitsC === 0.0 && normC === 0.0)
   }
+
+  test("skewReport: the bounded above-cutover branch is value-identical to the fused window branch") {
+    // the WindowCutover contract (round 13): below the cutover the
+    // report runs the single fused window pipeline, above it the
+    // bounded GroupedTopK/broadcast/plain-agg plan — forcing the
+    // bounded branch with cutover = 0 must reproduce the default
+    // branch row-for-row on real data, so the cutover can never move
+    // the oracle hash
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val cols = Seq("l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus")
+    val fused = Profiling.skewReport(li, cols).collect().map(_.toSeq).toSet
+    val bounded = Profiling.skewReport(li, cols, cutover = 0L).collect().map(_.toSeq).toSet
+    assert(fused === bounded)
+  }
 }
