@@ -223,6 +223,17 @@ object Bench {
     // scales up, no fire); a code regression that spares the anchor
     // leaves the cut at ~2x and screams. Both the anchored and raw
     // ratios ship on the line so the distinction is auditable.
+    //
+    // VERDICT r13 #3: a single noisy anchor run must not rescale the
+    // whole suite's cut — the r13 close scaled by an anchor of 1.359
+    // and masked flags the driver then confirmed at host_factor 1.135.
+    // A genuine epoch slows the anchor AND the median together, so the
+    // anchor may raise the cut only as far as the host_factor itself:
+    // scale = min(anchor, host_factor). An anchor above the median is
+    // anchor-local noise and is clamped. Backstop (ADVICE r13): the
+    // RAW ratio gets its own looser ceiling (3x) that no normalization
+    // can absorb — a systemic regression that drags the median up past
+    // the cap still screams here.
     val suiteRatioJson: String = {
       val pairs = ordered.flatMap { case (name, _) =>
         val cur = msOf(results(name))
@@ -234,11 +245,17 @@ object Bench {
         val anchor = pairs.collectFirst {
           case ("wordcount_x8", c, h) => c.toDouble / h
         }.getOrElse(hostFactor)
-        val ratio = raw / math.max(1.0, anchor)
+        val scale = math.max(1.0, math.min(anchor, hostFactor))
+        val ratio = raw / scale
         if (ratio > 2.0)
           System.err.println(s"[bench] SUITE REGRESSION: suite total " +
-            s"${fmt(ratio, 2)}x the rolling-best total after anchor " +
-            s"normalization (budget 2.0x; raw ${fmt(raw, 2)}x, anchor ${fmt(anchor, 2)}x)")
+            s"${fmt(ratio, 2)}x the rolling-best total after capped anchor " +
+            s"normalization (budget 2.0x; raw ${fmt(raw, 2)}x, anchor ${fmt(anchor, 2)}x, " +
+            s"scale ${fmt(scale, 2)}x)")
+        if (raw > 3.0)
+          System.err.println(s"[bench] SUITE REGRESSION (RAW BACKSTOP): suite total " +
+            s"${fmt(raw, 2)}x the rolling-best total un-normalized (ceiling 3.0x) — " +
+            "no host epoch on record has exceeded 1.5x; treat as a code regression")
         s""""suite_ratio":${fmt(ratio, 3)},"suite_ratio_raw":${fmt(raw, 3)},"""
       }
     }
@@ -316,16 +333,22 @@ object Bench {
           (if (confirmTruncated) """"confirm_truncated":true,""" else "")
       }
     }
-    // Raw flags go on the line ONLY when no confirmation ran (the old
-    // behavior); with confirmation, the line carries the confirmed
-    // list + counts and the raw detail lives in bench_detail.json.
+    // Raw flags: full {best,hist} detail goes on the line when no
+    // confirmation ran (the old behavior); with confirmation, the line
+    // carries the confirmed list + counts AND (VERDICT r13 #3) the raw
+    // flag NAMES — a flag the normalization cleared must still be
+    // visible on the committed line, not only in bench_detail.json.
     // An empty flag list emits nothing at all (ADVICE r9).
     val regressionEntries = flagged.map { case (name, cur, h) =>
       s""""$name":{"best_ms":$cur,"hist_ms":$h}"""
     }
+    val rawNamesJson =
+      if (flagged.isEmpty) ""
+      else flagged.map(f => s""""${f._1}"""").take(16)
+        .mkString(""""regressions_raw":[""", ",", "],")
     val regressionsJson =
       if (flagged.isEmpty) ""
-      else if (confirmEnabled) confirmedJson
+      else if (confirmEnabled) rawNamesJson + confirmedJson
       else regressionEntries.mkString(""""regressions":{""", ",", "},")
     // CONFIRMED regressions re-baseline: the rolling min otherwise
     // ratchets in the fastest environment ever observed and re-flags

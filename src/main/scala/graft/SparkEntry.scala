@@ -912,10 +912,15 @@ object SparkEntry {
     // count, hottest-key and top-10 share (floor-ppm), normalized
     // Shannon entropy (rounded-nats DECIMAL sum) — the report that
     // decides salting vs AQE before a 100 TB shuffle runs
-    "skew_report" -> ((s, d) =>
-      Profiling.skewReport(t(s, d).lineitem,
-        Seq("l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus"))
-        .orderBy("key_col")),
+    "skew_report" -> ((s, d) => {
+      // branch decision from the parquet-footer stat — zero Spark jobs
+      // spent picking the plan (VERDICT r13 #4)
+      val tt = t(s, d)
+      Profiling.skewReport(tt.lineitem,
+        Seq("l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus"),
+        sizeHint = Some(tt.rowCountStat("lineitem")))
+        .orderBy("key_col")
+    }),
     // inter-arrival profile: per-user consecutive-event gaps in exact
     // integer microseconds, NEAREST-RANK percentiles (value at rank
     // ceil(q·n) — engines' interpolating percentiles differ by an ulp
@@ -1556,6 +1561,24 @@ object SparkEntry {
       Corpus.dsirSelectHashed(docs.where(col("lang") =!= "en"),
         docs.where(col("lang") === "en"), m = 1024).orderBy("doc_id")
     }),
+    // the hashed gate COMPOSED into a build (VERDICT r13 #6): the
+    // m-bounded model — the 100 TB shape, broadcast ≤ m rows at any
+    // vocabulary — drives a real curation chain: select on the hashed
+    // importance weights, rejoin the surviving docs, chunk to context
+    // windows. One hash proves the bounded gate slots into a pipeline
+    // exactly like the exact-model one
+    "dsir_curate_e2e" -> ((s, d) => {
+      val docs = t(s, d).documents
+      val sel = Corpus.dsirSelectHashed(docs.where(col("lang") =!= "en"),
+          docs.where(col("lang") === "en"), m = 1024)
+        .where(col("selected"))
+        .select(col("doc_id"), col("dsir_logw"))
+      val kept = docs.join(sel, "doc_id")
+        .select(col("doc_id"), col("lang"), col("dsir_logw"), col("text"))
+      Corpus.chunk(kept, size = 256)
+        .select(col("doc_id"), col("lang"), col("dsir_logw"), col("chunk_idx"), col("chunk"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
     // simhash's derived EXACT invariant (the minhash clone-reject
     // device): planted byte-identical clones MUST collide with their
     // originals — identical text ⇒ identical 64-bit fingerprint — so
@@ -1943,22 +1966,26 @@ object SparkEntry {
     // half per language) — perplexity filtering as a real corpus
     // pipeline stage, not just a score column
     "perplexity_filter" -> ((s, d) => {
-      val docs = t(s, d).documents
+      val tt = t(s, d)
+      val docs = tt.documents
       val scored = docs.select(col("doc_id"), col("lang"))
         .join(TextQuality.bigramLogProb(docs)
           .select(col("doc_id"), col("avg_logprob").as("score")), Seq("doc_id"))
-      Corpus.quantileFilterByScore(scored, keep = 0.5).orderBy("doc_id")
+      Corpus.quantileFilterByScore(scored, keep = 0.5,
+        sizeHint = Some(tt.rowCountStat("documents"))).orderBy("doc_id")
     }),
     // the crawl-authority prior wired into curation: the engine's own
     // extracted link graph → PageRank → per-language quantile cut —
     // link authority as a corpus quality signal, through the same
     // histogram-two-pass seam the LM perplexity cut uses
     "authority_filter" -> ((s, d) => {
-      val docs = t(s, d).documents
+      val tt = t(s, d)
+      val docs = tt.documents
       val rank = Graph.pageRank(Html.outlinks(Html.pageFromDocs(docs)))
       val scored = docs.select(col("doc_id"), col("lang"))
         .join(rank.select(col("node").as("doc_id"), col("pr").as("score")), Seq("doc_id"))
-      Corpus.quantileFilterByScore(scored, keep = 0.5).orderBy("doc_id")
+      Corpus.quantileFilterByScore(scored, keep = 0.5,
+        sizeHint = Some(tt.rowCountStat("documents"))).orderBy("doc_id")
     }),
     "token_count" -> ((s, d) => TextQuality.tokenCounts(t(s, d).documents).orderBy("doc_id")),
     // real subword tokenization under the frozen BPE merge artifact
@@ -2802,7 +2829,8 @@ object SparkEntry {
         .truncateLineage // consumed by the sample AND the rejoin
       val samp = Corpus.prioritySample(mixed, k = 100).truncateLineage
       val shards = Corpus.curriculumShards(
-        samp.select(col("doc_id"), col("weight").as("score")), phases = 4, nShards = 4)
+        samp.select(col("doc_id"), col("weight").as("score")), phases = 4, nShards = 4,
+        sizeHint = Some(101L)) // priority sample ≤ k+1 rows by contract
       val chosen = mixed.join(samp.select("doc_id"), "doc_id")
       val ch = Corpus.chunk(chosen.select(col("doc_id"), col("text")), size = 128)
       val chunkWords = ch
@@ -2891,7 +2919,8 @@ object SparkEntry {
           docs.select(col("doc_id"), col("lang")), rates, k = 100)
         .truncateLineage
       val shards = Corpus.curriculumShards(
-        samp.select(col("doc_id"), col("weight").as("score")), phases = 4, nShards = 4)
+        samp.select(col("doc_id"), col("weight").as("score")), phases = 4, nShards = 4,
+        sizeHint = Some(101L)) // priority sample ≤ k+1 rows by contract
       val chosen = ss.read.parquet(landDir).select(col("doc_id"), col("text"))
         .join(samp.select("doc_id"), "doc_id")
       val ch = Corpus.chunk(chosen.select(col("doc_id"), col("text")), size = 128)
@@ -3204,10 +3233,12 @@ object SparkEntry {
     // histogram-two-pass quantile cut, beside perplexity_filter and
     // authority_filter on the same seam
     "classifier_filter" -> ((s, d) => {
-      val scored = t(s, d).documents.select(col("doc_id"), col("lang"))
+      val tt = t(s, d)
+      val scored = tt.documents.select(col("doc_id"), col("lang"))
         .join(TextQuality.nbLogLikelihoodRatio(nbLabeled(s, d))
           .select(col("doc_id"), col("llr").as("score")), Seq("doc_id"))
-      Corpus.quantileFilterByScore(scored, keep = 0.5).orderBy("doc_id")
+      Corpus.quantileFilterByScore(scored, keep = 0.5,
+        sizeHint = Some(tt.rowCountStat("documents"))).orderBy("doc_id")
     }),
     // the crawl front door AS A STREAM: page drops arrive file-by-file,
     // href extraction runs per micro-batch, and the edge dedup becomes
@@ -3295,10 +3326,13 @@ object SparkEntry {
     // materialized training ORDER: quality-quantile phases (histogram
     // percent rank — no corpus sort) round-robined across shards with
     // a deterministic within-shard sequence
-    "curriculum_shards" -> ((s, d) =>
+    "curriculum_shards" -> ((s, d) => {
+      val tt = t(s, d)
       Corpus.curriculumShards(
-        t(s, d).documents.select(col("doc_id"), length(col("text")).cast("long").as("score")),
-        phases = 4, nShards = 8).orderBy("doc_id")),
+        tt.documents.select(col("doc_id"), length(col("text")).cast("long").as("score")),
+        phases = 4, nShards = 8,
+        sizeHint = Some(tt.rowCountStat("documents"))).orderBy("doc_id")
+    }),
     // one-row dataset-card vocabulary profile off the wordcount
     // relation (TTR / hapax / top-share scrape-health tells)
     "vocab_stats" -> ((s, d) => TextOps.vocabStats(t(s, d).documents)),
@@ -3444,21 +3478,28 @@ object SparkEntry {
         .withColumn("shortfall_tokens", col("target_tokens") - col("granted_tokens"))
         .orderBy("lang")
     }),
-    "quality_filter" -> ((s, d) =>
-      Corpus.qualityQuantileFilter(t(s, d).documents, keep = 0.5)
+    "quality_filter" -> ((s, d) => {
+      val tt = t(s, d)
+      Corpus.qualityQuantileFilter(tt.documents, keep = 0.5,
+          sizeHint = Some(tt.rowCountStat("documents")))
         .select(col("doc_id"), col("lang"), col("score"), col("pr"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
     // the flagship composition: the corpus operators chained as a real
     // training-data build — exact dedup, per-language quality cut,
     // stratified downsample of the dominant language, context-window
     // chunking — every stage deterministic, the WHOLE pipeline
     // hash-checked against one DuckDB CTE chain
     "pipeline_e2e" -> ((s, d) => {
-      val deduped = t(s, d).documents
+      val tt = t(s, d)
+      val deduped = tt.documents
         .groupBy(col("text"))
         .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"))
         .select(col("doc_id"), col("lang"), col("text"))
-      val quality = Corpus.qualityQuantileFilter(deduped, keep = 0.5)
+      // footer stat of the PRE-dedup table — an upper bound is all the
+      // branch pick needs
+      val quality = Corpus.qualityQuantileFilter(deduped, keep = 0.5,
+        sizeHint = Some(tt.rowCountStat("documents")))
       val sampled = Corpus.stratifiedSample(quality,
         rates = Map("en" -> 500), defaultPermille = 1000)
       Corpus.chunk(sampled.select(col("doc_id"), col("lang"), col("text")), size = 256)
@@ -4110,7 +4151,8 @@ object SparkEntry {
         .select(col("doc_id"), graft.functions.NfcNormalize.nfc(col("clean")).as("text"))
       val sampled = Corpus.prioritySample(cleaned, k = 100).truncateLineage
       val shards = Corpus.curriculumShards(
-        sampled.select(col("doc_id"), col("weight").as("score")), phases = 4, nShards = 4)
+        sampled.select(col("doc_id"), col("weight").as("score")), phases = 4, nShards = 4,
+        sizeHint = Some(101L)) // priority sample ≤ k+1 rows by contract
       sampled.join(shards.select(col("doc_id"), col("phase"), col("shard"), col("seq")), "doc_id")
         .orderBy("doc_id")
     }),
@@ -4694,7 +4736,7 @@ object SparkEntry {
   private lazy val prioritySampleTwinSql: String =
     """WITH keyed AS (
       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS weight,
-      |    CAST(floor((((doc_id % 2147483648) * 2654435761) % 4294967296) * 1048576
+      |    CAST(floor((CASE WHEN (((doc_id % 2147483648) * 2654435761) % 4294967296) = 0 THEN 4294967296 ELSE (((doc_id % 2147483648) * 2654435761) % 4294967296) END) * 1048576
       |         / CAST(length(text) AS DOUBLE)) AS BIGINT) AS pkey
       |  FROM documents WHERE length(text) > 0),
       | top AS (SELECT * FROM keyed ORDER BY pkey, doc_id LIMIT 201),
@@ -4716,7 +4758,8 @@ object SparkEntry {
   private lazy val prioritySampleExactTwinSql: String =
     """WITH keyed AS (
       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS weight,
-      |    CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 AS DOUBLE) AS h
+      |    CAST(CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 = 0 THEN 4294967296
+      |              ELSE ((doc_id % 2147483648) * 2654435761) % 4294967296 END AS DOUBLE) AS h
       |  FROM documents WHERE length(text) > 0),
       | r AS (SELECT doc_id, weight, h, h / CAST(weight AS DOUBLE) AS rr FROM keyed),
       | top AS (SELECT * FROM r ORDER BY rr, doc_id LIMIT 201),
@@ -7372,6 +7415,25 @@ object SparkEntry {
          |  rk <= (nn.n * 250 + 999) // 1000 AS selected
          |FROM r CROSS JOIN nn ORDER BY doc_id""".stripMargin,
 
+    // the composed hashed gate: dsir_select_hashed's selection chain,
+    // survivors rejoined to the corpus and chunked at 256 (the
+    // pipeline_e2e chunk template) — one hash over the whole build
+    "dsir_curate_e2e" ->
+      s"""$hashedDsirScoredCtes,
+         | nn AS (SELECT count(*) AS n FROM scored),
+         | r AS (SELECT doc_id, sl, row_number() OVER (ORDER BY sl DESC, doc_id) AS rk FROM scored),
+         | sel AS (SELECT doc_id, round(CAST(sl AS DOUBLE), 6) AS dsir_logw
+         |   FROM r CROSS JOIN nn WHERE rk <= (nn.n * 250 + 999) // 1000),
+         | kept AS (SELECT d.doc_id, d.lang, sel.dsir_logw, d.text
+         |   FROM documents d JOIN sel USING (doc_id)),
+         | c AS (SELECT doc_id, lang, dsir_logw, text,
+         |   CAST(ceil(length(text) / 256.0) AS BIGINT) AS n_chunks FROM kept),
+         | u AS (SELECT doc_id, lang, dsir_logw, text,
+         |   unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM c)
+         |SELECT doc_id, lang, dsir_logw, chunk_idx,
+         | substring(text, CAST(chunk_idx * 256 + 1 AS INT), 256) AS chunk
+         |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
+
     // the hashed streaming gate's twin = the dsir_select_hashed chain
     // up to the per-doc scores, thresholded at logw >= 0 (the same
     // rank-free cut streaming_dsir_ingest uses — a stream cannot rank
@@ -8374,7 +8436,7 @@ object SparkEntry {
          | mixed AS (SELECT mj.doc_id, mj.text FROM mj JOIN rates r ON mj.lang = r.lang
          |          WHERE $HashPermille < r.keep_permille),
          | keyed AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS weight,
-         |    CAST(floor((((doc_id % 2147483648) * 2654435761) % 4294967296) * 1048576
+         |    CAST(floor((CASE WHEN (((doc_id % 2147483648) * 2654435761) % 4294967296) = 0 THEN 4294967296 ELSE (((doc_id % 2147483648) * 2654435761) % 4294967296) END) * 1048576
          |         / CAST(length(text) AS DOUBLE)) AS BIGINT) AS pkey
          |   FROM mixed WHERE length(text) > 0),
          | top AS (SELECT * FROM keyed ORDER BY pkey, doc_id LIMIT 101),
@@ -8479,7 +8541,7 @@ object SparkEntry {
          | mixed AS (SELECT smj.doc_id, smj.text FROM smj JOIN rates r2 ON smj.lang = r2.lang
          |          WHERE $HashPermille < r2.keep_permille),
          | keyed AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS weight,
-         |    CAST(floor((((doc_id % 2147483648) * 2654435761) % 4294967296) * 1048576
+         |    CAST(floor((CASE WHEN (((doc_id % 2147483648) * 2654435761) % 4294967296) = 0 THEN 4294967296 ELSE (((doc_id % 2147483648) * 2654435761) % 4294967296) END) * 1048576
          |         / CAST(length(text) AS DOUBLE)) AS BIGINT) AS pkey
          |   FROM mixed WHERE length(text) > 0),
          | top AS (SELECT * FROM keyed ORDER BY pkey, doc_id LIMIT 101),
@@ -9194,7 +9256,7 @@ object SparkEntry {
       s"""${cardScrubCtes(s"WITH fx AS (SELECT doc_id, text || $CardSuffixSql || $NfcSuffixSql AS text FROM documents)")},
          | cl AS (SELECT doc_id, nfc_normalize(list_reduce(list_prepend(text, valids), (a, b) -> replace(a, b, '<CARD>'))) AS text FROM v),
          | keyed AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS weight,
-         |    CAST(floor((((doc_id % 2147483648) * 2654435761) % 4294967296) * 1048576
+         |    CAST(floor((CASE WHEN (((doc_id % 2147483648) * 2654435761) % 4294967296) = 0 THEN 4294967296 ELSE (((doc_id % 2147483648) * 2654435761) % 4294967296) END) * 1048576
          |         / CAST(length(text) AS DOUBLE)) AS BIGINT) AS pkey
          |   FROM cl WHERE length(text) > 0),
          | top AS (SELECT * FROM keyed ORDER BY pkey, doc_id LIMIT 101),
@@ -9516,7 +9578,7 @@ object SparkEntry {
         | c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
         | t AS (SELECT digit, n, sum(n) OVER () AS total FROM c),
         | f AS (SELECT digit, n,
-        |        CAST(floor(n * 1000000 / total) AS BIGINT) AS share_ppm,
+        |        CAST((CAST(n AS HUGEINT) * 1000000) // CAST(total AS HUGEINT) AS BIGINT) AS share_ppm,
         |        CAST(floor(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 1000000.0) AS BIGINT) AS benford_ppm
         |        FROM t)
         |SELECT digit, n, share_ppm, benford_ppm, share_ppm - benford_ppm AS dev_ppm
@@ -9528,7 +9590,7 @@ object SparkEntry {
       s"""$WDoc,
          | c AS (SELECT word AS key, count(*) AS n FROM w GROUP BY 1),
          | t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
-         |SELECT key, n, CAST(floor(n * 1000000 / total) AS BIGINT) AS share_ppm
+         |SELECT key, n, CAST((CAST(n AS HUGEINT) * 1000000) // CAST(total AS HUGEINT) AS BIGINT) AS share_ppm
          |FROM c CROSS JOIN t WHERE n * 2000 > total ORDER BY key""".stripMargin,
 
     // per-key-column block UNION ALL'd; entropy terms are
@@ -9546,8 +9608,8 @@ object SparkEntry {
            |        CAST(sum(CASE WHEN rk <= 10 THEN n ELSE 0 END) AS BIGINT) AS top10,
            |        sum(h_term) AS h_nats FROM h)
            | SELECT '$kc' AS key_col, n_keys, total,
-           |  CAST(floor(top1 * 1000000 / total) AS BIGINT) AS top1_ppm,
-           |  CAST(floor(top10 * 1000000 / total) AS BIGINT) AS top10_ppm,
+           |  CAST((CAST(top1 AS HUGEINT) * 1000000) // CAST(total AS HUGEINT) AS BIGINT) AS top1_ppm,
+           |  CAST((CAST(top10 AS HUGEINT) * 1000000) // CAST(total AS HUGEINT) AS BIGINT) AS top10_ppm,
            |  round(CAST(h_nats AS DOUBLE) / ln(2.0), 6) AS entropy_bits,
            |  round(CASE WHEN n_keys > 1
            |        THEN CAST(h_nats AS DOUBLE) / ln(CAST(n_keys AS DOUBLE))

@@ -100,16 +100,19 @@ object Profiling {
     * result relation is tiny no matter how big the input).
     *
     * Output: (key, n, share ppm) for every key with n·k > total,
-    * share rendered as floor(1e6·n/total) — the floor of one
-    * identical IEEE division on both engines, so the hash never
-    * compares a free-form float. */
+    * share rendered as the exact integer (1e6·n) div total in
+    * DECIMAL(38,0) arithmetic (HUGEINT `//` in the twin) — wide
+    * enough that a 100 TB key count cannot wrap the scale-up, and an
+    * integer quotient on both engines so the hash never compares a
+    * free-form float. */
   def heavyHitters(df: DataFrame, keyCol: String, k: Int = 100): DataFrame = {
     val total = df.agg(count(lit(1)).as("total"))
     df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(total))
       .where(col("n") * k > col("total"))
       .select(col("key"), col("n"),
-        floor(col("n") * lit(1000000L) / col("total")).as("share_ppm"))
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * 1000000) div total AS BIGINT)")
+          .as("share_ppm"))
   }
 
   /** Joinability report — the data-discovery scan a catalog runs to
@@ -199,7 +202,8 @@ object Profiling {
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
       .withColumn("total", sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
       .select(col("digit"), col("n"),
-        floor(col("n") * lit(1000000L) / col("total")).as("share_ppm"),
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * 1000000) div total AS BIGINT)")
+          .as("share_ppm"),
         floor(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / lit(math.log(10.0))
           * lit(1000000.0)).as("benford_ppm"))
       .withColumn("dev_ppm", col("share_ppm") - col("benford_ppm"))
@@ -234,10 +238,16 @@ object Profiling {
     * audited. Both branches are value-identical (same rounding, same
     * tie-breaks), so the cutover can never move the oracle hash. */
   def skewReport(df: DataFrame, keyCols: Seq[String],
-                 cutover: Long = TotalOrder.WindowCutover): DataFrame = {
+                 cutover: Long = TotalOrder.WindowCutover,
+                 sizeHint: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(keyCols.nonEmpty, "skewReport needs at least one key column")
-    val small = df.count() <= cutover
+    // `sizeHint` (VERDICT r13 #4): a caller that already knows an
+    // upper bound on the row count — a catalog stat, parquet footers
+    // (Tables.rowCountStat), a manifest — skips the branch-decision
+    // count job entirely. A wrong hint can only mispick the plan
+    // shape, never the values (both branches are value-identical).
+    val small = sizeHint.getOrElse(df.count()) <= cutover
     val per = keyCols.map { kc =>
       val counts = df.groupBy(col(kc).cast("string").as("key"))
         .agg(count(lit(1)).as("n"))
@@ -272,9 +282,17 @@ object Profiling {
             .select(col("n_keys"), col("tot").as("total"),
               col("top1"), col("top10"), col("h_nats"))
         }
+      // ppm scale-up in DECIMAL(38,0) integer division (the
+      // vocabCoverageCurve device, ADVICE r13): top1 * 1e6 wraps a
+      // 64-bit long once a key's count passes ~9.2e12 — reachable at
+      // 100 TB. `div` on the widened operands is exact (non-negative,
+      // so div == floor) and lands back in BIGINT; the twin mirrors
+      // with HUGEINT `//`.
       stats.select(lit(kc).as("key_col"), col("n_keys"), col("total"),
-        floor(col("top1") * lit(1000000L) / col("total")).as("top1_ppm"),
-        floor(col("top10") * lit(1000000L) / col("total")).as("top10_ppm"),
+        expr("CAST((CAST(top1 AS DECIMAL(38,0)) * 1000000) div total AS BIGINT)")
+          .as("top1_ppm"),
+        expr("CAST((CAST(top10 AS DECIMAL(38,0)) * 1000000) div total AS BIGINT)")
+          .as("top10_ppm"),
         round(col("h_nats").cast("double") / lit(math.log(2.0)), 6).as("entropy_bits"),
         round(when(col("n_keys") > 1,
           col("h_nats").cast("double") / log(col("n_keys").cast("double")))

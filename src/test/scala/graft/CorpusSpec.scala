@@ -164,6 +164,39 @@ class CorpusSpec extends AnyFunSuite {
     cmp.foreach(r => assert(r.getBoolean(1), s"${r.getString(0)}: dropped doc outscored a kept one"))
   }
 
+  test("quantileFilterByScore: the bounded above-cutover branch is value-identical to the fused window branch") {
+    // VERDICT r13 #2: continuous model scores put distinct-score
+    // cardinality at corpus scale — above the cutover the ranks come
+    // from TeraSort prefix sums and the corpus re-join runs through a
+    // per-stratum threshold + distributed equi-join instead of a
+    // score-scale broadcast. cutover = 0 forces that plan on real
+    // data; the fused window plan is the semantics oracle. Both a
+    // heavily-tied score (histogram << corpus) and a near-unique
+    // continuous score (histogram ≈ corpus) are exercised.
+    val scored = docs.select(col("doc_id"), col("lang"),
+      (length(col("text")) % 7).cast("double").as("tied"),
+      (length(col("text")).cast("double") / (col("doc_id") + lit(1))).as("cont"))
+    for (sc <- Seq("tied", "cont"); keep <- Seq(0.3, 0.5, 1.0)) {
+      val in = scored.select(col("doc_id"), col("lang"), col(sc).as("score"))
+      val fused = Corpus.quantileFilterByScore(in, keep = keep)
+        .collect().map(_.toSeq).toSet
+      val bounded = Corpus.quantileFilterByScore(in, keep = keep, cutover = 0L)
+        .collect().map(_.toSeq).toSet
+      assert(bounded === fused, s"score=$sc keep=$keep")
+    }
+  }
+
+  test("curriculumShards: the bounded branch reproduces the broadcast branch exactly; sizeHint only picks the plan") {
+    val scored = docs.select(col("doc_id"), length(col("text")).cast("long").as("score"))
+    val a = Corpus.curriculumShards(scored, phases = 4, nShards = 8)
+      .collect().map(_.toSeq).toSet
+    // a hint above the cutover forces the bounded branch without a
+    // count job; a wrong hint can only mispick the shape, not values
+    val b = Corpus.curriculumShards(scored, phases = 4, nShards = 8,
+      sizeHint = Some(Long.MaxValue)).collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
   test("temperature resample keeps the smallest stratum whole and rates fall with size") {
     val out = Corpus.temperatureResample(docs)
     val rates = out.select(col("lang"), col("n_l"), col("keep_permille"))
@@ -424,6 +457,30 @@ class CorpusSpec extends AnyFunSuite {
     // reassembly is lossless: joining the chunks gives back the
     // sentence stream
     assert(got.map(_._3).mkString(" ") === "aa bb. " + "x" * 20 + "! cc dd.")
+  }
+
+  test("priority keying: id ≡ 0 (mod 2^31) maps h to 2^32 — u stays in (0,1], τ stays finite") {
+    import spark.implicits._
+    // ADVICE r13: the raw Knuth hash of doc_id 0 is 0 — priority ∞,
+    // always sampled, and a division by zero if it ever lands at the
+    // k+1 threshold. Both keyers remap h = 0 → 2^32 (the twins carry
+    // the identical CASE), so u = h/2^32 ∈ (0,1] by construction.
+    val fx = Seq((0L, "x" * 40), (2147483648L, "y" * 25), (7L, "z" * 10))
+      .toDF("doc_id", "text")
+    val exact = Corpus.priorityKeyedExact(fx).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(exact(0L) === 4294967296.0)
+    assert(exact(2147483648L) === 4294967296.0) // ≡ 0 mod 2^31 too
+    assert(exact(7L) > 0.0 && exact(7L) < 4294967296.0)
+    // floored-key variant: key = floor(h·2^20/w) is 2^52/w here, not 0
+    val keyed = Corpus.priorityKeyed(fx).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(keyed(0L) === (4503599627370496.0 / 40).toLong)
+    // τ from a forced h=0-at-threshold frontier is finite: k=2 on the
+    // 3-row fixture makes the LAST-ordered row the threshold, and with
+    // both zero-hash ids present one of them ranks at the boundary
+    val est = Corpus.prioritySampleExact(fx, k = 2).collect().map(_.getDouble(2))
+    assert(est.nonEmpty && est.forall(e => !e.isInfinite && !e.isNaN && e > 0))
   }
 
   test("priorityKeyed/priorityFinish: batch-local frontiers compose to the one-shot sample") {

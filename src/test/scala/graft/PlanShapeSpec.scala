@@ -152,6 +152,47 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(physical.contains("BroadcastHashJoin"), physical)
   }
 
+  test("quantile ranks above the cutover: no unpartitioned window over a score-keyed relation") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // the bounded branch of the percent-rank-by-value relation
+    // (VERDICT r13 #2): a continuous score makes the histogram
+    // corpus-sized, so the ONLY legal unpartitioned windows are the
+    // TeraSort offset windows — over per-partition/per-strata
+    // AGGREGATES whose grouping never includes the score. The fused
+    // (below-cutover) branch intentionally fails this predicate; the
+    // plan is inspected on the ranks relation itself, BEFORE the
+    // consumer pin truncates lineage.
+    val scored = t.documents.select(col("doc_id"), col("lang"),
+      (org.apache.spark.sql.functions.length(col("text")).cast("double")
+        / (col("doc_id") + org.apache.spark.sql.functions.lit(1))).as("score"))
+    val ranks = Corpus.scoreRanksByValue(scored, Seq("lang"), small = false)
+    val windows = ranks.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected the TeraSort offset windows to survive optimization")
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val agg = w.child.collectFirst { case a: Aggregate => a }
+      assert(agg.isDefined,
+        s"unpartitioned Window over non-aggregated input (single-task sort at scale):\n$w")
+      val groupCols = agg.get.groupingExpressions.flatMap(_.references.toSeq.map(_.name))
+      assert(!groupCols.contains("score"),
+        s"unpartitioned Window over the score-scale histogram:\n$w")
+    }
+    // and the bounded quantile filter never HINTS a score-carrying
+    // relation for broadcast: its only explicit broadcasts are the
+    // strata-count-sized threshold cuts and the TeraSort offsets.
+    // (AQE may still pick broadcast from RUNTIME sizes at fixture
+    // scale — that is the adaptive contract working, not a leak; the
+    // leak this pins against is the unconditional ~keep·N-row hint
+    // the pre-r14 plan carried.)
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val filtered = Corpus.quantileFilterByScore(scored, keep = 0.5,
+      sizeHint = Some(Long.MaxValue))
+    val hints = filtered.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    hints.foreach { h =>
+      assert(!h.child.output.map(_.name).contains("score"),
+        s"score-scale relation explicitly broadcast in the bounded branch:\n$h")
+    }
+  }
+
   test("inverted index: the df cap gates the posting aggregation — no collect_list below the cap join") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
     val df = graft.operators.Retrieval.invertedIndex(t.documents, maxDf = 5)
