@@ -342,10 +342,15 @@ object Bench {
     val regressionEntries = flagged.map { case (name, cur, h) =>
       s""""$name":{"best_ms":$cur,"hist_ms":$h}"""
     }
+    // ALL names, never truncated (a silently-capped list recreates the
+    // masked-flag failure this key exists to fix); a monster flag day
+    // only degrades the line's per-query precision via the renderTop
+    // fallback, which keeps this key intact. The count rides along so
+    // any downstream clipping is detectable.
     val rawNamesJson =
       if (flagged.isEmpty) ""
-      else flagged.map(f => s""""${f._1}"""").take(16)
-        .mkString(""""regressions_raw":[""", ",", "],")
+      else flagged.map(f => s""""${f._1}"""")
+        .mkString(s""""regressions_raw_n":${flagged.size},"regressions_raw":[""", ",", "],")
     val regressionsJson =
       if (flagged.isEmpty) ""
       else if (confirmEnabled) rawNamesJson + confirmedJson
@@ -393,9 +398,11 @@ object Bench {
         val ms = (v: Double) => math.round(v * 1000)
         s""" "$name":{"pass1_ms":${ms(pass1(name))},"pass2_ms":${ms(pass2(name))},"best_ms":${ms(results(name))}}"""
       }.mkString("{\n", ",\n", "\n}")
+      // distinct key from the line's "regressions_raw" NAME ARRAY: one
+      // key, one shape — this object carries the {best,hist} detail
       val rawFlags =
         if (flagged.isEmpty) ""
-        else regressionEntries.mkString(""""regressions_raw":{""", ",", "},")
+        else regressionEntries.mkString(""""regressions_raw_detail":{""", ",", "},")
       val isolatedRows =
         if (confirmResults.isEmpty) ""
         else confirmResults.map { case (n, ms, h, conf) =>

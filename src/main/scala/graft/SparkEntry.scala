@@ -4736,8 +4736,8 @@ object SparkEntry {
   private lazy val prioritySampleTwinSql: String =
     """WITH keyed AS (
       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS weight,
-      |    CAST(floor((CASE WHEN (((doc_id % 2147483648) * 2654435761) % 4294967296) = 0 THEN 4294967296 ELSE (((doc_id % 2147483648) * 2654435761) % 4294967296) END) * 1048576
-      |         / CAST(length(text) AS DOUBLE)) AS BIGINT) AS pkey
+      |    greatest(CAST(floor((CASE WHEN (((doc_id % 2147483648) * 2654435761) % 4294967296) = 0 THEN 4294967296 ELSE (((doc_id % 2147483648) * 2654435761) % 4294967296) END) * 1048576
+      |         / CAST(length(text) AS DOUBLE)) AS BIGINT), 1) AS pkey
       |  FROM documents WHERE length(text) > 0),
       | top AS (SELECT * FROM keyed ORDER BY pkey, doc_id LIMIT 201),
       | ranked AS (SELECT top.*, row_number() OVER (ORDER BY pkey, doc_id) AS rn FROM top),
@@ -8436,8 +8436,8 @@ object SparkEntry {
          | mixed AS (SELECT mj.doc_id, mj.text FROM mj JOIN rates r ON mj.lang = r.lang
          |          WHERE $HashPermille < r.keep_permille),
          | keyed AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS weight,
-         |    CAST(floor((CASE WHEN (((doc_id % 2147483648) * 2654435761) % 4294967296) = 0 THEN 4294967296 ELSE (((doc_id % 2147483648) * 2654435761) % 4294967296) END) * 1048576
-         |         / CAST(length(text) AS DOUBLE)) AS BIGINT) AS pkey
+         |    greatest(CAST(floor((CASE WHEN (((doc_id % 2147483648) * 2654435761) % 4294967296) = 0 THEN 4294967296 ELSE (((doc_id % 2147483648) * 2654435761) % 4294967296) END) * 1048576
+         |         / CAST(length(text) AS DOUBLE)) AS BIGINT), 1) AS pkey
          |   FROM mixed WHERE length(text) > 0),
          | top AS (SELECT * FROM keyed ORDER BY pkey, doc_id LIMIT 101),
          | ranked AS (SELECT top.*, row_number() OVER (ORDER BY pkey, doc_id) AS rn FROM top),
@@ -8541,8 +8541,8 @@ object SparkEntry {
          | mixed AS (SELECT smj.doc_id, smj.text FROM smj JOIN rates r2 ON smj.lang = r2.lang
          |          WHERE $HashPermille < r2.keep_permille),
          | keyed AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS weight,
-         |    CAST(floor((CASE WHEN (((doc_id % 2147483648) * 2654435761) % 4294967296) = 0 THEN 4294967296 ELSE (((doc_id % 2147483648) * 2654435761) % 4294967296) END) * 1048576
-         |         / CAST(length(text) AS DOUBLE)) AS BIGINT) AS pkey
+         |    greatest(CAST(floor((CASE WHEN (((doc_id % 2147483648) * 2654435761) % 4294967296) = 0 THEN 4294967296 ELSE (((doc_id % 2147483648) * 2654435761) % 4294967296) END) * 1048576
+         |         / CAST(length(text) AS DOUBLE)) AS BIGINT), 1) AS pkey
          |   FROM mixed WHERE length(text) > 0),
          | top AS (SELECT * FROM keyed ORDER BY pkey, doc_id LIMIT 101),
          | ranked AS (SELECT top.*, row_number() OVER (ORDER BY pkey, doc_id) AS rn FROM top),
@@ -9256,8 +9256,8 @@ object SparkEntry {
       s"""${cardScrubCtes(s"WITH fx AS (SELECT doc_id, text || $CardSuffixSql || $NfcSuffixSql AS text FROM documents)")},
          | cl AS (SELECT doc_id, nfc_normalize(list_reduce(list_prepend(text, valids), (a, b) -> replace(a, b, '<CARD>'))) AS text FROM v),
          | keyed AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS weight,
-         |    CAST(floor((CASE WHEN (((doc_id % 2147483648) * 2654435761) % 4294967296) = 0 THEN 4294967296 ELSE (((doc_id % 2147483648) * 2654435761) % 4294967296) END) * 1048576
-         |         / CAST(length(text) AS DOUBLE)) AS BIGINT) AS pkey
+         |    greatest(CAST(floor((CASE WHEN (((doc_id % 2147483648) * 2654435761) % 4294967296) = 0 THEN 4294967296 ELSE (((doc_id % 2147483648) * 2654435761) % 4294967296) END) * 1048576
+         |         / CAST(length(text) AS DOUBLE)) AS BIGINT), 1) AS pkey
          |   FROM cl WHERE length(text) > 0),
          | top AS (SELECT * FROM keyed ORDER BY pkey, doc_id LIMIT 101),
          | ranked AS (SELECT top.*, row_number() OVER (ORDER BY pkey, doc_id) AS rn FROM top),

@@ -129,18 +129,26 @@ object Corpus {
   def priorityKeyed(docs: DataFrame,
                     weightCol: Column = length(col("text")),
                     idCol: String = "doc_id"): DataFrame = {
+    // key clamped to >= 1: even with h > 0 the FLOOR collapses to 0
+    // once weight > h·2^20 (a multi-megabyte doc drawing a small h),
+    // and a zero threshold key would divide τ by zero. Clamping to 1
+    // keeps such monsters at the maximum priority the key space can
+    // express (they tie, doc_id breaks it) and τ = 2^52/1 finite; the
+    // four floored-key twins carry the identical greatest(). Unreached
+    // at fixture weights (≤ KB-scale), so no hash moves.
     docs.select(col(idCol), weightCol.cast(LongType).as("weight"))
       .where(col("weight") > 0)
-      .withColumn("__key", floor(priorityHash(col(idCol)) * lit(1048576L)
-        / col("weight").cast(DoubleType)).cast(LongType))
+      .withColumn("__key", greatest(floor(priorityHash(col(idCol)) * lit(1048576L)
+        / col("weight").cast(DoubleType)).cast(LongType), lit(1L)))
   }
 
   /** The Knuth multiplicative id hash both priority samplers rank by,
     * mapped into (0, 2^32]: h = 0 (ids ≡ 0 mod 2^31, e.g. doc_id 0)
-    * becomes 2^32, so u = h/2^32 stays in (0, 1] and the threshold
-    * row's τ — a division BY h (exact variant) or by the h-derived
-    * integer key (floored variant) — is always finite (ADVICE r13).
-    * Both DuckDB twins apply the identical CASE. */
+    * becomes 2^32, so u = h/2^32 stays in (0, 1] and the exact
+    * variant's τ = w·2^32/h is always finite (ADVICE r13). The floored
+    * variant needs the [[priorityKeyed]] key clamp TOO — its floor can
+    * reach 0 from the weight side alone. Both DuckDB twins apply the
+    * identical CASE. */
   private def priorityHash(id: Column): Column = {
     val h0 = pmod(pmod(id, lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
     when(h0 === 0L, lit(4294967296L)).otherwise(h0)
@@ -246,13 +254,17 @@ object Corpus {
     * engine-exact Knuth id hash ([[budgetCap]]), so the curriculum is
     * reproducible across runs and partitionings.
     * Output: (idCol, score, pr, phase, shard, seq). */
-  def curriculumShards(scored: DataFrame, phases: Int = 4, nShards: Int = 8,
+  def curriculumShards(scored0: DataFrame, phases: Int = 4, nShards: Int = 8,
                        idCol: String = "doc_id",
                        sizeHint: Option[Long] = None,
                        cutover: Long = TotalOrder.WindowCutover): DataFrame = {
     require(phases > 0 && nShards > 0, "curriculumShards needs phases > 0 and nShards > 0")
-    val small = sizeHint.getOrElse(scored.count()) <= cutover
-    val ranks = scoreRanksByValue(scored.select(col(idCol), col("score")), Seq.empty, small)
+    // same hint-or-pin discipline as quantileFilterByScore
+    val (scored, small) = sizeHint match {
+      case Some(bound) => (scored0, bound <= cutover)
+      case None => TotalOrder.fitsOneTask(scored0, cutover)
+    }
+    val ranks = scoreRanksByValue(scored.select(col(idCol), col("score")), Seq.empty, small, cutover)
     val h = pmod(pmod(col(idCol), lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
     (if (small) scored.join(broadcast(ranks), "score") else scored.join(ranks, "score"))
       .select(col(idCol), col("score"), col("pr"),
@@ -583,7 +595,8 @@ object Corpus {
     * ever sees the score-scale relation, and the histogram is pinned
     * once so its corpus scan + shuffle never reruns per consumer. */
   private[graft] def scoreRanksByValue(scored: DataFrame, strata: Seq[String],
-                                       small: Boolean): DataFrame = {
+                                       small: Boolean,
+                                       cutover: Long = TotalOrder.WindowCutover): DataFrame = {
     val sc = strata.map(col)
     val hist0 = scored.groupBy(sc :+ col("score"): _*).agg(count(lit(1)).as("cnt"))
     val ranked =
@@ -593,6 +606,22 @@ object Corpus {
         hist0
           .withColumn("cnt_below", coalesce(sum(col("cnt")).over(below), lit(0L)))
           .withColumn("n", sum(col("cnt")).over(Window.partitionBy(sc: _*)))
+          // stale-hint tripwire (r14 review): this fused branch is only
+          // legal when the source fits one task, and a caller-supplied
+          // hint is trusted, not verified — so the already-computed
+          // per-stratum row count doubles as the check, failing LOUD
+          // in-plan (zero extra jobs) instead of dying slowly inside a
+          // single-task sort. Per-stratum bound: the dominant-stratum
+          // regime — the actual scale-killer — always trips it. With
+          // the unhinted pin-and-count path, or at true fixture sizes,
+          // n <= cutover by construction, so no hash can move.
+          .withColumn("n", when(col("n") > cutover,
+            raise_error(concat(
+              lit("scoreRanksByValue: fused window branch picked by a stale size " +
+                "hint - stratum row count "), col("n").cast(StringType),
+              lit(s" exceeds WindowCutover $cutover; pass a correct sizeHint or none")))
+              .cast(LongType))
+            .otherwise(col("n")))
       } else {
         val hist = graft.plans.Lineage.truncate(hist0)
         val run = TotalOrder.prefixSum(hist, sc :+ col("score"), Seq(("cnt", "__run")))
@@ -643,12 +672,20 @@ object Corpus {
     * upper bound on the row count (catalog stat, manifest), skips the
     * branch-decision count job; a wrong hint can only mispick the plan
     * shape, never change values (both branches are value-identical). */
-  def quantileFilterByScore(scored: DataFrame, keep: Double = 0.5,
+  def quantileFilterByScore(scored0: DataFrame, keep: Double = 0.5,
                             strataCol: String = "lang",
                             sizeHint: Option[Long] = None,
                             cutover: Long = TotalOrder.WindowCutover): DataFrame = {
-    val small = sizeHint.getOrElse(scored.count()) <= cutover
-    val ranks0 = scoreRanksByValue(scored, Seq(strataCol), small)
+    // with a hint the input flows through untouched (zero jobs spent
+    // deciding); without one, fitsOneTask PINS the input before the
+    // decision count — `scored` is often a join-heavy model-score
+    // relation, and an unpinned count would evaluate it once for the
+    // decision and again per consumer (r14 review)
+    val (scored, small) = sizeHint match {
+      case Some(bound) => (scored0, bound <= cutover)
+      case None => TotalOrder.fitsOneTask(scored0, cutover)
+    }
+    val ranks0 = scoreRanksByValue(scored, Seq(strataCol), small, cutover)
       .where(col("pr") >= 1.0 - keep)
     val passthrough = scored.columns.filter(_ != "score").map(col).toSeq
     val out =

@@ -257,6 +257,18 @@ object Profiling {
           counts
             .withColumn("rk", row_number().over(w))
             .withColumn("tot", sum(col("n")).over(Window.partitionBy()))
+            // stale-hint tripwire (r14 review): tot IS the source row
+            // count — if it exceeds the cutover, the sizeHint that
+            // picked this fused branch was wrong; fail loud in-plan
+            // (zero extra jobs) instead of sorting the audited
+            // relation in one task. Dormant under the unhinted
+            // count() path and at fixture sizes — no hash can move.
+            .withColumn("tot", when(col("tot") > cutover,
+              raise_error(concat(
+                lit("skewReport: fused branch picked by a stale size hint - source rows "),
+                col("tot").cast("string"),
+                lit(s" exceed WindowCutover $cutover"))).cast("long"))
+              .otherwise(col("tot")))
             .withColumn("p", col("n").cast("double") / col("tot").cast("double"))
             .withColumn("h_term",
               round(col("p") * -log(col("p")), 9).cast("decimal(38,9)"))

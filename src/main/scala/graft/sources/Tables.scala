@@ -77,11 +77,16 @@ object Tables {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
+    // same visibility rule as Spark's InMemoryFileIndex: names starting
+    // with '_' or '.' are metadata/hidden (in-flight writer temps,
+    // _SUCCESS, .crc) and are invisible to df.count() — counting them
+    // here would silently disagree with the reader
+    def visible(name: String) = !name.startsWith("_") && !name.startsWith(".")
     def files(p: Path): Seq[Path] = {
       val st = fs.getFileStatus(p)
       if (st.isFile) Seq(p)
       else fs.listStatus(p).toSeq
-        .filterNot(_.getPath.getName.startsWith("_"))
+        .filter(c => visible(c.getPath.getName))
         .flatMap(c => if (c.isFile) {
           if (c.getPath.getName.endsWith(".parquet")) Seq(c.getPath) else Nil
         } else files(c.getPath))

@@ -186,6 +186,23 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("a stale size hint fails loud: the fused branch's in-plan guard trips instead of a single-task sort") {
+    // hint says 1 row, cutover 10, reality ~thousands: the fused
+    // window branch is mispicked and must raise, not crawl
+    val scored = docs.select(col("doc_id"), col("lang"),
+      length(col("text")).cast("double").as("score"))
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.toString).toSeq
+    val ex = intercept[Exception] {
+      Corpus.quantileFilterByScore(scored, keep = 0.5,
+        sizeHint = Some(1L), cutover = 10L).collect()
+    }
+    assert(chain(ex).exists(_.contains("stale size hint")), ex.toString)
+    // the unhinted path pin-counts the truth and never trips the guard
+    assert(Corpus.quantileFilterByScore(scored, keep = 0.5, cutover = 10L)
+      .collect().nonEmpty)
+  }
+
   test("curriculumShards: the bounded branch reproduces the broadcast branch exactly; sizeHint only picks the plan") {
     val scored = docs.select(col("doc_id"), length(col("text")).cast("long").as("score"))
     val a = Corpus.curriculumShards(scored, phases = 4, nShards = 8)
@@ -476,6 +493,12 @@ class CorpusSpec extends AnyFunSuite {
     val keyed = Corpus.priorityKeyed(fx).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(keyed(0L) === (4503599627370496.0 / 40).toLong)
+    // and the WEIGHT side of the same hazard (r14 review): a monster
+    // weight floors the key to 0 even with h > 0 — clamped to 1, so a
+    // threshold row can never divide τ by zero
+    val monster = Corpus.priorityKeyed(Seq((7L, "x")).toDF("doc_id", "text"),
+      weightCol = lit(10000000000000000L)).collect()
+    assert(monster.head.getLong(2) === 1L)
     // τ from a forced h=0-at-threshold frontier is finite: k=2 on the
     // 3-row fixture makes the LAST-ordered row the threshold, and with
     // both zero-hash ids present one of them ranks at the boundary

@@ -186,4 +186,15 @@ class ProfilingSpec extends AnyFunSuite {
     val tt = graft.sources.Tables(spark, "/root/testdata/sf0.001")
     assert(tt.rowCountStat("lineitem") === li.count())
   }
+
+  test("skewReport: a stale too-small hint trips the in-plan guard instead of a single-task sort") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.toString).toSeq
+    val ex = intercept[Exception] {
+      Profiling.skewReport(li, Seq("l_returnflag"),
+        cutover = 10L, sizeHint = Some(1L)).collect()
+    }
+    assert(chain(ex).exists(_.contains("stale size hint")), ex.toString)
+  }
 }
