@@ -1143,6 +1143,28 @@ object SparkEntry {
             .as("recall_at_20"),
           round(lit(1.0) / col("fr").cast("double"), 6).as("mrr"))
     }),
+    // hard-negative mining for contrastive embedding training (the
+    // DPR/BM25-negatives recipe): the top-BM25 docs that rank high
+    // yet MISS at least one query term — lexically confusable, not
+    // relevant — as (doc, score, rank) triples ready to pair against
+    // the positives retrieval_eval scores. Rank-anti-join over the
+    // k-bounded ranked relation; positives = the same all-terms
+    // relevance set
+    "hard_negative_mining" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d).documents
+      val ranked = Retrieval.bm25TopK(docs, Bm25Terms, k = 20, maxDf = RetrievalMaxDf)
+        .withColumn("neg_rank",
+          row_number().over(Window.orderBy(desc("score"), asc("doc_id"))).cast("long"))
+      val rel = docs.select(col("doc_id"),
+          filter(transform(TextOps.tokens(col("text")), tk => TextOps.cleanWord(tk)),
+            w => length(w) > 0).as("ws"))
+        .where(Bm25Terms.map(term => array_contains(col("ws"), term)).reduce(_ && _))
+        .select(col("doc_id"))
+      ranked.join(rel, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("score"), col("neg_rank"))
+        .orderBy("neg_rank")
+    }),
     // graded companion to retrieval_eval: relevance GRADE = how many
     // of the query's terms the doc's cleaned vocabulary holds (1..3),
     // gain = 2^grade − 1, nDCG@10 of the BM25 ranking against the
@@ -1626,6 +1648,24 @@ object SparkEntry {
     }),
     "lsh_topk" -> ((s, d) => Similarity.lshTopK(t(s, d).embeddings).orderBy("q_id", "rank")),
     "ivf_topk" -> ((s, d) => Similarity.ivfTopK(t(s, d).embeddings).orderBy("q_id", "rank")),
+    // the ANN quality gate a serving index ships with: recall@10 of
+    // ivf_topk against the exact cosine truth, as the pure-integer
+    // hits histogram (how many queries found 0..10 of their true
+    // top-10) — every-query coverage, 0-hit queries restored by the
+    // left join; both input rankings are themselves hash-proven, so
+    // the set intersection is engine-identical
+    "ann_recall_eval" -> ((s, d) => {
+      val e = t(s, d).embeddings
+      val ivf = Similarity.ivfTopK(e).select(col("q_id"), col("c_id"))
+      val exact = Similarity.bruteForceTopK(e, e).select(col("q_id"), col("c_id"))
+      val hits = ivf.join(exact, Seq("q_id", "c_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+      e.select(col("vec_id").as("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .select(coalesce(col("hits"), lit(0L)).as("hits"))
+        .groupBy(col("hits")).agg(count(lit(1)).as("n_queries"))
+        .orderBy("hits")
+    }),
     // product-quantization ANN (rows-only: approximate by design;
     // recall vs brute force asserted in SimilaritySpec)
     "pq_topk" -> ((s, d) => Similarity.pqTopK(t(s, d).embeddings).orderBy("q_id", "rank")),
@@ -1972,6 +2012,20 @@ object SparkEntry {
         .join(TextQuality.bigramLogProb(docs)
           .select(col("doc_id"), col("avg_logprob").as("score")), Seq("doc_id"))
       Corpus.quantileFilterByScore(scored, keep = 0.5,
+        sizeHint = Some(tt.rowCountStat("documents"))).orderBy("doc_id")
+    }),
+    // the CCNet split (Wenzek et al.): per-language LM-perplexity
+    // TERCILES — head/middle/tail buckets every row, where the filter
+    // above keeps only the top half. Value-based buckets off the same
+    // percent-rank-by-value relation, so ties stay together and the
+    // DuckDB percent_rank twin hash-matches
+    "perplexity_buckets" -> ((s, d) => {
+      val tt = t(s, d)
+      val docs = tt.documents
+      val scored = docs.select(col("doc_id"), col("lang"))
+        .join(TextQuality.bigramLogProb(docs)
+          .select(col("doc_id"), col("avg_logprob").as("score")), Seq("doc_id"))
+      Corpus.scoreBuckets(scored, nBuckets = 3,
         sizeHint = Some(tt.rowCountStat("documents"))).orderBy("doc_id")
     }),
     // the crawl-authority prior wired into curation: the engine's own
@@ -5053,6 +5107,21 @@ object SparkEntry {
     * the persisted-index path (`bm25_from_index`): the index stores
     * exactly the relations this SQL derives, so lifecycle parity is
     * proven by both queries hashing against the same oracle. */
+  /** The IVF candidate-and-rank CTE chain — shared by the ivf_topk
+    * twin and the ann_recall_eval twin, ending at
+    * `r(q_id, c_id, sim, rank)` over `v(vec_id, e)`. */
+  private lazy val ivfRankCtes: String =
+    """WITH cents AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 3200),
+      | v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      | asg AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+      |   ORDER BY list_cosine_similarity(e, ce) DESC, cell) AS rn FROM v CROSS JOIN cents),
+      | home AS (SELECT vec_id AS c_id, cell FROM asg WHERE rn = 1),
+      | probe AS (SELECT vec_id AS q_id, cell FROM asg WHERE rn <= 4),
+      | cand AS (SELECT DISTINCT q_id, c_id FROM probe JOIN home USING (cell) WHERE q_id <> c_id),
+      | s AS (SELECT q_id, c_id, list_cosine_similarity(q.e, c.e) AS sim
+      |       FROM cand JOIN v q ON q.vec_id = cand.q_id JOIN v c ON c.vec_id = cand.c_id),
+      | r AS (SELECT q_id, c_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank FROM s)""".stripMargin
+
   private lazy val bm25TwinSql: String = {
     val termCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
       s"max(CASE WHEN word = '$t' THEN w_score END) AS s$i"
@@ -6966,6 +7035,20 @@ object SparkEntry {
     // relevance = the conjunctive exact-match set off the shared WDoc
     // tokenization; terms and count interpolated from the ONE Scala
     // constant the Spark ranker queries use
+    // the negatives twin: bm25 ranking as a subquery, the SAME
+    // all-terms relevance CTE as retrieval_eval, NOT IN instead of
+    // the hit join
+    "hard_negative_mining" ->
+      s"""$WDoc,
+         | rk AS (SELECT doc_id, score,
+         |        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS neg_rank
+         |        FROM ($bm25TwinSql) z1),
+         | rel AS (SELECT doc_id FROM w WHERE word IN (${Bm25Terms.map(x => s"'$x'").mkString(", ")})
+         |         GROUP BY doc_id HAVING count(DISTINCT word) = ${Bm25Terms.size})
+         |SELECT doc_id, score, neg_rank FROM rk
+         |WHERE doc_id NOT IN (SELECT doc_id FROM rel)
+         |ORDER BY neg_rank""".stripMargin,
+
     "retrieval_eval" ->
       s"""$WDoc,
          | rk AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r
@@ -7288,18 +7371,28 @@ object SparkEntry {
     // candidate cosine ranking — the knn_hubness_ivf chain minus the
     // census (the cells relation alone remains pinned by ivf_cells)
     "ivf_topk" ->
-      """WITH cents AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 3200),
-        | v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        | asg AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
-        |   ORDER BY list_cosine_similarity(e, ce) DESC, cell) AS rn FROM v CROSS JOIN cents),
-        | home AS (SELECT vec_id AS c_id, cell FROM asg WHERE rn = 1),
-        | probe AS (SELECT vec_id AS q_id, cell FROM asg WHERE rn <= 4),
-        | cand AS (SELECT DISTINCT q_id, c_id FROM probe JOIN home USING (cell) WHERE q_id <> c_id),
-        | s AS (SELECT q_id, c_id, list_cosine_similarity(q.e, c.e) AS sim
-        |       FROM cand JOIN v q ON q.vec_id = cand.q_id JOIN v c ON c.vec_id = cand.c_id),
-        | r AS (SELECT q_id, c_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank FROM s)
-        |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, round(sim, 4) AS sim_r
-        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+      s"""$ivfRankCtes
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, round(sim, 4) AS sim_r
+         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // the ANN quality gate: recall@10 of the IVF ranking against the
+    // exact cosine truth, reported as the hits histogram (0..10 —
+    // pure integers, no float mean to flap a hash); queries whose
+    // IVF list shares nothing with the truth are restored at 0 by
+    // the left join
+    "ann_recall_eval" ->
+      s"""$ivfRankCtes,
+         | exs AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id, list_cosine_similarity(q.e, c.e) AS sim
+         |        FROM v q JOIN v c ON q.vec_id <> c.vec_id),
+         | exr AS (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank FROM exs),
+         | hits AS (SELECT a.q_id, count(*) AS hits
+         |          FROM (SELECT q_id, c_id FROM r WHERE rank <= 10) a
+         |          JOIN (SELECT q_id, c_id FROM exr WHERE rank <= 10) b USING (q_id, c_id)
+         |          GROUP BY 1),
+         | allq AS (SELECT DISTINCT vec_id AS q_id FROM embeddings)
+         |SELECT CAST(coalesce(h.hits, 0) AS BIGINT) AS hits, count(*) AS n_queries
+         |FROM allq LEFT JOIN hits h USING (q_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // embedding_near_dups_lsh CONVERTED from rows-only (round 12):
     // candidates co-bucketed in ANY of 8 four-plane tables, scored
@@ -7623,6 +7716,19 @@ object SparkEntry {
          | r AS (SELECT doc_id, lang, score,
          |         percent_rank() OVER (PARTITION BY lang ORDER BY score) AS pr FROM scd)
          |SELECT doc_id, lang, score, pr FROM r WHERE pr >= 0.5 ORDER BY doc_id""".stripMargin,
+
+    // the tercile twin: the same bigram chain, bucket from the naive
+    // percent_rank — floor(pr*3) is one IEEE multiply+floor on both
+    // engines, clamped at 2 for pr = 1.0
+    "perplexity_buckets" ->
+      s"""$BigramCtes,
+         | scd AS (SELECT d.doc_id, d.lang, round(CAST(s.sl AS DOUBLE) / s.n_bigrams, 6) AS score
+         |         FROM documents d JOIN s ON d.doc_id = s.doc_id),
+         | r AS (SELECT doc_id, lang, score,
+         |         percent_rank() OVER (PARTITION BY lang ORDER BY score) AS pr FROM scd)
+         |SELECT doc_id, lang, score, pr,
+         | least(2, CAST(floor(pr * 3) AS BIGINT)) AS bucket
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     // authority twin: the unrolled PageRank CTE chain over the
     // closed-form crawl edges feeds the naive percent_rank filter —

@@ -700,6 +700,36 @@ object Corpus {
     out.select(passthrough :+ col("score") :+ col("pr"): _*)
   }
 
+  /** CCNet-style quantile bucketing on a caller-supplied score — the
+    * head/middle/tail split (Wenzek et al. 2020: per-language LM
+    * perplexity TERCILES decide keep / rework / drop) as the general
+    * n-bucket sibling of [[quantileFilterByScore]]: every row gets
+    * bucket = min(nBuckets−1, floor(pr·nBuckets)) from the same exact
+    * percent-rank-by-value relation. VALUE-based on purpose: tied
+    * scores land in ONE bucket, where ntile's row-count split would
+    * tear ties apart by physical order and could never hash-match
+    * across engines. Output: every input column + score + pr + bucket
+    * (0 = tail … nBuckets−1 = head). Same adaptive scale shape and
+    * hint/pin discipline as the filter ([[scoreRanksByValue]]). */
+  def scoreBuckets(scored0: DataFrame, nBuckets: Int = 3,
+                   strataCol: String = "lang",
+                   sizeHint: Option[Long] = None,
+                   cutover: Long = TotalOrder.WindowCutover): DataFrame = {
+    require(nBuckets > 0, "scoreBuckets needs nBuckets > 0")
+    val (scored, small) = sizeHint match {
+      case Some(bound) => (scored0, bound <= cutover)
+      case None => TotalOrder.fitsOneTask(scored0, cutover)
+    }
+    val ranks0 = scoreRanksByValue(scored, Seq(strataCol), small, cutover)
+      .withColumn("bucket",
+        least(lit((nBuckets - 1).toLong), floor(col("pr") * nBuckets).cast(LongType)))
+    val passthrough = scored.columns.filter(_ != "score").map(col).toSeq
+    val out =
+      if (small) scored.join(broadcast(ranks0), Seq(strataCol, "score"))
+      else scored.join(graft.plans.Lineage.truncate(ranks0), Seq(strataCol, "score"))
+    out.select(passthrough ++ Seq(col("score"), col("pr"), col("bucket")): _*)
+  }
+
   /** Cross-source quantile normalization — the score-calibration move
     * when per-source quality scores aren't comparable (source A's
     * "80" may be source B's "40"): each row's within-source rank maps

@@ -203,6 +203,27 @@ class CorpusSpec extends AnyFunSuite {
       .collect().nonEmpty)
   }
 
+  test("scoreBuckets: CCNet terciles are value-based — ties share a bucket, buckets are monotone, both branches agree") {
+    val scored = docs.select(col("doc_id"), col("lang"),
+      (length(col("text")) % 5).cast("double").as("score")) // heavy ties
+    val a = Corpus.scoreBuckets(scored, nBuckets = 3).collect().map(_.toSeq).toSet
+    val b = Corpus.scoreBuckets(scored, nBuckets = 3, sizeHint = Some(Long.MaxValue))
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+    val rows = a.toSeq.map(s => (s(1).asInstanceOf[String],
+      s(2).asInstanceOf[Double], s(4).asInstanceOf[Long]))
+    // one (lang, score) value → exactly one bucket (the ntile
+    // row-split would violate this on ties)
+    rows.groupBy(r => (r._1, r._2)).foreach { case (k, rs) =>
+      assert(rs.map(_._3).distinct.size === 1, s"$k split across buckets")
+    }
+    // and buckets never decrease as the score rises within a stratum
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val byScore = rs.distinct.sortBy(_._2).map(_._3)
+      assert(byScore.zip(byScore.drop(1)).forall { case (x, y) => x <= y })
+    }
+  }
+
   test("curriculumShards: the bounded branch reproduces the broadcast branch exactly; sizeHint only picks the plan") {
     val scored = docs.select(col("doc_id"), length(col("text")).cast("long").as("score"))
     val a = Corpus.curriculumShards(scored, phases = 4, nShards = 8)
