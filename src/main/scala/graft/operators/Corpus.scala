@@ -150,9 +150,27 @@ object Corpus {
     * reach 0 from the weight side alone. Both DuckDB twins apply the
     * identical CASE. */
   private def priorityHash(id: Column): Column = {
-    val h0 = pmod(pmod(id, lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
+    val h0 = knuthIdHash(id)
     when(h0 === 0L, lit(4294967296L)).otherwise(h0)
   }
+
+  /** The raw engine-exact Knuth multiplicative id hash in [0, 2^32) —
+    * shared by the priority keyers (via [[priorityHash]]'s (0, 2^32]
+    * remap) and the curriculum shard/order keys (raw: shard routing
+    * never divides by it, and the twins replay the raw form). */
+  private def knuthIdHash(id: Column): Column =
+    pmod(pmod(id, lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
+
+  /** The hint-or-pin branch decision every adaptive score operator
+    * shares: a caller bound costs zero jobs; otherwise pin once
+    * ([[TotalOrder.fitsOneTask]]) so the decision count cannot
+    * re-evaluate a join-heavy input per consumer. */
+  private def sizeOrPin(df: DataFrame, sizeHint: Option[Long],
+                        cutover: Long): (DataFrame, Boolean) =
+    sizeHint match {
+      case Some(bound) => (df, bound <= cutover)
+      case None => TotalOrder.fitsOneTask(df, cutover)
+    }
 
   /** The finish half of [[prioritySample]] over an ALREADY-keyed
     * relation (any superset of the global top-(k+1) candidate
@@ -259,13 +277,9 @@ object Corpus {
                        sizeHint: Option[Long] = None,
                        cutover: Long = TotalOrder.WindowCutover): DataFrame = {
     require(phases > 0 && nShards > 0, "curriculumShards needs phases > 0 and nShards > 0")
-    // same hint-or-pin discipline as quantileFilterByScore
-    val (scored, small) = sizeHint match {
-      case Some(bound) => (scored0, bound <= cutover)
-      case None => TotalOrder.fitsOneTask(scored0, cutover)
-    }
+    val (scored, small) = sizeOrPin(scored0, sizeHint, cutover)
     val ranks = scoreRanksByValue(scored.select(col(idCol), col("score")), Seq.empty, small, cutover)
-    val h = pmod(pmod(col(idCol), lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
+    val h = knuthIdHash(col(idCol))
     (if (small) scored.join(broadcast(ranks), "score") else scored.join(ranks, "score"))
       .select(col(idCol), col("score"), col("pr"),
         least(lit((phases - 1).toLong), floor(col("pr") * phases).cast(LongType)).as("phase"),
@@ -676,15 +690,7 @@ object Corpus {
                             strataCol: String = "lang",
                             sizeHint: Option[Long] = None,
                             cutover: Long = TotalOrder.WindowCutover): DataFrame = {
-    // with a hint the input flows through untouched (zero jobs spent
-    // deciding); without one, fitsOneTask PINS the input before the
-    // decision count — `scored` is often a join-heavy model-score
-    // relation, and an unpinned count would evaluate it once for the
-    // decision and again per consumer (r14 review)
-    val (scored, small) = sizeHint match {
-      case Some(bound) => (scored0, bound <= cutover)
-      case None => TotalOrder.fitsOneTask(scored0, cutover)
-    }
+    val (scored, small) = sizeOrPin(scored0, sizeHint, cutover)
     val ranks0 = scoreRanksByValue(scored, Seq(strataCol), small, cutover)
       .where(col("pr") >= 1.0 - keep)
     val passthrough = scored.columns.filter(_ != "score").map(col).toSeq
@@ -716,17 +722,16 @@ object Corpus {
                    sizeHint: Option[Long] = None,
                    cutover: Long = TotalOrder.WindowCutover): DataFrame = {
     require(nBuckets > 0, "scoreBuckets needs nBuckets > 0")
-    val (scored, small) = sizeHint match {
-      case Some(bound) => (scored0, bound <= cutover)
-      case None => TotalOrder.fitsOneTask(scored0, cutover)
-    }
+    val (scored, small) = sizeOrPin(scored0, sizeHint, cutover)
     val ranks0 = scoreRanksByValue(scored, Seq(strataCol), small, cutover)
       .withColumn("bucket",
         least(lit((nBuckets - 1).toLong), floor(col("pr") * nBuckets).cast(LongType)))
     val passthrough = scored.columns.filter(_ != "score").map(col).toSeq
+    // single consumer of ranks0 — no pin needed beyond the one
+    // scoreRanksByValue already placed on the histogram
     val out =
       if (small) scored.join(broadcast(ranks0), Seq(strataCol, "score"))
-      else scored.join(graft.plans.Lineage.truncate(ranks0), Seq(strataCol, "score"))
+      else scored.join(ranks0, Seq(strataCol, "score"))
     out.select(passthrough ++ Seq(col("score"), col("pr"), col("bucket")): _*)
   }
 
