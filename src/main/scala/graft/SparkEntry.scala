@@ -88,8 +88,15 @@ object SparkEntry {
   private def tableCommitBase(s: SparkSession, d: String): DataFrame =
     t(s, d).customer.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
 
-  private def tableCommitChanges(s: SparkSession, d: String): DataFrame = {
-    val inRange = t(s, d).customer.where(col("c_custkey").between(300, 400))
+  /** CDC batch over [lo, hi] — the default range spans multiple files
+    * at sf0.01; `table_evolve` narrows to [10, 30] because keys above
+    * 149 don't exist at sf0.001 and an EMPTY evolving batch commits no
+    * file carrying the new column (correct lake semantics — schema
+    * evolves only where data lands — but the query would then select a
+    * column the table never grew). */
+  private def tableCommitChanges(s: SparkSession, d: String,
+                                 lo: Long = 300, hi: Long = 400): DataFrame = {
+    val inRange = t(s, d).customer.where(col("c_custkey").between(lo, hi))
     val updates = inRange.select(col("c_custkey"),
       when(col("c_custkey") % 7 === 3, "delete").otherwise("upsert").as("op"),
       when(col("c_custkey") % 7 === 3, lit(null).cast("string"))
@@ -3671,7 +3678,9 @@ object SparkEntry {
     "table_evolve" -> ((s, d) => {
       val dir = java.nio.file.Files.createTempDirectory("graft-lake-ev").toString
       LakeTable.init(tableCommitBase(s, d), dir, "c_custkey", nFiles = 8)
-      val evolved = tableCommitChanges(s, d)
+      // [10, 30] — non-empty at EVERY shipped sf (sf0.001 keys stop at
+      // 149), so the evolved column always lands; see tableCommitChanges
+      val evolved = tableCommitChanges(s, d, lo = 10, hi = 30)
         .withColumn("c_tier",
           when(col("op") === "upsert", lit("GOLD")).otherwise(lit(null).cast("string")))
       LakeTable.commitMerge(evolved, dir, "c_custkey", targetRowsPerFile = 250)
@@ -10203,10 +10212,10 @@ object SparkEntry {
         |     CASE WHEN c_custkey % 7 = 3 THEN NULL ELSE 'MOVED' END AS c_mktsegment,
         |     CAST(NULL AS DOUBLE) AS c_acctbal,
         |     CASE WHEN c_custkey % 7 = 3 THEN NULL ELSE 'GOLD' END AS c_tier
-        |   FROM customer WHERE c_custkey BETWEEN 300 AND 400
+        |   FROM customer WHERE c_custkey BETWEEN 10 AND 30
         |   UNION ALL
         |   SELECT c_custkey + 100000, 'upsert', 'NEW', 0.0, 'GOLD'
-        |   FROM customer WHERE c_custkey % 50 = 0 AND c_custkey BETWEEN 300 AND 400)
+        |   FROM customer WHERE c_custkey % 50 = 0 AND c_custkey BETWEEN 10 AND 30)
         |SELECT coalesce(c.c_custkey, b.c_custkey) AS c_custkey,
         |       coalesce(c.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
         |       coalesce(c.c_acctbal, b.c_acctbal) AS c_acctbal,
