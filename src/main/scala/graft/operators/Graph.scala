@@ -42,7 +42,11 @@ object Graph {
     * loop — the bloomSemiFilter class of driver touch. */
   def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
                srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // pinned: `e` feeds BOTH the node set and the degree-edge build —
+    // unpinned, an expensive upstream (a join-built or regex-extracted
+    // edge list) would run twice (the engine's one-shot-pin rule;
+    // hits() already did this)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).truncateLineage
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct().truncateLineage
@@ -78,7 +82,7 @@ object Graph {
                        srcCol: String = "src", dstCol: String = "dst",
                        weightCol: String = "w"): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(weightCol).cast("long").as("w"))
+      col(weightCol).cast("long").as("w")).truncateLineage // two consumers, like pageRank
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct().truncateLineage
@@ -122,7 +126,7 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int = 5,
                            damping: Double = 0.85, srcCol: String = "src",
                            dstCol: String = "dst", seedCol: String = "node"): DataFrame = {
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).truncateLineage
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct()
