@@ -1132,11 +1132,7 @@ object SparkEntry {
         .withColumn("r",
           row_number().over(Window.orderBy(desc("score"), asc("doc_id"))).cast("long"))
         .select(col("doc_id"), col("r"))
-      val rel = docs.select(col("doc_id"),
-          filter(transform(TextOps.tokens(col("text")), tk => TextOps.cleanWord(tk)),
-            w => length(w) > 0).as("ws"))
-        .where(Bm25Terms.map(term => array_contains(col("ws"), term)).reduce(_ && _))
-        .select(col("doc_id"))
+      val rel = bm25RelevanceSet(docs)
       val nRel = rel.agg(count(lit(1)).as("n_rel"))
       ranked.join(rel, "doc_id")
         .agg(count(lit(1)).as("rel_in_top20"),
@@ -1163,11 +1159,7 @@ object SparkEntry {
       val ranked = Retrieval.bm25TopK(docs, Bm25Terms, k = 20, maxDf = RetrievalMaxDf)
         .withColumn("neg_rank",
           row_number().over(Window.orderBy(desc("score"), asc("doc_id"))).cast("long"))
-      val rel = docs.select(col("doc_id"),
-          filter(transform(TextOps.tokens(col("text")), tk => TextOps.cleanWord(tk)),
-            w => length(w) > 0).as("ws"))
-        .where(Bm25Terms.map(term => array_contains(col("ws"), term)).reduce(_ && _))
-        .select(col("doc_id"))
+      val rel = bm25RelevanceSet(docs)
       ranked.join(rel, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("score"), col("neg_rank"))
         .orderBy("neg_rank")
@@ -1663,11 +1655,17 @@ object SparkEntry {
     // the set intersection is engine-identical
     "ann_recall_eval" -> ((s, d) => {
       val e = t(s, d).embeddings
-      val ivf = Similarity.ivfTopK(e).select(col("q_id"), col("c_id"))
-      val exact = Similarity.bruteForceTopK(e, e).select(col("q_id"), col("c_id"))
+      // exact truth over a BOUNDED query sample (the cosine_topk
+      // stride device): the gate needs a recall estimate, not an
+      // N x N all-pairs truth — unbounded, bruteForceTopK(e, e) is
+      // the quadratic shape plan_audit exists to flag (r14 review)
+      val queries = e.where(col("vec_id") % 50 === 0)
+      val ivf = Similarity.ivfTopK(e).where(col("q_id") % 50 === 0)
+        .select(col("q_id"), col("c_id"))
+      val exact = Similarity.bruteForceTopK(e, queries).select(col("q_id"), col("c_id"))
       val hits = ivf.join(exact, Seq("q_id", "c_id"))
         .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
-      e.select(col("vec_id").as("q_id"))
+      queries.select(col("vec_id").as("q_id"))
         .join(hits, Seq("q_id"), "left")
         .select(coalesce(col("hits"), lit(0L)).as("hits"))
         .groupBy(col("hits")).agg(count(lit(1)).as("n_queries"))
@@ -3678,9 +3676,10 @@ object SparkEntry {
     "table_evolve" -> ((s, d) => {
       val dir = java.nio.file.Files.createTempDirectory("graft-lake-ev").toString
       LakeTable.init(tableCommitBase(s, d), dir, "c_custkey", nFiles = 8)
-      // [10, 30] — non-empty at EVERY shipped sf (sf0.001 keys stop at
-      // 149), so the evolved column always lands; see tableCommitChanges
-      val evolved = tableCommitChanges(s, d, lo = 10, hi = 30)
+      // [10, 110] — non-empty at EVERY shipped sf (sf0.001 keys stop at
+      // 149) AND keeps the % 50 == 0 insert arm populated (keys 50,
+      // 100), so schema evolution lands on updates and inserts alike
+      val evolved = tableCommitChanges(s, d, lo = 10, hi = 110)
         .withColumn("c_tier",
           when(col("op") === "upsert", lit("GOLD")).otherwise(lit(null).cast("string")))
       LakeTable.commitMerge(evolved, dir, "c_custkey", targetRowsPerFile = 250)
@@ -4980,6 +4979,24 @@ object SparkEntry {
   private def chrConcat(s: String): String = s.map(c => s"chr(${c.toInt})").mkString(" || ")
 
   private[graft] val Bm25Terms = Seq("spark", "hash", "dup")
+
+  /** The all-terms relevance set both retrieval_eval and
+    * hard_negative_mining grade against: docs whose CLEANED vocabulary
+    * contains every query term. One definition per engine
+    * ([[bm25RelCte]] is the DuckDB half) so the two queries' relevance
+    * can never diverge. */
+  private def bm25RelevanceSet(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+        filter(transform(TextOps.tokens(col("text")), tk => TextOps.cleanWord(tk)),
+          w => length(w) > 0).as("ws"))
+      .where(Bm25Terms.map(term => array_contains(col("ws"), term)).reduce(_ && _))
+      .select(col("doc_id"))
+
+  /** [[bm25RelevanceSet]]'s twin CTE (expects `w(doc_id, word)` in
+    * scope — the WDoc relation). */
+  private lazy val bm25RelCte: String =
+    s"""rel AS (SELECT doc_id FROM w WHERE word IN (${Bm25Terms.map(x => s"'$x'").mkString(", ")})
+       |         GROUP BY doc_id HAVING count(DISTINCT word) = ${Bm25Terms.size})""".stripMargin
   // phrase with multi-occurrence docs at sf0.01 (8 hits over 5 docs)
   // so the occurrence COUNT is exercised, not just membership
   private[graft] val PhraseTerms = Seq("slow", "hash", "batch")
@@ -7052,8 +7069,7 @@ object SparkEntry {
          | rk AS (SELECT doc_id, score,
          |        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS neg_rank
          |        FROM ($bm25TwinSql) z1),
-         | rel AS (SELECT doc_id FROM w WHERE word IN (${Bm25Terms.map(x => s"'$x'").mkString(", ")})
-         |         GROUP BY doc_id HAVING count(DISTINCT word) = ${Bm25Terms.size})
+         | $bm25RelCte
          |SELECT doc_id, score, neg_rank FROM rk
          |WHERE doc_id NOT IN (SELECT doc_id FROM rel)
          |ORDER BY neg_rank""".stripMargin,
@@ -7062,8 +7078,7 @@ object SparkEntry {
       s"""$WDoc,
          | rk AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r
          |        FROM ($bm25TwinSql) z1),
-         | rel AS (SELECT doc_id FROM w WHERE word IN (${Bm25Terms.map(x => s"'$x'").mkString(", ")})
-         |         GROUP BY doc_id HAVING count(DISTINCT word) = ${Bm25Terms.size}),
+         | $bm25RelCte,
          | n AS (SELECT count(*) AS n_rel FROM rel),
          | h AS (SELECT r FROM rk JOIN rel USING (doc_id)),
          | a AS (SELECT count(*) AS rel_in_top20,
@@ -7392,13 +7407,13 @@ object SparkEntry {
     "ann_recall_eval" ->
       s"""$ivfRankCtes,
          | exs AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id, list_cosine_similarity(q.e, c.e) AS sim
-         |        FROM v q JOIN v c ON q.vec_id <> c.vec_id),
+         |        FROM v q JOIN v c ON q.vec_id <> c.vec_id WHERE q.vec_id % 50 = 0),
          | exr AS (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank FROM exs),
          | hits AS (SELECT a.q_id, count(*) AS hits
-         |          FROM (SELECT q_id, c_id FROM r WHERE rank <= 10) a
+         |          FROM (SELECT q_id, c_id FROM r WHERE rank <= 10 AND q_id % 50 = 0) a
          |          JOIN (SELECT q_id, c_id FROM exr WHERE rank <= 10) b USING (q_id, c_id)
          |          GROUP BY 1),
-         | allq AS (SELECT DISTINCT vec_id AS q_id FROM embeddings)
+         | allq AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id % 50 = 0)
          |SELECT CAST(coalesce(h.hits, 0) AS BIGINT) AS hits, count(*) AS n_queries
          |FROM allq LEFT JOIN hits h USING (q_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -10212,10 +10227,10 @@ object SparkEntry {
         |     CASE WHEN c_custkey % 7 = 3 THEN NULL ELSE 'MOVED' END AS c_mktsegment,
         |     CAST(NULL AS DOUBLE) AS c_acctbal,
         |     CASE WHEN c_custkey % 7 = 3 THEN NULL ELSE 'GOLD' END AS c_tier
-        |   FROM customer WHERE c_custkey BETWEEN 10 AND 30
+        |   FROM customer WHERE c_custkey BETWEEN 10 AND 110
         |   UNION ALL
         |   SELECT c_custkey + 100000, 'upsert', 'NEW', 0.0, 'GOLD'
-        |   FROM customer WHERE c_custkey % 50 = 0 AND c_custkey BETWEEN 10 AND 30)
+        |   FROM customer WHERE c_custkey % 50 = 0 AND c_custkey BETWEEN 10 AND 110)
         |SELECT coalesce(c.c_custkey, b.c_custkey) AS c_custkey,
         |       coalesce(c.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
         |       coalesce(c.c_acctbal, b.c_acctbal) AS c_acctbal,

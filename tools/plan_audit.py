@@ -3,7 +3,12 @@
 
 Usage:
   sbt "runMain graft.Explain /root/testdata/sf0.001 /tmp/plans"
-  python3 tools/plan_audit.py /tmp/plans
+  python3 tools/plan_audit.py /tmp/plans [expected_plan_count]
+
+Pass the registry size (the README's registered-query count) as the
+second argument: graft.Explain swallows per-query failures (no .txt is
+written), so a missing plan would otherwise escape the cartesian gate
+silently — with the expected count, a partial dump exits 2.
 
 Verdicts:
   - CartesianProduct: always a finding — no registered query may plan one.
@@ -24,6 +29,13 @@ def main() -> int:
     if not files:
         print(f"no plans under {d} — run graft.Explain first", file=sys.stderr)
         return 2
+    if len(sys.argv) > 2:
+        expected = int(sys.argv[2])
+        if len(files) != expected:
+            print(f"PARTIAL DUMP: {len(files)} plans, expected {expected} — "
+                  "some queries failed to explain (check Explain's stderr); "
+                  "the missing plans are UNAUDITED", file=sys.stderr)
+            return 2
     cart, bnlj = [], []
     for f in files:
         t = open(f, encoding="utf-8").read()
@@ -41,4 +53,7 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except BrokenPipeError:  # `| head` closed stdout — not a finding
+        sys.exit(0)
