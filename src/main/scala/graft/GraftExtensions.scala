@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DamerauLevenshtein, DeflateSize, JaroWinkler, NfcNormalize, VecDot, VecSelfDotRule, WordNGrams}
+import graft.functions.{DamerauLevenshtein, DeflateSize, JaroWinkler, NfcNormalize, UrlResolve, VecDot, VecSelfDotRule, WordNGrams}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions as SQL functions, so `spark.sql("... vec_dot
@@ -70,6 +70,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaro_winkler_similarity"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler_similarity"),
       (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))))
+    // crawl URL reference resolution + canonicalization (no Spark
+    // built-in; parse_url only dissects absolute URLs and is
+    // CodegenFallback) — oracle twins are closed-form, no DuckDB replay
+    ext.injectFunction((
+      FunctionIdentifier("url_resolve"),
+      new ExpressionInfo(classOf[UrlResolve].getName, "url_resolve"),
+      (exprs: Seq[Expression]) => UrlResolve(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => VecSelfDotRule)
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
   }

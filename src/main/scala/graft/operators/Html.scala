@@ -282,22 +282,6 @@ object Html {
   /** Scheme prefix of an absolute URL (RFC 3986 scheme charset). */
   private val SchemeRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://"
 
-  /** Resolve `u` against an absolute `base` and canonicalize — all
-    * RE2-compatible regex + string arithmetic, no UDF:
-    *
-    *  - fragment dropped (`#…` is client-side state, never a fetch key)
-    *  - absolute / protocol-relative (`//host/p`) / root-relative
-    *    (`/p`) / path-relative (`p`, `../p`) forms resolved against
-    *    the base's scheme, authority, and directory
-    *  - scheme and authority lowercased; default ports stripped
-    *    (`:80` for http, `:443` for https)
-    *  - dot segments collapsed: `/./` everywhere, then up to 4 levels
-    *    of `seg/../` (a documented bound — real hrefs nest 1-2; the
-    *    loop-free expression form is the point), leading `/../`
-    *    residue dropped, empty path → `/`
-    *
-    * Query strings are preserved verbatim (collapse never crosses the
-    * first `?`). */
   /** Page-level robots directive — the other half of crawl politeness
     * after robots.txt path rules: a page that says `noindex` must not
     * enter the corpus no matter what the path rules allowed, and
@@ -316,39 +300,25 @@ object Html {
       content.rlike("\\bnofollow\\b").as("nofollow"))
   }
 
-  def urlNormalize(u: Column, base: Column): Column = {
-    val noFrag = regexp_replace(u, "#.*$", "")
-    val bScheme = lower(regexp_extract(base, s"($SchemeRe)", 1))
-    val bAuth = lower(regexp_extract(base, s"$SchemeRe([^/?#]*)", 1))
-    val bPath = regexp_extract(base, s"$SchemeRe[^/?#]*([^?#]*)", 1)
-    val bDir = regexp_replace(when(bPath === "", lit("/")).otherwise(bPath), "[^/]*$", "")
-    val isAbs = noFrag.rlike(SchemeRe)
-    val isProtoRel = noFrag.startsWith("//")
-    val isRootRel = noFrag.startsWith("/") && !isProtoRel
-    val resolved = when(isAbs, noFrag)
-      .when(isProtoRel, concat(regexp_replace(bScheme, "://$", ":"), noFrag))
-      .when(isRootRel, concat(bScheme, bAuth, noFrag))
-      .when(noFrag === "", concat(bScheme, bAuth, bPath))
-      .otherwise(concat(bScheme, bAuth, bDir, noFrag))
-    val scheme = lower(regexp_extract(resolved, s"($SchemeRe)", 1))
-    val auth = lower(regexp_extract(resolved, s"$SchemeRe([^/?#]*)", 1))
-    val rest = regexp_extract(resolved, s"$SchemeRe[^/?#]*(.*)$$", 1)
-    val auth2 = when(scheme === "http://", regexp_replace(auth, ":80$", ""))
-      .when(scheme === "https://", regexp_replace(auth, ":443$", ""))
-      .otherwise(auth)
-    val qPos = instr(rest, "?")
-    val path0 = when(qPos > 0, rest.substr(lit(1), qPos - 1)).otherwise(rest)
-    val query = when(qPos > 0, rest.substr(qPos, length(rest))).otherwise(lit(""))
-    val dotFree = (1 to 2).foldLeft(when(path0 === "", lit("/")).otherwise(path0)) {
-      (p, _) => regexp_replace(p, "/\\./", "/")
-    }
-    val parentFree = (1 to 4).foldLeft(dotFree) { (p, _) =>
-      regexp_replace(p, "/[^/]+/\\.\\./", "/")
-    }
-    val path = when(regexp_replace(parentFree, "^(/\\.\\.)+", "") === "", lit("/"))
-      .otherwise(regexp_replace(parentFree, "^(/\\.\\.)+", ""))
-    concat(scheme, auth2, path, when(query === "?", lit("")).otherwise(query))
-  }
+  /** Resolve `u` against an absolute `base` and canonicalize:
+    *
+    *  - fragment dropped (`#…` is client-side state, never a fetch key)
+    *  - absolute / protocol-relative (`//host/p`) / root-relative
+    *    (`/p`) / path-relative (`p`, `../p`) forms resolved against
+    *    the base's scheme, authority, and directory
+    *  - scheme and authority lowercased; default ports stripped
+    *    (`:80` for http, `:443` for https)
+    *  - dot segments collapsed: `/./` everywhere, then up to 4 levels
+    *    of `seg/../` (a documented bound — real hrefs nest 1-2),
+    *    leading `/../` residue dropped, empty path → `/`
+    *
+    * Query strings are preserved verbatim (collapse never crosses the
+    * first `?`). Implemented as the native [[graft.functions.UrlResolve]]
+    * expression (one codegen'd static call) — the equivalent Column
+    * regex tree blew janino's 64 KB method limit and dropped every
+    * carrying plan out of whole-stage codegen. */
+  def urlNormalize(u: Column, base: Column): Column =
+    graft.functions.UrlResolve.urlResolve(u, base)
 
   /** Lowercased host of a URL, port stripped. */
   def urlHost(u: Column): Column =
