@@ -2713,6 +2713,70 @@ object SparkEntry {
         .select(col("doc_id"), col("canonical_url"), col("is_canonical"), col("group_size"))
         .orderBy("doc_id")
     }),
+    // tracking-parameter URL dedup — the OTHER url-level dup signal
+    // after rel=canonical: each doc triple shares one resource URL but
+    // carries different click-attribution junk (utm_*, gclid, fbclid)
+    // and a different REAL-param order; stripping + param sort
+    // collapses the triple onto one canonical fetch key. The hash
+    // proves the strip set, the sort, and the family grouping
+    "url_strip_tracking" -> ((s, d) => {
+      val docs = t(s, d).documents
+      val id = col("doc_id")
+      val m = id - (id % 3)
+      val base = concat(lit("https://"), Html.fixtureHost(m % Html.SiteSpace),
+        lit("/doc/"), m.cast("string"))
+      val raw = when(id % 3 === 0,
+          concat(base, lit("?page=2&utm_source=feed&a=1&utm_campaign=c"), id.cast("string")))
+        .when(id % 3 === 1,
+          concat(base, lit("?a=1&gclid=g"), id.cast("string"), lit("&page=2")))
+        .otherwise(concat(base, lit("?page=2&a=1&fbclid=f"), id.cast("string")))
+      val stripped = docs.select(id.as("doc_id"), raw.as("raw_url"),
+        Html.stripTrackingParams(raw).as("canonical_url"))
+      val fam = stripped.groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("keep_id"))
+      stripped.join(fam, "canonical_url")
+        .select(col("doc_id"), col("raw_url"), col("canonical_url"),
+          col("n_variants"), col("keep_id"))
+        .orderBy("doc_id")
+    }),
+    // UT1-style blocklist verdicts over the page-URL fixture: three
+    // deterministic rule families — whole-domain blocks (k%7 hosts),
+    // path-prefix blocks (/doc/1 on k%5 hosts), and a dot-boundary
+    // SUFFIX rule (shop.example.co.uk, /doc/7) that must catch every
+    // k%3 host through the suffix-chain equi-join, never a substring
+    // scan. The hash proves the chain explode, the join, the prefix
+    // test, and the longest-prefix-wins pick
+    "url_blocklist_filter" -> ((s, d) => {
+      val docs = t(s, d).documents
+      val id = col("doc_id")
+      val urls = docs.select(id.as("doc_id"),
+        concat(lit("https://"), Html.fixtureHost(id % Html.SiteSpace),
+          lit("/doc/"), id.cast("string")).as("url"))
+      val ks = docs.select((id % Html.SiteSpace).as("k")).distinct()
+      val rules = ks.where(col("k") % 7 === 0)
+          .select(Html.fixtureHost(col("k")).as("host"), lit("").as("prefix"))
+        .unionByName(ks.where(col("k") % 5 === 0)
+          .select(Html.fixtureHost(col("k")).as("host"), lit("/doc/1").as("prefix")))
+        .unionByName(s.range(1)
+          .select(lit("shop.example.co.uk").as("host"), lit("/doc/7").as("prefix")))
+      urls.join(Html.blocklistFilter(urls, rules), Seq("url"))
+        .select(col("doc_id"), col("url"), col("blocked"),
+          col("rule_host"), col("rule_prefix"))
+        .orderBy("doc_id")
+    }),
+    // domain-level quality gate (score SOURCES, not documents — the
+    // spam-farm catch per-doc cuts miss): pooled stopword density per
+    // fixture host vs the corpus-wide density, compared by exact
+    // DECIMAL cross-multiply; only docs of at-or-above-average domains
+    // survive, carrying their domain's pooled counts
+    "domain_quality_filter" -> ((s, d) => {
+      val docs = t(s, d).documents
+        .withColumn("host", Html.fixtureHost(col("doc_id") % Html.SiteSpace))
+      Corpus.domainQualityGate(docs)
+        .select(col("doc_id"), col("lang"), col("host"),
+          col("domain_hits"), col("domain_tokens"))
+        .orderBy("doc_id")
+    }),
     // sitemap-driven discovery — the OTHER half of polite crawling
     // (robots says what you may fetch; the sitemap says what exists):
     // each host's sitemap XML is assembled deterministically from its
@@ -3298,6 +3362,51 @@ object SparkEntry {
           .select(col("doc_id"), col("llr").as("score")), Seq("doc_id"))
       Corpus.quantileFilterByScore(scored, keep = 0.5,
         sizeHint = Some(tt.rowCountStat("documents"))).orderBy("doc_id")
+    }),
+    // the eval every learned gate owes before it filters: exact
+    // midrank-tie ROC AUC of the NB llr on the HELD-OUT split —
+    // all-integer rank-sum (doubled midranks) with `below` from the
+    // adaptive TotalOrder prefix sum, one double division at the end.
+    // The twin keeps the naive cumulative-window formulation, so the
+    // hash proves the decomposition, not just the arithmetic
+    "classifier_auc_eval" -> ((s, d) => {
+      val labeled = nbLabeled(s, d)
+      val heldout = TextQuality.nbLogLikelihoodRatio(labeled)
+        .join(labeled.select(col("doc_id"), col("is_pos"), col("is_train")), "doc_id")
+        .where(!col("is_train"))
+      TextQuality.rankAuc(heldout.withColumnRenamed("llr", "score"))
+    }),
+    // C4's document-level lexicon drop on CLEANED tokens (planted
+    // spam words, one UPPERCASE+punctuated so the hash proves the
+    // tokenizer path, not just the contains)
+    "badword_filter" -> ((s, d) => {
+      val id = col("doc_id")
+      val planted = t(s, d).documents.withColumn("text",
+        when(id % 11 === 0, concat(col("text"), lit(" casino")))
+          .when(id % 13 === 0, concat(col("text"), lit(" VIAGRA!")))
+          .otherwise(col("text")))
+      TextQuality.badWordFilter(planted, Seq("casino", "viagra", "lottery"))
+        .orderBy("doc_id")
+    }),
+    // logistic regression TRAINED IN THE ENGINE (3 full-batch GD steps
+    // over the quality-feature ratios, driver holding only the d-sized
+    // coefficient vector): the discriminative sibling of the NB
+    // classifier. The twin unrolls the identical steps as CTEs — the
+    // hash proves three rounds of distributed gradient aggregation
+    "logreg_quality_weights" -> ((s, d) => {
+      val w = TextQuality.logregTrainQuality(nbLabeled(s, d))
+      val rows = TextQuality.LogregFeatures.zip(w).zipWithIndex
+        .map { case ((f, wt), i) => (i.toLong, f, wt) }
+      import s.implicits._
+      rows.toDF("idx", "feature", "weight").orderBy("idx")
+    }),
+    // the trained model ACTED ON: held-out confusion + accuracy; the
+    // scoring dot product is mul/add only, so the 0-threshold verdict
+    // is bit-deterministic across engines
+    "logreg_quality_eval" -> ((s, d) => {
+      val labeled = nbLabeled(s, d)
+      TextQuality.logregHeldoutEval(labeled,
+        TextQuality.logregTrainQuality(labeled))
     }),
     // the crawl front door AS A STREAM: page drops arrive file-by-file,
     // href extraction runs per micro-batch, and the edge dedup becomes
@@ -4944,6 +5053,48 @@ object SparkEntry {
        | nb AS (SELECT doc_id, count(*) AS n_tokens,
        |     round(CAST(sum(l) + (SELECT prior FROM pri) AS DOUBLE), 6) AS llr
        |   FROM sc GROUP BY doc_id)""".stripMargin
+
+  /** The logreg train chain replayed in SQL: quality-feature ratios
+    * (text_quality's exact expressions), then THREE unrolled
+    * gradient-ascent steps — per-example terms rounded(12) and
+    * DECIMAL-summed (the NB evidence device), new weights rounded(9)
+    * — ending in CTE `s3` carrying the final w1..w5. */
+  private val LogregCtes = {
+    val stops = "'the','a','of','and','to','in','is','it'"
+    def dot(w: String) =
+      s"($w.w1*x1 + $w.w2*x2 + $w.w3*x3 + $w.w4*x4 + $w.w5*x5)"
+    def gstep(g: String, from: String, dotExpr: String) =
+      s"""$g AS (SELECT
+         |${(1 to 5).map(i => s"    sum(CAST(round(x$i * ((CASE WHEN is_pos THEN 1.0 ELSE 0.0 END) - 1.0/(1.0 + exp(-$dotExpr))), 12) AS DECIMAL(28,12))) AS g$i").mkString(",\n")}
+         |   FROM $from)""".stripMargin
+    def wstep(s: String, g: String, prev: Option[String]) = {
+      val terms = (1 to 5).map { i =>
+        val p = prev.map(w => s"$w.w$i").getOrElse("0.0")
+        s"    round($p + 0.5*CAST($g.g$i AS DOUBLE)/nn.n, 9) AS w$i"
+      }.mkString(",\n")
+      s"$s AS (SELECT\n$terms\n   FROM $g${prev.map(w => s", $w").getOrElse("")}, nn)"
+    }
+    s"""WITH lf AS (SELECT doc_id,
+       |    (CAST(substr(source, 4, 10) AS INT) % 2) = 0 AS is_pos,
+       |    doc_id % 10 < 7 AS is_train, text,
+       |    list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS tk
+       |  FROM documents),
+       | fx AS (SELECT doc_id, is_pos, is_train,
+       |    1.0 AS x1,
+       |    len(list_filter(tk, x -> list_contains([$stops], lower(x)))) / len(tk) AS x2,
+       |    (length(text) - length(regexp_replace(text, '$P', '', 'g'))) / length(text) AS x3,
+       |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text) AS x4,
+       |    (CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT) / len(tk)) / 10 AS x5
+       |  FROM lf),
+       | tr AS (SELECT * FROM fx WHERE is_train),
+       | nn AS (SELECT count(*) AS n FROM tr),
+       | ${gstep("g1", "tr", "(0.0*x1 + 0.0*x2 + 0.0*x3 + 0.0*x4 + 0.0*x5)")},
+       | ${wstep("s1", "g1", None)},
+       | ${gstep("g2", "tr, s1", dot("s1"))},
+       | ${wstep("s2", "g2", Some("s1"))},
+       | ${gstep("g3", "tr, s2", dot("s2"))},
+       | ${wstep("s3", "g3", Some("s2"))}""".stripMargin
+  }
 
   private val BigramCtes =
     s"""WITH toks AS (SELECT doc_id,
@@ -8421,6 +8572,76 @@ object SparkEntry {
          |FROM c JOIN g USING (canonical_url) ORDER BY c.doc_id""".stripMargin
     },
 
+    // closed-form canonical: every arm's strip+sort lands on
+    // base?a=1&page=2 — the twin derives it, the Spark side must
+    // EARN it through the split/filter/sort pipeline
+    "url_strip_tracking" -> {
+      val ss = Html.SiteSpace
+      s"""WITH x AS (SELECT doc_id, doc_id - (doc_id % 3) AS m FROM documents),
+         | c AS (SELECT doc_id, m,
+         |    'https://' || ${sqlHost(s"m%$ss")} || '/doc/' || m AS base FROM x),
+         | r AS (SELECT doc_id, base || '?a=1&page=2' AS canonical_url,
+         |    CASE doc_id % 3
+         |      WHEN 0 THEN base || '?page=2&utm_source=feed&a=1&utm_campaign=c' || doc_id
+         |      WHEN 1 THEN base || '?a=1&gclid=g' || doc_id || '&page=2'
+         |      ELSE base || '?page=2&a=1&fbclid=f' || doc_id END AS raw_url
+         |   FROM c),
+         | g AS (SELECT canonical_url, count(*) AS n_variants,
+         |    min(doc_id) AS keep_id FROM r GROUP BY 1)
+         |SELECT r.doc_id, r.raw_url, r.canonical_url, g.n_variants, g.keep_id
+         |FROM r JOIN g USING (canonical_url) ORDER BY r.doc_id""".stripMargin
+    },
+
+    // rule hits derived closed-form from the k arithmetic; the
+    // longest-prefix/host/prefix pick mirrors the Spark max(struct)
+    "url_blocklist_filter" -> {
+      val ss = Html.SiteSpace
+      s"""WITH u AS (SELECT doc_id, doc_id % $ss AS k FROM documents),
+         | uu AS (SELECT doc_id, k,
+         |    'https://' || ${sqlHost("k")} || '/doc/' || doc_id AS url,
+         |    '/doc/' || doc_id AS path FROM u),
+         | cand AS (
+         |   SELECT doc_id, ${sqlHost("k")} AS rule_host, '' AS prefix
+         |     FROM uu WHERE k % 7 = 0
+         |   UNION ALL
+         |   SELECT doc_id, ${sqlHost("k")}, '/doc/1'
+         |     FROM uu WHERE k % 5 = 0 AND starts_with(path, '/doc/1')
+         |   UNION ALL
+         |   SELECT doc_id, 'shop.example.co.uk', '/doc/7'
+         |     FROM uu WHERE k % 3 = 0 AND starts_with(path, '/doc/7')),
+         | best AS (SELECT doc_id, rule_host, prefix, row_number() OVER (
+         |    PARTITION BY doc_id
+         |    ORDER BY length(prefix) DESC, rule_host DESC, prefix DESC) AS rn
+         |   FROM cand)
+         |SELECT uu.doc_id, uu.url, b.doc_id IS NOT NULL AS blocked,
+         | coalesce(b.rule_host, '') AS rule_host,
+         | coalesce(b.prefix, '') AS rule_prefix
+         |FROM uu LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+         |ORDER BY uu.doc_id""".stripMargin
+    },
+
+    // pooled per-host stopword density vs the corpus density, both
+    // sides exact: HUGEINT cross-multiply == Spark's DECIMAL(38,0)
+    "domain_quality_filter" -> {
+      val ss = Html.SiteSpace
+      s"""WITH t AS (SELECT doc_id, lang, doc_id % $ss AS k,
+         |    list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS tk
+         |   FROM documents),
+         | s AS (SELECT doc_id, lang, k,
+         |    CAST(len(list_filter(tk, x -> list_contains([$AllStopwordsSqlList], lower(x)))) AS BIGINT) AS h,
+         |    CAST(len(tk) AS BIGINT) AS n FROM t),
+         | d AS (SELECT k, CAST(sum(h) AS BIGINT) AS domain_hits,
+         |    CAST(sum(n) AS BIGINT) AS domain_tokens FROM s GROUP BY k),
+         | tot AS (SELECT CAST(sum(domain_hits) AS BIGINT) AS ch,
+         |    CAST(sum(domain_tokens) AS BIGINT) AS ct FROM d),
+         | keep AS (SELECT k, domain_hits, domain_tokens FROM d, tot
+         |   WHERE CAST(domain_hits AS HUGEINT) * CAST(ct AS HUGEINT) >=
+         |         CAST(ch AS HUGEINT) * CAST(domain_tokens AS HUGEINT))
+         |SELECT s.doc_id, s.lang, ${sqlHost("s.k")} AS host,
+         | keep.domain_hits, keep.domain_tokens
+         |FROM s JOIN keep USING (k) ORDER BY s.doc_id""".stripMargin
+    },
+
     // closed-form discovery list: uncrawled = odd ids; url/lastmod
     // rebuilt from doc_id arithmetic — the build/parse round trip is
     // what the Spark side must invert losslessly
@@ -9031,6 +9252,71 @@ object SparkEntry {
          |SELECT bin, n, n_pos, mean_p, emp_rate,
          | round(abs(mean_p - emp_rate), 6) AS gap
          |FROM g2 ORDER BY bin""".stripMargin,
+
+    // the naive window formulation of midrank AUC — the Spark side
+    // must reproduce it through the histogram + TotalOrder prefix sum
+    "classifier_auc_eval" ->
+      s"""$NbCtes,
+         | ev AS (SELECT nb.llr AS s, d.is_pos FROM nb JOIN d USING (doc_id)
+         |        WHERE NOT d.is_train),
+         | h AS (SELECT s, count(*) AS c,
+         |    CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos
+         |   FROM ev GROUP BY s),
+         | p AS (SELECT s, c, c_pos, CAST(coalesce(sum(c) OVER (ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below
+         |   FROM h),
+         | a AS (SELECT
+         |    CAST(sum(CAST(c_pos AS HUGEINT) * (2*below + c + 1)) AS HUGEINT) AS tr,
+         |    CAST(sum(c_pos) AS BIGINT) AS n_pos,
+         |    CAST(sum(c - c_pos) AS BIGINT) AS n_neg FROM p)
+         |SELECT n_pos, n_neg,
+         | round(CAST(tr - CAST(n_pos AS HUGEINT)*(n_pos+1) AS DOUBLE) /
+         |       CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE), 6) AS auc
+         |FROM a""".stripMargin,
+
+    // the planted-lexicon replay over the cleaned-token pipeline
+    "badword_filter" ->
+      s"""WITH pl AS (SELECT doc_id,
+         |   CASE WHEN doc_id % 11 = 0 THEN text || ' casino'
+         |        WHEN doc_id % 13 = 0 THEN text || ' VIAGRA!'
+         |        ELSE text END AS text FROM documents),
+         | w AS (SELECT doc_id, list_filter(list_transform(
+         |     list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), t -> length(t) > 0),
+         |     t -> lower(regexp_replace(t, '$P', '', 'g'))), x -> length(x) > 0) AS ws
+         |   FROM pl),
+         | b AS (SELECT doc_id, CAST(len(list_filter(ws,
+         |     x -> list_contains(['casino','viagra','lottery'], x))) AS BIGINT) AS n_bad
+         |   FROM w)
+         |SELECT doc_id, n_bad, n_bad = 0 AS kept FROM b ORDER BY doc_id""".stripMargin,
+
+    // three unrolled GD steps as CTEs; final weights unpivoted
+    "logreg_quality_weights" ->
+      s"""$LogregCtes
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS idx, 'bias' AS feature, w1 AS weight FROM s3
+         |  UNION ALL SELECT CAST(1 AS BIGINT), 'stopword_ratio', w2 FROM s3
+         |  UNION ALL SELECT CAST(2 AS BIGINT), 'punct_ratio', w3 FROM s3
+         |  UNION ALL SELECT CAST(3 AS BIGINT), 'digit_ratio', w4 FROM s3
+         |  UNION ALL SELECT CAST(4 AS BIGINT), 'avg_token_len_d10', w5 FROM s3)
+         |ORDER BY idx""".stripMargin,
+
+    // held-out confusion off the same trained s3 weights; the scoring
+    // dot is mul/add only — bit-deterministic on both engines
+    "logreg_quality_eval" ->
+      s"""$LogregCtes,
+         | te AS (SELECT * FROM fx WHERE NOT is_train),
+         | scx AS (SELECT is_pos,
+         |    (s3.w1*x1 + s3.w2*x2 + s3.w3*x3 + s3.w4*x4 + s3.w5*x5) > 0 AS pred
+         |   FROM te, s3),
+         | cc AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+         |    CAST(sum(CASE WHEN is_pos AND pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN NOT is_pos AND pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN is_pos AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN NOT is_pos AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |   FROM scx)
+         |SELECT n_test, tp, fp, fn, tn,
+         | round(CAST(tp + tn AS DOUBLE) / CAST(n_test AS DOUBLE), 6) AS accuracy
+         |FROM cc""".stripMargin,
 
     // NB llr through the same percent_rank cut as perplexity_filter
     "classifier_filter" ->

@@ -504,6 +504,44 @@ object Corpus {
   val AllStopwords: Seq[String] =
     TextQuality.Stopwords.toSeq.sortBy(_._1).flatMap(_._2)
 
+  /** Domain-level quality gating (the RefinedWeb/CCNet move of
+    * scoring SOURCES, not documents: a domain whose pooled text reads
+    * like boilerplate is dropped wholesale, catching spam farms whose
+    * individual pages pass per-document cuts). Pools each domain's
+    * stopword hits and token counts, then keeps the documents of
+    * domains whose POOLED stopword density is at least the
+    * corpus-wide density.
+    *
+    * Determinism discipline: the density compare is the cross-multiply
+    * `hits_d · toks_corpus >= hits_corpus · toks_d` in DECIMAL(38,0)
+    * (19-digit operands, exact product) — no float division anywhere,
+    * so the DuckDB twin (HUGEINT) decides identically.
+    *
+    * Scale shape: one partial-aggregated shuffle to domain granularity
+    * (domain count ~10⁷ max — far below row count), a 1-row corpus
+    * total crossed in, and a broadcast of the domain-count-sized
+    * verdict relation back onto the corpus. No document-scale sort,
+    * no window. */
+  def domainQualityGate(docs: DataFrame, domainCol: String = "host",
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val tk = filter(split(col(textCol), TextOps.TokenSepRe), t => length(t) > 0)
+    val hits = size(filter(tk, t =>
+      array_contains(array(AllStopwords.map(lit): _*), lower(t))))
+    val perDoc = docs.select(col(domainCol),
+      hits.cast(LongType).as("h"), size(tk).cast(LongType).as("n"))
+    val perDomain = perDoc.groupBy(col(domainCol))
+      .agg(sum(col("h")).as("domain_hits"), sum(col("n")).as("domain_tokens"))
+    val total = perDomain.agg(sum(col("domain_hits")).as("corpus_hits"),
+      sum(col("domain_tokens")).as("corpus_tokens"))
+    def d19(c: Column): Column = c.cast(DecimalType(19, 0))
+    val kept = perDomain.crossJoin(broadcast(total))
+      .where(d19(col("domain_hits")) * d19(col("corpus_tokens")) >=
+        d19(col("corpus_hits")) * d19(col("domain_tokens")))
+      .select(col(domainCol), col("domain_hits"), col("domain_tokens"))
+    docs.join(broadcast(kept), Seq(domainCol))
+  }
+
   /** SPAN-level decontamination with REMOVAL (the C4 move: drop any
     * three-sentence span that also appears in the evaluation data,
     * keep the rest of the document) — the surgical sibling of

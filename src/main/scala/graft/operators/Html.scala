@@ -345,6 +345,89 @@ object Html {
       .otherwise(last2)
   }
 
+  /** Path component of an absolute URL ("" for a schemeless string,
+    * mirroring the normalizer's empty-on-no-match discipline). */
+  def urlPath(u: Column): Column =
+    regexp_extract(u, s"$SchemeRe[^/?#]*([^?#]*)", 1)
+
+  /** Query-string parameters that exist only for click attribution —
+    * the reason two fetches of the SAME resource carry different URLs.
+    * The set is the widely published tracking-param core (UTM campaign
+    * tags, Google/Facebook/Microsoft click ids, Mailchimp campaign
+    * ids); real deployments extend the list as data. */
+  val TrackingParamRe: String =
+    "^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid)="
+
+  /** Canonical fetch key of a (already normalized) URL modulo
+    * tracking parameters: the query string is split on `&`, tracking
+    * params and empty fragments drop, the survivors are SORTED (param
+    * order is not semantic, and the sort makes `?a=1&b=2` and
+    * `?b=2&a=1` the same dedup key), and a now-empty query drops its
+    * `?`. One narrow higher-order-function projection — no shuffle,
+    * no UDF, stays in whole-stage codegen. The DuckDB twin replays
+    * the identical split/filter/sort pipeline. */
+  def stripTrackingParams(u: Column): Column = {
+    val qPos = instr(u, "?")
+    val path = when(qPos > 0, u.substr(lit(1), qPos - 1)).otherwise(u)
+    val query = when(qPos > 0, u.substr(qPos + 1, length(u))).otherwise(lit(""))
+    val kept = filter(split(query, "&"),
+      p => length(p) > 0 && !p.rlike(TrackingParamRe))
+    val canon = array_join(array_sort(kept), "&")
+    when(canon === "", path).otherwise(concat(path, lit("?"), canon))
+  }
+
+  /** UT1-style URL blocklist verdicts — the crawl front door's
+    * category filter (adult/malware/tracker domain lists; the public
+    * Université Toulouse 1 lists are the canonical example). Rules are
+    * `(host, prefix)`: a URL matches when the rule host equals its
+    * host OR is a dot-boundary suffix of it (`example.com` blocks
+    * `www.example.com` — how domain blocklists are specified), and the
+    * rule's path prefix (often empty = whole domain) prefixes its
+    * path.
+    *
+    * Scale shape: a real blocklist is millions of rows — far too big
+    * to broadcast into a suffix-match theta join (BroadcastNestedLoop
+    * over 100 TB of URLs). Instead each URL EXPLODES its bounded
+    * domain-suffix chain (`a.b.example.com` → itself + every suffix
+    * with ≥ 2 labels — fan-out ≤ the label count, ~4 for real hosts)
+    * and the match becomes a plain shuffled equi-join on the suffix,
+    * partitioned like any hash join. Ambiguity resolves
+    * deterministically: longest prefix, then host, wins.
+    *
+    * Output: one row per URL — `(url, blocked, rule_host,
+    * rule_prefix)`, rule columns empty when allowed. */
+  def blocklistFilter(urls: DataFrame, rules: DataFrame,
+                      urlCol: String = "url"): DataFrame = {
+    // two projections: aliasing `url` and referencing it inside the
+    // suffix lambdas in ONE select trips Spark's lateral-column-alias
+    // resolution under a Generate (INTERNAL_ERROR in 4.1)
+    val prepared = urls.select(col(urlCol).as("url"))
+      .withColumn("__path", urlPath(col("url")))
+    val parts = split(urlHost(col("url")), "\\.")
+    val n = size(parts)
+    // suffix chain: drop i leading labels, keep >= 2 labels
+    val suffixes = filter(
+      transform(sequence(lit(0), n - 1),
+        i => when(n - i >= 2, array_join(slice(parts, i + 1, n - i), "."))),
+      s => s.isNotNull)
+    val u = prepared.select(col("url"), col("__path"),
+      explode(suffixes).as("__suffix"))
+    val matched = u
+      .join(rules.select(col("host").as("__suffix"), col("prefix").as("__prefix")),
+        Seq("__suffix"))
+      .where(startswith(col("__path"), col("__prefix")))
+      .groupBy(col("url"))
+      .agg(max(struct(length(col("__prefix")).as("l"), col("__suffix").as("h"),
+        col("__prefix").as("p"))).as("best"))
+      .select(col("url"), lit(true).as("blocked"),
+        col("best.h").as("rule_host"), col("best.p").as("rule_prefix"))
+    urls.select(col(urlCol).as("url")).distinct()
+      .join(matched, Seq("url"), "left")
+      .select(col("url"), coalesce(col("blocked"), lit(false)).as("blocked"),
+        coalesce(col("rule_host"), lit("")).as("rule_host"),
+        coalesce(col("rule_prefix"), lit("")).as("rule_prefix"))
+  }
+
   /** All href edges of each page, RESOLVED + normalized against the
     * page URL — the general-form sibling of [[outlinks]] (which reads
     * only the fixture's `/doc/<id>` shape). Narrow projection + one

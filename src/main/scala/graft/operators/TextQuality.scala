@@ -531,6 +531,131 @@ object TextQuality {
       (stopHits(tk, "en") / nTok).as("stopword_ratio"))
   }
 
+  /** Exact ROC AUC of a scorer — the eval every learned quality gate
+    * owes before it filters a corpus. Mann-Whitney rank-sum form with
+    * MIDRANK tie handling (the textbook estimator: AUC = (R⁺ −
+    * n⁺(n⁺+1)/2) / (n⁺n⁻), R⁺ = sum of positive midranks), kept
+    * all-integer until the final division: per distinct score the
+    * doubled midrank sum contribution is c⁺·(2·below + c + 1) — so
+    * AUC = (ΣC − n⁺(n⁺+1)) / (2·n⁺·n⁻) in exact DECIMAL counts, one
+    * double division, rounded 6.
+    *
+    * Scale shape: one score-histogram aggregate, `below` via the
+    * adaptive TotalOrder prefix sum (a continuous score's histogram
+    * ≈ corpus size — never a single-task global window), one scalar
+    * aggregate. The DuckDB twin keeps the naive window formulation, so
+    * the hash match proves the decomposition. */
+  def rankAuc(scored: DataFrame, scoreCol: String = "score",
+              labelCol: String = "is_pos"): DataFrame = {
+    def d19(c: Column): Column = c.cast(DecimalType(19, 0))
+    val hist = scored.groupBy(col(scoreCol).as("s"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col(labelCol), lit(1L)).otherwise(lit(0L))).as("c_pos"))
+    val pre = TotalOrder.prefixSumAuto(hist, Seq(col("s")), Seq(("c", "cum")))
+      .withColumn("below", col("cum") - col("c"))
+    pre
+      .agg(sum(d19(col("c_pos")) * d19(col("below") * 2 + col("c") + 1)).as("tr"),
+        sum(col("c_pos")).as("n_pos"),
+        sum(col("c") - col("c_pos")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        round((col("tr") - d19(col("n_pos")) * d19(col("n_pos") + 1)).cast(DoubleType)
+          / (d19(col("n_pos")) * d19(col("n_neg")) * 2).cast(DoubleType), 6).as("auc"))
+  }
+
+  /** C4's document-level lexicon drop (the stage AFTER line rules: a
+    * document containing ANY listed word is removed outright, no
+    * scoring). Matching runs on CLEANED tokens (lower + punct strip —
+    * the wordcount family's tokenizer), so "VIAGRA!" hits "viagra".
+    * The lexicon is data, not algorithm — callers pass their own; a
+    * narrow per-row array computation, no shuffle, no UDF. */
+  def badWordFilter(docs: DataFrame, words: Seq[String],
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val ws = filter(transform(TextOps.tokens(col(textCol)), t => TextOps.cleanWord(t)),
+      w => length(w) > 0)
+    val nBad = size(filter(ws, w => array_contains(array(words.map(lit): _*), w)))
+    docs.select(col(idCol).as("doc_id"), nBad.cast(LongType).as("n_bad"),
+      (nBad === 0).as("kept"))
+  }
+
+  /** Feature vector column shared by the logistic-regression trainer
+    * and its scorer: bias + the [[qualityFeatures]] ratios (exact IEEE
+    * divisions of integer counts — bit-identical across engines) with
+    * mean token length rescaled to O(1). */
+  private def logregX(labeled: DataFrame, textCol: String): DataFrame =
+    qualityFeatures(labeled, textCol)
+      .join(labeled.select(col("doc_id"), col("is_pos"), col("is_train")), "doc_id")
+      .select(col("doc_id"), col("is_pos"), col("is_train"),
+        array(lit(1.0), col("stopword_ratio"), col("punct_ratio"),
+          col("digit_ratio"), col("avg_token_len") / 10).as("x"))
+
+  /** Feature names, index-aligned with [[logregX]]'s vector. */
+  val LogregFeatures: Seq[String] =
+    Seq("bias", "stopword_ratio", "punct_ratio", "digit_ratio", "avg_token_len_d10")
+
+  /** Logistic-regression quality classifier TRAINED IN THE ENGINE —
+    * `steps` full-batch gradient-ascent iterations of w ← w + lr·∇/n
+    * over the train split, from w = 0. The discriminative sibling of
+    * [[nbLogLikelihoodRatio]]: NB weighs words, this weighs the
+    * document-shape feature ratios.
+    *
+    * Iterative-ML-on-Spark in its real shape: the driver holds the
+    * d-sized coefficient vector (a BOUNDED d-element collect per step
+    * — the Bpe/MMR driver-loop class, documented), each step is ONE
+    * distributed aggregate over the feature relation (pinned once, so
+    * the corpus scan never reruns per step).
+    *
+    * Cross-engine determinism discipline: the dot product and feature
+    * ratios are plain IEEE mul/add on identical inputs (exact in both
+    * engines); only exp() is libm-dependent, so each example's
+    * gradient term x·(y−σ) is rounded 12 dp before the DECIMAL sum
+    * (the NB evidence device — a last-ulp exp wobble moves the sum by
+    * ≤1e-12/n) and each new weight is rounded 9 dp (re-synchronizing
+    * the engines far above the 1e-17 perturbation floor). The DuckDB
+    * twin unrolls the same steps as CTEs. */
+  def logregTrainQuality(labeled: DataFrame, steps: Int = 3, lr: Double = 0.5,
+                         textCol: String = "text"): Seq[Double] = {
+    val fx = logregX(labeled, textCol).where(col("is_train")).truncateLineage
+    val dims = LogregFeatures.size
+    val dec = DecimalType(28, 12)
+    var w = Seq.fill(dims)(0.0)
+    (1 to steps).foreach { _ =>
+      val dot = w.zipWithIndex
+        .map { case (wi, i) => lit(wi) * element_at(col("x"), i + 1) }
+        .reduce(_ + _)
+      val resid = when(col("is_pos"), lit(1.0)).otherwise(lit(0.0)) -
+        lit(1.0) / (lit(1.0) + exp(-dot))
+      val grads = (1 to dims).map(i =>
+        sum(round(element_at(col("x"), i) * resid, 12).cast(dec)).as(s"g$i"))
+      val row = fx.agg(count(lit(1)).as("n"), grads: _*).collect()(0)
+      val n = row.getLong(0)
+      w = w.zipWithIndex.map { case (wi, i) =>
+        val g = row.getDecimal(i + 1).doubleValue
+        BigDecimal(wi + lr * g / n)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    w
+  }
+
+  /** Held-out confusion counts + accuracy of the trained logreg (the
+    * scoring dot product is mul/add only — bit-deterministic, so the
+    * pred_pos threshold at 0 cannot flap across engines). */
+  def logregHeldoutEval(labeled: DataFrame, w: Seq[Double],
+                        textCol: String = "text"): DataFrame = {
+    val fx = logregX(labeled, textCol).where(!col("is_train"))
+    val dot = w.zipWithIndex
+      .map { case (wi, i) => lit(wi) * element_at(col("x"), i + 1) }
+      .reduce(_ + _)
+    fx.select(col("is_pos"), (dot > 0).as("pred"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("is_pos") && col("pred"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("is_pos") && col("pred"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("is_pos") && !col("pred"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("is_pos") && !col("pred"), 1L).otherwise(0L)).as("tn"))
+      .withColumn("accuracy", round((col("tp") + col("tn")).cast(DoubleType)
+        / col("n_test").cast(DoubleType), 6))
+  }
+
   /** Repetition signals (the Gopher/RefinedWeb-style boilerplate and
     * spam detectors): per document, the fraction of w-gram occurrences
     * that are duplicates and the share of the single most frequent

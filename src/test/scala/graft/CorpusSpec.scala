@@ -142,6 +142,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(3L) === ((0L, false)))
   }
 
+  test("domainQualityGate: pooled density decides per domain, exact counts carried") {
+    import spark.implicits._
+    // host A pools 3 stopword hits / 12 tokens (0.25); host B 0/12;
+    // corpus 3/24 (0.125) → A >= corpus keeps, B drops — including A's
+    // individually stopword-free doc (the pooled-verdict point)
+    val docs = Seq(
+      (1L, "the and of xx yy zz", "A"), // 3 hits / 6 toks
+      (2L, "qq ww rr tt kk pp", "A"),   // 0 / 6 — kept via A's pool
+      (3L, "qq ww rr tt kk pp", "B"),
+      (4L, "mm nn bb vv cc xx", "B"))
+      .toDF("doc_id", "text", "host")
+    val kept = Corpus.domainQualityGate(docs)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[String]("host"), r.getAs[Long]("domain_hits"), r.getAs[Long]("domain_tokens"))))
+      .toMap
+    assert(kept.keySet === Set(1L, 2L))
+    assert(kept(1L) === (("A", 3L, 12L)))
+    assert(kept(2L) === (("A", 3L, 12L)))
+  }
+
   test("quality filter keeps the top half per stratum") {
     val kept = Corpus.qualityQuantileFilter(docs, keep = 0.5)
     val total = docs.groupBy(col("lang")).count()

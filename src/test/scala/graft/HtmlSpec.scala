@@ -214,6 +214,53 @@ class HtmlSpec extends AnyFunSuite {
     }
   }
 
+  test("stripTrackingParams: strip set, param sort, empty-query collapse") {
+    val cases = Seq(
+      // tracking stripped, survivors SORTED
+      "https://h.com/p?page=2&utm_source=x&a=1" -> "https://h.com/p?a=1&page=2",
+      "https://h.com/p?b=2&a=1" -> "https://h.com/p?a=1&b=2",
+      // all-tracking query drops its '?'
+      "https://h.com/p?utm_campaign=c&gclid=g1&fbclid=f" -> "https://h.com/p",
+      // no query unchanged; lone '?' drops
+      "https://h.com/p" -> "https://h.com/p",
+      "https://h.com/p?" -> "https://h.com/p",
+      // a bare flag param (no '=') is NOT a tracking param — kept
+      "https://h.com/p?debug&utm_source=x" -> "https://h.com/p?debug",
+      // utm must be a KEY prefix: a value mentioning utm_ survives
+      "https://h.com/p?q=utm_source" -> "https://h.com/p?q=utm_source")
+    val got = cases.map(_._1).zipWithIndex.map { case (u, i) => (i, u) }.toDF("i", "u")
+      .select(col("i"), Html.stripTrackingParams(col("u")).as("n"))
+      .orderBy("i").collect().map(_.getString(1))
+    cases.map(_._2).zip(got).zipWithIndex.foreach { case ((want, g), i) =>
+      assert(g === want, s"case $i (${cases(i)._1})")
+    }
+  }
+
+  test("blocklistFilter: suffix-chain match, longest-prefix pick, allowed pass-through") {
+    val urls = Seq(
+      "https://www.example.com/a/1",          // blocked: suffix rule example.com
+      "https://notexample.com/a/1",           // allowed: dot-boundary, not substring
+      "https://other.org/a/1",                // allowed: no rule
+      "https://a.com/p1",                     // blocked: /p beats whole-domain rule
+      "https://a.com/q",                      // blocked: whole-domain rule
+      "https://s3.shop.example.co.uk/x/7",    // blocked: deep suffix + prefix
+      "https://s3.shop.example.co.uk/y"       // allowed: prefix /x misses
+    ).toDF("url")
+    val rules = Seq(
+      ("example.com", ""), ("a.com", ""), ("a.com", "/p"),
+      ("shop.example.co.uk", "/x")).toDF("host", "prefix")
+    val got = Html.blocklistFilter(urls, rules)
+      .collect().map(r => r.getString(0) -> ((r.getBoolean(1), r.getString(2), r.getString(3))))
+      .toMap
+    assert(got("https://www.example.com/a/1") === ((true, "example.com", "")))
+    assert(got("https://notexample.com/a/1") === ((false, "", "")))
+    assert(got("https://other.org/a/1") === ((false, "", "")))
+    assert(got("https://a.com/p1") === ((true, "a.com", "/p")))
+    assert(got("https://a.com/q") === ((true, "a.com", "")))
+    assert(got("https://s3.shop.example.co.uk/x/7") === ((true, "shop.example.co.uk", "/x")))
+    assert(got("https://s3.shop.example.co.uk/y") === ((false, "", "")))
+  }
+
   test("outlinksFull over the URL fixture: host edges equal the closed-form map") {
     val docs = (0L to 9L).map(i => (i, "x")).toDF("doc_id", "text")
     val pages = Html.urlPageFromDocs(docs)
