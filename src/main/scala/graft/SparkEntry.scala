@@ -3408,6 +3408,42 @@ object SparkEntry {
       TextQuality.logregHeldoutEval(labeled,
         TextQuality.logregTrainQuality(labeled))
     }),
+    // the URL front door AS A STREAM: doc drops arrive file-by-file,
+    // every batch's raw URLs (tracking junk + shuffled real params —
+    // the url_strip_tracking fixture) canonicalize in-stream, the
+    // stateful dedup admits each fetch key ONCE across batches, and
+    // the UT1-style blocklist then grades the drained frontier — the
+    // admitted verdict set must equal the batch closed form
+    "streaming_url_frontier" -> ((s, d) => {
+      val src = stageDocStream(s, d, nFiles = 4)
+      val ss = streamSession(s)
+      val stream = ss.readStream
+        .schema("doc_id LONG, lang STRING, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+      val id = col("doc_id")
+      val m = id - (id % 3)
+      val base = concat(lit("https://"), Html.fixtureHost(m % Html.SiteSpace),
+        lit("/doc/"), m.cast("string"))
+      val raw = when(id % 3 === 0,
+          concat(base, lit("?page=2&utm_source=feed&a=1&utm_campaign=c"), id.cast("string")))
+        .when(id % 3 === 1,
+          concat(base, lit("?a=1&gclid=g"), id.cast("string"), lit("&page=2")))
+        .otherwise(concat(base, lit("?page=2&a=1&fbclid=f"), id.cast("string")))
+      val canon = stream.select(Html.stripTrackingParams(raw).as("url"))
+        .dropDuplicates("url")
+      val admitted = graft.streaming.EventStreams.runToMemory(ss, canon,
+        s"stream_urlfrontier_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      val ks = t(ss, d).documents.select((col("doc_id") % Html.SiteSpace).as("k")).distinct()
+      val rules = ks.where(col("k") % 7 === 0)
+          .select(Html.fixtureHost(col("k")).as("host"), lit("").as("prefix"))
+        .unionByName(ks.where(col("k") % 5 === 0)
+          .select(Html.fixtureHost(col("k")).as("host"), lit("/doc/1").as("prefix")))
+        .unionByName(ss.range(1)
+          .select(lit("shop.example.co.uk").as("host"), lit("/doc/7").as("prefix")))
+      Html.blocklistFilter(admitted, rules).orderBy("url")
+    }),
     // the crawl front door AS A STREAM: page drops arrive file-by-file,
     // href extraction runs per micro-batch, and the edge dedup becomes
     // Structured Streaming's stateful Deduplicate (Html.outlinks'
@@ -9288,6 +9324,36 @@ object SparkEntry {
          |     x -> list_contains(['casino','viagra','lottery'], x))) AS BIGINT) AS n_bad
          |   FROM w)
          |SELECT doc_id, n_bad, n_bad = 0 AS kept FROM b ORDER BY doc_id""".stripMargin,
+
+    // the drained frontier's closed form: one canonical key per m
+    // triple, graded by the same rule arithmetic as
+    // url_blocklist_filter (k = m%ss; path excludes the query)
+    "streaming_url_frontier" -> {
+      val ss = Html.SiteSpace
+      s"""WITH x AS (SELECT DISTINCT doc_id - (doc_id % 3) AS m FROM documents),
+         | u AS (SELECT m, m % $ss AS k FROM x),
+         | uu AS (SELECT m, k,
+         |    'https://' || ${sqlHost("k")} || '/doc/' || m || '?a=1&page=2' AS url,
+         |    '/doc/' || m AS path FROM u),
+         | cand AS (
+         |   SELECT m, ${sqlHost("k")} AS rule_host, '' AS prefix
+         |     FROM uu WHERE k % 7 = 0
+         |   UNION ALL
+         |   SELECT m, ${sqlHost("k")}, '/doc/1'
+         |     FROM uu WHERE k % 5 = 0 AND starts_with(path, '/doc/1')
+         |   UNION ALL
+         |   SELECT m, 'shop.example.co.uk', '/doc/7'
+         |     FROM uu WHERE k % 3 = 0 AND starts_with(path, '/doc/7')),
+         | best AS (SELECT m, rule_host, prefix, row_number() OVER (
+         |    PARTITION BY m
+         |    ORDER BY length(prefix) DESC, rule_host DESC, prefix DESC) AS rn
+         |   FROM cand)
+         |SELECT uu.url, b.m IS NOT NULL AS blocked,
+         | coalesce(b.rule_host, '') AS rule_host,
+         | coalesce(b.prefix, '') AS rule_prefix
+         |FROM uu LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (m)
+         |ORDER BY uu.url""".stripMargin
+    },
 
     // three unrolled GD steps as CTEs; final weights unpivoted
     "logreg_quality_weights" ->

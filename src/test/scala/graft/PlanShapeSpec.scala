@@ -70,6 +70,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"), plan)
   }
 
+  test("blocklist filter: suffix-chain match is an EQUI join — a large blocklist never becomes a nested loop") {
+    val spark2 = spark; import spark2.implicits._
+    val urls = t.documents.select(
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("https://h"),
+        col("doc_id").cast("string"),
+        org.apache.spark.sql.functions.lit(".example.com/p")).as("url"))
+    val rules = Seq(("example.com", ""), ("h1.example.com", "/p")).toDF("host", "prefix")
+    val plan = simple(graft.operators.Html.blocklistFilter(urls, rules))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("budgetCap: one key-partitioned window, no global sort") {
     val capped = Corpus.budgetCap(t.documents, budget = 20000)
     val plan = simple(capped)
