@@ -504,6 +504,44 @@ object Corpus {
   val AllStopwords: Seq[String] =
     TextQuality.Stopwords.toSeq.sortBy(_._1).flatMap(_._2)
 
+  /** Multi-signal quality fusion (the move after single gates: blend
+    * heterogeneous signals — classifier llr, density ratios, LM
+    * scores — into ONE calibrated score instead of cascading hard
+    * cuts that each discard differently-shaped good documents). Each
+    * signal is z-normalized and the weighted mean decides:
+    * `kept = Σ wᵢ·zᵢ / k >= 0`; weights carry direction (a
+    * higher-is-worse signal takes a negative weight).
+    *
+    * Determinism discipline: moments come from DECIMAL sums (x cast
+    * 12-dp; x² exact-rounded then 12-dp) so partitioning cannot
+    * reorder float adds; mean, variance, sqrt, the z divisions and the
+    * blend are single IEEE correctly-rounded ops on identical inputs —
+    * bit-identical cross-engine. A constant signal (sd = 0) is a
+    * caller error and yields non-finite scores rather than a silent
+    * fallback.
+    *
+    * Scale shape: ONE scalar moments row crossed in by broadcast; no
+    * window, no sort, no per-signal pass. */
+  def qualityEnsemble(scored: DataFrame, signals: Seq[(String, Double)],
+                      idCol: String = "doc_id"): DataFrame = {
+    require(signals.nonEmpty, "qualityEnsemble needs at least one signal")
+    val dec = DecimalType(28, 12)
+    val aggs = signals.flatMap { case (c, _) => Seq(
+      sum(col(c).cast(dec)).as(s"__s_$c"),
+      sum(round(col(c) * col(c), 12).cast(dec)).as(s"__q_$c")) }
+    val m = scored.agg(count(lit(1)).as("__n"), aggs: _*)
+    val zs = signals.map { case (c, w) =>
+      val mean = col(s"__s_$c").cast(DoubleType) / col("__n")
+      val ex2 = col(s"__q_$c").cast(DoubleType) / col("__n")
+      val sd = sqrt(greatest(ex2 - mean * mean, lit(0.0)))
+      lit(w) * ((col(c) - mean) / sd)
+    }
+    scored.crossJoin(broadcast(m))
+      .withColumn("ensemble_score", round(zs.reduce(_ + _) / signals.size, 6))
+      .withColumn("kept", col("ensemble_score") >= 0)
+      .drop("__n" +: signals.flatMap { case (c, _) => Seq(s"__s_$c", s"__q_$c") }: _*)
+  }
+
   /** Domain-level quality gating (the RefinedWeb/CCNet move of
     * scoring SOURCES, not documents: a domain whose pooled text reads
     * like boilerplate is dropped wholesale, catching spam farms whose

@@ -162,6 +162,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(kept(2L) === (("A", 3L, 12L)))
   }
 
+  test("qualityEnsemble: hand-computed z-blend, direction weights, partition invariance") {
+    import spark.implicits._
+    // two signals, opposite directions; values chosen for exact moments
+    val scored = Seq(
+      (1L, 4.0, 0.0), (2L, 2.0, 2.0), (3L, 0.0, 4.0), (4L, 2.0, 2.0))
+      .toDF("doc_id", "good", "bad")
+    // good: mean 2, var (4+0+4+0)/4 - 0 = 2 → sd = sqrt(2); bad same
+    val sd = math.sqrt(2.0)
+    def z(x: Double) = (x - 2.0) / sd
+    val want = Map(
+      1L -> BigDecimal((z(4.0) - z(0.0)) / 2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      2L -> 0.0, 3L -> BigDecimal((z(0.0) - z(4.0)) / 2)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 4L -> 0.0)
+    val got = Corpus.qualityEnsemble(scored, Seq(("good", 1.0), ("bad", -1.0)))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("ensemble_score"), r.getAs[Boolean]("kept")))).toMap
+    want.foreach { case (id, w) =>
+      assert(got(id)._1 === w, s"doc $id")
+      assert(got(id)._2 === (w >= 0), s"doc $id kept")
+    }
+    val got32 = Corpus.qualityEnsemble(scored.repartition(32),
+      Seq(("good", 1.0), ("bad", -1.0)))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ensemble_score")).toMap
+    assert(got32 === got.map { case (k, v) => k -> v._1 })
+  }
+
   test("quality filter keeps the top half per stratum") {
     val kept = Corpus.qualityQuantileFilter(docs, keep = 0.5)
     val total = docs.groupBy(col("lang")).count()
