@@ -1516,6 +1516,38 @@ object SparkEntry {
     // the high-dimensionality red flag every k-NN consumer inherits
     "knn_hubness" -> ((s, d) =>
       Similarity.knnHubness(t(s, d).embeddings).orderBy("n_k")),
+    // Johnson-Lindenstrauss projection WITH its distortion
+    // measurement (the embedding_quantize posture applied to dim
+    // reduction): 64→16 dims through the deterministic splitmix
+    // hyperplanes, then per adjacent-id pair the squared distance in
+    // both spaces and the 3/k-scaled ratio — the dim cut measured,
+    // not assumed. Twin replays the exact plane geometry (planeSql)
+    "jl_distortion_audit" -> ((s, d) => {
+      val k = 16
+      val e = t(s, d).embeddings
+      val pr = Similarity.jlProject(e, k = k)
+      val dots = e.join(pr, "vec_id")
+      val a = dots.where(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("proj").as("pa"))
+      val b = dots.where(col("vec_id") % 2 === 1)
+        .select((col("vec_id") - 1).as("id_a"), col("vec_id").as("id_b"),
+          col("embedding").as("eb"), col("proj").as("pb"))
+      import graft.functions.VectorFunctions.vec_dot
+      val d2o = round(vec_dot(col("ea"), col("ea")), 9) +
+        round(vec_dot(col("eb"), col("eb")), 9) -
+        lit(2) * round(vec_dot(col("ea"), col("eb")), 9)
+      val d2p = (1 to k).map { j =>
+        val df = element_at(col("pa"), j) - element_at(col("pb"), j)
+        df * df
+      }.reduce(_ + _)
+      a.join(b, "id_a")
+        .withColumn("__d2o", d2o).withColumn("__d2p", d2p)
+        .select(col("id_a"), col("id_b"),
+          round(col("__d2o"), 6).as("d2_orig"),
+          round(col("__d2p"), 6).as("d2_proj"),
+          round(col("__d2p") * 3 / k / col("__d2o"), 6).as("distortion"))
+        .orderBy("id_a")
+    }),
     // ratio-margin bitext mining: per-source best target scored by
     // cos/(k-NN mass avg) — hub cancellation — with the mutual
     // (forward-backward) flag; sides are vec_id parity
@@ -7493,6 +7525,29 @@ object SparkEntry {
         | r AS (SELECT q_id, c_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank FROM s)
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, round(sim, 4) AS sim_r
         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // the identical plane geometry inlined as literals; projections,
+    // both squared distances and the 3/k ratio replayed term-for-term
+    "jl_distortion_audit" -> {
+      val k = 16
+      val projList = (0 until k).map(j =>
+        s"round(list_dot_product(e, ${Similarity.planeSql(Similarity.JlPlaneOffset + j, 64)}), 9)")
+        .mkString("[", ",\n      ", "]")
+      val d2p = (1 to k).map(j => s"(pa[$j]-pb[$j])*(pa[$j]-pb[$j])").mkString(" + ")
+      s"""WITH pr AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         | pj AS (SELECT vec_id, e, $projList AS proj FROM pr),
+         | a AS (SELECT vec_id AS id_a, e AS ea, proj AS pa FROM pj WHERE vec_id % 2 = 0),
+         | b AS (SELECT vec_id - 1 AS id_a, vec_id AS id_b, e AS eb, proj AS pb
+         |   FROM pj WHERE vec_id % 2 = 1),
+         | d AS (SELECT id_a, id_b,
+         |    round(list_dot_product(ea, ea), 9) + round(list_dot_product(eb, eb), 9)
+         |      - 2 * round(list_dot_product(ea, eb), 9) AS d2o,
+         |    $d2p AS d2p
+         |   FROM a JOIN b USING (id_a))
+         |SELECT id_a, id_b, round(d2o, 6) AS d2_orig, round(d2p, 6) AS d2_proj,
+         | round(d2p * 3 / $k / d2o, 6) AS distortion
+         |FROM d ORDER BY id_a""".stripMargin
+    },
 
     // the k-occurrence census off the proven cosine-rank chain: every
     // vector a query, rank <= 10 occurrences counted per candidate,

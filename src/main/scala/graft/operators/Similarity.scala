@@ -253,6 +253,27 @@ object Similarity {
   def lshBuckets(emb: DataFrame, nPlanes: Int = 16, dim: Int = 64, tableId: Int = 0): DataFrame =
     emb.select(col("vec_id"), col("embedding"), bucketKey(nPlanes, dim, tableId).as("bucket"))
 
+  /** Offset into the [[plane]] index stream reserved for the JL
+    * projection (LSH tables use p = tableId·nPlanes + plane, small
+    * integers; 4096 keeps the streams disjoint). */
+  val JlPlaneOffset: Int = 4096
+
+  /** Johnson-Lindenstrauss random projection to `k` dims — the
+    * dimensionality-reduction front of an ANN stack (project once,
+    * bucket/search in the small space, re-rank survivors in the
+    * original space). Component j is <v, plane_{offset+j}> rounded
+    * 9 dp — the same deterministic splitmix64 hyperplanes the LSH
+    * family uses, so the twin replays the exact geometry via
+    * [[planeSql]]. One narrow projection: k codegen'd vec_dot calls,
+    * no shuffle. Components are uniform in [-1,1] (variance 1/3), so
+    * squared distances in the projected space estimate 3/k × the
+    * original — the distortion audit applies that factor. */
+  def jlProject(emb: DataFrame, k: Int = 16, dim: Int = 64): DataFrame =
+    emb.select(col("vec_id"),
+      array((0 until k).map(j =>
+        round(vec_dot(col("embedding"),
+          array(plane(JlPlaneOffset + j, dim).map(lit): _*)), 9)): _*).as("proj"))
+
   /** Plane `p` rendered as a DuckDB DOUBLE-list literal (%.17e
     * round-trips IEEE doubles exactly), so the oracle twin of every
     * LSH-keyed query hashes the SAME geometry the Spark plan uses —

@@ -534,6 +534,34 @@ class SimilaritySpec extends AnyFunSuite {
       "a codebook vector failed to encode to its own code")
   }
 
+  test("jlProject: k components, deterministic geometry, unbiased distance estimate on the real fixture") {
+    val e = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val pr = Similarity.jlProject(e, k = 16)
+    val first = pr.orderBy("vec_id").limit(1).collect()(0)
+    assert(first.getSeq[Double](1).size === 16)
+    // same input → identical projections (plan-build-time plane constants)
+    val again = Similarity.jlProject(e.repartition(8), k = 16)
+      .orderBy("vec_id").limit(1).collect()(0)
+    assert(first.getSeq[Double](1) === again.getSeq[Double](1))
+    // JL estimate: mean of (3/k)·|proj diff|² / |diff|² over the
+    // adjacent-pair population sits near 1 (k=16 → sd of the MEAN over
+    // ~250 pairs is a few percent; band is generous)
+    val dots = e.join(pr, "vec_id")
+    val a = dots.where(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("proj").as("pa"))
+    val b = dots.where(col("vec_id") % 2 === 1)
+      .select((col("vec_id") - 1).as("id_a"), col("embedding").as("eb"), col("proj").as("pb"))
+    val d2o = vec_dot(col("ea"), col("ea")) + vec_dot(col("eb"), col("eb")) -
+      lit(2) * vec_dot(col("ea"), col("eb"))
+    val d2p = (1 to 16).map { j =>
+      val df = element_at(col("pa"), j) - element_at(col("pb"), j); df * df
+    }.reduce(_ + _)
+    val mean = a.join(b, "id_a")
+      .select((d2p * 3 / 16 / d2o).as("r"))
+      .agg(avg(col("r"))).head().getDouble(0)
+    assert(mean > 0.7 && mean < 1.3, s"mean distortion $mean")
+  }
+
   test("strideCentroids cap: the IVF cell count is kCent-bounded however large the corpus") {
     val emb = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     // 500 dense vec_ids at step 10 would be 50 uncapped cells; kCent = 4
