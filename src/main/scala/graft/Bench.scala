@@ -26,33 +26,53 @@ object Bench {
     spark
   }
 
+  /** The epoch-reference query: the one whose history best every
+    * normalization in this file anchors on. */
+  private val AnchorQuery = "wordcount_x8"
+
   /** Child mode for regression confirmation: time ONE query in this
     * fresh JVM (pass 1 warms codegen/JIT, pass 2 is the measurement)
     * and print a single parse-friendly line. No history/detail writes,
     * no regression logic — the parent owns all bookkeeping, so the
-    * child can never recurse or clobber the suite's artifacts. */
+    * child can never recurse or clobber the suite's artifacts.
+    *
+    * The child ALSO times the anchor query (unless it IS the query):
+    * three separate measurement windows have now produced garbage
+    * "confirmed" verdicts because the children landed in a host
+    * contention spike the parent's host_factor never saw (r13 driver:
+    * 355ms→2.3s on untouched code; r14 mid-round: 84ms→1.5s at
+    * host_factor 1.475). The anchor reading measures the CHILD's own
+    * epoch, so the parent can normalize the verdict by the window the
+    * measurement actually ran in. */
   private def isolatedMain(query: String, sfDir: String, cpus: String): Unit = {
     val spark = buildSession(cpus)
     val fn = SparkEntry.queries.getOrElse(query,
       sys.error(s"--isolated: unknown query '$query'"))
-    def once(): Double = {
+    def once(f: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      f(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }
-    val best = math.min(once(), once())
+    val best = math.min(once(fn), once(fn))
+    val anchorJson =
+      if (query == AnchorQuery) ""
+      else SparkEntry.queries.get(AnchorQuery).map { af =>
+        val ab = math.min(once(af), once(af))
+        s""","anchor_sec":${fmt(ab, 3)}"""
+      }.getOrElse("")
     spark.stop()
-    println(s"""{"isolated":"$query","best_sec":${fmt(best, 3)}}""")
+    println(s"""{"isolated":"$query","best_sec":${fmt(best, 3)}$anchorJson}""")
     System.out.flush()
   }
 
-  /** Spawn a fresh JVM running `--isolated name`; returns measured
-    * seconds, or None on spawn/parse/timeout failure (noted on
+  /** Spawn a fresh JVM running `--isolated name`; returns (measured
+    * seconds, the child's anchor seconds when it reported one), or
+    * None on spawn/parse/timeout failure (noted on
     * stderr — confirmation then falls back to the raw flag). Works
     * because the build forks run/test, so java.class.path of THIS
     * process is the full application classpath. */
   private def runIsolated(name: String, sfDir: String, cpus: String,
-                          timeoutSec: Long): Option[Double] = {
+                          timeoutSec: Long): Option[(Double, Option[Double])] = {
     import scala.jdk.CollectionConverters._
     try {
       val javaBin = new java.io.File(
@@ -78,7 +98,10 @@ object Bench {
       } else {
         val src = scala.io.Source.fromFile(out, "UTF-8")
         val txt = try src.mkString finally src.close()
-        """"best_sec":([0-9.]+)""".r.findFirstMatchIn(txt).map(_.group(1).toDouble)
+        val anchor = """"anchor_sec":([0-9.]+)""".r
+          .findFirstMatchIn(txt).map(_.group(1).toDouble)
+        """"best_sec":([0-9.]+)""".r.findFirstMatchIn(txt)
+          .map(m => (m.group(1).toDouble, anchor))
           .orElse {
             System.err.println(
               s"[bench] isolated $name produced no best_sec (exit ${p.exitValue()})")
@@ -289,30 +312,48 @@ object Bench {
     def budgetLeft: Long =
       confirmBudgetSec - (System.nanoTime() - confirmStart) / 1000000000L
     var confirmTruncated = false
-    // name -> (isolated_ms, hist_ms, confirmed?)
-    val confirmResults: Seq[(String, Long, Long, Boolean)] =
+    // The child's own epoch: its anchor reading over the anchor's
+    // history best, floored at 1. The parent's host_factor measures
+    // the SUITE's window; the children run minutes later and have
+    // repeatedly landed in contention spikes the suite never saw (the
+    // r13-driver and r14-mid-round garbage confirmations). A genuinely
+    // regressed query cannot inflate its own epoch — the anchor is a
+    // different query — and an anchor CODE regression is caught
+    // separately by baseline_ratio.
+    val anchorHist: Option[Long] = hist.get(s"$sfKey/$AnchorQuery").filter(_ > 0)
+    def epochOf(anchorSec: Option[Double]): Double = (for {
+      ah <- anchorHist; a <- anchorSec
+    } yield math.max(1.0, a * 1000.0 / ah)).getOrElse(1.0)
+    // name -> (isolated_ms, hist_ms, confirmed?, child_epoch)
+    val confirmResults: Seq[(String, Long, Long, Boolean, Double)] =
       if (!confirmEnabled) Seq.empty
       else flagged.flatMap { case (name, _, h) =>
         if (budgetLeft < 60) { confirmTruncated = true; None }
         else runIsolated(name, sfDir, cpus, math.min(300, budgetLeft)) match {
           case None => None // spawn failure: raw flag stands, noted on stderr
-          case Some(first) =>
-            // the isolated children run in the same host epoch, so the
-            // confirm verdict uses the same normalized criterion
+          case Some((first, aFirst)) =>
             val firstMs = msOf(first)
-            if (firstMs <= 2 * h * hostFactor) Some((name, firstMs, h, false))
+            val e1 = epochOf(aFirst)
+            if (firstMs <= 2 * h * math.max(hostFactor, e1))
+              Some((name, firstMs, h, false, e1))
             else {
-              val reps = firstMs +: (1 to 2).flatMap(_ =>
+              val reps: Seq[(Long, Double)] = (firstMs, e1) +: (1 to 2).flatMap(_ =>
                 if (budgetLeft < 60) { confirmTruncated = true; None }
-                else runIsolated(name, sfDir, cpus, math.min(300, budgetLeft)).map(msOf))
-              val med = reps.sorted.apply(reps.size / 2)
-              Some((name, med, h, med > 2 * h * hostFactor))
+                else runIsolated(name, sfDir, cpus, math.min(300, budgetLeft))
+                  .map { case (s2, a2) => (msOf(s2), epochOf(a2)) })
+              // judge the median of the PER-REP epoch-normalized
+              // readings — each rep corrected by the window it ran in
+              val medNorm = reps.map { case (ms, e) => ms / e }
+                .sorted.apply(reps.size / 2)
+              val medMs = reps.map(_._1).sorted.apply(reps.size / 2)
+              val medE = reps.map(_._2).sorted.apply(reps.size / 2)
+              Some((name, medMs, h, medNorm > 2.0 * h, medE))
             }
         }
       }
     val confirmedJson = {
-      val entries = confirmResults.collect { case (n, ms, h, true) =>
-        s""""$n":{"isolated_ms":$ms,"hist_ms":$h}"""
+      val entries = confirmResults.collect { case (n, ms, h, true, e) =>
+        s""""$n":{"isolated_ms":$ms,"hist_ms":$h,"child_epoch":${fmt(e, 2)}}"""
       }
       // The r10 contradiction: a round whose sentinel said the HOST
       // was degraded still emitted plain "confirmed_regressions" —
@@ -325,7 +366,7 @@ object Bench {
         else """"confirmed_regressions":{"""
       if (!confirmEnabled) ""
       else {
-        val cleared = confirmResults.count(!_._4)
+        val cleared = confirmResults.count(r => !r._4)
         val unconfirmed = flagged.size - confirmResults.size
         entries.mkString(confirmedKey, ",", "},") +
           s""""flags_raw":${flagged.size},"flags_cleared":$cleared,""" +
@@ -370,9 +411,14 @@ object Bench {
     // 1.424/degraded=false, exactly the masking the sentinel guard
     // exists for. Above a modest epoch bound the flag simply stands
     // until a quiet-host round re-confirms it.
+    // a confirmation measured in a slow child window (epoch > 1.2)
+    // may stand as a flag, but its inflated median must not become
+    // the new baseline — same rule as the parent-epoch guard
     val rebaseline: Map[String, Long] =
       if (hostDegraded || hostFactor > 1.2) Map.empty
-      else confirmResults.collect { case (n, ms, _, true) => s"$sfKey/$n" -> ms }.toMap
+      else confirmResults.collect {
+        case (n, ms, _, true, e) if e <= 1.2 => s"$sfKey/$n" -> ms
+      }.toMap
     try {
       val updated = (hist.keySet ++ ordered.map(o => s"$sfKey/${o._1}")).toSeq.sorted.flatMap { k =>
         val cur =
@@ -405,8 +451,8 @@ object Bench {
         else regressionEntries.mkString(""""regressions_raw_detail":{""", ",", "},")
       val isolatedRows =
         if (confirmResults.isEmpty) ""
-        else confirmResults.map { case (n, ms, h, conf) =>
-          s""""$n":{"isolated_ms":$ms,"hist_ms":$h,"confirmed":$conf}"""
+        else confirmResults.map { case (n, ms, h, conf, e) =>
+          s""""$n":{"isolated_ms":$ms,"hist_ms":$h,"confirmed":$conf,"child_epoch":${fmt(e, 2)}}"""
         }.mkString(""""isolated":{""", ",", "},")
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec",$sentinel$hostFactorJson$baselineJson$suiteRatioJson$rawFlags$isolatedRows$confirmedJson"sf":"$sfDir",
          |"queries":$rows}""".stripMargin
