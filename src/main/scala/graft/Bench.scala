@@ -53,13 +53,17 @@ object Bench {
       f(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }
-    val best = math.min(once(fn), once(fn))
+    // The anchor passes run BETWEEN the two query passes (ADVICE r14)
+    // so the epoch reading samples the same window the measurement
+    // ran in, not a slightly later one.
+    val q1 = once(fn)
     val anchorJson =
       if (query == AnchorQuery) ""
       else SparkEntry.queries.get(AnchorQuery).map { af =>
         val ab = math.min(once(af), once(af))
         s""","anchor_sec":${fmt(ab, 3)}"""
       }.getOrElse("")
+    val best = math.min(q1, once(fn))
     spark.stop()
     println(s"""{"isolated":"$query","best_sec":${fmt(best, 3)}$anchorJson}""")
     System.out.flush()
@@ -324,13 +328,23 @@ object Bench {
     def epochOf(anchorSec: Option[Double]): Double = (for {
       ah <- anchorHist; a <- anchorSec
     } yield math.max(1.0, a * 1000.0 / ah)).getOrElse(1.0)
+    // Child timeout: the old 300s ceiling covered two passes of the
+    // flagged query alone; the child now also times two anchor passes
+    // (ADVICE r14), so scale the ceiling for the added work rather
+    // than letting previously-near-timeout queries silently degrade
+    // to the raw flag.
+    def childTimeout: Long = math.min(420, budgetLeft)
+    // Children that produced no measurement (spawn/timeout/parse) —
+    // the raw flag stands; named on the committed JSON line, not only
+    // stderr (ADVICE r14).
+    val confirmFailed = scala.collection.mutable.ArrayBuffer.empty[String]
     // name -> (isolated_ms, hist_ms, confirmed?, child_epoch)
     val confirmResults: Seq[(String, Long, Long, Boolean, Double)] =
       if (!confirmEnabled) Seq.empty
       else flagged.flatMap { case (name, _, h) =>
         if (budgetLeft < 60) { confirmTruncated = true; None }
-        else runIsolated(name, sfDir, cpus, math.min(300, budgetLeft)) match {
-          case None => None // spawn failure: raw flag stands, noted on stderr
+        else runIsolated(name, sfDir, cpus, childTimeout) match {
+          case None => confirmFailed += name; None // raw flag stands
           case Some((first, aFirst)) =>
             val firstMs = msOf(first)
             val e1 = epochOf(aFirst)
@@ -339,14 +353,20 @@ object Bench {
             else {
               val reps: Seq[(Long, Double)] = (firstMs, e1) +: (1 to 2).flatMap(_ =>
                 if (budgetLeft < 60) { confirmTruncated = true; None }
-                else runIsolated(name, sfDir, cpus, math.min(300, budgetLeft))
+                else runIsolated(name, sfDir, cpus, childTimeout)
                   .map { case (s2, a2) => (msOf(s2), epochOf(a2)) })
-              // judge the median of the PER-REP epoch-normalized
-              // readings — each rep corrected by the window it ran in
-              val medNorm = reps.map { case (ms, e) => ms / e }
-                .sorted.apply(reps.size / 2)
-              val medMs = reps.map(_._1).sorted.apply(reps.size / 2)
-              val medE = reps.map(_._2).sorted.apply(reps.size / 2)
+              // Judge the median of the PER-REP epoch-normalized
+              // readings — each rep corrected by the window it ran in,
+              // floored at the suite's hostFactor exactly like the
+              // first-shot check above (ADVICE r14: an epochOf() 1.0
+              // fallback — anchor missing/unparsed — must not drop the
+              // suite-level correction on a contended host). Report the
+              // (ms, epoch) pair OF the median rep itself so the
+              // committed numbers are mutually consistent with the
+              // verdict, not medians of independently sorted lists.
+              val byNorm = reps.sortBy { case (ms, e) => ms / math.max(hostFactor, e) }
+              val (medMs, medE) = byNorm(reps.size / 2)
+              val medNorm = medMs / math.max(hostFactor, medE)
               Some((name, medMs, h, medNorm > 2.0 * h, medE))
             }
         }
@@ -371,6 +391,10 @@ object Bench {
         entries.mkString(confirmedKey, ",", "},") +
           s""""flags_raw":${flagged.size},"flags_cleared":$cleared,""" +
           (if (unconfirmed > 0) s""""flags_unconfirmed":$unconfirmed,""" else "") +
+          (if (confirmFailed.nonEmpty)
+            confirmFailed.map(n => s""""$n"""")
+              .mkString(""""confirm_failed":[""", ",", "],")
+          else "") +
           (if (confirmTruncated) """"confirm_truncated":true,""" else "")
       }
     }

@@ -3441,19 +3441,25 @@ object SparkEntry {
         TextQuality.logregTrainQuality(labeled))
     }),
     // multi-signal quality fusion (the dedup_graph_fusion of the
-    // quality ladder): NB llr, stopword density and punctuation ratio
+    // quality ladder): NB llr, stopword density and mean token length
     // z-normalized off DECIMAL-summed moments and blended (+1, +1, −1)
     // into ONE calibrated score deciding the keep — every float op a
-    // single IEEE correctly-rounded step, so the twin is bit-identical
+    // single IEEE correctly-rounded step, so the twin is bit-identical.
+    // (r15: the third signal was punct_ratio, which is constant 0 on
+    // the all-lowercase-words fixture at every SF — the blend emitted
+    // NULL for every row and the r14 hash-green was two engines
+    // agreeing on the degenerate output. qualityEnsemble now fails
+    // loud on sd = 0, and the registered blend uses avg_token_len,
+    // which varies at all SFs.)
     "quality_ensemble" -> ((s, d) => {
       val llr = TextQuality.nbLogLikelihoodRatio(nbLabeled(s, d))
         .select(col("doc_id"), col("llr"))
       val feats = TextQuality.qualityFeatures(t(s, d).documents)
-        .select(col("doc_id"), col("stopword_ratio"), col("punct_ratio"))
+        .select(col("doc_id"), col("stopword_ratio"), col("avg_token_len"))
       val scored = t(s, d).documents.select(col("doc_id"), col("lang"))
         .join(llr, "doc_id").join(feats, "doc_id")
       Corpus.qualityEnsemble(scored,
-          Seq(("llr", 1.0), ("stopword_ratio", 1.0), ("punct_ratio", -1.0)))
+          Seq(("llr", 1.0), ("stopword_ratio", 1.0), ("avg_token_len", -1.0)))
         .select(col("doc_id"), col("lang"), col("ensemble_score"), col("kept"))
         .orderBy("doc_id")
     }),
@@ -9399,7 +9405,8 @@ object SparkEntry {
 
     // the same three signals, naive formulation: per-signal moments
     // from DECIMAL sums, z-blend replayed literally — bit-identical
-    // float path on both engines
+    // float path on both engines (avg token length = one double
+    // division of two exact integers on each engine)
     "quality_ensemble" ->
       s"""$NbCtes,
          | tq AS (SELECT doc_id, lang, text,
@@ -9407,22 +9414,22 @@ object SparkEntry {
          |   FROM documents),
          | f AS (SELECT doc_id, lang,
          |    len(list_filter(tk, x -> list_contains(['the','a','of','and','to','in','is','it'], lower(x)))) / len(tk) AS stop_r,
-         |    (length(text) - length(regexp_replace(text, '$P', '', 'g'))) / length(text) AS punct_r
+         |    list_sum(list_transform(tk, x -> length(x))) / len(tk) AS atl
          |   FROM tq),
-         | j AS (SELECT nb.doc_id, f.lang, nb.llr, f.stop_r, f.punct_r
+         | j AS (SELECT nb.doc_id, f.lang, nb.llr, f.stop_r, f.atl
          |   FROM nb JOIN f USING (doc_id)),
          | mo AS (SELECT count(*) AS n,
          |    CAST(sum(CAST(llr AS DECIMAL(28,12))) AS DOUBLE) AS s_l,
          |    CAST(sum(CAST(round(llr*llr, 12) AS DECIMAL(28,12))) AS DOUBLE) AS q_l,
          |    CAST(sum(CAST(stop_r AS DECIMAL(28,12))) AS DOUBLE) AS s_s,
          |    CAST(sum(CAST(round(stop_r*stop_r, 12) AS DECIMAL(28,12))) AS DOUBLE) AS q_s,
-         |    CAST(sum(CAST(punct_r AS DECIMAL(28,12))) AS DOUBLE) AS s_p,
-         |    CAST(sum(CAST(round(punct_r*punct_r, 12) AS DECIMAL(28,12))) AS DOUBLE) AS q_p
+         |    CAST(sum(CAST(atl AS DECIMAL(28,12))) AS DOUBLE) AS s_p,
+         |    CAST(sum(CAST(round(atl*atl, 12) AS DECIMAL(28,12))) AS DOUBLE) AS q_p
          |   FROM j),
          | z AS (SELECT j.doc_id, j.lang,
          |    round((1.0 * ((llr - s_l/n) / sqrt(greatest(q_l/n - (s_l/n)*(s_l/n), 0.0)))
          |         + 1.0 * ((stop_r - s_s/n) / sqrt(greatest(q_s/n - (s_s/n)*(s_s/n), 0.0)))
-         |         + -1.0 * ((punct_r - s_p/n) / sqrt(greatest(q_p/n - (s_p/n)*(s_p/n), 0.0)))) / 3, 6)
+         |         + -1.0 * ((atl - s_p/n) / sqrt(greatest(q_p/n - (s_p/n)*(s_p/n), 0.0)))) / 3, 6)
          |      AS ensemble_score
          |   FROM j, mo)
          |SELECT doc_id, lang, ensemble_score, ensemble_score >= 0 AS kept

@@ -517,8 +517,11 @@ object Corpus {
     * reorder float adds; mean, variance, sqrt, the z divisions and the
     * blend are single IEEE correctly-rounded ops on identical inputs —
     * bit-identical cross-engine. A constant signal (sd = 0) is a
-    * caller error and yields non-finite scores rather than a silent
-    * fallback.
+    * caller error and fails LOUD in-plan (raise_error) — Spark's
+    * non-ANSI double divide would return NULL on the zero divisor
+    * while DuckDB's IEEE divide yields NaN/±inf, so letting it flow
+    * would break the bit-identical cross-engine claim for exactly
+    * that degenerate case (ADVICE r14).
     *
     * Scale shape: ONE scalar moments row crossed in by broadcast; no
     * window, no sort, no per-signal pass. */
@@ -533,7 +536,12 @@ object Corpus {
     val zs = signals.map { case (c, w) =>
       val mean = col(s"__s_$c").cast(DoubleType) / col("__n")
       val ex2 = col(s"__q_$c").cast(DoubleType) / col("__n")
-      val sd = sqrt(greatest(ex2 - mean * mean, lit(0.0)))
+      val sd0 = sqrt(greatest(ex2 - mean * mean, lit(0.0)))
+      // constant signal: fail loud rather than emit NULL (Spark) vs
+      // NaN/inf (DuckDB) — see the determinism note above
+      val sd = when(sd0 > 0.0, sd0).otherwise(raise_error(lit(
+        s"qualityEnsemble: signal '$c' is constant (sd = 0); " +
+          "z-normalization is undefined - drop or reweight it")).cast(DoubleType))
       lit(w) * ((col(c) - mean) / sd)
     }
     scored.crossJoin(broadcast(m))

@@ -188,6 +188,16 @@ class CorpusSpec extends AnyFunSuite {
     assert(got32 === got.map { case (k, v) => k -> v._1 })
   }
 
+  test("qualityEnsemble: constant signal fails loud, not NULL/NaN (ADVICE r14)") {
+    import spark.implicits._
+    val scored = Seq((1L, 4.0, 7.0), (2L, 2.0, 7.0), (3L, 0.0, 7.0))
+      .toDF("doc_id", "good", "flat")
+    val ex = intercept[Exception] {
+      Corpus.qualityEnsemble(scored, Seq(("good", 1.0), ("flat", -1.0))).collect()
+    }
+    assert(ex.getMessage.contains("constant"), ex.getMessage)
+  }
+
   test("quality filter keeps the top half per stratum") {
     val kept = Corpus.qualityQuantileFilter(docs, keep = 0.5)
     val total = docs.groupBy(col("lang")).count()
