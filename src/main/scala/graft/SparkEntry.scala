@@ -1337,9 +1337,12 @@ object SparkEntry {
     // enforces (host keys come from the engine's own URL normalizer)
     "domain_budget_cap" -> ((s, d) => {
       val pages = Html.urlPageFromDocs(t(s, d).documents)
-      val docs = t(s, d).documents
-        .join(pages.select(col("doc_id"), Html.urlHost(col("url")).as("host")), Seq("doc_id"))
-        .withColumn("site", Html.registeredDomain(col("host")))
+      // r15: site keyed by the PSL snapshot join (values unchanged on
+      // the fixture — PublicSuffixSpec pins heuristic agreement — but
+      // the twin now replays the real algorithm)
+      val docs = graft.operators.PublicSuffix.withSite(
+        t(s, d).documents
+          .join(pages.select(col("doc_id"), Html.urlHost(col("url")).as("host")), Seq("doc_id")))
       Corpus.budgetCap(docs, budget = 800, groupCol = "host")
         .select(col("doc_id"), col("host"), col("site"),
           length(col("text")).cast("long").as("n_chars"))
@@ -2802,12 +2805,42 @@ object SparkEntry {
     // DECIMAL cross-multiply; only docs of at-or-above-average domains
     // survive, carrying their domain's pooled counts
     "domain_quality_filter" -> ((s, d) => {
-      val docs = t(s, d).documents
-        .withColumn("host", Html.fixtureHost(col("doc_id") % Html.SiteSpace))
-      Corpus.domainQualityGate(docs)
-        .select(col("doc_id"), col("lang"), col("host"),
+      // r15: pooled at PSL REGISTERED-DOMAIN granularity (the
+      // RefinedWeb unit — spam farms spread across hosts of one
+      // registrable domain), keyed by the bundled-snapshot PSL join
+      // rather than the last-2/last-3 heuristic
+      val docs = graft.operators.PublicSuffix.withSite(
+        t(s, d).documents
+          .withColumn("host", Html.fixtureHost(col("doc_id") % Html.SiteSpace)))
+      Corpus.domainQualityGate(docs, domainCol = "site")
+        .select(col("doc_id"), col("lang"), col("host"), col("site"),
           col("domain_hits"), col("domain_tokens"))
         .orderBy("doc_id")
+    }),
+    // the PSL algorithm itself as a relation: a host fixture touching
+    // every rule class — multi-label ICANN suffixes, wildcard TLDs,
+    // exception rules, the jp geographic wildcards, private-section
+    // platform suffixes, and the default `*` — mapped to
+    // (site, public_suffix) by the bounded candidate-key explode +
+    // broadcast rules join; the twin replays the published algorithm
+    // over the SAME bundled snapshot
+    "psl_registered_domain" -> ((s, d) => {
+      val k = col("doc_id") % Html.SiteSpace
+      val host = when(col("doc_id") % 7 === 0, Html.fixtureHost(k))
+        .when(col("doc_id") % 7 === 1,
+          concat(lit("www.example"), k.cast("string"), lit(".com")))
+        .when(col("doc_id") % 7 === 2,
+          concat(lit("sub"), k.cast("string"), lit(".foo.ck")))
+        .when(col("doc_id") % 7 === 3,
+          concat(lit("a"), k.cast("string"), lit(".www.ck")))
+        .when(col("doc_id") % 7 === 4,
+          concat(lit("blog"), k.cast("string"), lit(".github.io")))
+        .when(col("doc_id") % 7 === 5,
+          concat(lit("x"), k.cast("string"), lit(".kawasaki.jp")))
+        .otherwise(lit("city.kawasaki.jp"))
+      graft.operators.PublicSuffix.registeredDomains(
+          t(s, d).documents.select(host.as("host")))
+        .orderBy("host")
     }),
     // sitemap-driven discovery — the OTHER half of polite crawling
     // (robots says what you may fetch; the sitemap says what exists):
@@ -3261,6 +3294,30 @@ object SparkEntry {
       Multimodal.aHashNearDups(Multimodal.imageAHash(orig.unionByName(variants)))
         .orderBy("id_a", "id_b")
     }),
+    // REAL-JPEG decode audit (r15): the dominant crawl image codec
+    // through the same in-plan decode path as the PNG family. JPEG is
+    // lossy, so the oracle pins exactly what the codec cannot move —
+    // SOI/EOI container markers, decoded dimensions equal to the
+    // metadata struct, and the per-pixel luma error against the
+    // closed-form pattern staying inside the bound (a verdict boolean
+    // whose expected value is pinned; a broken decode flips it and the
+    // hash gate screams)
+    "jpeg_decode_audit" -> ((s, d) => {
+      Multimodal.jpegDecodeAudit(Multimodal.jpegMediaFromDocs(t(s, d).documents))
+        .orderBy("media_id")
+    }),
+    // aHash drift of a lossy JPEG re-encode vs the PNG original —
+    // perceptual dedup's premise as a measured per-image verdict: the
+    // Hamming distance between the two aHashes stays inside the banded
+    // near-dup join's working range (JpegSpec proves the bound over the
+    // fixture's full 768-id pattern cycle, so it holds at any sf)
+    "jpeg_ahash_drift" -> ((s, d) => {
+      val docs = t(s, d).documents
+      Multimodal.aHashDrift(
+          Multimodal.pngMediaFromDocs(docs), Multimodal.jpegMediaFromDocs(docs))
+        .select(col("media_id"), (col("dist") <= 16).as("drift_ok"))
+        .orderBy("media_id")
+    }),
     // clipped-video dedup: every third clip also appears truncated to
     // its first frame (different container bytes); frame-0 aHash is a
     // prefix invariant, so the pair groups — byte digests cannot do it
@@ -3498,6 +3555,53 @@ object SparkEntry {
         .unionByName(ss.range(1)
           .select(lit("shop.example.co.uk").as("host"), lit("/doc/7").as("prefix")))
       Html.blocklistFilter(admitted, rules).orderBy("url")
+    }),
+    // the FULL crawl admission policy under one streaming transaction
+    // (r15): canonicalize (tracking-param strip) → stateful first-seen
+    // dedup across micro-batches → UT1 blocklist (bounded suffix-chain
+    // equi-join) → robots longest-prefix verdict, landing one
+    // batch-keyed admission row per fetch key. Every stage is
+    // batch-proven separately (url_strip_tracking, canonical_dedup,
+    // url_blocklist_filter, robots_filter, streaming_url_frontier);
+    // the drained output must equal the batch closed form, which is
+    // the twin
+    "streaming_crawl_admission" -> ((s, d) => {
+      val src = stageDocStream(s, d, nFiles = 4)
+      val ss = streamSession(s)
+      val stream = ss.readStream
+        .schema("doc_id LONG, lang STRING, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+      val id = col("doc_id")
+      val m = id - (id % 3)
+      val base = concat(lit("https://"), Html.fixtureHost(m % Html.SiteSpace),
+        lit("/doc/"), m.cast("string"))
+      val raw = when(id % 3 === 0,
+          concat(base, lit("?page=2&utm_source=feed&a=1&utm_campaign=c"), id.cast("string")))
+        .when(id % 3 === 1,
+          concat(base, lit("?a=1&gclid=g"), id.cast("string"), lit("&page=2")))
+        .otherwise(concat(base, lit("?page=2&a=1&fbclid=f"), id.cast("string")))
+      val urlStream = stream.select(raw.as("url"))
+      val ks = t(ss, d).documents.select((col("doc_id") % Html.SiteSpace).as("k")).distinct()
+      val blockRules = ks.where(col("k") % 7 === 0)
+          .select(Html.fixtureHost(col("k")).as("host"), lit("").as("prefix"))
+        .unionByName(ks.where(col("k") % 5 === 0)
+          .select(Html.fixtureHost(col("k")).as("host"), lit("/doc/1").as("prefix")))
+        .unionByName(ss.range(1)
+          .select(lit("shop.example.co.uk").as("host"), lit("/doc/7").as("prefix")))
+      val robotsContent = concat(
+        lit("# graft robots fixture\nUser-agent: badbot\nDisallow: /\n\n" +
+          "User-agent: *\nDisallow: /private/\n"),
+        when(col("k") % 4 === 0, lit("Disallow: /doc/\n"))
+          .when(col("k") % 4 === 1, lit("Disallow: /doc/1\nAllow: /doc/12\n"))
+          .when(col("k") % 4 === 2, lit("Allow: /doc/\n"))
+          .otherwise(lit("")))
+      val robotsRules = Html.robotsRules(
+        ks.select(Html.fixtureHost(col("k")).as("host"), robotsContent.as("content")))
+      val landDir = java.nio.file.Files.createTempDirectory("graft-admission").toString
+      graft.streaming.IngestPipeline
+        .runCrawlAdmission(ss, urlStream, blockRules, robotsRules, landDir)
+        .orderBy("url")
     }),
     // the crawl front door AS A STREAM: page drops arrive file-by-file,
     // href extraction runs per micro-batch, and the edge dedup becomes
@@ -4895,6 +4999,39 @@ object SparkEntry {
       s"ELSE 'site'||($k)||'.example.com' END)"
   private def sqlSite(k: String): String =
     s"(CASE WHEN ($k)%3=0 THEN 'example.co.uk' ELSE 'example.com' END)"
+
+  /** The PSL algorithm as DuckDB CTEs, rules generated from the SAME
+    * bundled snapshot the engine broadcasts
+    * (graft.operators.PublicSuffix.Snapshot) — the twin replays
+    * candidate-key explosion, exception-then-most-labels prevailing
+    * rule, and the default `*`. `src` is an existing CTE with a
+    * `host` column; the chain ends in `psl_map(host, site,
+    * public_suffix)` (site NULL when the host IS a public suffix). */
+  private def pslCtes(src: String): String = {
+    val rules = graft.operators.PublicSuffix
+      .parsedRules(graft.operators.PublicSuffix.Snapshot)
+      .map { case (k, l, e) => s"('$k',$l,$e)" }.mkString(",")
+    s""" psl_rules AS (SELECT * FROM (VALUES $rules) t(key, labels, exc)),
+       | psl_n AS (SELECT host,
+       |    string_split(lower(regexp_replace(host, ':[0-9]+$$', '')), '.') AS p,
+       |    len(string_split(lower(regexp_replace(host, ':[0-9]+$$', '')), '.')) AS n
+       |   FROM (SELECT DISTINCT host FROM $src)),
+       | psl_k AS (
+       |   SELECT host, array_to_string(p[n-L+1:n], '.') AS key
+       |   FROM psl_n, unnest(generate_series(1, n)) t(L)
+       |   UNION ALL
+       |   SELECT host, '*.' || array_to_string(p[n-L+2:n], '.')
+       |   FROM psl_n, unnest(generate_series(2, n)) t(L)),
+       | psl_w AS (SELECT host, labels - CASE WHEN exc THEN 1 ELSE 0 END AS eff,
+       |    row_number() OVER (PARTITION BY host
+       |      ORDER BY exc DESC, labels DESC, key) AS rn
+       |   FROM psl_k JOIN psl_rules USING (key)),
+       | psl_map AS (SELECT h.host,
+       |    CASE WHEN h.n > coalesce(w.eff, 1)
+       |      THEN array_to_string(h.p[h.n-coalesce(w.eff,1):h.n], '.') END AS site,
+       |    array_to_string(h.p[h.n-coalesce(w.eff,1)+1:h.n], '.') AS public_suffix
+       |   FROM psl_n h LEFT JOIN (SELECT * FROM psl_w WHERE rn = 1) w USING (host))""".stripMargin
+  }
 
   /** Shared token-pipeline CTE for the wordcount family. */
   private val W =
@@ -6659,13 +6796,18 @@ object SparkEntry {
         |SELECT doc_id, lang, n_chars FROM c WHERE cum <= 20000 ORDER BY doc_id""".stripMargin,
 
     // same window device partitioned on the closed-form fixture host
+    // site from the PSL CTE chain (r15) — no closed-form shortcut;
+    // the twin runs the same published algorithm over the same
+    // bundled snapshot the engine broadcasts
     "domain_budget_cap" -> {
       val ss = Html.SiteSpace
       s"""WITH w AS (SELECT doc_id, ${sqlHost(s"doc_id%$ss")} AS host,
-         |   ${sqlSite(s"doc_id%$ss")} AS site, length(text) AS n_chars,
+         |   length(text) AS n_chars,
          |   ((doc_id % 2147483648) * 2654435761) % 4294967296 AS ord FROM documents),
-         | c AS (SELECT doc_id, host, site, n_chars,
-         |   sum(n_chars) OVER (PARTITION BY host ORDER BY ord, doc_id) AS cum FROM w)
+         |${pslCtes("w")},
+         | c AS (SELECT doc_id, w.host, coalesce(m.site, lower(w.host)) AS site, n_chars,
+         |   sum(n_chars) OVER (PARTITION BY w.host ORDER BY ord, doc_id) AS cum
+         |  FROM w JOIN psl_map m ON m.host = w.host)
          |SELECT doc_id, host, site, n_chars FROM c WHERE cum <= 800 ORDER BY doc_id""".stripMargin
     },
 
@@ -8734,26 +8876,49 @@ object SparkEntry {
          |ORDER BY uu.doc_id""".stripMargin
     },
 
-    // pooled per-host stopword density vs the corpus density, both
-    // sides exact: HUGEINT cross-multiply == Spark's DECIMAL(38,0)
+    // pooled per-SITE stopword density vs the corpus density (r15:
+    // pooling key is the PSL registered domain from the pslCtes chain,
+    // the same published algorithm over the same bundled snapshot the
+    // engine broadcasts); both sides exact: HUGEINT cross-multiply ==
+    // Spark's DECIMAL(38,0)
     "domain_quality_filter" -> {
       val ss = Html.SiteSpace
-      s"""WITH t AS (SELECT doc_id, lang, doc_id % $ss AS k,
+      s"""WITH t AS (SELECT doc_id, lang, ${sqlHost(s"doc_id%$ss")} AS host,
          |    list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS tk
          |   FROM documents),
-         | s AS (SELECT doc_id, lang, k,
+         |${pslCtes("t")},
+         | s AS (SELECT doc_id, lang, t.host, coalesce(m.site, lower(t.host)) AS site,
          |    CAST(len(list_filter(tk, x -> list_contains([$AllStopwordsSqlList], lower(x)))) AS BIGINT) AS h,
-         |    CAST(len(tk) AS BIGINT) AS n FROM t),
-         | d AS (SELECT k, CAST(sum(h) AS BIGINT) AS domain_hits,
-         |    CAST(sum(n) AS BIGINT) AS domain_tokens FROM s GROUP BY k),
+         |    CAST(len(tk) AS BIGINT) AS n
+         |   FROM t JOIN psl_map m ON m.host = t.host),
+         | d AS (SELECT site, CAST(sum(h) AS BIGINT) AS domain_hits,
+         |    CAST(sum(n) AS BIGINT) AS domain_tokens FROM s GROUP BY site),
          | tot AS (SELECT CAST(sum(domain_hits) AS BIGINT) AS ch,
          |    CAST(sum(domain_tokens) AS BIGINT) AS ct FROM d),
-         | keep AS (SELECT k, domain_hits, domain_tokens FROM d, tot
+         | keep AS (SELECT site, domain_hits, domain_tokens FROM d, tot
          |   WHERE CAST(domain_hits AS HUGEINT) * CAST(ct AS HUGEINT) >=
          |         CAST(ch AS HUGEINT) * CAST(domain_tokens AS HUGEINT))
-         |SELECT s.doc_id, s.lang, ${sqlHost("s.k")} AS host,
+         |SELECT s.doc_id, s.lang, s.host, s.site,
          | keep.domain_hits, keep.domain_tokens
-         |FROM s JOIN keep USING (k) ORDER BY s.doc_id""".stripMargin
+         |FROM s JOIN keep USING (site) ORDER BY s.doc_id""".stripMargin
+    },
+
+    // the PSL algorithm replayed end-to-end in SQL over the SAME
+    // bundled snapshot (candidate-key explosion, exception-then-most-
+    // labels prevailing rule, default `*`) on a host fixture touching
+    // every rule class
+    "psl_registered_domain" -> {
+      val ss = Html.SiteSpace
+      s"""WITH hsrc AS (SELECT DISTINCT CASE
+         |   WHEN doc_id%7=0 THEN ${sqlHost(s"doc_id%$ss")}
+         |   WHEN doc_id%7=1 THEN 'www.example' || (doc_id%$ss) || '.com'
+         |   WHEN doc_id%7=2 THEN 'sub' || (doc_id%$ss) || '.foo.ck'
+         |   WHEN doc_id%7=3 THEN 'a' || (doc_id%$ss) || '.www.ck'
+         |   WHEN doc_id%7=4 THEN 'blog' || (doc_id%$ss) || '.github.io'
+         |   WHEN doc_id%7=5 THEN 'x' || (doc_id%$ss) || '.kawasaki.jp'
+         |   ELSE 'city.kawasaki.jp' END AS host FROM documents),
+         |${pslCtes("hsrc")}
+         |SELECT host, site, public_suffix FROM psl_map ORDER BY host""".stripMargin
     },
 
     // closed-form discovery list: uncrawled = odd ids; url/lastmod
@@ -9328,6 +9493,23 @@ object SparkEntry {
          |SELECT id_a, id_b, dist FROM pairs WHERE dist <= 3
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // lossy-codec invariants closed-form: dimensions are exact doc_id
+    // arithmetic; the marker/dims/luma verdicts are pinned TRUE (a
+    // broken decode path flips a boolean and the hash screams)
+    "jpeg_decode_audit" ->
+      """SELECT doc_id AS media_id, true AS soi_ok, true AS eoi_ok,
+        | CAST(doc_id % 64 + 16 AS INTEGER) AS width,
+        | CAST(doc_id % 48 + 16 AS INTEGER) AS height,
+        | true AS dims_ok, true AS luma_ok
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // drift bound pinned TRUE per image — JpegSpec proves the bound
+    // over the fixture's full 768-id pattern cycle, so it holds at
+    // any scale factor
+    "jpeg_ahash_drift" ->
+      """SELECT doc_id AS media_id, true AS drift_ok
+        |FROM documents ORDER BY media_id""".stripMargin,
+
     // each URL's diff status from the same %5 / %3 / %7 arithmetic the
     // fixture snapshots are built with (removed wins over changed —
     // a page absent from the new crawl has no content to compare)
@@ -9463,6 +9645,52 @@ object SparkEntry {
          | coalesce(b.prefix, '') AS rule_prefix
          |FROM uu LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (m)
          |ORDER BY uu.url""".stripMargin
+    },
+
+    // the full admission policy as its batch closed form: canonical
+    // fetch keys (one per m), blocklist longest-prefix verdict, robots
+    // longest-prefix verdict (Allow wins ties), admitted = ¬blocked ∧
+    // allowed — the drained stream must equal this exactly
+    "streaming_crawl_admission" -> {
+      val ss = Html.SiteSpace
+      s"""WITH x AS (SELECT DISTINCT doc_id - (doc_id % 3) AS m FROM documents),
+         | u AS (SELECT m, m % $ss AS k,
+         |    'https://' || ${sqlHost(s"m%$ss")} || '/doc/' || m || '?a=1&page=2' AS url,
+         |    '/doc/' || m AS path FROM x),
+         | bcand AS (
+         |   SELECT m, ${sqlHost("k")} AS rule_host, '' AS prefix
+         |     FROM u WHERE k % 7 = 0
+         |   UNION ALL
+         |   SELECT m, ${sqlHost("k")}, '/doc/1'
+         |     FROM u WHERE k % 5 = 0 AND starts_with(path, '/doc/1')
+         |   UNION ALL
+         |   SELECT m, 'shop.example.co.uk', '/doc/7'
+         |     FROM u WHERE k % 3 = 0 AND starts_with(path, '/doc/7')),
+         | bbest AS (SELECT m, rule_host, prefix, row_number() OVER (
+         |    PARTITION BY m
+         |    ORDER BY length(prefix) DESC, rule_host DESC, prefix DESC) AS rn
+         |   FROM bcand),
+         | hosts AS (SELECT DISTINCT k FROM u),
+         | rrules AS (
+         |   SELECT k, '/private/' AS rprefix, false AS allow FROM hosts
+         |   UNION ALL SELECT k, '/doc/', false FROM hosts WHERE k % 4 = 0
+         |   UNION ALL SELECT k, '/doc/1', false FROM hosts WHERE k % 4 = 1
+         |   UNION ALL SELECT k, '/doc/12', true FROM hosts WHERE k % 4 = 1
+         |   UNION ALL SELECT k, '/doc/', true FROM hosts WHERE k % 4 = 2),
+         | rcand AS (SELECT u.m, r.rprefix, r.allow
+         |   FROM u JOIN rrules r USING (k) WHERE starts_with(u.path, r.rprefix)),
+         | rbest AS (SELECT m, rprefix, allow, row_number() OVER (PARTITION BY m
+         |    ORDER BY length(rprefix) DESC, allow DESC, rprefix DESC) AS rn
+         |   FROM rcand)
+         |SELECT u.url, bb.m IS NOT NULL AS blocked,
+         | coalesce(bb.rule_host, '') AS rule_host,
+         | coalesce(bb.prefix, '') AS rule_prefix,
+         | coalesce(rb.allow, true) AS allowed,
+         | coalesce(rb.rprefix, '') AS robots_rule,
+         | (bb.m IS NULL) AND coalesce(rb.allow, true) AS admitted
+         |FROM u LEFT JOIN (SELECT * FROM bbest WHERE rn = 1) bb USING (m)
+         |       LEFT JOIN (SELECT * FROM rbest WHERE rn = 1) rb USING (m)
+         |ORDER BY u.url""".stripMargin
     },
 
     // three unrolled GD steps as CTEs; final weights unpivoted

@@ -393,6 +393,128 @@ object Multimodal {
     media.select(col("media_id"), vh(col("content")).as("vhash"))
   }
 
+  // ---- JPEG codec layer: javax.imageio's JDK-builtin JPEG plugin —
+  // the codec real crawls are dominated by. JPEG is LOSSY, so unlike
+  // the PNG layer the decoded raster only approximates the closed-form
+  // pattern: oracles pin what survives the codec EXACTLY (container
+  // markers, dimensions, decode success) and grade the lossy part as
+  // tolerance verdicts (per-pixel luma error bound, aHash drift bound)
+  // whose expected outcome is a pinned boolean — a broken decode path
+  // flips the boolean and the hash gate screams. Encode quality is
+  // EXPLICIT (ImageWriteParam, not the writer default) so the bytes
+  // are a deterministic function of (id, w, h) within a JDK. ----
+
+  private[graft] def encodeJpeg(id: Long, w: Int, h: Int,
+                                quality: Float = 0.95f): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = patternValue(id, x, y)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally {
+      ios.close()
+      writer.dispose()
+    }
+    bos.toByteArray
+  }
+
+  /** Real-JPEG media table: the pngMediaFromDocs sibling — same
+    * closed-form pattern images and per-doc dimensions, JPEG-encoded
+    * in-plan (narrow scalar UDF, scales with executors). */
+  def jpegMediaFromDocs(docs: DataFrame): DataFrame = {
+    val enc = udf((id: Long, w: Int, h: Int) => encodeJpeg(id, w, h))
+    val w = (pmod(col("doc_id"), lit(64)) + 16).cast(IntegerType)
+    val h = (pmod(col("doc_id"), lit(48)) + 16).cast(IntegerType)
+    docs.select(col("doc_id").as("media_id"),
+        enc(col("doc_id"), w, h).as("content"),
+        w.as("width"), h.as("height"))
+      .select(col("media_id"), col("content"),
+        struct(
+          lit("image/jpeg").as("format"),
+          length(col("content")).cast(LongType).as("n_bytes"),
+          col("width"), col("height")).as("meta"))
+  }
+
+  /** JPEG decode audit: per payload, the invariants lossy compression
+    * CANNOT move — SOI/EOI container markers in the raw bytes (no
+    * decode needed: column functions on the binary), decoded
+    * dimensions equal to the metadata struct's, a non-empty payload,
+    * and the per-pixel luma error against the closed-form pattern
+    * within `tol` (the one LOSSY invariant — a verdict boolean, exact
+    * to compare, its expected value pinned by the oracle). A codec
+    * failure rowwise NULLs the decode columns rather than killing the
+    * scan (codec-per-row failure isolation, like decode audits
+    * elsewhere in this file). */
+  def jpegDecodeAudit(media: DataFrame, tol: Int = 8): DataFrame = {
+    val dims = udf((id: Long, bytes: Array[Byte]) => {
+      try {
+        val img = decodePng(bytes) // ImageIO.read — container-agnostic
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+          var maxErr = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = rgb(y * w + x)
+              val lum = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+              val err = math.abs(lum - patternValue(id, x, y))
+              if (err > maxErr) maxErr = err
+              x += 1
+            }
+            y += 1
+          }
+          Some((w, h, maxErr))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    })
+    media
+      .withColumn("__d", dims(col("media_id"), col("content")))
+      .select(col("media_id"),
+        (hex(substring(col("content"), 1, 2)) === "FFD8").as("soi_ok"),
+        (hex(substring(col("content"), -2, 2)) === "FFD9").as("eoi_ok"),
+        col("__d._1").as("width"), col("__d._2").as("height"),
+        (col("__d._1") === col("meta.width") &&
+          col("__d._2") === col("meta.height")).as("dims_ok"),
+        (col("__d._3") <= tol).as("luma_ok"))
+  }
+
+  /** aHash drift of a lossy re-encode: for each image present in both
+    * relations (the original and its JPEG re-encode), the exact
+    * Hamming distance between the two aHashes. Perceptual dedup's
+    * core premise made measurable — a re-encode moves the hash only a
+    * few bits, so banded near-dup joins still catch it; this exposes
+    * the actual drift per image for thresholding. Narrow codec UDFs +
+    * one equi-join on media_id. */
+  def aHashDrift(orig: DataFrame, reenc: DataFrame): DataFrame = {
+    def w32(c: org.apache.spark.sql.Column, s: Int) =
+      conv(substring(c, s, 32), 2, 10).cast(LongType)
+    imageAHash(orig).withColumnRenamed("ahash", "h_a")
+      .join(imageAHash(reenc).withColumnRenamed("ahash", "h_b"), Seq("media_id"))
+      .select(col("media_id"),
+        (bit_count(w32(col("h_a"), 1).bitwiseXOR(w32(col("h_b"), 1))) +
+          bit_count(w32(col("h_a"), 33).bitwiseXOR(w32(col("h_b"), 33))))
+          .cast(LongType).as("dist"))
+  }
+
   // ---- Real audio codec layer: javax.sound.sampled (JDK-builtin WAV
   // PCM — lossless, no external codecs). Like the image layer, the
   // fixture waveform is a closed-form function of (id, sample index),

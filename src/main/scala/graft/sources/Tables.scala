@@ -96,4 +96,30 @@ object Tables {
       try rd.getRecordCount finally rd.close()
     }.sum
   }
+
+  // footer counts keyed by file path — parquet part files are
+  // immutable (writers replace, never append), so a cached count
+  // stays valid for the file's lifetime; bounds the driver metadata
+  // I/O when many adaptive operators consult the same relation
+  private val footerCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Sum of footer record counts of an explicit file list (the
+    * [[graft.operators.TotalOrder.statRowBound]] leaf: a
+    * FileIndex's inputFiles). Footer metadata only, cached per path;
+    * None when any footer is unreadable (non-parquet sidecar, racing
+    * writer) so the caller falls back to counting. */
+  def parquetFilesRowCount(spark: SparkSession, paths: Seq[String]): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    try Some(paths.map { p =>
+      footerCountCache.computeIfAbsent(p, _ => {
+        val rd = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(p), conf))
+        try rd.getRecordCount finally rd.close()
+      }).longValue()
+    }.sum)
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
 }

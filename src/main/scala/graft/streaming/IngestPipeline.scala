@@ -244,6 +244,54 @@ object IngestPipeline {
       spark.read.parquet(frontierDir).select(col("doc_id"), col("weight"), col("__key")), k)
   }
 
+  /** The crawl FRONT DOOR composed as one stream — the full admission
+    * policy every piece of which is batch-proven separately
+    * (url_strip_tracking, canonical_dedup, url_blocklist_filter,
+    * robots_filter, streaming_url_frontier) now running under one
+    * streaming transaction: raw URLs arrive per micro-batch,
+    * canonicalize in-stream (tracking-param strip), the engine's
+    * STATEFUL dedup admits each canonical fetch key once across
+    * batches, and each batch's first-seen keys take the gauntlet —
+    * UT1-style blocklist (bounded suffix-chain equi-join, million-row
+    * list safe) then robots longest-prefix verdict — landing ONE
+    * admission row per fetch key, batch-keyed and replay-idempotent.
+    *
+    * Output per drained key: (url, blocked, rule_host, rule_prefix,
+    * allowed, robots_rule, admitted) — admitted = ¬blocked ∧ allowed
+    * is the frontier's verdict. Drained output equals the batch
+    * closed form (canonicalize → distinct → blocklist → robots),
+    * which is the oracle.
+    *
+    * Scale shape per micro-batch: dedup state is one key per
+    * first-seen URL (the frontier's own cardinality — what any
+    * crawler must hold), both rule relations join bounded (suffix
+    * chain ≤ label count; robots rules broadcast per-host small), no
+    * corpus-sized state anywhere. */
+  def runCrawlAdmission(spark: SparkSession, urlStream: DataFrame,
+                        blockRules: DataFrame, robotsRules: DataFrame,
+                        landDir: String): DataFrame = {
+    import graft.operators.Html
+    val canon = urlStream
+      .select(Html.stripTrackingParams(col("url")).as("url"))
+      .dropDuplicates("url")
+    val q = canon.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val urls = batch.toDF()
+        val graded = Html.blocklistFilter(urls, blockRules)
+          .join(Html.robotsFilter(urls, robotsRules)
+            .withColumnRenamed("rule", "robots_rule"), Seq("url"))
+          .withColumn("admitted", !col("blocked") && col("allowed"))
+        graded.write.mode("overwrite").parquet(s"$landDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(landDir)
+      .select(col("url"), col("blocked"), col("rule_host"), col("rule_prefix"),
+        col("allowed"), col("robots_rule"), col("admitted"))
+  }
+
   /** Streaming fixed-k priority sampling (Duffield-Lund-Thorup over a
     * document stream): the sampler's candidate frontier is ASSOCIATIVE
     * — the global top-(k+1) by priority key is contained in the union
