@@ -1706,6 +1706,40 @@ object SparkEntry {
         .groupBy(col("hits")).agg(count(lit(1)).as("n_queries"))
         .orderBy("hits")
     }),
+    // the same recall@10 gate for the IVF×PQ funnel (r15: VERDICT #7 —
+    // uniform serving-quality story across the ANN stack): both input
+    // rankings are independently hash-proven, so the intersection is
+    // engine-identical; pure-integer hits histogram, 0-hit queries
+    // restored by the left join
+    "ivf_pq_recall_eval" -> ((s, d) => {
+      val e = t(s, d).embeddings
+      val queries = e.where(col("vec_id") % 50 === 0)
+      val approx = Similarity.ivfPqTopK(e).select(col("q_id"), col("c_id"))
+      val exact = Similarity.bruteForceTopK(e, queries).select(col("q_id"), col("c_id"))
+      val hits = approx.join(exact, Seq("q_id", "c_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+      queries.select(col("vec_id").as("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .select(coalesce(col("hits"), lit(0L)).as("hits"))
+        .groupBy(col("hits")).agg(count(lit(1)).as("n_queries"))
+        .orderBy("hits")
+    }),
+    // and for the hyperplane-LSH ranking — same bounded query sample
+    // (the exact truth is never an unbounded N×N brute force)
+    "lsh_recall_eval" -> ((s, d) => {
+      val e = t(s, d).embeddings
+      val queries = e.where(col("vec_id") % 50 === 0)
+      val approx = Similarity.lshTopK(e).where(col("q_id") % 50 === 0)
+        .select(col("q_id"), col("c_id"))
+      val exact = Similarity.bruteForceTopK(e, queries).select(col("q_id"), col("c_id"))
+      val hits = approx.join(exact, Seq("q_id", "c_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+      queries.select(col("vec_id").as("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .select(coalesce(col("hits"), lit(0L)).as("hits"))
+        .groupBy(col("hits")).agg(count(lit(1)).as("n_queries"))
+        .orderBy("hits")
+    }),
     // product-quantization ANN (rows-only: approximate by design;
     // recall vs brute force asserted in SimilaritySpec)
     "pq_topk" -> ((s, d) => Similarity.pqTopK(t(s, d).embeddings).orderBy("q_id", "rank")),
@@ -7824,6 +7858,47 @@ object SparkEntry {
          |SELECT CAST(coalesce(h.hits, 0) AS BIGINT) AS hits, count(*) AS n_queries
          |FROM allq LEFT JOIN hits h USING (q_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // recall gate for the IVF×PQ funnel: the hash-proven ivf_pq_topk
+    // twin as a subquery, intersected with the exact cosine truth
+    "ivf_pq_recall_eval" ->
+      s"""WITH apx AS (SELECT q_id, c_id FROM (${ivfPqQueryTwinSql("", "", "vec_id % 50 = 0")}) z),
+         | ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         | exs AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id, list_cosine_similarity(q.e, c.e) AS sim
+         |        FROM ev q JOIN ev c ON q.vec_id <> c.vec_id WHERE q.vec_id % 50 = 0),
+         | exr AS (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank FROM exs),
+         | hits AS (SELECT a.q_id, count(*) AS hits
+         |          FROM apx a JOIN (SELECT q_id, c_id FROM exr WHERE rank <= 10) b USING (q_id, c_id)
+         |          GROUP BY 1),
+         | allq AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id % 50 = 0)
+         |SELECT CAST(coalesce(h.hits, 0) AS BIGINT) AS hits, count(*) AS n_queries
+         |FROM allq LEFT JOIN hits h USING (q_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // recall gate for the hyperplane-LSH ranking: the hash-proven
+    // lsh_topk twin filtered to the bounded query sample
+    "lsh_recall_eval" -> {
+      val lshTwin =
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+           | b AS (SELECT vec_id, e, ${lshBucketSql("e", 8, 0)} AS bucket FROM v),
+           | s AS (SELECT x.vec_id AS q_id, y.vec_id AS c_id,
+           |        list_cosine_similarity(x.e, y.e) AS sim
+           |        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+           | r AS (SELECT q_id, c_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank FROM s)
+           |SELECT q_id, c_id FROM r WHERE rank <= 10 AND q_id % 50 = 0""".stripMargin
+      s"""WITH apx AS (SELECT q_id, c_id FROM ($lshTwin) z),
+         | ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         | exs AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id, list_cosine_similarity(q.e, c.e) AS sim
+         |        FROM ev q JOIN ev c ON q.vec_id <> c.vec_id WHERE q.vec_id % 50 = 0),
+         | exr AS (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank FROM exs),
+         | hits AS (SELECT a.q_id, count(*) AS hits
+         |          FROM apx a JOIN (SELECT q_id, c_id FROM exr WHERE rank <= 10) b USING (q_id, c_id)
+         |          GROUP BY 1),
+         | allq AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id % 50 = 0)
+         |SELECT CAST(coalesce(h.hits, 0) AS BIGINT) AS hits, count(*) AS n_queries
+         |FROM allq LEFT JOIN hits h USING (q_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     // embedding_near_dups_lsh CONVERTED from rows-only (round 12):
     // candidates co-bucketed in ANY of 8 four-plane tables, scored

@@ -98,4 +98,33 @@ class TotalOrderSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"),
       s"row-scale data must never collapse to one partition:\n$plan")
   }
+
+  test("statRowBound: footer-derived bounds are sound and zero-job; fallback only off-parquet") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = docs.count()
+    // scan / filter / project / aggregate / limit / join shapes all
+    // ground out at the parquet footer — each bound must hold (upper)
+    // and the scan bound must be EXACT (footers record true counts)
+    assert(TotalOrder.statRowBound(docs) === Some(n))
+    assert(TotalOrder.statRowBound(
+      docs.where(col("doc_id") % 7 === 0).select("doc_id")).exists(_ >= n / 7))
+    assert(TotalOrder.statRowBound(docs.agg(count(lit(1)))) === Some(1L))
+    assert(TotalOrder.statRowBound(docs.groupBy("lang").count()).exists(_ <= n))
+    assert(TotalOrder.statRowBound(docs.limit(13)) === Some(13L))
+    val joined = docs.crossJoin(docs.agg(max(col("doc_id")).as("mx")))
+    assert(TotalOrder.statRowBound(joined).exists(b => b >= n && b <= 3 * n + 1))
+    // the bench-path contract (VERDICT r14 #5): a footer-resolvable
+    // input decides the single-task regime WITHOUT the pin+count
+    // fallback — the observable is the fallback counter
+    val before = TotalOrder.pinCountFallbacks.get()
+    val (_, small) = TotalOrder.fitsOneTask(joined)
+    assert(small, "fixture-scale input must prove the window regime")
+    assert(TotalOrder.pinCountFallbacks.get() === before,
+      "footer-resolvable input must not pay a branch-decision count job")
+    // a non-parquet leaf (LogicalRDD) is underivable → counted fallback
+    val rdd = spark.createDataFrame(docs.select("doc_id").rdd, docs.select("doc_id").schema)
+    assert(TotalOrder.statRowBound(rdd).isEmpty)
+    val (_, small2) = TotalOrder.fitsOneTask(rdd)
+    assert(small2 && TotalOrder.pinCountFallbacks.get() === before + 1)
+  }
 }
