@@ -2935,7 +2935,10 @@ object SparkEntry {
         .select(col("doc_id"), col("r.kind").as("kind"), col("r.raw_url").as("raw_url"),
           Html.urlNormalize(col("r.raw_url"), col("base")).as("norm_url"))
         .withColumn("host", Html.urlHost(col("norm_url")))
-        .withColumn("site", Html.registeredDomain(col("host")))
+        // r15: site keyed by the PSL snapshot join (values unchanged on
+        // the fixture — the closed-form twin still decides — but the
+        // registered query now replays the real published algorithm)
+        .transform(graft.operators.PublicSuffix.withSite(_))
         .orderBy("doc_id", "kind")
     }),
     // site-cluster discovery over REAL keys: the URL-page fixture's
@@ -2958,6 +2961,36 @@ object SparkEntry {
       Graph.starComponents(hostEdges, hosts, idCol = "host")
         .select(col("doc_id").as("host"), col("cluster_id"))
         .orderBy("host")
+    }),
+    // the same component discovery at PSL REGISTERED-DOMAIN granularity
+    // (r15): hosts carry a www label the PSL must drop, so the graph's
+    // node identity comes from the real suffix-list algorithm (distinct
+    // hosts of one registrable domain merge BEFORE the components run)
+    // — the site graph a per-domain budget system actually partitions
+    // on; host-granularity site_components stays registered above (a
+    // crawl frontier politeness-partitions on hosts, not sites)
+    "psl_site_components" -> ((s, d) => {
+      val ss = Html.SiteSpace
+      def host(c: org.apache.spark.sql.Column) =
+        concat(lit("www.site"), c.cast("string"), lit(".co.uk"))
+      val raw = t(s, d).documents
+        .select(host(col("doc_id") % ss).as("ha"),
+          host((col("doc_id") * 7 + 3) % ss).as("hb"))
+        .distinct()
+      val hosts = raw.select(col("ha").as("host"))
+        .union(raw.select(col("hb").as("host"))).distinct()
+      val siteMap = graft.operators.PublicSuffix.registeredDomains(hosts)
+        .select(col("host"), col("site"))
+      val edges = raw
+        .join(siteMap.select(col("host").as("ha"), col("site").as("doc_a")), Seq("ha"))
+        .join(siteMap.select(col("host").as("hb"), col("site").as("doc_b")), Seq("hb"))
+        .select(col("doc_a"), col("doc_b"))
+        .where(col("doc_a") =!= col("doc_b")).distinct()
+      val sites = edges.select(col("doc_a").as("site"))
+        .union(edges.select(col("doc_b").as("site"))).distinct()
+      Graph.starComponents(edges, sites, idCol = "site")
+        .select(col("doc_id").as("site"), col("cluster_id"))
+        .orderBy("site")
     }),
     // cross-corpus paragraph-frequency dedup (the MassiveText stage):
     // every page gets the SAME link-free cookie-banner paragraph
@@ -9054,6 +9087,31 @@ object SparkEntry {
          |   SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.node)
          |SELECT node AS host, min(label) AS cluster_id
          |FROM reach GROUP BY node ORDER BY host""".stripMargin
+    },
+
+    // the PSL hop replayed via pslCtes (www label dropped by the real
+    // algorithm), then the same undirected min-label closure over the
+    // registered-domain graph
+    "psl_site_components" -> {
+      val ss = Html.SiteSpace
+      s"""WITH RECURSIVE hraw AS (
+         |  SELECT DISTINCT 'www.site' || (doc_id%$ss) || '.co.uk' AS ha,
+         |         'www.site' || ((doc_id*7+3)%$ss) || '.co.uk' AS hb
+         |  FROM documents),
+         | hsrc AS (SELECT ha AS host FROM hraw UNION SELECT hb FROM hraw),
+         |${pslCtes("hsrc")},
+         | e0 AS (SELECT DISTINCT ma.site AS a, mb.site AS b
+         |   FROM hraw JOIN psl_map ma ON ma.host = hraw.ha
+         |             JOIN psl_map mb ON mb.host = hraw.hb
+         |   WHERE ma.site <> mb.site),
+         | e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b AS src, a AS dst FROM e0),
+         | nodes AS (SELECT DISTINCT src AS node FROM e),
+         | reach(node, label) AS (
+         |   SELECT node, node FROM nodes
+         |   UNION
+         |   SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.node)
+         |SELECT node AS site, min(label) AS cluster_id
+         |FROM reach GROUP BY node ORDER BY site""".stripMargin
     },
 
     // paragraph relation rebuilt closed-form (12-word slices + the
