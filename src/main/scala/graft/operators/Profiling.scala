@@ -247,7 +247,14 @@ object Profiling {
     // (Tables.rowCountStat), a manifest — skips the branch-decision
     // count job entirely. A wrong hint can only mispick the plan
     // shape, never the values (both branches are value-identical).
-    val small = sizeHint.getOrElse(df.count()) <= cutover
+    // Unhinted (r15, VERDICT r14 wont-fix retired): consult the
+    // zero-job footer-derived plan bound first — a library caller at
+    // 100 TB forgetting the hint no longer pays a corpus scan when
+    // the input is footer-resolvable; only a bound ABOVE the cutover
+    // (or an underivable plan) still counts.
+    val small = sizeHint
+      .orElse(TotalOrder.statRowBound(df).filter(_ <= cutover))
+      .getOrElse(df.count()) <= cutover
     val per = keyCols.map { kc =>
       val counts = df.groupBy(col(kc).cast("string").as("key"))
         .agg(count(lit(1)).as("n"))
