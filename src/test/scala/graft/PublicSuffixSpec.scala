@@ -95,6 +95,15 @@ class PublicSuffixSpec extends AnyFunSuite {
     assert(joined.count() === Html.SiteSpace.toLong)
   }
 
+  test("plan shape: rules match is a broadcast EQUI-join on the candidate key — never a nested-loop suffix scan") {
+    val hosts = spark.range(0, 1000)
+      .select(concat(lit("h"), col("id").cast("string"), lit(".shop.example.co.uk")).as("host"))
+    val plan = PublicSuffix.registeredDomains(hosts).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("withSite never emits a NULL key") {
     val df = Seq(("a", "foo.ck"), ("b", "www.example.com"), ("c", "com"))
       .toDF("doc", "host")
