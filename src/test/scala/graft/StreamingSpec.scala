@@ -726,4 +726,41 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy(_._1).map { case (u, rows) => rows.maxBy(_._2) }.toSet
     assert(finals === Set((100L, 3L, 7.0), (200L, 2L, 24.0)))
   }
+
+  test("crawl admission: verdicts correct per stage; replaying into the same landing dir idempotent") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Html
+    val src = Files.createTempDirectory("adm-src").toString
+    // two hosts, tracking params that must canonicalize away, one
+    // duplicate fetch key across variants
+    Seq(
+      "https://h0.example.com/doc/1?utm_source=x&a=1",
+      "https://h0.example.com/doc/1?a=1&gclid=g7",     // same key as above
+      "https://h0.example.com/doc/2?a=1",
+      "https://h1.example.com/doc/3?a=1&fbclid=f1")
+      .toDF("url").coalesce(1).write.parquet(s"$src/b0")
+    def stream() = spark.readStream.schema("url STRING")
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/{b0}")
+    val block = Seq(("h1.example.com", "")).toDF("host", "prefix")
+    val robots = Html.robotsRules(
+      Seq(("h0.example.com", "User-agent: *\nDisallow: /doc/1\n")).toDF("host", "content"))
+    val land = Files.createTempDirectory("adm-land").toString
+    val r1 = graft.streaming.IngestPipeline
+      .runCrawlAdmission(spark, stream(), block, robots, land)
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(4),
+        r.getBoolean(6))).toSet
+    // canonical dedup collapsed the two /doc/1 variants to ONE key;
+    // robots kills /doc/1, the blocklist kills h1, /doc/2 is admitted
+    assert(r1 === Set(
+      ("https://h0.example.com/doc/1?a=1", false, false, false),
+      ("https://h0.example.com/doc/2?a=1", false, true, true),
+      ("https://h1.example.com/doc/3?a=1", true, true, false)))
+    // a fresh checkpoint replays every batch into the SAME landing
+    // dir: batch-keyed overwrite makes the landing state identical
+    val r2 = graft.streaming.IngestPipeline
+      .runCrawlAdmission(spark, stream(), block, robots, land)
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(4),
+        r.getBoolean(6))).toSet
+    assert(r2 === r1)
+  }
 }
