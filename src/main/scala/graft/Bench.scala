@@ -351,10 +351,16 @@ object Bench {
             if (firstMs <= 2 * h * math.max(hostFactor, e1))
               Some((name, firstMs, h, false, e1))
             else {
-              val reps: Seq[(Long, Double)] = (firstMs, e1) +: (1 to 2).flatMap(_ =>
+              val reps: Seq[(Long, Double)] = (firstMs, e1) +: (1 to 2).flatMap(rep =>
                 if (budgetLeft < 60) { confirmTruncated = true; None }
-                else runIsolated(name, sfDir, cpus, childTimeout)
-                  .map { case (s2, a2) => (msOf(s2), epochOf(a2)) })
+                else runIsolated(name, sfDir, cpus, childTimeout) match {
+                  // a rep-level failure silently shrinking the median
+                  // sample would contradict the "children producing no
+                  // measurement are named on the JSON line" contract
+                  // (ADVICE r15) — name the rep, keep the survivors
+                  case None => confirmFailed += s"$name#rep$rep"; None
+                  case Some((s2, a2)) => Some((msOf(s2), epochOf(a2)))
+                })
               // Judge the median of the PER-REP epoch-normalized
               // readings — each rep corrected by the window it ran in,
               // floored at the suite's hostFactor exactly like the

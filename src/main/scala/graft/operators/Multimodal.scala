@@ -152,7 +152,7 @@ object Multimodal {
     bos.toByteArray
   }
 
-  private[graft] def decodePng(bytes: Array[Byte]): java.awt.image.BufferedImage =
+  private[graft] def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
     javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
 
   /** Real-PNG media table: per-document deterministic pattern images,
@@ -182,7 +182,7 @@ object Multimodal {
     * gate can sort. */
   def imageLumaHistogram(media: DataFrame): DataFrame = {
     val decode = udf((bytes: Array[Byte]) => {
-      val img = decodePng(bytes)
+      val img = decodeImage(bytes)
       val w = img.getWidth
       val h = img.getHeight
       val rgb = img.getRGB(0, 0, w, h, null, 0, w)
@@ -211,7 +211,7 @@ object Multimodal {
     * imageLumaHistogram(resizeImage(m)), roughly half the codec work. */
   def imageLumaHistogramResized(media: DataFrame, dstW: Int, dstH: Int): DataFrame = {
     val decode = udf((bytes: Array[Byte]) => {
-      val src = decodePng(bytes)
+      val src = decodeImage(bytes)
       val sw = src.getWidth
       val sh = src.getHeight
       val srgb = src.getRGB(0, 0, sw, sh, null, 0, sw)
@@ -242,7 +242,7 @@ object Multimodal {
     * makes when exactness matters more than smoothing. */
   def resizeImage(media: DataFrame, dstW: Int, dstH: Int): DataFrame = {
     val rs = udf((bytes: Array[Byte]) => {
-      val src = decodePng(bytes)
+      val src = decodeImage(bytes)
       val sw = src.getWidth
       val sh = src.getHeight
       val srgb = src.getRGB(0, 0, sw, sh, null, 0, sw)
@@ -279,7 +279,7 @@ object Multimodal {
   def imageDecodeAudit(media: DataFrame): DataFrame = {
     val audit = udf((bytes: Array[Byte]) => {
       try {
-        val img = decodePng(bytes)
+        val img = decodeImage(bytes)
         if (img == null) null else Array(img.getWidth, img.getHeight)
       } catch { case _: Exception => null }
     })
@@ -330,7 +330,7 @@ object Multimodal {
   }
 
   def imageAHash(media: DataFrame): DataFrame = {
-    val ah = udf((bytes: Array[Byte]) => aHashOf(decodePng(bytes)))
+    val ah = udf((bytes: Array[Byte]) => aHashOf(decodeImage(bytes)))
     media.select(col("media_id"), ah(col("content")).as("ahash"))
   }
 
@@ -463,7 +463,7 @@ object Multimodal {
   def jpegDecodeAudit(media: DataFrame, tol: Int = 8): DataFrame = {
     val dims = udf((id: Long, bytes: Array[Byte]) => {
       try {
-        val img = decodePng(bytes) // ImageIO.read — container-agnostic
+        val img = decodeImage(bytes) // ImageIO.read — container-agnostic
         if (img == null) None
         else {
           val w = img.getWidth
@@ -672,7 +672,7 @@ object Multimodal {
       val len = dis.readInt()
       val png = new Array[Byte](len)
       dis.readFully(png)
-      decodePng(png)
+      decodeImage(png)
     }
   }
 

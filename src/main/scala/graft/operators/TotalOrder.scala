@@ -108,7 +108,14 @@ object TotalOrder {
       case n: L.Sort => boundOf(n.child)
       case n: L.RepartitionOperation => boundOf(n.child)
       case n: L.Window => boundOf(n.child)
-      case n: L.Sample => boundOf(n.child)
+      case n: L.Sample =>
+        // with-replacement sampling can emit MORE rows than its child
+        // (fraction > 1 draws each row multiple times), so a child
+        // pass-through would break the upper-bound contract; scale by
+        // the ceiling of the sampled fraction instead
+        if (!n.withReplacement) boundOf(n.child)
+        else boundOf(n.child).map(
+          satMul(_, math.max(1L, math.ceil(n.upperBound - n.lowerBound).toLong)))
       case n: L.Deduplicate => boundOf(n.child)
       case n: L.Aggregate =>
         if (n.groupingExpressions.isEmpty) Some(1L) else boundOf(n.child)

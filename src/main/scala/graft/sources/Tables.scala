@@ -97,12 +97,15 @@ object Tables {
     }.sum
   }
 
-  // footer counts keyed by file path — parquet part files are
-  // immutable (writers replace, never append), so a cached count
-  // stays valid for the file's lifetime; bounds the driver metadata
-  // I/O when many adaptive operators consult the same relation
+  // footer counts keyed by (path, length, modificationTime) — parquet
+  // part files are normally immutable, but an external writer CAN
+  // rewrite a file in place at the same path; keying on the FileStatus
+  // identity means such a rewrite misses the cache and re-reads the
+  // footer instead of serving a stale count (which could wrongly prove
+  // a now-large frame small). Bounds the driver metadata I/O when many
+  // adaptive operators consult the same relation.
   private val footerCountCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), java.lang.Long]()
 
   /** Sum of footer record counts of an explicit file list (the
     * [[graft.operators.TotalOrder.statRowBound]] leaf: a
@@ -115,8 +118,10 @@ object Tables {
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = spark.sessionState.newHadoopConf()
     try Some(paths.map { p =>
-      footerCountCache.computeIfAbsent(p, _ => {
-        val rd = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(p), conf))
+      val path = new Path(p)
+      val st = path.getFileSystem(conf).getFileStatus(path)
+      footerCountCache.computeIfAbsent((p, st.getLen, st.getModificationTime), _ => {
+        val rd = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
         try rd.getRecordCount finally rd.close()
       }).longValue()
     }.sum)

@@ -271,6 +271,14 @@ object IngestPipeline {
                         blockRules: DataFrame, robotsRules: DataFrame,
                         landDir: String): DataFrame = {
     import graft.operators.Html
+    // Replay idempotency must not depend on the rerun producing at
+    // least as many micro-batches as the prior run (per-batch overwrite
+    // alone leaves a stale batch_id=N dir alive when the rerun
+    // coalesces into fewer batches — ADVICE r15): the landing dir is
+    // this run's output, so clear it before the stream starts.
+    val landPath = new org.apache.hadoop.fs.Path(landDir)
+    landPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(landPath, true)
     val canon = urlStream
       .select(Html.stripTrackingParams(col("url")).as("url"))
       .dropDuplicates("url")

@@ -53,6 +53,19 @@ class JpegSpec extends AnyFunSuite {
     assert(audited(50L).getAs[Boolean]("luma_ok"))
   }
 
+  test("jpegDecodeAudit: luma bound holds over the FULL 768-id pattern cycle") {
+    // the jpeg_decode_audit oracle PINS luma_ok = true for every
+    // doc_id; like the drift test below, covering ids 0..767 (the
+    // pattern's lcm period) proves that pinned verdict for every id at
+    // any scale factor — a JDK encoder change that pushes any id past
+    // tol=8 fails HERE, not just at the hash gate
+    val media = Multimodal.jpegMediaFromDocs(docs((0L until 768L): _*))
+    val bad = Multimodal.jpegDecodeAudit(media)
+      .where(!col("soi_ok") || !col("eoi_ok") || !col("dims_ok") || !col("luma_ok"))
+      .count()
+    assert(bad === 0L, s"$bad of 768 cycle ids violate a pinned audit verdict")
+  }
+
   test("aHashDrift: identity is 0; JPEG re-encode drifts only a few bits") {
     // the fixture image is a function of (doc_id % 256, doc_id % 64,
     // doc_id % 48) — period lcm = 768 — so covering ids 0..767 proves

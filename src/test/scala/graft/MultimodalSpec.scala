@@ -54,7 +54,7 @@ class MultimodalSpec extends AnyFunSuite {
     // a real PNG, not a fake: magic bytes \x89PNG
     assert((bytes(0) & 0xff) === 0x89 && bytes(1) === 'P'.toByte
       && bytes(2) === 'N'.toByte && bytes(3) === 'G'.toByte)
-    val img = Multimodal.decodePng(bytes)
+    val img = Multimodal.decodeImage(bytes)
     assert(img.getWidth === 3 && img.getHeight === 2)
     for (y <- 0 until 2; x <- 0 until 3) {
       val v = Multimodal.patternValue(5L, x, y)
@@ -84,7 +84,7 @@ class MultimodalSpec extends AnyFunSuite {
     val resized = Multimodal.resizeImage(Multimodal.pngMediaFromDocs(docs), 8, 6)
     val r = resized.where($"media_id" === 1L).head()
     assert(r.getStruct(2).getAs[Int]("width") === 8)
-    val img = Multimodal.decodePng(r.getAs[Array[Byte]]("content"))
+    val img = Multimodal.decodeImage(r.getAs[Array[Byte]]("content"))
     assert(img.getWidth === 8 && img.getHeight === 6)
     // doc 1: source 17x17; resized pixel (x,y) = source (x*17/8, y*17/6)
     for (y <- 0 until 6; x <- 0 until 8) {

@@ -756,7 +756,13 @@ class StreamingSpec extends AnyFunSuite {
       ("https://h0.example.com/doc/2?a=1", false, true, true),
       ("https://h1.example.com/doc/3?a=1", true, true, false)))
     // a fresh checkpoint replays every batch into the SAME landing
-    // dir: batch-keyed overwrite makes the landing state identical
+    // dir — and a STALE batch dir from a prior run with more batches
+    // (planted here as batch_id=99) must not survive into the rerun's
+    // read: the landing dir is cleared at stream start, so idempotency
+    // does not depend on the rerun reproducing the prior batch count
+    val stale = spark.read.parquet(s"$land/batch_id=0").limit(1)
+      .withColumn("url", lit("https://stale.example.com/x"))
+    stale.write.mode("overwrite").parquet(s"$land/batch_id=99")
     val r2 = graft.streaming.IngestPipeline
       .runCrawlAdmission(spark, stream(), block, robots, land)
       .collect().map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(4),
