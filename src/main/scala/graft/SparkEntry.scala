@@ -2992,6 +2992,23 @@ object SparkEntry {
         .select(col("doc_id").as("site"), col("cluster_id"))
         .orderBy("site")
     }),
+    // internationalized hosts: the unicode and punycode (`xn--`)
+    // spellings of one domain must key to the SAME PSL site — the fold
+    // runs inside registeredDomains (JDK IDN per label, distinct-host
+    // relation only), and the oracle pins the published punycode
+    // constants (münchen → xn--mnchen-3ya; the 公司.cn PSL rule →
+    // xn--55qx5d.cn), so the twin is independent of the JDK codec
+    "idn_host_fold" -> ((s, d) => {
+      val f = col("doc_id") % 4
+      val m = (col("doc_id") % 7).cast("string")
+      val host = when(f === 0, concat(lit("a"), m, lit(".münchen.de")))
+        .when(f === 1, concat(lit("a"), m, lit(".xn--mnchen-3ya.de")))
+        .when(f === 2, concat(lit("b"), m, lit(".shop.公司.cn")))
+        .otherwise(concat(lit("b"), m, lit(".shop.xn--55qx5d.cn")))
+      graft.operators.PublicSuffix.registeredDomains(
+          t(s, d).documents.select(host.as("host")))
+        .orderBy("host")
+    }),
     // cross-corpus paragraph-frequency dedup (the MassiveText stage):
     // every page gets the SAME link-free cookie-banner paragraph
     // injected — the boilerplate class the per-page density gate
@@ -5075,10 +5092,18 @@ object SparkEntry {
     * `host` column; the chain ends in `psl_map(host, site,
     * public_suffix)` (site NULL when the host IS a public suffix). */
   private def pslCtes(src: String): String = {
-    val rules = graft.operators.PublicSuffix
-      .parsedRules(graft.operators.PublicSuffix.Snapshot)
-      .map { case (k, l, e) => s"('$k',$l,$e)" }.mkString(",")
-    s""" psl_rules AS (SELECT * FROM (VALUES $rules) t(key, labels, exc)),
+    // the full ~9.5k-rule bundled list, inlined as ONE space-joined
+    // literal (rules contain no spaces/quotes) and re-parsed in SQL —
+    // the twin replays the same ASCII-folded rule set the engine
+    // broadcasts, marker syntax and all, at ~1/3 the SQL size of a
+    // VALUES list
+    val rules = graft.operators.PublicSuffix.Snapshot.mkString(" ")
+    s""" psl_raw AS (SELECT unnest(string_split('$rules', ' ')) AS r),
+       | psl_rules AS (SELECT
+       |    CASE WHEN r LIKE '!%' THEN substr(r, 2) ELSE r END AS key,
+       |    len(string_split(CASE WHEN r LIKE '!%' THEN substr(r, 2) ELSE r END, '.')) AS labels,
+       |    (r LIKE '!%') AS exc
+       |   FROM psl_raw),
        | psl_n AS (SELECT host,
        |    string_split(lower(regexp_replace(host, ':[0-9]+$$', '')), '.') AS p,
        |    len(string_split(lower(regexp_replace(host, ':[0-9]+$$', '')), '.')) AS n
@@ -9112,6 +9137,25 @@ object SparkEntry {
          |   SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.node)
          |SELECT node AS site, min(label) AS cluster_id
          |FROM reach GROUP BY node ORDER BY site""".stripMargin
+    },
+
+    // the fold's expected outputs are PINNED punycode constants from
+    // public knowledge (münchen → xn--mnchen-3ya is the RFC 3492
+    // worked example class; xn--55qx5d.cn is the published ASCII form
+    // of the 公司.cn PSL rule) — NOT replayed through any IDN codec,
+    // so the twin independently proves both spellings key to one site
+    "idn_host_fold" -> {
+      s"""WITH hsrc AS (SELECT DISTINCT doc_id%4 AS f, doc_id%7 AS m FROM documents),
+         | h AS (SELECT CASE f
+         |   WHEN 0 THEN 'a' || m || '.münchen.de'
+         |   WHEN 1 THEN 'a' || m || '.xn--mnchen-3ya.de'
+         |   WHEN 2 THEN 'b' || m || '.shop.公司.cn'
+         |   ELSE 'b' || m || '.shop.xn--55qx5d.cn' END AS host, f FROM hsrc)
+         |SELECT host,
+         | CASE WHEN f IN (0,1) THEN 'xn--mnchen-3ya.de'
+         |      ELSE 'shop.xn--55qx5d.cn' END AS site,
+         | CASE WHEN f IN (0,1) THEN 'de' ELSE 'xn--55qx5d.cn' END AS public_suffix
+         |FROM h ORDER BY host""".stripMargin
     },
 
     // paragraph relation rebuilt closed-form (12-word slices + the

@@ -35,69 +35,71 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   */
 object PublicSuffix {
 
-  /** Bundled snapshot: a curated subset of the public suffix list
-    * (publicsuffix.org — the list itself is public data; this subset
-    * covers the structurally distinct rule classes so every algorithm
-    * arm is exercised). PSL file syntax: leading `!` = exception rule,
-    * leading `*.` = wildcard rule. ICANN section first, then a few
-    * private-section entries (deployments gating on "registrable by
-    * the PUBLIC" typically drop the private section — filter on
-    * [[RuleSections]] if so). */
-  val IcannSnapshot: Seq[String] = Seq(
-    // uk second-level
-    "co.uk", "ac.uk", "gov.uk", "org.uk", "net.uk", "sch.uk", "nhs.uk",
-    "police.uk", "mod.uk", "me.uk", "ltd.uk", "plc.uk",
-    // jp second-level + geographic wildcards with city exceptions
-    "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp", "gr.jp",
-    "lg.jp",
-    "*.kawasaki.jp", "!city.kawasaki.jp",
-    "*.kitakyushu.jp", "!city.kitakyushu.jp",
-    "*.kobe.jp", "!city.kobe.jp",
-    "*.nagoya.jp", "!city.nagoya.jp",
-    "*.sapporo.jp", "!city.sapporo.jp",
-    "*.sendai.jp", "!city.sendai.jp",
-    "*.yokohama.jp", "!city.yokohama.jp",
-    // au / nz / za
-    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
-    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz", "geek.nz",
-    "gen.nz", "maori.nz",
-    "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za",
-    // americas
-    "com.br", "net.br", "org.br", "gov.br", "edu.br", "art.br", "blog.br",
-    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
-    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
-    "com.co", "net.co", "org.co", "gov.co", "edu.co",
-    "com.pe", "net.pe", "org.pe", "gob.pe", "edu.pe",
-    // asia
-    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
-    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in", "gov.in",
-    "ac.in", "edu.in", "res.in",
-    "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr", "pe.kr",
-    "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg", "per.sg",
-    "com.hk", "net.hk", "org.hk", "gov.hk", "edu.hk", "idv.hk",
-    "com.tw", "net.tw", "org.tw", "gov.tw", "edu.tw", "idv.tw",
-    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "bel.tr",
-    "com.ua", "net.ua", "org.ua", "gov.ua", "edu.ua",
-    "com.eg", "net.eg", "org.eg", "gov.eg", "edu.eg",
-    "com.sa", "net.sa", "org.sa", "gov.sa", "edu.sa",
-    // pure-wildcard TLDs (every 2-label name is a public suffix) with
-    // the canonical ck exception pair
-    "*.bd", "*.ck", "!www.ck", "*.er", "*.fk", "*.kh", "*.mm", "*.np", "*.pg")
+  /** IDN-fold one DNS label to its ASCII (punycode) form — the PSL is
+    * published in unicode label form while crawled hosts arrive as
+    * ASCII `xn--` labels, so BOTH rules (at load, below) and hosts (at
+    * match time, [[registeredDomains]]) fold to the same ASCII key
+    * space and the unicode and punycode spellings of one host share a
+    * site key. `*` (the wildcard label) and plain-ASCII labels pass
+    * through lowercased; a label the JDK's IDN rejects (rare malformed
+    * input) keeps its lowercase form — consistently on both sides,
+    * since rules and hosts go through this same function. */
+  private[graft] def foldLabel(l: String): String = {
+    val low = l.toLowerCase(java.util.Locale.ROOT)
+    if (l == "*" || low.forall(_ < 0x80)) low
+    else try java.net.IDN.toASCII(low, java.net.IDN.ALLOW_UNASSIGNED)
+      .toLowerCase(java.util.Locale.ROOT)
+    catch { case _: IllegalArgumentException => low }
+  }
 
-  /** Private-section examples (hosting platforms whose customer
-    * subdomains are registrable-by-anyone — the near-dup/budget-cap
-    * reason to treat them as suffixes). */
-  val PrivateSnapshot: Seq[String] = Seq(
-    "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
-    "netlify.app", "vercel.app", "web.app", "pages.dev", "workers.dev",
-    "wordpress.com", "s3.amazonaws.com")
+  /** Fold every label of a dot-joined name (rule body or host). */
+  private[graft] def foldName(name: String): String =
+    name.split('.').map(foldLabel).mkString(".")
 
-  val Snapshot: Seq[String] = IcannSnapshot ++ PrivateSnapshot
+  private def foldRule(rule: String): String =
+    if (rule.startsWith("!")) "!" + foldName(rule.substring(1))
+    else foldName(rule)
 
-  /** (rule text, section) — section ∈ {icann, private}; lets a caller
-    * rebuild a rules relation from the ICANN section only. */
-  val RuleSections: Seq[(String, String)] =
-    IcannSnapshot.map((_, "icann")) ++ PrivateSnapshot.map((_, "private"))
+  /** The FULL public suffix list (publicsuffix.org), bundled as a
+    * resource — the artifact device of `bpe_merges.txt`: the list is
+    * public DATA under MPL-2.0, shipped verbatim from the OS
+    * `publicsuffix` package snapshot (`/usr/share/publicsuffix/
+    * public_suffix_list.dat`); regenerate by re-copying a newer
+    * snapshot — the parse below is format-complete (comments, blank
+    * lines, `!` exceptions, `*.` wildcards, ICANN/PRIVATE section
+    * markers), so no code change is needed for a list refresh.
+    * Returns (rule text ASCII-folded, section ∈ {icann, private}),
+    * distinct by rule text. PublicSuffixSpec pins the parse count and
+    * section split against the shipped file. */
+  val RuleSections: Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
+    require(in != null, "bundled public_suffix_list.dat resource missing")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try {
+      var section = "icann"
+      val out = Seq.newBuilder[(String, String)]
+      for (line <- src.getLines()) {
+        val t = line.trim
+        if (t.startsWith("//")) {
+          if (t.contains("===BEGIN PRIVATE DOMAINS===")) section = "private"
+        } else if (t.nonEmpty) out += ((foldRule(t), section))
+      }
+      out.result().distinctBy(_._1)
+    } finally src.close()
+  }
+
+  /** All rules (ASCII-folded) — the default rule set everywhere. */
+  val Snapshot: Seq[String] = RuleSections.map(_._1)
+
+  /** ICANN-section rules only — deployments gating on "registrable by
+    * the PUBLIC" drop the private section (hosting platforms whose
+    * customer subdomains are registrable-by-anyone). */
+  val IcannSnapshot: Seq[String] =
+    RuleSections.collect { case (r, "icann") => r }
+
+  /** Private-section rules (github.io, blogspot.com, …). */
+  val PrivateSnapshot: Seq[String] =
+    RuleSections.collect { case (r, "private") => r }
 
   /** Parsed rule: (match key, label count of the rule, exception?).
     * The match key is the rule text with the `!` marker stripped —
@@ -119,16 +121,25 @@ object PublicSuffix {
   /** host → (site, public_suffix) map over the DISTINCT hosts of
     * `hosts` — `site` is the PSL registered domain (NULL when the
     * host is itself a public suffix), `public_suffix` the prevailing
-    * suffix. Matching is port-stripped and lowercased; the output
-    * `host` column keeps the caller's original values as the join-back
-    * key. One bounded explode + broadcast equi-join + max-struct:
-    * distinct-host-sized throughout, no theta join, no UDF. */
+    * suffix. Matching is port-stripped, lowercased and IDN-folded
+    * (unicode labels → punycode, so the unicode and `xn--` spellings
+    * of one host share a site key; site/public_suffix are emitted in
+    * the ASCII form); the output `host` column keeps the caller's
+    * original values as the join-back key. One bounded explode +
+    * broadcast equi-join + max-struct: distinct-host-sized throughout,
+    * no theta join; the IDN fold UDF (no built-in exists) runs only on
+    * the non-ASCII rows of the DISTINCT-host relation, never the
+    * corpus. */
   def registeredDomains(hosts: DataFrame, hostCol: String = "host",
                         rules: Seq[String] = Snapshot): DataFrame = {
     val spark = hosts.sparkSession
+    val foldUdf = udf((h: String) => foldName(h))
+    val stripped = lower(regexp_replace(col("host"), ":[0-9]+$", ""))
     val base = hosts.select(col(hostCol).as("host")).where(col("host").isNotNull)
       .distinct()
-      .withColumn("__p", split(lower(regexp_replace(col("host"), ":[0-9]+$", "")), "\\."))
+      .withColumn("__p", split(
+        when(col("host").rlike("[^\\x00-\\x7F]"), foldUdf(stripped))
+          .otherwise(stripped), "\\."))
       .withColumn("__n", size(col("__p")))
     // candidate keys: for each suffix length L ∈ [1, n] the exact form
     // (last L labels) and for L ∈ [2, n] the wildcard form
@@ -164,12 +175,17 @@ object PublicSuffix {
   }
 
   /** Key `df` by PSL site: joins the distinct-host map back on
-    * `hostCol`, adding `site` (coalesced to the bare host when the
-    * host IS a public suffix, so grouping keys are never NULL). */
+    * `hostCol`, adding `site` (coalesced to the folded bare host when
+    * the host IS a public suffix — site is NULL exactly when
+    * public_suffix covers every host label, so the fallback is the
+    * full folded host and grouping keys are never NULL; for ASCII
+    * hosts this equals lower(host), which is what the SQL twins
+    * replay). */
   def withSite(df: DataFrame, hostCol: String = "host",
                rules: Seq[String] = Snapshot): DataFrame =
     df.join(registeredDomains(df, hostCol, rules)
-        .select(col("host").as(hostCol), col("site")),
+        .select(col("host").as(hostCol), col("site"), col("public_suffix")),
       Seq(hostCol), "left")
-      .withColumn("site", coalesce(col("site"), lower(col(hostCol))))
+      .withColumn("site", coalesce(col("site"), col("public_suffix")))
+      .drop("public_suffix")
 }

@@ -104,6 +104,44 @@ class PublicSuffixSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("bundled list integrity: full publicsuffix.org snapshot, parsed and ASCII-folded") {
+    // the resource is the verbatim OS publicsuffix-package snapshot;
+    // this pins the parse (comment/blank stripping, section markers)
+    // and the fold (every rule pure ASCII after IDN conversion) so a
+    // list refresh that changes shape fails loud here
+    assert(PublicSuffix.RuleSections.size === 9506)
+    assert(PublicSuffix.IcannSnapshot.size === 7380)
+    assert(PublicSuffix.PrivateSnapshot.size === 2126)
+    assert(PublicSuffix.Snapshot.forall(r => r.matches("^!?[\\x21-\\x7e]+$")),
+      PublicSuffix.Snapshot.filterNot(_.matches("^!?[\\x21-\\x7e]+$")).take(5).toString)
+    // structurally distinct rule classes all present at full size
+    for (r <- Seq("com", "co.uk", "*.ck", "!www.ck", "*.kawasaki.jp",
+                  "!city.kawasaki.jp", "co.il", "github.io", "ravpage.co.il"))
+      assert(PublicSuffix.Snapshot.contains(r), r)
+    // a unicode rule folded to its published punycode form
+    assert(PublicSuffix.Snapshot.contains("xn--55qx5d.cn")) // 公司.cn
+  }
+
+  test("suffix classes the curated pre-r16 snapshot missed: co.il, private platforms on it") {
+    val m = sitesOf("www.shop.co.il", "x.ravpage.co.il", "deep.x.ravpage.co.il")
+    assert(m("www.shop.co.il") === ((Some("shop.co.il"), "co.il")))
+    assert(m("x.ravpage.co.il") === ((Some("x.ravpage.co.il"), "ravpage.co.il")))
+    assert(m("deep.x.ravpage.co.il") === ((Some("x.ravpage.co.il"), "ravpage.co.il")))
+  }
+
+  test("IDN folding: unicode and punycode spellings of one host share a site key") {
+    // münchen.de — de has no multi-label rules; site is the
+    // folded last-2 for BOTH spellings
+    val m = sitesOf("www.münchen.de", "www.xn--mnchen-3ya.de",
+      // 公司.cn (公司.cn) IS a PSL rule — the fold must land
+      // both spellings on the punycode suffix
+      "shop.公司.cn", "shop.xn--55qx5d.cn")
+    assert(m("www.münchen.de") === ((Some("xn--mnchen-3ya.de"), "de")))
+    assert(m("www.xn--mnchen-3ya.de") === ((Some("xn--mnchen-3ya.de"), "de")))
+    assert(m("shop.公司.cn") === ((Some("shop.xn--55qx5d.cn"), "xn--55qx5d.cn")))
+    assert(m("shop.xn--55qx5d.cn") === ((Some("shop.xn--55qx5d.cn"), "xn--55qx5d.cn")))
+  }
+
   test("withSite never emits a NULL key") {
     val df = Seq(("a", "foo.ck"), ("b", "www.example.com"), ("c", "com"))
       .toDF("doc", "host")
