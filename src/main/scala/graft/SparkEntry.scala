@@ -3009,6 +3009,25 @@ object SparkEntry {
           t(s, d).documents.select(host.as("host")))
         .orderBy("host")
     }),
+    // legacy-charset repair at the crawl front door: six byte-level
+    // page classes (clean UTF-8, ISO-8859-1, Shift-JIS, windows-1251,
+    // a malformed byte under a utf-8 declaration, pre-damaged
+    // mojibake content) run declared-charset transcode with
+    // malformed-unit accounting, report the naive-UTF-8 damage the
+    // transcode repaired, and compose into mojibakeScreen — which
+    // must flag the pre-damaged class and nothing else
+    "charset_transcode_audit" -> ((s, d) => {
+      import graft.operators.{Charsets, TextQuality}
+      val audit = Charsets.transcodeAudit(
+        Charsets.pagesFromDocs(t(s, d).documents.select(col("doc_id"))))
+      audit
+        .join(TextQuality.mojibakeScreen(audit.select(col("doc_id"), col("text"))),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("charset"), col("transcoded"),
+          col("malformed_units"), col("utf8_malformed"),
+          col("n_moji"), col("is_moji"), col("text"))
+        .orderBy("doc_id")
+    }),
     // cross-corpus paragraph-frequency dedup (the MassiveText stage):
     // every page gets the SAME link-free cookie-banner paragraph
     // injected — the boilerplate class the per-page density gate
@@ -9156,6 +9175,35 @@ object SparkEntry {
          |      ELSE 'shop.xn--55qx5d.cn' END AS site,
          | CASE WHEN f IN (0,1) THEN 'de' ELSE 'xn--55qx5d.cn' END AS public_suffix
          |FROM h ORDER BY host""".stripMargin
+    },
+
+    // the twin is a pure closed form: expected texts rebuilt from the
+    // published charset tables (0xE9=é in ISO-8859-1, 0x83 65 93 FA=
+    // テ日 in Shift-JIS, 0xCF F0=Пр in windows-1251), malformed-unit
+    // counts from the UTF-8 spec's error-sequence segmentation (a
+    // planted 0xE9 before ASCII = 1 unit; the SJIS quad = 3; the 1251
+    // pair = 2; a lone 0xFF = 1) — nothing replayed through a codec
+    "charset_transcode_audit" -> {
+      s"""WITH b AS (SELECT doc_id, doc_id%6 AS c,
+         |    CAST(doc_id%7 AS VARCHAR) AS m FROM documents)
+         |SELECT doc_id,
+         | CASE WHEN c=1 THEN 'iso-8859-1' WHEN c=2 THEN 'shift_jis'
+         |      WHEN c=3 THEN 'windows-1251' ELSE 'utf-8' END AS charset,
+         | c IN (1,2,3) AS transcoded,
+         | CAST(CASE WHEN c=4 THEN 1 ELSE 0 END AS BIGINT) AS malformed_units,
+         | CAST(CASE c WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 2
+         |             WHEN 4 THEN 1 ELSE 0 END AS BIGINT) AS utf8_malformed,
+         | CAST(CASE WHEN c=5 THEN 1 ELSE 0 END AS BIGINT) AS n_moji,
+         | c=5 AS is_moji,
+         | CASE c
+         |  WHEN 0 THEN '<meta charset="utf-8"><p>doc ' || m || ' caf' || chr(233) || ' ' || chr(26085) || '</p>'
+         |  WHEN 1 THEN '<meta charset="iso-8859-1"><p>doc ' || m || ' caf' || chr(233) || '</p>'
+         |  WHEN 2 THEN '<meta charset="shift_jis"><p>doc ' || m || ' ' || chr(12486) || chr(26085) || '</p>'
+         |  WHEN 3 THEN '<meta charset="windows-1251"><p>doc ' || m || ' ' || chr(1055) || chr(1088) || '</p>'
+         |  WHEN 4 THEN '<meta charset="utf-8"><p>doc ' || m || ' ' || chr(65533) || ' ok</p>'
+         |  ELSE '<meta charset="utf-8"><p>doc ' || m || ' mal ' || chr(195) || chr(169) || ' input</p>'
+         | END AS text
+         |FROM b ORDER BY doc_id""".stripMargin
     },
 
     // paragraph relation rebuilt closed-form (12-word slices + the
