@@ -30,6 +30,20 @@ object Bench {
     * normalization in this file anchors on. */
   private val AnchorQuery = "wordcount_x8"
 
+  /** The STREAMING epoch reference (VERDICT r15 #3): micro-batch
+    * wall-clock cadence is contention-sensitive in a way a CPU-bound
+    * anchor cannot normalize — 9 of the 12 top r14→r15 drifters were
+    * streaming queries at 1.3-1.5x raw against a 1.19x CPU epoch. A
+    * streaming flag's child therefore times THIS query as its anchor,
+    * so the epoch is measured in the same cadence regime as the
+    * measurement. A code regression in the stream anchor itself is
+    * not masked: as a flagged query it is judged against the CPU
+    * floor (a child never anchors on itself). */
+  private val StreamAnchorQuery = "streaming_tumbling_agg"
+
+  private def anchorFor(query: String): String =
+    if (query.startsWith("streaming_")) StreamAnchorQuery else AnchorQuery
+
   /** Child mode for regression confirmation: time ONE query in this
     * fresh JVM (pass 1 warms codegen/JIT, pass 2 is the measurement)
     * and print a single parse-friendly line. No history/detail writes,
@@ -57,9 +71,10 @@ object Bench {
     // so the epoch reading samples the same window the measurement
     // ran in, not a slightly later one.
     val q1 = once(fn)
+    val anchorQ = anchorFor(query)
     val anchorJson =
-      if (query == AnchorQuery) ""
-      else SparkEntry.queries.get(AnchorQuery).map { af =>
+      if (query == anchorQ) ""
+      else SparkEntry.queries.get(anchorQ).map { af =>
         val ab = math.min(once(af), once(af))
         s""","anchor_sec":${fmt(ab, 3)}"""
       }.getOrElse("")
@@ -118,11 +133,91 @@ object Bench {
     }
   }
 
+  private def readHistory(histFile: java.io.File): Map[String, Long] =
+    try {
+      if (histFile.exists()) {
+        val src = scala.io.Source.fromFile(histFile, "UTF-8")
+        val txt = try src.mkString finally src.close()
+        "\"([^\"]+)\":\\s*(\\d+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toLong).toMap
+      } else Map.empty
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] history read failed, starting fresh: $e")
+        Map.empty
+    }
+
+  /** The STALE-BEST arm of the rebaseline policy (VERDICT r15 #4):
+    * "never rebaseline from a contended window" needs a complement, or
+    * a best recorded in a long-gone fast epoch re-flags the same query
+    * on every noisy sub-window forever (corpus_card: a 322ms r12-era
+    * best, unapproached for 4 rounds while worktree A/Bs prove the
+    * code is at parity or faster). Invoking this mode IS the policy
+    * decision that the recorded best predates the current epoch regime
+    * (≥2 rounds stale — checked against git history by the operator,
+    * not guessable from the flat history file); the tool then enforces
+    * the MEASUREMENT half: 3 isolated fresh-JVM reps, every rep's own
+    * anchor window quiet (epoch ≤ 1.1), and adoption only when the
+    * quiet median still reads >1.5x the recorded best. The adopted
+    * value is a real measured reading — the rolling min takes back
+    * over if a later fix restores speed. */
+  private def rebaselineMain(names: Seq[String], sfDir: String, cpus: String): Unit = {
+    val sfKey = new java.io.File(sfDir).getName
+    val histFile = new java.io.File("bench_history.json")
+    val hist = readHistory(histFile)
+    val msOf = (v: Double) => math.round(v * 1000)
+    val adopted = names.flatMap { name =>
+      val histBest = hist.get(s"$sfKey/$name").filter(_ > 0)
+      val anchorBest = hist.get(s"$sfKey/${anchorFor(name)}").filter(_ > 0)
+      if (histBest.isEmpty || anchorBest.isEmpty) {
+        System.err.println(s"[rebaseline] $name: no history for query or anchor — skipped")
+        None
+      } else {
+        val reps = (1 to 3).flatMap(_ => runIsolated(name, sfDir, cpus, 420))
+        val epochs = reps.map { case (_, a) =>
+          a.map(s => s * 1000.0 / anchorBest.get).getOrElse(Double.MaxValue) }
+        if (reps.size < 3) {
+          System.err.println(s"[rebaseline] $name: only ${reps.size}/3 reps measured — refused")
+          None
+        } else if (epochs.sorted.apply(1) > 1.1 || epochs.exists(_ > 1.25)) {
+          // the window gate is the MEDIAN epoch (the verdict's
+          // "quiet-window median" criterion — fresh-JVM anchor reps
+          // carry JIT jitter), with a per-rep spike backstop
+          System.err.println(s"[rebaseline] $name: window not quiet (epochs " +
+            epochs.map(e => fmt(e, 2)).mkString(",") +
+            " — need median <= 1.1, all <= 1.25) — refused")
+          None
+        } else {
+          val med = reps.map(r => msOf(r._1)).sorted.apply(1)
+          if (med <= math.round(1.5 * histBest.get)) {
+            System.err.println(s"[rebaseline] $name: quiet median ${med}ms is within " +
+              s"1.5x of best ${histBest.get}ms — best stands, no adoption")
+            None
+          } else Some((name, histBest.get, med))
+        }
+      }
+    }
+    if (adopted.nonEmpty) {
+      val updates = adopted.map { case (n, _, med) => s"$sfKey/$n" -> med }.toMap
+      val merged = hist ++ updates
+      val w = new java.io.PrintWriter(histFile, "UTF-8")
+      try w.println(merged.toSeq.sorted.map { case (k, v) => s""" "$k":$v""" }
+        .mkString("{\n", ",\n", "\n}")) finally w.close()
+    }
+    println(adopted.map { case (n, old, med) =>
+      s""""$n":{"old_best_ms":$old,"adopted_ms":$med}""" }
+      .mkString("""{"rebaselined":{""", ",", "}}"))
+    System.out.flush()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     if (args.length >= 2 && args(0) == "--isolated") {
       isolatedMain(args(1), sfDir, cpus); return
+    }
+    if (args.length >= 2 && args(0) == "--rebaseline") {
+      rebaselineMain(args(1).split(",").toSeq, sfDir, cpus); return
     }
     val spark = buildSession(cpus)
     // Steady-state timing: first execution pays JIT + codegen compile
@@ -191,19 +286,7 @@ object Bench {
     // (keys are query names — no quotes/escapes to handle).
     val sfKey = new java.io.File(sfDir).getName
     val histFile = new java.io.File("bench_history.json")
-    val hist: Map[String, Long] =
-      try {
-        if (histFile.exists()) {
-          val src = scala.io.Source.fromFile(histFile, "UTF-8")
-          val txt = try src.mkString finally src.close()
-          "\"([^\"]+)\":\\s*(\\d+)".r.findAllMatchIn(txt)
-            .map(m => m.group(1) -> m.group(2).toLong).toMap
-        } else Map.empty
-      } catch {
-        case e: java.io.IOException =>
-          System.err.println(s"[bench] history read failed, starting fresh: $e")
-          Map.empty
-      }
+    val hist: Map[String, Long] = readHistory(histFile)
     val msOf = (v: Double) => math.round(v * 1000)
     // Host-epoch normalization (round 11): a uniformly slower host
     // (page-cache epoch, co-tenant load) shifts the WHOLE distribution
@@ -324,9 +407,12 @@ object Bench {
     // regressed query cannot inflate its own epoch — the anchor is a
     // different query — and an anchor CODE regression is caught
     // separately by baseline_ratio.
-    val anchorHist: Option[Long] = hist.get(s"$sfKey/$AnchorQuery").filter(_ > 0)
-    def epochOf(anchorSec: Option[Double]): Double = (for {
-      ah <- anchorHist; a <- anchorSec
+    // per-family anchor history: streaming flags normalize by the
+    // streaming anchor's best, everything else by the CPU anchor's
+    def anchorHistFor(name: String): Option[Long] =
+      hist.get(s"$sfKey/${anchorFor(name)}").filter(_ > 0)
+    def epochOf(name: String, anchorSec: Option[Double]): Double = (for {
+      ah <- anchorHistFor(name); a <- anchorSec
     } yield math.max(1.0, a * 1000.0 / ah)).getOrElse(1.0)
     // Child timeout: the old 300s ceiling covered two passes of the
     // flagged query alone; the child now also times two anchor passes
@@ -347,7 +433,7 @@ object Bench {
           case None => confirmFailed += name; None // raw flag stands
           case Some((first, aFirst)) =>
             val firstMs = msOf(first)
-            val e1 = epochOf(aFirst)
+            val e1 = epochOf(name, aFirst)
             if (firstMs <= 2 * h * math.max(hostFactor, e1))
               Some((name, firstMs, h, false, e1))
             else {
@@ -359,7 +445,7 @@ object Bench {
                   // measurement are named on the JSON line" contract
                   // (ADVICE r15) — name the rep, keep the survivors
                   case None => confirmFailed += s"$name#rep$rep"; None
-                  case Some((s2, a2)) => Some((msOf(s2), epochOf(a2)))
+                  case Some((s2, a2)) => Some((msOf(s2), epochOf(name, a2)))
                 })
               // Judge the median of the PER-REP epoch-normalized
               // readings — each rep corrected by the window it ran in,
