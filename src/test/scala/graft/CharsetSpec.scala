@@ -41,12 +41,15 @@ class CharsetSpec extends AnyFunSuite {
       (2L, page("<meta charset=\"shift_jis\"><p>",
         Array(0x83.toByte, 0x65.toByte, 0x93.toByte, 0xFA.toByte), "</p>")),
       (3L, page("<meta http-equiv=\"Content-Type\" content=\"text/html; charset=windows-1251\"><p>",
-        Array(0xCF.toByte, 0xF0.toByte), "</p>")))
+        Array(0xCF.toByte, 0xF0.toByte), "</p>")),
+      (4L, page("<meta charset=\"gbk\"><p>",
+        Array(0xBA.toByte, 0xBA.toByte, 0xD3.toByte, 0xEF.toByte), "</p>")))
     assert(m(1L).getAs[String]("text").contains("café"))
     assert(m(2L).getAs[String]("text").contains("テ日")) // テ日
     assert(m(3L).getAs[String]("text").contains("Пр")) // Пр
-    // all three repaired: transcode damage 0, naive-utf-8 damage > 0
-    for (id <- 1L to 3L) {
+    assert(m(4L).getAs[String]("text").contains("汉语")) // 汉语 (GBK 0xBABA 0xD3EF)
+    // all four repaired: transcode damage 0, naive-utf-8 damage > 0
+    for (id <- 1L to 4L) {
       assert(m(id).getAs[Boolean]("transcoded"), id.toString)
       assert(m(id).getAs[Long]("malformed_units") === 0L, id.toString)
       assert(m(id).getAs[Long]("utf8_malformed") > 0L, id.toString)
