@@ -3028,6 +3028,100 @@ object SparkEntry {
           col("n_moji"), col("is_moji"), col("text"))
         .orderBy("doc_id")
     }),
+    // post-training front door: the render→parse ROUND TRIP — the
+    // deterministic transcript fixture (system turns, forced
+    // same-role violations, blanked last turns, colliding assistant
+    // content) rendered to `role: content` lines by pure Column
+    // arithmetic, then parsed back by the real line parser; the twin
+    // rebuilds the turn relation closed-form, so the hash proves the
+    // parser grammar end-to-end
+    "sft_parse_turns" -> ((s, d) => {
+      import graft.operators.PostTraining
+      PostTraining.parseTurns(
+          PostTraining.renderTranscripts(t(s, d).documents))
+        .orderBy("conv_id", "turn_idx")
+    }),
+    // per-conversation SFT integrity audit: role counts, adjacent
+    // same-role runs, first-non-system-is-user, ends-on-assistant,
+    // empty turns, composed verdict — the twin RECOMPUTES every flag
+    // via its own lag window over the rebuilt turns, so the audit
+    // logic is proven against an independent implementation
+    "sft_conversation_audit" -> ((s, d) => {
+      import graft.operators.PostTraining
+      PostTraining.conversationAudit(PostTraining.parseTurns(
+          PostTraining.renderTranscripts(t(s, d).documents)))
+        .orderBy("conv_id")
+    }),
+    // response-level dedup (the synthetic-data collapse screen):
+    // assistant turns fingerprinted in order via md5, min-id keeper
+    // per group, no-assistant conversations isolated as null-fp
+    // singletons — assistant content keys on doc_id%41 so real
+    // cross-conversation dup groups exist at every scale factor
+    "sft_response_dedup" -> ((s, d) => {
+      import graft.operators.PostTraining
+      PostTraining.dedupByResponse(PostTraining.parseTurns(
+          PostTraining.renderTranscripts(t(s, d).documents)))
+        .orderBy("conv_id")
+    }),
+    // conversation-granularity packing plan: exact exclusive prefix
+    // sum of ceil(chars/4) token estimates over the conv_id total
+    // order (TotalOrder.prefixSumAuto — window below the 4M cutover,
+    // TeraSort above), bin = floor(prefix/budget); the twin replays
+    // the same arithmetic with a SQL window, proving the plan exact
+    "sft_pack_plan" -> ((s, d) => {
+      import graft.operators.PostTraining
+      PostTraining.packPlan(PostTraining.parseTurns(
+          PostTraining.renderTranscripts(t(s, d).documents)), budgetTokens = 500L)
+        .orderBy("bin")
+    }),
+    // tool-use turn integrity: call payload JSON validity, tool-name
+    // extraction, arguments presence, registry membership (broadcast
+    // equi-join), call/result pairing via one lead window — the
+    // fixture plants truncated JSON, missing-arguments, unregistered
+    // tools, and dropped result turns deterministically
+    "tool_call_audit" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.PostTraining
+      val registry = Seq("search", "calc", "fetch").toDF("tool")
+      PostTraining.toolCallAudit(
+          PostTraining.toolTurnsFromDocs(t(s, d).documents), registry)
+        .orderBy("conv_id", "turn_idx")
+    }),
+    // the post-training batch chain in ONE query: parse → integrity
+    // audit → response dedup → pack the ADMITTED conversations into
+    // token-budgeted training sequences — proving the stages compose
+    // (the crawl_curation_e2e device applied to the SFT stage)
+    "sft_admission_pack_e2e" -> ((s, d) => {
+      import graft.operators.PostTraining
+      val turns = PostTraining.parseTurns(
+        PostTraining.renderTranscripts(t(s, d).documents))
+      val admitted = PostTraining.conversationAudit(turns).where(col("ok"))
+        .join(PostTraining.dedupByResponse(turns).where(col("keep")), Seq("conv_id"))
+        .select(col("conv_id"))
+      PostTraining.packPlan(turns.join(admitted, Seq("conv_id")), budgetTokens = 500L)
+        .orderBy("bin")
+    }),
+    // preference-pair integrity: pairs grouped by the UNORDERED
+    // (prompt, lo, hi) candidate key, orientation counts exposing
+    // exact duplicates AND reversed-label conflicts, degenerate
+    // (chosen==rejected) pairs counted per group — the fixture
+    // plants all three classes deterministically
+    "preference_pair_audit" -> ((s, d) => {
+      import graft.operators.PostTraining
+      PostTraining.preferenceAudit(
+          PostTraining.preferencePairsFromDocs(t(s, d).documents))
+        .orderBy("prompt", "lo", "hi")
+    }),
+    // length-bias screen over the preference relation: per-bucket
+    // EXACT integer sum of len(chosen)−len(rejected) plus
+    // longer/shorter/tie win counts — the "chosen is just longer"
+    // reward-hacking signal, engine-exact (no float averaging)
+    "preference_length_bias" -> ((s, d) => {
+      import graft.operators.PostTraining
+      PostTraining.lengthBias(
+          PostTraining.preferencePairsFromDocs(t(s, d).documents))
+        .orderBy("bucket")
+    }),
     // cross-corpus paragraph-frequency dedup (the MassiveText stage):
     // every page gets the SAME link-free cookie-banner paragraph
     // injected — the boilerplate class the per-page density gate
@@ -3705,6 +3799,26 @@ object SparkEntry {
       graft.streaming.IngestPipeline
         .runCrawlAdmission(ss, urlStream, blockRules, robotsRules, landDir)
         .orderBy("url")
+    }),
+    // the post-training front door AS A STREAM: transcript drops
+    // arrive file-by-file, render→parse→audit→fingerprint run per
+    // micro-batch (a conversation arrives whole in one row, so the
+    // audit is batch-local — zero cross-batch state), the landing is
+    // batch-keyed constant-width audit rows + 16-byte digests, and
+    // the cross-batch response dedup is an EXACT FINISH on the
+    // drained union (min-id keeper is order-independent); drained
+    // output == the one-shot batch composition, which is the twin
+    "streaming_sft_admission" -> ((s, d) => {
+      val src = stageDocStream(s, d, nFiles = 4)
+      val ss = streamSession(s)
+      val stream = ss.readStream
+        .schema("doc_id LONG, lang STRING, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+      val landDir = java.nio.file.Files.createTempDirectory("graft-sft-admission").toString
+      graft.streaming.IngestPipeline
+        .runSftAdmission(ss, stream.select(col("doc_id"), col("text")), landDir)
+        .orderBy("conv_id")
     }),
     // the crawl front door AS A STREAM: page drops arrive file-by-file,
     // href extraction runs per micro-batch, and the edge dedup becomes
@@ -6282,6 +6396,42 @@ object SparkEntry {
        |${(1 to 5).map(i => s"SELECT CAST($i AS BIGINT) AS rank, doc_id, score FROM p$i").mkString("\nUNION ALL\n")}
        |ORDER BY rank""".stripMargin
   }
+
+  /** SFT twin scaffolding: rebuilds the [[graft.operators.PostTraining
+    * .renderTranscripts]] turn relation CLOSED-FORM (the fixture is
+    * pure arithmetic over doc_id/text), so the twins never replay the
+    * renderer or the line parser — the hash proves both. */
+  private val SftTurnsCtes: String =
+    s"""WITH sft_d AS (SELECT doc_id, 2 + doc_id % 5 AS n, text FROM documents),
+       | sft_i AS (SELECT doc_id, n, text,
+       |   unnest(generate_series(1, n)) AS i FROM sft_d),
+       | sft_r AS (SELECT doc_id AS conv_id, i AS turn_idx,
+       |   CASE WHEN doc_id % 3 = 0 AND i = 1 THEN 'system'
+       |        WHEN doc_id % 13 = 0 AND i = 2 THEN 'user'
+       |        WHEN doc_id % 3 = 0 THEN (CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END)
+       |        ELSE (CASE WHEN i % 2 = 1 THEN 'user' ELSE 'assistant' END) END AS role,
+       |   doc_id, i, n, text FROM sft_i),
+       | sft_turns AS (SELECT conv_id, turn_idx, role,
+       |   CASE WHEN doc_id % 17 = 0 AND i = n THEN ''
+       |        WHEN role = 'system' THEN 'sys ' || (doc_id % 11)
+       |        WHEN role = 'assistant' THEN 'ans ' || (doc_id % 41) || ' t' || i
+       |        ELSE 'ask ' || doc_id || ' t' || i || ' ' ||
+       |          replace(substr(text, (i - 1) * 29 + 1, 23), chr(10), ' ') END AS content
+       |   FROM sft_r)""".stripMargin
+
+  /** Preference-pair twin scaffolding: the [[graft.operators
+    * .PostTraining.preferencePairsFromDocs]] fixture rebuilt
+    * closed-form — degenerate (%23), reversed-orientation (%19), and
+    * base-keyed (%97) collision classes all in plain arithmetic. */
+  private val PrefPairsCtes: String =
+    s"""WITH prf AS (SELECT doc_id AS pair_id, doc_id % 97 AS base FROM documents),
+       | prf2 AS (SELECT pair_id, 'q ' || base AS prompt,
+       |   'resp a ' || base || ' ' || repeat('x', CAST(base % 13 AS INTEGER)) AS a,
+       |   'resp b ' || base || ' ' || repeat('y', CAST(base % 7 AS INTEGER)) AS b,
+       |   pair_id % 23 = 0 AS dg, pair_id % 19 = 0 AS rev FROM prf),
+       | pref_pairs AS (SELECT pair_id, prompt,
+       |   CASE WHEN dg THEN a WHEN rev THEN b ELSE a END AS chosen,
+       |   CASE WHEN dg THEN a WHEN rev THEN a ELSE b END AS rejected FROM prf2)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "wordcount" ->
@@ -9206,6 +9356,168 @@ object SparkEntry {
          |FROM b ORDER BY doc_id""".stripMargin
     },
 
+    // the turn relation rebuilt closed-form from the fixture
+    // arithmetic — never replayed through the renderer or the line
+    // parser, so the hash proves the render→parse round trip
+    "sft_parse_turns" ->
+      s"""$SftTurnsCtes
+         |SELECT conv_id, turn_idx, role, content FROM sft_turns
+         |ORDER BY conv_id, turn_idx""".stripMargin,
+
+    // every audit flag RECOMPUTED independently: DuckDB's own lag
+    // window + conditional aggregates over the rebuilt turns
+    "sft_conversation_audit" ->
+      s"""$SftTurnsCtes,
+         | prevr AS (SELECT conv_id, turn_idx, role, content,
+         |   lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+         |   FROM sft_turns)
+         |SELECT conv_id, count(*) AS n_turns,
+         | CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+         | CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+         | CAST(sum(CASE WHEN role = 'system' THEN 1 ELSE 0 END) AS BIGINT) AS n_system,
+         | CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT) AS same_role_runs,
+         | coalesce(min(CASE WHEN role = 'user' THEN turn_idx END) <
+         |   coalesce(min(CASE WHEN role = 'assistant' THEN turn_idx END),
+         |     9223372036854775807), FALSE) AS starts_ok,
+         | arg_max(role, turn_idx) = 'assistant' AS ends_assistant,
+         | max(CASE WHEN content = '' THEN 1 ELSE 0 END) = 1 AS has_empty,
+         | (sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) = 0
+         |  AND coalesce(min(CASE WHEN role = 'user' THEN turn_idx END) <
+         |    coalesce(min(CASE WHEN role = 'assistant' THEN turn_idx END),
+         |      9223372036854775807), FALSE)
+         |  AND arg_max(role, turn_idx) = 'assistant'
+         |  AND max(CASE WHEN content = '' THEN 1 ELSE 0 END) = 0) AS ok
+         |FROM prevr GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+
+    // the same ordered-assistant md5 fingerprint via string_agg with
+    // an in-group ORDER BY; null-fp (no-assistant) singletons via the
+    // non-matching LEFT JOIN, exactly the engine's semantics
+    "sft_response_dedup" ->
+      s"""$SftTurnsCtes,
+         | fp AS (SELECT conv_id, md5(string_agg(content, '|' ORDER BY turn_idx)) AS resp_fp
+         |   FROM sft_turns WHERE role = 'assistant' GROUP BY conv_id),
+         | grp AS (SELECT resp_fp, count(*) AS group_size, min(conv_id) AS keeper
+         |   FROM fp GROUP BY resp_fp)
+         |SELECT c.conv_id, fp.resp_fp,
+         | coalesce(grp.group_size, 1) AS group_size,
+         | (fp.resp_fp IS NULL OR c.conv_id = grp.keeper) AS keep
+         |FROM (SELECT DISTINCT conv_id FROM sft_turns) c
+         |LEFT JOIN fp USING (conv_id) LEFT JOIN grp USING (resp_fp)
+         |ORDER BY conv_id""".stripMargin,
+
+    // the packing plan replayed with a SQL running-sum window: same
+    // ceil(chars/4) estimator, same exclusive-prefix bin arithmetic
+    "sft_pack_plan" ->
+      s"""$SftTurnsCtes,
+         | per AS (SELECT conv_id, (CAST(sum(length(content)) AS BIGINT) + 3) // 4 AS tokens
+         |   FROM sft_turns GROUP BY conv_id),
+         | cums AS (SELECT conv_id, tokens, CAST(sum(tokens) OVER (ORDER BY conv_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM per)
+         |SELECT CAST((cum - tokens) // 500 AS BIGINT) AS bin, count(*) AS n_convs,
+         | CAST(sum(tokens) AS BIGINT) AS total_tokens,
+         | min(conv_id) AS first_conv, max(conv_id) AS last_conv
+         |FROM cums GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // payload relation rebuilt closed-form, then DuckDB's OWN json
+    // machinery (json_valid / json_extract) grades each call — two
+    // independent JSON parsers agreeing on validity, name extraction,
+    // and arguments presence; pairing via the same lead-window device
+    "tool_call_audit" ->
+      s"""WITH tt_d AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 43 = 0 THEN 3 ELSE 4 END AS nt,
+         |    CASE WHEN doc_id % 3 = 0 THEN 'search'
+         |         WHEN doc_id % 3 = 1 THEN 'calc' ELSE 'fetch' END AS tool
+         |   FROM documents),
+         | tt_i AS (SELECT doc_id, tool, unnest(generate_series(1, nt)) AS turn_idx FROM tt_d),
+         | tt AS (SELECT doc_id AS conv_id, turn_idx,
+         |   CASE WHEN turn_idx % 2 = 1 THEN 'call' ELSE 'result' END AS kind,
+         |   CASE WHEN turn_idx % 2 = 1 THEN (
+         |     CASE WHEN doc_id % 31 = 0 AND turn_idx = 1
+         |            THEN '{"name": "' || tool || '", "arguments": '
+         |          WHEN doc_id % 37 = 0 AND turn_idx = 1
+         |            THEN '{"name": "' || tool || '"}'
+         |          WHEN doc_id % 29 = 0 AND turn_idx = 1
+         |            THEN '{"name": "frobnicate", "arguments": {"q": "x"}}'
+         |          ELSE '{"name": "' || tool || '", "arguments": {"q": "doc ' ||
+         |            (doc_id % 7) || ' t' || turn_idx || '"}}' END)
+         |   ELSE '{"content": "ok ' || (doc_id % 7) || ' t' || turn_idx || '"}' END AS payload
+         |   FROM tt_i),
+         | nk AS (SELECT conv_id, turn_idx, kind, payload,
+         |   lead(kind) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_kind FROM tt),
+         | calls AS (SELECT conv_id, turn_idx, payload, next_kind,
+         |   json_valid(payload) AS json_ok,
+         |   CASE WHEN json_valid(payload)
+         |        THEN json_extract_string(payload, '$$.name') END AS tool_name,
+         |   CASE WHEN json_valid(payload)
+         |        THEN json_extract(payload, '$$.arguments') IS NOT NULL
+         |        ELSE FALSE END AS has_args,
+         |   coalesce(next_kind = 'result', FALSE) AS paired
+         |   FROM nk WHERE kind = 'call')
+         |SELECT conv_id, turn_idx, json_ok, tool_name, has_args,
+         | coalesce(tool_name IN ('search', 'calc', 'fetch'), FALSE) AS name_known,
+         | paired,
+         | (json_ok AND has_args
+         |  AND coalesce(tool_name IN ('search', 'calc', 'fetch'), FALSE)
+         |  AND paired) AS call_ok
+         |FROM calls ORDER BY conv_id, turn_idx""".stripMargin,
+
+    // the composed chain in SQL: audit ∩ dedup-keeper filters the
+    // turn relation, then the same running-sum packing arithmetic
+    "sft_admission_pack_e2e" ->
+      s"""$SftTurnsCtes,
+         | prevr AS (SELECT conv_id, turn_idx, role, content,
+         |   lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+         |   FROM sft_turns),
+         | aud AS (SELECT conv_id,
+         |   (sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) = 0
+         |    AND coalesce(min(CASE WHEN role = 'user' THEN turn_idx END) <
+         |      coalesce(min(CASE WHEN role = 'assistant' THEN turn_idx END),
+         |        9223372036854775807), FALSE)
+         |    AND arg_max(role, turn_idx) = 'assistant'
+         |    AND max(CASE WHEN content = '' THEN 1 ELSE 0 END) = 0) AS ok
+         |   FROM prevr GROUP BY conv_id),
+         | fp AS (SELECT conv_id, md5(string_agg(content, '|' ORDER BY turn_idx)) AS resp_fp
+         |   FROM sft_turns WHERE role = 'assistant' GROUP BY conv_id),
+         | grp AS (SELECT resp_fp, min(conv_id) AS keeper FROM fp GROUP BY resp_fp),
+         | adm AS (SELECT a.conv_id FROM aud a
+         |   LEFT JOIN fp USING (conv_id) LEFT JOIN grp USING (resp_fp)
+         |   WHERE a.ok AND (fp.resp_fp IS NULL OR a.conv_id = grp.keeper)),
+         | per AS (SELECT t.conv_id, (CAST(sum(length(t.content)) AS BIGINT) + 3) // 4 AS tokens
+         |   FROM sft_turns t JOIN adm USING (conv_id) GROUP BY t.conv_id),
+         | cums AS (SELECT conv_id, tokens, CAST(sum(tokens) OVER (ORDER BY conv_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM per)
+         |SELECT CAST((cum - tokens) // 500 AS BIGINT) AS bin, count(*) AS n_convs,
+         | CAST(sum(tokens) AS BIGINT) AS total_tokens,
+         | min(conv_id) AS first_conv, max(conv_id) AS last_conv
+         |FROM cums GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // unordered-key grouping with orientation counts in plain SQL —
+    // least/greatest on ASCII strings, binary collation both engines
+    "preference_pair_audit" ->
+      s"""$PrefPairsCtes
+         |SELECT prompt, least(chosen, rejected) AS lo, greatest(chosen, rejected) AS hi,
+         | count(*) AS n_pairs,
+         | CAST(sum(CASE WHEN chosen = rejected THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate,
+         | CAST(sum(CASE WHEN chosen <> rejected AND chosen = least(chosen, rejected)
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_lo_chosen,
+         | CAST(sum(CASE WHEN chosen <> rejected AND chosen = greatest(chosen, rejected)
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_chosen,
+         | (sum(CASE WHEN chosen <> rejected AND chosen = least(chosen, rejected)
+         |    THEN 1 ELSE 0 END) > 0
+         |  AND sum(CASE WHEN chosen <> rejected AND chosen = greatest(chosen, rejected)
+         |    THEN 1 ELSE 0 END) > 0) AS conflicted
+         |FROM pref_pairs GROUP BY 1, 2, 3 ORDER BY prompt, lo, hi""".stripMargin,
+
+    // exact-integer length-delta sums and win counts per bucket
+    "preference_length_bias" ->
+      s"""$PrefPairsCtes
+         |SELECT pair_id % 8 AS bucket, count(*) AS n_pairs,
+         | CAST(sum(length(chosen) - length(rejected)) AS BIGINT) AS len_delta_sum,
+         | CAST(sum(CASE WHEN length(chosen) > length(rejected) THEN 1 ELSE 0 END) AS BIGINT) AS n_longer,
+         | CAST(sum(CASE WHEN length(chosen) < length(rejected) THEN 1 ELSE 0 END) AS BIGINT) AS n_shorter,
+         | CAST(sum(CASE WHEN length(chosen) = length(rejected) THEN 1 ELSE 0 END) AS BIGINT) AS n_tie
+         |FROM pref_pairs GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     // paragraph relation rebuilt closed-form (12-word slices + the
     // shared cookie constant from the SAME Scala object the fixture
     // injects), then the df-filter and ordered reassembly in plain SQL
@@ -9917,6 +10229,40 @@ object SparkEntry {
          |       LEFT JOIN (SELECT * FROM rbest WHERE rn = 1) rb USING (m)
          |ORDER BY u.url""".stripMargin
     },
+
+    // the drained streaming admission equals the one-shot batch
+    // composition: audit flags recomputed via DuckDB's lag window,
+    // fingerprints via ordered string_agg, min-id keeper in SQL
+    "streaming_sft_admission" ->
+      s"""$SftTurnsCtes,
+         | prevr AS (SELECT conv_id, turn_idx, role, content,
+         |   lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+         |   FROM sft_turns),
+         | aud AS (SELECT conv_id, count(*) AS n_turns,
+         |   CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT) AS same_role_runs,
+         |   coalesce(min(CASE WHEN role = 'user' THEN turn_idx END) <
+         |     coalesce(min(CASE WHEN role = 'assistant' THEN turn_idx END),
+         |       9223372036854775807), FALSE) AS starts_ok,
+         |   arg_max(role, turn_idx) = 'assistant' AS ends_assistant,
+         |   max(CASE WHEN content = '' THEN 1 ELSE 0 END) = 1 AS has_empty,
+         |   (sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) = 0
+         |    AND coalesce(min(CASE WHEN role = 'user' THEN turn_idx END) <
+         |      coalesce(min(CASE WHEN role = 'assistant' THEN turn_idx END),
+         |        9223372036854775807), FALSE)
+         |    AND arg_max(role, turn_idx) = 'assistant'
+         |    AND max(CASE WHEN content = '' THEN 1 ELSE 0 END) = 0) AS ok
+         |   FROM prevr GROUP BY conv_id),
+         | fp AS (SELECT conv_id, md5(string_agg(content, '|' ORDER BY turn_idx)) AS resp_fp
+         |   FROM sft_turns WHERE role = 'assistant' GROUP BY conv_id),
+         | grp AS (SELECT resp_fp, count(*) AS group_size, min(conv_id) AS keeper
+         |   FROM fp GROUP BY resp_fp)
+         |SELECT a.conv_id, a.n_turns, a.same_role_runs, a.starts_ok,
+         | a.ends_assistant, a.has_empty, a.ok, fp.resp_fp,
+         | coalesce(grp.group_size, 1) AS group_size,
+         | (fp.resp_fp IS NULL OR a.conv_id = grp.keeper) AS keep,
+         | (a.ok AND (fp.resp_fp IS NULL OR a.conv_id = grp.keeper)) AS admitted
+         |FROM aud a LEFT JOIN fp USING (conv_id) LEFT JOIN grp USING (resp_fp)
+         |ORDER BY a.conv_id""".stripMargin,
 
     // three unrolled GD steps as CTEs; final weights unpivoted
     "logreg_quality_weights" ->

@@ -1,0 +1,295 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Post-training (SFT / RLHF preference) data operators — the stage a
+  * training-data engine hits AFTER pretraining curation: role-tagged
+  * conversation transcripts and preference pairs have their own
+  * integrity failure modes that none of the document-level gates see.
+  * A transcript whose roles don't alternate, a conversation that ends
+  * on the user's turn, an assistant response duplicated across
+  * thousands of conversations (the classic synthetic-data collapse),
+  * a preference dataset where the SAME (prompt, A, B) pair is labeled
+  * in both orientations, or where "chosen" is just "longer" — each of
+  * these silently poisons a fine-tune and each is a relational check.
+  *
+  * Scale shape: parsing is a narrow per-row split+regex projection
+  * (no UDF — `split`/`posexplode`/`regexp_extract` are codegen'd);
+  * per-conversation audits are one hash-partitioned window + groupBy
+  * on `conv_id`; response dedup shuffles 16-byte md5 fingerprints;
+  * preference audits group on the unordered (prompt, lo, hi) key —
+  * all equi-shuffles on bounded-width keys. Packing is an exact
+  * prefix sum over the conversation total order and rides
+  * [[TotalOrder.prefixSumAuto]]: single-task window below the 4M-row
+  * cutover, TeraSort range-exchange decomposition above it. */
+object PostTraining {
+
+  /** Line-oriented role-tagged transcript format: one `role: content`
+    * line per turn. The parser grammar (also replayed by the DuckDB
+    * twins, so Java∩RE2-safe). */
+  val TurnPattern = "^(system|user|assistant): (.*)$"
+
+  /** Deterministic conversation fixture over a documents relation —
+    * pure Column arithmetic (no UDF) so the oracle can rebuild the
+    * turn relation closed-form. Per doc: `n = 2 + doc_id%5` turns;
+    * docs `%3==0` open with a `system` turn (roles then alternate
+    * user/assistant from turn 2); docs `%13==0` force turn 2 to
+    * `user` (the adjacent-same-role violation class); docs `%17==0`
+    * blank the LAST turn's content (the empty-turn class); assistant
+    * content keys on `doc_id%41` (collides across conversations —
+    * the response-dedup class) while user content carries the
+    * doc-unique id plus a text slice. Output: (conv_id, transcript). */
+  def renderTranscripts(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val role =
+      s"""CASE WHEN $idCol % 3 = 0 AND i = 1 THEN 'system'
+         |     WHEN $idCol % 13 = 0 AND i = 2 THEN 'user'
+         |     WHEN $idCol % 3 = 0 THEN IF(i % 2 = 0, 'user', 'assistant')
+         |     ELSE IF(i % 2 = 1, 'user', 'assistant') END""".stripMargin
+    val content =
+      s"""CASE WHEN $idCol % 17 = 0 AND i = __n THEN ''
+         |     WHEN ($role) = 'system' THEN concat('sys ', $idCol % 11)
+         |     WHEN ($role) = 'assistant'
+         |       THEN concat('ans ', $idCol % 41, ' t', i)
+         |     ELSE concat('ask ', $idCol, ' t', i, ' ',
+         |       translate(substring($textCol, (i - 1) * 29 + 1, 23), '\n', ' '))
+         |END""".stripMargin
+    docs.withColumn("__n", (lit(2L) + col(idCol) % 5).cast(LongType))
+      .select(col(idCol).cast(LongType).as("conv_id"),
+        expr(s"array_join(transform(sequence(1L, __n), " +
+          s"i -> concat($role, ': ', $content)), '\n')").as("transcript"))
+  }
+
+  /** Parse line-oriented `role: content` transcripts into a turn
+    * relation (conv_id, turn_idx 1-based, role, content). Lines that
+    * don't match [[TurnPattern]] surface as role `invalid` with the
+    * raw line as content — a grading surface, never a dropped row
+    * (blank trailing lines are skipped: a final newline is format,
+    * not data). Narrow per-row codegen'd projection, zero shuffle. */
+  def parseTurns(convs: DataFrame, idCol: String = "conv_id",
+                 textCol: String = "transcript"): DataFrame =
+    convs
+      .select(col(idCol).cast(LongType).as("conv_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__i", "__line")))
+      .where(length(col("__line")) > 0)
+      .select(col("conv_id"), (col("__i") + 1).cast(LongType).as("turn_idx"),
+        when(col("__line").rlike(TurnPattern),
+          regexp_extract(col("__line"), TurnPattern, 1))
+          .otherwise(lit("invalid")).as("role"),
+        when(col("__line").rlike(TurnPattern),
+          regexp_extract(col("__line"), TurnPattern, 2))
+          .otherwise(col("__line")).as("content"))
+
+  /** Per-conversation SFT integrity audit over a turn relation:
+    * role counts, adjacent same-role runs (`lag` over the turn
+    * order), first-role check (first non-system turn must be the
+    * user), ends-on-assistant, empty-turn flag, and the composed
+    * `ok` verdict. One window + one groupBy, both hash-partitioned
+    * on conv_id — conversations are independent, so this scales
+    * with executors at any corpus size. */
+  def conversationAudit(turns: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    turns
+      .withColumn("__prev", lag(col("role"), 1).over(w))
+      .groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(when(col("role") === "user", 1L).otherwise(0L)).as("n_user"),
+        sum(when(col("role") === "assistant", 1L).otherwise(0L)).as("n_assistant"),
+        sum(when(col("role") === "system", 1L).otherwise(0L)).as("n_system"),
+        sum(when(col("role") === col("__prev"), 1L).otherwise(0L)).as("same_role_runs"),
+        min(when(col("role") === "user", col("turn_idx"))).as("__fu"),
+        min(when(col("role") === "assistant", col("turn_idx"))).as("__fa"),
+        max_by(col("role"), col("turn_idx")).as("__last"),
+        max(when(col("content") === "", 1L).otherwise(0L)).as("__emp"))
+      .withColumn("starts_ok", coalesce(
+        col("__fu") < coalesce(col("__fa"), lit(Long.MaxValue)), lit(false)))
+      .withColumn("ends_assistant", col("__last") === "assistant")
+      .withColumn("has_empty", col("__emp") === 1L)
+      .withColumn("ok", col("same_role_runs") === 0L && col("starts_ok") &&
+        col("ends_assistant") && !col("has_empty"))
+      .drop("__fu", "__fa", "__last", "__emp")
+  }
+
+  /** Response-level conversation dedup — the synthetic-data collapse
+    * screen: two conversations whose ASSISTANT turns are identical
+    * (in order) are one training signal however the user side is
+    * phrased. Fingerprint = md5 over the ordered assistant contents;
+    * keep = min conv_id per fingerprint group; conversations with no
+    * assistant turn (already an audit failure) form singleton groups
+    * with a null fingerprint. Shuffles 16-byte digests, never the
+    * transcripts — at 100 TB the wide content stays columnar at the
+    * scan and only (conv_id, fp) moves. */
+  def dedupByResponse(turns: DataFrame): DataFrame = {
+    val fp = responseFingerprints(turns)
+    val groups = fp.groupBy(col("resp_fp"))
+      .agg(count(lit(1)).as("group_size"), min(col("conv_id")).as("__keeper"))
+    turns.select(col("conv_id")).distinct()
+      .join(fp, Seq("conv_id"), "left")
+      .join(groups, Seq("resp_fp"), "left")
+      .select(col("conv_id"), col("resp_fp"),
+        coalesce(col("group_size"), lit(1L)).as("group_size"),
+        (col("resp_fp").isNull || col("conv_id") === col("__keeper")).as("keep"))
+  }
+
+  /** Greedy sequential packing plan at CONVERSATION granularity — a
+    * conversation is never split across training sequences (splitting
+    * one mid-dialogue severs the supervision signal), so the packer
+    * assigns each conversation wholly to bin
+    * `floor(exclusive_prefix_tokens / budget)` in conv_id order: the
+    * streaming packer every SFT pipeline runs, made exact. Token
+    * counts use the engine's ceil(chars/4) estimator (exact integer
+    * arithmetic, so the plan is engine-independent). The exclusive
+    * prefix sum rides [[TotalOrder.prefixSumAuto]] — window below the
+    * cutover, TeraSort range exchange above — and the output is the
+    * per-bin plan (counts, token load, conv span), bins contiguous by
+    * construction. */
+  /** (conv_id, resp_fp) for every conversation WITH assistant turns:
+    * md5 over the ordered assistant contents. Shared by
+    * [[dedupByResponse]] and the streaming admission pipeline so the
+    * batch and per-micro-batch fingerprints are one definition. */
+  def responseFingerprints(turns: DataFrame): DataFrame =
+    turns.where(col("role") === "assistant")
+      .groupBy(col("conv_id"))
+      .agg(expr("md5(array_join(transform(" +
+        "array_sort(collect_list(struct(turn_idx, content)))," +
+        " s -> s.content), '|'))").as("resp_fp"))
+
+  def packPlan(turns: DataFrame, budgetTokens: Long = 2000L): DataFrame = {
+    val per = turns.groupBy(col("conv_id"))
+      .agg(expr("(sum(length(content)) + 3) div 4").cast(LongType).as("tokens"))
+    TotalOrder.prefixSumAuto(per, Seq(col("conv_id")), Seq("tokens" -> "__cum"))
+      .withColumn("bin", expr(s"(__cum - tokens) div ${budgetTokens}L").cast(LongType))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_convs"), sum(col("tokens")).as("total_tokens"),
+        min(col("conv_id")).as("first_conv"), max(col("conv_id")).as("last_conv"))
+  }
+
+  /** Deterministic tool-use turn fixture over a documents relation
+    * (pure Column arithmetic): each doc becomes a conversation of
+    * call/result turn pairs with JSON payloads, planting the audit's
+    * failure classes — docs `%31==0` truncate the first call's JSON,
+    * `%37==0` drop its `arguments` key, `%29==0` call an UNREGISTERED
+    * tool, and `%43==0` drop the final result turn so the last call
+    * is unpaired. Output: (conv_id, turn_idx, kind, payload). */
+  def toolTurnsFromDocs(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val tool = s"CASE WHEN $idCol % 3 = 0 THEN 'search' " +
+      s"WHEN $idCol % 3 = 1 THEN 'calc' ELSE 'fetch' END"
+    val callPayload =
+      s"""CASE WHEN $idCol % 31 = 0 AND turn_idx = 1
+         |       THEN concat('{"name": "', $tool, '", "arguments": ')
+         |     WHEN $idCol % 37 = 0 AND turn_idx = 1
+         |       THEN concat('{"name": "', $tool, '"}')
+         |     WHEN $idCol % 29 = 0 AND turn_idx = 1
+         |       THEN '{"name": "frobnicate", "arguments": {"q": "x"}}'
+         |     ELSE concat('{"name": "', $tool,
+         |       '", "arguments": {"q": "doc ', $idCol % 7, ' t', turn_idx, '"}}')
+         |END""".stripMargin
+    val payload =
+      s"""CASE WHEN turn_idx % 2 = 1 THEN ($callPayload)
+         |     ELSE concat('{"content": "ok ', $idCol % 7, ' t', turn_idx, '"}')
+         |END""".stripMargin
+    docs.withColumn("__nt", when(col(idCol) % 43 === 0, 3L).otherwise(4L))
+      .select(col(idCol).cast(LongType).as("conv_id"),
+        expr("explode(sequence(1L, __nt))").as("turn_idx"),
+        col(idCol))
+      .select(col("conv_id"), col("turn_idx"),
+        expr("IF(turn_idx % 2 = 1, 'call', 'result')").as("kind"),
+        expr(payload).as("payload"))
+  }
+
+  /** Per-call tool-use audit over a (conv_id, turn_idx, kind,
+    * payload) turn relation: payload JSON validity, extracted tool
+    * name, `arguments` presence, registry membership (broadcast
+    * equi-join against the tool relation — a registry is tens of
+    * rows), and call/result PAIRING (a call must be immediately
+    * followed by a result turn — one `lead` window per conversation).
+    * Every check is a codegen'd JSON-path projection; the only
+    * shuffle is the conv_id window partition. */
+  def toolCallAudit(toolTurns: DataFrame, registry: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    toolTurns
+      .withColumn("__next_kind", lead(col("kind"), 1).over(w))
+      .where(col("kind") === "call")
+      .withColumn("json_ok", get_json_object(col("payload"), "$").isNotNull)
+      .withColumn("tool_name", get_json_object(col("payload"), "$.name"))
+      .withColumn("has_args", get_json_object(col("payload"), "$.arguments").isNotNull)
+      .join(broadcast(registry.select(col("tool").as("tool_name"),
+        lit(true).as("__known"))), Seq("tool_name"), "left")
+      .withColumn("name_known", coalesce(col("__known"), lit(false)))
+      .withColumn("paired", coalesce(col("__next_kind") === "result", lit(false)))
+      .withColumn("call_ok", col("json_ok") && col("has_args") &&
+        col("name_known") && col("paired"))
+      .select(col("conv_id"), col("turn_idx"), col("json_ok"), col("tool_name"),
+        col("has_args"), col("name_known"), col("paired"), col("call_ok"))
+  }
+
+  /** Deterministic preference-pair fixture over a documents relation
+    * (pure Column arithmetic): prompts key on `base = doc_id%97` so
+    * one prompt collects many pairs; the candidate strings carry
+    * base-dependent `repeat` tails so lengths differ; docs `%23==0`
+    * emit a DEGENERATE pair (chosen == rejected), docs `%19==0` emit
+    * the pair in the REVERSED orientation — so prompt groups contain
+    * exact duplicates, reversed duplicates (label conflicts), and
+    * degenerates, each discoverable by [[preferenceAudit]]. */
+  def preferencePairsFromDocs(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val a = "concat('resp a ', __base, ' ', repeat('x', CAST(__base % 13 AS INT)))"
+    val b = "concat('resp b ', __base, ' ', repeat('y', CAST(__base % 7 AS INT)))"
+    docs.withColumn("__base", col(idCol) % 97)
+      .select(col(idCol).cast(LongType).as("pair_id"),
+        expr("concat('q ', __base)").as("prompt"),
+        expr(s"""CASE WHEN $idCol % 23 = 0 THEN $a
+                |     WHEN $idCol % 19 = 0 THEN $b ELSE $a END""".stripMargin)
+          .as("chosen"),
+        expr(s"""CASE WHEN $idCol % 23 = 0 THEN $a
+                |     WHEN $idCol % 19 = 0 THEN $a ELSE $b END""".stripMargin)
+          .as("rejected"))
+  }
+
+  /** Preference-pair integrity audit: group pairs by the UNORDERED
+    * candidate key (prompt, least, greatest) and count each
+    * orientation — a group with both orientations present is a label
+    * CONFLICT (the same comparison answered both ways, reward-model
+    * poison), `n_pairs > n_lo_chosen + n_hi_chosen + n_degenerate = 0`
+    * never holds by construction, and exact duplicates surface as
+    * orientation counts > 1. One equi-shuffle on the unordered key. */
+  def preferenceAudit(pairs: DataFrame): DataFrame =
+    pairs
+      .withColumn("__lo", least(col("chosen"), col("rejected")))
+      .withColumn("__hi", greatest(col("chosen"), col("rejected")))
+      .groupBy(col("prompt"), col("__lo").as("lo"), col("__hi").as("hi"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("chosen") === col("rejected"), 1L).otherwise(0L)).as("n_degenerate"),
+        sum(when(col("chosen") === col("__lo") && col("chosen") =!= col("rejected"), 1L)
+          .otherwise(0L)).as("n_lo_chosen"),
+        sum(when(col("chosen") === col("__hi") && col("chosen") =!= col("rejected"), 1L)
+          .otherwise(0L)).as("n_hi_chosen"))
+      .withColumn("conflicted", col("n_lo_chosen") > 0L && col("n_hi_chosen") > 0L)
+
+  /** Length-bias screen over a preference relation — "chosen is just
+    * longer" is the best-documented reward-model failure mode, and a
+    * dataset that encodes it trains a verbosity reward. Per
+    * `pair_id % 8` bucket: pair count, the EXACT integer sum of
+    * (len(chosen) − len(rejected)), and the longer/shorter/tie win
+    * counts — all BIGINT, so the screen is engine-exact (no float
+    * averaging). A healthy dataset reads near-zero delta and balanced
+    * win counts; skew localizing to one bucket points at a labeling
+    * batch. */
+  def lengthBias(pairs: DataFrame): DataFrame =
+    pairs
+      .groupBy((col("pair_id") % 8).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(length(col("chosen")).cast(LongType) -
+          length(col("rejected")).cast(LongType)).as("len_delta_sum"),
+        sum(when(length(col("chosen")) > length(col("rejected")), 1L)
+          .otherwise(0L)).as("n_longer"),
+        sum(when(length(col("chosen")) < length(col("rejected")), 1L)
+          .otherwise(0L)).as("n_shorter"),
+        sum(when(length(col("chosen")) === length(col("rejected")), 1L)
+          .otherwise(0L)).as("n_tie"))
+}

@@ -548,4 +548,60 @@ object IngestPipeline {
         round(col("sl").cast(DoubleType), 6).as("dsir_logw"),
         (col("sl") >= lit(minLogw)).as("selected"))
   }
+
+  /** Streaming SFT admission — the post-training front door run as a
+    * continuous pipeline: transcript drops arriving as a document
+    * stream, each micro-batch one admission transaction —
+    *
+    *   render→parse (narrow, codegen'd) → per-conversation integrity
+    *   audit ([[graft.operators.PostTraining.conversationAudit]] — a
+    *   conversation arrives WHOLE inside one row, so the audit is
+    *   batch-local by construction, zero cross-batch state) →
+    *   response fingerprint → batch-keyed landing.
+    *
+    * Cross-batch response dedup is an EXACT FINISH on the drained
+    * union (the runPrioritySampleIngest device): keeper = min conv_id
+    * per fingerprint group is order-independent, so it runs once over
+    * the landed (conv_id, audit, resp_fp) relation — never as
+    * unbounded in-stream state — and the drained output equals the
+    * one-shot batch composition exactly, which is the oracle.
+    * `admitted` = audit-ok ∧ dedup-keeper.
+    *
+    * Scale shape per micro-batch: parsing and audit are batch-local
+    * (one window + one groupBy on conv_id); the landing carries
+    * constant-width audit columns + a 16-byte digest per conversation
+    * (transcripts themselves are NOT landed); the finish shuffles
+    * only (conv_id, resp_fp). Replays are idempotent: the landing dir
+    * is cleared at start and every batch overwrites its own
+    * `batch_id=N` directory (the runCrawlAdmission posture). */
+  def runSftAdmission(spark: SparkSession, docStream: DataFrame,
+                      landDir: String): DataFrame = {
+    import graft.operators.PostTraining
+    val landPath = new org.apache.hadoop.fs.Path(landDir)
+    landPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(landPath, true)
+    val q = docStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val turns = PostTraining.parseTurns(
+          PostTraining.renderTranscripts(batch.toDF()))
+        PostTraining.conversationAudit(turns)
+          .join(PostTraining.responseFingerprints(turns), Seq("conv_id"), "left")
+          .write.mode("overwrite").parquet(s"$landDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val landed = spark.read.parquet(landDir)
+    val groups = landed.groupBy(col("resp_fp"))
+      .agg(count(lit(1)).as("group_size"), min(col("conv_id")).as("__keeper"))
+    landed.join(groups, Seq("resp_fp"), "left")
+      .select(col("conv_id"), col("n_turns"), col("same_role_runs"),
+        col("starts_ok"), col("ends_assistant"), col("has_empty"), col("ok"),
+        col("resp_fp"),
+        coalesce(col("group_size"), lit(1L)).as("group_size"),
+        (col("resp_fp").isNull || col("conv_id") === col("__keeper")).as("keep"),
+        (col("ok") && (col("resp_fp").isNull || col("conv_id") === col("__keeper")))
+          .as("admitted"))
+  }
 }

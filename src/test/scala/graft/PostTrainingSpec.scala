@@ -1,0 +1,253 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.PostTraining
+
+/** Post-training data operators: transcript parser grammar,
+  * per-conversation integrity audit flags, response-level dedup
+  * semantics, conversation-granularity packing arithmetic, and
+  * preference-pair conflict/degenerate/length-bias detection — each
+  * pinned on handcrafted relations, plus render→parse round-trip
+  * invariants on the fixture itself. */
+class PostTrainingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def turns(rows: (Long, Long, String, String)*) =
+    rows.toSeq.toDF("conv_id", "turn_idx", "role", "content")
+
+  test("parseTurns: roles, 1-based index, colons in content, invalid lines, trailing newline") {
+    val df = Seq(
+      (1L, "system: be brief\nuser: ratio: 3:1?\nassistant: yes: it is\n"),
+      (2L, "user: hi\ngarbage line\nassistant: ")
+    ).toDF("conv_id", "transcript")
+    val got = PostTraining.parseTurns(df)
+      .orderBy("conv_id", "turn_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(got === Array(
+      (1L, 1L, "system", "be brief"),
+      (1L, 2L, "user", "ratio: 3:1?"),
+      (1L, 3L, "assistant", "yes: it is"),
+      (2L, 1L, "user", "hi"),
+      (2L, 2L, "invalid", "garbage line"),
+      (2L, 3L, "assistant", "")))
+  }
+
+  test("conversationAudit: clean conversation passes every flag") {
+    val a = PostTraining.conversationAudit(turns(
+      (1L, 1L, "system", "s"), (1L, 2L, "user", "q"),
+      (1L, 3L, "assistant", "a"), (1L, 4L, "user", "q2"),
+      (1L, 5L, "assistant", "a2"))).collect()(0)
+    assert(a.getAs[Long]("n_turns") === 5L)
+    assert(a.getAs[Long]("n_user") === 2L && a.getAs[Long]("n_assistant") === 2L
+      && a.getAs[Long]("n_system") === 1L)
+    assert(a.getAs[Long]("same_role_runs") === 0L)
+    assert(a.getAs[Boolean]("starts_ok") && a.getAs[Boolean]("ends_assistant")
+      && !a.getAs[Boolean]("has_empty") && a.getAs[Boolean]("ok"))
+  }
+
+  test("conversationAudit: each violation class flips exactly its flag") {
+    val a = PostTraining.conversationAudit(turns(
+      // conv 1: adjacent same-role run (user,user)
+      (1L, 1L, "user", "q"), (1L, 2L, "user", "q2"), (1L, 3L, "assistant", "a"),
+      // conv 2: opens with the assistant
+      (2L, 1L, "assistant", "a"), (2L, 2L, "user", "q"), (2L, 3L, "assistant", "a2"),
+      // conv 3: ends on the user's turn
+      (3L, 1L, "user", "q"), (3L, 2L, "assistant", "a"), (3L, 3L, "user", "q2"),
+      // conv 4: empty assistant turn
+      (4L, 1L, "user", "q"), (4L, 2L, "assistant", "")))
+      .collect().map(r => r.getAs[Long]("conv_id") -> r).toMap
+    assert(a(1L).getAs[Long]("same_role_runs") === 1L && !a(1L).getAs[Boolean]("ok"))
+    assert(a(1L).getAs[Boolean]("starts_ok")) // first turn IS the user
+    assert(!a(2L).getAs[Boolean]("starts_ok") && !a(2L).getAs[Boolean]("ok"))
+    assert(!a(3L).getAs[Boolean]("ends_assistant") && !a(3L).getAs[Boolean]("ok"))
+    assert(a(4L).getAs[Boolean]("has_empty") && !a(4L).getAs[Boolean]("ok"))
+    assert(a(2L).getAs[Long]("same_role_runs") === 0L)
+  }
+
+  test("dedupByResponse: order-sensitive fingerprint, min-id keeper, null-fp singleton") {
+    val d = PostTraining.dedupByResponse(turns(
+      // convs 1 and 3: identical assistant content in the same order
+      (1L, 1L, "user", "q"), (1L, 2L, "assistant", "x"), (1L, 3L, "user", "q"), (1L, 4L, "assistant", "y"),
+      (3L, 1L, "user", "DIFFERENT"), (3L, 2L, "assistant", "x"), (3L, 3L, "user", "z"), (3L, 4L, "assistant", "y"),
+      // conv 2: same contents, REVERSED order — must not collide
+      (2L, 1L, "user", "q"), (2L, 2L, "assistant", "y"), (2L, 3L, "user", "q"), (2L, 4L, "assistant", "x"),
+      // conv 4: no assistant turns at all
+      (4L, 1L, "user", "q"), (4L, 2L, "user", "q2")))
+      .collect().map(r => r.getAs[Long]("conv_id") -> r).toMap
+    assert(d(1L).getAs[String]("resp_fp") === d(3L).getAs[String]("resp_fp"))
+    assert(d(1L).getAs[String]("resp_fp") !== d(2L).getAs[String]("resp_fp"))
+    assert(d(1L).getAs[Long]("group_size") === 2L)
+    assert(d(1L).getAs[Boolean]("keep") && !d(3L).getAs[Boolean]("keep"))
+    assert(d(2L).getAs[Long]("group_size") === 1L && d(2L).getAs[Boolean]("keep"))
+    assert(d(4L).getAs[String]("resp_fp") === null)
+    assert(d(4L).getAs[Long]("group_size") === 1L && d(4L).getAs[Boolean]("keep"))
+  }
+
+  test("packPlan: exclusive-prefix bins, conversations never split, oversize conv isolated") {
+    // tokens = (len+3) div 4 per conv: conv 1 → 25, conv 2 → 25,
+    // conv 3 → 250 (oversize vs budget 40), conv 4 → 10
+    def pad(n: Int) = "x" * n
+    val plan = PostTraining.packPlan(turns(
+      (1L, 1L, "assistant", pad(100)),
+      (2L, 1L, "assistant", pad(100)),
+      (3L, 1L, "assistant", pad(1000)),
+      (4L, 1L, "assistant", pad(40))), budgetTokens = 40L)
+      .collect().map(r => r.getAs[Long]("bin") -> r).toMap
+    // prefixes (exclusive): 0, 25, 50, 300 → bins 0, 0, 1, 7
+    assert(plan(0L).getAs[Long]("n_convs") === 2L
+      && plan(0L).getAs[Long]("total_tokens") === 50L
+      && plan(0L).getAs[Long]("first_conv") === 1L
+      && plan(0L).getAs[Long]("last_conv") === 2L)
+    assert(plan(1L).getAs[Long]("n_convs") === 1L
+      && plan(1L).getAs[Long]("total_tokens") === 250L)
+    assert(plan(7L).getAs[Long]("n_convs") === 1L
+      && plan(7L).getAs[Long]("total_tokens") === 10L)
+    assert(plan.size === 3)
+  }
+
+  test("preferenceAudit: conflicts, exact duplicates, degenerates land in the right groups") {
+    val pairs = Seq(
+      (1L, "q1", "A", "B"), // A over B
+      (2L, "q1", "A", "B"), // exact duplicate
+      (3L, "q1", "B", "A"), // REVERSED — label conflict with 1,2
+      (4L, "q2", "A", "B"), // different prompt: own group, no conflict
+      (5L, "q1", "C", "C")  // degenerate
+    ).toDF("pair_id", "prompt", "chosen", "rejected")
+    val g = PostTraining.preferenceAudit(pairs).collect()
+      .map(r => (r.getAs[String]("prompt"), r.getAs[String]("lo"), r.getAs[String]("hi")) -> r).toMap
+    val q1 = g(("q1", "A", "B"))
+    assert(q1.getAs[Long]("n_pairs") === 3L && q1.getAs[Long]("n_lo_chosen") === 2L
+      && q1.getAs[Long]("n_hi_chosen") === 1L && q1.getAs[Boolean]("conflicted"))
+    val q2 = g(("q2", "A", "B"))
+    assert(q2.getAs[Long]("n_pairs") === 1L && !q2.getAs[Boolean]("conflicted"))
+    val dg = g(("q1", "C", "C"))
+    assert(dg.getAs[Long]("n_degenerate") === 1L && dg.getAs[Long]("n_lo_chosen") === 0L
+      && !dg.getAs[Boolean]("conflicted"))
+  }
+
+  test("lengthBias: exact integer deltas and win counts") {
+    val pairs = Seq(
+      (0L, "q", "aaaa", "aa"),   // +2, longer
+      (8L, "q", "a", "aaa"),     // -2, shorter (same bucket 0)
+      (1L, "q", "aa", "aa")      // 0, tie (bucket 1)
+    ).toDF("pair_id", "prompt", "chosen", "rejected")
+    val b = PostTraining.lengthBias(pairs).collect()
+      .map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert(b(0L).getAs[Long]("n_pairs") === 2L && b(0L).getAs[Long]("len_delta_sum") === 0L
+      && b(0L).getAs[Long]("n_longer") === 1L && b(0L).getAs[Long]("n_shorter") === 1L
+      && b(0L).getAs[Long]("n_tie") === 0L)
+    assert(b(1L).getAs[Long]("n_tie") === 1L && b(1L).getAs[Long]("len_delta_sum") === 0L)
+  }
+
+  test("toolCallAudit: validity, extraction, registry, pairing — each class flips its flag") {
+    val reg = Seq("search", "calc").toDF("tool")
+    val tt = Seq(
+      (1L, 1L, "call", """{"name": "search", "arguments": {"q": "a"}}"""),
+      (1L, 2L, "result", """{"content": "ok"}"""),
+      (2L, 1L, "call", """{"name": "search", "arguments": """), // truncated JSON
+      (2L, 2L, "result", """{"content": "ok"}"""),
+      (3L, 1L, "call", """{"name": "frobnicate", "arguments": {"q": "x"}}"""),
+      (3L, 2L, "result", """{"content": "ok"}"""),
+      (4L, 1L, "call", """{"name": "calc"}"""), // no arguments key
+      (4L, 2L, "result", """{"content": "ok"}"""),
+      (5L, 1L, "call", """{"name": "search", "arguments": {}}"""), // unpaired (end)
+      (6L, 1L, "call", """{"name": "calc", "arguments": {}}"""), // unpaired (call follows)
+      (6L, 2L, "call", """{"name": "calc", "arguments": {}}"""),
+      (6L, 3L, "result", """{"content": "ok"}"""))
+      .toDF("conv_id", "turn_idx", "kind", "payload")
+    val a = PostTraining.toolCallAudit(tt, reg).collect()
+      .map(r => (r.getAs[Long]("conv_id"), r.getAs[Long]("turn_idx")) -> r).toMap
+    assert(a((1L, 1L)).getAs[Boolean]("call_ok"))
+    assert(a((1L, 1L)).getAs[String]("tool_name") === "search")
+    assert(!a((2L, 1L)).getAs[Boolean]("json_ok")
+      && a((2L, 1L)).getAs[String]("tool_name") === null
+      && !a((2L, 1L)).getAs[Boolean]("has_args")
+      && !a((2L, 1L)).getAs[Boolean]("name_known")
+      && !a((2L, 1L)).getAs[Boolean]("call_ok"))
+    assert(a((3L, 1L)).getAs[Boolean]("json_ok")
+      && !a((3L, 1L)).getAs[Boolean]("name_known") && !a((3L, 1L)).getAs[Boolean]("call_ok"))
+    assert(a((4L, 1L)).getAs[Boolean]("json_ok")
+      && !a((4L, 1L)).getAs[Boolean]("has_args") && !a((4L, 1L)).getAs[Boolean]("call_ok"))
+    assert(!a((5L, 1L)).getAs[Boolean]("paired") && !a((5L, 1L)).getAs[Boolean]("call_ok"))
+    assert(!a((6L, 1L)).getAs[Boolean]("paired")) // next turn is another call
+    assert(a((6L, 2L)).getAs[Boolean]("paired") && a((6L, 2L)).getAs[Boolean]("call_ok"))
+  }
+
+  test("toolTurnsFromDocs: failure classes land on the planted ids") {
+    val docs = (0L until 100L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val reg = Seq("search", "calc", "fetch").toDF("tool")
+    val a = PostTraining.toolCallAudit(PostTraining.toolTurnsFromDocs(docs), reg)
+      .collect().map(r => (r.getAs[Long]("conv_id"), r.getAs[Long]("turn_idx")) -> r).toMap
+    assert(!a((31L, 1L)).getAs[Boolean]("json_ok"))   // truncated
+    assert(!a((37L, 1L)).getAs[Boolean]("has_args"))  // no arguments key
+    assert(!a((29L, 1L)).getAs[Boolean]("name_known")) // frobnicate
+    assert(!a((43L, 3L)).getAs[Boolean]("paired"))    // dropped final result
+    assert(a((43L, 1L)).getAs[Boolean]("call_ok"))    // only its LAST call unpaired
+    assert(a((2L, 1L)).getAs[Boolean]("call_ok") && a((2L, 3L)).getAs[Boolean]("call_ok"))
+  }
+
+  test("runSftAdmission: drained stream equals the batch composition; dedup crosses batches") {
+    import graft.streaming.IngestPipeline
+    val dir = java.nio.file.Files.createTempDirectory("graft-sft-stream").toString
+    // ids 1 and 206 are 205 = lcm(41,5) apart: same doc_id%41 (same
+    // assistant content) AND same %5 (same turn count), neither in a
+    // %3/%13/%17 class → identical assistant fingerprints — and they
+    // land in DIFFERENT files, so the dup is cross-batch
+    val docs = Seq(1L, 2L, 206L, 209L).map(i => (i, s"alpha beta gamma doc$i words here"))
+      .toDF("doc_id", "text")
+    docs.where($"doc_id" < 100).coalesce(1).write.parquet(s"$dir/b0")
+    docs.where($"doc_id" >= 100).coalesce(1).write.parquet(s"$dir/b1")
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/{b0,b1}")
+    val landDir = s"$dir/land"
+    val got = IngestPipeline.runSftAdmission(spark, stream, landDir)
+      .collect().map(r => r.getAs[Long]("conv_id") -> r).toMap
+    // batch twin: same composition one-shot
+    val turns = PostTraining.parseTurns(PostTraining.renderTranscripts(docs))
+    val want = PostTraining.conversationAudit(turns)
+      .join(PostTraining.dedupByResponse(turns), Seq("conv_id"))
+      .collect().map(r => r.getAs[Long]("conv_id") -> r).toMap
+    assert(got.keySet === want.keySet)
+    got.keySet.foreach { id =>
+      Seq("n_turns", "group_size").foreach(c =>
+        assert(got(id).getAs[Long](c) === want(id).getAs[Long](c), s"$c of conv $id"))
+      Seq("ok", "keep").foreach(c =>
+        assert(got(id).getAs[Boolean](c) === want(id).getAs[Boolean](c), s"$c of conv $id"))
+      assert(got(id).getAs[String]("resp_fp") === want(id).getAs[String]("resp_fp"))
+    }
+    // the cross-batch pair actually deduped: 1 keeps, 206 dropped
+    assert(got(1L).getAs[String]("resp_fp") === got(206L).getAs[String]("resp_fp"))
+    assert(got(1L).getAs[Long]("group_size") === 2L)
+    assert(got(1L).getAs[Boolean]("keep") && !got(206L).getAs[Boolean]("keep"))
+  }
+
+  test("render→parse round trip: no invalid rows, turn counts match the fixture arithmetic") {
+    val docs = (0L until 60L).map(i => (i, s"alpha beta gamma delta epsilon zeta eta theta doc$i"))
+      .toDF("doc_id", "text")
+    val parsed = PostTraining.parseTurns(PostTraining.renderTranscripts(docs)).cache()
+    assert(parsed.where(col("role") === "invalid").count() === 0L)
+    // n_turns = 2 + id%5, every id present
+    val counts = parsed.groupBy("conv_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.size === 60)
+    (0L until 60L).foreach(i => assert(counts(i) === 2L + i % 5))
+    // docs %3==0 open with system; others with user
+    val first = parsed.where(col("turn_idx") === 1).collect()
+      .map(r => r.getAs[Long]("conv_id") -> r.getAs[String]("role")).toMap
+    (0L until 60L).foreach { i =>
+      assert(first(i) === (if (i % 3 == 0) "system" else "user"))
+    }
+    // %13 class carries a same-role violation unless the system turn absorbs it
+    val audit = PostTraining.conversationAudit(parsed)
+      .collect().map(r => r.getAs[Long]("conv_id") -> r).toMap
+    assert(audit(13L).getAs[Long]("same_role_runs") >= 1L)
+    assert(audit(26L).getAs[Long]("same_role_runs") >= 1L)
+    // %17 class blanks the last turn
+    assert(audit(17L).getAs[Boolean]("has_empty"))
+    assert(audit(34L).getAs[Boolean]("has_empty"))
+    parsed.unpersist()
+  }
+}
