@@ -3074,6 +3074,17 @@ object SparkEntry {
           PostTraining.renderTranscripts(t(s, d).documents)), budgetTokens = 500L)
         .orderBy("bin")
     }),
+    // the trainer-facing span table: per turn, [tok_start, tok_end)
+    // into the packed global token stream, sequence bin, and the
+    // trainable flag (assistant turns train, user/system masked) —
+    // exact integer prefix sums at both levels, twin replays both
+    // windows in SQL
+    "sft_loss_mask_spans" -> ((s, d) => {
+      import graft.operators.PostTraining
+      PostTraining.lossMaskSpans(PostTraining.parseTurns(
+          PostTraining.renderTranscripts(t(s, d).documents)), budgetTokens = 500L)
+        .orderBy("conv_id", "turn_idx")
+    }),
     // tool-use turn integrity: call payload JSON validity, tool-name
     // extraction, arguments presence, registry membership (broadcast
     // equi-join), call/result pairing via one lead window — the
@@ -3100,6 +3111,21 @@ object SparkEntry {
         .select(col("conv_id"))
       PostTraining.packPlan(turns.join(admitted, Seq("conv_id")), budgetTokens = 500L)
         .orderBy("bin")
+    }),
+    // rejection sampling (best-of-n): the argmax candidate per prompt
+    // via the GroupedTopK physical operator (bounded per-key heaps —
+    // never a full sort of the candidate pool), scores a deterministic
+    // integer mix so the twin is exact; n_candidates reported per
+    // prompt for acceptance-rate accounting
+    "best_of_n_selection" -> ((s, d) => {
+      val samples = t(s, d).documents.select(
+        (col("doc_id") % 127).as("prompt_id"),
+        col("doc_id").as("sample_id"),
+        ((col("doc_id") * 2654435761L) % 1000003L).as("score"))
+      val best = graft.plans.GroupedTopK.topKPerKey(samples, Seq("prompt_id"),
+        Seq(("score", true), ("sample_id", false)), k = 1)
+      val n = samples.groupBy("prompt_id").agg(count(lit(1)).as("n_candidates"))
+      best.join(n, Seq("prompt_id")).orderBy("prompt_id")
     }),
     // preference-pair integrity: pairs grouped by the UNORDERED
     // (prompt, lo, hi) candidate key, orientation counts exposing
@@ -9418,6 +9444,30 @@ object SparkEntry {
          | min(conv_id) AS first_conv, max(conv_id) AS last_conv
          |FROM cums GROUP BY bin ORDER BY bin""".stripMargin,
 
+    // both prefix-sum levels replayed as SQL windows: global
+    // conversation starts over the conv_id order, turn offsets
+    // within each conversation — spans tile exactly or the hash breaks
+    "sft_loss_mask_spans" ->
+      s"""$SftTurnsCtes,
+         | ltt AS (SELECT conv_id, turn_idx, role,
+         |   CAST((length(content) + 3) // 4 AS BIGINT) AS turn_tokens FROM sft_turns),
+         | lper AS (SELECT conv_id, CAST(sum(turn_tokens) AS BIGINT) AS conv_tokens
+         |   FROM ltt GROUP BY conv_id),
+         | lpre AS (SELECT conv_id,
+         |   CAST(sum(conv_tokens) OVER (ORDER BY conv_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |     - conv_tokens AS conv_start FROM lper),
+         | loffs AS (SELECT t.conv_id, t.turn_idx, t.role, t.turn_tokens, p.conv_start,
+         |   CAST(coalesce(sum(t.turn_tokens) OVER (PARTITION BY t.conv_id
+         |     ORDER BY t.turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |     0) AS BIGINT) AS toff
+         |   FROM ltt t JOIN lpre p USING (conv_id))
+         |SELECT conv_id, turn_idx, role, CAST(conv_start // 500 AS BIGINT) AS bin,
+         | conv_start + toff AS tok_start,
+         | conv_start + toff + turn_tokens AS tok_end,
+         | role = 'assistant' AS trainable
+         |FROM loffs ORDER BY conv_id, turn_idx""".stripMargin,
+
     // payload relation rebuilt closed-form, then DuckDB's OWN json
     // machinery (json_valid / json_extract) grades each call — two
     // independent JSON parsers agreeing on validity, name extraction,
@@ -9490,6 +9540,17 @@ object SparkEntry {
          | CAST(sum(tokens) AS BIGINT) AS total_tokens,
          | min(conv_id) AS first_conv, max(conv_id) AS last_conv
          |FROM cums GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // the same argmax as a row_number window — the custom physical
+    // operator must agree with the SQL-standard form exactly
+    "best_of_n_selection" ->
+      s"""WITH smp AS (SELECT doc_id % 127 AS prompt_id, doc_id AS sample_id,
+         |   (doc_id * 2654435761) % 1000003 AS score FROM documents),
+         | rk AS (SELECT prompt_id, sample_id, score,
+         |   row_number() OVER (PARTITION BY prompt_id ORDER BY score DESC, sample_id) AS rn,
+         |   count(*) OVER (PARTITION BY prompt_id) AS n_candidates FROM smp)
+         |SELECT prompt_id, sample_id, score, CAST(n_candidates AS BIGINT) AS n_candidates
+         |FROM rk WHERE rn = 1 ORDER BY prompt_id""".stripMargin,
 
     // unordered-key grouping with orientation counts in plain SQL —
     // least/greatest on ASCII strings, binary collation both engines

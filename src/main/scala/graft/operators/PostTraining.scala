@@ -168,6 +168,36 @@ object PostTraining {
         min(col("conv_id")).as("first_conv"), max(col("conv_id")).as("last_conv"))
   }
 
+  /** Loss-mask spans — what the trainer actually consumes: per turn,
+    * the [tok_start, tok_end) offset into the packed global token
+    * stream, the training-sequence bin the conversation starts in,
+    * and the `trainable` flag (assistant turns train, user/system
+    * turns are masked). Offsets are EXACT integer arithmetic: global
+    * conversation starts via [[TotalOrder.prefixSumAuto]] over the
+    * conv_id total order (window below the 4M-row cutover, TeraSort
+    * range exchange above), within-conversation turn offsets via one
+    * hash-partitioned running sum — so the span table is
+    * engine-independent and reproducible at any scale. Token counts
+    * use the same ceil(chars/4) estimator as [[packPlan]], summed
+    * per turn, so spans tile each conversation exactly. */
+  def lossMaskSpans(turns: DataFrame, budgetTokens: Long = 2000L): DataFrame = {
+    val tt = turns.withColumn("__tt",
+      expr("(length(content) + 3) div 4").cast(LongType))
+    val per = tt.groupBy(col("conv_id")).agg(sum(col("__tt")).as("conv_tokens"))
+    val pre = TotalOrder.prefixSumAuto(per, Seq(col("conv_id")),
+        Seq("conv_tokens" -> "__cum"))
+      .select(col("conv_id"), (col("__cum") - col("conv_tokens")).as("__conv_start"))
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tt.join(pre, Seq("conv_id"))
+      .withColumn("__off", coalesce(sum(col("__tt")).over(w), lit(0L)))
+      .select(col("conv_id"), col("turn_idx"), col("role"),
+        expr(s"__conv_start div ${budgetTokens}L").cast(LongType).as("bin"),
+        (col("__conv_start") + col("__off")).as("tok_start"),
+        (col("__conv_start") + col("__off") + col("__tt")).as("tok_end"),
+        (col("role") === "assistant").as("trainable"))
+  }
+
   /** Deterministic tool-use turn fixture over a documents relation
     * (pure Column arithmetic): each doc becomes a conversation of
     * call/result turn pairs with JSON payloads, planting the audit's

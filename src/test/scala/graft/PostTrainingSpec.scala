@@ -142,6 +142,24 @@ class PostTrainingSpec extends AnyFunSuite {
     assert(b(1L).getAs[Long]("n_tie") === 1L && b(1L).getAs[Long]("len_delta_sum") === 0L)
   }
 
+  test("lossMaskSpans: spans tile conversations exactly; bins from conversation starts") {
+    val spans = PostTraining.lossMaskSpans(turns(
+      (1L, 1L, "user", "x" * 40),      // 10 tokens
+      (1L, 2L, "assistant", "x" * 20), // 5
+      (2L, 1L, "user", "x" * 8),       // 2
+      (2L, 2L, "assistant", "x" * 4)), // 1
+      budgetTokens = 12L)
+      .collect().map(r => (r.getAs[Long]("conv_id"), r.getAs[Long]("turn_idx")) -> r).toMap
+    def span(c: Long, t: Long) = (spans((c, t)).getAs[Long]("tok_start"),
+      spans((c, t)).getAs[Long]("tok_end"), spans((c, t)).getAs[Long]("bin"),
+      spans((c, t)).getAs[Boolean]("trainable"))
+    assert(span(1L, 1L) === ((0L, 10L, 0L, false)))
+    assert(span(1L, 2L) === ((10L, 15L, 0L, true)))
+    // conv 2 starts at 15 → bin 15/12 = 1; turns tile 15..17..18
+    assert(span(2L, 1L) === ((15L, 17L, 1L, false)))
+    assert(span(2L, 2L) === ((17L, 18L, 1L, true)))
+  }
+
   test("toolCallAudit: validity, extraction, registry, pairing — each class flips its flag") {
     val reg = Seq("search", "calc").toDF("tool")
     val tt = Seq(
