@@ -3112,6 +3112,30 @@ object SparkEntry {
       PostTraining.packPlan(turns.join(admitted, Seq("conv_id")), budgetTokens = 500L)
         .orderBy("bin")
     }),
+    // eval-set leakage at the SFT stage: the decontaminate machinery
+    // (trigram-shingle overlap, 8-byte hashed keys) turned on USER
+    // PROMPTS — benchmark questions leaking into fine-tune prompts is
+    // the post-training variant of pretraining contamination. The
+    // %23 conversations get the eval phrase planted IN THE QUERY
+    // (the shared transcript fixture is untouched), the benchmark is
+    // a literal eval item, and the flag must land exactly on the
+    // planted class — threshold semantics included (>= 2 shingles)
+    "sft_prompt_decontamination" -> ((s, d) => {
+      import graft.operators.PostTraining
+      val turns = PostTraining.parseTurns(
+        PostTraining.renderTranscripts(t(s, d).documents))
+      val prompts = turns.where(col("role") === "user")
+        .groupBy(col("conv_id"))
+        .agg(expr("array_join(transform(array_sort(collect_list(struct(turn_idx, content)))," +
+          " s -> s.content), ' ')").as("text"))
+        .select(col("conv_id").as("doc_id"),
+          when(col("conv_id") % 23 === 0,
+            concat(col("text"), lit(" the quick brown fox jumps over the lazy dog")))
+            .otherwise(col("text")).as("text"))
+      val benchmark = s.range(1).select(col("id").as("doc_id"),
+        lit("eval item 7: the quick brown fox jumps over the lazy dog endeval").as("text"))
+      Corpus.decontaminate(prompts, benchmark).orderBy("doc_id")
+    }),
     // rejection sampling (best-of-n): the argmax candidate per prompt
     // via the GroupedTopK physical operator (bounded per-key heaps —
     // never a full sort of the candidate pool), scores a deterministic
@@ -9540,6 +9564,36 @@ object SparkEntry {
          | CAST(sum(tokens) AS BIGINT) AS total_tokens,
          | min(conv_id) AS first_conv, max(conv_id) AS last_conv
          |FROM cums GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // prompt relation + planted phrase rebuilt closed-form, then the
+    // decontaminate twin's text-space shingle overlap (count of
+    // distinct TEXT shingles == count of distinct hashed shingles,
+    // the same collision budget the decontaminate twin documents)
+    "sft_prompt_decontamination" ->
+      s"""$SftTurnsCtes,
+         | prompts AS (SELECT conv_id AS doc_id,
+         |   CASE WHEN conv_id % 23 = 0
+         |        THEN string_agg(content, ' ' ORDER BY turn_idx) ||
+         |          ' the quick brown fox jumps over the lazy dog'
+         |        ELSE string_agg(content, ' ' ORDER BY turn_idx) END AS text
+         |   FROM sft_turns WHERE role = 'user' GROUP BY conv_id),
+         | ptoks AS (SELECT doc_id,
+         |   list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS l
+         |   FROM prompts),
+         | ppos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+         |   FROM ptoks WHERE len(l) >= 3),
+         | psh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle FROM ppos),
+         | btoks AS (SELECT list_filter(string_split_regex(
+         |     'eval item 7: the quick brown fox jumps over the lazy dog endeval',
+         |     '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS l),
+         | bpos AS (SELECT l, unnest(generate_series(1, len(l) - 2)) AS i FROM btoks),
+         | bsh AS (SELECT DISTINCT l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle FROM bpos),
+         | ov AS (SELECT s.doc_id, count(*) AS n_overlap
+         |   FROM psh s JOIN bsh USING (shingle) GROUP BY s.doc_id)
+         |SELECT p.doc_id, coalesce(ov.n_overlap, 0) AS n_overlap,
+         | coalesce(ov.n_overlap, 0) >= 2 AS contaminated
+         |FROM prompts p LEFT JOIN ov USING (doc_id)
+         |ORDER BY p.doc_id""".stripMargin,
 
     // the same argmax as a row_number window — the custom physical
     // operator must agree with the SQL-standard form exactly
