@@ -3112,6 +3112,16 @@ object SparkEntry {
       PostTraining.packPlan(turns.join(admitted, Seq("conv_id")), budgetTokens = 500L)
         .orderBy("bin")
     }),
+    // chat-history truncation: system turns reserved first, then
+    // non-system turns kept from the LAST backwards while the budget
+    // holds — kept turns always a conversation suffix, never a split
+    // turn; budget 12 actually truncates at fixture turn sizes
+    "sft_context_truncation" -> ((s, d) => {
+      import graft.operators.PostTraining
+      PostTraining.truncateContext(PostTraining.parseTurns(
+          PostTraining.renderTranscripts(t(s, d).documents)), budgetTokens = 12L)
+        .orderBy("conv_id", "turn_idx")
+    }),
     // eval-set leakage at the SFT stage: the decontaminate machinery
     // (trigram-shingle overlap, 8-byte hashed keys) turned on USER
     // PROMPTS — benchmark questions leaking into fine-tune prompts is
@@ -9564,6 +9574,24 @@ object SparkEntry {
          | CAST(sum(tokens) AS BIGINT) AS total_tokens,
          | min(conv_id) AS first_conv, max(conv_id) AS last_conv
          |FROM cums GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // the reserved-system + descending running-sum rule in plain SQL
+    "sft_context_truncation" ->
+      s"""$SftTurnsCtes,
+         | ctt AS (SELECT conv_id, turn_idx, role,
+         |   CAST((length(content) + 3) // 4 AS BIGINT) AS tokens,
+         |   role = 'system' AS is_sys FROM sft_turns),
+         | csys AS (SELECT conv_id,
+         |   CAST(sum(CASE WHEN is_sys THEN tokens ELSE 0 END) AS BIGINT) AS sys_tokens
+         |   FROM ctt GROUP BY conv_id),
+         | crev AS (SELECT t.conv_id, t.turn_idx, t.role, t.tokens, t.is_sys, s.sys_tokens,
+         |   CAST(sum(CASE WHEN t.is_sys THEN 0 ELSE t.tokens END) OVER (
+         |     PARTITION BY t.conv_id ORDER BY t.turn_idx DESC
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rev_cum
+         |   FROM ctt t JOIN csys s USING (conv_id))
+         |SELECT conv_id, turn_idx, role, tokens,
+         | (is_sys OR sys_tokens + rev_cum <= 12) AS kept
+         |FROM crev ORDER BY conv_id, turn_idx""".stripMargin,
 
     // prompt relation + planted phrase rebuilt closed-form, then the
     // decontaminate twin's text-space shingle overlap (count of

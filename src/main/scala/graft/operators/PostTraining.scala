@@ -198,6 +198,34 @@ object PostTraining {
         (col("role") === "assistant").as("trainable"))
   }
 
+  /** Context-window truncation — every chat trainer's "keep the most
+    * recent history that fits": system turns are kept UNCONDITIONALLY
+    * (their token cost is reserved first — the standard chat-serving
+    * contract), then non-system turns are kept from the LAST turn
+    * backwards while reserved + reverse-cumulative tokens stay within
+    * `budgetTokens`. A turn is never split; kept non-system turns are
+    * always a SUFFIX of the conversation (dropping the middle of a
+    * dialogue severs coreference). Token counts are the engine's
+    * ceil(chars/4) estimator, the reverse running sum is one
+    * hash-partitioned descending window — per-conversation work,
+    * scales with executors. Output: every turn with its token count
+    * and `kept` verdict. */
+  def truncateContext(turns: DataFrame, budgetTokens: Long = 2000L): DataFrame = {
+    val tt = turns
+      .withColumn("tokens", expr("(length(content) + 3) div 4").cast(LongType))
+      .withColumn("__sys", col("role") === "system")
+    val sysT = tt.groupBy(col("conv_id"))
+      .agg(sum(when(col("__sys"), col("tokens")).otherwise(0L)).as("__sys_tokens"))
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tt.join(sysT, Seq("conv_id"))
+      .withColumn("__rev_cum",
+        sum(when(col("__sys"), 0L).otherwise(col("tokens"))).over(w))
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("tokens"),
+        (col("__sys") ||
+          (col("__sys_tokens") + col("__rev_cum") <= budgetTokens)).as("kept"))
+  }
+
   /** Deterministic tool-use turn fixture over a documents relation
     * (pure Column arithmetic): each doc becomes a conversation of
     * call/result turn pairs with JSON payloads, planting the audit's

@@ -160,6 +160,113 @@ class PostTrainingSpec extends AnyFunSuite {
     assert(span(2L, 2L) === ((17L, 18L, 1L, true)))
   }
 
+  test("truncateContext: system reserved, suffix kept within budget, turns never split") {
+    val got = PostTraining.truncateContext(turns(
+      // conv 1: sys(2) + turns of 10,5,2,1 tokens; budget 9 →
+      // reserved 2 leaves 7: keep the 5+2... no — suffix from the
+      // END: 1, then 1+2=3, then 3+5=8 > 7? 8 > 7 → drop turn 2
+      (1L, 1L, "system", "x" * 8),     // 2 tokens, always kept
+      (1L, 2L, "user", "x" * 40),      // 10 → dropped (oldest)
+      (1L, 3L, "assistant", "x" * 20), // 5 → 2+8 > 9 → dropped
+      (1L, 4L, "user", "x" * 8),       // 2 → 2+3 <= 9 → kept
+      (1L, 5L, "assistant", "x" * 4),  // 1 → 2+1 <= 9 → kept
+      // conv 2: no system, everything fits
+      (2L, 1L, "user", "x" * 4), (2L, 2L, "assistant", "x" * 4)),
+      budgetTokens = 9L)
+      .collect().map(r => (r.getAs[Long]("conv_id"), r.getAs[Long]("turn_idx"))
+        -> r.getAs[Boolean]("kept")).toMap
+    assert(got((1L, 1L)) && !got((1L, 2L)) && !got((1L, 3L))
+      && got((1L, 4L)) && got((1L, 5L)))
+    assert(got((2L, 1L)) && got((2L, 2L)))
+  }
+
+  test("property: packPlan conserves tokens and bins are contiguous conv ranges") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val gen = Gen.listOfN(40, Gen.zip(Gen.choose(1L, 25L), Gen.choose(1, 200)))
+    val p = Prop.forAll(gen) { rows =>
+      val tds = rows.zipWithIndex.map { case ((cid, len), i) =>
+        (cid, (i + 1).toLong, "assistant", "x" * len) }
+      val df = tds.toDF("conv_id", "turn_idx", "role", "content")
+      val plan = PostTraining.packPlan(df, budgetTokens = 50L)
+        .orderBy("bin").collect()
+      val wantTotal = tds.groupBy(_._1).values
+        .map(ts => (ts.map(_._4.length.toLong).sum + 3) / 4).sum
+      val gotTotal = plan.map(_.getAs[Long]("total_tokens")).sum
+      val ordered = plan.sortBy(_.getAs[Long]("bin"))
+      val contiguous = ordered.sliding(2).forall {
+        case Array(a, b) => a.getAs[Long]("last_conv") < b.getAs[Long]("first_conv")
+        case _ => true
+      }
+      val nConvs = plan.map(_.getAs[Long]("n_convs")).sum
+      gotTotal == wantTotal && contiguous && nConvs == tds.map(_._1).distinct.size
+    }
+    val r = check(Parameters.default.withMinSuccessfulTests(12), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("property: lossMaskSpans tile every conversation exactly and never overlap") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val gen = Gen.listOfN(30, Gen.zip(Gen.choose(1L, 12L), Gen.choose(0, 80)))
+    val p = Prop.forAll(gen) { rows =>
+      val tds = rows.zipWithIndex.map { case ((cid, len), i) =>
+        (cid, (i + 1).toLong, if (i % 2 == 0) "user" else "assistant", "x" * len) }
+      val df = tds.toDF("conv_id", "turn_idx", "role", "content")
+      val spans = PostTraining.lossMaskSpans(df, budgetTokens = 64L)
+        .collect().map(r => (r.getAs[Long]("conv_id"), r.getAs[Long]("turn_idx"),
+          r.getAs[Long]("tok_start"), r.getAs[Long]("tok_end")))
+      val byConv = spans.groupBy(_._1).values
+      // within a conversation: spans tile (each start == previous end)
+      val tiled = byConv.forall { ss =>
+        ss.sortBy(_._2).sliding(2).forall {
+          case Array(a, b) => a._4 == b._3
+          case _ => true }
+      }
+      // globally: conversations tile in conv_id order (next conv
+      // starts where the previous ended)
+      val convSpans = byConv.map(ss =>
+        (ss.head._1, ss.map(_._3).min, ss.map(_._4).max)).toSeq.sortBy(_._1)
+      val global = convSpans.sliding(2).forall {
+        case Seq(a, b) => a._3 == b._2
+        case _ => true }
+      tiled && global && convSpans.headOption.forall(_._2 == 0L)
+    }
+    val r = check(Parameters.default.withMinSuccessfulTests(12), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("property: truncateContext keeps a suffix of non-system turns within budget") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val gen = Gen.zip(Gen.choose(4L, 40L), Gen.listOfN(24, Gen.choose(0, 60)))
+    val p = Prop.forAll(gen) { case (budget, lens) =>
+      val tds = lens.zipWithIndex.map { case (len, i) =>
+        (1L + i % 3, (i + 1).toLong,
+          if (i % 7 == 0) "system" else if (i % 2 == 0) "user" else "assistant",
+          "x" * len) }
+      val df = tds.toDF("conv_id", "turn_idx", "role", "content")
+      val got = PostTraining.truncateContext(df, budget).collect()
+        .map(r => (r.getAs[Long]("conv_id"), r.getAs[Long]("turn_idx"),
+          r.getAs[String]("role"), r.getAs[Long]("tokens"), r.getAs[Boolean]("kept")))
+      got.groupBy(_._1).values.forall { conv =>
+        val sysTok = conv.filter(_._3 == "system").map(_._4).sum
+        val nonSys = conv.filter(_._3 != "system").sortBy(_._2)
+        val kept = nonSys.filter(_._5)
+        val isSuffix = nonSys.reverse.takeWhile(_._5).size == kept.size
+        val sysAllKept = conv.filter(_._3 == "system").forall(_._5)
+        val budgetHolds = kept.isEmpty || sysTok + kept.map(_._4).sum <= budget
+        // maximality: the next-older turn would not have fit
+        val maximal = kept.size == nonSys.size ||
+          sysTok + kept.map(_._4).sum +
+            nonSys(nonSys.size - kept.size - 1)._4 > budget
+        isSuffix && sysAllKept && budgetHolds && maximal
+      }
+    }
+    val r = check(Parameters.default.withMinSuccessfulTests(12), p)
+    assert(r.passed, r.status.toString)
+  }
+
   test("toolCallAudit: validity, extraction, registry, pairing — each class flips its flag") {
     val reg = Seq("search", "calc").toDF("tool")
     val tt = Seq(
