@@ -3112,6 +3112,25 @@ object SparkEntry {
       PostTraining.packPlan(turns.join(admitted, Seq("conv_id")), budgetTokens = 500L)
         .orderBy("bin")
     }),
+    // code-LLM front door: fenced code blocks extracted with language
+    // tags (codegen'd regexp_extract_all, Java∩RE2 grammar, zero
+    // shuffle), the twin rebuilds every expected block CLOSED-FORM —
+    // the hash proves the extractor, including that an unclosed
+    // trailing fence matches nothing instead of swallowing the tail
+    "markdown_code_blocks" -> ((s, d) => {
+      import graft.operators.Markdown
+      Markdown.extractCodeBlocks(Markdown.mdFromDocs(t(s, d).documents))
+        .orderBy("doc_id", "block_idx")
+    }),
+    // the document-level fence audit: closed-block count vs raw ```
+    // marker parity — independent arithmetic cross-checking the
+    // extractor (marks == 2·n_blocks exactly when every fence closes;
+    // the %31 truncation class must read odd)
+    "markdown_fence_audit" -> ((s, d) => {
+      import graft.operators.Markdown
+      Markdown.fenceAudit(Markdown.mdFromDocs(t(s, d).documents))
+        .orderBy("doc_id")
+    }),
     // chat-history truncation: system turns reserved first, then
     // non-system turns kept from the LAST backwards while the budget
     // holds — kept turns always a conversation suffix, never a split
@@ -9574,6 +9593,39 @@ object SparkEntry {
          | CAST(sum(tokens) AS BIGINT) AS total_tokens,
          | min(conv_id) AS first_conv, max(conv_id) AS last_conv
          |FROM cums GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // expected blocks rebuilt from the fixture arithmetic — no regex
+    // on the oracle side, so extractor and twin are fully independent
+    "markdown_code_blocks" ->
+      s"""WITH mdd AS (SELECT doc_id, doc_id % 4 AS c4, doc_id % 19 = 0 AS hasb2,
+         |    doc_id % 13 AS m13, doc_id % 7 AS m7, doc_id % 5 AS m5 FROM documents),
+         | b1 AS (SELECT doc_id, 1 AS block_idx,
+         |   CASE c4 WHEN 0 THEN 'python' WHEN 1 THEN 'scala' ELSE '' END AS lang_tag,
+         |   CASE c4
+         |     WHEN 0 THEN 'print("doc ' || m7 || '")' || chr(10) || 'x = ' || m13
+         |     WHEN 1 THEN 'val x = ' || m13
+         |     ELSE 'raw ' || m7 END AS code
+         |   FROM mdd WHERE c4 IN (0, 1, 2)),
+         | b2r AS (SELECT doc_id, CASE WHEN c4 IN (0, 1, 2) THEN 2 ELSE 1 END AS block_idx,
+         |   'python' AS lang_tag, 'y = ' || m5 AS code FROM mdd WHERE hasb2),
+         | allb AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2r)
+         |SELECT doc_id, CAST(block_idx AS BIGINT) AS block_idx, lang_tag, code,
+         | CAST(length(code) - length(replace(code, chr(10), '')) + 1 AS BIGINT) AS code_lines,
+         | CAST(length(code) AS BIGINT) AS code_chars
+         |FROM allb ORDER BY doc_id, block_idx""".stripMargin,
+
+    // marker parity from the block arithmetic: 2·blocks (+1 for the
+    // planted unclosed fence) — independent of both regexes
+    "markdown_fence_audit" ->
+      s"""WITH mdd AS (SELECT doc_id, doc_id % 4 AS c4, doc_id % 19 = 0 AS hasb2,
+         |    doc_id % 31 = 0 AS unc FROM documents),
+         | nb AS (SELECT doc_id,
+         |   (CASE WHEN c4 IN (0, 1, 2) THEN 1 ELSE 0 END) +
+         |   (CASE WHEN hasb2 THEN 1 ELSE 0 END) AS n_blocks, unc FROM mdd)
+         |SELECT doc_id, CAST(n_blocks AS BIGINT) AS n_blocks,
+         | CAST(2 * n_blocks + CASE WHEN unc THEN 1 ELSE 0 END AS BIGINT) AS fence_marks,
+         | unc AS unclosed
+         |FROM nb ORDER BY doc_id""".stripMargin,
 
     // the reserved-system + descending running-sum rule in plain SQL
     "sft_context_truncation" ->

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Markdown structure extraction for code-LLM data pipelines — fenced
+  * code blocks are the highest-value spans in a web/docs corpus for a
+  * code model, and extracting them (with their language tags) is a
+  * front-door operation: route ```python blocks to the code pipeline,
+  * keep prose for text, flag documents whose fences don't balance
+  * (truncated pages shear mid-block, and an unclosed fence swallows
+  * the rest of the page if the extractor is naive).
+  *
+  * Scale shape: both operators are narrow per-row regex/replace
+  * projections (codegen'd — `regexp_extract_all` + `posexplode`,
+  * zero UDF, zero shuffle); the per-block relation is produced where
+  * the page bytes live, so the extractor scales with executors like
+  * the rest of the text front door. The fence regex stays in the
+  * Java∩RE2 intersection ((?s) + non-greedy — no lookaround), so an
+  * engine swap cannot change what a block IS. */
+object Markdown {
+
+  /** Fenced block grammar: ```lang\n code \n``` — group 1 the
+    * (possibly empty) language tag, group 2 the code body, non-greedy
+    * so adjacent blocks never merge and an UNCLOSED trailing fence
+    * matches nothing (the audit's parity check catches it instead of
+    * the extractor swallowing the page tail). */
+  val FencePattern = "(?s)```([a-zA-Z0-9_+-]*)\\n(.*?)\\n```"
+
+  /** Per-block extraction: (doc_id, block_idx 1-based in document
+    * order, lang_tag — '' when the fence is unlabeled — code,
+    * code_lines, code_chars). Documents without a closed block emit
+    * no rows; the document-level view is [[fenceAudit]]. */
+  def extractCodeBlocks(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol).cast(LongType).as("doc_id"),
+        expr(s"regexp_extract_all($textCol, '$FencePattern', 1)").as("__langs"),
+        expr(s"regexp_extract_all($textCol, '$FencePattern', 2)").as("__codes"))
+      .select(col("doc_id"),
+        posexplode(expr("arrays_zip(__langs, __codes)")).as(Seq("__i", "__b")))
+      .select(col("doc_id"), (col("__i") + 1).cast(LongType).as("block_idx"),
+        col("__b.__langs").as("lang_tag"), col("__b.__codes").as("code"))
+      .withColumn("code_lines",
+        (length(col("code")) - length(regexp_replace(col("code"), "\n", "")) + 1)
+          .cast(LongType))
+      .withColumn("code_chars", length(col("code")).cast(LongType))
+
+  /** Document-level fence audit: closed-block count, raw ``` marker
+    * count, and the `unclosed` verdict (odd marker parity — a
+    * truncated page or an unterminated fence). The parity check is
+    * pure replace arithmetic, independent of the extractor regex, so
+    * the two can cross-check each other: marks == 2·n_blocks exactly
+    * when every fence closes. */
+  def fenceAudit(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).cast(LongType).as("doc_id"),
+        expr(s"size(regexp_extract_all($textCol, '$FencePattern', 1))")
+          .cast(LongType).as("n_blocks"),
+        expr(s"(length($textCol) - length(replace($textCol, '```', ''))) div 3")
+          .cast(LongType).as("fence_marks"))
+      .withColumn("unclosed", col("fence_marks") % 2 === 1)
+
+  /** Deterministic markdown fixture over a documents relation (pure
+    * Column arithmetic): heading + prose around fenced blocks —
+    * docs `%4==0` carry a two-line ```python block, `%4==1` a
+    * ```scala block, `%4==2` an UNLABELED block, `%4==3` no block;
+    * docs `%19==0` append a second python block (multi-block class);
+    * docs `%31==0` end with an UNCLOSED ```js fence (the truncation
+    * class — the extractor must not swallow the tail, the audit must
+    * flag the parity). */
+  def mdFromDocs(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val nl = "chr(10)"
+    val md =
+      s"""concat('# doc ', $idCol, $nl, $nl,
+         |  'intro ', substring($textCol, 1, 40), $nl, $nl,
+         |  CASE CAST($idCol % 4 AS INT)
+         |    WHEN 0 THEN concat('```python', $nl, 'print("doc ', $idCol % 7, '")',
+         |      $nl, 'x = ', $idCol % 13, $nl, '```', $nl)
+         |    WHEN 1 THEN concat('```scala', $nl, 'val x = ', $idCol % 13, $nl, '```', $nl)
+         |    WHEN 2 THEN concat('```', $nl, 'raw ', $idCol % 7, $nl, '```', $nl)
+         |    ELSE ''
+         |  END,
+         |  CASE WHEN $idCol % 19 = 0
+         |    THEN concat('```python', $nl, 'y = ', $idCol % 5, $nl, '```', $nl)
+         |    ELSE '' END,
+         |  CASE WHEN $idCol % 31 = 0
+         |    THEN concat('```js', $nl, 'unclosed ', $idCol % 3, $nl)
+         |    ELSE '' END,
+         |  'tail ', substring($textCol, 41, 20))""".stripMargin
+    docs.select(col(idCol).cast(LongType).as("doc_id"), expr(md).as("text"))
+  }
+}
