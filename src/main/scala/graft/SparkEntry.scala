@@ -3122,6 +3122,35 @@ object SparkEntry {
       Markdown.extractCodeBlocks(Markdown.mdFromDocs(t(s, d).documents))
         .orderBy("doc_id", "block_idx")
     }),
+    // code-block dedup: vendored/boilerplate code collapsing to
+    // (lang, code) groups with copy counts and the min-doc keeper —
+    // the %7/%13/%5-keyed fixture code collides across documents by
+    // construction, so real dup groups exist at every scale factor
+    "code_block_dedup" -> ((s, d) => {
+      import graft.operators.Markdown
+      Markdown.extractCodeBlocks(Markdown.mdFromDocs(t(s, d).documents))
+        .groupBy(col("lang_tag"), col("code"))
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("keeper_doc"))
+        .orderBy("lang_tag", "code")
+    }),
+    // mislabeled fences: %23 python blocks relabeled 'scala' IN THE
+    // QUERY (the planted-phrase device — the shared fixture is
+    // untouched), then the keyword-vote consistency screen must flag
+    // exactly those; no-evidence blocks stay unflagged
+    "code_lang_consistency" -> ((s, d) => {
+      import graft.operators.Markdown
+      val blocks = Markdown.extractCodeBlocks(Markdown.mdFromDocs(t(s, d).documents))
+        .withColumn("lang_tag",
+          when(col("doc_id") % 23 === 0 && col("lang_tag") === "python", "scala")
+            .otherwise(col("lang_tag")))
+      Markdown.langConsistency(blocks)
+        .select(col("doc_id"), col("block_idx"), col("lang_tag"), col("code"),
+          col("hits_python"), col("hits_scala"), col("hits_js"),
+          col("guessed"), col("mismatch"))
+        .orderBy("doc_id", "block_idx")
+    }),
     // the document-level fence audit: closed-block count vs raw ```
     // marker parity — independent arithmetic cross-checking the
     // extractor (marks == 2·n_blocks exactly when every fence closes;
@@ -6512,6 +6541,24 @@ object SparkEntry {
        |   CASE WHEN dg THEN a WHEN rev THEN b ELSE a END AS chosen,
        |   CASE WHEN dg THEN a WHEN rev THEN a ELSE b END AS rejected FROM prf2)""".stripMargin
 
+  /** Markdown twin scaffolding: the [[graft.operators.Markdown
+    * .mdFromDocs]] fixture's expected BLOCK relation rebuilt
+    * closed-form — no regex on the oracle side, so extractor twins
+    * are fully independent of the extraction grammar. */
+  private val MdBlocksCtes: String =
+    s"""WITH mdd AS (SELECT doc_id, doc_id % 4 AS c4, doc_id % 19 = 0 AS hasb2,
+       |    doc_id % 13 AS m13, doc_id % 7 AS m7, doc_id % 5 AS m5 FROM documents),
+       | b1 AS (SELECT doc_id, 1 AS block_idx,
+       |   CASE c4 WHEN 0 THEN 'python' WHEN 1 THEN 'scala' ELSE '' END AS lang_tag,
+       |   CASE c4
+       |     WHEN 0 THEN 'print("doc ' || m7 || '")' || chr(10) || 'x = ' || m13
+       |     WHEN 1 THEN 'val x = ' || m13
+       |     ELSE 'raw ' || m7 END AS code
+       |   FROM mdd WHERE c4 IN (0, 1, 2)),
+       | b2r AS (SELECT doc_id, CASE WHEN c4 IN (0, 1, 2) THEN 2 ELSE 1 END AS block_idx,
+       |   'python' AS lang_tag, 'y = ' || m5 AS code FROM mdd WHERE hasb2),
+       | md_blocks AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2r)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "wordcount" ->
       s"$W SELECT word, count(*) AS cnt FROM w WHERE length(word) > 0 GROUP BY word ORDER BY word",
@@ -9597,22 +9644,51 @@ object SparkEntry {
     // expected blocks rebuilt from the fixture arithmetic — no regex
     // on the oracle side, so extractor and twin are fully independent
     "markdown_code_blocks" ->
-      s"""WITH mdd AS (SELECT doc_id, doc_id % 4 AS c4, doc_id % 19 = 0 AS hasb2,
-         |    doc_id % 13 AS m13, doc_id % 7 AS m7, doc_id % 5 AS m5 FROM documents),
-         | b1 AS (SELECT doc_id, 1 AS block_idx,
-         |   CASE c4 WHEN 0 THEN 'python' WHEN 1 THEN 'scala' ELSE '' END AS lang_tag,
-         |   CASE c4
-         |     WHEN 0 THEN 'print("doc ' || m7 || '")' || chr(10) || 'x = ' || m13
-         |     WHEN 1 THEN 'val x = ' || m13
-         |     ELSE 'raw ' || m7 END AS code
-         |   FROM mdd WHERE c4 IN (0, 1, 2)),
-         | b2r AS (SELECT doc_id, CASE WHEN c4 IN (0, 1, 2) THEN 2 ELSE 1 END AS block_idx,
-         |   'python' AS lang_tag, 'y = ' || m5 AS code FROM mdd WHERE hasb2),
-         | allb AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2r)
+      s"""$MdBlocksCtes
          |SELECT doc_id, CAST(block_idx AS BIGINT) AS block_idx, lang_tag, code,
          | CAST(length(code) - length(replace(code, chr(10), '')) + 1 AS BIGINT) AS code_lines,
          | CAST(length(code) AS BIGINT) AS code_chars
-         |FROM allb ORDER BY doc_id, block_idx""".stripMargin,
+         |FROM md_blocks ORDER BY doc_id, block_idx""".stripMargin,
+
+    // the dedup regrouped in SQL over the same closed-form relation:
+    // vendored/boilerplate code collapses to (lang, code) groups
+    "code_block_dedup" ->
+      s"""$MdBlocksCtes
+         |SELECT lang_tag, code, count(*) AS n_copies,
+         | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         | min(doc_id) AS keeper_doc
+         |FROM md_blocks GROUP BY lang_tag, code
+         |ORDER BY lang_tag, code""".stripMargin,
+
+    // hit counts via the same non-overlapping replace arithmetic and
+    // the SAME explicit CASE-chain argmax — identical integers, then
+    // identical verdicts, or the hash breaks
+    "code_lang_consistency" ->
+      s"""$MdBlocksCtes,
+         | relab AS (SELECT doc_id, block_idx,
+         |   CASE WHEN doc_id % 23 = 0 AND lang_tag = 'python' THEN 'scala'
+         |        ELSE lang_tag END AS lang_tag, code FROM md_blocks),
+         | hits AS (SELECT doc_id, block_idx, lang_tag, code,
+         |   CAST((length(code) - length(replace(code, 'print(', ''))) // 6 +
+         |        (length(code) - length(replace(code, 'lambda ', ''))) // 7 +
+         |        (length(code) - length(replace(code, 'elif ', ''))) // 5 AS BIGINT) AS hits_python,
+         |   CAST((length(code) - length(replace(code, 'val ', ''))) // 4 +
+         |        (length(code) - length(replace(code, 'object ', ''))) // 7 +
+         |        (length(code) - length(replace(code, 'case class', ''))) // 10 AS BIGINT) AS hits_scala,
+         |   CAST((length(code) - length(replace(code, 'function ', ''))) // 9 +
+         |        (length(code) - length(replace(code, 'const ', ''))) // 6 +
+         |        (length(code) - length(replace(code, '=>', ''))) // 2 AS BIGINT) AS hits_js
+         |   FROM relab),
+         | guessed AS (SELECT *,
+         |   CASE WHEN hits_python >= hits_scala AND hits_python >= hits_js AND hits_python > 0 THEN 'python'
+         |        WHEN hits_scala >= hits_js AND hits_scala > 0 THEN 'scala'
+         |        WHEN hits_js > 0 THEN 'js'
+         |        ELSE '' END AS guessed FROM hits)
+         |SELECT doc_id, CAST(block_idx AS BIGINT) AS block_idx, lang_tag, code,
+         | hits_python, hits_scala, hits_js, guessed,
+         | (lang_tag IN ('python', 'scala', 'js') AND guessed <> ''
+         |  AND guessed <> lang_tag) AS mismatch
+         |FROM guessed ORDER BY doc_id, block_idx""".stripMargin,
 
     // marker parity from the block arithmetic: 2·blocks (+1 for the
     // planted unclosed fence) — independent of both regexes

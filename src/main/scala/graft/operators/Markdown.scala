@@ -62,6 +62,46 @@ object Markdown {
           .cast(LongType).as("fence_marks"))
       .withColumn("unclosed", col("fence_marks") % 2 === 1)
 
+  /** Keyword profiles for code language guessing — deliberately
+    * DISJOINT marker sets (no keyword appears in two profiles), so
+    * the argmax is a clean vote; counts are non-overlapping
+    * left-to-right replace arithmetic, identical integers in any
+    * engine (the langIdNgram device applied to code). */
+  val CodeProfiles: Seq[(String, Seq[String])] = Seq(
+    "python" -> Seq("print(", "lambda ", "elif "),
+    "scala" -> Seq("val ", "object ", "case class"),
+    "js" -> Seq("function ", "const ", "=>"))
+
+  /** Language-tag consistency over a code-block relation: per block,
+    * keyword hit counts per profile, the guessed language (explicit
+    * CASE-chain argmax — python wins ties over scala over js, zero
+    * evidence guesses ''), and the `mismatch` verdict: a DECLARED
+    * tag contradicted by the evidence (mislabeled fences are routine
+    * in crawled markdown, and a code model trained on them learns
+    * the wrong syntax-to-name mapping). No evidence is NOT a
+    * mismatch — an unlabeled or unrecognized block stays unflagged.
+    * Narrow per-row replace arithmetic, zero shuffle. */
+  def langConsistency(blocks: DataFrame, codeCol: String = "code",
+                      tagCol: String = "lang_tag"): DataFrame = {
+    def hits(kws: Seq[String]) = kws.map { kw =>
+      val q = kw.replace("'", "''")
+      s"((length($codeCol) - length(replace($codeCol, '$q', ''))) div ${kw.length})"
+    }.mkString(" + ")
+    val withHits = CodeProfiles.foldLeft(blocks) { case (df, (lang, kws)) =>
+      df.withColumn(s"hits_$lang", expr(hits(kws)).cast(LongType))
+    }
+    withHits
+      .withColumn("guessed",
+        when(col("hits_python") >= col("hits_scala") &&
+          col("hits_python") >= col("hits_js") && col("hits_python") > 0, "python")
+        .when(col("hits_scala") >= col("hits_js") && col("hits_scala") > 0, "scala")
+        .when(col("hits_js") > 0, "js")
+        .otherwise(""))
+      .withColumn("mismatch",
+        col(tagCol).isin(CodeProfiles.map(_._1): _*) &&
+          col("guessed") =!= "" && col("guessed") =!= col(tagCol))
+  }
+
   /** Deterministic markdown fixture over a documents relation (pure
     * Column arithmetic): heading + prose around fenced blocks —
     * docs `%4==0` carry a two-line ```python block, `%4==1` a

@@ -49,6 +49,26 @@ class MarkdownSpec extends AnyFunSuite {
     assert(a(3L) === ((0L, 0L, false)))
   }
 
+  test("langConsistency: evidence-based mismatch, ties and zero evidence stay unflagged") {
+    val blocks = Seq(
+      (1L, 1L, "python", "print(1)\nlambda x: x"),   // consistent
+      (2L, 1L, "scala", "print(42)"),                // mislabeled → mismatch
+      (3L, 1L, "", "val x = 1"),                     // unlabeled: guess, no flag
+      (4L, 1L, "python", "y = 1"),                   // zero evidence: no flag
+      (5L, 1L, "js", "const f = (x) => x"),          // consistent js
+      (6L, 1L, "rust", "print(9)")                   // unrecognized tag: no flag
+    ).toDF("doc_id", "block_idx", "lang_tag", "code")
+    val got = Markdown.langConsistency(blocks).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("guessed"), r.getAs[Boolean]("mismatch"))).toMap
+    assert(got(1L) === (("python", false)))
+    assert(got(2L) === (("python", true)))
+    assert(got(3L) === (("scala", false)))
+    assert(got(4L) === (("", false)))
+    assert(got(5L) === (("js", false)))
+    assert(got(6L) === (("python", false)))
+  }
+
   test("fixture classes: extractor and audit agree across 124 ids") {
     val docs = (0L until 124L).map(i =>
       (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi")).toDF("doc_id", "text")
