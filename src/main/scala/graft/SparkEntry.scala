@@ -3122,6 +3122,21 @@ object SparkEntry {
       Markdown.extractCodeBlocks(Markdown.mdFromDocs(t(s, d).documents))
         .orderBy("doc_id", "block_idx")
     }),
+    // structured-data front door: HTML tables lifted to a
+    // (doc, table, row, col, cell) relation — three chained codegen'd
+    // generators (tables → rows → th/td cells), zero UDF, zero
+    // shuffle; the twin rebuilds every expected cell closed-form
+    "html_table_cells" -> ((s, d) => {
+      Html.extractTables(Html.tablesFromDocs(t(s, d).documents))
+        .orderBy("doc_id", "table_idx", "row_idx", "col_idx")
+    }),
+    // per-table shapes: row/col counts, header presence, and the
+    // RAGGED flag (unequal row widths — the malformed-table class a
+    // table-reasoning pipeline must drop or repair; %11 plants it)
+    "html_table_shapes" -> ((s, d) => {
+      Html.tableShapes(Html.extractTables(Html.tablesFromDocs(t(s, d).documents)))
+        .orderBy("doc_id", "table_idx")
+    }),
     // code-block dedup: vendored/boilerplate code collapsing to
     // (lang, code) groups with copy counts and the min-doc keeper —
     // the %7/%13/%5-keyed fixture code collides across documents by
@@ -6559,6 +6574,29 @@ object SparkEntry {
        |   'python' AS lang_tag, 'y = ' || m5 AS code FROM mdd WHERE hasb2),
        | md_blocks AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2r)""".stripMargin
 
+  /** HTML-table twin scaffolding: the [[graft.operators.Html
+    * .tablesFromDocs]] fixture's expected CELL relation rebuilt
+    * closed-form (header row, data rows, the %11 ragged row, the
+    * %19 second table — whose index is 1 when %31 removed the first). */
+  private val HtmlCellsCtes: String =
+    s"""WITH htd AS (SELECT doc_id, doc_id % 31 = 0 AS not1, doc_id % 19 = 0 AS has2,
+       |    doc_id % 11 = 0 AS rag, doc_id % 7 AS m7, doc_id % 13 AS m13,
+       |    doc_id % 5 AS m5, doc_id % 3 AS m3 FROM documents),
+       | ht_cells AS (
+       |  SELECT doc_id, 1 AS table_idx, 1 AS row_idx, 1 AS col_idx,
+       |    true AS is_header, 'k' AS cell FROM htd WHERE NOT not1
+       |  UNION ALL SELECT doc_id, 1, 1, 2, true, 'v' FROM htd WHERE NOT not1
+       |  UNION ALL SELECT doc_id, 1, 2, 1, false, 'a ' || m7 FROM htd WHERE NOT not1
+       |  UNION ALL SELECT doc_id, 1, 2, 2, false, CAST(m13 AS VARCHAR) FROM htd WHERE NOT not1
+       |  UNION ALL SELECT doc_id, 1, 3, 1, false,
+       |    CASE WHEN rag THEN 'b ' || m5 ELSE 'b' END FROM htd WHERE NOT not1
+       |  UNION ALL SELECT doc_id, 1, 3, 2, false, CAST(m5 AS VARCHAR)
+       |    FROM htd WHERE NOT not1 AND NOT rag
+       |  UNION ALL SELECT doc_id, CASE WHEN not1 THEN 1 ELSE 2 END, 1, 1, false, 'x'
+       |    FROM htd WHERE has2
+       |  UNION ALL SELECT doc_id, CASE WHEN not1 THEN 1 ELSE 2 END, 1, 2, false,
+       |    CAST(m3 AS VARCHAR) FROM htd WHERE has2)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "wordcount" ->
       s"$W SELECT word, count(*) AS cnt FROM w WHERE length(word) > 0 GROUP BY word ORDER BY word",
@@ -9640,6 +9678,26 @@ object SparkEntry {
          | CAST(sum(tokens) AS BIGINT) AS total_tokens,
          | min(conv_id) AS first_conv, max(conv_id) AS last_conv
          |FROM cums GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // every expected cell rebuilt closed-form from the fixture
+    // arithmetic — no regex on the oracle side; table_idx accounts
+    // for the %31 docs whose ONLY table is the appended one
+    "html_table_cells" ->
+      s"""$HtmlCellsCtes
+         |SELECT doc_id, CAST(table_idx AS BIGINT) AS table_idx,
+         | CAST(row_idx AS BIGINT) AS row_idx, CAST(col_idx AS BIGINT) AS col_idx,
+         | is_header, cell
+         |FROM ht_cells ORDER BY doc_id, table_idx, row_idx, col_idx""".stripMargin,
+
+    // shapes regrouped in SQL over the same closed-form cell relation
+    "html_table_shapes" ->
+      s"""$HtmlCellsCtes,
+         | rw AS (SELECT doc_id, table_idx, row_idx, count(*) AS w,
+         |   max(is_header) AS h FROM ht_cells GROUP BY 1, 2, 3)
+         |SELECT doc_id, CAST(table_idx AS BIGINT) AS table_idx,
+         | count(*) AS n_rows, CAST(max(w) AS BIGINT) AS n_cols,
+         | max(h) AS has_header, count(DISTINCT w) > 1 AS ragged
+         |FROM rw GROUP BY doc_id, table_idx ORDER BY doc_id, table_idx""".stripMargin,
 
     // expected blocks rebuilt from the fixture arithmetic — no regex
     // on the oracle side, so extractor and twin are fully independent

@@ -633,4 +633,72 @@ object Html {
         concat_ws(" ", transform(kept, s => s.getField("txt"))).as("main_text") +:
         passthrough: _*)
   }
+
+  /** HTML table extraction — tables are the structured-data payload
+    * of a crawl (table-to-text, QA-over-tables, schema induction all
+    * train on them), and lifting them to a (doc, table, row, col,
+    * cell) relation is the front-door operation. Grammar: nested
+    * non-greedy extraction — tables, then `<tr>` rows, then `<th>`/
+    * `<td>` cells (header cells ordered before data cells within a
+    * mixed row; the fixture and real markup rarely mix). Three
+    * chained generators, each a codegen'd regexp_extract_all +
+    * posexplode — zero UDF, zero shuffle, scales like the rest of
+    * the page front door. */
+  def extractTables(pages: DataFrame, htmlCol: String = "html",
+                    idCol: String = "doc_id"): DataFrame = {
+    val tablePat = "(?s)<table>(.*?)</table>"
+    val rowPat = "(?s)<tr>(.*?)</tr>"
+    pages
+      .select(col(idCol).cast(LongType).as("doc_id"),
+        posexplode(expr(s"regexp_extract_all($htmlCol, '$tablePat', 1)"))
+          .as(Seq("__t", "__table")))
+      .select(col("doc_id"), (col("__t") + 1).cast(LongType).as("table_idx"),
+        posexplode(expr(s"regexp_extract_all(__table, '$rowPat', 1)"))
+          .as(Seq("__r", "__row")))
+      .select(col("doc_id"), col("table_idx"),
+        (col("__r") + 1).cast(LongType).as("row_idx"),
+        expr("size(regexp_extract_all(__row, '(?s)<th>(.*?)</th>', 1))").as("__nth"),
+        posexplode(expr("concat(" +
+          "regexp_extract_all(__row, '(?s)<th>(.*?)</th>', 1), " +
+          "regexp_extract_all(__row, '(?s)<td>(.*?)</td>', 1))"))
+          .as(Seq("__c", "cell")))
+      .select(col("doc_id"), col("table_idx"), col("row_idx"),
+        (col("__c") + 1).cast(LongType).as("col_idx"),
+        (col("__c") < col("__nth")).as("is_header"), col("cell"))
+  }
+
+  /** Per-table shape summary over [[extractTables]] output: row and
+    * column counts, header presence, and the `ragged` flag (rows of
+    * unequal width — the malformed-table class a downstream
+    * table-reasoning pipeline must drop or repair). One groupBy per
+    * grain, hash-partitioned on the table key. */
+  def tableShapes(cells: DataFrame): DataFrame =
+    cells.groupBy(col("doc_id"), col("table_idx"), col("row_idx"))
+      .agg(count(lit(1)).as("__w"), max(col("is_header")).as("__h"))
+      .groupBy(col("doc_id"), col("table_idx"))
+      .agg(count(lit(1)).as("n_rows"), max(col("__w")).as("n_cols"),
+        max(col("__h")).as("has_header"),
+        (countDistinct(col("__w")) > 1).as("ragged"))
+
+  /** Deterministic HTML-table fixture over a documents relation:
+    * docs `%31!=0` carry a 3-row table (th header + two td rows keyed
+    * on `%7/%13/%5`), docs `%19==0` append a second single-row table,
+    * docs `%11==0` make the first table RAGGED (the second data row
+    * loses a cell), docs `%31==0` have no table at all. */
+  def tablesFromDocs(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val html =
+      s"""concat('<h1>doc ', $idCol, '</h1>',
+         |  CASE WHEN $idCol % 31 = 0 THEN '' ELSE concat(
+         |    '<table><tr><th>k</th><th>v</th></tr>',
+         |    '<tr><td>a ', $idCol % 7, '</td><td>', $idCol % 13, '</td></tr>',
+         |    CASE WHEN $idCol % 11 = 0
+         |      THEN concat('<tr><td>b ', $idCol % 5, '</td></tr>')
+         |      ELSE concat('<tr><td>b</td><td>', $idCol % 5, '</td></tr>') END,
+         |    '</table>') END,
+         |  CASE WHEN $idCol % 19 = 0
+         |    THEN concat('<table><tr><td>x</td><td>', $idCol % 3, '</td></tr></table>')
+         |    ELSE '' END,
+         |  '<p>tail</p>')""".stripMargin
+    docs.select(col(idCol).cast(LongType).as("doc_id"), expr(html).as("html"))
+  }
 }
