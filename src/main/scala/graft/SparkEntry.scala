@@ -9539,6 +9539,7 @@ object SparkEntry {
          | CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
          | CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
          | CAST(sum(CASE WHEN role = 'system' THEN 1 ELSE 0 END) AS BIGINT) AS n_system,
+         | CAST(sum(CASE WHEN role = 'invalid' THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
          | CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT) AS same_role_runs,
          | coalesce(min(CASE WHEN role = 'user' THEN turn_idx END) <
          |   coalesce(min(CASE WHEN role = 'assistant' THEN turn_idx END),
@@ -9550,7 +9551,8 @@ object SparkEntry {
          |    coalesce(min(CASE WHEN role = 'assistant' THEN turn_idx END),
          |      9223372036854775807), FALSE)
          |  AND arg_max(role, turn_idx) = 'assistant'
-         |  AND max(CASE WHEN content = '' THEN 1 ELSE 0 END) = 0) AS ok
+         |  AND max(CASE WHEN content = '' THEN 1 ELSE 0 END) = 0
+         |  AND sum(CASE WHEN role = 'invalid' THEN 1 ELSE 0 END) = 0) AS ok
          |FROM prevr GROUP BY conv_id ORDER BY conv_id""".stripMargin,
 
     // the same ordered-assistant md5 fingerprint via string_agg with
@@ -9558,7 +9560,7 @@ object SparkEntry {
     // non-matching LEFT JOIN, exactly the engine's semantics
     "sft_response_dedup" ->
       s"""$SftTurnsCtes,
-         | fp AS (SELECT conv_id, md5(string_agg(content, '|' ORDER BY turn_idx)) AS resp_fp
+         | fp AS (SELECT conv_id, md5(string_agg(md5(content), '' ORDER BY turn_idx)) AS resp_fp
          |   FROM sft_turns WHERE role = 'assistant' GROUP BY conv_id),
          | grp AS (SELECT resp_fp, count(*) AS group_size, min(conv_id) AS keeper
          |   FROM fp GROUP BY resp_fp)
@@ -9573,7 +9575,7 @@ object SparkEntry {
     // ceil(chars/4) estimator, same exclusive-prefix bin arithmetic
     "sft_pack_plan" ->
       s"""$SftTurnsCtes,
-         | per AS (SELECT conv_id, (CAST(sum(length(content)) AS BIGINT) + 3) // 4 AS tokens
+         | per AS (SELECT conv_id, CAST(sum((length(content) + 3) // 4) AS BIGINT) AS tokens
          |   FROM sft_turns GROUP BY conv_id),
          | cums AS (SELECT conv_id, tokens, CAST(sum(tokens) OVER (ORDER BY conv_id
          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM per)
@@ -9662,15 +9664,16 @@ object SparkEntry {
          |      coalesce(min(CASE WHEN role = 'assistant' THEN turn_idx END),
          |        9223372036854775807), FALSE)
          |    AND arg_max(role, turn_idx) = 'assistant'
-         |    AND max(CASE WHEN content = '' THEN 1 ELSE 0 END) = 0) AS ok
+         |    AND max(CASE WHEN content = '' THEN 1 ELSE 0 END) = 0
+         |  AND sum(CASE WHEN role = 'invalid' THEN 1 ELSE 0 END) = 0) AS ok
          |   FROM prevr GROUP BY conv_id),
-         | fp AS (SELECT conv_id, md5(string_agg(content, '|' ORDER BY turn_idx)) AS resp_fp
+         | fp AS (SELECT conv_id, md5(string_agg(md5(content), '' ORDER BY turn_idx)) AS resp_fp
          |   FROM sft_turns WHERE role = 'assistant' GROUP BY conv_id),
          | grp AS (SELECT resp_fp, min(conv_id) AS keeper FROM fp GROUP BY resp_fp),
          | adm AS (SELECT a.conv_id FROM aud a
          |   LEFT JOIN fp USING (conv_id) LEFT JOIN grp USING (resp_fp)
          |   WHERE a.ok AND (fp.resp_fp IS NULL OR a.conv_id = grp.keeper)),
-         | per AS (SELECT t.conv_id, (CAST(sum(length(t.content)) AS BIGINT) + 3) // 4 AS tokens
+         | per AS (SELECT t.conv_id, CAST(sum((length(t.content) + 3) // 4) AS BIGINT) AS tokens
          |   FROM sft_turns t JOIN adm USING (conv_id) GROUP BY t.conv_id),
          | cums AS (SELECT conv_id, tokens, CAST(sum(tokens) OVER (ORDER BY conv_id
          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM per)
@@ -9735,7 +9738,7 @@ object SparkEntry {
          |        (length(code) - length(replace(code, 'case class', ''))) // 10 AS BIGINT) AS hits_scala,
          |   CAST((length(code) - length(replace(code, 'function ', ''))) // 9 +
          |        (length(code) - length(replace(code, 'const ', ''))) // 6 +
-         |        (length(code) - length(replace(code, '=>', ''))) // 2 AS BIGINT) AS hits_js
+         |        (length(code) - length(replace(code, 'console.', ''))) // 8 AS BIGINT) AS hits_js
          |   FROM relab),
          | guessed AS (SELECT *,
          |   CASE WHEN hits_python >= hits_scala AND hits_python >= hits_js AND hits_python > 0 THEN 'python'
@@ -10579,9 +10582,10 @@ object SparkEntry {
          |      coalesce(min(CASE WHEN role = 'assistant' THEN turn_idx END),
          |        9223372036854775807), FALSE)
          |    AND arg_max(role, turn_idx) = 'assistant'
-         |    AND max(CASE WHEN content = '' THEN 1 ELSE 0 END) = 0) AS ok
+         |    AND max(CASE WHEN content = '' THEN 1 ELSE 0 END) = 0
+         |  AND sum(CASE WHEN role = 'invalid' THEN 1 ELSE 0 END) = 0) AS ok
          |   FROM prevr GROUP BY conv_id),
-         | fp AS (SELECT conv_id, md5(string_agg(content, '|' ORDER BY turn_idx)) AS resp_fp
+         | fp AS (SELECT conv_id, md5(string_agg(md5(content), '' ORDER BY turn_idx)) AS resp_fp
          |   FROM sft_turns WHERE role = 'assistant' GROUP BY conv_id),
          | grp AS (SELECT resp_fp, count(*) AS group_size, min(conv_id) AS keeper
          |   FROM fp GROUP BY resp_fp)

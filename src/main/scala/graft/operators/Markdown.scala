@@ -21,27 +21,33 @@ import org.apache.spark.sql.types.LongType
   * engine swap cannot change what a block IS. */
 object Markdown {
 
-  /** Fenced block grammar: ```lang\n code \n``` — group 1 the
-    * (possibly empty) language tag, group 2 the code body, non-greedy
-    * so adjacent blocks never merge and an UNCLOSED trailing fence
-    * matches nothing (the audit's parity check catches it instead of
-    * the extractor swallowing the page tail). */
-  val FencePattern = "(?s)```([a-zA-Z0-9_+-]*)\\n(.*?)\\n```"
+  /** Fenced block grammar: ```info\n code \n``` — group 1 the
+    * (possibly empty) info string up to end-of-line (CRLF tolerated,
+    * any character legal — real-world tags like `c#` and info strings
+    * like `python title=x` both parse), group 2 the code body (its
+    * trailing newline optional, so fence-newline-fence empty blocks
+    * close too), non-greedy so adjacent blocks never
+    * merge and an UNCLOSED trailing fence matches nothing (the
+    * audit's parity check catches it instead of the extractor
+    * swallowing the page tail). */
+  val FencePattern = "(?s)```([^\\r\\n]*)\\r?\\n(.*?)(?:\\r?\\n)?```"
 
   /** Per-block extraction: (doc_id, block_idx 1-based in document
-    * order, lang_tag — '' when the fence is unlabeled — code,
-    * code_lines, code_chars). Documents without a closed block emit
-    * no rows; the document-level view is [[fenceAudit]]. */
+    * order, lang_tag — the info string's FIRST token, '' when the
+    * fence is unlabeled — code, code_lines, code_chars). One
+    * full-text regex pass (group 0), then per-block group extraction
+    * over the small matched strings. Documents without a closed
+    * block emit no rows; the document-level view is [[fenceAudit]]. */
   def extractCodeBlocks(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame =
     docs
       .select(col(idCol).cast(LongType).as("doc_id"),
-        expr(s"regexp_extract_all($textCol, '$FencePattern', 1)").as("__langs"),
-        expr(s"regexp_extract_all($textCol, '$FencePattern', 2)").as("__codes"))
-      .select(col("doc_id"),
-        posexplode(expr("arrays_zip(__langs, __codes)")).as(Seq("__i", "__b")))
+        posexplode(expr(s"regexp_extract_all($textCol, '$FencePattern', 0)"))
+          .as(Seq("__i", "__block")))
       .select(col("doc_id"), (col("__i") + 1).cast(LongType).as("block_idx"),
-        col("__b.__langs").as("lang_tag"), col("__b.__codes").as("code"))
+        expr(s"regexp_extract(regexp_extract(__block, '$FencePattern', 1)," +
+          " '^[^ \\t]*', 0)").as("lang_tag"),
+        expr(s"regexp_extract(__block, '$FencePattern', 2)").as("code"))
       .withColumn("code_lines",
         (length(col("code")) - length(regexp_replace(col("code"), "\n", "")) + 1)
           .cast(LongType))
@@ -70,7 +76,9 @@ object Markdown {
   val CodeProfiles: Seq[(String, Seq[String])] = Seq(
     "python" -> Seq("print(", "lambda ", "elif "),
     "scala" -> Seq("val ", "object ", "case class"),
-    "js" -> Seq("function ", "const ", "=>"))
+    // no '=>' here: it is idiomatic Scala (lambdas, pattern matches)
+    // and would systematically mis-flag correctly-tagged scala blocks
+    "js" -> Seq("function ", "const ", "console."))
 
   /** Language-tag consistency over a code-block relation: per block,
     * keyword hit counts per profile, the guessed language (explicit

@@ -84,10 +84,12 @@ object PostTraining {
           .otherwise(col("__line")).as("content"))
 
   /** Per-conversation SFT integrity audit over a turn relation:
-    * role counts, adjacent same-role runs (`lag` over the turn
-    * order), first-role check (first non-system turn must be the
-    * user), ends-on-assistant, empty-turn flag, and the composed
-    * `ok` verdict. One window + one groupBy, both hash-partitioned
+    * role counts (including `invalid` — unparseable lines the parser
+    * surfaced; any of them fails the verdict), adjacent same-role
+    * runs (`lag` over the turn order), first-role check (first
+    * non-system turn must be the user), ends-on-assistant, empty-turn
+    * flag, and the composed `ok` verdict. One window + one groupBy,
+    * both hash-partitioned
     * on conv_id — conversations are independent, so this scales
     * with executors at any corpus size. */
   def conversationAudit(turns: DataFrame): DataFrame = {
@@ -100,6 +102,7 @@ object PostTraining {
         sum(when(col("role") === "user", 1L).otherwise(0L)).as("n_user"),
         sum(when(col("role") === "assistant", 1L).otherwise(0L)).as("n_assistant"),
         sum(when(col("role") === "system", 1L).otherwise(0L)).as("n_system"),
+        sum(when(col("role") === "invalid", 1L).otherwise(0L)).as("n_invalid"),
         sum(when(col("role") === col("__prev"), 1L).otherwise(0L)).as("same_role_runs"),
         min(when(col("role") === "user", col("turn_idx"))).as("__fu"),
         min(when(col("role") === "assistant", col("turn_idx"))).as("__fa"),
@@ -110,7 +113,7 @@ object PostTraining {
       .withColumn("ends_assistant", col("__last") === "assistant")
       .withColumn("has_empty", col("__emp") === 1L)
       .withColumn("ok", col("same_role_runs") === 0L && col("starts_ok") &&
-        col("ends_assistant") && !col("has_empty"))
+        col("ends_assistant") && !col("has_empty") && col("n_invalid") === 0L)
       .drop("__fu", "__fa", "__last", "__emp")
   }
 
@@ -135,32 +138,38 @@ object PostTraining {
         (col("resp_fp").isNull || col("conv_id") === col("__keeper")).as("keep"))
   }
 
-  /** Greedy sequential packing plan at CONVERSATION granularity — a
-    * conversation is never split across training sequences (splitting
-    * one mid-dialogue severs the supervision signal), so the packer
-    * assigns each conversation wholly to bin
-    * `floor(exclusive_prefix_tokens / budget)` in conv_id order: the
-    * streaming packer every SFT pipeline runs, made exact. Token
-    * counts use the engine's ceil(chars/4) estimator (exact integer
-    * arithmetic, so the plan is engine-independent). The exclusive
-    * prefix sum rides [[TotalOrder.prefixSumAuto]] — window below the
-    * cutover, TeraSort range exchange above — and the output is the
-    * per-bin plan (counts, token load, conv span), bins contiguous by
-    * construction. */
   /** (conv_id, resp_fp) for every conversation WITH assistant turns:
-    * md5 over the ordered assistant contents. Shared by
-    * [[dedupByResponse]] and the streaming admission pipeline so the
-    * batch and per-micro-batch fingerprints are one definition. */
+    * md5 over the CONCATENATED PER-TURN md5s in turn order — each
+    * turn contributes a fixed-width 32-hex chunk, so the framing is
+    * unambiguous (a raw separator-join would collide "a|b" with the
+    * two turns "a","b"). Shared by [[dedupByResponse]] and the
+    * streaming admission pipeline so the batch and per-micro-batch
+    * fingerprints are one definition. */
   def responseFingerprints(turns: DataFrame): DataFrame =
     turns.where(col("role") === "assistant")
       .groupBy(col("conv_id"))
       .agg(expr("md5(array_join(transform(" +
         "array_sort(collect_list(struct(turn_idx, content)))," +
-        " s -> s.content), '|'))").as("resp_fp"))
+        " s -> md5(s.content)), ''))").as("resp_fp"))
 
+  /** Concatenate-then-bin packing plan at CONVERSATION granularity:
+    * each conversation is ASSIGNED wholly to bin
+    * `floor(exclusive_prefix_tokens / budget)` in conv_id order — the
+    * assignment never splits a conversation (splitting mid-dialogue
+    * severs the supervision signal), and honestly, that means a bin's
+    * token load can EXCEED the budget by up to one conversation: this
+    * is the concatenate-and-chunk-at-document-boundaries packer, not
+    * a bin-closing first-fit (which needs a sequential scan no prefix
+    * sum can express). Token counts are per-turn ceil(chars/4) summed
+    * per conversation — the SAME grain [[lossMaskSpans]] uses, so the
+    * two relations join consistently. The exclusive prefix sum rides
+    * [[TotalOrder.prefixSumAuto]] — window below the cutover, TeraSort
+    * range exchange above — and the output is the per-bin plan
+    * (counts, token load, conv span), bins contiguous by
+    * construction. */
   def packPlan(turns: DataFrame, budgetTokens: Long = 2000L): DataFrame = {
     val per = turns.groupBy(col("conv_id"))
-      .agg(expr("(sum(length(content)) + 3) div 4").cast(LongType).as("tokens"))
+      .agg(expr("sum((length(content) + 3) div 4)").cast(LongType).as("tokens"))
     TotalOrder.prefixSumAuto(per, Seq(col("conv_id")), Seq("tokens" -> "__cum"))
       .withColumn("bin", expr(s"(__cum - tokens) div ${budgetTokens}L").cast(LongType))
       .groupBy(col("bin"))

@@ -49,6 +49,16 @@ class MarkdownSpec extends AnyFunSuite {
     assert(a(3L) === ((0L, 0L, false)))
   }
 
+  test("real-world fences: CRLF, info strings, non-word tags, empty bodies all close") {
+    assert(blocksOf("```python\r\na = 1\r\nb = 2\r\n```") ===
+      Array((1L, "python", "a = 1\r\nb = 2", 2L)))
+    assert(blocksOf("```python title=x linenos\nz = 1\n```") ===
+      Array((1L, "python", "z = 1", 1L)))
+    assert(blocksOf("```c#\nvar x = 1;\n```") ===
+      Array((1L, "c#", "var x = 1;", 1L)))
+    assert(blocksOf("pre\n```\n```\npost") === Array((1L, "", "", 1L)))
+  }
+
   test("langConsistency: evidence-based mismatch, ties and zero evidence stay unflagged") {
     val blocks = Seq(
       (1L, 1L, "python", "print(1)\nlambda x: x"),   // consistent

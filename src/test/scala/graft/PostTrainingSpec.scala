@@ -57,7 +57,9 @@ class PostTrainingSpec extends AnyFunSuite {
       // conv 3: ends on the user's turn
       (3L, 1L, "user", "q"), (3L, 2L, "assistant", "a"), (3L, 3L, "user", "q2"),
       // conv 4: empty assistant turn
-      (4L, 1L, "user", "q"), (4L, 2L, "assistant", "")))
+      (4L, 1L, "user", "q"), (4L, 2L, "assistant", ""),
+      // conv 5: an unparseable line surfaced as role 'invalid'
+      (5L, 1L, "user", "q"), (5L, 2L, "invalid", "garbage"), (5L, 3L, "assistant", "a")))
       .collect().map(r => r.getAs[Long]("conv_id") -> r).toMap
     assert(a(1L).getAs[Long]("same_role_runs") === 1L && !a(1L).getAs[Boolean]("ok"))
     assert(a(1L).getAs[Boolean]("starts_ok")) // first turn IS the user
@@ -65,6 +67,7 @@ class PostTrainingSpec extends AnyFunSuite {
     assert(!a(3L).getAs[Boolean]("ends_assistant") && !a(3L).getAs[Boolean]("ok"))
     assert(a(4L).getAs[Boolean]("has_empty") && !a(4L).getAs[Boolean]("ok"))
     assert(a(2L).getAs[Long]("same_role_runs") === 0L)
+    assert(a(5L).getAs[Long]("n_invalid") === 1L && !a(5L).getAs[Boolean]("ok"))
   }
 
   test("dedupByResponse: order-sensitive fingerprint, min-id keeper, null-fp singleton") {
@@ -75,7 +78,11 @@ class PostTrainingSpec extends AnyFunSuite {
       // conv 2: same contents, REVERSED order — must not collide
       (2L, 1L, "user", "q"), (2L, 2L, "assistant", "y"), (2L, 3L, "user", "q"), (2L, 4L, "assistant", "x"),
       // conv 4: no assistant turns at all
-      (4L, 1L, "user", "q"), (4L, 2L, "user", "q2")))
+      (4L, 1L, "user", "q"), (4L, 2L, "user", "q2"),
+      // convs 5/6: separator-ambiguity guard — one turn "a|b" must
+      // NOT collide with the two turns "a","b"
+      (5L, 1L, "user", "q"), (5L, 2L, "assistant", "a|b"),
+      (6L, 1L, "user", "q"), (6L, 2L, "assistant", "a"), (6L, 3L, "user", "q"), (6L, 4L, "assistant", "b")))
       .collect().map(r => r.getAs[Long]("conv_id") -> r).toMap
     assert(d(1L).getAs[String]("resp_fp") === d(3L).getAs[String]("resp_fp"))
     assert(d(1L).getAs[String]("resp_fp") !== d(2L).getAs[String]("resp_fp"))
@@ -84,6 +91,8 @@ class PostTrainingSpec extends AnyFunSuite {
     assert(d(2L).getAs[Long]("group_size") === 1L && d(2L).getAs[Boolean]("keep"))
     assert(d(4L).getAs[String]("resp_fp") === null)
     assert(d(4L).getAs[Long]("group_size") === 1L && d(4L).getAs[Boolean]("keep"))
+    assert(d(5L).getAs[String]("resp_fp") !== d(6L).getAs[String]("resp_fp"))
+    assert(d(5L).getAs[Boolean]("keep") && d(6L).getAs[Boolean]("keep"))
   }
 
   test("packPlan: exclusive-prefix bins, conversations never split, oversize conv isolated") {
@@ -190,8 +199,7 @@ class PostTrainingSpec extends AnyFunSuite {
       val df = tds.toDF("conv_id", "turn_idx", "role", "content")
       val plan = PostTraining.packPlan(df, budgetTokens = 50L)
         .orderBy("bin").collect()
-      val wantTotal = tds.groupBy(_._1).values
-        .map(ts => (ts.map(_._4.length.toLong).sum + 3) / 4).sum
+      val wantTotal = tds.map(t => (t._4.length.toLong + 3) / 4).sum
       val gotTotal = plan.map(_.getAs[Long]("total_tokens")).sum
       val ordered = plan.sortBy(_.getAs[Long]("bin"))
       val contiguous = ordered.sliding(2).forall {
