@@ -147,6 +147,62 @@ object Bench {
         Map.empty
     }
 
+  /** Single choke point for every bench_history.json write (VERDICT
+    * r16 #1). Round 16 shipped one UNATTRIBUTED upward best revision
+    * (corpus_card 322→867ms, commit 129f13e) that neither sanctioned
+    * rebaseline arm accounts for — the committed artifact contradicted
+    * the committed refusal narrative, and the query's tripwire
+    * threshold silently loosened ~2.7x. The whole perf-evidence chain
+    * (flags, confirmations, weak-set clearing) rests on this file, so
+    * upward moves are now structurally gated here:
+    *
+    *   - the file is re-read IMMEDIATELY before writing (not the
+    *     possibly-minutes-stale copy the suite loaded at start — a
+    *     concurrent writer or hand edit in between is part of the
+    *     threat model);
+    *   - a key about to move ABOVE its on-disk value that is not in
+    *     `adoptions` is clamped back to the on-disk value and screamed
+    *     about on stderr — the rolling min can never lose ground to an
+    *     unexplained number;
+    *   - every adoption that takes effect is (a) printed as an
+    *     attributed stderr line naming the arm, and (b) appended to
+    *     bench_adoptions.jsonl (committed alongside the history), so
+    *     tools/history_check.py can match ANY upward diff between two
+    *     committed snapshots of the history file against a committed
+    *     provenance record and fail the round gate otherwise.
+    */
+  private[graft] def writeHistoryGuarded(
+      histFile: java.io.File,
+      merged: Map[String, Long],
+      adoptions: Map[String, Long],
+      arm: String): Unit = {
+    val onDisk = readHistory(histFile)
+    val guarded = merged.map { case (k, v) =>
+      onDisk.get(k) match {
+        case Some(d) if v > d && !adoptions.contains(k) =>
+          System.err.println(
+            s"[bench] HISTORY GUARD: refused unattributed upward move $k $d -> $v (clamped to $d)")
+          k -> d
+        case _ => k -> v
+      }
+    }
+    val effective = adoptions.filter { case (k, v) =>
+      guarded.get(k).contains(v) && onDisk.get(k).exists(v > _) }
+    if (effective.nonEmpty) {
+      val ledger = new java.io.File(
+        histFile.getAbsoluteFile.getParentFile, "bench_adoptions.jsonl")
+      val w = new java.io.FileWriter(ledger, java.nio.charset.StandardCharsets.UTF_8, true)
+      try effective.toSeq.sorted.foreach { case (k, v) =>
+        val old = onDisk(k)
+        w.write(s"""{"key":"$k","old":$old,"adopted":$v,"arm":"$arm","utc":"${java.time.Instant.now()}"}""" + "\n")
+        System.err.println(s"[bench] HISTORY ADOPTION ($arm): $k $old -> $v")
+      } finally w.close()
+    }
+    val w = new java.io.PrintWriter(histFile, "UTF-8")
+    try w.println(guarded.toSeq.sorted.map { case (k, v) => s""" "$k":$v""" }
+      .mkString("{\n", ",\n", "\n}")) finally w.close()
+  }
+
   /** The STALE-BEST arm of the rebaseline policy (VERDICT r15 #4):
     * "never rebaseline from a contended window" needs a complement, or
     * a best recorded in a long-gone fast epoch re-flags the same query
@@ -199,10 +255,7 @@ object Bench {
     }
     if (adopted.nonEmpty) {
       val updates = adopted.map { case (n, _, med) => s"$sfKey/$n" -> med }.toMap
-      val merged = hist ++ updates
-      val w = new java.io.PrintWriter(histFile, "UTF-8")
-      try w.println(merged.toSeq.sorted.map { case (k, v) => s""" "$k":$v""" }
-        .mkString("{\n", ",\n", "\n}")) finally w.close()
+      writeHistoryGuarded(histFile, hist ++ updates, updates, "stale-best")
     }
     println(adopted.map { case (n, old, med) =>
       s""""$n":{"old_best_ms":$old,"adopted_ms":$med}""" }
@@ -536,16 +589,15 @@ object Bench {
         case (n, ms, _, true, e) if e <= 1.2 => s"$sfKey/$n" -> ms
       }.toMap
     try {
-      val updated = (hist.keySet ++ ordered.map(o => s"$sfKey/${o._1}")).toSeq.sorted.flatMap { k =>
+      val updated = (hist.keySet ++ ordered.map(o => s"$sfKey/${o._1}")).flatMap { k =>
         val cur =
           if (k.startsWith(s"$sfKey/"))
             results.get(k.stripPrefix(s"$sfKey/")).filter(_ >= 0).map(msOf)
           else None
         rebaseline.get(k).orElse(
-          (hist.get(k).toSeq ++ cur.toSeq).reduceOption(_ min _)).map(v => s""" "$k":$v""")
-      }
-      val w = new java.io.PrintWriter(histFile, "UTF-8")
-      try w.println(updated.mkString("{\n", ",\n", "\n}")) finally w.close()
+          (hist.get(k).toSeq ++ cur.toSeq).reduceOption(_ min _)).map(k -> _)
+      }.toMap
+      writeHistoryGuarded(histFile, updated, rebaseline, "confirm")
     } catch {
       case e: java.io.IOException => // a read-only cwd must not kill the run
         System.err.println(s"[bench] history write skipped: $e")

@@ -57,6 +57,15 @@ def main() -> int:
     if unledgered:
         problems.append(f"registered queries absent from SURVEY.md: {unledgered}")
 
+    # 5. bench-history monotonicity (VERDICT r16 #1): any upward best
+    # revision vs HEAD must carry a bench_adoptions.jsonl record.
+    import subprocess, os
+    hc = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "history_check.py")],
+        capture_output=True, text=True)
+    if hc.returncode != 0:
+        problems.append("bench_history monotonicity: " + hc.stdout.strip())
+
     if problems:
         for p in problems:
             print(f"DRIFT: {p}")
