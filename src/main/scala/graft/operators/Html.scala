@@ -640,27 +640,40 @@ object Html {
     * cell) relation is the front-door operation. Grammar: nested
     * non-greedy extraction — tables, then `<tr>` rows, then `<th>`/
     * `<td>` cells (header cells ordered before data cells within a
-    * mixed row; the fixture and real markup rarely mix). Three
-    * chained generators, each a codegen'd regexp_extract_all +
-    * posexplode — zero UDF, zero shuffle, scales like the rest of
-    * the page front door. */
+    * mixed row; the fixture and real markup rarely mix). Tag
+    * recognition follows the module's standard (BlockTagRe, the
+    * round-9 lesson): case-insensitive, attribute-tolerant
+    * `(?i)<tag\b[^>]*>` — real crawled markup is
+    * `<TABLE class="wikitable">`, `<td colspan=2>`, `<TR>` (VERDICT
+    * r16 #3: the old bare-lowercase literal grammar extracted NOTHING
+    * from them). The non-greedy body capture makes the grammar
+    * NON-NESTING: a `<table>` nested inside another ends the outer
+    * capture at the inner `</table>`, so nested tables are out of
+    * grammar (their rows flatten into the enclosing capture);
+    * reject-or-repair for that malformed class is downstream policy
+    * via [[tableShapes]]. Three chained generators, each a codegen'd
+    * regexp_extract_all + posexplode — zero UDF, zero shuffle,
+    * scales like the rest of the page front door. */
   def extractTables(pages: DataFrame, htmlCol: String = "html",
                     idCol: String = "doc_id"): DataFrame = {
-    val tablePat = "(?s)<table>(.*?)</table>"
-    val rowPat = "(?s)<tr>(.*?)</tr>"
+    val tablePat = lit("(?is)<table\\b[^>]*>(.*?)</table\\s*>")
+    val rowPat = lit("(?is)<tr\\b[^>]*>(.*?)</tr\\s*>")
+    val thPat = lit("(?is)<th\\b[^>]*>(.*?)</th\\s*>")
+    val tdPat = lit("(?is)<td\\b[^>]*>(.*?)</td\\s*>")
+    val one = lit(1)
     pages
       .select(col(idCol).cast(LongType).as("doc_id"),
-        posexplode(expr(s"regexp_extract_all($htmlCol, '$tablePat', 1)"))
+        posexplode(regexp_extract_all(col(htmlCol), tablePat, one))
           .as(Seq("__t", "__table")))
       .select(col("doc_id"), (col("__t") + 1).cast(LongType).as("table_idx"),
-        posexplode(expr(s"regexp_extract_all(__table, '$rowPat', 1)"))
+        posexplode(regexp_extract_all(col("__table"), rowPat, one))
           .as(Seq("__r", "__row")))
       .select(col("doc_id"), col("table_idx"),
         (col("__r") + 1).cast(LongType).as("row_idx"),
-        expr("size(regexp_extract_all(__row, '(?s)<th>(.*?)</th>', 1))").as("__nth"),
-        posexplode(expr("concat(" +
-          "regexp_extract_all(__row, '(?s)<th>(.*?)</th>', 1), " +
-          "regexp_extract_all(__row, '(?s)<td>(.*?)</td>', 1))"))
+        size(regexp_extract_all(col("__row"), thPat, one)).as("__nth"),
+        posexplode(concat(
+          regexp_extract_all(col("__row"), thPat, one),
+          regexp_extract_all(col("__row"), tdPat, one)))
           .as(Seq("__c", "cell")))
       .select(col("doc_id"), col("table_idx"), col("row_idx"),
         (col("__c") + 1).cast(LongType).as("col_idx"),
@@ -684,11 +697,29 @@ object Html {
     * docs `%31!=0` carry a 3-row table (th header + two td rows keyed
     * on `%7/%13/%5`), docs `%19==0` append a second single-row table,
     * docs `%11==0` make the first table RAGGED (the second data row
-    * loses a cell), docs `%31==0` have no table at all. */
+    * loses a cell), docs `%31==0` have no table at all.
+    *
+    * Markup variants (VERDICT r16 #3 — the hash oracle must prove the
+    * WIDENED grammar, not just the bare-tag case): docs `%3==0`
+    * render the first table in real-crawl style — `<TABLE
+    * CLASS="wikitable">`, `<TR>`, `<TH scope=col>`, `<TD colspan=2>`
+    * on the 'a' cell — and the appended `%19` table always carries
+    * `<table border=1>`. Cell CONTENT is identical across variants,
+    * so the closed-form oracle twin (fixture arithmetic, no regex)
+    * is untouched: a narrow extractor hash-mismatches, the tolerant
+    * one stays green. */
   def tablesFromDocs(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val html =
       s"""concat('<h1>doc ', $idCol, '</h1>',
-         |  CASE WHEN $idCol % 31 = 0 THEN '' ELSE concat(
+         |  CASE WHEN $idCol % 31 = 0 THEN ''
+         |  WHEN $idCol % 3 = 0 THEN concat(
+         |    '<TABLE CLASS="wikitable"><TR><TH scope=col>k</TH><TH scope=col>v</TH></TR>',
+         |    '<TR><TD colspan=2>a ', $idCol % 7, '</TD><TD>', $idCol % 13, '</TD></TR>',
+         |    CASE WHEN $idCol % 11 = 0
+         |      THEN concat('<TR><TD>b ', $idCol % 5, '</TD></TR>')
+         |      ELSE concat('<TR><TD>b</TD><TD>', $idCol % 5, '</TD></TR>') END,
+         |    '</TABLE>')
+         |  ELSE concat(
          |    '<table><tr><th>k</th><th>v</th></tr>',
          |    '<tr><td>a ', $idCol % 7, '</td><td>', $idCol % 13, '</td></tr>',
          |    CASE WHEN $idCol % 11 = 0
@@ -696,7 +727,7 @@ object Html {
          |      ELSE concat('<tr><td>b</td><td>', $idCol % 5, '</td></tr>') END,
          |    '</table>') END,
          |  CASE WHEN $idCol % 19 = 0
-         |    THEN concat('<table><tr><td>x</td><td>', $idCol % 3, '</td></tr></table>')
+         |    THEN concat('<table border=1><tr><td>x</td><td>', $idCol % 3, '</td></tr></table>')
          |    ELSE '' END,
          |  '<p>tail</p>')""".stripMargin
     docs.select(col(idCol).cast(LongType).as("doc_id"), expr(html).as("html"))

@@ -40,6 +40,29 @@ class HtmlTableSpec extends AnyFunSuite {
     assert(cellsOf("<p>no tables here</p>").isEmpty)
   }
 
+  test("real-crawl markup: attributes, mixed case, and whitespaced closers lift (VERDICT r16 #3)") {
+    val got = cellsOf(
+      """<TABLE CLASS="wikitable" border=1><TR ALIGN=left><TH scope=col>name</TH><th>age</th></TR>""" +
+        """<tr id="r2"><TD colspan=2>ada</TD><td class="num">36</td></tr ></TABLE >""")
+    assert(got === Array(
+      (1L, 1L, 1L, true, "name"), (1L, 1L, 2L, true, "age"),
+      (1L, 2L, 1L, false, "ada"), (1L, 2L, 2L, false, "36")))
+  }
+
+  test("tag-name word boundary: <thead>/<tdata>-style tags never match as th/td") {
+    val got = cellsOf(
+      "<table><thead><tr><th>h</th></tr></thead><tbody><tr><td>d</td></tr></tbody></table>")
+    assert(got === Array((1L, 1L, 1L, true, "h"), (1L, 2L, 1L, false, "d")))
+  }
+
+  test("nested table policy: inner </table> ends the outer capture (non-nesting grammar)") {
+    val got = cellsOf(
+      "<table><tr><td>outer</td></tr><table><tr><td>inner</td></tr></table></table>")
+    // the outer capture runs to the FIRST </table>, so both rows land
+    // in table 1 — documented flattening, not silent loss
+    assert(got === Array((1L, 1L, 1L, false, "outer"), (1L, 2L, 1L, false, "inner")))
+  }
+
   test("tableShapes: ragged rows flagged, header detected, counts exact") {
     val cells = Html.extractTables(Seq(
       (1L, "<table><tr><th>k</th><th>v</th></tr><tr><td>a</td><td>1</td></tr><tr><td>short</td></tr></table>"),

@@ -3,7 +3,8 @@
 written by graft.Verify, run the paired DuckDB oracle SQL over the same
 source tables and compare (rows, schema-width, values).
 
-Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir> [only_csv]
+(only_csv: comma-separated query names — grade just those, for fast iteration)
 """
 import sys, json, glob, os
 import duckdb
@@ -11,13 +12,15 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if only is not None and name not in only:
+            continue
         sql = oracle[name]
         pdir = os.path.join(out_dir, name)
         if not glob.glob(os.path.join(pdir, "*.parquet")):
@@ -70,11 +73,12 @@ def main(sf_dir, out_dir):
     # queries with spark output but no oracle (rows-only in the driver)
     for pdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
         name = os.path.basename(pdir)
-        if os.path.isdir(pdir) and name not in oracle:
+        if os.path.isdir(pdir) and name not in oracle and (only is None or name in only):
             n = con.sql(f"SELECT count(*) FROM read_parquet('{pdir}/*.parquet')").fetchone()[0]
             print(f"ROWS-ONLY {name}: {n} rows")
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None))
