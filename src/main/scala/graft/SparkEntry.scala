@@ -9753,15 +9753,21 @@ object SparkEntry {
 
     // marker parity from the block arithmetic: 2·blocks (+1 for the
     // planted unclosed fence) — independent of both regexes
+    // closed-form from the fixture arithmetic: each planted block is 2
+    // line-anchored markers (backtick or tilde alike), each unclosed
+    // arm (%31 backtick, %41 tilde) is 1; the %5 INLINE ``` arm is
+    // deliberately absent — a mid-line marker must not count, and a
+    // mark-anywhere extractor hash-mismatches on exactly that class
     "markdown_fence_audit" ->
       s"""WITH mdd AS (SELECT doc_id, doc_id % 4 AS c4, doc_id % 19 = 0 AS hasb2,
-         |    doc_id % 31 = 0 AS unc FROM documents),
+         |    doc_id % 31 = 0 AS uncb, doc_id % 41 = 0 AS unct FROM documents),
          | nb AS (SELECT doc_id,
          |   (CASE WHEN c4 IN (0, 1, 2) THEN 1 ELSE 0 END) +
-         |   (CASE WHEN hasb2 THEN 1 ELSE 0 END) AS n_blocks, unc FROM mdd)
+         |   (CASE WHEN hasb2 THEN 1 ELSE 0 END) AS n_blocks, uncb, unct FROM mdd)
          |SELECT doc_id, CAST(n_blocks AS BIGINT) AS n_blocks,
-         | CAST(2 * n_blocks + CASE WHEN unc THEN 1 ELSE 0 END AS BIGINT) AS fence_marks,
-         | unc AS unclosed
+         | CAST(2 * n_blocks + CASE WHEN uncb THEN 1 ELSE 0 END
+         |   + CASE WHEN unct THEN 1 ELSE 0 END AS BIGINT) AS fence_marks,
+         | (uncb OR unct) AS unclosed
          |FROM nb ORDER BY doc_id""".stripMargin,
 
     // the reserved-system + descending running-sum rule in plain SQL

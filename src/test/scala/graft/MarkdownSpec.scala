@@ -59,6 +59,53 @@ class MarkdownSpec extends AnyFunSuite {
     assert(blocksOf("pre\n```\n```\npost") === Array((1L, "", "", 1L)))
   }
 
+  test("tilde fences extract like backtick fences, and the kinds don't cross-close") {
+    assert(blocksOf("~~~yaml\nkey: v\n~~~\nprose\n~~~\nplain\n~~~") ===
+      Array((1L, "yaml", "key: v", 1L), (2L, "", "plain", 1L)))
+    // a ``` line inside a ~~~ block is CONTENT, and vice versa
+    assert(blocksOf("~~~md\nexample:\n```py\nx = 1\n```\n~~~") ===
+      Array((1L, "md", "example:\n```py\nx = 1\n```", 4L)))
+    assert(blocksOf("```md\n~~~\nnot a fence\n~~~\n```") ===
+      Array((1L, "md", "~~~\nnot a fence\n~~~", 3L)))
+    // an unclosed tilde fence swallows nothing
+    assert(blocksOf("~~~yaml\ndangling").isEmpty)
+  }
+
+  test("line anchoring: an inline ``` in prose opens nothing and counts no marker") {
+    assert(blocksOf("use ``` to fence\n```py\nx\n```") ===
+      Array((1L, "py", "x", 1L)))
+    val a = Markdown.fenceAudit(Seq(
+      (1L, "a ``` mid-line and ~~~ too\n```py\nx\n```")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getAs[Long]("n_blocks"),
+        r.getAs[Long]("fence_marks"), r.getAs[Boolean]("unclosed"))).head
+    assert(a === ((1L, 2L, false)))
+  }
+
+  test("a closing fence sits alone on its line: ```info inside a block is not a closer") {
+    // CommonMark: a line-start ```scala inside an open block cannot
+    // close it — the block runs to the next bare fence
+    assert(blocksOf("```py\nx\n```scala\ny\n```\ntail") ===
+      Array((1L, "py", "x\n```scala\ny", 3L)))
+    // trailing blanks after the closer are legal
+    assert(blocksOf("```py\nx\n```  \ntail") === Array((1L, "py", "x", 1L)))
+    // a closer at end-of-document without a newline closes
+    assert(blocksOf("```py\nx\n```") === Array((1L, "py", "x", 1L)))
+  }
+
+  test("per-kind parity: a dangling ``` is never cleared by a balanced ~~~ pair") {
+    val a = Markdown.fenceAudit(Seq(
+      (1L, "```py\nx\n~~~\ny\n~~~"),          // bt 1 (odd), td 2 (even)
+      (2L, "~~~\na\n~~~\n```\nb\n```")).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_blocks"), r.getAs[Long]("fence_marks"),
+          r.getAs[Boolean]("unclosed"))).toMap
+    // doc 1: the ```py opener swallows nothing, the ~~~ pair INSIDE
+    // it... is not inside anything — ```py is unclosed, so the ~~~
+    // block is free-standing and extracts
+    assert(a(1L) === ((1L, 3L, true)))
+    assert(a(2L) === ((2L, 4L, false)))
+  }
+
   test("langConsistency: evidence-based mismatch, ties and zero evidence stay unflagged") {
     val blocks = Seq(
       (1L, 1L, "python", "print(1)\nlambda x: x"),   // consistent
@@ -91,9 +138,11 @@ class MarkdownSpec extends AnyFunSuite {
       val expBlocks = (if (i % 4 != 3) 1 else 0) + (if (i % 19 == 0) 1 else 0)
       assert(audit(i).getAs[Long]("n_blocks") === expBlocks.toLong, s"doc $i")
       assert(blocks.getOrElse(i, 0) === expBlocks, s"doc $i blocks")
-      assert(audit(i).getAs[Boolean]("unclosed") === (i % 31 == 0), s"doc $i parity")
+      assert(audit(i).getAs[Boolean]("unclosed") === (i % 31 == 0 || i % 41 == 0),
+        s"doc $i parity")
       assert(audit(i).getAs[Long]("fence_marks") ===
-        2L * expBlocks + (if (i % 31 == 0) 1L else 0L), s"doc $i marks")
+        2L * expBlocks + (if (i % 31 == 0) 1L else 0L) + (if (i % 41 == 0) 1L else 0L),
+        s"doc $i marks")
     }
   }
 }
