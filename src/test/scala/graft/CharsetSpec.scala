@@ -78,10 +78,56 @@ class CharsetSpec extends AnyFunSuite {
     assert(m(1L).getAs[String]("text").contains("hi"))
   }
 
-  test("no declaration: utf-8 default, declared=false") {
+  test("no declaration: utf-8 when clean, declared=false") {
     val m = auditOf((1L, page("<p>plain</p>", Array.emptyByteArray, "")))
     assert(m(1L).getAs[String]("charset") === "utf-8")
     assert(!m(1L).getAs[Boolean]("declared") && m(1L).getAs[Boolean]("ok"))
+  }
+
+  test("detector ladder pins: each arm chosen on its published-table byte class") {
+    def det(bs: Array[Byte]) = Charsets.detectCharset(bs)
+    // arm 1: UTF-8 cleanliness is near-proof
+    assert(det("pure ascii".getBytes("ISO-8859-1")) === "utf-8")
+    assert(det(page("caf", Array(0xC3.toByte, 0xA9.toByte), " ok")) === "utf-8")
+    // arm 2: clean SJIS + a 0x81-0x9F/0xE0-0xEF lead present (テ日)
+    assert(det(page("<p>", Array(0x83.toByte, 0x65, 0x93.toByte, 0xFA.toByte), "</p>")) === "shift_jis")
+    // arm 3: clean cp1251, all high bytes in А-я, adjacent run (Пр)
+    assert(det(page("<p>", Array(0xCF.toByte, 0xF0.toByte), "</p>")) === "windows-1251")
+    // arm 4 fallbacks: a LONE high byte between ASCII is Latin-1
+    // evidence (caf<E9>), as is a stray 0xFF
+    assert(det(page("caf", Array(0xE9.toByte), " au lait")) === "iso-8859-1")
+    assert(det(page("x ", Array(0xFF.toByte), " y")) === "iso-8859-1")
+    // genuinely ambiguous bytes resolve by ladder priority: 0x98 0xC0
+    // is a VALID SJIS lead+trail pair (and 0x98 is cp1251-undefined),
+    // so the SJIS arm claims it before the Cyrillic arm is consulted
+    assert(det(page("", Array(0xC0.toByte, 0x98.toByte, 0xC0.toByte), "")) === "shift_jis")
+    // bytes invalid in BOTH sjis (trail 0xFF) and the Cyrillic gate
+    // (0x98 < 0xC0) drop to the latin-1 floor
+    assert(det(page("", Array(0xC0.toByte, 0x98.toByte, 0xFF.toByte, 0xC0.toByte), "")) === "iso-8859-1")
+    // half-width-katakana singles only (0xA1-0xDF, no lead) → too
+    // weak for SJIS, fails the А-я gate too → latin-1
+    assert(det(page("<p>", Array(0xB1.toByte, 0xB2.toByte), "</p>")) === "iso-8859-1")
+  }
+
+  test("undeclared fixture: detection repairs every class to zero malformed units") {
+    val audit = Charsets.transcodeAudit(
+      Charsets.pagesFromDocs((0L until 42L).toDF("doc_id"), declare = false))
+    val rows = audit.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for (id <- 0L until 42L) {
+      val r = rows(id)
+      val expCs = id % 6 match {
+        case 1 | 4 => "iso-8859-1"; case 2 => "shift_jis"
+        case 3 => "windows-1251"; case _ => "utf-8"
+      }
+      assert(r.getAs[String]("charset") === expCs, id.toString)
+      assert(!r.getAs[Boolean]("declared"), id.toString)
+      // the whole point: zero damage everywhere — the declared
+      // fixture's %6==4 class counted 1 unrepaired unit, the
+      // undeclared twin reads the same byte as Latin-1 ÿ
+      assert(r.getAs[Long]("malformed_units") === 0L, id.toString)
+      assert(r.getAs[Boolean]("ok"), id.toString)
+      if (id % 6 == 4) assert(r.getAs[String]("text").contains("ÿ"), id.toString)
+    }
   }
 
   test("fixture classes match their closed forms over a full id cycle") {
