@@ -3099,6 +3099,26 @@ object SparkEntry {
           PostTraining.renderTranscripts(t(s, d).documents)), budgetTokens = 500L)
         .orderBy("conv_id", "turn_idx")
     }),
+    // the SAME packing plan at REAL subword grain (VERDICT r16 missing
+    // #4): conversation token loads from the frozen BPE artifact's
+    // distinct-words applier instead of ceil(chars/4) — the plan a
+    // trainer's actual tokenizer budget sees; twin composes the
+    // recursive-CTE applier with the identical running-sum arithmetic
+    "sft_pack_plan_bpe" -> ((s, d) => {
+      import graft.operators.PostTraining
+      PostTraining.packPlanBpe(PostTraining.parseTurns(
+          PostTraining.renderTranscripts(t(s, d).documents)), budgetTokens = 500L)
+        .orderBy("bin")
+    }),
+    // the span table at BPE grain — offsets in real subword tokens,
+    // empty-content turns spanning zero width but still present, spans
+    // provably tiling (the twin's windows must reproduce every offset)
+    "sft_loss_mask_spans_bpe" -> ((s, d) => {
+      import graft.operators.PostTraining
+      PostTraining.lossMaskSpansBpe(PostTraining.parseTurns(
+          PostTraining.renderTranscripts(t(s, d).documents)), budgetTokens = 500L)
+        .orderBy("conv_id", "turn_idx")
+    }),
     // tool-use turn integrity: call payload JSON validity, tool-name
     // extraction, arguments presence, registry membership (broadcast
     // equi-join), call/result pairing via one lead window — the
@@ -9636,6 +9656,63 @@ object SparkEntry {
       s"""$SftTurnsCtes,
          | ltt AS (SELECT conv_id, turn_idx, role,
          |   CAST((length(content) + 3) // 4 AS BIGINT) AS turn_tokens FROM sft_turns),
+         | lper AS (SELECT conv_id, CAST(sum(turn_tokens) AS BIGINT) AS conv_tokens
+         |   FROM ltt GROUP BY conv_id),
+         | lpre AS (SELECT conv_id,
+         |   CAST(sum(conv_tokens) OVER (ORDER BY conv_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |     - conv_tokens AS conv_start FROM lper),
+         | loffs AS (SELECT t.conv_id, t.turn_idx, t.role, t.turn_tokens, p.conv_start,
+         |   CAST(coalesce(sum(t.turn_tokens) OVER (PARTITION BY t.conv_id
+         |     ORDER BY t.turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |     0) AS BIGINT) AS toff
+         |   FROM ltt t JOIN lpre p USING (conv_id))
+         |SELECT conv_id, turn_idx, role, CAST(conv_start // 500 AS BIGINT) AS bin,
+         | conv_start + toff AS tok_start,
+         | conv_start + toff + turn_tokens AS tok_end,
+         | role = 'assistant' AS trainable
+         |FROM loffs ORDER BY conv_id, turn_idx""".stripMargin,
+
+    // the BPE-grain twins: the closed-form turn relation feeds the
+    // shared recursive-CTE applier (wc built from TURN words), then
+    // per-turn counts left-join back (empty-content turns pin 0) and
+    // the SAME packing / two-level-window arithmetic runs over them
+    "sft_pack_plan_bpe" ->
+      s"""${"WITH RECURSIVE " + SftTurnsCtes.stripPrefix("WITH ")},
+         | tw AS (SELECT conv_id, turn_idx, lower(t.tok) AS word
+         |   FROM (SELECT conv_id, turn_idx,
+         |     unnest(string_split_regex(content, '[ \\t\\n\\f\\r]+')) AS tok
+         |     FROM sft_turns) t
+         |   WHERE length(t.tok) > 0),
+         | wc AS (SELECT word, count(*) AS cnt FROM tw GROUP BY 1),
+         |$BpeApplyCte,
+         | twt AS (SELECT conv_id, turn_idx, CAST(sum(len(toks)) AS BIGINT) AS bt
+         |   FROM tw JOIN fin USING (word) GROUP BY 1, 2),
+         | per AS (SELECT s.conv_id,
+         |   CAST(sum(coalesce(t.bt, 0)) AS BIGINT) AS tokens
+         |   FROM sft_turns s LEFT JOIN twt t USING (conv_id, turn_idx)
+         |   GROUP BY 1),
+         | cums AS (SELECT conv_id, tokens, CAST(sum(tokens) OVER (ORDER BY conv_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM per)
+         |SELECT CAST((cum - tokens) // 500 AS BIGINT) AS bin, count(*) AS n_convs,
+         | CAST(sum(tokens) AS BIGINT) AS total_tokens,
+         | min(conv_id) AS first_conv, max(conv_id) AS last_conv
+         |FROM cums GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "sft_loss_mask_spans_bpe" ->
+      s"""${"WITH RECURSIVE " + SftTurnsCtes.stripPrefix("WITH ")},
+         | tw AS (SELECT conv_id, turn_idx, lower(t.tok) AS word
+         |   FROM (SELECT conv_id, turn_idx,
+         |     unnest(string_split_regex(content, '[ \\t\\n\\f\\r]+')) AS tok
+         |     FROM sft_turns) t
+         |   WHERE length(t.tok) > 0),
+         | wc AS (SELECT word, count(*) AS cnt FROM tw GROUP BY 1),
+         |$BpeApplyCte,
+         | twt AS (SELECT conv_id, turn_idx, CAST(sum(len(toks)) AS BIGINT) AS bt
+         |   FROM tw JOIN fin USING (word) GROUP BY 1, 2),
+         | ltt AS (SELECT s.conv_id, s.turn_idx, s.role,
+         |   CAST(coalesce(t.bt, 0) AS BIGINT) AS turn_tokens
+         |   FROM sft_turns s LEFT JOIN twt t USING (conv_id, turn_idx)),
          | lper AS (SELECT conv_id, CAST(sum(turn_tokens) AS BIGINT) AS conv_tokens
          |   FROM ltt GROUP BY conv_id),
          | lpre AS (SELECT conv_id,

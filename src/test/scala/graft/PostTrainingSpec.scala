@@ -244,6 +244,49 @@ class PostTrainingSpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("BPE grain: turn counts come from the real applier, zero-width empties, spans still tile") {
+    import graft.operators.Bpe
+    val df = turns(
+      (1L, 1L, "user", "alpha beta alpha"),
+      (1L, 2L, "assistant", "beta gamma"),
+      (1L, 3L, "user", ""),               // empty-content: 0 tokens, still a row
+      (2L, 1L, "user", "alpha"),
+      (2L, 2L, "assistant", "delta delta delta"))
+    val counts = PostTraining.turnTokensBpe(df)
+      .collect().map(r => (r.getAs[Long]("conv_id"), r.getAs[Long]("turn_idx")) ->
+        r.getAs[Long]("bpe_tokens")).toMap
+    // the applier's own per-word counts are the ground truth — the
+    // turn counts must be exact multiples of them
+    val wordToks = Seq("alpha", "beta", "gamma", "delta").map { w =>
+      w -> Bpe.applyMerges(w, Bpe.DefaultMerges.zipWithIndex.toMap,
+        Some(Bpe.DefaultAlphabet)).size.toLong
+    }.toMap
+    assert(counts((1L, 1L)) === 2 * wordToks("alpha") + wordToks("beta"))
+    assert(counts((1L, 2L)) === wordToks("beta") + wordToks("gamma"))
+    assert(counts((1L, 3L)) === 0L)
+    assert(counts((2L, 2L)) === 3 * wordToks("delta"))
+    // spans tile at BPE grain exactly as at estimator grain, and the
+    // empty turn is a present, zero-width, masked span
+    val spans = PostTraining.lossMaskSpansBpe(df, budgetTokens = 8L)
+      .orderBy("conv_id", "turn_idx").collect()
+      .map(r => (r.getAs[Long]("conv_id"), r.getAs[Long]("turn_idx"),
+        r.getAs[Long]("tok_start"), r.getAs[Long]("tok_end")))
+    assert(spans.length === 5)
+    val e = spans.find(s => s._1 == 1L && s._2 == 3L).get
+    assert(e._3 === e._4, "empty turn must be zero-width, not absent")
+    spans.groupBy(_._1).values.foreach { ss =>
+      ss.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(a._4 === b._3, "spans must tile")
+        case _ => ()
+      }
+    }
+    // the pack plan at both grains conserves ITS OWN token total
+    val bpeTotal = counts.values.sum
+    val packed = PostTraining.packPlanBpe(df, budgetTokens = 8L)
+      .agg(sum(col("total_tokens"))).collect().head.getLong(0)
+    assert(packed === bpeTotal)
+  }
+
   test("property: truncateContext keeps a suffix of non-system turns within budget") {
     import org.scalacheck.{Gen, Prop}
     import org.scalacheck.Test.{check, Parameters}
