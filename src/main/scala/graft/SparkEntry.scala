@@ -3279,6 +3279,17 @@ object SparkEntry {
           PostTraining.preferencePairsFromDocs(t(s, d).documents))
         .orderBy("bucket")
     }),
+    // transitivity audit (VERDICT r16 #7): A≻B≻C≻A cycles within a
+    // prompt — reward-model poison invisible to the pairwise audit —
+    // via majority edges + one bounded per-prompt self-join chain;
+    // the triple fixture plants cycles on exactly the base%5==0
+    // prompts whose docs cover all three vote classes
+    "preference_cycle_audit" -> ((s, d) => {
+      import graft.operators.PostTraining
+      PostTraining.preferenceCycles(
+          PostTraining.preferenceTriplesFromDocs(t(s, d).documents))
+        .orderBy("prompt")
+    }),
     // cross-corpus paragraph-frequency dedup (the MassiveText stage):
     // every page gets the SAME link-free cookie-banner paragraph
     // injected — the boilerplate class the per-page density gate
@@ -9977,6 +9988,18 @@ object SparkEntry {
          | CAST(sum(CASE WHEN length(chosen) < length(rejected) THEN 1 ELSE 0 END) AS BIGINT) AS n_shorter,
          | CAST(sum(CASE WHEN length(chosen) = length(rejected) THEN 1 ELSE 0 END) AS BIGINT) AS n_tie
          |FROM pref_pairs GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // the planted-cycle prompts closed-form: a prompt cycles iff its
+    // base%5==0 AND its docs cover all three vote classes (class-2
+    // votes reversed close the A≻B≻C chain); candidate names from the
+    // same base arithmetic — the Spark side must find exactly these
+    // cycles via its edge self-join, nothing more
+    "preference_cycle_audit" ->
+      s"""WITH pt AS (SELECT DISTINCT doc_id % 89 AS base, doc_id % 3 AS cl FROM documents),
+         | full3 AS (SELECT base FROM pt GROUP BY base HAVING count(*) = 3)
+         |SELECT 'q ' || base AS prompt,
+         | 'cand a ' || base AS a, 'cand b ' || base AS b, 'cand c ' || base AS c
+         |FROM full3 WHERE base % 5 = 0 ORDER BY prompt""".stripMargin,
 
     // paragraph relation rebuilt closed-form (12-word slices + the
     // shared cookie constant from the SAME Scala object the fixture

@@ -395,6 +395,82 @@ object PostTraining {
           .otherwise(0L)).as("n_hi_chosen"))
       .withColumn("conflicted", col("n_lo_chosen") > 0L && col("n_hi_chosen") > 0L)
 
+  /** Majority-orientation preference EDGES — the digest relation the
+    * transitivity audit runs on: per (prompt, unordered candidate
+    * pair), the net vote `(hi chosen) − (lo chosen)` decides the
+    * majority direction; exact ties carry no information and emit NO
+    * edge (a tie is a conflict, [[preferenceAudit]]'s beat, not an
+    * orientation). Degenerate pairs (chosen == rejected) are skipped.
+    * Output: (prompt, winner, loser, n_votes, margin). One
+    * equi-shuffle on the unordered key — same scale shape as the
+    * audit. */
+  def preferenceEdges(pairs: DataFrame): DataFrame =
+    pairs.where(col("chosen") =!= col("rejected"))
+      .withColumn("__lo", least(col("chosen"), col("rejected")))
+      .withColumn("__hi", greatest(col("chosen"), col("rejected")))
+      .groupBy(col("prompt"), col("__lo"), col("__hi"))
+      .agg(sum(when(col("chosen") === col("__hi"), 1L).otherwise(-1L)).as("__net"),
+        count(lit(1)).as("n_votes"))
+      .where(col("__net") =!= 0L)
+      .select(col("prompt"),
+        when(col("__net") > 0L, col("__hi")).otherwise(col("__lo")).as("winner"),
+        when(col("__net") > 0L, col("__lo")).otherwise(col("__hi")).as("loser"),
+        col("n_votes"), abs(col("__net")).as("margin"))
+
+  /** Preference-pair TRANSITIVITY audit (VERDICT r16 task 7) — the
+    * reward-poison class after orientation conflicts: A≻B, B≻C, C≻A
+    * within one prompt is a preference no scalar reward model can fit
+    * (any scoring collapses somewhere on the cycle), and it hides
+    * from the pairwise audit because every individual comparison
+    * looks consistent. Detection: one bounded per-prompt self-join
+    * chain over the MAJORITY edges — (prompt, a→b) ⋈ (prompt, b→c) ⋈
+    * (prompt, c→a) — canonicalized to the rotation whose first node
+    * is the lexicographic minimum, so each directed 3-cycle emits
+    * exactly one row. Prompt groups are candidate-set-sized (a
+    * handful of responses), never corpus-scale, so the cubic
+    * worst-case is per-prompt constant work; the joins are
+    * equi-shuffles on (prompt, node). Longer chordless cycles (4+)
+    * are out of scope — 3-cycles are the dominant labeling-noise
+    * class, and a k-cycle with any chord already contains a
+    * 3-cycle. Output: (prompt, a, b, c) with a≻b≻c≻a. */
+  def preferenceCycles(pairs: DataFrame): DataFrame = {
+    val e = preferenceEdges(pairs).select(col("prompt"), col("winner"), col("loser"))
+    val e1 = e.select(col("prompt"), col("winner").as("a"), col("loser").as("b"))
+    val e2 = e.select(col("prompt"), col("winner").as("b"), col("loser").as("c"))
+    val e3 = e.select(col("prompt"), col("winner").as("c"), col("loser").as("__a2"))
+    e1.join(e2, Seq("prompt", "b"))
+      .join(e3, Seq("prompt", "c"))
+      .where(col("__a2") === col("a") && col("a") < col("b") && col("a") < col("c"))
+      .select(col("prompt"), col("a"), col("b"), col("c"))
+  }
+
+  /** Deterministic preference-TRIPLE fixture over a documents
+    * relation: prompts key on `base = doc_id%89`, three candidates
+    * `cand a/b/c <base>`; each doc votes on ONE pair by `doc_id%3` —
+    * class 0 A≻B, class 1 B≻C, class 2 A≻C — EXCEPT prompts with
+    * `base%5==0`, whose class-2 votes are reversed to C≻A, closing
+    * the chain into a planted 3-cycle. Every other prompt is
+    * transitively consistent (A≻B≻C plus A≻C). 89 and 3 are coprime,
+    * so a prompt's docs sweep all three classes once the id range
+    * covers ~3 periods. */
+  def preferenceTriplesFromDocs(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val a = "concat('cand a ', __base)"
+    val b = "concat('cand b ', __base)"
+    val c = "concat('cand c ', __base)"
+    docs.withColumn("__base", col(idCol) % 89)
+      .withColumn("__cl", col(idCol) % 3)
+      .select(col(idCol).cast(LongType).as("pair_id"),
+        expr("concat('q ', __base)").as("prompt"),
+        expr(s"""CASE WHEN __cl = 0 THEN $a
+                |     WHEN __cl = 1 THEN $b
+                |     WHEN __base % 5 = 0 THEN $c ELSE $a END""".stripMargin)
+          .as("chosen"),
+        expr(s"""CASE WHEN __cl = 0 THEN $b
+                |     WHEN __cl = 1 THEN $c
+                |     WHEN __base % 5 = 0 THEN $a ELSE $c END""".stripMargin)
+          .as("rejected"))
+  }
+
   /** Length-bias screen over a preference relation — "chosen is just
     * longer" is the best-documented reward-model failure mode, and a
     * dataset that encodes it trains a verbosity reward. Per

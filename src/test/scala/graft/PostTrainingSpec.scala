@@ -137,6 +137,46 @@ class PostTrainingSpec extends AnyFunSuite {
       && !dg.getAs[Boolean]("conflicted"))
   }
 
+  test("preferenceEdges: majority orientation, exact ties emit no edge, degenerates skipped") {
+    val pairs = Seq(
+      (1L, "p", "A", "B"), (2L, "p", "A", "B"), (3L, "p", "B", "A"), // A wins 2-1
+      (4L, "p", "C", "D"), (5L, "p", "D", "C"),                      // exact tie: no edge
+      (6L, "p", "E", "E")                                            // degenerate: skipped
+    ).toDF("pair_id", "prompt", "chosen", "rejected")
+    val got = PostTraining.preferenceEdges(pairs).collect()
+      .map(r => (r.getAs[String]("winner"), r.getAs[String]("loser"),
+        r.getAs[Long]("n_votes"), r.getAs[Long]("margin")))
+    assert(got.toSet === Set(("A", "B", 3L, 1L)))
+  }
+
+  test("preferenceCycles: planted 3-cycle found once (canonical rotation); transitive triangle clean") {
+    val pairs = Seq(
+      // prompt p1: A≻B, B≻C, C≻A — a cycle
+      (1L, "p1", "A", "B"), (2L, "p1", "B", "C"), (3L, "p1", "C", "A"),
+      // prompt p2: A≻B, B≻C, A≻C — transitively consistent
+      (4L, "p2", "A", "B"), (5L, "p2", "B", "C"), (6L, "p2", "A", "C"),
+      // prompt p3: a cycle whose closing edge is tie-broken away →
+      // no majority edge → no cycle
+      (7L, "p3", "A", "B"), (8L, "p3", "B", "C"),
+      (9L, "p3", "C", "A"), (10L, "p3", "A", "C")
+    ).toDF("pair_id", "prompt", "chosen", "rejected")
+    val got = PostTraining.preferenceCycles(pairs).collect()
+      .map(r => (r.getAs[String]("prompt"), r.getAs[String]("a"),
+        r.getAs[String]("b"), r.getAs[String]("c")))
+    assert(got.toSeq === Seq(("p1", "A", "B", "C")))
+  }
+
+  test("preferenceTriplesFromDocs: cycles land exactly on base%5==0 prompts with full class cover") {
+    val docs = (0L until 300L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val cycles = PostTraining.preferenceCycles(
+        PostTraining.preferenceTriplesFromDocs(docs))
+      .collect().map(_.getAs[String]("prompt")).toSet
+    // 300 docs cover bases 0..88 with ≥3 docs sweeping all classes
+    // (89 ≡ 2 mod 3), so every base%5==0 prompt cycles
+    val expected = (0L until 89L).filter(_ % 5 == 0).map(b => s"q $b").toSet
+    assert(cycles === expected)
+  }
+
   test("lengthBias: exact integer deltas and win counts") {
     val pairs = Seq(
       (0L, "q", "aaaa", "aa"),   // +2, longer
