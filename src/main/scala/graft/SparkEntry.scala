@@ -3132,6 +3132,20 @@ object SparkEntry {
           PostTraining.toolTurnsFromDocs(t(s, d).documents), registry)
         .orderBy("conv_id", "turn_idx")
     }),
+    // argument-SCHEMA validation (VERDICT r16 #8): the %53 wrong-arg-
+    // name class ({"query": ...} where the tool takes q) passes every
+    // tool_call_audit check — this audit diffs the payload's key set
+    // against the (tool, arg) registry both ways; DuckDB's own
+    // json_keys machinery is the independent grader
+    "tool_args_audit" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.PostTraining
+      val registryArgs = Seq(("search", "q"), ("calc", "q"), ("fetch", "q"))
+        .toDF("tool", "arg")
+      PostTraining.toolArgsAudit(
+          PostTraining.toolTurnsFromDocs(t(s, d).documents), registryArgs)
+        .orderBy("conv_id", "turn_idx")
+    }),
     // the post-training batch chain in ONE query: parse → integrity
     // audit → response dedup → pack the ADMITTED conversations into
     // token-budgeted training sequences — proving the stages compose
@@ -6587,6 +6601,39 @@ object SparkEntry {
        |          replace(substr(text, (i - 1) * 29 + 1, 23), chr(10), ' ') END AS content
        |   FROM sft_r)""".stripMargin
 
+  /** Tool-turn twin scaffolding: the [[graft.operators.PostTraining
+    * .toolTurnsFromDocs]] fixture rebuilt closed-form — truncated-JSON
+    * (%31), missing-arguments (%37), unregistered-tool (%29),
+    * wrong-arg-name (%53), dropped-result (%43) classes in the same
+    * CASE priority — ending in `nk(conv_id, turn_idx, kind, payload,
+    * next_kind)`. Shared by the call audit and the args-schema
+    * audit. */
+  private val ToolTurnsCtes: String =
+    s"""WITH tt_d AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 43 = 0 THEN 3 ELSE 4 END AS nt,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'search'
+       |         WHEN doc_id % 3 = 1 THEN 'calc' ELSE 'fetch' END AS tool
+       |   FROM documents),
+       | tt_i AS (SELECT doc_id, tool, unnest(generate_series(1, nt)) AS turn_idx FROM tt_d),
+       | tt AS (SELECT doc_id AS conv_id, turn_idx,
+       |   CASE WHEN turn_idx % 2 = 1 THEN 'call' ELSE 'result' END AS kind,
+       |   CASE WHEN turn_idx % 2 = 1 THEN (
+       |     CASE WHEN doc_id % 31 = 0 AND turn_idx = 1
+       |            THEN '{"name": "' || tool || '", "arguments": '
+       |          WHEN doc_id % 37 = 0 AND turn_idx = 1
+       |            THEN '{"name": "' || tool || '"}'
+       |          WHEN doc_id % 29 = 0 AND turn_idx = 1
+       |            THEN '{"name": "frobnicate", "arguments": {"q": "x"}}'
+       |          WHEN doc_id % 53 = 0 AND turn_idx = 1
+       |            THEN '{"name": "' || tool || '", "arguments": {"query": "doc ' ||
+       |              (doc_id % 7) || ' t' || turn_idx || '"}}'
+       |          ELSE '{"name": "' || tool || '", "arguments": {"q": "doc ' ||
+       |            (doc_id % 7) || ' t' || turn_idx || '"}}' END)
+       |   ELSE '{"content": "ok ' || (doc_id % 7) || ' t' || turn_idx || '"}' END AS payload
+       |   FROM tt_i),
+       | nk AS (SELECT conv_id, turn_idx, kind, payload,
+       |   lead(kind) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_kind FROM tt)""".stripMargin
+
   /** Preference-pair twin scaffolding: the [[graft.operators
     * .PostTraining.preferencePairsFromDocs]] fixture rebuilt
     * closed-form — degenerate (%23), reversed-orientation (%19), and
@@ -9746,27 +9793,7 @@ object SparkEntry {
     // independent JSON parsers agreeing on validity, name extraction,
     // and arguments presence; pairing via the same lead-window device
     "tool_call_audit" ->
-      s"""WITH tt_d AS (SELECT doc_id,
-         |    CASE WHEN doc_id % 43 = 0 THEN 3 ELSE 4 END AS nt,
-         |    CASE WHEN doc_id % 3 = 0 THEN 'search'
-         |         WHEN doc_id % 3 = 1 THEN 'calc' ELSE 'fetch' END AS tool
-         |   FROM documents),
-         | tt_i AS (SELECT doc_id, tool, unnest(generate_series(1, nt)) AS turn_idx FROM tt_d),
-         | tt AS (SELECT doc_id AS conv_id, turn_idx,
-         |   CASE WHEN turn_idx % 2 = 1 THEN 'call' ELSE 'result' END AS kind,
-         |   CASE WHEN turn_idx % 2 = 1 THEN (
-         |     CASE WHEN doc_id % 31 = 0 AND turn_idx = 1
-         |            THEN '{"name": "' || tool || '", "arguments": '
-         |          WHEN doc_id % 37 = 0 AND turn_idx = 1
-         |            THEN '{"name": "' || tool || '"}'
-         |          WHEN doc_id % 29 = 0 AND turn_idx = 1
-         |            THEN '{"name": "frobnicate", "arguments": {"q": "x"}}'
-         |          ELSE '{"name": "' || tool || '", "arguments": {"q": "doc ' ||
-         |            (doc_id % 7) || ' t' || turn_idx || '"}}' END)
-         |   ELSE '{"content": "ok ' || (doc_id % 7) || ' t' || turn_idx || '"}' END AS payload
-         |   FROM tt_i),
-         | nk AS (SELECT conv_id, turn_idx, kind, payload,
-         |   lead(kind) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_kind FROM tt),
+      s"""$ToolTurnsCtes,
          | calls AS (SELECT conv_id, turn_idx, payload, next_kind,
          |   json_valid(payload) AS json_ok,
          |   CASE WHEN json_valid(payload)
@@ -9783,6 +9810,34 @@ object SparkEntry {
          |  AND coalesce(tool_name IN ('search', 'calc', 'fetch'), FALSE)
          |  AND paired) AS call_ok
          |FROM calls ORDER BY conv_id, turn_idx""".stripMargin,
+
+    // DuckDB's own json_keys machinery grades the key-set diff — two
+    // independent JSON parsers must agree on present/missing/unknown
+    // argument names; the %53 wrong-arg-name class is the planted
+    // catch (it passes every tool_call_audit column)
+    "tool_args_audit" ->
+      s"""$ToolTurnsCtes,
+         | ca AS (SELECT conv_id, turn_idx,
+         |   CASE WHEN json_valid(payload)
+         |        THEN json_extract_string(payload, '$$.name') END AS tool_name,
+         |   coalesce(CASE WHEN json_valid(payload)
+         |     THEN list_sort(json_keys(payload, '$$.arguments')) END, []) AS present
+         |   FROM nk WHERE kind = 'call'),
+         | reg AS (SELECT * FROM (VALUES ('search', ['q']), ('calc', ['q']),
+         |   ('fetch', ['q'])) AS r(tool, req)),
+         | jd AS (SELECT c.conv_id, c.turn_idx, c.tool_name, c.present, r.req
+         |   FROM ca c LEFT JOIN reg r ON c.tool_name = r.tool)
+         |SELECT conv_id, turn_idx, tool_name,
+         | coalesce(array_to_string(present, ','), '') AS present_args,
+         | coalesce(array_to_string(list_filter(coalesce(req, []),
+         |   x -> NOT list_contains(present, x)), ','), '') AS missing_args,
+         | coalesce(array_to_string(list_filter(present,
+         |   x -> NOT list_contains(coalesce(req, []), x)), ','), '') AS unknown_args,
+         | (req IS NOT NULL
+         |  AND len(list_filter(coalesce(req, []), x -> NOT list_contains(present, x))) = 0
+         |  AND len(list_filter(present, x -> NOT list_contains(coalesce(req, []), x))) = 0)
+         |   AS args_ok
+         |FROM jd ORDER BY conv_id, turn_idx""".stripMargin,
 
     // the composed chain in SQL: audit ∩ dedup-keeper filters the
     // turn relation, then the same running-sum packing arithmetic

@@ -298,8 +298,12 @@ object PostTraining {
     * call/result turn pairs with JSON payloads, planting the audit's
     * failure classes — docs `%31==0` truncate the first call's JSON,
     * `%37==0` drop its `arguments` key, `%29==0` call an UNREGISTERED
-    * tool, and `%43==0` drop the final result turn so the last call
-    * is unpaired. Output: (conv_id, turn_idx, kind, payload). */
+    * tool, `%53==0` rename its argument to `query` (the WRONG-ARG-NAME
+    * class — passes every [[toolCallAudit]] check, caught only by
+    * [[toolArgsAudit]]'s schema diff), and `%43==0` drop the final
+    * result turn so the last call is unpaired. CASE order resolves
+    * overlapping ids (%31 beats %37 beats %29 beats %53), mirrored by
+    * the twins. Output: (conv_id, turn_idx, kind, payload). */
   def toolTurnsFromDocs(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val tool = s"CASE WHEN $idCol % 3 = 0 THEN 'search' " +
       s"WHEN $idCol % 3 = 1 THEN 'calc' ELSE 'fetch' END"
@@ -310,6 +314,9 @@ object PostTraining {
          |       THEN concat('{"name": "', $tool, '"}')
          |     WHEN $idCol % 29 = 0 AND turn_idx = 1
          |       THEN '{"name": "frobnicate", "arguments": {"q": "x"}}'
+         |     WHEN $idCol % 53 = 0 AND turn_idx = 1
+         |       THEN concat('{"name": "', $tool,
+         |         '", "arguments": {"query": "doc ', $idCol % 7, ' t', turn_idx, '"}}')
          |     ELSE concat('{"name": "', $tool,
          |       '", "arguments": {"q": "doc ', $idCol % 7, ' t', turn_idx, '"}}')
          |END""".stripMargin
@@ -350,6 +357,39 @@ object PostTraining {
         col("name_known") && col("paired"))
       .select(col("conv_id"), col("turn_idx"), col("json_ok"), col("tool_name"),
         col("has_args"), col("name_known"), col("paired"), col("call_ok"))
+  }
+
+  /** Argument-SCHEMA validation over tool calls (VERDICT r16 task 8):
+    * [[toolCallAudit]] checks that `arguments` EXISTS and the name is
+    * registered, but a call whose argument NAMES are wrong passes —
+    * the commonest synthetic-tool-call defect (a model invents
+    * `query` where the tool takes `q`). The registry extends to
+    * (tool, arg) rows; per call, the payload's argument KEY SET
+    * (json_object_keys — the engine's own JSON machinery) diffs
+    * against the tool's allowed set both ways: `missing_args` =
+    * required-not-present, `unknown_args` = present-not-allowed,
+    * `args_ok` only when both are empty for a REGISTERED tool
+    * (unknown tools have no allowed set — every arg reads unknown).
+    * Key sets travel as sorted comma-joined strings, so the output
+    * stays scalar (deterministic compare, no array columns). The
+    * aggregated registry is broadcast (tens of rows); the scan is a
+    * narrow codegen'd JSON projection, no other shuffle. */
+  def toolArgsAudit(toolTurns: DataFrame, registryArgs: DataFrame): DataFrame = {
+    val reg = registryArgs.groupBy(col("tool").as("tool_name"))
+      .agg(sort_array(collect_list(col("arg"))).as("__req"))
+    toolTurns.where(col("kind") === "call")
+      .withColumn("tool_name", get_json_object(col("payload"), "$.name"))
+      .withColumn("__present", expr(
+        "coalesce(sort_array(json_object_keys(get_json_object(payload, '$.arguments'))), array())"))
+      .join(broadcast(reg), Seq("tool_name"), "left")
+      .withColumn("__reqc", coalesce(col("__req"), expr("array()")))
+      .select(col("conv_id"), col("turn_idx"), col("tool_name"),
+        array_join(col("__present"), ",").as("present_args"),
+        array_join(expr("array_except(__reqc, __present)"), ",").as("missing_args"),
+        array_join(expr("array_except(__present, __reqc)"), ",").as("unknown_args"),
+        (col("__req").isNotNull &&
+          size(expr("array_except(__reqc, __present)")) === 0 &&
+          size(expr("array_except(__present, __reqc)")) === 0).as("args_ok"))
   }
 
   /** Deterministic preference-pair fixture over a documents relation

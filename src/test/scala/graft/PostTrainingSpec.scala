@@ -392,6 +392,31 @@ class PostTrainingSpec extends AnyFunSuite {
     assert(a((6L, 2L)).getAs[Boolean]("paired") && a((6L, 2L)).getAs[Boolean]("call_ok"))
   }
 
+  test("toolArgsAudit: wrong names, missing, unknown, unregistered, invalid JSON each land") {
+    val reg = Seq(("search", "q"), ("multi", "a"), ("multi", "b"))
+      .toDF("tool", "arg")
+    val tt = Seq(
+      (1L, 1L, "call", """{"name": "search", "arguments": {"q": "x"}}"""),   // ok
+      (2L, 1L, "call", """{"name": "search", "arguments": {"query": "x"}}"""), // wrong name
+      (3L, 1L, "call", """{"name": "search"}"""),                            // missing all
+      (4L, 1L, "call", """{"name": "multi", "arguments": {"a": 1, "c": 2}}"""), // b missing, c unknown
+      (5L, 1L, "call", """{"name": "frob", "arguments": {"q": "x"}}"""),     // unregistered
+      (6L, 1L, "call", """{"name": "search", "arguments": """),              // truncated JSON
+      (7L, 1L, "result", """{"content": "ok"}""")                            // not a call
+    ).toDF("conv_id", "turn_idx", "kind", "payload")
+    val got = PostTraining.toolArgsAudit(tt, reg).collect()
+      .map(r => r.getAs[Long]("conv_id") ->
+        ((r.getAs[String]("present_args"), r.getAs[String]("missing_args"),
+          r.getAs[String]("unknown_args"), r.getAs[Boolean]("args_ok")))).toMap
+    assert(got.size === 6, "result turns are excluded")
+    assert(got(1L) === (("q", "", "", true)))
+    assert(got(2L) === (("query", "q", "query", false)))
+    assert(got(3L) === (("", "q", "", false)))
+    assert(got(4L) === (("a,c", "b", "c", false)))
+    assert(got(5L) === (("q", "", "q", false)), "unregistered tool: no allowed set")
+    assert(got(6L) === (("", "", "", false)), "unparseable payload fails closed")
+  }
+
   test("toolTurnsFromDocs: failure classes land on the planted ids") {
     val docs = (0L until 100L).map(i => (i, s"text $i")).toDF("doc_id", "text")
     val reg = Seq("search", "calc", "fetch").toDF("tool")
