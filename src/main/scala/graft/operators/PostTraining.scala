@@ -66,15 +66,21 @@ object PostTraining {
   /** Parse line-oriented `role: content` transcripts into a turn
     * relation (conv_id, turn_idx 1-based, role, content). Lines that
     * don't match [[TurnPattern]] surface as role `invalid` with the
-    * raw line as content — a grading surface, never a dropped row
-    * (blank trailing lines are skipped: a final newline is format,
-    * not data). Narrow per-row codegen'd projection, zero shuffle. */
+    * raw line as content — a grading surface, never a dropped row.
+    * Only TRAILING blank lines are format (a final newline), stripped
+    * before the split; an INTERIOR blank line is data damage and
+    * falls through to the `invalid` branch so the audit can flag it
+    * (ADVICE r16: the old drop-all-blanks filter made interior blanks
+    * vanish silently, leaving a turn_idx gap instead of a surfaced
+    * row). Empty transcripts emit no rows. Narrow per-row codegen'd
+    * projection, zero shuffle. */
   def parseTurns(convs: DataFrame, idCol: String = "conv_id",
                  textCol: String = "transcript"): DataFrame =
     convs
+      .where(length(col(textCol)) > 0)
       .select(col(idCol).cast(LongType).as("conv_id"),
-        posexplode(split(col(textCol), "\n")).as(Seq("__i", "__line")))
-      .where(length(col("__line")) > 0)
+        posexplode(split(regexp_replace(col(textCol), "\\n+$", ""), "\n"))
+          .as(Seq("__i", "__line")))
       .select(col("conv_id"), (col("__i") + 1).cast(LongType).as("turn_idx"),
         when(col("__line").rlike(TurnPattern),
           regexp_extract(col("__line"), TurnPattern, 1))

@@ -592,7 +592,25 @@ object IngestPipeline {
       .start()
     q.processAllAvailable()
     q.stop()
-    val landed = spark.read.parquet(landDir)
+    // zero-micro-batch guard (ADVICE r16): the landing dir was
+    // cleared up front, so a stream that delivered nothing leaves no
+    // directory to read — return an empty, schema-bearing admission
+    // relation instead of throwing on the nonexistent path
+    val fs = landPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val landed =
+      if (fs.exists(landPath)) spark.read.parquet(landDir)
+      else {
+        import graft.operators.PostTraining
+        val noTurns = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          new org.apache.spark.sql.types.StructType()
+            .add("conv_id", org.apache.spark.sql.types.LongType)
+            .add("turn_idx", org.apache.spark.sql.types.LongType)
+            .add("role", org.apache.spark.sql.types.StringType)
+            .add("content", org.apache.spark.sql.types.StringType))
+        PostTraining.conversationAudit(noTurns)
+          .join(PostTraining.responseFingerprints(noTurns), Seq("conv_id"), "left")
+      }
     val groups = landed.groupBy(col("resp_fp"))
       .agg(count(lit(1)).as("group_size"), min(col("conv_id")).as("__keeper"))
     landed.join(groups, Seq("resp_fp"), "left")

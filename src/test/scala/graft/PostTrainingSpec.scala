@@ -35,6 +35,24 @@ class PostTrainingSpec extends AnyFunSuite {
       (2L, 3L, "assistant", "")))
   }
 
+  test("parseTurns: interior blank lines surface as invalid, trailing blanks are format") {
+    val df = Seq(
+      (1L, "user: hi\n\nassistant: ok\n\n\n"),  // interior blank + trailing blanks
+      (2L, "")                                   // empty transcript: no rows
+    ).toDF("conv_id", "transcript")
+    val got = PostTraining.parseTurns(df)
+      .orderBy("conv_id", "turn_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(got === Array(
+      (1L, 1L, "user", "hi"),
+      (1L, 2L, "invalid", ""),     // the damage is a surfaced row, not a gap
+      (1L, 3L, "assistant", "ok")))
+    // and the audit sees it: n_invalid fails the conversation
+    val a = PostTraining.conversationAudit(PostTraining.parseTurns(df))
+      .collect().map(r => r.getAs[Long]("conv_id") -> r.getAs[Boolean]("ok")).toMap
+    assert(a(1L) === false)
+  }
+
   test("conversationAudit: clean conversation passes every flag") {
     val a = PostTraining.conversationAudit(turns(
       (1L, 1L, "system", "s"), (1L, 2L, "user", "q"),
@@ -463,6 +481,20 @@ class PostTrainingSpec extends AnyFunSuite {
     assert(got(1L).getAs[String]("resp_fp") === got(206L).getAs[String]("resp_fp"))
     assert(got(1L).getAs[Long]("group_size") === 2L)
     assert(got(1L).getAs[Boolean]("keep") && !got(206L).getAs[Boolean]("keep"))
+  }
+
+  test("runSftAdmission: a stream that delivers zero micro-batches returns an empty relation") {
+    import graft.streaming.IngestPipeline
+    val dir = java.nio.file.Files.createTempDirectory("graft-sft-empty").toString
+    // a schema-bearing source directory with no files: the stream
+    // starts, drains zero batches, and the landing dir never exists
+    Seq((0L, "seed")).toDF("doc_id", "text").write.parquet(s"$dir/seed")
+    new java.io.File(s"$dir/src").mkdirs()
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .parquet(s"$dir/src")
+    val out = IngestPipeline.runSftAdmission(spark, stream, s"$dir/land")
+    assert(out.columns.contains("admitted"), "schema must survive the empty path")
+    assert(out.count() === 0L)
   }
 
   test("render→parse round trip: no invalid rows, turn counts match the fixture arithmetic") {
