@@ -455,10 +455,16 @@ object Similarity {
     * broadcast. Output: (vec_id, embedding, cell) — one row per
     * assigned cell. */
   private def coarseAssign(df: DataFrame, cents: DataFrame, n: Int): DataFrame = {
-    val sims = df.join(broadcast(cents))
+    // norms hoisted out of the per-(vector, centroid) pair loop
+    // (optimization r17): the old shape recomputed vec_norm(embedding)
+    // kCent times per vector and vec_norm(cent_emb) once per PAIR —
+    // both are per-ROW constants. Same IEEE ops on the same operands
+    // (dot / (nrm_v · nrm_c)), so cent_sim is bit-identical.
+    val sims = df.withColumn("__vnrm", vec_norm(col("embedding")))
+      .join(broadcast(cents.withColumn("__cnrm", vec_norm(col("cent_emb")))))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
         (vec_dot(col("embedding"), col("cent_emb")) /
-          (vec_norm(col("embedding")) * vec_norm(col("cent_emb")))).as("cent_sim"))
+          (col("__vnrm") * col("__cnrm"))).as("cent_sim"))
     if (n == 1)
       sims.groupBy(col("vec_id"))
         .agg(max(struct(col("cent_sim"), (-col("cent_id")).as("neg_id"),
@@ -1196,6 +1202,13 @@ object Similarity {
     * width (fixed, small), never the corpus. */
   def embeddingCovariance(embs: DataFrame, vecCol: String = "embedding",
                           idCol: String = "vec_id"): DataFrame = {
+    // Optimization r17 note: an array-generator rewrite (per-vector
+    // nested transform → flatten → explode of the d² upper triangle)
+    // was tried and MEASURED ~9x SLOWER at sf0.1 (694ms best → 9.0s
+    // isolated) — the self-join below already plans as a BROADCAST
+    // hash join (no shuffle), and Spark streams its n·d² output rows
+    // straight into the partial aggregate, while the generator path
+    // materializes a 2080-struct array object per vector. Kept as-is.
     val ce = centeredComponents(embs, vecCol, idCol).truncateLineage
     val a = ce.select(col("vec_id"), col("dim").as("dim_i"), col("cx").as("ca"))
     val b = ce.select(col("vec_id"), col("dim").as("dim_j"), col("cx").as("cb"))

@@ -85,25 +85,34 @@ object TextQuality {
     * dsirScore posture); the twin mirrors the omission. */
   def unigramLogProb(docs: DataFrame, textCol: String = "text",
                      idCol: String = "doc_id"): DataFrame = {
-    val words = docs
+    // Type-level scoring (optimization r17): every occurrence of the
+    // same word contributes the IDENTICAL rounded ln(cnt/total), so the
+    // model probe runs once per (doc, word) — the per-doc TYPE relation
+    // — with the occurrence count re-attached as an exact integer
+    // multiplier on the DECIMAL term. One tokenize pass (the old shape
+    // scanned the exploded stream twice: counts + probe) and the word-
+    // keyed join shrinks from corpus token occurrences to per-doc
+    // vocabulary size. sum(l·occ) == old sum-over-occurrences exactly —
+    // PROVIDED the multiplier rides as DECIMAL(9,0): against a BIGINT,
+    // Spark's precision-loss rule turns DECIMAL(28,12)×DECIMAL(20,0)
+    // into DECIMAL(38,6) and silently rounds the term (caught by the
+    // oracle at 1 ulp). 28+9+1 = 38 keeps scale 12 exact; occ is a
+    // per-doc occurrence count, far below 10^9 for any row-sized doc.
+    val dw = docs
       .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("tok"))
       .select(col("doc_id"), TextOps.cleanWord(col("tok")).as("word"))
       .where(length(col("word")) > 0)
-    // the vocabulary is consumed twice (probe join + total): checkpoint
-    // the vocab-sized relation once so the corpus-scale tokenize+agg
-    // behind it runs once, not per consumer (the commitMerge device;
-    // the token stream itself stays unmaterialized — two narrow scans
-    // beat storing an exploded corpus)
-    val counts = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .truncateLineage
-    val total = counts.agg(sum(col("cnt")).cast(DoubleType).as("total"))
-    words.join(counts, Seq("word"))
-      .crossJoin(broadcast(total))
-      .select(col("doc_id"),
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("occ"))
+      .truncateLineage // three consumers: vocab counts, total, probe join
+    val counts = dw.groupBy(col("word")).agg(sum(col("occ")).as("cnt"))
+    val total = dw.agg(sum(col("occ")).cast(DoubleType).as("total"))
+    val scored = counts.crossJoin(broadcast(total))
+      .select(col("word"),
         round(log(col("cnt").cast(DoubleType) / col("total")), 12)
           .cast(DecimalType(28, 12)).as("l"))
+    dw.join(scored, Seq("word"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("l")).as("sl"))
+      .agg(sum(col("occ")).as("n_tokens"), sum(col("l") * col("occ").cast(DecimalType(9, 0))).as("sl"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("sl").cast(DoubleType), 6).as("logprob"),
         round(col("sl").cast(DoubleType) / col("n_tokens"), 6).as("avg_logprob"))
@@ -141,28 +150,37 @@ object TextQuality {
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .truncateLineage
     val total = uni.agg(sum(col("cnt")).cast(DoubleType).as("total"))
-    def bigrams = base.where(size(col("ws")) >= 2)
+    // Type-level scoring (optimization r17, the unigramLogProb device):
+    // one bigram pass aggregated to per-doc TYPE counts (the old shape
+    // re-ran the explode for the model build and probed the model per
+    // OCCURRENCE — three corpus-scale string-keyed join shuffles). The
+    // corpus type counts derive from the same relation (sum of occ), the
+    // model joins run on the vocab²-bounded type table, and the scored
+    // term re-attaches by an exact integer multiplier: sum(l·occ) equals
+    // the old per-occurrence DECIMAL sum exactly, and `tcnt >=
+    // minBigramCount` is precisely the old pruned-model left-join hit.
+    val dt = base.where(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("ws")) - 1),
         i => struct(element_at(col("ws"), i).as("prev"),
           element_at(col("ws"), i + 1).as("cur")))).as("b"))
       .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
-    val model = bigrams.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("bcnt"))
-      .where(col("bcnt") >= minBigramCount)
-      .truncateLineage
+      .groupBy(col("doc_id"), col("prev"), col("cur")).agg(count(lit(1)).as("occ"))
+      .truncateLineage // two consumers: corpus type counts + probe join
+    val types = dt.groupBy(col("prev"), col("cur")).agg(sum(col("occ")).as("tcnt"))
     val up = uni.select(col("word").as("prev"), col("cnt").as("pc"))
     val uc = uni.select(col("word").as("cur"), col("cnt").as("cc"))
-    bigrams
-      .join(model, Seq("prev", "cur"), "left")
+    val scoredTypes = types
       .join(up, Seq("prev"))
       .join(uc, Seq("cur"))
       .crossJoin(broadcast(total))
-      .select(col("doc_id"),
-        round(when(col("bcnt").isNotNull,
-            log(col("bcnt").cast(DoubleType) / col("pc").cast(DoubleType)))
+      .select(col("prev"), col("cur"),
+        round(when(col("tcnt") >= minBigramCount,
+            log(col("tcnt").cast(DoubleType) / col("pc").cast(DoubleType)))
           .otherwise(log(lit(alpha) * col("cc").cast(DoubleType) / col("total"))), 12)
           .cast(DecimalType(28, 12)).as("l"))
+    dt.join(scoredTypes, Seq("prev", "cur"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("l")).as("sl"))
+      .agg(sum(col("occ")).as("n_bigrams"), sum(col("l") * col("occ").cast(DecimalType(9, 0))).as("sl"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("sl").cast(DoubleType), 6).as("logprob"),
         round(col("sl").cast(DoubleType) / col("n_bigrams"), 6).as("avg_logprob"))
@@ -201,36 +219,42 @@ object TextQuality {
       .select(col("b.b1").as("b1"), col("b.b2").as("b2"))
     val bi = bigrams.groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("bc"))
       .truncateLineage
-    def trigrams = base.where(size(col("ws")) >= 3)
+    // Type-level scoring (optimization r17, the bigramLogProb device):
+    // one trigram pass → per-doc TYPE counts; the numerator prune and
+    // all four model joins run on the type table (`tc0 >= minCount` ≡
+    // the old pruned-triModel left-join hit), the scored term re-attaches
+    // by exact integer multiplier. The old shape exploded trigrams twice
+    // and dragged every occurrence through a 5-join string-keyed chain.
+    val dt3 = base.where(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(transform(sequence(lit(2), size(col("ws")) - 1),
         i => struct(element_at(col("ws"), i - 1).as("p2"),
           element_at(col("ws"), i).as("p1"),
           element_at(col("ws"), i + 1).as("cur")))).as("g"))
       .select(col("doc_id"), col("g.p2").as("p2"), col("g.p1").as("p1"), col("g.cur").as("cur"))
-    val triModel = trigrams.groupBy(col("p2"), col("p1"), col("cur"))
-      .agg(count(lit(1)).as("tc")).where(col("tc") >= minCount)
-      .truncateLineage
+      .groupBy(col("doc_id"), col("p2"), col("p1"), col("cur")).agg(count(lit(1)).as("occ"))
+      .truncateLineage // two consumers: corpus type counts + probe join
+    val types3 = dt3.groupBy(col("p2"), col("p1"), col("cur")).agg(sum(col("occ")).as("tc0"))
     val biModel = bi.where(col("bc") >= minCount)
       .select(col("b1").as("p1"), col("b2").as("cur"), col("bc").as("mbc"))
     val ctx = bi.select(col("b1").as("p2"), col("b2").as("p1"), col("bc").as("cbc"))
     val up = uni.select(col("word").as("p1"), col("cnt").as("pc"))
     val uc = uni.select(col("word").as("cur"), col("cnt").as("cc"))
-    trigrams
-      .join(triModel, Seq("p2", "p1", "cur"), "left")
+    val scoredTypes = types3
       .join(biModel, Seq("p1", "cur"), "left")
       .join(ctx, Seq("p2", "p1"))
       .join(up, Seq("p1"))
       .join(uc, Seq("cur"))
       .crossJoin(broadcast(total))
-      .select(col("doc_id"),
-        round(when(col("tc").isNotNull,
-            log(col("tc").cast(DoubleType) / col("cbc").cast(DoubleType)))
+      .select(col("p2"), col("p1"), col("cur"),
+        round(when(col("tc0") >= minCount,
+            log(col("tc0").cast(DoubleType) / col("cbc").cast(DoubleType)))
           .when(col("mbc").isNotNull,
             log(lit(alpha) * col("mbc").cast(DoubleType) / col("pc").cast(DoubleType)))
           .otherwise(log(lit(alpha) * lit(alpha) * col("cc").cast(DoubleType) / col("total"))), 12)
           .cast(DecimalType(28, 12)).as("l"))
+    dt3.join(scoredTypes, Seq("p2", "p1", "cur"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_trigrams"), sum(col("l")).as("sl"))
+      .agg(sum(col("occ")).as("n_trigrams"), sum(col("l") * col("occ").cast(DecimalType(9, 0))).as("sl"))
       .select(col("doc_id"), col("n_trigrams"),
         round(col("sl").cast(DoubleType), 6).as("logprob"),
         round(col("sl").cast(DoubleType) / col("n_trigrams"), 6).as("avg_logprob"))

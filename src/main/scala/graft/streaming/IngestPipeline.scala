@@ -99,7 +99,7 @@ object IngestPipeline {
     // the store AS OF this batch: seed + strictly earlier commits
     val priorDirs = s"$storeDir/seed" +:
       storeBatchIds(storeDir).filter(_ < batchId).map(i => s"$storeDir/b$i")
-    val storeAll = priorDirs.map(ss.read.parquet(_)).reduce(_ unionAll _)
+    val storeAll = ss.read.parquet(priorDirs: _*)
     val store =
       if (bloomBits <= 0L) storeAll
       else graft.operators.Sketches.bloomSemiFilter(
@@ -114,9 +114,8 @@ object IngestPipeline {
       .select(col("doc_id"), col("lang"), col("text"))
     // near-dup admission against the band store AS OF this batch
     val admitted = bandStoreDir.fold(survivors) { bd =>
-      val bandPrior = (s"$bd/seed" +:
-        storeBatchIds(bd).filter(_ < batchId).map(i => s"$bd/b$i"))
-        .map(ss.read.parquet(_)).reduce(_ unionAll _)
+      val bandPrior = ss.read.parquet(s"$bd/seed" +:
+        storeBatchIds(bd).filter(_ < batchId).map(i => s"$bd/b$i"): _*)
       Dedup.incrementalMinhashDedup(survivors, bandPrior)
         .truncateLineage // consumed twice: resample + band commit
     }
@@ -155,7 +154,7 @@ object IngestPipeline {
     healStore(storeDir)
     val priorDirs = s"$storeDir/seed" +:
       storeBatchIds(storeDir).filter(_ < batchId).map(i => s"$storeDir/b$i")
-    val store = priorDirs.map(ss.read.parquet(_)).reduce(_ unionAll _)
+    val store = ss.read.parquet(priorDirs: _*)
     val hashed = paras.select(col("doc_id"), col("pos"), col("para"),
       xxhash64(col("para")).as("ph"))
     val w = org.apache.spark.sql.expressions.Window
@@ -344,7 +343,7 @@ object IngestPipeline {
       .write.mode("overwrite").parquet(s"$cubeDir/b$batchId")
     val priorDirs = s"$digestDir/seed" +:
       storeBatchIds(digestDir).filter(_ < batchId).map(i => s"$digestDir/b$i")
-    val store = priorDirs.map(ss.read.parquet(_)).reduce(_ unionAll _)
+    val store = ss.read.parquet(priorDirs: _*)
     Dedup.incrementalDigestDedup(batch, store).select(col("h"))
       .write.mode("overwrite").parquet(s"$digestDir/b$batchId")
   }
@@ -367,15 +366,15 @@ object IngestPipeline {
       .start()
     q.processAllAvailable()
     q.stop()
-    val cube = storeBatchIds(cubeDir).map(i => spark.read.parquet(s"$cubeDir/b$i"))
-      .reduce(_ unionAll _)
+    val cube = spark.read.parquet(
+      storeBatchIds(cubeDir).map(i => s"$cubeDir/b$i"): _*)
       .groupBy(col("lang"), col("source"), col("n_toks"))
       .agg(sum(col("cnt")).as("cnt"), sum(col("chars")).as("chars"),
         sum(col("n_pass")).as("n_pass"))
     healStore(digestDir)
     val digestDirs = s"$digestDir/seed" +:
       storeBatchIds(digestDir).map(i => s"$digestDir/b$i")
-    val nDistinct = digestDirs.map(spark.read.parquet(_)).reduce(_ unionAll _)
+    val nDistinct = spark.read.parquet(digestDirs: _*)
       .agg(count(lit(1)).as("n_distinct"))
     graft.operators.Corpus.datasetCardFromCube(cube, nDistinct)
   }
@@ -412,7 +411,7 @@ object IngestPipeline {
       .select(col("doc_id"))
     val priorDirs = s"$fpStoreDir/seed" +:
       storeBatchIds(fpStoreDir).filter(_ < batchId).map(i => s"$fpStoreDir/b$i")
-    val store = priorDirs.map(ss.read.parquet(_)).reduce(_ unionAll _)
+    val store = ss.read.parquet(priorDirs: _*)
     val storeRej = fps.join(store.select(col("doc_id").as("e"), col("fp")), "fp")
       .groupBy(col("doc_id"), col("e")).agg(count(lit(1)).as("n"))
       .where(col("n") >= minShared).select(col("doc_id"))
@@ -460,7 +459,7 @@ object IngestPipeline {
     val ids = storeBatchIds(storeDir).filter(_ <= throughBatch)
     if (ids.isEmpty) return 0L
     val dirs = s"$storeDir/seed" +: ids.map(i => s"$storeDir/b$i")
-    val merged = dirs.map(spark.read.parquet(_)).reduce(_ unionAll _).distinct()
+    val merged = spark.read.parquet(dirs: _*).distinct()
     val staging = s"$storeDir/.seed_next"
     merged.coalesce(1).write.mode("overwrite").parquet(staging)
     // swap by METADATA renames, never an rm of live data: the only
