@@ -3451,8 +3451,15 @@ object SparkEntry {
           }
       }
       val ss = streamSession(s)
-      val docs = t(ss, d).documents
-      // policy snapshot: the batch e2e's rate solve, reused verbatim
+      // policy snapshot: the batch e2e's rate solve, reused verbatim.
+      // Computed in the OUTER session deliberately (optimization r17):
+      // the snapshot is a corpus-scale batch pipeline (paragraph dedup,
+      // gopher gate, profile), and the stream session's state-sized
+      // 4-partition conf was measured costing a 4.5s localCheckpoint
+      // here vs ~1s at the CPU-count partitioning. The materialized
+      // rates relation is tiny and session-independent (one shared
+      // SparkContext), and its VALUES are unchanged.
+      val docs = t(s, d).documents
       val pagesB = Html.pageFromDocs(docs)
         .select(col("doc_id"), regexp_replace(col("html"), "<div>\n",
           java.util.regex.Matcher.quoteReplacement("<div>\n" + Html.BoilerFixturePara))

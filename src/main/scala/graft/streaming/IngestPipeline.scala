@@ -39,6 +39,18 @@ import graft.plans.Lineage.TruncateOps
   */
 object IngestPipeline {
 
+  /** Fan a micro-batch out to scan-level parallelism before its heavy
+    * narrow work (optimization r17, guide §2.5 "one huge unsplittable
+    * file"): a file-stream micro-batch is typically ONE file — one
+    * scan task — so every regex/digest/shingle projection planned
+    * below the first exchange runs single-threaded. One deterministic
+    * hash repartition on the row key buys core-count parallelism for
+    * the batch's map work; post-shuffle stages keep the stream
+    * session's own (state-sized) partitioning. defaultParallelism
+    * scales with the session's cores — never a hard-coded constant. */
+  private[streaming] def fanOut(df: DataFrame, keyCol: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(keyCol))
+
   val docSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("lang", StringType),
     StructField("text", StringType)))
@@ -95,6 +107,7 @@ object IngestPipeline {
                   bloomItems: Long = 100000L,
                   bandStoreDir: Option[String] = None): Unit = {
     val ss = batch.sparkSession
+    val batchP = fanOut(batch, "doc_id") // sha256/minhash/chunk work parallel
     healStore(storeDir) // finish any interrupted compaction swap first
     // the store AS OF this batch: seed + strictly earlier commits
     val priorDirs = s"$storeDir/seed" +:
@@ -106,11 +119,11 @@ object IngestPipeline {
         // might_contain probes on BIGINT: key the filter on the 64-bit
         // hash of the digest on BOTH sides (equal digests → equal
         // hashes, so the no-false-negative guarantee carries over)
-        batch.select(xxhash64(sha2(col("text"), 256)).as("k")), "k",
+        batchP.select(xxhash64(sha2(col("text"), 256)).as("k")), "k",
         storeAll.withColumn("__k", xxhash64(col("h"))), "__k",
         bloomItems, bloomBits).drop("__k")
-    val fresh = Dedup.incrementalDigestDedup(batch, store)
-    val survivors = batch.join(fresh.select(col("doc_id")), Seq("doc_id"))
+    val fresh = Dedup.incrementalDigestDedup(batchP, store)
+    val survivors = batchP.join(fresh.select(col("doc_id")), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("text"))
     // near-dup admission against the band store AS OF this batch
     val admitted = bandStoreDir.fold(survivors) { bd =>
@@ -185,7 +198,7 @@ object IngestPipeline {
                     outDir: String): DataFrame = {
     val q = pageStream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        paraIngestBatch(graft.operators.Html.extractBlocks(batch.toDF()),
+        paraIngestBatch(graft.operators.Html.extractBlocks(fanOut(batch.toDF(), "doc_id")),
           batchId, storeDir, outDir)
       }
       .start()
@@ -215,11 +228,15 @@ object IngestPipeline {
                             storeDir: String, landDir: String, frontierDir: String,
                             langDim: DataFrame, rates: DataFrame, k: Int): DataFrame = {
     require(k > 0, "runWarcTrainingIngest needs k > 0")
+    // loop-invariant dimension pinned once — a per-batch broadcast of
+    // an unpinned langDim re-scans the dimension source every batch
+    val langFrozen = langDim.truncateLineage
     val q = containerStream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val recs = graft.sources.Warc.records(batch.toDF().select(col("content")))
         // the fixture's fetch_ts stamp is invertible (warc_ingest)
-        val pages = recs.select((col("fetch_ts") - 1700000000L).as("doc_id"), col("html"))
+        val pages = fanOut(
+          recs.select((col("fetch_ts") - 1700000000L).as("doc_id"), col("html")), "doc_id")
         paraIngestBatch(graft.operators.Html.extractBlocks(pages),
           batchId, storeDir, landDir)
         val landed = spark.read.parquet(s"$landDir/batch_id=$batchId")
@@ -227,7 +244,7 @@ object IngestPipeline {
         val gated = graft.operators.TextQuality.gopherQualityGate(landed)
           .where(col("keep")).select(col("doc_id"))
           .join(landed, Seq("doc_id"))
-          .join(langDim, Seq("doc_id"))
+          .join(langFrozen, Seq("doc_id"))
         val mixed = gated.join(broadcast(rates), "lang")
           .where(graft.operators.Corpus.hashPermille(col("text")) < col("keep_permille"))
           .select(col("doc_id"), col("text"))
@@ -278,14 +295,18 @@ object IngestPipeline {
     val landPath = new org.apache.hadoop.fs.Path(landDir)
     landPath.getFileSystem(spark.sessionState.newHadoopConf())
       .delete(landPath, true)
+    // rule relations are loop-invariant; unpinned, each micro-batch
+    // rebuilds them from their source scans (optimization r17)
+    val blockFrozen = blockRules.truncateLineage
+    val robotsFrozen = robotsRules.truncateLineage
     val canon = urlStream
       .select(Html.stripTrackingParams(col("url")).as("url"))
       .dropDuplicates("url")
     val q = canon.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val urls = batch.toDF()
-        val graded = Html.blocklistFilter(urls, blockRules)
-          .join(Html.robotsFilter(urls, robotsRules)
+        val graded = Html.blocklistFilter(urls, blockFrozen)
+          .join(Html.robotsFilter(urls, robotsFrozen)
             .withColumnRenamed("rule", "robots_rule"), Seq("url"))
           .withColumn("admitted", !col("blocked") && col("allowed"))
         graded.write.mode("overwrite").parquet(s"$landDir/batch_id=$batchId")
@@ -315,6 +336,8 @@ object IngestPipeline {
     require(k > 0, "runPrioritySampleIngest needs k > 0")
     val q = docStream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // fanOut measured a NET LOSS here (priority keys are one md5
+        // per row — cheaper than shuffling the text): keep single-scan
         graft.operators.Corpus.priorityKeyed(batch.toDF())
           .orderBy(col("__key"), col("doc_id")).limit(k + 1)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
@@ -338,13 +361,14 @@ object IngestPipeline {
   def cardBatch(batch: DataFrame, batchId: Long, cubeDir: String,
                 digestDir: String): Unit = {
     val ss = batch.sparkSession
+    val batchP = fanOut(batch, "doc_id") // sha256 + token histogram parallel
     healStore(digestDir)
-    graft.operators.Corpus.datasetCardCube(batch)
+    graft.operators.Corpus.datasetCardCube(batchP)
       .write.mode("overwrite").parquet(s"$cubeDir/b$batchId")
     val priorDirs = s"$digestDir/seed" +:
       storeBatchIds(digestDir).filter(_ < batchId).map(i => s"$digestDir/b$i")
     val store = ss.read.parquet(priorDirs: _*)
-    Dedup.incrementalDigestDedup(batch, store).select(col("h"))
+    Dedup.incrementalDigestDedup(batchP, store).select(col("h"))
       .write.mode("overwrite").parquet(s"$digestDir/b$batchId")
   }
 
@@ -399,7 +423,7 @@ object IngestPipeline {
                   k: Int = 3, w: Int = 4): Unit = {
     val ss = batch.sparkSession
     healStore(fpStoreDir)
-    val fpsAll = Dedup.winnowingFingerprints(batch, k, w)
+    val fpsAll = Dedup.winnowingFingerprints(fanOut(batch, "doc_id"), k, w)
       .select(col("doc_id"), col("fp")).distinct()
     val rare = fpsAll.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select(col("fp"))
@@ -497,9 +521,13 @@ object IngestPipeline {
                       chunkSize: Int = 256, bloomBits: Long = 0L,
                       bloomItems: Long = 100000L,
                       bandStoreDir: Option[String] = None): DataFrame = {
+    // pin the loop-invariant policy ONCE (optimization r17): rates is
+    // typically a corpus-scale aggregate, and the per-batch broadcast
+    // otherwise recomputes it from source every micro-batch
+    val frozenRates = rates.truncateLineage
     val q = docStream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        ingestBatch(batch.toDF(), batchId, storeDir, rates, outDir,
+        ingestBatch(batch.toDF(), batchId, storeDir, frozenRates, outDir,
           targetRowsPerFile, chunkSize, bloomBits, bloomItems, bandStoreDir)
       }
       .start()
@@ -535,6 +563,8 @@ object IngestPipeline {
     val frozen = model.truncateLineage
     val q = docStream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // fanOut measured +26% here (the scorer's explode+broadcast
+        // probe is cheaper than shuffling the text payload): single-scan
         scorer(batch.toDF(), frozen)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         ()
@@ -581,6 +611,9 @@ object IngestPipeline {
       .delete(landPath, true)
     val q = docStream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // fanOut measured 2.15x SLOWER here — render/parse is one
+        // regex split per transcript, far cheaper than shuffling the
+        // transcripts; keep the batch single-scan
         val turns = PostTraining.parseTurns(
           PostTraining.renderTranscripts(batch.toDF()))
         PostTraining.conversationAudit(turns)

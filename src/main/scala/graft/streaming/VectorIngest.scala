@@ -50,12 +50,15 @@ object VectorIngest {
                      m: Int = 16, dim: Int = 64, threshold: Double = 1.5,
                      minBatchPerCell: Long = 4L): Unit = {
     val ss = batch.sparkSession
+    // one-file micro-batch = one scan task: fan out before the
+    // broadcast assignment + residual encode (IngestPipeline.fanOut)
+    val batchP = IngestPipeline.fanOut(batch, "vec_id")
     val index = Similarity.ivfPqReadGrown(ss, indexDir, m, dim)
-    val (cellsNew, codesNew) = Similarity.ivfPqEncodeBatch(index, batch)
+    val (cellsNew, codesNew) = Similarity.ivfPqEncodeBatch(index, batchP)
     cellsNew.write.mode("overwrite").parquet(s"$indexDir/cells/b$batchId")
     codesNew.write.mode("overwrite").parquet(s"$indexDir/codes/b$batchId")
     Similarity.appendDrift(index, ss.read.parquet(s"$indexDir/baseline"),
-        batch, threshold, minBatchPerCell)
+        batchP, threshold, minBatchPerCell)
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite").parquet(s"$indexDir/drift/b$batchId")
   }
