@@ -427,8 +427,21 @@ object Graph {
     val wedges = oriented.as("x").join(oriented.as("y"),
         col("x.u") === col("y.u") && col("x.v") < col("y.v"))
       .select(col("x.u").as("u"), col("x.v").as("p"), col("y.v").as("q"))
+    // Closure-probe strategy (optimization r17, guide §3.1): the wedge
+    // relation is Σ outdeg² rows — 41M at sf0.1 on the co-purchase
+    // graph, orders of magnitude larger than |E| — while `e` is two
+    // longs per edge. Left to itself the planner reuses e's
+    // (a, b) hash partitioning from the distinct and SHUFFLES THE
+    // WEDGES to match it (measured: the closure exchange+sort was the
+    // query's dominant stage). Broadcasting e fuses wedge generation
+    // and the closure probe into one codegen stage with no wedge
+    // exchange at all. Size-gated on the (already materialized) edge
+    // count so a graph whose edge set cannot broadcast keeps the
+    // shuffle plan — one driver-side scalar, the pageRank-n class.
+    val eKeys = e.select(col("a").as("p"), col("b").as("q"))
+    val eProbe = if (e.count() <= 4000000L) broadcast(eKeys) else eKeys
     val closed = wedges
-      .join(e.select(col("a").as("p"), col("b").as("q")), Seq("p", "q"))
+      .join(eProbe, Seq("p", "q"))
       .select(col("u").as("n1"), col("p").as("n2"), col("q").as("n3"))
     closed
       .select(explode(array(col("n1"), col("n2"), col("n3"))).as("node"))
