@@ -18,11 +18,15 @@ import graft.plans.Lineage.TruncateOps
   * the node list for in-degree-zero nodes. The edge relation with its
   * degrees is materialized ONCE before the loop (it never changes);
   * each iteration's rank vector is node-sized — 100 TB of edges can
-  * drive it, but the iterated state stays |V|, not |E|. Lineage is
-  * truncated per round (Lineage.truncate: localCheckpoint on
+  * drive it, but the iterated state stays |V|, not |E|. Loop-invariant
+  * relations are pinned once via Lineage.truncate (localCheckpoint on
   * local[32], reliable checkpoint() when spark.graft.checkpointDir is
-  * set — the cluster-operability seam) so plan depth stays constant
-  * in `iters`.
+  * set — the cluster-operability seam). LINEAR iteration chains
+  * (PageRank family, LPA: state appears once per round) run unrolled
+  * as one O(iters)-operator query — per-round pins were measured pure
+  * overhead (optimization r17) — while loops whose round state is
+  * consumed twice (HITS half-steps, kCore, star components) keep
+  * per-round truncation, or the plan tree doubles each round.
   */
 object Graph {
 
@@ -57,6 +61,15 @@ object Graph {
     val degE = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
       .truncateLineage
     val base = (1.0 - damping) / n
+    // The iteration chain is LINEAR in the plan tree: rank_r appears
+    // exactly once inside rank_{r+1}, and the twice-consumed relations
+    // (nodes, degE) are checkpointed LEAVES above — so the unrolled
+    // 5-step plan is O(iters) operators, and the per-round pin the
+    // loop used to carry bought nothing but ~3 extra jobs per round
+    // (checkpoint write + broadcast rebuilds). Optimization r17:
+    // iterate lazily, run the whole unrolled DAG as one query.
+    // (kCore/HITS keep per-round pins — their per-round state is
+    // consumed twice, which doubles the tree per round.)
     var rank = nodes.select(col("node"), lit(1.0 / n).as("rank"))
     for (_ <- 1 to iters) {
       val contrib = rank.join(degE, col("node") === col("src"))
@@ -66,7 +79,6 @@ object Graph {
       rank = nodes.join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(base) + lit(damping) * coalesce(col("s").cast("double"), lit(0.0))).as("rank"))
-        .truncateLineage
     }
     rank.select(col("node"), round(col("rank"), 8).as("pr"))
   }
@@ -77,7 +89,7 @@ object Graph {
     * instead of uniformly. Same exactness discipline as [[pageRank]]:
     * contribution = round(rank·w/wsum, 12) with integer w/wsum cast
     * to double (two IEEE ops on identical inputs), DECIMAL(38,12)
-    * sums, \|V\| iterated state, per-round lineage truncation. */
+    * sums, \|V\| iterated state, unrolled linear chain. */
   def weightedPageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
                        srcCol: String = "src", dstCol: String = "dst",
                        weightCol: String = "w"): DataFrame = {
@@ -101,7 +113,7 @@ object Graph {
       rank = nodes.join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(base) + lit(damping) * coalesce(col("s").cast("double"), lit(0.0))).as("rank"))
-        .truncateLineage
+      // linear chain — no per-round pin needed (see pageRank)
     }
     rank.select(col("node"), round(col("rank"), 8).as("wpr"))
   }
@@ -117,7 +129,7 @@ object Graph {
     *
     * Same exactness discipline and scale shape as [[pageRank]]
     * (rounded(12) contributions, DECIMAL(38,12) sums, |V| iterated
-    * state, per-round lineage truncation); the seed flag is joined
+    * state, unrolled linear chain); the seed flag is joined
     * onto the node list ONCE before the loop. Seeds outside the graph
     * are ignored; |S| counts in-graph seeds (one driver scalar, the
     * pageRank-n class of driver touch). Output: (node, ppr) rounded
@@ -148,7 +160,7 @@ object Graph {
       rank = flagged.join(contrib, col("node") === col("dst"), "left")
         .select(col("node"), col("is_seed"),
           (base + lit(damping) * coalesce(col("s").cast("double"), lit(0.0))).as("rank"))
-        .truncateLineage
+      // linear chain — no per-round pin needed (see pageRank)
     }
     rank.select(col("node"), round(col("rank"), 8).as("ppr"))
   }
@@ -294,8 +306,8 @@ object Graph {
     *
     * Scale shape: per round ONE join against the undirected edge
     * relation (materialized once) and one (node, label) count whose
-    * mode is a bounded max_by buffer — state is |V| labels, lineage
-    * truncated per round (the pageRank device). Rounds are FIXED so
+    * mode is a bounded max_by buffer — state is |V| labels, iterated
+    * as an unrolled linear chain (the pageRank device). Rounds are FIXED so
     * the twin can unroll them as CTEs; synchronous LPA can oscillate
     * on bipartite structure, and a fixed-round snapshot reports that
     * deterministically instead of looping forever. */
@@ -313,7 +325,8 @@ object Graph {
         .agg(max_by(col("label"), struct(col("cnt"), (-col("label")).as("nl"))).as("label"))
       lab = nodes.join(next.withColumnRenamed("src", "node"), Seq("node"), "left")
         .select(col("node"), coalesce(col("label"), col("node")).as("label"))
-        .truncateLineage
+      // linear chain — lab appears once per round; und/nodes are
+      // checkpointed leaves, so the unrolled plan is O(rounds)
     }
     lab.select(col("node"), col("label").as("community"))
   }
