@@ -165,6 +165,17 @@ object Html {
   def pageFromDocs(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id", wordsPerPara: Int = 12,
                    linkSpace: Int = DefaultLinkSpace): DataFrame = {
+    // Fan out before building (optimization r17): the documents table
+    // is one small parquet file — a single scan task — so page
+    // construction AND every downstream narrow regex stage (dropInert,
+    // block split, entity decode) otherwise run single-threaded in the
+    // scan stage of all ~40 crawl-front-door consumers. One
+    // deterministic hash exchange of the (tiny) documents relation
+    // buys core-count parallelism for the whole chain; row-wise
+    // results are unchanged. defaultParallelism scales with the
+    // session, never a constant.
+    val fanned = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
     val ws = filter(split(escapeHtml(col(textCol)), "\\s+"), w => length(w) > 0)
     val nPara = ceil(size(col("ws")).cast(DoubleType) / wordsPerPara).cast(IntegerType)
     // guard the empty case: sequence(1, 0) would step BACKWARDS
@@ -174,7 +185,7 @@ object Html {
           concat_ws(" ", slice(col("ws"), (i - 1) * wordsPerPara + 1, lit(wordsPerPara))),
           lit("</p>\n"))))
       .otherwise(array().cast(ArrayType(StringType)))
-    docs
+    fanned
       .select(col(idCol).as("doc_id"), ws.as("ws"))
       .select(col("doc_id"), col("ws"), nPara.as("np"))
       .select(col("doc_id"), concat(

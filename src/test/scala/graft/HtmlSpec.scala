@@ -276,11 +276,18 @@ class HtmlSpec extends AnyFunSuite {
     assert(hostEdges === want)
   }
 
-  test("plan shape: page build + extraction is one narrow projection — zero shuffles") {
+  test("plan shape: page build + extraction is narrow past ONE deliberate fan-out exchange") {
+    // pageFromDocs fans its input to defaultParallelism before page
+    // assembly (optimization r17: the documents table is one scan task
+    // otherwise, serializing the whole regex chain) — so the pinned
+    // shape is exactly ONE exchange, and it must be the explicit
+    // repartition, not a join/aggregate shuffle that crept in.
     val docs = Seq((0L, "a b c")).toDF("doc_id", "text")
     val df = Html.extractMain(Html.pageFromDocs(docs))
-    assert(graft.plans.Bucketing.shuffleExchangeCount(df) === 0,
+    assert(graft.plans.Bucketing.shuffleExchangeCount(df) === 1,
       df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode))
+    assert(df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+      .contains("REPARTITION_BY_NUM"))
   }
 
   test("empty doc page still shows the 3 chrome blocks, extracts nothing") {
