@@ -38,6 +38,16 @@ import graft.plans.Lineage.TruncateOps
   */
 object Multimodal {
 
+
+  /** Fan the documents input out to scan-level parallelism before the
+    * codec UDFs (optimization r17, the Html.pageFromDocs device): the
+    * documents table is one scan task at every shipped SF, so encode —
+    * and every downstream decode planned in the same stage — otherwise
+    * runs single-threaded. Deterministic hash exchange; row-wise
+    * results unchanged. */
+  private def fanDocs(docs: DataFrame): DataFrame =
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
     StructField("content", BinaryType),
@@ -52,7 +62,7 @@ object Multimodal {
     * Metadata derives width/height from byte length so downstream
     * logic has real variation to chew on. */
   def fakeMediaFromDocs(docs: DataFrame): DataFrame =
-    docs.select(
+    fanDocs(docs).select(
       col("doc_id").as("media_id"),
       encode(col("text"), "UTF-8").as("content"),
       struct(
@@ -163,7 +173,7 @@ object Multimodal {
     val enc = udf((id: Long, w: Int, h: Int) => encodePng(id, w, h))
     val w = (pmod(col("doc_id"), lit(64)) + 16).cast(IntegerType)
     val h = (pmod(col("doc_id"), lit(48)) + 16).cast(IntegerType)
-    docs.select(col("doc_id").as("media_id"),
+    fanDocs(docs).select(col("doc_id").as("media_id"),
         enc(col("doc_id"), w, h).as("content"),
         w.as("width"), h.as("height"))
       .select(col("media_id"), col("content"),
@@ -440,7 +450,7 @@ object Multimodal {
     val enc = udf((id: Long, w: Int, h: Int) => encodeJpeg(id, w, h))
     val w = (pmod(col("doc_id"), lit(64)) + 16).cast(IntegerType)
     val h = (pmod(col("doc_id"), lit(48)) + 16).cast(IntegerType)
-    docs.select(col("doc_id").as("media_id"),
+    fanDocs(docs).select(col("doc_id").as("media_id"),
         enc(col("doc_id"), w, h).as("content"),
         w.as("width"), h.as("height"))
       .select(col("media_id"), col("content"),
@@ -565,7 +575,7 @@ object Multimodal {
   def wavMediaFromDocs(docs: DataFrame): DataFrame = {
     val enc = udf((id: Long, n: Int) => encodeWav(id, n))
     val n = ((pmod(col("doc_id"), lit(50)) + 10) * 80).cast(IntegerType)
-    docs.select(col("doc_id").as("media_id"),
+    fanDocs(docs).select(col("doc_id").as("media_id"),
         enc(col("doc_id"), n).as("content"), n.as("n_samples"))
       .select(col("media_id"), col("content"),
         struct(
@@ -680,7 +690,7 @@ object Multimodal {
   def videoFromDocs(docs: DataFrame, w: Int = 16, h: Int = 12): DataFrame = {
     val enc = udf((id: Long, nf: Int) => encodeVideo(id, nf, w, h))
     val nf = (pmod(col("doc_id"), lit(4)) + 2).cast(IntegerType)
-    docs.select(col("doc_id").as("media_id"),
+    fanDocs(docs).select(col("doc_id").as("media_id"),
         enc(col("doc_id"), nf).as("content"), nf.as("n_frames"))
       .select(col("media_id"), col("content"),
         struct(
