@@ -153,7 +153,13 @@ object Dedup {
   }
 
   private def rawShingles(docs: DataFrame, w: Int, textCol: String, idCol: String): DataFrame =
-    docs
+    // fan out before shingling (optimization r17, the pageFromDocs
+    // device): the documents scan is one task at every shipped SF, so
+    // tokenize + slice + hash + partial-distinct otherwise run
+    // single-threaded for every similarity consumer; one deterministic
+    // hash exchange of the small doc relation buys core-count
+    // parallelism, and the downstream 8-byte distinct is unchanged
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).as("doc_id"),
         // drop empty tokens (split keeps a trailing "" on trailing whitespace)
         filter(split(col(textCol), TextOps.TokenSepRe), t => length(t) > 0).as("toks"))
